@@ -1,0 +1,160 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Gold-zone analytics — the reference's six aggregation queries
+  * (reference `include/scripts/to_gold.py:57-132`, SURVEY.md §2.4 A1-A6)
+  * re-keyed to the driver's TPC-H-ish testdata per SURVEY.md §7.2.
+  *
+  * Semantics preserved from the reference:
+  *  - `count(key)` after a fact⋈dim join counts LINE ITEMS (non-null count),
+  *    not distinct orders (`to_gold.py:61,75,87,100`).
+  *  - customer metrics computes window min/max BEFORE grouping and uses the
+  *    formatted results as grouping keys (`to_gold.py:71-73`).
+  *  - delivery performance uses a conditional count
+  *    `sum(when(delay > threshold, 1).otherwise(0))` (`to_gold.py:130`).
+  *
+  * == Oracle determinism (SURVEY.md §7.5) ==
+  * Money sums are aggregated as exact integer cents
+  * (`round(sum(x)*100)::long` — inputs are 2-decimal, double sum error is
+  * ~1e-9, so the integer round is exact) and every fractional output is
+  * DERIVED from those exact integers with the same IEEE-754 expression on
+  * both the Spark and DuckDB sides — bit-identical doubles with no
+  * round-half boundary anywhere. Dates are emitted as formatted strings.
+  *
+  * == Scale design ==
+  * Every query is a declarative join+groupBy chain: Catalyst plans partial
+  * (map-side) aggregation before the shuffle, and AQE handles runtime
+  * broadcast selection and skew splitting. Fact⋈fact joins (lineitem⋈orders)
+  * shuffle on the join key — correct at 100 TB since both sides scale with
+  * SF; dim sides (supplier, part, customer) are left to AQE's dynamic
+  * broadcast decision rather than a hardcoded hint, because "small" is a
+  * runtime property at 100 TB, not a compile-time one.
+  */
+object Gold {
+
+  /** Exact integer cents of a 2-decimal money column's sum. */
+  private def centsSum(c: String): Column =
+    round(sum(col(c)) * 100).cast("long")
+
+  /** A1 `daily_sales` (`to_gold.py:57-65`): items⋈orders, per order date. */
+  def dailySales(spark: SparkSession, sfDir: String): DataFrame = {
+    val li  = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .withColumn("order_date", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .groupBy("order_date")
+      .agg(
+        count("l_orderkey").as("total_items"),
+        centsSum("l_extendedprice").as("total_sales_cents"),
+        centsSum("l_tax").as("total_tax_cents"))
+      .withColumn("total_sales", col("total_sales_cents") / 100.0)
+      .withColumn("avg_price",
+        (col("total_sales_cents") / 100.0) / col("total_items"))
+  }
+
+  /** A2 `customer_metrics` (`to_gold.py:69-80`): window min/max purchase
+    * date per customer BEFORE the groupBy, formatted strings as group keys.
+    */
+  def customerMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val li   = Tables.lineitem(spark, sfDir)
+    val ord  = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val w = Window.partitionBy("c_custkey")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .withColumn("first_purchase_date",
+        date_format(min("o_orderdate").over(w), "yyyy-MM-dd"))
+      .withColumn("last_purchase_date",
+        date_format(max("o_orderdate").over(w), "yyyy-MM-dd"))
+      .groupBy("c_custkey", "c_mktsegment",
+        "first_purchase_date", "last_purchase_date")
+      .agg(
+        count("l_orderkey").as("total_items"),
+        centsSum("l_extendedprice").as("total_spent_cents"),
+        datediff(max("o_orderdate"), min("o_orderdate")).cast("long")
+          .as("customer_lifetime_days"))
+      .withColumn("total_spent", col("total_spent_cents") / 100.0)
+      .withColumn("avg_item_price",
+        (col("total_spent_cents") / 100.0) / col("total_items"))
+  }
+
+  /** A3 `product_performance` (`to_gold.py:84-91`): items⋈products. */
+  def productPerformance(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val pt = Tables.part(spark, sfDir)
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .groupBy("p_partkey", "p_brand")
+      .agg(
+        count("l_orderkey").as("times_sold"),
+        centsSum("l_extendedprice").as("total_revenue_cents"),
+        // l_quantity is integral-valued double; sum is exact in both engines
+        round(sum("l_quantity")).cast("long").as("total_quantity"))
+      .withColumn("total_revenue", col("total_revenue_cents") / 100.0)
+      .withColumn("avg_price",
+        (col("total_revenue_cents") / 100.0) / col("times_sold"))
+  }
+
+  /** A4 `seller_performance` (`to_gold.py:94-105`): items⋈sellers⋈orders
+    * with the reference's `avg(datediff(ship, purchase))` aggregate,
+    * derived here from an exact integer day-sum.
+    */
+  def sellerPerformance(spark: SparkSession, sfDir: String): DataFrame = {
+    val li  = Tables.lineitem(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .withColumn("ship_delay_days",
+        datediff(col("l_shipdate"), col("o_orderdate")))
+      .groupBy("s_suppkey", "s_nationkey")
+      .agg(
+        count("l_orderkey").as("total_items"),
+        centsSum("l_extendedprice").as("total_sales_cents"),
+        sum("ship_delay_days").cast("long").as("ship_delay_days_sum"))
+      .withColumn("total_sales", col("total_sales_cents") / 100.0)
+      .withColumn("avg_sale_price",
+        (col("total_sales_cents") / 100.0) / col("total_items"))
+      .withColumn("avg_shipping_delay_days",
+        col("ship_delay_days_sum").cast("double") / col("total_items"))
+  }
+
+  /** A5 `satisfaction_metrics` (`to_gold.py:109-115`): events play the
+    * reviews role (SURVEY.md §7.2) — score→value, review_date→ts.
+    */
+  def satisfactionMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_type", "event_date")
+      .agg(
+        centsSum("value").as("score_cents_sum"),
+        count("event_id").as("n_events"))
+      .withColumn("avg_score",
+        (col("score_cents_sum") / 100.0) / col("n_events"))
+  }
+
+  /** A6 `delivery_performance` (`to_gold.py:119-131`): per order status,
+    * avg delay + conditional count of delayed lines
+    * (`sum(when(delay > threshold, 1).otherwise(0))`, `to_gold.py:130`).
+    * Delay re-keyed as datediff(l_shipdate, o_orderdate); threshold 30d so
+    * the conditional discriminates on this data.
+    */
+  def deliveryPerformance(spark: SparkSession, sfDir: String): DataFrame = {
+    val li  = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .withColumn("delivery_delay",
+        datediff(col("l_shipdate"), col("o_orderdate")))
+      .groupBy("o_orderstatus")
+      .agg(
+        count("l_orderkey").as("total_items"),
+        sum("delivery_delay").cast("long").as("delay_days_sum"),
+        sum(when(col("delivery_delay") > 30, 1).otherwise(0)).cast("long")
+          .as("delayed_items"))
+      .withColumn("avg_delivery_delay",
+        col("delay_days_sum").cast("double") / col("total_items"))
+  }
+}
