@@ -40,10 +40,21 @@ object Gold {
   private def centsSum(c: String): Column =
     round(sum(col(c)) * 100).cast("long")
 
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gold_daily_sales"          -> (dailySales(_, _)),
+    "gold_customer_metrics"     -> (customerMetrics(_, _)),
+    "gold_product_performance"  -> (productPerformance(_, _)),
+    "gold_seller_performance"   -> (sellerPerformance(_, _)),
+    "gold_satisfaction_metrics" -> (satisfactionMetrics(_, _)),
+    "gold_delivery_performance" -> (deliveryPerformance(_, _)),
+  )
+
   /** A1 `daily_sales` (`to_gold.py:57-65`): items⋈orders, per order date. */
-  def dailySales(spark: SparkSession, sfDir: String): DataFrame = {
-    val li  = Tables.lineitem(spark, sfDir)
-    val ord = Tables.orders(spark, sfDir)
+  def dailySales(spark: SparkSession, sfDir: String): DataFrame =
+    dailySalesStage(Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir))
+
+  def dailySalesStage(li: DataFrame, ord: DataFrame): DataFrame = {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .withColumn("order_date", date_format(col("o_orderdate"), "yyyy-MM-dd"))
       .groupBy("order_date")
@@ -59,10 +70,12 @@ object Gold {
   /** A2 `customer_metrics` (`to_gold.py:69-80`): window min/max purchase
     * date per customer BEFORE the groupBy, formatted strings as group keys.
     */
-  def customerMetrics(spark: SparkSession, sfDir: String): DataFrame = {
-    val li   = Tables.lineitem(spark, sfDir)
-    val ord  = Tables.orders(spark, sfDir)
-    val cust = Tables.customer(spark, sfDir)
+  def customerMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    customerMetricsStage(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir))
+
+  def customerMetricsStage(li: DataFrame, ord: DataFrame,
+      cust: DataFrame): DataFrame = {
     val w = Window.partitionBy("c_custkey")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey"))
@@ -83,9 +96,11 @@ object Gold {
   }
 
   /** A3 `product_performance` (`to_gold.py:84-91`): items⋈products. */
-  def productPerformance(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val pt = Tables.part(spark, sfDir)
+  def productPerformance(spark: SparkSession, sfDir: String): DataFrame =
+    productPerformanceStage(Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir))
+
+  def productPerformanceStage(li: DataFrame, pt: DataFrame): DataFrame = {
     li.join(pt, li("l_partkey") === pt("p_partkey"))
       .groupBy("p_partkey", "p_brand")
       .agg(
@@ -102,10 +117,12 @@ object Gold {
     * with the reference's `avg(datediff(ship, purchase))` aggregate,
     * derived here from an exact integer day-sum.
     */
-  def sellerPerformance(spark: SparkSession, sfDir: String): DataFrame = {
-    val li  = Tables.lineitem(spark, sfDir)
-    val sup = Tables.supplier(spark, sfDir)
-    val ord = Tables.orders(spark, sfDir)
+  def sellerPerformance(spark: SparkSession, sfDir: String): DataFrame =
+    sellerPerformanceStage(Tables.lineitem(spark, sfDir),
+      Tables.supplier(spark, sfDir), Tables.orders(spark, sfDir))
+
+  def sellerPerformanceStage(li: DataFrame, sup: DataFrame,
+      ord: DataFrame): DataFrame = {
     li.join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
       .withColumn("ship_delay_days",
@@ -125,9 +142,11 @@ object Gold {
   /** A5 `satisfaction_metrics` (`to_gold.py:109-115`): events play the
     * reviews role (SURVEY.md §7.2) — score→value, review_date→ts.
     */
-  def satisfactionMetrics(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.events(spark, sfDir)
-      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+  def satisfactionMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    satisfactionMetricsStage(Tables.events(spark, sfDir))
+
+  def satisfactionMetricsStage(ev: DataFrame): DataFrame = {
+    ev.withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
       .groupBy("event_type", "event_date")
       .agg(
         centsSum("value").as("score_cents_sum"),
@@ -142,9 +161,11 @@ object Gold {
     * Delay re-keyed as datediff(l_shipdate, o_orderdate); threshold 30d so
     * the conditional discriminates on this data.
     */
-  def deliveryPerformance(spark: SparkSession, sfDir: String): DataFrame = {
-    val li  = Tables.lineitem(spark, sfDir)
-    val ord = Tables.orders(spark, sfDir)
+  def deliveryPerformance(spark: SparkSession, sfDir: String): DataFrame =
+    deliveryPerformanceStage(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir))
+
+  def deliveryPerformanceStage(li: DataFrame, ord: DataFrame): DataFrame = {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .withColumn("delivery_delay",
         datediff(col("l_shipdate"), col("o_orderdate")))
@@ -157,4 +178,108 @@ object Gold {
       .withColumn("avg_delivery_delay",
         col("delay_days_sum").cast("double") / col("total_items"))
   }
+
+  /** DuckDB twins of [[queries]] — same column names/aliases both sides. */
+  def oracleSql: Map[String, String] = Map(
+    "gold_daily_sales" ->
+      """WITH g AS (
+        |  SELECT strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |         count(l.l_orderkey) AS total_items,
+        |         CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT)
+        |           AS total_sales_cents,
+        |         CAST(round(sum(l.l_tax) * 100) AS BIGINT) AS total_tax_cents
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1)
+        |SELECT order_date, total_items, total_sales_cents, total_tax_cents,
+        |       total_sales_cents / 100.0 AS total_sales,
+        |       (total_sales_cents / 100.0) / total_items AS avg_price
+        |FROM g""".stripMargin,
+    "gold_customer_metrics" ->
+      """WITH enriched AS (
+        |  SELECT c.c_custkey, c.c_mktsegment, l.l_orderkey,
+        |         l.l_extendedprice, o.o_orderdate,
+        |         strftime(min(o.o_orderdate) OVER (PARTITION BY c.c_custkey),
+        |                  '%Y-%m-%d') AS first_purchase_date,
+        |         strftime(max(o.o_orderdate) OVER (PARTITION BY c.c_custkey),
+        |                  '%Y-%m-%d') AS last_purchase_date
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (
+        |  SELECT c_custkey, c_mktsegment, first_purchase_date,
+        |         last_purchase_date,
+        |         count(l_orderkey) AS total_items,
+        |         CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+        |           AS total_spent_cents,
+        |         CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+        |                        CAST(max(o_orderdate) AS DATE)) AS BIGINT)
+        |           AS customer_lifetime_days
+        |  FROM enriched GROUP BY 1, 2, 3, 4)
+        |SELECT c_custkey, c_mktsegment, first_purchase_date,
+        |       last_purchase_date, total_items, total_spent_cents,
+        |       customer_lifetime_days,
+        |       total_spent_cents / 100.0 AS total_spent,
+        |       (total_spent_cents / 100.0) / total_items AS avg_item_price
+        |FROM g""".stripMargin,
+    "gold_product_performance" ->
+      """WITH g AS (
+        |  SELECT p.p_partkey, p.p_brand,
+        |         count(l.l_orderkey) AS times_sold,
+        |         CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT)
+        |           AS total_revenue_cents,
+        |         CAST(round(sum(l.l_quantity)) AS BIGINT) AS total_quantity
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_partkey, p_brand, times_sold, total_revenue_cents,
+        |       total_quantity,
+        |       total_revenue_cents / 100.0 AS total_revenue,
+        |       (total_revenue_cents / 100.0) / times_sold AS avg_price
+        |FROM g""".stripMargin,
+    "gold_seller_performance" ->
+      """WITH g AS (
+        |  SELECT s.s_suppkey, s.s_nationkey,
+        |         count(l.l_orderkey) AS total_items,
+        |         CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT)
+        |           AS total_sales_cents,
+        |         CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                            CAST(l.l_shipdate AS DATE))) AS BIGINT)
+        |           AS ship_delay_days_sum
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_nationkey, total_items, total_sales_cents,
+        |       ship_delay_days_sum,
+        |       total_sales_cents / 100.0 AS total_sales,
+        |       (total_sales_cents / 100.0) / total_items AS avg_sale_price,
+        |       CAST(ship_delay_days_sum AS DOUBLE) / total_items
+        |         AS avg_shipping_delay_days
+        |FROM g""".stripMargin,
+    "gold_satisfaction_metrics" ->
+      """WITH g AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+        |         CAST(round(sum(value) * 100) AS BIGINT) AS score_cents_sum,
+        |         count(event_id) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, event_date, score_cents_sum, n_events,
+        |       (score_cents_sum / 100.0) / n_events AS avg_score
+        |FROM g""".stripMargin,
+    "gold_delivery_performance" ->
+      """WITH g AS (
+        |  SELECT o.o_orderstatus,
+        |         count(l.l_orderkey) AS total_items,
+        |         CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                            CAST(l.l_shipdate AS DATE))) AS BIGINT)
+        |           AS delay_days_sum,
+        |         CAST(sum(CASE WHEN date_diff('day',
+        |                             CAST(o.o_orderdate AS DATE),
+        |                             CAST(l.l_shipdate AS DATE)) > 30
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS delayed_items
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1)
+        |SELECT o_orderstatus, total_items, delay_days_sum, delayed_items,
+        |       CAST(delay_days_sum AS DOUBLE) / total_items
+        |         AS avg_delivery_delay
+        |FROM g""".stripMargin,
+  )
 }
