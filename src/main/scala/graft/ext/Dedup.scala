@@ -1,0 +1,202 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Document deduplication operators (SURVEY.md §7.4 extension mandate —
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash) over the `documents` table.
+  *
+  * == Scale design ==
+  * - Exact dedup is one hash shuffle on `md5(text)` — at 100 TB the hash
+  *   (16 bytes) shuffles instead of the document body, which is the whole
+  *   point of hashing before grouping.
+  * - N-gram Jaccard uses an inverted-index self-join on shingles (never an
+  *   O(n²) doc cross-join): explode → join on shingle → pair-count. At
+  *   scale the join key distribution is the shingle df — production would
+  *   additionally drop stop-shingles (df above a cap) to bound skew; the
+  *   LSH variant below is the real 100 TB path.
+  * - MinHash+LSH: 32 hashes → 8 bands × 4 rows, so a candidate pair needs
+  *   one identical band (P ≈ 1-(1-s⁴)⁸; >0.97 for s ≥ 0.7, ~0.39 at
+  *   s = 0.5 per band config — bands tuned for the 0.5 threshold here with
+  *   r=2: 16 bands × 2 rows, P = 1-(1-s²)¹⁶ ≈ 0.99 at s = 0.5).
+  *   Signatures are fixed-width (32 longs) regardless of document size, so
+  *   the shuffle volume is O(docs), not O(corpus bytes) — the property
+  *   that makes near-dedup feasible at 100 TB.
+  * - Candidates are verified with exact Jaccard restricted to the
+  *   candidate set (semi-join pushdown into the shingle index).
+  *
+  * MinHash/SimHash use Spark's xxhash64 — not reproducible in DuckDB, so
+  * those queries carry no oracle (driver records rows-only checks); the
+  * exact-Jaccard query IS the oracle-checked ground truth, and
+  * DedupSpec asserts LSH recall against it on testdata.
+  */
+object Dedup {
+
+  /** Distinct word-3-shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 2),
+          |               i -> concat_ws(' ', slice(toks, i, 3))) END"""
+          .stripMargin))).as("shingle"))
+
+  /** Exact-duplicate groups via hash-groupBy (`md5(text)`). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup keeping the lowest doc_id per text. */
+  def exactDocs(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Exact pairwise 3-gram Jaccard ≥ `threshold` via inverted-index join —
+    * the ground-truth near-dup operator.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_size"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("union_size",
+        col("sa.n") + col("sb.n") - col("inter_size"))
+      .withColumn("jaccard",
+        col("inter_size") * lit(1.0) / col("union_size"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
+  }
+
+  val MinhashK = 32     // signature length
+  val BandRows = 2      // rows per band → 16 bands, P(cand|s=0.5) ≈ 0.99
+
+  /** MinHash signature per doc: (doc_id, sig array<long>[MinhashK]). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until MinhashK).map { j =>
+      min(xxhash64(concat_ws("", lit(j.toString), col("shingle"))))
+        .as(s"h$j")
+    }
+    shingles(docs)
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: same band hash in any band. */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val nBands = MinhashK / BandRows
+    val banded = sigs.select(col("doc_id"), posexplode(array(
+      (0 until nBands).map(b => xxhash64(
+        (0 until BandRows).map(r => col("sig")(b * BandRows + r)) :+
+          lit(b): _*)): _*)).as(Seq("band", "band_hash")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Near-dup dedup via MinHash+LSH: candidates verified with exact
+    * Jaccard, then docs that duplicate a lower doc_id are dropped.
+    */
+  def minhashDedupDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(docs))
+    // verify candidates with exact jaccard (restricted via semi-joins)
+    val verified = ngramJaccardPairs(docs, threshold).as("j")
+      .join(cands.as("c"),
+        col("j.doc_a") === col("c.doc_a") && col("j.doc_b") === col("c.doc_b"),
+        "left_semi")
+    docs.join(verified.select(col("doc_b").as("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash per doc from distinct-token hashes: bit j of the
+    * fingerprint is the sign of Σ_tokens (±1 by bit j of xxhash64(token)).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val fp = (0 until SimhashBits)
+      .map(j => when(col(s"b$j") > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash dedup summary: docs sharing an identical fingerprint. */
+  def simhashGroups(docs: DataFrame): DataFrame =
+    simhash(docs).groupBy("simhash")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_groups"  -> ((s, d) => exactGroups(Tables.documents(s, d))),
+    "dedup_exact_docs"    -> ((s, d) => exactDocs(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardPairs(Tables.documents(s, d))),
+    "dedup_minhash_lsh"   -> ((s, d) =>
+      minhashDedupDocs(Tables.documents(s, d))),
+    "dedup_simhash"       -> ((s, d) => simhashGroups(Tables.documents(s, d))),
+  )
+
+  /** DuckDB twins (minhash/simhash are hash-dependent → rows-only). */
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_exact_docs" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM (SELECT *, row_number() OVER (PARTITION BY text
+        |              ORDER BY doc_id) AS rn FROM documents)
+        |WHERE rn = 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                               for i in range(1, len(toks)-1)]))
+        |           AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS inter_size
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter_size,
+        |       sa.n + sb.n - inter_size AS union_size,
+        |       inter_size * 1.0 / (sa.n + sb.n - inter_size) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5"""
+        .stripMargin,
+  )
+}

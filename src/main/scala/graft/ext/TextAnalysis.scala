@@ -1,0 +1,194 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators (SURVEY.md §7.4 extension mandate): per-document
+  * statistics, quality scoring, n-gram-heuristic language ID, token
+  * counting (whitespace + regex), and document fingerprinting, all over the
+  * `documents` table.
+  *
+  * All of these are embarrassingly parallel scalar pipelines — no shuffle
+  * at all (narrow transformations over the scan), so they scale linearly
+  * with input bytes and stay inside whole-stage codegen. Derived ratios
+  * divide exact integers with identical IEEE-754 expressions on the Spark
+  * and DuckDB sides (the SparkEntry determinism contract).
+  *
+  * Language ID is a marker-token heuristic (stopword hit counts per
+  * language with a deterministic argmax) — the structure of a real n-gram
+  * language classifier, with marker lists drawn from the synthetic corpus
+  * vocabulary so the operator discriminates on this data.
+  */
+object TextAnalysis {
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Per-document surface statistics. */
+  def stats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("n_chars_txt"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"))
+      // token chars = chars - (n_tokens-1) separators; ratios are
+      // int/int double division, identical on both engines
+      .withColumn("avg_token_len",
+        (col("n_chars_txt") - col("n_tokens") + 1) * lit(1.0) /
+          col("n_tokens"))
+      .withColumn("distinct_ratio",
+        col("n_distinct_tokens") * lit(1.0) / col("n_tokens"))
+
+  /** Deterministic quality score: length saturation × lexical diversity ×
+    * (1 − stopword ratio). The shape of a real quality filter
+    * (length/stopword/diversity heuristics), fully SQL-expressible.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a")
+    docs.select(col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        size(expr(
+          s"filter(split(text, ' '), t -> t IN (${stop.map("'" + _ + "'").mkString(",")}))"))
+          .as("n_stop"))
+      .withColumn("distinct_ratio",
+        col("n_distinct_tokens") * lit(1.0) / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop") * lit(1.0) / col("n_tokens"))
+      .withColumn("len_score",
+        least(lit(1.0), col("n_tokens") * lit(1.0) / lit(50.0)))
+      .withColumn("quality_score",
+        col("len_score") * col("distinct_ratio") *
+          (lit(1.0) - col("stop_ratio")))
+      .withColumn("is_quality", (col("quality_score") >= 0.35).cast("int"))
+      .select("doc_id", "lang", "n_tokens", "n_stop", "stop_ratio",
+        "len_score", "quality_score", "is_quality")
+  }
+
+  /** Marker lists per language, drawn from the corpus vocabulary. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "table", "row"),
+    "fr" -> Seq("merge", "join", "sort"),
+    "de" -> Seq("window", "stream", "batch"))
+
+  /** N-gram-heuristic language ID: marker hit counts + deterministic
+    * argmax (first language in [[langMarkers]] order wins ties; all-zero →
+    * "und").
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val counted = langMarkers.foldLeft(
+      docs.select(col("doc_id"), col("lang").as("declared_lang"), col("text"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"c_$lang", size(expr(
+          s"filter(split(text, ' '), t -> t IN (${markers.map("'" + _ + "'").mkString(",")}))")))
+    }
+    val langs = langMarkers.map(_._1)
+    val predicted = langs.zipWithIndex.foldRight(lit("und")) {
+      case ((lang, i), els) =>
+        val others = langs.drop(i + 1).map(l => col(s"c_$l"))
+        val isMax = others.foldLeft(col(s"c_$lang") > 0) {
+          (acc, o) => acc && col(s"c_$lang") >= o
+        }
+        when(isMax, lit(lang)).otherwise(els)
+    }
+    counted.withColumn("predicted_lang", predicted)
+      .select(Seq(col("doc_id"), col("declared_lang"), col("predicted_lang")) ++
+        langs.map(l => col(s"c_$l")): _*)
+  }
+
+  /** Document fingerprints: content hash of normalized text + order-
+    * independent hash of the sorted distinct token set (catches
+    * permuted/duplicated-token variants).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(lower(trim(col("text")))).as("content_fp"),
+      md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("tokenset_fp"))
+
+  /** Token counting: whitespace tokens and a regex tokenizer
+    * (`[a-z0-9]+` runs — the BPE-ish "word pieces" approximation).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(toks).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .as("regex_tokens"),
+      length(col("text")).as("n_bytes"))
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"        -> ((s, d) => stats(Tables.documents(s, d))),
+    "text_quality"      -> ((s, d) => quality(Tables.documents(s, d))),
+    "text_langid"       -> ((s, d) => langId(Tables.documents(s, d))),
+    "text_fingerprints" -> ((s, d) => fingerprints(Tables.documents(s, d))),
+    "text_token_counts" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
+  )
+
+  /** DuckDB twins of [[queries]]. */
+  def oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id, lang, source,
+        |       length(text) AS n_chars_txt,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_distinct(string_split(text, ' ')))
+        |         AS n_distinct_tokens,
+        |       (length(text) - len(string_split(text, ' ')) + 1) * 1.0 /
+        |         len(string_split(text, ' ')) AS avg_token_len,
+        |       len(list_distinct(string_split(text, ' '))) * 1.0 /
+        |         len(string_split(text, ' ')) AS distinct_ratio
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         len(list_distinct(string_split(text, ' ')))
+        |           AS n_distinct_tokens,
+        |         len(list_filter(string_split(text, ' '),
+        |                         t -> t IN ('the', 'a'))) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, n_stop * 1.0 / n_tokens AS stop_ratio,
+        |         least(1.0, n_tokens * 1.0 / 50.0) AS len_score,
+        |         n_distinct_tokens * 1.0 / n_tokens AS distinct_ratio
+        |  FROM s)
+        |SELECT doc_id, lang, n_tokens, n_stop, stop_ratio, len_score,
+        |       len_score * distinct_ratio * (1.0 - stop_ratio)
+        |         AS quality_score,
+        |       CAST(len_score * distinct_ratio * (1.0 - stop_ratio) >= 0.35
+        |            AS INT) AS is_quality
+        |FROM r""".stripMargin,
+    "text_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang AS declared_lang,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the', 'a', 'fast'))) AS c_en,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('data', 'table', 'row'))) AS c_es,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('merge', 'join', 'sort'))) AS c_fr,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('window', 'stream', 'batch'))) AS c_de
+        |  FROM documents)
+        |SELECT doc_id, declared_lang,
+        |       CASE
+        |         WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_fr
+        |              AND c_en >= c_de THEN 'en'
+        |         WHEN c_es > 0 AND c_es >= c_fr AND c_es >= c_de THEN 'es'
+        |         WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+        |         WHEN c_de > 0 THEN 'de'
+        |         ELSE 'und' END AS predicted_lang,
+        |       c_en, c_es, c_fr, c_de
+        |FROM c""".stripMargin,
+    "text_fingerprints" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS content_fp,
+        |       md5(array_to_string(
+        |             list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |         AS tokenset_fp
+        |FROM documents""".stripMargin,
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z0-9]+')) AS regex_tokens,
+        |       length(text) AS n_bytes
+        |FROM documents""".stripMargin,
+  )
+}

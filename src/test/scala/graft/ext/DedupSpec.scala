@@ -1,0 +1,59 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("shingles: short docs produce no shingles, no descending-sequence bug") {
+    val out = Dedup.shingles(docs(1L -> "a b", 2L -> "a b c d"))
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((2L, "a b c"), (2L, "b c d")))
+  }
+
+  test("exactGroups/exactDocs: copies collapse to lowest doc_id") {
+    val d = docs(1L -> "x y z", 2L -> "x y z", 3L -> "other text here")
+    val groups = Dedup.exactGroups(d).collect()
+    assert(groups.map(_.getAs[Long]("n_copies")).sorted.toSeq === Seq(1L, 2L))
+    assert(Dedup.exactDocs(d).select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 3L))
+  }
+
+  test("ngramJaccardPairs: identical docs have jaccard 1.0, disjoint absent") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "p q r s t")
+    val pairs = Dedup.ngramJaccardPairs(d, 0.5).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("doc_a") === 1L)
+    assert(pairs.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("minhash LSH recall equals exact ground truth on sf0.001 documents") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.ngramJaccardPairs(d, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(d))
+      .as[(Long, Long)].collect().toSet
+    val missed = exact -- cands
+    assert(missed.isEmpty, s"LSH missed ${missed.size} of ${exact.size} true pairs")
+    // and the dedup result drops exactly the higher ids of verified pairs
+    val kept = Dedup.minhashDedupDocs(d, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === (d.select("doc_id").as[Long].collect().toSet --
+      exact.map(_._2)))
+  }
+
+  test("simhash: identical docs share fingerprint; groups count them") {
+    val d = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
+      3L -> "totally different words entirely here now")
+    val fps = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    val groups = Dedup.simhashGroups(d).collect()
+      .map(r => r.getAs[Long]("keeper_doc_id") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(groups(1L) === 2L)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("stats: token and char accounting") {
+    val r = TextAnalysis.stats(docs((1L, "aa bb aa", "en"))).collect().head
+    assert(r.getAs[Int]("n_tokens") === 3)
+    assert(r.getAs[Int]("n_distinct_tokens") === 2)
+    assert(r.getAs[Int]("n_chars_txt") === 8)
+    assert(r.getAs[Double]("avg_token_len") === 2.0)
+  }
+
+  test("quality: stopword-heavy short docs score low") {
+    val out = TextAnalysis.quality(docs(
+      (1L, "the a the a the a", "en"),
+      (2L, (1 to 60).map(i => s"word$i").mkString(" "), "en"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("is_quality")).toMap
+    assert(out(1L) === 0)
+    assert(out(2L) === 1)
+  }
+
+  test("langId: marker argmax with deterministic tie-break, und fallback") {
+    val out = TextAnalysis.langId(docs(
+      (1L, "the fast data", "en"),    // en=2 beats es=1
+      (2L, "data table merge join", "es"), // es=2 ties fr=2 -> es (order)
+      (3L, "zzz yyy", "fr"))).collect()    // no markers -> und
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    assert(out === Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("fingerprints: tokenset_fp invariant to order/dups, content_fp not") {
+    val out = TextAnalysis.fingerprints(docs(
+      (1L, "b a c", "en"), (2L, "c b a a", "en"))).collect()
+      .map(r => (r.getAs[String]("content_fp"), r.getAs[String]("tokenset_fp")))
+    assert(out(0)._2 === out(1)._2)
+    assert(out(0)._1 !== out(1)._1)
+  }
+
+  test("tokenCounts: regex tokenizer splits runs") {
+    val r = TextAnalysis.tokenCounts(docs((1L, "ab12 cd--ef", "en")))
+      .collect().head
+    assert(r.getAs[Int]("ws_tokens") === 2)
+    assert(r.getAs[Int]("regex_tokens") === 3) // ab12, cd, ef
+  }
+}
