@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Silver}
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,10 +27,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Silver.queries ++ Gold.queries ++ Dedup.queries ++ TextAnalysis.queries
+    Silver.queries ++ Gold.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Similarity.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
     Silver.oracleSql ++ Gold.oracleSql ++ Dedup.oracleSql ++
-      TextAnalysis.oracleSql
+      TextAnalysis.oracleSql ++ Similarity.oracleSql
 }

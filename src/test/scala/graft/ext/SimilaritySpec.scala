@@ -1,0 +1,43 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val d = emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), 2L -> Seq(-1f, 0f),
+      3L -> Seq(2f, 0f))
+    val sims = Similarity.nearestNeighborGraph(d).collect()
+      .map(r => r.getAs[Long]("src") ->
+        (r.getAs[Long]("dst"), r.getAs[Double]("cosine"))).toMap
+    assert(sims(0L) === ((3L, 1.0)))   // same direction, scale-invariant
+    assert(sims(2L)._2 === 0.0)        // best for -x is an orthogonal vec
+  }
+
+  test("bruteForceTopK: ranks by cosine desc with id tie-break") {
+    val d = emb(0L -> Seq(1f, 0f), 1L -> Seq(1f, 0f), 2L -> Seq(1f, 0f),
+      3L -> Seq(0f, 1f))
+    val rows = Similarity.bruteForceTopK(d, 3)
+      .filter($"query_id" === 0L)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(rows.toSeq === Seq((1, 1L), (2, 2L), (3, 3L))) // ties -> id order
+  }
+
+  test("IVF recall@10 vs brute force on sf0.001 embeddings") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(d).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(d).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // probing 4/16 centroids must still find most true neighbors
+    assert(recall >= 0.6, s"IVF recall $recall below 0.6")
+    info(f"IVF recall@10 = $recall%.2f")
+  }
+}
