@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Silver}
 import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.EventsStreaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,10 +29,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Silver.queries ++ Gold.queries ++ Dedup.queries ++
-      TextAnalysis.queries ++ Similarity.queries
+      TextAnalysis.queries ++ Similarity.queries ++ EventsStreaming.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
     Silver.oracleSql ++ Gold.oracleSql ++ Dedup.oracleSql ++
-      TextAnalysis.oracleSql ++ Similarity.oracleSql
+      TextAnalysis.oracleSql ++ Similarity.oracleSql ++ EventsStreaming.oracleSql
 }

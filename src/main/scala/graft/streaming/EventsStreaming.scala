@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Windowed event analytics (SURVEY.md §2.9/§7.4 streaming mandate):
+  * tumbling, sliding, and session windows over the `events` table.
+  *
+  * Each aggregation exists twice with IDENTICAL semantics:
+  *  - a batch form (`*Batch`) registered in the driver contract and
+  *    hash-compared against a DuckDB oracle;
+  *  - a Structured Streaming form (`*Stream`) taking any streaming
+  *    DataFrame with the events schema, carrying a watermark so state is
+  *    bounded — exercised via MemoryStream in EventsStreamingSpec.
+  *
+  * == Scale design ==
+  * Watermarks bound state: tumbling/sliding state is O(windows × types) and
+  * session state O(active users), independent of stream length. The batch
+  * twins are single hash-shuffle groupBys with map-side partial
+  * aggregation; window assignment is a narrow projection. Money sums use
+  * the exact-integer-cents contract (see SparkEntry scaladoc).
+  */
+object EventsStreaming {
+
+  private def centsSum(c: String) = round(sum(col(c)) * 100).cast("long")
+
+  /** Tumbling 1-hour windows per event type. */
+  def hourlyBatch(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), centsSum("value").as("value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def slidingBatch(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), centsSum("value").as("value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** 30-minute-gap session windows per user; span = last−first event. */
+  def sessionsBatch(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), centsSum("value").as("value_cents"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        // session end = last ts + gap; span excludes the trailing gap
+        ((unix_micros(col("w.end")) - unix_micros(col("w.start")) -
+          lit(1800L * 1000000)) / lit(1000000L)).cast("long")
+          .as("span_secs"),
+        col("n_events"), col("value_cents"))
+
+  /** Streaming twin of [[hourlyBatch]] with a 10-minute watermark. */
+  def hourlyStream(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), centsSum("value").as("value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Streaming twin of [[sessionsBatch]] with a 10-minute watermark. */
+  def sessionsStream(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), centsSum("value").as("value_cents"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("value_cents"))
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly"   -> ((s, d) => hourlyBatch(Tables.events(s, d))),
+    "stream_sliding"  -> ((s, d) => slidingBatch(Tables.events(s, d))),
+    "stream_sessions" -> ((s, d) => sessionsBatch(Tables.events(s, d))),
+  )
+
+  /** DuckDB twins of [[queries]]. Window starts are reproduced with
+    * explicit epoch-microsecond floor arithmetic (Spark windows are
+    * epoch-aligned); sessions use the lag/cumulative-sum islands form,
+    * which is exactly `session_window`'s merge semantics.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "stream_hourly" ->
+      """SELECT strftime(make_timestamp(
+        |         (epoch_us(ts) // 3600000000) * 3600000000),
+        |         '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sliding" ->
+      """WITH assigned AS (
+        |  SELECT unnest([
+        |           (epoch_us(ts) // 1800000000) * 1800000000,
+        |           (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000
+        |         ]) AS wstart_us, event_type, value
+        |  FROM events)
+        |SELECT strftime(make_timestamp(wstart_us), '%Y-%m-%d %H:%M:%S')
+        |         AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+        |FROM assigned GROUP BY 1, 2""".stripMargin,
+    "stream_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN epoch_us(ts) -
+        |                   epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |                                          ORDER BY ts))
+        |                   > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+        |         AS span_secs,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+  )
+}

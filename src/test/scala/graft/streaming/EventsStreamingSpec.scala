@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventsStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(rows: (Long, String, Long, String, Double)*) =
+    rows.map { case (id, t, uid, typ, v) =>
+      (id, ts(t), uid, typ, v, """{"k": 1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("sessionsBatch: gap splits sessions, span excludes trailing gap") {
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 7L, "click", 1.0),
+      (2L, "2024-01-01 00:10:00", 7L, "click", 2.0),   // same session
+      (3L, "2024-01-01 01:00:00", 7L, "click", 4.0))   // 50min gap -> new
+    val out = EventsStreaming.sessionsBatch(ev).orderBy("session_start")
+      .collect()
+      .map(r => (r.getAs[String]("session_start"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("span_secs"), r.getAs[Long]("value_cents")))
+    assert(out.toSeq === Seq(
+      ("2024-01-01 00:00:00", 2L, 600L, 300L),
+      ("2024-01-01 01:00:00", 1L, 0L, 400L)))
+  }
+
+  test("slidingBatch: every event lands in exactly two windows") {
+    val ev = events((1L, "2024-01-01 00:40:00", 7L, "click", 1.0))
+    val starts = EventsStreaming.slidingBatch(ev).collect()
+      .map(_.getAs[String]("window_start")).sorted
+    assert(starts.toSeq === Seq("2024-01-01 00:00:00", "2024-01-01 00:30:00"))
+  }
+
+  test("streaming twin matches batch on the same data (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val sdf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStreaming.hourlyStream(sdf)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:05:00"), 7L, "click", 1.5),
+        (2L, ts("2024-01-01 00:55:00"), 8L, "click", 2.5),
+        (3L, ts("2024-01-01 01:05:00"), 7L, "view", 4.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .select("window_start", "event_type", "n_events", "value_cents")
+        .as[(String, String, Long, Long)].collect().toSet
+      val batch = EventsStreaming.hourlyBatch(
+        events((1L, "2024-01-01 00:05:00", 7L, "click", 1.5),
+          (2L, "2024-01-01 00:55:00", 8L, "click", 2.5),
+          (3L, "2024-01-01 01:05:00", 7L, "view", 4.0)))
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(
+        ("2024-01-01 00:00:00", "click", 2L, 400L),
+        ("2024-01-01 01:00:00", "view", 1L, 400L)))
+    } finally q.stop()
+  }
+
+  test("session boundary: event at exactly the gap merges; beyond splits") {
+    val ev = events(
+      (1L, "2024-01-01 00:00:00", 7L, "click", 1.0),
+      (2L, "2024-01-01 00:30:00", 7L, "click", 1.0), // diff == gap: merges
+      (3L, "2024-01-01 01:00:01", 7L, "click", 1.0)) // diff > gap: splits
+    assert(EventsStreaming.sessionsBatch(ev).count() === 2)
+  }
+}
