@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column↔Expression conversion (the standard
+  * pattern for Spark-native extension libraries: Spark 4 wraps Column
+  * around ColumnNode, and `classic.ExpressionUtils` is the supported
+  * internal conversion point).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
