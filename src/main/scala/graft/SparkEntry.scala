@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.etl.{Gold, Silver}
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.etl.{Gold, Relational, Silver}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,11 +28,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Silver.queries ++ Gold.queries ++ Dedup.queries ++
-      TextAnalysis.queries ++ Similarity.queries ++ EventsStreaming.queries
+    Silver.queries ++ Gold.queries ++ Relational.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Similarity.queries ++ EventsStreaming.queries ++
+      Multimodal.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
-    Silver.oracleSql ++ Gold.oracleSql ++ Dedup.oracleSql ++
-      TextAnalysis.oracleSql ++ Similarity.oracleSql ++ EventsStreaming.oracleSql
+    Silver.oracleSql ++ Gold.oracleSql ++ Relational.oracleSql ++ Dedup.oracleSql ++
+      TextAnalysis.oracleSql ++ Similarity.oracleSql ++
+      EventsStreaming.oracleSql ++ Multimodal.oracleSql
 }

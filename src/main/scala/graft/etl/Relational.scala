@@ -1,0 +1,159 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational-surface completeness beyond the reference's own operators
+  * (SURVEY.md §2.5/2.6 notes them absent; a user switching engines still
+  * expects them): ranking windows, global top-k, set operations, distinct
+  * and approximate-distinct aggregation, rollup, pivot.
+  *
+  * == Scale design ==
+  * - Per-group top-k is a window `row_number` over a hash-partitioned sort
+  *   — one shuffle on the group key.
+  * - Global top-k uses `orderBy(...).limit(k)`, which Spark plans as
+  *   `TakeOrderedAndProject` — per-partition heaps + driver merge of k
+  *   rows, NOT a global sort; the only plan that survives 100 TB.
+  * - Set ops compile to hash aggregates/joins; distinct counts shuffle
+  *   once per distinct column (Spark expands); `approx_count_distinct` is
+  *   the single-shuffle HLL path for when exactness isn't required.
+  */
+object Relational {
+
+  private def centsSum(c: String) = round(sum(col(c)) * 100).cast("long")
+
+  /** Top-5 customers by spend within each market segment (ranking window
+    * over an aggregate).
+    */
+  def topCustomersPerSegment(li: DataFrame, ord: DataFrame,
+      cust: DataFrame): DataFrame = {
+    val spend = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(centsSum("l_extendedprice").as("spent_cents"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spent_cents").desc, col("c_custkey"))
+    spend
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rn") <= 5)
+      .select("c_mktsegment", "rn", "rnk", "c_custkey", "spent_cents")
+  }
+
+  /** Global top-100 orders by price — planned as TakeOrderedAndProject. */
+  def topOrders(ord: DataFrame): DataFrame =
+    ord.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** Set operations: (BUILDING ∪ high-balance) ∖ low-nation customers. */
+  def customerSetOps(cust: DataFrame): DataFrame = {
+    val building = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val highBal = cust.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val lowNation = cust.filter(col("c_nationkey") < 5).select("c_custkey")
+    building.union(highBal).distinct().except(lowNation)
+  }
+
+  /** Distinct aggregation per return flag. */
+  def distinctAggs(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_orderkey").as("n_orders"),
+        countDistinct("l_partkey").as("n_parts"),
+        count(lit(1)).as("n_lines"))
+
+  /** Exact vs approximate (HLL++) distinct counts — HLL sketches are
+    * engine-specific, so this is rows-only; RelationalSpec bounds the
+    * relative error.
+    */
+  def approxDistinct(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_orderkey").as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+          .as("approx_orders"))
+
+  /** Rollup over (returnflag, linestatus): subtotal + grand-total rows. */
+  def rollupSales(li: DataFrame): DataFrame =
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_lines"),
+        centsSum("l_extendedprice").as("sales_cents"))
+
+  /** Pivot linestatus into columns (fixed pivot values: F, O). */
+  def pivotSales(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(centsSum("l_extendedprice"))
+      .withColumnRenamed("F", "cents_f")
+      .withColumnRenamed("O", "cents_o")
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rank_top_customers" -> ((s, d) => topCustomersPerSegment(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
+    "rank_top_orders"    -> ((s, d) => topOrders(Tables.orders(s, d))),
+    "set_customer_ops"   -> ((s, d) => customerSetOps(Tables.customer(s, d))),
+    "agg_distinct"       -> ((s, d) => distinctAggs(Tables.lineitem(s, d))),
+    "agg_approx_distinct" -> ((s, d) => approxDistinct(Tables.lineitem(s, d))),
+    "agg_rollup"         -> ((s, d) => rollupSales(Tables.lineitem(s, d))),
+    "agg_pivot"          -> ((s, d) => pivotSales(Tables.lineitem(s, d))),
+  )
+
+  /** DuckDB twins (approx_distinct is rows-only — HLL differs by engine). */
+  def oracleSql: Map[String, String] = Map(
+    "rank_top_customers" ->
+      """WITH spend AS (
+        |  SELECT c.c_custkey, c.c_mktsegment,
+        |         CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT)
+        |           AS spent_cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY spent_cents DESC, c_custkey) AS rn,
+        |         rank() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY spent_cents DESC, c_custkey) AS rnk
+        |  FROM spend)
+        |SELECT c_mktsegment, rn, rnk, c_custkey, spent_cents
+        |FROM ranked WHERE rn <= 5""".stripMargin,
+    "rank_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "set_customer_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_nationkey < 5""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(*) AS n_lines
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+        |       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+        |         AS sales_cents
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+        .stripMargin,
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |       CAST(round(sum(CASE WHEN l_linestatus = 'F'
+        |                           THEN l_extendedprice END) * 100)
+        |            AS BIGINT) AS cents_f,
+        |       CAST(round(sum(CASE WHEN l_linestatus = 'O'
+        |                           THEN l_extendedprice END) * 100)
+        |            AS BIGINT) AS cents_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+  )
+}

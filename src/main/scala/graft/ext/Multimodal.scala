@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §7.4 extension mandate): treat
+  * image/audio/video payloads as opaque `binary` columns with typed
+  * metadata, and run decode / feature-extraction / frame-sampling as
+  * per-partition batch transforms.
+  *
+  * The container has no media codecs, so the DECODE step is a clearly
+  * marked deterministic STUB (`decodeStub` — dimensions derived from the
+  * payload bytes); everything around it — the binary column handling,
+  * schemas, Encoders, per-partition batch shape, partitioning — is real
+  * and tested. In production the stub body is replaced by a codec call;
+  * nothing else changes.
+  *
+  * == Scale design ==
+  * `mapPartitions` is deliberate: a real decoder amortizes codec/model
+  * initialization once per partition (the JVM analog of a batched
+  * pandas-UDF), and payloads stream through an iterator without
+  * materializing the partition. All transforms are narrow — no shuffle —
+  * so they scale linearly with bytes; the payloads travel as parquet
+  * binary, never through the driver.
+  */
+object Multimodal {
+
+  /** Binary asset row: payload + minimal typed metadata. */
+  case class Asset(doc_id: Long, payload: Array[Byte], format: String)
+
+  /** Stub-decoded media metadata (width/height derived deterministically
+    * from bytes — STAND-IN for a real codec).
+    */
+  case class Decoded(doc_id: Long, width: Int, height: Int, channels: Int,
+      n_bytes: Int, ok: Boolean)
+
+  case class Features(doc_id: Long, feature: Array[Float])
+
+  /** Build the asset table: documents' text bytes play the role of opaque
+    * media payloads (binary column + format tag + size metadata).
+    */
+  def assets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
+      lit("fake/txt").as("format"))
+
+  /** Catalog query over binary columns — byte length + magic-bytes prefix
+    * (the "what's in this blob" scan a media lake runs first).
+    */
+  def catalog(docs: DataFrame): DataFrame =
+    assets(docs).select(
+      col("doc_id"), col("format"),
+      length(col("payload")).as("n_bytes"),
+      hex(substring(col("payload"), 1, 4)).as("magic_hex"))
+
+  /** DECODE — per-partition batch transform. STUB: real codecs are not in
+    * this container; dimensions are a deterministic function of the bytes
+    * so tests/oracles are stable. Replace the body with e.g. an ImageIO /
+    * ffmpeg call in production; the plumbing (Encoders, iterator batch
+    * shape, schema) is the real thing.
+    */
+  def decodeStub(assets: Dataset[Asset]): Dataset[Decoded] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real impl: init codec ONCE here, then stream the iterator
+      it.map { a =>
+        val n = a.payload.length
+        val head = if (n > 0) java.lang.Byte.toUnsignedInt(a.payload(0)) else 0
+        Decoded(a.doc_id,
+          width = 64 + (head % 16) * 32,
+          height = 64 + (n % 16) * 32,
+          channels = 3, n_bytes = n, ok = n > 0)
+      }
+    }
+  }
+
+  /** Feature extraction — payload → fixed-dim float vector (byte histogram
+    * folded to 16 dims, L1-normalized). Deterministic stand-in for an
+    * embedding model; same per-partition batch shape as [[decodeStub]].
+    */
+  def featuresStub(assets: Dataset[Asset], dim: Int = 16): Dataset[Features] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val hist = new Array[Float](dim)
+        var i = 0
+        while (i < a.payload.length) {
+          hist(java.lang.Byte.toUnsignedInt(a.payload(i)) % dim) += 1f
+          i += 1
+        }
+        val total = math.max(1, a.payload.length).toFloat
+        Features(a.doc_id, hist.map(_ / total))
+      }
+    }
+  }
+
+  /** Frame sampling — every `stride`-th fixed-width byte slice of the
+    * payload (the video-keyframe access pattern), as (doc_id, frame_idx,
+    * frame bytes).
+    */
+  def sampleFrames(docs: DataFrame, frameBytes: Int = 16,
+      stride: Int = 4): DataFrame =
+    assets(docs)
+      .select(col("doc_id"), col("payload"),
+        expr(s"sequence(0, greatest(cast((length(payload) - $frameBytes) / ($frameBytes * $stride) as int), 0))")
+          .as("idxs"))
+      .select(col("doc_id"), explode(col("idxs")).as("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes * $stride + 1, $frameBytes)")
+          .as("frame"))
+      .filter(length(col("frame")) === frameBytes)
+
+  /** Typed entry points over the testdata documents table. */
+  private def assetDs(s: SparkSession, d: String): Dataset[Asset] = {
+    import s.implicits._
+    assets(Tables.documents(s, d)).as[Asset]
+  }
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_catalog"  -> ((s, d) => catalog(Tables.documents(s, d))),
+    "mm_decode"   -> ((s, d) => decodeStub(assetDs(s, d)).toDF()),
+    "mm_features" -> ((s, d) => featuresStub(assetDs(s, d)).toDF()
+      .select(col("doc_id"), col("feature"))),
+    "mm_frames"   -> ((s, d) =>
+      sampleFrames(Tables.documents(s, d))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          hex(col("frame")).as("frame_hex"))),
+  )
+
+  /** DuckDB twins. Decode/features are JVM-side stubs (rows-only); the
+    * catalog and frame-sampling plumbing are oracle-checked (DuckDB 1.0
+    * cannot slice BLOBs, so the oracle slices the source string and
+    * encodes — identical bytes for this corpus).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "mm_catalog" ->
+      """SELECT doc_id, 'fake/txt' AS format,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       hex(encode(substring(text, 1, 4))) AS magic_hex
+        |FROM documents""".stripMargin,
+    "mm_frames" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(
+        |           CAST(trunc((octet_length(encode(text)) - 16) / 64.0)
+        |                AS BIGINT), 0) + 1)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |       hex(encode(substring(text, CAST(frame_idx * 64 + 1 AS INT),
+        |                            16))) AS frame_hex
+        |FROM idx
+        |WHERE octet_length(encode(substring(text,
+        |        CAST(frame_idx * 64 + 1 AS INT), 16))) = 16""".stripMargin,
+  )
+}

@@ -1,0 +1,73 @@
+package graft.etl
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li(rows: (Long, Long, String, String, Double)*) =
+    rows.map { case (ok, pk, rf, ls, price) =>
+      (ok, pk, 1L, 1, 1.0, price, 0.0, 0.0, rf, ls, ts("1997-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+
+  test("topOrders: global top-k plans as TakeOrderedAndProject") {
+    val ord = (1 to 500).map(i => (i.toLong, 1L, "F", i * 1.0,
+      ts("1997-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val q = Relational.topOrders(ord)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "global top-k must not be a full sort")
+    val top = q.collect()
+    assert(top.length === 100)
+    assert(top.head.getAs[Double]("o_totalprice") === 500.0)
+  }
+
+  test("customerSetOps: union-distinct then except semantics") {
+    val cust = Seq(
+      (1L, "c1", 1, 9000.0, "BUILDING"),  // building+highbal, nation 1 -> excluded
+      (2L, "c2", 9, 100.0, "BUILDING"),   // building only -> kept
+      (3L, "c3", 9, 9000.0, "AUTO"),      // highbal only -> kept
+      (4L, "c4", 9, 100.0, "AUTO"))       // neither -> absent
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    assert(Relational.customerSetOps(cust).as[Long].collect().toSet ===
+      Set(2L, 3L))
+  }
+
+  test("distinctAggs: distinct vs plain counts") {
+    val r = Relational.distinctAggs(li(
+      (1L, 10L, "N", "O", 5.0), (1L, 10L, "N", "O", 5.0),
+      (2L, 11L, "N", "F", 5.0))).collect().head
+    assert(r.getAs[Long]("n_orders") === 2L)
+    assert(r.getAs[Long]("n_parts") === 2L)
+    assert(r.getAs[Long]("n_lines") === 3L)
+  }
+
+  test("approxDistinct: HLL within 5% of exact on sf0.001") {
+    val rows = Relational.approxDistinct(
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001")).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("rollupSales: detail + subtotal + grand total rows") {
+    val out = Relational.rollupSales(li(
+      (1L, 1L, "N", "O", 1.0), (2L, 1L, "N", "F", 2.0),
+      (3L, 1L, "A", "F", 4.0))).collect()
+    assert(out.length === 3 + 2 + 1) // detail, per-flag, grand
+    val grand = out.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getAs[Long]("sales_cents") === 700L)
+  }
+
+  test("pivotSales: missing pivot cell is null") {
+    val out = Relational.pivotSales(li((1L, 1L, "N", "O", 3.0))).collect().head
+    assert(out.getAs[Long]("cents_o") === 300L)
+    assert(out.isNullAt(out.fieldIndex("cents_f")))
+  }
+}
