@@ -83,13 +83,15 @@ object Dedup {
   val BandRows = 2      // rows per band → 16 bands, P(cand|s=0.5) ≈ 0.99
 
   /** MinHash signature per doc: (doc_id, sig array<long>[MinhashK]). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFromShingles(shingles(docs))
+
+  def minhashSignaturesFromShingles(sh: DataFrame): DataFrame = {
     val sigCols = (0 until MinhashK).map { j =>
       min(xxhash64(concat_ws("", lit(j.toString), col("shingle"))))
         .as(s"h$j")
     }
-    shingles(docs)
-      .groupBy("doc_id")
+    sh.groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until MinhashK).map(j => col(s"h$j")): _*).as("sig"))
@@ -111,16 +113,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact Jaccard computed ONLY for the given candidate pairs — the
+    * verify step of LSH. Joins the shingle index to the pair list, so
+    * cost is O(candidates × shingles-per-doc), never O(n²).
+    */
+  def jaccardForPairs(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") &&
+        col("a.shingle") === col("b.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_size"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("union_size",
+        col("sa.n") + col("sb.n") - col("inter_size"))
+      .withColumn("jaccard",
+        col("inter_size") * lit(1.0) / col("union_size"))
+      .select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
+  }
+
   /** Near-dup dedup via MinHash+LSH: candidates verified with exact
-    * Jaccard, then docs that duplicate a lower doc_id are dropped.
+    * Jaccard RESTRICTED to the candidate set, then docs that duplicate a
+    * lower doc_id are dropped. The shingle index is cached — it feeds
+    * both the signature aggregation and the verify join.
     */
   def minhashDedupDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(docs))
-    // verify candidates with exact jaccard (restricted via semi-joins)
-    val verified = ngramJaccardPairs(docs, threshold).as("j")
-      .join(cands.as("c"),
-        col("j.doc_a") === col("c.doc_a") && col("j.doc_b") === col("c.doc_b"),
-        "left_semi")
+    val sh = shingles(docs).persist()
+    val cands = lshCandidates(minhashSignaturesFromShingles(sh))
+    val verified = jaccardForPairs(sh, cands)
+      .filter(col("jaccard") >= threshold)
     docs.join(verified.select(col("doc_b").as("doc_id")), Seq("doc_id"),
         "left_anti")
       .select("doc_id", "lang", "source", "n_chars")

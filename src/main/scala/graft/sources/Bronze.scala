@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Bronze-zone ingestion — the reference's source/sink surface
+  * (SURVEY.md §2.1 S1-S4) re-expressed for a Parquet lake.
+  *
+  * The reference reads CSV with `inferSchema=True` (reference
+  * `include/scripts/to_bronze.py:39`) — a full extra pass and
+  * nondeterministic under malformed rows — and writes every zone to
+  * Postgres over single-partition JDBC (`to_bronze.py:41-50`), its real
+  * bottleneck (SURVEY.md §6). Here:
+  *  - CSV is read with EXPLICIT schemas (one pass, deterministic,
+  *    FAILFAST so bad rows surface instead of silently nulling);
+  *  - tables rest as Parquet — columnar, splittable, predicate/projection
+  *    pushdown — written with optional hash-partitioning columns, the
+  *    layout that gives partition pruning at 100 TB;
+  *  - the reference's table-name routing dict (`to_bronze.py:17-27`)
+  *    becomes [[schemas]]: name → StructType.
+  */
+object Bronze {
+
+  /** Explicit schemas for every engine table (FIXTURES.md §B). */
+  val schemas: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampNTZType),
+      StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampNTZType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))),
+  )
+
+  /** S1: CSV scan with explicit schema — single pass, FAILFAST. */
+  def readCsv(spark: SparkSession, path: String, table: String): DataFrame =
+    spark.read
+      .schema(schemas(table))
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** S1 (reference-parity variant): header + schema inference, as the
+    * reference does it — kept for ingest of unknown CSVs; prefer
+    * [[readCsv]].
+    */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+
+  /** S3: Parquet sink, full-refresh overwrite (the reference's
+    * `mode("overwrite")` JDBC write re-expressed). `partitionCols` adds
+    * directory partitioning for pruning; leave empty for small dims.
+    */
+  def writeParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** S2-shape generic JDBC reader (the reference reads every zone through
+    * this; our engine keeps it for external-database ingest). Partitioned
+    * on a numeric column — the reference's single-partition read was its
+    * bottleneck (SURVEY.md §6, JDBC parallelism = 1).
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .load()
+}

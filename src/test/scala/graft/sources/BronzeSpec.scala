@@ -1,0 +1,41 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class BronzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv roundtrip with explicit schema preserves types and values") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val src = Seq(
+      (1L, "Customer#1", 3, 101.25, "BUILDING"),
+      (2L, "Customer#2", 9, -4.5, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    src.write.option("header", "true").mode("overwrite").csv(dir)
+    val back = Bronze.readCsv(spark, dir, "customer")
+    assert(back.schema === Bronze.schemas("customer"))
+    assert(back.orderBy("c_custkey").collect().map(_.toSeq).toSeq ===
+      src.orderBy("c_custkey").collect().map(_.toSeq).toSeq)
+  }
+
+  test("explicit schemas match the driver parquet testdata on read") {
+    for ((name, schema) <- Bronze.schemas if name != "events") {
+      val actual = spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+      assert(actual.schema.map(f => (f.name, f.dataType)) ===
+        schema.map(f => (f.name, f.dataType)), s"schema mismatch: $name")
+    }
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_pq").toString + "/t"
+    val df = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    Bronze.writeParquet(df, dir, Seq("l_returnflag"))
+    val pruned = spark.read.parquet(dir).filter($"l_returnflag" === "N")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ===
+      df.filter($"l_returnflag" === "N").count())
+    assert(!plan.contains("l_returnflag#") ||
+      plan.contains("PartitionFilters"), "expected partition pruning")
+  }
+}
