@@ -1,0 +1,89 @@
+package graft
+
+import graft.etl.Silver
+import graft.ext.Dedup
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the cleansing operators (SURVEY.md §5): dedup
+  * idempotence, fill totality, filter soundness — over ScalaCheck-
+  * generated frames with fixed seeds (deterministic in CI).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int = 5): Seq[T] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val word = Gen.oneOf("the", "a", "spark", "data", "row", "join")
+  private val docGen = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, word)
+  } yield ws.mkString(" ")
+
+  private def docsDf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src0", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup keeps exactly one row per distinct text, idempotent") {
+    samples(Gen.listOfN(12, docGen)).foreach { texts =>
+      val once = Dedup.exactDocs(docsDf(texts))
+      assert(once.count() === texts.distinct.size.toLong)
+      // doc_ids surviving are unique -> re-dedup by text of survivors is
+      // a no-op
+      assert(once.select("doc_id").distinct().count() === once.count())
+    }
+  }
+
+  test("dedupByKey: unique keys, survivor = min under the total order") {
+    samples(Gen.listOfN(10, Gen.choose(1L, 4L))).foreach { keys =>
+      val df = keys.zipWithIndex
+        .map { case (k, i) => (k, s"p$i") }.toDF("k", "payload")
+      val out = Silver.dedupByKey(df, "k", Seq(col("payload")))
+      val expect = keys.zipWithIndex.map { case (k, i) => (k, s"p$i") }
+        .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }.toSet
+      assert(out.as[(Long, String)].collect().toSet === expect)
+    }
+  }
+
+  test("events fill totality: no null values survive, no rows lost") {
+    samples(Gen.listOfN(8, Gen.option(Gen.choose(0.0, 10.0)))).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, ts("2024-01-01 00:00:00"), i.toLong, "t", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val out = Silver.eventsStage(df)
+      assert(out.filter(col("value").isNull).count() === 0L)
+      assert(out.count() === vs.size.toLong)
+    }
+  }
+
+  test("lineitem filter soundness: kept rows = rows satisfying predicates") {
+    val rowGen = for {
+      p <- Gen.choose(-10.0, 10.0); t <- Gen.choose(-1.0, 1.0)
+      q <- Gen.choose(-5.0, 5.0)
+    } yield (p, t, q)
+    samples(Gen.listOfN(10, rowGen)).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((p, t, q), i) =>
+        (i.toLong, 1L, 1L, 1, q, p, 0.0, t, "N", "O",
+          ts("1997-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      val expected = rows.count { case (p, t, q) => p > 0 && t >= 0 && q > 0 }
+      assert(Silver.lineitemStage(df).count() === expected.toLong)
+    }
+  }
+
+  test("shingles: at most max(0, tokens-2) distinct shingles per doc") {
+    samples(Gen.listOfN(6, docGen)).foreach { texts =>
+      val counts = Dedup.shingles(docsDf(texts))
+        .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val nTok = t.split(" ", -1).length
+        assert(counts.getOrElse(i.toLong, 0L) <= math.max(0, nTok - 2).toLong)
+      }
+    }
+  }
+}
