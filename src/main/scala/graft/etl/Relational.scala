@@ -92,8 +92,47 @@ object Relational {
       .withColumnRenamed("F", "cents_f")
       .withColumnRenamed("O", "cents_o")
 
+  /** TPC-H-Q1-shape pricing summary: flag/status rollup of quantities and
+    * discounted revenue. Revenue terms `price*(1-disc)` are exact 4-dp
+    * decimals, so the e4-integer sum is exact (the cents pattern at 1e4).
+    */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity")).cast("long").as("sum_qty"),
+        centsSum("l_extendedprice").as("base_cents"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          * 10000).cast("long").as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("revenue", col("revenue_e4") / 10000.0)
+      .withColumn("avg_qty",
+        col("sum_qty").cast("double") / col("n_lines"))
+
+  /** The SQL entry path: identical pricing summary expressed through
+    * `spark.sql` over registered temp views — proves the engine surface
+    * is reachable from SQL text, not only the DataFrame DSL.
+    */
+  def pricingSummarySql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+        |         AS base_cents,
+        |       CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 10000)
+        |            AS BIGINT) AS revenue_e4,
+        |       count(*) AS n_lines
+        |FROM lineitem_v
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      .withColumn("revenue", col("revenue_e4") / 10000.0)
+      .withColumn("avg_qty",
+        col("sum_qty").cast("double") / col("n_lines"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
+    "q1_pricing_sql"     -> (pricingSummarySql(_, _)),
     "rank_top_customers" -> ((s, d) => topCustomersPerSegment(
       Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
     "rank_top_orders"    -> ((s, d) => topOrders(Tables.orders(s, d))),
@@ -104,8 +143,26 @@ object Relational {
     "agg_pivot"          -> ((s, d) => pivotSales(Tables.lineitem(s, d))),
   )
 
+  private val q1Oracle =
+    """WITH g AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+      |         CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+      |           AS base_cents,
+      |         CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 10000)
+      |              AS BIGINT) AS revenue_e4,
+      |         count(*) AS n_lines
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus, sum_qty, base_cents, revenue_e4,
+      |       n_lines,
+      |       revenue_e4 / 10000.0 AS revenue,
+      |       CAST(sum_qty AS DOUBLE) / n_lines AS avg_qty
+      |FROM g""".stripMargin
+
   /** DuckDB twins (approx_distinct is rows-only — HLL differs by engine). */
   def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Oracle,
+    "q1_pricing_sql"     -> q1Oracle,
     "rank_top_customers" ->
       """WITH spend AS (
         |  SELECT c.c_custkey, c.c_mktsegment,
