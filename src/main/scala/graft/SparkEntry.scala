@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Relational, Silver}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
+import graft.operators.AsOfJoin
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,11 +31,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Silver.queries ++ Gold.queries ++ Relational.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ EventsStreaming.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ AsOfJoin.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
     Silver.oracleSql ++ Gold.oracleSql ++ Relational.oracleSql ++ Dedup.oracleSql ++
       TextAnalysis.oracleSql ++ Similarity.oracleSql ++
-      EventsStreaming.oracleSql ++ Multimodal.oracleSql
+      EventsStreaming.oracleSql ++ Multimodal.oracleSql ++ AsOfJoin.oracleSql
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** As-of (point-in-time) join — an operator Spark lacks natively,
+  * composed from built-ins per the preference ladder (compose > custom
+  * plan): for every left row, attach the LATEST right row whose timestamp
+  * is ≤ the left timestamp, per key.
+  *
+  * Implementation: tag both sides, union, and take
+  * `last(right_payload, ignoreNulls) OVER (PARTITION BY key ORDER BY ts,
+  * side ROWS UNBOUNDED PRECEDING)` — right rows sort before left rows at
+  * equal timestamps, so the match is inclusive ("at or before"), matching
+  * DuckDB's `ASOF JOIN` semantics used as the oracle.
+  *
+  * == Scale design ==
+  * One shuffle on the key + per-partition sort — the same cost class as a
+  * sort-merge join, with no range explosion (a naive `l.ts >= r.ts`
+  * theta-join is O(|L|·|R|) per key). At 100 TB both sides shuffle on the
+  * natural key; AQE splits skewed keys.
+  *
+  * Right side must be unique per (key, ts) — pre-aggregate ties away,
+  * otherwise the "latest" row is ambiguous in ANY engine.
+  */
+object AsOfJoin {
+
+  /** Composed as-of join. `rightPayload` are the right columns to carry;
+    * left columns pass through unchanged.
+    */
+  def asOf(left: DataFrame, leftKey: Column, leftTs: Column,
+      right: DataFrame, rightKey: Column, rightTs: Column,
+      rightPayload: Seq[String]): DataFrame = {
+    val rStruct = struct(rightPayload.map(right(_)): _*)
+    val rSchema = {
+      // resolve payload struct type from the right side's schema
+      val fields = rightPayload.map(n => right.schema(n))
+      org.apache.spark.sql.types.StructType(fields)
+    }
+    val l2 = left.select(
+      leftKey.cast("long").as("__k"), leftTs.cast("timestamp").as("__t"),
+      lit(1).as("__side"), struct(left.columns.map(left(_)): _*).as("__l"),
+      lit(null).cast(rSchema).as("__r"))
+    val r2 = right.select(
+      rightKey.cast("long").as("__k"), rightTs.cast("timestamp").as("__t"),
+      lit(0).as("__side"), lit(null).cast(l2.schema("__l").dataType).as("__l"),
+      rStruct.as("__r"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("__match", last("__r", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +:
+        rightPayload.map(n => col(s"__match.$n").as(n)): _*)
+  }
+
+  /** Query: each event joined to the user's latest order at event time.
+    * Order ties per (custkey, date) are pre-aggregated to max(o_orderkey)
+    * so the match is well-defined (see scaladoc).
+    */
+  def latestOrderAsOf(ev: DataFrame, ord: DataFrame): DataFrame = {
+    val r = ord.groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    asOf(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      col("user_id"), col("ts"),
+      r, r("o_custkey"), r("o_orderdate"),
+      Seq("o_orderkey", "o_orderdate"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("event_ts"),
+        col("o_orderkey").as("asof_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"))
+      .drop("ts")
+  }
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_latest_order" -> ((s, d) =>
+      latestOrderAsOf(Tables.events(s, d), Tables.orders(s, d))),
+  )
+
+  /** DuckDB twin — native ASOF LEFT JOIN as the oracle. */
+  def oracleSql: Map[String, String] = Map(
+    "asof_latest_order" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+        |       r.o_orderkey AS asof_orderkey,
+        |       strftime(r.o_orderdate, '%Y-%m-%d') AS asof_orderdate
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"""
+        .stripMargin,
+  )
+}

@@ -115,6 +115,18 @@ object Bronze {
       .parquet(path)
   }
 
+  /** Bucketed table write: pre-shuffles data into `buckets` files by key
+    * so subsequent equi-joins/aggregations on that key are co-located —
+    * NO exchange at query time (asserted in OperatorsSpec). The 100 TB
+    * pattern for fact⋈fact joins repeated across many queries.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   /** S2-shape generic JDBC reader (the reference reads every zone through
     * this; our engine keeps it for external-database ingest). Partitioned
     * on a numeric column — the reference's single-partition read was its

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Bronze
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf: latest right row at-or-before left ts, per key") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-10 00:00:00")),
+      (2L, 7L, ts("2024-01-20 00:00:00")),
+      (3L, 8L, ts("2024-01-05 00:00:00")))  // no order yet -> null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 100L),
+      (7L, ts("2024-01-15 00:00:00"), 101L),
+      (8L, ts("2024-01-10 00:00:00"), 200L))
+      .toDF("k", "rts", "order_id")
+    val out = AsOfJoin.asOf(left, col("user_id"), col("ts"),
+        right, col("k"), col("rts"), Seq("order_id"))
+      .select("event_id", "order_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out === Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None))
+  }
+
+  test("asOf: equal timestamps match inclusively") {
+    val left = Seq((1L, 7L, ts("2024-01-15 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts("2024-01-15 00:00:00"), 42L))
+      .toDF("k", "rts", "order_id")
+    val out = AsOfJoin.asOf(left, col("user_id"), col("ts"),
+      right, col("k"), col("rts"), Seq("order_id")).collect().head
+    assert(out.getAs[Long]("order_id") === 42L)
+  }
+
+  test("saltedJoin result equals plain join result") {
+    val big = (1 to 500).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload")  // key 1 is hot
+    val small = Seq((1L, "dim1"), (2L, "dim2"), (250L, "dim250"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+      .as[(Long, String, String)].collect().toSet
+    val salted = SkewJoin.saltedJoin(big, small, "k", 8)
+      .select("k", "payload", "name")
+      .as[(Long, String, String)].collect().toSet
+    assert(salted === plain)
+    assert(salted.count(_._1 == 1L) === 51) // i=1 plus every i%10==0
+  }
+
+  test("bucketed co-located join has no shuffle exchange") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val ord = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      val d = new java.io.File(s"$wh/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    }
+    Bronze.writeBucketed(li, "li_bucketed", 8, Seq("l_orderkey"))
+    Bronze.writeBucketed(ord, "ord_bucketed", 8, Seq("o_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(j.count() === 3)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      prevThreshold)
+  }
+}
