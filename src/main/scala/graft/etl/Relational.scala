@@ -43,6 +43,24 @@ object Relational {
       .select("c_mktsegment", "rn", "rnk", "c_custkey", "spent_cents")
   }
 
+  /** Same top-5-per-segment result through the custom heap operator
+    * (graft.plans.TopKPerGroup: LogicalPlan + Strategy + SparkPlan,
+    * O(n log k) per group, no sort) — oracle-checked against the same
+    * DuckDB SQL minus the rank columns, proving the custom physical
+    * operator is semantics-identical to the window formulation.
+    */
+  def topCustomersPerSegmentHeap(li: DataFrame, ord: DataFrame,
+      cust: DataFrame): DataFrame = {
+    val spend = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(centsSum("l_extendedprice").as("spent_cents"))
+    graft.plans.TopKPerGroup(spend, Seq("c_mktsegment"),
+      Seq("spent_cents" -> true, "c_custkey" -> false), k = 5)
+      .select("c_mktsegment", "c_custkey", "spent_cents")
+  }
+
   /** Global top-100 orders by price — planned as TakeOrderedAndProject. */
   def topOrders(ord: DataFrame): DataFrame =
     ord.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -135,6 +153,8 @@ object Relational {
     "q1_pricing_sql"     -> (pricingSummarySql(_, _)),
     "rank_top_customers" -> ((s, d) => topCustomersPerSegment(
       Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
+    "rank_top_customers_heap" -> ((s, d) => topCustomersPerSegmentHeap(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
     "rank_top_orders"    -> ((s, d) => topOrders(Tables.orders(s, d))),
     "set_customer_ops"   -> ((s, d) => customerSetOps(Tables.customer(s, d))),
     "agg_distinct"       -> ((s, d) => distinctAggs(Tables.lineitem(s, d))),
@@ -163,6 +183,20 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
     "q1_pricing_sql"     -> q1Oracle,
+    "rank_top_customers_heap" ->
+      """WITH spend AS (
+        |  SELECT c.c_custkey, c.c_mktsegment,
+        |         CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT)
+        |           AS spent_cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, c_custkey, spent_cents FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |            ORDER BY spent_cents DESC, c_custkey) AS rn
+        |  FROM spend)
+        |WHERE rn <= 5""".stripMargin,
     "rank_top_customers" ->
       """WITH spend AS (
         |  SELECT c.c_custkey, c.c_mktsegment,
