@@ -176,6 +176,33 @@ object Dedup {
     simhash(docs).groupBy("simhash")
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
 
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found
+    * via pigeonhole banding: split the 32-bit fingerprint into 4 bytes —
+    * any pair within Hamming 3 must share at least one identical byte at
+    * the same position, so candidates come from an equi-join on
+    * (byte_idx, byte_value), never an O(n²) cross join. Exact distance is
+    * then `bit_count(a XOR b)` (codegen'd built-in).
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(docs)
+    val banded = fp.select(col("doc_id"), col("simhash"), posexplode(array(
+      (0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xFF)): _*))
+      .as(Seq("byte_idx", "byte_val")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.byte_idx") === col("b.byte_idx") &&
+          col("a.byte_val") === col("b.byte_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups"  -> ((s, d) => exactGroups(Tables.documents(s, d))),
@@ -185,6 +212,8 @@ object Dedup {
     "dedup_minhash_lsh"   -> ((s, d) =>
       minhashDedupDocs(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => simhashGroups(Tables.documents(s, d))),
+    "dedup_simhash_near"  -> ((s, d) =>
+      simhashNearDupPairs(Tables.documents(s, d))),
   )
 
   /** DuckDB twins (minhash/simhash are hash-dependent → rows-only). */

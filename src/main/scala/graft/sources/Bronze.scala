@@ -115,6 +115,20 @@ object Bronze {
       .parquet(path)
   }
 
+  /** JSON-lines source/sink with explicit schema (no inference pass). */
+  def readJson(spark: SparkSession, path: String, table: String): DataFrame =
+    spark.read.schema(schemas(table)).option("mode", "FAILFAST").json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC source/sink — columnar alternative to parquet, same pushdown. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Bucketed table write: pre-shuffles data into `buckets` files by key
     * so subsequent equi-joins/aggregations on that key are co-located —
     * NO exchange at query time (asserted in OperatorsSpec). The 100 TB

@@ -46,6 +46,20 @@ class DedupSpec extends SparkSpec {
       exact.map(_._2)))
   }
 
+  test("simhash near-dup banding finds ALL pairs within the hamming bound") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fps = Dedup.simhash(d).as[(Long, Long)].collect()
+    // brute-force ground truth over collected fingerprints
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashNearDupPairs(d, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty, "expected some near-dup simhash pairs in testdata")
+  }
+
   test("simhash: identical docs share fingerprint; groups count them") {
     val d = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
       3L -> "totally different words entirely here now")

@@ -27,6 +27,19 @@ class BronzeSpec extends SparkSpec {
     }
   }
 
+  test("json and orc roundtrips preserve values") {
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val src = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+    Bronze.writeJson(src, s"$dir/json")
+    Bronze.writeOrc(src, s"$dir/orc")
+    val viaJson = Bronze.readJson(spark, s"$dir/json", "customer")
+    val viaOrc = Bronze.readOrc(spark, s"$dir/orc")
+    assert(viaJson.orderBy("c_custkey").collect().map(_.toSeq).toSeq ===
+      src.orderBy("c_custkey").collect().map(_.toSeq).toSeq)
+    assert(viaOrc.orderBy("c_custkey").collect().map(_.toSeq).toSeq ===
+      src.orderBy("c_custkey").collect().map(_.toSeq).toSeq)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_pq").toString + "/t"
     val df = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
