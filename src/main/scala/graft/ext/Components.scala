@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Connected components over a pair/edge table — the "dedup cluster"
+  * operator: near-dup PAIRS (from Jaccard/LSH/SimHash) become duplicate
+  * GROUPS, so a pipeline can keep exactly one representative per cluster
+  * even when duplicates chain (a~b, b~c ⇒ {a,b,c}).
+  *
+  * Algorithm: iterative min-label propagation (the standard large-graph
+  * formulation — each node repeatedly takes the minimum label among
+  * itself and its neighbors until fixpoint). Each iteration is one
+  * hash-shuffle join + aggregate, so an n-node / e-edge graph costs
+  * O(diameter) shuffles of O(e) rows — the scalable shape (GraphX/Pregel
+  * do the same dataflow); dedup-cluster graphs have tiny diameters.
+  * Convergence is checked with a count of changed labels; iterations are
+  * capped defensively.
+  *
+  * Oracle: DuckDB recursive CTE computing min reachable id per node —
+  * set-based UNION terminates on cycles.
+  */
+object Components {
+
+  /** (node, component) for every node in `edges` (doc_a, doc_b);
+    * component = min doc_id reachable. Both directions are propagated.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .persist()
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    // comp values only ever decrease, so sum(comp) strictly decreases
+    // until the fixpoint — a join-free convergence test (one tiny agg
+    // per iteration instead of a changed-rows join)
+    var prevSum = Long.MaxValue
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node adopts min(own comp, neighbors' comps)
+      val viaNeighbors = und
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u").as("node"))
+        .agg(min("comp").as("ncomp"))
+      // (measured: pointer-jumping costs an extra shuffle per round and
+      // loses on the tiny-diameter graphs dedup produces — plain
+      // one-hop propagation wins)
+      // localCheckpoint (eager) truncates the lineage — without it each
+      // iteration's plan embeds the previous one and the plan tree grows
+      // exponentially (OOMs in plan stringification past ~12 iterations)
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp"))
+        .localCheckpoint()
+      val s = next.agg(sum("comp")).first().getLong(0)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
+  /** Dedup clusters from the oracle-checked Jaccard pairs: every doc in
+    * a near-dup cluster, labeled by its representative (min doc_id).
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    connectedComponents(Dedup.ngramJaccardPairs(docs, threshold))
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> ((s, d) => nearDupClusters(Tables.documents(s, d))),
+  )
+
+  /** DuckDB twin: recursive reachability, min reachable id per node. */
+  def oracleSql: Map[String, String] = Map(
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                               for i in range(1, len(toks)-1)]))
+        |           AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS inter_size
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5),
+        |und AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS node, u AS r FROM und
+        |  UNION
+        |  SELECT und.u AS node, reach.r
+        |  FROM und JOIN reach ON und.v = reach.node)
+        |SELECT node AS doc_id, min(r) AS cluster_id
+        |FROM (SELECT node, r FROM reach
+        |      UNION SELECT node, node FROM (SELECT DISTINCT u AS node
+        |                                    FROM und))
+        |GROUP BY 1""".stripMargin,
+  )
+}

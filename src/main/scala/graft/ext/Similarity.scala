@@ -72,7 +72,11 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Nearest-neighbor edge for EVERY vector (quadratic ground truth). */
+  /** Nearest-neighbor edge for EVERY vector (quadratic ground truth).
+    * The per-src argmax runs through the custom heap operator
+    * (graft.plans.TopKPerGroup, k=1) instead of a window sort — at sf0.1
+    * that avoids sorting the full 4M-pair join output.
+    */
   def nearestNeighborGraph(emb: DataFrame): DataFrame = {
     val a = withNorm(
       emb.select(col("vec_id").as("src"), col("embedding").as("ea")),
@@ -80,13 +84,11 @@ object Similarity {
     val b = withNorm(
       emb.select(col("vec_id").as("dst"), col("embedding").as("eb")),
       "eb", "nb")
-    val w = Window.partitionBy("src")
-      .orderBy(col("cosine").desc, col("dst"))
-    a.join(b, col("src") =!= col("dst"))
+    val sims = a.join(b, col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
+    graft.plans.TopKPerGroup(sims, Seq("src"),
+      Seq("cosine" -> true, "dst" -> false), k = 1)
       .select("src", "dst", "cosine")
   }
 
