@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Relational, Silver}
 import graft.ext.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,12 +31,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Silver.queries ++ Gold.queries ++ Relational.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ EventsStreaming.queries ++
-      Multimodal.queries ++ AsOfJoin.queries ++ Components.queries
+      Multimodal.queries ++ AsOfJoin.queries ++ Components.queries ++ RangeJoin.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
     Silver.oracleSql ++ Gold.oracleSql ++ Relational.oracleSql ++ Dedup.oracleSql ++
       TextAnalysis.oracleSql ++ Similarity.oracleSql ++
       EventsStreaming.oracleSql ++ Multimodal.oracleSql ++ AsOfJoin.oracleSql ++
-      Components.oracleSql
+      Components.oracleSql ++ RangeJoin.oracleSql
 }

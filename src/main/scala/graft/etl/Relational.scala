@@ -102,6 +102,23 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"),
         centsSum("l_extendedprice").as("sales_cents"))
 
+  /** Cube over (returnflag, linestatus): all 2^2 grouping combinations. */
+  def cubeSales(li: DataFrame): DataFrame =
+    li.cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_lines"),
+        centsSum("l_extendedprice").as("sales_cents"))
+
+  /** Unpivot (melt): customer per-metric long format from wide columns. */
+  def unpivotCustomer(cust: DataFrame): DataFrame =
+    cust.select(col("c_custkey"),
+        col("c_acctbal").as("acctbal"),
+        col("c_nationkey").cast("double").as("nationkey"))
+      .unpivot(
+        ids = Array(col("c_custkey")),
+        values = Array(col("acctbal"), col("nationkey")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+
   /** Pivot linestatus into columns (fixed pivot values: F, O). */
   def pivotSales(li: DataFrame): DataFrame =
     li.groupBy("l_returnflag")
@@ -160,6 +177,9 @@ object Relational {
     "agg_distinct"       -> ((s, d) => distinctAggs(Tables.lineitem(s, d))),
     "agg_approx_distinct" -> ((s, d) => approxDistinct(Tables.lineitem(s, d))),
     "agg_rollup"         -> ((s, d) => rollupSales(Tables.lineitem(s, d))),
+    "agg_cube"           -> ((s, d) => cubeSales(Tables.lineitem(s, d))),
+    "agg_unpivot"        -> ((s, d) =>
+      unpivotCustomer(Tables.customer(s, d))),
     "agg_pivot"          -> ((s, d) => pivotSales(Tables.lineitem(s, d))),
   )
 
@@ -236,6 +256,19 @@ object Relational {
         |       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
         |         AS sales_cents
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+        .stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+        |       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+        |         AS sales_cents
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+        .stripMargin,
+    "agg_unpivot" ->
+      """SELECT c_custkey, metric, value FROM (
+        |  SELECT c_custkey, c_acctbal AS acctbal,
+        |         CAST(c_nationkey AS DOUBLE) AS nationkey
+        |  FROM customer)
+        |UNPIVOT (value FOR metric IN (acctbal, nationkey))"""
         .stripMargin,
     "agg_pivot" ->
       """SELECT l_returnflag,

@@ -49,6 +49,33 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.count(_._1 == 1L) === 51) // i=1 plus every i%10==0
   }
 
+  test("binned range join equals naive range join incl. bin boundaries") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-10 00:00:00")),
+      (2L, 7L, ts("2024-01-31 00:00:00")),   // exactly 21d from order 100
+      (3L, 7L, ts("2024-02-01 00:00:01")),   // 22d+1s -> out at tol=21
+      (4L, 8L, ts("2024-01-10 00:00:00")))   // other user
+      .map { case (e, u, t) => (e, t, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ord = Seq(
+      (100L, 7L, ts("2024-01-10 00:00:00")),
+      (200L, 9L, ts("2024-01-10 00:00:00")))
+      .map { case (o, c, t) => (o, c, "F", 1.0, t, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = RangeJoin.eventsNearOrders(ev, ord, 21)
+      .select("event_id", "o_orderkey").as[(Long, Long)].collect().toSet
+    // naive reference: every (event, order) of same user within 21 days
+    val naive = ev.as("e").join(ord.as("o"),
+        col("e.user_id") === col("o.o_custkey") &&
+          abs(unix_timestamp(col("e.ts")) -
+            unix_timestamp(col("o.o_orderdate"))) <= 21L * 86400)
+      .select(col("event_id"), col("o_orderkey"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got === Set((1L, 100L), (2L, 100L)))
+  }
+
   test("bucketed co-located join has no shuffle exchange") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val ord = graft.Tables.orders(spark, "/root/testdata/sf0.001")
