@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.{Gold, Pipeline, Relational, Silver}
+import graft.ext.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+
+/** User-facing facade — the single entry point a user of the reference
+  * pipeline would switch to: one object wrapping a session + data
+  * directory, exposing every capability as a method returning a lazy
+  * DataFrame (nothing executes until an action).
+  *
+  * {{{
+  * val engine = graft.Engine(spark, "/data/lake")
+  * engine.gold.dailySales.show()
+  * engine.dedup.nearDupClusters().write.parquet("...")
+  * engine.similarity.topK(k = 20).show()
+  * engine.runPipeline("/data/out")   // bronze→silver→gold + validation
+  * }}}
+  */
+case class Engine(spark: SparkSession, dataDir: String) {
+
+  def table(name: String): DataFrame = Tables.load(spark, dataDir, name)
+
+  object silver {
+    def orders: DataFrame   = Silver.orders(spark, dataDir)
+    def customer: DataFrame = Silver.customer(spark, dataDir)
+    def lineitem: DataFrame = Silver.lineitem(spark, dataDir)
+    def part: DataFrame     = Silver.part(spark, dataDir)
+    def supplier: DataFrame = Silver.supplier(spark, dataDir)
+    def events: DataFrame   = Silver.events(spark, dataDir)
+  }
+
+  object gold {
+    def dailySales: DataFrame          = Gold.dailySales(spark, dataDir)
+    def customerMetrics: DataFrame     = Gold.customerMetrics(spark, dataDir)
+    def productPerformance: DataFrame  = Gold.productPerformance(spark, dataDir)
+    def sellerPerformance: DataFrame   = Gold.sellerPerformance(spark, dataDir)
+    def satisfactionMetrics: DataFrame = Gold.satisfactionMetrics(spark, dataDir)
+    def deliveryPerformance: DataFrame = Gold.deliveryPerformance(spark, dataDir)
+  }
+
+  object dedup {
+    def exactGroups: DataFrame = Dedup.exactGroups(docs)
+    def exactDocs: DataFrame   = Dedup.exactDocs(docs)
+    def jaccardPairs(threshold: Double = 0.5): DataFrame =
+      Dedup.ngramJaccardPairs(docs, threshold)
+    def minhashDedup(threshold: Double = 0.5): DataFrame =
+      Dedup.minhashDedupDocs(docs, threshold)
+    def simhashNearDups(maxHamming: Int = 3): DataFrame =
+      Dedup.simhashNearDupPairs(docs, maxHamming)
+    def nearDupClusters(threshold: Double = 0.5): DataFrame =
+      Components.nearDupClusters(docs, threshold)
+    private def docs = Tables.documents(spark, dataDir)
+  }
+
+  object text {
+    def stats: DataFrame        = TextAnalysis.stats(docs)
+    def quality: DataFrame      = TextAnalysis.quality(docs)
+    def langId: DataFrame       = TextAnalysis.langId(docs)
+    def fingerprints: DataFrame = TextAnalysis.fingerprints(docs)
+    def tokenCounts: DataFrame  = TextAnalysis.tokenCounts(docs)
+    private def docs = Tables.documents(spark, dataDir)
+  }
+
+  object similarity {
+    def topK(k: Int = Similarity.TopK): DataFrame =
+      Similarity.bruteForceTopK(emb, k)
+    def knnGraph: DataFrame = Similarity.nearestNeighborGraph(emb)
+    def topKApprox(k: Int = Similarity.TopK): DataFrame =
+      Similarity.ivfTopK(emb, k)
+    private def emb = Tables.embeddings(spark, dataDir)
+  }
+
+  object multimodal {
+    def catalog: DataFrame = Multimodal.catalog(docs)
+    def frames(frameBytes: Int = 16, stride: Int = 4): DataFrame =
+      Multimodal.sampleFrames(docs, frameBytes, stride)
+    private def docs = Tables.documents(spark, dataDir)
+  }
+
+  object analytics {
+    def pricingSummary: DataFrame =
+      Relational.pricingSummary(Tables.lineitem(spark, dataDir))
+    def topCustomers: DataFrame = Relational.topCustomersPerSegment(
+      Tables.lineitem(spark, dataDir), Tables.orders(spark, dataDir),
+      Tables.customer(spark, dataDir))
+    def latestOrderAsOf: DataFrame = AsOfJoin.latestOrderAsOf(
+      Tables.events(spark, dataDir), Tables.orders(spark, dataDir))
+    def eventsNearOrders(toleranceDays: Int): DataFrame =
+      RangeJoin.eventsNearOrders(Tables.events(spark, dataDir),
+        Tables.orders(spark, dataDir), toleranceDays)
+    def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+        salts: Int = 16): DataFrame =
+      SkewJoin.saltedJoin(big, small, key, salts)
+  }
+
+  /** Full medallion run with validation; throws on any failed check. */
+  def runPipeline(outDir: String): Seq[Pipeline.CheckResult] =
+    Pipeline.runAll(spark, dataDir, outDir)
+}

@@ -1,0 +1,16 @@
+package graft
+
+class EngineSpec extends SparkSpec {
+
+  test("facade reaches every capability family and stays lazy") {
+    val e = Engine(spark, "/root/testdata/sf0.001")
+    // construction of every surface is lazy (no action yet)
+    val frames = Seq(
+      e.table("nation"), e.silver.orders, e.gold.dailySales,
+      e.dedup.exactGroups, e.text.quality, e.similarity.topK(3),
+      e.multimodal.catalog, e.analytics.pricingSummary,
+      e.analytics.latestOrderAsOf)
+    // one action per family proves the wiring end-to-end
+    frames.foreach(df => assert(df.limit(1).count() === 1L))
+  }
+}
