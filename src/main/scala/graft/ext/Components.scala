@@ -55,7 +55,7 @@ object Components {
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
             .as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the sum below materializes it
       val s = next.agg(sum("comp")).first().getLong(0)
       labels = next
       converged = s == prevSum
