@@ -1,0 +1,40 @@
+package graft
+
+import graft.etl.{Gold, Relational, Silver}
+import graft.ext.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.streaming.EventsStreaming
+
+/** Driver-contract guards: the queries map is built by merging module
+  * maps, where a duplicate name would silently overwrite — these checks
+  * make that (and oracle/query drift) a test failure instead.
+  */
+class SparkEntrySpec extends SparkSpec {
+
+  private val moduleSizes = Seq(
+    Silver.queries, Gold.queries, Relational.queries, Dedup.queries,
+    TextAnalysis.queries, Similarity.queries, EventsStreaming.queries,
+    Multimodal.queries, AsOfJoin.queries, Components.queries,
+    RangeJoin.queries).map(_.size)
+
+  test("no query name collisions across modules") {
+    assert(SparkEntry.queries.size === moduleSizes.sum)
+  }
+
+  test("every oracle key refers to a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("entry() returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("rows-only queries (no oracle) are non-empty at sf0.001") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    rowsOnly.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0, s"$name returned no rows — weak check would fail")
+    }
+  }
+}
