@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Relational, Silver}
-import graft.ext.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Components, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 import graft.operators.{AsOfJoin, RangeJoin}
 
@@ -31,12 +31,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Silver.queries ++ Gold.queries ++ Relational.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ EventsStreaming.queries ++
-      Multimodal.queries ++ AsOfJoin.queries ++ Components.queries ++ RangeJoin.queries
+      Multimodal.queries ++ AsOfJoin.queries ++ Components.queries ++ RangeJoin.queries ++ Quality.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
     Silver.oracleSql ++ Gold.oracleSql ++ Relational.oracleSql ++ Dedup.oracleSql ++
       TextAnalysis.oracleSql ++ Similarity.oracleSql ++
       EventsStreaming.oracleSql ++ Multimodal.oracleSql ++ AsOfJoin.oracleSql ++
-      Components.oracleSql ++ RangeJoin.oracleSql
+      Components.oracleSql ++ RangeJoin.oracleSql ++ Quality.oracleSql
 }

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Dataset profiling — the "what is in this table" scan every ingest
+  * pipeline runs before trusting data: per-column row/null/distinct
+  * counts and min/max, emitted long-format (one row per column).
+  *
+  * One aggregation job computes ALL columns' stats (a single projection
+  * of aggregate expressions — one pass over the data, no shuffle beyond
+  * the final single-row aggregate), then the row is unpivoted to
+  * long format. Min/max are emitted as canonical strings so the profile
+  * has one schema regardless of column types (and stays oracle-exact).
+  */
+object Quality {
+
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_str"), col(s"__mx_$c").as("max_str"))
+    }
+    wide.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
+  }
+
+  /** Driver-contract registration. Timestamps are pre-formatted to
+    * strings and the double price to integer cents, so every profiled
+    * column's min/max stringification is engine-identical.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_profile_orders" -> ((s, d) => profile(
+      Tables.orders(s, d)
+        .withColumn("o_orderdate",
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("o_totalprice_cents",
+          round(col("o_totalprice") * 100).cast("long"))
+        .drop("o_totalprice"))),
+  )
+
+  /** DuckDB twin — same long-format stats per column. */
+  def oracleSql: Map[String, String] = Map(
+    "quality_profile_orders" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority", "o_totalprice_cents")
+      val selects = cols.map { c =>
+        s"""SELECT '$c' AS column, count(*) AS n_rows,
+           |       count(*) - count($c) AS n_nulls,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_str,
+           |       CAST(max($c) AS VARCHAR) AS max_str
+           |FROM t""".stripMargin
+      }
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+         |           AS o_orderdate,
+         |         o_orderpriority,
+         |         CAST(round(o_totalprice * 100) AS BIGINT)
+         |           AS o_totalprice_cents
+         |  FROM orders)
+         |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+  )
+}

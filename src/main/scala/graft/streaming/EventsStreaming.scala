@@ -65,6 +65,24 @@ object EventsStreaming {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("value_cents"))
 
+  /** Streaming twin of [[slidingBatch]] with a 10-minute watermark. */
+  def slidingStream(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), centsSum("value").as("value_cents"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** File-source streaming: treat a directory of parquet files as a
+    * stream (the production pattern for continuously-landing data).
+    * Caller supplies the schema (streaming reads don't infer).
+    */
+  def fileStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
   /** Streaming twin of [[sessionsBatch]] with a 10-minute watermark. */
   def sessionsStream(ev: DataFrame): DataFrame =
     ev.withWatermark("ts", "10 minutes")

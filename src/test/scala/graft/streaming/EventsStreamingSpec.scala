@@ -62,6 +62,57 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over parquet matches the batch aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ord = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    ord.write.mode("overwrite").parquet(dir)
+    val stream = EventsStreaming.fileStream(spark, dir,
+      graft.sources.Bronze.schemas("orders"))
+    val agg = stream
+      .groupBy(org.apache.spark.sql.functions.window($"o_orderdate", "30 days"),
+        $"o_orderstatus")
+      .count()
+    val q = agg.writeStream.format("memory").queryName("orders_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("orders_stream")
+        .select($"window.start".cast("string"), $"o_orderstatus", $"count")
+        .as[(String, String, Long)].collect().toSet
+      val batch = ord
+        .groupBy(org.apache.spark.sql.functions.window($"o_orderdate", "30 days"),
+          $"o_orderstatus")
+        .count()
+        .select($"window.start".cast("string"), $"o_orderstatus", $"count")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sliding streaming twin matches sliding batch (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val sdf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStreaming.slidingStream(sdf)
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:40:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .select("window_start", "event_type", "n_events", "value_cents")
+        .as[(String, String, Long, Long)].collect().toSet
+      val batch = EventsStreaming.slidingBatch(
+        events((1L, "2024-01-01 00:40:00", 7L, "click", 1.0)))
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.size === 2)
+    } finally q.stop()
+  }
+
   test("session boundary: event at exactly the gap merges; beyond splits") {
     val ev = events(
       (1L, "2024-01-01 00:00:00", 7L, "click", 1.0),
