@@ -1,0 +1,129 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Ordered-window and scalar-function coverage beyond the reference
+  * (SURVEY.md §2.5 notes no ordered windows/frames exist there):
+  * running totals with explicit frames, lag/lead, ntile, percent_rank,
+  * plus string- and array-function surfaces.
+  *
+  * Determinism notes: running sums are integer cents (a windowed double
+  * sum is association-dependent — DuckDB uses segment trees — so only
+  * exact integers are portable); percent_rank divides exact ints with
+  * the same IEEE expression in both engines.
+  */
+object WindowOps {
+
+  /** Per-customer order timeline: running spend, previous/next order
+    * gap, spend quartile within the customer's history.
+    */
+  def customerOrderTimeline(ord: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val framed = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord
+      .withColumn("price_cents",
+        round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("running_cents", sum("price_cents").over(framed))
+      .withColumn("prev_order_days",
+        datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w))
+          .cast("long"))
+      .withColumn("next_order_days",
+        datediff(lead("o_orderdate", 1).over(w), col("o_orderdate"))
+          .cast("long"))
+      .withColumn("spend_quartile", ntile(4).over(
+        Window.partitionBy("o_custkey").orderBy(
+          col("price_cents"), col("o_orderkey"))).cast("long"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("price_cents"), col("running_cents"),
+        col("prev_order_days"), col("next_order_days"),
+        col("spend_quartile"))
+  }
+
+  /** String-function surface over part names: case, pad, replace,
+    * split/elements, position, length.
+    */
+  def partNameOps(pt: DataFrame): DataFrame =
+    pt.select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      lpad(col("p_brand"), 12, "_").as("brand_padded"),
+      regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"),
+      split(col("p_name"), " ").getItem(0).as("first_word"),
+      length(col("p_name")).cast("long").as("name_len"),
+      instr(col("p_name"), "widget").cast("long").as("widget_pos"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+
+  /** Higher-order array-function surface over embeddings: dimensionality,
+    * positive-component count, extremes, L1 via aggregate fold.
+    */
+  def embeddingArrayStats(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      expr("cast(size(filter(embedding, x -> x > cast(0 as float))) as bigint)")
+        .as("n_positive"),
+      expr("cast(array_max(embedding) as double)").as("max_comp"),
+      expr("cast(array_min(embedding) as double)").as("min_comp"),
+      expr("aggregate(embedding, cast(0.0 as double), " +
+        "(acc, x) -> acc + abs(cast(x as double)))").as("l1_norm"))
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_customer_timeline" -> ((s, d) =>
+      customerOrderTimeline(Tables.orders(s, d))),
+    "string_part_ops" -> ((s, d) => partNameOps(Tables.part(s, d))),
+    "array_embedding_stats" -> ((s, d) =>
+      embeddingArrayStats(Tables.embeddings(s, d))),
+  )
+
+  /** DuckDB twins. */
+  def oracleSql: Map[String, String] = Map(
+    "window_customer_timeline" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       price_cents,
+        |       CAST(sum(price_cents) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+        |       CAST(date_diff('day',
+        |         CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |         CAST(o_orderdate AS DATE)) AS BIGINT) AS prev_order_days,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |         CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey) AS DATE)) AS BIGINT)
+        |         AS next_order_days,
+        |       ntile(4) OVER (PARTITION BY o_custkey
+        |         ORDER BY price_cents, o_orderkey) AS spend_quartile
+        |FROM o""".stripMargin,
+    "string_part_ops" ->
+      """SELECT p_partkey,
+        |       upper(p_name) AS name_upper,
+        |       lpad(p_brand, 12, '_') AS brand_padded,
+        |       regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+        |       string_split(p_name, ' ')[1] AS first_word,
+        |       length(p_name) AS name_len,
+        |       CAST(instr(p_name, 'widget') AS BIGINT) AS widget_pos,
+        |       concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part""".stripMargin,
+    "array_embedding_stats" ->
+      """SELECT vec_id,
+        |       len(embedding) AS dim,
+        |       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+        |       CAST(list_max(embedding) AS DOUBLE) AS max_comp,
+        |       CAST(list_min(embedding) AS DOUBLE) AS min_comp,
+        |       list_sum([abs(CAST(x AS DOUBLE)) for x in embedding])
+        |         AS l1_norm
+        |FROM embeddings""".stripMargin,
+  )
+}
