@@ -114,7 +114,10 @@ object Silver {
       pt.join(broadcast(nat), pt("p_size") === nat("n_nationkey"), "left")
         .withColumn("category", coalesce(col("n_name"), lit("unknown"))),
       "p_partkey",
-      Seq(col("p_name"), col("p_brand"), col("p_type"), col("p_size")))
+      // every non-key column participates — a true total order, so the
+      // survivor is well-defined even for rows differing only in price
+      Seq(col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice")))
       .select(
         col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
         col("p_size"), col("p_retailprice"), col("category"))
@@ -142,7 +145,9 @@ object Silver {
     dedupByKey(
       df.na.fill(Map("value" -> 0.0)),
       "event_id",
-      Seq(col("ts"), col("user_id"), col("event_type")))
+      // total order over ALL remaining columns (value is post-fill)
+      Seq(col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props")))
       .select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("event_ts"),
@@ -197,7 +202,8 @@ object Silver {
         |FROM (
         |  SELECT p.*, coalesce(n.n_name, 'unknown') AS category,
         |         row_number() OVER (PARTITION BY p.p_partkey
-        |           ORDER BY p.p_name, p.p_brand, p.p_type, p.p_size) AS rn
+        |           ORDER BY p.p_name, p.p_brand, p.p_type, p.p_size,
+        |                    p.p_retailprice) AS rn
         |  FROM part p LEFT JOIN nation n ON p.p_size = n.n_nationkey)
         |WHERE rn = 1""".stripMargin,
     "silver_supplier" ->
@@ -216,7 +222,8 @@ object Silver {
         |         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
         |         CAST(props->>'$.k' AS INT) AS prop_k,
         |         row_number() OVER (PARTITION BY event_id
-        |           ORDER BY ts, user_id, event_type) AS rn
+        |           ORDER BY ts, user_id, event_type,
+        |                    coalesce(value, 0.0), props) AS rn
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
   )

@@ -39,6 +39,7 @@ object Components {
     var prevSum = Long.MaxValue
     var converged = false
     var i = 0
+    var prevLabels: DataFrame = null
     while (!converged && i < maxIter) {
       // each node adopts min(own comp, neighbors' comps)
       val viaNeighbors = und
@@ -57,11 +58,17 @@ object Components {
             .as("comp"))
         .localCheckpoint(false) // lazy: the sum below materializes it
       val s = next.agg(sum("comp")).first().getLong(0)
+      // free the superseded iteration's checkpoint blocks — without this a
+      // long-lived session leaks block-manager storage across calls
+      if (prevLabels != null)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(prevLabels)
+      prevLabels = if (i > 0) labels else null // initial labels: plain plan
       labels = next
       converged = s == prevSum
       prevSum = s
       i += 1
     }
+    und.unpersist()
     labels
   }
 

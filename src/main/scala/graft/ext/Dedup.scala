@@ -87,9 +87,11 @@ object Dedup {
     minhashSignaturesFromShingles(shingles(docs))
 
   def minhashSignaturesFromShingles(sh: DataFrame): DataFrame = {
+    // xxhash64 over (slot, shingle) as two typed args — unambiguous
+    // seeding with no separator-collision risk between slot index and
+    // shingle text, so the k hash functions stay independent
     val sigCols = (0 until MinhashK).map { j =>
-      min(xxhash64(concat_ws("", lit(j.toString), col("shingle"))))
-        .as(s"h$j")
+      min(xxhash64(lit(j), col("shingle"))).as(s"h$j")
     }
     sh.groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)

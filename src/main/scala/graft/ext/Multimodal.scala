@@ -119,8 +119,15 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_catalog"  -> ((s, d) => catalog(Tables.documents(s, d))),
     "mm_decode"   -> ((s, d) => decodeStub(assetDs(s, d)).toDF()),
+    // feature vector emitted as a scalar string: the driver's compare
+    // harness sorts rows in pandas, and raw array columns are unhashable
+    // there — scalar-only columns are a hard requirement for EVERY
+    // verify output (array payloads stay in the typed Dataset API)
     "mm_features" -> ((s, d) => featuresStub(assetDs(s, d)).toDF()
-      .select(col("doc_id"), col("feature"))),
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("feature"),
+          x => round(x.cast("double") * 1000000).cast("long")))
+          .as("feature_e6"))),
     "mm_frames"   -> ((s, d) =>
       sampleFrames(Tables.documents(s, d))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),

@@ -39,14 +39,20 @@ object AsOfJoin {
       val fields = rightPayload.map(n => right.schema(n))
       org.apache.spark.sql.types.StructType(fields)
     }
+    // keys keep their native type — a cast would null out string/UUID keys
+    // and silently collapse them into one window partition
     val l2 = left.select(
-      leftKey.cast("long").as("__k"), leftTs.cast("timestamp").as("__t"),
+      leftKey.as("__k"), leftTs.cast("timestamp").as("__t"),
       lit(1).as("__side"), struct(left.columns.map(left(_)): _*).as("__l"),
       lit(null).cast(rSchema).as("__r"))
     val r2 = right.select(
-      rightKey.cast("long").as("__k"), rightTs.cast("timestamp").as("__t"),
+      rightKey.as("__k"), rightTs.cast("timestamp").as("__t"),
       lit(0).as("__side"), lit(null).cast(l2.schema("__l").dataType).as("__l"),
       rStruct.as("__r"))
+    require(l2.schema("__k").dataType == r2.schema("__k").dataType,
+      s"as-of join key types must match: left is " +
+        s"${l2.schema("__k").dataType.sql}, right is " +
+        s"${r2.schema("__k").dataType.sql} — cast one side explicitly")
     val w = Window.partitionBy("__k")
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -14,4 +14,15 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame once it is superseded. Iterative algorithms leak otherwise:
+    * the checkpointed RDD is only reachable through the plan's LogicalRDD,
+    * which `Dataset.unpersist` does not touch.
+    */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -9,11 +9,16 @@ class TopKPerGroupSpec extends SparkSpec {
 
   test("heap top-k equals window row_number top-k on real data") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
-    val got = TopKPerGroup(li, Seq("l_returnflag"), "l_extendedprice", k = 7)
+    // (l_orderkey, l_linenumber) tie-breaks make both kept sets unique —
+    // a price tie at the k boundary is otherwise nondeterministic
+    val got = TopKPerGroup(li, Seq("l_returnflag"),
+      Seq("l_extendedprice" -> true, "l_orderkey" -> false,
+        "l_linenumber" -> false), k = 7)
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
       .as[(String, Long, Int, Double)].collect().toSet
     val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice").desc)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
     val want = li.withColumn("rn", row_number().over(w)).filter($"rn" <= 7)
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
       .as[(String, Long, Int, Double)].collect().toSet
