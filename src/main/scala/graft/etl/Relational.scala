@@ -143,6 +143,92 @@ object Relational {
       .withColumn("avg_qty",
         col("sum_qty").cast("double") / col("n_lines"))
 
+  /** Semi/anti joins: tag every customer by order existence. Left-semi and
+    * left-anti plan as one hash join each with NO payload from the right
+    * side — at 100 TB the build side carries only the key column, and
+    * Catalyst rewrites them from EXISTS/NOT EXISTS subqueries too.
+    */
+  def semiAntiCustomers(cust: DataFrame, ord: DataFrame): DataFrame = {
+    val semi = cust
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("segment_tag"))
+    val anti = cust
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("segment_tag"))
+    semi.unionAll(anti)
+  }
+
+  /** Generator (UDTF-shape): one output row per word of `p_name`, with
+    * its 0-based position. `posexplode` runs inside whole-stage codegen
+    * (GenerateExec) — no shuffle, output partitioning inherits the scan.
+    */
+  def explodeWords(pt: DataFrame): DataFrame =
+    pt.select(col("p_partkey"),
+      posexplode(split(col("p_name"), " ")).as(Seq("word_idx", "word")))
+
+  /** GROUPING SETS with explicit grouping-flag columns: per-flag totals,
+    * per-status totals, and the grand total in ONE pass (Spark plans a
+    * single Expand + hash aggregate — one shuffle regardless of how many
+    * sets, vs one job per set if unioned by hand).
+    */
+  def groupingSetsSales(li: DataFrame): DataFrame =
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n_lines"),
+        centsSum("l_extendedprice").as("sales_cents"))
+
+  /** Statistical aggregates under the exact-integer determinism contract:
+    * every moment is an exact BIGINT (quantities are integral; discounts
+    * are 2-dp so e2/e4 scaling is exact), and variance/stddev/corr are
+    * derived from those integers with the IDENTICAL IEEE-754 expression
+    * the DuckDB oracle uses — bit-equal without rounding. Built-in
+    * `stddev`/`corr` would hash-mismatch (Welford vs textbook sums).
+    */
+  def statsAggs(li: DataFrame): DataFrame = {
+    val agg = li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum("l_quantity")).cast("long").as("sum_qty"),
+        round(sum(col("l_quantity") * col("l_quantity"))).cast("long")
+          .as("sum_qty_sq"),
+        round(sum(col("l_discount") * 100)).cast("long").as("sum_disc_e2"),
+        round(sum(col("l_discount") * col("l_discount") * 10000))
+          .cast("long").as("sum_disc_sq_e4"),
+        round(sum(col("l_quantity") * col("l_discount") * 100)).cast("long")
+          .as("sum_qd_e2"))
+    val n  = col("n_lines").cast("double")
+    val sq = col("sum_qty").cast("double")
+    val sq2 = col("sum_qty_sq").cast("double")
+    val sd = col("sum_disc_e2").cast("double")
+    val sd2 = col("sum_disc_sq_e4").cast("double")
+    val sqd = col("sum_qd_e2").cast("double")
+    agg
+      .withColumn("var_qty", (sq2 - sq * sq / n) / (n - lit(1.0)))
+      .withColumn("stddev_qty", sqrt(col("var_qty")))
+      .withColumn("corr_qd",
+        (n * sqd - sq * sd) /
+          (sqrt(n * sq2 - sq * sq) * sqrt(n * sd2 - sd * sd)))
+  }
+
+  /** Exact percentiles (continuous interpolation at (n-1)p). Both engines
+    * interpolate between the same two 2-dp values, so the e3-scaled result
+    * is a mathematical integer — `round(x*1000)` is engine-stable even
+    * though the raw interpolated double might differ in the last bit.
+    */
+  def percentiles(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)") * 1000).cast("long")
+          .as("median_e3"),
+        round(expr("percentile(l_extendedprice, 0.9)") * 1000).cast("long")
+          .as("p90_e3"),
+        round(expr("percentile(l_extendedprice, 0.99)") * 1000).cast("long")
+          .as("p99_e3"))
+
   /** The SQL entry path: identical pricing summary expressed through
     * `spark.sql` over registered temp views — proves the engine surface
     * is reachable from SQL text, not only the DataFrame DSL.
@@ -181,6 +267,12 @@ object Relational {
     "agg_unpivot"        -> ((s, d) =>
       unpivotCustomer(Tables.customer(s, d))),
     "agg_pivot"          -> ((s, d) => pivotSales(Tables.lineitem(s, d))),
+    "join_semi_anti"     -> ((s, d) => semiAntiCustomers(
+      Tables.customer(s, d), Tables.orders(s, d))),
+    "gen_explode"        -> ((s, d) => explodeWords(Tables.part(s, d))),
+    "agg_grouping_sets"  -> ((s, d) => groupingSetsSales(Tables.lineitem(s, d))),
+    "agg_stats"          -> ((s, d) => statsAggs(Tables.lineitem(s, d))),
+    "agg_percentiles"    -> ((s, d) => percentiles(Tables.lineitem(s, d))),
   )
 
   private val q1Oracle =
@@ -278,6 +370,73 @@ object Relational {
         |       CAST(round(sum(CASE WHEN l_linestatus = 'O'
         |                           THEN l_extendedprice END) * 100)
         |            AS BIGINT) AS cents_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "join_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS segment_tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS segment_tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+        .stripMargin,
+    "gen_explode" ->
+      """WITH e AS (
+        |  SELECT p_partkey,
+        |         unnest(list_zip(string_split(p_name, ' '),
+        |           generate_series(1, len(string_split(p_name, ' ')))))
+        |           AS z
+        |  FROM part)
+        |SELECT p_partkey, CAST(z[2] - 1 AS INT) AS word_idx,
+        |       CAST(z[1] AS VARCHAR) AS word
+        |FROM e""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |       count(*) AS n_lines,
+        |       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+        |         AS sales_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin,
+    "agg_stats" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |         count(*) AS n_lines,
+        |         CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |         CAST(round(sum(l_quantity * l_quantity)) AS BIGINT)
+        |           AS sum_qty_sq,
+        |         CAST(round(sum(l_discount * 100)) AS BIGINT)
+        |           AS sum_disc_e2,
+        |         CAST(round(sum(l_discount * l_discount * 10000)) AS BIGINT)
+        |           AS sum_disc_sq_e4,
+        |         CAST(round(sum(l_quantity * l_discount * 100)) AS BIGINT)
+        |           AS sum_qd_e2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT *,
+        |  (CAST(sum_qty_sq AS DOUBLE)
+        |     - CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE)
+        |       / CAST(n_lines AS DOUBLE))
+        |    / (CAST(n_lines AS DOUBLE) - 1.0) AS var_qty,
+        |  sqrt((CAST(sum_qty_sq AS DOUBLE)
+        |     - CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE)
+        |       / CAST(n_lines AS DOUBLE))
+        |    / (CAST(n_lines AS DOUBLE) - 1.0)) AS stddev_qty,
+        |  (CAST(n_lines AS DOUBLE) * CAST(sum_qd_e2 AS DOUBLE)
+        |     - CAST(sum_qty AS DOUBLE) * CAST(sum_disc_e2 AS DOUBLE)) /
+        |  (sqrt(CAST(n_lines AS DOUBLE) * CAST(sum_qty_sq AS DOUBLE)
+        |     - CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE))
+        |   * sqrt(CAST(n_lines AS DOUBLE) * CAST(sum_disc_sq_e4 AS DOUBLE)
+        |     - CAST(sum_disc_e2 AS DOUBLE) * CAST(sum_disc_e2 AS DOUBLE)))
+        |    AS corr_qd
+        |FROM g""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |       CAST(round(quantile_cont(l_extendedprice, 0.5) * 1000)
+        |            AS BIGINT) AS median_e3,
+        |       CAST(round(quantile_cont(l_extendedprice, 0.9) * 1000)
+        |            AS BIGINT) AS p90_e3,
+        |       CAST(round(quantile_cont(l_extendedprice, 0.99) * 1000)
+        |            AS BIGINT) AS p99_e3
         |FROM lineitem GROUP BY 1""".stripMargin,
   )
 }

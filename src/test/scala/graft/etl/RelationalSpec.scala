@@ -70,4 +70,63 @@ class RelationalSpec extends SparkSpec {
     assert(out.getAs[Long]("cents_o") === 300L)
     assert(out.isNullAt(out.fieldIndex("cents_f")))
   }
+
+  test("semiAntiCustomers: partitions customers exactly by order existence") {
+    val cust = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+    val ord = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val out = Relational.semiAntiCustomers(cust, ord)
+    assert(out.count() === cust.count(), "semi + anti must cover all customers once")
+    val has = out.filter($"segment_tag" === "has_orders")
+      .select("c_custkey").as[Long].collect().toSet
+    val expected = ord.select("o_custkey").as[Long].collect().toSet
+    assert(has === expected)
+  }
+
+  test("explodeWords: one row per word, 0-based positions") {
+    val pt = Seq((1L, "large cold widget"), (2L, "bolt"))
+      .toDF("p_partkey", "p_name")
+    val out = Relational.explodeWords(pt)
+      .as[(Long, Int, String)].collect().toSet
+    assert(out === Set((1L, 0, "large"), (1L, 1, "cold"), (1L, 2, "widget"),
+      (2L, 0, "bolt")))
+  }
+
+  test("groupingSetsSales: flag rows + status rows + grand total, one pass") {
+    val out = Relational.groupingSetsSales(li(
+      (1L, 1L, "N", "O", 1.0), (2L, 1L, "N", "F", 2.0),
+      (3L, 1L, "A", "F", 4.0))).collect()
+    assert(out.length === 2 + 2 + 1) // flags {N,A}, statuses {O,F}, grand
+    val grand = out.find(r => r.getAs[Int]("g_flag") === 1 &&
+      r.getAs[Int]("g_status") === 1).get
+    assert(grand.getAs[Long]("sales_cents") === 700L)
+    assert(grand.getAs[Long]("n_lines") === 3L)
+  }
+
+  test("statsAggs: exact-integer derivation matches built-in stddev/corr") {
+    val data = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val got = Relational.statsAggs(data).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("stddev_qty"), r.getAs[Double]("corr_qd"))).toMap
+    import org.apache.spark.sql.functions._
+    val ref = data.groupBy("l_returnflag")
+      .agg(stddev("l_quantity").as("sd"),
+        corr(col("l_quantity"), col("l_discount")).as("cr")).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("sd"), r.getAs[Double]("cr"))).toMap
+    got.foreach { case (k, (sd, cr)) =>
+      assert(math.abs(sd - ref(k)._1) < 1e-9, s"stddev $k")
+      assert(math.abs(cr - ref(k)._2) < 1e-9, s"corr $k")
+      assert(cr >= -1.0 && cr <= 1.0)
+    }
+  }
+
+  test("percentiles: ordered and within data range") {
+    val data = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    Relational.percentiles(data).collect().foreach { r =>
+      val (m, p90, p99) = (r.getAs[Long]("median_e3"),
+        r.getAs[Long]("p90_e3"), r.getAs[Long]("p99_e3"))
+      assert(m <= p90 && p90 <= p99)
+      assert(m > 0)
+    }
+  }
 }
