@@ -35,6 +35,60 @@ case class TopKPerGroupPlan(groupExprs: Seq[Expression],
     copy(child = newChild)
 }
 
+/** Shared per-partition k-bounded-heap pass: keeps the k sort-first rows
+  * of every group seen in the partition. Used twice — a PARTIAL pass
+  * before the exchange (map-side, like partial aggregation: shuffles at
+  * most partitions×groups×k rows instead of the full input) and a FINAL
+  * pass after clustering by the group keys.
+  */
+private object TopKHeap {
+  def perPartition(it: Iterator[InternalRow], childOutput: Seq[Attribute],
+      groupE: Seq[Expression], ords: Seq[SortOrder],
+      kk: Int): Iterator[InternalRow] = {
+    val groupProj = UnsafeProjection.create(groupE, childOutput)
+    val rowOrd = GenerateOrdering.generate(ords, childOutput)
+    // per group: k-bounded heap; rowOrd puts the sort-first ("best")
+    // row at compare<0, so the PQ max (head) is the WORST kept row
+    val heaps = new java.util.HashMap[UnsafeRow,
+      scala.collection.mutable.PriorityQueue[InternalRow]]()
+    it.foreach { row =>
+      val key = groupProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = scala.collection.mutable.PriorityQueue.empty(
+          rowOrd.asInstanceOf[Ordering[InternalRow]])
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < kk) heap.enqueue(row.copy())
+      else if (rowOrd.compare(row, heap.head) < 0) {
+        heap.dequeue()
+        heap.enqueue(row.copy())
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.values().asScala.iterator.flatMap(_.dequeueAll.reverseIterator)
+  }
+}
+
+/** Map-side partial top-k: no distribution requirement, inherits the
+  * child's partitioning. Correct because the global top-k of a group is
+  * contained in the union of per-partition top-ks.
+  */
+case class PartialTopKPerGroupExec(groupExprs: Seq[Expression],
+    orders: Seq[SortOrder], k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (childOutput, groupE, ords, kk) = (child.output, groupExprs, orders, k)
+    child.execute().mapPartitions(
+      TopKHeap.perPartition(_, childOutput, groupE, ords, kk))
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKPerGroupExec =
+    copy(child = newChild)
+}
+
 case class TopKPerGroupExec(groupExprs: Seq[Expression],
     orders: Seq[SortOrder], k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
@@ -43,34 +97,9 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
     ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val childOutput = child.output
-    val groupE = groupExprs
-    val ords = orders
-    val kk = k
-    child.execute().mapPartitions { it =>
-      val groupProj = UnsafeProjection.create(groupE, childOutput)
-      val rowOrd = GenerateOrdering.generate(ords, childOutput)
-      // per group: k-bounded heap; rowOrd puts the sort-first ("best")
-      // row at compare<0, so the PQ max (head) is the WORST kept row
-      val heaps = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.PriorityQueue[InternalRow]]()
-      it.foreach { row =>
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty(
-            rowOrd.asInstanceOf[Ordering[InternalRow]])
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kk) heap.enqueue(row.copy())
-        else if (rowOrd.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.dequeueAll.reverseIterator)
-    }
+    val (childOutput, groupE, ords, kk) = (child.output, groupExprs, orders, k)
+    child.execute().mapPartitions(
+      TopKHeap.perPartition(_, childOutput, groupE, ords, kk))
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
@@ -80,7 +109,11 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(g, os, k, child) =>
-      TopKPerGroupExec(g, os, k, planLater(child)) :: Nil
+      // partial (pre-shuffle) + final (post-shuffle), like partial agg:
+      // the exchange the final's required distribution inserts only
+      // carries each input partition's top-k per group
+      TopKPerGroupExec(g, os, k,
+        PartialTopKPerGroupExec(g, os, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }
