@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.etl.{Gold, Relational, Silver, WindowOps}
+import graft.etl.{Gold, Relational, ScalarSurface, Silver, WindowOps}
 import graft.ext.{Components, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 import graft.operators.{AsOfJoin, RangeJoin}
@@ -31,12 +31,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Silver.queries ++ Gold.queries ++ Relational.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ EventsStreaming.queries ++
-      Multimodal.queries ++ AsOfJoin.queries ++ Components.queries ++ RangeJoin.queries ++ Quality.queries ++ WindowOps.queries
+      Multimodal.queries ++ AsOfJoin.queries ++ Components.queries ++
+      RangeJoin.queries ++ Quality.queries ++ WindowOps.queries ++
+      ScalarSurface.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
     Silver.oracleSql ++ Gold.oracleSql ++ Relational.oracleSql ++ Dedup.oracleSql ++
       TextAnalysis.oracleSql ++ Similarity.oracleSql ++
       EventsStreaming.oracleSql ++ Multimodal.oracleSql ++ AsOfJoin.oracleSql ++
-      Components.oracleSql ++ RangeJoin.oracleSql ++ Quality.oracleSql ++ WindowOps.oracleSql
+      Components.oracleSql ++ RangeJoin.oracleSql ++ Quality.oracleSql ++
+      WindowOps.oracleSql ++ ScalarSurface.oracleSql
 }

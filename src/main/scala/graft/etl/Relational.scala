@@ -229,6 +229,61 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.99)") * 1000).cast("long")
           .as("p99_e3"))
 
+  /** Full outer join: every customer and every order-aggregate row kept,
+    * null-filled on the unmatched side. Planned as a sort-merge full
+    * outer (hash joins can't stream both unmatched sides); keys stay
+    * co-partitioned with the aggregate before it, so the join reuses the
+    * agg's exchange at scale.
+    */
+  def fullOuterCustomerOrders(cust: DataFrame, ord: DataFrame): DataFrame = {
+    val orderAgg = ord.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), centsSum("o_totalprice").as("order_cents"))
+    cust.select(col("c_custkey"), col("c_mktsegment"))
+      .join(orderAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("cust_id"),
+        col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("order_cents"), lit(0L)).as("order_cents"))
+  }
+
+  /** INTERSECT / INTERSECT ALL: nation keys present among both BUILDING
+    * and high-balance customers — distinct semantics and multiset
+    * (min-multiplicity) semantics side by side. Spark plans the former
+    * as a left-semi over distincts and the latter via a counted expand.
+    */
+  def intersectNations(cust: DataFrame): DataFrame = {
+    val building = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey"))
+    val highBal = cust.filter(col("c_acctbal") > 5000).select(col("c_nationkey"))
+    building.intersect(highBal)
+      .select(lit("distinct").as("op"), col("c_nationkey"))
+      .unionAll(building.intersectAll(highBal)
+        .select(lit("all").as("op"), col("c_nationkey")))
+  }
+
+  /** Systematic (deterministic) sample: every 20th order key. The
+    * hash-free form of sampling that an oracle can replay exactly;
+    * at scale it's a pushed-down filter — no data moves.
+    */
+  def systematicSampleOrders(ord: DataFrame): DataFrame =
+    ord.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  /** Randomized sampling surface (engine-specific RNG → rows-only
+    * checks): Bernoulli row sample of orders plus a per-language
+    * stratified sample of documents (`sampleBy` — the class-balancing
+    * primitive of training-data curation).
+    */
+  def sampledUnion(ord: DataFrame, docs: DataFrame): DataFrame = {
+    val bern = ord.sample(withReplacement = false, fraction = 0.05, seed = 42)
+      .select(col("o_orderkey").as("id"), lit("bernoulli_order").as("method"))
+    val strata = docs.stat.sampleBy("lang",
+      Map("en" -> 0.1, "es" -> 0.5, "fr" -> 0.5, "de" -> 1.0), 42L)
+      .select(col("doc_id").as("id"), lit("stratified_doc").as("method"))
+    bern.unionAll(strata)
+  }
+
   /** The SQL entry path: identical pricing summary expressed through
     * `spark.sql` over registered temp views — proves the engine surface
     * is reachable from SQL text, not only the DataFrame DSL.
@@ -273,6 +328,13 @@ object Relational {
     "agg_grouping_sets"  -> ((s, d) => groupingSetsSales(Tables.lineitem(s, d))),
     "agg_stats"          -> ((s, d) => statsAggs(Tables.lineitem(s, d))),
     "agg_percentiles"    -> ((s, d) => percentiles(Tables.lineitem(s, d))),
+    "join_full_outer"    -> ((s, d) => fullOuterCustomerOrders(
+      Tables.customer(s, d), Tables.orders(s, d))),
+    "set_intersect"      -> ((s, d) => intersectNations(Tables.customer(s, d))),
+    "sample_systematic"  -> ((s, d) =>
+      systematicSampleOrders(Tables.orders(s, d))),
+    "sample_random"      -> ((s, d) => sampledUnion(
+      Tables.orders(s, d), Tables.documents(s, d))),
   )
 
   private val q1Oracle =
@@ -429,6 +491,32 @@ object Relational {
         |     - CAST(sum_disc_e2 AS DOUBLE) * CAST(sum_disc_e2 AS DOUBLE)))
         |    AS corr_qd
         |FROM g""".stripMargin,
+    "join_full_outer" ->
+      """WITH oa AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         CAST(round(sum(o_totalprice) * 100) AS BIGINT)
+        |           AS order_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(c.c_custkey, oa.o_custkey) AS cust_id,
+        |       c.c_mktsegment,
+        |       coalesce(oa.n_orders, 0) AS n_orders,
+        |       coalesce(oa.order_cents, 0) AS order_cents
+        |FROM customer c FULL OUTER JOIN oa ON c.c_custkey = oa.o_custkey"""
+        .stripMargin,
+    "set_intersect" ->
+      """SELECT 'distinct' AS op, c_nationkey FROM (
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'all' AS op, c_nationkey FROM (
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT ALL
+        |  SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)"""
+        .stripMargin,
+    "sample_systematic" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 20 = 0""".stripMargin,
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |       CAST(round(quantile_cont(l_extendedprice, 0.5) * 1000)

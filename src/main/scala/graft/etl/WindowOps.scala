@@ -45,6 +45,30 @@ object WindowOps {
         col("spend_quartile"))
   }
 
+  /** Ranking-function surface: dense_rank / percent_rank / cume_dist /
+    * first/last/nth_value over orders ranked by price within priority.
+    * percent_rank and cume_dist divide exact integers, so both engines
+    * produce bit-identical doubles; the total order (price desc, key)
+    * makes RANGE and ROWS frames coincide.
+    */
+  def orderRankExtras(ord: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val full = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    ord
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("drank", dense_rank().over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("top_key", first_value(col("o_orderkey")).over(w))
+      .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(w))
+      .withColumn("bottom_key", last(col("o_orderkey")).over(full))
+      .filter(col("rn") <= 100)
+      .select("o_orderpriority", "rn", "drank", "pct_rank", "cume",
+        "o_orderkey", "top_key", "third_key", "bottom_key")
+  }
+
   /** String-function surface over part names: case, pad, replace,
     * split/elements, position, length.
     */
@@ -77,6 +101,8 @@ object WindowOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_customer_timeline" -> ((s, d) =>
       customerOrderTimeline(Tables.orders(s, d))),
+    "window_rank_extras" -> ((s, d) =>
+      orderRankExtras(Tables.orders(s, d))),
     "string_part_ops" -> ((s, d) => partNameOps(Tables.part(s, d))),
     "array_embedding_stats" -> ((s, d) =>
       embeddingArrayStats(Tables.embeddings(s, d))),
@@ -106,6 +132,27 @@ object WindowOps {
         |       ntile(4) OVER (PARTITION BY o_custkey
         |         ORDER BY price_cents, o_orderkey) AS spend_quartile
         |FROM o""".stripMargin,
+    "window_rank_extras" ->
+      """SELECT o_orderpriority,
+        |       rn, drank, pct_rank, cume, o_orderkey, top_key, third_key,
+        |       bottom_key
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         row_number() OVER w AS rn,
+        |         dense_rank() OVER w AS drank,
+        |         percent_rank() OVER w AS pct_rank,
+        |         cume_dist() OVER w AS cume,
+        |         first_value(o_orderkey) OVER w AS top_key,
+        |         nth_value(o_orderkey, 3) OVER w AS third_key,
+        |         last_value(o_orderkey) OVER (
+        |           PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |           AS bottom_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 100""".stripMargin,
     "string_part_ops" ->
       """SELECT p_partkey,
         |       upper(p_name) AS name_upper,

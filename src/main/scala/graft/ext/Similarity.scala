@@ -139,12 +139,35 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Embedding-cosine near-dup pairs (the vector flavor of dedup):
+    * same-label pairs with cosine ≥ `threshold`. Blocking on `label` is
+    * the scale move — the pair join is an equi-join on the block key, so
+    * cost is Σ_blocks |b|² instead of n² (at 100 TB the block key would
+    * be an LSH bucket or cluster id from [[ivfAssignments]]; the label
+    * column stands in for it here). Norms are computed once per vector
+    * before the join.
+    */
+  def embeddingNearDupPairs(emb: DataFrame,
+      threshold: Double = 0.35): DataFrame = {
+    val a = withNorm(emb.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("ea")), "ea", "na")
+    val b = withNorm(emb.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("eb")), "eb", "nb")
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "sim_knn_graph"  -> ((s, d) =>
       nearestNeighborGraph(Tables.embeddings(s, d))),
     "sim_topk_ivf"   -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      embeddingNearDupPairs(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -169,6 +192,12 @@ object Similarity {
          |            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM sims)
          |WHERE rank <= $TopK""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${duckCos("a", "b")} AS cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${duckCos("a", "b")} >= 0.35""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH sims AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Text-analysis operators (SURVEY.md §7.4 extension mandate): per-document
@@ -114,9 +115,36 @@ object TextAnalysis {
         .as("regex_tokens"),
       length(col("text")).as("n_bytes"))
 
+  /** Corpus vocabulary rollup: top-10 tokens (>3 chars) per language by
+    * total occurrences, with corpus-wide document frequency attached —
+    * the exact-integer core of a tf-idf pipeline (the idf logarithm is
+    * left to the caller: ln() differs across math libraries in the last
+    * bit, while tf and df are portable integers).
+    *
+    * Shape at scale: explode → two hash aggregations (token×lang, token)
+    * → broadcast-join df onto the per-lang counts → per-lang top-k; the
+    * explode output never materializes (codegen), and the top-k is a
+    * WindowGroupLimit, not a full sort.
+    */
+  def topTermsPerLang(docs: DataFrame, k: Int = 10): DataFrame = {
+    val tokens = docs.select(col("doc_id"), col("lang"),
+        explode(toks).as("token"))
+      .filter(length(col("token")) > 3)
+    val tf = tokens.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val df = tokens.groupBy("token")
+      .agg(countDistinct("doc_id").as("doc_freq"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("tf").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("lang", "rnk", "token", "tf", "doc_freq")
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"        -> ((s, d) => stats(Tables.documents(s, d))),
+    "text_top_terms"    -> ((s, d) => topTermsPerLang(Tables.documents(s, d))),
     "text_quality"      -> ((s, d) => quality(Tables.documents(s, d))),
     "text_langid"       -> ((s, d) => langId(Tables.documents(s, d))),
     "text_fingerprints" -> ((s, d) => fingerprints(Tables.documents(s, d))),
@@ -125,6 +153,20 @@ object TextAnalysis {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "text_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |filt AS (SELECT * FROM tok WHERE length(token) > 3),
+        |tf AS (SELECT lang, token, count(*) AS tf FROM filt GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS doc_freq
+        |       FROM filt GROUP BY 1)
+        |SELECT lang, rnk, token, tf, doc_freq FROM (
+        |  SELECT tf.lang, tf.token, tf.tf, df.doc_freq,
+        |         row_number() OVER (PARTITION BY tf.lang
+        |           ORDER BY tf.tf DESC, tf.token) AS rnk
+        |  FROM tf JOIN df USING (token))
+        |WHERE rnk <= 10""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, lang, source,
         |       length(text) AS n_chars_txt,

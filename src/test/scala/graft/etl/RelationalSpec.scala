@@ -129,4 +129,61 @@ class RelationalSpec extends SparkSpec {
       assert(m > 0)
     }
   }
+
+  test("fullOuterCustomerOrders: unmatched sides survive null-filled") {
+    val cust = Seq((1L, "c1", 1, 0.0, "BUILDING"), (2L, "c2", 1, 0.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val ord = Seq(
+      (10L, 1L, "F", 50.0, ts("1997-01-01 00:00:00"), "1-URGENT"),
+      (11L, 99L, "F", 70.0, ts("1997-01-01 00:00:00"), "1-URGENT")) // orphan
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = Relational.fullOuterCustomerOrders(cust, ord)
+      .orderBy("cust_id").collect()
+    assert(r.map(_.getAs[Long]("cust_id")).toSeq === Seq(1L, 2L, 99L))
+    assert(r(1).getAs[Long]("n_orders") === 0L)     // customer, no orders
+    assert(r(2).getAs[String]("c_mktsegment") === null) // orphan order agg
+    assert(r(2).getAs[Long]("order_cents") === 7000L)
+  }
+
+  test("intersectNations: distinct vs min-multiplicity semantics") {
+    val cust = Seq(
+      (1L, "c", 7, 9000.0, "BUILDING"), (2L, "c", 7, 9000.0, "BUILDING"),
+      (3L, "c", 7, 9000.0, "AUTO"),     // highbal-only occurrence of 7
+      (4L, "c", 8, 100.0, "BUILDING"))  // 8 never high-balance
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = Relational.intersectNations(cust).collect()
+      .groupBy(_.getAs[String]("op"))
+      .view.mapValues(_.map(_.getAs[Int]("c_nationkey")).sorted.toSeq).toMap
+    assert(r("distinct") === Seq(7))
+    // BUILDING has {7,7,8}; highbal has {7,7,7}: min multiplicity of 7 is 2
+    assert(r("all") === Seq(7, 7))
+  }
+
+  test("systematicSampleOrders keeps exactly keys = 0 mod 20") {
+    val ord = (1 to 100).map(i => (i.toLong, 1L, "F", 1.0,
+      ts("1997-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val keys = Relational.systematicSampleOrders(ord)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(keys === Seq(20L, 40L, 60L, 80L, 100L))
+  }
+
+  test("sampledUnion: stratified fractions roughly respected, seed-stable") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, s"text $i", if (i % 2 == 0) "en" else "de", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ord = (1 to 200).map(i => (i.toLong, 1L, "F", 1.0,
+      ts("1997-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val a = Relational.sampledUnion(ord, docs).collect()
+    val b = Relational.sampledUnion(ord, docs).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq,
+      "same seed must resample identically")
+    val strata = a.filter(_.getAs[String]("method") == "stratified_doc")
+    val deKeep = strata.map(_.getAs[Long]("id")).count(_ % 2 == 1)
+    assert(deKeep === 200, "fraction 1.0 stratum must keep every row")
+  }
 }

@@ -40,4 +40,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall below 0.6")
     info(f"IVF recall@10 = $recall%.2f")
   }
+
+  test("embeddingNearDupPairs: label-blocked, thresholded, a<b once") {
+    val d = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.01f), 0), // near-dups, label 0
+      (2L, Seq(1f, 0f), 1),                          // dup of 0 but label 1
+      (3L, Seq(0f, 1f), 0))                          // orthogonal to 0/1
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.embeddingNearDupPairs(d, 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.toSeq === Seq((0L, 1L)),
+      "only the same-label near-dup pair, emitted once")
+  }
 }

@@ -50,4 +50,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("ws_tokens") === 2)
     assert(r.getAs[Int]("regex_tokens") === 3) // ab12, cd, ef
   }
+
+  test("topTermsPerLang: tf ranks, short tokens dropped, df is corpus-wide") {
+    val d = docs(
+      (1L, "apple apple apple banana bird", "en"), // 'bird' len 4 kept
+      (2L, "banana banana apple", "en"),
+      (3L, "apple cerise", "fr"))
+    val rows = TextAnalysis.topTermsPerLang(d, 2).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rnk"),
+        r.getAs[String]("token"), r.getAs[Long]("tf"),
+        r.getAs[Long]("doc_freq"))).sortBy(t => (t._1, t._2))
+    assert(rows.toSeq === Seq(
+      ("en", 1L, "apple", 4L, 3L),   // df counts the fr doc too
+      ("en", 2L, "banana", 3L, 2L),  // 'bird' len 4: kept but rank 3, cut
+      ("fr", 1L, "apple", 1L, 3L),
+      ("fr", 2L, "cerise", 1L, 1L)))
+  }
 }
