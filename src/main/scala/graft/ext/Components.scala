@@ -40,22 +40,30 @@ object Components {
     var converged = false
     var i = 0
     var prevLabels: DataFrame = null
-    while (!converged && i < maxIter) {
-      // each node adopts min(own comp, neighbors' comps)
+    // each node adopts min(own comp, neighbors' comps)
+    // (measured: pointer-jumping costs an extra shuffle per round and
+    // loses on the tiny-diameter graphs dedup produces — plain
+    // one-hop propagation wins)
+    def hop(lbl: DataFrame): DataFrame = {
       val viaNeighbors = und
-        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .join(lbl.withColumnRenamed("node", "v"), Seq("v"))
         .groupBy(col("u").as("node"))
         .agg(min("comp").as("ncomp"))
-      // (measured: pointer-jumping costs an extra shuffle per round and
-      // loses on the tiny-diameter graphs dedup produces — plain
-      // one-hop propagation wins)
-      // localCheckpoint (eager) truncates the lineage — without it each
-      // iteration's plan embeds the previous one and the plan tree grows
-      // exponentially (OOMs in plan stringification past ~12 iterations)
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
+      lbl.join(viaNeighbors, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
             .as("comp"))
+    }
+    while (!converged && i < maxIter) {
+      // TWO hops per materialized iteration: labels travel two edges per
+      // checkpoint + convergence check, halving the number of blocking
+      // driver round-trips for a given diameter (per-iteration job
+      // overhead dominates wall time on dedup-sized graphs; the shuffle
+      // volume per hop is unchanged)
+      // localCheckpoint (eager) truncates the lineage — without it each
+      // iteration's plan embeds the previous one and the plan tree grows
+      // exponentially (OOMs in plan stringification past ~12 iterations)
+      val next = hop(hop(labels))
         .localCheckpoint(false) // lazy: the sum below materializes it
       val s = next.agg(sum("comp")).first().getLong(0)
       // free the superseded iteration's checkpoint blocks — without this a

@@ -1,6 +1,6 @@
 package graft
 
-import graft.etl.{Gold, Relational, Silver, WindowOps}
+import graft.etl.{Gold, Relational, ScalarSurface, Silver, WindowOps}
 import graft.ext.{Components, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.EventsStreaming
@@ -15,7 +15,8 @@ class SparkEntrySpec extends SparkSpec {
     Silver.queries, Gold.queries, Relational.queries, Dedup.queries,
     TextAnalysis.queries, Similarity.queries, EventsStreaming.queries,
     Multimodal.queries, AsOfJoin.queries, Components.queries,
-    RangeJoin.queries, Quality.queries, WindowOps.queries).map(_.size)
+    RangeJoin.queries, Quality.queries, WindowOps.queries,
+    ScalarSurface.queries).map(_.size)
 
   test("no query name collisions across modules") {
     assert(SparkEntry.queries.size === moduleSizes.sum)
