@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.etl.{Gold, Relational, ScalarSurface, Silver, WindowOps}
+import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
 import graft.ext.{Components, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 import graft.operators.{AsOfJoin, RangeJoin}
@@ -33,7 +33,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Similarity.queries ++ EventsStreaming.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ Components.queries ++
       RangeJoin.queries ++ Quality.queries ++ WindowOps.queries ++
-      ScalarSurface.queries
+      ScalarSurface.queries ++ TimeSeries.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -41,5 +41,5 @@ object SparkEntry {
       TextAnalysis.oracleSql ++ Similarity.oracleSql ++
       EventsStreaming.oracleSql ++ Multimodal.oracleSql ++ AsOfJoin.oracleSql ++
       Components.oracleSql ++ RangeJoin.oracleSql ++ Quality.oracleSql ++
-      WindowOps.oracleSql ++ ScalarSurface.oracleSql
+      WindowOps.oracleSql ++ ScalarSurface.oracleSql ++ TimeSeries.oracleSql
 }

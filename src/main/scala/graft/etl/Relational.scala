@@ -284,6 +284,62 @@ object Relational {
     bern.unionAll(strata)
   }
 
+  /** Argmax/argmin aggregates (`max_by`/`min_by`): the row-valued extremum
+    * per group in ONE hash-agg pass — no window sort, no self-join back to
+    * the max (the two classic formulations that shuffle the whole input).
+    * Ties are broken deterministically by folding the unique line key into
+    * the ordering value: cents are < 1e7, so `cents*1e7 + l_orderkey` is a
+    * collision-free BIGINT composite both engines order identically.
+    */
+  def argmaxAggs(li: DataFrame): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val ordKey = cents * lit(10000000L) + col("l_orderkey")
+    li.groupBy("l_returnflag").agg(
+      max_by(col("l_orderkey"), ordKey).as("priciest_orderkey"),
+      min_by(col("l_orderkey"), ordKey).as("cheapest_orderkey"),
+      max(cents).as("max_cents"),
+      min(cents).as("min_cents"))
+  }
+
+  /** Fixed-width histogram of order totals (20 buckets of 25k, last one
+    * open-ended): one narrow projection + one hash agg — the distribution
+    * profile that at 100 TB replaces any sort-based approach.
+    */
+  def histogramOrders(ord: DataFrame): DataFrame =
+    ord.select(
+        least(floor(col("o_totalprice") / 25000).cast("long"), lit(19L))
+          .as("bucket"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"),
+        max("cents").as("max_cents"))
+
+  /** Subquery surface through `spark.sql`: correlated EXISTS, NOT IN, and
+    * a correlated scalar subquery in one statement. Catalyst decorrelates
+    * all three into joins (RewritePredicateSubquery /
+    * RewriteCorrelatedScalarSubquery) — EXISTS becomes a left-semi,
+    * NOT IN an anti join, the scalar count a left outer against a
+    * pre-aggregate — so the executed plan is pure joins, no per-row
+    * subquery evaluation anywhere.
+    */
+  def subqueriesSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |       (SELECT count(*) FROM orders_v o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders_v
+        |                          WHERE o_orderstatus = 'F')""".stripMargin)
+  }
+
   /** The SQL entry path: identical pricing summary expressed through
     * `spark.sql` over registered temp views — proves the engine surface
     * is reachable from SQL text, not only the DataFrame DSL.
@@ -335,6 +391,9 @@ object Relational {
       systematicSampleOrders(Tables.orders(s, d))),
     "sample_random"      -> ((s, d) => sampledUnion(
       Tables.orders(s, d), Tables.documents(s, d))),
+    "agg_argmax"         -> ((s, d) => argmaxAggs(Tables.lineitem(s, d))),
+    "agg_histogram"      -> ((s, d) => histogramOrders(Tables.orders(s, d))),
+    "sql_subqueries"     -> (subqueriesSql(_, _)),
   )
 
   private val q1Oracle =
@@ -526,5 +585,38 @@ object Relational {
         |       CAST(round(quantile_cont(l_extendedprice, 0.99) * 1000)
         |            AS BIGINT) AS p99_e3
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_argmax" ->
+      """SELECT l_returnflag,
+        |       arg_max(l_orderkey,
+        |               CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * 10000000 + l_orderkey) AS priciest_orderkey,
+        |       arg_min(l_orderkey,
+        |               CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * 10000000 + l_orderkey) AS cheapest_orderkey,
+        |       max(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS max_cents,
+        |       min(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS min_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_histogram" ->
+      """SELECT least(CAST(floor(o_totalprice / 25000) AS BIGINT), 19)
+        |         AS bucket,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_cents,
+        |       min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+        |       max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+    "sql_subqueries" ->
+      """SELECT c_custkey,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |       (SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                          WHERE o_orderstatus = 'F')""".stripMargin,
   )
 }

@@ -1,0 +1,174 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series operators over the batch tables — the reporting surface the
+  * reference's Gold layer feeds Grafana from (reference
+  * `include/scripts/to_gold.py:57-66` computes daily sales but leaves
+  * calendar gaps to the dashboard), made explicit as engine operators:
+  * calendar gap-fill, rolling range-frame windows, and SCD2 (slowly
+  * changing dimension) interval derivation from an event stream.
+  *
+  * == Scale design ==
+  * - Gap-fill generates the calendar per group with `sequence` + `explode`
+  *   AFTER aggregation — the exploded side is O(groups × days), never
+  *   O(input rows), and the final join is an equi-join on (group, day)
+  *   against the already-aggregated (small) side.
+  * - The rolling window is a RANGE frame over a per-key sort — one shuffle
+  *   on the partition key, no self-join (the naive "join last 7 days"
+  *   formulation is a range join that explodes at scale).
+  * - SCD2 runs are gaps-and-islands: two `row_number` passes + one
+  *   aggregate, all sharing the same (user_id) clustering, so Spark plans
+  *   a single exchange for the whole chain.
+  *
+  * Determinism: money is summed as integer cents (per-value round, then
+  * integer sum) and event ordering is a total order with explicit
+  * NULLS FIRST on both engines — see SparkEntry's determinism contract.
+  */
+object TimeSeries {
+
+  private def cents(c: String) = round(col(c) * 100).cast("long")
+
+  /** Daily order counts/sales per status with calendar gaps filled as
+    * zero rows — each status' calendar spans ITS OWN [min, max] day.
+    */
+  def gapFillDailySales(ord: DataFrame): DataFrame = {
+    val daily = ord
+      .groupBy(col("o_orderstatus"), to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents("o_totalprice")).as("sales_cents"))
+    val calendar = daily.groupBy("o_orderstatus")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("o_orderstatus"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    calendar.join(daily, Seq("o_orderstatus", "day"), "left")
+      .select(col("o_orderstatus"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sales_cents"), lit(0L)).as("sales_cents"))
+  }
+
+  /** Per-customer rolling 7-day spend (RANGE frame: all orders within the
+    * 6 preceding days + the current day, date-valued so peers are exact).
+    */
+  def rollingCustomerSpend(ord: DataFrame): DataFrame = {
+    val base = ord.select(col("o_orderkey"), col("o_custkey"),
+      to_date(col("o_orderdate")).as("day"),
+      cents("o_totalprice").as("total_cents"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("day").cast("timestamp").cast("long"))
+      .rangeBetween(-6L * 86400, 0)
+    base
+      .withColumn("rolling7_cents", sum("total_cents").over(w))
+      .withColumn("rolling7_orders", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("total_cents"), col("rolling7_cents"), col("rolling7_orders"))
+  }
+
+  /** SCD2 intervals from the events stream: consecutive runs of the same
+    * `event_type` per user become versioned [valid_from, valid_to)
+    * intervals (valid_to = next version's valid_from; null ⇒ current).
+    * Gaps-and-islands via the rn − rn-within-type difference.
+    */
+  def scd2UserPhases(ev: DataFrame): DataFrame = {
+    // total order incl. tie columns: duplicate event_ids can differ in
+    // value/props, and NULLS FIRST is pinned to match the oracle
+    val ord = Seq(col("ts"), col("event_id"),
+      col("value").asc_nulls_first, col("props").asc_nulls_first)
+    val byUser = Window.partitionBy("user_id").orderBy(ord: _*)
+    val byUserType = Window.partitionBy("user_id", "event_type")
+      .orderBy(ord: _*)
+    val runs = ev
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("grp", col("rn") - row_number().over(byUserType))
+      .groupBy("user_id", "event_type", "grp")
+      .agg(min("ts").as("valid_from_ts"), count(lit(1)).as("n_events"),
+        min("rn").as("first_rn"))
+    val byVersion = Window.partitionBy("user_id").orderBy("first_rn")
+    runs
+      .withColumn("version", row_number().over(byVersion))
+      .withColumn("valid_to_ts", lead("valid_from_ts", 1).over(byVersion))
+      .select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("valid_to"),
+        col("n_events"), col("valid_to_ts").isNull.as("is_current"))
+  }
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_gap_fill" -> ((s, d) => gapFillDailySales(Tables.orders(s, d))),
+    "window_rolling_range" -> ((s, d) =>
+      rollingCustomerSpend(Tables.orders(s, d))),
+    "scd2_user_phases" -> ((s, d) => scd2UserPhases(Tables.events(s, d))),
+  )
+
+  /** DuckDB twins. */
+  def oracleSql: Map[String, String] = Map(
+    "ts_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS day,
+        |         count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS sales_cents
+        |  FROM orders GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT o_orderstatus,
+        |         CAST(unnest(generate_series(min(day), max(day),
+        |                                     INTERVAL 1 DAY)) AS DATE)
+        |           AS day
+        |  FROM daily GROUP BY o_orderstatus)
+        |SELECT cal.o_orderstatus, strftime(cal.day, '%Y-%m-%d') AS day,
+        |       coalesce(daily.n_orders, 0) AS n_orders,
+        |       coalesce(daily.sales_cents, 0) AS sales_cents
+        |FROM cal LEFT JOIN daily
+        |  ON cal.o_orderstatus = daily.o_orderstatus
+        |  AND cal.day = daily.day""".stripMargin,
+    "window_rolling_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            OVER w AS BIGINT) AS rolling7_cents,
+        |       count(*) OVER w AS rolling7_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY CAST(o_orderdate AS DATE)
+        |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+        |                   AND CURRENT ROW)""".stripMargin,
+    "scd2_user_phases" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id, value NULLS FIRST,
+        |                    props NULLS FIRST) AS rn,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id, value NULLS FIRST,
+        |                    props NULLS FIRST) AS rn2
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type, rn - rn2 AS grp,
+        |         min(ts) AS valid_from_ts, count(*) AS n_events,
+        |         min(rn) AS first_rn
+        |  FROM e GROUP BY 1, 2, 3),
+        |v AS (
+        |  SELECT user_id, event_type, n_events, valid_from_ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY first_rn) AS version,
+        |         lead(valid_from_ts) OVER (PARTITION BY user_id
+        |                                   ORDER BY first_rn) AS valid_to_ts
+        |  FROM runs)
+        |SELECT user_id, version, event_type,
+        |       strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S.%f')
+        |         AS valid_from,
+        |       strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |       n_events, (valid_to_ts IS NULL) AS is_current
+        |FROM v""".stripMargin,
+  )
+}

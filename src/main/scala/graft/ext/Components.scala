@@ -55,15 +55,14 @@ object Components {
             .as("comp"))
     }
     while (!converged && i < maxIter) {
-      // TWO hops per materialized iteration: labels travel two edges per
-      // checkpoint + convergence check, halving the number of blocking
-      // driver round-trips for a given diameter (per-iteration job
-      // overhead dominates wall time on dedup-sized graphs; the shuffle
-      // volume per hop is unchanged)
+      // ONE hop per materialized iteration (measured at sf0.1: a two-hop
+      // variant recomputes the inner hop for both of the outer hop's
+      // consumers — 6 joins per iteration vs 2 — and runs 5x slower;
+      // saving driver round-trips does not pay for the recompute)
       // localCheckpoint (eager) truncates the lineage — without it each
       // iteration's plan embeds the previous one and the plan tree grows
       // exponentially (OOMs in plan stringification past ~12 iterations)
-      val next = hop(hop(labels))
+      val next = hop(labels)
         .localCheckpoint(false) // lazy: the sum below materializes it
       val s = next.agg(sum("comp")).first().getLong(0)
       // free the superseded iteration's checkpoint blocks — without this a

@@ -160,9 +160,35 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Symmetric int8 quantization of every embedding — the compression
+    * pass a 100 TB vector corpus runs before indexing (4x smaller, cache
+    * resident). Per vector: scale = 127/max|x|, q_i = round(x_i·scale),
+    * plus the L2 reconstruction error as the quality metric. All folds
+    * are sequential and mirrored in the oracle (identical IEEE-754
+    * sequence, see the class scaladoc); max|x| is order-insensitive so
+    * either engine's list-max agrees bit-exactly. Narrow op — no shuffle.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"),
+        expr("""greatest(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                  (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))), 1e-12d)""")
+          .as("maxabs"))
+      .withColumn("qvec",
+        expr("transform(embedding, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS INT))"))
+      .select(col("vec_id"), col("maxabs"),
+        expr("array_join(transform(qvec, v -> CAST(v AS STRING)), ',')")
+          .as("q_csv"),
+        expr("""sqrt(aggregate(zip_with(embedding, qvec,
+                  (x, q) -> (CAST(x AS DOUBLE) - q * (maxabs / 127.0))
+                          * (CAST(x AS DOUBLE) - q * (maxabs / 127.0))),
+                CAST(0.0 AS DOUBLE), (a, e) -> a + e))""").as("recon_l2"))
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
+    "vec_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "sim_knn_graph"  -> ((s, d) =>
       nearestNeighborGraph(Tables.embeddings(s, d))),
     "sim_topk_ivf"   -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
@@ -181,6 +207,28 @@ object Similarity {
 
   /** DuckDB twins (IVF is rows-only; recall asserted in SimilaritySpec). */
   def oracleSql: Map[String, String] = Map(
+    "vec_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         greatest(list_max([abs(CAST(embedding[i] AS DOUBLE))
+        |                            for i in range(1, len(embedding) + 1)]),
+        |                  1e-12) AS maxabs
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, maxabs,
+        |         [CAST(round(CAST(embedding[i] AS DOUBLE)
+        |                     * (127.0 / maxabs)) AS INT)
+        |          for i in range(1, len(embedding) + 1)] AS qvec
+        |  FROM m)
+        |SELECT vec_id, maxabs,
+        |       array_to_string([CAST(qvec[i] AS VARCHAR)
+        |                        for i in range(1, len(qvec) + 1)], ',')
+        |         AS q_csv,
+        |       sqrt(list_sum([
+        |         (CAST(embedding[i] AS DOUBLE) - qvec[i] * (maxabs / 127.0))
+        |         * (CAST(embedding[i] AS DOUBLE) - qvec[i] * (maxabs / 127.0))
+        |         for i in range(1, len(embedding) + 1)])) AS recon_l2
+        |FROM q""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH sims AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

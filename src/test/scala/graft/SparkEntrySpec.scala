@@ -1,6 +1,6 @@
 package graft
 
-import graft.etl.{Gold, Relational, ScalarSurface, Silver, WindowOps}
+import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
 import graft.ext.{Components, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.EventsStreaming
@@ -16,7 +16,7 @@ class SparkEntrySpec extends SparkSpec {
     TextAnalysis.queries, Similarity.queries, EventsStreaming.queries,
     Multimodal.queries, AsOfJoin.queries, Components.queries,
     RangeJoin.queries, Quality.queries, WindowOps.queries,
-    ScalarSurface.queries).map(_.size)
+    ScalarSurface.queries, TimeSeries.queries).map(_.size)
 
   test("no query name collisions across modules") {
     assert(SparkEntry.queries.size === moduleSizes.sum)
