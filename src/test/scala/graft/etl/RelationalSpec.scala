@@ -186,4 +186,35 @@ class RelationalSpec extends SparkSpec {
     val deKeep = strata.map(_.getAs[Long]("id")).count(_ % 2 == 1)
     assert(deKeep === 200, "fraction 1.0 stratum must keep every row")
   }
+
+  test("argmaxAggs: extremum row keys, composite-key tie-break") {
+    val r = Relational.argmaxAggs(li(
+      (5L, 1L, "A", "F", 10.0),
+      (3L, 1L, "A", "F", 10.0),   // price tie: higher orderkey wins max_by
+      (9L, 1L, "A", "F", 2.0),
+      (1L, 1L, "B", "F", 7.0)))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("A") === (5L, 9L, 1000L, 200L))
+    assert(r("B") === (1L, 1L, 700L, 700L))
+  }
+
+  test("histogramOrders: floor buckets, last bucket open-ended") {
+    val ord = Seq((1L, 10.0), (2L, 24999.99), (3L, 25000.0), (4L, 9e9))
+      .map { case (k, p) => (k, 1L, "F", p, ts("1997-01-01 00:00:00"), "x") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = Relational.histogramOrders(ord).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(0L -> 2L, 1L -> 1L, 19L -> 1L))
+  }
+
+  test("subqueriesSql decorrelates to joins (no subquery at runtime)") {
+    val q = Relational.subqueriesSql(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"), "subqueries must be decorrelated")
+    // semantics: kept customers have a >150k order and no 'F' order
+    val rows = q.collect()
+    assert(rows.forall(_.getAs[Long]("n_orders") > 0))
+  }
 }

@@ -1,0 +1,76 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders(rows: (Long, Long, String, Double, String)*) =
+    rows.map { case (ok, ck, st, tp, d) => (ok, ck, st, tp, ts(s"$d 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+
+  test("gapFillDailySales: missing days appear as zero rows per status") {
+    val r = TimeSeries.gapFillDailySales(orders(
+      (1L, 1L, "O", 10.0, "1997-01-01"),
+      (2L, 1L, "O", 20.0, "1997-01-04"),   // gap: Jan 2, Jan 3
+      (3L, 1L, "F", 30.0, "1997-02-01")))  // own 1-day calendar
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(r === Set(
+      ("O", "1997-01-01", 1L, 1000L),
+      ("O", "1997-01-02", 0L, 0L),
+      ("O", "1997-01-03", 0L, 0L),
+      ("O", "1997-01-04", 1L, 2000L),
+      ("F", "1997-02-01", 1L, 3000L)))
+  }
+
+  test("rollingCustomerSpend: RANGE frame spans 6 preceding days + peers") {
+    val r = TimeSeries.rollingCustomerSpend(orders(
+      (1L, 1L, "O", 10.0, "1997-01-01"),
+      (2L, 1L, "O", 20.0, "1997-01-07"),   // Jan 1 still in range (6 back)
+      (3L, 1L, "O", 40.0, "1997-01-08"),   // Jan 1 out of range now
+      (4L, 1L, "O", 5.0, "1997-01-08"),    // same-day peer of key 3
+      (5L, 2L, "O", 99.0, "1997-01-07")))  // other customer untouched
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(4), x.getLong(5))).toMap
+    assert(r(1L) === (1000L, 1L))
+    assert(r(2L) === (3000L, 2L))
+    // keys 3 and 4 are RANGE peers: both frames include both same-day rows
+    assert(r(3L) === (6500L, 3L))
+    assert(r(4L) === (6500L, 3L))
+    assert(r(5L) === (9900L, 1L))
+  }
+
+  private def events(rows: (Long, Long, String, String)*) =
+    rows.map { case (eid, uid, et, t) =>
+      (eid, uid, et, 1.0, """{"k":1}""", ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+
+  test("scd2UserPhases: consecutive runs collapse, versions chain") {
+    val r = TimeSeries.scd2UserPhases(events(
+      (1L, 7L, "view", "1997-01-01 10:00:00"),
+      (2L, 7L, "view", "1997-01-01 11:00:00"),
+      (3L, 7L, "buy",  "1997-01-01 12:00:00"),
+      (4L, 7L, "view", "1997-01-01 13:00:00")))
+      .orderBy("version").collect()
+    assert(r.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+    assert(r.map(_.getString(2)).toSeq === Seq("view", "buy", "view"))
+    assert(r.map(_.getLong(5)).toSeq === Seq(2L, 1L, 1L)) // n_events per run
+    // valid_to chains to the next version's valid_from; only last is open
+    assert(r(0).getString(4) === r(1).getString(3))
+    assert(r(1).getString(4) === r(2).getString(3))
+    assert(r(2).getString(4) == null && r(2).getBoolean(6))
+    assert(!r(0).getBoolean(6) && !r(1).getBoolean(6))
+  }
+
+  test("scd2UserPhases: users are independent") {
+    val r = TimeSeries.scd2UserPhases(events(
+      (1L, 1L, "a", "1997-01-01 10:00:00"),
+      (2L, 2L, "a", "1997-01-01 10:30:00"),
+      (3L, 1L, "a", "1997-01-01 11:00:00")))
+    assert(r.count() === 2) // one open run per user, no cross-user split
+    assert(r.filter(col("is_current")).count() === 2)
+  }
+}

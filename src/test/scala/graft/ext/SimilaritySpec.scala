@@ -52,4 +52,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)),
       "only the same-label near-dup pair, emitted once")
   }
+
+  test("quantizeInt8: scale maps max|x| to ±127, small recon error") {
+    val d = Seq(
+      (0L, Seq(1f, -2f, 0.5f), 0),
+      (1L, Seq(0f, 0f, 0f), 0)) // zero vector guarded by the 1e-12 floor
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.quantizeInt8(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getDouble(1) === 2.0)
+    assert(r(0L).getString(2) === "64,-127,32")
+    assert(r(0L).getDouble(3) < 0.02, "recon error must be < scale/2 * sqrt(d)")
+    assert(r(1L).getString(2) === "0,0,0")
+    assert(r(1L).getDouble(3) === 0.0)
+  }
 }
