@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
 import graft.ext.{Components, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +33,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Similarity.queries ++ EventsStreaming.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ Components.queries ++
       RangeJoin.queries ++ Quality.queries ++ WindowOps.queries ++
-      ScalarSurface.queries ++ TimeSeries.queries
+      ScalarSurface.queries ++ TimeSeries.queries ++ MergeUpsert.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -41,5 +41,6 @@ object SparkEntry {
       TextAnalysis.oracleSql ++ Similarity.oracleSql ++
       EventsStreaming.oracleSql ++ Multimodal.oracleSql ++ AsOfJoin.oracleSql ++
       Components.oracleSql ++ RangeJoin.oracleSql ++ Quality.oracleSql ++
-      WindowOps.oracleSql ++ ScalarSurface.oracleSql ++ TimeSeries.oracleSql
+      WindowOps.oracleSql ++ ScalarSurface.oracleSql ++
+      TimeSeries.oracleSql ++ MergeUpsert.oracleSql
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query timing tool (dev loop for the bench): runs the named
+  * queries `reps` times after one warmup pass each, printing per-run
+  * seconds. Usage:
+  *   SPARK_GRAFT_CPUS=32 runMain graft.TimeQuery <sfDir> <reps> <name...>
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val names = if (args.length > 2) args.drop(2).toSeq
+                else Seq("dedup_clusters")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir).count() // warmup
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIME $n: ${times.map(t => f"$t%.2f").mkString(", ")} s")
+    }
+    spark.stop()
+  }
+}

@@ -23,14 +23,31 @@ import graft.Tables
   */
 object Components {
 
+  /** Edge count below which the component computation runs as driver-side
+    * union-find instead of distributed label propagation. Near-dup PAIR
+    * graphs are tiny relative to the corpus (pairs survive a similarity
+    * threshold), so even a 100 TB corpus typically yields an edge set far
+    * under this; the distributed path stays as the unbounded fallback.
+    */
+  val LocalEdgeThreshold = 5000000L
+
   /** (node, component) for every node in `edges` (doc_a, doc_b);
     * component = min doc_id reachable. Both directions are propagated.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val und = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .persist()
+    // the distinct above already shuffles the edges, so this count is a
+    // cheap cache read — it picks the physical strategy
+    val nEdges = und.count()
+    if (nEdges <= localThreshold) {
+      val out = localUnionFind(und)
+      und.unpersist()
+      return out
+    }
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("comp", col("node"))
     // comp values only ever decrease, so sum(comp) strictly decreases
@@ -77,6 +94,41 @@ object Components {
     }
     und.unpersist()
     labels
+  }
+
+  /** Driver-side union-find over a collected (bounded, see
+    * [[LocalEdgeThreshold]]) edge list — min-root union + path
+    * compression, so every root IS the component minimum and the result
+    * matches the distributed fixpoint exactly. O(E α(E)) on the driver
+    * versus O(diameter) cluster-wide shuffles: for the small pair graphs
+    * dedup produces, the driver pass wins by the per-job scheduling
+    * overhead alone.
+    */
+  private def localUnionFind(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val es = und.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (u, v) =>
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { // min root wins → root == component minimum
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataset(
+      parent.keySet().asScala.toSeq.map(n => (n, find(n))))
+      .toDF("node", "comp")
   }
 
   /** Dedup clusters from the oracle-checked Jaccard pairs: every doc in

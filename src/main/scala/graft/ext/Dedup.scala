@@ -62,7 +62,16 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-doc shingle count straight from the array expression — no
+    // explode + re-aggregate (saves a full shuffle of the shingle index);
+    // docs with <3 tokens have n=0 and can never appear in `inter`
+    val sizes = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(array_distinct(expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 2),
+          |               i -> concat_ws(' ', slice(toks, i, 3))) END"""
+          .stripMargin))).cast("long").as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -144,8 +153,14 @@ object Dedup {
   def minhashDedupDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs).persist()
     val cands = lshCandidates(minhashSignaturesFromShingles(sh))
+    // eager checkpoint: the (tiny) verified pair set materializes NOW,
+    // which lets the shingle cache be released before this function
+    // returns — no block-manager leak into the long-lived session (the
+    // lazy form would pin `sh` until the caller's first action)
     val verified = jaccardForPairs(sh, cands)
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    sh.unpersist()
     docs.join(verified.select(col("doc_b").as("doc_id")), Seq("doc_id"),
         "left_anti")
       .select("doc_id", "lang", "source", "n_chars")

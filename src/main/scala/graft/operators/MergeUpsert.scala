@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** MERGE / upsert — `MERGE INTO target USING source ON key WHEN MATCHED
+  * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, composed from a
+  * single full-outer join (Spark has no table-format MERGE without a
+  * lakehouse layer; the reference's `mode("overwrite")` full refreshes
+  * instead, reference `include/scripts/to_bronze.py:49`).
+  *
+  * == Scale design ==
+  * One shuffle of each side on the merge key — the merge-on-read shape.
+  * With the target bucketed by key on disk (see
+  * `sources.Bronze.writeBucketed`) the target-side shuffle disappears,
+  * and a broadcast source turns the whole merge into a map-only job; at
+  * 100 TB that is the difference between rewriting the table and
+  * rewriting only matched files. Source must be unique per key
+  * (enforced — ambiguous MERGE is an error in every engine).
+  */
+object MergeUpsert {
+
+  /** Upsert `source` into `target` by `keys`: matched rows take every
+    * source column, unmatched target rows pass through, unmatched source
+    * rows are inserted. Schemas must match by name.
+    */
+  def upsert(target: DataFrame, source: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(target.columns.sorted.sameElements(source.columns.sorted),
+      s"schemas differ: ${target.columns.mkString(",")} vs " +
+        source.columns.mkString(","))
+    val t = target.as("t")
+    val s = source.as("s")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    t.join(s, cond, "full_outer")
+      .select(target.columns.toSeq.map(c =>
+        coalesce(col(s"s.$c"), col(s"t.$c")).as(c)): _*)
+  }
+
+  /** Query: apply a correction feed to the orders snapshot — every key
+    * ≡3 (mod 10) is updated (price +10%, status 'U'), every key ≡7 is
+    * re-inserted under a fresh key (status 'N').
+    */
+  def ordersUpsert(ord: DataFrame): DataFrame = {
+    val base = ord.select("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate")
+    val updates = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("o_orderstatus", lit("U"))
+    val inserts = base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    upsert(base, updates.unionByName(inserts), Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+  }
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> ((s, d) => ordersUpsert(Tables.orders(s, d))),
+  )
+
+  /** DuckDB twin — the same merge expressed as FULL OUTER + coalesce. */
+  def oracleSql: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice * 1.1 AS o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N',
+        |         o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 10 = 7)
+        |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |       coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
+        |       coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+        |       CAST(round(coalesce(s.o_totalprice, t.o_totalprice) * 100)
+        |            AS BIGINT) AS total_cents,
+        |       strftime(coalesce(s.o_orderdate, t.o_orderdate), '%Y-%m-%d')
+        |         AS day
+        |FROM orders t FULL OUTER JOIN src s
+        |  ON t.o_orderkey = s.o_orderkey""".stripMargin,
+  )
+}

@@ -94,6 +94,27 @@ object EventsStreaming {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("value_cents"))
 
+  /** Streaming exact dedup by event_id: duplicates arriving within the
+    * watermark horizon are dropped, and state for an id is reclaimed once
+    * the watermark passes it — bounded state, unlike a plain streaming
+    * `dropDuplicates` whose id set grows forever. The streaming twin of
+    * Silver's D2 key-dedup for at-least-once sources.
+    */
+  def dedupStream(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: each micro-batch joins the (broadcast)
+    * customer dimension — the standard fact-stream ⋈ dim pattern. No
+    * stream state at all: the static side re-resolves per batch, so a
+    * refreshed dim table is picked up without restarting the query.
+    */
+  def enrichStream(ev: DataFrame, cust: DataFrame): DataFrame =
+    ev.join(
+      broadcast(cust.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"), col("c_nationkey"))),
+      Seq("user_id"), "left")
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly"   -> ((s, d) => hourlyBatch(Tables.events(s, d))),

@@ -2,7 +2,7 @@ package graft
 
 import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
 import graft.ext.{Components, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin}
 import graft.streaming.EventsStreaming
 
 /** Driver-contract guards: the queries map is built by merging module
@@ -16,7 +16,8 @@ class SparkEntrySpec extends SparkSpec {
     TextAnalysis.queries, Similarity.queries, EventsStreaming.queries,
     Multimodal.queries, AsOfJoin.queries, Components.queries,
     RangeJoin.queries, Quality.queries, WindowOps.queries,
-    ScalarSurface.queries, TimeSeries.queries).map(_.size)
+    ScalarSurface.queries, TimeSeries.queries,
+    MergeUpsert.queries).map(_.size)
 
   test("no query name collisions across modules") {
     assert(SparkEntry.queries.size === moduleSizes.sum)

@@ -5,20 +5,31 @@ import graft.SparkSpec
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  private val mixedEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+    (10L, 12L), (20L, 21L))
+  private val mixedExpect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+    10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+
   test("chains, triangles, and separate components resolve to min labels") {
     // components: {1,2,3} (chain), {10,11,12} (triangle), {20,21}
-    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
-      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
-    val got = Components.connectedComponents(edges)
+    val got = Components.connectedComponents(mixedEdges.toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(got === mixedExpect)
+  }
+
+  test("distributed label propagation agrees with driver union-find") {
+    // localThreshold = -1 forces the distributed fixpoint path
+    val got = Components.connectedComponents(
+      mixedEdges.toDF("doc_a", "doc_b"), localThreshold = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === mixedExpect)
   }
 
   test("long chain converges within the iteration cap (label hops)") {
-    // path graph 0-1-2-...-12: min label must travel the full diameter
+    // path graph 0-1-2-...-12: min label must travel the full diameter —
+    // on the DISTRIBUTED path, where convergence is iterative
     val edges = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Components.connectedComponents(edges)
+    val got = Components.connectedComponents(edges, localThreshold = -1L)
       .as[(Long, Long)].collect().toMap
     assert(got.size === 13)
     assert(got.values.forall(_ === 0L))

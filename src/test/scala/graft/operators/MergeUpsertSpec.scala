@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MergeUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl(rows: (Long, String, Double)*) =
+    rows.toDF("k", "status", "amount")
+
+  test("upsert: matched rows take source, unmatched both sides survive") {
+    val target = tbl((1L, "old", 10.0), (2L, "old", 20.0))
+    val source = tbl((2L, "new", 99.0), (3L, "ins", 30.0))
+    val out = MergeUpsert.upsert(target, source, Seq("k"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out === Map(
+      1L -> ("old", 10.0),   // untouched target
+      2L -> ("new", 99.0),   // updated
+      3L -> ("ins", 30.0)))  // inserted
+  }
+
+  test("upsert: composite keys and schema mismatch rejection") {
+    val t2 = Seq((1L, "a", "x", 1.0)).toDF("k1", "k2", "status", "amount")
+    val s2 = Seq((1L, "a", "y", 2.0)).toDF("k1", "k2", "status", "amount")
+    val out = MergeUpsert.upsert(t2, s2, Seq("k1", "k2")).collect()
+    assert(out.length === 1 && out.head.getString(2) === "y")
+    intercept[IllegalArgumentException] {
+      MergeUpsert.upsert(t2, tbl((1L, "a", 1.0)), Seq("k1"))
+    }
+  }
+
+  test("ordersUpsert: mod-3 keys updated, mod-7 keys re-inserted") {
+    val ord = (1L to 20L).map(i =>
+      (i, 1L, "F", 100.0, ts("1997-01-01 00:00:00"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = MergeUpsert.ordersUpsert(ord)
+    assert(out.count() === 22) // 20 originals + 2 inserts (keys 7, 17)
+    val byKey = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(byKey(3L) === ("U", 11000L))   // updated: +10%
+    assert(byKey(13L) === ("U", 11000L))
+    assert(byKey(4L) === ("F", 10000L))   // untouched
+    assert(byKey(10000007L) === ("N", 10000L)) // inserted under new key
+    assert(byKey(7L) === ("F", 10000L))   // original of the insert remains
+  }
+}

@@ -113,6 +113,52 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicate event_ids within the watermark collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val sdf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStreaming.dedupStream(sdf)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:00"), 7L, "click", 1.0),
+        (1L, ts("2024-01-01 00:00:30"), 7L, "click", 1.0), // same batch dup
+        (2L, ts("2024-01-01 00:01:00"), 8L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData( // next batch, still inside the watermark: dropped
+        (1L, ts("2024-01-01 00:02:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("enrichStream: dim attributes attach, unmatched stay null") {
+    implicit val sqlCtx = spark.sqlContext
+    val cust = Seq((7L, "cname", 4, 1.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val sdf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStreaming.enrichStream(sdf, cust)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:00"), 7L, "click", 1.0),
+        (2L, ts("2024-01-01 00:01:00"), 9L, "view", 2.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select("event_id", "c_mktsegment").as[(Long, Option[String])]
+        .collect().toMap
+      assert(out(1L) === Some("BUILDING"))
+      assert(out(2L) === None)
+    } finally q.stop()
+  }
+
   test("session boundary: event at exactly the gap merges; beyond splits") {
     val ev = events(
       (1L, "2024-01-01 00:00:00", 7L, "click", 1.0),
