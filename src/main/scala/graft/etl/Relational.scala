@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.ext.Components
 
 /** Relational-surface completeness beyond the reference's own operators
   * (SURVEY.md §2.5/2.6 notes them absent; a user switching engines still
@@ -340,6 +341,72 @@ object Relational {
         |                          WHERE o_orderstatus = 'F')""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — per-customer
+    * top-2 orders as a lateral join (the SQL-standard form of top-k per
+    * group). Catalyst decorrelates the lateral into a window under the
+    * hood, so the executed plan is the same shuffle-once shape as the
+    * DataFrame `row_number` formulation — no per-row subquery loops.
+    */
+  def lateralSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.total_cents
+        |FROM customer_v c,
+        |LATERAL (SELECT o_orderkey,
+        |                CAST(round(o_totalprice * 100) AS BIGINT)
+        |                  AS total_cents
+        |         FROM orders_v o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+  }
+
+  /** Recursive CTE (WITH RECURSIVE): the dedup-cluster pipeline as ONE
+    * SQL statement — shingle, Jaccard-pair, then walk the pair graph to
+    * each node's minimum reachable id. Spark's recursion is UNION ALL
+    * only, so cycles are cut with an explicit depth bound (12 ≥ any
+    * near-dup cluster diameter here; the label-propagation operator in
+    * ext.Components is the unbounded/scale path, and the DuckDB oracle's
+    * set-semantics UNION recursion is the same fixpoint).
+    */
+  def recursiveSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents_v")
+    spark.sql(
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, explode(array_distinct(
+        |    CASE WHEN size(toks) < 3 THEN array()
+        |         ELSE transform(sequence(1, size(toks) - 2),
+        |                        i -> concat_ws(' ', slice(toks, i, 3)))
+        |    END)) AS shingle
+        |  FROM (SELECT doc_id, split(text, ' ') AS toks
+        |        FROM documents_v)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS inter_size
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5),
+        |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |        UNION SELECT doc_b, doc_a FROM pairs),
+        |walk AS (
+        |  SELECT u AS node, u AS r, 0 AS depth FROM und
+        |  UNION ALL
+        |  SELECT und.u, walk.r, walk.depth + 1
+        |  FROM und JOIN walk ON und.v = walk.node
+        |  WHERE walk.depth < 12)
+        |SELECT node AS doc_id, min(r) AS cluster_id
+        |FROM walk GROUP BY node""".stripMargin)
+  }
+
   /** The SQL entry path: identical pricing summary expressed through
     * `spark.sql` over registered temp views — proves the engine surface
     * is reachable from SQL text, not only the DataFrame DSL.
@@ -394,6 +461,8 @@ object Relational {
     "agg_argmax"         -> ((s, d) => argmaxAggs(Tables.lineitem(s, d))),
     "agg_histogram"      -> ((s, d) => histogramOrders(Tables.orders(s, d))),
     "sql_subqueries"     -> (subqueriesSql(_, _)),
+    "sql_lateral"        -> (lateralSql(_, _)),
+    "sql_recursive"      -> (recursiveSql(_, _)),
   )
 
   private val q1Oracle =
@@ -618,5 +687,19 @@ object Relational {
         |                AND o.o_totalprice > 150000)
         |  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
         |                          WHERE o_orderstatus = 'F')""".stripMargin,
+    "sql_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.total_cents
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |                CAST(round(o_totalprice * 100) AS BIGINT)
+        |                  AS total_cents
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin,
+    // same fixpoint as dedup_clusters' oracle, via DuckDB's set-semantics
+    // recursion (terminates on cycles without a depth bound)
+    "sql_recursive" -> Components.oracleSql("dedup_clusters"),
   )
 }

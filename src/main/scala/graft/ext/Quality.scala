@@ -35,6 +35,33 @@ object Quality {
     wide.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
   }
 
+  /** Percentile-bound outlier detection: orders outside [p1, p99] of
+    * their status group. Bounds travel as e3-scaled integers (the
+    * percentile determinism pattern, see Relational.percentiles scaladoc):
+    * `cents*10 > hi_e3` compares integers only, so boundary rows resolve
+    * identically in every engine — a raw double comparison against the
+    * interpolated bound would flip on the last bit. The (tiny) per-group
+    * bound table broadcast-joins back to the scan: two passes, no sort of
+    * the data itself.
+    */
+  def outliers(ord: DataFrame): DataFrame = {
+    val bounds = ord.groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.01)") * 1000).cast("long")
+          .as("lo_e3"),
+        round(expr("percentile(o_totalprice, 0.99)") * 1000).cast("long")
+          .as("hi_e3"))
+    ord.select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      .join(broadcast(bounds), Seq("o_orderstatus"))
+      .filter(col("total_cents") * 10 > col("hi_e3") ||
+        col("total_cents") * 10 < col("lo_e3"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("total_cents"),
+        col("lo_e3"), col("hi_e3"),
+        when(col("total_cents") * 10 > col("hi_e3"), "high")
+          .otherwise("low").as("side"))
+  }
+
   /** Driver-contract registration. Timestamps are pre-formatted to
     * strings and the double price to integer cents, so every profiled
     * column's min/max stringification is engine-identical.
@@ -47,6 +74,7 @@ object Quality {
         .withColumn("o_totalprice_cents",
           round(col("o_totalprice") * 100).cast("long"))
         .drop("o_totalprice"))),
+    "quality_outliers" -> ((s, d) => outliers(Tables.orders(s, d))),
   )
 
   /** DuckDB twin — same long-format stats per column. */
@@ -72,5 +100,23 @@ object Quality {
          |  FROM orders)
          |${selects.mkString("\nUNION ALL\n")}""".stripMargin
     },
+    "quality_outliers" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus,
+        |         CAST(round(quantile_cont(o_totalprice, 0.01) * 1000)
+        |              AS BIGINT) AS lo_e3,
+        |         CAST(round(quantile_cont(o_totalprice, 0.99) * 1000)
+        |              AS BIGINT) AS hi_e3
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_orderstatus,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+        |       b.lo_e3, b.hi_e3,
+        |       CASE WHEN CAST(round(o.o_totalprice * 100) AS BIGINT) * 10
+        |                 > b.hi_e3
+        |            THEN 'high' ELSE 'low' END AS side
+        |FROM orders o JOIN b USING (o_orderstatus)
+        |WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * 10 > b.hi_e3
+        |   OR CAST(round(o.o_totalprice * 100) AS BIGINT) * 10 < b.lo_e3"""
+        .stripMargin,
   )
 }
