@@ -363,46 +363,35 @@ object Relational {
         |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
   }
 
-  /** Recursive CTE (WITH RECURSIVE): the dedup-cluster pipeline as ONE
-    * SQL statement — shingle, Jaccard-pair, then walk the pair graph to
-    * each node's minimum reachable id. Spark's recursion is UNION ALL
-    * only, so cycles are cut with an explicit depth bound (12 ≥ any
-    * near-dup cluster diameter here; the label-propagation operator in
-    * ext.Components is the unbounded/scale path, and the DuckDB oracle's
-    * set-semantics UNION recursion is the same fixpoint).
+  /** Recursive CTE (WITH RECURSIVE): dedup clustering's reachability as
+    * SQL — walk the near-dup pair graph to each node's minimum reachable
+    * id. The pair graph is MATERIALIZED (eager checkpoint) before the
+    * recursion: Spark re-executes every plan the recursive step
+    * references once per level, so leaving the O(corpus) shingle-join
+    * inside the CTE multiplies it by the depth (measured 30 s vs ~4 s at
+    * sf0.1). Spark recursion is UNION ALL only, so cycles are cut by a
+    * depth bound plus a `carried label < receiving node` prune (only the
+    * component minimum ever survives the final MIN, and it undercuts
+    * every node it visits). ext.Components is the unbounded/scale path;
+    * the DuckDB oracle's set-semantics UNION recursion is the same
+    * fixpoint.
     */
   def recursiveSql(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.documents(spark, sfDir).createOrReplaceTempView("documents_v")
+    val pairs = graft.ext.Dedup
+      .ngramJaccardPairs(Tables.documents(spark, sfDir))
+      .select(col("doc_a"), col("doc_b"))
+    pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+      .createOrReplaceTempView("und_v")
     spark.sql(
-      """WITH RECURSIVE
-        |sh AS (
-        |  SELECT doc_id, explode(array_distinct(
-        |    CASE WHEN size(toks) < 3 THEN array()
-        |         ELSE transform(sequence(1, size(toks) - 2),
-        |                        i -> concat_ws(' ', slice(toks, i, 3)))
-        |    END)) AS shingle
-        |  FROM (SELECT doc_id, split(text, ' ') AS toks
-        |        FROM documents_v)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         count(*) AS inter_size
-        |  FROM sh a JOIN sh b
-        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON doc_a = sa.doc_id
-        |  JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5),
-        |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        |        UNION SELECT doc_b, doc_a FROM pairs),
-        |walk AS (
-        |  SELECT u AS node, u AS r, 0 AS depth FROM und
+      """WITH RECURSIVE walk AS (
+        |  SELECT u AS node, u AS r, 0 AS depth FROM und_v
         |  UNION ALL
-        |  SELECT und.u, walk.r, walk.depth + 1
-        |  FROM und JOIN walk ON und.v = walk.node
-        |  WHERE walk.depth < 12)
+        |  SELECT und_v.u, walk.r, walk.depth + 1
+        |  FROM und_v JOIN walk ON und_v.v = walk.node
+        |  WHERE walk.depth < 8 AND walk.r < und_v.u)
         |SELECT node AS doc_id, min(r) AS cluster_id
         |FROM walk GROUP BY node""".stripMargin)
   }

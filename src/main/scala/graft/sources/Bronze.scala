@@ -115,6 +115,15 @@ object Bronze {
       .parquet(path)
   }
 
+  /** Schema-evolution read: union the schemas of all parquet footers
+    * under `path` (columns added by newer writers come back null-filled
+    * on old files). Off by default in Spark because it reads every
+    * footer — use it only on ingest boundaries where writers evolve; at
+    * rest, migrate to one schema.
+    */
+  def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** JSON-lines source/sink with explicit schema (no inference pass). */
   def readJson(spark: SparkSession, path: String, table: String): DataFrame =
     spark.read.schema(schemas(table)).option("mode", "FAILFAST").json(path)

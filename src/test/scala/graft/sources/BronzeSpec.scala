@@ -51,4 +51,19 @@ class BronzeSpec extends SparkSpec {
     assert(!plan.contains("l_returnflag#") ||
       plan.contains("PartitionFilters"), "expected partition pruning")
   }
+
+  test("schema-evolution read unions footers, null-fills old files") {
+    val dir = Files.createTempDirectory("graft_evo").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.parquet(dir) // v1 writer
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2_added")
+      .write.mode("append").parquet(dir) // evolved writer adds a column
+    val evolved = Bronze.readParquetEvolved(spark, dir)
+    assert(evolved.columns.sorted.toSeq === Seq("id", "v1", "v2_added"))
+    val byId = evolved.collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("v2_added")))
+      .toMap
+    assert(byId(1L) === None)      // old file: added column null-filled
+    assert(byId(2L) === Some(9.5))
+  }
 }
