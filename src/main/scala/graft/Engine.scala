@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.etl.{Gold, Pipeline, Relational, Silver}
-import graft.ext.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+import graft.etl.{Gold, Pipeline, Relational, Silver, TimeSeries}
+import graft.ext.{Components, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, SkewJoin}
+import graft.streaming.EventsStreaming
 
 /** User-facing facade — the single entry point a user of the reference
   * pipeline would switch to: one object wrapping a session + data
@@ -69,8 +70,40 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def knnGraph: DataFrame = Similarity.nearestNeighborGraph(emb)
     def topKApprox(k: Int = Similarity.TopK): DataFrame =
       Similarity.ivfTopK(emb, k)
+    def nearDupPairs(threshold: Double = 0.35): DataFrame =
+      Similarity.embeddingNearDupPairs(emb, threshold)
+    def quantizeInt8: DataFrame = Similarity.quantizeInt8(emb)
     private def emb = Tables.embeddings(spark, dataDir)
   }
+
+  object timeSeries {
+    def gapFillDailySales: DataFrame =
+      TimeSeries.gapFillDailySales(Tables.orders(spark, dataDir))
+    def rollingCustomerSpend: DataFrame =
+      TimeSeries.rollingCustomerSpend(Tables.orders(spark, dataDir))
+    def scd2UserPhases: DataFrame =
+      TimeSeries.scd2UserPhases(Tables.events(spark, dataDir))
+  }
+
+  object quality {
+    def profile(df: DataFrame): DataFrame = Quality.profile(df)
+    def outliers: DataFrame = Quality.outliers(Tables.orders(spark, dataDir))
+  }
+
+  object streaming {
+    def hourly(stream: DataFrame): DataFrame =
+      EventsStreaming.hourlyStream(stream)
+    def sessions(stream: DataFrame): DataFrame =
+      EventsStreaming.sessionsStream(stream)
+    def dedup(stream: DataFrame): DataFrame =
+      EventsStreaming.dedupStream(stream)
+    def enrich(stream: DataFrame): DataFrame = EventsStreaming.enrichStream(
+      stream, Tables.customer(spark, dataDir))
+  }
+
+  /** MERGE INTO-style upsert of `source` into `target` by `keys`. */
+  def merge(target: DataFrame, source: DataFrame,
+      keys: Seq[String]): DataFrame = MergeUpsert.upsert(target, source, keys)
 
   object multimodal {
     def catalog: DataFrame = Multimodal.catalog(docs)

@@ -9,7 +9,10 @@ class EngineSpec extends SparkSpec {
       e.table("nation"), e.silver.orders, e.gold.dailySales,
       e.dedup.exactGroups, e.text.quality, e.similarity.topK(3),
       e.multimodal.catalog, e.analytics.pricingSummary,
-      e.analytics.latestOrderAsOf)
+      e.analytics.latestOrderAsOf, e.timeSeries.gapFillDailySales,
+      e.timeSeries.scd2UserPhases, e.quality.outliers,
+      e.similarity.quantizeInt8,
+      e.merge(e.table("nation"), e.table("nation"), Seq("n_nationkey")))
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
