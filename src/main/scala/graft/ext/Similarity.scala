@@ -73,9 +73,11 @@ object Similarity {
   }
 
   /** Nearest-neighbor edge for EVERY vector (quadratic ground truth).
-    * The per-src argmax runs through the custom heap operator
-    * (graft.plans.TopKPerGroup, k=1) instead of a window sort — at sf0.1
-    * that avoids sorting the full 4M-pair join output.
+    * Cosine is symmetric, so each unordered pair is computed ONCE
+    * (src < dst) and mirrored — half the dot products of the naive
+    * src ≠ dst join. The per-src argmax then runs through the custom
+    * heap operator (graft.plans.TopKPerGroup, k=1) instead of a window
+    * sort — at sf0.1 that avoids sorting the full pair stream.
     */
   def nearestNeighborGraph(emb: DataFrame): DataFrame = {
     val a = withNorm(
@@ -84,9 +86,18 @@ object Similarity {
     val b = withNorm(
       emb.select(col("vec_id").as("dst"), col("embedding").as("eb")),
       "eb", "nb")
-    val sims = a.join(b, col("src") =!= col("dst"))
+    // mirror INSIDE the pipeline (explode of a 2-element array) — a
+    // unionAll of the half-join with itself would recompute the join for
+    // the second branch (two consumers of an uncached subplan)
+    val sims = a.join(b, col("src") < col("dst"))
       .select(col("src"), col("dst"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("cosine")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("cosine"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cosine").as("cosine"))
     graft.plans.TopKPerGroup(sims, Seq("src"),
       Seq("cosine" -> true, "dst" -> false), k = 1)
       .select("src", "dst", "cosine")

@@ -39,7 +39,10 @@ object RangeJoin {
         <= tolSecs)
       .select(col("event_id"), col("o_orderkey"),
         datediff(col("lts"), col("rts")).cast("long").as("delta_days"))
-      .distinct()
+    // no dedup needed: rbin is a single value, so each (event, order)
+    // pair matches exactly ONE of the three probe bins — a distinct here
+    // would shuffle the full result for nothing (and the oracle's naive
+    // join has no DISTINCT either)
   }
 
   /** Driver-contract registration. Tolerance chosen so the events

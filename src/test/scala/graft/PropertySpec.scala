@@ -76,6 +76,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("merge upsert: empty source is identity, same source idempotent") {
+    val kvGen = for {
+      k <- Gen.choose(1L, 6L); v <- Gen.choose(0, 99)
+    } yield (k, v)
+    samples(Gen.listOfN(8, kvGen)).foreach { rows =>
+      // unique-key target/source (merge requires unique source keys)
+      val target = rows.distinctBy(_._1).toDF("k", "v")
+      val source = rows.distinctBy(_._1).map { case (k, v) => (k, v + 1000) }
+        .take(3).toDF("k", "v")
+      val empty = spark.emptyDataset[(Long, Int)].toDF("k", "v")
+      val id = graft.operators.MergeUpsert.upsert(target, empty, Seq("k"))
+      assert(id.as[(Long, Int)].collect().toSet ===
+        target.as[(Long, Int)].collect().toSet, "empty source = identity")
+      val once = graft.operators.MergeUpsert.upsert(target, source, Seq("k"))
+      val twice = graft.operators.MergeUpsert.upsert(once, source, Seq("k"))
+      assert(once.as[(Long, Int)].collect().toSet ===
+        twice.as[(Long, Int)].collect().toSet, "same source idempotent")
+    }
+  }
+
   test("shingles: at most max(0, tokens-2) distinct shingles per doc") {
     samples(Gen.listOfN(6, docGen)).foreach { texts =>
       val counts = Dedup.shingles(docsDf(texts))
