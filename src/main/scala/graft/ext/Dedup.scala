@@ -44,6 +44,24 @@ object Dedup {
           |               i -> concat_ws(' ', slice(toks, i, 3))) END"""
           .stripMargin))).as("shingle"))
 
+  /** Distinct 3-shingles as 64-bit ids: `xxhash64(tok, tok, tok)` per
+    * position — no string concatenation, no slice copies, and the
+    * downstream joins shuffle 8-byte longs instead of ~25-byte strings.
+    * Tokens contain no spaces, so the triple↔string mapping is bijective
+    * and the id partition equals [[shingles]]' (collision probability at
+    * 1e6 distinct shingles ≈ 3e-8 — negligible against the oracle).
+    */
+  def shingleIds(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 2),
+          |               i -> xxhash64(element_at(toks, CAST(i AS INT)),
+          |                             element_at(toks, CAST(i AS INT) + 1),
+          |                             element_at(toks, CAST(i AS INT) + 2)))
+          |END""".stripMargin))).as("shingle"))
+
   /** Exact-duplicate groups via hash-groupBy (`md5(text)`). */
   def exactGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("text_hash"))
@@ -61,7 +79,7 @@ object Dedup {
     * the ground-truth near-dup operator.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs)
+    val sh = shingleIds(docs)
     // per-doc shingle count straight from the array expression — no
     // explode + re-aggregate (saves a full shuffle of the shingle index);
     // docs with <3 tokens have n=0 and can never appear in `inter`
@@ -93,7 +111,7 @@ object Dedup {
 
   /** MinHash signature per doc: (doc_id, sig array<long>[MinhashK]). */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    minhashSignaturesFromShingles(shingles(docs))
+    minhashSignaturesFromShingles(shingleIds(docs))
 
   def minhashSignaturesFromShingles(sh: DataFrame): DataFrame = {
     // xxhash64 over (slot, shingle) as two typed args — unambiguous
@@ -151,7 +169,7 @@ object Dedup {
     * both the signature aggregation and the verify join.
     */
   def minhashDedupDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).persist()
+    val sh = shingleIds(docs).persist()
     val cands = lshCandidates(minhashSignaturesFromShingles(sh))
     // eager checkpoint: the (tiny) verified pair set materializes NOW,
     // which lets the shingle cache be released before this function

@@ -106,4 +106,15 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("shingleIds partition documents identically to string shingles") {
+    samples(Gen.listOfN(10, docGen)).foreach { texts =>
+      val df = docsDf(texts)
+      val byStr = Dedup.shingles(df).groupBy("doc_id").count()
+        .as[(Long, Long)].collect().toMap
+      val byId = Dedup.shingleIds(df).groupBy("doc_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(byId === byStr, "same per-doc distinct-shingle cardinality")
+    }
+  }
 }
