@@ -10,16 +10,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session hygiene between queries: release leased checkpoints and any
+    // cached plans so one query's storage can never be charged to another
+    // (round-2 post-mortem: leaked checkpoint blocks inflated an unrelated
+    // query 7x in the recorded bench)
+    def reset(): Unit = {
+      CheckpointLease.releaseAll()
+      spark.catalog.clearCache()
+    }
     // unmeasured warmup pass: JIT + codegen compile + file-index caches,
     // so the timed pass reports steady-state throughput (first-run JIT
     // noise otherwise dominates individual query numbers by 2-4x)
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      reset()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      reset()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

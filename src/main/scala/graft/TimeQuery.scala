@@ -20,12 +20,19 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def reset(): Unit = {
+      CheckpointLease.releaseAll()
+      spark.catalog.clearCache()
+    }
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir).count() // warmup
+      reset()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        reset()
+        dt
       }
       println(f"TIME $n: ${times.map(t => f"$t%.2f").mkString(", ")} s")
     }

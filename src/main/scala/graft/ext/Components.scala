@@ -93,7 +93,9 @@ object Components {
       i += 1
     }
     und.unpersist()
-    labels
+    // the surviving iteration's checkpoint is leased: harnesses release
+    // its blocks after the query's consuming action
+    graft.CheckpointLease.track(labels)
   }
 
   /** Driver-side union-find over a collected (bounded, see

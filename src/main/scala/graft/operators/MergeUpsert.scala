@@ -16,18 +16,38 @@ import graft.Tables
   * `sources.Bronze.writeBucketed`) the target-side shuffle disappears,
   * and a broadcast source turns the whole merge into a map-only job; at
   * 100 TB that is the difference between rewriting the table and
-  * rewriting only matched files. Source must be unique per key
-  * (enforced — ambiguous MERGE is an error in every engine).
+  * rewriting only matched files.
+  *
+  * == Semantics (two deliberate deltas from SQL MERGE) ==
+  *  - Source-key uniqueness is the caller's contract, validated only on
+  *    request (`validateUniqueSource = true` — an extra aggregation over
+  *    the source, so off by default on hot paths). With duplicate source
+  *    keys the full-outer join fans matched target rows out instead of
+  *    raising the `MERGE ... matched multiple times` error a SQL engine
+  *    would.
+  *  - The update rule is `coalesce(source.c, target.c)`: a matched source
+  *    row can never set a column to NULL (unlike `UPDATE SET *`, which
+  *    overwrites with NULL). That is the right default for correction
+  *    feeds — partial updates patch only the columns they carry — but
+  *    callers needing NULL-out semantics must encode a sentinel.
   */
 object MergeUpsert {
 
   /** Upsert `source` into `target` by `keys`: matched rows take every
-    * source column, unmatched target rows pass through, unmatched source
-    * rows are inserted. Schemas must match by name.
+    * non-null source column (see the no-NULL-update note in the object
+    * doc), unmatched target rows pass through, unmatched source rows are
+    * inserted. Schemas must match by name. `validateUniqueSource`
+    * eagerly asserts at most one source row per key before joining.
     */
   def upsert(target: DataFrame, source: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], validateUniqueSource: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    if (validateUniqueSource) {
+      val dup = source.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
+      require(dup.isEmpty,
+        s"ambiguous merge: duplicate source keys on (${keys.mkString(",")})")
+    }
     require(target.columns.sorted.sameElements(source.columns.sorted),
       s"schemas differ: ${target.columns.mkString(",")} vs " +
         source.columns.mkString(","))

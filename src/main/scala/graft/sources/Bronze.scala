@@ -166,4 +166,28 @@ object Bronze {
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
       .load()
+
+  /** S3 (JDBC parity): external-database sink mirroring the reference's
+    * per-zone `df.write.format("jdbc")...mode("overwrite")` (reference
+    * `include/scripts/to_bronze.py:41-50`, `to_silver.py:33-42`,
+    * `to_gold.py:36-45`). Executors open one connection per partition and
+    * insert in `batchSize` batches; `numPartitions` caps the connection
+    * fan-in so a wide job cannot exhaust the database's connection pool —
+    * the knob the single-partition reference never needed. Exercised
+    * round-trip against embedded Derby in BronzeSpec (no external DB in
+    * the container).
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.Overwrite, batchSize: Int = 10000,
+      isolationLevel: String = "READ_COMMITTED",
+      numPartitions: Option[Int] = None): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .option("isolationLevel", isolationLevel)
+    // the JDBC sink coalesces itself when the plan has more partitions
+    numPartitions.foreach(n => w.option("numPartitions", n))
+    w.mode(mode).save()
+  }
 }

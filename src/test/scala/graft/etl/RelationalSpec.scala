@@ -209,6 +209,25 @@ class RelationalSpec extends SparkSpec {
     assert(r === Map(0L -> 2L, 1L -> 1L, 19L -> 1L))
   }
 
+  test("recursiveComponentsSql reaches fixpoint past the per-pass depth") {
+    // 15-node chain: the minimum label is 14 hops from the far end, so a
+    // single depth-8 CTE pass mislabels nodes 9..14 (the round-2 bug);
+    // the re-seeding loop must converge to cluster_id 0 for every node
+    val edges = (0L until 14L).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val labels = Relational.recursiveComponentsSql(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === (0L to 14L).toSet)
+    assert(labels.values.toSet === Set(0L),
+      s"all chain nodes must join cluster 0, got $labels")
+    // and a cycle must not hang the UNION ALL recursion: triangle + tail
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L))
+      .toDF("doc_a", "doc_b")
+    val cl = Relational.recursiveComponentsSql(spark, cyc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("subqueriesSql decorrelates to joins (no subquery at runtime)") {
     val q = Relational.subqueriesSql(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString

@@ -31,6 +31,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("stop-shingle cap: hot shingles stop generating pairs, real " +
+      "near-dups survive on their remaining shingles") {
+    // "x y z" occurs in 8 docs; docs 3..8 consist of ONLY that shingle
+    val d = docs(Seq(
+      1L -> "x y z a b", 2L -> "x y z a b") ++
+      (3L to 8L).map(i => i -> "x y z"): _*)
+    // uncapped: the six hot-shingle-only docs are all pairwise exact dups
+    val free = Dedup.ngramJaccardPairs(d, 0.5, maxShingleDf = Long.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(free.contains((3L, 4L)) && free.contains((1L, 2L)))
+    // cap 5 < df 8 drops the hot shingle: its pairs vanish (the skew
+    // guard's recall contract — similarity loses ONLY ubiquitous
+    // shingles), while (1,2) still matches on its 2 kept shingles
+    val capped = Dedup.ngramJaccardPairs(d, 0.5, maxShingleDf = 5L)
+    val cp = capped.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cp === Set((1L, 2L)))
+    // jaccard is a true Jaccard of the KEPT sets (cap hits both
+    // numerator and denominator): 2 shared of 2 kept shingles = 1.0
+    assert(capped.collect().head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("default cap sits above testdata df: capped == uncapped at sf0.001") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Dedup.ngramJaccardPairs(d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val b = Dedup.ngramJaccardPairs(d, 0.5, maxShingleDf = Long.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("minhash LSH recall equals exact ground truth on sf0.001 documents") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.ngramJaccardPairs(d, 0.5)

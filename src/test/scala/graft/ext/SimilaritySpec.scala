@@ -36,9 +36,31 @@ class SimilaritySpec extends SparkSpec {
     val approx = Similarity.ivfTopK(d).select("query_id", "neighbor_id")
       .as[(Long, Long)].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    // probing 4/16 centroids must still find most true neighbors
-    assert(recall >= 0.6, s"IVF recall $recall below 0.6")
+    // probing 4/16 TRAINED centroids must find nearly all true neighbors
+    // (round-2 bound was 0.6 with untrained first-k centroids)
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9")
     info(f"IVF recall@10 = $recall%.2f")
+  }
+
+  test("trainCentroids: k-means separates well-separated clusters") {
+    // two tight clusters on orthogonal axes; first-k init (ids 0,1) puts
+    // both seeds in cluster A — training must move one to cluster B
+    val d = emb(
+      0L -> Seq(1f, 0.00f), 1L -> Seq(1f, 0.01f), 2L -> Seq(1f, -0.01f),
+      3L -> Seq(0f, 1.00f), 4L -> Seq(0.01f, 1f), 5L -> Seq(-0.01f, 1f))
+    val cents = Similarity.trainCentroids(d, k = 2, iters = 3).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(cents.size === 2)
+    val dirs = cents.values.map(v => math.abs(v(0)) > math.abs(v(1))).toSet
+    assert(dirs === Set(true, false),
+      s"one centroid per orthogonal cluster, got $cents")
+    // assignments agree: each cluster maps wholly to one centroid
+    val assign = Similarity.ivfAssignments(d,
+        Similarity.trainCentroids(d, k = 2, iters = 3))
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(Set(0L, 1L, 2L).map(assign).size === 1)
+    assert(Set(3L, 4L, 5L).map(assign).size === 1)
+    assert(assign(0L) !== assign(3L))
   }
 
   test("embeddingNearDupPairs: label-blocked, thresholded, a<b once") {

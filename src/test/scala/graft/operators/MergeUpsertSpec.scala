@@ -21,6 +21,28 @@ class MergeUpsertSpec extends SparkSpec {
       3L -> ("ins", 30.0)))  // inserted
   }
 
+  test("upsert: validateUniqueSource rejects ambiguous merges") {
+    val target = tbl((1L, "old", 10.0))
+    val dupSource = tbl((1L, "a", 1.0), (1L, "b", 2.0))
+    intercept[IllegalArgumentException] {
+      MergeUpsert.upsert(target, dupSource, Seq("k"),
+        validateUniqueSource = true)
+    }
+    // unique source passes the check and merges normally
+    val ok = MergeUpsert.upsert(target, tbl((1L, "new", 9.0)), Seq("k"),
+      validateUniqueSource = true).collect()
+    assert(ok.length === 1 && ok.head.getString(1) === "new")
+  }
+
+  test("upsert: coalesce rule means a source NULL cannot clear a column") {
+    val target = Seq((1L, Some("keep"), 1.0)).toDF("k", "status", "amount")
+    val source = Seq((1L, None: Option[String], 5.0))
+      .toDF("k", "status", "amount")
+    val out = MergeUpsert.upsert(target, source, Seq("k")).collect().head
+    assert(out.getString(1) === "keep", "NULL source column patches nothing")
+    assert(out.getDouble(2) === 5.0)
+  }
+
   test("upsert: composite keys and schema mismatch rejection") {
     val t2 = Seq((1L, "a", "x", 1.0)).toDF("k1", "k2", "status", "amount")
     val s2 = Seq((1L, "a", "y", 2.0)).toDF("k1", "k2", "status", "amount")
