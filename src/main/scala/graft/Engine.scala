@@ -44,14 +44,18 @@ case class Engine(spark: SparkSession, dataDir: String) {
   object dedup {
     def exactGroups: DataFrame = Dedup.exactGroups(docs)
     def exactDocs: DataFrame   = Dedup.exactDocs(docs)
-    def jaccardPairs(threshold: Double = 0.5): DataFrame =
-      Dedup.ngramJaccardPairs(docs, threshold)
+    def jaccardPairs(threshold: Double = 0.5,
+        maxShingleDf: Long = Dedup.MaxShingleDf): DataFrame =
+      Dedup.ngramJaccardPairs(docs, threshold, maxShingleDf)
     def minhashDedup(threshold: Double = 0.5): DataFrame =
       Dedup.minhashDedupDocs(docs, threshold)
     def simhashNearDups(maxHamming: Int = 3): DataFrame =
       Dedup.simhashNearDupPairs(docs, maxHamming)
     def nearDupClusters(threshold: Double = 0.5): DataFrame =
       Components.nearDupClusters(docs, threshold)
+    def decontamination(bench: DataFrame, n: Int = 5,
+        minShared: Long = 1L): DataFrame =
+      Dedup.containmentPairs(docs, bench, n, minShared)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -73,6 +77,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def nearDupPairs(threshold: Double = 0.35): DataFrame =
       Similarity.embeddingNearDupPairs(emb, threshold)
     def quantizeInt8: DataFrame = Similarity.quantizeInt8(emb)
+    def trainCentroids(k: Int = Similarity.Centroids,
+        iters: Int = Similarity.KmeansIters): DataFrame =
+      Similarity.trainCentroids(emb, k, iters)
+    def kmeansProfile: DataFrame = Similarity.kmeansClusterProfile(emb)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 
@@ -102,8 +110,14 @@ case class Engine(spark: SparkSession, dataDir: String) {
   }
 
   /** MERGE INTO-style upsert of `source` into `target` by `keys`. */
-  def merge(target: DataFrame, source: DataFrame,
-      keys: Seq[String]): DataFrame = MergeUpsert.upsert(target, source, keys)
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+      validateUniqueSource: Boolean = false): DataFrame =
+    MergeUpsert.upsert(target, source, keys, validateUniqueSource)
+
+  /** Release block-manager storage held by leased checkpoints (call after
+    * consuming a dedup/recursive result in a long-lived session).
+    */
+  def releaseCheckpoints(): Unit = CheckpointLease.releaseAll()
 
   object multimodal {
     def catalog: DataFrame = Multimodal.catalog(docs)

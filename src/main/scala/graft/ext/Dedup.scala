@@ -44,23 +44,30 @@ object Dedup {
           |               i -> concat_ws(' ', slice(toks, i, 3))) END"""
           .stripMargin))).as("shingle"))
 
-  /** Distinct 3-shingles as 64-bit ids: `xxhash64(tok, tok, tok)` per
+  /** Distinct word n-grams as 64-bit ids: `xxhash64(tok, ..., tok)` per
     * position — no string concatenation, no slice copies, and the
     * downstream joins shuffle 8-byte longs instead of ~25-byte strings.
-    * Tokens contain no spaces, so the triple↔string mapping is bijective
-    * and the id partition equals [[shingles]]' (collision probability at
-    * 1e6 distinct shingles ≈ 3e-8 — negligible against the oracle).
+    * Tokens contain no spaces, so the tuple↔string mapping is bijective
+    * and the id partition equals the string n-grams' (collision
+    * probability at 1e6 distinct n-grams ≈ 3e-8 — negligible against the
+    * oracle).
     */
-  def shingleIds(docs: DataFrame): DataFrame =
+  def ngramIds(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "ngram length must be positive")
+    val hashArgs = (0 until n)
+      .map(j => s"element_at(toks, CAST(i AS INT) + $j)").mkString(",\n    ")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(array_distinct(expr(
-        """CASE WHEN size(toks) < 3 THEN array()
-          |ELSE transform(sequence(1, size(toks) - 2),
-          |               i -> xxhash64(element_at(toks, CAST(i AS INT)),
-          |                             element_at(toks, CAST(i AS INT) + 1),
-          |                             element_at(toks, CAST(i AS INT) + 2)))
-          |END""".stripMargin))).as("shingle"))
+        s"""CASE WHEN size(toks) < $n THEN array()
+           |ELSE transform(sequence(1, size(toks) - ${n - 1}),
+           |               i -> xxhash64($hashArgs)) END"""
+          .stripMargin))).as("ngram"))
+  }
+
+  /** Distinct 3-shingles as 64-bit ids (see [[ngramIds]]). */
+  def shingleIds(docs: DataFrame): DataFrame =
+    ngramIds(docs, 3).withColumnRenamed("ngram", "shingle")
 
   /** Exact-duplicate groups via hash-groupBy (`md5(text)`). */
   def exactGroups(docs: DataFrame): DataFrame =
@@ -136,6 +143,43 @@ object Dedup {
     */
   def ngramJaccardPairsCapped(docs: DataFrame): DataFrame =
     ngramJaccardPairs(docs, threshold = 0.5, maxShingleDf = 5L)
+
+  /** Benchmark decontamination: for every (training doc, benchmark doc)
+    * pair sharing ≥ `minShared` distinct word n-grams, the overlap count
+    * and the containment ratio shared/|bench n-grams| — the standard
+    * train/eval contamination check a pretraining pipeline runs before
+    * release (a containment near 1.0 means the benchmark document is
+    * embedded in the training document).
+    *
+    * == Scale design ==
+    * Benchmark sets are tiny relative to a 100 TB corpus, so the bench
+    * n-gram index is BROADCAST: the corpus index streams map-side through
+    * the hash join and only the surviving (corpus_id, bench_id) pairs
+    * shuffle into the count — no corpus-side shuffle at all. n-grams are
+    * 64-bit xxhash ids ([[ngramIds]]); the oracle joins the equivalent
+    * string n-grams (bijective, see ngramIds doc).
+    */
+  def containmentPairs(corpus: DataFrame, bench: DataFrame, n: Int = 5,
+      minShared: Long = 1L): DataFrame = {
+    val bg = ngramIds(bench, n).persist()
+    val bSizes = bg.groupBy(col("doc_id").as("bench_id"))
+      .agg(count(lit(1)).as("bench_ngrams"))
+    val shared = ngramIds(corpus, n).as("c")
+      .join(broadcast(bg.as("b")), col("c.ngram") === col("b.ngram"))
+      .groupBy(col("c.doc_id").as("corpus_id"),
+        col("b.doc_id").as("bench_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+    val out = graft.CheckpointLease.track(shared
+      .join(broadcast(bSizes), Seq("bench_id"))
+      .withColumn("containment",
+        col("shared_ngrams") * lit(1.0) / col("bench_ngrams"))
+      .select("corpus_id", "bench_id", "shared_ngrams", "bench_ngrams",
+        "containment")
+      .localCheckpoint(true))
+    bg.unpersist()
+    out
+  }
 
   val MinhashK = 32     // signature length
   val BandRows = 2      // rows per band → 16 bands, P(cand|s=0.5) ≈ 0.99
@@ -278,6 +322,11 @@ object Dedup {
       ngramJaccardPairs(Tables.documents(s, d))),
     "dedup_ngram_capped"  -> ((s, d) =>
       ngramJaccardPairsCapped(Tables.documents(s, d))),
+    "decontam_ngrams"     -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      containmentPairs(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    }),
     "dedup_minhash_lsh"   -> ((s, d) =>
       minhashDedupDocs(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => simhashGroups(Tables.documents(s, d))),
@@ -348,5 +397,30 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5"""
         .stripMargin,
+    // decontamination: 5-gram containment of the src0 "benchmark" docs
+    // in every other-source training doc
+    "decontam_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                               for i in range(1, len(toks)-3)]))
+        |           AS ngram
+        |  FROM d),
+        |bench AS (SELECT doc_id, ngram FROM g WHERE source = 'src0'),
+        |corpus AS (SELECT doc_id, ngram FROM g WHERE source <> 'src0'),
+        |bsizes AS (SELECT doc_id AS bench_id, count(*) AS bench_ngrams
+        |           FROM bench GROUP BY 1),
+        |shared AS (
+        |  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+        |         count(*) AS shared_ngrams
+        |  FROM corpus c JOIN bench b ON c.ngram = b.ngram
+        |  GROUP BY 1, 2)
+        |SELECT corpus_id, bench_id, shared_ngrams, bench_ngrams,
+        |       shared_ngrams * 1.0 / bench_ngrams AS containment
+        |FROM shared JOIN bsizes USING (bench_id)
+        |WHERE shared_ngrams >= 1""".stripMargin,
   )
 }

@@ -61,6 +61,19 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("containmentPairs: embedded benchmark doc scores containment 1.0") {
+    val bench = docs(100L -> "the quick brown fox jumps over dog")
+    val corpus = docs(
+      1L -> "prefix words the quick brown fox jumps over dog suffix tail",
+      2L -> "completely different text with no overlap at all here")
+    val r = Dedup.containmentPairs(corpus, bench).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("corpus_id") === 1L)
+    assert(r.head.getAs[Long]("bench_id") === 100L)
+    assert(r.head.getAs[Long]("shared_ngrams") === 3L)  // 7 tokens → 3 5-grams
+    assert(r.head.getAs[Double]("containment") === 1.0)
+  }
+
   test("minhash LSH recall equals exact ground truth on sf0.001 documents") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.ngramJaccardPairs(d, 0.5)
