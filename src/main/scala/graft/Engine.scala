@@ -114,6 +114,11 @@ case class Engine(spark: SparkSession, dataDir: String) {
       validateUniqueSource: Boolean = false): DataFrame =
     MergeUpsert.upsert(target, source, keys, validateUniqueSource)
 
+  /** CDC apply: fold an (op, seq) change feed into a snapshot by `keys`. */
+  def applyChanges(target: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame =
+    MergeUpsert.applyChanges(target, changes, keys)
+
   /** Release block-manager storage held by leased checkpoints (call after
     * consuming a dedup/recursive result in a long-lived session).
     */

@@ -417,13 +417,23 @@ object Relational {
     var pass = 0
     while (!converged && pass < maxPasses) {
       labels.createOrReplaceTempView("rec_lbl_v")
+      // dominated-message prune: a walk only extends to u if its carried
+      // label undercuts u's label AT SEED TIME (`cur.r`); any walk with
+      // r >= cur.r(u) is dominated by the walk seeded at u itself (every
+      // node is a seed), so dropping it loses nothing. Strictly stronger
+      // than the `r < u` prune (cur.r <= u always), and at the fixpoint —
+      // where a component's nodes all share one label — level 1 produces
+      // ZERO rows, so the convergence-confirming pass terminates after
+      // one join instead of walking to the depth bound.
       val next = spark.sql(
         s"""WITH RECURSIVE walk AS (
            |  SELECT node, r, 0 AS depth FROM rec_lbl_v
            |  UNION ALL
            |  SELECT rec_und_v.u, walk.r, walk.depth + 1
-           |  FROM rec_und_v JOIN walk ON rec_und_v.v = walk.node
-           |  WHERE walk.depth < $batchDepth AND walk.r < rec_und_v.u)
+           |  FROM rec_und_v
+           |  JOIN walk ON rec_und_v.v = walk.node
+           |  JOIN rec_lbl_v cur ON cur.node = rec_und_v.u
+           |  WHERE walk.depth < $batchDepth AND walk.r < cur.r)
            |SELECT node, min(r) AS r FROM walk GROUP BY node""".stripMargin)
         .localCheckpoint(true)
       val s = labelSum(next)

@@ -115,11 +115,56 @@ object EventsStreaming {
         col("c_mktsegment"), col("c_nationkey"))),
       Seq("user_id"), "left")
 
+  /** Click→purchase attribution: every purchase within 30 minutes of a
+    * same-user click (batch form — the oracle-checked twin of
+    * [[attributionStream]]). Plans as an equi-join on `user_id` with the
+    * time range as a post-join filter — the right batch shape when users
+    * are numerous and per-user event counts bounded; see
+    * `operators.RangeJoin` for the binned variant when a time-only join
+    * key would blow up.
+    */
+  def attributionBatch(ev: DataFrame): DataFrame =
+    attributionJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+
+  /** Streaming twin of [[attributionBatch]]: a stream-stream inner join.
+    * Both sides are watermarked and the join condition bounds
+    * `purchase_ts` to a 30-minute interval after `click_ts`, so each
+    * side's state is reclaimed once the other side's watermark passes the
+    * interval — bounded state, the requirement for an unbounded two-stream
+    * join. Exercised by EventsStreamingSpec (stream == batch, and a
+    * purchase arriving in a later micro-batch than its click still joins).
+    */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    attributionJoin(
+      clicks.withWatermark("ts", "10 minutes"),
+      purchases.withWatermark("ts", "10 minutes"))
+
+  private def attributionJoin(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+      col("value"))
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTE"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("purchase_time"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly"   -> ((s, d) => hourlyBatch(Tables.events(s, d))),
     "stream_sliding"  -> ((s, d) => slidingBatch(Tables.events(s, d))),
     "stream_sessions" -> ((s, d) => sessionsBatch(Tables.events(s, d))),
+    "stream_attribution" -> ((s, d) => attributionBatch(Tables.events(s, d))),
   )
 
   /** DuckDB twins of [[queries]]. Window starts are reproduced with
@@ -167,5 +212,16 @@ object EventsStreaming {
         |       count(*) AS n_events,
         |       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "stream_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |       p.event_id AS purchase_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+        |       CAST(round(p.value * 100) AS BIGINT) AS value_cents
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
+        .stripMargin,
   )
 }

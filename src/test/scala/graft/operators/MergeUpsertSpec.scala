@@ -21,6 +21,24 @@ class MergeUpsertSpec extends SparkSpec {
       3L -> ("ins", 30.0)))  // inserted
   }
 
+  test("applyChanges: last-wins per key, D deletes, I/U upsert") {
+    val target = tbl((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    val feed = Seq(
+      (2L, "upd", 20.0, "U", 1),   // update key 2
+      (2L, "del", 0.0, "D", 2),    // ...then delete it (seq 2 wins)
+      (3L, "upd", 30.0, "U", 5),   // update key 3 (latest of two updates)
+      (3L, "old", 99.0, "U", 4),
+      (4L, "ins", 4.0, "I", 1))    // insert key 4
+      .toDF("k", "status", "amount", "op", "seq")
+    val out = MergeUpsert.applyChanges(target, feed, Seq("k"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out === Map(
+      1L -> ("a", 1.0),      // untouched
+      3L -> ("upd", 30.0),   // seq-5 update wins over seq-4
+      4L -> ("ins", 4.0)))   // inserted; key 2 deleted
+  }
+
   test("upsert: validateUniqueSource rejects ambiguous merges") {
     val target = tbl((1L, "old", 10.0))
     val dupSource = tbl((1L, "a", 1.0), (1L, "b", 2.0))

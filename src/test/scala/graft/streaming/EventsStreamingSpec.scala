@@ -159,6 +159,63 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStream: stream-stream join matches batch, joins " +
+      "across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val purchases =
+      MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStreaming.attributionStream(
+        clicks.toDF().toDF(cols: _*), purchases.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 00:00:00"), 7L, "click", 0.0),
+        (2L, ts("2024-01-01 00:00:00"), 8L, "click", 0.0))
+      q.processAllAvailable()
+      // purchase arrives a LATER micro-batch than its click: state join
+      purchases.addData(
+        (10L, ts("2024-01-01 00:20:00"), 7L, "purchase", 5.0),  // in window
+        (11L, ts("2024-01-01 00:40:00"), 8L, "purchase", 6.0))  // 40min: out
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select("user_id", "click_id", "purchase_id", "value_cents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === Set((7L, 1L, 10L, 500L)))
+      val batch = EventsStreaming.attributionBatch(events(
+        (1L, "2024-01-01 00:00:00", 7L, "click", 0.0),
+        (2L, "2024-01-01 00:00:00", 8L, "click", 0.0),
+        (10L, "2024-01-01 00:20:00", 7L, "purchase", 5.0),
+        (11L, "2024-01-01 00:40:00", 8L, "purchase", 6.0)))
+        .select("user_id", "click_id", "purchase_id", "value_cents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("UpsertSink: stream of upserts maintains a keyed parquet snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_upsink")
+    val target = s"$base/snapshot"
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = UpsertSink.start(
+      mem.toDF().toDF("k", "status", "amount"), target, Seq("k"),
+      s"$base/chk")
+    try {
+      mem.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData((2L, "b2", 20.0), (3L, "c", 3.0)) // update 2, insert 3
+      q.processAllAvailable()
+      val snap = spark.read.parquet(target)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+        .toMap
+      assert(snap === Map(
+        1L -> ("a", 1.0), 2L -> ("b2", 20.0), 3L -> ("c", 3.0)))
+    } finally q.stop()
+  }
+
   test("session boundary: event at exactly the gap merges; beyond splits") {
     val ev = events(
       (1L, "2024-01-01 00:00:00", 7L, "click", 1.0),
