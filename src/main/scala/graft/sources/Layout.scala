@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton-curve) clustering of a
+  * table on two key columns before writing, so parquet min/max footer
+  * stats become tight on BOTH dimensions and a selective filter on either
+  * key skips most files.
+  *
+  * A single-column sort gives perfect skipping on that column and none on
+  * any other; interleaving the bits of two normalized keys places rows
+  * close in (x, y) space into the same files — the standard lakehouse
+  * `OPTIMIZE ZORDER BY` layout, reproduced here with nothing but built-in
+  * expressions (bit ops + range repartition + within-partition sort).
+  *
+  * == Scale design ==
+  * The z-value is a narrow projection; `repartitionByRange` samples it
+  * (one pass) and range-partitions — the same shuffle a global sort pays,
+  * but the payoff is at READ time forever after: a filter on either
+  * dimension prunes to O(selectivity) of the files. Rank-normalization
+  * via `percent_rank` costs one window over the z-columns; for stable key
+  * domains, substitute fixed min/max scaling to avoid the window.
+  */
+object Layout {
+
+  val ZBits = 16 // bits per dimension → 32-bit z-value
+
+  /** Bit-interleave two [0, 2^ZBits) integer columns (Morton code). */
+  def morton(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      val xb = shiftright(x, i).bitwiseAND(1).cast("long") * (1L << (2 * i))
+      val yb = shiftright(y, i).bitwiseAND(1).cast("long") * (1L << (2 * i + 1))
+      xb + yb
+    }.reduce(_ + _)
+
+  /** Rank-normalize a column to [0, 2^ZBits) — distribution-free, so
+    * skewed keys still fill the z-space evenly.
+    */
+  private def normalized(c: Column): Column =
+    (percent_rank().over(
+      org.apache.spark.sql.expressions.Window.orderBy(c))
+      * ((1 << ZBits) - 1)).cast("int")
+
+  /** Z-order `df` by two columns and write `files` parquet files. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, files: Int): Unit =
+    df.withColumn("__z",
+        morton(normalized(col(colA)), normalized(col(colB))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Per-file min/max tightness of `keyCol` under a layout: the mean
+    * fraction of the key's global span each output file covers (1.0 =
+    * every file spans everything = no skipping; small = tight zone maps).
+    * Reads the written files back with `input_file_name` — a layout
+    * QUALITY metric, cheap at test scale; at 100 TB read the footers.
+    */
+  def fileSpanFraction(df: DataFrame, keyCol: String): Double = {
+    val global = df.agg(
+      (max(col(keyCol)) - min(col(keyCol))).cast("double")).first().getDouble(0)
+    val spans = df.withColumn("__f", input_file_name())
+      .groupBy("__f")
+      .agg(((max(col(keyCol)) - min(col(keyCol))).cast("double") / global)
+        .as("frac"))
+      .agg(avg("frac")).first().getDouble(0)
+    spans
+  }
+}
