@@ -17,6 +17,7 @@ object Bench {
     def reset(): Unit = {
       CheckpointLease.releaseAll()
       spark.catalog.clearCache()
+      org.apache.spark.sql.GraftBridge.sessionHygiene(spark)
     }
     // unmeasured warmup pass: JIT + codegen compile + file-index caches,
     // so the timed pass reports steady-state throughput (first-run JIT
@@ -32,10 +33,15 @@ object Bench {
       reset()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the single JSON line short enough for the
+    // driver's fixed-size stdout tail capture (full-precision doubles pushed
+    // the line past the buffer in rounds 1-3: every BENCH_r*.json recorded
+    // parsed:null with the line's head truncated away)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

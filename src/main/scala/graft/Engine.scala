@@ -147,6 +147,17 @@ case class Engine(spark: SparkSession, dataDir: String) {
       SkewJoin.saltedJoin(big, small, key, salts)
   }
 
+  /** Multi-dimensional file layout (Z-order clustering + layout-quality
+    * metric) — see [[graft.sources.Layout]].
+    */
+  object layout {
+    def writeZOrdered(df: DataFrame, path: String, colA: String,
+        colB: String, files: Int): Unit =
+      graft.sources.Layout.writeZOrdered(df, path, colA, colB, files)
+    def fileSpanFraction(df: DataFrame, keyCol: String): Double =
+      graft.sources.Layout.fileSpanFraction(df, keyCol)
+  }
+
   /** Full medallion run with validation; throws on any failed check. */
   def runPipeline(outDir: String): Seq[Pipeline.CheckResult] =
     Pipeline.runAll(spark, dataDir, outDir)

@@ -23,6 +23,7 @@ object TimeQuery {
     def reset(): Unit = {
       CheckpointLease.releaseAll()
       spark.catalog.clearCache()
+      org.apache.spark.sql.GraftBridge.sessionHygiene(spark)
     }
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir).count() // warmup

@@ -21,8 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release leased checkpoints after each query's consuming action
+      // release leased checkpoints after each query's consuming action,
+      // then force-drain broadcast/shuffle garbage (see GraftBridge)
       CheckpointLease.releaseAll()
+      org.apache.spark.sql.GraftBridge.sessionHygiene(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -377,13 +377,13 @@ object Relational {
     * oscillate between two nodes forever. The depth bound that cuts those
     * cycles therefore stays INSIDE each CTE pass, but correctness no
     * longer depends on it: a Scala loop re-seeds the recursion with the
-    * labels of the previous pass and repeats until the label sum
-    * stabilizes, so a diameter-D graph converges in ceil(D/batchDepth)
+    * labels of the previous pass until a pass EXHAUSTS before the depth
+    * bound (empty recursion level), which proves the labels are the true
+    * fixpoint — so a diameter-D graph converges in ~ceil(D/batchDepth)
     * passes regardless of D (round-2 verdict: the old single bounded pass
     * silently mislabeled any component whose minimum sat >8 hops away).
-    * Within a pass, `walk.r < u` prunes carried labels that cannot lower
-    * the receiving node's label (L(u) <= u always, so no useful label is
-    * dropped) — it bounds the per-pass row blowup on dense components.
+    * Convergence detection, pruning, and the recursion-local parallelism
+    * choice are documented inline below.
     *
     * The pair graph is MATERIALIZED (eager checkpoint) before the
     * recursion: Spark re-executes every plan the recursive step
@@ -396,58 +396,90 @@ object Relational {
     * oracle's set-semantics UNION recursion terminates on cycles natively.
     */
   def recursiveComponentsSql(spark: SparkSession, edges: DataFrame,
-      batchDepth: Int = 8, maxPasses: Int = 1024): DataFrame = {
+      batchDepth: Int = 4, maxPasses: Int = 1024): DataFrame = {
     val und = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .localCheckpoint(true)
-    und.createOrReplaceTempView("rec_und_v")
+    // Size the recursion's reducers to the MATERIALIZED edge cardinality,
+    // not the session default: the near-dup pair graph is orders of
+    // magnitude smaller than the corpus that produced it, and every level
+    // of every pass pays the per-partition scheduling overhead (~20 joins
+    // x 32 near-empty tasks dominated the measured cost at test SF). The
+    // count is free — `und` is already checkpointed.
+    val shuffleConf = "spark.sql.shuffle.partitions"
+    val aqeConf = "spark.sql.adaptive.enabled"
+    val sessionParts = spark.conf.get(shuffleConf)
+    val sessionAqe = spark.conf.get(aqeConf)
+    val recParts = math.min(und.count() / 2_000_000L + 1L,
+      sessionParts.toLong).toString
     var labels = und.select(col("u").as("node"), col("u").as("r"))
       .distinct()
       .localCheckpoint(true)
-    // labels only ever decrease, so their sum strictly decreases until
-    // the fixpoint — one tiny agg per pass as the convergence test
-    // (decimal: immune to long overflow on huge id domains)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("r").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")))
-        .first().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var pass = 0
-    while (!converged && pass < maxPasses) {
-      labels.createOrReplaceTempView("rec_lbl_v")
-      // dominated-message prune: a walk only extends to u if its carried
-      // label undercuts u's label AT SEED TIME (`cur.r`); any walk with
-      // r >= cur.r(u) is dominated by the walk seeded at u itself (every
-      // node is a seed), so dropping it loses nothing. Strictly stronger
-      // than the `r < u` prune (cur.r <= u always), and at the fixpoint —
-      // where a component's nodes all share one label — level 1 produces
-      // ZERO rows, so the convergence-confirming pass terminates after
-      // one join instead of walking to the depth bound.
-      val next = spark.sql(
-        s"""WITH RECURSIVE walk AS (
-           |  SELECT node, r, 0 AS depth FROM rec_lbl_v
-           |  UNION ALL
-           |  SELECT rec_und_v.u, walk.r, walk.depth + 1
-           |  FROM rec_und_v
-           |  JOIN walk ON rec_und_v.v = walk.node
-           |  JOIN rec_lbl_v cur ON cur.node = rec_und_v.u
-           |  WHERE walk.depth < $batchDepth AND walk.r < cur.r)
-           |SELECT node, min(r) AS r FROM walk GROUP BY node""".stripMargin)
-        .localCheckpoint(true)
-      val s = labelSum(next)
-      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
-      labels = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      pass += 1
+    try {
+      spark.conf.set(shuffleConf, recParts)
+      // AQE re-plans every recursion level as its own adaptive query —
+      // pure overhead once the partition count is already sized to the
+      // materialized edge set above (measured ~310 -> ~215 ms/level off).
+      spark.conf.set(aqeConf, "false")
+      und.createOrReplaceTempView("rec_und_v")
+      var pass = 0
+      var converged = false
+      while (!converged && pass < maxPasses) {
+        labels.createOrReplaceTempView("rec_lbl_v")
+        // Two prunes keep the per-pass row count linear in the useful work:
+        //  - dominated-message prune: a walk extends to u only if its
+        //    carried label undercuts u's label AT SEED TIME (`cur.r`);
+        //    any walk with r >= cur.r(u) is dominated by the walk seeded
+        //    at u itself (every node is a seed), so dropping it is safe.
+        //  - anti-backtrack prune (`u <> walk.prev`): a walk carries one
+        //    constant label, so stepping straight back to the node it just
+        //    left can never deliver anything the shorter walk didn't —
+        //    without this, a single improving label oscillates between two
+        //    higher-labeled neighbors and keeps the recursion alive to the
+        //    depth bound even when all useful work finished at level 2.
+        // With both, the recursion EXHAUSTS (empty level => Spark stops)
+        // at the true improvement frontier. The `()` grouping set rides
+        // the same execution to report the deepest level reached: if
+        // max(depth) < batchDepth the pass exhausted naturally, which
+        // PROVES the labels are edge-consistent (any improving extension
+        // at depth k+1 <= the empty level would have been produced), i.e.
+        // the fixpoint — no confirmation pass, no label-sum action. Only
+        // a pass cut off by the depth bound re-seeds and repeats; each
+        // such pass strictly lowered some label (every level-k row has
+        // r < its node's seed label), so the loop terminates.
+        val agg = spark.sql(
+          s"""WITH RECURSIVE walk AS (
+             |  SELECT node, r, node AS prev, 0 AS depth FROM rec_lbl_v
+             |  UNION ALL
+             |  SELECT rec_und_v.u, walk.r, walk.node AS prev,
+             |         walk.depth + 1
+             |  FROM rec_und_v
+             |  JOIN walk ON rec_und_v.v = walk.node
+             |  JOIN rec_lbl_v cur ON cur.node = rec_und_v.u
+             |  WHERE walk.depth < $batchDepth AND walk.r < cur.r
+             |    AND rec_und_v.u <> walk.prev)
+             |SELECT node, min(r) AS r, max(depth) AS d
+             |FROM walk GROUP BY GROUPING SETS ((node), ())""".stripMargin)
+          .localCheckpoint(true)
+        val maxDepth = agg.filter(col("node").isNull).select(col("d"))
+          .collect().headOption.flatMap(r => Option(r.get(0)))
+          .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
+        labels = agg
+        converged = maxDepth < batchDepth
+        pass += 1
+      }
+    } finally {
+      spark.conf.set(shuffleConf, sessionParts)
+      spark.conf.set(aqeConf, sessionAqe)
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(und)
+      spark.catalog.dropTempView("rec_und_v")
+      spark.catalog.dropTempView("rec_lbl_v")
     }
-    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(und)
-    spark.catalog.dropTempView("rec_und_v")
-    spark.catalog.dropTempView("rec_lbl_v")
     graft.CheckpointLease.track(labels)
-    labels.select(col("node").as("doc_id"), col("r").as("cluster_id"))
+    labels.filter(col("node").isNotNull)
+      .select(col("node").as("doc_id"), col("r").as("cluster_id"))
   }
 
   /** sql_recursive query: fixpoint reachability over the oracle-checked

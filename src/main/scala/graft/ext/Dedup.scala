@@ -345,14 +345,22 @@ object Dedup {
         |FROM (SELECT *, row_number() OVER (PARTITION BY text
         |              ORDER BY doc_id) AS rn FROM documents)
         |WHERE rn = 1""".stripMargin,
+    // replicates the engine's MaxShingleDf=1000 skew guard so query and
+    // oracle compute the SAME operator at every SF (round-3 advice: at
+    // test SF the cap never fires — max df 25 — but a divergence-by-SF
+    // between verified query and oracle is still a latent wrong-answer)
     "dedup_ngram_jaccard" ->
-      """WITH sh AS (
+      """WITH sh0 AS (
         |  SELECT doc_id,
         |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
         |                               for i in range(1, len(toks)-1)]))
         |           AS shingle
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
         |        FROM documents)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  WHERE shingle IN (SELECT shingle FROM sh0
+        |                    GROUP BY 1 HAVING count(*) <= 1000)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -127,11 +127,16 @@ object Similarity {
       iters: Int = KmeansIters): DataFrame = {
     val spark = emb.sparkSession
     val vecs = emb.select(col("vec_id"), col("embedding")).persist()
-    var cents = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("centroid_id"),
-        col("embedding").as("c"))
-    var prev: Map[Int, Seq[Float]] = cents.collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    // Deterministic init from the first k rows IN vec_id ORDER, re-keyed
+    // to dense centroid ids 0..m-1: works for sparse/offset id domains
+    // and for corpora smaller than k (m < k centroids, no lookup misses)
+    // — round-3 advice: `vec_id < k` threw on both.
+    var prev: Map[Int, Seq[Float]] = vecs.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1) }.toMap
+    val m = prev.size
+    var cents = spark.createDataFrame(prev.toSeq.sortBy(_._1))
+      .toDF("centroid_id", "c")
     for (_ <- 1 to iters) {
       val best = vecs.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("centroid_id"),
@@ -150,7 +155,7 @@ object Similarity {
       val byCid = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
         cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
       }
-      prev = (0 until k).map(c => c -> byCid.getOrElse(c, prev(c))).toMap
+      prev = (0 until m).map(c => c -> byCid.getOrElse(c, prev(c))).toMap
       cents = spark.createDataFrame(
           prev.toSeq.sortBy(_._1))
         .toDF("centroid_id", "c")
@@ -177,11 +182,13 @@ object Similarity {
     ivfAssignments(emb, trainCentroids(emb))
 
   /** IVF approximate top-k: probe the [[Probes]] best centroids per query,
-    * exact search within those inverted lists only, over the k-means
-    * codebook from [[trainCentroids]].
+    * exact search within those inverted lists only. Pass a pre-trained
+    * `codebook` to amortize training across queries (an index build trains
+    * ONCE and serves many top-k calls); the default trains on the fly.
     */
-  def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
-    val cents = trainCentroids(emb)
+  def ivfTopK(emb: DataFrame, k: Int = TopK,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = codebook.getOrElse(trainCentroids(emb))
     val assigned = ivfAssignments(emb, cents)
     val queries = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
@@ -230,8 +237,9 @@ object Similarity {
     * build reports. Rows-only (float k-means means are not reproducible
     * across engines); SimilaritySpec pins recall instead.
     */
-  def kmeansClusterProfile(emb: DataFrame): DataFrame = {
-    val cents = trainCentroids(emb)
+  def kmeansClusterProfile(emb: DataFrame,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = codebook.getOrElse(trainCentroids(emb))
     emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
         cosine(col("embedding"), col("c")).as("ccos"))

@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * The z-value is a narrow projection; `repartitionByRange` samples it
   * (one pass) and range-partitions — the same shuffle a global sort pays,
   * but the payoff is at READ time forever after: a filter on either
-  * dimension prunes to O(selectivity) of the files. Rank-normalization
-  * via `percent_rank` costs one window over the z-columns; for stable key
-  * domains, substitute fixed min/max scaling to avoid the window.
+  * dimension prunes to O(selectivity) of the files. Keys are normalized
+  * by min/max scaling from ONE distributed agg (4 scalars to the driver)
+  * — a global `percent_rank` window would funnel the whole table through
+  * a single task, a non-starter at 100 TB (round-3 advice). Min/max
+  * scaling under-fills the z-space on heavily skewed keys; pre-transform
+  * such keys (log, bucketed rank) before calling if that matters.
   */
 object Layout {
 
@@ -34,23 +37,26 @@ object Layout {
       xb + yb
     }.reduce(_ + _)
 
-  /** Rank-normalize a column to [0, 2^ZBits) — distribution-free, so
-    * skewed keys still fill the z-space evenly.
-    */
-  private def normalized(c: Column): Column =
-    (percent_rank().over(
-      org.apache.spark.sql.expressions.Window.orderBy(c))
-      * ((1 << ZBits) - 1)).cast("int")
+  /** Linear min/max scale of a numeric column to [0, 2^ZBits). */
+  private def scaled(c: Column, lo: Double, hi: Double): Column = {
+    val span = if (hi > lo) hi - lo else 1.0
+    (((c.cast("double") - lo) / span) * ((1 << ZBits) - 1)).cast("int")
+  }
 
-  /** Z-order `df` by two columns and write `files` parquet files. */
+  /** Z-order `df` by two numeric columns and write `files` parquet files. */
   def writeZOrdered(df: DataFrame, path: String, colA: String,
-      colB: String, files: Int): Unit =
+      colB: String, files: Int): Unit = {
+    val r = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).first()
     df.withColumn("__z",
-        morton(normalized(col(colA)), normalized(col(colB))))
+        morton(scaled(col(colA), r.getDouble(0), r.getDouble(1)),
+          scaled(col(colB), r.getDouble(2), r.getDouble(3))))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Per-file min/max tightness of `keyCol` under a layout: the mean
     * fraction of the key's global span each output file covers (1.0 =

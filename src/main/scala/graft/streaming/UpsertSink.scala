@@ -14,16 +14,29 @@ import graft.operators.MergeUpsert
   * Each micro-batch is deduplicated on the merge keys (at-least-once
   * sources redeliver; callers needing last-wins ORDER within a batch
   * should pre-sort/sequence upstream, see `MergeUpsert.applyChanges`) and
-  * full-outer-merged into the snapshot. The merged result is eagerly
-  * `localCheckpoint`ed BEFORE the overwrite so reading and rewriting the
-  * same path is safe, then the blocks are released.
+  * full-outer-merged into the snapshot.
+  *
+  * == Crash safety ==
+  * The merged snapshot is written NEXT TO the live one (`._staged`) and
+  * then swapped in (delete live, rename staged): the live snapshot is
+  * never destroyed before its replacement is fully committed, so a crash
+  * at any point leaves a complete snapshot at the target or the staged
+  * path — never neither. [[applyBatch]] promotes a stranded staged
+  * snapshot before merging, and only a genuine PATH_NOT_FOUND on a first
+  * batch is treated as the empty snapshot; any other read failure aborts
+  * the batch instead of silently reinitializing the target (round-3
+  * advice: the old overwrite-in-place + broad catch could lose the
+  * snapshot and then treat the loss as a fresh start).
   *
   * == Scale design ==
-  * foreachBatch is exactly-once per epoch (checkpointed offsets + the
-  * overwrite is idempotent for the same batch). At 100 TB the snapshot
-  * rewrite becomes the bottleneck — partition the snapshot and rewrite
-  * only partitions the batch touches (merge-on-read); the full-overwrite
-  * here is the bounded-snapshot form.
+  * foreachBatch is exactly-once per epoch (checkpointed offsets + replay
+  * of a committed batch re-merges the same keys, which is idempotent).
+  * Writing to the staged path also means the merge plan can stream from
+  * the live snapshot while writing — no eager materialization of the full
+  * merged state in block-manager memory. At 100 TB the snapshot rewrite
+  * becomes the bottleneck — partition the snapshot and rewrite only
+  * partitions the batch touches (merge-on-read); the full-rewrite here is
+  * the bounded-snapshot form.
   */
 object UpsertSink {
 
@@ -40,17 +53,29 @@ object UpsertSink {
   def applyBatch(batch: Dataset[Row], targetPath: String,
       keys: Seq[String]): Unit = {
     val spark = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val staged = new org.apache.hadoop.fs.Path(targetPath + "._staged")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a run that died between delete(live) and
+    // rename(staged -> live) left the only complete snapshot at the
+    // staged path — promote it before reading
+    if (!fs.exists(target) && fs.exists(staged)) fs.rename(staged, target)
     val deduped = batch.dropDuplicates(keys)
-    val target =
+    val prior =
       try Some(spark.read.parquet(targetPath))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val merged = target match {
+      catch {
+        // ONLY a missing path means "first batch"; any other failure
+        // (corrupt footer, permissions, ...) must abort the epoch
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
+    val merged = prior match {
       case Some(t) => MergeUpsert.upsert(t, deduped, keys)
       case None => deduped
     }
-    // materialize before overwriting the files the plan reads from
-    val out = merged.localCheckpoint(true)
-    out.write.mode(SaveMode.Overwrite).parquet(targetPath)
-    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(out)
+    fs.delete(staged, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    fs.delete(target, true)
+    fs.rename(staged, target)
   }
 }

@@ -25,4 +25,24 @@ object GraftBridge {
       case l: execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Between-queries session reset for long-lived benchmark/verify JVMs.
+    *
+    * A single session running ~80 queries twice accumulates broadcast
+    * variables and shuffle dependencies whose block-manager/disk storage is
+    * only reclaimed by ContextCleaner AFTER a GC collects their weak
+    * references — with a large, mostly-idle heap that GC may never run, so
+    * hundreds of stale broadcast/shuffle blocks pile up and their cleanup
+    * cost lands inside some later query's timed run (rounds 2 AND 3 both
+    * recorded 7-10x phantom regressions on whatever query ran late in the
+    * session). Forcing a GC here moves that reclamation into the
+    * untimed gap between queries; the listener-bus drain keeps the
+    * status-store backlog from growing unboundedly across queries.
+    */
+  def sessionHygiene(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    System.gc()
+    sc.listenerBus.waitUntilEmpty(5000L)
+  }
 }

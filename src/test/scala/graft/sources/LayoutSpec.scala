@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.Tables
+
+/** Z-order layout: both dimensions must get usable file-level min/max
+  * pruning, where a single-column sort gives pruning on one dimension and
+  * none on the other.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_layout/$name"
+
+  test("z-order tightens file spans on BOTH keys vs single-column sort") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val files = 8
+
+    // baseline: range-sort by o_custkey only
+    val sortedPath = tmp("sorted")
+    orders.repartitionByRange(files, orders("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(sortedPath)
+
+    val zPath = tmp("zorder")
+    Layout.writeZOrdered(orders, zPath, "o_custkey", "o_totalprice", files)
+
+    val sorted = spark.read.parquet(sortedPath)
+    val z = spark.read.parquet(zPath)
+
+    val sortedKey = Layout.fileSpanFraction(sorted, "o_custkey")
+    val sortedOther = Layout.fileSpanFraction(sorted, "o_totalprice")
+    val zKey = Layout.fileSpanFraction(z, "o_custkey")
+    val zOther = Layout.fileSpanFraction(z, "o_totalprice")
+
+    // single-column sort: near-perfect on its key, useless on the other
+    assert(sortedKey < 0.3, s"sorted key span $sortedKey")
+    assert(sortedOther > 0.8, s"sorted other span $sortedOther")
+    // z-order: genuinely tight on BOTH dimensions — each file must cover
+    // well under the full span, and the non-sort dimension must improve
+    // by a wide margin over the single-column layout
+    assert(zKey < 0.65, s"z key span $zKey")
+    assert(zOther < 0.65, s"z other span $zOther")
+    assert(zOther < sortedOther / 1.5,
+      s"z other span $zOther not an improvement over $sortedOther")
+  }
+
+  test("writeZOrdered preserves rows and schema") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val path = tmp("roundtrip")
+    Layout.writeZOrdered(orders, path, "o_custkey", "o_totalprice", 4)
+    val back = spark.read.parquet(path)
+    assert(back.columns.sorted.sameElements(orders.columns.sorted))
+    assert(back.count() === orders.count())
+    assert(back.select("o_orderkey").except(orders.select("o_orderkey"))
+      .isEmpty)
+  }
+}
