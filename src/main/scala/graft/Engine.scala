@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Pipeline, Relational, Silver, TimeSeries}
-import graft.ext.{Components, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
+import graft.ext.{Components, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, SkewJoin}
 import graft.streaming.EventsStreaming
 
@@ -59,8 +59,18 @@ case class Engine(spark: SparkSession, dataDir: String) {
     private def docs = Tables.documents(spark, dataDir)
   }
 
+  object curation {
+    def packSequences(window: Long = Curation.PackWindow): DataFrame =
+      Curation.packSequences(docs, window)
+    def stratifiedSample(every: Int = 7): DataFrame =
+      Curation.stratifiedSample(docs, every)
+    def weightedMix: DataFrame = Curation.weightedMix(docs)
+    private def docs = Tables.documents(spark, dataDir)
+  }
+
   object text {
     def stats: DataFrame        = TextAnalysis.stats(docs)
+    def repetition: DataFrame   = TextAnalysis.repetition(docs)
     def quality: DataFrame      = TextAnalysis.quality(docs)
     def langId: DataFrame       = TextAnalysis.langId(docs)
     def fingerprints: DataFrame = TextAnalysis.fingerprints(docs)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
-import graft.ext.{Components, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
+import graft.ext.{Components, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin}
 
@@ -33,7 +33,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Similarity.queries ++ EventsStreaming.queries ++
       Multimodal.queries ++ AsOfJoin.queries ++ Components.queries ++
       RangeJoin.queries ++ Quality.queries ++ WindowOps.queries ++
-      ScalarSurface.queries ++ TimeSeries.queries ++ MergeUpsert.queries
+      ScalarSurface.queries ++ TimeSeries.queries ++ MergeUpsert.queries ++
+      Curation.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -42,5 +43,5 @@ object SparkEntry {
       EventsStreaming.oracleSql ++ Multimodal.oracleSql ++ AsOfJoin.oracleSql ++
       Components.oracleSql ++ RangeJoin.oracleSql ++ Quality.oracleSql ++
       WindowOps.oracleSql ++ ScalarSurface.oracleSql ++
-      TimeSeries.oracleSql ++ MergeUpsert.oracleSql
+      TimeSeries.oracleSql ++ MergeUpsert.oracleSql ++ Curation.oracleSql
 }

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Corpus-curation operators a pretraining data pipeline runs between
+  * cleaning and tokenization: sequence packing, stratified sampling, and
+  * weighted dataset mixing. All three are deterministic (no RNG — modular
+  * arithmetic and systematic strides), so they carry full DuckDB oracles.
+  *
+  * == Scale design ==
+  * - [[packSequences]] windows WITHIN each source shard
+  *   (`partitionBy(source)`), never globally: a global running sum would
+  *   funnel 100 TB through one task, while per-shard packing is how real
+  *   pipelines work anyway (each shard's docs are concatenated and chunked
+  *   independently, so shards parallelize perfectly).
+  * - [[stratifiedSample]] is one window per stratum — strata (languages)
+  *   partition the data, so the sort parallelizes across them.
+  * - [[weightedMix]] is a narrow filter (no shuffle at all): the mixture
+  *   decision is a pure function of (doc_id, source), which also makes the
+  *   sample REPRODUCIBLE — rerunning the pipeline on the same corpus
+  *   yields byte-identical training mixes, a property random sampling
+  *   loses the moment partitioning changes.
+  */
+object Curation {
+
+  /** Context-window token budget for [[packSequences]]. */
+  val PackWindow = 2048L
+
+  /** Greedy sequential packing: per source shard, docs (in doc_id order)
+    * are assigned to consecutive context-window bins by their exclusive
+    * running token count — bin k holds the docs whose preceding tokens
+    * total in [k·window, (k+1)·window). The concat-and-chunk
+    * approximation every LLM data loader uses, summarized per bin
+    * (doc count, token fill, id range).
+    */
+  def packSequences(docs: DataFrame, window: Long = PackWindow): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      // long-through-double floor is exact below 2^53 tokens per shard;
+      // identical expression on the oracle side
+      .withColumn("bin_id",
+        floor(col("cum_before") / lit(window.toDouble)).cast("long"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
+
+  /** Systematic stratified sample: every `every`-th document per language
+    * stratum in doc_id order — equal sampling RATE per stratum regardless
+    * of stratum size, with no RNG.
+    */
+  def stratifiedSample(docs: DataFrame, every: Int = 7): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    docs.withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % every === 0)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Weighted dataset mixing: each source shard `srcN` keeps
+    * `20 + 3·N` percent of its documents, selected by `doc_id % 100` —
+    * the deterministic form of "sample source X at weight w into the
+    * training mix". Keeps are a pure function of the row, so the mix is
+    * stable under repartitioning and re-runs.
+    */
+  def weightedMix(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("rate_pct",
+        lit(20) + expr("CAST(substring(source, 4) AS INT)") * 3)
+      .filter(col("doc_id") % 100 < col("rate_pct"))
+      .select("doc_id", "lang", "source", "rate_pct")
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences"    -> ((s, d) => packSequences(Tables.documents(s, d))),
+    "sample_stratified" -> ((s, d) =>
+      stratifiedSample(Tables.documents(s, d))),
+    "mix_weighted"      -> ((s, d) => weightedMix(Tables.documents(s, d))),
+  )
+
+  /** DuckDB twins of [[queries]]. */
+  def oracleSql: Map[String, String] = Map(
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t),
+        |b AS (SELECT *, CAST(floor(cum_before / 2048.0) AS BIGINT)
+        |        AS bin_id FROM c)
+        |SELECT source, bin_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+        |           AS rn
+        |  FROM documents)
+        |WHERE (rn - 1) % 7 = 0""".stripMargin,
+    "mix_weighted" ->
+      """SELECT doc_id, lang, source,
+        |       20 + CAST(substring(source, 4) AS INT) * 3 AS rate_pct
+        |FROM documents
+        |WHERE doc_id % 100 <
+        |      20 + CAST(substring(source, 4) AS INT) * 3""".stripMargin,
+  )
+}

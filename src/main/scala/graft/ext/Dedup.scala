@@ -106,14 +106,17 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    val sh = shingleIds(docs).persist()
-    // drop stop-shingles by document frequency BEFORE the self-join; the
-    // df aggregate and the semi-ish inner join both reuse the cached index
-    val kept = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf)
-        .select("shingle"),
-      Seq("shingle"))
+    // drop stop-shingles by document frequency BEFORE the self-join. The
+    // df count rides a window over the SAME hash partitioning the
+    // self-join needs, so the whole index pays exactly ONE shuffle: the
+    // persisted frame retains HashPartitioning(shingle) and the self-join
+    // plans with zero additional exchanges (vs the agg+re-join form,
+    // which shuffled the index twice).
+    val kept = shingleIds(docs)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf)
+      .select("doc_id", "shingle")
       .persist()
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.as("a")
@@ -132,7 +135,6 @@ object Dedup {
       .select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
       .localCheckpoint(true))
     kept.unpersist()
-    sh.unpersist()
     out
   }
 

@@ -141,8 +141,36 @@ object TextAnalysis {
       .select("lang", "rnk", "token", "tf", "doc_freq")
   }
 
+  /** Repeated-n-gram metrics (the Gopher-style repetition quality
+    * signals): per document, total vs distinct 2-/3-gram counts and the
+    * duplicate fraction — high repetition flags boilerplate/spam that
+    * length and stopword heuristics miss. Narrow (no shuffle); the
+    * duplicate fractions divide exact integers with the identical IEEE
+    * expression on the oracle side (guarded for short docs).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    def grams(n: Int) = expr(
+      s"""CASE WHEN size(split(text, ' ')) < $n THEN array()
+         |ELSE transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+         |      i -> concat_ws(' ', slice(split(text, ' '), i, $n))) END"""
+        .stripMargin)
+    docs
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        size(grams(2)).as("total2"),
+        size(array_distinct(grams(2))).as("distinct2"),
+        size(grams(3)).as("total3"),
+        size(array_distinct(grams(3))).as("distinct3"))
+      .withColumn("rep2", when(col("total2") > 0,
+        (col("total2") - col("distinct2")) * lit(1.0) / col("total2"))
+        .otherwise(lit(0.0)))
+      .withColumn("rep3", when(col("total3") > 0,
+        (col("total3") - col("distinct3")) * lit(1.0) / col("total3"))
+        .otherwise(lit(0.0)))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition"   -> ((s, d) => repetition(Tables.documents(s, d))),
     "text_stats"        -> ((s, d) => stats(Tables.documents(s, d))),
     "text_top_terms"    -> ((s, d) => topTermsPerLang(Tables.documents(s, d))),
     "text_quality"      -> ((s, d) => quality(Tables.documents(s, d))),
@@ -153,6 +181,30 @@ object TextAnalysis {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |         CASE WHEN len(toks) < 2 THEN []
+        |              ELSE [array_to_string(toks[i:i+1], ' ')
+        |                    for i in range(1, len(toks))] END AS g2,
+        |         CASE WHEN len(toks) < 3 THEN []
+        |              ELSE [array_to_string(toks[i:i+2], ' ')
+        |                    for i in range(1, len(toks)-1)] END AS g3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         len(g2) AS total2, len(list_distinct(g2)) AS distinct2,
+        |         len(g3) AS total3, len(list_distinct(g3)) AS distinct3
+        |  FROM g)
+        |SELECT doc_id, n_tokens, total2, distinct2, total3, distinct3,
+        |       CASE WHEN total2 > 0
+        |            THEN (total2 - distinct2) * 1.0 / total2
+        |            ELSE 0.0 END AS rep2,
+        |       CASE WHEN total3 > 0
+        |            THEN (total3 - distinct3) * 1.0 / total3
+        |            ELSE 0.0 END AS rep3
+        |FROM c""".stripMargin,
     "text_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token

@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf)
+
+  test("packSequences: every doc lands in exactly one bin, bins are " +
+      "contiguous per source, fill tracks the window budget") {
+    import spark.implicits._
+    val window = 256L // small budget so the tiny SF still makes many bins
+    val packed = packCollect(window)
+    val total = docs
+      .select(sum(size(split(col("text"), " ")))).as[Long].head()
+    assert(packed.map(_._4).sum === total, "token conservation")
+    // bins per source are consecutive 0..max with no gaps
+    packed.groupBy(_._1).foreach { case (_, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids === (0L until ids.length.toLong).toVector)
+    }
+    // every non-final bin of a source starts because the budget filled:
+    // its bin's cumulative start is bin_id * window by construction, so
+    // fill = bin_tokens / window should hover near 1 for non-final bins
+    val nonFinal = packed.groupBy(_._1).flatMap { case (_, bins) =>
+      bins.sortBy(_._2).dropRight(1)
+    }
+    nonFinal.foreach { case (_, _, _, toks) =>
+      assert(toks >= window / 2, s"underfilled non-final bin: $toks")
+    }
+  }
+
+  private def packCollect(window: Long) =
+    Curation.packSequences(docs, window)
+      .orderBy("source", "bin_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toVector
+
+  test("stratifiedSample: equal stride per stratum") {
+    val every = 7
+    val sampled = Curation.stratifiedSample(docs, every)
+    val perLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      val expected = (n + every - 1) / every // ceil(n / every)
+      assert(perLang.getOrElse(lang, 0L) === expected, s"stratum $lang")
+    }
+  }
+
+  test("weightedMix: per-source keep rate matches the declared weight") {
+    val mixed = Curation.weightedMix(docs)
+    val kept = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doc_ids are dense ints spread across sources, so the modular rule
+    // keeps ~rate_pct% per source; verify the EXACT count by replaying
+    // the rule per source
+    val expected = docs
+      .withColumn("rate_pct",
+        lit(20) + expr("CAST(substring(source, 4) AS INT)") * 3)
+      .filter(col("doc_id") % 100 < col("rate_pct"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept === expected)
+    // and the mix is genuinely weighted: src9+ keeps a larger fraction
+    // than src0 on any non-trivial corpus
+    val fullCounts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(s: String) =
+      kept.getOrElse(s, 0L).toDouble / fullCounts(s)
+    assert(rate("src19") > rate("src0"))
+  }
+
+  test("repetition: duplicate n-gram fractions on a constructed doc") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a b"),   // 2-grams: ab,ba,ab,ba,ab -> 5 total 2 distinct
+      (2L, "x y z"),          // no repeats
+      (3L, "w")               // too short for any 2-gram
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("total2") === 5)
+    assert(r(0).getAs[Int]("distinct2") === 2)
+    assert(r(0).getAs[Double]("rep2") === 3.0 / 5.0)
+    assert(r(1).getAs[Double]("rep2") === 0.0)
+    assert(r(2).getAs[Int]("total2") === 0)
+    assert(r(2).getAs[Double]("rep3") === 0.0)
+  }
+}
