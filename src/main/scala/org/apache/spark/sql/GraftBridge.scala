@@ -44,5 +44,9 @@ object GraftBridge {
     sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     System.gc()
     sc.listenerBus.waitUntilEmpty(5000L)
+    // ContextCleaner drains its reference queue on its own thread; give
+    // it a beat so block/broadcast removal doesn't overlap (and get
+    // charged to) the next query's timed run
+    Thread.sleep(200L)
   }
 }
