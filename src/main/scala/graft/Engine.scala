@@ -117,6 +117,11 @@ case class Engine(spark: SparkSession, dataDir: String) {
       EventsStreaming.dedupStream(stream)
     def enrich(stream: DataFrame): DataFrame = EventsStreaming.enrichStream(
       stream, Tables.customer(spark, dataDir))
+    def nearDupCandidates(docStream: DataFrame,
+        maxPerBucket: Int = graft.streaming.NearDupStream.DefaultMaxPerBucket)
+        : DataFrame =
+      graft.streaming.NearDupStream
+        .candidatesStream(docStream, maxPerBucket).toDF()
   }
 
   /** MERGE INTO-style upsert of `source` into `target` by `keys`. */

@@ -186,6 +186,45 @@ object Dedup {
   val MinhashK = 32     // signature length
   val BandRows = 2      // rows per band → 16 bands, P(cand|s=0.5) ≈ 0.99
 
+  /** Distinct 3-shingle ids per document as ONE array column —
+    * (doc_id, sh_arr array<long>) — the narrow form of [[shingleIds]]
+    * (no explode, no shuffle).
+    */
+  def shingleIdArrays(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), array_distinct(expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 2),
+          |       i -> xxhash64(element_at(toks, CAST(i AS INT)),
+          |                     element_at(toks, CAST(i AS INT) + 1),
+          |                     element_at(toks, CAST(i AS INT) + 2))) END"""
+          .stripMargin)).as("sh_arr"))
+
+  /** MinHash signature per doc WITHOUT any shuffle: the codegen'd
+    * [[graft.functions.MinHashSignature]] expression computes all k slot
+    * minima in one pass over the doc's own shingle array — a purely
+    * narrow projection, in contrast to [[minhashSignaturesFromShingles]]'
+    * explode + groupBy (which re-shuffles the whole corpus by doc_id).
+    * Slot hashes replicate `xxhash64(slot, shingle)` exactly, so both
+    * paths produce identical signatures (spec-pinned). This is also the
+    * form a STREAMING near-dup pass needs: signatures per micro-batch row
+    * with no stateful aggregation (see
+    * [[graft.streaming.NearDupStream]]). Docs with no 3-shingle (under 3
+    * tokens) are dropped, matching the aggregated form's semantics (no
+    * shingle rows → no group).
+    */
+  def minhashSignaturesNarrow(docs: DataFrame): DataFrame =
+    // the no-shingle guard filters on TOKEN count BEFORE the n-gram
+    // transform: a predicate on the computed array (size(sh_arr) > 0)
+    // would be collapsed into the scan filter and re-evaluate the whole
+    // interpreted higher-order transform once for the predicate and again
+    // for the projection (measured 18x the projection cost at sf0.1)
+    shingleIdArrays(docs.filter(size(split(col("text"), " ")) >= 3))
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature.sig(col("sh_arr"), MinhashK)
+          .as("sig"))
+
   /** MinHash signature per doc: (doc_id, sig array<long>[MinhashK]). */
   def minhashSignatures(docs: DataFrame): DataFrame =
     minhashSignaturesFromShingles(shingleIds(docs))
@@ -247,7 +286,9 @@ object Dedup {
     */
   def minhashDedupDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = shingleIds(docs).persist()
-    val cands = lshCandidates(minhashSignaturesFromShingles(sh))
+    // signatures take the narrow path (no explode/groupBy shuffle); the
+    // exploded index is still needed for the verify join below
+    val cands = lshCandidates(minhashSignaturesNarrow(docs))
     // eager checkpoint: the (tiny) verified pair set materializes NOW,
     // which lets the shingle cache be released before this function
     // returns; the checkpoint itself is leased so harnesses release its
