@@ -306,9 +306,20 @@ object Dedup {
   val SimhashBits = 32
 
   /** 32-bit SimHash per doc from distinct-token hashes: bit j of the
-    * fingerprint is the sign of Σ_tokens (±1 by bit j of xxhash64(token)).
+    * fingerprint is the sign of Σ_tokens (±1 by bit j of xxhash64(token)),
+    * computed by the narrow codegen'd
+    * [[graft.functions.SimHashFingerprint]] expression — no explode, no
+    * shuffle (the former explode + 32-conditional-sum aggregation
+    * re-shuffled every (doc, token) pair; [[simhashAgg]] keeps that form
+    * as the spec-pinned reference).
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashFingerprint.fp(
+        array_distinct(split(col("text"), " ")), SimhashBits).as("simhash"))
+
+  /** Aggregated SimHash reference implementation (see [[simhash]]). */
+  def simhashAgg(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))

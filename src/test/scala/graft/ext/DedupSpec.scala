@@ -103,6 +103,13 @@ class DedupSpec extends SparkSpec {
     assert(want.nonEmpty, "expected some near-dup simhash pairs in testdata")
   }
 
+  test("narrow simhash equals the aggregated reference bit-for-bit") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val narrow = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    val agg = Dedup.simhashAgg(d).as[(Long, Long)].collect().toMap
+    assert(narrow === agg)
+  }
+
   test("simhash: identical docs share fingerprint; groups count them") {
     val d = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
       3L -> "totally different words entirely here now")

@@ -216,6 +216,27 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("UpsertSink.applyBatch: promotes a stranded staged snapshot and " +
+      "never reinitializes from a live batch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_upsink2")
+    val target = s"$base/snapshot"
+    // simulate a crash between delete(live) and rename(staged -> live):
+    // the only complete snapshot sits at the staged path
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "status", "amount")
+      .write.parquet(target + "._staged")
+    UpsertSink.applyBatch(
+      Seq((2L, "b2", 20.0)).toDF("k", "status", "amount"), target, Seq("k"))
+    val snap = spark.read.parquet(target)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    // the stranded rows survived — batch merged INTO them, not over them
+    assert(snap === Map(1L -> ("a", 1.0), 2L -> ("b2", 20.0)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target + "._staged")))
+  }
+
   test("session boundary: event at exactly the gap merges; beyond splits") {
     val ev = events(
       (1L, "2024-01-01 00:00:00", 7L, "click", 1.0),
