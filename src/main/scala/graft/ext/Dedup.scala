@@ -98,20 +98,28 @@ object Dedup {
     */
   val MaxShingleDf = 1000L
 
-  /** Exact pairwise 3-gram Jaccard ≥ `threshold` via inverted-index join —
+  /** Exact pairwise 3-gram Jaccard ≥ `threshold` via an inverted index —
     * the ground-truth near-dup operator. The shingle index is built once
-    * and persisted (it feeds the df cap, both self-join sides, and the
+    * and persisted (it feeds the df cap, the pair generation, and the
     * per-doc sizes — previously computed 4x per query); the tiny pair
     * result is eagerly checkpointed so the cache releases before return.
+    *
+    * Pair generation enumerates each posting list directly
+    * (`collect_list` per shingle + ordered combinations) instead of a
+    * sort-merge SELF-JOIN on the index: the output is the same
+    * Σ_shingles C(df, 2) candidate rows, but the join's second sorted
+    * copy of the full index disappears, and since the index is persisted
+    * already hash-partitioned by shingle, the posting-list aggregation
+    * needs NO exchange. The df cap above bounds every posting list, so
+    * the per-group state (df ≤ cap ids) and the combination blowup stay
+    * bounded at any scale.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    // drop stop-shingles by document frequency BEFORE the self-join. The
-    // df count rides a window over the SAME hash partitioning the
-    // self-join needs, so the whole index pays exactly ONE shuffle: the
-    // persisted frame retains HashPartitioning(shingle) and the self-join
-    // plans with zero additional exchanges (vs the agg+re-join form,
-    // which shuffled the index twice).
+    // drop stop-shingles by document frequency BEFORE pairing; the df
+    // count rides a window over the SAME hash partitioning the
+    // posting-list aggregation needs, so the whole index pays exactly
+    // ONE shuffle
     val kept = shingleIds(docs)
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy("shingle")))
@@ -119,10 +127,14 @@ object Dedup {
       .select("doc_id", "shingle")
       .persist()
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = kept.as("a")
-      .join(kept.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = kept.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            b -> struct(a AS doc_a, b AS doc_b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter_size"))
     val out = graft.CheckpointLease.track(inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
