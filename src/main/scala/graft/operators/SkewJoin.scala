@@ -1,33 +1,79 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
-/** Skew-mitigation join helpers (SURVEY.md scale mandate: "skewed keys →
-  * salting or AQE skew-join").
+/** Salted shuffle join — the skew mitigation for a fact⋈dim join whose
+  * fact side hammers a few hot keys but whose dim side is too large to
+  * broadcast.
   *
-  * AQE's skew-join split handles most skew at runtime; salting is the
-  * explicit fallback when one key dominates so heavily that even split
-  * partitions bottleneck, or when AQE is unavailable (e.g. inside a
-  * cached/reused exchange). The join RESULT is identical to the plain
-  * join — only the shuffle distribution changes.
+  * A plain shuffle join hash-partitions both sides by the key, so one hot
+  * key lands its entire fact volume on ONE reducer: at 100 TB a single
+  * celebrity key turns a 1000-executor join into a 1-executor join.
+  * Salting splits every key into `salts` sub-keys: the fact side derives a
+  * deterministic salt from one of its own columns (uniform within a key),
+  * the dim side replicates each row once per salt value, and the join runs
+  * on (key, salt) — the hot key's rows now spread over `salts` reducers.
+  * Cost: the dim side shuffles `salts`× its size, which is the standard
+  * trade (dim ≪ fact is the precondition for choosing this plan).
+  *
+  * The salt is dropped before returning, so the result is row-identical
+  * to the unsalted join — which is exactly what the DuckDB oracle checks
+  * (the oracle runs the PLAIN join; salting must be invisible in the
+  * output). AQE's skew-join split is the runtime alternative, but it only
+  * splits oversized PARTITIONS after a sort-merge shuffle; explicit
+  * salting also covers hash-aggregate-feeding joins and engines/configs
+  * where AQE is off, and documents the intent in the plan itself.
   */
 object SkewJoin {
 
-  /** Salted inner equi-join: the big (skewed) side gets a deterministic
-    * salt in [0, salts); the small side is replicated `salts` times; the
-    * join key becomes (key, salt), splitting each hot key's rows across
-    * `salts` reducers.
+  /** Join `fact` to `dim` on `factKey = dimKey`, salted `salts` ways.
+    * `saltSrc` must be a fact-side expression that varies within a key
+    * (a line number, a row id) — it is hashed to pick the sub-key, so
+    * correctness never depends on its distribution, only spread does.
     */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      salts: Int): DataFrame = {
-    require(salts > 0)
-    // any row-level attribute works for the salt (result is independent
-    // of it); hashing all columns keeps it deterministic for a given row
-    val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
-    val smallExpanded = small.withColumn("__salt",
-      explode(lit((0 until salts).toArray)))
-    bigSalted.join(smallExpanded, Seq(key, "__salt")).drop("__salt")
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, saltSrc: Column,
+      salts: Int = 16): DataFrame = {
+    require(salts >= 1, "salt fan-out must be positive")
+    val f = fact.withColumn("__salt",
+      pmod(xxhash64(saltSrc), lit(salts.toLong)).cast("int"))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    f.join(d, f(factKey) === d(dimKey) &&
+        f("__salt") === d("__salt"))
+      .drop("__salt")
   }
+
+  /** Revenue by order priority through the salted lineitem⋈orders join —
+    * the aggregate makes the query's output compact while every fact row
+    * still flows through the salted shuffle. l_linenumber seeds the salt:
+    * it cycles 1..7 within an order, so a hot order key spreads evenly.
+    */
+  def revenueByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    saltedJoin(lineitem, orders, "l_orderkey", "o_orderkey",
+        col("l_linenumber"), salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        // cents-rounded long, matching the repo's stable-double-sum
+        // pattern (sub-half-cent float drift can't flip the rounded sum)
+        round(sum(col("l_extendedprice")) * 100).cast("long")
+          .as("revenue_cents"))
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted" -> ((s, d) =>
+      revenueByPriority(Tables.lineitem(s, d), Tables.orders(s, d))),
+  )
+
+  /** DuckDB twin: the PLAIN join — salting must not change the answer. */
+  def oracleSql: Map[String, String] = Map(
+    "join_salted" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |       CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT)
+        |         AS revenue_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+  )
 }
