@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Headline queries: one representative per expensive operator family
+    * (scan+agg, join chain, window, cleansing, skew/as-of/range join,
+    * dedup x4, ANN x2, text, recursive SQL, sessionization, packing).
+    * The bench reports ONLY these — benching all ~87 registered queries
+    * made the JSON line ~2.3 KB, past the driver's 2000-char stdout tail,
+    * which is why BENCH_r1-r3 all recorded parsed:null despite rc=0.
+    */
+  val Headline: Seq[String] = Seq(
+    "q1_pricing_summary", "gold_daily_sales", "gold_customer_metrics",
+    "silver_lineitem", "join_salted", "asof_latest_order",
+    "range_join_events_orders", "dedup_exact_docs", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_clusters", "sim_topk_brute", "sim_topk_ivf",
+    "text_quality", "text_token_counts", "sql_recursive", "stream_sessions",
+    "pack_sequences")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,28 +35,31 @@ object Bench {
       spark.catalog.clearCache()
       org.apache.spark.sql.GraftBridge.sessionHygiene(spark)
     }
+    val all = SparkEntry.queries
+    val picked =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq.sorted
+      else Headline.filter(all.contains)
     // unmeasured warmup pass: JIT + codegen compile + file-index caches,
     // so the timed pass reports steady-state throughput (first-run JIT
     // noise otherwise dominates individual query numbers by 2-4x)
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    picked.foreach { name =>
+      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => () }
       reset()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = picked.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       reset()
       name -> dt
     }
     // millisecond precision keeps the single JSON line short enough for the
-    // driver's fixed-size stdout tail capture (full-precision doubles pushed
-    // the line past the buffer in rounds 1-3: every BENCH_r*.json recorded
-    // parsed:null with the line's head truncated away)
+    // driver's fixed-size stdout tail capture (full-precision doubles alone
+    // pushed even a truncated line past the buffer in rounds 1-3)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -158,8 +158,14 @@ case class Engine(spark: SparkSession, dataDir: String) {
       RangeJoin.eventsNearOrders(Tables.events(spark, dataDir),
         Tables.orders(spark, dataDir), toleranceDays)
     def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-        salts: Int = 16): DataFrame =
-      SkewJoin.saltedJoin(big, small, key, salts)
+        salts: Int = 16): DataFrame = {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      // Hash the whole fact row for the salt seed: within a hot key the
+      // non-key columns vary, so rows spread across the sub-keys.
+      SkewJoin.saltedJoin(big, small, key, key,
+          xxhash64(big.columns.map(col).toSeq: _*), salts)
+        .drop(small(key))
+    }
   }
 
   /** Multi-dimensional file layout (Z-order clustering + layout-quality

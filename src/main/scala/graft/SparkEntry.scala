@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
 import graft.ext.{Components, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
-import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin}
+import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, SkewJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,7 +34,7 @@ object SparkEntry {
       Multimodal.queries ++ AsOfJoin.queries ++ Components.queries ++
       RangeJoin.queries ++ Quality.queries ++ WindowOps.queries ++
       ScalarSurface.queries ++ TimeSeries.queries ++ MergeUpsert.queries ++
-      Curation.queries
+      Curation.queries ++ SkewJoin.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -43,5 +43,6 @@ object SparkEntry {
       EventsStreaming.oracleSql ++ Multimodal.oracleSql ++ AsOfJoin.oracleSql ++
       Components.oracleSql ++ RangeJoin.oracleSql ++ Quality.oracleSql ++
       WindowOps.oracleSql ++ ScalarSurface.oracleSql ++
-      TimeSeries.oracleSql ++ MergeUpsert.oracleSql ++ Curation.oracleSql
+      TimeSeries.oracleSql ++ MergeUpsert.oracleSql ++ Curation.oracleSql ++
+      SkewJoin.oracleSql
 }

@@ -462,11 +462,20 @@ object Relational {
              |SELECT node, min(r) AS r, max(depth) AS d
              |FROM walk GROUP BY GROUPING SETS ((node), ())""".stripMargin)
           .localCheckpoint(true)
-        val maxDepth = agg.filter(col("node").isNull).select(col("d"))
+        // Depth sentinel: read via max(d) over ALL null-node rows. Reading
+        // a single arbitrary null row is wrong the moment more than one
+        // exists (round-5 verdict: the node=NULL sentinel re-seeded into
+        // rec_lbl_v produced a second (NULL, d=0) group and the arbitrary
+        // pick terminated the loop before fixpoint on any graph whose
+        // diameter exceeds batchDepth).
+        val maxDepth = agg.filter(col("node").isNull)
+          .agg(max(col("d")).as("d"))
           .collect().headOption.flatMap(r => Option(r.get(0)))
           .map(_.asInstanceOf[Number].intValue).getOrElse(0)
         org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
-        labels = agg
+        // Re-seed WITHOUT the grouping-set sentinel row — node=NULL must
+        // never become a walk seed.
+        labels = agg.filter(col("node").isNotNull)
         converged = maxDepth < batchDepth
         pass += 1
       }

@@ -49,6 +49,9 @@ object Layout {
     val r = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).first()
+    require(!r.anyNull,
+      s"writeZOrdered($colA, $colB): input is empty or a cluster column " +
+        "is all-NULL — no min/max to scale against")
     df.withColumn("__z",
         morton(scaled(col(colA), r.getDouble(0), r.getDouble(1)),
           scaled(col(colB), r.getDouble(2), r.getDouble(3))))

@@ -59,7 +59,10 @@ object UpsertSink {
     // crash recovery: a run that died between delete(live) and
     // rename(staged -> live) left the only complete snapshot at the
     // staged path — promote it before reading
-    if (!fs.exists(target) && fs.exists(staged)) fs.rename(staged, target)
+    if (!fs.exists(target) && fs.exists(staged) &&
+        !fs.rename(staged, target))
+      throw new java.io.IOException(
+        s"recovery rename failed: $staged -> $target")
     val deduped = batch.dropDuplicates(keys)
     val prior =
       try Some(spark.read.parquet(targetPath))
@@ -76,6 +79,11 @@ object UpsertSink {
     fs.delete(staged, true)
     merged.write.mode(SaveMode.Overwrite).parquet(staged.toString)
     fs.delete(target, true)
-    fs.rename(staged, target)
+    // rename returns false (not an exception) on several HDFS failure
+    // modes; silently continuing would mark the epoch committed with no
+    // live snapshot
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(
+        s"commit rename failed: $staged -> $target")
   }
 }

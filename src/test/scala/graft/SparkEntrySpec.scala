@@ -2,7 +2,7 @@ package graft
 
 import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
 import graft.ext.{Components, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
-import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin}
+import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, SkewJoin}
 import graft.streaming.EventsStreaming
 
 /** Driver-contract guards: the queries map is built by merging module
@@ -17,7 +17,7 @@ class SparkEntrySpec extends SparkSpec {
     Multimodal.queries, AsOfJoin.queries, Components.queries,
     RangeJoin.queries, Quality.queries, WindowOps.queries,
     ScalarSurface.queries, TimeSeries.queries,
-    MergeUpsert.queries, Curation.queries).map(_.size)
+    MergeUpsert.queries, Curation.queries, SkewJoin.queries).map(_.size)
 
   test("no query name collisions across modules") {
     assert(SparkEntry.queries.size === moduleSizes.sum)

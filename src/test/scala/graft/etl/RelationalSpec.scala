@@ -228,6 +228,17 @@ class RelationalSpec extends SparkSpec {
     assert(cl === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("recursiveComponentsSql: grouping-set sentinel never re-seeds") {
+    // 21-node chain with batchDepth=2 needs ~10 re-seed passes; under the
+    // round-5 bug the node=NULL grand-total row re-entered rec_lbl_v on
+    // every pass and the arbitrary depth pick could read its d=0 row,
+    // terminating before fixpoint
+    val edges = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Relational.recursiveComponentsSql(spark, edges, batchDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (0L to 20L).map(_ -> 0L).toMap)
+  }
+
   test("subqueriesSql decorrelates to joins (no subquery at runtime)") {
     val q = Relational.subqueriesSql(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString

@@ -39,10 +39,11 @@ class OperatorsSpec extends SparkSpec {
     val big = (1 to 500).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
       .toDF("k", "payload")  // key 1 is hot
     val small = Seq((1L, "dim1"), (2L, "dim2"), (250L, "dim250"))
-      .toDF("k", "name")
-    val plain = big.join(small, Seq("k"))
+      .toDF("dk", "name")
+    val plain = big.join(small, big("k") === small("dk"))
+      .select("k", "payload", "name")
       .as[(Long, String, String)].collect().toSet
-    val salted = SkewJoin.saltedJoin(big, small, "k", 8)
+    val salted = SkewJoin.saltedJoin(big, small, "k", "dk", col("payload"), 8)
       .select("k", "payload", "name")
       .as[(Long, String, String)].collect().toSet
     assert(salted === plain)
