@@ -15,7 +15,7 @@ object Bench {
     "range_join_events_orders", "dedup_exact_docs", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_clusters", "sim_topk_brute", "sim_topk_ivf",
     "text_quality", "text_token_counts", "sql_recursive", "stream_sessions",
-    "pack_sequences")
+    "pack_sequences", "text_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

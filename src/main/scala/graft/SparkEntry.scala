@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
-import graft.ext.{Components, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
+import graft.ext.{Components, Corpus, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, SkewJoin}
 
@@ -34,7 +34,7 @@ object SparkEntry {
       Multimodal.queries ++ AsOfJoin.queries ++ Components.queries ++
       RangeJoin.queries ++ Quality.queries ++ WindowOps.queries ++
       ScalarSurface.queries ++ TimeSeries.queries ++ MergeUpsert.queries ++
-      Curation.queries ++ SkewJoin.queries
+      Curation.queries ++ SkewJoin.queries ++ Corpus.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -44,5 +44,5 @@ object SparkEntry {
       Components.oracleSql ++ RangeJoin.oracleSql ++ Quality.oracleSql ++
       WindowOps.oracleSql ++ ScalarSurface.oracleSql ++
       TimeSeries.oracleSql ++ MergeUpsert.oracleSql ++ Curation.oracleSql ++
-      SkewJoin.oracleSql
+      SkewJoin.oracleSql ++ Corpus.oracleSql
 }

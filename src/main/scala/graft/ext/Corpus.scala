@@ -1,0 +1,151 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Corpus-preparation operators between curation and the training loader:
+  * fixed-window chunking, deterministic shard assignment (the reproducible
+  * form of "global shuffle"), and the cross-document duplicated-n-gram
+  * fraction filter (the Gopher/RefinedWeb-style repetition signal computed
+  * ACROSS documents, where [[TextAnalysis]]'s repetition metrics look
+  * within one).
+  *
+  * == Scale design ==
+  * - [[chunkDocuments]] is a narrow map + generator (no shuffle at all):
+  *   each document expands to its own chunks independently, so it
+  *   parallelizes perfectly and streams through whole-stage codegen.
+  * - [[shardAssign]] hashes each row to its shard (narrow) and orders
+  *   within shards only — one window per shard, never a global sort. At
+  *   cluster scale the same plan is `repartition(shard)` +
+  *   `sortWithinPartitions(h)`: the 100 TB corpus never funnels through
+  *   a single ordering task.
+  * - [[dupNgramFraction]] shuffles shingles twice (document frequency,
+  *   then per-doc rollup). Both aggregations partial-aggregate map-side,
+  *   so a hot shingle ("the quick brown") combines locally before the
+  *   exchange — no skewed reducer, unlike a pair-join on shingles.
+  */
+object Corpus {
+
+  /** Tokens per chunk for [[chunkDocuments]]. */
+  val ChunkTokens = 128
+  /** Stride between chunk starts (overlap = ChunkTokens - ChunkStride). */
+  val ChunkStride = 96
+  /** Shard fan-out for [[shardAssign]]. */
+  val NumShards = 8L
+
+  /** Sliding-window chunking: token windows of `chunk` tokens every
+    * `stride` (so consecutive chunks overlap by `chunk - stride`), the
+    * standard RAG/pretraining chunker. A document with n tokens yields
+    * `1 + max(0, ceil((n - chunk)/stride))` chunks — always at least one,
+    * and never a trailing chunk fully contained in its predecessor.
+    */
+  def chunkDocuments(docs: DataFrame, chunk: Int = ChunkTokens,
+      stride: Int = ChunkStride): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("m", when(col("n") <= chunk, 1L)
+        .otherwise(ceil((col("n") - chunk) / lit(stride.toDouble))
+          .cast("long") + 1L))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("m") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("start_tok"),
+        least(lit(chunk.toLong), col("n") - col("chunk_id") * stride)
+          .as("chunk_len"),
+        concat_ws(" ", slice(col("toks"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunk)))
+          .as("chunk_text"))
+
+  /** Deterministic shard assignment + within-shard shuffle order: Knuth
+    * multiplicative hash of doc_id picks the shard and the position, so
+    * re-running the pipeline reproduces the exact training order (the
+    * property RNG shuffles lose under repartitioning). The arithmetic
+    * form (id·2654435761 mod 2^32) is engine-portable for the oracle;
+    * a production id domain past 2^31 would use `xxhash64` instead —
+    * same plan shape, same guarantees.
+    */
+  def shardAssign(docs: DataFrame, shards: Long = NumShards): DataFrame = {
+    val h = (col("doc_id") * 2654435761L) % 4294967296L
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    docs.select(col("doc_id"), h.as("h"), (h % shards).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  /** Per-document duplicated-shingle fraction: of a doc's distinct word
+    * 3-grams, the share that also appears in at least one OTHER document
+    * (document frequency > 1 over distinct-per-doc shingles). High values
+    * flag boilerplate/templated text that pairwise near-dup misses when
+    * the copying is many-to-many. Docs shorter than 3 tokens have no
+    * shingles and are absent (identically in the oracle). No df cap is
+    * needed here — the frequency count partial-aggregates, so hot
+    * shingles cost nothing extra (contrast [[Dedup.MaxShingleDf]], which
+    * guards a pair JOIN on the shingle key).
+    */
+  def dupNgramFraction(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_frac",
+        col("n_dup_shingles").cast("double") / col("n_shingles"))
+  }
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunks"  -> ((s, d) => chunkDocuments(Tables.documents(s, d))),
+    "shard_assign" -> ((s, d) => shardAssign(Tables.documents(s, d))),
+    "text_dup_ngram_frac" -> ((s, d) =>
+      dupNgramFraction(Tables.documents(s, d))),
+  )
+
+  /** DuckDB twins of [[queries]]. */
+  def oracleSql: Map[String, String] = Map(
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, toks, n,
+        |         CASE WHEN n <= 128 THEN 1
+        |              ELSE CAST(ceil((n - 128) / 96.0) AS BIGINT) + 1
+        |         END AS nchunks
+        |  FROM t)
+        |SELECT doc_id, j AS chunk_id, 1 + j * 96 AS start_tok,
+        |       least(128, n - j * 96) AS chunk_len,
+        |       array_to_string(toks[(1 + j * 96):(j * 96 + 128)], ' ')
+        |         AS chunk_text
+        |FROM m, LATERAL (SELECT unnest(generate_series(0, nchunks - 1))
+        |                   AS j) u""".stripMargin,
+    "shard_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |       row_number() OVER (PARTITION BY h % 8
+        |                          ORDER BY h, doc_id) AS pos
+        |FROM h""".stripMargin,
+    "text_dup_ngram_frac" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                               for i in range(1, len(toks)-1)]))
+        |           AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_shingles,
+        |       CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS dup_frac
+        |FROM sh JOIN df USING (shingle)
+        |GROUP BY 1""".stripMargin,
+  )
+}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
-import graft.ext.{Components, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
+import graft.ext.{Components, Corpus, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, SkewJoin}
 import graft.streaming.EventsStreaming
 
@@ -17,7 +17,8 @@ class SparkEntrySpec extends SparkSpec {
     Multimodal.queries, AsOfJoin.queries, Components.queries,
     RangeJoin.queries, Quality.queries, WindowOps.queries,
     ScalarSurface.queries, TimeSeries.queries,
-    MergeUpsert.queries, Curation.queries, SkewJoin.queries).map(_.size)
+    MergeUpsert.queries, Curation.queries, SkewJoin.queries,
+    Corpus.queries).map(_.size)
 
   test("no query name collisions across modules") {
     assert(SparkEntry.queries.size === moduleSizes.sum)

@@ -1,0 +1,80 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sf)
+
+  test("chunkDocuments: windows tile the token stream with the stride") {
+    import spark.implicits._
+    // 300 tokens, chunk=128, stride=96 -> starts 1/97/193, lens 128/128/108
+    val text = (1 to 300).map(i => s"t$i").mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Corpus.chunkDocuments(d)
+      .orderBy("chunk_id")
+      .select("chunk_id", "start_tok", "chunk_len", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(chunks.map(c => (c._1, c._2, c._3)).toSeq ===
+      Seq((0L, 1L, 128L), (1L, 97L, 128L), (2L, 193L, 108L)))
+    // each chunk's text is exactly the tokens at [start, start+len)
+    chunks.foreach { case (_, start, len, txt) =>
+      val want = ((start until start + len)).map(i => s"t$i").mkString(" ")
+      assert(txt === want)
+    }
+    // short doc: single chunk holding everything
+    val short = Corpus.chunkDocuments(
+      Seq((2L, "a b c")).toDF("doc_id", "text")).collect()
+    assert(short.length === 1)
+    assert(short.head.getAs[Long]("chunk_len") === 3L)
+  }
+
+  test("chunkDocuments over testdata: every token position is covered") {
+    import spark.implicits._
+    val bad = Corpus.chunkDocuments(docs)
+      .groupBy("doc_id")
+      .agg(max(col("start_tok") + col("chunk_len") - 1).as("covered"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")), Seq("doc_id"))
+      .filter(col("covered") =!= col("n"))
+      .count()
+    assert(bad === 0L, "last chunk must end exactly at the last token")
+  }
+
+  test("shardAssign: a permutation — every doc once, dense positions") {
+    import spark.implicits._
+    val out = Corpus.shardAssign(docs)
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    // positions within each shard are exactly 1..count(shard)
+    val nonDense = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("np"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L ||
+        col("np") =!= col("n"))
+      .count()
+    assert(nonDense === 0L)
+    // deterministic: a second run is byte-identical
+    val again = Corpus.shardAssign(docs)
+    assert(out.exceptAll(again).count() === 0L)
+    assert(again.exceptAll(out).count() === 0L)
+  }
+
+  test("dupNgramFraction: hand-computed df>1 shares on crafted docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d}
+      (2L, "a b c x"),   // shingles {a b c, b c x}
+      (3L, "p q r s"),   // shingles {p q r, q r s} -- all unique
+      (4L, "a b"))       // too short: no shingles, absent from output
+      .toDF("doc_id", "text")
+    val got = Corpus.dupNgramFraction(d)
+      .select("doc_id", "n_shingles", "n_dup_shingles", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
+  }
+}
