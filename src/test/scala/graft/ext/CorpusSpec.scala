@@ -63,6 +63,18 @@ class CorpusSpec extends SparkSpec {
     assert(again.exceptAll(out).count() === 0L)
   }
 
+  test("plan shapes: chunking is narrow; sharding shuffles exactly once") {
+    val chunkPlan =
+      Corpus.chunkDocuments(docs).queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunking must be a narrow map+generate, no shuffle:\n$chunkPlan")
+    val shardPlan =
+      Corpus.shardAssign(docs).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(shardPlan).size
+    assert(exchanges === 1,
+      s"sharding needs exactly the per-shard window exchange:\n$shardPlan")
+  }
+
   test("dupNgramFraction: hand-computed df>1 shares on crafted docs") {
     import spark.implicits._
     val d = Seq(
