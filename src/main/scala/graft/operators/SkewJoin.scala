@@ -52,8 +52,13 @@ object SkewJoin {
     * it cycles 1..7 within an order, so a hot order key spreads evenly.
     */
   def revenueByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
-    saltedJoin(lineitem, orders, "l_orderkey", "o_orderkey",
-        col("l_linenumber"), salts = 8)
+    // The shuffle_hash hint pins the shuffled-join regime the operator is
+    // FOR: at bench SF the exploded dim fits the broadcast threshold and
+    // Catalyst would broadcast it — a plan where the salt is dead weight
+    // (broadcast joins have no reducer skew). Production precondition is
+    // "dim too large to broadcast", so the demo measures that path.
+    saltedJoin(lineitem, orders.hint("shuffle_hash"), "l_orderkey",
+        "o_orderkey", col("l_linenumber"), salts = 8)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         // cents-rounded long, matching the repo's stable-double-sum
