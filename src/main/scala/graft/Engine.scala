@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Pipeline, Relational, Silver, TimeSeries}
-import graft.ext.{Components, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
+import graft.ext.{Components, Corpus, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
 import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, SkewJoin}
 import graft.streaming.EventsStreaming
 
@@ -65,6 +65,12 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def stratifiedSample(every: Int = 7): DataFrame =
       Curation.stratifiedSample(docs, every)
     def weightedMix: DataFrame = Curation.weightedMix(docs)
+    def chunks(chunk: Int = Corpus.ChunkTokens,
+        stride: Int = Corpus.ChunkStride): DataFrame =
+      Corpus.chunkDocuments(docs, chunk, stride)
+    def shards(n: Long = Corpus.NumShards): DataFrame =
+      Corpus.shardAssign(docs, n)
+    def dupNgramFraction: DataFrame = Corpus.dupNgramFraction(docs)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -143,6 +149,11 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def catalog: DataFrame = Multimodal.catalog(docs)
     def frames(frameBytes: Int = 16, stride: Int = 4): DataFrame =
       Multimodal.sampleFrames(docs, frameBytes, stride)
+    def resize(outLen: Int = 256): DataFrame = {
+      import spark.implicits._
+      Multimodal.resizeStub(
+        Multimodal.assets(docs).as[Multimodal.Asset], outLen).toDF()
+    }
     private def docs = Tables.documents(spark, dataDir)
   }
 

@@ -37,6 +37,10 @@ object Multimodal {
 
   case class Features(doc_id: Long, feature: Array[Float])
 
+  /** Resized payload summary (see [[resizeStub]]). */
+  case class Resized(doc_id: Long, n_bytes_in: Int, n_bytes_out: Int,
+      checksum: Long)
+
   /** Build the asset table: documents' text bytes play the role of opaque
     * media payloads (binary column + format tag + size metadata).
     */
@@ -94,6 +98,35 @@ object Multimodal {
     }
   }
 
+  /** RESIZE — 1-D nearest-neighbor downsample of the payload byte stream
+    * to at most `outLen` bytes: output position i reads input byte
+    * `floor(i·n/m)`, exactly the access pattern of a nearest-neighbor
+    * image scaler applied to the byte domain (a real impl swaps in a 2-D
+    * sampler over decoded pixels; the per-partition batch shape, the
+    * stride arithmetic, and the summary schema stay). Emits the resampled
+    * length and byte checksum rather than the blob so the result is
+    * scalar-only for the verify harness — and, because sampling positions
+    * are pure integer arithmetic over ASCII payloads, this one IS
+    * DuckDB-oracle-checkable, unlike the decode/feature stubs.
+    */
+  def resizeStub(assets: Dataset[Asset], outLen: Int = 256): Dataset[Resized] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val n = a.payload.length
+        val m = math.min(n, outLen)
+        var sum = 0L
+        var i = 0
+        while (i < m) {
+          sum += java.lang.Byte.toUnsignedInt(
+            a.payload((i.toLong * n / m).toInt))
+          i += 1
+        }
+        Resized(a.doc_id, n, m, sum)
+      }
+    }
+  }
+
   /** Frame sampling — every `stride`-th fixed-width byte slice of the
     * payload (the video-keyframe access pattern), as (doc_id, frame_idx,
     * frame bytes).
@@ -128,6 +161,7 @@ object Multimodal {
         concat_ws(",", transform(col("feature"),
           x => round(x.cast("double") * 1000000).cast("long")))
           .as("feature_e6"))),
+    "mm_resize"   -> ((s, d) => resizeStub(assetDs(s, d)).toDF()),
     "mm_frames"   -> ((s, d) =>
       sampleFrames(Tables.documents(s, d))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
@@ -135,9 +169,10 @@ object Multimodal {
   )
 
   /** DuckDB twins. Decode/features are JVM-side stubs (rows-only); the
-    * catalog and frame-sampling plumbing are oracle-checked (DuckDB 1.0
-    * cannot slice BLOBs, so the oracle slices the source string and
-    * encodes — identical bytes for this corpus).
+    * catalog, resize, and frame-sampling plumbing are oracle-checked
+    * (DuckDB 1.0 cannot slice BLOBs, so the oracle reads the source
+    * string — `ascii`/`substring` over this ASCII corpus address the
+    * identical bytes).
     */
   def oracleSql: Map[String, String] = Map(
     "mm_catalog" ->
@@ -145,6 +180,16 @@ object Multimodal {
         |       octet_length(encode(text)) AS n_bytes,
         |       hex(encode(substring(text, 1, 4))) AS magic_hex
         |FROM documents""".stripMargin,
+    "mm_resize" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |p AS (SELECT doc_id, text, n, least(n, 256) AS m FROM t)
+        |SELECT doc_id, n AS n_bytes_in, m AS n_bytes_out,
+        |       CAST(list_sum([ascii(substring(text,
+        |                              CAST((i * n) // m AS INT) + 1, 1))
+        |                      for i in range(0, m)]) AS BIGINT) AS checksum
+        |FROM p""".stripMargin,
     "mm_frames" ->
       """WITH idx AS (
         |  SELECT doc_id, text,

@@ -12,6 +12,8 @@ class EngineSpec extends SparkSpec {
       e.analytics.latestOrderAsOf, e.timeSeries.gapFillDailySales,
       e.timeSeries.scd2UserPhases, e.quality.outliers,
       e.similarity.quantizeInt8,
+      e.curation.chunks(), e.curation.shards(), e.curation.dupNgramFraction,
+      e.multimodal.resize(),
       e.merge(e.table("nation"), e.table("nation"), Seq("n_nationkey")))
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))

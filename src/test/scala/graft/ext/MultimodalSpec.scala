@@ -32,6 +32,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f.feature('a'.toInt % 16) === 1.0f)
   }
 
+  test("resizeStub: short payload passes through; long one downsamples " +
+      "at floor(i*n/m)") {
+    val short = Multimodal.assets(docs(1L -> "abcd")).as[Multimodal.Asset]
+    val r1 = Multimodal.resizeStub(short).collect().head
+    assert((r1.n_bytes_in, r1.n_bytes_out) === ((4, 4)))
+    assert(r1.checksum === "abcd".map(_.toLong).sum)
+    // n=6 -> m=4: positions floor(i*6/4) = 0,1,3,4 -> a,b,d,e
+    val long = Multimodal.assets(docs(2L -> "abcdef")).as[Multimodal.Asset]
+    val r2 = Multimodal.resizeStub(long, outLen = 4).collect().head
+    assert((r2.n_bytes_in, r2.n_bytes_out) === ((6, 4)))
+    assert(r2.checksum === "abde".map(_.toLong).sum)
+  }
+
   test("sampleFrames: strided fixed-width slices, short tail dropped") {
     val text = ("x" * 100)
     val frames = Multimodal.sampleFrames(docs(1L -> text)).collect()
