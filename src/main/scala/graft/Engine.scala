@@ -186,6 +186,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def writeZOrdered(df: DataFrame, path: String, colA: String,
         colB: String, files: Int): Unit =
       graft.sources.Layout.writeZOrdered(df, path, colA, colB, files)
+    def writeHilbertOrdered(df: DataFrame, path: String, colA: String,
+        colB: String, files: Int): Unit =
+      graft.sources.Layout.writeHilbertOrdered(df, path, colA, colB, files)
     def fileSpanFraction(df: DataFrame, keyCol: String): Double =
       graft.sources.Layout.fileSpanFraction(df, keyCol)
   }

@@ -230,6 +230,24 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.99)") * 1000).cast("long")
           .as("p99_e3"))
 
+  /** Approximate percentiles (Greenwald-Khanna sketch via
+    * `percentile_approx`) beside the exact answers — the quantile
+    * counterpart of [[approxDistinct]]: at 100 TB the sketch merges
+    * map-side in fixed memory while the exact form must hold each group's
+    * full value multiset. Sketch internals are engine-specific, so this
+    * is rows-only; RelationalSpec bounds the approximation against the
+    * exact percentile.
+    */
+  def approxPercentiles(li: DataFrame, accuracy: Int = 10000): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)") * 1000).cast("long")
+          .as("exact_median_e3"),
+        round(expr(s"percentile_approx(l_extendedprice, 0.5, $accuracy)")
+          * 1000).cast("long").as("approx_median_e3"),
+        round(expr(s"percentile_approx(l_extendedprice, 0.99, $accuracy)")
+          * 1000).cast("long").as("approx_p99_e3"))
+
   /** Full outer join: every customer and every order-aggregate row kept,
     * null-filled on the unmatched side. Planned as a sort-merge full
     * outer (hash joins can't stream both unmatched sides); keys stay
@@ -543,6 +561,8 @@ object Relational {
     "agg_grouping_sets"  -> ((s, d) => groupingSetsSales(Tables.lineitem(s, d))),
     "agg_stats"          -> ((s, d) => statsAggs(Tables.lineitem(s, d))),
     "agg_percentiles"    -> ((s, d) => percentiles(Tables.lineitem(s, d))),
+    "agg_approx_percentiles" -> ((s, d) =>
+      approxPercentiles(Tables.lineitem(s, d))),
     "join_full_outer"    -> ((s, d) => fullOuterCustomerOrders(
       Tables.customer(s, d), Tables.orders(s, d))),
     "set_intersect"      -> ((s, d) => intersectNations(Tables.customer(s, d))),

@@ -130,6 +130,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approxPercentiles: sketch tracks the exact percentile closely") {
+    val data = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    Relational.approxPercentiles(data).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_median_e3")
+      val approx = r.getAs[Long]("approx_median_e3")
+      // accuracy=10000 bounds rank error at n/10000 (<1 rank per group at
+      // this SF), so the sketch lands within a hair of the exact value
+      assert(math.abs(approx - exact).toDouble / exact < 0.01,
+        s"approx median $approx vs exact $exact")
+      assert(r.getAs[Long]("approx_p99_e3") >= approx)
+    }
+  }
+
   test("fullOuterCustomerOrders: unmatched sides survive null-filled") {
     val cust = Seq((1L, "c1", 1, 0.0, "BUILDING"), (2L, "c2", 1, 0.0, "AUTO"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")

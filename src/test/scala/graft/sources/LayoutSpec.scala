@@ -47,6 +47,20 @@ class LayoutSpec extends SparkSpec {
       s"z other span $zOther not an improvement over $sortedOther")
   }
 
+  test("hilbert layout tightens file spans on both keys too") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val hPath = tmp("hilbert")
+    Layout.writeHilbertOrdered(orders, hPath, "o_custkey", "o_totalprice", 8)
+    val h = spark.read.parquet(hPath)
+    val hKey = Layout.fileSpanFraction(h, "o_custkey")
+    val hOther = Layout.fileSpanFraction(h, "o_totalprice")
+    assert(hKey < 0.65, s"hilbert key span $hKey")
+    assert(hOther < 0.65, s"hilbert other span $hOther")
+    assert(h.count() === orders.count())
+    info(f"hilbert spans: key $hKey%.2f / other $hOther%.2f")
+  }
+
   test("writeZOrdered preserves rows and schema") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice")
