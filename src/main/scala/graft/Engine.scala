@@ -107,6 +107,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.rollingCustomerSpend(Tables.orders(spark, dataDir))
     def scd2UserPhases: DataFrame =
       TimeSeries.scd2UserPhases(Tables.events(spark, dataDir))
+    def funnel(stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+      TimeSeries.funnel(Tables.events(spark, dataDir), stages)
   }
 
   object quality {

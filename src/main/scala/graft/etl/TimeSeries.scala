@@ -102,7 +102,49 @@ object TimeSeries {
   }
 
   /** Driver-contract registration (SparkEntry aggregates these). */
+  /** Ordered funnel conversion: stage k counts users whose first stage-k
+    * event is at-or-after their first qualifying stage-(k-1) event —
+    * the product-analytics "did the user progress through view → click →
+    * purchase IN ORDER" query, not mere per-type presence.
+    *
+    * Each stage is one filter + broadcast-joinable semi-state (the
+    * qualified-users set shrinks monotonically) + a partial-aggregating
+    * min — per stage one shuffle of the FILTERED event slice, never of
+    * the full stream; the stage count is fixed and small, so the chain
+    * stays a static plan (no driver loop over data, only over stage
+    * names). Event-time ties across engines resolve identically because
+    * distinct events sharing a microsecond don't occur in this stream
+    * (the SCD2/as-of queries pin the same property).
+    */
+  def funnel(ev: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // first-event time per user for stage 1, then iterate: first event of
+    // stage k at-or-after the user's stage-(k-1) time
+    val firsts = stages.tail.scanLeft(
+      ev.filter(col("event_type") === stages.head)
+        .groupBy("user_id").agg(min(col("ts")).as("t"))) { (prev, stage) =>
+      ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .filter(col("ts") >= col("t_prev"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+    }
+    val counts = firsts.zip(stages.zipWithIndex).map {
+      case (df, (stage, i)) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage_idx"), lit(stage).as("stage"),
+            col("n_users"))
+    }.reduce(_ unionAll _)
+    val first = counts.filter(col("stage_idx") === 1)
+      .select(col("n_users").as("n_first"))
+    counts.crossJoin(broadcast(first))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        (col("n_users").cast("double") / col("n_first"))
+          .as("conv_from_first"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
     "ts_gap_fill" -> ((s, d) => gapFillDailySales(Tables.orders(s, d))),
     "window_rolling_range" -> ((s, d) =>
       rollingCustomerSpend(Tables.orders(s, d))),
@@ -111,6 +153,28 @@ object TimeSeries {
 
   /** DuckDB twins. */
   def oracleSql: Map[String, String] = Map(
+    "funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1),
+        |c AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users
+        |  FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT stage_idx, stage, n_users,
+        |       CAST(n_users AS DOUBLE)
+        |         / (SELECT n_users FROM c WHERE stage_idx = 1)
+        |         AS conv_from_first
+        |FROM c""".stripMargin,
     "ts_gap_fill" ->
       """WITH daily AS (
         |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS day,

@@ -73,4 +73,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.count() === 2) // one open run per user, no cross-user split
     assert(r.filter(col("is_current")).count() === 2)
   }
+
+  test("funnel: stages must happen IN ORDER; ties count inclusively") {
+    val ev = events(
+      // user 1: view -> click -> purchase (full funnel)
+      (1L, 1L, "view", "1997-01-01 10:00:00"),
+      (2L, 1L, "click", "1997-01-01 11:00:00"),
+      (3L, 1L, "purchase", "1997-01-01 12:00:00"),
+      // user 2: click BEFORE first view -> stalls at stage 1
+      (4L, 2L, "click", "1997-01-01 09:00:00"),
+      (5L, 2L, "view", "1997-01-01 10:00:00"),
+      (6L, 2L, "purchase", "1997-01-01 11:00:00"),
+      // user 3: purchase BEFORE the post-view click -> stalls at stage 2
+      (7L, 3L, "view", "1997-01-01 10:00:00"),
+      (8L, 3L, "purchase", "1997-01-01 11:00:00"),
+      (9L, 3L, "click", "1997-01-01 12:00:00"),
+      // user 4: never views -> in no stage
+      (10L, 4L, "purchase", "1997-01-01 10:00:00"),
+      // user 5: click at the SAME instant as view -> inclusive, stage 2
+      (11L, 5L, "view", "1997-01-01 10:00:00"),
+      (12L, 5L, "click", "1997-01-01 10:00:00"))
+    val r = TimeSeries.funnel(ev).orderBy("stage_idx").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2),
+        x.getDouble(3)))
+    assert(r.toSeq === Seq(
+      (1, "view", 4L, 1.0),
+      (2, "click", 3L, 0.75),
+      (3, "purchase", 1L, 0.25)))
+  }
 }
