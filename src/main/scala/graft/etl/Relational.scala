@@ -97,6 +97,19 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), rsd = 0.02)
           .as("approx_orders"))
 
+  /** Collect aggregates surfaced deterministically: the per-group value
+    * SET as a sorted CSV (`collect_set` itself is unordered and
+    * partitioning-dependent — `sort_array` + join to a scalar pins a
+    * stable cross-engine output; raw arrays also can't pass the verify
+    * harness's pandas sort).
+    */
+  def collectedStatuses(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
+          .as("statuses_csv"),
+        size(collect_set(col("l_linestatus"))).as("n_statuses"))
+
   /** Rollup over (returnflag, linestatus): subtotal + grand-total rows. */
   def rollupSales(li: DataFrame): DataFrame =
     li.rollup("l_returnflag", "l_linestatus")
@@ -563,6 +576,7 @@ object Relational {
     "agg_percentiles"    -> ((s, d) => percentiles(Tables.lineitem(s, d))),
     "agg_approx_percentiles" -> ((s, d) =>
       approxPercentiles(Tables.lineitem(s, d))),
+    "agg_collect" -> ((s, d) => collectedStatuses(Tables.lineitem(s, d))),
     "join_full_outer"    -> ((s, d) => fullOuterCustomerOrders(
       Tables.customer(s, d), Tables.orders(s, d))),
     "set_intersect"      -> ((s, d) => intersectNations(Tables.customer(s, d))),
@@ -765,6 +779,12 @@ object Relational {
         |            AS BIGINT) AS p90_e3,
         |       CAST(round(quantile_cont(l_extendedprice, 0.99) * 1000)
         |            AS BIGINT) AS p99_e3
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_collect" ->
+      """SELECT l_returnflag,
+        |       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+        |         AS statuses_csv,
+        |       len(list(DISTINCT l_linestatus)) AS n_statuses
         |FROM lineitem GROUP BY 1""".stripMargin,
     "agg_argmax" ->
       """SELECT l_returnflag,
