@@ -99,6 +99,29 @@ object Silver {
         col("l_returnflag"), col("l_linestatus"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
 
+  /** Quarantine (dead-letter) side-output of the lineitem cleansing: the
+    * rows [[lineitemStage]] DROPS, each tagged with every rule it
+    * violated — the audit table a production medallion pipeline writes
+    * next to silver so dropped data is explainable, not vanished. NULL in
+    * a rule column counts as a violation (mirrored with `coalesce` on
+    * both engines), so silver + rejects partition the input exactly:
+    * SilverSpec pins `|silver| + |rejects| == |input|`. The driver
+    * testdata is all-clean (0 rejects at every SF) — the oracle still
+    * proves cross-engine expression parity on the empty result.
+    */
+  def lineitemRejects(spark: SparkSession, sfDir: String): DataFrame =
+    lineitemRejectsStage(Tables.lineitem(spark, sfDir))
+
+  def lineitemRejectsStage(df: DataFrame): DataFrame = {
+    def ok(c: Column): Column = coalesce(c, lit(false))
+    df.withColumn("reasons", concat_ws(";",
+        when(!ok(col("l_extendedprice") > 0), lit("nonpositive_price")),
+        when(!ok(col("l_tax") >= 0), lit("negative_tax")),
+        when(!ok(col("l_quantity") > 0), lit("nonpositive_qty"))))
+      .filter(col("reasons") =!= "")
+      .select(col("l_orderkey"), col("l_linenumber"), col("reasons"))
+  }
+
   /** Product cleansing (`to_silver.py:78-85`): left join to a category dim
     * (J1) + coalesce fallback (P4) + key dedup (D2). part⋈nation plays the
     * products⋈category_translation role (SURVEY.md §7.2); p_size only
@@ -161,10 +184,24 @@ object Silver {
     "silver_part"     -> (part(_, _)),
     "silver_supplier" -> (supplier(_, _)),
     "silver_events"   -> (events(_, _)),
+    "silver_lineitem_rejects" -> (lineitemRejects(_, _)),
   )
 
   /** DuckDB twins of [[queries]] — same column names/aliases both sides. */
   def oracleSql: Map[String, String] = Map(
+    "silver_lineitem_rejects" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       concat_ws(';',
+        |         CASE WHEN NOT coalesce(l_extendedprice > 0, false)
+        |              THEN 'nonpositive_price' END,
+        |         CASE WHEN NOT coalesce(l_tax >= 0, false)
+        |              THEN 'negative_tax' END,
+        |         CASE WHEN NOT coalesce(l_quantity > 0, false)
+        |              THEN 'nonpositive_qty' END) AS reasons
+        |FROM lineitem
+        |WHERE NOT (coalesce(l_extendedprice > 0, false)
+        |           AND coalesce(l_tax >= 0, false)
+        |           AND coalesce(l_quantity > 0, false))""".stripMargin,
     "silver_orders" ->
       """SELECT o_orderkey, o_custkey,
         |       coalesce(o_orderstatus, 'pending') AS o_orderstatus,

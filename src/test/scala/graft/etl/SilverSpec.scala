@@ -58,6 +58,26 @@ class SilverSpec extends SparkSpec {
     assert(out.head.getAs[String]("tax") === "0.00")
   }
 
+  test("lineitemRejects: silver + rejects partition the input; reasons " +
+      "accumulate per rule") {
+    val df = Seq(
+      (1L, 1L, 1L, 1, 5.0, 100.5, 0.1, 0.0, "N", "O", ts("1997-01-01 00:00:00")),
+      (1L, 1L, 1L, 2, 5.0, -1.0, 0.1, -0.5, "N", "O", ts("1997-01-01 00:00:00")),
+      (1L, 1L, 1L, 3, 0.0, 100.0, 0.1, 0.05, "N", "O", ts("1997-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val kept = Silver.lineitemStage(df)
+    val rejects = Silver.lineitemRejectsStage(df)
+    assert(kept.count() + rejects.count() === df.count(),
+      "every input row lands in exactly one of silver/rejects")
+    val byLine = rejects.collect()
+      .map(r => r.getAs[Int]("l_linenumber") -> r.getAs[String]("reasons"))
+      .toMap
+    assert(byLine(2) === "nonpositive_price;negative_tax")
+    assert(byLine(3) === "nonpositive_qty")
+  }
+
   test("partStage: unmatched left join falls back to 'unknown'") {
     val pt = Seq(
       (1L, "widget", "Brand#1", "ECONOMY", 5, 900.0),
