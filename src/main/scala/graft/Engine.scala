@@ -193,6 +193,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
       graft.sources.Layout.writeHilbertOrdered(df, path, colA, colB, files)
     def fileSpanFraction(df: DataFrame, keyCol: String): Double =
       graft.sources.Layout.fileSpanFraction(df, keyCol)
+    def compact(path: String, targetFiles: Int,
+        sortKey: Option[String] = None): Unit =
+      graft.sources.Layout.compact(spark, path, targetFiles, sortKey)
   }
 
   /** Full medallion run with validation; throws on any failed check. */

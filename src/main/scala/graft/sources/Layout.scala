@@ -92,4 +92,37 @@ object Layout {
       .agg(avg("frac")).first().getDouble(0)
     spans
   }
+
+  /** Small-file compaction (the lakehouse `OPTIMIZE`): rewrite a parquet
+    * table directory into `targetFiles` files — range-sorted by `sortKey`
+    * when given (restoring clustering that incremental appends eroded),
+    * plain re-bucketed otherwise. Rows are byte-identical, only the file
+    * layout changes.
+    *
+    * Crash-safe by write ordering, same discipline as
+    * [[graft.streaming.UpsertSink]]: the compacted copy lands COMPLETE at
+    * `<path>.__compact` before the live dir is touched, so a crash leaves
+    * either the old layout live or the new one staged — never a partial
+    * table. The staged→live rename is metadata-only and its boolean is
+    * checked. At 100 TB this runs per-partition-subdirectory, not
+    * per-table; the per-directory unit here IS that building block.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int, sortKey: Option[String] = None): Unit = {
+    val df = spark.read.parquet(path)
+    val arranged = sortKey match {
+      case Some(k) =>
+        df.repartitionByRange(targetFiles, col(k)).sortWithinPartitions(k)
+      case None => df.repartition(targetFiles)
+    }
+    val staged = new org.apache.hadoop.fs.Path(path + ".__compact")
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staged, true)
+    arranged.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(
+        s"compaction swap failed: $staged -> $target")
+  }
 }

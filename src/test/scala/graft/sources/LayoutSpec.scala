@@ -61,6 +61,29 @@ class LayoutSpec extends SparkSpec {
     info(f"hilbert spans: key $hKey%.2f / other $hOther%.2f")
   }
 
+  test("compact: small files merge to the target count, rows identical, " +
+      "sort restored") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val path = tmp("compact")
+    orders.repartition(32).write.mode("overwrite").parquet(path)
+    def dataFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles === 32)
+    val before = Layout.fileSpanFraction(spark.read.parquet(path), "o_custkey")
+    Layout.compact(spark, path, targetFiles = 4, sortKey = Some("o_custkey"))
+    assert(dataFiles === 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() === orders.count())
+    assert(back.select("o_orderkey").except(orders.select("o_orderkey"))
+      .isEmpty)
+    val after = Layout.fileSpanFraction(back, "o_custkey")
+    // 32 hash-scattered files each span ~everything; 4 range-sorted ones
+    // are tight
+    assert(after < before / 2, s"span $after vs scattered $before")
+    assert(after < 0.3, s"sorted span $after")
+  }
+
   test("writeZOrdered preserves rows and schema") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice")
