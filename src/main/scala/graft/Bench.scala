@@ -50,12 +50,18 @@ object Bench {
     // on single runs (stray GC/RPC stalls landing inside one query's
     // window); the min of two steady-state passes is the reproducible
     // throughput number
+    // A query that THROWS must not report its time-to-throw as if it were
+    // a result (that would let a query broken only at bench SF post a fast
+    // "number"): failures record the -1.0 sentinel, and min() propagates
+    // it so the poisoned entry is visible in the JSON.
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { all(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       reset()
-      dt
+      if (ok) dt else -1.0
     }
     val results = picked.map { name =>
       name -> math.min(timed(name), timed(name))

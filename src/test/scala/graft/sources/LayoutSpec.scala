@@ -84,6 +84,36 @@ class LayoutSpec extends SparkSpec {
     assert(after < 0.3, s"sorted span $after")
   }
 
+  test("compact recovers a crash between delete(live) and rename(staged)") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val path = tmp("crash")
+    orders.repartition(8).write.mode("overwrite").parquet(path)
+
+    // simulate the one unprotected window of a prior compact(): the
+    // compacted copy is complete at <path>.__compact, the live dir was
+    // deleted, and the process died before the rename
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    orders.repartition(2).write.mode("overwrite").parquet(path + ".__compact")
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)))
+
+    // next compact() must first promote the stranded stage, then proceed
+    Layout.compact(spark, path, targetFiles = 4, sortKey = Some("o_custkey"))
+    val back = spark.read.parquet(path)
+    assert(back.count() === orders.count())
+    assert(back.select("o_orderkey").except(orders.select("o_orderkey"))
+      .isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".__compact")))
+
+    // and a bare reader can also self-serve via recover()
+    orders.repartition(2).write.mode("overwrite").parquet(path + ".__compact")
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Layout.recover(spark, path)
+    assert(spark.read.parquet(path).count() === orders.count())
+  }
+
   test("writeZOrdered preserves rows and schema") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_custkey", "o_totalprice")
