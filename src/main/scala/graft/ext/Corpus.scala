@@ -42,7 +42,11 @@ object Corpus {
     * and never a trailing chunk fully contained in its predecessor.
     */
   def chunkDocuments(docs: DataFrame, chunk: Int = ChunkTokens,
-      stride: Int = ChunkStride): DataFrame =
+      stride: Int = ChunkStride): DataFrame = {
+    require(chunk >= 1, s"chunkDocuments: chunk=$chunk must be >= 1")
+    require(stride >= 1 && stride <= chunk,
+      s"chunkDocuments: stride=$stride must be in [1, chunk=$chunk] — a " +
+        "stride past the window would skip tokens and break full coverage")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
@@ -58,19 +62,39 @@ object Corpus {
         concat_ws(" ", slice(col("toks"),
           (col("chunk_id") * stride + 1).cast("int"), lit(chunk)))
           .as("chunk_text"))
+  }
 
   /** Deterministic shard assignment + within-shard shuffle order: Knuth
     * multiplicative hash of doc_id picks the shard and the position, so
     * re-running the pipeline reproduces the exact training order (the
     * property RNG shuffles lose under repartitioning). The arithmetic
-    * form (id·2654435761 mod 2^32) is engine-portable for the oracle;
-    * a production id domain past 2^31 would use `xxhash64` instead —
-    * same plan shape, same guarantees.
+    * form (id·2654435761 mod 2^32) is engine-portable for the oracle but
+    * only sound while id·2654435761 fits a signed 64-bit long — ids past
+    * that bound now FAIL LOUDLY per-row (instead of silently hashing to a
+    * negative shard); a production id domain past it uses
+    * `portable = false`, which switches to `xxhash64` — same plan shape,
+    * same guarantees, any id domain (just not expressible in the DuckDB
+    * oracle, hence not the default here).
     */
-  def shardAssign(docs: DataFrame, shards: Long = NumShards): DataFrame = {
-    val h = (col("doc_id") * 2654435761L) % 4294967296L
+  def shardAssign(docs: DataFrame, shards: Long = NumShards,
+      portable: Boolean = true): DataFrame = {
+    val h =
+      if (portable) {
+        // Long overflows at doc_id > Long.MaxValue / 2654435761 ≈ 3.47e9:
+        // enforce the domain in-plan so a bad id is an error, not a
+        // negative shard
+        val maxId = Long.MaxValue / 2654435761L
+        val guarded = when(col("doc_id").between(0L, maxId), col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit(s"shardAssign: doc_id outside portable-hash domain [0, $maxId] (got "),
+            col("doc_id").cast("string"),
+            lit("); call with portable = false to hash with xxhash64"))))
+        (guarded * 2654435761L) % 4294967296L
+      } else {
+        pmod(xxhash64(col("doc_id")), lit(4294967296L))
+      }
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    docs.select(col("doc_id"), h.as("h"), (h % shards).as("shard"))
+    docs.select(col("doc_id"), h.as("h"), pmod(h, lit(shards)).as("shard"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("doc_id", "shard", "pos")
   }

@@ -186,9 +186,10 @@ object Multimodal {
         |  FROM documents),
         |p AS (SELECT doc_id, text, n, least(n, 256) AS m FROM t)
         |SELECT doc_id, n AS n_bytes_in, m AS n_bytes_out,
-        |       CAST(list_sum([ascii(substring(text,
+        |       CAST(coalesce(list_sum([ascii(substring(text,
         |                              CAST((i * n) // m AS INT) + 1, 1))
-        |                      for i in range(0, m)]) AS BIGINT) AS checksum
+        |                      for i in range(0, m)]), 0) AS BIGINT)
+        |         AS checksum
         |FROM p""".stripMargin,
     "mm_frames" ->
       """WITH idx AS (

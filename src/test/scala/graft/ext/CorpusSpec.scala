@@ -75,6 +75,30 @@ class CorpusSpec extends SparkSpec {
       s"sharding needs exactly the per-shard window exchange:\n$shardPlan")
   }
 
+  test("chunkDocuments rejects a stride past the window (coverage gap)") {
+    intercept[IllegalArgumentException] {
+      Corpus.chunkDocuments(docs, chunk = 64, stride = 65)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.chunkDocuments(docs, stride = 0)
+    }
+  }
+
+  test("shardAssign: overflow-domain ids fail loudly on the portable " +
+      "hash; xxhash64 path accepts them") {
+    import spark.implicits._
+    val big = Seq(Long.MaxValue / 2654435761L + 1).toDF("doc_id")
+    val ex = intercept[Exception] {
+      Corpus.shardAssign(big).collect()
+    }
+    assert(ex.getMessage.contains("portable-hash domain") ||
+      Option(ex.getCause).exists(_.getMessage.contains("portable-hash domain")))
+    val ok = Corpus.shardAssign(big, portable = false).collect()
+    assert(ok.length === 1)
+    assert(ok(0).getAs[Long]("shard") >= 0 &&
+      ok(0).getAs[Long]("shard") < Corpus.NumShards)
+  }
+
   test("dupNgramFraction: hand-computed df>1 shares on crafted docs") {
     import spark.implicits._
     val d = Seq(
