@@ -115,18 +115,30 @@ object TimeSeries {
     * names). Event-time ties across engines resolve identically because
     * distinct events sharing a microsecond don't occur in this stream
     * (the SCD2/as-of queries pin the same property).
+    *
+    * `window` bounds each step to a CONVERSION WINDOW (a Spark interval
+    * literal, e.g. "1 day"): stage k only counts events with
+    * `t_prev <= ts <= t_prev + window` — the form real product funnels
+    * use ("purchased within a day of clicking"), where the unbounded
+    * variant would credit a purchase months later. None ⇒ unbounded.
     */
   def funnel(ev: DataFrame,
-      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      window: Option[String] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     // first-event time per user for stage 1, then iterate: first event of
-    // stage k at-or-after the user's stage-(k-1) time
+    // stage k at-or-after (and within the window of) the user's
+    // stage-(k-1) time
+    val inWindow = window match {
+      case Some(iv) => col("ts") <= col("t_prev") + expr(s"interval $iv")
+      case None     => lit(true)
+    }
     val firsts = stages.tail.scanLeft(
       ev.filter(col("event_type") === stages.head)
         .groupBy("user_id").agg(min(col("ts")).as("t"))) { (prev, stage) =>
       ev.filter(col("event_type") === stage)
         .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
-        .filter(col("ts") >= col("t_prev"))
+        .filter(col("ts") >= col("t_prev") && inWindow)
         .groupBy("user_id").agg(min(col("ts")).as("t"))
     }
     val counts = firsts.zip(stages.zipWithIndex).map {
@@ -145,6 +157,8 @@ object TimeSeries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
+    "funnel_window" -> ((s, d) =>
+      funnel(Tables.events(s, d), window = Some("1 day"))),
     "ts_gap_fill" -> ((s, d) => gapFillDailySales(Tables.orders(s, d))),
     "window_rolling_range" -> ((s, d) =>
       rollingCustomerSpend(Tables.orders(s, d))),
@@ -165,6 +179,30 @@ object TimeSeries {
         |  SELECT e.user_id, min(e.ts) AS t
         |  FROM events e JOIN s2 ON e.user_id = s2.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1),
+        |c AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users
+        |  FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT stage_idx, stage, n_users,
+        |       CAST(n_users AS DOUBLE)
+        |         / (SELECT n_users FROM c WHERE stage_idx = 1)
+        |         AS conv_from_first
+        |FROM c""".stripMargin,
+    "funnel_window" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t
+        |    AND e.ts <= s1.t + INTERVAL 1 DAY GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+        |    AND e.ts <= s2.t + INTERVAL 1 DAY GROUP BY 1),
         |c AS (
         |  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users
         |  FROM s1

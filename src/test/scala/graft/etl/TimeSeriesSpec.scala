@@ -101,4 +101,34 @@ class TimeSeriesSpec extends SparkSpec {
       (2, "click", 3L, 0.75),
       (3, "purchase", 1L, 0.25)))
   }
+
+  test("funnel with conversion window: late stages fall out, boundary is " +
+      "inclusive") {
+    val ev = events(
+      // user 1: click 1h after view, purchase 1h later -> converts fully
+      (1L, 1L, "view", "1997-01-01 10:00:00"),
+      (2L, 1L, "click", "1997-01-01 11:00:00"),
+      (3L, 1L, "purchase", "1997-01-01 12:00:00"),
+      // user 2: click 2 DAYS after view -> outside a 1-day window
+      (4L, 2L, "view", "1997-01-01 10:00:00"),
+      (5L, 2L, "click", "1997-01-03 10:00:00"),
+      // user 3: click exactly AT the window boundary -> inclusive, counts
+      (6L, 3L, "view", "1997-01-01 10:00:00"),
+      (7L, 3L, "click", "1997-01-02 10:00:00"),
+      // user 4: click in-window, purchase 1 day AFTER THE CLICK + 1s ->
+      // the window restarts per stage, so this misses stage 3
+      (8L, 4L, "view", "1997-01-01 10:00:00"),
+      (9L, 4L, "click", "1997-01-01 20:00:00"),
+      (10L, 4L, "purchase", "1997-01-02 20:00:01"))
+    val r = TimeSeries.funnel(ev, window = Some("1 day"))
+      .orderBy("stage_idx").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq === Seq(
+      (1, "view", 4L), (2, "click", 3L), (3, "purchase", 1L)))
+    // unbounded on the same events: user 2's late click and user 4's late
+    // purchase count again
+    val u = TimeSeries.funnel(ev).orderBy("stage_idx").collect()
+      .map(_.getLong(2))
+    assert(u.toSeq === Seq(4L, 4L, 2L))
+  }
 }

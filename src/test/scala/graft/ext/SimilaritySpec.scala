@@ -75,6 +75,48 @@ class SimilaritySpec extends SparkSpec {
       "only the same-label near-dup pair, emitted once")
   }
 
+  test("embeddingNearDupPairsIvf: recall >= 0.9 vs UNBLOCKED ground truth " +
+      "on sf0.001 embeddings") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // ground truth: every pair past the threshold, no blocking at all —
+    // harder than the label-blocked oracle (label blocking already loses
+    // cross-label pairs; the IVF stack is gated against the full set)
+    val truth = Similarity.embeddingNearDupPairs(
+        d.withColumn("label", org.apache.spark.sql.functions.lit(0)), 0.35)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val got = Similarity.embeddingNearDupPairsIvf(d, 0.35)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(got.subsetOf(truth), "bucketing must not invent pairs")
+    assert(recall >= 0.9, s"IVF near-dup recall $recall below 0.9 " +
+      s"(truth ${truth.size}, got ${got.size})")
+    info(f"IVF near-dup recall = $recall%.2f over ${truth.size} pairs")
+  }
+
+  test("embeddingNearDupPairsIvf: oversized buckets sub-split, pairs " +
+      "emitted once") {
+    // 6 near-identical vectors, a 1-centroid codebook -> one bucket;
+    // maxBlockSize=2 forces the skew guard to split it into 3 sub-blocks
+    val d = emb((0L to 5L).map(i => i -> Seq(1f, i * 1e-4f)): _*)
+    val book = Some(Similarity.trainCentroids(d, k = 1, iters = 1))
+    val all = Similarity.embeddingNearDupPairsIvf(d, 0.9, probes = 1,
+      maxBlockSize = 100, codebook = book)
+    val split = Similarity.embeddingNearDupPairsIvf(d, 0.9, probes = 1,
+      maxBlockSize = 2, codebook = book)
+    val allPairs = all.select("vec_a", "vec_b").as[(Long, Long)]
+      .collect().toSet
+    val splitPairs = split.select("vec_a", "vec_b").as[(Long, Long)]
+      .collect().toSet
+    assert(allPairs.size === 15, "unsplit bucket compares all 6C2 pairs")
+    assert(splitPairs.subsetOf(allPairs))
+    // vec_id pmod 3 sub-blocks: {0,3},{1,4},{2,5} -> exactly those pairs
+    assert(splitPairs === Set((0L, 3L), (1L, 4L), (2L, 5L)))
+    // no duplicates in either output
+    assert(all.count() === allPairs.size)
+    assert(split.count() === splitPairs.size)
+  }
+
   test("quantizeInt8: scale maps max|x| to ±127, small recon error") {
     val d = Seq(
       (0L, Seq(1f, -2f, 0.5f), 0),
