@@ -9,12 +9,15 @@ import graft.Tables
   * metadata, and run decode / feature-extraction / frame-sampling as
   * per-partition batch transforms.
   *
-  * The container has no media codecs, so the DECODE step is a clearly
-  * marked deterministic STUB (`decodeStub` — dimensions derived from the
-  * payload bytes); everything around it — the binary column handling,
-  * schemas, Encoders, per-partition batch shape, partitioning — is real
-  * and tested. In production the stub body is replaced by a codec call;
-  * nothing else changes.
+  * IMAGE decode is REAL: the JDK ships ImageIO's PNG codec, so
+  * [[encodePng]]/[[decodePng]] run an actual encode→parse→inflate round
+  * trip (oracle-checked end to end — see `mm_decode_png`). Audio/video
+  * codecs genuinely aren't in this container, so THOSE decode/feature
+  * steps stay clearly-marked deterministic STUBS (`decodeStub`,
+  * `featuresStub`); everything around them — the binary column handling,
+  * schemas, Encoders, per-partition batch shape, partitioning — is the
+  * same real plumbing the PNG path exercises. In production a stub body
+  * is replaced by the codec call; nothing else changes.
   *
   * == Scale design ==
   * `mapPartitions` is deliberate: a real decoder amortizes codec/model
@@ -98,6 +101,81 @@ object Multimodal {
     }
   }
 
+  /** Real-codec decode output: dimensions and pixel checksum read back by
+    * `javax.imageio` from actual PNG bytes.
+    */
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+      px_checksum: Long, png_bytes: Int)
+
+  /** ENCODE — payload bytes → a real PNG: a fixed-width 8-bit grayscale
+    * image whose pixel stream IS the payload (row-major, zero-padded to
+    * the last row), written by the JDK's ImageIO PNG encoder. This is a
+    * genuine codec call (headers, filters, zlib), not a stub — the JDK
+    * ships the PNG plugin, so it works in this container. Same
+    * `mapPartitions` batch shape as every other media transform; encoder
+    * state is per-partition.
+    */
+  val PngWidth = 32
+
+  def encodePng(assets: Dataset[Asset], width: Int = PngWidth): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no disk-backed streams
+      it.map { a =>
+        val n = a.payload.length
+        val h = math.max(1, (n + width - 1) / width)
+        val img = new java.awt.image.BufferedImage(
+          width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < width * h) {
+          raster.setSample(i % width, i / width, 0,
+            if (i < n) java.lang.Byte.toUnsignedInt(a.payload(i)) else 0)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Asset(a.doc_id, bos.toByteArray, "image/png")
+      }
+    }
+  }
+
+  /** DECODE — REAL `javax.imageio` decode of the PNG payload: parses the
+    * container, inflates the pixel stream, and reports dimensions plus
+    * the sum of all pixel samples. Nothing here knows how the PNG was
+    * made — any 8-bit grayscale PNG decodes identically — so with
+    * [[encodePng]] upstream the round trip is oracle-checkable: width is
+    * the encode constant, height = ceil(n/width), and the pixel checksum
+    * equals the payload byte sum (padding is zero). Replaces the
+    * environment-forced [[decodeStub]] claim that a real decoder can't
+    * run in this sandbox — for PNG it can; audio/video codecs remain
+    * stubbed ([[decodeStub]] keeps that batch shape).
+    */
+  def decodePng(imgs: Dataset[Asset]): Dataset[DecodedImage] = {
+    import imgs.sparkSession.implicits._
+    imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"doc ${a.doc_id}: payload is not a decodable image")
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(a.doc_id, img.getWidth, img.getHeight, sum,
+          a.payload.length)
+      }
+    }
+  }
+
   /** RESIZE — 1-D nearest-neighbor downsample of the payload byte stream
     * to at most `outLen` bytes: output position i reads input byte
     * `floor(i·n/m)`, exactly the access pattern of a nearest-neighbor
@@ -162,6 +240,12 @@ object Multimodal {
           x => round(x.cast("double") * 1000000).cast("long")))
           .as("feature_e6"))),
     "mm_resize"   -> ((s, d) => resizeStub(assetDs(s, d)).toDF()),
+    // real PNG round trip: encode payload -> actual ImageIO decode;
+    // png_bytes (container size) is encoder-dependent, so the query
+    // emits only the decode-derived columns the oracle can predict
+    "mm_decode_png" -> ((s, d) =>
+      decodePng(encodePng(assetDs(s, d))).toDF()
+        .select("doc_id", "width", "height", "px_checksum")),
     "mm_frames"   -> ((s, d) =>
       sampleFrames(Tables.documents(s, d))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
@@ -191,6 +275,15 @@ object Multimodal {
         |                      for i in range(0, m)]), 0) AS BIGINT)
         |         AS checksum
         |FROM p""".stripMargin,
+    "mm_decode_png" ->
+      """SELECT doc_id, 32 AS width,
+        |       greatest(1, CAST(ceil(octet_length(encode(text)) / 32.0)
+        |                        AS INT)) AS height,
+        |       CAST(coalesce(list_sum([ascii(substring(text, i, 1))
+        |                      for i in range(1,
+        |                        octet_length(encode(text)) + 1)]), 0)
+        |            AS BIGINT) AS px_checksum
+        |FROM documents""".stripMargin,
     "mm_frames" ->
       """WITH idx AS (
         |  SELECT doc_id, text,

@@ -24,6 +24,47 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(2L).ok)
   }
 
+  test("encodePng/decodePng: REAL ImageIO round trip — magic bytes, dims, " +
+      "pixel checksum") {
+    val ds = Multimodal.assets(docs(
+      1L -> "hi",                 // 2 bytes -> 32x1, padded with zeros
+      2L -> ("x" * 33),           // 33 bytes -> 32x2
+      3L -> "")                   // empty -> 32x1, all-zero pixels
+    ).as[Multimodal.Asset]
+    val pngs = Multimodal.encodePng(ds).collect().map(a => a.doc_id -> a).toMap
+    // a real PNG container: the 8-byte signature is fixed by the spec
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    pngs.values.foreach { a =>
+      assert(a.payload.take(8).sameElements(sig), "PNG signature")
+      assert(a.format === "image/png")
+    }
+    val dec = Multimodal.decodePng(Multimodal.encodePng(ds)).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(dec(1L).width === 32 && dec(1L).height === 1)
+    assert(dec(1L).px_checksum === 'h'.toInt + 'i'.toInt)
+    assert(dec(2L).width === 32 && dec(2L).height === 2)
+    assert(dec(2L).px_checksum === 33L * 'x'.toInt)
+    assert(dec(3L).width === 32 && dec(3L).height === 1)
+    assert(dec(3L).px_checksum === 0L)
+  }
+
+  test("decodePng decodes ANY grayscale PNG, not just encodePng's output") {
+    // hand-built 2x2 image through the codec directly — proves the decode
+    // side is a real parser with no knowledge of the upstream encoder
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 10)
+    img.getRaster.setSample(1, 0, 0, 20)
+    img.getRaster.setSample(0, 1, 0, 30)
+    img.getRaster.setSample(1, 1, 0, 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = Seq(Multimodal.Asset(7L, bos.toByteArray, "image/png"))
+      .toDS()
+    val d = Multimodal.decodePng(ds).collect().head
+    assert(d.width === 2 && d.height === 2 && d.px_checksum === 100L)
+  }
+
   test("featuresStub: L1-normalized fixed-dim histogram") {
     val ds = Multimodal.assets(docs(1L -> "aaaa")).as[Multimodal.Asset]
     val f = Multimodal.featuresStub(ds).collect().head
