@@ -11,8 +11,13 @@ import graft.Tables
   *
   * IMAGE decode is REAL: the JDK ships ImageIO's PNG codec, so
   * [[encodePng]]/[[decodePng]] run an actual encode→parse→inflate round
-  * trip (oracle-checked end to end — see `mm_decode_png`). Audio/video
-  * codecs genuinely aren't in this container, so THOSE decode/feature
+  * trip (oracle-checked end to end — see `mm_decode_png`), and
+  * [[imageFeatures]] extracts histogram/mean features from the decoded
+  * raster. AUDIO decode is REAL for the WAV container: the JDK ships
+  * `javax.sound.sampled`'s RIFF/PCM reader-writer, so
+  * [[encodeWav]]/[[decodeWav]] run an actual encode→parse round trip
+  * (oracle-checked — see `mm_decode_wav`). Compressed audio (MP3/AAC) and
+  * video codecs genuinely aren't in this container, so THOSE decode/feature
   * steps stay clearly-marked deterministic STUBS (`decodeStub`,
   * `featuresStub`); everything around them — the binary column handling,
   * schemas, Encoders, per-partition batch shape, partitioning — is the
@@ -176,6 +181,113 @@ object Multimodal {
     }
   }
 
+  /** Real-codec audio decode output: stream parameters and sample checksum
+    * read back by `javax.sound.sampled` from actual WAV bytes.
+    */
+  case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, sample_checksum: Long)
+
+  /** ENCODE — payload bytes → a real WAV container: 8-bit unsigned PCM
+    * mono at 8 kHz whose sample stream IS the payload, written by the
+    * JDK's `javax.sound.sampled` WAV writer (RIFF header, fmt chunk, data
+    * chunk). Like [[encodePng]], a genuine codec call that works in this
+    * container because the WAV file writer ships with the JDK. Same
+    * `mapPartitions` batch shape; format object built once per partition.
+    */
+  val WavSampleRate = 8000f
+
+  def encodeWav(assets: Dataset[Asset]): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        WavSampleRate, 8, 1, 1, WavSampleRate, false)
+      it.map { a =>
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload), fmt, a.payload.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Asset(a.doc_id, bos.toByteArray, "audio/wav")
+      }
+    }
+  }
+
+  /** DECODE — REAL `javax.sound.sampled` parse of the WAV payload: reads
+    * the RIFF container, validates the fmt chunk, and streams the PCM
+    * frames, reporting stream parameters plus the sum of all unsigned
+    * samples. Nothing here knows how the WAV was made — any 8-bit mono
+    * PCM WAV decodes identically — so with [[encodeWav]] upstream the
+    * round trip is oracle-checkable: rate/channels are the encode
+    * constants, n_samples = payload length, checksum = payload byte sum.
+    * With [[decodePng]] this retires the "no audio codec in the sandbox"
+    * claim for the WAV container; compressed codecs (MP3/AAC) and video
+    * genuinely remain out, which [[decodeStub]] continues to stand in for.
+    */
+  def decodeWav(wavs: Dataset[Asset]): Dataset[DecodedAudio] = {
+    import wavs.sparkSession.implicits._
+    wavs.mapPartitions { it =>
+      it.map { a =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val fmt = ais.getFormat
+        var sum = 0L
+        var n = 0L
+        val buf = new Array[Byte](8192)
+        var read = ais.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i < read) {
+            sum += java.lang.Byte.toUnsignedInt(buf(i)); i += 1
+          }
+          n += read
+          read = ais.read(buf)
+        }
+        DecodedAudio(a.doc_id, fmt.getSampleRate.toInt, fmt.getChannels,
+          n / math.max(1, fmt.getFrameSize), sum)
+      }
+    }
+  }
+
+  /** Image features over REAL decoded pixels: 16-bin intensity histogram
+    * (bin = pixel >> 4) plus mean intensity, computed from the raster
+    * [[decodePng]] inflates — the decode→feature pipeline of a media lake
+    * with the stub replaced by the actual codec. Oracle-checkable because
+    * the decoded pixel stream is the payload plus zero-padding to the last
+    * row: bin 0 absorbs `width·height − n` pad pixels and the mean divides
+    * the exact byte sum by the exact pixel count (identical IEEE division
+    * on the DuckDB side).
+    */
+  case class ImageFeatures(doc_id: Long, hist: Array[Long], mean_px: Double)
+
+  def imageFeatures(imgs: Dataset[Asset]): Dataset[ImageFeatures] = {
+    import imgs.sparkSession.implicits._
+    imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"doc ${a.doc_id}: payload is not a decodable image")
+        val raster = img.getRaster
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val px = raster.getSample(x, y, 0)
+            hist(px >> 4) += 1L
+            sum += px
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(a.doc_id, hist,
+          sum.toDouble / (img.getWidth.toLong * img.getHeight))
+      }
+    }
+  }
+
   /** RESIZE — 1-D nearest-neighbor downsample of the payload byte stream
     * to at most `outLen` bytes: output position i reads input byte
     * `floor(i·n/m)`, exactly the access pattern of a nearest-neighbor
@@ -250,6 +362,18 @@ object Multimodal {
       sampleFrames(Tables.documents(s, d))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           hex(col("frame")).as("frame_hex"))),
+    // real WAV round trip: encode payload -> actual javax.sound parse;
+    // all emitted columns are decode-derived and oracle-predictable
+    "mm_decode_wav" -> ((s, d) =>
+      decodeWav(encodeWav(assetDs(s, d))).toDF()),
+    // real decode -> feature pipeline: histogram/mean over decoded pixels
+    // (hist emitted as a scalar CSV string — verify outputs are scalar-only)
+    "mm_features_png" -> ((s, d) =>
+      imageFeatures(encodePng(assetDs(s, d))).toDF()
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("hist"), x => x.cast("string")))
+            .as("hist_csv"),
+          col("mean_px"))),
   )
 
   /** DuckDB twins. Decode/features are JVM-side stubs (rows-only); the
@@ -284,6 +408,31 @@ object Multimodal {
         |                        octet_length(encode(text)) + 1)]), 0)
         |            AS BIGINT) AS px_checksum
         |FROM documents""".stripMargin,
+    "mm_decode_wav" ->
+      """SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+        |       CAST(coalesce(list_sum([ascii(substring(text, i, 1))
+        |                      for i in range(1,
+        |                        octet_length(encode(text)) + 1)]), 0)
+        |            AS BIGINT) AS sample_checksum
+        |FROM documents""".stripMargin,
+    "mm_features_png" ->
+      """WITH t AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         [ascii(substring(text, i, 1))
+        |          for i in range(1, octet_length(encode(text)) + 1)] AS bytes
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, n, bytes,
+        |         greatest(1, CAST(ceil(n / 32.0) AS BIGINT)) * 32 AS npx
+        |  FROM t)
+        |SELECT doc_id,
+        |       array_to_string(
+        |         [CAST(len(list_filter(bytes, x -> x // 16 = b))
+        |               + CASE WHEN b = 0 THEN npx - n ELSE 0 END AS VARCHAR)
+        |          for b in range(0, 16)], ',') AS hist_csv,
+        |       CAST(coalesce(list_sum(bytes), 0) AS DOUBLE) / npx AS mean_px
+        |FROM d""".stripMargin,
     "mm_frames" ->
       """WITH idx AS (
         |  SELECT doc_id, text,

@@ -65,6 +65,59 @@ class MultimodalSpec extends SparkSpec {
     assert(d.width === 2 && d.height === 2 && d.px_checksum === 100L)
   }
 
+  test("encodeWav/decodeWav: REAL javax.sound round trip — RIFF magic, " +
+      "stream params, sample checksum") {
+    val ds = Multimodal.assets(docs(
+      1L -> "hi",                 // 2 samples
+      2L -> ("x" * 33),           // 33 samples
+      3L -> "")                   // empty -> 0 samples
+    ).as[Multimodal.Asset]
+    val wavs = Multimodal.encodeWav(ds).collect().map(a => a.doc_id -> a).toMap
+    // a real WAV container: RIFF....WAVE per the spec
+    wavs.values.foreach { a =>
+      assert(new String(a.payload.take(4), "US-ASCII") === "RIFF")
+      assert(new String(a.payload.slice(8, 12), "US-ASCII") === "WAVE")
+      assert(a.format === "audio/wav")
+    }
+    val dec = Multimodal.decodeWav(Multimodal.encodeWav(ds)).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(dec(1L).sample_rate === 8000 && dec(1L).channels === 1)
+    assert(dec(1L).n_samples === 2L)
+    assert(dec(1L).sample_checksum === 'h'.toInt + 'i'.toInt)
+    assert(dec(2L).n_samples === 33L)
+    assert(dec(2L).sample_checksum === 33L * 'x'.toInt)
+    assert(dec(3L).n_samples === 0L && dec(3L).sample_checksum === 0L)
+  }
+
+  test("decodeWav decodes ANY 8-bit PCM WAV, not just encodeWav's output") {
+    // hand-built stream through the codec directly — the decode side is a
+    // real parser with no knowledge of the upstream encoder
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      11025f, 8, 1, 1, 11025f, false)
+    val samples = Array[Byte](10, 20, 30, 40)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val ds = Seq(Multimodal.Asset(7L, bos.toByteArray, "audio/wav")).toDS()
+    val d = Multimodal.decodeWav(ds).collect().head
+    assert(d.sample_rate === 11025 && d.channels === 1)
+    assert(d.n_samples === 4L && d.sample_checksum === 100L)
+  }
+
+  test("imageFeatures: histogram/mean over REAL decoded pixels, " +
+      "zero-padding lands in bin 0") {
+    val ds = Multimodal.assets(docs(1L -> ("A" * 3))).as[Multimodal.Asset]
+    val f = Multimodal.imageFeatures(Multimodal.encodePng(ds)).collect().head
+    // 3 'A' (0x41 -> bin 4) + 29 pad zeros (bin 0) in a 32x1 image
+    assert(f.hist.sum === 32L)
+    assert(f.hist(0) === 29L)
+    assert(f.hist(4) === 3L)
+    assert(f.mean_px === 3.0 * 'A'.toInt / 32.0)
+  }
+
   test("featuresStub: L1-normalized fixed-dim histogram") {
     val ds = Multimodal.assets(docs(1L -> "aaaa")).as[Multimodal.Asset]
     val f = Multimodal.featuresStub(ds).collect().head
