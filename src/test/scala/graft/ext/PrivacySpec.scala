@@ -1,0 +1,64 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactText: counts and replaces every PII category, leaves clean " +
+      "text alone") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now or call 555-1234 " +
+        "from 192.168.0.1 or 10.0.0.255"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = Privacy.redactText(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") === 1)
+    assert(out(1L).getAs[Int]("n_phones") === 1)
+    assert(out(1L).getAs[Int]("n_ips") === 2)
+    assert(out(1L).getAs[String]("text") ===
+      "mail <EMAIL> now or call <PHONE> from <IP> or <IP>")
+    assert(out(2L).getAs[Int]("n_emails") === 0)
+    assert(out(2L).getAs[String]("text") === "no pii here at all")
+  }
+
+  test("redactDocuments: planted PII is found and fully redacted") {
+    val docs = Seq((42L, "hello world", "en", "src0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Privacy.redactDocuments(docs).collect().head
+    assert(r.getAs[Int]("n_emails") === 1)
+    assert(r.getAs[Int]("n_phones") === 1)
+    assert(r.getAs[Int]("n_ips") === 1)
+    // redacted text is exactly predictable: every planted token replaced
+    val want = "hello world contact <EMAIL> or call <PHONE> from <IP>"
+    assert(r.getAs[String]("redacted_fp") ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(want))
+    assert(r.getAs[Int]("n_chars_redacted") === want.length)
+  }
+
+  test("maskCustomers: hash is stable, mask keeps last 4 digits, bucket " +
+      "generalizes") {
+    val cust = Seq((7L, "Customer#000001234", 3L, 1863.84, "HOUSEHOLD"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = Privacy.maskCustomers(cust).collect().head
+    assert(r.getAs[String]("name_hash") ===
+      org.apache.commons.codec.digest.DigestUtils
+        .sha256Hex("Customer#000001234"))
+    assert(r.getAs[String]("name_masked") === "Customer#XXXXX1234")
+    assert(r.getAs[Long]("acctbal_bucket") === 1L)
+    // negative balances floor toward -inf (bucket -1, not 0)
+    val neg = Seq((8L, "Customer#000000008", 3L, -12.5, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    assert(Privacy.maskCustomers(neg).collect().head
+      .getAs[Long]("acctbal_bucket") === -1L)
+  }
+
+  test("redaction is a narrow no-shuffle plan") {
+    val docs = Seq((1L, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val plan = Privacy.redactDocuments(docs).queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"), "no shuffle expected")
+  }
+}
