@@ -120,8 +120,50 @@ object Corpus {
         col("n_dup_shingles").cast("double") / col("n_shingles"))
   }
 
+  /** Cross-document line-level dedup (the C4/RefinedWeb boilerplate pass):
+    * every line keeps only its FIRST occurrence corpus-wide — ordered by
+    * (doc_id, position) — and each document reports how much of it
+    * survived plus a fingerprint of its cleaned text. Exact-duplicate
+    * documents collapse to `n_kept = 0` (every line already seen);
+    * templated boilerplate shared across many documents is stripped from
+    * all but the first.
+    *
+    * This corpus has no newlines, so a "line" is a fixed `lineTokens`
+    * non-overlapping token window (via [[chunkDocuments]] with
+    * stride = chunk); with real text swap the chunker for
+    * `split(text, '\n')` — the dedup core is line-definition-agnostic.
+    *
+    * Scale shape: ONE shuffle, keyed by line content, for the
+    * first-occurrence window — the same partitioning a groupBy(line)
+    * would use, with no skew risk beyond a globally hot line (which the
+    * window absorbs: `row_number` is a streaming rank, not a buffer).
+    * The per-doc rollup rides a second shuffle on doc_id; the cleaned
+    * fingerprint sorts each doc's surviving lines by position via
+    * `array_sort` on (line_id, line) structs, so the hash is
+    * deterministic under any partitioning.
+    */
+  def dedupLines(docs: DataFrame, lineTokens: Int = 16): DataFrame = {
+    val lines = chunkDocuments(docs, lineTokens, lineTokens)
+      .select(col("doc_id"), col("chunk_id").as("line_id"),
+        col("chunk_text").as("line"))
+    val w = Window.partitionBy("line").orderBy("doc_id", "line_id")
+    lines
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("line_id"), col("line"))))),
+          x => x.getField("line")))).as("clean_fp"))
+      .withColumn("kept_frac",
+        col("n_kept").cast("double") / col("n_lines"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_line_dedup" -> ((s, d) => dedupLines(Tables.documents(s, d))),
     "text_chunks"  -> ((s, d) => chunkDocuments(Tables.documents(s, d))),
     "shard_assign" -> ((s, d) => shardAssign(Tables.documents(s, d))),
     "text_dup_ngram_frac" -> ((s, d) =>
@@ -130,6 +172,38 @@ object Corpus {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "corpus_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, toks, n,
+        |         CASE WHEN n <= 16 THEN 1
+        |              ELSE CAST(ceil((n - 16) / 16.0) AS BIGINT) + 1
+        |         END AS nlines
+        |  FROM t),
+        |lines AS (
+        |  SELECT doc_id, j AS line_id,
+        |         array_to_string(toks[(1 + j * 16):(j * 16 + 16)], ' ')
+        |           AS line
+        |  FROM m, LATERAL (SELECT unnest(generate_series(0, nlines - 1))
+        |                     AS j) u),
+        |ranked AS (
+        |  SELECT doc_id, line_id, line,
+        |         row_number() OVER (PARTITION BY line
+        |                            ORDER BY doc_id, line_id) AS rn
+        |  FROM lines)
+        |SELECT doc_id, count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+        |                               ORDER BY line_id), ''))
+        |         AS clean_fp,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS kept_frac
+        |FROM ranked
+        |GROUP BY doc_id""".stripMargin,
     "text_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

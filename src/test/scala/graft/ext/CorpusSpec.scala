@@ -99,6 +99,29 @@ class CorpusSpec extends SparkSpec {
       ok(0).getAs[Long]("shard") < Corpus.NumShards)
   }
 
+  test("dedupLines: first occurrence survives, exact dup collapses to " +
+      "n_kept=0, clean_fp is position-ordered") {
+    import spark.implicits._
+    // 2-token lines: doc 1 = [a b][c d], doc 2 = [c d][e f] (shares line 2),
+    // doc 3 = exact copy of doc 1 -> every line already seen
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = Corpus.dedupLines(d, lineTokens = 2)
+      .select("doc_id", "n_lines", "n_kept", "kept_frac", "clean_fp")
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert((got(1L)._2, got(1L)._3, got(1L)._4) === ((2L, 2L, 1.0)))
+    assert((got(2L)._2, got(2L)._3, got(2L)._4) === ((2L, 1L, 0.5)))
+    assert((got(3L)._2, got(3L)._3, got(3L)._4) === ((2L, 0L, 0.0)))
+    import org.apache.commons.codec.digest.DigestUtils.md5Hex
+    assert(got(1L)._5 === md5Hex("a b c d"))  // both lines, doc order
+    assert(got(2L)._5 === md5Hex("e f"))      // only the unseen line
+    assert(got(3L)._5 === md5Hex(""))         // nothing survives
+  }
+
   test("dupNgramFraction: hand-computed df>1 shares on crafted docs") {
     import spark.implicits._
     val d = Seq(
