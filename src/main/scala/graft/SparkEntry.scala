@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
-import graft.ext.{Components, Corpus, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
+import graft.ext.{Components, Corpus, Curation, Dedup, HeavyHitters, Multimodal, Privacy, Quality, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
-import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, SkewJoin}
+import graft.operators.{AsOfJoin, BloomJoin, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,7 +34,9 @@ object SparkEntry {
       Multimodal.queries ++ AsOfJoin.queries ++ Components.queries ++
       RangeJoin.queries ++ Quality.queries ++ WindowOps.queries ++
       ScalarSurface.queries ++ TimeSeries.queries ++ MergeUpsert.queries ++
-      Curation.queries ++ SkewJoin.queries ++ Corpus.queries
+      Curation.queries ++ SkewJoin.queries ++ Corpus.queries ++
+      Privacy.queries ++ SnapshotDiff.queries ++ BloomJoin.queries ++
+      HeavyHitters.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -44,5 +46,7 @@ object SparkEntry {
       Components.oracleSql ++ RangeJoin.oracleSql ++ Quality.oracleSql ++
       WindowOps.oracleSql ++ ScalarSurface.oracleSql ++
       TimeSeries.oracleSql ++ MergeUpsert.oracleSql ++ Curation.oracleSql ++
-      SkewJoin.oracleSql ++ Corpus.oracleSql
+      SkewJoin.oracleSql ++ Corpus.oracleSql ++
+      Privacy.oracleSql ++ SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++
+      HeavyHitters.oracleSql
 }
