@@ -155,7 +155,57 @@ object TimeSeries {
           .as("conv_from_first"))
   }
 
+  /** Event-type transition matrix (the Markov view of user behavior):
+    * consecutive event pairs per user — ordered by the append-sequential
+    * `event_id`, a total order identical on both engines, where a
+    * timestamp order could tie at micros and break cross-engine hashing —
+    * rolled up to (prev, next) counts and row-normalized probabilities.
+    * One shuffle on user_id for the lag window, one hash-agg on the pair;
+    * the per-prev totals ride a broadcast join (|event types|² rows).
+    */
+  def transitionMatrix(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val counts = ev.select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = counts.groupBy("prev_type")
+      .agg(sum("n_transitions").as("n_from"))
+    counts.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("event_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("n_from"))
+          .as("p_transition"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * first event; each later week reports how many of that cohort were
+    * active (distinct-user exact counts; the retention ratio divides
+    * them with the engine-identical IEEE expression). Two hash-aggs over
+    * (user, week) plus a broadcast of the per-cohort sizes — the
+    * activity table shuffles once, the cohort dimension never does.
+    */
+  def cohortRetention(ev: DataFrame): DataFrame = {
+    val weeks = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.join(cohorts, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week").cast("string").as("cohort_week"),
+        col("week_offset"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_size"))
+          .as("retention"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_transitions" -> ((s, d) => transitionMatrix(Tables.events(s, d))),
+    "cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
     "funnel_window" -> ((s, d) =>
       funnel(Tables.events(s, d), window = Some("1 day"))),
@@ -167,6 +217,39 @@ object TimeSeries {
 
   /** DuckDB twins. */
   def oracleSql: Map[String, String] = Map(
+    "event_transitions" ->
+      """WITH steps AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type, count(*) AS n_transitions
+        |      FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.event_type, c.n_transitions,
+        |       CAST(c.n_transitions AS DOUBLE) / t.n_from AS p_transition
+        |FROM c JOIN t USING (prev_type)""".stripMargin,
+    "cohort_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+        |           AS week
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week
+        |            FROM weeks GROUP BY 1),
+        |sizes AS (SELECT cohort_week, count(*) AS cohort_size
+        |          FROM cohorts GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_week,
+        |         CAST((w.week - c.cohort_week) // 7 AS BIGINT)
+        |           AS week_offset,
+        |         count(DISTINCT w.user_id) AS n_active
+        |  FROM weeks w JOIN cohorts c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(a.cohort_week AS VARCHAR) AS cohort_week, a.week_offset,
+        |       a.n_active, CAST(a.n_active AS DOUBLE) / s.cohort_size
+        |         AS retention
+        |FROM act a JOIN sizes s USING (cohort_week)""".stripMargin,
     "funnel_conversion" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t FROM events

@@ -117,4 +117,38 @@ class PropertySpec extends SparkSpec {
       assert(byId === byStr, "same per-doc distinct-shingle cardinality")
     }
   }
+
+  test("bloom filter: no false negatives over generated key sets") {
+    import graft.functions.Bloom
+    samples(Gen.listOfN(300, Gen.choose(Long.MinValue, Long.MaxValue)), n = 3)
+      .foreach { keys =>
+        val bits = Bloom.optimalNumBits(keys.size.toLong, 0.01)
+        val k = Bloom.optimalNumHashes(bits, keys.size.toLong)
+        val f = Bloom.build(keys.toDS(), bits, k)
+        val (kk, words) = Bloom.deserialize(f)
+        keys.foreach { key =>
+          assert(Bloom.contains(words, words.length * 64, kk, key),
+            s"inserted key $key must probe true")
+        }
+      }
+  }
+
+  test("heavy hitters: exact match with brute force over generated " +
+      "skewed streams") {
+    import graft.ext.HeavyHitters
+    val streamGen = for {
+      hotN <- Gen.choose(50, 200)
+      tailN <- Gen.choose(50, 300)
+      tail <- Gen.listOfN(tailN, Gen.choose(0, 100000))
+    } yield Seq.fill(hotN)("hot") ++ tail.map(i => s"t$i")
+    samples(streamGen, n = 4).foreach { items =>
+      val df = items.toDF("item")
+      val got = HeavyHitters.frequent(df, minFrac = 0.1, slots = 32)
+        .select("item", "cnt").as[(String, Long)].collect().toSet
+      val thr = math.ceil(0.1 * items.size)
+      val want = items.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thr).map { case (k, v) => (k, v) }.toSet
+      assert(got === want)
+    }
+  }
 }

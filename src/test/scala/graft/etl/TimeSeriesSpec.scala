@@ -131,4 +131,48 @@ class TimeSeriesSpec extends SparkSpec {
       .map(_.getLong(2))
     assert(u.toSeq === Seq(4L, 4L, 2L))
   }
+
+  private def evRows(rows: (Long, Long, String, String)*) =
+    rows.map { case (eid, uid, typ, t) => (eid, ts(t), uid, typ, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("transitionMatrix: consecutive pairs per user in event_id order, " +
+      "row-normalized") {
+    val r = TimeSeries.transitionMatrix(evRows(
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "click", "2024-01-01 10:01:00"),
+      (3L, 1L, "view", "2024-01-01 10:02:00"),
+      (4L, 1L, "click", "2024-01-01 10:03:00"),
+      (5L, 2L, "view", "2024-01-01 10:00:30"),
+      (6L, 2L, "purchase", "2024-01-01 10:04:00")))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    // from view: 2x ->click, 1x ->purchase; from click: 1x ->view
+    assert(r(("view", "click")) === ((2L, 2.0 / 3)))
+    assert(r(("view", "purchase")) === ((1L, 1.0 / 3)))
+    assert(r(("click", "view")) === ((1L, 1.0)))
+    assert(r.size === 3)
+  }
+
+  test("cohortRetention: users cohorted by first week; later-week " +
+      "activity counted against cohort size") {
+    val r = TimeSeries.cohortRetention(evRows(
+      // cohort week of Jan 1 (Mon): users 1, 2
+      (1L, 1L, "view", "2024-01-02 09:00:00"),
+      (2L, 2L, "view", "2024-01-03 09:00:00"),
+      // week +1: only user 1 returns
+      (3L, 1L, "click", "2024-01-09 09:00:00"),
+      // cohort week of Jan 15: user 3, active again week +2
+      (4L, 3L, "view", "2024-01-16 09:00:00"),
+      (5L, 3L, "view", "2024-01-30 09:00:00")))
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    assert(r(("2024-01-01", 0L)) === ((2L, 1.0)))
+    assert(r(("2024-01-01", 1L)) === ((1L, 0.5)))
+    assert(r(("2024-01-15", 0L)) === ((1L, 1.0)))
+    assert(r(("2024-01-15", 2L)) === ((1L, 1.0)))
+    assert(r.size === 4)
+  }
 }
