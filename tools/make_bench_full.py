@@ -1,0 +1,30 @@
+#!/usr/bin/env python3
+"""Format a SPARK_GRAFT_BENCH_ALL=1 sweep line into the committed
+BENCH_FULL.json artifact (pretty-printed, queries sorted by time desc).
+
+Usage: python3 tools/make_bench_full.py /tmp/bench_full_raw.json <round>
+"""
+import json
+import sys
+
+raw = json.loads(open(sys.argv[1]).read())
+qs = raw["queries"]
+out = {
+    "recorded_round": int(sys.argv[2]),
+    "sf": raw["sf"],
+    "mode": "SPARK_GRAFT_BENCH_ALL=1, local[32], shuffle.partitions=32, "
+            "one unmeasured warmup pass, best-of-2 timed passes, "
+            "session hygiene between queries (see graft.Bench)",
+    "total_sec": raw["value"],
+    "n_queries": len(qs),
+    "failures": sorted(k for k, v in qs.items() if v < 0),
+    "slowest_5": [
+        {"query": k, "sec": v}
+        for k, v in sorted(qs.items(), key=lambda x: -x[1])[:5]],
+    "queries_sec": dict(sorted(qs.items(), key=lambda x: -x[1])),
+}
+with open("BENCH_FULL.json", "w") as f:
+    json.dump(out, f, indent=1)
+    f.write("\n")
+print(f"BENCH_FULL.json: {out['n_queries']} queries, "
+      f"{out['total_sec']:.1f}s total, failures={out['failures']}")
