@@ -79,8 +79,37 @@ object Curation {
       .filter(col("doc_id") % 100 < col("rate_pct"))
       .select("doc_id", "lang", "source", "rate_pct")
 
+  /** Deterministic train/val/test split: the document's Knuth-hash u32
+    * (same portable hash and id-domain guard story as
+    * [[Corpus.shardAssign]]) lands in integer threshold buckets —
+    * `floor(cumFrac · 2³²)` — so the assignment is exact (no floating
+    * comparison anywhere), reproducible under any partitioning, and
+    * stable when the corpus grows (a doc's split never depends on other
+    * docs — the property percentile-based splitting loses). Narrow: pure
+    * projection, no shuffle.
+    */
+  def splitAssign(docs: DataFrame,
+      fracs: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $fracs")
+    val maxId = Long.MaxValue / 2654435761L
+    val guarded = when(col("doc_id").between(0L, maxId), col("doc_id"))
+      .otherwise(raise_error(lit(
+        s"splitAssign: doc_id outside portable-hash domain [0, $maxId]")))
+    val h = (guarded * 2654435761L) % 4294967296L
+    val thresholds = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.min(4294967296L, math.floor(c * 4294967296.0).toLong))
+    val split = fracs.init.zip(thresholds).foldRight(lit(fracs.last._1)) {
+      case (((name, _), t), els) => when(h < t, lit(name)).otherwise(els)
+    }
+    docs.select(col("doc_id"), h.as("h"), split.as("split"))
+      .select("doc_id", "split")
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_assign"      -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => packSequences(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
       stratifiedSample(Tables.documents(s, d))),
@@ -89,6 +118,14 @@ object Curation {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    // thresholds are floor(0.8 * 2^32) and floor(0.9 * 2^32)
+    "split_assign" ->
+      """SELECT doc_id,
+        |       CASE WHEN h < 3435973836 THEN 'train'
+        |            WHEN h < 3865470566 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+        |      FROM documents)""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -90,4 +90,28 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getAs[Int]("total2") === 0)
     assert(r(2).getAs[Double]("rep3") === 0.0)
   }
+
+  test("splitAssign: partition of the corpus, rates near fractions, " +
+      "stable under corpus growth") {
+    import spark.implicits._
+    def docs(n: Int) = (0 until n).map(i =>
+      (i.toLong, "t", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val n = 2000
+    val full = Curation.splitAssign(docs(n))
+      .as[(Long, String)].collect().toMap
+    assert(full.size === n, "every doc gets exactly one split")
+    val rates = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(rates("train").toDouble / n - 0.8) < 0.05)
+    assert(math.abs(rates("val").toDouble / n - 0.1) < 0.03)
+    assert(math.abs(rates("test").toDouble / n - 0.1) < 0.03)
+    // growth stability: the first 500 docs keep their assignment
+    val small = Curation.splitAssign(docs(500))
+      .as[(Long, String)].collect().toMap
+    small.foreach { case (id, s) => assert(full(id) === s) }
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign(docs(1), Seq("a" -> 0.5, "b" -> 0.3))
+    }
+  }
 }
