@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
 import graft.ext.{Components, Corpus, Curation, Dedup, HeavyHitters, Multimodal, Privacy, Quality, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
-import graft.operators.{AsOfJoin, BloomJoin, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
+import graft.operators.{AsOfJoin, BloomJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,7 +36,7 @@ object SparkEntry {
       ScalarSurface.queries ++ TimeSeries.queries ++ MergeUpsert.queries ++
       Curation.queries ++ SkewJoin.queries ++ Corpus.queries ++
       Privacy.queries ++ SnapshotDiff.queries ++ BloomJoin.queries ++
-      HeavyHitters.queries
+      HeavyHitters.queries ++ IncrementalAgg.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -48,5 +48,5 @@ object SparkEntry {
       TimeSeries.oracleSql ++ MergeUpsert.oracleSql ++ Curation.oracleSql ++
       SkewJoin.oracleSql ++ Corpus.oracleSql ++
       Privacy.oracleSql ++ SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++
-      HeavyHitters.oracleSql
+      HeavyHitters.oracleSql ++ IncrementalAgg.oracleSql
 }

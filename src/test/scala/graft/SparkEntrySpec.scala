@@ -1,8 +1,8 @@
 package graft
 
 import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
-import graft.ext.{Components, Corpus, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
-import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, SkewJoin}
+import graft.ext.{Components, Corpus, Curation, Dedup, HeavyHitters, Multimodal, Privacy, Quality, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 import graft.streaming.EventsStreaming
 
 /** Driver-contract guards: the queries map is built by merging module
@@ -18,7 +18,9 @@ class SparkEntrySpec extends SparkSpec {
     RangeJoin.queries, Quality.queries, WindowOps.queries,
     ScalarSurface.queries, TimeSeries.queries,
     MergeUpsert.queries, Curation.queries, SkewJoin.queries,
-    Corpus.queries).map(_.size)
+    Corpus.queries, Privacy.queries, SnapshotDiff.queries,
+    BloomJoin.queries, HeavyHitters.queries,
+    IncrementalAgg.queries).map(_.size)
 
   test("no query name collisions across modules") {
     assert(SparkEntry.queries.size === moduleSizes.sum)
