@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Pipeline, Relational, Silver, TimeSeries}
-import graft.ext.{Components, Corpus, Curation, Dedup, Multimodal, Quality, Similarity, TextAnalysis}
-import graft.operators.{AsOfJoin, MergeUpsert, RangeJoin, SkewJoin}
+import graft.ext.{Components, Corpus, Curation, Dedup, HeavyHitters, Multimodal, Privacy, Quality, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 import graft.streaming.EventsStreaming
 
 /** User-facing facade — the single entry point a user of the reference
@@ -56,6 +56,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def decontamination(bench: DataFrame, n: Int = 5,
         minShared: Long = 1L): DataFrame =
       Dedup.containmentPairs(docs, bench, n, minShared)
+    def lineDedup(lineTokens: Int = 16): DataFrame =
+      Corpus.dedupLines(docs, lineTokens)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -71,6 +73,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def shards(n: Long = Corpus.NumShards): DataFrame =
       Corpus.shardAssign(docs, n)
     def dupNgramFraction: DataFrame = Corpus.dupNgramFraction(docs)
+    def split(fracs: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
+      Curation.splitAssign(docs, fracs)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -81,7 +86,19 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def langId: DataFrame       = TextAnalysis.langId(docs)
     def fingerprints: DataFrame = TextAnalysis.fingerprints(docs)
     def tokenCounts: DataFrame  = TextAnalysis.tokenCounts(docs)
+    def topTerms(k: Int = 10): DataFrame =
+      TextAnalysis.topTermsPerLang(docs, k)
+    def heavyHitters(minFrac: Double = 0.002): DataFrame =
+      HeavyHitters.frequentTokens(docs, minFrac)
     private def docs = Tables.documents(spark, dataDir)
+  }
+
+  /** PII redaction + anonymization — see [[graft.ext.Privacy]]. */
+  object privacy {
+    def redact(df: DataFrame, textCol: String): DataFrame =
+      Privacy.redactText(df, textCol)
+    def maskCustomers: DataFrame =
+      Privacy.maskCustomers(Tables.customer(spark, dataDir))
   }
 
   object similarity {
@@ -92,6 +109,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Similarity.ivfTopK(emb, k)
     def nearDupPairs(threshold: Double = 0.35): DataFrame =
       Similarity.embeddingNearDupPairs(emb, threshold)
+    def nearDupPairsIvf(threshold: Double = 0.35): DataFrame =
+      Similarity.embeddingNearDupPairsIvf(emb, threshold)
     def quantizeInt8: DataFrame = Similarity.quantizeInt8(emb)
     def trainCentroids(k: Int = Similarity.Centroids,
         iters: Int = Similarity.KmeansIters): DataFrame =
@@ -107,8 +126,13 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.rollingCustomerSpend(Tables.orders(spark, dataDir))
     def scd2UserPhases: DataFrame =
       TimeSeries.scd2UserPhases(Tables.events(spark, dataDir))
-    def funnel(stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
-      TimeSeries.funnel(Tables.events(spark, dataDir), stages)
+    def funnel(stages: Seq[String] = Seq("view", "click", "purchase"),
+        window: Option[String] = None): DataFrame =
+      TimeSeries.funnel(Tables.events(spark, dataDir), stages, window)
+    def transitions: DataFrame =
+      TimeSeries.transitionMatrix(Tables.events(spark, dataDir))
+    def cohortRetention: DataFrame =
+      TimeSeries.cohortRetention(Tables.events(spark, dataDir))
   }
 
   object quality {
@@ -142,6 +166,22 @@ case class Engine(spark: SparkSession, dataDir: String) {
       keys: Seq[String]): DataFrame =
     MergeUpsert.applyChanges(target, changes, keys)
 
+  /** Key-based snapshot diff — see [[graft.operators.SnapshotDiff]]. */
+  def diff(old: DataFrame, neu: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame =
+    SnapshotDiff.diff(old, neu, keys, compareCols)
+
+  /** Bloom-pruned fact⋈dim join — see [[graft.operators.BloomJoin]]. */
+  def bloomJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, fpp: Double = 0.01): DataFrame =
+    BloomJoin.bloomPrunedJoin(fact, factKey, dim, dimKey, fpp)
+
+  /** Merge a delta batch's partial aggregates into stored partials —
+    * see [[graft.operators.IncrementalAgg]].
+    */
+  def mergePartials(stored: DataFrame, delta: DataFrame): DataFrame =
+    IncrementalAgg.merge(stored, delta)
+
   /** Release block-manager storage held by leased checkpoints (call after
     * consuming a dedup/recursive result in a long-lived session).
     */
@@ -155,6 +195,21 @@ case class Engine(spark: SparkSession, dataDir: String) {
       import spark.implicits._
       Multimodal.resizeStub(
         Multimodal.assets(docs).as[Multimodal.Asset], outLen).toDF()
+    }
+    def decodePng: DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.decodePng(Multimodal.encodePng(ds)).toDF()
+    }
+    def decodeWav: DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.decodeWav(Multimodal.encodeWav(ds)).toDF()
+    }
+    def imageFeatures: DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.imageFeatures(Multimodal.encodePng(ds)).toDF()
     }
     private def docs = Tables.documents(spark, dataDir)
   }

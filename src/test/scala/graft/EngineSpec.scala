@@ -14,7 +14,18 @@ class EngineSpec extends SparkSpec {
       e.similarity.quantizeInt8,
       e.curation.chunks(), e.curation.shards(), e.curation.dupNgramFraction,
       e.multimodal.resize(),
-      e.merge(e.table("nation"), e.table("nation"), Seq("n_nationkey")))
+      e.merge(e.table("nation"), e.table("nation"), Seq("n_nationkey")),
+      // round-7 surface
+      e.dedup.lineDedup(), e.curation.split(), e.text.heavyHitters(0.01),
+      e.text.topTerms(), e.privacy.maskCustomers,
+      e.privacy.redact(e.table("documents"), "text"),
+      e.similarity.nearDupPairsIvf(), e.timeSeries.transitions,
+      e.timeSeries.cohortRetention, e.multimodal.decodePng,
+      e.multimodal.decodeWav, e.multimodal.imageFeatures,
+      e.diff(e.table("nation"), e.table("nation").limit(20),
+        Seq("n_nationkey"), Seq("n_name")),
+      e.bloomJoin(e.table("orders"), "o_custkey", e.table("customer"),
+        "c_custkey"))
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
