@@ -97,6 +97,32 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), rsd = 0.02)
           .as("approx_orders"))
 
+  /** MERGEABLE distinct-count sketches (Datasketches HLL via Spark's
+    * `hll_sketch_agg`/`hll_union_agg`): per-group sketches built in one
+    * pass, then union-merged to the corpus-wide estimate WITHOUT
+    * re-touching rows — the property that lets a 100 TB deployment keep
+    * per-partition/day sketch columns and answer any rollup by merging
+    * bytes. [[approxDistinct]]'s `approx_count_distinct` gives only the
+    * final number; this surfaces the sketch algebra itself. Estimates
+    * are engine-specific (rows-only registration); RelationalSpec gates
+    * the merged estimate against the exact count and pins
+    * merge-of-groups == direct whole-table sketch.
+    */
+  def hllSketchMerge(li: DataFrame): DataFrame = {
+    val perGroup = li.groupBy("l_returnflag")
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
+        countDistinct("l_orderkey").as("exact_orders"))
+    val merged = perGroup.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    perGroup
+      .select(col("l_returnflag"),
+        col("exact_orders"),
+        hll_sketch_estimate(col("sk")).as("est_orders"))
+      .unionByName(merged.select(lit("ALL(merged)").as("l_returnflag"),
+        lit(null).cast("long").as("exact_orders"),
+        col("est").as("est_orders")))
+  }
+
   /** Collect aggregates surfaced deterministically: the per-group value
     * SET as a sorted CSV (`collect_set` itself is unordered and
     * partitioning-dependent — `sort_array` + join to a scalar pins a
@@ -563,6 +589,7 @@ object Relational {
     "set_customer_ops"   -> ((s, d) => customerSetOps(Tables.customer(s, d))),
     "agg_distinct"       -> ((s, d) => distinctAggs(Tables.lineitem(s, d))),
     "agg_approx_distinct" -> ((s, d) => approxDistinct(Tables.lineitem(s, d))),
+    "agg_hll_sketch"     -> ((s, d) => hllSketchMerge(Tables.lineitem(s, d))),
     "agg_rollup"         -> ((s, d) => rollupSales(Tables.lineitem(s, d))),
     "agg_cube"           -> ((s, d) => cubeSales(Tables.lineitem(s, d))),
     "agg_unpivot"        -> ((s, d) =>

@@ -252,6 +252,27 @@ class RelationalSpec extends SparkSpec {
     assert(labels === (0L to 20L).map(_ -> 0L).toMap)
   }
 
+  test("hllSketchMerge: per-group estimates within 5% of exact; merged " +
+      "union matches a direct whole-table sketch") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val rows = Relational.hllSketchMerge(li).collect()
+    val (groups, merged) = rows.partition(_.getString(0) != "ALL(merged)")
+    groups.foreach { r =>
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      val est = r.getAs[Long]("est_orders").toDouble
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+    // the union-merged estimate answers the global question within the
+    // same error budget (union goes through the HLL union representation,
+    // so it is close to — not bit-identical with — a direct sketch)
+    val exactAll = li.select("l_orderkey").distinct().count().toDouble
+    val mergedEst = merged.head.getAs[Long]("est_orders").toDouble
+    assert(math.abs(mergedEst - exactAll) / exactAll < 0.05,
+      s"merged est $mergedEst vs exact $exactAll")
+  }
+
   test("subqueriesSql decorrelates to joins (no subquery at runtime)") {
     val q = Relational.subqueriesSql(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString

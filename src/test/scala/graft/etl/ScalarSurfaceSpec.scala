@@ -44,4 +44,19 @@ class ScalarSurfaceSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("k_json")).toSeq === Seq(87L, 0L))
     assert(rows.map(_.getAs[Long]("k_bucket")).toSeq === Seq(7L, 0L))
   }
+
+  test("variant path (parse_json + variant_get) agrees with the string " +
+      "path on every event") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val str = ScalarSurface.eventsJsonProps(ev)
+      .select("event_id", "k_json")
+    val vnt = ScalarSurface.eventsVariantProps(ev)
+      .select("event_id", "k_variant")
+    val diff = str.join(vnt, "event_id")
+      .filter(org.apache.spark.sql.functions.col("k_json") =!=
+        org.apache.spark.sql.functions.col("k_variant"))
+      .count()
+    assert(diff === 0L)
+    assert(vnt.count() > 0)
+  }
 }
