@@ -138,6 +138,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
   object quality {
     def profile(df: DataFrame): DataFrame = Quality.profile(df)
     def outliers: DataFrame = Quality.outliers(Tables.orders(spark, dataDir))
+    def expectations: DataFrame = graft.etl.Expectations.ordersSuite(
+      Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
   }
 
   object streaming {

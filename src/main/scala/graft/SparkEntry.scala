@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.etl.{Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
+import graft.etl.{Expectations, Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
 import graft.ext.{Components, Corpus, Curation, Dedup, HeavyHitters, Multimodal, Privacy, Quality, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 import graft.operators.{AsOfJoin, BloomJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
@@ -36,7 +36,7 @@ object SparkEntry {
       ScalarSurface.queries ++ TimeSeries.queries ++ MergeUpsert.queries ++
       Curation.queries ++ SkewJoin.queries ++ Corpus.queries ++
       Privacy.queries ++ SnapshotDiff.queries ++ BloomJoin.queries ++
-      HeavyHitters.queries ++ IncrementalAgg.queries
+      HeavyHitters.queries ++ IncrementalAgg.queries ++ Expectations.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -48,5 +48,5 @@ object SparkEntry {
       TimeSeries.oracleSql ++ MergeUpsert.oracleSql ++ Curation.oracleSql ++
       SkewJoin.oracleSql ++ Corpus.oracleSql ++
       Privacy.oracleSql ++ SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++
-      HeavyHitters.oracleSql ++ IncrementalAgg.oracleSql
+      HeavyHitters.oracleSql ++ IncrementalAgg.oracleSql ++ Expectations.oracleSql
 }
