@@ -141,8 +141,31 @@ object EventsStreaming {
       clicks.withWatermark("ts", "10 minutes"),
       purchases.withWatermark("ts", "10 minutes"))
 
-  private def attributionJoin(clicks: DataFrame,
-      purchases: DataFrame): DataFrame = {
+  /** LEFT OUTER attribution: every click appears, converted or not —
+    * the funnel-accounting form (an inner join silently drops the
+    * non-converting majority, which is the interesting cohort). Batch
+    * twin is oracle-checked; the streaming form is the stateful case the
+    * inner join doesn't exercise: an unmatched click must be HELD until
+    * the purchase-side watermark passes `click_ts + 30min` (only then is
+    * "no purchase" final), at which point it emits once with nulls and
+    * its state is reclaimed — same bounded-state guarantee, plus a
+    * correctness obligation on the watermark, pinned by
+    * EventsStreamingSpec (null row appears only after the watermark
+    * passes; stream == batch).
+    */
+  def attributionOuterBatch(ev: DataFrame): DataFrame =
+    attributionJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"), "left_outer")
+
+  def attributionOuterStream(clicks: DataFrame,
+      purchases: DataFrame): DataFrame =
+    attributionJoin(
+      clicks.withWatermark("ts", "10 minutes"),
+      purchases.withWatermark("ts", "10 minutes"), "left_outer")
+
+  private def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
       col("ts").as("click_ts"))
     val p = purchases.select(col("user_id").as("p_user_id"),
@@ -151,7 +174,8 @@ object EventsStreaming {
     c.join(p,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTE"))
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTE"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")
@@ -165,6 +189,8 @@ object EventsStreaming {
     "stream_sliding"  -> ((s, d) => slidingBatch(Tables.events(s, d))),
     "stream_sessions" -> ((s, d) => sessionsBatch(Tables.events(s, d))),
     "stream_attribution" -> ((s, d) => attributionBatch(Tables.events(s, d))),
+    "stream_attribution_outer" -> ((s, d) =>
+      attributionOuterBatch(Tables.events(s, d))),
   )
 
   /** DuckDB twins of [[queries]]. Window starts are reproduced with
@@ -212,6 +238,17 @@ object EventsStreaming {
         |       count(*) AS n_events,
         |       CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "stream_attribution_outer" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |       p.event_id AS purchase_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+        |       CAST(round(p.value * 100) AS BIGINT) AS value_cents
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
+        .stripMargin,
     "stream_attribution" ->
       """SELECT c.user_id, c.event_id AS click_id,
         |       p.event_id AS purchase_id,

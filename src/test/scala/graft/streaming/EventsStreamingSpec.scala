@@ -195,6 +195,56 @@ class EventsStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionOuterStream: unmatched click held until the watermark " +
+      "finalizes no-purchase, then emits nulls; matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val purchases =
+      MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStreaming.attributionOuterStream(
+        clicks.toDF().toDF(cols: _*), purchases.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 00:00:00"), 7L, "click", 0.0),
+        (2L, ts("2024-01-01 00:00:00"), 8L, "click", 0.0))
+      purchases.addData(
+        (10L, ts("2024-01-01 00:20:00"), 7L, "purchase", 5.0))
+      q.processAllAvailable()
+      def rows() = spark.table("attr_outer_out")
+        .select("user_id", "click_id", "purchase_id", "value_cents")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      // user 8's click can't emit yet: "no purchase" isn't final until the
+      // purchase watermark passes click_ts + 30min
+      assert(rows() === Set((7L, 1L, Some(10L), Some(500L))))
+      // push both watermarks past the horizon with unrelated late events
+      clicks.addData((3L, ts("2024-01-01 01:30:00"), 99L, "click", 0.0))
+      purchases.addData(
+        (11L, ts("2024-01-01 01:30:00"), 98L, "purchase", 1.0))
+      q.processAllAvailable()
+      val streamed = rows().filter(r => r._1 == 7L || r._1 == 8L)
+      assert(streamed === Set(
+        (7L, 1L, Some(10L), Some(500L)),
+        (8L, 2L, None, None)))
+      // batch twin on the same events agrees
+      val batch = EventsStreaming.attributionOuterBatch(events(
+        (1L, "2024-01-01 00:00:00", 7L, "click", 0.0),
+        (2L, "2024-01-01 00:00:00", 8L, "click", 0.0),
+        (10L, "2024-01-01 00:20:00", 7L, "purchase", 5.0)))
+        .select("user_id", "click_id", "purchase_id", "value_cents")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("UpsertSink: stream of upserts maintains a keyed parquet snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_upsink")
