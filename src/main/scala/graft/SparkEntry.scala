@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Expectations, Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
-import graft.ext.{Components, Corpus, Curation, Dedup, HeavyHitters, Multimodal, Privacy, Quality, Similarity, TextAnalysis}
+import graft.ext.{Components, Corpus, Curation, Dedup, Graph, HeavyHitters, Multimodal, Privacy, Quality, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
-import graft.operators.{AsOfJoin, BloomJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
+import graft.operators.{AsOfJoin, BloomJoin, FuzzyJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,7 +36,8 @@ object SparkEntry {
       ScalarSurface.queries ++ TimeSeries.queries ++ MergeUpsert.queries ++
       Curation.queries ++ SkewJoin.queries ++ Corpus.queries ++
       Privacy.queries ++ SnapshotDiff.queries ++ BloomJoin.queries ++
-      HeavyHitters.queries ++ IncrementalAgg.queries ++ Expectations.queries
+      HeavyHitters.queries ++ IncrementalAgg.queries ++ Expectations.queries ++
+      Graph.queries ++ FuzzyJoin.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -48,5 +49,6 @@ object SparkEntry {
       TimeSeries.oracleSql ++ MergeUpsert.oracleSql ++ Curation.oracleSql ++
       SkewJoin.oracleSql ++ Corpus.oracleSql ++
       Privacy.oracleSql ++ SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++
-      HeavyHitters.oracleSql ++ IncrementalAgg.oracleSql ++ Expectations.oracleSql
+      HeavyHitters.oracleSql ++ IncrementalAgg.oracleSql ++
+      Expectations.oracleSql ++ Graph.oracleSql ++ FuzzyJoin.oracleSql
 }

@@ -203,7 +203,61 @@ object TimeSeries {
           .as("retention"))
   }
 
+  /** Peak concurrent user sessions per day, via a DISTRIBUTED sweep
+    * line over session intervals.
+    *
+    * Sessions are the gap-based (30-minute) user sessions of
+    * [[graft.streaming.EventsStreaming.sessionsBatch]]; each contributes
+    * a +1 delta at its start and a −1 at its end (inclusive ends: a
+    * session starting exactly when another ends counts as overlap, so
+    * deltas order +1-before-−1 at equal timestamps). Concurrency at any
+    * delta is the running sum of deltas in time order.
+    *
+    * A global running sum is a single-partition window — the classic
+    * sweep-line scale trap. Instead the prefix sum is decomposed: a
+    * per-DAY running sum (shuffle on day, parallel across days) plus a
+    * per-day carry = Σ net delta of all prior days. The carry table has
+    * one row per calendar day, so its unpartitioned cumulative window
+    * is metadata-sized at any SF (years × 365 rows) — the standard
+    * two-level distributed scan decomposition. A session spanning
+    * midnight is handled by construction: its +1 rides an earlier day's
+    * net and reaches later days through the carry.
+    */
+  def sessionConcurrency(ev: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sessions = ev.select(col("user_id"), col("ts"))
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+    val deltas = sessions.select(col("start_us").as("ts_us"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("end_us").as("ts_us"), lit(-1L).as("delta")))
+      .withColumn("day",
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+    val wDay = Window.partitionBy("day")
+      .orderBy(col("ts_us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = deltas.withColumn("run", sum("delta").over(wDay))
+    // carry: one row per day — tiny at any SF, see scaladoc
+    val carry = deltas.groupBy("day").agg(sum("delta").as("net"))
+      .withColumn("carry", coalesce(sum("net").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("day", "carry")
+    withRun.join(broadcast(carry), Seq("day"))
+      .groupBy("day")
+      .agg(max(col("run") + col("carry")).as("peak_concurrency"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "interval_concurrency" -> ((s, d) =>
+      sessionConcurrency(Tables.events(s, d))),
     "event_transitions" -> ((s, d) => transitionMatrix(Tables.events(s, d))),
     "cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
@@ -217,6 +271,36 @@ object TimeSeries {
 
   /** DuckDB twins. */
   def oracleSql: Map[String, String] = Map(
+    // the oracle computes the SAME sweep line with a plain global
+    // running sum — the carry decomposition is exact, so they agree
+    "interval_concurrency" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN epoch_us(ts) -
+        |                   epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |                                          ORDER BY ts))
+        |                   > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess0 AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |sessions AS (
+        |  SELECT user_id, session_id,
+        |         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        |  FROM sess0 GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT start_us AS ts_us, 1 AS delta FROM sessions
+        |  UNION ALL
+        |  SELECT end_us AS ts_us, -1 AS delta FROM sessions),
+        |run AS (
+        |  SELECT strftime(make_timestamp(ts_us), '%Y-%m-%d') AS day,
+        |         sum(delta) OVER (ORDER BY ts_us, delta DESC
+        |                          ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM deltas)
+        |SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrency
+        |FROM run GROUP BY day""".stripMargin,
     "event_transitions" ->
       """WITH steps AS (
         |  SELECT user_id, event_type,

@@ -97,6 +97,44 @@ object WindowOps {
       expr("aggregate(embedding, cast(0.0 as double), " +
         "(acc, x) -> acc + abs(cast(x as double)))").as("l1_norm"))
 
+  /** Truncated exponentially-weighted moving average of per-customer
+    * spend: EWMA over the last `k` orders with weight (1/2)^j on the
+    * j-th most recent order, normalized by the weights present.
+    *
+    * Determinism: α=1/2 is chosen so every weight (1/2)^j is an EXACT
+    * double; `price_cents * (1/2)^j` is an exact multiple of 2^-(k-1)
+    * far below 2^53, so numerator/denominator sums are exact in any
+    * association and the single final division rounds identically in
+    * both engines. (A general-α EWMA multiplies inexact `pow` results
+    * whose libm rounding differs across engines — not hash-portable.)
+    *
+    * Scale shape: one window shuffle on the partition key; the k lag
+    * terms all share the same window sort, so the whole expression is
+    * a single WindowExec pass with codegen'd arithmetic — no
+    * collect_list, no per-row array building.
+    */
+  def ewmaCustomerSpend(ord: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 30, s"ewma depth out of range: $k")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val terms = (0 until k).map { j =>
+      val x = if (j == 0) col("price_cents")
+              else lag(col("price_cents"), j).over(w)
+      val wt = lit(math.pow(0.5, j))
+      (when(x.isNotNull, x.cast("double") * wt).otherwise(lit(0.0)),
+       when(x.isNotNull, wt).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    ord
+      .withColumn("price_cents",
+        round(col("o_totalprice") * 100).cast("long"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("price_cents"), (num / den).as("ewma_cents"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_customer_timeline" -> ((s, d) =>
@@ -104,6 +142,7 @@ object WindowOps {
     "window_rank_extras" -> ((s, d) =>
       orderRankExtras(Tables.orders(s, d))),
     "string_part_ops" -> ((s, d) => partNameOps(Tables.part(s, d))),
+    "window_ewma" -> ((s, d) => ewmaCustomerSpend(Tables.orders(s, d))),
     "array_embedding_stats" -> ((s, d) =>
       embeddingArrayStats(Tables.embeddings(s, d))),
   )
@@ -163,6 +202,44 @@ object WindowOps {
         |       CAST(instr(p_name, 'widget') AS BIGINT) AS widget_pos,
         |       concat_ws('|', p_brand, p_type) AS brand_type
         |FROM part""".stripMargin,
+    "window_ewma" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |lagged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, price_cents,
+        |         lag(price_cents, 1) OVER w AS x1,
+        |         lag(price_cents, 2) OVER w AS x2,
+        |         lag(price_cents, 3) OVER w AS x3,
+        |         lag(price_cents, 4) OVER w AS x4,
+        |         lag(price_cents, 5) OVER w AS x5,
+        |         lag(price_cents, 6) OVER w AS x6,
+        |         lag(price_cents, 7) OVER w AS x7
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       price_cents,
+        |       (CAST(price_cents AS DOUBLE)
+        |        + COALESCE(CAST(x1 AS DOUBLE), 0) * 0.5
+        |        + COALESCE(CAST(x2 AS DOUBLE), 0) * 0.25
+        |        + COALESCE(CAST(x3 AS DOUBLE), 0) * 0.125
+        |        + COALESCE(CAST(x4 AS DOUBLE), 0) * 0.0625
+        |        + COALESCE(CAST(x5 AS DOUBLE), 0) * 0.03125
+        |        + COALESCE(CAST(x6 AS DOUBLE), 0) * 0.015625
+        |        + COALESCE(CAST(x7 AS DOUBLE), 0) * 0.0078125) /
+        |       (1.0
+        |        + CASE WHEN x1 IS NULL THEN 0 ELSE 0.5 END
+        |        + CASE WHEN x2 IS NULL THEN 0 ELSE 0.25 END
+        |        + CASE WHEN x3 IS NULL THEN 0 ELSE 0.125 END
+        |        + CASE WHEN x4 IS NULL THEN 0 ELSE 0.0625 END
+        |        + CASE WHEN x5 IS NULL THEN 0 ELSE 0.03125 END
+        |        + CASE WHEN x6 IS NULL THEN 0 ELSE 0.015625 END
+        |        + CASE WHEN x7 IS NULL THEN 0 ELSE 0.0078125 END)
+        |         AS ewma_cents
+        |FROM lagged""".stripMargin,
     "array_embedding_stats" ->
       """SELECT vec_id,
         |       len(embedding) AS dim,

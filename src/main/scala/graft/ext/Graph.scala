@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph centrality over relational co-occurrence graphs.
+  *
+  * The reference has no graph operators (its DAG is orchestration, not
+  * data — `dags/dag.py`), but a training-data engine needs link analysis
+  * for corpus curation (domain ranking a la Common Crawl's harmonic
+  * centrality) and product graphs. This module builds a co-purchase
+  * graph from `lineitem` (two parts are linked when they appear in the
+  * same order) and ranks nodes with PageRank.
+  *
+  * Determinism: the power iteration runs in FIXED-POINT integer
+  * arithmetic (rank mass scaled by [[Scale]], integer division at every
+  * step). Floating-point PageRank is not reproducible across engines —
+  * the per-node Σ contrib is an unordered double sum — while integer
+  * sums are associative-commutative exactly, so the DuckDB oracle twin
+  * (same unrolled iterations in BIGINT) hash-matches bit-for-bit. The
+  * deliberate cost is ≤`iterations × n` units of truncated rank mass
+  * (1 unit = 1e-12 of total), irrelevant for ranking.
+  *
+  * Scale shape (100 TB): the pair-explosion self-join shuffles on
+  * `l_orderkey` whose fan-out is bounded by order size (TPC-H ≤ 7
+  * items; a real catalog would cap items-per-order before pairing —
+  * [[coPurchaseEdges]] takes `maxOrderItems` for exactly that guard).
+  * Each iteration is one shuffle join (edges ⋈ ranks on src) plus one
+  * shuffle agg (groupBy dst) — the canonical distributed PageRank
+  * shape; ranks are `localCheckpoint`ed per iteration so the plan stays
+  * O(1) deep, with superseded checkpoint blocks released eagerly
+  * (same discipline as [[Components.connectedComponents]]).
+  */
+object Graph {
+
+  /** Rank mass is scaled by 1e12: enough resolution that 3–20 iterations
+    * of truncation never reorder ranks, small enough that 85×mass stays
+    * far from Long overflow.
+    */
+  val Scale: Long = 1000000000000L
+
+  /** Undirected co-purchase edges: distinct (part, part') pairs sharing
+    * an order, both directions, self-pairs excluded. `maxOrderItems`
+    * drops pathological mega-orders before the quadratic pair step —
+    * the skew guard a 100 TB run needs (a single 10k-item order would
+    * otherwise emit 1e8 pairs into one reducer).
+    */
+  def coPurchaseEdges(lineitem: DataFrame, maxOrderItems: Int = 1000): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val bounded = li
+      .withColumn("n_items", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ok")))
+      .filter(col("n_items") <= maxOrderItems)
+      .drop("n_items")
+    bounded.as("a").join(bounded.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+  }
+
+  /** Fixed-point PageRank with damping 0.85 over a directed edge list.
+    * Input edges must cover every node as a `src` (true for undirected
+    * graphs emitted both ways); rank unit = [[Scale]]/n total mass.
+    *
+    * The one driver-side action is `deg.count()` (node count — a scalar
+    * needed to seed uniform mass; metadata-sized at any SF).
+    */
+  def pagerank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    val deg = graft.CheckpointLease.track(
+      edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint()) // eager: reused every iteration, cut off the scan
+    val n = deg.count()
+    require(n > 0, "pagerank: empty graph")
+    val teleport = Scale * 15L / (100L * n)
+    var ranks = deg.withColumn("r", lit(Scale / n))
+    for (_ <- 1 to iterations) {
+      val contribs = edges
+        .join(ranks.select(col("node").as("src"), expr("r div outdeg").as("c")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("csum"))
+      // lazy checkpoint: materializes (and caches) when the consuming
+      // action runs through it; every iteration's blocks are leased and
+      // released together after that action (node-count-sized frames, so
+      // holding O(iterations) of them is cheap — unlike Components, no
+      // per-iteration driver action is needed here because the iteration
+      // count is fixed, not convergence-tested)
+      ranks = graft.CheckpointLease.track(
+        deg.join(contribs, Seq("node"), "left")
+          .select(col("node"), col("outdeg"),
+            (lit(teleport) +
+              expr("(85 * coalesce(csum, 0L)) div 100")).as("r"))
+          .localCheckpoint(false))
+    }
+    ranks.select(col("node").as("part_node"), col("r").as("rank_scaled"))
+  }
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s, d) =>
+      pagerank(coPurchaseEdges(Tables.lineitem(s, d)), iterations = 3)),
+  )
+
+  /** DuckDB twin: the same 3 fixed-point iterations unrolled as CTEs —
+    * `//` (floor div) equals Spark's `div` for the all-positive values
+    * here, and BIGINT sums are order-independent, so the hash matches
+    * exactly.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT node, outdeg,
+        |              1000000000000 // (SELECT n FROM nn) AS r FROM deg),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(r0.r // r0.outdeg) AS BIGINT) AS csum
+        |       FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
+        |r1 AS (SELECT d.node, d.outdeg,
+        |              (1000000000000 * 15) // (100 * (SELECT n FROM nn)) +
+        |              (85 * COALESCE(c1.csum, 0)) // 100 AS r
+        |       FROM deg d LEFT JOIN c1 ON d.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(r1.r // r1.outdeg) AS BIGINT) AS csum
+        |       FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
+        |r2 AS (SELECT d.node, d.outdeg,
+        |              (1000000000000 * 15) // (100 * (SELECT n FROM nn)) +
+        |              (85 * COALESCE(c2.csum, 0)) // 100 AS r
+        |       FROM deg d LEFT JOIN c2 ON d.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(r2.r // r2.outdeg) AS BIGINT) AS csum
+        |       FROM e JOIN r2 ON e.src = r2.node GROUP BY 1),
+        |r3 AS (SELECT d.node,
+        |              (1000000000000 * 15) // (100 * (SELECT n FROM nn)) +
+        |              (85 * COALESCE(c3.csum, 0)) // 100 AS r
+        |       FROM deg d LEFT JOIN c3 ON d.node = c3.node)
+        |SELECT node AS part_node, r AS rank_scaled FROM r3""".stripMargin,
+  )
+}

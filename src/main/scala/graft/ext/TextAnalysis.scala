@@ -169,7 +169,35 @@ object TextAnalysis {
   }
 
   /** Driver-contract registration (SparkEntry aggregates these). */
+  /** TF-IDF-style keyword extraction: each document's top-`k` terms
+    * ranked by term frequency, rarest-first on ties (ascending corpus
+    * document frequency), then term. The ordering is EXACT-INTEGER —
+    * equivalent to ranking by tf·idf for any monotone idf, without
+    * computing a float log whose libm rounding differs across engines.
+    *
+    * Scale shape: one shuffle to (doc, term) counts, one term-keyed
+    * aggregate for document frequency, then a broadcast of the df side
+    * — df is vocabulary-sized, and a 100 TB run would cap it to the
+    * terms that can rank (tf of retained terms bounds useful df lookups;
+    * a df-threshold prune mirrors [[Dedup]]'s posting-list cap). The
+    * per-doc top-k is a row_number window clustered by the same doc key
+    * as the tf aggregate, so the window reuses the tf exchange.
+    */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tokens = docs.select(col("doc_id"), explode(toks).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("doc_freq"), col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "tf", "doc_freq")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keywords"     -> ((s, d) => keywords(Tables.documents(s, d))),
     "text_repetition"   -> ((s, d) => repetition(Tables.documents(s, d))),
     "text_stats"        -> ((s, d) => stats(Tables.documents(s, d))),
     "text_top_terms"    -> ((s, d) => topTermsPerLang(Tables.documents(s, d))),
@@ -181,6 +209,21 @@ object TextAnalysis {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "text_keywords" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tokens
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf DESC, df.doc_freq, tf.term) AS rnk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, rnk, term, tf, doc_freq
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
     "text_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, len(toks) AS n_tokens,

@@ -1,8 +1,8 @@
 package graft
 
 import graft.etl.{Expectations, Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
-import graft.ext.{Components, Corpus, Curation, Dedup, HeavyHitters, Multimodal, Privacy, Quality, Similarity, TextAnalysis}
-import graft.operators.{AsOfJoin, BloomJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
+import graft.ext.{Components, Corpus, Curation, Dedup, Graph, HeavyHitters, Multimodal, Privacy, Quality, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, FuzzyJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 import graft.streaming.EventsStreaming
 
 /** Driver-contract guards: the queries map is built by merging module
@@ -20,7 +20,8 @@ class SparkEntrySpec extends SparkSpec {
     MergeUpsert.queries, Curation.queries, SkewJoin.queries,
     Corpus.queries, Privacy.queries, SnapshotDiff.queries,
     BloomJoin.queries, HeavyHitters.queries,
-    IncrementalAgg.queries, Expectations.queries).map(_.size)
+    IncrementalAgg.queries, Expectations.queries,
+    Graph.queries, FuzzyJoin.queries).map(_.size)
 
   test("no query name collisions across modules") {
     assert(SparkEntry.queries.size === moduleSizes.sum)

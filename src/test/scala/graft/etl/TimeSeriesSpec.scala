@@ -175,4 +175,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r(("2024-01-15", 2L)) === ((1L, 1.0)))
     assert(r.size === 4)
   }
+
+  test("sessionConcurrency: sweep line with inclusive ends, midnight " +
+      "carry, and per-day peaks") {
+    var eid = 0L
+    def e(uid: Long, t: String) = { eid += 1; (eid, uid, "view", t) }
+    val r = TimeSeries.sessionConcurrency(events(
+      // day 1: A [10:00,10:10], H [10:02,10:08], B point 10:05,
+      //        C points 10:10 and 10:50 (40-min gap splits), D opens 23:50
+      e(1L, "2024-03-01 10:00:00"), e(1L, "2024-03-01 10:10:00"),
+      e(8L, "2024-03-01 10:02:00"), e(8L, "2024-03-01 10:08:00"),
+      e(2L, "2024-03-01 10:05:00"),
+      e(3L, "2024-03-01 10:10:00"), e(3L, "2024-03-01 10:50:00"),
+      e(4L, "2024-03-01 23:50:00"),
+      // day 2: D closes 00:10 (session spans midnight), E [00:05,00:20]
+      e(4L, "2024-03-02 00:10:00"),
+      e(5L, "2024-03-02 00:05:00"), e(5L, "2024-03-02 00:20:00"),
+      // day 3: F ends exactly when G starts — inclusive ends overlap
+      e(6L, "2024-03-03 10:40:00"), e(6L, "2024-03-03 11:00:00"),
+      e(7L, "2024-03-03 11:00:00"), e(7L, "2024-03-03 11:05:00")))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // day 1 peak: A+H+B at 10:05
+    assert(r("2024-03-01") === 3L)
+    // day 2 peak: D (carried over midnight) + E at 00:05
+    assert(r("2024-03-02") === 2L)
+    // day 3 peak: F and G overlap at the shared 11:00 boundary
+    assert(r("2024-03-03") === 2L)
+    assert(r.size === 3)
+  }
 }

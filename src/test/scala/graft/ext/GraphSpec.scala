@@ -1,0 +1,63 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank on a 3-node path matches hand-computed fixed point") {
+    // undirected path 1 — 2 — 3, emitted both directions
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)
+    ).toDF("src", "dst")
+    val got = Graph.pagerank(edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // n=3, scale=1e12: r0 = 333333333333 each; teleport = 5e10
+    // node1: in from 2 (outdeg 2): c = 333333333333 div 2 = 166666666666
+    //   r1 = 5e10 + (85*166666666666) div 100 = 5e10 + 141666666666
+    val c12 = 333333333333L / 2
+    val end = 50000000000L + 85L * c12 / 100
+    // node2: in from 1 and 3 (outdeg 1 each): csum = 2*333333333333
+    val mid = 50000000000L + 85L * (2 * 333333333333L) / 100
+    assert(got(1L) === end)
+    assert(got(3L) === end)
+    assert(got(2L) === mid)
+    // rank mass approximately conserved (truncation loses <1 unit/node/step)
+    assert(math.abs(got.values.sum - Graph.Scale) < 10L)
+    graft.CheckpointLease.releaseAll()
+  }
+
+  test("pagerank is deterministic across partitionings") {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L),
+      (1L, 4L), (4L, 1L)
+    ).toDF("src", "dst")
+    val a = Graph.pagerank(edges.repartition(1), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    graft.CheckpointLease.releaseAll()
+    val b = Graph.pagerank(edges.repartition(7), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    graft.CheckpointLease.releaseAll()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("coPurchaseEdges pairs within orders, undirected, mega-order capped") {
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), // order 10: triangle
+      (11L, 1L), (11L, 2L),            // order 11: reinforces 1-2
+      (12L, 7L),                       // singleton: no pairs
+      (13L, 8L), (13L, 9L), (13L, 8L)  // duplicate lineitem rows collapse
+    ).toDF("l_orderkey", "l_partkey")
+    val e = Graph.coPurchaseEdges(li).as[(Long, Long)].collect().toSet
+    assert(e === Set(
+      (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L),
+      (8L, 9L), (9L, 8L)))
+
+    // an order above the item cap contributes nothing
+    val mega = (1 to 50).map(i => (99L, i.toLong)).toDF("l_orderkey", "l_partkey")
+    assert(Graph.coPurchaseEdges(mega, maxOrderItems = 10).count() === 0L)
+    assert(Graph.coPurchaseEdges(mega, maxOrderItems = 50).count() === 50L * 49)
+  }
+}

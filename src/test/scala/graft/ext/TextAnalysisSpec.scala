@@ -66,4 +66,20 @@ class TextAnalysisSpec extends SparkSpec {
       ("fr", 1L, "apple", 1L, 3L),
       ("fr", 2L, "cerise", 1L, 1L)))
   }
+
+  test("keywords: tf-ranked, rare-term tie-break on corpus df") {
+    val r = TextAnalysis.keywords(docs(
+      (1L, "a a b c", "en"),
+      (2L, "b b c", "en"),
+      (3L, "c", "en")))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getLong(3), x.getLong(4))).toSet
+    assert(r === Set(
+      (1L, 1L, "a", 2L, 1L),  // top by tf
+      (1L, 2L, "b", 1L, 2L),  // tf tie with c; b rarer (df 2 < 3)
+      (1L, 3L, "c", 1L, 3L),
+      (2L, 1L, "b", 2L, 2L),
+      (2L, 2L, "c", 1L, 3L),
+      (3L, 1L, "c", 1L, 3L)))
+  }
 }
