@@ -75,7 +75,11 @@ object TimeSeries {
     * intervals (valid_to = next version's valid_from; null ⇒ current).
     * Gaps-and-islands via the rn − rn-within-type difference.
     */
-  def scd2UserPhases(ev: DataFrame): DataFrame = {
+  /** Raw SCD2 phase intervals (timestamp-typed, half-open): shared by
+    * the formatted [[scd2UserPhases]] surface and the point-in-time
+    * join, so both see identical interval semantics.
+    */
+  private[etl] def scd2PhasesRaw(ev: DataFrame): DataFrame = {
     // total order incl. tie columns: duplicate event_ids can differ in
     // value/props, and NULLS FIRST is pinned to match the oracle
     val ord = Seq(col("ts"), col("event_id"),
@@ -93,13 +97,16 @@ object TimeSeries {
     runs
       .withColumn("version", row_number().over(byVersion))
       .withColumn("valid_to_ts", lead("valid_from_ts", 1).over(byVersion))
+  }
+
+  def scd2UserPhases(ev: DataFrame): DataFrame =
+    scd2PhasesRaw(ev)
       .select(col("user_id"), col("version"), col("event_type"),
         date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("valid_from"),
         date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("valid_to"),
         col("n_events"), col("valid_to_ts").isNull.as("is_current"))
-  }
 
   /** Driver-contract registration (SparkEntry aggregates these). */
   /** Ordered funnel conversion: stage k counts users whose first stage-k
@@ -255,7 +262,64 @@ object TimeSeries {
       .agg(max(col("run") + col("carry")).as("peak_concurrency"))
   }
 
+  /** Point-in-time (temporal) dimension join: each order picks up the
+    * SCD2 user phase ACTIVE at its order date — the "which dimension
+    * version was true when the fact happened" join every warehouse
+    * needs.
+    *
+    * Implementation is union-then-window, NOT an interval join: phase
+    * starts and facts are unioned on (user, ts) and one ordered window
+    * per user carries the last-seen phase forward (`last(_, ignoreNulls)`
+    * with kind ordering phase-before-fact at equal ts, giving the SCD2
+    * half-open [from, to) semantics). At 100 TB this is one shuffle on
+    * the user key and a per-key sort — an interval join of the same
+    * data is a range join that either explodes or needs binning, and
+    * Spark's window already clusters facts and dimension versions
+    * together. Facts before the user's first phase (or with no event
+    * history) surface with a NULL phase, not dropped — auditability
+    * over silent loss.
+    */
+  def pointInTimeJoin(ord: DataFrame, ev: DataFrame): DataFrame = {
+    val ph = scd2PhasesRaw(ev).select(
+      col("user_id"), col("valid_from_ts").as("pit_ts"),
+      lit(0).as("kind"), col("event_type").as("ph"),
+      col("version").cast("long").as("ver"),
+      lit(null).cast("long").as("o_orderkey"))
+    val facts = ord.select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("pit_ts"),
+      lit(1).as("kind"), lit(null).cast("string").as("ph"),
+      lit(null).cast("long").as("ver"), col("o_orderkey"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("pit_ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ph.unionByName(facts)
+      .withColumn("phase", last("ph", ignoreNulls = true).over(w))
+      .withColumn("phase_version", last("ver", ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("o_orderkey"), col("user_id").as("o_custkey"),
+        date_format(col("pit_ts"), "yyyy-MM-dd HH:mm:ss").as("order_ts"),
+        col("phase"), col("phase_version"))
+  }
+
+  /** Driver-query shim for [[pointInTimeJoin]]: the testdata orders
+    * (1995–2001, custkey 0–15k) and events (Jan 2024, user 0–1.5k) are
+    * deliberately disjoint, so the driver query maps each order onto the
+    * event timeline deterministically — custkey folded into the user
+    * range, order date spread over January 2024 by a fixed multiplier.
+    * Identical arithmetic on the oracle side; the operator itself takes
+    * any (o_custkey, o_orderdate, o_orderkey) facts unchanged.
+    */
+  private def ordersOnEventTimeline(ord: DataFrame): DataFrame = ord.select(
+    col("o_orderkey"),
+    pmod(col("o_custkey"), lit(150L)).as("o_custkey"),
+    timestamp_micros(lit(1704067200000000L) +
+      pmod(col("o_orderkey") * lit(1009L), lit(2592000000000L)))
+      .as("o_orderdate"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pit_join_orders" -> ((s, d) =>
+      pointInTimeJoin(ordersOnEventTimeline(Tables.orders(s, d)),
+        Tables.events(s, d))),
     "interval_concurrency" -> ((s, d) =>
       sessionConcurrency(Tables.events(s, d))),
     "event_transitions" -> ((s, d) => transitionMatrix(Tables.events(s, d))),
@@ -271,6 +335,42 @@ object TimeSeries {
 
   /** DuckDB twins. */
   def oracleSql: Map[String, String] = Map(
+    // the oracle is the NAIVE interval join against the same SCD2
+    // phases; the union-window implementation must agree exactly
+    "pit_join_orders" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id, value NULLS FIRST,
+        |                    props NULLS FIRST) AS rn,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id, value NULLS FIRST,
+        |                    props NULLS FIRST) AS rn2
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type, rn - rn2 AS grp,
+        |         min(ts) AS valid_from_ts, min(rn) AS first_rn
+        |  FROM e GROUP BY 1, 2, 3),
+        |v AS (
+        |  SELECT user_id, event_type, valid_from_ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY first_rn) AS version,
+        |         lead(valid_from_ts) OVER (PARTITION BY user_id
+        |                                   ORDER BY first_rn) AS valid_to_ts
+        |  FROM runs),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS o_custkey,
+        |         make_timestamp(1704067200000000 +
+        |           (o_orderkey * 1009) % 2592000000000) AS o_orderdate
+        |  FROM orders)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+        |       v.event_type AS phase,
+        |       CAST(v.version AS BIGINT) AS phase_version
+        |FROM o LEFT JOIN v
+        |  ON o.o_custkey = v.user_id
+        | AND o.o_orderdate >= v.valid_from_ts
+        | AND (v.valid_to_ts IS NULL OR o.o_orderdate < v.valid_to_ts)""".stripMargin,
     // the oracle computes the SAME sweep line with a plain global
     // running sum — the carry decomposition is exact, so they agree
     "interval_concurrency" ->

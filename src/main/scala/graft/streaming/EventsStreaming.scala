@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Windowed event analytics (SURVEY.md §2.9/§7.4 streaming mandate):
@@ -164,6 +165,42 @@ object EventsStreaming {
       clicks.withWatermark("ts", "10 minutes"),
       purchases.withWatermark("ts", "10 minutes"), "left_outer")
 
+  /** Linear multi-touch attribution: each purchase's value is split
+    * EVENLY (in exact integer cents) across all clicks in the 30 minutes
+    * before it — `value_cents div n` per click, with the remainder cents
+    * going to the earliest clicks, so per-purchase attributed sums
+    * reconstruct `value_cents` EXACTLY (asserted in spec; a double split
+    * would neither sum back nor hash-match across engines).
+    *
+    * Scale shape: the pair join shuffles both (filtered) event slices on
+    * `user_id`; the per-purchase count and rank share one window
+    * clustering on `purchase_id`. Zero-click purchases drop out (inner
+    * form) — the outer accounting lives in [[attributionOuterBatch]].
+    */
+  def attributionLinear(ev: DataFrame): DataFrame = {
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        round(coalesce(col("value"), lit(0.0)) * 100).cast("long")
+          .as("value_cents"))
+    val pairs = c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTE"))
+    val byPurchase = Window.partitionBy("purchase_id")
+    val ranked = byPurchase.orderBy(col("click_ts"), col("click_id"))
+    pairs
+      .withColumn("n_clicks", count(lit(1)).over(byPurchase))
+      .withColumn("rk", row_number().over(ranked).cast("long"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("rk"), col("n_clicks"),
+        expr("value_cents div n_clicks + " +
+          "IF(rk <= value_cents % n_clicks, 1L, 0L)").as("attributed_cents"))
+  }
+
   private def attributionJoin(clicks: DataFrame, purchases: DataFrame,
       joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
@@ -189,6 +226,8 @@ object EventsStreaming {
     "stream_sliding"  -> ((s, d) => slidingBatch(Tables.events(s, d))),
     "stream_sessions" -> ((s, d) => sessionsBatch(Tables.events(s, d))),
     "stream_attribution" -> ((s, d) => attributionBatch(Tables.events(s, d))),
+    "attribution_linear" -> ((s, d) =>
+      attributionLinear(Tables.events(s, d))),
     "stream_attribution_outer" -> ((s, d) =>
       attributionOuterBatch(Tables.events(s, d))),
   )
@@ -249,6 +288,34 @@ object EventsStreaming {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
         .stripMargin,
+    "attribution_linear" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |         ts AS purchase_ts,
+        |         CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+        |           AS value_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT c.user_id, p.purchase_id, c.click_id, c.click_ts,
+        |         p.value_cents
+        |  FROM c JOIN p ON c.user_id = p.p_user_id
+        |   AND p.purchase_ts >= c.click_ts
+        |   AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE),
+        |r AS (
+        |  SELECT *,
+        |         count(*) OVER (PARTITION BY purchase_id) AS n_clicks,
+        |         row_number() OVER (PARTITION BY purchase_id
+        |                            ORDER BY click_ts, click_id) AS rk
+        |  FROM pairs)
+        |SELECT user_id, purchase_id, click_id, rk,
+        |       CAST(n_clicks AS BIGINT) AS n_clicks,
+        |       value_cents // n_clicks +
+        |         CASE WHEN rk <= value_cents % n_clicks THEN 1 ELSE 0 END
+        |         AS attributed_cents
+        |FROM r""".stripMargin,
     "stream_attribution" ->
       """SELECT c.user_id, c.event_id AS click_id,
         |       p.event_id AS purchase_id,

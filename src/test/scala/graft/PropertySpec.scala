@@ -151,4 +151,73 @@ class PropertySpec extends SparkSpec {
       assert(got === want)
     }
   }
+
+  test("sessionConcurrency: per-day peaks match a brute-force global " +
+      "sweep over generated event streams") {
+    // events across a 3-day span, several users, minute resolution
+    val evGen = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, for {
+        uid <- Gen.choose(1L, 6L)
+        day <- Gen.choose(1, 3)
+        hour <- Gen.choose(0, 23)
+        min <- Gen.choose(0, 59)
+      } yield (uid, f"2024-03-0$day $hour%02d:$min%02d:00"))
+    } yield rows
+    samples(evGen, n = 4).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, u, "view", 1.0, "{}", ts(t))
+      }.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+      val got = graft.etl.TimeSeries.sessionConcurrency(df)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // brute force: sessionize per user (30-min gap), sweep globally
+      val gapUs = 30L * 60 * 1000000
+      val sessions = rows.groupBy(_._1).values.flatMap { es =>
+        val times = es.map(e => ts(e._2).getTime * 1000L).sorted
+        times.foldLeft(List.empty[(Long, Long)]) {
+          case (acc, t) => acc match {
+            case (s, e) :: rest if t - e <= gapUs => (s, t) :: rest
+            case _ => (t, t) :: acc
+          }
+        }
+      }.toSeq
+      val deltas = sessions.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+        .sortBy { case (t, d) => (t, -d) } // +1 before -1 at equal ts
+      var run = 0
+      val peaks = scala.collection.mutable.Map.empty[String, Int]
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      deltas.foreach { case (t, d) =>
+        run += d
+        val day = fmt.format(new java.util.Date(t / 1000L))
+        peaks(day) = math.max(peaks.getOrElse(day, Int.MinValue), run)
+      }
+      assert(got === peaks.view.mapValues(_.toLong).toMap)
+    }
+  }
+
+  test("ewma: matches a driver-side reference over generated histories") {
+    val histGen = for {
+      n <- Gen.choose(1, 15)
+      prices <- Gen.listOfN(n, Gen.choose(100, 99999))
+    } yield prices
+    samples(histGen, n = 4).foreach { prices =>
+      val df = prices.zipWithIndex.map { case (p, i) =>
+        (i.toLong, 1L, "O", p / 100.0, ts(f"1997-01-${i + 1}%02d 00:00:00"),
+          "1-URGENT")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val got = graft.etl.WindowOps.ewmaCustomerSpend(df, k = 8)
+        .select("o_orderkey", "ewma_cents")
+        .as[(Long, Double)].collect().toMap
+      prices.indices.foreach { i =>
+        val terms = (0 until math.min(8, i + 1)).map { j =>
+          (prices(i - j).toDouble * math.pow(0.5, j), math.pow(0.5, j))
+        }
+        val want = terms.map(_._1).sum / terms.map(_._2).sum
+        assert(got(i.toLong) === want, s"order $i")
+      }
+    }
+  }
 }

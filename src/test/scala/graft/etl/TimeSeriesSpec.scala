@@ -176,6 +176,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.size === 4)
   }
 
+  test("pointInTimeJoin: facts pick the phase active at fact time, " +
+      "half-open boundaries, null before history") {
+    val ev = events(
+      (1L, 7L, "browse", "2024-01-01 10:00:00"),
+      (2L, 7L, "browse", "2024-01-01 11:00:00"), // same phase continues
+      (3L, 7L, "buy",    "2024-01-01 12:00:00"), // v2 starts 12:00
+      (4L, 7L, "browse", "2024-01-01 14:00:00"), // v3
+      (5L, 8L, "buy",    "2024-01-01 09:00:00")) // other user
+    def facts(rows: (Long, Long, String)*) =
+      rows.map { case (ok, ck, t) => (ok, ck, "O", 1.0, ts(t), "p") }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+    val got = TimeSeries.pointInTimeJoin(facts(
+      (100L, 7L, "2024-01-01 09:30:00"), // before any phase → null
+      (101L, 7L, "2024-01-01 10:30:00"), // browse v1
+      (102L, 7L, "2024-01-01 12:00:00"), // exactly at v2 start → v2
+      (103L, 7L, "2024-01-01 13:59:59"), // still v2
+      (104L, 7L, "2024-01-01 23:00:00"), // open-ended v3
+      (105L, 9L, "2024-01-01 12:00:00")  // user with no history → null
+    ), ev).collect().map(r => r.getLong(0) ->
+      (Option(r.getString(3)), Option(r.get(4)).map(_.toString.toLong))).toMap
+    assert(got(100L) === ((None, None)))
+    assert(got(101L) === ((Some("browse"), Some(1L))))
+    assert(got(102L) === ((Some("buy"), Some(2L))))
+    assert(got(103L) === ((Some("buy"), Some(2L))))
+    assert(got(104L) === ((Some("browse"), Some(3L))))
+    assert(got(105L) === ((None, None)))
+    assert(got.size === 6)
+  }
+
   test("sessionConcurrency: sweep line with inclusive ends, midnight " +
       "carry, and per-day peaks") {
     var eid = 0L

@@ -13,7 +13,7 @@ class FuzzyJoinSpec extends SparkSpec {
 
   test("best match picks minimum distance within the block") {
     val dirty = Seq((100L, 0L, "alce")).toDF("dkey", "block", "dname")
-    val got = FuzzyJoin.linkBestMatch(dirty, clean, Seq("block"),
+    val got = FuzzyJoin.linkBestMatch(dirty, clean, Seq(Seq("block")),
       "dkey", "dname", "name", "key").select("dkey", "key", "dist")
       .as[(Long, Long, Long)].collect()
     // alce→alice dist 1, →alicia dist 3, →bob dist 4
@@ -26,7 +26,7 @@ class FuzzyJoinSpec extends SparkSpec {
     // use two equidistant cleans via a crafted dirty string
     val cleans = Seq((1L, 0L, "aaaa"), (2L, 0L, "bbbb")).toDF("key", "block", "name")
     val dirty = Seq((9L, 0L, "aabb")).toDF("dkey", "block", "dname")
-    val got = FuzzyJoin.linkBestMatch(dirty, cleans, Seq("block"),
+    val got = FuzzyJoin.linkBestMatch(dirty, cleans, Seq(Seq("block")),
       "dkey", "dname", "name", "key").select("key").as[Long].collect()
     assert(got.toSeq === Seq(1L)) // dist 2 both; lower key wins
   }
@@ -36,10 +36,30 @@ class FuzzyJoinSpec extends SparkSpec {
       (100L, 0L, "zzzzzzzz"),   // nothing within dist 4 in block 0
       (101L, 1L, "alicex")      // block 1 only: matches key 4, not 1/2
     ).toDF("dkey", "block", "dname")
-    val got = FuzzyJoin.linkBestMatch(dirty, clean, Seq("block"),
+    val got = FuzzyJoin.linkBestMatch(dirty, clean, Seq(Seq("block")),
       "dkey", "dname", "name", "key")
       .select("dkey", "key").as[(Long, Long)].collect().toSet
     assert(got === Set((101L, 4L)))
+  }
+
+  test("multi-pass blocking: a candidate reachable by EITHER pass links, " +
+      "and a pair found by both passes is scored once") {
+    // clean "alice": pass A key = first 2 chars, pass B key = last 2
+    val cleans = Seq((1L, "al", "ce", "alice"))
+      .toDF("key", "pre", "suf", "name")
+    // corrupted tail: only the prefix pass can find it
+    val dTail = Seq((100L, "al", "xx", "alixx")).toDF("dkey", "pre", "suf", "dname")
+    // corrupted head: only the suffix pass can find it
+    val dHead = Seq((101L, "xx", "ce", "xxice")).toDF("dkey", "pre", "suf", "dname")
+    // intact both: both passes find it; dedup must keep ONE candidate row
+    val dBoth = Seq((102L, "al", "ce", "alice")).toDF("dkey", "pre", "suf", "dname")
+    val passes = Seq(Seq("pre"), Seq("suf"))
+    Seq((dTail, 2L), (dHead, 2L), (dBoth, 0L)).foreach { case (d, wantDist) =>
+      val got = FuzzyJoin.linkBestMatch(d, cleans, passes,
+        "dkey", "dname", "name", "key")
+        .select("key", "dist").as[(Long, Long)].collect()
+      assert(got.toSeq === Seq((1L, wantDist)))
+    }
   }
 
   test("linkCustomers matches a brute-force reference exactly") {

@@ -294,4 +294,28 @@ class EventsStreamingSpec extends SparkSpec {
       (3L, "2024-01-01 01:00:01", 7L, "click", 1.0)) // diff > gap: splits
     assert(EventsStreaming.sessionsBatch(ev).count() === 2)
   }
+
+  test("attributionLinear: even integer split, remainder to earliest " +
+      "clicks, sums reconstruct the purchase exactly") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 7L, "click", 0.0),
+      (2L, "2024-01-01 10:10:00", 7L, "click", 0.0),
+      (3L, "2024-01-01 10:20:00", 7L, "click", 0.0),
+      (4L, "2024-01-01 10:25:00", 7L, "purchase", 1.00), // 100 cents / 3
+      (5L, "2024-01-01 12:00:00", 7L, "click", 0.0),
+      (6L, "2024-01-01 12:05:00", 7L, "purchase", 0.05), // 5 cents / 1
+      (7L, "2024-01-01 14:00:00", 8L, "purchase", 9.99)) // no clicks: drops
+    val got = EventsStreaming.attributionLinear(ev)
+      .select("purchase_id", "click_id", "rk", "attributed_cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // 100 = 33+33+33 + remainder 1 → earliest click gets 34
+    assert(got === Set(
+      (4L, 1L, 1L, 34L), (4L, 2L, 2L, 33L), (4L, 3L, 3L, 33L),
+      (6L, 5L, 1L, 5L)))
+    // exact reconstruction per purchase
+    val sums = EventsStreaming.attributionLinear(ev)
+      .groupBy("purchase_id").sum("attributed_cents")
+      .as[(Long, Long)].collect().toMap
+    assert(sums === Map(4L -> 100L, 6L -> 5L))
+  }
 }
