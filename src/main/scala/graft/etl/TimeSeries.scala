@@ -316,7 +316,45 @@ object TimeSeries {
       pmod(col("o_orderkey") * lit(1009L), lit(2592000000000L)))
       .as("o_orderdate"))
 
+  /** Top-k most common within-session event paths ("view>click>buy") —
+    * the product-analytics "how do users actually move" query.
+    * Sessions are the same 30-minute-gap sessions as
+    * [[sessionConcurrency]]; a session's path is its event types joined
+    * in (ts, event_id) order.
+    *
+    * Scale shape: sessionization is one user-keyed window pass; the path
+    * string is built INSIDE the per-session aggregate
+    * (`array_sort(collect_list(struct))` — struct sort order gives the
+    * deterministic total order, no second window), bounded by session
+    * length; the final count + top-k is an aggregate on the path key
+    * followed by `TakeOrderedAndProject` (per-partition heaps, no global
+    * sort). Pathological mega-sessions would need a per-session event
+    * cap before `collect_list` at 100 TB — same guard family as the
+    * dedup df cap.
+    */
+  def sessionPaths(ev: DataFrame, gapMinutes: Int = 30,
+      k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapUs = gapMinutes * 60L * 1000000L
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(expr("array_join(transform(" +
+        "array_sort(collect_list(struct(ts, event_id, event_type))), " +
+        "x -> x.event_type), '>')").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_paths" -> ((s, d) => sessionPaths(Tables.events(s, d))),
     "pit_join_orders" -> ((s, d) =>
       pointInTimeJoin(ordersOnEventTimeline(Tables.orders(s, d)),
         Tables.events(s, d))),
@@ -335,6 +373,27 @@ object TimeSeries {
 
   /** DuckDB twins. */
   def oracleSql: Map[String, String] = Map(
+    "session_paths" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN epoch_us(ts) -
+        |                   epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |                                          ORDER BY ts))
+        |                   > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM paths GROUP BY 1
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 20""".stripMargin,
     // the oracle is the NAIVE interval join against the same SCD2
     // phases; the union-window implementation must agree exactly
     "pit_join_orders" ->

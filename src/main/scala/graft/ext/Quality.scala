@@ -62,11 +62,45 @@ object Quality {
           .otherwise("low").as("side"))
   }
 
+  /** Per-group z-score standardization of `l_quantity` — the feature
+    * scaling every ML data-prep pipeline runs, done EXACTLY: per-group
+    * (count, Σq, Σq²) are integer aggregates (order-independent), and
+    * mean/variance/z are derived from them with the identical IEEE
+    * expression on both engines. The subtlety: `sqrt` and `/` are
+    * correctly-rounded per IEEE 754 (unlike `pow`/`log`, which are
+    * libm-dependent), so z-scores hash-match bit-for-bit. Σq² bounds the
+    * exactness domain: quantities ≤ 50 over ≤ 2^40 rows stay < 2^53.
+    *
+    * Scale shape: one partial-aggregating shuffle to 3 group rows, then
+    * a broadcast join back onto the fact scan — the standard
+    * stats-then-apply two-pass, no window over the full table.
+    */
+  def zscoreQuantity(li: DataFrame): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val stats = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(q).as("s"), sum(q * q).as("ss"))
+    li.select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("l_returnflag"), q.as("quantity"))
+      .join(broadcast(stats), Seq("l_returnflag"))
+      .withColumn("mean_q", col("s").cast("double") / col("n"))
+      .withColumn("sd",
+        sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+          (col("n") * col("n")).cast("double")))
+      // a zero-variance group has no meaningful z: NULL, explicitly —
+      // ANSI mode (Spark 4 default) would otherwise throw DIVIDE_BY_ZERO
+      .withColumn("z",
+        when(col("sd") > 0,
+          (col("quantity").cast("double") - col("mean_q")) / col("sd")))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "quantity",
+        "mean_q", "z")
+  }
+
   /** Driver-contract registration. Timestamps are pre-formatted to
     * strings and the double price to integer cents, so every profiled
     * column's min/max stringification is engine-identical.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feature_zscore" -> ((s, d) => zscoreQuantity(Tables.lineitem(s, d))),
     "quality_profile_orders" -> ((s, d) => profile(
       Tables.orders(s, d)
         .withColumn("o_orderdate",
@@ -79,6 +113,27 @@ object Quality {
 
   /** DuckDB twin — same long-format stats per column. */
   def oracleSql: Map[String, String] = Map(
+    "feature_zscore" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |         l_returnflag, CAST(l_quantity AS BIGINT) AS quantity
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(quantity) AS BIGINT) AS s,
+        |         CAST(sum(quantity * quantity) AS BIGINT) AS ss
+        |  FROM li GROUP BY 1)
+        |SELECT li.l_orderkey, li.l_linenumber, li.l_returnflag,
+        |       li.quantity,
+        |       CAST(st.s AS DOUBLE) / st.n AS mean_q,
+        |       CASE WHEN sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE) /
+        |                      CAST(st.n * st.n AS DOUBLE)) > 0
+        |            THEN (CAST(li.quantity AS DOUBLE) -
+        |                  CAST(st.s AS DOUBLE) / st.n) /
+        |                 sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE) /
+        |                      CAST(st.n * st.n AS DOUBLE))
+        |       END AS z
+        |FROM li JOIN st USING (l_returnflag)""".stripMargin,
     "quality_profile_orders" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderdate", "o_orderpriority", "o_totalprice_cents")

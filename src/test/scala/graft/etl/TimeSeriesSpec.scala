@@ -206,6 +206,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("sessionPaths: paths in event order within gap-sessions, " +
+      "counted and top-k ranked with path tie-break") {
+    var eid = 0L
+    def e(uid: Long, et: String, t: String) = { eid += 1; (eid, uid, et, t) }
+    val got = TimeSeries.sessionPaths(events(
+      // user 1, one session: view>click>buy
+      e(1L, "view", "2024-03-01 10:00:00"),
+      e(1L, "click", "2024-03-01 10:05:00"),
+      e(1L, "buy", "2024-03-01 10:10:00"),
+      // user 2, two sessions split by the 30-min gap: view>click, view
+      e(2L, "view", "2024-03-01 09:00:00"),
+      e(2L, "click", "2024-03-01 09:10:00"),
+      e(2L, "view", "2024-03-01 11:00:00"),
+      // user 3: view>click again
+      e(3L, "view", "2024-03-02 08:00:00"),
+      e(3L, "click", "2024-03-02 08:01:00")), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // view>click appears twice; the k=2 cut keeps the lexicographically
+    // smaller of the two singleton paths
+    assert(got.toSeq === Seq(("view>click", 2L), ("view", 1L)))
+  }
+
   test("sessionConcurrency: sweep line with inclusive ends, midnight " +
       "carry, and per-day peaks") {
     var eid = 0L
