@@ -1,0 +1,63 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class RetailSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li(rows: (Long, Long, Double)*) =
+    rows.map { case (ok, pk, p) => (ok, pk, p) }
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+
+  test("abcClassification: Pareto classes with exact integer boundaries") {
+    // revenues: p1=800, p2=150, p3=40, p4=10 (total 1000)
+    // cum: 800 (80% -> A, boundary inclusive), 950 (95% -> B, inclusive),
+    //      990 (99% -> C), 1000 (C)
+    val r = Retail.abcClassification(li(
+      (1L, 1L, 500.0), (2L, 1L, 300.0),
+      (3L, 2L, 150.0),
+      (4L, 3L, 40.0),
+      (5L, 4L, 10.0)))
+      .select("l_partkey", "cum_cents", "abc_class")
+      .as[(Long, Long, String)].collect().toSet
+    assert(r === Set(
+      (1L, 80000L, "A"), (2L, 95000L, "B"),
+      (3L, 99000L, "C"), (4L, 100000L, "C")))
+  }
+
+  test("abcClassification: banded prefix decomposition equals a global " +
+      "running sum across digit-band boundaries") {
+    // revenues spanning several digit counts: 9, 10, 99, 100, 5000 cents
+    val rows = Seq((1L, 10L, 0.09), (2L, 11L, 0.10), (3L, 12L, 0.99),
+      (4L, 13L, 1.00), (5L, 14L, 50.00))
+    val got = Retail.abcClassification(li(rows: _*))
+      .select("l_partkey", "cum_cents").as[(Long, Long)].collect().toMap
+    // global desc order: 5000, 100, 99, 10, 9
+    assert(got === Map(14L -> 5000L, 13L -> 5100L, 12L -> 5199L,
+      11L -> 5209L, 10L -> 5218L))
+  }
+
+  test("basketLift: pair supports, lift, min-support cut") {
+    // orders: {1,2} x3, {1,3} x1 -> pair (1,2) support 3, (1,3) support 1
+    val r = Retail.basketLift(li(
+      (1L, 1L, 1.0), (1L, 2L, 1.0),
+      (2L, 1L, 1.0), (2L, 2L, 1.0),
+      (3L, 1L, 1.0), (3L, 2L, 1.0),
+      (4L, 1L, 1.0), (4L, 3L, 1.0)), minSupport = 3, k = 10)
+      .select("part_a", "part_b", "n_ab", "n_a", "n_b", "lift")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // lift(1,2) = 3*4 / (4*3) = 1.0
+    assert(r.toSeq === Seq((1L, 2L, 3L, 4L, 3L, 1.0)))
+  }
+
+  test("basketLift: duplicate lineitems collapse; top-k cut is " +
+      "deterministic on (support, pair)") {
+    val rows =
+      Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L),
+        (2L, 1L), (2L, 2L), (2L, 3L)).map { case (ok, pk) => (ok, pk, 1.0) }
+    val r = Retail.basketLift(li(rows: _*), minSupport = 2, k = 2)
+      .select("part_a", "part_b").as[(Long, Long)].collect()
+    // all three pairs have support 2; k=2 keeps (1,2) and (1,3)
+    assert(r.toSeq === Seq((1L, 2L), (1L, 3L)))
+  }
+}
