@@ -353,7 +353,37 @@ object TimeSeries {
       .limit(k)
   }
 
+  /** Funnel latency: how long users take from their first `from` event
+    * to their first `to` event at-or-after it, summarized as exact
+    * integer seconds with interpolated percentiles (same
+    * `percentile`↔`quantile_cont` portability contract as
+    * [[Relational.percentiles]]).
+    *
+    * Scale shape: two filtered user-keyed aggregates and one equi-join —
+    * the min-reduction happens map-side before each shuffle; no window
+    * over the raw stream. One summary row out.
+    */
+  def timeToConvert(ev: DataFrame, from: String = "view",
+      to: String = "purchase"): DataFrame = {
+    val f = ev.filter(col("event_type") === from)
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("from_us"))
+    val t = ev.filter(col("event_type") === to)
+      .select(col("user_id"), unix_micros(col("ts")).as("to_us"))
+    f.join(t, Seq("user_id"))
+      .filter(col("to_us") >= col("from_us"))
+      .groupBy("user_id", "from_us").agg(min("to_us").as("first_to_us"))
+      .select(expr("(first_to_us - from_us) div 1000000").as("delta_secs"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile(delta_secs, 0.5)") * 1000).cast("long")
+          .as("median_secs_e3"),
+        round(expr("percentile(delta_secs, 0.9)") * 1000).cast("long")
+          .as("p90_secs_e3"),
+        max("delta_secs").as("max_secs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_latency" -> ((s, d) => timeToConvert(Tables.events(s, d))),
     "session_paths" -> ((s, d) => sessionPaths(Tables.events(s, d))),
     "pit_join_orders" -> ((s, d) =>
       pointInTimeJoin(ordersOnEventTimeline(Tables.orders(s, d)),
@@ -373,6 +403,26 @@ object TimeSeries {
 
   /** DuckDB twins. */
   def oracleSql: Map[String, String] = Map(
+    "funnel_latency" ->
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS from_us
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |t AS (
+        |  SELECT user_id, epoch_us(ts) AS to_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT f.user_id, f.from_us, min(t.to_us) AS first_to_us
+        |  FROM f JOIN t ON f.user_id = t.user_id AND t.to_us >= f.from_us
+        |  GROUP BY 1, 2),
+        |d AS (SELECT (first_to_us - from_us) // 1000000 AS delta_secs
+        |      FROM conv)
+        |SELECT count(*) AS n_converted,
+        |       CAST(round(quantile_cont(delta_secs, 0.5) * 1000) AS BIGINT)
+        |         AS median_secs_e3,
+        |       CAST(round(quantile_cont(delta_secs, 0.9) * 1000) AS BIGINT)
+        |         AS p90_secs_e3,
+        |       CAST(max(delta_secs) AS BIGINT) AS max_secs
+        |FROM d""".stripMargin,
     "session_paths" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type,

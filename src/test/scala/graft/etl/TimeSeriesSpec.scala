@@ -206,6 +206,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("timeToConvert: first view to first purchase at-or-after it, " +
+      "non-converters excluded, exact seconds") {
+    val r = TimeSeries.timeToConvert(events(
+      // user 1: purchase BEFORE first view doesn't count; converts in 60s
+      (1L, 1L, "purchase", "2024-01-01 09:00:00"),
+      (2L, 1L, "view", "2024-01-01 10:00:00"),
+      (3L, 1L, "purchase", "2024-01-01 10:01:00"),
+      (4L, 1L, "purchase", "2024-01-01 11:00:00"), // later: ignored
+      // user 2: converts in 300s
+      (5L, 2L, "view", "2024-01-01 10:00:00"),
+      (6L, 2L, "purchase", "2024-01-01 10:05:00"),
+      // user 3: views but never purchases
+      (7L, 3L, "view", "2024-01-01 10:00:00")))
+      .first()
+    assert(r.getLong(0) === 2L)                      // n_converted
+    assert(r.getLong(1) === 180000L)                 // median (60+300)/2 * 1e3
+    assert(r.getLong(3) === 300L)                    // max_secs
+  }
+
   test("sessionPaths: paths in event order within gap-sessions, " +
       "counted and top-k ranked with path tie-break") {
     var eid = 0L

@@ -43,6 +43,21 @@ class GraphSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("triangleCount: counts each triangle once, orientation-independent") {
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant 4-5 (0 triangles)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val edges = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    assert(Graph.triangleCount(edges).first().getLong(0) === 4L)
+    graft.CheckpointLease.releaseAll()
+    // triangle-free graph: a 4-cycle
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("src", "dst")
+    assert(Graph.triangleCount(cyc).first().getLong(0) === 0L)
+    graft.CheckpointLease.releaseAll()
+  }
+
   test("coPurchaseEdges pairs within orders, undirected, mega-order capped") {
     val li = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L), // order 10: triangle
