@@ -247,6 +247,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq === Seq(("view>click", 2L), ("view", 1L)))
   }
 
+  test("sessionPaths plan: top-k is TakeOrderedAndProject, not a global " +
+      "sort") {
+    // k below the path count — with k >= rows AQE validly eliminates the
+    // sort+limit during replanning, so that case proves nothing
+    val df = TimeSeries.sessionPaths(events(
+      (1L, 1L, "view", "2024-03-01 10:00:00"),
+      (2L, 2L, "click", "2024-03-01 10:00:00"),
+      (3L, 3L, "buy", "2024-03-01 10:00:00")), k = 1)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("sessionConcurrency: sweep line with inclusive ends, midnight " +
       "carry, and per-day peaks") {
     var eid = 0L

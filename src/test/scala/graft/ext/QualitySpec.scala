@@ -24,4 +24,13 @@ class QualitySpec extends SparkSpec {
     assert(got((3L, 1L)) === None)
     assert(got((3L, 2L)) === None)
   }
+
+  test("zscoreQuantity plan: stats apply via broadcast join, no " +
+      "full-table window") {
+    val li = Seq((1L, 1, "A", 2.0), (2L, 1, "B", 3.0))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    val plan = Quality.zscoreQuantity(li).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
