@@ -254,6 +254,36 @@ object Relational {
           (sqrt(n * sq2 - sq * sq) * sqrt(n * sd2 - sd * sd)))
   }
 
+  /** Exact WEIGHTED median: the smallest price whose cumulative quantity
+    * weight reaches half the group's total — all-integer comparisons
+    * (`2·cumw ≥ totw`), no interpolation, no float anywhere, so it
+    * hash-matches trivially. (Neither engine ships a portable weighted
+    * quantile: Spark has none, DuckDB's `quantile` is unweighted — this
+    * is the canonical prefix-sum formulation both can express.)
+    *
+    * Scale shape: one shuffle+sort per group key for the cumulative
+    * window (the same exchange the group total reuses), then a min per
+    * group. The window runs over the FACT table — at 100 TB one would
+    * pre-aggregate equal prices per group first (price cardinality ≪
+    * row count), which this plan's first projection already enables.
+    */
+  def weightedMedian(li: DataFrame): DataFrame = {
+    val base = li.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("pc"),
+      col("l_quantity").cast("long").as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    val cum = Window.partitionBy("l_returnflag")
+      .orderBy(col("pc"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("l_returnflag")
+    base
+      .withColumn("cumw", sum("w").over(cum))
+      .withColumn("totw", sum("w").over(tot))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy("l_returnflag")
+      .agg(min("pc").as("wmedian_cents"), max("totw").as("total_weight"))
+  }
+
   /** Exact percentiles (continuous interpolation at (n-1)p). Both engines
     * interpolate between the same two 2-dp values, so the e3-scaled result
     * is a mathematical integer — `round(x*1000)` is engine-stable even
@@ -588,6 +618,7 @@ object Relational {
     "rank_top_orders"    -> ((s, d) => topOrders(Tables.orders(s, d))),
     "set_customer_ops"   -> ((s, d) => customerSetOps(Tables.customer(s, d))),
     "agg_distinct"       -> ((s, d) => distinctAggs(Tables.lineitem(s, d))),
+    "agg_weighted_median" -> ((s, d) => weightedMedian(Tables.lineitem(s, d))),
     "agg_approx_distinct" -> ((s, d) => approxDistinct(Tables.lineitem(s, d))),
     "agg_hll_sketch"     -> ((s, d) => hllSketchMerge(Tables.lineitem(s, d))),
     "agg_rollup"         -> ((s, d) => rollupSales(Tables.lineitem(s, d))),
@@ -638,6 +669,26 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
     "q1_pricing_sql"     -> q1Oracle,
+    "agg_weighted_median" ->
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |         CAST(l_quantity AS BIGINT) AS w,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT l_returnflag, pc,
+        |         CAST(sum(w) OVER (PARTITION BY l_returnflag
+        |           ORDER BY pc, l_orderkey, l_linenumber
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        |         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |           AS totw
+        |  FROM base)
+        |SELECT l_returnflag,
+        |       CAST(min(pc) AS BIGINT) AS wmedian_cents,
+        |       CAST(max(totw) AS BIGINT) AS total_weight
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY 1""".stripMargin,
     "rank_top_customers_heap" ->
       """WITH spend AS (
         |  SELECT c.c_custkey, c.c_mktsegment,

@@ -382,7 +382,57 @@ object TimeSeries {
         max("delta_secs").as("max_secs"))
   }
 
+  /** Rolling z-score anomaly detection over the daily-sales series: each
+    * day scored against the TRAILING 28 days (exclusive of itself, so an
+    * anomalous day can't mask itself), flagged at |z| > 3.
+    *
+    * Exactness: the scoring domain is integer DOLLARS (`cents div 100`)
+    * — sf0.1 days run ~1e9 cents, whose squared window sums overflow
+    * Long, while dollar-domain Σ² keeps headroom to ~1e8-dollar days.
+    * The RANGE frame aggregates integer (n, Σ, Σ²); mean/sd/z derive in
+    * the DOUBLE domain as `Σ²/n − mean²` (the integer `n·Σ² − Σ·Σ` form
+    * re-hits overflow), built from correctly-rounded IEEE ops on
+    * identical inputs, so z is bit-identical across engines.
+    * Near-constant windows can round the double variance to a hair
+    * below zero; sqrt yields NaN, which the `sd > 0` guard maps to NULL
+    * on both sides. Days with under `minDays` trailing observations
+    * score NULL (insufficient baseline, surfaced not guessed).
+    *
+    * Scale note: the window runs over the AGGREGATED daily series (one
+    * row per day — years × 365, metadata-sized at any SF), never the
+    * fact table; a per-dimension variant partitions the same window by
+    * that dimension.
+    */
+  def dailyAnomalies(ord: DataFrame, minDays: Int = 8): DataFrame = {
+    val daily = ord
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents("o_totalprice")).as("day_cents"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .withColumn("day_usd", expr("day_cents div 100"))
+    val w = Window.orderBy("day_num").rangeBetween(-28, -1)
+    daily
+      .withColumn("n_base", count(lit(1)).over(w))
+      .withColumn("s_base", sum("day_usd").over(w))
+      .withColumn("ss_base", sum(col("day_usd") * col("day_usd")).over(w))
+      .withColumn("mean_usd",
+        col("s_base").cast("double") / col("n_base"))
+      .withColumn("sd", sqrt(
+        col("ss_base").cast("double") / col("n_base") -
+          col("mean_usd") * col("mean_usd")))
+      .withColumn("z",
+        when(col("n_base") >= minDays && col("sd") > 0,
+          (col("day_usd").cast("double") - col("mean_usd")) / col("sd")))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("day_cents"), col("n_base"), col("z"),
+        // non-null: an unscorable day is "not flagged", and a nullable
+        // boolean's NULL representation differs across engine bridges
+        coalesce(col("z") > 3 || col("z") < -3, lit(false))
+          .as("is_anomaly"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomalies" -> ((s, d) => dailyAnomalies(Tables.orders(s, d))),
     "funnel_latency" -> ((s, d) => timeToConvert(Tables.events(s, d))),
     "session_paths" -> ((s, d) => sessionPaths(Tables.events(s, d))),
     "pit_join_orders" -> ((s, d) =>
@@ -403,6 +453,40 @@ object TimeSeries {
 
   /** DuckDB twins. */
   def oracleSql: Map[String, String] = Map(
+    "ts_anomalies" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY 1),
+        |d2 AS (
+        |  SELECT *, date_diff('day', DATE '1970-01-01', day) AS day_num,
+        |         day_cents // 100 AS day_usd
+        |  FROM daily),
+        |r AS (
+        |  SELECT day, day_cents, day_usd,
+        |         count(*) OVER w AS n_base,
+        |         CAST(sum(day_usd) OVER w AS BIGINT) AS s_base,
+        |         CAST(sum(day_usd * day_usd) OVER w AS BIGINT) AS ss_base
+        |  FROM d2
+        |  WINDOW w AS (ORDER BY day_num
+        |               RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT day, day_cents, n_base,
+        |         CASE WHEN n_base >= 8 AND
+        |                   sqrt(CAST(ss_base AS DOUBLE) / n_base -
+        |                        (CAST(s_base AS DOUBLE) / n_base) *
+        |                        (CAST(s_base AS DOUBLE) / n_base)) > 0
+        |              THEN (CAST(day_usd AS DOUBLE) -
+        |                    CAST(s_base AS DOUBLE) / n_base) /
+        |                   sqrt(CAST(ss_base AS DOUBLE) / n_base -
+        |                        (CAST(s_base AS DOUBLE) / n_base) *
+        |                        (CAST(s_base AS DOUBLE) / n_base))
+        |         END AS z
+        |  FROM r)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, day_cents, n_base, z,
+        |       COALESCE(z > 3 OR z < -3, FALSE) AS is_anomaly
+        |FROM z""".stripMargin,
     "funnel_latency" ->
       """WITH f AS (
         |  SELECT user_id, min(epoch_us(ts)) AS from_us

@@ -281,4 +281,21 @@ class RelationalSpec extends SparkSpec {
     val rows = q.collect()
     assert(rows.forall(_.getAs[Long]("n_orders") > 0))
   }
+
+  test("weightedMedian: smallest price reaching half the total weight") {
+    import spark.implicits._
+    // flag A: prices 1.00(w1), 2.00(w2), 3.00(w1): total 4, half 2 →
+    //   cum at 1.00 is 1 (<2), at 2.00 is 3 (≥2) → median 200
+    // flag B: equal weights, even count: prices 1.00, 2.00 (w1 each):
+    //   half 1 → cum at 1.00 is 1, 2*1 >= 2 → lower of the two (100)
+    val li = Seq(
+      (1L, 1, "A", 1.0, 1.0), (2L, 1, "A", 2.0, 2.0), (3L, 1, "A", 1.0, 3.0),
+      (4L, 1, "B", 1.0, 1.0), (5L, 1, "B", 1.0, 2.0)
+    ).toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+      "l_extendedprice")
+    val got = Relational.weightedMedian(li)
+      .select("l_returnflag", "wmedian_cents", "total_weight")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("A", 200L, 4L), ("B", 100L, 2L)))
+  }
 }

@@ -206,6 +206,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("dailyAnomalies: spike against trailing-28d baseline, warmup " +
+      "days unscored, anomalous day excluded from its own baseline") {
+    // 10 days at $100/day, then an $800 spike on day 11
+    val base = (1 to 10).map(i =>
+      (i.toLong, 1L, "O", 100.0, f"1997-01-$i%02d"))
+    val r = TimeSeries.dailyAnomalies(orders(base :+
+      (11L, 1L, "O", 800.0, "1997-01-11"): _*))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(2), Option(x.get(3)).map(_.toString.toDouble),
+          x.getBoolean(4))).toMap
+    // first 8 days: fewer than 8 trailing days → no score, not flagged
+    (1 to 8).foreach { i =>
+      val (_, z, fl) = r(f"1997-01-0$i")
+      assert(z.isEmpty && !fl)
+    }
+    // days 9-10: constant baseline → sd 0 → unscorable, not flagged
+    assert(r("1997-01-09")._2.isEmpty && !r("1997-01-09")._3)
+    // day 11: baseline is 10 constant days → still sd 0 → unscorable
+    // (constant-history streams need variance to flag; see next case)
+    assert(r("1997-01-11")._2.isEmpty)
+    // noisy baseline: alternate 100/120, then spike 800 on day 11
+    val noisy = (1 to 10).map(i =>
+      (i.toLong, 1L, "O", if (i % 2 == 0) 120.0 else 100.0,
+        f"1997-01-$i%02d"))
+    val r2 = TimeSeries.dailyAnomalies(orders(noisy :+
+      (11L, 1L, "O", 800.0, "1997-01-11"): _*))
+      .collect().map(x => x.getString(0) ->
+        (Option(x.get(3)).map(_.toString.toDouble), x.getBoolean(4))).toMap
+    val (z11, flagged) = r2("1997-01-11")
+    assert(flagged && z11.get > 3)
+    // ... and the spike does not flag ordinary neighbors
+    assert(!r2("1997-01-10")._2)
+  }
+
   test("timeToConvert: first view to first purchase at-or-after it, " +
       "non-converters excluded, exact seconds") {
     val r = TimeSeries.timeToConvert(events(
