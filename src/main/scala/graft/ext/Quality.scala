@@ -95,12 +95,76 @@ object Quality {
         "mean_q", "z")
   }
 
+  /** Equi-depth decile binning of `l_extendedprice` per return flag —
+    * the quantile-bucketing step of ML feature prep, done the scalable
+    * way: per-group decile BOUNDARIES first (one aggregate row per
+    * group), broadcast back, then each row's bin is counted from the
+    * boundary array with a higher-order filter — no `ntile` global sort
+    * over the fact table. Boundaries are e3-scaled integers (the same
+    * `percentile`→`round` portability contract as [[outliers]]), and
+    * the bin comparison `price·10 > bound_e3` is integer-exact, so tie
+    * rows land identically on both engines.
+    */
+  def decileBinning(li: DataFrame): DataFrame = {
+    val bounds = li.groupBy("l_returnflag")
+      .agg(expr("transform(" +
+        "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), " +
+        "x -> cast(round(x * 1000) as bigint))").as("bounds_e3"))
+    li.select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .join(broadcast(bounds), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("price_cents"),
+        expr("cast(1 + size(filter(bounds_e3, b -> price_cents * 10 > b)) " +
+          "as bigint)").as("decile"))
+  }
+
+  /** Key-skew profile — the diagnostic that decides whether a join/agg
+    * key needs salting at 100 TB: per candidate key, the distinct-key
+    * count, the hottest key's share, and the Gini coefficient of the
+    * per-key row distribution (0 = uniform, →1 = one hot key).
+    *
+    * Gini uses the exact rank form G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over
+    * counts sorted ascending — integer numerator/denominator, one final
+    * IEEE division. The rank window runs over the KEY-COUNT table
+    * (domain-sized, not fact-sized; the same aggregated-domain argument
+    * as [[graft.etl.TimeSeries.dailyAnomalies]]).
+    */
+  def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("i", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt"), col("k"))).cast("long"))
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("total_rows"),
+        max("cnt").as("max_cnt"),
+        sum(col("i") * col("cnt")).as("iwx"))
+      .select(
+        lit(label).as("key"),
+        col("n_keys"), col("total_rows"),
+        (col("max_cnt").cast("double") / col("total_rows")).as("top_share"),
+        ((lit(2L) * col("iwx") - (col("n_keys") + 1) * col("total_rows"))
+          .cast("double") /
+          (col("n_keys") * col("total_rows")).cast("double")).as("gini"))
+  }
+
   /** Driver-contract registration. Timestamps are pre-formatted to
     * strings and the double price to integer cents, so every profiled
     * column's min/max stringification is engine-identical.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feature_zscore" -> ((s, d) => zscoreQuantity(Tables.lineitem(s, d))),
+    "feature_binning" -> ((s, d) => decileBinning(Tables.lineitem(s, d))),
+    "skew_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      keySkew(li, "l_partkey", "lineitem.l_partkey")
+        .unionAll(keySkew(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionAll(keySkew(Tables.orders(s, d), "o_custkey",
+          "orders.o_custkey"))
+    }),
     "quality_profile_orders" -> ((s, d) => profile(
       Tables.orders(s, d)
         .withColumn("o_orderdate",
@@ -113,6 +177,42 @@ object Quality {
 
   /** DuckDB twin — same long-format stats per column. */
   def oracleSql: Map[String, String] = Map(
+    "feature_binning" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         list_transform(
+        |           quantile_cont(l_extendedprice,
+        |             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |           x -> CAST(round(x * 1000) AS BIGINT)) AS bounds_e3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT li.l_orderkey, CAST(li.l_linenumber AS BIGINT)
+        |         AS l_linenumber,
+        |       li.l_returnflag,
+        |       CAST(round(li.l_extendedprice * 100) AS BIGINT)
+        |         AS price_cents,
+        |       CAST(1 + len(list_filter(b.bounds_e3,
+        |         x -> CAST(round(li.l_extendedprice * 100) AS BIGINT) * 10
+        |              > x)) AS BIGINT) AS decile
+        |FROM lineitem li JOIN b USING (l_returnflag)""".stripMargin,
+    "skew_profile" -> {
+      def one(table: String, col: String) =
+        s"""SELECT 'TBL.COL' AS key, n_keys, total_rows,
+           |       CAST(max_cnt AS DOUBLE) / total_rows AS top_share,
+           |       CAST(2 * iwx - (n_keys + 1) * total_rows AS DOUBLE) /
+           |         CAST(n_keys * total_rows AS DOUBLE) AS gini
+           |FROM (
+           |  SELECT count(*) AS n_keys,
+           |         CAST(sum(cnt) AS BIGINT) AS total_rows,
+           |         CAST(max(cnt) AS BIGINT) AS max_cnt,
+           |         CAST(sum(i * cnt) AS BIGINT) AS iwx
+           |  FROM (
+           |    SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS i
+           |    FROM (SELECT $col AS k, count(*) AS cnt
+           |          FROM $table GROUP BY 1)))"""
+          .stripMargin.replace("TBL.COL", s"$table.$col")
+      Seq(one("lineitem", "l_partkey"), one("lineitem", "l_suppkey"),
+        one("orders", "o_custkey")).mkString("\nUNION ALL\n")
+    },
     "feature_zscore" ->
       """WITH li AS (
         |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

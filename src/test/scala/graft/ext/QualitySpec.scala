@@ -25,6 +25,32 @@ class QualitySpec extends SparkSpec {
     assert(got((3L, 2L)) === None)
   }
 
+  test("decileBinning: equal-count bins, boundary rows stay in the " +
+      "lower bin") {
+    // 10 distinct prices -> exactly one row per decile
+    val li = (1 to 10).map(i => (i.toLong, 1, "A", 1.0, i * 10.0))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+    val got = Quality.decileBinning(li)
+      .select("l_orderkey", "decile").as[(Long, Long)].collect().toMap
+    assert(got === (1 to 10).map(i => i.toLong -> i.toLong).toMap)
+  }
+
+  test("keySkew: gini 0 on uniform keys, grows with concentration, " +
+      "top_share exact") {
+    val uniform = (1 to 100).map(i => (i % 10).toLong).toDF("k2")
+    val g0 = Quality.keySkew(uniform, "k2", "u").first()
+    assert(g0.getDouble(4) === 0.0)
+    assert(g0.getDouble(3) === 0.1)
+
+    val hot = (Seq.fill(91)(0L) ++ (1L to 9L)).toDF("k2")
+    val g1 = Quality.keySkew(hot, "k2", "h").first()
+    assert(g1.getDouble(3) === 0.91)
+    // hand-computed: counts asc = [1x9, 91]; sum(i*x) = 45 + 10*91 = 955
+    // G = (2*955 - 11*100) / (10*100) = 810/1000
+    assert(g1.getDouble(4) === 0.81)
+  }
+
   test("zscoreQuantity plan: stats apply via broadcast join, no " +
       "full-table window") {
     val li = Seq((1L, 1, "A", 2.0), (2L, 1, "B", 3.0))
