@@ -196,7 +196,36 @@ object TextAnalysis {
       .select("doc_id", "rnk", "term", "tf", "doc_freq")
   }
 
+  /** Classifier-evaluation confusion matrix over [[langId]]'s
+    * predictions vs the declared label — the model-eval step every
+    * labeling/classification pipeline ends with. One row per
+    * (declared, predicted) cell with the cell count, both marginals,
+    * and the cell's share of each marginal (diagonal rows read as
+    * per-class recall/precision) — exact integer counts, two IEEE
+    * divisions.
+    *
+    * Scale shape: the cell aggregate shuffles the (tiny) label pair key;
+    * marginals re-aggregate the CELLS (label-cardinality-sized), not the
+    * corpus, and broadcast back.
+    */
+  def evalLangId(docs: DataFrame): DataFrame = {
+    val cells = langId(docs)
+      .groupBy("declared_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+    val trueTot = cells.groupBy("declared_lang")
+      .agg(sum("n").as("true_total"))
+    val predTot = cells.groupBy("predicted_lang")
+      .agg(sum("n").as("pred_total"))
+    cells.join(broadcast(trueTot), Seq("declared_lang"))
+      .join(broadcast(predTot), Seq("predicted_lang"))
+      .select(col("declared_lang"), col("predicted_lang"), col("n"),
+        col("true_total"), col("pred_total"),
+        (col("n").cast("double") / col("true_total")).as("share_of_true"),
+        (col("n").cast("double") / col("pred_total")).as("share_of_pred"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_confusion"    -> ((s, d) => evalLangId(Tables.documents(s, d))),
     "text_keywords"     -> ((s, d) => keywords(Tables.documents(s, d))),
     "text_repetition"   -> ((s, d) => repetition(Tables.documents(s, d))),
     "text_stats"        -> ((s, d) => stats(Tables.documents(s, d))),
@@ -209,6 +238,41 @@ object TextAnalysis {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "eval_confusion" ->
+      """WITH c AS (
+        |  SELECT lang AS declared_lang,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the', 'a', 'fast'))) AS c_en,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('data', 'table', 'row'))) AS c_es,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('merge', 'join', 'sort'))) AS c_fr,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('window', 'stream', 'batch'))) AS c_de
+        |  FROM documents),
+        |p AS (
+        |  SELECT declared_lang,
+        |         CASE
+        |           WHEN c_en > 0 AND c_en >= c_es AND c_en >= c_fr
+        |                AND c_en >= c_de THEN 'en'
+        |           WHEN c_es > 0 AND c_es >= c_fr AND c_es >= c_de THEN 'es'
+        |           WHEN c_fr > 0 AND c_fr >= c_de THEN 'fr'
+        |           WHEN c_de > 0 THEN 'de'
+        |           ELSE 'und' END AS predicted_lang
+        |  FROM c),
+        |cells AS (
+        |  SELECT declared_lang, predicted_lang, count(*) AS n
+        |  FROM p GROUP BY 1, 2),
+        |tt AS (SELECT declared_lang, CAST(sum(n) AS BIGINT) AS true_total
+        |       FROM cells GROUP BY 1),
+        |pt AS (SELECT predicted_lang, CAST(sum(n) AS BIGINT) AS pred_total
+        |       FROM cells GROUP BY 1)
+        |SELECT cells.declared_lang, cells.predicted_lang, cells.n,
+        |       tt.true_total, pt.pred_total,
+        |       CAST(cells.n AS DOUBLE) / tt.true_total AS share_of_true,
+        |       CAST(cells.n AS DOUBLE) / pt.pred_total AS share_of_pred
+        |FROM cells JOIN tt USING (declared_lang)
+        |JOIN pt USING (predicted_lang)""".stripMargin,
     "text_keywords" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

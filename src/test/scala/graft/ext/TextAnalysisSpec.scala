@@ -67,6 +67,25 @@ class TextAnalysisSpec extends SparkSpec {
       ("fr", 2L, "cerise", 1L, 1L)))
   }
 
+  test("evalLangId: cell counts and marginal shares, diagonal = " +
+      "precision/recall") {
+    // 2 true-en docs predicted en; 1 true-en predicted und (no markers);
+    // 1 true-es predicted en (english markers in an es-labeled doc)
+    val r = TextAnalysis.evalLangId(docs(
+      (1L, "the a", "en"),
+      (2L, "the fast", "en"),
+      (3L, "zzz qqq", "en"),
+      (4L, "the the", "es")))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5),
+          x.getDouble(6))).toMap
+    // en->en: n=2, true_total(en)=3, pred_total(en)=3
+    assert(r(("en", "en")) === ((2L, 3L, 3L, 2.0 / 3, 2.0 / 3)))
+    assert(r(("en", "und")) === ((1L, 3L, 1L, 1.0 / 3, 1.0)))
+    assert(r(("es", "en")) === ((1L, 1L, 3L, 1.0, 1.0 / 3)))
+    assert(r.size === 3)
+  }
+
   test("keywords: tf-ranked, rare-term tie-break on corpus df") {
     val r = TextAnalysis.keywords(docs(
       (1L, "a a b c", "en"),
