@@ -243,8 +243,12 @@ object TimeSeries {
       .groupBy("user_id", "session_id")
       .agg(min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"))
-    val deltas = sessions.select(col("start_us").as("ts_us"), lit(1L).as("delta"))
-      .unionAll(sessions.select(col("end_us").as("ts_us"), lit(-1L).as("delta")))
+    // materialized once: the delta union reads sessions twice, and the
+    // running-sum and carry branches each read the union — without this
+    // the sessionize window chain executes four times
+    val sessionsM = graft.CheckpointLease.track(sessions.localCheckpoint())
+    val deltas = sessionsM.select(col("start_us").as("ts_us"), lit(1L).as("delta"))
+      .unionAll(sessionsM.select(col("end_us").as("ts_us"), lit(-1L).as("delta")))
       .withColumn("day",
         date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
     val wDay = Window.partitionBy("day")

@@ -38,8 +38,14 @@ object Retail {
     * (rev desc, partkey).
     */
   def abcClassification(li: DataFrame): DataFrame = {
-    val rev = li.groupBy("l_partkey")
-      .agg(sum(cents("l_extendedprice")).as("rev_cents"))
+    // materialize the per-part revenue once: it feeds the banded running
+    // sum, the band carry AND the grand total — without this the fact
+    // scan + aggregate runs three times (visible as 3 Scan nodes in the
+    // unfixed plan)
+    val rev = graft.CheckpointLease.track(
+      li.groupBy("l_partkey")
+        .agg(sum(cents("l_extendedprice")).as("rev_cents"))
+        .localCheckpoint())
     val banded = rev.withColumn("band",
       length(col("rev_cents").cast("string")).cast("int"))
     val wBand = Window.partitionBy("band")
@@ -78,8 +84,12 @@ object Retail {
     * cross-join so no driver-side action exists in the plan.
     */
   def basketLift(li: DataFrame, minSupport: Int = 3, k: Int = 100): DataFrame = {
-    val lo = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    // materialized once: feeds the pair self-join (twice), part counts,
+    // and the order total — four scans otherwise
+    val lo = graft.CheckpointLease.track(
+      li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint())
     val partCnt = lo.groupBy("pk").agg(count(lit(1)).as("n_p"))
     val total = lo.groupBy().agg(countDistinct("ok").as("n_orders"))
     val pairs = lo.as("a").join(lo.as("b"),
