@@ -120,16 +120,64 @@ object Quality {
           "as bigint)").as("decile"))
   }
 
+  /** Empirical-CDF (percentile-rank) normalization of
+    * `l_extendedprice` per return flag: each row's cdf = (rows with
+    * value ≤ its own)/(group size) — the rank-based feature normalizer
+    * beside [[zscoreQuantity]] and [[decileBinning]].
+    *
+    * `cume_dist` as a window is a per-group global sort over the FACT
+    * table; instead the counts collapse to the DISTINCT-VALUE domain
+    * (price cardinality ≪ row count), the inclusive cumulative count
+    * runs there via the same digit-band prefix decomposition as
+    * [[graft.ext.Retail.abcClassification]], and the (group, value) →
+    * rank map broadcasts back onto the scan. Every number is an exact
+    * integer until the single final division, so the result matches
+    * DuckDB's `cume_dist` bit-for-bit.
+    */
+  def featureCdf(li: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val vals = graft.CheckpointLease.track(
+      li.select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"))
+        .groupBy("l_returnflag", "pc").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()) // feeds the run, the carry, and the totals
+    val banded = vals.withColumn("band",
+      length(col("pc").cast("string")).cast("int"))
+    val run = banded.withColumn("run", sum("cnt").over(
+      w.partitionBy("l_returnflag", "band").orderBy("pc")
+        .rowsBetween(w.unboundedPreceding, w.currentRow)))
+    val carry = banded.groupBy("l_returnflag", "band")
+      .agg(sum("cnt").as("band_total"))
+      .withColumn("carry", coalesce(sum("band_total").over(
+        w.partitionBy("l_returnflag").orderBy("band")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("l_returnflag", "band", "carry")
+    val totals = vals.groupBy("l_returnflag").agg(sum("cnt").as("n_group"))
+    val ranks = run.join(broadcast(carry), Seq("l_returnflag", "band"))
+      .select(col("l_returnflag"), col("pc"),
+        (col("run") + col("carry")).as("rank_max"))
+    li.select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      .join(broadcast(ranks), Seq("l_returnflag", "pc"))
+      .join(broadcast(totals), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("pc").as("price_cents"),
+        (col("rank_max").cast("double") / col("n_group")).as("cdf"))
+  }
+
   /** Key-skew profile — the diagnostic that decides whether a join/agg
     * key needs salting at 100 TB: per candidate key, the distinct-key
-    * count, the hottest key's share, and the Gini coefficient of the
-    * per-key row distribution (0 = uniform, →1 = one hot key).
+    * count, the hottest key's share, the Gini coefficient of the
+    * per-key row distribution (0 = uniform, →1 = one hot key), and the
+    * Herfindahl–Hirschman concentration index (Σ share²).
     *
     * Gini uses the exact rank form G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over
-    * counts sorted ascending — integer numerator/denominator, one final
-    * IEEE division. The rank window runs over the KEY-COUNT table
-    * (domain-sized, not fact-sized; the same aggregated-domain argument
-    * as [[graft.etl.TimeSeries.dailyAnomalies]]).
+    * counts sorted ascending; HHI = Σcnt²/(Σcnt)² — both integer
+    * numerator/denominator, one final IEEE division each. The rank
+    * window runs over the KEY-COUNT table (domain-sized, not
+    * fact-sized; the same aggregated-domain argument as
+    * [[graft.etl.TimeSeries.dailyAnomalies]]).
     */
   def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("k"))
@@ -141,14 +189,17 @@ object Quality {
         count(lit(1)).as("n_keys"),
         sum("cnt").as("total_rows"),
         max("cnt").as("max_cnt"),
-        sum(col("i") * col("cnt")).as("iwx"))
+        sum(col("i") * col("cnt")).as("iwx"),
+        sum(col("cnt") * col("cnt")).as("sq"))
       .select(
         lit(label).as("key"),
         col("n_keys"), col("total_rows"),
         (col("max_cnt").cast("double") / col("total_rows")).as("top_share"),
         ((lit(2L) * col("iwx") - (col("n_keys") + 1) * col("total_rows"))
           .cast("double") /
-          (col("n_keys") * col("total_rows")).cast("double")).as("gini"))
+          (col("n_keys") * col("total_rows")).cast("double")).as("gini"),
+        (col("sq").cast("double") /
+          (col("total_rows") * col("total_rows")).cast("double")).as("hhi"))
   }
 
   /** Driver-contract registration. Timestamps are pre-formatted to
@@ -158,6 +209,7 @@ object Quality {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "feature_zscore" -> ((s, d) => zscoreQuantity(Tables.lineitem(s, d))),
     "feature_binning" -> ((s, d) => decileBinning(Tables.lineitem(s, d))),
+    "feature_cdf" -> ((s, d) => featureCdf(Tables.lineitem(s, d))),
     "skew_profile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       keySkew(li, "l_partkey", "lineitem.l_partkey")
@@ -194,17 +246,29 @@ object Quality {
         |         x -> CAST(round(li.l_extendedprice * 100) AS BIGINT) * 10
         |              > x)) AS BIGINT) AS decile
         |FROM lineitem li JOIN b USING (l_returnflag)""".stripMargin,
+    "feature_cdf" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l_returnflag,
+        |       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |       cume_dist() OVER (
+        |         PARTITION BY l_returnflag
+        |         ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS cdf
+        |FROM lineitem""".stripMargin,
     "skew_profile" -> {
       def one(table: String, col: String) =
         s"""SELECT 'TBL.COL' AS key, n_keys, total_rows,
            |       CAST(max_cnt AS DOUBLE) / total_rows AS top_share,
            |       CAST(2 * iwx - (n_keys + 1) * total_rows AS DOUBLE) /
-           |         CAST(n_keys * total_rows AS DOUBLE) AS gini
+           |         CAST(n_keys * total_rows AS DOUBLE) AS gini,
+           |       CAST(sq AS DOUBLE) /
+           |         CAST(total_rows * total_rows AS DOUBLE) AS hhi
            |FROM (
            |  SELECT count(*) AS n_keys,
            |         CAST(sum(cnt) AS BIGINT) AS total_rows,
            |         CAST(max(cnt) AS BIGINT) AS max_cnt,
-           |         CAST(sum(i * cnt) AS BIGINT) AS iwx
+           |         CAST(sum(i * cnt) AS BIGINT) AS iwx,
+           |         CAST(sum(cnt * cnt) AS BIGINT) AS sq
            |  FROM (
            |    SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS i
            |    FROM (SELECT $col AS k, count(*) AS cnt

@@ -49,6 +49,31 @@ class QualitySpec extends SparkSpec {
     // hand-computed: counts asc = [1x9, 91]; sum(i*x) = 45 + 10*91 = 955
     // G = (2*955 - 11*100) / (10*100) = 810/1000
     assert(g1.getDouble(4) === 0.81)
+    // HHI = (9*1 + 91^2) / 100^2
+    assert(g1.getDouble(5) === (9.0 + 91.0 * 91) / 10000)
+    assert(g0.getDouble(5) === 0.1) // uniform over 10 keys -> 1/10
+  }
+
+  test("featureCdf: inclusive tie semantics, banded decomposition " +
+      "equals a direct cume_dist") {
+    // group A: prices 1,1,2,3 (cents 100,100,200,300)
+    //   cdf: both 100-rows 2/4; 200 -> 3/4; 300 -> 1.0
+    val li = Seq(
+      (1L, 1, "A", 1.0, 1.0), (2L, 1, "A", 1.0, 1.0),
+      (3L, 1, "A", 1.0, 2.0), (4L, 1, "A", 1.0, 3.0),
+      // group B spans digit bands: 9, 99, 100 cents
+      (5L, 1, "B", 1.0, 0.09), (6L, 1, "B", 1.0, 0.99),
+      (7L, 1, "B", 1.0, 1.00)
+    ).toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+      "l_extendedprice")
+    val got = Quality.featureCdf(li)
+      .select("l_orderkey", "cdf").as[(Long, Double)].collect().toMap
+    assert(got(1L) === 0.5 && got(2L) === 0.5)
+    assert(got(3L) === 0.75)
+    assert(got(4L) === 1.0)
+    assert(got(5L) === 1.0 / 3)
+    assert(got(6L) === 2.0 / 3)
+    assert(got(7L) === 1.0)
   }
 
   test("zscoreQuantity plan: stats apply via broadcast join, no " +
