@@ -435,7 +435,31 @@ object TimeSeries {
           .as("is_anomaly"))
   }
 
+  /** Week-over-week revenue: weekly sums with the previous week's value,
+    * absolute delta, and percent change — the standard BI
+    * period-over-period report. Exact integer cents end-to-end; the
+    * percent change is the one IEEE division (NULL on a zero or missing
+    * baseline rather than an ANSI divide error). The lag window runs
+    * over the WEEK-level aggregate (domain-sized).
+    */
+  def weekOverWeek(ord: DataFrame): DataFrame = {
+    val weekly = ord
+      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+      .agg(sum(cents("o_totalprice")).as("rev_cents"))
+    val byWeek = Window.orderBy("week")
+    weekly
+      .withColumn("prev_cents", lag("rev_cents", 1).over(byWeek))
+      .select(
+        col("week").cast("string").as("week"),
+        col("rev_cents"), col("prev_cents"),
+        (col("rev_cents") - col("prev_cents")).as("delta_cents"),
+        when(col("prev_cents") > 0,
+          (col("rev_cents") - col("prev_cents")).cast("double") /
+            col("prev_cents")).as("pct_change"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_week_over_week" -> ((s, d) => weekOverWeek(Tables.orders(s, d))),
     "ts_anomalies" -> ((s, d) => dailyAnomalies(Tables.orders(s, d))),
     "funnel_latency" -> ((s, d) => timeToConvert(Tables.events(s, d))),
     "session_paths" -> ((s, d) => sessionPaths(Tables.events(s, d))),
@@ -457,6 +481,22 @@ object TimeSeries {
 
   /** DuckDB twins. */
   def oracleSql: Map[String, String] = Map(
+    "ts_week_over_week" ->
+      """WITH w AS (
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(week AS VARCHAR) AS week, rev_cents,
+        |       lag(rev_cents) OVER (ORDER BY week) AS prev_cents,
+        |       rev_cents - lag(rev_cents) OVER (ORDER BY week)
+        |         AS delta_cents,
+        |       CASE WHEN lag(rev_cents) OVER (ORDER BY week) > 0
+        |            THEN CAST(rev_cents - lag(rev_cents) OVER (ORDER BY week)
+        |                      AS DOUBLE) /
+        |                 lag(rev_cents) OVER (ORDER BY week)
+        |       END AS pct_change
+        |FROM w""".stripMargin,
     "ts_anomalies" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

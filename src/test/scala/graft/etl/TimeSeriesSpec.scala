@@ -206,6 +206,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("weekOverWeek: weekly sums, lagged deltas, null baseline guard") {
+    val r = TimeSeries.weekOverWeek(orders(
+      (1L, 1L, "O", 10.0, "2024-01-01"), // Mon, week of Jan 1
+      (2L, 1L, "O", 5.0, "2024-01-03"),
+      (3L, 1L, "O", 30.0, "2024-01-08"), // next week
+      (4L, 1L, "O", 15.0, "2024-01-22"))) // gap week (no row for Jan 15)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), Option(x.get(3)).map(_.toString.toLong),
+          Option(x.get(4)).map(_.toString.toDouble))).toMap
+    assert(r("2024-01-01") === ((1500L, None, None))) // first week: no prev
+    assert(r("2024-01-08") === ((3000L, Some(1500L), Some(1.0))))
+    // calendar gap: prev is the previous OBSERVED week
+    assert(r("2024-01-22") === ((1500L, Some(-1500L), Some(-0.5))))
+    assert(r.size === 3)
+  }
+
   test("dailyAnomalies: spike against trailing-28d baseline, warmup " +
       "days unscored, anomalous day excluded from its own baseline") {
     // 10 days at $100/day, then an $800 spike on day 11
