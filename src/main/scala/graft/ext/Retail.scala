@@ -111,10 +111,86 @@ object Retail {
       .limit(k)
   }
 
+  /** RFM customer segmentation — recency / frequency / monetary quartile
+    * scores, the standard commerce segmentation model. Each dimension is
+    * scored 1–4 against its own quartile boundaries; boundaries follow
+    * the boundaries-then-broadcast pattern of
+    * [[graft.ext.Quality.decileBinning]] (one tiny percentile aggregate
+    * broadcast back onto the customer aggregate — NO `ntile` global sort
+    * over the customer dimension, which is billions of rows at 100 TB).
+    *
+    * Determinism: boundaries travel as e3-scaled integers and every
+    * score comparison (`days·1000 < bound_e3`) is integer-only, so
+    * boundary-straddling customers land identically in every engine.
+    * Recency compares `<` (fewer days since last order ⇒ higher score);
+    * frequency/monetary compare `>` (more ⇒ higher score).
+    */
+  def rfmSegments(ord: DataFrame): DataFrame = {
+    val asOf = ord.agg(max(col("o_orderdate").cast("date")).as("as_of"))
+    // dimension-sized: one row per customer
+    val base = ord.groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(cents("o_totalprice")).as("monetary_cents"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("recency_days",
+        datediff(col("as_of"), col("last_order")).cast("long"))
+    val bounds = base.agg(
+      expr("transform(percentile(recency_days, array(0.25, 0.5, 0.75)), " +
+        "x -> cast(round(x * 1000) as bigint))").as("r_e3"),
+      expr("transform(percentile(frequency, array(0.25, 0.5, 0.75)), " +
+        "x -> cast(round(x * 1000) as bigint))").as("f_e3"),
+      expr("transform(percentile(monetary_cents, array(0.25, 0.5, 0.75)), " +
+        "x -> cast(round(x * 1000) as bigint))").as("m_e3"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("r_score", expr(
+        "cast(1 + size(filter(r_e3, b -> recency_days * 1000 < b)) as int)"))
+      .withColumn("f_score", expr(
+        "cast(1 + size(filter(f_e3, b -> frequency * 1000 > b)) as int)"))
+      .withColumn("m_score", expr(
+        "cast(1 + size(filter(m_e3, b -> monetary_cents * 1000 > b)) as int)"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 3 && col("f_score") >= 3 &&
+          col("m_score") >= 3, "champion")
+          .when(col("r_score") >= 3 && col("f_score") <= 2, "recent")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .otherwise("regular").as("segment"))
+  }
+
+  /** Repeat-purchase intervals: per returning customer (≥ 2 orders),
+    * order count, first→last span, mean inter-order gap, and the
+    * longest gap. The mean gap never needs the per-gap window — the sum
+    * of consecutive gaps telescopes to `last − first`, so it derives
+    * from the plain aggregate; only `max_gap_days` reads the lag, and
+    * that window is partitioned per customer (embarrassingly parallel —
+    * no global sort anywhere).
+    */
+  def repeatIntervals(ord: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("od"), col("o_orderkey"))
+    ord.select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+      .withColumn("gap",
+        datediff(col("od"), lag("od", 1).over(byCust)).cast("long"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        min("od").as("first_d"), max("od").as("last_d"),
+        max("gap").as("max_gap_days"))
+      .filter(col("n_orders") >= 2)
+      .select(col("o_custkey"), col("n_orders"),
+        datediff(col("last_d"), col("first_d")).cast("long").as("span_days"),
+        (datediff(col("last_d"), col("first_d")).cast("double") /
+          (col("n_orders") - 1)).as("avg_gap_days"),
+        col("max_gap_days"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "abc_parts" -> ((s, d) => abcClassification(Tables.lineitem(s, d))),
     "basket_lift" -> ((s, d) => basketLift(Tables.lineitem(s, d))),
+    "rfm_segments" -> ((s, d) => rfmSegments(Tables.orders(s, d))),
+    "repeat_intervals" -> ((s, d) => repeatIntervals(Tables.orders(s, d))),
   )
 
   /** DuckDB twins — the ABC oracle uses the plain single global window
@@ -158,5 +234,57 @@ object Retail {
         |JOIN pc cb ON p.part_b = cb.pk
         |ORDER BY p.n_ab DESC, p.part_a, p.part_b
         |LIMIT 100""".stripMargin,
+    "rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |         datediff('day', max(CAST(o_orderdate AS DATE)),
+        |           (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+        |           AS recency_days,
+        |         count(*) AS frequency,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT
+        |    list_transform(quantile_cont(recency_days, [0.25, 0.5, 0.75]),
+        |      x -> CAST(round(x * 1000) AS BIGINT)) AS r_e3,
+        |    list_transform(quantile_cont(frequency, [0.25, 0.5, 0.75]),
+        |      x -> CAST(round(x * 1000) AS BIGINT)) AS f_e3,
+        |    list_transform(quantile_cont(monetary_cents, [0.25, 0.5, 0.75]),
+        |      x -> CAST(round(x * 1000) AS BIGINT)) AS m_e3
+        |  FROM base),
+        |s AS (
+        |  SELECT base.*,
+        |    CAST(1 + len(list_filter(b.r_e3,
+        |      x -> base.recency_days * 1000 < x)) AS INT) AS r_score,
+        |    CAST(1 + len(list_filter(b.f_e3,
+        |      x -> base.frequency * 1000 > x)) AS INT) AS f_score,
+        |    CAST(1 + len(list_filter(b.m_e3,
+        |      x -> base.monetary_cents * 1000 > x)) AS INT) AS m_score
+        |  FROM base, b)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |       r_score, f_score, m_score,
+        |       CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3
+        |              THEN 'champion'
+        |            WHEN r_score >= 3 AND f_score <= 2 THEN 'recent'
+        |            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |            ELSE 'regular' END AS segment
+        |FROM s""".stripMargin,
+    "repeat_intervals" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey, od,
+        |         datediff('day',
+        |           lag(od) OVER (PARTITION BY o_custkey
+        |                         ORDER BY od, o_orderkey), od) AS gap
+        |  FROM o)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |       datediff('day', min(od), max(od)) AS span_days,
+        |       CAST(datediff('day', min(od), max(od)) AS DOUBLE) /
+        |         (count(*) - 1) AS avg_gap_days,
+        |       CAST(max(gap) AS BIGINT) AS max_gap_days
+        |FROM g GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
   )
 }

@@ -60,4 +60,48 @@ class RetailSpec extends SparkSpec {
     // all three pairs have support 2; k=2 keeps (1,2) and (1,3)
     assert(r.toSeq === Seq((1L, 2L), (1L, 3L)))
   }
+
+  private def orders(rows: (Long, Long, Double, String)*) =
+    rows.map { case (ok, ck, tp, d) =>
+      (ok, ck, "O", tp, ts(s"$d 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+
+  test("rfmSegments: quartile scores and all four segment labels") {
+    // as_of = 2020-02-01 (global max order date); every order is 10.00.
+    // A: 1 recent order    -> r3 f1 -> recent
+    // B: 4 old orders      -> r1 f4 -> at_risk
+    // C: 2 mid-aged orders -> r2 f2 -> regular
+    // D: 3 orders, last recent -> r3 f3 m3 -> champion
+    val r = Retail.rfmSegments(orders(
+      (1L, 10L, 10.0, "2020-02-01"),
+      (2L, 20L, 10.0, "2020-01-01"), (3L, 20L, 10.0, "2020-01-02"),
+      (4L, 20L, 10.0, "2020-01-03"), (5L, 20L, 10.0, "2020-01-04"),
+      (6L, 30L, 10.0, "2020-01-10"), (7L, 30L, 10.0, "2020-01-11"),
+      (8L, 40L, 10.0, "2020-01-20"), (9L, 40L, 10.0, "2020-01-21"),
+      (10L, 40L, 10.0, "2020-02-01")))
+      .select("o_custkey", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score", "segment")
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect().toSet
+    assert(r === Set(
+      (10L, 0L, 1L, 1000L, 3, 1, 1, "recent"),
+      (20L, 28L, 4L, 4000L, 1, 4, 4, "at_risk"),
+      (30L, 21L, 2L, 2000L, 2, 2, 2, "regular"),
+      (40L, 0L, 3L, 3000L, 3, 3, 3, "champion")))
+  }
+
+  test("repeatIntervals: telescoped mean gap, max gap, single-order " +
+      "customers excluded, same-day ties give zero gaps") {
+    val r = Retail.repeatIntervals(orders(
+      (1L, 1L, 10.0, "2020-01-01"), (2L, 1L, 10.0, "2020-01-05"),
+      (3L, 1L, 10.0, "2020-01-06"),
+      (4L, 2L, 10.0, "2020-03-01"),                 // single order: dropped
+      (5L, 3L, 10.0, "2020-02-01"), (6L, 3L, 10.0, "2020-02-01")))
+      .select("o_custkey", "n_orders", "span_days", "avg_gap_days",
+        "max_gap_days")
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(r === Set(
+      (1L, 3L, 5L, 2.5, 4L),
+      (3L, 2L, 0L, 0.0, 0L)))
+  }
 }
