@@ -210,6 +210,39 @@ object TimeSeries {
           .as("retention"))
   }
 
+  /** Cohort LTV: cumulative revenue per acquisition cohort — the revenue
+    * companion to [[cohortRetention]]. Customers cohort by their FIRST
+    * order week; each (cohort, week-offset) cell carries that week's
+    * exact revenue cents, the running cumulative, and cumulative LTV per
+    * cohort member (the single IEEE division, identical on both engines).
+    *
+    * Scale shape: the cumulative window partitions by cohort — parallel
+    * across cohorts, and a cohort's offset domain is calendar weeks, so
+    * each partition is metadata-sized; cohort sizes broadcast. The only
+    * fact-table shuffles are the two keyed aggregates.
+    */
+  def cohortLtv(ord: DataFrame): DataFrame = {
+    val wk = ord.select(col("o_custkey"),
+      date_trunc("week", col("o_orderdate")).cast("date").as("week"),
+      cents("o_totalprice").as("rev_cents"))
+    val cohorts = wk.groupBy("o_custkey").agg(min("week").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_customers"))
+    val cells = wk.join(cohorts, Seq("o_custkey"))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(sum("rev_cents").as("rev_cents"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_rev_cents", sum("rev_cents").over(wCum))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week").cast("string").as("cohort_week"),
+        col("week_offset"), col("rev_cents"), col("cum_rev_cents"),
+        (col("cum_rev_cents").cast("double") / col("n_customers"))
+          .as("ltv_cents_per_user"))
+  }
+
   /** Peak concurrent user sessions per day, via a DISTRIBUTED sweep
     * line over session intervals.
     *
@@ -470,6 +503,7 @@ object TimeSeries {
       sessionConcurrency(Tables.events(s, d))),
     "event_transitions" -> ((s, d) => transitionMatrix(Tables.events(s, d))),
     "cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
+    "cohort_ltv" -> ((s, d) => cohortLtv(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
     "funnel_window" -> ((s, d) =>
       funnel(Tables.events(s, d), window = Some("1 day"))),
@@ -651,6 +685,34 @@ object TimeSeries {
         |SELECT c.prev_type, c.event_type, c.n_transitions,
         |       CAST(c.n_transitions AS DOUBLE) / t.n_from AS p_transition
         |FROM c JOIN t USING (prev_type)""".stripMargin,
+    "cohort_ltv" ->
+      """WITH wk AS (
+        |  SELECT o_custkey,
+        |         CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS rev_cents
+        |  FROM orders),
+        |coh AS (SELECT o_custkey, min(week) AS cohort_week
+        |        FROM wk GROUP BY 1),
+        |sizes AS (SELECT cohort_week, count(*) AS n_customers
+        |          FROM coh GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort_week,
+        |         CAST(datediff('day', c.cohort_week, w.week) / 7 AS BIGINT)
+        |           AS week_offset,
+        |         CAST(sum(w.rev_cents) AS BIGINT) AS rev_cents
+        |  FROM wk w JOIN coh c USING (o_custkey)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_week, week_offset, rev_cents,
+        |         CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+        |           ORDER BY week_offset ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS cum_rev_cents
+        |  FROM cells)
+        |SELECT CAST(cu.cohort_week AS VARCHAR) AS cohort_week,
+        |       cu.week_offset, cu.rev_cents, cu.cum_rev_cents,
+        |       CAST(cu.cum_rev_cents AS DOUBLE) / s.n_customers
+        |         AS ltv_cents_per_user
+        |FROM cum cu JOIN sizes s USING (cohort_week)""".stripMargin,
     "cohort_retention" ->
       """WITH weeks AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)

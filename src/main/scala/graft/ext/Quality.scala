@@ -202,6 +202,43 @@ object Quality {
           (col("total_rows") * col("total_rows")).cast("double")).as("hhi"))
   }
 
+  /** Pearson chi-square contingency analysis of event type × calendar
+    * month — the categorical-independence diagnostic (is traffic mix
+    * seasonal?). One row per contingency cell: observed count, both
+    * marginals, expected count under independence, and the cell's chi²
+    * contribution.
+    *
+    * The statistic deliberately stays PER-CELL: every cell value derives
+    * from exact integer counts through multiply/divide/subtract —
+    * correctly-rounded IEEE ops in a fixed order, so both engines agree
+    * bit-for-bit — whereas a single global Σ contribution would sum
+    * doubles in engine-dependent order and break hash equality (the
+    * caller can sum the column when bit-exactness doesn't matter).
+    *
+    * Scale shape: ONE aggregate pass over the fact table (the cell
+    * counts); marginals and the grand total aggregate the cell table —
+    * never re-scanning facts — and broadcast back onto it.
+    */
+  def crosstabChi2(ev: DataFrame): DataFrame = {
+    val cells = graft.CheckpointLease.track(
+      ev.groupBy(col("event_type"), month(col("ts")).cast("long").as("month"))
+        .agg(count(lit(1)).as("obs"))
+        .localCheckpoint()) // feeds both marginals, the total, and the join
+    val rowT = cells.groupBy("event_type").agg(sum("obs").as("row_tot"))
+    val colT = cells.groupBy("month").agg(sum("obs").as("col_tot"))
+    val n = cells.agg(sum("obs").as("n_total"))
+    cells.join(broadcast(rowT), Seq("event_type"))
+      .join(broadcast(colT), Seq("month"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected",
+        (col("row_tot") * col("col_tot")).cast("double") / col("n_total"))
+      .withColumn("chi2_cell",
+        (col("obs").cast("double") - col("expected")) *
+          (col("obs").cast("double") - col("expected")) / col("expected"))
+      .select("event_type", "month", "obs", "row_tot", "col_tot",
+        "expected", "chi2_cell")
+  }
+
   /** Driver-contract registration. Timestamps are pre-formatted to
     * strings and the double price to integer cents, so every profiled
     * column's min/max stringification is engine-identical.
@@ -210,6 +247,7 @@ object Quality {
     "feature_zscore" -> ((s, d) => zscoreQuantity(Tables.lineitem(s, d))),
     "feature_binning" -> ((s, d) => decileBinning(Tables.lineitem(s, d))),
     "feature_cdf" -> ((s, d) => featureCdf(Tables.lineitem(s, d))),
+    "crosstab_chi2" -> ((s, d) => crosstabChi2(Tables.events(s, d))),
     "skew_profile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       keySkew(li, "l_partkey", "lineitem.l_partkey")
@@ -229,6 +267,28 @@ object Quality {
 
   /** DuckDB twin — same long-format stats per column. */
   def oracleSql: Map[String, String] = Map(
+    "crosstab_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(month(ts) AS BIGINT) AS month,
+        |         count(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_tot
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT month, CAST(sum(obs) AS BIGINT) AS col_tot
+        |       FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM cells)
+        |SELECT c.event_type, c.month, c.obs, rt.row_tot, ct.col_tot,
+        |       CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.n_total
+        |         AS expected,
+        |       (CAST(c.obs AS DOUBLE) -
+        |        CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.n_total) *
+        |       (CAST(c.obs AS DOUBLE) -
+        |        CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.n_total) /
+        |       (CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.n_total)
+        |         AS chi2_cell
+        |FROM cells c
+        |JOIN rt USING (event_type)
+        |JOIN ct USING (month), n""".stripMargin,
     "feature_binning" ->
       """WITH b AS (
         |  SELECT l_returnflag,

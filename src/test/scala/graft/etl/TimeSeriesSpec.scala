@@ -337,4 +337,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r("2024-03-03") === 2L)
     assert(r.size === 3)
   }
+
+  test("cohortLtv: first-order-week cohorts, cumulative cents, LTV per " +
+      "cohort member") {
+    // 2020-01-06 and 2020-01-13 are Mondays (week starts).
+    // cust 1 cohort w0: 10.00 at offset 0, 5.00 at offset 2 (2020-01-22
+    //   falls in the 2020-01-20 week); cust 2 cohort w0: 20.00 offset 0;
+    //   cust 3 cohort w1: 40.00 offset 0.
+    val r = TimeSeries.cohortLtv(orders(
+      (1L, 1L, "O", 10.0, "2020-01-06"),
+      (2L, 1L, "O", 5.0, "2020-01-22"),
+      (3L, 2L, "O", 20.0, "2020-01-07"),
+      (4L, 3L, "O", 40.0, "2020-01-13")))
+      .select("cohort_week", "week_offset", "rev_cents", "cum_rev_cents",
+        "ltv_cents_per_user")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(r === Set(
+      ("2020-01-06", 0L, 3000L, 3000L, 1500.0),
+      ("2020-01-06", 2L, 500L, 3500L, 1750.0),
+      ("2020-01-13", 0L, 4000L, 4000L, 4000.0)))
+  }
 }

@@ -84,4 +84,23 @@ class QualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("crosstabChi2: marginals, expected counts, per-cell contributions") {
+    // 2x2 balanced design: every expected = 4*4/8 = 2, every |obs-exp| = 1,
+    // so each cell contributes (1)^2/2 = 0.5
+    val ev = (Seq.fill(3)(("a", ts("2024-01-05 00:00:00"))) ++
+      Seq(("a", ts("2024-02-05 00:00:00"))) ++
+      Seq(("b", ts("2024-01-06 00:00:00"))) ++
+      Seq.fill(3)(("b", ts("2024-02-06 00:00:00"))))
+      .toDF("event_type", "ts")
+    val r = Quality.crosstabChi2(ev)
+      .select("event_type", "month", "obs", "row_tot", "col_tot",
+        "expected", "chi2_cell")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(r === Set(
+      ("a", 1L, 3L, 4L, 4L, 2.0, 0.5),
+      ("a", 2L, 1L, 4L, 4L, 2.0, 0.5),
+      ("b", 1L, 1L, 4L, 4L, 2.0, 0.5),
+      ("b", 2L, 3L, 4L, 4L, 2.0, 0.5)))
+  }
 }
