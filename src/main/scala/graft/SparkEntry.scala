@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Expectations, Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
-import graft.ext.{Components, Corpus, Curation, Dedup, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, TextAnalysis}
+import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, TextAnalysis}
 import graft.streaming.EventsStreaming
 import graft.operators.{AsOfJoin, BloomJoin, FuzzyJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 
@@ -37,7 +37,8 @@ object SparkEntry {
       Curation.queries ++ SkewJoin.queries ++ Corpus.queries ++
       Privacy.queries ++ SnapshotDiff.queries ++ BloomJoin.queries ++
       HeavyHitters.queries ++ IncrementalAgg.queries ++ Expectations.queries ++
-      Graph.queries ++ FuzzyJoin.queries ++ Retail.queries
+      Graph.queries ++ FuzzyJoin.queries ++ Retail.queries ++
+      Experiment.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -51,5 +52,5 @@ object SparkEntry {
       Privacy.oracleSql ++ SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++
       HeavyHitters.oracleSql ++ IncrementalAgg.oracleSql ++
       Expectations.oracleSql ++ Graph.oracleSql ++ FuzzyJoin.oracleSql ++
-      Retail.oracleSql
+      Retail.oracleSql ++ Experiment.oracleSql
 }

@@ -243,6 +243,43 @@ object TimeSeries {
           .as("ltv_cents_per_user"))
   }
 
+  /** Time-weighted average of `value` per user — TWAP, the right mean
+    * when observations are IRREGULARLY spaced (a value "holds" until the
+    * next event, so a reading that stood for an hour must outweigh one
+    * replaced after a second; the plain `avg` ignores holding time).
+    *
+    * Exactness: each interval contributes `v_cents × dur_us` — both
+    * exact integers — so the weighted sum and total duration are exact
+    * Longs and the TWAP is the single IEEE division (graft.etl.Gold's
+    * contract). Envelope: max cents (~5e4) × per-user observed span in
+    * micros must stay below 2^63 — ~5.8 years of max-valued holding per
+    * user, far beyond the event horizon here.
+    * Users whose events all share one timestamp (or with a single
+    * event) have no held interval and are excluded, which also keeps
+    * the division well-defined.
+    *
+    * Scale shape: the lead() window partitions per user —
+    * embarrassingly parallel, one shuffle shared by the window and the
+    * aggregate (same key).
+    */
+  def twapUserValue(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("t_us"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"),
+        cents("value").as("v_cents"))
+      .withColumn("dur_us", lead("t_us", 1).over(byUser) - col("t_us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("v_cents") * col("dur_us")).as("wsum"),
+        sum("dur_us").as("dur_total_us"))
+      .filter(col("dur_total_us") > 0)
+      .select(col("user_id"), col("n_intervals"), col("dur_total_us"),
+        (col("wsum").cast("double") / col("dur_total_us"))
+          .as("twap_cents"))
+  }
+
   /** Peak concurrent user sessions per day, via a DISTRIBUTED sweep
     * line over session intervals.
     *
@@ -504,6 +541,7 @@ object TimeSeries {
     "event_transitions" -> ((s, d) => transitionMatrix(Tables.events(s, d))),
     "cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "cohort_ltv" -> ((s, d) => cohortLtv(Tables.orders(s, d))),
+    "twap_user_value" -> ((s, d) => twapUserValue(Tables.events(s, d))),
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
     "funnel_window" -> ((s, d) =>
       funnel(Tables.events(s, d), window = Some("1 day"))),
@@ -685,6 +723,23 @@ object TimeSeries {
         |SELECT c.prev_type, c.event_type, c.n_transitions,
         |       CAST(c.n_transitions AS DOUBLE) / t.n_from AS p_transition
         |FROM c JOIN t USING (prev_type)""".stripMargin,
+    "twap_user_value" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |         CAST(round(value * 100) AS BIGINT) AS v_cents
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id,
+        |         lead(t_us) OVER (PARTITION BY user_id
+        |                          ORDER BY t_us, event_id) - t_us AS dur_us,
+        |         v_cents
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_intervals,
+        |       CAST(sum(dur_us) AS BIGINT) AS dur_total_us,
+        |       CAST(sum(v_cents * dur_us) AS DOUBLE) / sum(dur_us)
+        |         AS twap_cents
+        |FROM d WHERE dur_us IS NOT NULL
+        |GROUP BY 1 HAVING sum(dur_us) > 0""".stripMargin,
     "cohort_ltv" ->
       """WITH wk AS (
         |  SELECT o_custkey,

@@ -185,12 +185,48 @@ object Retail {
         col("max_gap_days"))
   }
 
+  /** 2-D skyline (Pareto frontier) of the parts catalog: parts not
+    * dominated on (price low, size high). `q` dominates `p` when
+    * `q.price <= p.price && q.size >= p.size` with at least one strict —
+    * the frontier is the price-performance menu a buyer actually
+    * chooses from.
+    *
+    * The naive skyline is an all-pairs anti-join (the oracle's NOT
+    * EXISTS — quadratic). The distributed form exploits the 2-D
+    * monotone structure: aggregate `best(price) = max(size)` per
+    * distinct price (ONE fact shuffle, key = price), then a running
+    * `max` over strictly-cheaper prices on that PRICE-LEVEL table — its
+    * unpartitioned window is bounded by the price domain (retail prices
+    * in cents: ~1e5 distinct values at any corpus size), the same
+    * bounded-domain argument as [[abcClassification]]'s band carry. A
+    * price is on the frontier iff `best > max(best over cheaper)`; the
+    * bounded frontier table broadcasts back onto parts, keeping rows
+    * that achieve their price's best size. Ties (same price AND size)
+    * all survive — neither strictly dominates.
+    */
+  def skylineParts(part: DataFrame): DataFrame = {
+    val priced = part.select(col("p_partkey"),
+      cents("p_retailprice").as("price_cents"), col("p_size"))
+    val best = priced.groupBy("price_cents")
+      .agg(max("p_size").as("best_size"))
+    val cheaper = Window.orderBy("price_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = best
+      .withColumn("m", max("best_size").over(cheaper))
+      .filter(col("m").isNull || col("best_size") > col("m"))
+      .select("price_cents", "best_size")
+    priced.join(broadcast(frontier), Seq("price_cents"))
+      .filter(col("p_size") === col("best_size"))
+      .select("p_partkey", "price_cents", "p_size")
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "abc_parts" -> ((s, d) => abcClassification(Tables.lineitem(s, d))),
     "basket_lift" -> ((s, d) => basketLift(Tables.lineitem(s, d))),
     "rfm_segments" -> ((s, d) => rfmSegments(Tables.orders(s, d))),
     "repeat_intervals" -> ((s, d) => repeatIntervals(Tables.orders(s, d))),
+    "skyline_parts" -> ((s, d) => skylineParts(Tables.part(s, d))),
   )
 
   /** DuckDB twins — the ABC oracle uses the plain single global window
@@ -270,6 +306,18 @@ object Retail {
         |            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
         |            ELSE 'regular' END AS segment
         |FROM s""".stripMargin,
+    "skyline_parts" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |         p_size
+        |  FROM part)
+        |SELECT p_partkey, price_cents, p_size
+        |FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q
+        |  WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+        |    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))""".stripMargin,
     "repeat_intervals" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od

@@ -338,6 +338,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.size === 3)
   }
 
+  test("twapUserValue: holding durations weight values, last reading " +
+      "unweighted, degenerate users excluded") {
+    // user 1: 10.00 held 10s, 20.00 held 30s, 999.00 never held
+    //   -> twap = (1000*10e6 + 2000*30e6) / 40e6 = 1750 cents
+    // user 2: single event -> no interval -> excluded
+    // user 3: two events at the SAME instant -> zero total -> excluded
+    val ev = Seq(
+      (1L, 1L, 10.0, "2024-01-01 00:00:00"),
+      (2L, 1L, 20.0, "2024-01-01 00:00:10"),
+      (3L, 1L, 999.0, "2024-01-01 00:00:40"),
+      (4L, 2L, 50.0, "2024-01-01 00:00:00"),
+      (5L, 3L, 7.0, "2024-01-01 00:00:00"),
+      (6L, 3L, 9.0, "2024-01-01 00:00:00"))
+      .map { case (e, u, v, t) => (e, u, "view", v, "{}", ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+    val r = TimeSeries.twapUserValue(ev)
+      .select("user_id", "n_intervals", "dur_total_us", "twap_cents")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(r === Set((1L, 2L, 40000000L, 1750.0)))
+  }
+
   test("cohortLtv: first-order-week cohorts, cumulative cents, LTV per " +
       "cohort member") {
     // 2020-01-06 and 2020-01-13 are Mondays (week starts).

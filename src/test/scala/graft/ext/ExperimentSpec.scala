@@ -1,0 +1,50 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(rows: (Long, Long, String)*) =
+    rows.map { case (eid, uid, et) =>
+      (eid, uid, et, 1.0, "{}", ts("2024-01-01 00:00:00")) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+
+  test("wilsonAb: modulus assignment, distinct-user conversion, Wilson " +
+      "interval endpoints") {
+    // variant 0 = users {0, 2}: one converts  -> p = 0.5
+    // variant 1 = users {1, 3}: both convert  -> p = 1.0, hi pinned at 1
+    // repeated purchases by user 1 must not inflate n_converted
+    val r = Experiment.wilsonAb(events(
+      (1L, 0L, "purchase"), (2L, 0L, "click"),
+      (3L, 2L, "view"),
+      (4L, 1L, "purchase"), (5L, 1L, "purchase"),
+      (6L, 3L, "purchase")))
+      .select("variant", "n_users", "n_converted", "p_hat",
+        "wilson_lo", "wilson_hi")
+      .as[(Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(r.map(x => (x._1, x._2, x._3, x._4)).toSeq ===
+      Seq((0L, 2L, 1L, 0.5), (1L, 2L, 2L, 1.0)))
+
+    // independent reference arithmetic (plain formula, not the impl's
+    // column DAG): Wilson bounds for (s, n) at z = 1.96
+    def wilson(s: Int, n: Int): (Double, Double) = {
+      val z = 1.96; val p = s.toDouble / n
+      val d = 1 + z * z / n
+      val c = p + z * z / (2 * n)
+      val h = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+      ((c - h) / d, (c + h) / d)
+    }
+    val (lo0, hi0) = wilson(1, 2)
+    val (lo1, hi1) = wilson(2, 2)
+    assert(math.abs(r(0)._5 - lo0) < 1e-12 && math.abs(r(0)._6 - hi0) < 1e-12)
+    assert(math.abs(r(1)._5 - lo1) < 1e-12)
+    assert(math.abs(r(1)._6 - 1.0) < 1e-12) // p=1 pins the upper bound
+    // interval sanity: bounds bracket p̂ inside [0, 1]
+    r.foreach { x =>
+      assert(x._5 >= 0.0 && x._6 <= 1.0 + 1e-12 && x._5 < x._4 + 1e-12 &&
+        x._4 < x._6 + 1e-12)
+    }
+  }
+}

@@ -104,4 +104,21 @@ class RetailSpec extends SparkSpec {
       (1L, 3L, 5L, 2.5, 4L),
       (3L, 2L, 0L, 0.0, 0L)))
   }
+
+  test("skylineParts: non-dominated set, same-price losers dropped, " +
+      "exact (price,size) ties all survive") {
+    // frontier: (100, 5), (200, 9) and its exact tie, (300, 12)
+    // dominated: (150, 4) by (100,5); (200, 7) by same-price (200,9);
+    //            (250, 9) by (200,9) [same size, dearer];
+    //            (350, 12) by (300,12); (400, 1) by everything
+    val r = Retail.skylineParts(Seq(
+      (1L, 1.00, 5), (2L, 1.50, 4), (3L, 2.00, 9), (4L, 2.00, 9),
+      (5L, 2.00, 7), (6L, 2.50, 9), (7L, 3.00, 12), (8L, 3.50, 12),
+      (9L, 4.00, 1))
+      .toDF("p_partkey", "p_retailprice", "p_size"))
+      .select("p_partkey", "price_cents", "p_size")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(r === Set((1L, 100L, 5), (3L, 200L, 9), (4L, 200L, 9),
+      (7L, 300L, 12)))
+  }
 }
