@@ -280,6 +280,68 @@ object TimeSeries {
           .as("twap_cents"))
   }
 
+  /** CUSUM changepoint statistic over daily revenue — the classic
+    * drift detector (Page 1954): the running sum of deviations from the
+    * global mean swings away from zero when the level shifts.
+    *
+    * Exactness: the mean is never computed. Multiplying through by the
+    * day count N turns Σᵢ≤ₜ(xᵢ − S/N) into N·Σᵢ≤ₜxᵢ − t·S — all exact
+    * Longs (cents ~1e13 × days ~1e4 stays far under 2^63). The
+    * normalized column divides two exact integers once, `cusum_scaled /
+    * (N·S)`, the single-division contract.
+    *
+    * Scale shape: one fact shuffle to daily cents; the cumulative runs
+    * on the DAY-LEVEL series (years × 365 rows — metadata-sized, same
+    * bounded-domain argument as [[sessionConcurrency]]'s carry; a
+    * multi-century corpus would reuse its banded split).
+    */
+  def cusumDailyRevenue(ord: DataFrame): DataFrame = {
+    val daily = graft.CheckpointLease.track(
+      ord.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(cents("o_totalprice")).as("rev_cents"))
+        .localCheckpoint()) // feeds the totals AND the cumulative
+    val totals = daily.agg(count(lit(1)).as("n_days"),
+      sum("rev_cents").as("total_cents"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_cents", sum("rev_cents").over(wCum))
+      .withColumn("t", count(lit(1)).over(wCum))
+      .crossJoin(broadcast(totals))
+      .select(col("day"), col("rev_cents"),
+        (col("cum_cents") * col("n_days") - col("t") * col("total_cents"))
+          .as("cusum_scaled"),
+        ((col("cum_cents") * col("n_days") - col("t") * col("total_cents"))
+          .cast("double") / (col("n_days") * col("total_cents")))
+          .as("cusum_norm"))
+  }
+
+  /** Day-of-week seasonality index over daily revenue: mean revenue of
+    * each ISO weekday relative to the overall daily mean (1.0 = flat).
+    * The ratio of two means collapses to cross-multiplied exact
+    * integers — (Σ_dow · N_total) / (N_dow · Σ_total) — evaluated as
+    * one correctly-rounded double product per side and one division, so
+    * both engines agree bit-for-bit without ever computing either mean
+    * (the long·long products could overflow at corpus scale; the
+    * double products round once each, identically).
+    */
+  def dowSeasonality(ord: DataFrame): DataFrame = {
+    val daily = graft.CheckpointLease.track(
+      ord.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(cents("o_totalprice")).as("rev_cents"))
+        .localCheckpoint()) // feeds the per-dow and total aggregates
+    val tot = daily.agg(count(lit(1)).as("n_total"),
+      sum("rev_cents").as("sum_total"))
+    daily
+      .groupBy((weekday(col("day")) + 1).cast("long").as("isodow"))
+      .agg(count(lit(1)).as("n_days"), sum("rev_cents").as("sum_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("isodow"), col("n_days"), col("sum_cents"),
+        ((col("sum_cents").cast("double") * col("n_total")) /
+          (col("n_days").cast("double") * col("sum_total")))
+          .as("seasonal_index"))
+  }
+
   /** Peak concurrent user sessions per day, via a DISTRIBUTED sweep
     * line over session intervals.
     *
@@ -542,6 +604,8 @@ object TimeSeries {
     "cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "cohort_ltv" -> ((s, d) => cohortLtv(Tables.orders(s, d))),
     "twap_user_value" -> ((s, d) => twapUserValue(Tables.events(s, d))),
+    "ts_cusum" -> ((s, d) => cusumDailyRevenue(Tables.orders(s, d))),
+    "ts_seasonality" -> ((s, d) => dowSeasonality(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
     "funnel_window" -> ((s, d) =>
       funnel(Tables.events(s, d), window = Some("1 day"))),
@@ -723,6 +787,44 @@ object TimeSeries {
         |SELECT c.prev_type, c.event_type, c.n_transitions,
         |       CAST(c.n_transitions AS DOUBLE) / t.n_from AS p_transition
         |FROM c JOIN t USING (prev_type)""".stripMargin,
+    "ts_cusum" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n_days, CAST(sum(rev_cents) AS BIGINT)
+        |        AS total_cents FROM daily),
+        |c AS (
+        |  SELECT day, rev_cents,
+        |         CAST(sum(rev_cents) OVER (ORDER BY day
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+        |         CAST(count(*) OVER (ORDER BY day
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tt
+        |  FROM daily)
+        |SELECT c.day, c.rev_cents,
+        |       c.cum_cents * t.n_days - c.tt * t.total_cents
+        |         AS cusum_scaled,
+        |       CAST(c.cum_cents * t.n_days - c.tt * t.total_cents
+        |            AS DOUBLE) / (t.n_days * t.total_cents) AS cusum_norm
+        |FROM c, t""".stripMargin,
+    "ts_seasonality" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total, CAST(sum(rev_cents) AS BIGINT)
+        |        AS sum_total FROM daily),
+        |d AS (
+        |  SELECT CAST(isodow(day) AS BIGINT) AS isodow,
+        |         count(*) AS n_days,
+        |         CAST(sum(rev_cents) AS BIGINT) AS sum_cents
+        |  FROM daily GROUP BY 1)
+        |SELECT d.isodow, d.n_days, d.sum_cents,
+        |       (CAST(d.sum_cents AS DOUBLE) * t.n_total) /
+        |       (CAST(d.n_days AS DOUBLE) * t.sum_total) AS seasonal_index
+        |FROM d, t""".stripMargin,
     "twap_user_value" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t_us,

@@ -224,7 +224,68 @@ object TextAnalysis {
         (col("n").cast("double") / col("pred_total")).as("share_of_pred"))
   }
 
+  /** BM25 relevance scoring of the corpus against a query term set —
+    * the standard full-text ranking function (Robertson/Spärck Jones;
+    * parameters k1 = 1.2, b = 0.75). Emits one row per (doc, matched
+    * term) with the exact counts (tf, df, doc length) plus the two
+    * reproducible real-valued factors:
+    *
+    *  - `idf_ratio` = (N − df + 0.5) / (df + 0.5) — the log's ARGUMENT.
+    *    The logarithm itself is deliberately left to [[bm25TopK]]:
+    *    libm `ln` rounding differs across engines in the last bit
+    *    (same reasoning as [[topTermsPerLang]]), while the ratio is a
+    *    fixed DAG of correctly-rounded IEEE ops.
+    *  - `tf_norm` = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) — the
+    *    length-normalized term frequency, with dl/avgdl expanded to
+    *    (dl·N)/total_len so every operand is an exact integer and the
+    *    oracle mirrors the operand order exactly.
+    *
+    * Scale shape: tokens are FILTERED to the query vocabulary before
+    * any shuffle (the per-doc tf aggregate only carries query terms —
+    * at 100 TB the shuffle is |query|-bounded per doc, not
+    * vocabulary-bounded); df re-aggregates the tf table; corpus length
+    * stats ride a broadcast 1-row cross-join.
+    */
+  def bm25(docs: DataFrame, query: Seq[String] = Seq("hash", "join",
+      "filter")): DataFrame = {
+    val withLen = docs.select(col("doc_id"), size(toks).as("dl"), col("text"))
+    val stats = withLen.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_len"))
+    val tf = withLen
+      .select(col("doc_id"), col("dl"), explode(toks).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("doc_freq"),
+        col("dl"),
+        (((col("n_docs") - col("doc_freq")).cast("double") + lit(0.5)) /
+          (col("doc_freq").cast("double") + lit(0.5))).as("idf_ratio"),
+        ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              ((col("dl") * col("n_docs")).cast("double") /
+                col("total_len"))))).as("tf_norm"))
+  }
+
+  /** Top-k documents by full BM25 score (Σ per-term ln(idf_ratio) ·
+    * tf_norm over [[bm25]]'s rows). Carries the libm `ln`, so it is
+    * registered rows-only (spec-gated); the component table above is
+    * the bit-exact oracle surface. Top-k via TakeOrdered, not a global
+    * sort.
+    */
+  def bm25TopK(docs: DataFrame, k: Int = 20): DataFrame =
+    bm25(docs)
+      .withColumn("part_score", log(col("idf_ratio")) * col("tf_norm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum("part_score").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_bm25"       -> ((s, d) => bm25(Tables.documents(s, d))),
+    "search_bm25_topk"  -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "eval_confusion"    -> ((s, d) => evalLangId(Tables.documents(s, d))),
     "text_keywords"     -> ((s, d) => keywords(Tables.documents(s, d))),
     "text_repetition"   -> ((s, d) => repetition(Tables.documents(s, d))),
@@ -238,6 +299,32 @@ object TextAnalysis {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "search_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl, text
+        |  FROM documents),
+        |s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)
+        |        AS total_len FROM d),
+        |tok AS (
+        |  SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM tok
+        |  WHERE term IN ('hash', 'join', 'filter')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq, tf.dl,
+        |       (CAST(s.n_docs - df.doc_freq AS DOUBLE) +
+        |          CAST(0.5 AS DOUBLE)) /
+        |       (CAST(df.doc_freq AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |         AS idf_ratio,
+        |       (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |       (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |         (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |           (CAST(tf.dl * s.n_docs AS DOUBLE) / s.total_len)))
+        |         AS tf_norm
+        |FROM tf JOIN df USING (term), s""".stripMargin,
     "eval_confusion" ->
       """WITH c AS (
         |  SELECT lang AS declared_lang,

@@ -359,6 +359,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r === Set((1L, 2L, 40000000L, 1750.0)))
   }
 
+  test("cusumDailyRevenue: scaled deviations sum to zero, mid-series " +
+      "dip shows negative swing") {
+    // daily cents: 1000, 3000, 2000 -> N=3, S=6000
+    // cusum_scaled: 1000*3-6000 = -3000; 4000*3-12000 = 0; 6000*3-18000 = 0
+    val r = TimeSeries.cusumDailyRevenue(orders(
+      (1L, 1L, "O", 10.0, "2024-01-01"),
+      (2L, 1L, "O", 30.0, "2024-01-02"),
+      (3L, 1L, "O", 20.0, "2024-01-03")))
+      .select("day", "rev_cents", "cusum_scaled", "cusum_norm")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(r === Set(
+      ("2024-01-01", 1000L, -3000L, -3000.0 / 18000),
+      ("2024-01-02", 3000L, 0L, 0.0),
+      ("2024-01-03", 2000L, 0L, 0.0)))
+  }
+
+  test("dowSeasonality: per-weekday mean vs overall mean as exact " +
+      "cross-multiplied ratio") {
+    // Mondays: 1000 + 3000 over 2 days; Tuesday: 4000 over 1 day
+    // total: 8000 over 3 days
+    // idx(Mon) = 4000*3/(2*8000) = 0.75 ; idx(Tue) = 4000*3/(1*8000) = 1.5
+    val r = TimeSeries.dowSeasonality(orders(
+      (1L, 1L, "O", 10.0, "2024-01-01"),
+      (2L, 1L, "O", 30.0, "2024-01-08"),
+      (3L, 1L, "O", 40.0, "2024-01-02")))
+      .select("isodow", "n_days", "sum_cents", "seasonal_index")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(r === Set((1L, 2L, 4000L, 0.75), (2L, 1L, 4000L, 1.5)))
+  }
+
   test("cohortLtv: first-order-week cohorts, cumulative cents, LTV per " +
       "cohort member") {
     // 2020-01-06 and 2020-01-13 are Mondays (week starts).

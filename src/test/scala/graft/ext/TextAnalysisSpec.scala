@@ -86,6 +86,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.size === 3)
   }
 
+  test("bm25: component table carries exact counts and reproducible " +
+      "idf ratio / length-normalized tf") {
+    // N=3, total_len=9, avgdl=3; df(hash)=2, df(join)=1
+    val r = TextAnalysis.bm25(docs(
+      (1L, "hash join loop", "en"),
+      (2L, "hash hash hash scan", "en"),
+      (3L, "sort scan", "en")))
+      .select("doc_id", "term", "tf", "doc_freq", "dl", "idf_ratio",
+        "tf_norm")
+      .as[(Long, String, Long, Long, Int, Double, Double)]
+      .collect().map(x => (x._1, x._2) -> x).toMap
+    assert(r.size === 3)
+    val h1 = r((1L, "hash"))
+    assert((h1._3, h1._4, h1._5) === ((1L, 2L, 3)))
+    assert(math.abs(h1._6 - 0.6) < 1e-12)       // (3-2+0.5)/(2+0.5)
+    assert(math.abs(h1._7 - 1.0) < 1e-12)       // dl = avgdl, tf = 1
+    val j1 = r((1L, "join"))
+    assert(math.abs(j1._6 - 2.5 / 1.5) < 1e-12)
+    val h2 = r((2L, "hash"))
+    // tf=3, dl=4: 6.6 / (3 + 1.2*(0.25 + 0.75*(12/9)))
+    assert(math.abs(h2._7 - 6.6 / (3 + 1.2 * (0.25 + 0.75 * (12.0 / 9)))) <
+      1e-12)
+  }
+
+  test("bm25TopK: balanced doc outranks the long keyword-stuffed one") {
+    // d1 hits both terms (score ln(.6)+ln(5/3) = 0 exactly in reals);
+    // d2 hits only 'hash' whose idf ratio < 1 -> negative score
+    val r = TextAnalysis.bm25TopK(docs(
+      (1L, "hash join loop", "en"),
+      (2L, "hash hash hash scan", "en"),
+      (3L, "sort scan", "en")))
+      .select("doc_id", "n_terms_hit", "score")
+      .as[(Long, Long, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(1L, 2L))
+    assert(r(0)._2 === 2L && r(1)._2 === 1L)
+    assert(math.abs(r(0)._3) < 1e-12 && r(1)._3 < 0)
+  }
+
   test("keywords: tf-ranked, rare-term tie-break on corpus df") {
     val r = TextAnalysis.keywords(docs(
       (1L, "a a b c", "en"),
