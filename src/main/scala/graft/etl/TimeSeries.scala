@@ -280,6 +280,72 @@ object TimeSeries {
           .as("twap_cents"))
   }
 
+  /** Daily resample of each user's `value` series with forward fill
+    * (LOCF — last observation carried forward): every day in the user's
+    * [first, last] activity span gets the value of the most recent
+    * observed day, `is_observed` marking real readings. The standard
+    * densification before joining sensor/price series against a
+    * calendar fact.
+    *
+    * The fill never looks inside a day: a day's reading is its LAST
+    * event by (ts, event_id) — picked by `max_by` over the exact
+    * struct order — then `last(..., ignoreNulls)` carries day-level
+    * readings forward. First days are observed by construction, so the
+    * filled column is never null.
+    *
+    * Scale shape: one shuffle to (user, day) readings; the calendar
+    * explode is per user (span-bounded fan-out) and the LOCF window
+    * partitions by user — embarrassingly parallel, no global sort.
+    */
+  def forwardFillDaily(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        struct(col("ts"), col("event_id")).as("ord"),
+        cents("value").as("v_cents"))
+      .groupBy("user_id", "day")
+      .agg(max_by(col("v_cents"), col("ord")).as("v_obs"))
+    val dailyM = graft.CheckpointLease.track(daily.localCheckpoint())
+    val cal = dailyM.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(dailyM, Seq("user_id", "day"), "left")
+      .withColumn("v_cents_filled", last("v_obs", ignoreNulls = true).over(w))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("v_cents_filled"), col("v_obs").isNotNull.as("is_observed"))
+  }
+
+  /** Rolling active users: per activity day, DAU, trailing-7-day WAU,
+    * and the DAU/WAU stickiness ratio — the standard engagement
+    * triplet. A trailing distinct count does NOT decompose into sums
+    * (the same user may appear on several days), so each active
+    * (user, day) is EXPLODED onto the 7 calendar days it keeps the user
+    * "weekly active" for, deduplicated, and counted — fan-out exactly 7,
+    * all shuffles on (user, day)-shaped keys, no window at all. Days
+    * with no activity are not emitted (their DAU is 0; WAU may still be
+    * positive but has no stickiness reading).
+    */
+  def activeUsers(ev: DataFrame): DataFrame = {
+    val ud = graft.CheckpointLease.track(
+      ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint()) // feeds both the DAU and the coverage branch
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6),
+          expr("interval 1 day"))).as("cday"))
+      .distinct()
+      .groupBy(col("cday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+  }
+
   /** CUSUM changepoint statistic over daily revenue — the classic
     * drift detector (Page 1954): the running sum of deviations from the
     * global mean swings away from zero when the level shifts.
@@ -605,6 +671,8 @@ object TimeSeries {
     "cohort_ltv" -> ((s, d) => cohortLtv(Tables.orders(s, d))),
     "twap_user_value" -> ((s, d) => twapUserValue(Tables.events(s, d))),
     "ts_cusum" -> ((s, d) => cusumDailyRevenue(Tables.orders(s, d))),
+    "ts_ffill" -> ((s, d) => forwardFillDaily(Tables.events(s, d))),
+    "ts_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
     "ts_seasonality" -> ((s, d) => dowSeasonality(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
     "funnel_window" -> ((s, d) =>
@@ -787,6 +855,45 @@ object TimeSeries {
         |SELECT c.prev_type, c.event_type, c.n_transitions,
         |       CAST(c.n_transitions AS DOUBLE) / t.n_from AS p_transition
         |FROM c JOIN t USING (prev_type)""".stripMargin,
+    "ts_ffill" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS v,
+        |         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |daily AS (SELECT user_id, day, v AS v_obs FROM r WHERE rn = 1),
+        |cal AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(min(day), max(day),
+        |                                     INTERVAL 1 DAY)) AS DATE)
+        |           AS day
+        |  FROM daily GROUP BY user_id),
+        |j AS (
+        |  SELECT cal.user_id, cal.day, daily.v_obs
+        |  FROM cal LEFT JOIN daily
+        |    ON cal.user_id = daily.user_id AND cal.day = daily.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       last_value(v_obs IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY day
+        |         ROWS UNBOUNDED PRECEDING) AS v_cents_filled,
+        |       v_obs IS NOT NULL AS is_observed
+        |FROM j""".stripMargin,
+    "ts_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |cov AS (
+        |  SELECT DISTINCT user_id, day FROM (
+        |    SELECT user_id,
+        |           CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |                                       INTERVAL 1 DAY)) AS DATE)
+        |             AS day
+        |    FROM ud)),
+        |wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+        |       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day""".stripMargin,
     "ts_cusum" ->
       """WITH daily AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,

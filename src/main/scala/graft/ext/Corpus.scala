@@ -161,8 +161,30 @@ object Corpus {
         col("n_kept").cast("double") / col("n_lines"))
   }
 
+  /** Corpus composition report: per (source, lang) cell — document and
+    * character counts, token totals, and each cell's share of the
+    * corpus — the mix table every dataset card publishes and every
+    * mixture re-weighting (cf. [[Curation]]'s weighted sampling) starts
+    * from. One aggregate pass; shares divide exact integers against
+    * broadcast corpus totals.
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+    val tot = cells.agg(sum("n_docs").as("t_docs"),
+      sum("n_chars").as("t_chars"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+        col("n_tokens"),
+        (col("n_docs").cast("double") / col("t_docs")).as("doc_share"),
+        (col("n_chars").cast("double") / col("t_chars")).as("char_share"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_source_mix" -> ((s, d) => sourceMix(Tables.documents(s, d))),
     "corpus_line_dedup" -> ((s, d) => dedupLines(Tables.documents(s, d))),
     "text_chunks"  -> ((s, d) => chunkDocuments(Tables.documents(s, d))),
     "shard_assign" -> ((s, d) => shardAssign(Tables.documents(s, d))),
@@ -172,6 +194,19 @@ object Corpus {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "corpus_source_mix" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS t_chars FROM c)
+        |SELECT c.source, c.lang, c.n_docs, c.n_chars, c.n_tokens,
+        |       CAST(c.n_docs AS DOUBLE) / t.t_docs AS doc_share,
+        |       CAST(c.n_chars AS DOUBLE) / t.t_chars AS char_share
+        |FROM c, t""".stripMargin,
     "corpus_line_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -156,12 +156,31 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Degree distribution of an undirected graph (edges emitted both
+    * ways, so out-degree = degree): how many nodes have each degree,
+    * with the degree's share of nodes — the first diagnostic run on any
+    * graph (power-law check, supernode detection before a join fan-out).
+    * Two keyed aggregates (node, then degree) — shuffle keys shrink at
+    * each step; the share divides exact counts once.
+    */
+  def degreeDistribution(edgesIn: DataFrame): DataFrame = {
+    val deg = edgesIn.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum("n_nodes").as("n_total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("degree"), col("n_nodes"),
+        (col("n_nodes").cast("double") / col("n_total")).as("node_share"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) =>
       pagerank(coPurchaseEdges(Tables.lineitem(s, d)), iterations = 3)),
     "graph_triangles" -> ((s, d) =>
       triangleCount(coPurchaseEdges(Tables.lineitem(s, d)))),
+    "graph_degrees" -> ((s, d) =>
+      degreeDistribution(coPurchaseEdges(Tables.lineitem(s, d)))),
   )
 
   /** DuckDB twin: the same 3 fixed-point iterations unrolled as CTEs —
@@ -170,6 +189,18 @@ object Graph {
     * exactly.
     */
   def oracleSql: Map[String, String] = Map(
+    "graph_degrees" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY 1),
+        |h AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM h)
+        |SELECT h.degree, h.n_nodes,
+        |       CAST(h.n_nodes AS DOUBLE) / t.n_total AS node_share
+        |FROM h, t""".stripMargin,
     "graph_pagerank" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

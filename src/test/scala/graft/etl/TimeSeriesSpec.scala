@@ -359,6 +359,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r === Set((1L, 2L, 40000000L, 1750.0)))
   }
 
+  test("forwardFillDaily: gap days carry the prior day's LAST reading, " +
+      "same-timestamp tie broken by event_id") {
+    val ev = Seq(
+      (1L, 1L, 10.0, "2024-01-01 10:00:00"),
+      (2L, 1L, 20.0, "2024-01-01 12:00:00"),  // later same day wins
+      (3L, 1L, 30.0, "2024-01-03 09:00:00"),
+      (4L, 1L, 40.0, "2024-01-03 09:00:00"))  // same ts: higher eid wins
+      .map { case (e, u, v, t) => (e, u, "view", v, "{}", ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+    val r = TimeSeries.forwardFillDaily(ev)
+      .select("user_id", "day", "v_cents_filled", "is_observed")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(r === Set(
+      (1L, "2024-01-01", 2000L, true),
+      (1L, "2024-01-02", 2000L, false),
+      (1L, "2024-01-03", 4000L, true)))
+  }
+
+  test("activeUsers: DAU vs trailing-7-day WAU, stickiness ratio") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 1L, "2024-01-01 11:00:00"),  // same user-day: no double count
+      (3L, 2L, "2024-01-01 10:00:00"),
+      (4L, 1L, "2024-01-03 10:00:00"))
+      .map { case (e, u, t) => (e, u, "view", 1.0, "{}", ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+    val r = TimeSeries.activeUsers(ev)
+      .select("day", "dau", "wau", "stickiness")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // Jan 3's weekly actives = both users (u2 from Jan 1 still in window)
+    assert(r === Set(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-03", 1L, 2L, 0.5)))
+  }
+
   test("cusumDailyRevenue: scaled deviations sum to zero, mid-series " +
       "dip shows negative swing") {
     // daily cents: 1000, 3000, 2000 -> N=3, S=6000

@@ -136,4 +136,22 @@ class CorpusSpec extends SparkSpec {
     assert(got === Set(
       (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
   }
+
+  test("sourceMix: per-cell counts with exact corpus shares") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b", "en", "web"),     // 3 chars, 2 tokens
+      (2L, "c", "en", "web"),       // 1 char, 1 token
+      (3L, "dd ee", "fr", "books")) // 5 chars, 2 tokens
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.sourceMix(d)
+      .select("source", "lang", "n_docs", "n_chars", "n_tokens",
+        "doc_share", "char_share")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSet
+    assert(r === Set(
+      ("web", "en", 2L, 4L, 3L, 2.0 / 3, 4.0 / 9),
+      ("books", "fr", 1L, 5L, 2L, 1.0 / 3, 5.0 / 9)))
+  }
 }

@@ -75,4 +75,14 @@ class GraphSpec extends SparkSpec {
     assert(Graph.coPurchaseEdges(mega, maxOrderItems = 10).count() === 0L)
     assert(Graph.coPurchaseEdges(mega, maxOrderItems = 50).count() === 50L * 49)
   }
+
+  test("degreeDistribution: star graph counts leaves and hub with shares") {
+    // star: hub 1 connected to 2,3,4 (both directions)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 1L)).toDF("src", "dst")
+    val r = Graph.degreeDistribution(edges)
+      .select("degree", "n_nodes", "node_share")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(r === Set((3L, 1L, 0.25), (1L, 3L, 0.75)))
+  }
 }
