@@ -318,6 +318,31 @@ object TimeSeries {
         col("v_cents_filled"), col("v_obs").isNotNull.as("is_observed"))
   }
 
+  /** Daily new-vs-returning split: per activity day, how many active
+    * users were seen for the FIRST time that day vs seen before — the
+    * acquisition/retention decomposition of DAU. A user's first day is
+    * `min(day)` over their distinct activity days; both the first-day
+    * aggregate and the comparison join shuffle on `user_id`, so the
+    * join is co-partitioned (no extra exchange), and the final rollup
+    * shuffles the day key once.
+    */
+  def newVsReturning(ev: DataFrame): DataFrame = {
+    val ud = graft.CheckpointLease.track(
+      ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint()) // feeds the first-day aggregate AND the join
+    val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+    ud.join(first, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        (col("n_new").cast("double") / col("n_active")).as("new_share"))
+  }
+
   /** Rolling active users: per activity day, DAU, trailing-7-day WAU,
     * and the DAU/WAU stickiness ratio — the standard engagement
     * triplet. A trailing distinct count does NOT decompose into sums
@@ -673,6 +698,7 @@ object TimeSeries {
     "ts_cusum" -> ((s, d) => cusumDailyRevenue(Tables.orders(s, d))),
     "ts_ffill" -> ((s, d) => forwardFillDaily(Tables.events(s, d))),
     "ts_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
+    "ts_new_returning" -> ((s, d) => newVsReturning(Tables.events(s, d))),
     "ts_seasonality" -> ((s, d) => dowSeasonality(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
     "funnel_window" -> ((s, d) =>
@@ -879,6 +905,21 @@ object TimeSeries {
         |         ROWS UNBOUNDED PRECEDING) AS v_cents_filled,
         |       v_obs IS NOT NULL AS is_observed
         |FROM j""".stripMargin,
+    "ts_new_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT strftime(ud.day, '%Y-%m-%d') AS day,
+        |       count(*) AS n_active,
+        |       CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_new,
+        |       count(*) - CAST(sum(CASE WHEN ud.day = f.first_day
+        |                                THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_returning,
+        |       CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / count(*) AS new_share
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY ud.day""".stripMargin,
     "ts_active_users" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -107,8 +107,37 @@ object Curation {
       .select("doc_id", "split")
   }
 
+  /** Weighted reservoir sample (Efraimidis–Spirakis A-Res with a
+    * deterministic pseudo-uniform): each document draws
+    * `u = (pmod(xxhash64(doc_id), 2³²) + 0.5) / 2³²` and the k largest
+    * `ln(u)/w` keys win — inclusion probability proportional to weight
+    * `w` (here `n_chars`: sample big documents preferentially), yet
+    * fully reproducible under any partitioning or re-run, like
+    * [[splitAssign]]. The `+0.5` keeps u strictly inside (0,1) so the
+    * log is always finite.
+    *
+    * Registered rows-only: the selection key crosses libm `ln`, whose
+    * last-bit rounding differs across engines (same reasoning as
+    * [[TextAnalysis.topTermsPerLang]]) — CurationSpec pins the exact
+    * selected set against an independent JVM computation instead.
+    *
+    * Scale shape: narrow key projection; the top-k is a TakeOrdered
+    * (per-partition heaps + merge), never a global sort.
+    */
+  def weightedReservoir(docs: DataFrame, k: Int = 200): DataFrame =
+    docs
+      .withColumn("u",
+        (pmod(xxhash64(col("doc_id")), lit(4294967296L)).cast("double") +
+          lit(0.5)) / lit(4294967296.0))
+      .withColumn("res_key", log(col("u")) / col("n_chars"))
+      .orderBy(col("res_key").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "lang", "source", "n_chars", "res_key")
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted"   -> ((s, d) =>
+      weightedReservoir(Tables.documents(s, d))),
     "split_assign"      -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => packSequences(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>

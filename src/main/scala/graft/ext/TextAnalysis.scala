@@ -283,7 +283,57 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Vocabulary coverage curve: at each probe rank k (terms ordered by
+    * corpus frequency desc, term asc), the cumulative token mass the
+    * top-k terms cover — the Zipf diagnostic that sizes a tokenizer
+    * vocabulary ("how much of the corpus do 10k types explain?").
+    *
+    * The global rank/cumulative over the VOCABULARY (billions of types
+    * at 100 TB — too big for one window partition) reuses
+    * [[graft.ext.Retail.abcClassification]]'s banded decomposition:
+    * count-digit-length bands are ordered blocks of the global
+    * frequency order, so a per-band `row_number`/running sum plus a
+    * ≤19-row band carry (rows and tokens of all higher bands)
+    * reconstructs exact global ranks and prefix sums in parallel.
+    */
+  def vocabCoverage(docs: DataFrame,
+      ranks: Seq[Long] = Seq(3L, 10L, 30L, 100L, 1000L, 10000L))
+      : DataFrame = {
+    val tc = graft.CheckpointLease.track(
+      docs.select(explode(toks).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()) // feeds the banded walk, the carry, the total
+    val banded = tc.withColumn("band",
+      length(col("cnt").cast("string")).cast("int"))
+    val wBand = Window.partitionBy("band")
+      .orderBy(col("cnt").desc, col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = banded
+      .withColumn("rn", count(lit(1)).over(wBand))
+      .withColumn("run", sum("cnt").over(wBand))
+    val carry = banded.groupBy("band")
+      .agg(count(lit(1)).as("n_rows"), sum("cnt").as("n_toks"))
+      .withColumn("rows_above", coalesce(sum("n_rows").over(
+        Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("toks_above", coalesce(sum("n_toks").over(
+        Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("band", "rows_above", "toks_above")
+    val total = tc.agg(sum("cnt").as("total_toks"))
+    withRun.join(broadcast(carry), Seq("band"))
+      .withColumn("rank", col("rn") + col("rows_above"))
+      .filter(col("rank").isin(ranks: _*))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("term"), col("cnt"),
+        (col("run") + col("toks_above")).as("cum_tokens"),
+        ((col("run") + col("toks_above")).cast("double") /
+          col("total_toks")).as("cum_share"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_coverage"    -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "search_bm25"       -> ((s, d) => bm25(Tables.documents(s, d))),
     "search_bm25_topk"  -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "eval_confusion"    -> ((s, d) => evalLangId(Tables.documents(s, d))),
@@ -299,6 +349,22 @@ object TextAnalysis {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (
+        |  SELECT term, count(*) AS cnt FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1),
+        |r AS (
+        |  SELECT term, cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+        |         CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |         CAST(sum(cnt) OVER () AS BIGINT) AS total_toks
+        |  FROM tc)
+        |SELECT rank, term, cnt, cum_tokens,
+        |       CAST(cum_tokens AS DOUBLE) / total_toks AS cum_share
+        |FROM r WHERE rank IN (3, 10, 30, 100, 1000, 10000)""".stripMargin,
     "search_bm25" ->
       """WITH d AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS dl, text

@@ -394,6 +394,23 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-03", 1L, 2L, 0.5)))
   }
 
+  test("newVsReturning: first-ever day counts as new, later days as " +
+      "returning") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 2L, "2024-01-01 11:00:00"),
+      (3L, 1L, "2024-01-03 10:00:00"),
+      (4L, 1L, "2024-01-03 12:00:00"))  // same user-day duplicate
+      .map { case (e, u, t) => (e, u, "view", 1.0, "{}", ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+    val r = TimeSeries.newVsReturning(ev)
+      .select("day", "n_active", "n_new", "n_returning", "new_share")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(r === Set(
+      ("2024-01-01", 2L, 2L, 0L, 1.0),
+      ("2024-01-03", 1L, 0L, 1L, 0.0)))
+  }
+
   test("cusumDailyRevenue: scaled deviations sum to zero, mid-series " +
       "dip shows negative swing") {
     // daily cents: 1000, 3000, 2000 -> N=3, S=6000

@@ -114,4 +114,27 @@ class CurationSpec extends SparkSpec {
       Curation.splitAssign(docs(1), Seq("a" -> 0.5, "b" -> 0.3))
     }
   }
+
+  test("weightedReservoir: top-k by ln(u)/w matches an independent JVM " +
+      "ranking; selection is repartition-stable") {
+    import spark.implicits._
+    val d = (1L to 50L).map(i =>
+      (i, "x", "en", "src0", (i % 7 + 1) * 100))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // independent ranking: pull each doc's xxhash64 from Spark (the only
+    // engine-specific input), then redo u/key/sort in plain Scala
+    val hashes = d.select(col("doc_id"), xxhash64(col("doc_id")).as("h"),
+        col("n_chars"))
+      .as[(Long, Long, Long)].collect()
+    val expected = hashes.map { case (id, h, w) =>
+      val m = ((h % 4294967296L) + 4294967296L) % 4294967296L
+      (id, math.log((m.toDouble + 0.5) / 4294967296.0) / w)
+    }.sortBy { case (id, key) => (-key, id) }.take(10).map(_._1).toSet
+    val got = Curation.weightedReservoir(d, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected)
+    val gotShuffled = Curation.weightedReservoir(d.repartition(7), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotShuffled === expected)
+  }
 }

@@ -86,6 +86,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.size === 3)
   }
 
+  test("vocabCoverage: banded global ranks and cumulative shares match " +
+      "the plain ordering across count-digit bands") {
+    // counts: d=12 (2-digit band), a=3, b=2, c=1 -> total 18
+    // global order: d, a, b, c ; probe ranks 1 and 3
+    val corpus = docs(
+      (1L, ("d " * 12).trim + " a a a b b c", "en"))
+    val r = TextAnalysis.vocabCoverage(corpus, ranks = Seq(1L, 3L))
+      .select("rank", "term", "cnt", "cum_tokens", "cum_share")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(r === Set(
+      (1L, "d", 12L, 12L, 12.0 / 18),
+      (3L, "b", 2L, 17L, 17.0 / 18)))
+  }
+
   test("bm25: component table carries exact counts and reproducible " +
       "idf ratio / length-normalized tf") {
     // N=3, total_len=9, avgdl=3; df(hash)=2, df(join)=1
