@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Pipeline, Relational, Silver, TimeSeries}
-import graft.ext.{Components, Corpus, Curation, Dedup, HeavyHitters, Multimodal, Privacy, Quality, Similarity, TextAnalysis}
+import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, TextAnalysis}
 import graft.operators.{AsOfJoin, BloomJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 import graft.streaming.EventsStreaming
 
@@ -76,6 +76,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def split(fracs: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
       Curation.splitAssign(docs, fracs)
+    def weightedSample(k: Int = 200): DataFrame =
+      Curation.weightedReservoir(docs, k)
+    def sourceMix: DataFrame = Corpus.sourceMix(docs)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -90,6 +93,12 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TextAnalysis.topTermsPerLang(docs, k)
     def heavyHitters(minFrac: Double = 0.002): DataFrame =
       HeavyHitters.frequentTokens(docs, minFrac)
+    def keywords(k: Int = 3): DataFrame = TextAnalysis.keywords(docs, k)
+    def bm25(query: Seq[String] = Seq("hash", "join", "filter")): DataFrame =
+      TextAnalysis.bm25(docs, query)
+    def search(k: Int = 20): DataFrame = TextAnalysis.bm25TopK(docs, k)
+    def vocabCoverage: DataFrame = TextAnalysis.vocabCoverage(docs)
+    def evalLangId: DataFrame = TextAnalysis.evalLangId(docs)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -133,6 +142,51 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.transitionMatrix(Tables.events(spark, dataDir))
     def cohortRetention: DataFrame =
       TimeSeries.cohortRetention(Tables.events(spark, dataDir))
+    def cohortLtv: DataFrame =
+      TimeSeries.cohortLtv(Tables.orders(spark, dataDir))
+    def twap: DataFrame =
+      TimeSeries.twapUserValue(Tables.events(spark, dataDir))
+    def cusum: DataFrame =
+      TimeSeries.cusumDailyRevenue(Tables.orders(spark, dataDir))
+    def seasonality: DataFrame =
+      TimeSeries.dowSeasonality(Tables.orders(spark, dataDir))
+    def forwardFill: DataFrame =
+      TimeSeries.forwardFillDaily(Tables.events(spark, dataDir))
+    def activeUsers: DataFrame =
+      TimeSeries.activeUsers(Tables.events(spark, dataDir))
+    def newVsReturning: DataFrame =
+      TimeSeries.newVsReturning(Tables.events(spark, dataDir))
+    def thresholdEpisodes: DataFrame =
+      TimeSeries.thresholdEpisodes(Tables.orders(spark, dataDir))
+  }
+
+  /** Commerce analytics over orders/lineitem — see [[graft.ext.Retail]]. */
+  object retail {
+    def abc: DataFrame =
+      Retail.abcClassification(Tables.lineitem(spark, dataDir))
+    def basketLift(minSupport: Int = 3, k: Int = 100): DataFrame =
+      Retail.basketLift(Tables.lineitem(spark, dataDir), minSupport, k)
+    def rfm: DataFrame = Retail.rfmSegments(Tables.orders(spark, dataDir))
+    def repeatIntervals: DataFrame =
+      Retail.repeatIntervals(Tables.orders(spark, dataDir))
+    def skyline: DataFrame = Retail.skylineParts(Tables.part(spark, dataDir))
+  }
+
+  /** Experiment readouts over events — see [[graft.ext.Experiment]]. */
+  object experiment {
+    def wilson: DataFrame = Experiment.wilsonAb(Tables.events(spark, dataDir))
+    def mannWhitney: DataFrame =
+      Experiment.mannWhitney(Tables.events(spark, dataDir))
+  }
+
+  /** Co-purchase graph analytics — see [[graft.ext.Graph]]. */
+  object graph {
+    private def edges =
+      Graph.coPurchaseEdges(Tables.lineitem(spark, dataDir))
+    def pagerank(iterations: Int = 3): DataFrame =
+      Graph.pagerank(edges, iterations)
+    def triangles: DataFrame = Graph.triangleCount(edges)
+    def degrees: DataFrame = Graph.degreeDistribution(edges)
   }
 
   object quality {
@@ -140,6 +194,15 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def outliers: DataFrame = Quality.outliers(Tables.orders(spark, dataDir))
     def expectations: DataFrame = graft.etl.Expectations.ordersSuite(
       Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
+    def zscore: DataFrame =
+      Quality.zscoreQuantity(Tables.lineitem(spark, dataDir))
+    def binning: DataFrame =
+      Quality.decileBinning(Tables.lineitem(spark, dataDir))
+    def cdf: DataFrame = Quality.featureCdf(Tables.lineitem(spark, dataDir))
+    def crosstab: DataFrame =
+      Quality.crosstabChi2(Tables.events(spark, dataDir))
+    def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame =
+      Quality.keySkew(df, keyCol, label)
   }
 
   object streaming {

@@ -371,6 +371,36 @@ object TimeSeries {
         (col("dau").cast("double") / col("wau")).as("stickiness"))
   }
 
+  /** Threshold-crossing episodes: maximal runs of CONSECUTIVE calendar
+    * days with revenue above the overall daily average — the alerting
+    * primitive ("how long did the surge last?"). The above-average test
+    * is the exact integer cross-multiplication `rev·N > S` (no mean is
+    * ever computed, as in [[cusumDailyRevenue]]); runs are
+    * gaps-and-islands: day minus a row_number of above-days is constant
+    * within a consecutive run. Both windows ride the DAY-LEVEL table
+    * (metadata-sized at any SF).
+    */
+  def thresholdEpisodes(ord: DataFrame): DataFrame = {
+    val daily = graft.CheckpointLease.track(
+      ord.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(cents("o_totalprice")).as("rev_cents"))
+        .localCheckpoint()) // feeds the total AND the island walk
+    val tot = daily.agg(count(lit(1)).as("n_days"),
+      sum("rev_cents").as("total_cents"))
+    val above = daily.crossJoin(broadcast(tot))
+      .filter(col("rev_cents") * col("n_days") > col("total_cents"))
+    above
+      .withColumn("grp", date_sub(col("day"),
+        row_number().over(Window.orderBy("day"))))
+      .groupBy("grp")
+      .agg(min("day").as("d0"), max("day").as("d1"),
+        count(lit(1)).as("n_days_above"),
+        sum("rev_cents").as("episode_cents"))
+      .select(date_format(col("d0"), "yyyy-MM-dd").as("start_day"),
+        date_format(col("d1"), "yyyy-MM-dd").as("end_day"),
+        col("n_days_above"), col("episode_cents"))
+  }
+
   /** CUSUM changepoint statistic over daily revenue — the classic
     * drift detector (Page 1954): the running sum of deviations from the
     * global mean swings away from zero when the level shifts.
@@ -699,6 +729,8 @@ object TimeSeries {
     "ts_ffill" -> ((s, d) => forwardFillDaily(Tables.events(s, d))),
     "ts_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
     "ts_new_returning" -> ((s, d) => newVsReturning(Tables.events(s, d))),
+    "ts_threshold_episodes" -> ((s, d) =>
+      thresholdEpisodes(Tables.orders(s, d))),
     "ts_seasonality" -> ((s, d) => dowSeasonality(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
     "funnel_window" -> ((s, d) =>
@@ -905,6 +937,27 @@ object TimeSeries {
         |         ROWS UNBOUNDED PRECEDING) AS v_cents_filled,
         |       v_obs IS NOT NULL AS is_observed
         |FROM j""".stripMargin,
+    "ts_threshold_episodes" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n_days, CAST(sum(rev_cents) AS BIGINT)
+        |        AS total_cents FROM daily),
+        |a AS (
+        |  SELECT day, rev_cents FROM daily, t
+        |  WHERE rev_cents * t.n_days > t.total_cents),
+        |g AS (
+        |  SELECT day, rev_cents,
+        |         day - CAST(row_number() OVER (ORDER BY day) AS INT)
+        |           AS grp
+        |  FROM a)
+        |SELECT strftime(min(day), '%Y-%m-%d') AS start_day,
+        |       strftime(max(day), '%Y-%m-%d') AS end_day,
+        |       count(*) AS n_days_above,
+        |       CAST(sum(rev_cents) AS BIGINT) AS episode_cents
+        |FROM g GROUP BY grp""".stripMargin,
     "ts_new_returning" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

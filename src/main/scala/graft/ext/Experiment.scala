@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** A/B experiment analysis over the events stream: deterministic variant
@@ -63,15 +64,102 @@ object Experiment {
           .as("wilson_hi"))
   }
 
+  /** Mann–Whitney U rank-sum test of `value` between the two variants —
+    * the nonparametric A/B readout (no normality assumption on the
+    * metric). Everything through the U statistic is EXACT: pooled ranks
+    * are computed at the DISTINCT-VALUE level (cents), where a tied
+    * group's average rank `below + (t+1)/2` doubles to the integer
+    * `2·below + t + 1` — so rank sums and U carry a ×2 scale and never
+    * touch a float. The z-score (normal approximation, no tie
+    * correction — documented) is the usual fixed DAG of
+    * correctly-rounded ops over those integers.
+    *
+    * Scale shape: one fact aggregate to (value → per-variant counts);
+    * the cumulative rides the VALUE-LEVEL table, whose unpartitioned
+    * window is bounded by the cents domain (~5e4 rows at any corpus
+    * size — same bounded-domain argument as
+    * [[graft.ext.Retail.skylineParts]]).
+    */
+  def mannWhitney(ev: DataFrame): DataFrame = {
+    val vl = ev
+      .select((col("user_id") % 2).cast("long").as("variant"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("v")
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+      .withColumn("t", col("c0") + col("c1"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vl
+      .withColumn("below", coalesce(sum("t").over(wCum), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("below") + col("t") + 1L)
+    val agg = ranked.agg(
+      sum("c0").as("n0"), sum("c1").as("n1"),
+      sum(col("c0") * col("rank2")).as("r0_2x"),
+      sum(col("c1") * col("rank2")).as("r1_2x"))
+    val z = (u2x: Column, n0: Column, n1: Column) =>
+      ((u2x - n0 * n1).cast("double") / lit(2.0)) /
+        sqrt((n0 * n1).cast("double") * (n0 + n1 + lit(1L)) / lit(12.0))
+    agg.select(explode(array(
+        struct(lit(0L).as("variant"), col("n0").as("n"),
+          col("r0_2x").as("rank_sum_2x"),
+          (col("r0_2x") - col("n0") * (col("n0") + 1L)).as("u_2x"),
+          z(col("r0_2x") - col("n0") * (col("n0") + 1L), col("n0"),
+            col("n1")).as("z")),
+        struct(lit(1L).as("variant"), col("n1").as("n"),
+          col("r1_2x").as("rank_sum_2x"),
+          (col("r1_2x") - col("n1") * (col("n1") + 1L)).as("u_2x"),
+          z(col("r1_2x") - col("n1") * (col("n1") + 1L), col("n1"),
+            col("n0")).as("z")))).as("s"))
+      .select(col("s.variant").as("variant"), col("s.n").as("n"),
+        col("s.rank_sum_2x").as("rank_sum_2x"), col("s.u_2x").as("u_2x"),
+        col("s.z").as("z"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab_test_wilson" -> ((s, d) => wilsonAb(Tables.events(s, d))),
+    "ab_test_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
   )
 
   /** DuckDB twin — intermediate CTE columns pin the operand order to
     * exactly this code's, so every IEEE op rounds identically.
     */
   def oracleSql: Map[String, String] = Map(
+    "ab_test_mann_whitney" ->
+      """WITH vl AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c0,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c1
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT *, c0 + c1 AS t,
+        |         coalesce(CAST(sum(c0 + c1) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS below
+        |  FROM vl),
+        |r2 AS (SELECT *, 2 * below + t + 1 AS rank2 FROM r),
+        |a AS (
+        |  SELECT CAST(sum(c0) AS BIGINT) AS n0,
+        |         CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c0 * rank2) AS BIGINT) AS r0_2x,
+        |         CAST(sum(c1 * rank2) AS BIGINT) AS r1_2x
+        |  FROM r2),
+        |u AS (
+        |  SELECT CAST(0 AS BIGINT) AS variant, n0 AS n,
+        |         r0_2x AS rank_sum_2x,
+        |         r0_2x - n0 * (n0 + 1) AS u_2x, n0, n1 FROM a
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) AS variant, n1 AS n,
+        |         r1_2x AS rank_sum_2x,
+        |         r1_2x - n1 * (n1 + 1) AS u_2x, n0, n1 FROM a)
+        |SELECT variant, n, rank_sum_2x, u_2x,
+        |       (CAST(u_2x - n0 * n1 AS DOUBLE) / CAST(2.0 AS DOUBLE)) /
+        |       sqrt(CAST(n0 * n1 AS DOUBLE) * (n0 + n1 + 1) /
+        |            CAST(12.0 AS DOUBLE)) AS z
+        |FROM u""".stripMargin,
     "ab_test_wilson" ->
       """WITH a AS (
         |  SELECT user_id % 2 AS variant,

@@ -201,6 +201,52 @@ object EventsStreaming {
           "IF(rk <= value_cents % n_clicks, 1L, 0L)").as("attributed_cents"))
   }
 
+  /** Time-decay multi-touch attribution: clicks closer to the purchase
+    * earn exponentially more credit (half-life 10 minutes inside the
+    * 30-minute window). Weights are EXACT DYADIC INTEGERS — decay step
+    * `k = Δminutes div 10` gives weight 8 >> k ∈ {8,4,2,1} — so shares
+    * are `value·w div W` with the remainder cents going to the most
+    * recent clicks, and per-purchase attributed sums reconstruct
+    * `value_cents` exactly (same integer-split discipline as
+    * [[attributionLinear]]; a float `2^(−Δ/h)` would neither sum back
+    * nor cross engines).
+    *
+    * Scale shape identical to [[attributionLinear]]: one user-keyed
+    * pair join, two window passes clustering on `purchase_id`.
+    */
+  def attributionTimeDecay(ev: DataFrame): DataFrame = {
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        round(coalesce(col("value"), lit(0.0)) * 100).cast("long")
+          .as("value_cents"))
+    val byPurchase = Window.partitionBy("purchase_id")
+    val recencyRank = byPurchase
+      .orderBy(col("click_ts").desc, col("click_id").desc)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTE"))
+      .withColumn("k",
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) " +
+          "div 60000000 div 10"))
+      .withColumn("w", expr(
+        "CASE k WHEN 0 THEN 8L WHEN 1 THEN 4L WHEN 2 THEN 2L ELSE 1L END"))
+      .withColumn("w_total", sum("w").over(byPurchase))
+      .withColumn("floor_cents",
+        expr("value_cents * w div w_total"))
+      .withColumn("rem",
+        col("value_cents") - sum("floor_cents").over(byPurchase))
+      .withColumn("rk", row_number().over(recencyRank).cast("long"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("k"), col("w"),
+        (col("floor_cents") + when(col("rk") <= col("rem"), 1L)
+          .otherwise(0L)).as("attributed_cents"))
+  }
+
   private def attributionJoin(clicks: DataFrame, purchases: DataFrame,
       joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
@@ -228,6 +274,8 @@ object EventsStreaming {
     "stream_attribution" -> ((s, d) => attributionBatch(Tables.events(s, d))),
     "attribution_linear" -> ((s, d) =>
       attributionLinear(Tables.events(s, d))),
+    "attribution_time_decay" -> ((s, d) =>
+      attributionTimeDecay(Tables.events(s, d))),
     "stream_attribution_outer" -> ((s, d) =>
       attributionOuterBatch(Tables.events(s, d))),
   )
@@ -316,6 +364,48 @@ object EventsStreaming {
         |         CASE WHEN rk <= value_cents % n_clicks THEN 1 ELSE 0 END
         |         AS attributed_cents
         |FROM r""".stripMargin,
+    "attribution_time_decay" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |         ts AS purchase_ts,
+        |         CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+        |           AS value_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT c.user_id, p.purchase_id, c.click_id, c.click_ts,
+        |         p.value_cents,
+        |         (epoch_us(p.purchase_ts) - epoch_us(c.click_ts))
+        |           // 60000000 // 10 AS k
+        |  FROM c JOIN p ON c.user_id = p.p_user_id
+        |   AND p.purchase_ts >= c.click_ts
+        |   AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE),
+        |w AS (
+        |  SELECT *, CASE k WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2
+        |                   ELSE 1 END AS w
+        |  FROM pairs),
+        |r AS (
+        |  SELECT *,
+        |         CAST(sum(w) OVER (PARTITION BY purchase_id) AS BIGINT)
+        |           AS w_total,
+        |         row_number() OVER (PARTITION BY purchase_id
+        |           ORDER BY click_ts DESC, click_id DESC) AS rk
+        |  FROM w),
+        |f AS (
+        |  SELECT *, value_cents * w // w_total AS floor_cents
+        |  FROM r),
+        |g AS (
+        |  SELECT *,
+        |         value_cents - CAST(sum(floor_cents) OVER (
+        |           PARTITION BY purchase_id) AS BIGINT) AS rem
+        |  FROM f)
+        |SELECT user_id, purchase_id, click_id, CAST(k AS BIGINT) AS k,
+        |       CAST(w AS BIGINT) AS w,
+        |       floor_cents + CASE WHEN rk <= rem THEN 1 ELSE 0 END
+        |         AS attributed_cents
+        |FROM g""".stripMargin,
     "stream_attribution" ->
       """SELECT c.user_id, c.event_id AS click_id,
         |       p.event_id AS purchase_id,

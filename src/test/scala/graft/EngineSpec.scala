@@ -25,7 +25,17 @@ class EngineSpec extends SparkSpec {
       e.diff(e.table("nation"), e.table("nation").limit(20),
         Seq("n_nationkey"), Seq("n_name")),
       e.bloomJoin(e.table("orders"), "o_custkey", e.table("customer"),
-        "c_custkey"))
+        "c_custkey"),
+      // late round-7 surface
+      e.retail.abc, e.retail.rfm, e.retail.skyline,
+      e.experiment.wilson, e.experiment.mannWhitney,
+      e.graph.degrees, e.text.bm25(), e.text.search(), e.text.vocabCoverage,
+      e.text.keywords(), e.quality.crosstab, e.quality.cdf,
+      e.curation.weightedSample(), e.curation.sourceMix,
+      e.timeSeries.cohortLtv, e.timeSeries.twap, e.timeSeries.cusum,
+      e.timeSeries.seasonality, e.timeSeries.forwardFill,
+      e.timeSeries.activeUsers, e.timeSeries.newVsReturning,
+      e.timeSeries.thresholdEpisodes)
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

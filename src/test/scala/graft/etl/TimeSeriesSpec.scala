@@ -394,6 +394,24 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-03", 1L, 2L, 0.5)))
   }
 
+  test("thresholdEpisodes: consecutive above-average days group into " +
+      "runs; a calendar gap splits them") {
+    // daily cents: Jan1 1000, Jan2 5000, Jan3 5000, Jan5 5000, Jan6 1000
+    // total 17000 over 5 days -> above avg (3400): Jan2, Jan3, Jan5
+    // episodes: [Jan2..Jan3] (10000) and [Jan5..Jan5] (5000)
+    val r = TimeSeries.thresholdEpisodes(orders(
+      (1L, 1L, "O", 10.0, "2024-01-01"),
+      (2L, 1L, "O", 50.0, "2024-01-02"),
+      (3L, 1L, "O", 50.0, "2024-01-03"),
+      (4L, 1L, "O", 50.0, "2024-01-05"),
+      (5L, 1L, "O", 10.0, "2024-01-06")))
+      .select("start_day", "end_day", "n_days_above", "episode_cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(r === Set(
+      ("2024-01-02", "2024-01-03", 2L, 10000L),
+      ("2024-01-05", "2024-01-05", 1L, 5000L)))
+  }
+
   test("newVsReturning: first-ever day counts as new, later days as " +
       "returning") {
     val ev = Seq(

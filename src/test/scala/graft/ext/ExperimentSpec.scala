@@ -47,4 +47,26 @@ class ExperimentSpec extends SparkSpec {
         x._4 < x._6 + 1e-12)
     }
   }
+
+  test("mannWhitney: doubled tie-averaged ranks, exact U, symmetric z") {
+    // variant 0 (users 0,2): values 1.00, 2.00
+    // variant 1 (users 1,3): values 2.00, 3.00
+    // pooled ranks: 1, 2.5, 2.5, 4 -> R0=3.5 (2x=7), R1=6.5 (2x=13)
+    // U0 = 3.5 - 3 = 0.5 (2x=1); U1 = 3.5 (2x=7); U0+U1 = n0*n1 = 4
+    val ev = Seq(
+      (1L, 0L, 1.00), (2L, 2L, 2.00), (3L, 1L, 2.00), (4L, 3L, 3.00))
+      .map { case (e, u, v) =>
+        (e, u, "view", v, "{}", ts("2024-01-01 00:00:00")) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+    val r = Experiment.mannWhitney(ev)
+      .select("variant", "n", "rank_sum_2x", "u_2x", "z")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert((r(0L)._2, r(0L)._3, r(0L)._4) === ((2L, 7L, 1L)))
+    assert((r(1L)._2, r(1L)._3, r(1L)._4) === ((2L, 13L, 7L)))
+    // z = ((u2x - n0*n1)/2) / sqrt(n0*n1*(n+1)/12)
+    val z0 = ((1.0 - 4.0) / 2) / math.sqrt(4.0 * 5 / 12)
+    assert(math.abs(r(0L)._5 - z0) < 1e-12)
+    assert(math.abs(r(0L)._5 + r(1L)._5) < 1e-15) // antisymmetric
+  }
 }

@@ -318,4 +318,18 @@ class EventsStreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(sums === Map(4L -> 100L, 6L -> 5L))
   }
+
+  test("attributionTimeDecay: dyadic half-life weights, remainder to " +
+      "most recent, sums reconstruct the purchase exactly") {
+    val ev = events(
+      (1L, "2024-01-01 10:00:00", 7L, "click", 0.0),    // 30 min out: w=1
+      (2L, "2024-01-01 10:25:00", 7L, "click", 0.0),    // 5 min out:  w=8
+      (3L, "2024-01-01 10:30:00", 7L, "purchase", 100.00))
+    // W=9: floors 10000*1/9=1111, 10000*8/9=8888; rem 1 -> recent click 2
+    val got = EventsStreaming.attributionTimeDecay(ev)
+      .select("click_id", "k", "w", "attributed_cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 1L, 1111L), (2L, 0L, 8L, 8889L)))
+    assert(got.toSeq.map(_._4).sum === 10000L)
+  }
 }
