@@ -78,6 +78,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Curation.splitAssign(docs, fracs)
     def weightedSample(k: Int = 200): DataFrame =
       Curation.weightedReservoir(docs, k)
+    def funnel: DataFrame = Curation.filterFunnel(docs)
     def sourceMix: DataFrame = Corpus.sourceMix(docs)
     private def docs = Tables.documents(spark, dataDir)
   }
@@ -203,6 +204,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Quality.crosstabChi2(Tables.events(spark, dataDir))
     def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame =
       Quality.keySkew(df, keyCol, label)
+    def mad: DataFrame = Quality.madQuantity(Tables.lineitem(spark, dataDir))
   }
 
   object streaming {

@@ -107,6 +107,57 @@ object Curation {
       .select("doc_id", "split")
   }
 
+  /** Quality-filter funnel: the per-stage survivor report every corpus
+    * curation run publishes — how many documents pass each successive
+    * filter (minimum length → lexical diversity → stopword ceiling →
+    * repetition ceiling), where stage k counts docs passing ALL filters
+    * up to k. Every predicate is an exact integer cross-multiplication
+    * (`distinct·10 ≥ tokens·3`, never a float ratio compare), so
+    * boundary docs land identically in every engine; survival rates
+    * divide exact counts once.
+    *
+    * ONE narrow scan computes all per-doc flags; the aggregate is a
+    * single reduce to one row, exploded to long format — at 100 TB this
+    * is a full-corpus map + a 5-value combine, the minimum possible.
+    */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val flags = docs.select(
+      size(t).as("n_tok"),
+      size(array_distinct(t)).as("n_dis"),
+      size(expr("filter(split(text, ' '), x -> x IN ('the', 'a'))"))
+        .as("n_stop"),
+      size(expr(
+        """CASE WHEN size(split(text, ' ')) < 2 THEN array()
+          |ELSE array_distinct(transform(
+          |  sequence(1, size(split(text, ' ')) - 1),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 2)))) END"""
+          .stripMargin)).as("dis2"))
+      .select(
+        when(col("n_tok") >= 20, 1L).otherwise(0L).as("p1"),
+        when(col("n_dis") * 10 >= col("n_tok") * 3, 1L).otherwise(0L)
+          .as("p2"),
+        when(col("n_stop") * 2 <= col("n_tok"), 1L).otherwise(0L).as("p3"),
+        // duplicated-2-gram fraction < 0.5 ⇔ distinct2·2 > total2
+        when(col("dis2") * 2 > greatest(col("n_tok") - 1, lit(0)), 1L)
+          .otherwise(0L).as("p4"))
+    val agg = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(col("p1")).as("n1"),
+      sum(col("p1") * col("p2")).as("n2"),
+      sum(col("p1") * col("p2") * col("p3")).as("n3"),
+      sum(col("p1") * col("p2") * col("p3") * col("p4")).as("n4"))
+    val stages = Seq("0_input" -> "n0", "1_min_length" -> "n1",
+      "2_diversity" -> "n2", "3_stopwords" -> "n3", "4_repetition" -> "n4")
+    agg.select(explode(array(stages.map { case (name, c) =>
+        struct(lit(name).as("stage"), col(c).as("n_survivors"),
+          (col(c).cast("double") / col("n0")).as("survival_rate"))
+      }: _*)).as("s"))
+      .select(col("s.stage").as("stage"),
+        col("s.n_survivors").as("n_survivors"),
+        col("s.survival_rate").as("survival_rate"))
+  }
+
   /** Weighted reservoir sample (Efraimidis–Spirakis A-Res with a
     * deterministic pseudo-uniform): each document draws
     * `u = (pmod(xxhash64(doc_id), 2³²) + 0.5) / 2³²` and the k largest
@@ -138,6 +189,7 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_weighted"   -> ((s, d) =>
       weightedReservoir(Tables.documents(s, d))),
+    "curation_funnel"   -> ((s, d) => filterFunnel(Tables.documents(s, d))),
     "split_assign"      -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => packSequences(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
@@ -147,6 +199,37 @@ object Curation {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "curation_funnel" ->
+      """WITH f AS (
+        |  SELECT len(toks) AS n_tok,
+        |         len(list_distinct(toks)) AS n_dis,
+        |         len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+        |         len(list_distinct(
+        |           CASE WHEN len(toks) < 2 THEN []
+        |                ELSE [array_to_string(toks[i:i+1], ' ')
+        |                      for i in range(1, len(toks))] END)) AS dis2
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)),
+        |p AS (
+        |  SELECT CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END AS p1,
+        |         CASE WHEN n_dis * 10 >= n_tok * 3 THEN 1 ELSE 0 END AS p2,
+        |         CASE WHEN n_stop * 2 <= n_tok THEN 1 ELSE 0 END AS p3,
+        |         CASE WHEN dis2 * 2 > greatest(n_tok - 1, 0)
+        |              THEN 1 ELSE 0 END AS p4
+        |  FROM f),
+        |a AS (
+        |  SELECT count(*) AS n0,
+        |         CAST(sum(p1) AS BIGINT) AS n1,
+        |         CAST(sum(p1 * p2) AS BIGINT) AS n2,
+        |         CAST(sum(p1 * p2 * p3) AS BIGINT) AS n3,
+        |         CAST(sum(p1 * p2 * p3 * p4) AS BIGINT) AS n4
+        |  FROM p)
+        |SELECT '0_input' AS stage, n0 AS n_survivors,
+        |       CAST(n0 AS DOUBLE) / n0 AS survival_rate FROM a
+        |UNION ALL SELECT '1_min_length', n1, CAST(n1 AS DOUBLE) / n0 FROM a
+        |UNION ALL SELECT '2_diversity', n2, CAST(n2 AS DOUBLE) / n0 FROM a
+        |UNION ALL SELECT '3_stopwords', n3, CAST(n3 AS DOUBLE) / n0 FROM a
+        |UNION ALL SELECT '4_repetition', n4,
+        |          CAST(n4 AS DOUBLE) / n0 FROM a""".stripMargin,
     // thresholds are floor(0.8 * 2^32) and floor(0.9 * 2^32)
     "split_assign" ->
       """SELECT doc_id,

@@ -239,6 +239,33 @@ object Quality {
         "expected", "chi2_cell")
   }
 
+  /** Median absolute deviation of quantity per return flag — the robust
+    * dispersion statistic (outlier-insensitive, unlike the z-score's
+    * σ). Quantities are ×2-scaled to exact Longs so the median's
+    * midpoint interpolation stays integer-valued in a double (the same
+    * `percentile` ↔ `quantile_cont` portability contract as
+    * agg_percentiles); deviations and the final halving are exact
+    * dyadic arithmetic — bit-identical on both engines.
+    *
+    * Scale shape: two grouped aggregates over the fact with the group
+    * medians traveling back via broadcast — never a per-row sort.
+    */
+  def madQuantity(li: DataFrame): DataFrame = {
+    val base = li.select(col("l_returnflag"),
+      round(col("l_quantity") * 2).cast("long").as("q2"))
+    val med = base.groupBy("l_returnflag")
+      .agg(expr("percentile(q2, 0.5)").as("med2"))
+    base.join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("med2"),
+        abs(col("q2").cast("double") - col("med2")).as("ad2"))
+      .groupBy("l_returnflag", "med2")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(ad2, 0.5)").as("mad2"))
+      .select(col("l_returnflag"), col("n"),
+        (col("med2") / lit(2.0)).as("median_qty"),
+        (col("mad2") / lit(2.0)).as("mad_qty"))
+  }
+
   /** Driver-contract registration. Timestamps are pre-formatted to
     * strings and the double price to integer cents, so every profiled
     * column's min/max stringification is engine-identical.
@@ -248,6 +275,7 @@ object Quality {
     "feature_binning" -> ((s, d) => decileBinning(Tables.lineitem(s, d))),
     "feature_cdf" -> ((s, d) => featureCdf(Tables.lineitem(s, d))),
     "crosstab_chi2" -> ((s, d) => crosstabChi2(Tables.events(s, d))),
+    "feature_mad" -> ((s, d) => madQuantity(Tables.lineitem(s, d))),
     "skew_profile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       keySkew(li, "l_partkey", "lineitem.l_partkey")
@@ -267,6 +295,22 @@ object Quality {
 
   /** DuckDB twin — same long-format stats per column. */
   def oracleSql: Map[String, String] = Map(
+    "feature_mad" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_quantity * 2) AS BIGINT) AS q2
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, quantile_cont(q2, 0.5) AS med2
+        |  FROM b GROUP BY 1),
+        |j AS (
+        |  SELECT b.l_returnflag, m.med2,
+        |         abs(CAST(b.q2 AS DOUBLE) - m.med2) AS ad2
+        |  FROM b JOIN m USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n,
+        |       med2 / CAST(2.0 AS DOUBLE) AS median_qty,
+        |       quantile_cont(ad2, 0.5) / CAST(2.0 AS DOUBLE) AS mad_qty
+        |FROM j GROUP BY l_returnflag, med2""".stripMargin,
     "crosstab_chi2" ->
       """WITH cells AS (
         |  SELECT event_type, CAST(month(ts) AS BIGINT) AS month,

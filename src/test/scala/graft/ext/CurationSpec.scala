@@ -115,6 +115,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("filterFunnel: each stage drops exactly the doc built to fail it; " +
+      "integer boundary semantics") {
+    import spark.implicits._
+    val doc1 = (1 to 25).map(i => s"t$i").mkString(" ")       // passes all
+    val doc2 = (1 to 10).map(i => s"s$i").mkString(" ")       // fails length
+    val doc3 = Seq.fill(24)("z").mkString(" ")                // fails diversity
+    val doc4 = (Seq.tabulate(20)(i => s"w${i % 7 + 1}")).mkString(" ")
+    // doc4: 7 distinct over 20 (35% >= 30%) but 2-grams repeat -> fails rep
+    val doc5 = (1 to 10).map(i => s"the x$i").mkString(" ") + " the"
+    // doc5: 11 stopwords of 21 tokens -> fails the <=50% stopword ceiling
+    val d = Seq(doc1, doc2, doc3, doc4, doc5).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.filterFunnel(d)
+      .select("stage", "n_survivors", "survival_rate")
+      .as[(String, Long, Double)].collect().toSet
+    assert(r === Set(
+      ("0_input", 5L, 1.0),
+      ("1_min_length", 4L, 0.8),
+      ("2_diversity", 3L, 0.6),
+      ("3_stopwords", 2L, 0.4),
+      ("4_repetition", 1L, 0.2)))
+  }
+
   test("weightedReservoir: top-k by ln(u)/w matches an independent JVM " +
       "ranking; selection is repartition-stable") {
     import spark.implicits._

@@ -25,6 +25,19 @@ class QualitySpec extends SparkSpec {
     assert(got((3L, 2L)) === None)
   }
 
+  test("madQuantity: interpolated group median, exact dyadic MAD, " +
+      "degenerate group gives zero") {
+    // A: 1,2,3,4 -> median 2.5; deviations 1.5,0.5,0.5,1.5 -> MAD 1.0
+    // B: single 10 -> median 10, MAD 0
+    val li = Seq(
+      ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0), ("B", 10.0))
+      .toDF("l_returnflag", "l_quantity")
+    val r = Quality.madQuantity(li)
+      .select("l_returnflag", "n", "median_qty", "mad_qty")
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(r === Set(("A", 4L, 2.5, 1.0), ("B", 1L, 10.0, 0.0)))
+  }
+
   test("decileBinning: equal-count bins, boundary rows stay in the " +
       "lower bin") {
     // 10 distinct prices -> exactly one row per decile

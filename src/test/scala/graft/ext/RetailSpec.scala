@@ -121,4 +121,14 @@ class RetailSpec extends SparkSpec {
     assert(r === Set((1L, 100L, 5), (3L, 200L, 9), (4L, 200L, 9),
       (7L, 300L, 12)))
   }
+
+  test("skylineParts plan: frontier applies via broadcast join; the " +
+      "window runs on the price-level aggregate, not the fact table") {
+    val d = (1L to 100L).map(i => (i, (i % 10).toDouble + 1, (i % 5).toInt))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    val plan = Retail.skylineParts(d).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // exactly one Window operator, fed by the per-price HashAggregate
+    assert(plan.split("Window").length - 1 === 1, plan)
+  }
 }
