@@ -197,6 +197,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("skyline: every output is non-dominated, every excluded row is " +
+      "dominated by some output row (generated catalogs)") {
+    val partGen = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8)))
+    } yield rows
+    samples(partGen, n = 5).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((p, s), i) =>
+        (i.toLong, p.toDouble, s) }
+        .toDF("p_partkey", "p_retailprice", "p_size")
+      val frontier = graft.ext.Retail.skylineParts(df)
+        .select("p_partkey").as[Long].collect().toSet
+      val all = rows.zipWithIndex.map { case ((p, s), i) => (i.toLong, p, s) }
+      def dominates(a: (Long, Int, Int), b: (Long, Int, Int)) =
+        a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+      all.foreach { r =>
+        val dominated = all.exists(q => dominates(q, r))
+        assert(frontier.contains(r._1) === !dominated, s"row $r")
+      }
+    }
+  }
+
+  test("filterFunnel: survivor counts are monotone non-increasing and " +
+      "bounded by the input (generated corpora)") {
+    samples(Gen.listOfN(15, docGen), n = 4).foreach { texts =>
+      val counts = graft.ext.Curation.filterFunnel(docsDf(texts))
+        .orderBy("stage").select("n_survivors").as[Long].collect()
+      assert(counts.head === texts.size.toLong)
+      counts.sliding(2).foreach { w =>
+        if (w.size == 2) assert(w(0) >= w(1), counts.mkString(","))
+      }
+    }
+  }
+
+  test("cusum: scaled deviations always return to exactly zero at the " +
+      "final day (generated revenue series)") {
+    val revGen = for {
+      n <- Gen.choose(1, 12)
+      cents <- Gen.listOfN(n, Gen.choose(100, 99999))
+    } yield cents
+    samples(revGen, n = 4).foreach { cents =>
+      val df = cents.zipWithIndex.map { case (c, i) =>
+        (i.toLong, 1L, "O", c / 100.0, ts(f"1997-01-${i + 1}%02d 00:00:00"),
+          "1-URGENT")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val last = graft.etl.TimeSeries.cusumDailyRevenue(df)
+        .orderBy(col("day").desc).select("cusum_scaled")
+        .as[Long].head()
+      assert(last === 0L) // telescopes: N·S − N·S
+    }
+  }
+
   test("ewma: matches a driver-side reference over generated histories") {
     val histGen = for {
       n <- Gen.choose(1, 15)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{Expectations, Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
-import graft.ext.{Components, Corpus, Curation, Dedup, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, TextAnalysis}
+import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, TextAnalysis}
 import graft.operators.{AsOfJoin, BloomJoin, FuzzyJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 import graft.streaming.EventsStreaming
 
@@ -21,7 +21,8 @@ class SparkEntrySpec extends SparkSpec {
     Corpus.queries, Privacy.queries, SnapshotDiff.queries,
     BloomJoin.queries, HeavyHitters.queries,
     IncrementalAgg.queries, Expectations.queries,
-    Graph.queries, FuzzyJoin.queries, Retail.queries).map(_.size)
+    Graph.queries, FuzzyJoin.queries, Retail.queries,
+    Experiment.queries).map(_.size)
 
   test("no query name collisions across modules") {
     assert(SparkEntry.queries.size === moduleSizes.sum)
