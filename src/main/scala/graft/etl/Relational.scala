@@ -254,6 +254,65 @@ object Relational {
           (sqrt(n * sq2 - sq * sq) * sqrt(n * sd2 - sd * sd)))
   }
 
+  /** Skewness and excess kurtosis per return flag from EXACT integer
+    * power sums — Spark's builtin `skewness`/`kurtosis` accumulate
+    * doubles in partition order (non-deterministic across runs, let
+    * alone engines), so the higher moments are derived instead from
+    * Σq..Σq⁴ (exact Longs: quantity ≤ 50 ⇒ q⁴ ≤ 6.25e6, safe to ~1e12
+    * rows per group) through a fixed DAG of correctly-rounded IEEE ops
+    * mirrored operand-for-operand by the oracle — the same contract as
+    * [[statsAggs]]' variance/correlation, extended two moments up.
+    */
+  def momentStats(li: DataFrame): DataFrame = {
+    val q = col("l_quantity")
+    val agg = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n_lines"),
+      round(sum(q)).cast("long").as("s1"),
+      round(sum(q * q)).cast("long").as("s2"),
+      round(sum(q * q * q)).cast("long").as("s3"),
+      round(sum(q * q * q * q)).cast("long").as("s4"))
+    agg
+      .withColumn("m", col("s1").cast("double") / col("n_lines"))
+      .withColumn("e2", col("s2").cast("double") / col("n_lines"))
+      .withColumn("e3", col("s3").cast("double") / col("n_lines"))
+      .withColumn("e4", col("s4").cast("double") / col("n_lines"))
+      .withColumn("mu2", col("e2") - col("m") * col("m"))
+      .withColumn("mu3", col("e3") - lit(3.0) * col("m") * col("e2") +
+        lit(2.0) * col("m") * col("m") * col("m"))
+      .withColumn("mu4", col("e4") - lit(4.0) * col("m") * col("e3") +
+        lit(6.0) * col("m") * col("m") * col("e2") -
+        lit(3.0) * (col("m") * col("m")) * (col("m") * col("m")))
+      .select(col("l_returnflag"), col("n_lines"), col("s1"), col("s2"),
+        col("s3"), col("s4"),
+        (col("mu3") / (col("mu2") * sqrt(col("mu2")))).as("skewness"),
+        (col("mu4") / (col("mu2") * col("mu2")) - lit(3.0))
+          .as("excess_kurtosis"))
+  }
+
+  /** Modal quantity per return flag (most frequent value, smallest wins
+    * ties) with its count and frequency share — the categorical summary
+    * `avg` can't give. Counts aggregate the fact once; the argmax
+    * window rides the (flag × distinct quantity)-sized count table.
+    */
+  def modalQuantity(li: DataFrame): DataFrame = {
+    val counts = li
+      .groupBy(col("l_returnflag"), round(col("l_quantity")).cast("long")
+        .as("qty"))
+      .agg(count(lit(1)).as("n_at_mode"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n_at_mode").desc, col("qty"))
+    val totals = counts.groupBy("l_returnflag")
+      .agg(sum("n_at_mode").as("n_total"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(totals), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("qty").as("mode_qty"),
+        col("n_at_mode"), col("n_total"),
+        (col("n_at_mode").cast("double") / col("n_total"))
+          .as("mode_share"))
+  }
+
   /** Exact WEIGHTED median: the smallest price whose cumulative quantity
     * weight reaches half the group's total — all-integer comparisons
     * (`2·cumw ≥ totw`), no interpolation, no float anywhere, so it
@@ -631,6 +690,8 @@ object Relational {
     "gen_explode"        -> ((s, d) => explodeWords(Tables.part(s, d))),
     "agg_grouping_sets"  -> ((s, d) => groupingSetsSales(Tables.lineitem(s, d))),
     "agg_stats"          -> ((s, d) => statsAggs(Tables.lineitem(s, d))),
+    "agg_moments"        -> ((s, d) => momentStats(Tables.lineitem(s, d))),
+    "agg_mode"           -> ((s, d) => modalQuantity(Tables.lineitem(s, d))),
     "agg_percentiles"    -> ((s, d) => percentiles(Tables.lineitem(s, d))),
     "agg_approx_percentiles" -> ((s, d) =>
       approxPercentiles(Tables.lineitem(s, d))),
@@ -792,6 +853,52 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
         .stripMargin,
+    "agg_moments" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n_lines,
+        |         CAST(round(sum(l_quantity)) AS BIGINT) AS s1,
+        |         CAST(round(sum(l_quantity * l_quantity)) AS BIGINT) AS s2,
+        |         CAST(round(sum(l_quantity * l_quantity * l_quantity))
+        |              AS BIGINT) AS s3,
+        |         CAST(round(sum(l_quantity * l_quantity * l_quantity *
+        |                        l_quantity)) AS BIGINT) AS s4
+        |  FROM lineitem GROUP BY 1),
+        |e AS (
+        |  SELECT *,
+        |         CAST(s1 AS DOUBLE) / n_lines AS m,
+        |         CAST(s2 AS DOUBLE) / n_lines AS e2,
+        |         CAST(s3 AS DOUBLE) / n_lines AS e3,
+        |         CAST(s4 AS DOUBLE) / n_lines AS e4
+        |  FROM g),
+        |mu AS (
+        |  SELECT *,
+        |         e2 - m * m AS mu2,
+        |         e3 - CAST(3.0 AS DOUBLE) * m * e2 +
+        |           CAST(2.0 AS DOUBLE) * m * m * m AS mu3,
+        |         e4 - CAST(4.0 AS DOUBLE) * m * e3 +
+        |           CAST(6.0 AS DOUBLE) * m * m * e2 -
+        |           CAST(3.0 AS DOUBLE) * (m * m) * (m * m) AS mu4
+        |  FROM e)
+        |SELECT l_returnflag, n_lines, s1, s2, s3, s4,
+        |       mu3 / (mu2 * sqrt(mu2)) AS skewness,
+        |       mu4 / (mu2 * mu2) - CAST(3.0 AS DOUBLE) AS excess_kurtosis
+        |FROM mu""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_quantity) AS BIGINT) AS qty,
+        |         count(*) AS n_at_mode
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, CAST(sum(n_at_mode) AS BIGINT)
+        |        AS n_total FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY n_at_mode DESC, qty) AS rn
+        |  FROM c)
+        |SELECT r.l_returnflag, r.qty AS mode_qty, r.n_at_mode, t.n_total,
+        |       CAST(r.n_at_mode AS DOUBLE) / t.n_total AS mode_share
+        |FROM r JOIN t USING (l_returnflag)
+        |WHERE r.rn = 1""".stripMargin,
     "agg_stats" ->
       """WITH g AS (
         |  SELECT l_returnflag,

@@ -298,4 +298,40 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(got === Set(("A", 200L, 4L), ("B", 100L, 2L)))
   }
+
+  test("momentStats: exact power sums; symmetric data has zero skew, " +
+      "two-point data has kurtosis -2") {
+    // A: quantities 1,2,3 (symmetric): mu2=2/3, mu3=0 -> skew 0;
+    //    mu4=(1+0+1)/3=2/3; kurt = (2/3)/(4/9) - 3 = 1.5 - 3 = -1.5
+    // B: 1,3 (two-point symmetric): skew 0, excess kurtosis -2
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 1.0), ("B", 3.0))
+      .map { case (rf, q) => (1L, 1, q, rf) }
+      .zipWithIndex.map { case ((ok, ln, q, rf), i) => (ok, i, q, rf) }
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val r = Relational.momentStats(df)
+      .select("l_returnflag", "n_lines", "s1", "s4", "skewness",
+        "excess_kurtosis")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert((r("A")._2, r("A")._3, r("A")._4) === ((3L, 6L, 98L)))
+    assert(math.abs(r("A")._5) < 1e-12)
+    assert(math.abs(r("A")._6 - -1.5) < 1e-12)
+    assert(math.abs(r("B")._5) < 1e-12)
+    assert(math.abs(r("B")._6 - -2.0) < 1e-12)
+  }
+
+  test("modalQuantity: most frequent value wins, smallest on ties, " +
+      "share divides exact counts") {
+    val df = Seq(("A", 5.0), ("A", 5.0), ("A", 7.0),
+      ("B", 1.0), ("B", 2.0)) // B: tie -> smallest qty wins
+      .zipWithIndex.map { case ((rf, q), i) => (1L, i, q, rf) }
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val r = Relational.modalQuantity(df)
+      .select("l_returnflag", "mode_qty", "n_at_mode", "n_total",
+        "mode_share")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(r === Set(
+      ("A", 5L, 2L, 3L, 2.0 / 3),
+      ("B", 1L, 1L, 2L, 0.5)))
+  }
 }
