@@ -210,6 +210,25 @@ object TimeSeries {
           .as("retention"))
   }
 
+  /** Retention TRIANGLE: [[cohortRetention]] pivoted to the wide matrix
+    * analysts actually read — one row per cohort, one column per week
+    * offset (w0..w7, active-user counts; absent cells 0). The pivot
+    * column set is FIXED, not data-driven, so the schema is stable at
+    * any scale and the plan is a single hash aggregate over the
+    * long-form cells (no two-pass pivot-value discovery).
+    */
+  def retentionTriangle(ev: DataFrame, maxOffset: Int = 7): DataFrame = {
+    val offsets = (0 to maxOffset).map(_.toString)
+    cohortRetention(ev)
+      .filter(col("week_offset") <= maxOffset)
+      .groupBy("cohort_week")
+      .pivot(col("week_offset"), offsets)
+      .agg(first("n_active"))
+      .na.fill(0L, offsets)
+      .select(col("cohort_week") +:
+        offsets.map(o => col(s"`$o`").as(s"w$o")): _*)
+  }
+
   /** Cohort LTV: cumulative revenue per acquisition cohort — the revenue
     * companion to [[cohortRetention]]. Customers cohort by their FIRST
     * order week; each (cohort, week-offset) cell carries that week's
@@ -369,6 +388,38 @@ object TimeSeries {
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("dau"), col("wau"),
         (col("dau").cast("double") / col("wau")).as("stickiness"))
+  }
+
+  /** Robust anomaly detection over daily revenue: the median/MAD z-score
+    * (`0.6745·(x−med)/MAD`, flagged beyond 3.5 — Iglewicz–Hoaglin), the
+    * outlier-insensitive twin of [[dailyAnomalies]]' mean/σ z. Medians
+    * ride the ×2-scaling trick of [[graft.ext.Quality.madQuantity]]
+    * (exact interpolation), the modified z is a fixed DAG of
+    * correctly-rounded ops, and an all-equal series (MAD 0) surfaces
+    * NULL/false rather than dividing by zero. The percentile aggregates
+    * and the rejoin all ride the DAY-LEVEL series (metadata-sized).
+    */
+  def robustAnomalies(ord: DataFrame): DataFrame = {
+    val daily = graft.CheckpointLease.track(
+      ord.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(sum(cents("o_totalprice")).as("rev_cents"))
+        .localCheckpoint()) // feeds the median pass AND the rejoin
+    val med = daily.agg(expr("percentile(rev_cents * 2, 0.5)").as("med2"))
+    val withDev = daily.crossJoin(broadcast(med))
+      .withColumn("adev2", abs(col("rev_cents").cast("double") * 2 -
+        col("med2")))
+    val mad = withDev.agg(expr("percentile(adev2, 0.5)").as("mad2"))
+    withDev.crossJoin(broadcast(mad))
+      .withColumn("robust_z",
+        when(col("mad2") > 0.0,
+          lit(0.6745) * (col("rev_cents").cast("double") * 2 - col("med2"))
+            / col("mad2")))
+      .select(col("day"), col("rev_cents"),
+        (col("med2") / lit(2.0)).as("median_cents"),
+        (col("mad2") / lit(2.0)).as("mad_cents"),
+        col("robust_z"),
+        coalesce(abs(col("robust_z")) > lit(3.5), lit(false))
+          .as("is_anomaly"))
   }
 
   /** Threshold-crossing episodes: maximal runs of CONSECUTIVE calendar
@@ -723,6 +774,8 @@ object TimeSeries {
       sessionConcurrency(Tables.events(s, d))),
     "event_transitions" -> ((s, d) => transitionMatrix(Tables.events(s, d))),
     "cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
+    "cohort_triangle" -> ((s, d) =>
+      retentionTriangle(Tables.events(s, d))),
     "cohort_ltv" -> ((s, d) => cohortLtv(Tables.orders(s, d))),
     "twap_user_value" -> ((s, d) => twapUserValue(Tables.events(s, d))),
     "ts_cusum" -> ((s, d) => cusumDailyRevenue(Tables.orders(s, d))),
@@ -731,6 +784,8 @@ object TimeSeries {
     "ts_new_returning" -> ((s, d) => newVsReturning(Tables.events(s, d))),
     "ts_threshold_episodes" -> ((s, d) =>
       thresholdEpisodes(Tables.orders(s, d))),
+    "ts_robust_anomalies" -> ((s, d) =>
+      robustAnomalies(Tables.orders(s, d))),
     "ts_seasonality" -> ((s, d) => dowSeasonality(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
     "funnel_window" -> ((s, d) =>
@@ -937,6 +992,32 @@ object TimeSeries {
         |         ROWS UNBOUNDED PRECEDING) AS v_cents_filled,
         |       v_obs IS NOT NULL AS is_observed
         |FROM j""".stripMargin,
+    "ts_robust_anomalies" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT quantile_cont(rev_cents * 2, 0.5) AS med2 FROM daily),
+        |d AS (
+        |  SELECT daily.*, m.med2,
+        |         abs(CAST(rev_cents AS DOUBLE) * 2 - m.med2) AS adev2
+        |  FROM daily, m),
+        |md AS (SELECT quantile_cont(adev2, 0.5) AS mad2 FROM d),
+        |z AS (
+        |  SELECT d.day, d.rev_cents, d.med2, md.mad2,
+        |         CASE WHEN md.mad2 > 0.0
+        |              THEN CAST(0.6745 AS DOUBLE) *
+        |                   (CAST(d.rev_cents AS DOUBLE) * 2 - d.med2) /
+        |                   md.mad2 END AS robust_z
+        |  FROM d, md)
+        |SELECT day, rev_cents,
+        |       med2 / CAST(2.0 AS DOUBLE) AS median_cents,
+        |       mad2 / CAST(2.0 AS DOUBLE) AS mad_cents,
+        |       robust_z,
+        |       coalesce(abs(robust_z) > CAST(3.5 AS DOUBLE), false)
+        |         AS is_anomaly
+        |FROM z""".stripMargin,
     "ts_threshold_episodes" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
@@ -1071,6 +1152,39 @@ object TimeSeries {
         |       CAST(cu.cum_rev_cents AS DOUBLE) / s.n_customers
         |         AS ltv_cents_per_user
         |FROM cum cu JOIN sizes s USING (cohort_week)""".stripMargin,
+    "cohort_triangle" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+        |           AS week
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week
+        |            FROM weeks GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_week,
+        |         CAST((w.week - c.cohort_week) // 7 AS BIGINT)
+        |           AS week_offset,
+        |         count(DISTINCT w.user_id) AS n_active
+        |  FROM weeks w JOIN cohorts c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+        |       CAST(coalesce(sum(CASE WHEN week_offset = 0
+        |                               THEN n_active END), 0) AS BIGINT) AS w0,
+        |       CAST(coalesce(sum(CASE WHEN week_offset = 1
+        |                               THEN n_active END), 0) AS BIGINT) AS w1,
+        |       CAST(coalesce(sum(CASE WHEN week_offset = 2
+        |                               THEN n_active END), 0) AS BIGINT) AS w2,
+        |       CAST(coalesce(sum(CASE WHEN week_offset = 3
+        |                               THEN n_active END), 0) AS BIGINT) AS w3,
+        |       CAST(coalesce(sum(CASE WHEN week_offset = 4
+        |                               THEN n_active END), 0) AS BIGINT) AS w4,
+        |       CAST(coalesce(sum(CASE WHEN week_offset = 5
+        |                               THEN n_active END), 0) AS BIGINT) AS w5,
+        |       CAST(coalesce(sum(CASE WHEN week_offset = 6
+        |                               THEN n_active END), 0) AS BIGINT) AS w6,
+        |       CAST(coalesce(sum(CASE WHEN week_offset = 7
+        |                               THEN n_active END), 0) AS BIGINT) AS w7
+        |FROM act WHERE week_offset <= 7
+        |GROUP BY cohort_week""".stripMargin,
     "cohort_retention" ->
       """WITH weeks AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)

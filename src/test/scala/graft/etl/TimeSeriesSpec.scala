@@ -412,6 +412,46 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-05", "2024-01-05", 1L, 5000L)))
   }
 
+  test("robustAnomalies: median/MAD z flags the spike; constant series " +
+      "surfaces NULL not divide-by-zero") {
+    // cents: 1000,1100,1200,1300,1400,50000 -> median 1250, MAD 150
+    val r = TimeSeries.robustAnomalies(orders(
+      (1L, 1L, "O", 10.0, "2024-01-01"),
+      (2L, 1L, "O", 11.0, "2024-01-02"),
+      (3L, 1L, "O", 12.0, "2024-01-03"),
+      (4L, 1L, "O", 13.0, "2024-01-04"),
+      (5L, 1L, "O", 14.0, "2024-01-05"),
+      (6L, 1L, "O", 500.0, "2024-01-06")))
+      .select("day", "median_cents", "mad_cents", "robust_z", "is_anomaly")
+      .as[(String, Double, Double, Option[Double], Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("2024-01-01")._2 === 1250.0 && r("2024-01-01")._3 === 150.0)
+    assert(math.abs(r("2024-01-06")._4.get -
+      0.6745 * (100000.0 - 2500.0) / 300.0) < 1e-9)
+    assert(r("2024-01-06")._5 === true)
+    assert(r("2024-01-03")._5 === false)
+    val const = TimeSeries.robustAnomalies(orders(
+      (1L, 1L, "O", 10.0, "2024-01-01"),
+      (2L, 1L, "O", 10.0, "2024-01-02")))
+      .select("robust_z", "is_anomaly")
+      .as[(Option[Double], Boolean)].collect()
+    assert(const.forall(x => x._1.isEmpty && !x._2))
+  }
+
+  test("retentionTriangle: fixed-offset wide matrix, absent cells zero") {
+    // 2020-01-06 is a Monday; u1 active w0+w1, u2 active w0 only
+    val ev = Seq(
+      (1L, 1L, "2020-01-06 10:00:00"),
+      (2L, 1L, "2020-01-14 10:00:00"),
+      (3L, 2L, "2020-01-07 10:00:00"))
+      .map { case (e, u, t) => (e, u, "view", 1.0, "{}", ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+    val r = TimeSeries.retentionTriangle(ev).collect().head
+    assert(r.getString(0) === "2020-01-06")
+    assert((1 to 8).map(r.getLong).toSeq ===
+      Seq(2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("newVsReturning: first-ever day counts as new, later days as " +
       "returning") {
     val ev = Seq(
