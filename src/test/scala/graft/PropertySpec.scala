@@ -250,6 +250,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mannWhitney: U statistics always partition n0*n1 and rank sums " +
+      "total N(N+1) (generated values, both scales doubled)") {
+    val evGen = for {
+      n <- Gen.choose(2, 25)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 6L), Gen.choose(1, 9)))
+    } yield rows
+    samples(evGen, n = 4).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((uid, v), i) =>
+        (i.toLong, uid, "view", v.toDouble, "{}", ts("2024-01-01 00:00:00"))
+      }.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+      val r = graft.ext.Experiment.mannWhitney(df)
+        .select("variant", "n", "rank_sum_2x", "u_2x")
+        .as[(Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+      val (n0, n1) = (r(0L)._2, r(1L)._2)
+      val bigN = n0 + n1
+      assert(r(0L)._3 + r(1L)._3 === bigN * (bigN + 1))
+      assert(r(0L)._4 + r(1L)._4 === 2 * n0 * n1)
+    }
+  }
+
+  test("twapUserValue: the time-weighted mean lies within the held " +
+      "values' range (generated irregular series)") {
+    val serGen = for {
+      n <- Gen.choose(2, 10)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1, 3600), Gen.choose(1, 999)))
+    } yield rows
+    samples(serGen, n = 4).foreach { rows =>
+      val times = rows.map(_._1).scanLeft(0)(_ + _).tail
+      val df = rows.zip(times).zipWithIndex.map { case (((_, v), t), i) =>
+        (i.toLong, 1L, "view", v / 100.0, "{}",
+          new java.sql.Timestamp(1700000000000L + t * 1000L))
+      }.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+      val out = graft.etl.TimeSeries.twapUserValue(df)
+        .select("twap_cents").as[Double].collect()
+      assert(out.length === 1)
+      // the last value never holds; bounds come from the held prefix
+      val held = rows.init.map(_._2)
+      assert(out.head >= held.min - 1e-9 && out.head <= held.max + 1e-9)
+    }
+  }
+
+  test("activeUsers: WAU dominates DAU on every emitted day (generated " +
+      "activity)") {
+    val actGen = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 5L), Gen.choose(1, 14)))
+    } yield rows
+    samples(actGen, n = 4).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((uid, day), i) =>
+        (i.toLong, uid, "view", 1.0, "{}", ts(f"2024-01-$day%02d 09:00:00"))
+      }.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+      graft.etl.TimeSeries.activeUsers(df)
+        .select("dau", "wau").as[(Long, Long)].collect()
+        .foreach { case (dau, wau) => assert(wau >= dau) }
+    }
+  }
+
   test("ewma: matches a driver-side reference over generated histories") {
     val histGen = for {
       n <- Gen.choose(1, 15)
