@@ -41,7 +41,63 @@ object Gold {
     round(sum(col(c)) * 100).cast("long")
 
   /** Driver-contract registration (SparkEntry aggregates these). */
+  /** Revenue waterfall per return flag: gross → after-discount →
+    * after-tax, with the discount/tax deltas — the finance
+    * decomposition of TPC-H Q1's derived columns. Every tier is an
+    * EXACT scaled integer: gross in cents, and the cross terms
+    * `price·disc` / `price·(1−disc)·tax` in e8 (cents × two e2
+    * factors), summed as Longs (≤ ~1e13 per row — safe far past 1e5
+    * rows per flag per partition sum; final sums are the exact corpus
+    * values). The displayed dollar columns divide once per tier.
+    */
+  def marginWaterfall(li: DataFrame): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discE2 = round(col("l_discount") * 100).cast("long")
+    val taxE2 = round(col("l_tax") * 100).cast("long")
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(priceC).as("gross_cents"),
+        sum(priceC * discE2).as("disc_e4"),
+        sum(priceC * (lit(100L) - discE2) * taxE2).as("tax_e6"))
+      .select(col("l_returnflag"), col("n_lines"), col("gross_cents"),
+        col("disc_e4"), col("tax_e6"),
+        (col("gross_cents").cast("double") / lit(100.0)).as("gross_usd"),
+        (col("disc_e4").cast("double") / lit(10000.0)).as("discount_usd"),
+        (col("tax_e6").cast("double") / lit(1000000.0)).as("tax_usd"))
+  }
+
+  /** Percent-of-parent revenue shares: nation within region, region
+    * within total — the drill-down share columns every BI hierarchy
+    * report carries. The fact table shuffles ONCE (to nation grain);
+    * both share windows ride the nation-level aggregate (25 rows at
+    * any corpus size — dimension-bounded), and each share is a single
+    * division of exact cents.
+    */
+  def regionNationShares(ord: DataFrame, cust: DataFrame,
+      nat: DataFrame): DataFrame = {
+    val rev = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(centsSum("o_totalprice").as("rev_cents"))
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+    val wRegion = Window.partitionBy("n_regionkey")
+    val wAll = Window.partitionBy()
+    rev
+      .withColumn("region_cents", sum("rev_cents").over(wRegion))
+      .withColumn("total_cents", sum("rev_cents").over(wAll))
+      .select(col("n_regionkey"), col("n_name"), col("rev_cents"),
+        col("region_cents"),
+        (col("rev_cents").cast("double") / col("region_cents"))
+          .as("share_of_region"),
+        (col("region_cents").cast("double") / col("total_cents"))
+          .as("region_share_of_total"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gold_margin_waterfall" -> ((s, d) =>
+      marginWaterfall(Tables.lineitem(s, d))),
+    "gold_region_shares" -> ((s, d) => regionNationShares(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "gold_daily_sales"          -> (dailySales(_, _)),
     "gold_customer_metrics"     -> (customerMetrics(_, _)),
     "gold_product_performance"  -> (productPerformance(_, _)),
@@ -181,6 +237,49 @@ object Gold {
 
   /** DuckDB twins of [[queries]] — same column names/aliases both sides. */
   def oracleSql: Map[String, String] = Map(
+    "gold_region_shares" ->
+      """WITH rev AS (
+        |  SELECT c.c_nationkey,
+        |         CAST(round(sum(o.o_totalprice) * 100) AS BIGINT)
+        |           AS rev_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT n.n_regionkey, n.n_name, r.rev_cents
+        |  FROM rev r JOIN nation n ON r.c_nationkey = n.n_nationkey),
+        |w AS (
+        |  SELECT *,
+        |         CAST(sum(rev_cents) OVER (PARTITION BY n_regionkey)
+        |              AS BIGINT) AS region_cents,
+        |         CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
+        |  FROM j)
+        |SELECT n_regionkey, n_name, rev_cents, region_cents,
+        |       CAST(rev_cents AS DOUBLE) / region_cents AS share_of_region,
+        |       CAST(region_cents AS DOUBLE) / total_cents
+        |         AS region_share_of_total
+        |FROM w""".stripMargin,
+    "gold_margin_waterfall" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS disc_e2,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS tax_e2
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, count(*) AS n_lines,
+        |         CAST(sum(price_c) AS BIGINT) AS gross_cents,
+        |         CAST(sum(price_c * disc_e2) AS BIGINT) AS disc_e4,
+        |         CAST(sum(price_c * (100 - disc_e2) * tax_e2) AS BIGINT)
+        |           AS tax_e6
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n_lines, gross_cents, disc_e4, tax_e6,
+        |       CAST(gross_cents AS DOUBLE) / CAST(100.0 AS DOUBLE)
+        |         AS gross_usd,
+        |       CAST(disc_e4 AS DOUBLE) / CAST(10000.0 AS DOUBLE)
+        |         AS discount_usd,
+        |       CAST(tax_e6 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+        |         AS tax_usd
+        |FROM g""".stripMargin,
     "gold_daily_sales" ->
       """WITH g AS (
         |  SELECT strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,

@@ -76,4 +76,40 @@ class GoldSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_shipping_delay_days") === 3.0)
     assert(r.getAs[Long]("total_sales_cents") === 3000L)
   }
+
+  test("marginWaterfall: gross/discount/tax tiers as exact scaled ints") {
+    // one line: price 100.00, disc 10%, tax 5%
+    //   gross 10000c; disc_e4 = 10000*10 = 100000 (= $10.00)
+    //   tax_e6 = 10000*90*5 = 4_500_000 (= $4.50 on the discounted base)
+    val df = Seq((1L, 1, 50.0, 100.0, 0.10, 0.05, "A"))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag")
+    val r = Gold.marginWaterfall(df).collect().head
+    assert(r.getAs[Long]("gross_cents") === 10000L)
+    assert(r.getAs[Long]("disc_e4") === 100000L)
+    assert(r.getAs[Long]("tax_e6") === 4500000L)
+    assert(r.getAs[Double]("gross_usd") === 100.0)
+    assert(r.getAs[Double]("discount_usd") === 10.0)
+    assert(r.getAs[Double]("tax_usd") === 4.5)
+  }
+
+  test("regionNationShares: shares nest — nation within region, region " +
+      "within total") {
+    val orders = ord(
+      (1L, 10L, "O", "1997-01-01"), (2L, 10L, "O", "1997-01-02"),
+      (3L, 20L, "O", "1997-01-03"), (4L, 30L, "O", "1997-01-04"))
+    val cust = Seq((10L, 0L), (20L, 1L), (30L, 2L))
+      .toDF("c_custkey", "c_nationkey")
+    val nat = Seq((0L, "ALPHA", 0L), (1L, "BETA", 0L), (2L, "GAMMA", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    // region 0: ALPHA 200 + BETA 100 = 300; region 1: GAMMA 100; total 400
+    val r = Gold.regionNationShares(orders, cust, nat)
+      .select("n_regionkey", "n_name", "rev_cents", "region_cents",
+        "share_of_region", "region_share_of_total")
+      .as[(Long, String, Long, Long, Double, Double)].collect().toSet
+    assert(r === Set(
+      (0L, "ALPHA", 20000L, 30000L, 2.0 / 3, 0.75),
+      (0L, "BETA", 10000L, 30000L, 1.0 / 3, 0.75),
+      (1L, "GAMMA", 10000L, 10000L, 1.0, 0.25)))
+  }
 }
