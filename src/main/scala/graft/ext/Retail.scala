@@ -220,6 +220,30 @@ object Retail {
       .select("p_partkey", "price_cents", "p_size")
   }
 
+  /** Customer lifecycle classification: every order is labeled `new`
+    * (customer's first), `reactivated` (gap since the previous order
+    * exceeds `lapseDays`), or `active`, then rolled up to a monthly
+    * (state × orders × distinct customers) report — the
+    * acquisition/winback mix a lifecycle team tracks. The lag window
+    * partitions per customer (parallel); the gap test is exact integer
+    * days; the rollup shuffles the tiny (month, state) key.
+    */
+  def lifecycleStates(ord: DataFrame, lapseDays: Int = 180): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("od"), col("o_orderkey"))
+    ord.select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+      .withColumn("gap",
+        datediff(col("od"), lag("od", 1).over(byCust)).cast("long"))
+      .withColumn("state",
+        when(col("gap").isNull, "new")
+          .when(col("gap") > lapseDays, "reactivated")
+          .otherwise("active"))
+      .groupBy(date_format(col("od"), "yyyy-MM").as("month"), col("state"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct("o_custkey").as("n_customers"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "abc_parts" -> ((s, d) => abcClassification(Tables.lineitem(s, d))),
@@ -227,6 +251,7 @@ object Retail {
     "rfm_segments" -> ((s, d) => rfmSegments(Tables.orders(s, d))),
     "repeat_intervals" -> ((s, d) => repeatIntervals(Tables.orders(s, d))),
     "skyline_parts" -> ((s, d) => skylineParts(Tables.part(s, d))),
+    "lifecycle_states" -> ((s, d) => lifecycleStates(Tables.orders(s, d))),
   )
 
   /** DuckDB twins — the ABC oracle uses the plain single global window
@@ -306,6 +331,26 @@ object Retail {
         |            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
         |            ELSE 'regular' END AS segment
         |FROM s""".stripMargin,
+    "lifecycle_states" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey, od,
+        |         datediff('day',
+        |           lag(od) OVER (PARTITION BY o_custkey
+        |                         ORDER BY od, o_orderkey), od) AS gap
+        |  FROM o),
+        |s AS (
+        |  SELECT strftime(od, '%Y-%m') AS month,
+        |         CASE WHEN gap IS NULL THEN 'new'
+        |              WHEN gap > 180 THEN 'reactivated'
+        |              ELSE 'active' END AS state,
+        |         o_custkey
+        |  FROM g)
+        |SELECT month, state, count(*) AS n_orders,
+        |       count(DISTINCT o_custkey) AS n_customers
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "skyline_parts" ->
       """WITH p AS (
         |  SELECT p_partkey,

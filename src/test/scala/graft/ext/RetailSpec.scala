@@ -122,6 +122,22 @@ class RetailSpec extends SparkSpec {
       (7L, 300L, 12)))
   }
 
+  test("lifecycleStates: first order is new, long gap reactivates, " +
+      "monthly rollup counts orders and distinct customers") {
+    val r = Retail.lifecycleStates(orders(
+      (1L, 1L, 10.0, "2020-01-05"),   // new
+      (2L, 1L, 10.0, "2020-02-01"),   // 27d gap: active
+      (3L, 1L, 10.0, "2020-09-01"),   // 213d gap: reactivated
+      (4L, 2L, 10.0, "2020-02-10")))  // new
+      .select("month", "state", "n_orders", "n_customers")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(r === Set(
+      ("2020-01", "new", 1L, 1L),
+      ("2020-02", "active", 1L, 1L),
+      ("2020-02", "new", 1L, 1L),
+      ("2020-09", "reactivated", 1L, 1L)))
+  }
+
   test("skylineParts plan: frontier applies via broadcast join; the " +
       "window runs on the price-level aggregate, not the fact table") {
     val d = (1L to 100L).map(i => (i, (i % 10).toDouble + 1, (i % 5).toInt))
