@@ -351,7 +351,27 @@ object Similarity {
                 CAST(0.0 AS DOUBLE), (a, e) -> a + e))""").as("recon_l2"))
 
   /** Driver-contract registration (SparkEntry aggregates these). */
+  /** Per-dimension profile of the embedding matrix: count, min, max,
+    * and zero share for each coordinate — the feature-scaling
+    * diagnostic run before quantization or IVF training (a dead or
+    * unbounded dimension shows up here first). Only ORDER-INDEPENDENT
+    * statistics are emitted (min/max/counts): a per-dimension mean
+    * would sum floats in partition order and could never hash-match.
+    * One explode + one aggregate keyed by the 64-value dimension id.
+    */
+  def dimProfile(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min("x").cast("double").as("min_val"),
+        max("x").cast("double").as("max_val"),
+        sum(when(col("x") === 0.0f, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("n"), col("min_val"), col("max_val"),
+        col("n_zero"),
+        (col("n_zero").cast("double") / col("n")).as("zero_share"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_dim_profile" -> ((s, d) => dimProfile(Tables.embeddings(s, d))),
     "sim_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "vec_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "sim_knn_graph"  -> ((s, d) =>
@@ -376,6 +396,20 @@ object Similarity {
 
   /** DuckDB twins (IVF is rows-only; recall asserted in SimilaritySpec). */
   def oracleSql: Map[String, String] = Map(
+    // the 1..64 range matches the testdata embedding dim (TESTDATA.md)
+    "vec_dim_profile" ->
+      """SELECT CAST(g.i - 1 AS INT) AS dim, count(*) AS n,
+        |       CAST(min(list_extract(embedding, g.i)) AS DOUBLE)
+        |         AS min_val,
+        |       CAST(max(list_extract(embedding, g.i)) AS DOUBLE)
+        |         AS max_val,
+        |       CAST(sum(CASE WHEN list_extract(embedding, g.i) = 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       CAST(sum(CASE WHEN list_extract(embedding, g.i) = 0
+        |                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |         AS zero_share
+        |FROM embeddings, generate_series(1, 64) AS g(i)
+        |GROUP BY 1""".stripMargin,
     "vec_quantize_int8" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

@@ -9,6 +9,16 @@ class SimilaritySpec extends SparkSpec {
     rows.map { case (id, v) => (id, v, 0) }
       .toDF("vec_id", "embedding", "label")
 
+  test("dimProfile: per-coordinate min/max/zero-share, order-independent") {
+    val r = Similarity.dimProfile(emb(
+      1L -> Seq(1f, 0f), 2L -> Seq(3f, -2f)))
+      .select("dim", "n", "min_val", "max_val", "n_zero", "zero_share")
+      .as[(Int, Long, Double, Double, Long, Double)].collect().toSet
+    assert(r === Set(
+      (0, 2L, 1.0, 3.0, 0L, 0.0),
+      (1, 2L, -2.0, 0.0, 1L, 0.5)))
+  }
+
   test("cosine: orthogonal=0, identical=1, opposite=-1") {
     val d = emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), 2L -> Seq(-1f, 0f),
       3L -> Seq(2f, 0f))
