@@ -159,6 +159,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.newVsReturning(Tables.events(spark, dataDir))
     def thresholdEpisodes: DataFrame =
       TimeSeries.thresholdEpisodes(Tables.orders(spark, dataDir))
+    def robustAnomalies: DataFrame =
+      TimeSeries.robustAnomalies(Tables.orders(spark, dataDir))
+    def retentionTriangle: DataFrame =
+      TimeSeries.retentionTriangle(Tables.events(spark, dataDir))
   }
 
   /** Commerce analytics over orders/lineitem — see [[graft.ext.Retail]]. */

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -264,13 +264,19 @@ object Relational {
     * [[statsAggs]]' variance/correlation, extended two moments up.
     */
   def momentStats(li: DataFrame): DataFrame = {
+    // per-row rounding BEFORE the sum: each power term is an exact
+    // integer-valued double (q ≤ 50 ⇒ q⁴ ≤ 6.25e6 ≪ 2^53), so the
+    // aggregate is a sum of exact Longs — summing the raw doubles
+    // instead would drift past 2^53 at ~1e9 rows/group and reintroduce
+    // the partition-order dependence this function exists to avoid
     val q = col("l_quantity")
+    def pow(e: Column) = round(e).cast("long")
     val agg = li.groupBy("l_returnflag").agg(
       count(lit(1)).as("n_lines"),
-      round(sum(q)).cast("long").as("s1"),
-      round(sum(q * q)).cast("long").as("s2"),
-      round(sum(q * q * q)).cast("long").as("s3"),
-      round(sum(q * q * q * q)).cast("long").as("s4"))
+      sum(pow(q)).as("s1"),
+      sum(pow(q * q)).as("s2"),
+      sum(pow(q * q * q)).as("s3"),
+      sum(pow(q * q * q * q)).as("s4"))
     agg
       .withColumn("m", col("s1").cast("double") / col("n_lines"))
       .withColumn("e2", col("s2").cast("double") / col("n_lines"))
@@ -284,8 +290,12 @@ object Relational {
         lit(3.0) * (col("m") * col("m")) * (col("m") * col("m")))
       .select(col("l_returnflag"), col("n_lines"), col("s1"), col("s2"),
         col("s3"), col("s4"),
-        (col("mu3") / (col("mu2") * sqrt(col("mu2")))).as("skewness"),
-        (col("mu4") / (col("mu2") * col("mu2")) - lit(3.0))
+        // zero-variance group → NULL, not NaN (same discipline as
+        // zscoreQuantity / robustAnomalies' degenerate guards)
+        when(col("mu2") > 0.0,
+          col("mu3") / (col("mu2") * sqrt(col("mu2")))).as("skewness"),
+        when(col("mu2") > 0.0,
+          col("mu4") / (col("mu2") * col("mu2")) - lit(3.0))
           .as("excess_kurtosis"))
   }
 
@@ -295,10 +305,13 @@ object Relational {
     * window rides the (flag × distinct quantity)-sized count table.
     */
   def modalQuantity(li: DataFrame): DataFrame = {
-    val counts = li
+    // materialized once: feeds both the argmax window and the totals —
+    // without this the fact scan + aggregate run twice
+    val counts = graft.CheckpointLease.track(li
       .groupBy(col("l_returnflag"), round(col("l_quantity")).cast("long")
         .as("qty"))
       .agg(count(lit(1)).as("n_at_mode"))
+      .localCheckpoint())
     val w = Window.partitionBy("l_returnflag")
       .orderBy(col("n_at_mode").desc, col("qty"))
     val totals = counts.groupBy("l_returnflag")
@@ -856,12 +869,15 @@ object Relational {
     "agg_moments" ->
       """WITH g AS (
         |  SELECT l_returnflag, count(*) AS n_lines,
-        |         CAST(round(sum(l_quantity)) AS BIGINT) AS s1,
-        |         CAST(round(sum(l_quantity * l_quantity)) AS BIGINT) AS s2,
-        |         CAST(round(sum(l_quantity * l_quantity * l_quantity))
-        |              AS BIGINT) AS s3,
-        |         CAST(round(sum(l_quantity * l_quantity * l_quantity *
-        |                        l_quantity)) AS BIGINT) AS s4
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |           AS s1,
+        |         CAST(sum(CAST(round(l_quantity * l_quantity) AS BIGINT))
+        |              AS BIGINT) AS s2,
+        |         CAST(sum(CAST(round(l_quantity * l_quantity * l_quantity)
+        |                       AS BIGINT)) AS BIGINT) AS s3,
+        |         CAST(sum(CAST(round(l_quantity * l_quantity * l_quantity *
+        |                             l_quantity) AS BIGINT)) AS BIGINT)
+        |           AS s4
         |  FROM lineitem GROUP BY 1),
         |e AS (
         |  SELECT *,
@@ -880,8 +896,11 @@ object Relational {
         |           CAST(3.0 AS DOUBLE) * (m * m) * (m * m) AS mu4
         |  FROM e)
         |SELECT l_returnflag, n_lines, s1, s2, s3, s4,
-        |       mu3 / (mu2 * sqrt(mu2)) AS skewness,
-        |       mu4 / (mu2 * mu2) - CAST(3.0 AS DOUBLE) AS excess_kurtosis
+        |       CASE WHEN mu2 > 0.0 THEN mu3 / (mu2 * sqrt(mu2)) END
+        |         AS skewness,
+        |       CASE WHEN mu2 > 0.0
+        |            THEN mu4 / (mu2 * mu2) - CAST(3.0 AS DOUBLE) END
+        |         AS excess_kurtosis
         |FROM mu""".stripMargin,
     "agg_mode" ->
       """WITH c AS (

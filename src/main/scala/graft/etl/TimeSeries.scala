@@ -241,10 +241,15 @@ object TimeSeries {
     * fact-table shuffles are the two keyed aggregates.
     */
   def cohortLtv(ord: DataFrame): DataFrame = {
-    val wk = ord.select(col("o_custkey"),
+    // both materialized once: wk feeds the cohort aggregate AND the
+    // cells join; cohorts feeds the sizes aggregate AND the join —
+    // without this the orders scan runs three times
+    val wk = graft.CheckpointLease.track(ord.select(col("o_custkey"),
       date_trunc("week", col("o_orderdate")).cast("date").as("week"),
-      cents("o_totalprice").as("rev_cents"))
-    val cohorts = wk.groupBy("o_custkey").agg(min("week").as("cohort_week"))
+      cents("o_totalprice").as("rev_cents")).localCheckpoint())
+    val cohorts = graft.CheckpointLease.track(
+      wk.groupBy("o_custkey").agg(min("week").as("cohort_week"))
+        .localCheckpoint())
     val sizes = cohorts.groupBy("cohort_week")
       .agg(count(lit(1)).as("n_customers"))
     val cells = wk.join(cohorts, Seq("o_custkey"))

@@ -169,10 +169,13 @@ object Corpus {
     * broadcast corpus totals.
     */
   def sourceMix(docs: DataFrame): DataFrame = {
-    val cells = docs.groupBy("source", "lang")
+    // materialized once: feeds both the totals and the output join —
+    // without this the documents scan + tokenization run twice
+    val cells = graft.CheckpointLease.track(docs.groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).as("n_chars"),
         sum(size(split(col("text"), " "))).as("n_tokens"))
+      .localCheckpoint())
     val tot = cells.agg(sum("n_docs").as("t_docs"),
       sum("n_chars").as("t_chars"))
     cells.crossJoin(broadcast(tot))

@@ -166,7 +166,12 @@ object Graph {
   def degreeDistribution(edgesIn: DataFrame): DataFrame = {
     val deg = edgesIn.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
-    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    // materialized once: the histogram feeds both the totals and the
+    // output join — without this the (expensive) edge derivation and
+    // both aggregates execute twice
+    val hist = graft.CheckpointLease.track(
+      deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .localCheckpoint())
     val tot = hist.agg(sum("n_nodes").as("n_total"))
     hist.crossJoin(broadcast(tot))
       .select(col("degree"), col("n_nodes"),

@@ -251,10 +251,15 @@ object TextAnalysis {
     val withLen = docs.select(col("doc_id"), size(toks).as("dl"), col("text"))
     val stats = withLen.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("total_len"))
-    val tf = withLen
+    // materialized once (tiny: query-term rows only): feeds both the df
+    // aggregate and the final join — without this the corpus tokenization
+    // runs a third time. The stats pass above is the unavoidable second
+    // scan (a global aggregate can't share the per-doc-term grouping).
+    val tf = graft.CheckpointLease.track(withLen
       .select(col("doc_id"), col("dl"), explode(toks).as("term"))
       .filter(col("term").isin(query: _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint())
     val df = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))

@@ -35,7 +35,8 @@ class EngineSpec extends SparkSpec {
       e.timeSeries.cohortLtv, e.timeSeries.twap, e.timeSeries.cusum,
       e.timeSeries.seasonality, e.timeSeries.forwardFill,
       e.timeSeries.activeUsers, e.timeSeries.newVsReturning,
-      e.timeSeries.thresholdEpisodes, e.curation.funnel, e.quality.mad)
+      e.timeSeries.thresholdEpisodes, e.curation.funnel, e.quality.mad,
+      e.timeSeries.robustAnomalies, e.timeSeries.retentionTriangle)
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -318,6 +318,14 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r("A")._6 - -1.5) < 1e-12)
     assert(math.abs(r("B")._5) < 1e-12)
     assert(math.abs(r("B")._6 - -2.0) < 1e-12)
+    // zero-variance group: NULL, never NaN
+    val const = Relational.momentStats(
+      Seq(("C", 5.0), ("C", 5.0)).zipWithIndex
+        .map { case ((rf, q), i) => (1L, i, q, rf) }
+        .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+      .select("skewness", "excess_kurtosis")
+      .as[(Option[Double], Option[Double])].collect().head
+    assert(const === ((None, None)))
   }
 
   test("modalQuantity: most frequent value wins, smallest on ties, " +
