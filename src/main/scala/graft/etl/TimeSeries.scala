@@ -767,7 +767,53 @@ object TimeSeries {
             col("prev_cents")).as("pct_change"))
   }
 
+  /** Discrete-time survival (churn) table over customer tenure — the
+    * Kaplan–Meier life-table shape every retention team computes. Each
+    * customer contributes one observation: tenure = weeks between first
+    * and last order; the customer has CHURNED (event) if their last
+    * order is more than `churnDays` before the corpus cutoff (the max
+    * order date), otherwise they are CENSORED at their current tenure.
+    * Per tenure week: the at-risk count (customers whose tenure reached
+    * that week), churn events, censored exits, and the discrete hazard
+    * `n_churn / n_risk`.
+    *
+    * The survival curve S(t) = Π(1 − hazard) is a running product of
+    * doubles, whose value depends on multiplication order — so this
+    * emits the per-week hazard (exact integers + ONE division, the
+    * Gold determinism rule) and leaves the product to the caller.
+    *
+    * Scale shape: one customer-keyed aggregate over orders (the only
+    * fact-table shuffle), a 1-row cutoff broadcast, then a tenure-week
+    * domain table (calendar-bounded, metadata-sized) where the at-risk
+    * ladder is a single cumulative window — the same aggregated-domain
+    * argument as [[dailyAnomalies]].
+    */
+  def survivalChurn(ord: DataFrame, churnDays: Int = 365): DataFrame = {
+    val per = ord.groupBy(col("o_custkey")).agg(
+      min(to_date(col("o_orderdate"))).as("first_d"),
+      max(to_date(col("o_orderdate"))).as("last_d"))
+    val cutoff = per.agg(max("last_d").as("cutoff"))
+    val labeled = per.crossJoin(broadcast(cutoff))
+      .select(
+        (datediff(col("last_d"), col("first_d")) / 7).cast("long")
+          .as("tenure_week"),
+        (datediff(col("cutoff"), col("last_d")) > churnDays).as("churned"))
+    val byWeek = labeled.groupBy("tenure_week").agg(
+      sum(when(col("churned"), 1L).otherwise(0L)).as("n_churn"),
+      sum(when(col("churned"), 0L).otherwise(1L)).as("n_censor"))
+    val total = labeled.agg(count(lit(1)).as("n_total"))
+    val ladder = Window.orderBy("tenure_week")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byWeek.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("n_churn") + col("n_censor")).over(ladder), lit(0L)))
+      .select(col("tenure_week"), col("n_risk"), col("n_churn"),
+        col("n_censor"),
+        (col("n_churn").cast("double") / col("n_risk")).as("hazard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "survival_churn" -> ((s, d) => survivalChurn(Tables.orders(s, d))),
     "ts_week_over_week" -> ((s, d) => weekOverWeek(Tables.orders(s, d))),
     "ts_anomalies" -> ((s, d) => dailyAnomalies(Tables.orders(s, d))),
     "funnel_latency" -> ((s, d) => timeToConvert(Tables.events(s, d))),
@@ -803,6 +849,38 @@ object TimeSeries {
 
   /** DuckDB twins. */
   def oracleSql: Map[String, String] = Map(
+    "survival_churn" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         min(CAST(o_orderdate AS DATE)) AS first_d,
+        |         max(CAST(o_orderdate AS DATE)) AS last_d
+        |  FROM orders GROUP BY 1),
+        |cut AS (SELECT max(last_d) AS cutoff FROM per),
+        |lab AS (
+        |  SELECT CAST(datediff('day', first_d, last_d) / 7 AS BIGINT)
+        |           AS tenure_week,
+        |         datediff('day', last_d, cutoff) > 365 AS churned
+        |  FROM per, cut),
+        |wk AS (
+        |  SELECT tenure_week,
+        |         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_churn,
+        |         CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS n_censor
+        |  FROM lab GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM lab)
+        |SELECT tenure_week,
+        |       n_total - coalesce(CAST(sum(n_churn + n_censor) OVER (
+        |         ORDER BY tenure_week
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         AS BIGINT), 0) AS n_risk,
+        |       n_churn, n_censor,
+        |       CAST(n_churn AS DOUBLE) /
+        |         (n_total - coalesce(CAST(sum(n_churn + n_censor) OVER (
+        |            ORDER BY tenure_week
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |            AS BIGINT), 0)) AS hazard
+        |FROM wk, tot""".stripMargin,
     "ts_week_over_week" ->
       """WITH w AS (
         |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,

@@ -91,14 +91,59 @@ object Privacy {
       floor(col("c_acctbal") / 1000).cast("long").as("acctbal_bucket"),
       col("c_mktsegment"))
 
+  /** k-anonymity audit over a quasi-identifier tuple — the measurement
+    * side of the anonymization [[maskCustomers]] performs: group rows by
+    * the quasi-identifiers an attacker could link on (market segment,
+    * nation, coarsened account balance), then report the equivalence-
+    * class SIZE DISTRIBUTION — one row per class size k: how many
+    * classes have exactly k members, how many rows they hold, and the
+    * share of the table living at that anonymity level. `min(class_size)`
+    * over the result IS the dataset's k-anonymity; the small-k rows are
+    * the re-identification risk a release review flags.
+    *
+    * Scale shape: one hash aggregate over the table (QI → class size),
+    * then an aggregate over the class table (size → histogram) — the
+    * second input is class-domain-sized, the output is distinct-size-
+    * sized (tiny). The 1-row total broadcasts; the share is exact
+    * integers + one IEEE division.
+    */
+  def kAnonymityAudit(customer: DataFrame): DataFrame = {
+    val classes = customer.groupBy(
+        col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("acctbal_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    val total = customer.agg(count(lit(1)).as("n_total"))
+    classes.groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"))
+      .crossJoin(broadcast(total))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_rows"),
+        ((col("class_size") * col("n_classes")).cast("double") /
+          col("n_total")).as("row_share"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pii_redact_text" -> ((s, d) => redactDocuments(Tables.documents(s, d))),
     "pii_mask_customers" -> ((s, d) => maskCustomers(Tables.customer(s, d))),
+    "kanon_audit" -> ((s, d) => kAnonymityAudit(Tables.customer(s, d))),
   )
 
   /** DuckDB twins — same regexes (shared Java/RE2 subset), same plant. */
   def oracleSql: Map[String, String] = Map(
+    "kanon_audit" ->
+      """WITH cls AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_bucket,
+        |         count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3),
+        |tot AS (SELECT count(*) AS n_total FROM customer)
+        |SELECT class_size,
+        |       count(*) AS n_classes,
+        |       CAST(class_size * count(*) AS BIGINT) AS n_rows,
+        |       CAST(class_size * count(*) AS DOUBLE) / n_total AS row_share
+        |FROM cls, tot
+        |GROUP BY class_size, n_total""".stripMargin,
     "pii_redact_text" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -518,4 +518,27 @@ class TimeSeriesSpec extends SparkSpec {
       ("2020-01-06", 2L, 500L, 3500L, 1750.0),
       ("2020-01-13", 0L, 4000L, 4000L, 4000.0)))
   }
+
+  test("survivalChurn: tenure life table with at-risk ladder and hazard") {
+    // Cutoff = 2002-01-01 (cust 4's last order). churnDays default 365:
+    //   cust 1: one order 2000-01-01 → tenure 0, churned (731 d before cutoff)
+    //   cust 2: 2000-01-01..2000-01-15 → tenure 2 wk, churned
+    //   cust 3: 2001-06-01..2001-12-01 → tenure 26 wk, last 31 d → censored
+    //   cust 4: 2002-01-01 only → tenure 0, censored
+    // Ladder: week 0 risk 4 (churn 1, censor 1); week 2 risk 2 (churn 1);
+    //   week 26 risk 1 (censor 1).
+    val r = TimeSeries.survivalChurn(orders(
+      (1L, 1L, "O", 1.0, "2000-01-01"),
+      (2L, 2L, "O", 1.0, "2000-01-01"),
+      (3L, 2L, "O", 1.0, "2000-01-15"),
+      (4L, 3L, "O", 1.0, "2001-06-01"),
+      (5L, 3L, "O", 1.0, "2001-12-01"),
+      (6L, 4L, "O", 1.0, "2002-01-01")))
+      .select("tenure_week", "n_risk", "n_churn", "n_censor", "hazard")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(r === Set(
+      (0L, 4L, 1L, 1L, 0.25),
+      (2L, 2L, 1L, 0L, 0.5),
+      (26L, 1L, 0L, 1L, 0.0)))
+  }
 }

@@ -55,6 +55,22 @@ class PrivacySpec extends SparkSpec {
       .getAs[Long]("acctbal_bucket") === -1L)
   }
 
+  test("kAnonymityAudit: equivalence-class size distribution and shares") {
+    // QI = (segment, nation, floor(bal/1000)):
+    //   (H,1,1) has 2 members; (H,1,2) has 1; (M,2,1) has 1
+    //   → one class of size 2 (2 rows), two classes of size 1 (2 rows)
+    val cust = Seq(
+      (1L, "a", 1L, 1100.0, "HOUSEHOLD"),
+      (2L, "b", 1L, 1900.0, "HOUSEHOLD"),
+      (3L, "c", 1L, 2100.0, "HOUSEHOLD"),
+      (4L, "d", 2L, 1500.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = Privacy.kAnonymityAudit(cust)
+      .select("class_size", "n_classes", "n_rows", "row_share")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(r === Set((2L, 1L, 2L, 0.5), (1L, 2L, 2L, 0.5)))
+  }
+
   test("redaction is a narrow no-shuffle plan") {
     val docs = Seq((1L, "x", "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
