@@ -795,7 +795,7 @@ object TimeSeries {
     val cutoff = per.agg(max("last_d").as("cutoff"))
     val labeled = per.crossJoin(broadcast(cutoff))
       .select(
-        (datediff(col("last_d"), col("first_d")) / 7).cast("long")
+        floor(datediff(col("last_d"), col("first_d")) / 7).cast("long")
           .as("tenure_week"),
         (datediff(col("cutoff"), col("last_d")) > churnDays).as("churned"))
     val byWeek = labeled.groupBy("tenure_week").agg(
@@ -857,7 +857,7 @@ object TimeSeries {
         |  FROM orders GROUP BY 1),
         |cut AS (SELECT max(last_d) AS cutoff FROM per),
         |lab AS (
-        |  SELECT CAST(datediff('day', first_d, last_d) / 7 AS BIGINT)
+        |  SELECT CAST(datediff('day', first_d, last_d) // 7 AS BIGINT)
         |           AS tenure_week,
         |         datediff('day', last_d, cutoff) > 365 AS churned
         |  FROM per, cut),

@@ -541,4 +541,17 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 2L, 1L, 0L, 0.5),
       (26L, 1L, 0L, 1L, 0.0)))
   }
+
+  test("survivalChurn: tenure_week floors (11 days -> week 1, not 2)") {
+    // 11 / 7 = 1.571…: floor gives week 1; a round-to-nearest cast
+    // (DuckDB CAST(DOUBLE AS BIGINT)) would give 2 — the round-7
+    // divergence witness. Cust 2 pins the cutoff so cust 1 churns.
+    val r = TimeSeries.survivalChurn(orders(
+      (1L, 1L, "O", 1.0, "2000-01-01"),
+      (2L, 1L, "O", 1.0, "2000-01-12"),
+      (3L, 2L, "O", 1.0, "2002-01-01")))
+      .select("tenure_week", "n_churn", "n_censor")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r === Set((0L, 0L, 1L), (1L, 1L, 0L)))
+  }
 }
