@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -27,10 +27,12 @@ import graft.Tables
   * - Candidates are verified with exact Jaccard restricted to the
   *   candidate set (semi-join pushdown into the shingle index).
   *
-  * MinHash/SimHash use Spark's xxhash64 — not reproducible in DuckDB, so
-  * those queries carry no oracle (driver records rows-only checks); the
+  * MinHash uses Spark's xxhash64 — not reproducible in DuckDB, so the
+  * LSH query carries no oracle (driver records a rows-only check); the
   * exact-Jaccard query IS the oracle-checked ground truth, and
-  * DedupSpec asserts LSH recall against it on testdata.
+  * DedupSpec asserts LSH recall against it on testdata. SimHash uses
+  * the portable md5-prefix [[Dedup.tokenHash64]], so BOTH simhash
+  * queries are hash-verified against DuckDB twins.
   */
 object Dedup {
 
@@ -317,25 +319,39 @@ object Dedup {
 
   val SimhashBits = 32
 
+  /** Portable 32-bit token hash: the first 8 hex chars of md5, parsed
+    * as an unsigned integer — `conv(substr(md5(t),1,8),16,10)` here,
+    * `CAST('0x' || substr(md5(t),1,8) AS BIGINT)` in DuckDB. md5 is
+    * bit-identical across engines (RFC 1321), which is what upgrades
+    * the simhash queries from rows-only to hash-verified oracle rows;
+    * xxhash64 (the previous hash) exists only in Spark. 32 bits cover
+    * every bit position [[SimhashBits]] reads.
+    */
+  def tokenHash64(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
   /** 32-bit SimHash per doc from distinct-token hashes: bit j of the
-    * fingerprint is the sign of Σ_tokens (±1 by bit j of xxhash64(token)),
-    * computed by the narrow codegen'd
-    * [[graft.functions.SimHashFingerprint]] expression — no explode, no
-    * shuffle (the former explode + 32-conditional-sum aggregation
-    * re-shuffled every (doc, token) pair; [[simhashAgg]] keeps that form
-    * as the spec-pinned reference).
+    * fingerprint is the sign of Σ_tokens (±1 by bit j of
+    * [[tokenHash64]](token)), with the bit-vote fold computed by the
+    * narrow codegen'd [[graft.functions.SimHashFingerprint]] expression
+    * — no explode, no shuffle (the former explode +
+    * 32-conditional-sum aggregation re-shuffled every (doc, token)
+    * pair; [[simhashAgg]] keeps that form as the spec-pinned
+    * reference).
     */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.SimHashFingerprint.fp(
-        array_distinct(split(col("text"), " ")), SimhashBits).as("simhash"))
+        transform(array_distinct(split(col("text"), " ")),
+          t => tokenHash64(t)),
+        SimhashBits).as("simhash"))
 
   /** Aggregated SimHash reference implementation (see [[simhash]]). */
   def simhashAgg(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHash64(col("tok")))
     val bitSums = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$j")
@@ -400,8 +416,51 @@ object Dedup {
       simhashNearDupPairs(Tables.documents(s, d))),
   )
 
-  /** DuckDB twins (minhash/simhash are hash-dependent → rows-only). */
+  /** Shared fingerprint CTEs of the simhash oracle twins: per-token
+    * md5-prefix hashes ([[tokenHash64]]'s DuckDB spelling), then the
+    * 32 bit-vote sums and the sign fold — generated per bit position so
+    * both engines evaluate the identical integer arithmetic.
+    */
+  private def duckSimhashCtes: String = {
+    val bitSums = (0 until SimhashBits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n       ")
+    val fpExpr = (0 until SimhashBits).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+       |           AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+       |  FROM tok),
+       |bs AS (
+       |  SELECT doc_id,
+       |       $bitSums
+       |  FROM h GROUP BY 1),
+       |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash FROM bs)"""
+      .stripMargin
+  }
+
+  /** DuckDB twins (minhash is hash-dependent → rows-only). */
   def oracleSql: Map[String, String] = Map(
+    "dedup_simhash" ->
+      s"""WITH $duckSimhashCtes
+         |SELECT simhash, min(doc_id) AS keeper_doc_id,
+         |       count(*) AS n_docs
+         |FROM fp GROUP BY 1""".stripMargin,
+    // the engine finds candidates by pigeonhole byte-banding, which is
+    // COMPLETE for hamming <= 3 over 4 bytes (any such pair shares an
+    // identical byte), so the oracle's direct pair join over
+    // fingerprints is the same operator — the banding is a pruning of
+    // the join, not a semantics change (DedupSpec pins completeness)
+    "dedup_simhash_near" ->
+      s"""WITH $duckSimhashCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+         |         AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "dedup_exact_groups" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
         |       count(*) AS n_copies

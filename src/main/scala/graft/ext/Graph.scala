@@ -103,6 +103,13 @@ object Graph {
     ranks.select(col("node").as("part_node"), col("r").as("rank_scaled"))
   }
 
+  /** Oriented-edge count at or under which the closing join broadcasts
+    * the edge list (≈10M rows × ~24 B ≈ 240 MB — comfortably inside
+    * executor memory and far from the broadcast hard ceiling); above it
+    * the closing join falls back to a shuffle join on (b, c).
+    */
+  val TriangleBroadcastMaxEdges: Long = 10000000L
+
   /** Global triangle count via DEGREE-ORDERED ORIENTATION — the
     * standard scale trick: orient every undirected edge from its
     * lower-(degree, id) endpoint to the higher one, so each triangle is
@@ -113,46 +120,66 @@ object Graph {
     * wedge join explodes quadratically on hot nodes — the triangle
     * analogue of the salted-join skew problem.
     *
+    * Orientation compares (deg, node) pairs DIRECTLY (a struct
+    * comparison riding the deg join) — no dense-rank relabel, so there
+    * is no global window anywhere in the plan (an unpartitioned
+    * `row_number()` over the node table was the one data-sized
+    * single-partition sort in this module; at 100× it would serialize
+    * on one task). The wedge join orders endpoints by the same
+    * (deg, node) struct, so the closing edge of a wedge is exactly the
+    * oriented edge (b, c) — one equality join on raw ids.
+    *
+    * The closing join is SIZE-GATED on the materialized oriented-edge
+    * count (a free scalar — `rel` is checkpointed anyway): at or under
+    * `broadcastMaxEdges` the E/2-row list broadcasts and wedges close
+    * map-side (wedges outnumber edges ~35:1 here, so the ~41M wedge
+    * rows never hit an exchange); above it the join ships both sides
+    * hashed on (b, c) — the wedge side still partial-aggregates to one
+    * count per task.
+    *
     * Input `edges`: directed both ways (as [[coPurchaseEdges]] emits);
     * output: one row, the global count.
     */
-  def triangleCount(edgesIn: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the edge list feeds deg AND the relabel join, and the oriented
+  /** Degree-ordered orientation of a both-ways edge list: keeps each
+    * undirected edge once, pointing from its lower-(deg, node) endpoint
+    * to the higher, with the dst endpoint's degree (`dv`) retained for
+    * the wedge ordering. A pure join + struct-comparison filter — no
+    * window, no global sort (exposed for the plan-shape spec).
+    */
+  private[ext] def orientedEdges(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // keep the dst endpoint's (deg, node) on the oriented edge: the wedge
+    // join below orders its two legs by the SAME struct the orientation
+    // used, which is what makes the closing edge a single equality probe
+    edges
+      .join(deg.select(col("node").as("src"), col("deg").as("du")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dv")), Seq("dst"))
+      .filter(struct(col("du"), col("src")) < struct(col("dv"), col("dst")))
+      .select(col("src"), col("dst"), col("dv"))
+  }
+
+  def triangleCount(edgesIn: DataFrame,
+      broadcastMaxEdges: Long = TriangleBroadcastMaxEdges): DataFrame = {
+    // the edge list feeds deg AND the orientation join, and the oriented
     // list below is consumed THREE times (both wedge sides + the closing
     // join) — materialize each once or the pair-explosion upstream runs
     // 3x (measured ~2.5x the whole query at sf0.1)
     val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-    // degree-rank relabeling: nodes get dense ids in (deg, node) order,
-    // so "lower endpoint" is ONE integer comparison and the closing edge
-    // of a wedge (b < c by rank) is exactly the oriented edge (b, c) —
-    // a single equality join, where keeping raw ids would need an OR of
-    // two directions (a nested-loop join). The rank window runs over the
-    // NODE table (edge-count ≫ node-count; a 100 TB graph would compute
-    // ranks with a range-partitioned sort instead of one window
-    // partition, same semantics).
-    val ranked = deg.withColumn("rk",
-      row_number().over(Window.orderBy(col("deg"), col("node"))).cast("long"))
-    val rel = graft.CheckpointLease.track(edges
-      .join(ranked.select(col("node").as("src"), col("rk").as("ru")), Seq("src"))
-      .join(ranked.select(col("node").as("dst"), col("rk").as("rv")), Seq("dst"))
-      .filter(col("ru") < col("rv")) // each undirected edge once, oriented
-      .select(col("ru").as("src"), col("rv").as("dst"))
-      .localCheckpoint(false))
+    val rel = graft.CheckpointLease.track(
+      orientedEdges(edges).localCheckpoint(false))
+    val nOriented = rel.count() // materializes the checkpoint; gate scalar
     val wedges = rel.as("e1")
       .join(rel.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.dv"), col("e1.dst")) <
+            struct(col("e2.dv"), col("e2.dst")))
       .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
-    // broadcast the closing side: wedges outnumber edges ~35:1 here, so
-    // shipping the E/2-row oriented list to every task lets the wedge
-    // stream close triangles map-side and feed a partial count — the 41M
-    // wedge rows never hit an exchange. (At an edge scale past broadcast
-    // limits this reverts to a shuffle join on (b, c); the wedge side
-    // still partial-aggregates to one count per task.)
-    wedges.join(broadcast(rel),
-        col("b") === col("src") && col("c") === col("dst"))
+    val closing = rel.select(col("src").as("cb"), col("dst").as("cc"))
+    val closingSide =
+      if (nOriented <= broadcastMaxEdges) broadcast(closing) else closing
+    wedges.join(closingSide,
+        col("b") === col("cb") && col("c") === col("cc"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 
@@ -242,18 +269,15 @@ object Graph {
         |  SELECT DISTINCT a.pk AS src, b.pk AS dst
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
-        |ranked AS (
-        |  SELECT node, row_number() OVER (ORDER BY deg, node) AS rk
-        |  FROM deg),
         |rel AS (
-        |  SELECT ru.rk AS src, rv.rk AS dst
-        |  FROM e JOIN ranked ru ON e.src = ru.node
-        |         JOIN ranked rv ON e.dst = rv.node
-        |  WHERE ru.rk < rv.rk),
+        |  SELECT e.src, e.dst, dv.deg AS dv
+        |  FROM e JOIN deg du ON e.src = du.node
+        |         JOIN deg dv ON e.dst = dv.node
+        |  WHERE (du.deg, e.src) < (dv.deg, e.dst)),
         |wedges AS (
         |  SELECT e1.dst AS b, e2.dst AS c
         |  FROM rel e1 JOIN rel e2
-        |    ON e1.src = e2.src AND e1.dst < e2.dst)
+        |    ON e1.src = e2.src AND (e1.dv, e1.dst) < (e2.dv, e2.dst))
         |SELECT count(*) AS n_triangles
         |FROM wedges w JOIN rel ON w.b = rel.src AND w.c = rel.dst"""
         .stripMargin,

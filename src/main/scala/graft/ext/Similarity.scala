@@ -218,14 +218,34 @@ object Similarity {
     * natural key whose skew nobody controls; the scale-real block key is
     * an IVF bucket, wired in [[embeddingNearDupPairsIvf]]. Norms are
     * computed once per vector before the join.
+    *
+    * Skew guard: a label bigger than `maxBlockSize` is sub-split by
+    * `vec_id mod ceil(|label|/maxBlockSize)` — the same bound
+    * [[embeddingNearDupPairsIvf]] applies to its IVF buckets — capping
+    * any single join partition at maxBlockSize² comparisons, so ONE hot
+    * label at 100× cannot go quadratic. Cross-sub-block pairs inside an
+    * oversized label are lost by design (the hot-key trade every
+    * blocking scheme makes); the DuckDB twin replicates the split
+    * arithmetic exactly, so the guard itself is hash-verified. At test
+    * SF every label is far below the default cap (nsub = 1 everywhere)
+    * and the output equals the unguarded operator's.
     */
-  def embeddingNearDupPairs(emb: DataFrame,
-      threshold: Double = 0.35): DataFrame = {
-    val a = withNorm(emb.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("ea")), "ea", "na")
-    val b = withNorm(emb.select(col("vec_id").as("vec_b"), col("label"),
-      col("embedding").as("eb")), "eb", "nb")
-    a.join(b, Seq("label"))
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.35,
+      maxBlockSize: Int = 100000): DataFrame = {
+    // label sizes are one tiny agg (≤ distinct-label rows) — broadcast
+    // to derive the per-label sub-split fan-out
+    val sizes = emb.groupBy("label").agg(count(lit(1)).as("bn"))
+    val blocked = emb.join(broadcast(sizes), Seq("label"))
+      .withColumn("nsub",
+        greatest(lit(1L), ceil(col("bn") / lit(maxBlockSize.toDouble))
+          .cast("long")))
+      .withColumn("sub", pmod(col("vec_id"), col("nsub")))
+      .select("label", "sub", "vec_id", "embedding")
+    val a = withNorm(blocked.select(col("label"), col("sub"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea")), "ea", "na")
+    val b = withNorm(blocked.select(col("label"), col("sub"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb")), "eb", "nb")
+    a.join(b, Seq("label", "sub"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
@@ -443,11 +463,22 @@ object Similarity {
          |            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM sims)
          |WHERE rank <= $TopK""".stripMargin,
+    // replicates the maxBlockSize=100000 sub-split guard (nsub = 1 for
+    // every label at test SF, but query and oracle must stay the SAME
+    // operator at every SF — see dedup_ngram_jaccard's cap note)
     "dedup_embedding_cosine" ->
-      s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH ns AS (
+         |  SELECT label,
+         |         GREATEST(1, CAST(ceil(count(*) / 100000.0) AS BIGINT))
+         |           AS nsub
+         |  FROM embeddings GROUP BY 1)
+         |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       ${duckCos("a", "b")} AS cosine
-         |FROM embeddings a JOIN embeddings b
+         |FROM embeddings a
+         |JOIN ns ON a.label = ns.label
+         |JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
+         | AND a.vec_id % ns.nsub = b.vec_id % ns.nsub
          |WHERE ${duckCos("a", "b")} >= 0.35""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH sims AS (

@@ -1,25 +1,30 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** Native SimHash: fingerprint bit j is the sign of
-  * Σ_tokens (±1 by bit j of xxhash64(token)) — computed in ONE pass over
-  * the document's token array (narrow projection, no explode/shuffle).
+/** Native SimHash bit-vote fold: fingerprint bit j is the sign of
+  * Σ_hashes (±1 by bit j of the hash) — computed in ONE pass over the
+  * document's pre-hashed token array (narrow projection, no
+  * explode/shuffle).
   *
   * Replaces the explode + 32-conditional-sum aggregation form, which
-  * shuffled every (doc, token) pair to re-group by doc. Token hashes
-  * replicate the builtin single-argument `xxhash64(token)`
-  * (`XXH64.hashUTF8String(tok, 42)`), so fingerprints are bit-identical
-  * to the aggregated form (DedupSpec pins that).
+  * shuffled every (doc, token) pair to re-group by doc. The expression
+  * takes array<long> of per-token hashes (not raw tokens) so the hash
+  * function is chosen by the caller: [[graft.ext.Dedup.tokenHash64]]
+  * uses an md5-prefix hash reproducible in ANSI SQL, which is what lets
+  * the simhash queries carry a DuckDB oracle instead of a rows-only
+  * check (xxhash64, the previous choice, exists only in Spark).
+  * Fingerprints are bit-identical to the aggregated form over the same
+  * hashes (DedupSpec pins that).
   */
 case class SimHashFingerprint(child: Expression, bits: Int)
     extends UnaryExpression {
 
-  // input contract: array<string> of (distinct) tokens
+  // input contract: array<long> of (distinct) token hashes
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -28,7 +33,7 @@ case class SimHashFingerprint(child: Expression, bits: Int)
     val counts = new Array[Int](bits)
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      val h = arr.getLong(i)
       var j = 0
       while (j < bits) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -57,8 +62,7 @@ case class SimHashFingerprint(child: Expression, bits: Int)
          |int $n = $a.numElements();
          |int[] $counts = new int[$bits];
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |    .hashUTF8String($a.getUTF8String($i), 42L);
+         |  long $h = $a.getLong($i);
          |  for (int $j = 0; $j < $bits; $j++) {
          |    if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
          |  }
@@ -76,7 +80,8 @@ case class SimHashFingerprint(child: Expression, bits: Int)
 }
 
 object SimHashFingerprint {
-  def fp(tokens: Column, bits: Int): Column =
+  /** `hashes`: array<long> of per-token hashes (see class doc). */
+  def fp(hashes: Column, bits: Int): Column =
     org.apache.spark.sql.GraftBridge.column(SimHashFingerprint(
-      org.apache.spark.sql.GraftBridge.expression(tokens), bits))
+      org.apache.spark.sql.GraftBridge.expression(hashes), bits))
 }

@@ -58,6 +58,39 @@ class GraphSpec extends SparkSpec {
     graft.CheckpointLease.releaseAll()
   }
 
+  test("triangleCount: shuffle-join fallback path counts identically") {
+    // broadcastMaxEdges = 0 forces the non-broadcast closing join; the
+    // count must not depend on which join strategy the gate picks
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val edges = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val viaBroadcast = Graph.triangleCount(edges).first().getLong(0)
+    graft.CheckpointLease.releaseAll()
+    val viaShuffle =
+      Graph.triangleCount(edges, broadcastMaxEdges = 0L).first().getLong(0)
+    graft.CheckpointLease.releaseAll()
+    assert(viaBroadcast === 5L) // 4 in K4 + triangle 4-5-6
+    assert(viaShuffle === viaBroadcast)
+  }
+
+  test("triangle orientation plan contains no window operator") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val edges = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    // the orientation subplan is where the old dense-rank relabel put an
+    // unpartitioned row_number() — assert the struct-comparison form
+    // really dropped it (the outer plan is cut at a checkpoint, so it is
+    // the subplan that must be window-free)
+    val plan = Graph.orientedEdges(edges)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"),
+      s"orientation must not use a global window:\n$plan")
+    val orient = Graph.orientedEdges(edges).as[(Long, Long, Long)]
+      .collect().map { case (s, d, _) => (s, d) }.toSet
+    assert(orient === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("coPurchaseEdges pairs within orders, undirected, mega-order capped") {
     val li = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L), // order 10: triangle

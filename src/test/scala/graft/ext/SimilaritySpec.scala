@@ -85,6 +85,22 @@ class SimilaritySpec extends SparkSpec {
       "only the same-label near-dup pair, emitted once")
   }
 
+  test("embeddingNearDupPairs: hot-label sub-split bounds comparisons, " +
+      "default cap leaves output unchanged") {
+    // 6 near-identical vectors all in ONE label: maxBlockSize=2 splits
+    // it into 3 sub-blocks by vec_id mod 3 — same guard arithmetic as
+    // the IVF variant, now on the exact/oracle path
+    val d = (0L to 5L).map(i => (i, Seq(1f, i * 1e-4f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val all = Similarity.embeddingNearDupPairs(d, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val split = Similarity.embeddingNearDupPairs(d, 0.9, maxBlockSize = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(all.size === 15, "label under the default cap compares all 6C2")
+    assert(split === Set((0L, 3L), (1L, 4L), (2L, 5L)),
+      "vec_id pmod 3 sub-blocks: {0,3},{1,4},{2,5}")
+  }
+
   test("embeddingNearDupPairsIvf: recall >= 0.9 vs UNBLOCKED ground truth " +
       "on sf0.001 embeddings") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
