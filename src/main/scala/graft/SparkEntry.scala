@@ -38,7 +38,7 @@ object SparkEntry {
       Privacy.queries ++ SnapshotDiff.queries ++ BloomJoin.queries ++
       HeavyHitters.queries ++ IncrementalAgg.queries ++ Expectations.queries ++
       Graph.queries ++ FuzzyJoin.queries ++ Retail.queries ++
-      Experiment.queries
+      Experiment.queries ++ graft.sources.Bronze.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -52,5 +52,6 @@ object SparkEntry {
       Privacy.oracleSql ++ SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++
       HeavyHitters.oracleSql ++ IncrementalAgg.oracleSql ++
       Expectations.oracleSql ++ Graph.oracleSql ++ FuzzyJoin.oracleSql ++
-      Retail.oracleSql ++ Experiment.oracleSql
+      Retail.oracleSql ++ Experiment.oracleSql ++
+      graft.sources.Bronze.oracleSql
 }

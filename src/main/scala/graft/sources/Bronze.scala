@@ -150,6 +150,48 @@ object Bronze {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** S1, driver-surfaced: round-trip the orders table through a CSV
+    * write + explicit-schema read, then the silver orders stage. The
+    * oracle is silver_orders' SQL over the PARQUET table, so any CSV
+    * fidelity bug — timestamp format drift, double shortest-repr
+    * round-trip, header/quoting — hash-mismatches instead of hiding in
+    * a test-only path (the one §2 source surface the DuckDB gate never
+    * crossed before this query). The CSV lands under the build's target
+    * dir; the explicit format pins timestamp text on both write and
+    * read (orders timestamps are midnight-precision, FIXTURES.md §B).
+    */
+  def csvRoundtripOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${sys.props("user.dir")}/target/csv-roundtrip/" +
+      s"orders_${Integer.toHexString(sfDir.hashCode)}"
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    graft.Tables.orders(spark, sfDir).write
+      .mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("timestampFormat", fmt)
+      .option("timestampNTZFormat", fmt)
+      .csv(path)
+    val back = spark.read
+      .schema(schemas("orders"))
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .option("timestampFormat", fmt)
+      .option("timestampNTZFormat", fmt)
+      .csv(path)
+    graft.etl.Silver.ordersStage(back)
+  }
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_silver_orders" -> (csvRoundtripOrders(_, _)),
+  )
+
+  /** The CSV round-trip must land byte-identical to the parquet-sourced
+    * silver_orders — same oracle SQL, so the twin IS the fidelity check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "csv_silver_orders" -> graft.etl.Silver.oracleSql("silver_orders"),
+  )
+
   /** S2-shape generic JDBC reader (the reference reads every zone through
     * this; our engine keeps it for external-database ingest). Partitioned
     * on a numeric column — the reference's single-partition read was its

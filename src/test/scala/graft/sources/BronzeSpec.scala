@@ -19,6 +19,16 @@ class BronzeSpec extends SparkSpec {
       src.orderBy("c_custkey").collect().map(_.toSeq).toSeq)
   }
 
+  test("csvRoundtripOrders equals the parquet-sourced silver stage") {
+    val viaCsv = Bronze.csvRoundtripOrders(spark, "/root/testdata/sf0.001")
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val viaParquet = graft.etl.Silver.orders(spark, "/root/testdata/sf0.001")
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(viaCsv.nonEmpty)
+    assert(viaCsv === viaParquet,
+      "CSV write+read must be value-faithful through the silver stage")
+  }
+
   test("explicit schemas match the driver parquet testdata on read") {
     for ((name, schema) <- Bronze.schemas if name != "events") {
       val actual = spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
