@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Expectations, Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
-import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, TextAnalysis}
+import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, Stats, TextAnalysis}
 import graft.streaming.EventsStreaming
 import graft.operators.{AsOfJoin, BloomJoin, FuzzyJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 
@@ -38,7 +38,7 @@ object SparkEntry {
       Privacy.queries ++ SnapshotDiff.queries ++ BloomJoin.queries ++
       HeavyHitters.queries ++ IncrementalAgg.queries ++ Expectations.queries ++
       Graph.queries ++ FuzzyJoin.queries ++ Retail.queries ++
-      Experiment.queries ++ graft.sources.Bronze.queries
+      Experiment.queries ++ Stats.queries ++ graft.sources.Bronze.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -52,6 +52,6 @@ object SparkEntry {
       Privacy.oracleSql ++ SnapshotDiff.oracleSql ++ BloomJoin.oracleSql ++
       HeavyHitters.oracleSql ++ IncrementalAgg.oracleSql ++
       Expectations.oracleSql ++ Graph.oracleSql ++ FuzzyJoin.oracleSql ++
-      Retail.oracleSql ++ Experiment.oracleSql ++
+      Retail.oracleSql ++ Experiment.oracleSql ++ Stats.oracleSql ++
       graft.sources.Bronze.oracleSql
 }

@@ -185,8 +185,35 @@ object Corpus {
         (col("n_chars").cast("double") / col("t_chars")).as("char_share"))
   }
 
+  /** Temperature-scaled source mixing weights, T = 0.5: sampling weight
+    * w_i ∝ n_i^T — the standard rebalancing that up-weights tail
+    * sources and damps head sources when mixing corpora for LM
+    * pretraining (multilingual temperature sampling). T = 0.5 makes the
+    * power a SQUARE ROOT, the one non-trivial power that is a
+    * correctly-rounded IEEE-754 primitive (pow/log are not), so both
+    * engines compute bit-identical doubles; the weight is then floored
+    * to integer micro-units so the normalizing Σ is an EXACT integer
+    * sum (a double Σ over sources would be partition-order-dependent)
+    * and each share is one final correctly-rounded division.
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    // materialized once: feeds the totals and the output join
+    val w = graft.CheckpointLease.track(docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0))
+          .cast("long"))
+      .localCheckpoint())
+    val tot = w.agg(sum("n_docs").as("t_docs"), sum("w_micro").as("t_w"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        (col("n_docs").cast("double") / col("t_docs")).as("doc_share"),
+        (col("w_micro").cast("double") / col("t_w")).as("weight_share"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_temperature" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
     "corpus_source_mix" -> ((s, d) => sourceMix(Tables.documents(s, d))),
     "corpus_line_dedup" -> ((s, d) => dedupLines(Tables.documents(s, d))),
     "text_chunks"  -> ((s, d) => chunkDocuments(Tables.documents(s, d))),
@@ -197,6 +224,18 @@ object Corpus {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "mix_temperature" ->
+      """WITH w AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0)
+        |              AS BIGINT) AS w_micro
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+        |             CAST(sum(w_micro) AS BIGINT) AS t_w FROM w)
+        |SELECT w.source, w.n_docs, w.w_micro,
+        |       CAST(w.n_docs AS DOUBLE) / t.t_docs AS doc_share,
+        |       CAST(w.w_micro AS DOUBLE) / t.t_w AS weight_share
+        |FROM w, t""".stripMargin,
     "corpus_source_mix" ->
       """WITH c AS (
         |  SELECT source, lang, count(*) AS n_docs,

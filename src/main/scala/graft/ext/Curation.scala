@@ -186,7 +186,65 @@ object Curation {
       .select("doc_id", "lang", "source", "n_chars", "res_key")
 
   /** Driver-contract registration (SparkEntry aggregates these). */
+  /** Length-bucketed batching profile: each doc is assigned to the
+    * smallest power-of-two context bucket that holds it (capped at
+    * `maxLen` — longer docs are truncated, the standard loader
+    * behavior), and per bucket we account the padding economics a
+    * training run would pay: real tokens, padded slots
+    * (`n_docs · bucket_len`), waste share, and the number of fixed
+    * token-budget batches (`budget div bucket_len` rows per batch).
+    * All integer arithmetic + one division per bucket.
+    *
+    * Scale shape: one narrow scan → ≤ 9 bucket rows (value-domain
+    * bounded); the batch math is post-aggregate.
+    */
+  def batchPadding(docs: DataFrame, maxLen: Int = 4096,
+      budget: Int = 16384): DataFrame = {
+    val nTok = least(size(split(col("text"), " ")).cast("long"), lit(maxLen.toLong))
+    // smallest power-of-two >= n_tokens, floor 16: a fixed CASE ladder
+    // (identical on the oracle side) rather than log2 — no libm
+    val bucket = when(nTok <= 16L, 16L).when(nTok <= 32L, 32L)
+      .when(nTok <= 64L, 64L).when(nTok <= 128L, 128L)
+      .when(nTok <= 256L, 256L).when(nTok <= 512L, 512L)
+      .when(nTok <= 1024L, 1024L).when(nTok <= 2048L, 2048L)
+      .otherwise(4096L)
+    docs.select(nTok.as("n_tokens"), bucket.as("bucket_len"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("real_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket_len"))
+      .withColumn("waste_share",
+        (col("padded_tokens") - col("real_tokens")).cast("double") /
+          col("padded_tokens"))
+      .withColumn("rows_per_batch", expr(s"${budget.toLong}L div bucket_len"))
+      .withColumn("n_batches",
+        expr("(n_docs + rows_per_batch - 1) div rows_per_batch"))
+      .select("bucket_len", "n_docs", "real_tokens", "padded_tokens",
+        "waste_share", "rows_per_batch", "n_batches")
+  }
+
+  /** Epoch repetition policy (data-constrained scaling): each source
+    * tier is repeated a fixed number of epochs — tier
+    * `suffix(source) mod 4` → 4/3/2/1 epochs — and the exploded
+    * training instances are accounted per (source, epoch). The explode
+    * is `sequence(1, repeats)`, so the multiplier is row-local (no
+    * shuffle before the final keyed agg) and the plan scales linearly
+    * in output rows.
+    */
+  def epochRepeats(docs: DataFrame): DataFrame = {
+    val tier = expr("CAST(substring(source, 4) AS LONG) % 4")
+    docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (lit(4L) - tier).as("repeats"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("repeats"),
+        explode(sequence(lit(1L), col("repeats"))).as("epoch"))
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        max("repeats").as("repeats"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "batch_padding"     -> ((s, d) => batchPadding(Tables.documents(s, d))),
+    "curation_repeats"  -> ((s, d) => epochRepeats(Tables.documents(s, d))),
     "sample_weighted"   -> ((s, d) =>
       weightedReservoir(Tables.documents(s, d))),
     "curation_funnel"   -> ((s, d) => filterFunnel(Tables.documents(s, d))),
@@ -199,6 +257,51 @@ object Curation {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "batch_padding" ->
+      """WITH t AS (
+        |  SELECT least(len(string_split(text, ' ')), 4096) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |         CASE WHEN n_tokens <= 16 THEN 16
+        |              WHEN n_tokens <= 32 THEN 32
+        |              WHEN n_tokens <= 64 THEN 64
+        |              WHEN n_tokens <= 128 THEN 128
+        |              WHEN n_tokens <= 256 THEN 256
+        |              WHEN n_tokens <= 512 THEN 512
+        |              WHEN n_tokens <= 1024 THEN 1024
+        |              WHEN n_tokens <= 2048 THEN 2048
+        |              ELSE 4096 END AS bucket_len
+        |  FROM t),
+        |a AS (
+        |  SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+        |         count(*) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS real_tokens
+        |  FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT *, n_docs * bucket_len AS padded_tokens,
+        |         16384 // bucket_len AS rows_per_batch
+        |  FROM a)
+        |SELECT bucket_len, n_docs, real_tokens, padded_tokens,
+        |       CAST(padded_tokens - real_tokens AS DOUBLE) / padded_tokens
+        |         AS waste_share,
+        |       rows_per_batch,
+        |       (n_docs + rows_per_batch - 1) // rows_per_batch AS n_batches
+        |FROM p""".stripMargin,
+    "curation_repeats" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         4 - (CAST(substr(source, 4) AS BIGINT) % 4) AS repeats
+        |  FROM documents),
+        |e AS (
+        |  SELECT source, doc_id, n_tokens, repeats,
+        |         unnest(range(1, repeats + 1)) AS epoch
+        |  FROM t)
+        |SELECT source, CAST(epoch AS BIGINT) AS epoch, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(max(repeats) AS BIGINT) AS repeats
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "curation_funnel" ->
       """WITH f AS (
         |  SELECT len(toks) AS n_tok,

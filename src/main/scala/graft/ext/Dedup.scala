@@ -317,6 +317,73 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Portable slot hash for the oracle-checked MinHash path: 60-bit
+    * md5 prefix of "slot:shingle" — `CAST('0x' || substr(md5(...),1,15)
+    * AS BIGINT)` in DuckDB, bit-identical (md5 is RFC 1321 on both
+    * engines). The xxhash64 path ([[minhashSignaturesNarrow]]) stays
+    * the throughput form (codegen'd, no per-slot string building); this
+    * one exists so the LSH family has a hash-verified twin.
+    */
+  def slotHashPortable(slot: Int, shingle: Column): Column =
+    conv(substring(md5(concat(lit(s"$slot:"), shingle)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signatures over STRING shingles with the portable slot
+    * hash: k min-aggregates in one keyed pass (map-side partials), same
+    * k×bands geometry as the xxhash64 path.
+    */
+  def minhashSignaturesPortable(sh: DataFrame): DataFrame = {
+    val sigCols = (0 until MinhashK).map { j =>
+      min(slotHashPortable(j, col("shingle"))).as(s"h$j")
+    }
+    sh.groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** LSH candidates with portable band keys: the band key is the
+    * ':'-joined decimal text of the band's signature slots (identical
+    * long→string rendering on both engines), instead of an xxhash64 of
+    * the slots.
+    */
+  def lshCandidatesPortable(sigs: DataFrame): DataFrame = {
+    val nBands = MinhashK / BandRows
+    val banded = sigs.select(col("doc_id"), posexplode(array(
+      (0 until nBands).map(b => concat_ws(":",
+        (0 until BandRows).map(r =>
+          col("sig")(b * BandRows + r).cast("string")): _*)): _*))
+      .as(Seq("band", "band_key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** [[minhashDedupDocs]] with every hash portable (md5-prefix slot
+    * hashes, decimal-text band keys) so the WHOLE LSH pipeline —
+    * signatures, banding, candidate join, Jaccard verify, survivor
+    * anti-join — is replicated in the DuckDB twin and hash-verified,
+    * not just recall-gated. Same band geometry as the fast path, so
+    * DedupSpec's recall pin transfers.
+    */
+  def minhashDedupDocsPortable(docs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).persist()
+    val cands = lshCandidatesPortable(minhashSignaturesPortable(sh))
+    val verified = graft.CheckpointLease.track(
+      jaccardForPairs(sh, cands)
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true))
+    sh.unpersist()
+    docs.join(verified.select(col("doc_b").as("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   val SimhashBits = 32
 
   /** Portable 32-bit token hash: the first 8 hex chars of md5, parsed
@@ -411,6 +478,8 @@ object Dedup {
     }),
     "dedup_minhash_lsh"   -> ((s, d) =>
       minhashDedupDocs(Tables.documents(s, d))),
+    "dedup_minhash_md5"   -> ((s, d) =>
+      minhashDedupDocsPortable(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => simhashGroups(Tables.documents(s, d))),
     "dedup_simhash_near"  -> ((s, d) =>
       simhashNearDupPairs(Tables.documents(s, d))),
@@ -442,8 +511,63 @@ object Dedup {
       .stripMargin
   }
 
-  /** DuckDB twins (minhash is hash-dependent → rows-only). */
+  /** Full LSH oracle twin of [[minhashDedupDocsPortable]]: the same 32
+    * md5-prefix slot minima, 16 decimal-text band keys, candidate join,
+    * Jaccard verify, and survivor anti-join — generated per slot/band so
+    * both engines evaluate the identical arithmetic.
+    */
+  private def duckMinhashPortableSql: String = {
+    val mins = (0 until MinhashK).map(j =>
+      s"min(CAST('0x' || substr(md5('$j:' || shingle), 1, 15) AS BIGINT))" +
+        s" AS h$j").mkString(",\n         ")
+    val nBands = MinhashK / BandRows
+    val bandRows = (0 until nBands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"  SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH sh0 AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                               for i in range(1, len(toks)-1)]))
+       |           AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM sh0 GROUP BY 1),
+       |banded AS (
+       |$bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh0 a ON c.doc_a = a.doc_id
+       |  JOIN sh0 b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT i.doc_b
+       |  FROM inter i
+       |  JOIN sizes sa ON i.doc_a = sa.doc_id
+       |  JOIN sizes sb ON i.doc_b = sb.doc_id
+       |  WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin
+  }
+
+  /** DuckDB twins (xxhash64 minhash is hash-dependent → rows-only; the
+    * portable variant below is fully oracle-checked).
+    */
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_md5" -> duckMinhashPortableSql,
     "dedup_simhash" ->
       s"""WITH $duckSimhashCtes
          |SELECT simhash, min(doc_id) AS keeper_doc_id,

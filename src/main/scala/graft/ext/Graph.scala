@@ -183,6 +183,39 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core extraction by iterative peeling: `rounds` fixed rounds of
+    * "drop every node whose degree in the CURRENT subgraph is < k",
+    * then the surviving nodes with their final in-core degree. The
+    * fixed round count makes the operator deterministic and gives the
+    * oracle an exact unrolled-CTE twin (same trade as [[pagerank]]'s
+    * fixed iterations); on the testdata co-purchase graph k = 80
+    * reaches its fixpoint in ≤ 6 rounds at sf0.01 AND sf0.1, so 8
+    * rounds return the true k-core there. A production run would
+    * convergence-test per round like [[Components]] (edge count
+    * unchanged → stop) — same per-round plan, driver-side scalar only.
+    *
+    * Scale shape: each round is one keyed degree agg + two semi-join
+    * restrictions on a SHRINKING edge list, checkpointed per round so
+    * the plan stays O(1) deep — the canonical distributed peel.
+    * Input `edges`: directed both ways (as [[coPurchaseEdges]] emits).
+    */
+  def kcore(edgesIn: DataFrame, k: Int = 80, rounds: Int = 8): DataFrame = {
+    var edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+      edges = graft.CheckpointLease.track(edges
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"))
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select("src", "dst")
+        .localCheckpoint(false))
+    }
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Degree distribution of an undirected graph (edges emitted both
     * ways, so out-degree = degree): how many nodes have each degree,
     * with the degree's share of nodes — the first diagnostic run on any
@@ -213,7 +246,35 @@ object Graph {
       triangleCount(coPurchaseEdges(Tables.lineitem(s, d)))),
     "graph_degrees" -> ((s, d) =>
       degreeDistribution(coPurchaseEdges(Tables.lineitem(s, d)))),
+    "graph_kcore" -> ((s, d) =>
+      kcore(coPurchaseEdges(Tables.lineitem(s, d)))),
   )
+
+  /** Unrolled k-core oracle: 8 peel rounds as chained CTEs (e0..e8),
+    * identical restriction arithmetic per round.
+    */
+  private def duckKcoreSql: String = {
+    // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    // each round references its predecessor TWICE (the edge relation
+    // and the survivor set), so the inlined expression tree would grow
+    // 2^rounds — materialization keeps the unrolled peel linear, which
+    // is also what the Spark side's per-round localCheckpoint does
+    val rounds = (1 to 8).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY 1
+         |        HAVING count(*) >= 80),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |        JOIN k$i a ON e.src = a.src
+         |        JOIN k$i b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       |$rounds
+       |SELECT src AS node, count(*) AS core_deg FROM e8 GROUP BY 1"""
+      .stripMargin
+  }
 
   /** DuckDB twin: the same 3 fixed-point iterations unrolled as CTEs —
     * `//` (floor div) equals Spark's `div` for the all-positive values
@@ -221,6 +282,7 @@ object Graph {
     * exactly.
     */
   def oracleSql: Map[String, String] = Map(
+    "graph_kcore" -> duckKcoreSql,
     "graph_degrees" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

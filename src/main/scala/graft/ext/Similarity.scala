@@ -390,7 +390,37 @@ object Similarity {
         col("n_zero"),
         (col("n_zero").cast("double") / col("n")).as("zero_share"))
 
+  /** Per-label centroid of the embedding matrix in exact micro-units:
+    * each coordinate is floored to int64 millionths
+    * (`floor(x·10⁶)` — float→double cast is exact, one
+    * correctly-rounded multiply, floor), so the per-(label, dim) sums
+    * are ORDER-INDEPENDENT integers and the centroid
+    * (`sum div n`, integer floor division) hash-matches across
+    * engines — the trick that lets a MEAN of floats be oracle-checked
+    * where [[dimProfile]] had to stop at min/max. The ~1e-6 per-element
+    * quantization is far below any embedding model's noise floor.
+    *
+    * Scale shape: one posexplode + one agg keyed by
+    * (label × 64 dims) — value-domain bounded output; map-side partial
+    * sums do the heavy lifting.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long")
+          .as("micro"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum("micro").as("sum_micro"))
+      // both Spark's `div` and DuckDB's `//` truncate toward zero on
+      // integers (verified with negative operands), so plain integer
+      // division is portable even for the negative sums here
+      .withColumn("mean_micro", expr("sum_micro div n_vecs"))
+      .select("label", "dim", "n_vecs", "sum_micro", "mean_micro")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_label_centroids" -> ((s, d) =>
+      labelCentroids(Tables.embeddings(s, d))),
     "vec_dim_profile" -> ((s, d) => dimProfile(Tables.embeddings(s, d))),
     "sim_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "vec_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
@@ -416,6 +446,20 @@ object Similarity {
 
   /** DuckDB twins (IVF is rows-only; recall asserted in SimilaritySpec). */
   def oracleSql: Map[String, String] = Map(
+    "vec_label_centroids" ->
+      """WITH m AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         unnest(range(len(embedding))) AS dim,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |              AS BIGINT) AS micro
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT label, CAST(dim AS INT) AS dim, count(*) AS n_vecs,
+        |         CAST(sum(micro) AS BIGINT) AS sum_micro
+        |  FROM m GROUP BY 1, 2)
+        |SELECT label, dim, n_vecs, sum_micro,
+        |       sum_micro // n_vecs AS mean_micro
+        |FROM a""".stripMargin,
     // the 1..64 range matches the testdata embedding dim (TESTDATA.md)
     "vec_dim_profile" ->
       """SELECT CAST(g.i - 1 AS INT) AS dim, count(*) AS n,

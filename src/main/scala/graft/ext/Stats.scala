@@ -1,0 +1,281 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Exact-arithmetic statistics the reference's Gold layer stops short
+  * of: per-group OLS trend lines, Pearson correlation, market
+  * concentration (Herfindahl), and a Benford first-digit audit — the
+  * next analyses an e-commerce warehouse (reference
+  * `include/scripts/to_gold.py:57-132` ends at groupBy aggregates)
+  * would run on the same tables.
+  *
+  * == Determinism contract ==
+  * Every statistic here is derived from EXACT integer aggregates
+  * (counts, integer-divided day means, ppm shares) through a fixed DAG
+  * of correctly-rounded IEEE-754 ops (`+ − × ÷ sqrt`), the same
+  * argument as graft.ext.Experiment's Wilson interval: identical
+  * integer inputs + identical expression tree → bit-identical doubles
+  * on both engines. No libm calls (no log/exp/pow) anywhere.
+  *
+  * == Scale shape ==
+  * Each operator pre-aggregates to a VALUE-DOMAIN-BOUNDED table first
+  * (days since anchor ≤ ~2.5k, nations = 25, digits = 9), so the
+  * second-stage sums see metadata-sized inputs no matter the corpus
+  * size — the same day-domain decomposition graft.etl.TimeSeries uses.
+  * Per-day means use integer floor division, which both bounds the
+  * magnitudes (overflow headroom is then set by the DOMAIN, not the
+  * data: n·Σxy ≤ 2.5k·2.5k·2.5k·6e5 ≈ 1e16 ≪ 2^63) and keeps the
+  * arithmetic exact at any scale factor.
+  */
+object Stats {
+
+  /** Day index since a fixed literal anchor — identical on both
+    * engines, no global-min scalar subquery needed.
+    */
+  private def dayX(c: Column): Column = datediff(c.cast("date"), lit("1995-01-01"))
+
+  /** Per-segment OLS trend of daily average order value.
+    *
+    * Stage 1 (data-sized → day-domain): per (segment, day): order count
+    * and exact revenue cents; the day's y = avg dollars per order by
+    * integer division (bounded by max order value, not by data volume).
+    * Stage 2 (day-domain, ≤ ~2.5k rows/segment): exact integer power
+    * sums; slope/intercept from the closed form
+    * `slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` — integer numerator and
+    * denominator emitted exactly, one double division each for
+    * slope/intercept.
+    */
+  def trendSegmentSpend(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val daily = orders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        dayX(col("o_orderdate")).cast("long").as("x"),
+        col("o_totalprice"))
+      .groupBy("c_mktsegment", "x")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      // y: the day's mean order value in whole dollars (exact floor div)
+      .withColumn("y", expr("rev_cents div (n_orders * 100)"))
+    daily.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope",
+        col("slope_num").cast("double") / col("slope_den").cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n_days").cast("double"))
+      .select("c_mktsegment", "n_days", "sx", "sy", "sxy", "sxx",
+        "slope_num", "slope_den", "slope", "intercept")
+  }
+
+  /** Per-returnflag Pearson correlation between daily mean quantity and
+    * daily mean line value — same two-stage day-domain decomposition as
+    * [[trendSegmentSpend]]; `r = (nΣxy−ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))`
+    * over exact integers, two sqrts + one multiply + one divide.
+    */
+  def corrQtyValue(lineitem: DataFrame): DataFrame = {
+    val daily = lineitem
+      .select(col("l_returnflag"),
+        dayX(col("l_shipdate")).cast("long").as("day"),
+        col("l_quantity"), col("l_extendedprice"))
+      .groupBy("l_returnflag", "day")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("qty_sum"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("val_cents"))
+      .select(col("l_returnflag"),
+        expr("qty_sum div n_items").as("x"),
+        expr("val_cents div (n_items * 100)").as("y"))
+    daily.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("r_num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den_x", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("den_y", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r", col("r_num").cast("double") /
+        (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double"))))
+      .select("l_returnflag", "n_days", "r_num", "den_x", "den_y", "r")
+  }
+
+  /** Revenue concentration per region: Herfindahl–Hirschman index over
+    * member nations' shares, in exact ppm arithmetic.
+    *
+    * Shares are integer ppm (`rev_k·10⁶ div tot_k` over whole-k$ revenue
+    * — k$ units keep `rev·10⁶` inside int64 at any plausible scale), so
+    * `hhi_ppm2 = Σ share_ppm²` is an exact integer at most 10¹²
+    * regardless of data volume (shares sum to ≤ 10⁶ by construction);
+    * the reported `hhi` is one double division. Nation cardinality is
+    * 25, so stage 2 is metadata-sized.
+    */
+  def hhiRegionRevenue(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    // pre-aggregate the fact side to one row per customer BEFORE the
+    // join — the customer⋈orders exchange then moves |customer| rows,
+    // not |orders| (int cents re-associate exactly, oracle unaffected)
+    val custRev = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cust_cents"))
+    val natRev = custRev
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("cust_cents")).as("rev_cents"))
+      .withColumn("rev_k", expr("rev_cents div 100000"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+    val tot = natRev.groupBy(col("r_name"))
+      .agg(sum("rev_k").as("tot_k"), count(lit(1)).as("n_members"))
+    natRev.join(broadcast(tot), Seq("r_name"))
+      .withColumn("share_ppm", expr("(rev_k * 1000000) div tot_k"))
+      .groupBy("r_name", "n_members", "tot_k")
+      .agg(sum(col("share_ppm") * col("share_ppm")).as("hhi_ppm2"),
+        max("share_ppm").as("top_share_ppm"))
+      .withColumn("hhi", col("hhi_ppm2").cast("double") / lit(1.0e12))
+      .select("r_name", "n_members", "tot_k", "hhi_ppm2", "top_share_ppm", "hhi")
+  }
+
+  /** Benford first-significant-digit audit of order totals: observed
+    * count and share per leading digit 1–9. Fraud/quality screens
+    * compare this profile against Benford's log curve; the log EXPECTED
+    * values are left to the consumer (libm would break hash
+    * portability) — the observed profile is the exact part. Digit via
+    * integer-string extraction (totals ≥ 1 by domain), shares one
+    * division off the exact counts.
+    */
+  def benfordOrderTotals(orders: DataFrame): DataFrame = {
+    val digits = orders
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+    val tot = digits.agg(sum("n_orders").as("n_total"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_orders").cast("double") / col("n_total"))
+      .select("digit", "n_orders", "n_total", "share")
+  }
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_trend_segment" -> ((s, d) =>
+      trendSegmentSpend(Tables.orders(s, d), Tables.customer(s, d))),
+    "stats_corr_qty_value" -> ((s, d) => corrQtyValue(Tables.lineitem(s, d))),
+    "concentration_hhi" -> ((s, d) =>
+      hhiRegionRevenue(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+    "quality_benford" -> ((s, d) => benfordOrderTotals(Tables.orders(s, d))),
+  )
+
+  /** DuckDB twins — CTEs pin the same exact-integer stages and the same
+    * IEEE expression trees (`//` is DuckDB's integer floor division,
+    * equal to Spark's `div` for the non-negative operands here).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "stats_trend_segment" ->
+      """WITH daily AS (
+        |  SELECT c.c_mktsegment,
+        |         CAST(datediff('day', DATE '1995-01-01',
+        |                       CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+        |         count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |d2 AS (SELECT c_mktsegment, x, rev_cents // (n_orders * 100) AS y
+        |       FROM daily),
+        |s AS (
+        |  SELECT c_mktsegment, count(*) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM d2 GROUP BY 1),
+        |f AS (
+        |  SELECT *, n_days * sxy - sx * sy AS slope_num,
+        |            n_days * sxx - sx * sx AS slope_den
+        |  FROM s),
+        |g AS (
+        |  SELECT *, CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE)
+        |            AS slope
+        |  FROM f)
+        |SELECT c_mktsegment, n_days, sx, sy, sxy, sxx,
+        |       slope_num, slope_den, slope,
+        |       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+        |         CAST(n_days AS DOUBLE) AS intercept
+        |FROM g""".stripMargin,
+    "stats_corr_qty_value" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag,
+        |         CAST(datediff('day', DATE '1995-01-01',
+        |                       CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+        |         count(*) AS n_items,
+        |         CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS val_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |d2 AS (SELECT l_returnflag, qty_sum // n_items AS x,
+        |              val_cents // (n_items * 100) AS y
+        |       FROM daily),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM d2 GROUP BY 1),
+        |f AS (
+        |  SELECT *, n_days * sxy - sx * sy AS r_num,
+        |            n_days * sxx - sx * sx AS den_x,
+        |            n_days * syy - sy * sy AS den_y
+        |  FROM s)
+        |SELECT l_returnflag, n_days, r_num, den_x, den_y,
+        |       CAST(r_num AS DOUBLE) /
+        |         (sqrt(CAST(den_x AS DOUBLE)) * sqrt(CAST(den_y AS DOUBLE)))
+        |         AS r
+        |FROM f""".stripMargin,
+    "concentration_hhi" ->
+      """WITH natrev AS (
+        |  SELECT c.c_nationkey,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) // 100000 AS rev_k
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1),
+        |reg AS (
+        |  SELECT r.r_name, nr.rev_k
+        |  FROM natrev nr
+        |  JOIN nation n ON nr.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |tot AS (
+        |  SELECT r_name, CAST(sum(rev_k) AS BIGINT) AS tot_k,
+        |         count(*) AS n_members
+        |  FROM reg GROUP BY 1),
+        |shares AS (
+        |  SELECT reg.r_name, tot.n_members, tot.tot_k,
+        |         (reg.rev_k * 1000000) // tot.tot_k AS share_ppm
+        |  FROM reg JOIN tot ON reg.r_name = tot.r_name)
+        |SELECT r_name, n_members, tot_k,
+        |       CAST(sum(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2,
+        |       CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+        |       CAST(CAST(sum(share_ppm * share_ppm) AS BIGINT) AS DOUBLE) /
+        |         1000000000000.0 AS hhi
+        |FROM shares GROUP BY 1, 2, 3""".stripMargin,
+    "quality_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |                1, 1) AS digit,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM d)
+        |SELECT d.digit, d.n_orders, t.n_total,
+        |       CAST(d.n_orders AS DOUBLE) / t.n_total AS share
+        |FROM d, t""".stripMargin,
+  )
+}

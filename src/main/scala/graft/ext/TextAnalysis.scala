@@ -337,7 +337,52 @@ object TextAnalysis {
           col("total_toks")).as("cum_share"))
   }
 
+  /** Bigram collocation strength by pointwise mutual information,
+    * ranked WITHOUT libm: PMI = log(N·c_xy / (c_x·c_y)) is monotone in
+    * the exact ratio N·c_xy / (c_x·c_y), so both the ranking and the
+    * reported score use the ratio itself — (double)c_xy · N over
+    * (double)c_x · c_y, two correctly-rounded multiplications and one
+    * correctly-rounded division of exact integers, bit-identical across
+    * engines where a log never is. Bigrams are adjacent token POSITIONS
+    * (not distinct pairs per doc); `minCount` prunes noise pairs before
+    * the unigram joins; top-k by (ratio desc, w1, w2) so the cut is
+    * deterministic.
+    *
+    * Scale shape: bigram and unigram counts are keyed aggs with
+    * map-side partials; the scalar token total broadcasts; the final
+    * top-k is a `TakeOrderedAndProject` (no global sort).
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    val tokArrs = docs.select(split(col("text"), " ").as("toks"))
+    val bi = tokArrs.select(explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, CAST(i AS INT)) AS w1,
+          |              element_at(toks, CAST(i AS INT) + 1) AS w2)) END"""
+          .stripMargin)).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    // materialized once: the unigram table feeds both endpoint joins
+    val uni = graft.CheckpointLease.track(
+      tokArrs.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+        .localCheckpoint())
+    val tot = uni.agg(sum("n_w").as("n_total"))
+    bi.join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_ratio",
+        (col("n_pair").cast("double") * col("n_total")) /
+          (col("n_w1").cast("double") * col("n_w2")))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi_ratio")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi"          -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
     "vocab_coverage"    -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "search_bm25"       -> ((s, d) => bm25(Tables.documents(s, d))),
     "search_bm25_topk"  -> ((s, d) => bm25TopK(Tables.documents(s, d))),
@@ -354,6 +399,26 @@ object TextAnalysis {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "text_pmi" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bi AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n_pair
+        |  FROM (SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+        |                       for i in range(1, len(toks))]) AS b
+        |        FROM d)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uni AS (
+        |  SELECT w, count(*) AS n_w
+        |  FROM (SELECT unnest(toks) AS w FROM d) GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uni)
+        |SELECT bi.w1, bi.w2, bi.n_pair,
+        |       u1.n_w AS n_w1, u2.n_w AS n_w2,
+        |       (CAST(bi.n_pair AS DOUBLE) * t.n_total) /
+        |         (CAST(u1.n_w AS DOUBLE) * u2.n_w) AS pmi_ratio
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.w
+        |        JOIN uni u2 ON bi.w2 = u2.w, t
+        |ORDER BY pmi_ratio DESC, bi.w1, bi.w2
+        |LIMIT 50""".stripMargin,
     "vocab_coverage" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),

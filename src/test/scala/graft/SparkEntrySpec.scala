@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{Expectations, Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
-import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, TextAnalysis}
+import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, Stats, TextAnalysis}
 import graft.operators.{AsOfJoin, BloomJoin, FuzzyJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 import graft.streaming.EventsStreaming
 
@@ -22,7 +22,8 @@ class SparkEntrySpec extends SparkSpec {
     BloomJoin.queries, HeavyHitters.queries,
     IncrementalAgg.queries, Expectations.queries,
     Graph.queries, FuzzyJoin.queries, Retail.queries,
-    Experiment.queries).map(_.size)
+    Experiment.queries, Stats.queries,
+    graft.sources.Bronze.queries).map(_.size)
 
   test("no query name collisions across modules") {
     assert(SparkEntry.queries.size === moduleSizes.sum)

@@ -154,4 +154,24 @@ class CorpusSpec extends SparkSpec {
       ("web", "en", 2L, 4L, 3L, 2.0 / 3, 4.0 / 9),
       ("books", "fr", 1L, 5L, 2L, 1.0 / 3, 5.0 / 9)))
   }
+
+  test("temperatureMix: sqrt tempering up-weights tail sources exactly") {
+    import spark.implicits._
+    // A: 4 docs, B: 1 doc -> w_micro 2_000_000 / 1_000_000 (sqrt exact),
+    // weight shares 2/3 and 1/3 vs doc shares 0.8 / 0.2
+    val d = (Seq.fill(4)("A") :+ "B").zipWithIndex
+      .map { case (s, i) => (i.toLong, "x y", "en", s, 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.temperatureMix(d)
+      .select("source", "n_docs", "w_micro", "doc_share", "weight_share")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r("A")._2 === 4L && r("A")._3 === 2000000L)
+    assert(r("B")._2 === 1L && r("B")._3 === 1000000L)
+    assert(r("A")._4 === 0.8 && r("B")._4 === 0.2)
+    assert(r("A")._5 === 2000000.0 / 3000000.0)
+    assert(r("B")._5 === 1000000.0 / 3000000.0)
+    assert(r("B")._5 > r("B")._4, "tail source must be up-weighted")
+    graft.CheckpointLease.releaseAll()
+  }
 }

@@ -161,4 +161,34 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(gotShuffled === expected)
   }
+
+  test("batchPadding: bucket ladder, waste accounting, batch ceil-div") {
+    import spark.implicits._
+    // 10-token doc -> bucket 16; 100-token doc -> bucket 128
+    val d = Seq((1L, Seq.fill(10)("t").mkString(" "), "en", "src0", 10L),
+      (2L, Seq.fill(100)("t").mkString(" "), "en", "src0", 100L),
+      (3L, Seq.fill(12)("t").mkString(" "), "en", "src0", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.batchPadding(d)
+      .select("bucket_len", "n_docs", "real_tokens", "padded_tokens",
+        "waste_share", "rows_per_batch", "n_batches")
+      .as[(Long, Long, Long, Long, Double, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(16L) === ((16L, 2L, 22L, 32L, 10.0 / 32, 1024L, 1L)))
+    assert(r(128L) === ((128L, 1L, 100L, 128L, 28.0 / 128, 128L, 1L)))
+  }
+
+  test("epochRepeats: tier from source suffix, instances multiply exactly") {
+    import spark.implicits._
+    // src0 -> tier 0 -> 4 epochs; src3 -> tier 3 -> 1 epoch
+    val d = Seq((1L, "a b", "en", "src0", 3L), (2L, "c", "en", "src3", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.epochRepeats(d)
+      .select("source", "epoch", "n_docs", "n_tokens", "repeats")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(r === Set(
+      ("src0", 1L, 1L, 2L, 4L), ("src0", 2L, 1L, 2L, 4L),
+      ("src0", 3L, 1L, 2L, 4L), ("src0", 4L, 1L, 2L, 4L),
+      ("src3", 1L, 1L, 1L, 1L)))
+  }
 }

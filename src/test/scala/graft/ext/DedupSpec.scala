@@ -89,6 +89,25 @@ class DedupSpec extends SparkSpec {
       exact.map(_._2)))
   }
 
+  test("portable minhash path: full LSH recall vs exact ground truth, " +
+      "survivors match the xxhash path's") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.ngramJaccardPairs(d, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.lshCandidatesPortable(
+        Dedup.minhashSignaturesPortable(Dedup.shingles(d)))
+      .as[(Long, Long)].collect().toSet
+    val missed = exact -- cands
+    assert(missed.isEmpty,
+      s"portable LSH missed ${missed.size} of ${exact.size} true pairs")
+    // verified survivors are hash-independent (both paths verify with
+    // exact Jaccard), so the two dedup results must agree exactly
+    val keptPortable = Dedup.minhashDedupDocsPortable(d, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptPortable === (d.select("doc_id").as[Long].collect().toSet --
+      exact.map(_._2)))
+  }
+
   test("simhash near-dup banding finds ALL pairs within the hamming bound") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val fps = Dedup.simhash(d).as[(Long, Long)].collect()

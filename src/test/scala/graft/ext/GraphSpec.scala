@@ -91,6 +91,23 @@ class GraphSpec extends SparkSpec {
     assert(orient === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("kcore: peels below-k nodes, cascade removes dependents round by " +
+      "round") {
+    // triangle {1,2,3} + path 3-4, 4-5: at k=2 node 5 (deg 1) peels in
+    // round 1, which drops node 4 to deg 1 so it peels in round 2 —
+    // only the triangle survives, each node at in-core degree 2
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val core = Graph.kcore(edges, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    graft.CheckpointLease.releaseAll()
+    // k above the max degree empties the graph
+    assert(Graph.kcore(edges, k = 10, rounds = 3).count() === 0L)
+    graft.CheckpointLease.releaseAll()
+  }
+
   test("coPurchaseEdges pairs within orders, undirected, mega-order capped") {
     val li = Seq(
       (10L, 1L), (10L, 2L), (10L, 3L), // order 10: triangle

@@ -156,4 +156,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r(1L).getString(2) === "0,0,0")
     assert(r(1L).getDouble(3) === 0.0)
   }
+
+  test("labelCentroids: exact micro sums, truncating-division mean for " +
+      "negative sums, partition-invariant") {
+    val d = Seq(
+      (0L, Seq(0.5f, -0.25f), 7),
+      (1L, Seq(0.25f, -0.5f), 7),
+      (2L, Seq(1f, 1f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroids(d)
+      .select("label", "dim", "n_vecs", "sum_micro", "mean_micro")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    // label 7 dim 1: -250000 + -500000 = -750000 -> -375000 (exact
+    // multiple); dim 0: 750000 -> 375000
+    assert(r === Set(
+      (7L, 0, 2L, 750000L, 375000L), (7L, 1, 2L, -750000L, -375000L),
+      (8L, 0, 1L, 1000000L, 1000000L), (8L, 1, 1L, 1000000L, 1000000L)))
+    // floor-vs-truncate witness: odd negative sum over 2 vecs
+    val odd = Seq((0L, Seq(-0.25f), 3), (1L, Seq(-0.5000005f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val m = Similarity.labelCentroids(odd)
+      .select("sum_micro", "mean_micro").as[(Long, Long)].collect().head
+    // s = -250000 + floor(-500000.5) = -750001 (odd, negative):
+    // TRUNCATION gives -375000 — both Spark `div` and DuckDB `//`
+    // truncate toward zero (a floor would give -375001)
+    assert(m._1 === -750001L && m._2 === -375000L,
+      "mean must truncate toward zero (Spark div == DuckDB //)")
+    // partition invariance of the integer sums
+    val shuffled = Similarity.labelCentroids(d.repartition(5))
+      .select("label", "dim", "n_vecs", "sum_micro", "mean_micro")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(shuffled === r)
+  }
 }

@@ -1,0 +1,98 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders(rows: (Long, Long, Double, String)*): DataFrame =
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "d")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(d AS TIMESTAMP) AS o_orderdate")
+
+  test("trendSegmentSpend: exact slope/intercept on a hand-built line") {
+    // segment A: daily avg value 100, 110, 120 dollars on days 0,1,2
+    // (x anchored at 1995-01-01) -> slope exactly 10, intercept 100
+    val o = orders(
+      (1L, 1L, 100.0, "1995-01-01 00:00:00"),
+      (2L, 1L, 110.0, "1995-01-02 00:00:00"),
+      (3L, 1L, 120.0, "1995-01-03 00:00:00"))
+    val c = Seq((1L, "A")).toDF("c_custkey", "c_mktsegment")
+    val r = Stats.trendSegmentSpend(o, c)
+      .select("c_mktsegment", "n_days", "slope_num", "slope_den", "slope",
+        "intercept")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    // n=3, sx=3, sy=330, sxy=350, sxx=5 -> num=3*350-3*330=60, den=3*5-9=6
+    assert(r === Seq(("A", 3L, 60L, 6L, 10.0, 100.0)))
+  }
+
+  test("trendSegmentSpend: same-day orders average before the regression") {
+    // two orders on day 0 (mean 150 by integer division), one on day 1
+    val o = orders(
+      (1L, 1L, 100.0, "1995-01-01 00:00:00"),
+      (2L, 1L, 201.0, "1995-01-01 00:00:00"),
+      (3L, 1L, 170.0, "1995-01-02 00:00:00"))
+    val c = Seq((1L, "B")).toDF("c_custkey", "c_mktsegment")
+    val r = Stats.trendSegmentSpend(o, c)
+      .select("n_days", "sy", "slope").as[(Long, Long, Double)].collect()
+    // y(0) = 30100 cents div 200 = 150 (floor), y(1) = 170
+    assert(r === Array((2L, 320L, 20.0)))
+  }
+
+  test("corrQtyValue: r = 1 on a perfectly correlated pair, -1 inverted") {
+    val li = Seq(
+      // flag P: (qty, value) rises together day by day -> r = 1
+      ("P", "1995-01-01 00:00:00", 1.0, 10.0),
+      ("P", "1995-01-02 00:00:00", 2.0, 20.0),
+      ("P", "1995-01-03 00:00:00", 3.0, 30.0),
+      // flag N: value falls as qty rises -> r = -1
+      ("N", "1995-01-01 00:00:00", 1.0, 30.0),
+      ("N", "1995-01-02 00:00:00", 2.0, 20.0),
+      ("N", "1995-01-03 00:00:00", 3.0, 10.0))
+      .toDF("l_returnflag", "d", "l_quantity", "l_extendedprice")
+      .selectExpr("l_returnflag", "CAST(d AS TIMESTAMP) AS l_shipdate",
+        "l_quantity", "l_extendedprice")
+    val byFlag = Stats.corrQtyValue(li).select("l_returnflag", "r")
+      .as[(String, Double)].collect().toMap
+    // sqrt(den_x)*sqrt(den_y) can land 1 ulp off sqrt(den_x*den_y), so
+    // |r| may exceed 1 by an ulp — determinism is engine-vs-engine
+    // bit-equality (the oracle mirrors the expression tree), not
+    // exactness vs the algebraic value
+    assert(math.abs(byFlag("P") - 1.0) < 1e-12)
+    assert(math.abs(byFlag("N") + 1.0) < 1e-12)
+  }
+
+  test("hhiRegionRevenue: monopoly -> 1.0, equal split -> 1/n") {
+    val o = orders(
+      (1L, 1L, 1000.0, "1995-01-01 00:00:00"), // nation 0, region R0
+      (2L, 2L, 1000.0, "1995-01-01 00:00:00"), // nation 1, region R1
+      (3L, 3L, 1000.0, "1995-01-01 00:00:00")) // nation 2, region R1
+    val c = Seq((1L, 0), (2L, 1), (3L, 2)).toDF("c_custkey", "c_nationkey")
+    val n = Seq((0, 0), (1, 1), (2, 1)).toDF("n_nationkey", "n_regionkey")
+    val reg = Seq((0, "R0"), (1, "R1")).toDF("r_regionkey", "r_name")
+    val m = Stats.hhiRegionRevenue(o, c, n, reg)
+      .select("r_name", "n_members", "hhi_ppm2", "top_share_ppm", "hhi")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // R0: one nation with share 10^6 ppm -> hhi_ppm2 = 10^12, hhi = 1.0
+    assert(m("R0")._2 === 1L && m("R0")._3 === 1000000000000L &&
+      m("R0")._5 === 1.0)
+    // R1: two equal nations, 500000 ppm each -> hhi = 0.5
+    assert(m("R1")._2 === 2L && m("R1")._3 === 500000000000L &&
+      m("R1")._4 === 500000L && m("R1")._5 === 0.5)
+  }
+
+  test("benfordOrderTotals: digit extraction and exact shares") {
+    val o = orders(
+      (1L, 1L, 1013.7, "1995-01-01 00:00:00"),
+      (2L, 1L, 19.99, "1995-01-01 00:00:00"),
+      (3L, 1L, 950.0, "1995-01-01 00:00:00"),
+      (4L, 1L, 101.0, "1995-01-01 00:00:00"))
+    val r = Stats.benfordOrderTotals(o)
+      .select("digit", "n_orders", "share")
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r("1") === ((3L, 0.75)) && r("9") === ((1L, 0.25)))
+  }
+}

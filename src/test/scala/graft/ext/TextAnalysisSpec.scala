@@ -153,4 +153,15 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 2L, "c", 1L, 3L),
       (3L, 1L, "c", 1L, 3L)))
   }
+
+  test("pmiCollocations: ratio ranking from hand-computed counts") {
+    // one doc "a b a b": bigrams (a,b)x2, (b,a)x1; unigrams a=2, b=2;
+    // N=4 -> ratio(a,b) = 2*4/(2*2) = 2.0, ratio(b,a) = 1*4/4 = 1.0
+    val d = docs((1L, "a b a b", "en"))
+    val r = TextAnalysis.pmiCollocations(d, minCount = 1L, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(("a", "b", 2L, 2L, 2L, 2.0),
+      ("b", "a", 1L, 2L, 2L, 1.0)))
+    graft.CheckpointLease.releaseAll()
+  }
 }
