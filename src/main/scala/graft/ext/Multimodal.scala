@@ -249,6 +249,56 @@ object Multimodal {
     }
   }
 
+  case class AudioFrame(doc_id: Long, frame_id: Long, n_samples: Long,
+    sum_amp: Long, sum_sq: Long, rms: Double)
+
+  /** Per-frame energy over the REAL decoded PCM stream: [[decodeWav]]'s
+    * RIFF parse, but instead of one checksum the sample stream is cut
+    * into fixed `frameLen`-sample frames (160 = 20 ms at the 8 kHz
+    * encode rate) and each frame reports exact integer amplitude sums
+    * plus RMS — the frame-level feature extraction (VAD energy gates,
+    * silence trimming) an audio pipeline runs after decode. Exact
+    * contract: samples are unsigned 8-bit, so `sum_sq` is an exact
+    * int64 and rms = `sqrt(sum_sq / n)` is a 2-op correctly-rounded
+    * IEEE DAG the oracle mirrors.
+    *
+    * Scale shape: mapPartitions decode (one pass, no sample
+    * materialization beyond the running frame), output rows =
+    * samples/frameLen — the batch shape a Pandas-UDF decode would have.
+    */
+  def audioFrameEnergy(wavs: Dataset[Asset],
+      frameLen: Int = 160): Dataset[AudioFrame] = {
+    import wavs.sparkSession.implicits._
+    wavs.flatMap { a =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AudioFrame]
+      var frameId = 0L
+      var n = 0L
+      var sum = 0L
+      var sumSq = 0L
+      def flush(): Unit = if (n > 0) {
+        out += AudioFrame(a.doc_id, frameId, n, sum, sumSq,
+          math.sqrt(sumSq.toDouble / n))
+        frameId += 1; n = 0; sum = 0; sumSq = 0
+      }
+      val buf = new Array[Byte](8192)
+      var read = ais.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i < read) {
+          val s = java.lang.Byte.toUnsignedInt(buf(i))
+          sum += s; sumSq += s.toLong * s; n += 1
+          if (n == frameLen) flush()
+          i += 1
+        }
+        read = ais.read(buf)
+      }
+      flush()
+      out
+    }
+  }
+
   /** Image features over REAL decoded pixels: 16-bin intensity histogram
     * (bin = pixel >> 4) plus mean intensity, computed from the raster
     * [[decodePng]] inflates — the decode→feature pipeline of a media lake
@@ -366,6 +416,8 @@ object Multimodal {
     // all emitted columns are decode-derived and oracle-predictable
     "mm_decode_wav" -> ((s, d) =>
       decodeWav(encodeWav(assetDs(s, d))).toDF()),
+    "mm_audio_energy" -> ((s, d) =>
+      audioFrameEnergy(encodeWav(assetDs(s, d))).toDF()),
     // real decode -> feature pipeline: histogram/mean over decoded pixels
     // (hist emitted as a scalar CSV string — verify outputs are scalar-only)
     "mm_features_png" -> ((s, d) =>
@@ -408,6 +460,31 @@ object Multimodal {
         |                        octet_length(encode(text)) + 1)]), 0)
         |            AS BIGINT) AS px_checksum
         |FROM documents""".stripMargin,
+    // same byte↔sample mapping as mm_decode_wav: the synthetic payload
+    // is the ASCII text, so frame f covers character positions
+    // f·160+1 .. min((f+1)·160, len)
+    "mm_audio_energy" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         [ascii(substring(text, i, 1))
+        |          for i in range(1, octet_length(encode(text)) + 1)] AS samp
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, samp,
+        |         unnest(range((len(samp) + 159) // 160)) AS frame_id
+        |  FROM s),
+        |e AS (
+        |  SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+        |         samp[frame_id * 160 + 1 :
+        |              least((frame_id + 1) * 160, len(samp))] AS fr
+        |  FROM f)
+        |SELECT doc_id, frame_id,
+        |       CAST(len(fr) AS BIGINT) AS n_samples,
+        |       CAST(list_sum(fr) AS BIGINT) AS sum_amp,
+        |       CAST(list_sum([x * x for x in fr]) AS BIGINT) AS sum_sq,
+        |       sqrt(CAST(CAST(list_sum([x * x for x in fr]) AS BIGINT)
+        |                 AS DOUBLE) / len(fr)) AS rms
+        |FROM e""".stripMargin,
     "mm_decode_wav" ->
       """SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,

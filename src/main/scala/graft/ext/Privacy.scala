@@ -123,14 +123,54 @@ object Privacy {
   }
 
   /** Driver-contract registration (SparkEntry aggregates these). */
+  /** l-diversity audit, the companion to [[kAnonymityAudit]]: a
+    * k-anonymous class is still re-identifiable if every member shares
+    * the same SENSITIVE value, so per quasi-identifier class
+    * (segment × nation) we count the distinct sensitive values
+    * (account-balance k$-bucket) and roll classes up by that diversity
+    * level, with the share of rows sitting below the usual l = 3 bar.
+    * Two shrinking keyed aggregates + a 1-row broadcast — same scale
+    * shape as the k-anonymity audit.
+    */
+  def lDiversityAudit(customer: DataFrame, lBar: Int = 3): DataFrame = {
+    val classes = customer.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(countDistinct(floor(col("c_acctbal") / 1000).cast("long"))
+          .as("l_div"),
+        count(lit(1)).as("class_size"))
+    val total = customer.agg(count(lit(1)).as("n_total"))
+    classes.groupBy("l_div")
+      .agg(count(lit(1)).as("n_classes"), sum("class_size").as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("l_div"), col("n_classes"), col("n_rows"),
+        (col("n_rows").cast("double") / col("n_total")).as("row_share"),
+        (col("l_div") < lBar).as("below_bar"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pii_redact_text" -> ((s, d) => redactDocuments(Tables.documents(s, d))),
     "pii_mask_customers" -> ((s, d) => maskCustomers(Tables.customer(s, d))),
     "kanon_audit" -> ((s, d) => kAnonymityAudit(Tables.customer(s, d))),
+    "ldiv_audit" -> ((s, d) => lDiversityAudit(Tables.customer(s, d))),
   )
 
   /** DuckDB twins — same regexes (shared Java/RE2 subset), same plant. */
   def oracleSql: Map[String, String] = Map(
+    "ldiv_audit" ->
+      """WITH cls AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |         count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |           AS l_div,
+        |         count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2),
+        |t AS (SELECT count(*) AS n_total FROM customer),
+        |r AS (
+        |  SELECT CAST(l_div AS BIGINT) AS l_div, count(*) AS n_classes,
+        |         CAST(sum(class_size) AS BIGINT) AS n_rows
+        |  FROM cls GROUP BY 1)
+        |SELECT r.l_div, r.n_classes, r.n_rows,
+        |       CAST(r.n_rows AS DOUBLE) / t.n_total AS row_share,
+        |       r.l_div < 3 AS below_bar
+        |FROM r, t""".stripMargin,
     "kanon_audit" ->
       """WITH cls AS (
         |  SELECT c_mktsegment, c_nationkey,

@@ -146,4 +146,23 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length === 2)
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length === 16))
   }
+
+  test("audioFrameEnergy: exact per-frame sums over the decoded PCM " +
+      "stream, short tail frame, empty doc drops out") {
+    // 200 'x' samples at frameLen 160 -> frame 0: 160 samples, frame 1:
+    // 40; value 'x' = 120 -> sums exact
+    val ds = Multimodal.assets(docs(
+      1L -> ("x" * 200), 2L -> "")).as[Multimodal.Asset]
+    val fr = Multimodal.audioFrameEnergy(Multimodal.encodeWav(ds))
+      .collect().map(f => (f.doc_id, f.frame_id) -> f).toMap
+    assert(fr.keySet === Set((1L, 0L), (1L, 1L)))
+    val x = 'x'.toInt.toLong
+    val f0 = fr((1L, 0L))
+    assert(f0.n_samples === 160L && f0.sum_amp === 160L * x &&
+      f0.sum_sq === 160L * x * x)
+    assert(f0.rms === math.sqrt((160L * x * x).toDouble / 160L))
+    val f1 = fr((1L, 1L))
+    assert(f1.n_samples === 40L && f1.sum_amp === 40L * x &&
+      f1.sum_sq === 40L * x * x)
+  }
 }

@@ -77,4 +77,20 @@ class PrivacySpec extends SparkSpec {
     val plan = Privacy.redactDocuments(docs).queryExecution.executedPlan
     assert(!plan.toString.contains("Exchange"), "no shuffle expected")
   }
+
+  test("lDiversityAudit: diversity histogram, rows below the l=3 bar") {
+    import spark.implicits._
+    // QI class (A,1): balances in 3 distinct k-buckets -> l=3 (at bar);
+    // QI class (B,1): two members, ONE bucket -> l=1 (below bar)
+    val c = Seq(
+      ("A", 1, 500.0), ("A", 1, 1500.0), ("A", 1, 2500.0),
+      ("B", 1, 100.0), ("B", 1, 900.0))
+      .toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+    val r = Privacy.lDiversityAudit(c)
+      .select("l_div", "n_classes", "n_rows", "row_share", "below_bar")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(3L) === ((3L, 1L, 3L, 0.6, false)))
+    assert(r(1L) === ((1L, 1L, 2L, 0.4, true)))
+  }
 }
