@@ -5,6 +5,7 @@ import graft.etl.{Expectations, Gold, Relational, ScalarSurface, Silver, TimeSer
 import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, Stats, TextAnalysis}
 import graft.streaming.EventsStreaming
 import graft.operators.{AsOfJoin, BloomJoin, FuzzyJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
+import graft.plans.Layout
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,7 +39,8 @@ object SparkEntry {
       Privacy.queries ++ SnapshotDiff.queries ++ BloomJoin.queries ++
       HeavyHitters.queries ++ IncrementalAgg.queries ++ Expectations.queries ++
       Graph.queries ++ FuzzyJoin.queries ++ Retail.queries ++
-      Experiment.queries ++ Stats.queries ++ graft.sources.Bronze.queries
+      Experiment.queries ++ Stats.queries ++ Layout.queries ++
+      graft.sources.Bronze.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -53,5 +55,5 @@ object SparkEntry {
       HeavyHitters.oracleSql ++ IncrementalAgg.oracleSql ++
       Expectations.oracleSql ++ Graph.oracleSql ++ FuzzyJoin.oracleSql ++
       Retail.oracleSql ++ Experiment.oracleSql ++ Stats.oracleSql ++
-      graft.sources.Bronze.oracleSql
+      Layout.oracleSql ++ graft.sources.Bronze.oracleSql
 }

@@ -142,6 +142,30 @@ object Components {
         localThreshold = localThreshold)
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
 
+  /** The step a dedup pipeline runs AFTER clustering: per near-dup
+    * cluster, elect one representative (canonical) document and account
+    * for what gets dropped. Election is deterministic argmax — keep the
+    * longest document (`n_chars`), ties broken by smallest `doc_id` —
+    * expressed as `max(struct(n_chars, -doc_id))`, a single map-side-
+    * combining aggregate (no window, no second join): each cluster's
+    * candidates reduce locally before the one shuffle, so a 100 TB
+    * corpus's cluster table aggregates in one keyed pass.
+    */
+  def canonicalDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    nearDupClusters(docs, threshold)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+          .as("best"),
+        sum("n_chars").as("sum_chars"))
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("best.neg_id")).as("canonical_doc"),
+        col("best.n_chars").as("canonical_chars"),
+        (col("n_docs") - 1L).as("dropped_docs"),
+        (col("sum_chars") - col("best.n_chars")).as("dropped_chars"))
+
   /** Driver-contract registration (SparkEntry aggregates these).
     * `dedup_clusters_dist` pins localThreshold = 0, forcing the
     * DISTRIBUTED label-propagation fixpoint at every SF — the path a
@@ -154,6 +178,7 @@ object Components {
     "dedup_clusters" -> ((s, d) => nearDupClusters(Tables.documents(s, d))),
     "dedup_clusters_dist" -> ((s, d) =>
       nearDupClusters(Tables.documents(s, d), localThreshold = 0L)),
+    "dedup_canonical" -> ((s, d) => canonicalDocs(Tables.documents(s, d))),
   )
 
   /** DuckDB twin: recursive reachability, min reachable id per node.
@@ -163,6 +188,28 @@ object Components {
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters" -> ClustersSql,
     "dedup_clusters_dist" -> ClustersSql,
+    // canonical election replayed over the same recursive-CTE clusters;
+    // DuckDB takes the window-argmax route, same (n_chars desc, doc_id)
+    // total order
+    "dedup_canonical" ->
+      s"""WITH cl AS (
+         |$ClustersSql
+         |),
+         |j AS (
+         |  SELECT cl.cluster_id, d.doc_id, d.n_chars
+         |  FROM cl JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM j)
+         |SELECT cluster_id,
+         |       count(*) AS n_docs,
+         |       max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+         |       max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+         |       count(*) - 1 AS dropped_docs,
+         |       CAST(sum(n_chars) - max(CASE WHEN rk = 1 THEN n_chars END)
+         |            AS BIGINT) AS dropped_chars
+         |FROM r GROUP BY 1""".stripMargin,
   )
 
   private val ClustersSql =

@@ -211,8 +211,66 @@ object Corpus {
         (col("w_micro").cast("double") / col("t_w")).as("weight_share"))
   }
 
+  /** Top pairs kept by [[bpePairCounts]]. */
+  val BpeTopPairs = 50
+
+  /** The first step of BPE tokenizer training: corpus-wide frequency of
+    * adjacent character pairs WITHIN whitespace tokens (BPE pre-splits
+    * on whitespace; merges never cross a token boundary). The counting
+    * pass dominates tokenizer training cost at 100 TB and is exactly
+    * this query: explode tokens (narrow), explode each token's
+    * `len-1` adjacent pairs (narrow generator — `transform` over
+    * `sequence`, all codegen'd, no UDF), then ONE keyed count whose
+    * map-side combine collapses the (tiny, ≲charset²) pair domain
+    * before the shuffle. Top pairs ranked by (count desc, pair asc) —
+    * the deterministic total order a reproducible tokenizer build
+    * needs; the ranking window runs over the already-aggregated pair
+    * domain (bounded by charset², never by corpus size).
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = BpeTopPairs): DataFrame = {
+    val pairs = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+    val counted = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+    counted
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+  }
+
+  /** Normalization delta audit: the standard text-cleaning map (lower →
+    * non-alphanumeric → space → collapse runs of spaces → trim) applied
+    * corpus-wide, reported per language as exact before/after character
+    * totals, how many documents the map actually changed, and the one
+    * IEEE division `chars_after / chars_before` both engines compute
+    * identically. The map itself is a narrow codegen'd expression chain
+    * (regexp on the Java/RE2-shared subset, same as [[graft.ext.Privacy]]);
+    * the rollup is one keyed aggregate on the ≤n_langs domain.
+    */
+  def normalizeStats(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs
+      .select(col("lang"), col("text"), norm.as("norm"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("text"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(length(col("text")).cast("long")).as("chars_before"),
+        sum(length(col("norm")).cast("long")).as("chars_after"))
+      .withColumn("shrink_ratio",
+        col("chars_after").cast("double") / col("chars_before"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pairs" -> ((s, d) => bpePairCounts(Tables.documents(s, d))),
+    "text_normalize" -> ((s, d) => normalizeStats(Tables.documents(s, d))),
     "mix_temperature" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
     "corpus_source_mix" -> ((s, d) => sourceMix(Tables.documents(s, d))),
     "corpus_line_dedup" -> ((s, d) => dedupLines(Tables.documents(s, d))),
@@ -224,6 +282,32 @@ object Corpus {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |p AS (
+        |  SELECT unnest([substring(tok, i, 2) for i in range(1, len(tok))])
+        |           AS pair
+        |  FROM t WHERE len(tok) >= 2),
+        |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
+        |SELECT pair, cnt,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+        |            AS BIGINT) AS rnk
+        |FROM c ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT lang, text,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_changed,
+        |       CAST(sum(length(text)) AS BIGINT) AS chars_before,
+        |       CAST(sum(length(norm)) AS BIGINT) AS chars_after,
+        |       CAST(CAST(sum(length(norm)) AS BIGINT) AS DOUBLE)
+        |         / CAST(sum(length(text)) AS BIGINT) AS shrink_ratio
+        |FROM n GROUP BY 1""".stripMargin,
     "mix_temperature" ->
       """WITH w AS (
         |  SELECT source, count(*) AS n_docs,

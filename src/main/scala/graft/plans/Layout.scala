@@ -1,0 +1,230 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-layout planning operators — the table-maintenance side of a
+  * 100 TB lakehouse that the query operators depend on for their speed:
+  *
+  *   - [[zorderBlocks]]: Morton (Z-order) interleaved sort keys over two
+  *     dimensions, the multi-dimensional clustering used by
+  *     Delta/Iceberg `OPTIMIZE ZORDER BY` so that range predicates on
+  *     EITHER dimension touch few files;
+  *   - [[compactionPlan]]: the small-file compactor's planning pass —
+  *     per partition, how many target-size files the rows should rewrite
+  *     into;
+  *   - [[zonemapPrune]]: a what-if evaluation of min/max zone maps
+  *     (parquet row-group / file footer stats) under two candidate
+  *     layouts, quantifying how many shards a date predicate can skip.
+  *
+  * All three are pure aggregation pipelines over exact integers — one
+  * keyed shuffle each, map-side partial aggregation, no windows, no
+  * collects — so they run AS queries at any scale (the planning pass
+  * must itself scale to the 100 TB table it plans for).
+  *
+  * Reference scope: the reference's warehouse (ETL-Ecommerce-data,
+  * include/scripts/to_bronze.py) rewrites whole tables per run and
+  * relies on warehouse-side layout; these operators supply the layout
+  * layer a Spark-native lakehouse needs at scale.
+  */
+object Layout {
+
+  /** Bits per dimension in the Morton key (8 ⇒ 16-bit interleaved key,
+    * 256×256 grid — file-count granularity, not row granularity).
+    */
+  val MortonBits = 8
+
+  /** Days since this epoch is the date dimension fed to the grid. */
+  val EpochDate = "1992-01-01"
+
+  /** Bit-interleave two `bits`-wide non-negative int columns into a
+    * Morton key: bit i of `x` lands at position 2i, bit i of `y` at
+    * 2i+1. Pure shift/mask/add Column DAG — whole-stage codegen'd,
+    * no UDF.
+    */
+  def mortonKey(x: Column, y: Column, bits: Int = MortonBits): Column =
+    (0 until bits).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Z-order layout audit over orders: customer-id and order-day are
+    * each folded onto a 256-wide grid axis, Morton-interleaved, and the
+    * key space is cut into 64-key blocks (the would-be file boundaries
+    * after an `OPTIMIZE ZORDER BY (custkey, orderdate)` rewrite). Per
+    * block: row count plus the min/max of BOTH raw dimensions — the
+    * zone-map stats that make the layout useful, showing each block
+    * covers a narrow square in (customer × time) space rather than a
+    * full-width stripe of either.
+    */
+  def zorderBlocks(orders: DataFrame): DataFrame = {
+    val x = pmod(col("o_custkey"), lit(256L))
+    val y = pmod(
+      datediff(to_date(col("o_orderdate")), to_date(lit(EpochDate)))
+        .cast("long"),
+      lit(256L))
+    orders
+      .select(x.as("cx"), y.as("dy"))
+      .withColumn("zkey", mortonKey(col("cx"), col("dy")))
+      .groupBy(shiftright(col("zkey"), 6).as("z_block"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("cx").as("cust_min"), max("cx").as("cust_max"),
+        min("dy").as("day_min"), max("dy").as("day_max"))
+  }
+
+  /** Target output-file size for [[compactionPlan]] (1 MiB — sized to
+    * the sf0.01 fixture; a real lake uses 128 MiB–1 GiB, the math is
+    * scale-free).
+    */
+  val TargetFileBytes = 1L << 20
+
+  /** Small-file compaction planner: per order month (the physical
+    * partition key), estimate the partition's byte weight from fixed
+    * column widths plus actual string lengths, and derive how many
+    * target-size files a compaction rewrite should produce
+    * (`ceil(bytes/target)` — by power-of-two shift, no float division)
+    * and whether the partition is a small-file problem at all
+    * (under half a target file). This is the planning query Delta's
+    * OPTIMIZE runs before binpacking.
+    */
+  def compactionPlan(orders: DataFrame): DataFrame = {
+    require((TargetFileBytes & (TargetFileBytes - 1)) == 0,
+      "TargetFileBytes must be a power of two (ceil-div is a shift)")
+    val shift = java.lang.Long.numberOfTrailingZeros(TargetFileBytes)
+    // 8B each for orderkey/custkey/totalprice/orderdate + string payloads
+    val rowBytes = lit(32L) +
+      octet_length(col("o_orderstatus")).cast("long") +
+      octet_length(col("o_orderpriority")).cast("long")
+    orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_rows"), sum(rowBytes).as("est_bytes"))
+      .select(col("month"), col("n_rows"), col("est_bytes"),
+        shiftright(col("est_bytes") + lit(TargetFileBytes - 1), shift)
+          .as("n_files"),
+        (col("est_bytes") * 2L < lit(TargetFileBytes)).as("small_file"))
+  }
+
+  /** Shard fan-out for [[zonemapPrune]]'s what-if layouts. */
+  val PruneShards = 64L
+
+  /** Zone-map pruning what-if: the same orders table laid out two ways —
+    * `bykey` (hash-ish: orderkey mod 64, the layout an unsorted ingest
+    * produces) and `bydate` (date-clustered: day/40 buckets, the layout
+    * a time-partitioned table produces) — each shard carrying its
+    * min/max order-day zone map. A one-year predicate (1995) is then
+    * evaluated against the zone maps alone: a shard is skippable iff
+    * its [min,max] day range misses the predicate range entirely. The
+    * output quantifies the layout choice: `bydate` skips nearly all
+    * shards, `bykey` none, for identical `rows_matched` — the number a
+    * table-format advisor shows before recommending a re-cluster.
+    */
+  def zonemapPrune(orders: DataFrame): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")), to_date(lit(EpochDate)))
+      .cast("long")
+    val base = orders.select(
+      col("o_orderkey"), day.as("day"),
+      datediff(to_date(lit("1995-01-01")), to_date(lit(EpochDate)))
+        .cast("long").as("lo"),
+      datediff(to_date(lit("1995-12-31")), to_date(lit(EpochDate)))
+        .cast("long").as("hi"))
+    def audit(label: String, shard: Column): DataFrame =
+      base
+        .groupBy(shard.as("shard"))
+        .agg(count(lit(1)).as("n"), min("day").as("d_min"),
+          max("day").as("d_max"), min("lo").as("lo"), max("hi").as("hi"),
+          sum(when(col("day").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).as("n_match"))
+        .withColumn("skipped",
+          col("d_max") < col("lo") || col("d_min") > col("hi"))
+        .groupBy(lit(label).as("layout"))
+        .agg(
+          count(lit(1)).as("n_shards"),
+          sum(when(col("skipped"), 1L).otherwise(0L))
+            .as("n_shards_skipped"),
+          sum(when(col("skipped"), 0L).otherwise(col("n")))
+            .as("rows_scanned"),
+          sum("n_match").as("rows_matched"))
+    audit("bykey", pmod(col("o_orderkey"), lit(PruneShards)))
+      .unionAll(audit("bydate", floor(col("day") / lit(40.0)).cast("long")))
+  }
+
+  /** Driver-contract registration (SparkEntry aggregates these). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> ((s, d) => zorderBlocks(Tables.orders(s, d))),
+    "layout_compaction" -> ((s, d) => compactionPlan(Tables.orders(s, d))),
+    "layout_zonemap_prune" -> ((s, d) => zonemapPrune(Tables.orders(s, d))),
+  )
+
+  /** DuckDB twins — same grid math, bit ops spelled with `//`/`%`/`<<`
+    * inside a list comprehension (DuckDB's portable form of the
+    * shift/mask fold).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "layout_zorder" ->
+      """WITH g AS (
+        |  SELECT o_custkey % 256 AS cx,
+        |         datediff('day', DATE '1992-01-01',
+        |                  CAST(o_orderdate AS DATE)) % 256 AS dy
+        |  FROM orders),
+        |z AS (
+        |  SELECT cx, dy,
+        |         list_sum([((cx // (1 << i)) % 2) * (1 << (2 * i)) +
+        |                   ((dy // (1 << i)) % 2) * (1 << (2 * i + 1))
+        |                   for i in range(8)]) AS zkey
+        |  FROM g)
+        |SELECT CAST(zkey // 64 AS BIGINT) AS z_block,
+        |       count(*) AS n_rows,
+        |       CAST(min(cx) AS BIGINT) AS cust_min,
+        |       CAST(max(cx) AS BIGINT) AS cust_max,
+        |       CAST(min(dy) AS BIGINT) AS day_min,
+        |       CAST(max(dy) AS BIGINT) AS day_max
+        |FROM z GROUP BY 1""".stripMargin,
+    "layout_compaction" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         count(*) AS n_rows,
+        |         CAST(sum(32 + octet_length(encode(o_orderstatus))
+        |                     + octet_length(encode(o_orderpriority)))
+        |              AS BIGINT) AS est_bytes
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_rows, est_bytes,
+        |       (est_bytes + 1048575) // 1048576 AS n_files,
+        |       est_bytes * 2 < 1048576 AS small_file
+        |FROM m""".stripMargin,
+    "layout_zonemap_prune" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |         datediff('day', DATE '1992-01-01',
+        |                  CAST(o_orderdate AS DATE)) AS day,
+        |         datediff('day', DATE '1992-01-01',
+        |                  DATE '1995-01-01') AS lo,
+        |         datediff('day', DATE '1992-01-01',
+        |                  DATE '1995-12-31') AS hi
+        |  FROM orders),
+        |sh AS (
+        |  SELECT 'bykey' AS layout, o_orderkey % 64 AS shard, *
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'bydate' AS layout,
+        |         CAST(floor(day / 40.0) AS BIGINT) AS shard, *
+        |  FROM base),
+        |zm AS (
+        |  SELECT layout, shard, count(*) AS n,
+        |         min(day) AS d_min, max(day) AS d_max,
+        |         min(lo) AS lo, max(hi) AS hi,
+        |         sum(CASE WHEN day BETWEEN lo AND hi THEN 1 ELSE 0 END)
+        |           AS n_match
+        |  FROM sh GROUP BY 1, 2)
+        |SELECT layout,
+        |       count(*) AS n_shards,
+        |       CAST(sum(CASE WHEN d_max < lo OR d_min > hi
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shards_skipped,
+        |       CAST(sum(CASE WHEN d_max < lo OR d_min > hi
+        |                     THEN 0 ELSE n END) AS BIGINT) AS rows_scanned,
+        |       CAST(sum(n_match) AS BIGINT) AS rows_matched
+        |FROM zm GROUP BY 1""".stripMargin,
+  )
+}

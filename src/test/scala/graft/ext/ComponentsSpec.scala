@@ -34,4 +34,23 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size === 13)
     assert(got.values.forall(_ === 0L))
   }
+
+  test("canonicalDocs: longest doc wins, ties break to smallest doc_id") {
+    // docs 1,2 near-dup (identical text), 2 longer by n_chars -> 2 is
+    // canonical of cluster 1; docs 4,5 near-dup with EQUAL n_chars ->
+    // min doc_id 4 wins; doc 3 unrelated -> no cluster row at all
+    val d = Seq(
+      (1L, "a b c d e f", 10L), (2L, "a b c d e f", 12L),
+      (3L, "q r s t u v", 6L),
+      (4L, "x y z w k m", 7L), (5L, "x y z w k m", 7L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Components.canonicalDocs(d)
+      .select("cluster_id", "n_docs", "canonical_doc", "canonical_chars",
+        "dropped_docs", "dropped_chars")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got.keySet === Set(1L, 4L))
+    assert(got(1L) === ((1L, 2L, 2L, 12L, 1L, 10L)))
+    assert(got(4L) === ((4L, 2L, 4L, 7L, 1L, 7L)))
+  }
 }

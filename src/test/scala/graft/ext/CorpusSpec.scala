@@ -174,4 +174,32 @@ class CorpusSpec extends SparkSpec {
     assert(r("B")._5 > r("B")._4, "tail source must be up-weighted")
     graft.CheckpointLease.releaseAll()
   }
+
+  test("bpePairCounts: within-token adjacent pairs, deterministic ranks") {
+    import spark.implicits._
+    // tokens: "aab" x2, "ab", "x" (no pair) -> aa:2, ab:3 (2 from aab,
+    // 1 from ab); order by count desc then pair asc
+    val d = Seq((1L, "aab aab"), (2L, "ab x")).toDF("doc_id", "text")
+    val got = Corpus.bpePairCounts(d)
+      .select("pair", "cnt", "rnk").as[(String, Long, Long)].collect()
+    assert(got.toSeq === Seq(("ab", 3L, 1L), ("aa", 2L, 2L)))
+    // k caps the output
+    assert(Corpus.bpePairCounts(d, k = 1).count() === 1L)
+  }
+
+  test("normalizeStats: exact before/after char totals per language") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello,  World!", "en"), // -> "hello world" (11 of 14 chars)
+      (2L, "abc 123", "en"),        // already normal -> unchanged
+      (3L, "A+B", "de"))            // -> "a b" (same length, changed)
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.normalizeStats(d)
+      .select("lang", "n_docs", "n_changed", "chars_before", "chars_after",
+        "shrink_ratio")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got("en") === (("en", 2L, 1L, 21L, 18L, 18.0 / 21.0)))
+    assert(got("de") === (("de", 1L, 1L, 3L, 3L, 1.0)))
+  }
 }

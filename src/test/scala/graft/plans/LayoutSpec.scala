@@ -1,0 +1,87 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders(rows: (Long, Long, String, Double, String, String)*) =
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
+
+  test("mortonKey interleaves bits: x at even, y at odd positions") {
+    val df = Seq((3L, 1L), (0L, 255L), (255L, 0L), (0L, 0L), (255L, 255L))
+      .toDF("x", "y")
+      .select(Layout.mortonKey(col("x"), col("y")).as("z"))
+    // x=3,y=1: x bits 0,1 -> z bits 0,2; y bit 0 -> z bit 1 => 1+4+2
+    // y=255 alone: all odd bits of 16 => 0b1010_1010_1010_1010 = 43690
+    // x=255 alone: all even bits => 21845; both => 65535
+    assert(df.as[Long].collect().toSeq === Seq(7L, 43690L, 21845L, 0L, 65535L))
+  }
+
+  test("zorderBlocks: a block covers a narrow square in both dimensions") {
+    // custkey 0..15 x 4 days from the epoch date -> zkeys all < 2^8+?,
+    // every row lands in low blocks; block stats must bound both dims
+    val rows = for (c <- 0L until 16L; d <- 0 until 4) yield
+      (c * 100 + d, c, "O", 1.0,
+        java.time.LocalDate.parse(Layout.EpochDate).plusDays(d).toString +
+          " 00:00:00", "1-URGENT")
+    val blocks = Layout.zorderBlocks(orders(rows: _*)).collect()
+    assert(blocks.map(_.getAs[Long]("n_rows")).sum === 64L)
+    blocks.foreach { b =>
+      // 64-key Z blocks tile 8x8 grid cells at most (here: 8 wide in
+      // cust, 8 in day, but our domain is 16x4) — never a full stripe
+      assert(b.getAs[Long]("cust_max") - b.getAs[Long]("cust_min") < 8L)
+      assert(b.getAs[Long]("day_max") - b.getAs[Long]("day_min") < 8L)
+    }
+  }
+
+  test("compactionPlan: exact byte math, ceil-by-shift file counts") {
+    // month A: 2 rows of (32 + 1 + 8) = 41 bytes each -> 82 bytes,
+    // 1 file, small; month B: big rows via long priority string
+    val big = "P" * 600000 // 600 kB -> 3 rows ~ 1.8 MB -> 2 files
+    val plan = Layout.compactionPlan(orders(
+      (1L, 1L, "O", 1.0, "1995-01-10 00:00:00", "1-URGENT"),
+      (2L, 1L, "O", 1.0, "1995-01-20 00:00:00", "1-URGENT"),
+      (3L, 1L, "O", 1.0, "1995-02-01 00:00:00", big),
+      (4L, 1L, "O", 1.0, "1995-02-02 00:00:00", big),
+      (5L, 1L, "O", 1.0, "1995-02-03 00:00:00", big)))
+      .collect().map(r => r.getAs[String]("month") -> r).toMap
+    val a = plan("1995-01")
+    assert(a.getAs[Long]("est_bytes") === 82L)
+    assert(a.getAs[Long]("n_files") === 1L)
+    assert(a.getAs[Boolean]("small_file"))
+    val b = plan("1995-02")
+    assert(b.getAs[Long]("est_bytes") === 3L * (600000 + 33))
+    assert(b.getAs[Long]("n_files") === 2L) // ceil(1.8MB / 1MiB)
+    assert(!b.getAs[Boolean]("small_file"))
+  }
+
+  test("zonemapPrune: date-clustered layout skips, key layout cannot") {
+    // 120 orders spread over 1993 (outside the 1995 predicate) plus 64
+    // in mid-1995 whose keys land one per key shard (960 % 64 == 0), so
+    // the key layout mixes a matching row into every shard
+    val rows =
+      (0 until 120).map(i => (i.toLong, 1L, "O", 1.0,
+        java.time.LocalDate.of(1993, 1, 1).plusDays(i * 3).toString +
+          " 00:00:00", "X")) ++
+      (0 until 64).map(i => (960L + i, 1L, "O", 1.0,
+        java.time.LocalDate.of(1995, 6, 1).plusDays(i).toString +
+          " 00:00:00", "X"))
+    val got = Layout.zonemapPrune(orders(rows: _*))
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    val byDate = got("bydate")
+    val byKey = got("bykey")
+    // both see the same ground truth
+    assert(byDate.getAs[Long]("rows_matched") === 64L)
+    assert(byKey.getAs[Long]("rows_matched") === 64L)
+    // date clustering: the 1993 shards all miss the 1995 range
+    assert(byDate.getAs[Long]("n_shards_skipped") > 0L)
+    assert(byDate.getAs[Long]("rows_scanned") < 184L)
+    // a 1995 order sits in every key shard -> zone maps can't skip any
+    assert(byKey.getAs[Long]("rows_scanned") === 184L)
+    assert(byKey.getAs[Long]("n_shards_skipped") === 0L)
+  }
+}
