@@ -267,8 +267,119 @@ object Corpus {
         col("chars_after").cast("double") / col("chars_before"))
   }
 
+  /** Merges trained by [[bpeTrain]]. */
+  val BpeMerges = 8
+
+  /** Symbol-boundary marker for [[bpeTrain]]'s work encoding (U+001F
+    * unit separator; tokens containing it, or any non-printable-ASCII
+    * byte, are excluded on BOTH engines so the encoding is injective).
+    */
+  private val Mk = "\u001F"
+
+  /** Full BPE tokenizer-training loop — the iterative step
+    * [[bpePairCounts]] only previews. Each round finds the corpus-wide
+    * most frequent adjacent symbol pair (ties to the lexicographically
+    * smallest, the deterministic total order a reproducible tokenizer
+    * needs) and merges it everywhere, exactly the Sennrich et al. BPE
+    * procedure: counts include overlapping occurrences ("aaa" counts
+    * (a,a) twice), rewrites are left-to-right non-overlapping ("aaaa"
+    * becomes [aa][aa]).
+    *
+    * Representation is a marker-PREFIXED symbol string per token
+    * (`<M>c1<M>c2...` for marker `<M>` = U+001F): a merge of pair (A,B) is then ONE
+    * literal (non-regex) string replace of `<M>A<M>B` with
+    * `<M>AB` — the prefix marker makes symbol boundaries
+    * unambiguous (a pattern can never match a symbol's suffix) and,
+    * unlike space-DELIMITED encodings, consecutive occurrences share no
+    * delimiter, so JVM/DuckDB `replace` left-to-right scan reproduces
+    * BPE's non-overlapping merge bit-for-bit on both engines.
+    *
+    * == Scale shape ==
+    * Per merge: one scan of the cached token table (narrow replace
+    * chain), one keyed count whose map-side combine collapses the
+    * symbol-pair domain (bounded by vocab², tiny next to corpus size)
+    * before the shuffle, and a 1-row TakeOrdered collect. k merges = k
+    * scans — inherent to BPE training (production trains on a sample;
+    * the loop shape is identical). Nothing data-sized ever reaches the
+    * driver.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok").rlike("^[!-~]+$"))
+      .select(regexp_replace(col("tok"), "(.)", Mk + "$1").as("s"))
+      .persist()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var cur = base
+      var done = false
+      while (out.size < merges && !done) {
+        val top = cur
+          .select(split(col("s"), Mk).as("syms"))
+          .where(size(col("syms")) >= 3) // leading "" + at least 2 symbols
+          .select(explode(expr(
+            "transform(sequence(2, size(syms) - 1), i -> " +
+              "concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) done = true
+        else {
+          val pair = top(0).getString(0)
+          val Array(a, b) = pair.split(" ", 2)
+          out += ((out.size + 1L, pair, a + b, top(0).getLong(1)))
+          cur = cur.select(
+            replace(col("s"), lit(Mk + a + Mk + b), lit(Mk + a + b)).as("s"))
+        }
+      }
+      out.toSeq.toDF("rnk", "pair", "merged", "cnt")
+    } finally base.unpersist(false)
+  }
+
+  /** [[bpeTrain]]'s DuckDB twin: the k merge rounds unrolled as CTE
+    * stages (pair-count → top-1 → literal replace), MATERIALIZED so each
+    * stage's token table computes once instead of inlining exponentially.
+    */
+  private def bpeOracle(k: Int): String = {
+    val stages = (1 to k).map { m =>
+      val rewrite =
+        if (m == k) "" // b_k is the last output; t_k never needed
+        else
+          s""",
+             |t$m AS MATERIALIZED (
+             |  SELECT replace(s,
+             |           chr(31) || replace((SELECT pair FROM b$m), ' ', chr(31)),
+             |           chr(31) || replace((SELECT pair FROM b$m), ' ', '')) AS s
+             |  FROM t${m - 1})""".stripMargin
+      s"""p$m AS (
+         |  SELECT unnest([syms[i] || ' ' || syms[i+1]
+         |                 for i in range(2, len(syms))]) AS pair
+         |  FROM (SELECT string_split(s, chr(31)) AS syms FROM t${m - 1})
+         |  WHERE len(syms) >= 3),
+         |b$m AS MATERIALIZED (
+         |  SELECT pair, count(*) AS cnt FROM p$m GROUP BY 1
+         |  ORDER BY cnt DESC, pair LIMIT 1)$rewrite""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map { m =>
+      s"SELECT CAST($m AS BIGINT) AS rnk, pair, " +
+        s"replace(pair, ' ', '') AS merged, cnt FROM b$m"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t0 AS MATERIALIZED (
+       |  SELECT regexp_replace(tok, '(.)', chr(31) || '\\1', 'g') AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE regexp_matches(tok, '^[!-~]+$$')),
+       |$stages
+       |$union""".stripMargin
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => bpePairCounts(Tables.documents(s, d))),
     "text_normalize" -> ((s, d) => normalizeStats(Tables.documents(s, d))),
     "mix_temperature" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
@@ -282,6 +393,7 @@ object Corpus {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "bpe_train" -> bpeOracle(BpeMerges),
     "bpe_pairs" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

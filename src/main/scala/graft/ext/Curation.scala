@@ -242,7 +242,67 @@ object Curation {
         max("repeats").as("repeats"))
   }
 
+  /** Hash-bucket fan-out for [[domainRelevance]]. */
+  val RelevanceBuckets = 1024L
+  /** Weight unit for [[domainRelevance]] (basis points). */
+  val RelevanceScale = 10000L
+
+  /** DSIR-style domain-relevance scoring (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling"): hash every word
+    * bigram into [[RelevanceBuckets]] buckets, estimate each bucket's
+    * target-vs-corpus frequency ratio from a TARGET slice (here
+    * `source = 'src0'`, the same slice [[Dedup]] treats as the benchmark
+    * set), and score every document by the mean ratio of its bigrams —
+    * the importance weight used to up-sample target-like data.
+    *
+    * All arithmetic is exact integers: bucket weight
+    * `w_b = (Scale · t_b · N_c) DIV (c_b · N_t)` (basis points of the
+    * frequency ratio, truncating division — identical to DuckDB `//` on
+    * these non-negatives), doc score = int64 sum / DIV-mean of its
+    * bigrams' weights. The int64 headroom bound is
+    * `Scale · t_b · N_c < 2^63` — fine to ~1e12 corpus bigrams at this
+    * Scale; past that a production run drops to the xxhash64 + double
+    * log-weight form (same plan shape, no oracle).
+    *
+    * == Scale shape ==
+    * One narrow bigram+bucket scan feeds two keyed aggregates over the
+    * FIXED 1024-bucket domain (map-side combine collapses each task to
+    * ≤1024 rows — shuffle is constant-size regardless of corpus);
+    * the weight table broadcasts back onto the per-doc rollup. Nothing
+    * data-sized crosses the driver.
+    */
+  def domainRelevance(docs: DataFrame,
+      targetSource: String = "src0"): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("gram"))
+      .select(col("doc_id"), col("source"),
+        pmod(Dedup.tokenHash64(col("gram")), lit(RelevanceBuckets))
+          .as("bucket"))
+    val perBucket = grams
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("c_b"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L))
+          .as("t_b"))
+    val totals = perBucket.agg(sum("c_b").as("n_c"), sum("t_b").as("n_t"))
+    val weights = perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr(s"($RelevanceScale * t_b * n_c) DIV (c_b * n_t)").as("w"))
+    grams
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"), sum("w").as("w_sum"))
+      .select(col("doc_id"), col("source"), col("n_grams"), col("w_sum"),
+        expr("w_sum DIV n_grams").as("w_avg"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_relevance"    -> ((s, d) => domainRelevance(Tables.documents(s, d))),
     "batch_padding"     -> ((s, d) => batchPadding(Tables.documents(s, d))),
     "curation_repeats"  -> ((s, d) => epochRepeats(Tables.documents(s, d))),
     "sample_weighted"   -> ((s, d) =>
@@ -257,6 +317,35 @@ object Curation {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "dsir_relevance" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |         CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 1024
+        |           AS bucket
+        |  FROM (
+        |    SELECT doc_id, source,
+        |           unnest([toks[i] || ' ' || toks[i+1]
+        |                   for i in range(1, len(toks))]) AS gram
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 2)),
+        |pb AS (
+        |  SELECT bucket, count(*) AS c_b,
+        |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_b
+        |  FROM g GROUP BY 1),
+        |tot AS (SELECT sum(c_b) AS n_c, sum(t_b) AS n_t FROM pb),
+        |w AS (
+        |  -- CAST: sum() is HUGEINT in DuckDB and would reach pandas as
+        |  -- float; BIGINT keeps the compare exact
+        |  SELECT bucket,
+        |         CAST((10000 * t_b * n_c) // (c_b * n_t) AS BIGINT) AS w
+        |  FROM pb, tot)
+        |SELECT g.doc_id, g.source,
+        |       count(*) AS n_grams,
+        |       CAST(sum(w.w) AS BIGINT) AS w_sum,
+        |       CAST(sum(w.w) AS BIGINT) // count(*) AS w_avg
+        |FROM g JOIN w USING (bucket)
+        |GROUP BY 1, 2""".stripMargin,
     "batch_padding" ->
       """WITH t AS (
         |  SELECT least(len(string_split(text, ' ')), 4096) AS n_tokens

@@ -183,6 +183,71 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Edges reported by [[edgeJaccard]]. */
+  val EdgeJaccardTopK = 100
+
+  /** Structural edge similarity (the SCAN / graph-sparsification weight):
+    * for each undirected edge (u,v), the Jaccard overlap of the two
+    * endpoints' neighborhoods — `common / (deg_u + deg_v - 2 - common)`
+    * where `common` = shared neighbors = triangles through the edge.
+    * High-overlap edges are intra-community; low-overlap edges are the
+    * bridges a sparsifier keeps. Top `topK` edges by (jaccard desc, u, v)
+    * — ties broken on raw ids so the cut is deterministic on both
+    * engines (the division is one exact-int IEEE op, bit-identical).
+    *
+    * == Scale shape ==
+    * The naive plan — join each edge's neighbor LIST against the other
+    * endpoint's — ships deg-sized sets per edge. This instead reuses
+    * [[triangleCount]]'s oriented wedge machinery (per-node fan-out
+    * capped at O(√E) by degree orientation, closing join size-gated
+    * broadcast-vs-shuffle): every closed triangle emits its 3 canonical
+    * edges (a narrow 3-row generator), and ONE keyed count yields each
+    * edge's support. Edges on no triangle have overlap 0 and are
+    * omitted — never candidates for a top-k of positive weights.
+    * Final ranking is TakeOrdered (no global sort).
+    */
+  def edgeJaccard(edgesIn: DataFrame, topK: Int = EdgeJaccardTopK,
+      broadcastMaxEdges: Long = TriangleBroadcastMaxEdges): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    val deg = graft.CheckpointLease.track(
+      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false))
+    val rel = graft.CheckpointLease.track(
+      orientedEdges(edges).localCheckpoint(false))
+    val nOriented = rel.count()
+    val wedges = rel.as("e1")
+      .join(rel.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.dv"), col("e1.dst")) <
+            struct(col("e2.dv"), col("e2.dst")))
+      .select(col("e1.src").as("n"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val closing = rel.select(col("src").as("cb"), col("dst").as("cc"))
+    val closingSide =
+      if (nOriented <= broadcastMaxEdges) broadcast(closing) else closing
+    val triangles = wedges.join(closingSide,
+        col("b") === col("cb") && col("c") === col("cc"))
+      .select(col("n"), col("b"), col("c"))
+    val support = triangles
+      .select(explode(array(
+        struct(least(col("n"), col("b")).as("u"),
+          greatest(col("n"), col("b")).as("v")),
+        struct(least(col("n"), col("c")).as("u"),
+          greatest(col("n"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"),
+          greatest(col("b"), col("c")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+    support
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("common"), col("deg_u"), col("deg_v"),
+        (col("common").cast("double") /
+          (col("deg_u") + col("deg_v") - 2L - col("common"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
   /** k-core extraction by iterative peeling: `rounds` fixed rounds of
     * "drop every node whose degree in the CURRENT subgraph is < k",
     * then the surviving nodes with their final in-core degree. The
@@ -248,6 +313,8 @@ object Graph {
       degreeDistribution(coPurchaseEdges(Tables.lineitem(s, d)))),
     "graph_kcore" -> ((s, d) =>
       kcore(coPurchaseEdges(Tables.lineitem(s, d)))),
+    "graph_edge_jaccard" -> ((s, d) =>
+      edgeJaccard(coPurchaseEdges(Tables.lineitem(s, d)))),
   )
 
   /** Unrolled k-core oracle: 8 peel rounds as chained CTEs (e0..e8),
@@ -283,6 +350,41 @@ object Graph {
     */
   def oracleSql: Map[String, String] = Map(
     "graph_kcore" -> duckKcoreSql,
+    // same degree-orientation + wedge close + 3-edges-per-triangle plan,
+    // tuple comparisons spelled as ROW(...) < ROW(...)
+    "graph_edge_jaccard" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS MATERIALIZED (
+        |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        |orient AS MATERIALIZED (
+        |  SELECT e.src, e.dst, dv.deg AS dv
+        |  FROM e JOIN deg du ON e.src = du.node
+        |         JOIN deg dv ON e.dst = dv.node
+        |  WHERE ROW(du.deg, e.src) < ROW(dv.deg, e.dst)),
+        |tri AS MATERIALIZED (
+        |  SELECT w.n, w.b, w.c FROM (
+        |    SELECT e1.src AS n, e1.dst AS b, e2.dst AS c
+        |    FROM orient e1 JOIN orient e2
+        |      ON e1.src = e2.src
+        |     AND ROW(e1.dv, e1.dst) < ROW(e2.dv, e2.dst)) w
+        |  JOIN orient e3 ON e3.src = w.b AND e3.dst = w.c),
+        |te AS (
+        |  SELECT least(n, b) AS u, greatest(n, b) AS v FROM tri
+        |  UNION ALL
+        |  SELECT least(n, c), greatest(n, c) FROM tri
+        |  UNION ALL
+        |  SELECT least(b, c), greatest(b, c) FROM tri),
+        |support AS (SELECT u, v, count(*) AS common FROM te GROUP BY 1, 2)
+        |SELECT s.u, s.v, s.common, du.deg AS deg_u, dv.deg AS deg_v,
+        |       CAST(s.common AS DOUBLE)
+        |         / (du.deg + dv.deg - 2 - s.common) AS jaccard
+        |FROM support s JOIN deg du ON s.u = du.node
+        |               JOIN deg dv ON s.v = dv.node
+        |ORDER BY jaccard DESC, s.u, s.v LIMIT 100""".stripMargin,
     "graph_degrees" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

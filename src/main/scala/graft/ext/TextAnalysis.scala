@@ -381,7 +381,44 @@ object TextAnalysis {
       .select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi_ratio")
   }
 
+  /** Vocabulary size for [[commonVocabRatio]]. */
+  val CommonVocabK = 10
+
+  /** Per-document common-vocabulary ratio — the corpus-adaptive form of
+    * the C4/Gopher "common word fraction" quality rule: build the
+    * corpus's top-`k` token vocabulary (by count, ties to the
+    * lexicographically smaller token — a deterministic cut), then score
+    * every document by the share of its token OCCURRENCES that fall in
+    * that vocabulary. Documents far below the corpus norm are
+    * code/tables/noise; far above are stopword soup — both standard
+    * filter targets. Unlike a fixed stopword list this adapts to the
+    * corpus's own register (and to any language mix).
+    *
+    * Scale shape: vocab is a keyed count + `TakeOrdered(k)` (no global
+    * sort), broadcast back onto one token scan; the per-doc rollup is
+    * a single keyed aggregate. The ratio is the one IEEE division on
+    * exact counts — bit-identical on both engines.
+    */
+  def commonVocabRatio(docs: DataFrame, k: Int = CommonVocabK): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 1)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_common"))
+      .withColumn("common_ratio",
+        col("n_common").cast("double") / col("n_tokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_common_vocab" -> ((s, d) =>
+      commonVocabRatio(Tables.documents(s, d))),
     "text_pmi"          -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
     "vocab_coverage"    -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "search_bm25"       -> ((s, d) => bm25(Tables.documents(s, d))),
@@ -399,6 +436,24 @@ object TextAnalysis {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "text_common_vocab" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok FROM t WHERE len(tok) >= 1),
+        |v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM tf GROUP BY 1
+        |    ORDER BY cnt DESC, tok LIMIT 10)),
+        |j AS (
+        |  SELECT tf.doc_id,
+        |         CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS in_v
+        |  FROM tf LEFT JOIN v ON tf.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(in_v) AS BIGINT) AS n_common,
+        |       CAST(CAST(sum(in_v) AS BIGINT) AS DOUBLE) / count(*)
+        |         AS common_ratio
+        |FROM j GROUP BY 1""".stripMargin,
     "text_pmi" ->
       """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |bi AS (

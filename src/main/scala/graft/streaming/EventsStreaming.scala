@@ -266,8 +266,48 @@ object EventsStreaming {
         round(col("value") * 100).cast("long").as("value_cents"))
   }
 
+  /** Watermark delay audited by [[latenessAudit]] (10 min — the same
+    * delay the streaming twins above carry in `withWatermark`).
+    */
+  val LateWatermarkSec = 600L
+
+  /** Watermark lateness audit — the sizing query run BEFORE picking a
+    * `withWatermark` delay: replaying each user's stream in ARRIVAL
+    * order (`event_id`, the monotone ingestion id), how far behind that
+    * user's event-time high-water mark does each event arrive, and how
+    * many rows would a given watermark delay have dropped? Per event
+    * type: row count, rows later than the delay, worst lateness, and
+    * how many users ever produced such a row.
+    *
+    * The high-water mark is a self-exclusive per-user running max —
+    * partitioned by the stream key, so the window parallelizes (never a
+    * global sort); the rollup is one keyed aggregate. (Structured
+    * Streaming's real watermark is global per trigger, which can only
+    * drop FEWER rows than this per-user bound — the audit is the
+    * conservative estimate.)
+    */
+  def latenessAudit(ev: DataFrame,
+      watermarkSec: Long = LateWatermarkSec): DataFrame = {
+    val hwm = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateUs = greatest(lit(0L),
+      coalesce(max(unix_micros(col("ts"))).over(hwm), lit(0L)) -
+        unix_micros(col("ts")))
+    val wmUs = watermarkSec * 1000000L
+    ev
+      .select(col("event_type"), col("user_id"), lateUs.as("late_us"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > wmUs, 1L).otherwise(0L)).as("n_late"),
+        expr("max(late_us) DIV 1000000").as("max_late_s"),
+        countDistinct(when(col("late_us") > wmUs, col("user_id")))
+          .as("n_late_users"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_late_audit" -> ((s, d) => latenessAudit(Tables.events(s, d))),
     "stream_hourly"   -> ((s, d) => hourlyBatch(Tables.events(s, d))),
     "stream_sliding"  -> ((s, d) => slidingBatch(Tables.events(s, d))),
     "stream_sessions" -> ((s, d) => sessionsBatch(Tables.events(s, d))),
@@ -286,6 +326,26 @@ object EventsStreaming {
     * which is exactly `session_window`'s merge semantics.
     */
   def oracleSql: Map[String, String] = Map(
+    "stream_late_audit" ->
+      """WITH o AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+        |         max(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS hwm_us
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, user_id,
+        |         greatest(0, coalesce(hwm_us, 0) - ts_us) AS late_us
+        |  FROM o)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_late,
+        |       CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s,
+        |       CAST(count(DISTINCT CASE WHEN late_us > 600000000
+        |                                THEN user_id END) AS BIGINT)
+        |         AS n_late_users
+        |FROM l GROUP BY 1""".stripMargin,
     "stream_hourly" ->
       """SELECT strftime(make_timestamp(
         |         (epoch_us(ts) // 3600000000) * 3600000000),

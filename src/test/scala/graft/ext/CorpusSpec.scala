@@ -187,6 +187,36 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.bpePairCounts(d, k = 1).count() === 1L)
   }
 
+  test("bpeTrain: overlap counting, non-overlapping merge, early stop") {
+    import spark.implicits._
+    // "aaaa": pair (a,a) counts 3 (overlapping adjacencies), but the
+    // merge rewrites left-to-right non-overlapping -> [aa][aa]; round 2
+    // then merges (aa,aa) once and the corpus is single-symbol tokens
+    val got = Corpus.bpeTrain(Seq((1L, "aaaa")).toDF("doc_id", "text"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a a", "aa", 3L), (2L, "aa aa", "aaaa", 1L)))
+  }
+
+  test("bpeTrain: deterministic tie-break and cross-token counting") {
+    import spark.implicits._
+    // tokens: ab, ab, cd, cd -> pairs (a,b):2 (c,d):2, tie -> "a b"
+    // wins lexicographically; then (c,d):2; then nothing
+    val got = Corpus.bpeTrain(
+      Seq((1L, "ab cd"), (2L, "ab cd")).toDF("doc_id", "text"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a b", "ab", 2L), (2L, "c d", "cd", 2L)))
+  }
+
+  test("bpeTrain: merged symbols participate in later rounds") {
+    import spark.implicits._
+    // classic staged merge: "abc" x3 -> (a,b):3 & (b,c):3 tie -> "a b";
+    // then (ab,c):3 completes the token
+    val got = Corpus.bpeTrain(
+      Seq((1L, "abc abc abc")).toDF("doc_id", "text"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a b", "ab", 3L), (2L, "ab c", "abc", 3L)))
+  }
+
   test("normalizeStats: exact before/after char totals per language") {
     import spark.implicits._
     val d = Seq(

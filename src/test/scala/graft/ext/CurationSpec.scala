@@ -191,4 +191,36 @@ class CurationSpec extends SparkSpec {
       ("src0", 3L, 1L, 2L, 4L), ("src0", 4L, 1L, 2L, 4L),
       ("src3", 1L, 1L, 1L, 1L)))
   }
+
+  test("domainRelevance: target-only bigrams score high, shared score par") {
+    import spark.implicits._
+    // target doc: bigrams (a b), (b c); corpus doc shares (a b) but
+    // adds (b d). With md5 buckets almost surely distinct for 3 grams:
+    //   N_c = 4, N_t = 2
+    //   bucket(a b): c=2 t=1 -> w = 10000*1*4 // (2*2) = 10000  (ratio 1)
+    //   bucket(b c): c=1 t=1 -> w = 10000*1*4 // (1*2) = 20000  (target-only)
+    //   bucket(b d): c=1 t=0 -> w = 0
+    val d = Seq(
+      (1L, "a b c", "src0"),
+      (2L, "a b d", "web"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.domainRelevance(d)
+      .select("doc_id", "source", "n_grams", "w_sum", "w_avg")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) === ((1L, "src0", 2L, 30000L, 15000L)))
+    assert(got(2L) === ((2L, "web", 2L, 10000L, 5000L)))
+  }
+
+  test("domainRelevance: scores are partitioning-invariant") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11}",
+        if (i % 4 == 0) "src0" else "web")).toDF("doc_id", "text", "source")
+    val a = Curation.domainRelevance(d.repartition(1))
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.domainRelevance(d.repartition(13))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }

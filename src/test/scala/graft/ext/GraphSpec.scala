@@ -126,6 +126,49 @@ class GraphSpec extends SparkSpec {
     assert(Graph.coPurchaseEdges(mega, maxOrderItems = 50).count() === 50L * 49)
   }
 
+  test("edgeJaccard: per-edge common-neighbor counts with exact weights") {
+    // K4 on {1,2,3,4}: every edge sits on 2 triangles, all degrees 3 ->
+    // jaccard = 2 / (3 + 3 - 2 - 2) = 1.0 for all 6 edges; pendant edge
+    // 4-5 has no common neighbor -> absent from the output
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val edges = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val got = Graph.edgeJaccard(edges)
+      .select("u", "v", "common", "deg_u", "deg_v", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    graft.CheckpointLease.releaseAll()
+    assert(got.length === 6)
+    assert(got.map(r => (r._1, r._2)).toSet ===
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // edges touching node 4 see its pendant-inflated degree 4
+    got.foreach { case (u, v, common, du, dv, j) =>
+      assert(common === 2L)
+      val expDeg = (n: Long) => if (n == 4L) 4L else 3L
+      assert(du === expDeg(u) && dv === expDeg(v))
+      assert(j === 2.0 / (du + dv - 2 - 2))
+    }
+    // deterministic ranking: non-4 edges (j=1.0) sort before 4-edges
+    val ranked = Graph.edgeJaccard(edges).select("u", "v")
+      .as[(Long, Long)].collect().toSeq
+    graft.CheckpointLease.releaseAll()
+    assert(ranked === Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 4L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("edgeJaccard: shuffle-join path produces the identical ranking") {
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val edges = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val viaBroadcast = Graph.edgeJaccard(edges).collect().toSeq
+    graft.CheckpointLease.releaseAll()
+    val viaShuffle = Graph.edgeJaccard(edges, broadcastMaxEdges = 0L)
+      .collect().toSeq
+    graft.CheckpointLease.releaseAll()
+    assert(viaBroadcast === viaShuffle)
+  }
+
   test("degreeDistribution: star graph counts leaves and hub with shares") {
     // star: hub 1 connected to 2,3,4 (both directions)
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),

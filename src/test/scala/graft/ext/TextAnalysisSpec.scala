@@ -154,6 +154,28 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 1L, "c", 1L, 3L)))
   }
 
+  test("commonVocabRatio: occurrences counted against the top-k cut") {
+    // corpus counts: x=4, y=3, z=2, w=1 -> k=2 vocab = {x, y}
+    // doc 1 "x x y z": 3 of 4 occurrences in vocab; doc 2 "z w": 0 of 2
+    val d = docs((1L, "x x y z", "en"), (2L, "z w", "en"),
+      (3L, "x x y y z w", "en"))
+    val got = TextAnalysis.commonVocabRatio(d, k = 2)
+      .select("doc_id", "n_tokens", "n_common", "common_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) === ((1L, 4L, 3L, 0.75)))
+    assert(got(2L) === ((2L, 2L, 0L, 0.0)))
+    assert(got(3L) === ((3L, 6L, 4L, 4.0 / 6.0)))
+  }
+
+  test("commonVocabRatio: vocab tie at the cut is lexicographic") {
+    // a=2, b=2, c=2: k=2 keeps {a, b} (ties -> smaller token)
+    val d = docs((1L, "a b c", "en"), (2L, "a b c", "en"))
+    val got = TextAnalysis.commonVocabRatio(d, k = 2)
+      .select("doc_id", "n_common").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("pmiCollocations: ratio ranking from hand-computed counts") {
     // one doc "a b a b": bigrams (a,b)x2, (b,a)x1; unigrams a=2, b=2;
     // N=4 -> ratio(a,b) = 2*4/(2*2) = 2.0, ratio(b,a) = 1*4/4 = 1.0

@@ -26,6 +26,28 @@ class EventsStreamingSpec extends SparkSpec {
       ("2024-01-01 01:00:00", 1L, 0L, 400L)))
   }
 
+  test("latenessAudit: per-user arrival-order high-water mark, " +
+      "watermark threshold counts") {
+    val ev = events(
+      // user 7 arrival order by event_id: 10:00, 10:30, then an event
+      // whose TIME is 09:45 (45 min late -> beyond the 10 min watermark),
+      // then 10:29 (1 min late -> within)
+      (1L, "2024-01-01 10:00:00", 7L, "click", 1.0),
+      (2L, "2024-01-01 10:30:00", 7L, "click", 1.0),
+      (3L, "2024-01-01 09:45:00", 7L, "click", 1.0),
+      (4L, "2024-01-01 10:29:00", 7L, "click", 1.0),
+      // user 8: strictly in order -> zero lateness
+      (5L, "2024-01-01 10:00:00", 8L, "buy", 1.0),
+      (6L, "2024-01-01 10:05:00", 8L, "buy", 1.0))
+    val got = EventsStreaming.latenessAudit(ev)
+      .select("event_type", "n_events", "n_late", "max_late_s",
+        "n_late_users")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got("click") === (("click", 4L, 1L, 2700L, 1L)))
+    assert(got("buy") === (("buy", 2L, 0L, 0L, 0L)))
+  }
+
   test("slidingBatch: every event lands in exactly two windows") {
     val ev = events((1L, "2024-01-01 00:40:00", 7L, "click", 1.0))
     val starts = EventsStreaming.slidingBatch(ev).collect()
