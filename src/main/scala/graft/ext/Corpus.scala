@@ -295,13 +295,14 @@ object Corpus {
     * BPE's non-overlapping merge bit-for-bit on both engines.
     *
     * == Scale shape ==
-    * Per merge: one scan of the cached token table (narrow replace
-    * chain), one keyed count whose map-side combine collapses the
-    * symbol-pair domain (bounded by vocab², tiny next to corpus size)
-    * before the shuffle, and a 1-row TakeOrdered collect. k merges = k
-    * scans — inherent to BPE training (production trains on a sample;
-    * the loop shape is identical). Nothing data-sized ever reaches the
-    * driver.
+    * The corpus is scanned ONCE, into the distinct-token frequency
+    * table (the classic Sennrich formulation: corpus pair count =
+    * Σ_vocab freq(token) · pairs-in-token). Every merge round then runs
+    * on that cached vocab table — orders of magnitude smaller than the
+    * corpus at any scale (a 100 TB web corpus has ~1e7–1e8 distinct
+    * space-split words) — as a narrow replace chain, one freq-weighted
+    * keyed count over the bounded symbol-pair domain, and a 1-row
+    * TakeOrdered collect. Nothing data-sized ever reaches the driver.
     */
   def bpeTrain(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
     val spark = docs.sparkSession
@@ -309,7 +310,9 @@ object Corpus {
     val base = docs
       .select(explode(split(col("text"), " ")).as("tok"))
       .where(col("tok").rlike("^[!-~]+$"))
-      .select(regexp_replace(col("tok"), "(.)", Mk + "$1").as("s"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("tok"), "(.)", Mk + "$1").as("s"),
+        col("cnt"))
       .persist()
     try {
       val out = scala.collection.mutable.ArrayBuffer
@@ -318,13 +321,13 @@ object Corpus {
       var done = false
       while (out.size < merges && !done) {
         val top = cur
-          .select(split(col("s"), Mk).as("syms"))
+          .select(split(col("s"), Mk).as("syms"), col("cnt"))
           .where(size(col("syms")) >= 3) // leading "" + at least 2 symbols
           .select(explode(expr(
             "transform(sequence(2, size(syms) - 1), i -> " +
               "concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
-            .as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+            .as("pair"), col("cnt"))
+          .groupBy("pair").agg(sum("cnt").as("cnt"))
           .orderBy(col("cnt").desc, col("pair"))
           .limit(1)
           .collect()
@@ -334,11 +337,103 @@ object Corpus {
           val Array(a, b) = pair.split(" ", 2)
           out += ((out.size + 1L, pair, a + b, top(0).getLong(1)))
           cur = cur.select(
-            replace(col("s"), lit(Mk + a + Mk + b), lit(Mk + a + b)).as("s"))
+            replace(col("s"), lit(Mk + a + Mk + b), lit(Mk + a + b)).as("s"),
+            col("cnt"))
         }
       }
       out.toSeq.toDF("rnk", "pair", "merged", "cnt")
     } finally base.unpersist(false)
+  }
+
+  /** Tokenizer fertility report: train [[bpeTrain]]'s merges, apply
+    * them corpus-wide, and measure per source what the tokenizer buys —
+    * exact character totals, symbol counts before (= chars of kept
+    * tokens) and after the merges, and the two fertility ratios
+    * (symbols per character, the tokenizer-eval metric; and mean
+    * symbols per token). The apply step is the k literal replaces as
+    * ONE narrow chained expression over the cached token table (the
+    * merge list is k driver-side rows — the one legitimately
+    * driver-resident artifact of tokenizer training); symbol counts
+    * fall out of the marker encoding for free
+    * (`n_symbols = len(s) - len(strip_marker(s))`). One keyed rollup
+    * on the ≤n_sources domain ends the plan.
+    */
+  def bpeApply(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
+    val merged = bpeTrain(docs, merges).select("pair").collect()
+      .map(_.getString(0))
+    val base = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok").rlike("^[!-~]+$"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .select(col("source"),
+        regexp_replace(col("tok"), "(.)", Mk + "$1").as("s"), col("cnt"))
+    val applied = merged.foldLeft(base) { (df, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      df.withColumn("s",
+        replace(col("s"), lit(Mk + a + Mk + b), lit(Mk + a + b)))
+    }
+    applied
+      .select(col("source"), col("cnt"),
+        (length(col("s")) - length(replace(col("s"), lit(Mk), lit(""))))
+          .cast("long").as("n_syms"),
+        length(replace(col("s"), lit(Mk), lit(""))).cast("long")
+          .as("n_chars"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_tokens"),
+        sum(col("cnt") * col("n_chars")).as("chars"),
+        sum(col("cnt") * col("n_syms")).as("symbols"))
+      .select(col("source"), col("n_tokens"), col("chars"), col("symbols"),
+        (col("symbols").cast("double") / col("chars")).as("syms_per_char"),
+        (col("symbols").cast("double") / col("n_tokens"))
+          .as("syms_per_token"))
+  }
+
+  /** [[bpeApply]]'s DuckDB twin: the training stages of [[bpeOracle]]
+    * PLUS the final rewrite t_k, aggregated per source. The token table
+    * threads `source` through every stage (constant-width extra column;
+    * the merge arithmetic is unchanged).
+    */
+  private def bpeApplyOracle(k: Int): String = {
+    val stages = (1 to k).map { m =>
+      s"""p$m AS (
+         |  SELECT unnest([syms[i] || ' ' || syms[i+1]
+         |                 for i in range(2, len(syms))]) AS pair, cnt
+         |  FROM (SELECT string_split(s, chr(31)) AS syms, cnt
+         |        FROM t${m - 1})
+         |  WHERE len(syms) >= 3),
+         |b$m AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM p$m GROUP BY 1
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |t$m AS MATERIALIZED (
+         |  SELECT source, replace(s,
+         |           chr(31) || replace((SELECT pair FROM b$m), ' ', chr(31)),
+         |           chr(31) || replace((SELECT pair FROM b$m), ' ', '')) AS s,
+         |         cnt
+         |  FROM t${m - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t0 AS MATERIALIZED (
+       |  SELECT source, regexp_replace(tok, '(.)', chr(31) || '\\1', 'g') AS s,
+       |         cnt
+       |  FROM (SELECT source, tok, count(*) AS cnt
+       |        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |              FROM documents)
+       |        WHERE regexp_matches(tok, '^[!-~]+$$')
+       |        GROUP BY 1, 2)),
+       |$stages,
+       |m AS (
+       |  SELECT source, cnt,
+       |         CAST(len(s) - len(replace(s, chr(31), '')) AS BIGINT)
+       |           AS n_syms,
+       |         CAST(len(replace(s, chr(31), '')) AS BIGINT) AS n_chars
+       |  FROM t$k)
+       |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |       CAST(sum(cnt * n_chars) AS BIGINT) AS chars,
+       |       CAST(sum(cnt * n_syms) AS BIGINT) AS symbols,
+       |       CAST(CAST(sum(cnt * n_syms) AS BIGINT) AS DOUBLE)
+       |         / CAST(sum(cnt * n_chars) AS BIGINT) AS syms_per_char,
+       |       CAST(CAST(sum(cnt * n_syms) AS BIGINT) AS DOUBLE)
+       |         / CAST(sum(cnt) AS BIGINT) AS syms_per_token
+       |FROM m GROUP BY 1""".stripMargin
   }
 
   /** [[bpeTrain]]'s DuckDB twin: the k merge rounds unrolled as CTE
@@ -354,15 +449,17 @@ object Corpus {
              |t$m AS MATERIALIZED (
              |  SELECT replace(s,
              |           chr(31) || replace((SELECT pair FROM b$m), ' ', chr(31)),
-             |           chr(31) || replace((SELECT pair FROM b$m), ' ', '')) AS s
+             |           chr(31) || replace((SELECT pair FROM b$m), ' ', '')) AS s,
+             |         cnt
              |  FROM t${m - 1})""".stripMargin
       s"""p$m AS (
          |  SELECT unnest([syms[i] || ' ' || syms[i+1]
-         |                 for i in range(2, len(syms))]) AS pair
-         |  FROM (SELECT string_split(s, chr(31)) AS syms FROM t${m - 1})
+         |                 for i in range(2, len(syms))]) AS pair, cnt
+         |  FROM (SELECT string_split(s, chr(31)) AS syms, cnt
+         |        FROM t${m - 1})
          |  WHERE len(syms) >= 3),
          |b$m AS MATERIALIZED (
-         |  SELECT pair, count(*) AS cnt FROM p$m GROUP BY 1
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM p$m GROUP BY 1
          |  ORDER BY cnt DESC, pair LIMIT 1)$rewrite""".stripMargin
     }.mkString(",\n")
     val union = (1 to k).map { m =>
@@ -370,9 +467,12 @@ object Corpus {
         s"replace(pair, ' ', '') AS merged, cnt FROM b$m"
     }.mkString("\nUNION ALL\n")
     s"""WITH t0 AS MATERIALIZED (
-       |  SELECT regexp_replace(tok, '(.)', chr(31) || '\\1', 'g') AS s
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-       |  WHERE regexp_matches(tok, '^[!-~]+$$')),
+       |  SELECT regexp_replace(tok, '(.)', chr(31) || '\\1', 'g') AS s, cnt
+       |  FROM (SELECT tok, count(*) AS cnt
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+       |              FROM documents)
+       |        WHERE regexp_matches(tok, '^[!-~]+$$')
+       |        GROUP BY 1)),
        |$stages
        |$union""".stripMargin
   }
@@ -380,6 +480,7 @@ object Corpus {
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
+    "bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => bpePairCounts(Tables.documents(s, d))),
     "text_normalize" -> ((s, d) => normalizeStats(Tables.documents(s, d))),
     "mix_temperature" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
@@ -394,6 +495,7 @@ object Corpus {
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
     "bpe_train" -> bpeOracle(BpeMerges),
+    "bpe_apply" -> bpeApplyOracle(BpeMerges),
     "bpe_pairs" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -317,26 +317,45 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
-  /** Portable slot hash for the oracle-checked MinHash path: 60-bit
-    * md5 prefix of "slot:shingle" — `CAST('0x' || substr(md5(...),1,15)
-    * AS BIGINT)` in DuckDB, bit-identical (md5 is RFC 1321 on both
-    * engines). The xxhash64 path ([[minhashSignaturesNarrow]]) stays
-    * the throughput form (codegen'd, no per-slot string building); this
-    * one exists so the LSH family has a hash-verified twin.
+  /** Modulus of the portable slot-hash family (2^30: keeps every
+    * `A_j · h` product under 2^62 — no int64 overflow on either engine,
+    * no ANSI-mode throw).
     */
-  def slotHashPortable(slot: Int, shingle: Column): Column =
-    conv(substring(md5(concat(lit(s"$slot:"), shingle)), 1, 15), 16, 10)
-      .cast("long")
+  val SlotMod: Long = 1L << 30
+
+  /** Affine constants of the portable universal-hash family (odd
+    * multipliers so each map is a bijection mod 2^30). Computed once in
+    * Scala and interpolated as LITERALS into the DuckDB twin — both
+    * engines evaluate identical integer arithmetic.
+    */
+  def slotA(j: Int): Long = ((2654435761L * (j + 1)) % SlotMod) | 1L
+  def slotB(j: Int): Long = (40503L * (j + 7)) % SlotMod
+
+  /** Portable slot hashes for the oracle-checked MinHash path: ONE md5
+    * per shingle (32-bit prefix, `CAST('0x' || substr(md5(s),1,8) AS
+    * BIGINT)` in DuckDB — RFC 1321, bit-identical), then the k slot
+    * hashes as affine universal-hash transforms
+    * `(A_j · h + B_j) mod 2^30` — integer codegen instead of k string
+    * hashes (the previous md5-per-slot form was ~7x the whole query).
+    * The xxhash64 path ([[minhashSignaturesNarrow]]) stays the
+    * throughput form; recall of this family vs exact ground truth is
+    * pinned in DedupSpec.
+    */
+  def slotHashPortable(slot: Int, baseHash: Column): Column =
+    (baseHash * slotA(slot) + slotB(slot)) % SlotMod
 
   /** MinHash signatures over STRING shingles with the portable slot
-    * hash: k min-aggregates in one keyed pass (map-side partials), same
-    * k×bands geometry as the xxhash64 path.
+    * hashes: one md5 per shingle, k min-aggregates in one keyed pass
+    * (map-side partials), same k×bands geometry as the xxhash64 path.
     */
   def minhashSignaturesPortable(sh: DataFrame): DataFrame = {
+    val base = conv(substring(md5(col("shingle")), 1, 8), 16, 10)
+      .cast("long")
     val sigCols = (0 until MinhashK).map { j =>
-      min(slotHashPortable(j, col("shingle"))).as(s"h$j")
+      min(slotHashPortable(j, col("h"))).as(s"h$j")
     }
-    sh.groupBy("doc_id")
+    sh.select(col("doc_id"), base.as("h"))
+      .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until MinhashK).map(j => col(s"h$j")): _*).as("sig"))
@@ -483,6 +502,7 @@ object Dedup {
     "dedup_simhash"       -> ((s, d) => simhashGroups(Tables.documents(s, d))),
     "dedup_simhash_near"  -> ((s, d) =>
       simhashNearDupPairs(Tables.documents(s, d))),
+    "dedup_lsh_eval"      -> ((s, d) => lshEval(Tables.documents(s, d))),
   )
 
   /** Shared fingerprint CTEs of the simhash oracle twins: per-token
@@ -516,10 +536,43 @@ object Dedup {
     * Jaccard verify, and survivor anti-join — generated per slot/band so
     * both engines evaluate the identical arithmetic.
     */
-  private def duckMinhashPortableSql: String = {
+  /** LSH tuning report: the band-geometry evaluation run before
+    * committing a MinHash configuration to a 100 TB dedup pass. Exact
+    * near-dup pairs ([[ngramJaccardPairs]], the ground truth) are
+    * full-outer-joined against the portable LSH CANDIDATE pairs
+    * (banding only, pre-verification) and reduced to one row: truth
+    * size, candidate volume, hits, and the two exact-int-derived
+    * ratios — precision (how much candidate volume the verify join must
+    * pay for) and recall (what the banding loses). The join keys are
+    * pair ids — both inputs are pair-sized (tiny next to the corpus);
+    * everything upstream reuses the existing scale-safe pipelines.
+    */
+  def lshEval(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val truth = ngramJaccardPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val cands =
+      lshCandidatesPortable(minhashSignaturesPortable(shingles(docs)))
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("c"))
+    truth.join(cands, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("c"), lit(0L))).as("n_cand"),
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_cand")).as("precision"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall"))
+  }
+
+  /** [[lshEval]]'s DuckDB twin: the exact-pair CTEs (df-capped, as in
+    * the `dedup_ngram_jaccard` oracle) composed with the portable
+    * signature/banding CTEs (as in the `dedup_minhash_md5` oracle),
+    * reduced by the same full-outer pair join.
+    */
+  private def duckLshEvalSql: String = {
     val mins = (0 until MinhashK).map(j =>
-      s"min(CAST('0x' || substr(md5('$j:' || shingle), 1, 15) AS BIGINT))" +
-        s" AS h$j").mkString(",\n         ")
+      s"min((h * ${slotA(j)} + ${slotB(j)}) % $SlotMod) AS h$j")
+      .mkString(",\n         ")
     val nBands = MinhashK / BandRows
     val bandRows = (0 until nBands).map { b =>
       val key = (0 until BandRows)
@@ -534,10 +587,78 @@ object Dedup {
        |           AS shingle
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
        |        FROM documents)),
+       |hh AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+       |  FROM sh0),
+       |shc AS (
+       |  SELECT doc_id, shingle FROM sh0
+       |  WHERE shingle IN (SELECT shingle FROM sh0
+       |                    GROUP BY 1 HAVING count(*) <= 1000)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         count(*) AS inter_size
+       |  FROM shc a JOIN shc b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       |             JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5),
        |sig AS (
        |  SELECT doc_id,
        |         $mins
-       |  FROM sh0 GROUP BY 1),
+       |  FROM hh GROUP BY 1),
+       |banded AS (
+       |$bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |f AS (
+       |  SELECT coalesce(t.is_t, 0) AS is_t, coalesce(c.is_c, 0) AS is_c
+       |  FROM (SELECT doc_a, doc_b, 1 AS is_t FROM truth) t
+       |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS is_c FROM cand) c
+       |    USING (doc_a, doc_b))
+       |SELECT CAST(sum(is_t) AS BIGINT) AS n_true,
+       |       CAST(sum(is_c) AS BIGINT) AS n_cand,
+       |       CAST(sum(is_t * is_c) AS BIGINT) AS n_hit,
+       |       CAST(CAST(sum(is_t * is_c) AS BIGINT) AS DOUBLE)
+       |         / CAST(sum(is_c) AS BIGINT) AS precision,
+       |       CAST(CAST(sum(is_t * is_c) AS BIGINT) AS DOUBLE)
+       |         / CAST(sum(is_t) AS BIGINT) AS recall
+       |FROM f""".stripMargin
+  }
+
+  private def duckMinhashPortableSql: String = {
+    val mins = (0 until MinhashK).map(j =>
+      s"min((h * ${slotA(j)} + ${slotB(j)}) % $SlotMod) AS h$j")
+      .mkString(",\n         ")
+    val nBands = MinhashK / BandRows
+    val bandRows = (0 until nBands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"  SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH sh0 AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                               for i in range(1, len(toks)-1)]))
+       |           AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |hh AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+       |  FROM sh0),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM hh GROUP BY 1),
        |banded AS (
        |$bandRows),
        |cand AS (
@@ -568,6 +689,7 @@ object Dedup {
     */
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_md5" -> duckMinhashPortableSql,
+    "dedup_lsh_eval" -> duckLshEvalSql,
     "dedup_simhash" ->
       s"""WITH $duckSimhashCtes
          |SELECT simhash, min(doc_id) AS keeper_doc_id,

@@ -60,10 +60,55 @@ object IncrementalAgg {
           .as("avg_order_cents"))
   }
 
+  /** Incremental JOIN-view maintenance — the delta-join identity
+    * `(A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB` — for a
+    * customer⋈orders view: history joins history ONCE (at 100 TB that
+    * join is the thing you must never re-run), and each refresh adds the
+    * three delta terms, whose left/right sides are delta-sized or
+    * history-sized-but-delta-probed. The maintained view is then rolled
+    * up per (mktsegment, orderstatus) — and must be indistinguishable
+    * from joining everything from scratch (the oracle does exactly
+    * that).
+    *
+    * Deltas are carved deterministically (key mod [[DeltaMod]]) so the
+    * oracle can replay the same split; in production the deltas are the
+    * day's arriving rows.
+    *
+    * Scale shape: four joins whose inputs are each either pre-shuffled
+    * history (co-partitioned once) or small deltas (AQE broadcasts
+    * them); the rollup partial-aggregates each term map-side. No term
+    * rescans history against history.
+    */
+  def incrementalJoin(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val custKeyed = customer.select(col("c_custkey"), col("c_mktsegment"))
+    val ordKeyed = orders.select(col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val (histC, deltaC) = (
+      custKeyed.filter(pmod(col("c_custkey"), lit(DeltaMod)) =!= 0L),
+      custKeyed.filter(pmod(col("c_custkey"), lit(DeltaMod)) === 0L))
+    val (histO, deltaO) = (
+      ordKeyed.filter(pmod(col("o_custkey"), lit(DeltaMod)) =!= 17L),
+      ordKeyed.filter(pmod(col("o_custkey"), lit(DeltaMod)) === 17L))
+    def term(c: DataFrame, o: DataFrame) =
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .select(col("c_mktsegment"), col("o_orderstatus"), col("cents"))
+    term(histC, histO)
+      .unionByName(term(deltaC, histO))
+      .unionByName(term(histC, deltaO))
+      .unionByName(term(deltaC, deltaO))
+      .groupBy("c_mktsegment", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("sales_cents"))
+  }
+
+  /** Modulus carving the deterministic history/delta split. */
+  val DeltaMod = 50L
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_incremental" -> ((s, d) =>
       incrementalDailySales(Tables.orders(s, d))),
+    "incremental_join" -> ((s, d) =>
+      incrementalJoin(Tables.customer(s, d), Tables.orders(s, d))),
   )
 
   /** DuckDB twin: the full recompute — incremental maintenance must be
@@ -79,5 +124,14 @@ object IncrementalAgg {
         |            AS DOUBLE) / count(*) AS avg_order_cents
         |FROM orders
         |GROUP BY 1""".stripMargin,
+    // the full recompute: one join from scratch — the four delta terms
+    // must be invisible in the result
+    "incremental_join" ->
+      """SELECT c.c_mktsegment, o.o_orderstatus,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sales_cents
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

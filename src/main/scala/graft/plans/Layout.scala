@@ -27,6 +27,11 @@ import graft.Tables
   * include/scripts/to_bronze.py) rewrites whole tables per run and
   * relies on warehouse-side layout; these operators supply the layout
   * layer a Spark-native lakehouse needs at scale.
+  *
+  * Companion: [[graft.sources.Layout]] is the WRITE side (actually
+  * rewriting files Z/Hilbert-ordered, crash-safe compaction); this
+  * object is the PLANNING/AUDIT side, expressed as oracle-checkable
+  * queries.
   */
 object Layout {
 

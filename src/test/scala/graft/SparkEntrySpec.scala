@@ -3,6 +3,7 @@ package graft
 import graft.etl.{Expectations, Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
 import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, Stats, TextAnalysis}
 import graft.operators.{AsOfJoin, BloomJoin, FuzzyJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
+import graft.plans.Layout
 import graft.streaming.EventsStreaming
 
 /** Driver-contract guards: the queries map is built by merging module
@@ -22,7 +23,7 @@ class SparkEntrySpec extends SparkSpec {
     BloomJoin.queries, HeavyHitters.queries,
     IncrementalAgg.queries, Expectations.queries,
     Graph.queries, FuzzyJoin.queries, Retail.queries,
-    Experiment.queries, Stats.queries,
+    Experiment.queries, Stats.queries, Layout.queries,
     graft.sources.Bronze.queries).map(_.size)
 
   test("no query name collisions across modules") {

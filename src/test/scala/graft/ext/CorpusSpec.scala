@@ -217,6 +217,32 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq((1L, "a b", "ab", 3L), (2L, "ab c", "abc", 3L)))
   }
 
+  test("bpeApply: fertility accounting after the trained merges") {
+    import spark.implicits._
+    // corpus "abc abc abc" trains merges (a,b) then (ab,c) — every token
+    // ends as ONE symbol: 3 tokens, 9 chars, 3 symbols
+    val d = Seq((1L, "abc abc abc", "web")).toDF("doc_id", "text", "source")
+    val got = Corpus.bpeApply(d)
+      .select("source", "n_tokens", "chars", "symbols", "syms_per_char",
+        "syms_per_token")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(("web", 3L, 9L, 3L, 3.0 / 9.0, 1.0)))
+  }
+
+  test("bpeApply: partially merged tokens count residual symbols") {
+    import spark.implicits._
+    // "ab" dominates -> merge 1 = (a,b); token "aba" ends as [ab][a]
+    // (2 symbols), tokens "ab" end as [ab] (1 symbol)
+    val d = Seq((1L, "ab ab ab aba", "w1"), (2L, "ab aba", "w2"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.bpeApply(d, merges = 1)
+      .select("source", "n_tokens", "chars", "symbols")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got("w1") === (("w1", 4L, 9L, 5L)))
+    assert(got("w2") === (("w2", 2L, 5L, 3L)))
+  }
+
   test("normalizeStats: exact before/after char totals per language") {
     import spark.implicits._
     val d = Seq(

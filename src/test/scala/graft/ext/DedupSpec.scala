@@ -108,6 +108,26 @@ class DedupSpec extends SparkSpec {
       exact.map(_._2)))
   }
 
+  test("lshEval: counts agree with independently computed truth/candidate " +
+      "sets on sf0.001 documents") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val truth = Dedup.ngramJaccardPairs(d, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.lshCandidatesPortable(
+        Dedup.minhashSignaturesPortable(Dedup.shingles(d)))
+      .as[(Long, Long)].collect().toSet
+    graft.CheckpointLease.releaseAll()
+    val r = Dedup.lshEval(d).collect().head
+    graft.CheckpointLease.releaseAll()
+    assert(r.getAs[Long]("n_true") === truth.size.toLong)
+    assert(r.getAs[Long]("n_cand") === cands.size.toLong)
+    assert(r.getAs[Long]("n_hit") === (truth & cands).size.toLong)
+    assert(r.getAs[Double]("recall") ===
+      (truth & cands).size.toDouble / truth.size)
+    assert(r.getAs[Double]("precision") ===
+      (truth & cands).size.toDouble / cands.size)
+  }
+
   test("simhash near-dup banding finds ALL pairs within the hamming bound") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val fps = Dedup.simhash(d).as[(Long, Long)].collect()

@@ -31,6 +31,30 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got("1995-06-01") === ((1L, 700L, 700.0)))
   }
 
+  test("incrementalJoin: four delta terms reproduce the from-scratch join") {
+    // custkeys straddle the mod-50 split: 0 and 50 are customer-deltas,
+    // 17 and 67 are order-deltas, 3 is pure history
+    val cust = Seq((0L, "AUTO"), (17L, "BLDG"), (50L, "AUTO"),
+      (67L, "MACH"), (3L, "BLDG"))
+      .toDF("c_custkey", "c_mktsegment")
+    val ords = Seq(
+      (1L, 0L, "O", 1.0), (2L, 17L, "F", 2.0), (3L, 50L, "O", 4.0),
+      (4L, 67L, "F", 8.0), (5L, 3L, "O", 16.0), (6L, 17L, "O", 32.0),
+      (7L, 99L, "O", 64.0)) // no matching customer -> excluded
+      .map { case (k, c, st, p) => (k, c, st, p, ts("1995-01-01 00:00:00"),
+        "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = IncrementalAgg.incrementalJoin(cust, ords)
+      .select("c_mktsegment", "o_orderstatus", "n_orders", "sales_cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("AUTO", "O", 2L, 500L),          // orders 1 + 3
+      ("BLDG", "F", 1L, 200L),          // order 2
+      ("BLDG", "O", 2L, 4800L),         // orders 5 + 6
+      ("MACH", "F", 1L, 800L)))         // order 4
+  }
+
   test("measures are mergeable: merging in two delta batches equals " +
       "merging in one") {
     val a = IncrementalAgg.dailySalesPartial(orders((1L, "1995-01-01", 1.0)))
