@@ -30,16 +30,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos long
-    * (legacy conf) and floor-convert to a micros timestamp — the same
-    * truncation DuckDB applies, so oracle comparisons line up.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others, so
+    * the loader adapts to whatever the footer says rather than assuming:
+    *   - nanos (surfaces as BIGINT under the legacy nanosAsLong conf, which
+    *     we set up-front — it is a no-op for non-nanos files): floor-convert
+    *     to a micros timestamp, the same truncation DuckDB applies;
+    *   - TIMESTAMP_NTZ (the micros/isAdjustedToUTC=false form): cast to the
+    *     session-TZ timestamp — byte-identical under the UTC session every
+    *     entrypoint pins, so `date_format` output and DuckDB oracles agree;
+    *   - TIMESTAMP: already what every downstream query expects.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet-resolved type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

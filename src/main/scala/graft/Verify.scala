@@ -18,13 +18,16 @@ object Verify {
     // dev-only subset filter (comma-separated names); driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) =
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
       }
       // release leased checkpoints after each query's consuming action,
       // then force-drain broadcast/shuffle garbage (see GraftBridge)
@@ -46,6 +49,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A broken loader must be LOUD: record every failed query plus the
+    // registered-vs-written tally so a fixture regen can't silently delete
+    // rows from CORRECTNESS (round-9 postmortem).
+    val failJson = (
+      Seq(s"${q("registered")}: ${selected.size}",
+          s"${q("written")}: ${selected.size - failures.size}",
+          s"${q("failed")}: ${failures.size}") ++
+      Seq(s"${q("failures")}: " + failures
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    ).mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} of ${selected.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

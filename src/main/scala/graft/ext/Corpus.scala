@@ -303,8 +303,30 @@ object Corpus {
     * space-split words) — as a narrow replace chain, one freq-weighted
     * keyed count over the bounded symbol-pair domain, and a 1-row
     * TakeOrdered collect. Nothing data-sized ever reaches the driver.
+    *
+    * == Design envelope: merges k ≤ a few hundred ==
+    * Each merge round costs one driver round-trip (the 1-row best-pair
+    * collect) plus one layer in the replace chain, so wall-clock grows
+    * linearly in k with a per-round scheduling floor — fine for the
+    * k≈10–100 analytical setting this query family targets, but a full
+    * 50k-merge production vocabulary would serialize on the driver loop
+    * and on plan depth. The 50k path keeps the SAME vocab-table
+    * formulation (already what [[bpeApply]] consumes) but needs (a)
+    * periodic re-materialization of the token table (checkpoint every
+    * ~64 rounds so plan depth stays bounded — the replace chain is
+    * re-applied from the materialized state, not from round 0), and (b)
+    * batched merge selection (take the top-m non-overlapping pairs per
+    * round, the standard Sennrich speedup) to amortize the round-trip.
+    * CorpusSpec pins the k budget so an accidental 50k call fails fast.
     */
+  /** Upper bound of the driver-loop design envelope (see scaladoc above). */
+  val BpeMergeBudget = 512
+
   def bpeTrain(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
+    require(merges <= BpeMergeBudget,
+      s"bpeTrain: $merges merges exceeds the driver-loop design envelope " +
+        s"($BpeMergeBudget); a production-vocab run needs the batched/" +
+        "checkpointed formulation described in the scaladoc")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs

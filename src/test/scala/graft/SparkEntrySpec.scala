@@ -30,6 +30,15 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.queries.size === moduleSizes.sum)
   }
 
+  /** Documented-surface pin (round-9 postmortem): a broken loader once
+    * silently dropped 31 queries from the correctness sweep. Update this
+    * constant ON PURPOSE when registering queries — a surprise delta here
+    * means a module map lost entries.
+    */
+  test("registered query count matches the documented surface") {
+    assert(SparkEntry.queries.size === 196)
+  }
+
   test("every oracle key refers to a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")

@@ -207,6 +207,17 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq((1L, "a b", "ab", 2L), (2L, "c d", "cd", 2L)))
   }
 
+  test("bpeTrain: k beyond the driver-loop design envelope fails fast") {
+    import spark.implicits._
+    val d = Seq((1L, "ab")).toDF("doc_id", "text")
+    // inside the budget: fine
+    Corpus.bpeTrain(d, merges = Corpus.BpeMergeBudget).count()
+    // a production-vocab k must not silently serialize on the driver loop
+    intercept[IllegalArgumentException] {
+      Corpus.bpeTrain(d, merges = Corpus.BpeMergeBudget + 1)
+    }
+  }
+
   test("bpeTrain: merged symbols participate in later rounds") {
     import spark.implicits._
     // classic staged merge: "abc" x3 -> (a,b):3 & (b,c):3 tie -> "a b";
