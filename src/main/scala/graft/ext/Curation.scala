@@ -301,7 +301,30 @@ object Curation {
         expr("w_sum DIV n_grams").as("w_avg"))
   }
 
+  /** Sample size per group for [[hashReservoirPerSource]]. */
+  val ReservoirK = 10
+
+  /** Deterministic per-source k-document sample: order each source's
+    * docs by `md5(doc_id)` (a uniform, reproducible permutation — the
+    * derandomized form of reservoir sampling, so reruns and the oracle
+    * agree bit-for-bit) and keep the k smallest. Executed with the
+    * bounded [[graft.plans.TopKPerGroup]] heap operator — per-partition
+    * k-heaps then a k-per-group merge, NO window over the corpus and no
+    * full sort, so the shuffle carries at most `k · n_partitions` rows
+    * per source at any corpus size.
+    */
+  def hashReservoirPerSource(docs: DataFrame,
+      k: Int = ReservoirK): DataFrame = {
+    val keyed = docs.select(col("source"), col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopKPerGroup(keyed, Seq("source"),
+      Seq("h" -> false, "doc_id" -> false), k = k)
+      .select("source", "doc_id", "h")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_reservoir"  -> ((s, d) =>
+      hashReservoirPerSource(Tables.documents(s, d))),
     "dsir_relevance"    -> ((s, d) => domainRelevance(Tables.documents(s, d))),
     "batch_padding"     -> ((s, d) => batchPadding(Tables.documents(s, d))),
     "curation_repeats"  -> ((s, d) => epochRepeats(Tables.documents(s, d))),
@@ -317,6 +340,12 @@ object Curation {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "sample_reservoir" ->
+      """SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10""".stripMargin,
     "dsir_relevance" ->
       """WITH g AS (
         |  SELECT doc_id, source,

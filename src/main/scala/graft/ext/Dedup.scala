@@ -482,8 +482,55 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Source×source contamination matrix: for every pair of corpus
+    * sources, the exact overlap of their distinct word-3-gram sets and
+    * its Jaccard — the all-pairs generalization of [[containmentPairs]]'
+    * one-target decontamination check, and the report a data curator
+    * reads before mixing sources (high overlap ⇒ shared boilerplate or
+    * mirrored content; a train source overlapping an eval source ⇒
+    * contamination).
+    *
+    * Scale shape: the unit of work is the DISTINCT (source, shingle)
+    * index — corpus bodies never join. The pair join is keyed by
+    * shingle, and after the per-source distinct each shingle's posting
+    * list is bounded by the SOURCE COUNT (not document count), so the
+    * self-join fan-out is ≤ C(n_sources, 2) per shingle — skew-proof by
+    * construction at any corpus size.
+    */
+  def decontamMatrix(docs: DataFrame): DataFrame = {
+    val bySource = docs
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 2),
+          |               i -> concat_ws(' ', slice(toks, i, 3))) END"""
+          .stripMargin)).as("shingle"))
+      .distinct()
+      .persist()
+    try {
+      val sizes = bySource.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = bySource.as("a")
+        .join(bySource.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter_size"))
+      val out = inter
+        .join(broadcast(sizes).as("sa"), col("src_a") === col("sa.source"))
+        .join(broadcast(sizes).as("sb"), col("src_b") === col("sb.source"))
+        .withColumn("union_size", col("sa.n") + col("sb.n") - col("inter_size"))
+        .withColumn("jaccard",
+          col("inter_size").cast("double") / col("union_size").cast("double"))
+        .select(col("src_a"), col("src_b"), col("inter_size"),
+          col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+          col("union_size"), col("jaccard"))
+      graft.CheckpointLease.track(out.localCheckpoint(true))
+    } finally bySource.unpersist(false)
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam_matrix"     -> ((s, d) => decontamMatrix(Tables.documents(s, d))),
     "dedup_exact_groups"  -> ((s, d) => exactGroups(Tables.documents(s, d))),
     "dedup_exact_docs"    -> ((s, d) => exactDocs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -776,6 +823,31 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5"""
         .stripMargin,
+    // all-pairs source contamination matrix over distinct word-3-grams
+    "decontam_matrix" ->
+      """WITH d AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, shingle FROM (
+        |    SELECT source,
+        |           unnest([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks)-1)]) AS shingle
+        |    FROM d)),
+        |sizes AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         count(*) AS inter_size
+        |  FROM g a JOIN g b
+        |    ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, i.inter_size,
+        |       sa.n AS n_a, sb.n AS n_b,
+        |       sa.n + sb.n - i.inter_size AS union_size,
+        |       CAST(i.inter_size AS DOUBLE) /
+        |         CAST(sa.n + sb.n - i.inter_size AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON i.src_a = sa.source
+        |JOIN sizes sb ON i.src_b = sb.source""".stripMargin,
     // decontamination: 5-gram containment of the src0 "benchmark" docs
     // in every other-source training doc
     "decontam_ngrams" ->

@@ -303,8 +303,44 @@ object Graph {
         (col("n_nodes").cast("double") / col("n_total")).as("node_share"))
   }
 
+  /** HITS hubs/authorities on the DIRECTED bipartite purchase graph
+    * (customer → supplier, one distinct edge per trading pair): two
+    * exact integer iterations from the all-ones start —
+    * `a1(s) = indeg(s)`, `h1(c) = Σ_{c→s} a1(s)`,
+    * `a2(s) = Σ_{c→s} h1(c)` — reported per supplier with its final hub
+    * mass. Integer iterates are EXACT (no per-round normalization, which
+    * is only a scale factor for the ranking HITS is used for), so the
+    * whole query hash-matches the DuckDB twin; two iterations is the
+    * standard "co-citation strength" form (a2 = AᵀA·indeg reweighting).
+    *
+    * Scale shape: three keyed aggregates + two equi-joins, each keyed on
+    * one side of the bipartite graph; the supplier-keyed authority table
+    * is dimension-sized and broadcasts into the edge join. Magnitudes:
+    * a2 ≤ indeg·max_h1 ≤ deg_max²·indeg_max — at 10⁶ customers and
+    * deg ≤ 10³ that is ≤ 10¹² ≪ 2⁶³, so int64 never overflows in any
+    * plausible deployment; overflow would throw under ANSI mode, not
+    * corrupt.
+    */
+  def hits(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val edges = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val a1 = edges.groupBy("s").agg(count(lit(1)).as("a1"))
+    val h1 = edges.join(broadcast(a1), Seq("s"))
+      .groupBy("c").agg(sum("a1").as("h1"))
+    edges.join(h1, Seq("c"))
+      .groupBy("s")
+      .agg(sum("h1").as("a2"))
+      .join(broadcast(a1), Seq("s"))
+      .select(col("s").as("s_suppkey"), col("a1").as("indeg"), col("a2"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> ((s, d) =>
+      hits(Tables.lineitem(s, d), Tables.orders(s, d))),
     "graph_pagerank" -> ((s, d) =>
       pagerank(coPurchaseEdges(Tables.lineitem(s, d)), iterations = 3)),
     "graph_triangles" -> ((s, d) =>
@@ -349,6 +385,19 @@ object Graph {
     * exactly.
     */
   def oracleSql: Map[String, String] = Map(
+    "graph_hits" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |a1 AS (SELECT s, count(*) AS a1 FROM e GROUP BY 1),
+        |h1 AS (
+        |  SELECT e.c, CAST(sum(a1.a1) AS BIGINT) AS h1
+        |  FROM e JOIN a1 ON e.s = a1.s GROUP BY 1),
+        |a2 AS (
+        |  SELECT e.s, CAST(sum(h1.h1) AS BIGINT) AS a2
+        |  FROM e JOIN h1 ON e.c = h1.c GROUP BY 1)
+        |SELECT a2.s AS s_suppkey, a1.a1 AS indeg, a2.a2
+        |FROM a2 JOIN a1 ON a2.s = a1.s""".stripMargin,
     "graph_kcore" -> duckKcoreSql,
     // same degree-orientation + wedge close + 3-edges-per-triangle plan,
     // tuple comparisons spelled as ROW(...) < ROW(...)

@@ -164,8 +164,57 @@ object Stats {
       .select("digit", "n_orders", "n_total", "share")
   }
 
+  /** Lags reported by [[autocorrDailyRevenue]]: day-over-day, weekly,
+    * and 4-weekly — the seasonality probes a forecasting pipeline checks
+    * first.
+    */
+  val AutocorrLags: Seq[Int] = Seq(1, 7, 28)
+
+  /** Autocorrelation of daily order revenue at fixed lags: one row per
+    * lag with the exact integer power sums over (day, day−lag) pairs and
+    * the Pearson r of the paired series — the standard seasonality
+    * diagnostic (r(7) ≫ r(1) ⇒ weekly cycle dominates).
+    *
+    * Same day-domain decomposition as [[trendSegmentSpend]]: stage 1
+    * collapses orders to ≤ ~2.5k daily rows (y = daily revenue in whole
+    * k$ by exact floor division — k$ units keep `n·Σy²` under
+    * 2.5k²·(10⁷)² ≈ 6·10²⁰ → 6·10¹⁴ inside int64 headroom at the tested
+    * scales; a 1000× deployment bumps the unit, same as [[hhiRegionRevenue]]'s
+    * `rev_k`), stage 2 self-joins the day table
+    * per lag (day-domain-sized, broadcastable) and reduces to one row
+    * per lag — all integer until the final sqrt/divide expression tree.
+    * Missing days simply drop their pairs (no imputation), matching the
+    * paired-observation definition.
+    */
+  def autocorrDailyRevenue(orders: DataFrame,
+      lags: Seq[Int] = AutocorrLags): DataFrame = {
+    val daily = orders
+      .groupBy(dayX(col("o_orderdate")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      .withColumn("y", expr("rev_cents div 100000"))
+      .select("day", "y")
+    val lagged = lags.map { k =>
+      daily.as("a")
+        .join(daily.as("b"), col("a.day") === col("b.day") + lit(k))
+        .select(lit(k).as("lag"), col("a.y").as("x"), col("b.y").as("z"))
+    }.reduce(_ union _)
+    lagged.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("z").as("sz"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("z") * col("z")).as("szz"))
+      .withColumn("r_num", col("n_pairs") * col("sxz") - col("sx") * col("sz"))
+      .withColumn("den_x", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("den_z", col("n_pairs") * col("szz") - col("sz") * col("sz"))
+      .withColumn("r", col("r_num").cast("double") /
+        (sqrt(col("den_x").cast("double")) * sqrt(col("den_z").cast("double"))))
+      .select("lag", "n_pairs", "r_num", "den_x", "den_z", "r")
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_autocorr" -> ((s, d) => autocorrDailyRevenue(Tables.orders(s, d))),
     "stats_trend_segment" -> ((s, d) =>
       trendSegmentSpend(Tables.orders(s, d), Tables.customer(s, d))),
     "stats_corr_qty_value" -> ((s, d) => corrQtyValue(Tables.lineitem(s, d))),
@@ -180,6 +229,36 @@ object Stats {
     * equal to Spark's `div` for the non-negative operands here).
     */
   def oracleSql: Map[String, String] = Map(
+    "ts_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1995-01-01',
+        |                       CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) // 100000 AS y
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT unnest([1, 7, 28]) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, a.y AS x, b.y AS z
+        |  FROM lags l
+        |  JOIN daily a ON TRUE
+        |  JOIN daily b ON a.day = b.day + l.lag),
+        |s AS (
+        |  SELECT lag, count(*) AS n_pairs,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(z) AS BIGINT) AS sz,
+        |         CAST(sum(x * z) AS BIGINT) AS sxz,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(z * z) AS BIGINT) AS szz
+        |  FROM pairs GROUP BY 1),
+        |f AS (
+        |  SELECT *, n_pairs * sxz - sx * sz AS r_num,
+        |            n_pairs * sxx - sx * sx AS den_x,
+        |            n_pairs * szz - sz * sz AS den_z
+        |  FROM s)
+        |SELECT CAST(lag AS INT) AS lag, n_pairs, r_num, den_x, den_z,
+        |       CAST(r_num AS DOUBLE) /
+        |         (sqrt(CAST(den_x AS DOUBLE)) * sqrt(CAST(den_z AS DOUBLE)))
+        |         AS r
+        |FROM f""".stripMargin,
     "stats_trend_segment" ->
       """WITH daily AS (
         |  SELECT c.c_mktsegment,

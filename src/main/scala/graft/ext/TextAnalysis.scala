@@ -416,7 +416,42 @@ object TextAnalysis {
         col("n_common").cast("double") / col("n_tokens"))
   }
 
+  /** Per-document Flesch reading-ease profile — the standard readability
+    * screen a pretraining quality pipeline runs next to stopword/length
+    * rules. All three inputs are EXACT regex-run counts over the raw
+    * text:
+    *   - words: runs of printable non-space (`[!-~]+`, the same token
+    *     class the BPE trainer uses),
+    *   - sentences: runs of terminal punctuation (`[.!?]+`),
+    *   - syllables: the classic vowel-group approximation
+    *     (`[aeiouyAEIOUY]+` runs; within-word groups equal whole-text
+    *     groups because a run can't span a space).
+    * The score is the fixed Flesch expression tree
+    * `206.835 − 1.015·(W/S) − 84.6·(Syl/W)` over those integers — same
+    * decimal literals, same left-associated IEEE ops on both engines, so
+    * the double hash-matches. Denominators are `greatest(·,1)`-guarded.
+    * Scale shape: narrow per-row projection, no shuffle at all.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    def runs(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    docs
+      .select(col("doc_id"),
+        runs("[!-~]+").as("n_words"),
+        greatest(runs("[.!?]+"), lit(1L)).as("n_sentences"),
+        greatest(runs("[aeiouyAEIOUY]+"), lit(1L)).as("n_syllables"))
+      .withColumn("wps", col("n_words").cast("double") /
+        col("n_sentences").cast("double"))
+      .withColumn("spw", col("n_syllables").cast("double") /
+        greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+      .select("doc_id", "n_words", "n_sentences", "n_syllables",
+        "wps", "spw", "flesch")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability"  -> ((s, d) => readability(Tables.documents(s, d))),
     "text_common_vocab" -> ((s, d) =>
       commonVocabRatio(Tables.documents(s, d))),
     "text_pmi"          -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
@@ -436,6 +471,27 @@ object TextAnalysis {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[!-~]+')) AS BIGINT)
+        |           AS n_words,
+        |         greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |                       AS BIGINT), 1) AS n_sentences,
+        |         greatest(CAST(len(regexp_extract_all(text,
+        |                       '[aeiouyAEIOUY]+')) AS BIGINT), 1)
+        |           AS n_syllables
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |         CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+        |           AS wps,
+        |         CAST(n_syllables AS DOUBLE) /
+        |           CAST(greatest(n_words, 1) AS DOUBLE) AS spw
+        |  FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, wps, spw,
+        |       206.835 - 1.015 * wps - 84.6 * spw AS flesch
+        |FROM r""".stripMargin,
     "text_common_vocab" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -91,6 +91,27 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getAs[Double]("rep3") === 0.0)
   }
 
+  test("hashReservoirPerSource: heap path equals the window formulation " +
+      "and keeps exactly min(k, n) per source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val d = ((0 until 15).map(i => (i.toLong, "t", "en", "srcA", 1L)) ++
+      (0 until 4).map(i => (100L + i, "t", "en", "srcB", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.hashReservoirPerSource(d, k = 10)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    // independent ground truth: the window row_number formulation
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val want = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(got === want)
+    assert(got.count(_._1 == "srcA") === 10)
+    assert(got.count(_._1 == "srcB") === 4)
+  }
+
   test("splitAssign: partition of the corpus, rates near fractions, " +
       "stable under corpus growth") {
     import spark.implicits._

@@ -9,6 +9,22 @@ class DedupSpec extends SparkSpec {
     rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("decontamMatrix: exact pairwise overlap and Jaccard across sources") {
+    // srcA: {a b c, b c d}; srcB: {a b c, b c e}; srcC: {x y z}
+    val d = Seq(
+      (1L, "a b c d", "en", "srcA", 7L),
+      (2L, "a b c e", "en", "srcB", 7L),
+      (3L, "x y z", "en", "srcC", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.decontamMatrix(d)
+      .select("src_a", "src_b", "inter_size", "n_a", "n_b", "union_size",
+        "jaccard")
+      .as[(String, String, Long, Long, Long, Long, Double)].collect().toSet
+    graft.CheckpointLease.releaseAll()
+    // disjoint pairs produce no row (inner join on shingle)
+    assert(r === Set(("srcA", "srcB", 1L, 2L, 2L, 3L, 1.0 / 3.0)))
+  }
+
   test("shingles: short docs produce no shingles, no descending-sequence bug") {
     val out = Dedup.shingles(docs(1L -> "a b", 2L -> "a b c d"))
       .as[(Long, String)].collect().toSet

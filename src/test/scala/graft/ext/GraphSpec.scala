@@ -169,6 +169,19 @@ class GraphSpec extends SparkSpec {
     assert(viaBroadcast === viaShuffle)
   }
 
+  test("hits: two integer iterations on a hand-built bipartite graph") {
+    // purchase edges: c1->{s1,s2}, c2->{s1}; duplicate lineitem rows for
+    // the same (order, supplier) must collapse via the distinct
+    val li = Seq((10L, 1L), (10L, 1L), (10L, 2L), (20L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+    val o = Seq((10L, 100L), (20L, 200L)).toDF("o_orderkey", "o_custkey")
+    // a1: s1=2, s2=1; h1: c1=a1(s1)+a1(s2)=3, c2=a1(s1)=2;
+    // a2: s1=h1(c1)+h1(c2)=5, s2=h1(c1)=3
+    val r = Graph.hits(li, o).select("s_suppkey", "indeg", "a2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r === Set((1L, 2L, 5L), (2L, 1L, 3L)))
+  }
+
   test("degreeDistribution: star graph counts leaves and hub with shares") {
     // star: hub 1 connected to 2,3,4 (both directions)
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),

@@ -83,6 +83,25 @@ class StatsSpec extends SparkSpec {
       m("R1")._4 === 500000L && m("R1")._5 === 0.5)
   }
 
+  test("autocorrDailyRevenue: shifted-identical series gives r ~= 1 at lag 1") {
+    // daily revenue d * 100k$ on days 0..4 -> y = 1000*d in k$... actually
+    // y = (d*100000*100) div 100000 = 100*d; lag-1 pairs are the linear
+    // shift (x = z + 100), so Pearson r is exactly 1 up to the sqrt ulp
+    val o = orders((0 to 4).map { d =>
+      ((d + 1).toLong, 1L, 100000.0 * (d + 1),
+        f"1995-01-0${d + 1} 00:00:00")
+    }: _*)
+    val r = Stats.autocorrDailyRevenue(o, lags = Seq(1, 7))
+      .select("lag", "n_pairs", "r_num", "den_x", "den_z", "r")
+      .as[(Int, Long, Long, Long, Long, Double)].collect().toSeq
+    // only lag 1 has pairs (span is 5 days); shifted series => den_x =
+    // den_z = r_num and r = 1
+    assert(r.size === 1)
+    val (lag, n, num, dx, dz, rr) = r.head
+    assert(lag === 1 && n === 4L && num === dx && dx === dz)
+    assert(math.abs(rr - 1.0) < 1e-12)
+  }
+
   test("benfordOrderTotals: digit extraction and exact shares") {
     val o = orders(
       (1L, 1L, 1013.7, "1995-01-01 00:00:00"),

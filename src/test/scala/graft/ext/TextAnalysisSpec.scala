@@ -9,6 +9,26 @@ class TextAnalysisSpec extends SparkSpec {
     rows.map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("readability: exact run counts and the Flesch expression") {
+    // words([!-~]+ runs) = 5, sentences([.!?]+ runs) = 2,
+    // syllables(vowel-group runs) = e,o | o | I | i | u = 6
+    val r = TextAnalysis.readability(
+      docs((1L, "Hello world. It is fun!", "en"))).collect().head
+    assert(r.getAs[Long]("n_words") === 5L)
+    assert(r.getAs[Long]("n_sentences") === 2L)
+    assert(r.getAs[Long]("n_syllables") === 6L)
+    assert(r.getAs[Double]("wps") === 2.5)
+    assert(r.getAs[Double]("spw") === 1.2)
+    assert(r.getAs[Double]("flesch") === 206.835 - 1.015 * 2.5 - 84.6 * 1.2)
+  }
+
+  test("readability: punctuation-free text hits the sentence floor") {
+    val r = TextAnalysis.readability(docs((1L, "no punctuation here", "en")))
+      .collect().head
+    assert(r.getAs[Long]("n_sentences") === 1L) // greatest(0, 1)
+    assert(r.getAs[Long]("n_words") === 3L)
+  }
+
   test("stats: token and char accounting") {
     val r = TextAnalysis.stats(docs((1L, "aa bb aa", "en"))).collect().head
     assert(r.getAs[Int]("n_tokens") === 3)
