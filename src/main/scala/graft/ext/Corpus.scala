@@ -120,6 +120,68 @@ object Corpus {
         col("n_dup_shingles").cast("double") / col("n_shingles"))
   }
 
+  /** N-gram width for [[dupSpans]] — short enough to fire on the
+    * synthetic fixtures, the operator is width-agnostic (Lee et al.'s
+    * substring dedup uses 50 BPE tokens on web corpora).
+    */
+  val SpanGram = 5
+
+  /** Exact duplicated-SUBSTRING span report (the span form of substring
+    * deduplication, cf. "Deduplicating Training Data Makes Language
+    * Models Better"): a position i in a document is *duplicated* when
+    * the `n`-token gram starting there occurs ≥ 2 times corpus-wide
+    * (including within-doc repeats); overlapping/adjacent duplicated
+    * windows are merged gaps-and-islands style (break when the gap
+    * between consecutive duplicated starts exceeds n) into maximal
+    * spans. Per document: token count, span count, tokens covered by
+    * spans, and the covered fraction — the actionable output a
+    * substring-dedup pass cuts or rewrites.
+    *
+    * Scale shape: the gram frequency is ONE keyed count that
+    * partial-aggregates map-side (hot boilerplate grams combine locally
+    * — no skewed reducer, same argument as [[dupNgramFraction]]); the
+    * islands windows are partitioned BY DOCUMENT, so no task ever sees
+    * more than one document's positions. Docs shorter than n tokens
+    * have no grams and report zero spans.
+    */
+  def dupSpans(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    require(n >= 2, s"dupSpans: gram width $n must be >= 2")
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("toks"))
+    val pos = base
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) < $n THEN array()
+           |ELSE transform(sequence(1, size(toks) - ${n - 1}),
+           |               i -> struct(CAST(i AS BIGINT) AS i,
+           |                           concat_ws(' ', slice(toks, i, $n))
+           |                             AS gram)) END""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.gram").as("gram"))
+    val freq = pos.groupBy("gram").agg(count(lit(1)).as("occ"))
+    val dup = pos.join(freq.filter(col("occ") >= 2), Seq("gram"))
+      .select("doc_id", "i")
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    val spans = dup
+      .withColumn("prev", lag("i", 1).over(wDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > n, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("brk").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg((max("i") - min("i") + n).as("span_tokens"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("dup_tokens"))
+    base.select("doc_id", "n_tokens")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
   /** Cross-document line-level dedup (the C4/RefinedWeb boilerplate pass):
     * every line keeps only its FIRST occurrence corpus-wide — ordered by
     * (doc_id, position) — and each document reports how much of it
@@ -512,10 +574,51 @@ object Corpus {
     "shard_assign" -> ((s, d) => shardAssign(Tables.documents(s, d))),
     "text_dup_ngram_frac" -> ((s, d) =>
       dupNgramFraction(Tables.documents(s, d))),
+    "text_dup_spans" -> ((s, d) => dupSpans(Tables.documents(s, d))),
   )
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "text_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d),
+        |pos AS (
+        |  SELECT doc_id, p.i AS i, p.gram AS gram FROM (
+        |    SELECT doc_id,
+        |           unnest([{'i': CAST(i AS BIGINT),
+        |                    'gram': array_to_string(toks[i:i+4], ' ')}
+        |                   for i in range(1, len(toks)-3)]) AS p
+        |    FROM d WHERE len(toks) >= 5)),
+        |freq AS (
+        |  SELECT gram FROM pos GROUP BY 1 HAVING count(*) >= 2),
+        |dup AS (
+        |  SELECT pos.doc_id, pos.i FROM pos JOIN freq USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN lag(i) OVER w IS NULL
+        |                OR i - lag(i) OVER w > 5 THEN 1 ELSE 0 END AS brk
+        |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |sp AS (
+        |  SELECT doc_id, i,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |                        ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, span_id,
+        |         max(i) - min(i) + 5 AS span_tokens
+        |  FROM sp GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |         CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens,
+        |       coalesce(per.n_spans, 0) AS n_spans,
+        |       coalesce(per.dup_tokens, 0) AS dup_tokens,
+        |       CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) /
+        |         CAST(b.n_tokens AS DOUBLE) AS dup_frac
+        |FROM base b LEFT JOIN per USING (doc_id)""".stripMargin,
     "bpe_train" -> bpeOracle(BpeMerges),
     "bpe_apply" -> bpeApplyOracle(BpeMerges),
     "bpe_pairs" ->

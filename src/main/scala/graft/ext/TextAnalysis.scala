@@ -450,7 +450,45 @@ object TextAnalysis {
         "wps", "spw", "flesch")
   }
 
+  /** Per-document DEFLATE compression ratio — the Gopher/CCNet-style
+    * "too compressible ⇒ boilerplate/repetition, incompressible ⇒
+    * random noise" quality signal. Executed as `mapPartitions` with ONE
+    * `java.util.zip.Deflater` reused per partition (allocation and
+    * dictionary reset amortized across the batch — the same batch shape
+    * as the multimodal codecs); fully distributed, no shuffle.
+    *
+    * No DuckDB oracle: the byte-exact DEFLATE stream depends on the
+    * zlib implementation, so this is a declared rows-only query —
+    * TextAnalysisSpec pins the ratio ORDERING (repetitive < prose <
+    * high-entropy) and exact round-trip inflation instead.
+    */
+  def compressRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished())
+            out += deflater.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate")
+      .withColumn("ratio",
+        col("n_deflate").cast("double") / col("n_bytes").cast("double"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compress_ratio" -> ((s, d) =>
+      compressRatio(Tables.documents(s, d))),
     "text_readability"  -> ((s, d) => readability(Tables.documents(s, d))),
     "text_common_vocab" -> ((s, d) =>
       commonVocabRatio(Tables.documents(s, d))),

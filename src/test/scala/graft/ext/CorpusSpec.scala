@@ -207,6 +207,42 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq((1L, "a b", "ab", 2L), (2L, "c d", "cd", 2L)))
   }
 
+  test("dupSpans: island merge, within-doc repeats, and zero-span docs") {
+    import spark.implicits._
+    // doc 1 repeats "a b c d e" twice with a unique separator token:
+    // positions 1..1 (gram at 1) and 7..7 duplicate; gap 6 > 5 -> TWO
+    // spans of 5 tokens each. doc 2 shares the same opening 5-gram at
+    // position 1 (cross-doc dup, one span). doc 3 is unique -> 0 spans.
+    val d = Seq(
+      (1L, "a b c d e SEP a b c d e"),
+      (2L, "a b c d e x y z w v"),
+      (3L, "p q r s t u v w x y"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.dupSpans(d)
+      .select("doc_id", "n_tokens", "n_spans", "dup_tokens", "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) === ((1L, 11L, 2L, 10L, 10.0 / 11.0)))
+    assert(r(2L) === ((2L, 10L, 1L, 5L, 0.5)))
+    assert(r(3L) === ((3L, 10L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans: overlapping duplicated windows merge into one span") {
+    import spark.implicits._
+    // "a b c d e f" repeated: every 5-gram start (1 and 2) duplicates;
+    // gap 1 <= 5 merges them -> ONE span covering all 6 tokens
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.dupSpans(d)
+      .select("doc_id", "n_spans", "dup_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r === Set((1L, 1L, 6L), (2L, 1L, 6L)))
+  }
+
   test("bpeTrain: k beyond the driver-loop design envelope fails fast") {
     import spark.implicits._
     val d = Seq((1L, "ab")).toDF("doc_id", "text")

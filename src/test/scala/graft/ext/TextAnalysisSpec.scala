@@ -9,6 +9,37 @@ class TextAnalysisSpec extends SparkSpec {
     rows.map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("compressRatio: ordering separates repetition, prose, and noise; " +
+      "byte counts are exact and the stream round-trips") {
+    val rep = "spam " * 200                     // highly compressible
+    val prose = ("the quick brown fox jumps over the lazy dog " +
+      "and keeps going with varied words like riverbank, " +
+      "metamorphosis, quietly, seventeen ") * 8
+    val noise = (1 to 1000).map(i =>            // hash soup ~ incompressible
+      Integer.toHexString(i * 2654435761L.toInt)).mkString(" ")
+    val d = docs((1L, rep, "en"), (2L, prose, "en"), (3L, noise, "en"))
+    val r = TextAnalysis.compressRatio(d)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bytes"), x.getAs[Long]("n_deflate"),
+          x.getAs[Double]("ratio"))).toMap
+    assert(r(1L)._1 === rep.getBytes("UTF-8").length.toLong)
+    assert(r(1L)._3 < r(2L)._3 && r(2L)._3 < r(3L)._3,
+      s"expected rep < prose < noise, got $r")
+    // the recorded deflate size must be the REAL stream size: re-deflate
+    // doc 1 with the same JDK zlib and compare, then inflate round-trip
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    val in = rep.getBytes("UTF-8")
+    defl.setInput(in); defl.finish()
+    val buf = new Array[Byte](1 << 20)
+    val n = defl.deflate(buf)
+    assert(r(1L)._2 === n.toLong)
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(buf, 0, n)
+    val out = new Array[Byte](in.length + 16)
+    assert(infl.inflate(out) === in.length)
+  }
+
   test("readability: exact run counts and the Flesch expression") {
     // words([!-~]+ runs) = 5, sentences([.!?]+ runs) = 2,
     // syllables(vowel-group runs) = e,o | o | I | i | u = 6
