@@ -528,8 +528,45 @@ object Dedup {
     } finally bySource.unpersist(false)
   }
 
+  /** Thresholds evaluated by [[dedupThresholdSweep]]. */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Dedup-rate what-if curve: for each candidate Jaccard threshold, how
+    * many documents a near-dup pass at that threshold would DROP (docs
+    * whose best lower-id partner reaches it) and keep — the sizing query
+    * run before committing a 100 TB dedup pass to one threshold, the
+    * exact-Jaccard complement of [[lshEval]]'s band-geometry tuning.
+    *
+    * One pass: the pair list collapses to each doc's BEST (max) Jaccard
+    * against any lower doc_id — a keyed max, no window — then a 5-row
+    * explode scores every threshold against that per-doc max. The
+    * threshold comparison happens on the same IEEE division both engines
+    * compute, so the row counts hash-match. Pair derivation reuses
+    * [[ngramJaccardPairs]] at threshold 0.5 (the sweep's floor).
+    */
+  def dedupThresholdSweep(docs: DataFrame,
+      thresholds: Seq[Double] = SweepThresholds): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val bestJ = ngramJaccardPairs(docs)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(max(col("jaccard")).as("best_j"))
+    val perThreshold = bestJ
+      .select(col("best_j"), explode(
+        array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(sum(when(col("best_j") >= col("threshold"), 1L).otherwise(0L))
+        .as("n_dropped"))
+    perThreshold.crossJoin(broadcast(nDocs))
+      .select(col("threshold"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"),
+        (col("n_dropped").cast("double") / col("n_docs").cast("double"))
+          .as("drop_rate"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_threshold_sweep" -> ((s, d) =>
+      dedupThresholdSweep(Tables.documents(s, d))),
     "decontam_matrix"     -> ((s, d) => decontamMatrix(Tables.documents(s, d))),
     "dedup_exact_groups"  -> ((s, d) => exactGroups(Tables.documents(s, d))),
     "dedup_exact_docs"    -> ((s, d) => exactDocs(Tables.documents(s, d))),
@@ -823,6 +860,44 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5"""
         .stripMargin,
+    // threshold what-if sweep over the same exact-Jaccard pair CTEs
+    "dedup_threshold_sweep" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                               for i in range(1, len(toks)-1)]))
+        |           AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS inter_size
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_b,
+        |         inter_size * 1.0 / (sa.n + sb.n - inter_size) AS j
+        |  FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5),
+        |best AS (SELECT doc_b AS doc_id, max(j) AS best_j
+        |         FROM pairs GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+        |             AS threshold),
+        |per AS (
+        |  SELECT t.threshold,
+        |         CAST(sum(CASE WHEN best.best_j >= t.threshold
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |  FROM t JOIN best ON TRUE GROUP BY 1)
+        |SELECT per.threshold, per.n_dropped,
+        |       nd.n_docs - per.n_dropped AS n_kept,
+        |       CAST(per.n_dropped AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)
+        |         AS drop_rate
+        |FROM per, nd""".stripMargin,
     // all-pairs source contamination matrix over distinct word-3-grams
     "decontam_matrix" ->
       """WITH d AS (

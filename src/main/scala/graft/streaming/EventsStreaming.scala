@@ -305,8 +305,26 @@ object EventsStreaming {
           .as("n_late_users"))
   }
 
+  /** Top users kept per event type by [[topUsersBatch]]. */
+  val TopUsersK = 5
+
+  /** Exact per-type top-k users by event count — the batch twin of the
+    * streaming Misra–Gries heavy-hitter tracker
+    * ([[HeavyUsersStream]]): one keyed count, then the bounded
+    * [[graft.plans.TopKPerGroup]] heap (deterministic tie-break on
+    * user_id) — no window over the per-user count table.
+    */
+  def topUsersBatch(ev: DataFrame, k: Int = TopUsersK): DataFrame = {
+    val counts = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"))
+    graft.plans.TopKPerGroup(counts, Seq("event_type"),
+      Seq("n_events" -> true, "user_id" -> false), k = k)
+      .select("event_type", "user_id", "n_events")
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_top_users" -> ((s, d) => topUsersBatch(Tables.events(s, d))),
     "stream_late_audit" -> ((s, d) => latenessAudit(Tables.events(s, d))),
     "stream_hourly"   -> ((s, d) => hourlyBatch(Tables.events(s, d))),
     "stream_sliding"  -> ((s, d) => slidingBatch(Tables.events(s, d))),
@@ -326,6 +344,14 @@ object EventsStreaming {
     * which is exactly `session_window`'s merge semantics.
     */
   def oracleSql: Map[String, String] = Map(
+    "stream_top_users" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, n_events FROM c
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY event_type
+        |  ORDER BY n_events DESC, user_id) <= 5""".stripMargin,
     "stream_late_audit" ->
       """WITH o AS (
         |  SELECT event_type, user_id, epoch_us(ts) AS ts_us,

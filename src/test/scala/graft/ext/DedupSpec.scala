@@ -9,6 +9,24 @@ class DedupSpec extends SparkSpec {
     rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("dedupThresholdSweep: drop counts step down as the threshold rises") {
+    // docs 1,2 identical (j=1.0); doc 3 shares 2 of its 3 shingles with
+    // them (j = 2/4 = 0.5); doc 4 unique. best_j: doc2=1.0, doc3=0.5.
+    val d = docs(
+      1L -> "a b c d e",
+      2L -> "a b c d e",
+      3L -> "a b c d x",
+      4L -> "p q r s t")
+    val r = Dedup.dedupThresholdSweep(d)
+      .select("threshold", "n_dropped", "n_kept", "drop_rate")
+      .as[(Double, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    graft.CheckpointLease.releaseAll()
+    assert(r(0.5) === ((0.5, 2L, 2L, 0.5)))  // doc2 and doc3 drop
+    assert(r(0.6) === ((0.6, 1L, 3L, 0.25))) // only the exact dup drops
+    assert(r(0.9) === ((0.9, 1L, 3L, 0.25)))
+  }
+
   test("decontamMatrix: exact pairwise overlap and Jaccard across sources") {
     // srcA: {a b c, b c d}; srcB: {a b c, b c e}; srcC: {x y z}
     val d = Seq(
