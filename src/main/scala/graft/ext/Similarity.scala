@@ -418,7 +418,61 @@ object Similarity {
       .withColumn("mean_micro", expr("sum_micro div n_vecs"))
       .select("label", "dim", "n_vecs", "sum_micro", "mean_micro")
 
+  /** Exact integer gram matrix of the embedding set — `Σ_v q_v·q_vᵀ`
+    * over coordinates quantized to int64 ten-thousandths
+    * (`floor(x·10⁴)`): THE input to PCA whitening / OPQ rotation
+    * training, and (with [[labelCentroids]]) everything needed for
+    * covariance. Quantized products are exact integers, so the 64×64
+    * result is order-independent and hash-checks against DuckDB.
+    *
+    * Scale shape — the partial-aggregation form, NOT a pair explode:
+    * each partition accumulates its LOCAL d×d integer matrix in one
+    * tight array pass (`mapPartitions`, zero allocation per row beyond
+    * the quantized vector) and emits exactly d² rows, so the shuffle
+    * carries `d² · n_partitions` rows no matter how many billions of
+    * vectors stream through — the same partial/merge shape Spark's own
+    * aggregates use, spelled out because the VALUE is a matrix.
+    * Headroom: |q| ≤ 10⁴·max|x|; at unit-norm embeddings q² ≤ 10⁸, so
+    * int64 holds ~9·10¹⁰ vectors per partition before overflow (ANSI
+    * would throw, not corrupt; a larger deployment drops one digit of
+    * quantization for 100× more headroom).
+    */
+  def gramMatrix(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        var acc: Array[Long] = null
+        var d = 0
+        var n = 0L
+        it.foreach { v =>
+          if (acc == null) { d = v.length; acc = new Array[Long](d * d) }
+          val q = new Array[Long](d)
+          var i = 0
+          while (i < d) {
+            q(i) = math.floor(v(i).toDouble * 10000.0).toLong; i += 1
+          }
+          var a = 0
+          while (a < d) {
+            val qa = q(a); val off = a * d
+            var b = 0
+            while (b < d) { acc(off + b) += qa * q(b); b += 1 }
+            a += 1
+          }
+          n += 1
+        }
+        if (acc == null) Iterator.empty
+        else Iterator.tabulate(d * d)(k =>
+          ((k / d).toLong, (k % d).toLong, acc(k), n))
+      }
+      .toDF("i", "j", "part_sum", "part_n")
+      .groupBy("i", "j")
+      .agg(sum("part_sum").as("gram_q"), sum("part_n").as("n_vecs"))
+      .select("i", "j", "n_vecs", "gram_q")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_gram_matrix" -> ((s, d) => gramMatrix(Tables.embeddings(s, d))),
     "vec_label_centroids" -> ((s, d) =>
       labelCentroids(Tables.embeddings(s, d))),
     "vec_dim_profile" -> ((s, d) => dimProfile(Tables.embeddings(s, d))),
@@ -446,6 +500,17 @@ object Similarity {
 
   /** DuckDB twins (IVF is rows-only; recall asserted in SimilaritySpec). */
   def oracleSql: Map[String, String] = Map(
+    "vec_gram_matrix" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         unnest(range(len(embedding))) AS d,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+        |              AS BIGINT) AS qv
+        |  FROM embeddings)
+        |SELECT a.d AS i, b.d AS j, count(*) AS n_vecs,
+        |       CAST(sum(a.qv * b.qv) AS BIGINT) AS gram_q
+        |FROM q a JOIN q b USING (vec_id)
+        |GROUP BY 1, 2""".stripMargin,
     "vec_label_centroids" ->
       """WITH m AS (
         |  SELECT CAST(label AS BIGINT) AS label,

@@ -9,6 +9,23 @@ class SimilaritySpec extends SparkSpec {
     rows.map { case (id, v) => (id, v, 0) }
       .toDF("vec_id", "embedding", "label")
 
+  test("gramMatrix: exact quantized outer-product sums, partition-invariant") {
+    // q1 = [10000, 20000], q2 = [5000, -2500] (all exact in float)
+    val d = emb(1L -> Seq(1.0f, 2.0f), 2L -> Seq(0.5f, -0.25f))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.gramMatrix(df)
+        .select("i", "j", "n_vecs", "gram_q")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (0L, 0L, 2L, 125000000L),   // 1e8 + 25e6
+      (0L, 1L, 2L, 187500000L),   // 2e8 - 12.5e6
+      (1L, 0L, 2L, 187500000L),
+      (1L, 1L, 2L, 406250000L))   // 4e8 + 6.25e6
+    assert(run(d) === want)
+    // partial-merge correctness: one vector per partition, same result
+    assert(run(d.repartition(2)) === want)
+  }
+
   test("dimProfile: per-coordinate min/max/zero-share, order-independent") {
     val r = Similarity.dimProfile(emb(
       1L -> Seq(1f, 0f), 2L -> Seq(3f, -2f)))
