@@ -273,6 +273,49 @@ object Corpus {
         (col("w_micro").cast("double") / col("t_w")).as("weight_share"))
   }
 
+  /** Training-token budget planned by [[tokenBudgetPlan]] (arbitrary
+    * fixed constant at test scale; a real run passes its 1T+ budget).
+    */
+  val TokenBudget = 1000000L
+
+  /** Token-budget allocation plan: given a total training-token budget
+    * and the temperature-flattened source weights ([[temperatureMix]]'s
+    * exact micro-unit T=0.5 weighting over TOKEN counts), how many
+    * tokens each source contributes and how many epochs (passes over
+    * the source) that implies — the planning table a pretraining run
+    * publishes next to its data card. All integer: per-source whitespace
+    * token counts (one scan), weight micro-units via the
+    * correctly-rounded sqrt primitive, allocation by exact
+    * `budget·w div Σw`, epochs in exact basis points
+    * (`alloc·10⁴ div tokens`; >10⁴ ⇒ the source repeats — the
+    * "epochs > 1" signal that drives up-/down-sampling decisions).
+    * Scale shape: one token-count scan with map-side combine onto the
+    * ≤n_sources domain; everything after is metadata-sized. Headroom:
+    * `budget·w_micro` must stay under 2⁶³ — at the test-scale constant
+    * that is 10⁶·10¹² = 10¹⁸; a real 10¹² budget pairs with milli-unit
+    * weights (drop 3 digits) for the same exactness at 1000× headroom.
+    */
+  def tokenBudgetPlan(docs: DataFrame,
+      budget: Long = TokenBudget): DataFrame = {
+    val w = graft.CheckpointLease.track(docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0))
+          .cast("long"))
+      .localCheckpoint())
+    val tot = w.agg(sum("w_micro").as("t_w"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_micro"),
+        expr(s"($budget * w_micro) div t_w").as("alloc_tokens"))
+      .withColumn("epochs_bp",
+        expr("(alloc_tokens * 10000) div n_tokens"))
+      .select("source", "n_docs", "n_tokens", "w_micro", "alloc_tokens",
+        "epochs_bp")
+  }
+
   /** Top pairs kept by [[bpePairCounts]]. */
   val BpeTopPairs = 50
 
@@ -575,10 +618,29 @@ object Corpus {
     "text_dup_ngram_frac" -> ((s, d) =>
       dupNgramFraction(Tables.documents(s, d))),
     "text_dup_spans" -> ((s, d) => dupSpans(Tables.documents(s, d))),
+    "mix_token_budget" -> ((s, d) => tokenBudgetPlan(Tables.documents(s, d))),
   )
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "mix_token_budget" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+        |                 AS BIGINT) AS w_micro
+        |  FROM s),
+        |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS t_w FROM w),
+        |a AS (
+        |  SELECT w.source, w.n_docs, w.n_tokens, w.w_micro,
+        |         (1000000 * w.w_micro) // t.t_w AS alloc_tokens
+        |  FROM w, t)
+        |SELECT source, n_docs, n_tokens, w_micro, alloc_tokens,
+        |       (alloc_tokens * 10000) // n_tokens AS epochs_bp
+        |FROM a""".stripMargin,
     "text_dup_spans" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -207,6 +207,25 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq((1L, "a b", "ab", 2L), (2L, "c d", "cd", 2L)))
   }
 
+  test("tokenBudgetPlan: exact sqrt weights, allocation, and epochs") {
+    import spark.implicits._
+    // srcA: 16 tokens, srcB: 4 tokens -> w = 4e6 : 2e6 (exact sqrt of
+    // exact ints), alloc = 1e6*4e6 div 6e6 = 666666 : 333333
+    val d = Seq(
+      (1L, ("x " * 16).trim, "en", "srcA", 1L),
+      (2L, ("y " * 4).trim, "en", "srcB", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.tokenBudgetPlan(d)
+      .select("source", "n_tokens", "w_micro", "alloc_tokens", "epochs_bp")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    graft.CheckpointLease.releaseAll()
+    assert(r("srcA") === (("srcA", 16L, 4000000L, 666666L,
+      (666666L * 10000L) / 16L)))
+    assert(r("srcB") === (("srcB", 4L, 2000000L, 333333L,
+      (333333L * 10000L) / 4L)))
+  }
+
   test("dupSpans: island merge, within-doc repeats, and zero-span docs") {
     import spark.implicits._
     // doc 1 repeats "a b c d e" twice with a unique separator token:
