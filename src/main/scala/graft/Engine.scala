@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Gold, Pipeline, Relational, Silver, TimeSeries}
-import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, TextAnalysis}
+import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, Stats, TextAnalysis}
 import graft.operators.{AsOfJoin, BloomJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 import graft.streaming.EventsStreaming
 
@@ -58,6 +58,11 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Dedup.containmentPairs(docs, bench, n, minShared)
     def lineDedup(lineTokens: Int = 16): DataFrame =
       Corpus.dedupLines(docs, lineTokens)
+    def contaminationMatrix: DataFrame = Dedup.decontamMatrix(docs)
+    def thresholdSweep(thresholds: Seq[Double] = Dedup.SweepThresholds)
+        : DataFrame = Dedup.dedupThresholdSweep(docs, thresholds)
+    def dupSpans(n: Int = Corpus.SpanGram): DataFrame =
+      Corpus.dupSpans(docs, n)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -80,6 +85,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Curation.weightedReservoir(docs, k)
     def funnel: DataFrame = Curation.filterFunnel(docs)
     def sourceMix: DataFrame = Corpus.sourceMix(docs)
+    def hashReservoir(k: Int = Curation.ReservoirK): DataFrame =
+      Curation.hashReservoirPerSource(docs, k)
+    def tokenBudget(budget: Long = Corpus.TokenBudget): DataFrame =
+      Corpus.tokenBudgetPlan(docs, budget)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -100,6 +109,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def search(k: Int = 20): DataFrame = TextAnalysis.bm25TopK(docs, k)
     def vocabCoverage: DataFrame = TextAnalysis.vocabCoverage(docs)
     def evalLangId: DataFrame = TextAnalysis.evalLangId(docs)
+    def readability: DataFrame = TextAnalysis.readability(docs)
+    def compressRatio: DataFrame = TextAnalysis.compressRatio(docs)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -126,6 +137,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
         iters: Int = Similarity.KmeansIters): DataFrame =
       Similarity.trainCentroids(emb, k, iters)
     def kmeansProfile: DataFrame = Similarity.kmeansClusterProfile(emb)
+    def dimProfile: DataFrame = Similarity.dimProfile(emb)
+    def labelCentroids: DataFrame = Similarity.labelCentroids(emb)
+    def gramMatrix: DataFrame = Similarity.gramMatrix(emb)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 
@@ -192,6 +206,25 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Graph.pagerank(edges, iterations)
     def triangles: DataFrame = Graph.triangleCount(edges)
     def degrees: DataFrame = Graph.degreeDistribution(edges)
+    def kcore(k: Int = 80): DataFrame = Graph.kcore(edges, k)
+    def edgeJaccard: DataFrame = Graph.edgeJaccard(edges)
+    def hits: DataFrame = Graph.hits(Tables.lineitem(spark, dataDir),
+      Tables.orders(spark, dataDir))
+  }
+
+  /** Exact-arithmetic statistics — see [[graft.ext.Stats]]. */
+  object stats {
+    def trend: DataFrame = Stats.trendSegmentSpend(
+      Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
+    def correlation: DataFrame =
+      Stats.corrQtyValue(Tables.lineitem(spark, dataDir))
+    def concentration: DataFrame = Stats.hhiRegionRevenue(
+      Tables.orders(spark, dataDir), Tables.customer(spark, dataDir),
+      Tables.nation(spark, dataDir), Tables.region(spark, dataDir))
+    def benford: DataFrame =
+      Stats.benfordOrderTotals(Tables.orders(spark, dataDir))
+    def autocorrelation(lags: Seq[Int] = Stats.AutocorrLags): DataFrame =
+      Stats.autocorrDailyRevenue(Tables.orders(spark, dataDir), lags)
   }
 
   object quality {
@@ -225,6 +258,13 @@ case class Engine(spark: SparkSession, dataDir: String) {
         : DataFrame =
       graft.streaming.NearDupStream
         .candidatesStream(docStream, maxPerBucket).toDF()
+    def topUsers(k: Int = EventsStreaming.TopUsersK): DataFrame =
+      EventsStreaming.topUsersBatch(Tables.events(spark, dataDir), k)
+    def heavyUsers(typedStream: org.apache.spark.sql.Dataset[
+        graft.streaming.HeavyUsersStream.TypedEvent],
+        k: Int = graft.streaming.HeavyUsersStream.DefaultCounters)
+        : DataFrame =
+      graft.streaming.HeavyUsersStream.heavyUsersStream(typedStream, k).toDF()
   }
 
   /** MERGE INTO-style upsert of `source` into `target` by `keys`. */
