@@ -166,6 +166,50 @@ object Components {
         (col("n_docs") - 1L).as("dropped_docs"),
         (col("sum_chars") - col("best.n_chars")).as("dropped_chars"))
 
+  /** Newman modularity decomposition of the near-dup cluster partition:
+    * per cluster, its intra-edge count `e_c` (every pair edge is
+    * intra-cluster by construction of connected components), degree mass
+    * `d_c`, and modularity contribution
+    * `q_c = e_c/m − (d_c/2m)²` — how much denser than degree-expected
+    * each cluster is. `Σ q_c` is the partition's modularity Q, the
+    * standard "are these clusters real structure or hairball?" check run
+    * on a dedup graph before trusting its clusters.
+    *
+    * All inputs exact integers (edge/degree counts off the checkpointed
+    * pair list); q_c is a fixed IEEE tree over them, so the table
+    * hash-matches DuckDB. Scale: three keyed aggregates over the
+    * (tiny relative to corpus) pair graph + one scalar broadcast.
+    */
+  def clusterModularity(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    modularityOfPairs(Dedup.ngramJaccardPairs(docs, threshold)
+      .select("doc_a", "doc_b"))
+
+  /** [[clusterModularity]]'s core over an explicit (doc_a, doc_b) edge
+    * list — split out so specs can pin hand-built partitions.
+    */
+  def modularityOfPairs(pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    val mDf = pairs.agg(count(lit(1)).as("m"))
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val dc = deg.join(labels, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"), sum("deg").as("d_sum"))
+    val ec = pairs
+      .join(labels.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("e_in"))
+    dc.join(ec, Seq("cluster_id"))
+      .crossJoin(broadcast(mDf))
+      .withColumn("share",
+        col("d_sum").cast("double") / (lit(2.0) * col("m").cast("double")))
+      .select(col("cluster_id"), col("n_docs"), col("e_in"), col("d_sum"),
+        col("m"),
+        (col("e_in").cast("double") / col("m").cast("double") -
+          col("share") * col("share")).as("q_contrib"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these).
     * `dedup_clusters_dist` pins localThreshold = 0, forcing the
     * DISTRIBUTED label-propagation fixpoint at every SF — the path a
@@ -175,6 +219,8 @@ object Components {
     * recorded number).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_modularity" -> ((s, d) =>
+      clusterModularity(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => nearDupClusters(Tables.documents(s, d))),
     "dedup_clusters_dist" -> ((s, d) =>
       nearDupClusters(Tables.documents(s, d), localThreshold = 0L)),
@@ -186,6 +232,54 @@ object Components {
     * path must agree with the union-find path bit-for-bit.
     */
   def oracleSql: Map[String, String] = Map(
+    // modularity replayed over the same recursive-CTE clusters plus a
+    // fresh copy of the pair derivation (the cluster CTE collapses to
+    // labels, so edges must be re-derived for e_c / degrees)
+    "dedup_modularity" ->
+      s"""WITH cl AS (
+         |$ClustersSql
+         |),
+         |sh2 AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                               for i in range(1, len(toks)-1)]))
+         |           AS shingle
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents)),
+         |sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+         |inter2 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         count(*) AS inter_size
+         |  FROM sh2 a JOIN sh2 b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs2 AS (
+         |  SELECT doc_a, doc_b FROM inter2
+         |  JOIN sizes2 sa ON doc_a = sa.doc_id
+         |  JOIN sizes2 sb ON doc_b = sb.doc_id
+         |  WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5),
+         |mm AS (SELECT count(*) AS m FROM pairs2),
+         |deg AS (
+         |  SELECT doc_id, count(*) AS deg FROM (
+         |    SELECT doc_a AS doc_id FROM pairs2
+         |    UNION ALL SELECT doc_b FROM pairs2)
+         |  GROUP BY 1),
+         |dc AS (
+         |  SELECT cl.cluster_id, count(*) AS n_docs,
+         |         CAST(sum(deg.deg) AS BIGINT) AS d_sum
+         |  FROM deg JOIN cl USING (doc_id) GROUP BY 1),
+         |ec AS (
+         |  SELECT cl.cluster_id, count(*) AS e_in
+         |  FROM pairs2 p JOIN cl ON p.doc_a = cl.doc_id GROUP BY 1),
+         |f AS (
+         |  SELECT dc.cluster_id, dc.n_docs, ec.e_in, dc.d_sum, mm.m,
+         |         CAST(dc.d_sum AS DOUBLE) /
+         |           (2.0 * CAST(mm.m AS DOUBLE)) AS share
+         |  FROM dc JOIN ec USING (cluster_id), mm)
+         |SELECT cluster_id, n_docs, e_in, d_sum, m,
+         |       CAST(e_in AS DOUBLE) / CAST(m AS DOUBLE) - share * share
+         |         AS q_contrib
+         |FROM f""".stripMargin,
     "dedup_clusters" -> ClustersSql,
     "dedup_clusters_dist" -> ClustersSql,
     // canonical election replayed over the same recursive-CTE clusters;

@@ -53,4 +53,19 @@ class ComponentsSpec extends SparkSpec {
     assert(got(1L) === ((1L, 2L, 2L, 12L, 1L, 10L)))
     assert(got(4L) === ((4L, 2L, 4L, 7L, 1L, 7L)))
   }
+
+  test("modularityOfPairs: exact edge/degree masses and Newman q per cluster") {
+    // triangle {1,2,3} + single edge {4,5}: m = 4
+    // cluster 1: e=3, d=6 -> q = 3/4 - (6/8)^2 = 0.1875
+    // cluster 4: e=1, d=2 -> q = 1/4 - (2/8)^2 = 0.1875
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Components.modularityOfPairs(pairs)
+      .select("cluster_id", "n_docs", "e_in", "d_sum", "m", "q_contrib")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    graft.CheckpointLease.releaseAll()
+    assert(got(1L) === ((1L, 3L, 3L, 6L, 4L, 0.1875)))
+    assert(got(4L) === ((4L, 2L, 1L, 2L, 4L, 0.1875)))
+  }
 }
