@@ -491,8 +491,46 @@ object Graph {
       .select(col("s").as("s_suppkey"), col("a1").as("indeg"), col("a2"))
   }
 
+  /** Degree assortativity of the co-purchase graph: Newman's r — the
+    * Pearson correlation of endpoint degrees over the edge list — tells
+    * whether hubs link to hubs (r > 0, social-network-like) or to
+    * leaves (r < 0, catalog/hub-and-spoke-like); the one scalar a graph
+    * pipeline checks before trusting degree-based sampling or
+    * sparsification heuristics.
+    *
+    * On a both-ways edge list the formula collapses (Σj = Σk, Σj² = Σk²
+    * by symmetry) to `r = (m·Σjk − (Σj)²) / (m·Σj² − (Σj)²)` — one scan
+    * of edges with the degree table joined in (broadcast under the node
+    * gate), five exact integer aggregates, one IEEE division. Magnitudes:
+    * `m·Σjk ≤ m²·d_max²` ≈ 10¹⁷ at sf0.1 (m 2.4M, d_max ~3k) — inside
+    * int64; a deployment past that overflows LOUDLY under ANSI mode and
+    * would bucket degrees first (same trade as [[hits]]).
+    */
+  def assortativity(edgesIn: DataFrame): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    val bcDeg = edges.count() <= NodeBroadcastMaxRows
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val degSrc = deg.select(col("node").as("src"), col("deg").as("du"))
+    val degDst = deg.select(col("node").as("dst"), col("deg").as("dv"))
+    edges
+      .join(if (bcDeg) broadcast(degSrc) else degSrc, Seq("src"))
+      .join(if (bcDeg) broadcast(degDst) else degDst, Seq("dst"))
+      .agg(count(lit(1)).as("m_ends"),
+        sum(col("du") * col("dv")).as("sjk"),
+        sum(col("du")).as("sj"),
+        sum(col("du") * col("du")).as("sjj"))
+      .withColumn("r_num", col("m_ends") * col("sjk") - col("sj") * col("sj"))
+      .withColumn("r_den", col("m_ends") * col("sjj") - col("sj") * col("sj"))
+      .withColumn("assortativity",
+        col("r_num").cast("double") / col("r_den").cast("double"))
+      .select("m_ends", "sjk", "sj", "sjj", "r_num", "r_den", "assortativity")
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> ((s, d) =>
+      assortativity(coPurchaseEdges(Tables.lineitem(s, d)))),
     "graph_hits" -> ((s, d) =>
       hits(Tables.lineitem(s, d), Tables.orders(s, d))),
     "graph_pagerank" -> ((s, d) =>
@@ -539,6 +577,27 @@ object Graph {
     * exactly.
     */
   def oracleSql: Map[String, String] = Map(
+    "graph_assortativity" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        |s AS (
+        |  SELECT count(*) AS m_ends,
+        |         CAST(sum(du.deg * dv.deg) AS BIGINT) AS sjk,
+        |         CAST(sum(du.deg) AS BIGINT) AS sj,
+        |         CAST(sum(du.deg * du.deg) AS BIGINT) AS sjj
+        |  FROM e JOIN deg du ON e.src = du.node
+        |         JOIN deg dv ON e.dst = dv.node),
+        |f AS (
+        |  SELECT *, m_ends * sjk - sj * sj AS r_num,
+        |            m_ends * sjj - sj * sj AS r_den
+        |  FROM s)
+        |SELECT m_ends, sjk, sj, sjj, r_num, r_den,
+        |       CAST(r_num AS DOUBLE) / CAST(r_den AS DOUBLE) AS assortativity
+        |FROM f""".stripMargin,
     "graph_hits" ->
       """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s

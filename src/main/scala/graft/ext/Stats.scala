@@ -212,8 +212,69 @@ object Stats {
       .select("lag", "n_pairs", "r_num", "den_x", "den_z", "r")
   }
 
+  /** Mann-Kendall trend test per market segment over the daily mean
+    * order value series — the non-parametric companion to
+    * [[trendSegmentSpend]]'s OLS slope (robust to outliers and
+    * non-linearity; the pair a forecasting review runs together).
+    *
+    * `S = Σ_{i<j} sign(y_j − y_i)` over day pairs, with the
+    * ties-corrected variance `Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)
+    * (2t_g+5)] / 18` and the continuity-corrected normal score
+    * `z = (S∓1)/√Var(S)`. S, the variance numerator, and the tie terms
+    * are EXACT integers; `var_s` and `z` are a fixed IEEE tree off them
+    * (divide, sqrt, divide) — hash-portable like every statistic here.
+    *
+    * Scale shape: stage 1 collapses to the day domain (≤ ~2.5k rows per
+    * segment); the pair join is day-domain² per segment (≈3M rows per
+    * segment at most — bounded by the CALENDAR, not the data), with the
+    * day table broadcast. Magnitudes: |S| ≤ n²/2 ≈ 3·10⁶ and
+    * `var_num ≤ n·n·2n ≈ 3·10¹⁰` — far inside int64 at any SF.
+    */
+  def mannKendallSegment(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val daily = orders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        dayX(col("o_orderdate")).cast("long").as("x"),
+        col("o_totalprice"))
+      .groupBy("c_mktsegment", "x")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      .withColumn("y", expr("rev_cents div (n_orders * 100)"))
+      .select("c_mktsegment", "x", "y")
+    val sTbl = daily.as("a")
+      .join(broadcast(daily.as("b")),
+        col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.x") < col("b.x"))
+      .groupBy(col("a.c_mktsegment").as("c_mktsegment"))
+      .agg(sum(when(col("b.y") > col("a.y"), 1L)
+        .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s_stat"))
+    val nTbl = daily.groupBy("c_mktsegment").agg(count(lit(1)).as("n_days"))
+    val tieTbl = daily.groupBy("c_mktsegment", "y")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("c_mktsegment")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tie_term"))
+    sTbl.join(broadcast(nTbl), Seq("c_mktsegment"))
+      .join(broadcast(tieTbl), Seq("c_mktsegment"))
+      .withColumn("var_num",
+        col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5) -
+          col("tie_term"))
+      .withColumn("var_s", col("var_num").cast("double") / lit(18.0))
+      .withColumn("z",
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+        .when(col("s_stat") < 0,
+          (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+        .otherwise(lit(0.0)))
+      .select("c_mktsegment", "n_days", "s_stat", "tie_term", "var_num",
+        "var_s", "z")
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mann_kendall" -> ((s, d) =>
+      mannKendallSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "ts_autocorr" -> ((s, d) => autocorrDailyRevenue(Tables.orders(s, d))),
     "stats_trend_segment" -> ((s, d) =>
       trendSegmentSpend(Tables.orders(s, d), Tables.customer(s, d))),
@@ -229,6 +290,47 @@ object Stats {
     * equal to Spark's `div` for the non-negative operands here).
     */
   def oracleSql: Map[String, String] = Map(
+    "stats_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT c.c_mktsegment,
+        |         CAST(datediff('day', DATE '1995-01-01',
+        |                       CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+        |         count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |d2 AS (SELECT c_mktsegment, x, rev_cents // (n_orders * 100) AS y
+        |       FROM daily),
+        |s AS (
+        |  SELECT a.c_mktsegment,
+        |         CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |                       WHEN b.y < a.y THEN -1 ELSE 0 END)
+        |              AS BIGINT) AS s_stat
+        |  FROM d2 a JOIN d2 b
+        |    ON a.c_mktsegment = b.c_mktsegment AND a.x < b.x
+        |  GROUP BY 1),
+        |n AS (SELECT c_mktsegment, count(*) AS n_days FROM d2 GROUP BY 1),
+        |ties AS (
+        |  SELECT c_mktsegment,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT c_mktsegment, y, count(*) AS t
+        |        FROM d2 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT s.c_mktsegment, n.n_days, s.s_stat, ties.tie_term,
+        |         n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+        |           - ties.tie_term AS var_num
+        |  FROM s JOIN n USING (c_mktsegment)
+        |         JOIN ties USING (c_mktsegment)),
+        |g AS (SELECT *, CAST(var_num AS DOUBLE) / 18.0 AS var_s FROM f)
+        |SELECT c_mktsegment, n_days, s_stat, tie_term, var_num, var_s,
+        |       CASE WHEN s_stat > 0
+        |              THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |            WHEN s_stat < 0
+        |              THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |            ELSE 0.0 END AS z
+        |FROM g""".stripMargin,
     "ts_autocorr" ->
       """WITH daily AS (
         |  SELECT CAST(datediff('day', DATE '1995-01-01',

@@ -182,6 +182,20 @@ class GraphSpec extends SparkSpec {
     assert(r === Set((1L, 2L, 5L), (2L, 1L, 3L)))
   }
 
+  test("assortativity: path graph P3 is perfectly disassortative") {
+    // path 1-2-3 both ways: ends (1,2),(2,1),(2,3),(3,2) with degree
+    // pairs (1,2),(2,1),(2,1),(1,2) -> m=4, sjk=8, sj=6, sjj=10 ->
+    // r_num = 32-36 = -4, r_den = 40-36 = 4, r = -1 (every edge joins
+    // the hub to a leaf)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.assortativity(edges)
+      .select("m_ends", "sjk", "sj", "sjj", "r_num", "r_den", "assortativity")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq((4L, 8L, 6L, 10L, -4L, 4L, -1.0)))
+    graft.CheckpointLease.releaseAll()
+  }
+
   test("degreeDistribution: star graph counts leaves and hub with shares") {
     // star: hub 1 connected to 2,3,4 (both directions)
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),

@@ -93,4 +93,22 @@ class PrivacySpec extends SparkSpec {
     assert(r(3L) === ((3L, 1L, 3L, 0.6, false)))
     assert(r(1L) === ((1L, 1L, 2L, 0.4, true)))
   }
+
+  test("tClosenessAudit: exact scaled EMD against the global distribution") {
+    import spark.implicits._
+    // buckets: global b0=3, b1=1 (N=4, m=2). Class (A,1): {b0, b1} ->
+    // D_1 = 1*4 - 3*2 = -2, D_2 = 0 -> emd_scaled = 2,
+    // emd = 2 / (1*2*4) = 0.25. Class (B,1): {b0, b0} -> D_1 = 2*4-3*2
+    // = 2, D_2 = 0 -> same scaled distance from the other side.
+    val c = Seq(
+      ("A", 1, 500.0), ("A", 1, 1500.0),
+      ("B", 1, 500.0), ("B", 1, 600.0))
+      .toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+    val r = Privacy.tClosenessAudit(c)
+      .select("c_mktsegment", "class_size", "emd_scaled", "emd", "above_bar")
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r("A") === (("A", 2L, 2L, 0.25, true)))
+    assert(r("B") === (("B", 2L, 2L, 0.25, true)))
+  }
 }

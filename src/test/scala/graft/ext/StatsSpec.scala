@@ -102,6 +102,37 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rr - 1.0) < 1e-12)
   }
 
+  test("mannKendallSegment: monotone series gives S = C(n,2), no ties") {
+    // strictly rising daily values on days 0..4 -> every pair concordant:
+    // S = 10, tie_term = 0, var_num = 5*4*15 = 300
+    val o = orders((0 to 4).map { d =>
+      ((d + 1).toLong, 1L, 100.0 + 10 * d, f"1995-01-0${d + 1} 00:00:00")
+    }: _*)
+    val c = Seq((1L, "A")).toDF("c_custkey", "c_mktsegment")
+    val r = Stats.mannKendallSegment(o, c)
+      .select("c_mktsegment", "n_days", "s_stat", "tie_term", "var_num", "z")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r.map(t => (t._1, t._2, t._3, t._4, t._5)) ===
+      Seq(("A", 5L, 10L, 0L, 300L)))
+    // z = (S-1)/sqrt(300/18)
+    assert(math.abs(r.head._6 - 9.0 / math.sqrt(300.0 / 18.0)) < 1e-12)
+  }
+
+  test("mannKendallSegment: tied days reduce the variance numerator") {
+    // y = 100, 100, 120: pairs (0,1)=0, (0,2)=+1, (1,2)=+1 -> S = 2;
+    // tie group of 2 at y=100 -> tie_term = 2*1*9 = 18,
+    // var_num = 3*2*11 - 18 = 48
+    val o = orders(
+      (1L, 1L, 100.0, "1995-01-01 00:00:00"),
+      (2L, 1L, 100.0, "1995-01-02 00:00:00"),
+      (3L, 1L, 120.0, "1995-01-03 00:00:00"))
+    val c = Seq((1L, "A")).toDF("c_custkey", "c_mktsegment")
+    val r = Stats.mannKendallSegment(o, c)
+      .select("s_stat", "tie_term", "var_num")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r === Seq((2L, 18L, 48L)))
+  }
+
   test("benfordOrderTotals: digit extraction and exact shares") {
     val o = orders(
       (1L, 1L, 1013.7, "1995-01-01 00:00:00"),
