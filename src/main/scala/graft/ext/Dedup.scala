@@ -463,7 +463,11 @@ object Dedup {
     * then `bit_count(a XOR b)` (codegen'd built-in).
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(docs)
+    // materialize fingerprints once: the banded self-join consumes this
+    // subplan TWICE, and with no exchange anywhere upstream (the
+    // fingerprint path is shuffle-free) Spark re-executes the full
+    // md5-per-token pass per side — measured ~1.9x the query at sf0.1
+    val fp = graft.CheckpointLease.track(simhash(docs).localCheckpoint())
     val banded = fp.select(col("doc_id"), col("simhash"), posexplode(array(
       (0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(0xFF)): _*))

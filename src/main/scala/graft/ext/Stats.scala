@@ -271,8 +271,60 @@ object Stats {
         "var_s", "z")
   }
 
+  /** Theil–Sen robust trend per market segment: the LOWER MEDIAN of all
+    * pairwise slopes of the weekly mean order value series — the
+    * estimator that pairs with [[mannKendallSegment]] (Kendall tests
+    * direction, Theil–Sen sizes it, both outlier-robust).
+    *
+    * Median selection is by RANK, not interpolation: slopes are exact
+    * IEEE divisions of integer deltas, every engine computes the
+    * identical doubles, and the lower median is the row with
+    * `row_number = (n_pairs + 1) div 2` under the total order
+    * (slope, week_a, week_b) — no midpoint averaging, whose
+    * `lo + frac·(hi−lo)` interpolation trees differ across engines in
+    * the last ulp. Reported with the exact integer delta pair behind
+    * the chosen slope.
+    *
+    * Scale shape: weeks collapse the data to ≤ ~350 rows per segment, so
+    * the pair table is C(weeks, 2) ≈ 60k per segment — CALENDAR²-bounded
+    * at any corpus size; the ranking window is partitioned by segment
+    * over that bounded table.
+    */
+  def theilSenSegment(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = orders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        expr(s"datediff(cast(o_orderdate as date), date'1995-01-01') div 7")
+          .cast("long").as("w"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      .withColumn("y", expr("rev_cents div (n_orders * 100)"))
+      .select("c_mktsegment", "w", "y")
+    val pairs = weekly.as("a")
+      .join(broadcast(weekly.as("b")),
+        col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.w") < col("b.w"))
+      .select(col("a.c_mktsegment").as("c_mktsegment"),
+        (col("b.y") - col("a.y")).as("dy"),
+        (col("b.w") - col("a.w")).as("dx"),
+        col("a.w").as("wa"), col("b.w").as("wb"))
+      .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+    val cnt = pairs.groupBy("c_mktsegment").agg(count(lit(1)).as("n_pairs"))
+    val rn = Window.partitionBy("c_mktsegment")
+      .orderBy(col("slope"), col("wa"), col("wb"))
+    pairs.join(broadcast(cnt), Seq("c_mktsegment"))
+      .withColumn("rn", row_number().over(rn).cast("long"))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("c_mktsegment"), col("n_pairs"), col("dy").as("med_dy"),
+        col("dx").as("med_dx"), col("slope").as("theil_slope"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_theil_sen" -> ((s, d) =>
+      theilSenSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "stats_mann_kendall" -> ((s, d) =>
       mannKendallSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "ts_autocorr" -> ((s, d) => autocorrDailyRevenue(Tables.orders(s, d))),
@@ -290,6 +342,36 @@ object Stats {
     * equal to Spark's `div` for the non-negative operands here).
     */
   def oracleSql: Map[String, String] = Map(
+    "stats_theil_sen" ->
+      """WITH weekly AS (
+        |  SELECT c.c_mktsegment,
+        |         CAST(datediff('day', DATE '1995-01-01',
+        |                       CAST(o.o_orderdate AS DATE)) AS BIGINT)
+        |           // 7 AS w,
+        |         count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |w2 AS (SELECT c_mktsegment, w, rev_cents // (n_orders * 100) AS y
+        |       FROM weekly),
+        |pairs AS (
+        |  SELECT a.c_mktsegment, b.y - a.y AS dy, b.w - a.w AS dx,
+        |         a.w AS wa, b.w AS wb,
+        |         CAST(b.y - a.y AS DOUBLE) / CAST(b.w - a.w AS DOUBLE)
+        |           AS slope
+        |  FROM w2 a JOIN w2 b
+        |    ON a.c_mktsegment = b.c_mktsegment AND a.w < b.w),
+        |cnt AS (SELECT c_mktsegment, count(*) AS n_pairs
+        |        FROM pairs GROUP BY 1),
+        |ranked AS (
+        |  SELECT p.*, c.n_pairs,
+        |         row_number() OVER (PARTITION BY p.c_mktsegment
+        |                            ORDER BY p.slope, p.wa, p.wb) AS rn
+        |  FROM pairs p JOIN cnt c USING (c_mktsegment))
+        |SELECT c_mktsegment, n_pairs, dy AS med_dy, dx AS med_dx,
+        |       slope AS theil_slope
+        |FROM ranked WHERE rn = (n_pairs + 1) // 2""".stripMargin,
     "stats_mann_kendall" ->
       """WITH daily AS (
         |  SELECT c.c_mktsegment,

@@ -105,6 +105,61 @@ object TextAnalysis {
       md5(lower(trim(col("text")))).as("content_fp"),
       md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("tokenset_fp"))
 
+  /** Winnowing word-gram width / window (Schleimer–Wilkerson–Aiken's
+    * MOSS scheme, scaled to word grams: any shared run of
+    * `WinnowGram + WinnowWindow − 1` tokens is guaranteed to share a
+    * fingerprint).
+    */
+  val WinnowGram = 4
+  val WinnowWindow = 5
+
+  /** Winnowing fingerprint selection — the local-minimum sampling of
+    * [[fingerprints]]' rolling-hash idea: hash every word `n`-gram
+    * (md5-prefix, portable), then in every window of `w` consecutive
+    * gram positions keep the minimal (hash, pos) pair (leftmost on
+    * hash ties — a fixed deterministic tie-break; MOSS's stateful
+    * rightmost-run rule trades that determinism for fewer fingerprints
+    * on repeated runs). The distinct selected pairs are the document's
+    * fingerprint sketch; reported per doc: gram count, fingerprint
+    * count, exact integer checksum (Σ selected hashes — the
+    * order-independent equality probe two corpora compare), density.
+    *
+    * (hash, pos) packs into one BIGINT (`h·2²⁰ + pos`, exact for
+    * h < 2³² and docs ≤ 2²⁰ grams — far past the fixture's ~10³) so the
+    * window min is a single codegen'd long `min`, identical on both
+    * engines. Windows are partitioned per doc over position — bounded
+    * by document length, never corpus-sized.
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int = WinnowGram,
+      w: Int = WinnowWindow): DataFrame = {
+    val pos = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) < $n THEN array()
+           |ELSE transform(sequence(1, size(toks) - ${n - 1}),
+           |               i -> struct(CAST(i AS BIGINT) AS i,
+           |                           concat_ws(' ', slice(toks, i, $n))
+           |                             AS gram)) END""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"),
+        conv(substring(md5(col("p.gram")), 1, 8), 16, 10).cast("long").as("h"))
+      .withColumn("packed", col("h") * lit(1048576L) + col("i"))
+    val frame = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    val sel = pos
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("win_min", min("packed").over(frame))
+      // valid window starts; a doc shorter than one window (n_grams < w)
+      // still contributes its single truncated-window minimum at i = 1
+      .filter(col("i") === 1 || col("i") + (w - 1) <= col("n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("win_min"))
+      .distinct()
+    sel.groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(expr("win_min div 1048576")).as("fp_checksum"))
+      .withColumn("density",
+        col("n_fps").cast("double") / col("n_grams").cast("double"))
+      .select("doc_id", "n_grams", "n_fps", "fp_checksum", "density")
+  }
+
   /** Token counting: whitespace tokens and a regex tokenizer
     * (`[a-z0-9]+` runs — the BPE-ish "word pieces" approximation).
     */
@@ -504,6 +559,7 @@ object TextAnalysis {
     "text_quality"      -> ((s, d) => quality(Tables.documents(s, d))),
     "text_langid"       -> ((s, d) => langId(Tables.documents(s, d))),
     "text_fingerprints" -> ((s, d) => fingerprints(Tables.documents(s, d))),
+    "text_winnow" -> ((s, d) => winnowFingerprints(Tables.documents(s, d))),
     "text_token_counts" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
   )
 
@@ -698,6 +754,37 @@ object TextAnalysis {
         |           ORDER BY tf.tf DESC, tf.token) AS rnk
         |  FROM tf JOIN df USING (token))
         |WHERE rnk <= 10""".stripMargin,
+    "text_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pos0 AS (
+        |  SELECT doc_id, p.i AS i,
+        |         CAST('0x' || substr(md5(p.gram), 1, 8) AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |           unnest([{'i': CAST(i AS BIGINT),
+        |                    'gram': array_to_string(toks[i:i+3], ' ')}
+        |                   for i in range(1, len(toks) - 2)]) AS p
+        |    FROM d WHERE len(toks) >= 4) q),
+        |pos AS (SELECT doc_id, i, h * 1048576 + i AS packed FROM pos0),
+        |win AS (
+        |  SELECT doc_id, i,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_grams,
+        |         min(packed) OVER (PARTITION BY doc_id ORDER BY i
+        |                           ROWS BETWEEN CURRENT ROW
+        |                                    AND 4 FOLLOWING) AS win_min
+        |  FROM pos),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, n_grams, win_min FROM win
+        |  WHERE i = 1 OR i + 4 <= n_grams),
+        |agg AS (
+        |  SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |         count(*) AS n_fps,
+        |         CAST(sum(win_min // 1048576) AS BIGINT) AS fp_checksum
+        |  FROM sel GROUP BY 1, 2)
+        |SELECT doc_id, n_grams, n_fps, fp_checksum,
+        |       CAST(n_fps AS DOUBLE) / CAST(n_grams AS DOUBLE) AS density
+        |FROM agg""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, lang, source,
         |       length(text) AS n_chars_txt,

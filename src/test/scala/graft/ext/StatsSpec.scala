@@ -102,6 +102,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rr - 1.0) < 1e-12)
   }
 
+  test("theilSenSegment: lower-median pairwise slope, deterministic rank") {
+    // weeks 0,1,2 with y = 100, 130, 120 -> slopes 30, 10, -10; lower
+    // median (rank (3+1) div 2 = 2 under slope order) is 10 from the
+    // (w0, w2) pair: dy=20, dx=2
+    val o = orders(
+      (1L, 1L, 100.0, "1995-01-01 00:00:00"),
+      (2L, 1L, 130.0, "1995-01-08 00:00:00"),
+      (3L, 1L, 120.0, "1995-01-15 00:00:00"))
+    val c = Seq((1L, "A")).toDF("c_custkey", "c_mktsegment")
+    val r = Stats.theilSenSegment(o, c)
+      .select("c_mktsegment", "n_pairs", "med_dy", "med_dx", "theil_slope")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(("A", 3L, 20L, 2L, 10.0)))
+  }
+
   test("mannKendallSegment: monotone series gives S = C(n,2), no ties") {
     // strictly rising daily values on days 0..4 -> every pair concordant:
     // S = 10, tie_term = 0, var_num = 5*4*15 = 300

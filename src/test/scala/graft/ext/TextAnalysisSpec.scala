@@ -227,6 +227,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("winnowFingerprints: window counts, guarantee, and short-doc floor") {
+    // 8 tokens -> 5 grams (n=4); with w=5 the only valid window start is
+    // i=1, so exactly ONE fingerprint survives: n_fps=1, density=0.2
+    val one = docs((1L, "a b c d e f g h", "en"))
+    val r1 = TextAnalysis.winnowFingerprints(one)
+      .select("n_grams", "n_fps", "density")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r1 === Seq((5L, 1L, 0.2)))
+    // doc shorter than one gram contributes no row
+    assert(TextAnalysis.winnowFingerprints(docs((2L, "a b c", "en")))
+      .count() === 0L)
+    // identical docs select identical fingerprints: equal counts AND
+    // equal checksums (the equality probe the sketch exists for); a doc
+    // with extra leading tokens keeps a non-empty sketch with window
+    // count bounded by valid starts (13 tokens -> 10 grams, 6 windows)
+    val run = "q w e r t y u i q w e r t"
+    val d = docs((3L, run, "en"), (4L, run, "en"),
+      (5L, s"z1 z2 z3 $run", "en"))
+    val sel = TextAnalysis.winnowFingerprints(d)
+      .select("doc_id", "n_fps", "fp_checksum")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(sel(3L) === sel(4L))
+    assert(sel(3L)._1 >= 1L && sel(3L)._1 <= 6L)
+    assert(sel(5L)._1 >= 1L)
+  }
+
   test("pmiCollocations: ratio ranking from hand-computed counts") {
     // one doc "a b a b": bigrams (a,b)x2, (b,a)x1; unigrams a=2, b=2;
     // N=4 -> ratio(a,b) = 2*4/(2*2) = 2.0, ratio(b,a) = 1*4/4 = 1.0
