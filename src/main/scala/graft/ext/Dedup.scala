@@ -197,6 +197,63 @@ object Dedup {
     out
   }
 
+  /** Bloom-filter decontamination geometry: m = 2¹⁶ bits, k = 3 hashes
+    * (near-optimal k for the fixture's ~10⁴ eval shingles; FP rate
+    * (1−e^(−kn/m))^k ≈ 2%). Positions come from the same affine
+    * md5-prefix family as [[slotHashPortable]], with its own constants —
+    * deterministic, literal-interpolated into the DuckDB twin.
+    */
+  val BloomBits = 65536
+  val BloomHashes = 3
+  def bloomA(i: Int): Long = ((2654435761L * (i + 17)) % SlotMod) | 1L
+  def bloomB(i: Int): Long = (40503L * (i + 29)) % SlotMod
+
+  /** Bloom-filter decontamination probe — the SCALE form of
+    * [[containmentPairs]]: instead of joining corpus n-grams against the
+    * benchmark index per pair, the benchmark's distinct shingles are
+    * folded into a 2¹⁶-position bit set (built once, broadcast — at most
+    * [[BloomBits]] rows after the distinct, whatever the benchmark
+    * size), and every corpus shingle tests membership map-side: positive
+    * iff ALL `k` of its positions are set. Per corpus doc: shingle
+    * count, bloom-positive count, positive rate, and the contamination
+    * flag at `threshold`. False positives are the documented ~2% — the
+    * flag is a SCREEN (route to [[containmentPairs]] for adjudication),
+    * which is exactly how a 100 TB decontamination pass is staged.
+    *
+    * The bit set is relational here (position rows + broadcast join —
+    * semantically identical to probing a bitmap, exact and
+    * oracle-checkable); a production variant would pack the same
+    * positions into a broadcast bitmap, same plan shape.
+    */
+  def bloomDecontam(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val eval = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val baseHash = conv(substring(md5(col("shingle")), 1, 8), 16, 10)
+      .cast("long")
+    val bits = shingles(eval).select(baseHash.as("h")).distinct()
+      .select(explode(array((0 until BloomHashes).map(i =>
+        ((col("h") * bloomA(i) + bloomB(i)) % SlotMod) % BloomBits): _*))
+        .as("bit_pos"))
+      .distinct()
+    val probes = shingles(corpus)
+      .select(col("doc_id"), baseHash.as("h"))
+      .select(col("doc_id"), col("h"),
+        posexplode(array((0 until BloomHashes).map(i =>
+          ((col("h") * bloomA(i) + bloomB(i)) % SlotMod) % BloomBits): _*))
+          .as(Seq("i", "bit_pos")))
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("bit_pos"), "left")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_set"))
+    probes.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_set") === BloomHashes, 1L).otherwise(0L))
+          .as("n_bloom_pos"))
+      .withColumn("pos_rate",
+        col("n_bloom_pos").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("flagged", col("pos_rate") >= threshold)
+      .select("doc_id", "n_shingles", "n_bloom_pos", "pos_rate", "flagged")
+  }
+
   val MinhashK = 32     // signature length
   val BandRows = 2      // rows per band → 16 bands, P(cand|s=0.5) ≈ 0.99
 
@@ -583,6 +640,7 @@ object Dedup {
       containmentPairs(docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"))
     }),
+    "decontam_bloom"      -> ((s, d) => bloomDecontam(Tables.documents(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) =>
       minhashDedupDocs(Tables.documents(s, d))),
     "dedup_minhash_md5"   -> ((s, d) =>
@@ -598,6 +656,55 @@ object Dedup {
     * 32 bit-vote sums and the sign fold — generated per bit position so
     * both engines evaluate the identical integer arithmetic.
     */
+  /** [[bloomDecontam]]'s twin: identical affine position arithmetic with
+    * the constants interpolated, UNION ALL arm per hash.
+    */
+  private def duckBloomSql: String = {
+    def arms(src: String, cols: String): String =
+      (0 until BloomHashes).map { i =>
+        s"""SELECT $cols ((h * ${bloomA(i)} + ${bloomB(i)}) % $SlotMod)
+           |             % $BloomBits AS bit_pos FROM $src""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source, shingle FROM (
+       |    SELECT doc_id, source,
+       |           unnest([array_to_string(toks[i:i+2], ' ')
+       |                   for i in range(1, len(toks) - 1)]) AS shingle
+       |    FROM d)),
+       |eh AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)
+       |           AS h
+       |  FROM sh WHERE source = 'src0'),
+       |bits AS (SELECT DISTINCT bit_pos FROM (
+       |  ${arms("eh", "")})),
+       |ch AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+       |  FROM sh WHERE source <> 'src0'),
+       |pp AS (
+       |  ${arms("ch", "doc_id, h,")}),
+       |hits AS (
+       |  SELECT pp.doc_id, pp.h,
+       |         CAST(sum(CASE WHEN b.bit_pos IS NOT NULL THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_set
+       |  FROM pp LEFT JOIN bits b ON pp.bit_pos = b.bit_pos
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_shingles,
+       |         CAST(sum(CASE WHEN n_set = $BloomHashes THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_bloom_pos
+       |  FROM hits GROUP BY 1),
+       |f AS (
+       |  SELECT doc_id, n_shingles, n_bloom_pos,
+       |         CAST(n_bloom_pos AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+       |           AS pos_rate
+       |  FROM agg)
+       |SELECT *, pos_rate >= 0.2 AS flagged FROM f""".stripMargin
+  }
+
   private def duckSimhashCtes: String = {
     val bitSums = (0 until SimhashBits).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
@@ -902,6 +1009,7 @@ object Dedup {
         |       CAST(per.n_dropped AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)
         |         AS drop_rate
         |FROM per, nd""".stripMargin,
+    "decontam_bloom" -> duckBloomSql,
     // all-pairs source contamination matrix over distinct word-3-grams
     "decontam_matrix" ->
       """WITH d AS (

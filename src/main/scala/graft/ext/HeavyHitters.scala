@@ -79,16 +79,115 @@ object HeavyHitters {
       docs.select(explode(split(col("text"), " ")).as("item")), minFrac)
       .withColumnRenamed("item", "token")
 
+  /** Count-Min sketch geometry: 4 independent affine-hash rows × 1024
+    * counters. ε ≈ e/w ≈ 0.27% of the stream per estimate at δ ≈ e⁻⁴ —
+    * the classic mergeable frequency sketch (every counter is an exact
+    * integer sum, so unlike HLL the WHOLE sketch is hash-portable and
+    * oracle-checkable).
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Row-hash prime modulus and per-row affine constants (Knuth
+    * multiplier / LCG increment families, odd A) — deterministic
+    * functions of the row index, interpolated as LITERALS into the
+    * DuckDB twin (same pattern as graft.ext.Dedup's portable slot
+    * hashes). `h < 2³²` and `A < 2³⁰` keep `A·h + B < 2⁶²` — exact.
+    */
+  val CmsMod: Long = 1073741789L
+  def cmsA(r: Int): Long = ((2654435761L * (r + 3)) % CmsMod) | 1L
+  def cmsB(r: Int): Long = (40503L * (r + 11)) % CmsMod
+
+  /** Count-Min sketch build + probe over corpus whitespace tokens: the
+    * top `topK` tokens by TRUE count, each with its CMS estimate
+    * (min over the depth counters) and the overcount the sketch incurs
+    * — the calibration readout run before shipping a sketch-based
+    * frequency service. The estimate is ≥ the true count by
+    * construction; the overcount column makes the collision cost
+    * visible and exactly reproducible.
+    *
+    * Scale shape: tokens collapse to the VOCABULARY first (one corpus
+    * scan + vocab-sized agg), the sketch matrix builds from the vocab
+    * table (vocab × depth rows → 4096-counter agg — the shuffle is
+    * sketch-sized, not corpus-sized), the top-k is a TakeOrdered, and
+    * probes join the broadcast matrix. Every number is an exact
+    * integer.
+    */
+  def countMinEstimates(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val vocab = graft.CheckpointLease.track(
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("true_cnt"))
+        .withColumn("h",
+          conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
+        .localCheckpoint(false)) // feeds the matrix build AND the top-k
+    val posed = vocab.select(col("true_cnt").as("cnt"),
+      posexplode(array((0 until CmsDepth).map(r =>
+        ((col("h") * cmsA(r) + cmsB(r)) % CmsMod) % CmsWidth): _*))
+        .as(Seq("r", "pos")))
+    val matrix = posed.groupBy("r", "pos")
+      .agg(sum("cnt").as("counter"))
+    val top = vocab
+      .orderBy(col("true_cnt").desc, col("token"))
+      .limit(topK)
+    top.select(col("token"), col("true_cnt"),
+        posexplode(array((0 until CmsDepth).map(r =>
+          ((col("h") * cmsA(r) + cmsB(r)) % CmsMod) % CmsWidth): _*))
+          .as(Seq("r", "pos")))
+      .join(broadcast(matrix), Seq("r", "pos"))
+      .groupBy("token", "true_cnt")
+      .agg(min("counter").as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("true_cnt"))
+      .select("token", "true_cnt", "cms_est", "overcount")
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_heavy_hitters" -> ((s, d) =>
       frequentTokens(Tables.documents(s, d))),
+    "sketch_countmin" -> ((s, d) =>
+      countMinEstimates(Tables.documents(s, d))),
   )
+
+  /** [[countMinEstimates]]' twin: the same affine row hashes with the
+    * constants interpolated as literals, one UNION ALL arm per sketch
+    * row on both the build and probe sides.
+    */
+  private def duckCmsSql: String = {
+    def arms(src: String, cols: String): String = (0 until CmsDepth).map { r =>
+      s"""SELECT $r AS r,
+         |         ((h * ${cmsA(r)} + ${cmsB(r)}) % $CmsMod) % $CmsWidth
+         |           AS pos, $cols FROM $src""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |tc AS (
+       |  SELECT token, count(*) AS true_cnt,
+       |         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+       |  FROM tok GROUP BY 1),
+       |posed AS (
+       |  ${arms("tc", "true_cnt")}),
+       |matrix AS (
+       |  SELECT r, pos, CAST(sum(true_cnt) AS BIGINT) AS counter
+       |  FROM posed GROUP BY 1, 2),
+       |top AS (
+       |  SELECT token, true_cnt, h FROM tc
+       |  ORDER BY true_cnt DESC, token LIMIT 20),
+       |probes AS (
+       |  ${arms("top", "token, true_cnt")}),
+       |est AS (
+       |  SELECT p.token, p.true_cnt, CAST(min(m.counter) AS BIGINT) AS cms_est
+       |  FROM probes p JOIN matrix m ON p.r = m.r AND p.pos = m.pos
+       |  GROUP BY 1, 2)
+       |SELECT token, true_cnt, cms_est, cms_est - true_cnt AS overcount
+       |FROM est""".stripMargin
+  }
 
   /** DuckDB twin: plain exact GROUP BY/HAVING — the sketch must be
     * invisible in the output.
     */
   def oracleSql: Map[String, String] = Map(
+    "sketch_countmin" -> duckCmsSql,
     "text_heavy_hitters" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -9,6 +9,26 @@ class DedupSpec extends SparkSpec {
     rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("bloomDecontam: exact-match shingles always positive, disjoint " +
+      "docs clean") {
+    // src0 benchmark "a b c d" sets bits for shingles {a b c, b c d};
+    // corpus doc 10 shares both (plus c d e, a possible-but-not-here FP),
+    // corpus doc 11 is disjoint
+    val d = Seq(
+      (1L, "a b c d", "src0"),
+      (10L, "a b c d e", "src1"),
+      (11L, "x y z w", "src1"))
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.bloomDecontam(d, threshold = 0.5)
+      .select("doc_id", "n_shingles", "n_bloom_pos", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    // membership of a truly-present shingle can never be negative
+    assert(r(10L)._3 >= 2L && r(10L)._2 === 3L)
+    assert(r(11L) === ((11L, 2L, 0L, false)))
+  }
+
   test("dedupThresholdSweep: drop counts step down as the threshold rises") {
     // docs 1,2 identical (j=1.0); doc 3 shares 2 of its 3 shingles with
     // them (j = 2/4 = 0.5); doc 4 unique. best_j: doc2=1.0, doc3=0.5.

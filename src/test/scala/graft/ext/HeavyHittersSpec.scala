@@ -44,6 +44,44 @@ class HeavyHittersSpec extends SparkSpec {
     assert(ex.getMessage.contains("Misra-Gries"))
   }
 
+  test("countMinEstimates: estimate >= true count, exact when collision-free") {
+    import spark.implicits._
+    // tiny vocab (3 tokens in 1024 counters): collisions are possible but
+    // the CMS invariant est >= true must hold row by row; with the min
+    // over 4 independent rows, 3 tokens almost surely see one clean row
+    val docs = Seq(
+      (1L, "a a a b b c"), (2L, "a b c c"))
+      .toDF("doc_id", "text")
+    val r = HeavyHitters.countMinEstimates(docs, topK = 3)
+      .select("token", "true_cnt", "cms_est", "overcount")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r.keySet === Set("a", "b", "c"))
+    assert(r("a")._2 === 4L && r("b")._2 === 3L && r("c")._2 === 3L)
+    r.values.foreach { case (tok, t, e, o) =>
+      assert(e >= t, s"$tok: CMS estimate $e below true $t")
+      assert(o === e - t)
+    }
+    graft.CheckpointLease.releaseAll()
+  }
+
+  test("countMinEstimates: overcount reflects forced collisions exactly") {
+    import spark.implicits._
+    // stream where one token dominates: whatever shares any counter with
+    // it inherits its mass; the min-over-rows must still bound every
+    // estimate by true + (total - true) (all colliding mass)
+    val docs = Seq((1L, ("x " * 50 + "y z w v u t s q p o n m l k j")
+      .trim)).toDF("doc_id", "text")
+    val r = HeavyHitters.countMinEstimates(docs, topK = 15)
+      .select("token", "true_cnt", "cms_est").as[(String, Long, Long)]
+      .collect()
+    val total = r.map(_._2).sum
+    r.foreach { case (tok, t, e) =>
+      assert(e >= t && e <= total, s"$tok: est $e outside [$t, $total]")
+    }
+    graft.CheckpointLease.releaseAll()
+  }
+
   test("frequentTokens over testdata matches brute force") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val got = HeavyHitters.frequentTokens(docs, 0.002)
