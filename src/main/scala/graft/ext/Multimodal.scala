@@ -181,6 +181,59 @@ object Multimodal {
     }
   }
 
+  /** Average-hash output: the 64-bit perceptual fingerprint split into
+    * two 32-bit halves (a single BIGINT would need bit 63 — signed
+    * overflow territory on both engines).
+    */
+  case class AHash(doc_id: Long, width: Int, height: Int,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** Perceptual AVERAGE HASH (aHash) over REAL decoded PNG pixels: the
+    * image nearest-neighbor-samples to an 8×8 grid (block (bx,by) reads
+    * pixel `(bx·4, by·h div 8)` — well-defined for any height, matching
+    * the resize-to-8×8 step of the classic aHash), the 64 samples'
+    * floor-mean is the threshold, and bit `by·8+bx` is set iff its
+    * sample ≥ mean. Every step is integer arithmetic on decoded
+    * samples, so the hash is exactly reproducible — the oracle predicts
+    * it from the payload bytes without any codec (the encode contract
+    * pins pixel (x,y) = payload[y·32+x], zero-padded), while the Spark
+    * side goes through the genuine ImageIO decode like
+    * [[mm_decode_png]]. Near-dup IMAGE detection then reduces to
+    * Hamming distance on these— the visual twin of
+    * [[graft.ext.Dedup.simhashNearDupPairs]].
+    */
+  def averageHash(imgs: Dataset[Asset]): Dataset[AHash] = {
+    import imgs.sparkSession.implicits._
+    imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"doc ${a.doc_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val px = new Array[Long](64)
+        var b = 0
+        while (b < 64) {
+          val x = (b % 8) * (w / 8)
+          val y = ((b / 8) * h) / 8
+          px(b) = raster.getSample(x, y, 0).toLong
+          b += 1
+        }
+        val mean = px.sum / 64
+        var hi = 0L; var lo = 0L
+        b = 0
+        while (b < 64) {
+          if (px(b) >= mean) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        AHash(a.doc_id, w, h, hi, lo)
+      }
+    }
+  }
+
   /** Real-codec audio decode output: stream parameters and sample checksum
     * read back by `javax.sound.sampled` from actual WAV bytes.
     */
@@ -418,6 +471,9 @@ object Multimodal {
       decodeWav(encodeWav(assetDs(s, d))).toDF()),
     "mm_audio_energy" -> ((s, d) =>
       audioFrameEnergy(encodeWav(assetDs(s, d))).toDF()),
+    // real decode -> perceptual fingerprint (aHash), oracle-predicted
+    // from the payload byte contract
+    "mm_ahash" -> ((s, d) => averageHash(encodePng(assetDs(s, d))).toDF()),
     // real decode -> feature pipeline: histogram/mean over decoded pixels
     // (hist emitted as a scalar CSV string — verify outputs are scalar-only)
     "mm_features_png" -> ((s, d) =>
@@ -485,6 +541,31 @@ object Multimodal {
         |       sqrt(CAST(CAST(list_sum([x * x for x in fr]) AS BIGINT)
         |                 AS DOUBLE) / len(fr)) AS rms
         |FROM e""".stripMargin,
+    "mm_ahash" ->
+      """WITH t AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, text
+        |  FROM documents),
+        |hh AS (SELECT doc_id, n, text,
+        |              greatest(1, CAST(ceil(n / 32.0) AS BIGINT)) AS h
+        |       FROM t),
+        |px AS (
+        |  SELECT doc_id, h,
+        |         [CASE WHEN (b // 8) * h // 8 * 32 + (b % 8) * 4 < n
+        |               THEN ascii(substring(text,
+        |                 CAST((b // 8) * h // 8 * 32 + (b % 8) * 4 + 1
+        |                      AS INT), 1))
+        |               ELSE 0 END for b in range(0, 64)] AS p
+        |  FROM hh),
+        |m AS (SELECT doc_id, h, p,
+        |             CAST(list_sum(p) AS BIGINT) // 64 AS mean FROM px)
+        |SELECT doc_id, 32 AS width, CAST(h AS INT) AS height,
+        |       CAST(list_sum([CASE WHEN p[b + 33] >= mean
+        |                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+        |                      for b in range(0, 32)]) AS BIGINT) AS ahash_hi,
+        |       CAST(list_sum([CASE WHEN p[b + 1] >= mean
+        |                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+        |                      for b in range(0, 32)]) AS BIGINT) AS ahash_lo
+        |FROM m""".stripMargin,
     "mm_decode_wav" ->
       """SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,

@@ -48,6 +48,24 @@ class MultimodalSpec extends SparkSpec {
     assert(dec(3L).px_checksum === 0L)
   }
 
+  test("averageHash: 8x8 nearest-neighbor samples, floor-mean threshold, " +
+      "hand-computed bit planes") {
+    // 64-byte ramp 0..63 -> 32x2 image; samples: by<=3 read row 0
+    // (0,4,...,28), by>=4 read row 1 (32,...,60); mean = 1920/64 = 30 ->
+    // only the row-1 half sets bits: hi = 0xFFFFFFFF, lo = 0
+    val ramp = new String(Array.tabulate(64)(_.toChar))
+    // "hi" -> 32x1: only bx=0 reads 'h'=104, rest pad 0; mean 13 ->
+    // bits at b%8==0: lo = hi = 0x01010101
+    val ds = Multimodal.assets(docs(1L -> ramp, 2L -> "hi"))
+      .as[Multimodal.Asset]
+    val r = Multimodal.averageHash(Multimodal.encodePng(ds)).collect()
+      .map(a => a.doc_id -> a).toMap
+    assert(r(1L).width === 32 && r(1L).height === 2)
+    assert(r(1L).ahash_hi === 4294967295L && r(1L).ahash_lo === 0L)
+    assert(r(2L).height === 1)
+    assert(r(2L).ahash_hi === 16843009L && r(2L).ahash_lo === 16843009L)
+  }
+
   test("decodePng decodes ANY grayscale PNG, not just encodePng's output") {
     // hand-built 2x2 image through the codec directly — proves the decode
     // side is a real parser with no knowledge of the upstream encoder
