@@ -63,6 +63,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
         : DataFrame = Dedup.dedupThresholdSweep(docs, thresholds)
     def dupSpans(n: Int = Corpus.SpanGram): DataFrame =
       Corpus.dupSpans(docs, n)
+    def bloomScreen(threshold: Double = 0.2): DataFrame =
+      Dedup.bloomDecontam(docs, threshold)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -111,15 +113,28 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def evalLangId: DataFrame = TextAnalysis.evalLangId(docs)
     def readability: DataFrame = TextAnalysis.readability(docs)
     def compressRatio: DataFrame = TextAnalysis.compressRatio(docs)
+    def winnow(n: Int = TextAnalysis.WinnowGram,
+        w: Int = TextAnalysis.WinnowWindow): DataFrame =
+      TextAnalysis.winnowFingerprints(docs, n, w)
+    def countMin(topK: Int = 20): DataFrame =
+      graft.ext.HeavyHitters.countMinEstimates(docs, topK)
     private def docs = Tables.documents(spark, dataDir)
   }
 
-  /** PII redaction + anonymization — see [[graft.ext.Privacy]]. */
+  /** PII redaction + anonymization + release audits — see
+    * [[graft.ext.Privacy]].
+    */
   object privacy {
     def redact(df: DataFrame, textCol: String): DataFrame =
       Privacy.redactText(df, textCol)
     def maskCustomers: DataFrame =
       Privacy.maskCustomers(Tables.customer(spark, dataDir))
+    def kAnonymity: DataFrame =
+      Privacy.kAnonymityAudit(Tables.customer(spark, dataDir))
+    def lDiversity(lBar: Int = 3): DataFrame =
+      Privacy.lDiversityAudit(Tables.customer(spark, dataDir), lBar)
+    def tCloseness(tBar: Double = 0.15): DataFrame =
+      Privacy.tClosenessAudit(Tables.customer(spark, dataDir), tBar)
   }
 
   object similarity {
@@ -210,6 +225,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def edgeJaccard: DataFrame = Graph.edgeJaccard(edges)
     def hits: DataFrame = Graph.hits(Tables.lineitem(spark, dataDir),
       Tables.orders(spark, dataDir))
+    def assortativity: DataFrame = Graph.assortativity(edges)
   }
 
   /** Exact-arithmetic statistics — see [[graft.ext.Stats]]. */
@@ -225,6 +241,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Stats.benfordOrderTotals(Tables.orders(spark, dataDir))
     def autocorrelation(lags: Seq[Int] = Stats.AutocorrLags): DataFrame =
       Stats.autocorrDailyRevenue(Tables.orders(spark, dataDir), lags)
+    def mannKendall: DataFrame = Stats.mannKendallSegment(
+      Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
+    def theilSen: DataFrame = Stats.theilSenSegment(
+      Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
   }
 
   object quality {
@@ -321,6 +341,11 @@ case class Engine(spark: SparkSession, dataDir: String) {
       import spark.implicits._
       val ds = Multimodal.assets(docs).as[Multimodal.Asset]
       Multimodal.imageFeatures(Multimodal.encodePng(ds)).toDF()
+    }
+    def averageHash: DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.averageHash(Multimodal.encodePng(ds)).toDF()
     }
     private def docs = Tables.documents(spark, dataDir)
   }

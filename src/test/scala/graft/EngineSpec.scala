@@ -36,7 +36,12 @@ class EngineSpec extends SparkSpec {
       e.timeSeries.seasonality, e.timeSeries.forwardFill,
       e.timeSeries.activeUsers, e.timeSeries.newVsReturning,
       e.timeSeries.thresholdEpisodes, e.curation.funnel, e.quality.mad,
-      e.timeSeries.robustAnomalies, e.timeSeries.retentionTriangle)
+      e.timeSeries.robustAnomalies, e.timeSeries.retentionTriangle,
+      // round-10 continuation surface
+      e.stats.mannKendall, e.stats.theilSen, e.graph.assortativity,
+      e.privacy.kAnonymity, e.privacy.lDiversity(), e.privacy.tCloseness(),
+      e.text.winnow(), e.text.countMin(), e.dedup.bloomScreen(),
+      e.multimodal.averageHash)
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
