@@ -604,8 +604,48 @@ object Corpus {
        |$union""".stripMargin
   }
 
+  /** Corpus-frequency floor for [[bigramCoverage]]'s "known bigram"
+    * table (the n-gram LM convention: pairs below it are noise).
+    */
+  val BigramMinCount = 5L
+
+  /** Per-document bigram LM-coverage: the fraction of a document's
+    * adjacent token pairs that appear ≥ [[BigramMinCount]] times in the
+    * whole corpus — the exact-arithmetic stand-in for "LM perplexity as
+    * a quality signal" (a doc whose transitions the corpus n-gram model
+    * has never seen is OOD/noise; fluent boilerplate scores high).
+    * KenLM-style filtering computes a float log-prob; this keeps the
+    * SAME ranking signal in pure integer counts, so it is
+    * hash-verifiable.
+    *
+    * Scale shape: one explode to the (doc, bigram) stream, ONE corpus
+    * count keyed by bigram (vocabulary-bounded output, partial
+    * map-side combine), and one keyed join of the doc stream back to
+    * the frequent-pair table — all hash-partitioned on the bigram, no
+    * windows, no driver state. Coverage is one exact-int IEEE division.
+    */
+  def bigramCoverage(docs: DataFrame, minCount: Long = BigramMinCount): DataFrame = {
+    val pairs = docs.select(col("doc_id"), expr(
+      """CASE WHEN size(split(text, ' ')) < 2 THEN array()
+        |ELSE transform(sequence(1, size(split(text, ' ')) - 1),
+        |     i -> concat_ws(' ', slice(split(text, ' '), i, 2))) END"""
+        .stripMargin).as("bgs"))
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+    val frequent = pairs.groupBy("bg").agg(count(lit(1)).as("n_corpus"))
+      .filter(col("n_corpus") >= minCount)
+    pairs.join(frequent, Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_corpus").isNotNull, 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_bigram_coverage" -> ((s, d) =>
+      bigramCoverage(Tables.documents(s, d))),
     "bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
     "bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => bpePairCounts(Tables.documents(s, d))),
@@ -623,6 +663,24 @@ object Corpus {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "corpus_bigram_coverage" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         unnest([array_to_string(toks[i:i+1], ' ')
+        |                 for i in range(1, len(toks))]) AS bg
+        |  FROM d),
+        |f AS (SELECT bg, count(*) AS n_corpus FROM p
+        |      GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT p.doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(CASE WHEN f.bg IS NULL THEN 0 ELSE 1 END)
+        |            AS BIGINT) AS n_covered,
+        |       CAST(CAST(sum(CASE WHEN f.bg IS NULL THEN 0 ELSE 1 END)
+        |                 AS BIGINT) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE) AS coverage
+        |FROM p LEFT JOIN f ON p.bg = f.bg
+        |GROUP BY 1""".stripMargin,
     "mix_token_budget" ->
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs,

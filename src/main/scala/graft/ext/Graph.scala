@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -271,19 +271,15 @@ object Graph {
     * omitted — never candidates for a top-k of positive weights.
     * Final ranking is TakeOrdered (no global sort).
     */
-  def edgeJaccard(edgesIn: DataFrame, topK: Int = EdgeJaccardTopK,
-      broadcastMaxEdges: Long = TriangleBroadcastMaxEdges): DataFrame = {
-    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
-    val bcNodes = edges.count() <= NodeBroadcastMaxRows
-    val deg = graft.CheckpointLease.track(
-      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(false))
-    val rel = graft.CheckpointLease.track(
-      orientedEdges(edges, bcDeg = bcNodes).localCheckpoint(false))
-    val (nOriented, packable) = orientedStats(rel)
-    val triangles = if (nOriented <= broadcastMaxEdges && packable) {
-      // same exchange-free packed-key path as [[triangleCount]]; the
-      // (n, b, c) corners ride alongside the packed probe key
+  /** Materialized triangle corners (n, b, c) from the oriented list —
+    * the shared middle of [[edgeJaccard]] and [[clusteringCoeff]]: same
+    * exchange-free packed-key path as [[triangleCount]] under the gate
+    * (the corners ride alongside the packed probe key), struct-keyed
+    * shuffle join above it.
+    */
+  private def triangleCorners(rel: DataFrame, nOriented: Long,
+      packable: Boolean, broadcastMaxEdges: Long): DataFrame =
+    if (nOriented <= broadcastMaxEdges && packable) {
       val wedges = rel.as("e1")
         .join(broadcast(rel.as("e2")),
           col("e1.src") === col("e2.src") &&
@@ -312,16 +308,46 @@ object Graph {
           col("b") === col("cb") && col("c") === col("cc"))
         .select(col("n"), col("b"), col("c"))
     }
-    val support = triangles
-      .select(explode(array(
-        struct(least(col("n"), col("b")).as("u"),
-          greatest(col("n"), col("b")).as("v")),
-        struct(least(col("n"), col("c")).as("u"),
-          greatest(col("n"), col("c")).as("v")),
-        struct(least(col("b"), col("c")).as("u"),
-          greatest(col("b"), col("c")).as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+
+  def edgeJaccard(edgesIn: DataFrame, topK: Int = EdgeJaccardTopK,
+      broadcastMaxEdges: Long = TriangleBroadcastMaxEdges): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    val bcNodes = edges.count() <= NodeBroadcastMaxRows
+    val deg = graft.CheckpointLease.track(
+      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false))
+    val rel = graft.CheckpointLease.track(
+      orientedEdges(edges, bcDeg = bcNodes).localCheckpoint(false))
+    val (nOriented, packable) = orientedStats(rel)
+    val triangles = triangleCorners(rel, nOriented, packable,
+      broadcastMaxEdges)
+    // per-edge support: 3 canonical edges per triangle, ONE keyed count.
+    // Packable ids ride as a single packed BIGINT through the explode and
+    // the aggregation hash (same trick as the closing join: a long key
+    // stays one codegen'd compare where the (u,v) struct pays a struct
+    // hash per row on the 3T-row stream), unpacked after the count.
+    val support = if (packable) {
+      def pk(a: Column, b: Column): Column =
+        least(a, b).cast("long") * lit(4294967296L) +
+          greatest(a, b).cast("long")
+      triangles
+        .select(explode(array(pk(col("n"), col("b")),
+          pk(col("n"), col("c")), pk(col("b"), col("c")))).as("uv"))
+        .groupBy("uv").agg(count(lit(1)).as("common"))
+        .select(expr("uv div 4294967296").as("u"),
+          pmod(col("uv"), lit(4294967296L)).as("v"), col("common"))
+    } else {
+      triangles
+        .select(explode(array(
+          struct(least(col("n"), col("b")).as("u"),
+            greatest(col("n"), col("b")).as("v")),
+          struct(least(col("n"), col("c")).as("u"),
+            greatest(col("n"), col("c")).as("v")),
+          struct(least(col("b"), col("c")).as("u"),
+            greatest(col("b"), col("c")).as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("common"))
+    }
     val degU = deg.select(col("node").as("u"), col("deg").as("deg_u"))
     val degV = deg.select(col("node").as("v"), col("deg").as("deg_v"))
     support
@@ -332,6 +358,42 @@ object Graph {
           (col("deg_u") + col("deg_v") - 2L - col("common"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("u"), col("v"))
       .limit(topK)
+  }
+
+  /** Per-node clustering coefficient `c(v) = 2·T(v) / (deg(v)·(deg(v)−1))`
+    * — the local-density profile (which products sit inside tight
+    * co-purchase communities vs on bridges; the node-level reading of
+    * [[edgeJaccard]]'s edge view).
+    *
+    * Rides the same oriented-wedge triangle machinery
+    * ([[triangleCorners]]): each closed triangle credits its 3 corners
+    * via a narrow explode and ONE keyed count; nodes on no triangle come
+    * back through a left join with T=0 (deg<2 nodes report 0.0 — the
+    * convention that avoids 0/0). Both joined sides are node-domain
+    * sized; the coefficient is one fixed IEEE tree off exact integers.
+    */
+  def clusteringCoeff(edgesIn: DataFrame,
+      broadcastMaxEdges: Long = TriangleBroadcastMaxEdges): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    val bcNodes = edges.count() <= NodeBroadcastMaxRows
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val rel = graft.CheckpointLease.track(
+      orientedEdges(edges, bcDeg = bcNodes).localCheckpoint(false))
+    val (nOriented, packable) = orientedStats(rel)
+    val corners = triangleCorners(rel, nOriented, packable,
+      broadcastMaxEdges)
+    val tc = corners
+      .select(explode(array(col("n"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val tcSide = if (bcNodes) broadcast(tc) else tc
+    deg.join(tcSide, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff",
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          lit(2.0) * col("n_tri").cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double")))
   }
 
   /** k-core extraction by iterative peeling: `rounds` fixed rounds of
@@ -543,6 +605,8 @@ object Graph {
       kcore(coPurchaseEdges(Tables.lineitem(s, d)))),
     "graph_edge_jaccard" -> ((s, d) =>
       edgeJaccard(coPurchaseEdges(Tables.lineitem(s, d)))),
+    "graph_clustering" -> ((s, d) =>
+      clusteringCoeff(coPurchaseEdges(Tables.lineitem(s, d)))),
   )
 
   /** Unrolled k-core oracle: 8 peel rounds as chained CTEs (e0..e8),
@@ -647,6 +711,36 @@ object Graph {
         |FROM support s JOIN deg du ON s.u = du.node
         |               JOIN deg dv ON s.v = dv.node
         |ORDER BY jaccard DESC, s.u, s.v LIMIT 100""".stripMargin,
+    "graph_clustering" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS MATERIALIZED (
+        |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        |orient AS MATERIALIZED (
+        |  SELECT e.src, e.dst, dv.deg AS dv
+        |  FROM e JOIN deg du ON e.src = du.node
+        |         JOIN deg dv ON e.dst = dv.node
+        |  WHERE ROW(du.deg, e.src) < ROW(dv.deg, e.dst)),
+        |tri AS MATERIALIZED (
+        |  SELECT w.n, w.b, w.c FROM (
+        |    SELECT e1.src AS n, e1.dst AS b, e2.dst AS c
+        |    FROM orient e1 JOIN orient e2
+        |      ON e1.src = e2.src
+        |     AND ROW(e1.dv, e1.dst) < ROW(e2.dv, e2.dst)) w
+        |  JOIN orient e3 ON e3.src = w.b AND e3.dst = w.c),
+        |corn AS (
+        |  SELECT n AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT node, count(*) AS n_tri FROM corn GROUP BY 1)
+        |SELECT d.node, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+        |       CASE WHEN d.deg < 2 THEN 0.0
+        |            ELSE 2.0 * CAST(COALESCE(tc.n_tri, 0) AS DOUBLE) /
+        |                 CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS coeff
+        |FROM deg d LEFT JOIN tc USING (node)""".stripMargin,
     "graph_degrees" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

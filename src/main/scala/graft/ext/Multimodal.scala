@@ -234,6 +234,53 @@ object Multimodal {
     }
   }
 
+  /** Difference-hash output: 64 horizontal-gradient bits in two 32-bit
+    * halves (same signed-overflow dodge as [[AHash]]).
+    */
+  case class DHash(doc_id: Long, width: Int, height: Int,
+      dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual DIFFERENCE HASH (dHash) over REAL decoded PNG pixels —
+    * the gradient companion to [[averageHash]] (aHash thresholds on
+    * brightness, dHash on horizontal direction-of-change; production
+    * image dedup runs both and requires agreement). The image
+    * nearest-neighbor-samples to a 9×8 grid (column stride `w div 9`,
+    * row `by·h div 8`), and bit `by·8+bx` is set iff the sample right of
+    * it is strictly brighter. All-integer on decoded samples ⇒ the
+    * oracle predicts the hash from the payload byte contract with no
+    * codec, while the Spark side performs the genuine ImageIO decode.
+    */
+  def differenceHash(imgs: Dataset[Asset]): Dataset[DHash] = {
+    import imgs.sparkSession.implicits._
+    imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"doc ${a.doc_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val px = new Array[Long](72)
+        var q = 0
+        while (q < 72) {
+          val x = (q % 9) * (w / 9)
+          val y = ((q / 9) * h) / 8
+          px(q) = raster.getSample(x, y, 0).toLong
+          q += 1
+        }
+        var hi = 0L; var lo = 0L
+        var b = 0
+        while (b < 64) {
+          if (px((b / 8) * 9 + (b % 8) + 1) > px((b / 8) * 9 + (b % 8))) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        DHash(a.doc_id, w, h, hi, lo)
+      }
+    }
+  }
+
   /** Real-codec audio decode output: stream parameters and sample checksum
     * read back by `javax.sound.sampled` from actual WAV bytes.
     */
@@ -474,6 +521,8 @@ object Multimodal {
     // real decode -> perceptual fingerprint (aHash), oracle-predicted
     // from the payload byte contract
     "mm_ahash" -> ((s, d) => averageHash(encodePng(assetDs(s, d))).toDF()),
+    "mm_dhash" -> ((s, d) =>
+      differenceHash(encodePng(assetDs(s, d))).toDF()),
     // real decode -> feature pipeline: histogram/mean over decoded pixels
     // (hist emitted as a scalar CSV string — verify outputs are scalar-only)
     "mm_features_png" -> ((s, d) =>
@@ -566,6 +615,33 @@ object Multimodal {
         |                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
         |                      for b in range(0, 32)]) AS BIGINT) AS ahash_lo
         |FROM m""".stripMargin,
+    "mm_dhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, text
+        |  FROM documents),
+        |hh AS (SELECT doc_id, n, text,
+        |              greatest(1, CAST(ceil(n / 32.0) AS BIGINT)) AS h
+        |       FROM t),
+        |px AS (
+        |  SELECT doc_id, h,
+        |         [CASE WHEN (q // 9) * h // 8 * 32 + (q % 9) * 3 < n
+        |               THEN ascii(substring(text,
+        |                 CAST((q // 9) * h // 8 * 32 + (q % 9) * 3 + 1
+        |                      AS INT), 1))
+        |               ELSE 0 END for q in range(0, 72)] AS p
+        |  FROM hh)
+        |SELECT doc_id, 32 AS width, CAST(h AS INT) AS height,
+        |       CAST(list_sum([CASE WHEN
+        |              p[((b + 32) // 8) * 9 + ((b + 32) % 8) + 2] >
+        |              p[((b + 32) // 8) * 9 + ((b + 32) % 8) + 1]
+        |              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+        |              for b in range(0, 32)]) AS BIGINT) AS dhash_hi,
+        |       CAST(list_sum([CASE WHEN
+        |              p[(b // 8) * 9 + (b % 8) + 2] >
+        |              p[(b // 8) * 9 + (b % 8) + 1]
+        |              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+        |              for b in range(0, 32)]) AS BIGINT) AS dhash_lo
+        |FROM px""".stripMargin,
     "mm_decode_wav" ->
       """SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,

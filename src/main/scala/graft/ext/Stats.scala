@@ -322,7 +322,149 @@ object Stats {
   }
 
   /** Driver-contract registration (SparkEntry aggregates these). */
+  /** Spearman rank correlation between daily mean quantity and daily
+    * mean line value per returnflag — the robust companion to
+    * [[corrQtyValue]]'s Pearson r (rank correlation ignores the
+    * marginal distributions; the pair an analyst reads together).
+    *
+    * Ranks are `row_number` over (value, day) — a DETERMINISTIC
+    * tie-break instead of fractional mid-ranks, so both engines produce
+    * identical integer ranks and `ρ = 1 − 6Σd²/(n(n²−1))` is exact
+    * integers through one fixed IEEE division. Windows are partitioned
+    * by returnflag over the DAY-DOMAIN pre-aggregate (≤ ~2.5k rows per
+    * group — calendar-bounded, same argument as [[trendSegmentSpend]]);
+    * `Σd² ≤ n³ ≈ 1.4·10¹⁰` needs (and gets) int64.
+    */
+  def spearmanQtyValue(lineitem: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val daily = lineitem
+      .select(col("l_returnflag"),
+        dayX(col("l_shipdate")).cast("long").as("day"),
+        col("l_quantity"), col("l_extendedprice"))
+      .groupBy("l_returnflag", "day")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("qty_sum"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("val_cents"))
+      .select(col("l_returnflag"), col("day"),
+        expr("qty_sum div n_items").as("x"),
+        expr("val_cents div (n_items * 100)").as("y"))
+    val ranked = daily
+      .withColumn("rx", row_number().over(
+        w.partitionBy("l_returnflag").orderBy("x", "day")).cast("long"))
+      .withColumn("ry", row_number().over(
+        w.partitionBy("l_returnflag").orderBy("y", "day")).cast("long"))
+    ranked.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("d2_sum"))
+      .withColumn("rho",
+        lit(1.0) - lit(6.0) * col("d2_sum").cast("double") /
+          (col("n_days") * (col("n_days") * col("n_days") - 1))
+            .cast("double"))
+      .select("l_returnflag", "n_days", "d2_sum", "rho")
+  }
+
+  /** Critical-value coefficient for [[ksEventValues]]' α=0.05 line
+    * (the classic two-sample Kolmogorov–Smirnov c(α)).
+    */
+  val KsCrit05 = 1.358
+
+  /** Exact two-sample Kolmogorov–Smirnov test between the value
+    * distributions of two event types — the drift check a pipeline runs
+    * when one source's metric distribution may have shifted.
+    *
+    * The supremum statistic is computed in INTEGERS: with per-sample
+    * cumulative counts over the pooled cent-value grid,
+    * `D·n_a·n_b = max |n_b·cum_a − n_a·cum_b|` — no float CDFs, so the
+    * max is exact and `d_stat`/`crit_05`/`reject_05` are a fixed IEEE
+    * tree off exact integers. `n_b·cum_a ≤ n_a·n_b ≈ 4·10¹⁸` at n≈2·10⁹
+    * per sample — the int64 envelope, documented here (beyond that,
+    * pre-scale counts or lift to decimal).
+    *
+    * Scale shape: stage 1 collapses the fact table to the CENT-VALUE
+    * domain (one keyed agg; ≤ ~5.6·10⁴ rows here — bounded by the price
+    * grid, not the corpus); the cumulative window runs over that domain
+    * (global window audited in PlanLint.BoundedDomainWindows); totals
+    * ride a 1-row broadcast.
+    */
+  def ksEventValues(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val vals = graft.CheckpointLease.track(
+      events.filter(col("event_type").isin(typeA, typeB))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .groupBy("vc")
+        .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint()) // feeds both the cumulative run and the totals
+    val tot = vals.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val cum = vals
+      .withColumn("cum_a", sum("ca").over(w.orderBy("vc")
+        .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .withColumn("cum_b", sum("cb").over(w.orderBy("vc")
+        .rowsBetween(w.unboundedPreceding, w.currentRow)))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("n_a", "n_b")
+      .agg(max(abs(col("n_b") * col("cum_a") - col("n_a") * col("cum_b")))
+        .as("d_num"))
+      .withColumn("d_stat", col("d_num").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"))
+      .withColumn("crit_05", lit(KsCrit05) *
+        sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")))
+      .withColumn("reject_05", (col("d_stat") > col("crit_05")).cast("int"))
+      .select("n_a", "n_b", "d_num", "d_stat", "crit_05", "reject_05")
+  }
+
+  /** Single changepoint in the daily-revenue series by binary
+    * segmentation (the first split of the CUSUM-family segmentation
+    * [[graft.etl.TimeSeries]]'s CUSUM monitors): the split day
+    * maximizing the between-segment term `S₁²/n₁ + S₂²/n₂` — equivalent
+    * to minimizing total within-segment SSE, since they differ by the
+    * constant `Σx² − S²/n`.
+    *
+    * Cumulative sums are EXACT int64 cents over the day domain (global
+    * window audited in PlanLint.BoundedDomainWindows; `S ≤ 2.4·10¹⁸`
+    * cents only past ~10⁶× this SF — switch the pre-agg to whole
+    * dollars first). The score squares S in doubles (S² would overflow
+    * int64), as the identical IEEE tree on both engines; argmax is
+    * TakeOrdered on (score DESC, day) — one row out, ties broken on the
+    * raw day index.
+    */
+  def changepointDailyRevenue(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val daily = orders
+      .select(dayX(col("o_orderdate")).cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev"))
+    val tot = daily.agg(sum("rev").as("s_tot"), count(lit(1)).as("n_tot"))
+    daily
+      .withColumn("n1", row_number().over(w.orderBy("day")).cast("long"))
+      .withColumn("s1", sum("rev").over(w.orderBy("day")
+        .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .crossJoin(broadcast(tot))
+      .filter(col("n1") < col("n_tot")) // a split leaves both sides non-empty
+      .withColumn("n2", col("n_tot") - col("n1"))
+      .withColumn("s2", col("s_tot") - col("s1"))
+      .withColumn("score",
+        col("s1").cast("double") * col("s1").cast("double") /
+          col("n1").cast("double") +
+        col("s2").cast("double") * col("s2").cast("double") /
+          col("n2").cast("double"))
+      .orderBy(desc("score"), asc("day")).limit(1)
+      .select(col("day").as("split_day"), col("n1"), col("n2"),
+        col("s1"), col("s2"), col("score"),
+        (col("s1").cast("double") / (col("n1") * 100).cast("double"))
+          .as("mean_left"),
+        (col("s2").cast("double") / (col("n2") * 100).cast("double"))
+          .as("mean_right"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_spearman" -> ((s, d) => spearmanQtyValue(Tables.lineitem(s, d))),
+    "stats_ks" -> ((s, d) => ksEventValues(Tables.events(s, d))),
+    "stats_changepoint" -> ((s, d) =>
+      changepointDailyRevenue(Tables.orders(s, d))),
     "stats_theil_sen" -> ((s, d) =>
       theilSenSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "stats_mann_kendall" -> ((s, d) =>
@@ -342,6 +484,89 @@ object Stats {
     * equal to Spark's `div` for the non-negative operands here).
     */
   def oracleSql: Map[String, String] = Map(
+    "stats_spearman" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag,
+        |         datediff('day', DATE '1995-01-01',
+        |                  CAST(l_shipdate AS DATE)) AS day,
+        |         CAST(sum(l_quantity) AS BIGINT)
+        |           // count(*) AS x,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) // (count(*) * 100) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY x, day) AS rx,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY y, day) AS ry
+        |  FROM daily)
+        |SELECT l_returnflag, count(*) AS n_days,
+        |       CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS d2_sum,
+        |       1.0 - 6.0 * CAST(CAST(sum((rx - ry) * (rx - ry)) AS BIGINT)
+        |                        AS DOUBLE) /
+        |         CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE) AS rho
+        |FROM r GROUP BY 1""".stripMargin,
+    "stats_ks" ->
+      """WITH v AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |              END) AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(sum(ca) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED
+        |              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |         CAST(sum(cb) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED
+        |              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        |  FROM v),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |             CAST(sum(cb) AS BIGINT) AS n_b FROM v),
+        |s AS (
+        |  SELECT n_a, n_b,
+        |         max(abs(n_b * cum_a - n_a * cum_b)) AS d_num
+        |  FROM c, t GROUP BY 1, 2),
+        |d AS (
+        |  SELECT n_a, n_b, d_num,
+        |         CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d_stat,
+        |         1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+        |                      CAST(n_a * n_b AS DOUBLE)) AS crit_05
+        |  FROM s)
+        |SELECT n_a, n_b, d_num, d_stat, crit_05,
+        |       CASE WHEN d_stat > crit_05 THEN 1 ELSE 0 END AS reject_05
+        |FROM d""".stripMargin,
+    "stats_changepoint" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1995-01-01',
+        |                  CAST(o_orderdate AS DATE)) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS BIGINT) AS s_tot,
+        |             count(*) AS n_tot FROM daily),
+        |c AS (
+        |  SELECT day,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS n1,
+        |         CAST(sum(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |              PRECEDING AND CURRENT ROW) AS BIGINT) AS s1
+        |  FROM daily),
+        |x AS (
+        |  SELECT c.day, c.n1, t.n_tot - c.n1 AS n2, c.s1,
+        |         t.s_tot - c.s1 AS s2
+        |  FROM c, t WHERE c.n1 < t.n_tot),
+        |sc AS (
+        |  SELECT day, n1, n2, s1, s2,
+        |         CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+        |           CAST(n1 AS DOUBLE) +
+        |         CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) /
+        |           CAST(n2 AS DOUBLE) AS score
+        |  FROM x)
+        |SELECT day AS split_day, n1, n2, s1, s2, score,
+        |       CAST(s1 AS DOUBLE) / CAST(n1 * 100 AS DOUBLE) AS mean_left,
+        |       CAST(s2 AS DOUBLE) / CAST(n2 * 100 AS DOUBLE) AS mean_right
+        |FROM sc ORDER BY score DESC, split_day LIMIT 1""".stripMargin,
     "stats_theil_sen" ->
       """WITH weekly AS (
         |  SELECT c.c_mktsegment,

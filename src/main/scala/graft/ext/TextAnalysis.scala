@@ -541,7 +541,94 @@ object TextAnalysis {
         col("n_deflate").cast("double") / col("n_bytes").cast("double"))
   }
 
+  /** Gopher-style rule gate (Rae et al. 2021 §A1.1, re-expressed as
+    * exact-integer predicates): per-document pass/fail flags for the
+    * five rule families that survive on a whitespace-tokenized corpus —
+    * word-count bounds, mean-word-length bounds (cross-multiplied so the
+    * comparison never leaves integers), a ≥2 function-word requirement,
+    * a hottest-token share cap (≤30%), and a distinct-token-ratio floor
+    * (≥50%, the repetition screen) — plus the conjunction `keep` bit a
+    * curation pipeline filters on.
+    *
+    * Narrow per-row projection, no shuffle; the within-row hottest-token
+    * scan is O(d·distinct d) on the TOKEN count of one document (bounded
+    * by doc length, not corpus size), all inside whole-stage codegen.
+    * Every flag is an integer comparison (`token_chars ≥ 3·n_tokens`
+    * instead of a float mean), so the DuckDB twin matches bit-for-bit.
+    */
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars_txt"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))"))
+          .as("n_func"),
+        expr("""array_max(transform(array_distinct(split(text, ' ')),
+               t -> size(filter(split(text, ' '), x -> x = t))))""")
+          .as("top_cnt"))
+      // token chars = chars − (n_tokens−1) single-space separators
+      .withColumn("token_chars", col("n_chars_txt") - col("n_tokens") + 1)
+      .withColumn("ok_word_count",
+        (col("n_tokens") >= 10 && col("n_tokens") <= 1000).cast("int"))
+      .withColumn("ok_mean_len",
+        (col("token_chars") >= col("n_tokens") * 3 &&
+          col("token_chars") <= col("n_tokens") * 10).cast("int"))
+      .withColumn("ok_func_words", (col("n_func") >= 2).cast("int"))
+      .withColumn("ok_top_token",
+        (col("top_cnt") * 10 <= col("n_tokens") * 3).cast("int"))
+      .withColumn("ok_distinct",
+        (col("n_distinct") * 2 >= col("n_tokens")).cast("int"))
+      .withColumn("keep",
+        (col("ok_word_count") === 1 && col("ok_mean_len") === 1 &&
+          col("ok_func_words") === 1 && col("ok_top_token") === 1 &&
+          col("ok_distinct") === 1).cast("int"))
+      .select("doc_id", "lang", "n_tokens", "token_chars", "n_distinct",
+        "n_func", "top_cnt", "ok_word_count", "ok_mean_len",
+        "ok_func_words", "ok_top_token", "ok_distinct", "keep")
+
+  /** Leading-token span width for [[c4Rules]]' cross-document dedup —
+    * the C4 "three-sentence" span reshaped to a sentence-free corpus.
+    */
+  val C4SpanTokens = 8
+
+  /** C4-style screen (Raffel et al. 2020 §2.2) for a whitespace-only
+    * corpus: the doc-level membership rules (≥5 words, longest token
+    * ≤20 chars, no `{`/`lorem ipsum` boilerplate markers — the latter
+    * vacuously true here and kept for rule-shape fidelity) plus C4's
+    * distinguishing CROSS-document rule: dedup on the leading
+    * [[C4SpanTokens]]-token span (md5 fingerprint), keeping the lowest
+    * doc_id per span as canonical.
+    *
+    * Scale shape: the screens are narrow; the span dedup is one keyed
+    * window (`min(doc_id)` partitioned by span_fp) — the same
+    * hash-partitioned shape as [[graft.ext.Dedup.exactDocDedup]], no
+    * global state. `keep = screens ∧ is_canonical` is what a C4-style
+    * pipeline materializes.
+    */
+  def c4Rules(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("span_fp")
+    docs.select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        expr("array_max(transform(split(text, ' '), t -> length(t)))")
+          .as("max_tok_len"),
+        (!col("text").contains("{") &&
+          !lower(col("text")).contains("lorem ipsum")).cast("int")
+          .as("ok_clean"),
+        md5(concat_ws(" ", slice(toks, 1, C4SpanTokens))).as("span_fp"))
+      .withColumn("ok_min_words", (col("n_tokens") >= 5).cast("int"))
+      .withColumn("ok_max_word_len", (col("max_tok_len") <= 20).cast("int"))
+      .withColumn("is_canonical",
+        (col("doc_id") === min("doc_id").over(w)).cast("int"))
+      .withColumn("keep",
+        (col("ok_min_words") === 1 && col("ok_max_word_len") === 1 &&
+          col("ok_clean") === 1 && col("is_canonical") === 1).cast("int"))
+      .select("doc_id", "n_tokens", "max_tok_len", "span_fp", "ok_clean",
+        "ok_min_words", "ok_max_word_len", "is_canonical", "keep")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_gopher" -> ((s, d) => gopherRules(Tables.documents(s, d))),
+    "quality_c4"     -> ((s, d) => c4Rules(Tables.documents(s, d))),
     "text_compress_ratio" -> ((s, d) =>
       compressRatio(Tables.documents(s, d))),
     "text_readability"  -> ((s, d) => readability(Tables.documents(s, d))),
@@ -565,6 +652,64 @@ object TextAnalysis {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "quality_gopher" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, CAST(len(text) AS INT) AS n_chars_txt,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_chars_txt,
+        |         CAST(len(toks) AS INT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |         CAST(len(list_filter(toks, t -> t IN ('the', 'a')))
+        |              AS INT) AS n_func,
+        |         CAST(list_max(list_transform(list_distinct(toks),
+        |              t -> len(list_filter(toks, x -> x = t)))) AS INT)
+        |           AS top_cnt
+        |  FROM b)
+        |SELECT doc_id, lang, n_tokens,
+        |       n_chars_txt - n_tokens + 1 AS token_chars,
+        |       n_distinct, n_func, top_cnt,
+        |       CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+        |            THEN 1 ELSE 0 END AS ok_word_count,
+        |       CASE WHEN n_chars_txt - n_tokens + 1 >= n_tokens * 3
+        |             AND n_chars_txt - n_tokens + 1 <= n_tokens * 10
+        |            THEN 1 ELSE 0 END AS ok_mean_len,
+        |       CASE WHEN n_func >= 2 THEN 1 ELSE 0 END AS ok_func_words,
+        |       CASE WHEN top_cnt * 10 <= n_tokens * 3
+        |            THEN 1 ELSE 0 END AS ok_top_token,
+        |       CASE WHEN n_distinct * 2 >= n_tokens
+        |            THEN 1 ELSE 0 END AS ok_distinct,
+        |       CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+        |             AND n_chars_txt - n_tokens + 1 >= n_tokens * 3
+        |             AND n_chars_txt - n_tokens + 1 <= n_tokens * 10
+        |             AND n_func >= 2 AND top_cnt * 10 <= n_tokens * 3
+        |             AND n_distinct * 2 >= n_tokens
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM c""".stripMargin,
+    "quality_c4" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |         CAST(list_max(list_transform(string_split(text, ' '),
+        |              t -> len(t))) AS INT) AS max_tok_len,
+        |         CASE WHEN NOT contains(text, '{')
+        |               AND NOT contains(lower(text), 'lorem ipsum')
+        |              THEN 1 ELSE 0 END AS ok_clean,
+        |         md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+        |           AS span_fp
+        |  FROM documents),
+        |m AS (SELECT span_fp, min(doc_id) AS min_id FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.n_tokens, c.max_tok_len, c.span_fp, c.ok_clean,
+        |       CASE WHEN c.n_tokens >= 5 THEN 1 ELSE 0 END AS ok_min_words,
+        |       CASE WHEN c.max_tok_len <= 20 THEN 1 ELSE 0 END
+        |         AS ok_max_word_len,
+        |       CASE WHEN c.doc_id = m.min_id THEN 1 ELSE 0 END
+        |         AS is_canonical,
+        |       CASE WHEN c.n_tokens >= 5 AND c.max_tok_len <= 20
+        |             AND c.ok_clean = 1 AND c.doc_id = m.min_id
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM c JOIN m USING (span_fp)""".stripMargin,
     "text_readability" ->
       """WITH c AS (
         |  SELECT doc_id,

@@ -33,6 +33,8 @@ object PlanLint {
     "interval_concurrency", // day-domain carry (~2.5k rows)
     "skew_profile",         // per-key count table (key domain)
     "skyline_parts",        // per-price best aggregate (price domain)
+    "stats_changepoint",    // day-domain cumulative revenue (~2.5k rows)
+    "stats_ks",             // cent-value grid (~5.6e4 rows)
     "survival_churn",       // tenure-week ladder (bounded weeks)
     "ts_anomalies",         // day domain
     "ts_cusum",             // day domain

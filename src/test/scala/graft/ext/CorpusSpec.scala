@@ -324,4 +324,27 @@ class CorpusSpec extends SparkSpec {
     assert(got("en") === (("en", 2L, 1L, 21L, 18L, 18.0 / 21.0)))
     assert(got("de") === (("de", 1L, 1L, 3L, 3L, 1.0)))
   }
+
+  test("bigramCoverage: corpus-frequent pairs counted per occurrence, " +
+      "bigram-free docs absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c"),   // bigrams "a b", "b c"
+      (2L, "a b d"),   // bigrams "a b", "b d"
+      (3L, "x"))       // no bigram -> no output row
+      .toDF("doc_id", "text")
+    // minCount=2 -> only "a b" (count 2) is frequent
+    val r = Corpus.bigramCoverage(d, minCount = 2L)
+      .select("doc_id", "n_bigrams", "n_covered", "coverage")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(r === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
+    // repeated occurrences of a frequent pair all count
+    val rep = Corpus.bigramCoverage(
+      Seq((1L, "a b a b"), (2L, "a b z")).toDF("doc_id", "text"),
+      minCount = 3L)
+      .select("doc_id", "n_covered").as[(Long, Long)].collect().toMap
+    // "a b" occurs 2 (doc1) + 1 (doc2) = 3 times -> frequent; doc1's
+    // covered = its 2 occurrences ("b a" stays rare)
+    assert(rep === Map(1L -> 2L, 2L -> 1L))
+  }
 }

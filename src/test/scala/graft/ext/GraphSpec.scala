@@ -169,6 +169,27 @@ class GraphSpec extends SparkSpec {
     assert(viaBroadcast === viaShuffle)
   }
 
+  test("clusteringCoeff: triangle node 1.0, pendant/bridge nodes 0.0") {
+    // triangle {1,2,3} plus pendant 3-4: nodes 1,2 have deg 2 and sit on
+    // the one triangle -> coeff 1.0; node 3 deg 3 -> 2*1/(3*2) = 1/3;
+    // node 4 deg 1 -> 0.0 by the deg<2 convention
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val edges = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val got = Graph.clusteringCoeff(edges)
+      .select("node", "deg", "n_tri", "coeff")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    graft.CheckpointLease.releaseAll()
+    assert(got === Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 2.0 * 1.0 / 6.0), (4L, 1L, 0L, 0.0)))
+    // struct-keyed fallback path agrees
+    val viaShuffle = Graph.clusteringCoeff(edges, broadcastMaxEdges = 0L)
+      .select("node", "deg", "n_tri", "coeff")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    graft.CheckpointLease.releaseAll()
+    assert(viaShuffle === got)
+  }
+
   test("hits: two integer iterations on a hand-built bipartite graph") {
     // purchase edges: c1->{s1,s2}, c2->{s1}; duplicate lineitem rows for
     // the same (order, supplier) must collapse via the distinct

@@ -66,6 +66,23 @@ class MultimodalSpec extends SparkSpec {
     assert(r(2L).ahash_hi === 16843009L && r(2L).ahash_lo === 16843009L)
   }
 
+  test("differenceHash: 9x8 gradient bits from hand-computed samples") {
+    // 64-byte ramp 0..63 -> 32x2 image; every sampled row ascends left to
+    // right (x = 0,3,...,24), so all 64 gradient bits set
+    val ramp = new String(Array.tabulate(64)(_.toChar))
+    // reversed ramp descends -> no bit set; "hi" has one nonzero sample
+    // at column 0 followed by pad zeros -> no rightward increase either
+    val desc = new String(Array.tabulate(64)(i => (63 - i).toChar))
+    val ds = Multimodal.assets(docs(1L -> ramp, 2L -> desc, 3L -> "hi"))
+      .as[Multimodal.Asset]
+    val r = Multimodal.differenceHash(Multimodal.encodePng(ds)).collect()
+      .map(a => a.doc_id -> a).toMap
+    assert(r(1L).width === 32 && r(1L).height === 2)
+    assert(r(1L).dhash_hi === 4294967295L && r(1L).dhash_lo === 4294967295L)
+    assert(r(2L).dhash_hi === 0L && r(2L).dhash_lo === 0L)
+    assert(r(3L).dhash_hi === 0L && r(3L).dhash_lo === 0L)
+  }
+
   test("decodePng decodes ANY grayscale PNG, not just encodePng's output") {
     // hand-built 2x2 image through the codec directly — proves the decode
     // side is a real parser with no knowledge of the upstream encoder

@@ -148,6 +148,61 @@ class StatsSpec extends SparkSpec {
     assert(r === Seq((2L, 18L, 48L)))
   }
 
+  test("spearmanQtyValue: rho = 1 on concordant ranks, -1 on inverted") {
+    val li = Seq(
+      // P: value rises with qty -> identical ranks, d2 = 0, rho = 1
+      ("P", "1995-01-01 00:00:00", 1.0, 10.0),
+      ("P", "1995-01-02 00:00:00", 2.0, 20.0),
+      ("P", "1995-01-03 00:00:00", 3.0, 30.0),
+      // N: value falls as qty rises -> ranks reversed, d2 = 8, rho = -1
+      ("N", "1995-01-01 00:00:00", 1.0, 30.0),
+      ("N", "1995-01-02 00:00:00", 2.0, 20.0),
+      ("N", "1995-01-03 00:00:00", 3.0, 10.0))
+      .toDF("l_returnflag", "d", "l_quantity", "l_extendedprice")
+      .selectExpr("l_returnflag", "CAST(d AS TIMESTAMP) AS l_shipdate",
+        "l_quantity", "l_extendedprice")
+    val r = Stats.spearmanQtyValue(li)
+      .select("l_returnflag", "n_days", "d2_sum", "rho")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(r === Seq(("N", 3L, 8L, -1.0), ("P", 3L, 0L, 1.0)))
+  }
+
+  test("ksEventValues: disjoint samples reach D = 1, identical reach 0") {
+    def ev(rows: (String, Double)*) =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // A = {1, 2} entirely below B = {5, 6}: at vc=200 cum_a=2, cum_b=0
+    // -> d_num = |2*2 - 2*0| = 4 = n_a*n_b -> d_stat = 1.0
+    val disjoint = Stats.ksEventValues(
+      ev(("click", 1.0), ("click", 2.0), ("purchase", 5.0),
+        ("purchase", 6.0)))
+      .select("n_a", "n_b", "d_num", "d_stat", "reject_05")
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    // crit_05 = 1.358 * sqrt(4/4) = 1.358 > 1.0 -> cannot reject at n=2
+    assert(disjoint === Seq((2L, 2L, 4L, 1.0, 0)))
+    val same = Stats.ksEventValues(
+      ev(("click", 1.0), ("purchase", 1.0), ("click", 3.5),
+        ("purchase", 3.5)))
+      .select("d_num", "d_stat").as[(Long, Double)].collect().toSeq
+    assert(same === Seq((0L, 0.0)))
+  }
+
+  test("changepointDailyRevenue: finds the level shift exactly") {
+    // $1 on days 0..3, $2 on days 4..7 -> best split after day 3:
+    // s1 = 400 cents over n1 = 4, s2 = 800 over n2 = 4
+    val o = orders((0 until 8).map { i =>
+      (i.toLong + 1, 1L, if (i < 4) 1.0 else 2.0,
+        f"1995-01-${i + 1}%02d 00:00:00")
+    }: _*)
+    val r = Stats.changepointDailyRevenue(o)
+      .select("split_day", "n1", "n2", "s1", "s2", "score",
+        "mean_left", "mean_right")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    val score = 400.0 * 400.0 / 4.0 + 800.0 * 800.0 / 4.0
+    assert(r === Seq((3L, 4L, 4L, 400L, 800L, score, 1.0, 2.0)))
+  }
+
   test("benfordOrderTotals: digit extraction and exact shares") {
     val o = orders(
       (1L, 1L, 1013.7, "1995-01-01 00:00:00"),

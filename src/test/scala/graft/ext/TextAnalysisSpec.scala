@@ -264,4 +264,60 @@ class TextAnalysisSpec extends SparkSpec {
       ("b", "a", 1L, 2L, 2L, 1.0)))
     graft.CheckpointLease.releaseAll()
   }
+
+  test("gopherRules: each rule trips on its own witness document") {
+    val passing = "the a customer orders window stream batch merge " +
+      "join sort filter data"                 // 12 tokens, all rules pass
+    val tooShort = "the a data"               // 3 tokens < 10
+    val hotToken = "the a data data data data data merge join sort " +
+      "filter stream"                         // top token 5/12 > 30%
+    val noFunc = "customer orders window stream batch merge join " +
+      "sort filter data vector column"        // 0 function words
+    val d = docs((1L, passing, "en"), (2L, tooShort, "en"),
+      (3L, hotToken, "en"), (4L, noFunc, "en"))
+    val r = TextAnalysis.gopherRules(d)
+      .select("doc_id", "ok_word_count", "ok_mean_len", "ok_func_words",
+        "ok_top_token", "ok_distinct", "keep")
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) === ((1L, 1, 1, 1, 1, 1, 1)))
+    assert(r(2L)._2 === 0 && r(2L)._7 === 0)      // word count
+    assert(r(3L)._5 === 0 && r(3L)._7 === 0)      // hottest-token cap
+    assert(r(4L)._4 === 0 && r(4L)._7 === 0)      // function words
+  }
+
+  test("gopherRules: mean-word-length bounds are exact integer compares") {
+    // 10 one-char tokens: token_chars = 10 < 3*10 -> ok_mean_len = 0
+    val short = (1 to 10).map(_ => "x").mkString(" ")
+    // 10 eleven-char tokens: 110 > 10*10 -> ok_mean_len = 0
+    val long = (1 to 10).map(_ => "abcdefghijk").mkString(" ")
+    val r = TextAnalysis.gopherRules(docs((1L, short, "en"),
+        (2L, long, "en")))
+      .select("doc_id", "ok_mean_len").as[(Long, Int)].collect().toMap
+    assert(r === Map(1L -> 0, 2L -> 0))
+  }
+
+  test("c4Rules: leading-span dedup keeps lowest doc_id; screens flag " +
+      "their witnesses") {
+    val span = "the quick brown fox jumps over the lazy"  // 8 tokens
+    val d = docs(
+      (10L, span + " dog today", "en"),        // canonical (lowest id)
+      (20L, span + " cat tomorrow", "en"),     // same leading span -> dup
+      (30L, "too few words", "en"),            // < 5 tokens
+      (40L, "a document with the veryverylongtokenoverlimit20 inside " +
+        "plus padding", "en"))                 // 28-char token
+    val r = TextAnalysis.c4Rules(d)
+      .select("doc_id", "ok_min_words", "ok_max_word_len", "is_canonical",
+        "keep")
+      .as[(Long, Int, Int, Int, Int)].collect().map(t => t._1 -> t).toMap
+    assert(r(10L) === ((10L, 1, 1, 1, 1)))
+    assert(r(20L)._4 === 0 && r(20L)._5 === 0)   // span duplicate
+    assert(r(30L)._2 === 0 && r(30L)._5 === 0)   // min words
+    assert(r(40L)._3 === 0 && r(40L)._5 === 0)   // max word length
+    // the two span-sharing docs carry the same fingerprint
+    val fps = TextAnalysis.c4Rules(d).select("doc_id", "span_fp")
+      .as[(Long, String)].collect().toMap
+    assert(fps(10L) === fps(20L))
+    assert(fps(10L) !== fps(30L))
+  }
 }
