@@ -416,6 +416,64 @@ object Stats {
       .select("n_a", "n_b", "d_num", "d_stat", "crit_05", "reject_05")
   }
 
+  /** Per-day distribution-drift monitor: for every day, the EXACT
+    * two-sample Kolmogorov–Smirnov distance between that day's event
+    * values and the whole corpus — the "did today's metric distribution
+    * shift?" sweep a pipeline runs over a new partition before
+    * trusting it ([[ksEventValues]] is the pairwise form; this is the
+    * partitioned production form).
+    *
+    * == Exactness without evaluating every day on the global grid ==
+    * `sup_x |F_day − F_g|` needs, in principle, the day CDF at every
+    * GLOBAL jump point (days × grid rows — quadratic). Instead: between
+    * two consecutive day points F_day is constant and F_g is
+    * non-decreasing, so on each interval the sup is attained at one of
+    * the two one-sided endpoints. Hence per day point q it suffices to
+    * take the larger of
+    *   `|N·cum_d(q) − n_d·G(q)|`  (value AT q) and
+    *   `|N·(cum_d(q)−m_d(q)) − n_d·(G(q)−g(q))|`  (left limit at q,
+    * which also covers the interval before the day's first point),
+    * all integers on the cross-multiplied `n_d·N` denominator. The
+    * per-day max over those candidates is exactly `D·n_d·N`.
+    *
+    * Scale shape: stage 1 is one keyed agg to (day, cent) masses; the
+    * day CDFs are day-partitioned windows; the global CDF is one
+    * window over the CENT-VALUE grid (audited in
+    * PlanLint.BoundedDomainWindows); the join back is keyed on the
+    * cent value. Envelope: `N·n_d ≤ 9.2·10¹⁸` bounds int64 (past that,
+    * coarsen the value grid or pre-scale counts).
+    */
+  def dailyValueDrift(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val vals = graft.CheckpointLease.track(
+      events.select(to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .groupBy("day", "vc").agg(count(lit(1)).as("m"))
+        .localCheckpoint()) // feeds day CDFs, the global CDF, and totals
+    val gcum = vals.groupBy("vc").agg(sum("m").as("gm"))
+      .withColumn("gc", sum("gm").over(w.orderBy("vc")
+        .rowsBetween(w.unboundedPreceding, w.currentRow)))
+    val nTot = vals.agg(sum("m").as("n_tot"))
+    val nDay = vals.groupBy("day").agg(sum("m").as("n_day"))
+    vals
+      .withColumn("dc", sum("m").over(w.partitionBy("day").orderBy("vc")
+        .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .join(broadcast(gcum), Seq("vc"))
+      .join(broadcast(nDay), Seq("day"))
+      .crossJoin(broadcast(nTot))
+      .select(col("day"), col("n_day"), col("n_tot"),
+        greatest(
+          abs(col("n_tot") * col("dc") - col("n_day") * col("gc")),
+          abs(col("n_tot") * (col("dc") - col("m")) -
+            col("n_day") * (col("gc") - col("gm")))).as("cand"))
+      .groupBy("day", "n_day", "n_tot")
+      .agg(max(col("cand")).as("d_num"))
+      .withColumn("d_stat", col("d_num").cast("double") /
+        (col("n_day") * col("n_tot")).cast("double"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_day"), col("n_tot"), col("d_num"), col("d_stat"))
+  }
+
   /** Single changepoint in the daily-revenue series by binary
     * segmentation (the first split of the CUSUM-family segmentation
     * [[graft.etl.TimeSeries]]'s CUSUM monitors): the split day
@@ -463,6 +521,7 @@ object Stats {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_spearman" -> ((s, d) => spearmanQtyValue(Tables.lineitem(s, d))),
     "stats_ks" -> ((s, d) => ksEventValues(Tables.events(s, d))),
+    "drift_daily_ks" -> ((s, d) => dailyValueDrift(Tables.events(s, d))),
     "stats_changepoint" -> ((s, d) =>
       changepointDailyRevenue(Tables.orders(s, d))),
     "stats_theil_sen" -> ((s, d) =>
@@ -537,6 +596,38 @@ object Stats {
         |SELECT n_a, n_b, d_num, d_stat, crit_05,
         |       CASE WHEN d_stat > crit_05 THEN 1 ELSE 0 END AS reject_05
         |FROM d""".stripMargin,
+    "drift_daily_ks" ->
+      """WITH v AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS vc,
+        |         count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT vc, CAST(sum(m) AS BIGINT) AS gm,
+        |         CAST(sum(sum(m)) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED
+        |              PRECEDING AND CURRENT ROW) AS BIGINT) AS gc
+        |  FROM v GROUP BY vc),
+        |t AS (SELECT CAST(sum(m) AS BIGINT) AS n_tot FROM v),
+        |nd AS (SELECT day, CAST(sum(m) AS BIGINT) AS n_day
+        |       FROM v GROUP BY 1),
+        |dc AS (
+        |  SELECT day, vc, m,
+        |         CAST(sum(m) OVER (PARTITION BY day ORDER BY vc ROWS
+        |              BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS dc
+        |  FROM v),
+        |cand AS (
+        |  SELECT dc.day, nd.n_day, t.n_tot,
+        |         greatest(
+        |           abs(t.n_tot * dc.dc - nd.n_day * g.gc),
+        |           abs(t.n_tot * (dc.dc - dc.m) -
+        |               nd.n_day * (g.gc - g.gm))) AS cand
+        |  FROM dc JOIN g USING (vc) JOIN nd USING (day), t)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_day, n_tot,
+        |       max(cand) AS d_num,
+        |       CAST(max(cand) AS DOUBLE) /
+        |         CAST(n_day * n_tot AS DOUBLE) AS d_stat
+        |FROM cand GROUP BY 1, 2, 3""".stripMargin,
     "stats_changepoint" ->
       """WITH daily AS (
         |  SELECT datediff('day', DATE '1995-01-01',

@@ -187,6 +187,33 @@ class StatsSpec extends SparkSpec {
     assert(same === Seq((0L, 0.0)))
   }
 
+  test("dailyValueDrift: interval-endpoint candidates recover the exact " +
+      "sup distance per day") {
+    // day 1 holds {1, 2}, day 2 holds {5, 6}; global = all four values.
+    // F_day1 is 1 from x=2 while F_g(2) = 1/2 -> D = 0.5 (and symmetric
+    // for day 2, attained as a LEFT-limit candidate before its first
+    // point) -> d_num = 4 on the n_day*n_tot = 8 denominator
+    val ev = Seq(
+      ("1995-01-01 10:00:00", 1.0), ("1995-01-01 11:00:00", 2.0),
+      ("1995-01-02 10:00:00", 5.0), ("1995-01-02 11:00:00", 6.0))
+      .toDF("t", "value")
+      .selectExpr("CAST(t AS TIMESTAMP) AS ts", "value")
+    val r = Stats.dailyValueDrift(ev)
+      .select("day", "n_day", "n_tot", "d_num", "d_stat")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(r === Seq(
+      ("1995-01-01", 2L, 4L, 4L, 0.5),
+      ("1995-01-02", 2L, 4L, 4L, 0.5)))
+    // identical per-day distributions -> zero drift everywhere
+    val same = Stats.dailyValueDrift(Seq(
+      ("1995-01-01 10:00:00", 1.0), ("1995-01-01 11:00:00", 2.0),
+      ("1995-01-02 10:00:00", 1.0), ("1995-01-02 11:00:00", 2.0))
+      .toDF("t", "value")
+      .selectExpr("CAST(t AS TIMESTAMP) AS ts", "value"))
+      .select("d_num").as[Long].collect().toSeq
+    assert(same === Seq(0L, 0L))
+  }
+
   test("changepointDailyRevenue: finds the level shift exactly") {
     // $1 on days 0..3, $2 on days 4..7 -> best split after day 3:
     // s1 = 400 cents over n1 = 4, s2 = 800 over n2 = 4
