@@ -79,6 +79,36 @@ object Layout {
         min("dy").as("day_min"), max("dy").as("day_max"))
   }
 
+  /** Hilbert-curve layout audit — the same grid, blocking, and zone-map
+    * readout as [[zorderBlocks]] with the Morton interleave swapped for
+    * the codegen'd [[graft.functions.HilbertIndex]] expression, so the
+    * two queries are directly comparable: every unit step of the Hilbert
+    * curve moves to a 4-adjacent cell (Morton jumps at quadrant
+    * boundaries), so Hilbert blocks bound BOTH dimensions tighter —
+    * the layout audit a lake runs before choosing its OPTIMIZE order.
+    * The oracle unrolls the 8-level xy→d walk as chained CTEs, one
+    * quadrant decision + reflect/swap per level, exactly the
+    * expression's loop.
+    */
+  def hilbertBlocks(orders: DataFrame): DataFrame = {
+    val x = pmod(col("o_custkey"), lit(256L)).cast("int")
+    val y = pmod(
+      datediff(to_date(col("o_orderdate")), to_date(lit(EpochDate)))
+        .cast("long"),
+      lit(256L)).cast("int")
+    orders
+      .select(x.as("cx"), y.as("dy"))
+      .withColumn("hkey",
+        graft.functions.HilbertIndex.index(col("cx"), col("dy"), MortonBits))
+      .groupBy(shiftright(col("hkey"), 6).as("h_block"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("cx").cast("long").as("cust_min"),
+        max("cx").cast("long").as("cust_max"),
+        min("dy").cast("long").as("day_min"),
+        max("dy").cast("long").as("day_max"))
+  }
+
   /** Target output-file size for [[compactionPlan]] (1 MiB — sized to
     * the sf0.01 fixture; a real lake uses 128 MiB–1 GiB, the math is
     * scale-free).
@@ -158,6 +188,7 @@ object Layout {
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> ((s, d) => zorderBlocks(Tables.orders(s, d))),
+    "layout_hilbert" -> ((s, d) => hilbertBlocks(Tables.orders(s, d))),
     "layout_compaction" -> ((s, d) => compactionPlan(Tables.orders(s, d))),
     "layout_zonemap_prune" -> ((s, d) => zonemapPrune(Tables.orders(s, d))),
   )
@@ -167,6 +198,45 @@ object Layout {
     * shift/mask fold).
     */
   def oracleSql: Map[String, String] = Map(
+    "layout_hilbert" -> {
+      // sign-safe bit test: reflection steps drive intermediates
+      // negative, where Java's `(x & s) > 0` reads the two's-complement
+      // low bits — `((x % 2s) + 2s) % 2s >= s` is the portable
+      // equivalent for either sign ((x // s) % 2 is NOT)
+      def bit(v: String, s: Int): String = {
+        val m = 2 * s
+        s"CASE WHEN (($v % $m) + $m) % $m >= $s THEN 1 ELSE 0 END"
+      }
+      val stages = (0 until MortonBits).map { i =>
+        val s = 1 << (MortonBits - 1 - i)
+        val (p, n) = (i, i + 1)
+        val (rx, ry) = (bit(s"x$p", s), bit(s"y$p", s))
+        s"""h$n AS (
+           |  SELECT cx, dy,
+           |    CASE WHEN $ry = 0 THEN
+           |      CASE WHEN $rx = 1 THEN $s - 1 - y$p ELSE y$p END
+           |    ELSE x$p END AS x$n,
+           |    CASE WHEN $ry = 0 THEN
+           |      CASE WHEN $rx = 1 THEN $s - 1 - x$p ELSE x$p END
+           |    ELSE y$p END AS y$n,
+           |    d$p + ${s * s} * xor(3 * $rx, $ry) AS d$n
+           |  FROM h$p)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (
+         |  SELECT cx, dy, cx AS x0, dy AS y0, 0 AS d0 FROM (
+         |    SELECT o_custkey % 256 AS cx,
+         |           datediff('day', DATE '1992-01-01',
+         |                    CAST(o_orderdate AS DATE)) % 256 AS dy
+         |    FROM orders)),
+         |$stages
+         |SELECT CAST(d$MortonBits // 64 AS BIGINT) AS h_block,
+         |       count(*) AS n_rows,
+         |       CAST(min(cx) AS BIGINT) AS cust_min,
+         |       CAST(max(cx) AS BIGINT) AS cust_max,
+         |       CAST(min(dy) AS BIGINT) AS day_min,
+         |       CAST(max(dy) AS BIGINT) AS day_max
+         |FROM h$MortonBits GROUP BY 1""".stripMargin
+    },
     "layout_zorder" ->
       """WITH g AS (
         |  SELECT o_custkey % 256 AS cx,

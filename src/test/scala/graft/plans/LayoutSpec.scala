@@ -38,6 +38,21 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbertBlocks: blocks tile 8x8 cells and bound both dimensions") {
+    val rows = for (c <- 0L until 16L; d <- 0 until 4) yield
+      (c * 100 + d, c, "O", 1.0,
+        java.time.LocalDate.parse(Layout.EpochDate).plusDays(d).toString +
+          " 00:00:00", "1-URGENT")
+    val blocks = Layout.hilbertBlocks(orders(rows: _*)).collect()
+    assert(blocks.map(_.getAs[Long]("n_rows")).sum === 64L)
+    blocks.foreach { b =>
+      // a 64-key Hilbert block is a contiguous curve segment inside an
+      // 8x8 tile — like Z-order it can never cover a full-width stripe
+      assert(b.getAs[Long]("cust_max") - b.getAs[Long]("cust_min") < 8L)
+      assert(b.getAs[Long]("day_max") - b.getAs[Long]("day_min") < 8L)
+    }
+  }
+
   test("compactionPlan: exact byte math, ceil-by-shift file counts") {
     // month A: 2 rows of (32 + 1 + 8) = 41 bytes each -> 82 bytes,
     // 1 file, small; month B: big rows via long priority string
