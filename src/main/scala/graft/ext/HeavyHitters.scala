@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -141,12 +141,57 @@ object HeavyHitters {
       .select("token", "true_cnt", "cms_est", "overcount")
   }
 
+  /** Widths evaluated by [[countMinWidthSweep]] (×4 ladder around
+    * [[CmsWidth]]).
+    */
+  val CmsSweepWidths: Seq[Int] = Seq(256, 1024, 4096)
+
+  /** Count-Min WIDTH SWEEP — the sizing query run before committing
+    * sketch memory at scale (the sketch analogue of
+    * [[graft.ext.Dedup]]'s LSH band-geometry eval): the same corpus,
+    * hashes, and probe set as [[countMinEstimates]], with the counter
+    * matrix built at each width in [[CmsSweepWidths]]. Reading
+    * overcount fall as width grows (ε ∝ 1/width) on real data tells
+    * you the width a production deployment needs.
+    *
+    * One vocabulary checkpoint feeds every width's build and the
+    * shared top-k probe set; each width's shuffle stays sketch-sized
+    * (width × depth counters). All exact integers, hash-portable.
+    */
+  def countMinWidthSweep(docs: DataFrame,
+      widths: Seq[Int] = CmsSweepWidths, topK: Int = 10): DataFrame = {
+    val vocab = graft.CheckpointLease.track(
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("true_cnt"))
+        .withColumn("h",
+          conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
+        .localCheckpoint(false))
+    val top = vocab.orderBy(col("true_cnt").desc, col("token")).limit(topK)
+    widths.map { wd =>
+      def pose(src: DataFrame, keep: Seq[Column]) = src.select(
+        keep :+ posexplode(array((0 until CmsDepth).map(r =>
+          ((col("h") * cmsA(r) + cmsB(r)) % CmsMod) % wd): _*))
+          .as(Seq("r", "pos")): _*)
+      val matrix = pose(vocab, Seq(col("true_cnt").as("cnt")))
+        .groupBy("r", "pos").agg(sum("cnt").as("counter"))
+      pose(top, Seq(col("token"), col("true_cnt")))
+        .join(broadcast(matrix), Seq("r", "pos"))
+        .groupBy("token", "true_cnt")
+        .agg(min("counter").as("cms_est"))
+        .select(lit(wd.toLong).as("width"), col("token"), col("true_cnt"),
+          col("cms_est"), (col("cms_est") - col("true_cnt")).as("overcount"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_heavy_hitters" -> ((s, d) =>
       frequentTokens(Tables.documents(s, d))),
     "sketch_countmin" -> ((s, d) =>
       countMinEstimates(Tables.documents(s, d))),
+    "sketch_cm_widths" -> ((s, d) =>
+      countMinWidthSweep(Tables.documents(s, d))),
   )
 
   /** [[countMinEstimates]]' twin: the same affine row hashes with the
@@ -186,8 +231,47 @@ object HeavyHitters {
   /** DuckDB twin: plain exact GROUP BY/HAVING — the sketch must be
     * invisible in the output.
     */
+  /** [[countMinWidthSweep]]'s twin: one sketch block per width, the
+    * same literal-interpolated affine hashes, UNION ALL over widths.
+    */
+  private def duckCmSweepSql: String = {
+    def arms(src: String, cols: String, wd: Int): String =
+      (0 until CmsDepth).map { r =>
+        s"""SELECT $r AS r,
+           |           ((h * ${cmsA(r)} + ${cmsB(r)}) % $CmsMod) % $wd
+           |             AS pos, $cols FROM $src""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+    val blocks = CmsSweepWidths.map { wd =>
+      s"""  SELECT CAST($wd AS BIGINT) AS width, e.token, e.true_cnt,
+         |         e.cms_est, e.cms_est - e.true_cnt AS overcount
+         |  FROM (
+         |    SELECT p.token, p.true_cnt,
+         |           CAST(min(m.counter) AS BIGINT) AS cms_est
+         |    FROM (
+         |    ${arms("top", "token, true_cnt", wd)}) p
+         |    JOIN (
+         |      SELECT r, pos, CAST(sum(true_cnt) AS BIGINT) AS counter
+         |      FROM (
+         |    ${arms("tc", "true_cnt", wd)})
+         |      GROUP BY 1, 2) m
+         |      ON p.r = m.r AND p.pos = m.pos
+         |    GROUP BY 1, 2) e""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |tc AS (
+       |  SELECT token, count(*) AS true_cnt,
+       |         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+       |  FROM tok GROUP BY 1),
+       |top AS (
+       |  SELECT token, true_cnt, h FROM tc
+       |  ORDER BY true_cnt DESC, token LIMIT 10)
+       |$blocks""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "sketch_countmin" -> duckCmsSql,
+    "sketch_cm_widths" -> duckCmSweepSql,
     "text_heavy_hitters" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

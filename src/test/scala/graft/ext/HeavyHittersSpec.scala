@@ -82,6 +82,30 @@ class HeavyHittersSpec extends SparkSpec {
     graft.CheckpointLease.releaseAll()
   }
 
+  test("countMinWidthSweep: width 1 collapses to the grand total, a wide " +
+      "sketch is collision-free") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val r = HeavyHitters.countMinWidthSweep(docs,
+        widths = Seq(1, 1 << 20), topK = 3)
+      .select("width", "token", "true_cnt", "cms_est", "overcount")
+      .as[(Long, String, Long, Long, Long)].collect()
+    graft.CheckpointLease.releaseAll()
+    val byWidth = r.groupBy(_._1)
+    // width 1: every counter is the 6-token grand total
+    byWidth(1L).foreach { case (_, tok, t, e, o) =>
+      assert(e === 6L && o === 6L - t, s"$tok at width 1")
+    }
+    // 2^20 slots for 3 tokens: md5-derived positions collide with
+    // probability ~0 — pinned by this fixture forever
+    byWidth(1L << 20).foreach { case (_, tok, t, e, o) =>
+      assert(e === t && o === 0L, s"$tok at wide width")
+    }
+    // every estimate upper-bounds truth at every width
+    r.foreach { case (w, tok, t, e, _) =>
+      assert(e >= t, s"$tok at width $w")
+    }
+  }
+
   test("frequentTokens over testdata matches brute force") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val got = HeavyHitters.frequentTokens(docs, 0.002)
