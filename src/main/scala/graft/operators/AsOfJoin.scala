@@ -82,10 +82,85 @@ object AsOfJoin {
       .drop("ts")
   }
 
+  /** NEAREST-neighbor as-of join — both directions in ONE sort: for
+    * every left row, the right row minimizing |t_left − t_right| per
+    * key, ties to the backward (at-or-before) match. The same
+    * tag-union shape as [[asOf]], with TWO frames over one window
+    * ordering: `last(right, ignoreNulls)` over the preceding frame
+    * (backward candidate) and `first(right, ignoreNulls)` over the
+    * following frame (forward candidate) — Spark evaluates both in a
+    * single WindowExec pass, so nearest costs the same one
+    * shuffle+sort as backward-only. Deltas compare in exact
+    * MICROSECONDS (`unix_micros`), so the choice is integer-exact.
+    * Rows with no candidate on either side are dropped (inner
+    * semantics, like the oracle's join).
+    */
+  def asOfNearest(left: DataFrame, leftKey: Column, leftTs: Column,
+      right: DataFrame, rightKey: Column, rightTs: Column,
+      rightPayload: Seq[String]): DataFrame = {
+    val rStruct = struct(
+      rightTs.cast("timestamp").as("__rts") +:
+        rightPayload.map(right(_)): _*)
+    val rSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rts",
+        org.apache.spark.sql.types.TimestampType) +:
+        rightPayload.map(n => right.schema(n)))
+    val l2 = left.select(
+      leftKey.as("__k"), leftTs.cast("timestamp").as("__t"),
+      lit(1).as("__side"), struct(left.columns.map(left(_)): _*).as("__l"),
+      lit(null).cast(rSchema).as("__r"))
+    val r2 = right.select(
+      rightKey.as("__k"), rightTs.cast("timestamp").as("__t"),
+      lit(0).as("__side"), lit(null).cast(l2.schema("__l").dataType).as("__l"),
+      rStruct.as("__r"))
+    val ord = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val chosen = l2.unionByName(r2)
+      .withColumn("__back", last("__r", ignoreNulls = true).over(wb))
+      .withColumn("__fwd", first("__r", ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("__db",
+        unix_micros(col("__t")) - unix_micros(col("__back.__rts")))
+      .withColumn("__df",
+        unix_micros(col("__fwd.__rts")) - unix_micros(col("__t")))
+      .withColumn("__m",
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          .when(col("__df") < col("__db"), col("__fwd"))
+          .otherwise(col("__back")))
+      .filter(col("__m").isNotNull)
+    chosen.select(col("__l.*") +:
+      (rightPayload.map(n => col(s"__m.$n").as(n)) :+
+        abs(unix_micros(col("__t")) - unix_micros(col("__m.__rts")))
+          .as("delta_us")): _*)
+  }
+
+  /** Query: each event joined to the user's NEAREST order in time (tie →
+    * the earlier order); same (custkey, date) tie pre-aggregation as
+    * [[latestOrderAsOf]].
+    */
+  def nearestOrderAsOf(ev: DataFrame, ord: DataFrame): DataFrame = {
+    val r = ord.groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    asOfNearest(
+      ev.select(col("event_id"), col("user_id"), col("ts")),
+      col("user_id"), col("ts"),
+      r, r("o_custkey"), r("o_orderdate"),
+      Seq("o_orderkey", "o_orderdate"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("event_ts"),
+        col("o_orderkey").as("near_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("near_orderdate"),
+        col("delta_us"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_latest_order" -> ((s, d) =>
       latestOrderAsOf(Tables.events(s, d), Tables.orders(s, d))),
+    "asof_nearest_order" -> ((s, d) =>
+      nearestOrderAsOf(Tables.events(s, d), Tables.orders(s, d))),
   )
 
   /** DuckDB twin — native ASOF LEFT JOIN as the oracle. */
@@ -101,5 +176,28 @@ object AsOfJoin {
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"""
         .stripMargin,
+    "asof_nearest_order" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |         r.o_orderkey, r.o_orderdate,
+        |         abs(epoch_us(e.ts) -
+        |             epoch_us(CAST(r.o_orderdate AS TIMESTAMP)))
+        |           AS delta_us,
+        |         CASE WHEN CAST(r.o_orderdate AS TIMESTAMP) <= e.ts
+        |              THEN 0 ELSE 1 END AS dir
+        |  FROM events e JOIN r ON e.user_id = r.o_custkey),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |            ORDER BY delta_us, dir) AS rn
+        |  FROM cand)
+        |SELECT event_id, user_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+        |       o_orderkey AS near_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS near_orderdate,
+        |       delta_us
+        |FROM ranked WHERE rn = 1""".stripMargin,
   )
 }

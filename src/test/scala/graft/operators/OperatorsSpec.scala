@@ -35,6 +35,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getAs[Long]("order_id") === 42L)
   }
 
+  test("asOfNearest: closer side wins, exact-midpoint ties go backward, " +
+      "one-sided rows still match") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-04 00:00:00")),  // back 3d vs fwd 11d -> back
+      (2L, 7L, ts("2024-01-13 00:00:00")),  // back 12d vs fwd 2d -> fwd
+      (3L, 7L, ts("2024-01-08 00:00:00")),  // exact midpoint -> backward
+      (4L, 8L, ts("2024-01-05 00:00:00")),  // only a FORWARD candidate
+      (5L, 9L, ts("2024-01-05 00:00:00")))  // no candidate -> dropped
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 100L),
+      (7L, ts("2024-01-15 00:00:00"), 101L),
+      (8L, ts("2024-01-10 00:00:00"), 200L))
+      .toDF("k", "rts", "order_id")
+    val out = AsOfJoin.asOfNearest(left, col("user_id"), col("ts"),
+        right, col("k"), col("rts"), Seq("order_id"))
+      .select("event_id", "order_id", "delta_us")
+      .as[(Long, Long, Long)].collect()
+      .map { case (e, o, d) => e -> ((o, d)) }.toMap
+    assert(out === Map(
+      1L -> (100L, 3L * 86400 * 1000000L),
+      2L -> (101L, 2L * 86400 * 1000000L),
+      3L -> (100L, 7L * 86400 * 1000000L),
+      4L -> (200L, 5L * 86400 * 1000000L)))
+  }
+
   test("saltedJoin result equals plain join result") {
     val big = (1 to 500).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
       .toDF("k", "payload")  // key 1 is hot
