@@ -182,6 +182,65 @@ object Corpus {
           col("n_tokens").cast("double")).as("dup_frac"))
   }
 
+  /** Exact substring-dedup TRANSFORM — the rewrite side of [[dupSpans]]
+    * (the Lee et al. 2022 "Deduplicating Training Data" pass): every
+    * [[SpanGram]]-token window that occurs more than once corpus-wide
+    * keeps only its globally FIRST occurrence (ordered by doc_id, then
+    * position), every token covered by a LATER occurrence is dropped,
+    * and each document is rewritten from its surviving tokens. Reported
+    * per doc: token counts before/after, the kept fraction, and an md5
+    * fingerprint of the cleaned text (the value two engines can compare
+    * exactly without shipping the rewritten corpus through the oracle).
+    *
+    * Scale shape: the occurrence ranking is a `row_number` window keyed
+    * by the gram — the same content-keyed single shuffle as
+    * [[dedupLines]], a streaming rank bounded per partition by one
+    * gram's occurrence count; removal positions explode to ≤ n rows per
+    * duplicate occurrence and collapse with a keyed distinct; the
+    * rewrite is one anti-join plus a per-doc sort of that doc's own
+    * surviving tokens (document-bounded, never corpus-bounded). No
+    * driver state, no global windows.
+    */
+  def despanDocuments(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    require(n >= 2, s"despanDocuments: gram width $n must be >= 2")
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val toksPos = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        col("tok"))
+    val pos = base
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) < $n THEN array()
+           |ELSE transform(sequence(1, size(toks) - ${n - 1}),
+           |               i -> struct(CAST(i AS BIGINT) AS i,
+           |                           concat_ws(' ', slice(toks, i, $n))
+           |                             AS gram)) END""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.gram").as("gram"))
+    val wg = Window.partitionBy("gram").orderBy("doc_id", "i")
+    val removed = pos
+      .withColumn("rn", row_number().over(wg))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct()
+    val kept = toksPos.join(removed, Seq("doc_id", "p"), "left_anti")
+    val per = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")))).as("clean_fp"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        (coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("kept_frac"),
+        coalesce(col("clean_fp"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("clean_fp"))
+  }
+
   /** Cross-document line-level dedup (the C4/RefinedWeb boilerplate pass):
     * every line keeps only its FIRST occurrence corpus-wide — ordered by
     * (doc_id, position) — and each document reports how much of it
@@ -642,8 +701,66 @@ object Corpus {
         col("n_covered").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** Absolute discount of [[knSmoothedBigrams]] (the standard 0.75 —
+    * exactly representable in binary, so the discount subtraction is one
+    * exact IEEE op on both engines).
+    */
+  val KnDiscount = 0.75
+
+  /** Bigrams reported by [[knSmoothedBigrams]]. */
+  val KnTopK = 100
+
+  /** Interpolated Kneser–Ney smoothed bigram probabilities — the n-gram
+    * LM estimator (Chen & Goodman 1998) a corpus pipeline trains for
+    * perplexity-based quality filtering. For each observed bigram
+    * (w1,w2):
+    *
+    *   P_kn(w2|w1) = max(c12 − D, 0)/c1
+    *               + (D · N1+(w1·)/c1) · (N1+(·w2)/T)
+    *
+    * with c1 the left-context total, N1+(w1·)/N1+(·w2) the distinct
+    * right/left continuation counts, T the total bigram type count, and
+    * D = [[KnDiscount]]. Reported: the [[KnTopK]] most frequent bigrams
+    * (ties on the words — a deterministic cut) with every integer
+    * component plus the smoothed probability.
+    *
+    * Scale shape: one explode to the bigram stream, then every aggregate
+    * is keyed on the VOCABULARY (bigram types, left words, right words —
+    * all map-side combined, output bounded by vocab not corpus); the
+    * 1-row type count joins back as a broadcast scalar; the top-k cut is
+    * TakeOrdered, no global sort. The probability is a fixed float DAG
+    * over exact integers, spelled identically in the DuckDB twin.
+    */
+  def knSmoothedBigrams(docs: DataFrame, k: Int = KnTopK): DataFrame = {
+    val pairs = docs.select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |          i -> struct(toks[i-1] AS w1, toks[i] AS w2))"""
+          .stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = big.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n_fwd"))
+    val right = big.groupBy("w2").agg(count(lit(1)).as("n_bwd"))
+    val types = big.agg(count(lit(1)).as("t_types"))
+    big.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n_fwd"),
+        col("n_bwd"), col("t_types"),
+        (greatest(col("c12").cast("double") - lit(KnDiscount), lit(0.0)) /
+          col("c1").cast("double") +
+          ((lit(KnDiscount) * col("n_fwd").cast("double")) /
+            col("c1").cast("double")) *
+            (col("n_bwd").cast("double") / col("t_types").cast("double")))
+          .as("p_kn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_kneser_ney" -> ((s, d) => knSmoothedBigrams(Tables.documents(s, d))),
     "corpus_bigram_coverage" -> ((s, d) =>
       bigramCoverage(Tables.documents(s, d))),
     "bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
@@ -658,11 +775,35 @@ object Corpus {
     "text_dup_ngram_frac" -> ((s, d) =>
       dupNgramFraction(Tables.documents(s, d))),
     "text_dup_spans" -> ((s, d) => dupSpans(Tables.documents(s, d))),
+    "corpus_despan" -> ((s, d) => despanDocuments(Tables.documents(s, d))),
     "mix_token_budget" -> ((s, d) => tokenBudgetPlan(Tables.documents(s, d))),
   )
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "lm_kneser_ney" ->
+      s"""WITH d AS (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |ix AS (
+         |  SELECT toks, unnest(range(1, len(toks))) AS i FROM d),
+         |p AS (
+         |  SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM ix),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |             count(*) AS n_fwd
+         |      FROM big GROUP BY 1),
+         |r AS (SELECT w2, count(*) AS n_bwd FROM big GROUP BY 1),
+         |t AS (SELECT count(*) AS t_types FROM big)
+         |SELECT w1, w2, c12, c1, n_fwd, n_bwd, t_types,
+         |       greatest(CAST(c12 AS DOUBLE) - $KnDiscount, 0.0)
+         |         / CAST(c1 AS DOUBLE)
+         |       + (($KnDiscount * CAST(n_fwd AS DOUBLE))
+         |          / CAST(c1 AS DOUBLE))
+         |         * (CAST(n_bwd AS DOUBLE) / CAST(t_types AS DOUBLE))
+         |         AS p_kn
+         |FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+         |ORDER BY c12 DESC, w1, w2 LIMIT $KnTopK""".stripMargin,
     "corpus_bigram_coverage" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -699,6 +840,47 @@ object Corpus {
         |SELECT source, n_docs, n_tokens, w_micro, alloc_tokens,
         |       (alloc_tokens * 10000) // n_tokens AS epochs_bp
         |FROM a""".stripMargin,
+    "corpus_despan" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d),
+        |tp AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p, toks[i] AS tok
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(range(1, len(toks) + 1)) AS i
+        |        FROM d)),
+        |pos AS (
+        |  SELECT doc_id, p.i AS i, p.gram AS gram FROM (
+        |    SELECT doc_id,
+        |           unnest([{'i': CAST(i AS BIGINT),
+        |                    'gram': array_to_string(toks[i:i+4], ' ')}
+        |                   for i in range(1, len(toks)-3)]) AS p
+        |    FROM d WHERE len(toks) >= 5)),
+        |rk AS (
+        |  SELECT doc_id, i,
+        |         row_number() OVER (PARTITION BY gram
+        |                            ORDER BY doc_id, i) AS rn
+        |  FROM pos),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, CAST(pp AS BIGINT) AS p
+        |  FROM (SELECT doc_id, unnest(range(i, i + 5)) AS pp
+        |        FROM rk WHERE rn > 1)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.p, tp.tok FROM tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM rem
+        |                    WHERE rem.doc_id = tp.doc_id
+        |                      AND rem.p = tp.p)),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         md5(string_agg(tok, ' ' ORDER BY p)) AS clean_fp
+        |  FROM kept GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens,
+        |       b.n_tokens - coalesce(per.n_kept, 0) AS n_removed,
+        |       CAST(coalesce(per.n_kept, 0) AS DOUBLE) /
+        |         CAST(b.n_tokens AS DOUBLE) AS kept_frac,
+        |       coalesce(per.clean_fp, md5('')) AS clean_fp
+        |FROM base b LEFT JOIN per USING (doc_id)""".stripMargin,
     "text_dup_spans" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

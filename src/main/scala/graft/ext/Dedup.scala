@@ -460,6 +460,76 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Incremental MinHash index maintenance — the 100 TB shape of
+    * near-dup dedup under CONTINUOUS INGESTION. A naive pipeline
+    * re-deduplicates the whole corpus every cycle (index×index work,
+    * O(corpus²) banding collisions re-verified forever); the incremental
+    * form keeps the band table of the already-indexed corpus as state
+    * and only PROBES it with the new batch: candidate pairs are
+    * batch×index plus batch×(lower-id batch), never index×index. Here
+    * the split is by the `source` column (src0 plays the new batch);
+    * at scale the index-side band table is the stored state and the
+    * probe is a hash join partitioned by band key — shuffle volume
+    * O(batch), not O(corpus).
+    *
+    * All hashes ride the portable md5 family
+    * ([[minhashSignaturesPortable]]), candidates are verified with
+    * exact Jaccard restricted to the candidate set, and a batch doc is
+    * dropped iff it near-dups ANY indexed doc or a lower-id batch doc —
+    * so the whole incremental pipeline is hash-verified end to end.
+    * Per batch doc: candidate and verified-dup counts per side + keep.
+    */
+  def minhashIncremental(docs: DataFrame, batchSource: String = "src0",
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).persist()
+    val banded = {
+      val nBands = MinhashK / BandRows
+      minhashSignaturesPortable(sh).select(col("doc_id"), posexplode(array(
+        (0 until nBands).map(b => concat_ws(":",
+          (0 until BandRows).map(r =>
+            col("sig")(b * BandRows + r).cast("string")): _*)): _*))
+        .as(Seq("band", "band_key")))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    }
+    val batchB = banded.filter(col("source") === batchSource)
+    val indexB = banded.filter(col("source") =!= batchSource)
+    def probe(other: DataFrame, cond: Column): DataFrame =
+      batchB.as("a").join(other.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") && cond)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    val candsX = probe(indexB, lit(true))
+    val candsW = probe(batchB, col("a.doc_id") > col("b.doc_id"))
+    // per-side counts materialize eagerly (tiny: ≤ one row per batch
+    // doc) so the shingle cache can be released before returning — the
+    // same lease pattern as [[minhashDedupDocsPortable]]
+    def dupCounts(cands: DataFrame, prefix: String): DataFrame = {
+      val nCand = cands.groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as(s"n_cand_$prefix"))
+      val nDup = jaccardForPairs(sh, cands)
+        .filter(col("jaccard") >= threshold)
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as(s"n_dup_$prefix"))
+      graft.CheckpointLease.track(
+        nCand.join(nDup, Seq("doc_id"), "left").localCheckpoint(true))
+    }
+    val countsX = dupCounts(candsX, "index")
+    val countsW = dupCounts(candsW, "batch")
+    val out = docs.filter(col("source") === batchSource).select("doc_id")
+      .join(countsX, Seq("doc_id"), "left")
+      .join(countsW, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand_index"), lit(0L)).as("n_cand_index"),
+        coalesce(col("n_dup_index"), lit(0L)).as("n_dup_index"),
+        coalesce(col("n_cand_batch"), lit(0L)).as("n_cand_batch"),
+        coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"))
+      .withColumn("keep",
+        col("n_dup_index") === 0L && col("n_dup_batch") === 0L)
+    sh.unpersist()
+    out
+  }
+
   val SimhashBits = 32
 
   /** Portable 32-bit token hash: the first 8 hex chars of md5, parsed
@@ -645,6 +715,8 @@ object Dedup {
       minhashDedupDocs(Tables.documents(s, d))),
     "dedup_minhash_md5"   -> ((s, d) =>
       minhashDedupDocsPortable(Tables.documents(s, d))),
+    "dedup_incremental"   -> ((s, d) =>
+      minhashIncremental(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => simhashGroups(Tables.documents(s, d))),
     "dedup_simhash_near"  -> ((s, d) =>
       simhashNearDupPairs(Tables.documents(s, d))),
@@ -879,10 +951,94 @@ object Dedup {
        |WHERE d.doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin
   }
 
+  /** [[minhashIncremental]]'s twin: the portable signature/banding CTEs
+    * with the band table split by source, probe joins (batch×index and
+    * batch×lower-batch), exact-Jaccard verification, and per-batch-doc
+    * rollups — the identical arithmetic at every step.
+    */
+  private def duckIncrementalSql: String = {
+    val mins = (0 until MinhashK).map(j =>
+      s"min((h * ${slotA(j)} + ${slotB(j)}) % $SlotMod) AS h$j")
+      .mkString(",\n         ")
+    val nBands = MinhashK / BandRows
+    val bandRows = (0 until nBands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"  SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    def interCte(cand: String): String =
+      s"""SELECT c.doc_a, c.doc_b, count(*) AS i
+         |       FROM $cand c
+         |       JOIN sh0 a ON c.doc_a = a.doc_id
+         |       JOIN sh0 b ON c.doc_b = b.doc_id
+         |                 AND a.shingle = b.shingle
+         |       GROUP BY 1, 2""".stripMargin
+    def dupCte(inter: String): String =
+      s"""SELECT i.doc_a, count(*) AS n_dup
+         |       FROM $inter i
+         |       JOIN sizes sa ON i.doc_a = sa.doc_id
+         |       JOIN sizes sb ON i.doc_b = sb.doc_id
+         |       WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+         |       GROUP BY 1""".stripMargin
+    s"""WITH sh0 AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                               for i in range(1, len(toks)-1)]))
+       |           AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |hh AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+       |  FROM sh0),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM hh GROUP BY 1),
+       |banded0 AS (
+       |$bandRows),
+       |banded AS (
+       |  SELECT banded0.*, d.source FROM banded0
+       |  JOIN documents d USING (doc_id)),
+       |cx AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |  WHERE a.source = 'src0' AND b.source <> 'src0'),
+       |cw AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id > b.doc_id
+       |  WHERE a.source = 'src0' AND b.source = 'src0'),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY 1),
+       |ix AS (${interCte("cx")}),
+       |iw AS (${interCte("cw")}),
+       |dx AS (${dupCte("ix")}),
+       |dw AS (${dupCte("iw")}),
+       |ncx AS (SELECT doc_a, count(*) AS n_cand FROM cx GROUP BY 1),
+       |ncw AS (SELECT doc_a, count(*) AS n_cand FROM cw GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(ncx.n_cand, 0) AS n_cand_index,
+       |       coalesce(dx.n_dup, 0) AS n_dup_index,
+       |       coalesce(ncw.n_cand, 0) AS n_cand_batch,
+       |       coalesce(dw.n_dup, 0) AS n_dup_batch,
+       |       coalesce(dx.n_dup, 0) = 0 AND coalesce(dw.n_dup, 0) = 0
+       |         AS keep
+       |FROM documents d
+       |LEFT JOIN ncx ON d.doc_id = ncx.doc_a
+       |LEFT JOIN dx ON d.doc_id = dx.doc_a
+       |LEFT JOIN ncw ON d.doc_id = ncw.doc_a
+       |LEFT JOIN dw ON d.doc_id = dw.doc_a
+       |WHERE d.source = 'src0'""".stripMargin
+  }
+
   /** DuckDB twins (xxhash64 minhash is hash-dependent → rows-only; the
     * portable variant below is fully oracle-checked).
     */
   def oracleSql: Map[String, String] = Map(
+    "dedup_incremental" -> duckIncrementalSql,
     "dedup_minhash_md5" -> duckMinhashPortableSql,
     "dedup_lsh_eval" -> duckLshEvalSql,
     "dedup_simhash" ->

@@ -471,7 +471,111 @@ object Similarity {
       .select("i", "j", "n_vecs", "gram_q")
   }
 
+  /** Bits in the SRP signature ([[srpSignatures]]). */
+  val SrpBits = 16
+
+  /** Embedding dimension of the fixtures (TESTDATA.md). */
+  val SrpDim = 64
+
+  /** Deterministic ±1 sign for projection bit `j`, coordinate `i`
+    * (Knuth-hash bit). Computed once in Scala and interpolated as
+    * literals into BOTH the Spark plan and the DuckDB twin, so the two
+    * engines multiply by identical constants.
+    */
+  def srpSign(j: Int, i: Int): Float =
+    if ((((j * SrpDim + i + 1).toLong * 2654435761L) >>> 13 & 1L) == 1L)
+      1.0f else -1.0f
+
+  /** Signed-random-projection (SimHash-for-cosine, Charikar 2002)
+    * signatures: bit j is the sign of the dot product against a fixed
+    * ±1 hyperplane, packed into one BIGINT. Each projection is the
+    * codegen'd sequential-fold [[dot]] against a literal weight vector —
+    * ±1.0 multiplications are exact, so the fold is the same IEEE
+    * sequence as the oracle's `list_sum` comprehension and the sign bits
+    * are bit-identical across engines.
+    */
+  def srpSignatures(emb: DataFrame): DataFrame = {
+    val sig = (0 until SrpBits).map { j =>
+      val w = array((0 until SrpDim).map(i => lit(srpSign(j, i))): _*)
+      when(dot(col("embedding"), w) >= lit(0.0), lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), sig.as("sig"))
+  }
+
+  /** Band geometries evaluated by [[srpEval]]: (bands, rowsPerBand)
+    * splits of the [[SrpBits]]-bit signature.
+    */
+  val SrpGeometries: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  /** Per-band bucket-key fan-out base: band index × 2¹⁷ keeps keys from
+    * different bands disjoint (band keys are < 2¹⁶).
+    */
+  private val SrpBandBase = 131072L
+
+  /** SRP-LSH geometry evaluation — [[graft.ext.Dedup.lshEval]]'s
+    * embedding-side counterpart, and the tuning query to run BEFORE
+    * committing a 100 TB corpus to a banded-SRP near-dup pass: for every
+    * candidate band geometry over the [[SrpBits]]-bit signature it
+    * reports, against the exact label-blocked near-dup ground truth
+    * (`dedup_embedding_cosine`'s operator),
+    *
+    *   - `n_hit`/`recall`: how many true pairs would land in at least
+    *     one shared band bucket (a pair collides iff some band's XOR
+    *     slice is zero — pure integer tests on the signature pair);
+    *   - `cand_pairs`: Σ C(bucket,2) over all band buckets — the exact
+    *     join volume the geometry would generate, the cost side of the
+    *     recall/cost trade.
+    *
+    * On this corpus the angles are near-uniform (see the IVF multi-probe
+    * note above), so recall decays fast with band rows — which is
+    * exactly what this query exists to MEASURE; the operator family is
+    * hash-verified end to end because signatures, collisions, and bucket
+    * census are all integer once the (portable) sign bits are fixed.
+    *
+    * Scale shape: signatures are one narrow pass (16 codegen'd dots per
+    * row); the truth join touches only the (tiny) verified pair set; the
+    * bucket census is a keyed count per geometry over `bands` rows per
+    * vector — everything map-side combinable, no windows, no collects.
+    */
+  def srpEval(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val sigs = graft.CheckpointLease.track(
+      srpSignatures(emb).localCheckpoint(true))
+    val truthX = graft.CheckpointLease.track(
+      embeddingNearDupPairs(emb, threshold)
+        .select(col("vec_a"), col("vec_b"))
+        .join(sigs.select(col("vec_id").as("vec_a"), col("sig").as("sa")),
+          Seq("vec_a"))
+        .join(sigs.select(col("vec_id").as("vec_b"), col("sig").as("sb")),
+          Seq("vec_b"))
+        .select(expr("sa ^ sb").as("x"))
+        .localCheckpoint(true))
+    val arms = SrpGeometries.map { case (nb, r) =>
+      val mask = (1L << r) - 1L
+      val collide = (0 until nb).map(b =>
+        shiftright(col("x"), b * r).bitwiseAND(lit(mask)) === lit(0L))
+        .reduce(_ || _)
+      val hits = truthX.agg(count(lit(1)).as("n_true"),
+        sum(when(collide, 1L).otherwise(0L)).as("n_hit"))
+      val cand = sigs
+        .select(explode(array((0 until nb).map(b =>
+          lit(b * SrpBandBase) +
+            shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*))
+          .as("bkey"))
+        .groupBy("bkey").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("(n * (n - 1)) div 2")).as("cand_pairs"))
+      hits.crossJoin(broadcast(cand))
+        .select(lit(nb.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true").cast("double"))
+            .as("recall"),
+          col("cand_pairs"))
+    }
+    arms.reduce(_ unionAll _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_srp_eval" -> ((s, d) => srpEval(Tables.embeddings(s, d))),
     "vec_gram_matrix" -> ((s, d) => gramMatrix(Tables.embeddings(s, d))),
     "vec_label_centroids" -> ((s, d) =>
       labelCentroids(Tables.embeddings(s, d))),
@@ -498,8 +602,69 @@ object Similarity {
     s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
   }
 
+  /** [[srpEval]]'s twin: the ±1 weight vectors interpolated as list
+    * literals (same constants as the Spark plan), signature bits via the
+    * identical `list_sum` fold, truth pairs via the
+    * `dedup_embedding_cosine` CTEs, then pure-integer collision tests
+    * and bucket census per geometry arm.
+    */
+  private def duckSrpSql: String = {
+    def weightsList(j: Int): String =
+      (0 until SrpDim).map(i => if (srpSign(j, i) > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    val bitTerms = (0 until SrpBits).map { j =>
+      s"(CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * " +
+        s"(${weightsList(j)})[i] for i in range(1, ${SrpDim + 1})]) " +
+        s">= 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n         + ")
+    val arms = SrpGeometries.map { case (nb, r) =>
+      val collide = (0 until nb).map(b =>
+        s"((x // ${1L << (b * r)}) % ${1L << r} = 0)").mkString(" OR ")
+      val keys = (0 until nb).map(b =>
+        s"${b * SrpBandBase} + (sig // ${1L << (b * r)}) % ${1L << r}")
+        .mkString(", ")
+      s"SELECT CAST($nb AS BIGINT) AS bands, " +
+        s"CAST($r AS BIGINT) AS rows_per_band,\n" +
+        "       g.n_true, g.n_hit,\n" +
+        "       CAST(g.n_hit AS DOUBLE) / CAST(g.n_true AS DOUBLE) " +
+        "AS recall,\n" +
+        "       c.cand_pairs\n" +
+        "FROM (SELECT count(*) AS n_true,\n" +
+        s"             CAST(sum(CASE WHEN $collide THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_hit\n" +
+        "      FROM tx) g,\n" +
+        "     (SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) " +
+        "AS cand_pairs\n" +
+        "      FROM (SELECT bkey, count(*) AS n\n" +
+        s"            FROM (SELECT unnest([$keys]) AS bkey FROM sig)\n" +
+        "            GROUP BY 1)) c"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sig AS (
+       |  SELECT vec_id,
+       |         $bitTerms AS sig
+       |  FROM embeddings),
+       |ns AS (
+       |  SELECT label,
+       |         GREATEST(1, CAST(ceil(count(*) / 100000.0) AS BIGINT))
+       |           AS nsub
+       |  FROM embeddings GROUP BY 1),
+       |tp AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM embeddings a JOIN ns ON a.label = ns.label
+       |  JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |   AND a.vec_id % ns.nsub = b.vec_id % ns.nsub
+       |  WHERE ${duckCos("a", "b")} >= 0.35),
+       |tx AS (
+       |  SELECT xor(sa.sig, sb.sig) AS x
+       |  FROM tp JOIN sig sa ON tp.vec_a = sa.vec_id
+       |          JOIN sig sb ON tp.vec_b = sb.vec_id)
+       |""".stripMargin + arms
+  }
+
   /** DuckDB twins (IVF is rows-only; recall asserted in SimilaritySpec). */
   def oracleSql: Map[String, String] = Map(
+    "dedup_srp_eval" -> duckSrpSql,
     "vec_gram_matrix" ->
       """WITH q AS (
         |  SELECT vec_id,

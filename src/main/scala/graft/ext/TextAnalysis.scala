@@ -626,7 +626,44 @@ object TextAnalysis {
         "ok_min_words", "ok_max_word_len", "is_canonical", "keep")
   }
 
+  /** Feature-slot count of [[linearQuality]]'s hashing trick (2¹²). */
+  val QlSlots = 4096L
+
+  /** Model-based quality filter, fastText/CCNet shape: every token is
+    * hashed into one of [[QlSlots]] feature slots (md5-prefix — the
+    * portable token hash the minhash family uses), a broadcast
+    * slot→weight table supplies the linear model, and a doc's score is
+    * the mean weight of its tokens — kept iff ≥ 0. The weights here are
+    * a deterministic stand-in (`((slot·A + B) mod 97) − 48`, interpolated
+    * into the DuckDB twin as the same arithmetic) because no learned
+    * model ships with the fixtures; a real deployment swaps ONLY the
+    * 4096-row weight table, the plan is identical.
+    *
+    * Scale shape: the model is a bounded broadcast table (hash-trick
+    * classifiers are fixed-width regardless of corpus vocab), scoring is
+    * one explode + broadcast join + keyed sum with map-side partials —
+    * no shuffle keyed on anything wider than doc_id, no driver state.
+    * Integer score sums; the mean is the one IEEE division.
+    */
+  def linearQuality(s: SparkSession, docs: DataFrame): DataFrame = {
+    val weights = s.range(QlSlots).select(col("id").as("slot"),
+      (((col("id") * lit(2654435761L) + lit(104729L)) % 97L) - 48L).as("w"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") %
+          QlSlots).as("slot"))
+    toks.join(broadcast(weights), Seq("slot"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score_raw"))
+      .select(col("doc_id"), col("n_tokens"), col("score_raw"),
+        (col("score_raw").cast("double") / col("n_tokens").cast("double"))
+          .as("score"),
+        (col("score_raw") >= 0L).as("keep"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_linear" -> ((s, d) => linearQuality(s, Tables.documents(s, d))),
     "quality_gopher" -> ((s, d) => gopherRules(Tables.documents(s, d))),
     "quality_c4"     -> ((s, d) => c4Rules(Tables.documents(s, d))),
     "text_compress_ratio" -> ((s, d) =>
@@ -652,6 +689,26 @@ object TextAnalysis {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "quality_linear" ->
+      s"""WITH w AS (
+         |  SELECT range AS slot,
+         |         ((range * 2654435761 + 104729) % 97) - 48 AS w
+         |  FROM range($QlSlots)),
+         |t AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+         |           % $QlSlots AS slot
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(w.w) AS BIGINT) AS score_raw
+         |  FROM t JOIN w USING (slot) GROUP BY 1)
+         |SELECT doc_id, n_tokens, score_raw,
+         |       CAST(score_raw AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |         AS score,
+         |       score_raw >= 0 AS keep
+         |FROM a""".stripMargin,
     "quality_gopher" ->
       """WITH b AS (
         |  SELECT doc_id, lang, CAST(len(text) AS INT) AS n_chars_txt,

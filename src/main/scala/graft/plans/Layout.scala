@@ -185,12 +185,58 @@ object Layout {
       .unionAll(audit("bydate", floor(col("day") / lit(40.0)).cast("long")))
   }
 
+  /** Partition fan-out for [[rangePartitionPlan]] (16 — file-count
+    * granularity for the fixture; a 100 TB table uses thousands, the
+    * arithmetic is scale-free).
+    */
+  val RangeParts = 16L
+
+  /** Range-partition planner: exact split boundaries for writing orders
+    * as a day-range-partitioned (sorted) table — the planning pass behind
+    * `repartitionByRange`/Iceberg sort orders, which at 100 TB is
+    * normally driven by a sample sketch; this is the exact form run over
+    * the pre-aggregated KEY DOMAIN, not the fact table.
+    *
+    * Shape: one keyed count collapses the fact table to its ~2.4k
+    * distinct order-days (map-side combine), a cumulative sum over that
+    * tiny domain assigns each day the partition of its first row
+    * (`rows_before * P div N` — pure integer, no percentile spelling to
+    * disagree on), and a second keyed agg audits the resulting layout:
+    * each partition's key span, row count, and load factor vs the ideal
+    * N/P. The single-partition ordered window runs over the day domain
+    * only — the day-domain pre-agg pattern, never the fact stream.
+    */
+  def rangePartitionPlan(orders: DataFrame,
+      parts: Long = RangeParts): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")), to_date(lit(EpochDate)))
+      .cast("long")
+    val perKey = orders.groupBy(day.as("day")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(Long.MinValue, 0)
+    val total = perKey.agg(sum(col("n")).as("n_total"))
+    perKey
+      .withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("part_id",
+        expr(s"((cum - n) * $parts) div n_total"))
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("n_days"),
+        min("day").as("day_min"), max("day").as("day_max"),
+        sum("n").as("n_rows"), max("n_total").as("n_total"))
+      .select(col("part_id"), col("n_days"), col("day_min"),
+        col("day_max"), col("n_rows"),
+        (col("n_rows").cast("double") * lit(parts.toDouble) /
+          col("n_total").cast("double")).as("load_factor"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> ((s, d) => zorderBlocks(Tables.orders(s, d))),
     "layout_hilbert" -> ((s, d) => hilbertBlocks(Tables.orders(s, d))),
     "layout_compaction" -> ((s, d) => compactionPlan(Tables.orders(s, d))),
     "layout_zonemap_prune" -> ((s, d) => zonemapPrune(Tables.orders(s, d))),
+    "layout_range_plan" -> ((s, d) =>
+      rangePartitionPlan(Tables.orders(s, d))),
   )
 
   /** DuckDB twins — same grid math, bit ops spelled with `//`/`%`/`<<`
@@ -198,6 +244,29 @@ object Layout {
     * shift/mask fold).
     */
   def oracleSql: Map[String, String] = Map(
+    "layout_range_plan" ->
+      s"""WITH pk AS (
+         |  SELECT datediff('day', DATE '1992-01-01',
+         |                  CAST(o_orderdate AS DATE)) AS day,
+         |         count(*) AS n
+         |  FROM orders GROUP BY 1),
+         |c AS (
+         |  SELECT day, n,
+         |         sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+         |                      PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(n) OVER () AS n_total
+         |  FROM pk),
+         |p AS (
+         |  SELECT *, ((cum - n) * $RangeParts) // n_total AS part_id
+         |  FROM c)
+         |SELECT CAST(part_id AS BIGINT) AS part_id,
+         |       count(*) AS n_days,
+         |       CAST(min(day) AS BIGINT) AS day_min,
+         |       CAST(max(day) AS BIGINT) AS day_max,
+         |       CAST(sum(n) AS BIGINT) AS n_rows,
+         |       CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) * ${RangeParts}.0
+         |         / CAST(max(n_total) AS DOUBLE) AS load_factor
+         |FROM p GROUP BY 1""".stripMargin,
     "layout_hilbert" -> {
       // sign-safe bit test: reflection steps drive intermediates
       // negative, where Java's `(x & s) > 0` reads the two's-complement

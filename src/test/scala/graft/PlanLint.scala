@@ -32,6 +32,7 @@ object PlanLint {
     "drift_daily_ks",       // global-CDF leg: cent-value grid (~5.6e4)
     "gold_region_shares",   // region/nation dimension (<=25 rows)
     "interval_concurrency", // day-domain carry (~2.5k rows)
+    "layout_range_plan",    // day-domain cumulative counts (~2.4k rows)
     "skew_profile",         // per-key count table (key domain)
     "skyline_parts",        // per-price best aggregate (price domain)
     "stats_changepoint",    // day-domain cumulative revenue (~2.5k rows)

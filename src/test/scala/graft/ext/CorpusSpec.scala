@@ -347,4 +347,49 @@ class CorpusSpec extends SparkSpec {
     // covered = its 2 occurrences ("b a" stays rare)
     assert(rep === Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("despanDocuments: later occurrences removed, first kept, fp of rewrite") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val d = Seq(
+      (1L, "a b c d e x"),   // holds the FIRST "a b c d e"
+      (2L, "z a b c d e"),   // later occurrence at p=2 -> loses p 2..6
+      (3L, "a b c d e"),     // whole doc duplicated -> fully removed
+      (4L, "q r s")          // under the gram width -> untouched
+    ).toDF("doc_id", "text")
+    val r = Corpus.despanDocuments(d)
+      .select("doc_id", "n_tokens", "n_removed", "kept_frac", "clean_fp")
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) === ((1L, 6L, 0L, 1.0, md5hex("a b c d e x"))))
+    assert(r(2L) === ((2L, 6L, 5L, 1.0 / 6.0, md5hex("z"))))
+    assert(r(3L) === ((3L, 5L, 5L, 0.0, md5hex(""))))
+    assert(r(4L) === ((4L, 3L, 0L, 1.0, md5hex("q r s"))))
+  }
+
+  test("knSmoothedBigrams: hand-computed Kneser-Ney components") {
+    import spark.implicits._
+    // docs: "a b a b" -> (a,b),(b,a),(a,b); "a b c" -> (a,b),(b,c)
+    // big: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2; n_fwd: a=1 b=2;
+    // n_bwd: a=1 b=1 c=1; T=3
+    val r = Corpus.knSmoothedBigrams(
+      Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text"))
+      .select("w1", "w2", "c12", "c1", "n_fwd", "n_bwd", "t_types", "p_kn")
+      .as[(String, String, Long, Long, Long, Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t).toMap
+    assert(r(("a", "b")) === (("a", "b", 3L, 3L, 1L, 1L, 3L,
+      (3.0 - 0.75) / 3.0 + ((0.75 * 1.0) / 3.0) * (1.0 / 3.0))))
+    assert(r(("b", "a")) === (("b", "a", 1L, 2L, 2L, 1L, 3L,
+      (1.0 - 0.75) / 2.0 + ((0.75 * 2.0) / 2.0) * (1.0 / 3.0))))
+    assert(r(("b", "c"))._8 === r(("b", "a"))._8,
+      "same counts everywhere -> same smoothed probability")
+    // discounted mass never exceeds the raw ML estimate, and every
+    // probability is positive (the continuation term floors it)
+    r.values.foreach { t =>
+      assert(t._8 > 0.0)
+      assert((t._3.toDouble - 0.75) / t._4.toDouble <= t._8)
+    }
+  }
 }

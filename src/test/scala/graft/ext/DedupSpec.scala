@@ -213,4 +213,25 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(groups(1L) === 2L)
   }
+
+  test("minhashIncremental: batch probes index, lower batch id wins, unique kept") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps", "srcA"), // indexed corpus
+      (2L, "the quick brown fox jumps", "src0"), // batch dup of index doc
+      (3L, "totally different text here now", "src0"), // batch unique
+      (4L, "the quick brown fox jumps", "src0")  // dup of index AND of 2
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.minhashIncremental(d)
+      .select("doc_id", "n_cand_index", "n_dup_index", "n_cand_batch",
+        "n_dup_batch", "keep")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    // only batch docs are reported — the index is state, not output
+    assert(r.keySet === Set(2L, 3L, 4L))
+    assert(r(2L)._3 === 1L && r(2L)._5 === 0L && !r(2L)._6)
+    assert(r(3L) === ((3L, 0L, 0L, 0L, 0L, true)))
+    // doc 4 collides with the indexed doc and the lower-id batch doc
+    assert(r(4L)._3 === 1L && r(4L)._5 === 1L && !r(4L)._6)
+  }
 }

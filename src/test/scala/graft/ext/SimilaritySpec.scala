@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -204,5 +204,44 @@ class SimilaritySpec extends SparkSpec {
       .select("label", "dim", "n_vecs", "sum_micro", "mean_micro")
       .as[(Long, Int, Long, Long, Long)].collect().toSet
     assert(shuffled === r)
+  }
+
+  test("srpSignatures: sign bits match driver-side projections") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val sigs = Similarity.srpSignatures(emb)
+      .as[(Long, Long)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val want = (0 until Similarity.SrpBits).map { j =>
+        var s = 0.0
+        for (i <- v.indices)
+          s += v(i).toDouble * Similarity.srpSign(j, i).toDouble
+        if (s >= 0.0) 1L << j else 0L
+      }.sum
+      assert(sigs(id) === want, s"vec $id")
+    }
+  }
+
+  test("srpEval: nested geometries give monotone recall at fixed n_true") {
+    val r = Similarity.srpEval(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+      .orderBy("rows_per_band").collect()
+    assert(r.length === Similarity.SrpGeometries.length)
+    // same ground truth on every arm
+    assert(r.map(_.getAs[Long]("n_true")).distinct.length === 1)
+    assert(r.head.getAs[Long]("n_true") > 0L)
+    // a collision at (8,2) implies both 1-bit sub-bands collide at
+    // (16,1): recall and candidate volume must fall as bands widen
+    r.sliding(2).foreach { case Array(coarse, fine) =>
+      assert(coarse.getAs[Long]("n_hit") >= fine.getAs[Long]("n_hit"))
+      assert(coarse.getAs[Long]("cand_pairs") >=
+        fine.getAs[Long]("cand_pairs"))
+    }
+    r.foreach { g =>
+      val rec = g.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
   }
 }

@@ -320,4 +320,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(10L) === fps(20L))
     assert(fps(10L) !== fps(30L))
   }
+
+  test("linearQuality: score is the mean hashed-slot weight, driver-recomputed") {
+    import spark.implicits._
+    def slot(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % TextAnalysis.QlSlots
+    }
+    def weight(s: Long): Long = ((s * 2654435761L + 104729L) % 97L) - 48L
+    val d = Seq((1L, "alpha beta gamma"), (2L, "delta delta"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.linearQuality(spark, d)
+      .select("doc_id", "n_tokens", "score_raw", "score", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    Seq(1L -> Seq("alpha", "beta", "gamma"),
+        2L -> Seq("delta", "delta")).foreach { case (id, toks) =>
+      val raw = toks.map(t => weight(slot(t))).sum
+      val (_, n, sr, sc, keep) = got(id)
+      assert(n === toks.length.toLong)
+      assert(sr === raw, s"doc $id raw score")
+      assert(sc === raw.toDouble / toks.length)
+      assert(keep === (raw >= 0L))
+    }
+  }
 }

@@ -99,4 +99,38 @@ class LayoutSpec extends SparkSpec {
     assert(byKey.getAs[Long]("rows_scanned") === 184L)
     assert(byKey.getAs[Long]("n_shards_skipped") === 0L)
   }
+
+  test("rangePartitionPlan: contiguous non-overlapping splits, rows conserved") {
+    // 320 rows over 32 distinct days, 10 rows/day -> 16 parts of 20 rows
+    val rows = for (d <- 0 until 32; r <- 0 until 10) yield
+      (d * 10L + r, 1L, "O", 1.0,
+        java.time.LocalDate.parse(Layout.EpochDate).plusDays(d).toString +
+          " 00:00:00", "X")
+    val parts = Layout.rangePartitionPlan(orders(rows: _*))
+      .orderBy("part_id").collect()
+    assert(parts.length === 16)
+    assert(parts.map(_.getAs[Long]("n_rows")).sum === 320L)
+    // uniform input -> perfectly balanced plan
+    parts.foreach { p =>
+      assert(p.getAs[Long]("n_rows") === 20L)
+      assert(p.getAs[Double]("load_factor") === 1.0)
+    }
+    // key ranges are sorted and disjoint: each part starts after the
+    // previous one ends (range partitioning's defining property)
+    parts.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("day_max") < b.getAs[Long]("day_min"))
+    }
+    // skewed input: one hot day gets its own heavy partition but the
+    // assignment still conserves rows and keeps ranges disjoint
+    val skewRows = rows ++ (0 until 300).map(i =>
+      (9000L + i, 1L, "O", 1.0,
+        java.time.LocalDate.parse(Layout.EpochDate).toString +
+          " 00:00:00", "X"))
+    val skewed = Layout.rangePartitionPlan(orders(skewRows: _*))
+      .orderBy("part_id").collect()
+    assert(skewed.map(_.getAs[Long]("n_rows")).sum === 620L)
+    skewed.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("day_max") < b.getAs[Long]("day_min"))
+    }
+  }
 }
