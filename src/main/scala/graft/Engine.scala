@@ -63,6 +63,11 @@ case class Engine(spark: SparkSession, dataDir: String) {
         : DataFrame = Dedup.dedupThresholdSweep(docs, thresholds)
     def dupSpans(n: Int = Corpus.SpanGram): DataFrame =
       Corpus.dupSpans(docs, n)
+    def despan(n: Int = Corpus.SpanGram): DataFrame =
+      Corpus.despanDocuments(docs, n)
+    def incremental(batchSource: String = "src0",
+        threshold: Double = 0.5): DataFrame =
+      Dedup.minhashIncremental(docs, batchSource, threshold)
     def bloomScreen(threshold: Double = 0.2): DataFrame =
       Dedup.bloomDecontam(docs, threshold)
     private def docs = Tables.documents(spark, dataDir)
@@ -118,6 +123,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TextAnalysis.winnowFingerprints(docs, n, w)
     def countMin(topK: Int = 20): DataFrame =
       graft.ext.HeavyHitters.countMinEstimates(docs, topK)
+    def qualityLinear: DataFrame = TextAnalysis.linearQuality(spark, docs)
+    def kneserNey(k: Int = Corpus.KnTopK): DataFrame =
+      Corpus.knSmoothedBigrams(docs, k)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -155,6 +163,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def dimProfile: DataFrame = Similarity.dimProfile(emb)
     def labelCentroids: DataFrame = Similarity.labelCentroids(emb)
     def gramMatrix: DataFrame = Similarity.gramMatrix(emb)
+    def srpEval(threshold: Double = 0.35): DataFrame =
+      Similarity.srpEval(emb, threshold)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 
@@ -387,6 +397,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def compact(path: String, targetFiles: Int,
         sortKey: Option[String] = None): Unit =
       graft.sources.Layout.compact(spark, path, targetFiles, sortKey)
+    def rangePlan(parts: Long = graft.plans.Layout.RangeParts): DataFrame =
+      graft.plans.Layout.rangePartitionPlan(
+        Tables.orders(spark, dataDir), parts)
   }
 
   /** Full medallion run with validation; throws on any failed check. */

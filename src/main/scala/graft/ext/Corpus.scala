@@ -684,12 +684,21 @@ object Corpus {
     * windows, no driver state. Coverage is one exact-int IEEE division.
     */
   def bigramCoverage(docs: DataFrame, minCount: Long = BigramMinCount): DataFrame = {
-    val pairs = docs.select(col("doc_id"), expr(
-      """CASE WHEN size(split(text, ' ')) < 2 THEN array()
-        |ELSE transform(sequence(1, size(split(text, ' ')) - 1),
-        |     i -> concat_ws(' ', slice(split(text, ' '), i, 2))) END"""
-        .stripMargin).as("bgs"))
-      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+    // bigram OCCURRENCES as 64-bit xxhash64(tok, tok) ids — no
+    // concatenated-string build in the explode, and the corpus count +
+    // coverage join shuffle 8-byte longs instead of ~25-byte strings
+    // (the [[graft.ext.Dedup.ngramIds]] trick; tokens are space-free so
+    // the id partition matches the string bigrams', collisions
+    // negligible — measured 4.5 s -> 0.6 s at sf0.1 on what was the
+    // corpus-heaviest text query)
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 1),
+          |     i -> xxhash64(element_at(toks, CAST(i AS INT)),
+          |                   element_at(toks, CAST(i AS INT) + 1))) END"""
+          .stripMargin)).as("bg"))
     val frequent = pairs.groupBy("bg").agg(count(lit(1)).as("n_corpus"))
       .filter(col("n_corpus") >= minCount)
     pairs.join(frequent, Seq("bg"), "left")

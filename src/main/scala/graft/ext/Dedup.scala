@@ -482,7 +482,12 @@ object Dedup {
   def minhashIncremental(docs: DataFrame, batchSource: String = "src0",
       threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs).persist()
-    val banded = {
+    // the band table feeds FOUR consumers (two probe joins, each read by
+    // a candidate count and a verify) — materialize it once (small:
+    // nBands rows per doc) instead of re-running the signature
+    // aggregation per consumer; at scale this is exactly the stored
+    // index state the incremental design assumes
+    val banded = graft.CheckpointLease.track({
       val nBands = MinhashK / BandRows
       minhashSignaturesPortable(sh).select(col("doc_id"), posexplode(array(
         (0 until nBands).map(b => concat_ws(":",
@@ -490,7 +495,7 @@ object Dedup {
             col("sig")(b * BandRows + r).cast("string")): _*)): _*))
         .as(Seq("band", "band_key")))
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-    }
+    }.localCheckpoint(true))
     val batchB = banded.filter(col("source") === batchSource)
     val indexB = banded.filter(col("source") =!= batchSource)
     def probe(other: DataFrame, cond: Column): DataFrame =

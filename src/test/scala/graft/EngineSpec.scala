@@ -41,7 +41,10 @@ class EngineSpec extends SparkSpec {
       e.stats.mannKendall, e.stats.theilSen, e.graph.assortativity,
       e.privacy.kAnonymity, e.privacy.lDiversity(), e.privacy.tCloseness(),
       e.text.winnow(), e.text.countMin(), e.dedup.bloomScreen(),
-      e.multimodal.averageHash)
+      e.multimodal.averageHash,
+      // round-10 second-wave surface
+      e.dedup.despan(), e.dedup.incremental(), e.similarity.srpEval(),
+      e.text.qualityLinear, e.text.kneserNey(), e.layout.rangePlan())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
