@@ -748,7 +748,13 @@ object Corpus {
           |          i -> struct(toks[i-1] AS w1, toks[i] AS w2))"""
           .stripMargin)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // the bigram-type table is vocab²-bounded — materialize it once so
+    // the three derived aggregates (left totals, right continuation
+    // counts, type count) reuse it instead of each re-scanning the
+    // corpus-sized bigram stream (plan audit: 4 corpus scans → 1)
+    val big = graft.CheckpointLease.track(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true))
     val left = big.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n_fwd"))
     val right = big.groupBy("w2").agg(count(lit(1)).as("n_bwd"))

@@ -213,10 +213,14 @@ object Layout {
     val perKey = orders.groupBy(day.as("day")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("day")
       .rowsBetween(Long.MinValue, 0)
-    val total = perKey.agg(sum(col("n")).as("n_total"))
+    // grand total as a full-frame window over the SAME pre-aggregated
+    // day domain — a separate perKey.agg() would re-scan the fact table
+    // (plan audit: 2 parquet scans → 1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     perKey
       .withColumn("cum", sum(col("n")).over(w))
-      .crossJoin(broadcast(total))
+      .withColumn("n_total", sum(col("n")).over(wAll))
       .withColumn("part_id",
         expr(s"((cum - n) * $parts) div n_total"))
       .groupBy("part_id")
