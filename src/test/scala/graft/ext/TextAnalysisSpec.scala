@@ -321,6 +321,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(10L) !== fps(30L))
   }
 
+  test("linearQuality plan: weight table broadcast, one doc-keyed exchange") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.linearQuality(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 4096-row model must broadcast, never shuffle the token stream on slot:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"exactly the doc_id aggregation exchange:\n$plan")
+  }
+
   test("linearQuality: score is the mean hashed-slot weight, driver-recomputed") {
     import spark.implicits._
     def slot(tok: String): Long = {
