@@ -96,6 +96,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Curation.hashReservoirPerSource(docs, k)
     def tokenBudget(budget: Long = Corpus.TokenBudget): DataFrame =
       Corpus.tokenBudgetPlan(docs, budget)
+    def curriculum(phases: Long = Curation.CurriculumPhases): DataFrame =
+      Curation.curriculumPlan(spark, docs, phases)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -165,6 +167,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def gramMatrix: DataFrame = Similarity.gramMatrix(emb)
     def srpEval(threshold: Double = 0.35): DataFrame =
       Similarity.srpEval(emb, threshold)
+    def thresholdSweep(
+        thresholds: Seq[Double] = Similarity.VecSweepThresholds): DataFrame =
+      Similarity.embeddingThresholdSweep(emb, thresholds)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 

@@ -322,7 +322,44 @@ object Curation {
       .select("source", "doc_id", "h")
   }
 
+  /** Training phases of [[curriculumPlan]]. */
+  val CurriculumPhases = 4L
+
+  /** Quality-curriculum phase planner — the training-order side of
+    * model-based filtering: score every document with the hashed linear
+    * quality model ([[graft.ext.TextAnalysis.linearQuality]]), then cut
+    * the corpus into `phases` equal-mass phases by ascending score
+    * (phase 0 = lowest quality first, the quality-ascending curriculum
+    * recipe). The cut NEVER ranks the corpus globally: scores collapse
+    * to an integer centi-score key (bounded by the weight range,
+    * ±4 800 values), phase boundaries come from cumulative counts over
+    * that tiny VALUE DOMAIN — the [[graft.plans.Layout.rangePartitionPlan]]
+    * split arithmetic — and docs get their phase back through a join
+    * against the (broadcastable) score-domain table. One corpus scan,
+    * one doc-keyed shuffle, no global window over docs.
+    */
+  def curriculumPlan(s: SparkSession, docs: DataFrame,
+      phases: Long = CurriculumPhases): DataFrame = {
+    val scored = graft.ext.TextAnalysis.linearQuality(s, docs)
+      .select(col("doc_id"), col("n_tokens"), col("score_raw"))
+      // integer centi-score (div truncates toward zero on both engines
+      // — the labelCentroids-pinned semantics)
+      .withColumn("score_c", expr("(score_raw * 100) div n_tokens"))
+    val perKey = scored.groupBy("score_c").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("score_c").rowsBetween(Long.MinValue, 0)
+    val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val phaseOf = perKey
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("n_total", sum(col("n")).over(wAll))
+      .select(col("score_c"),
+        expr(s"((cum - n) * $phases) div n_total").as("phase"))
+    scored.join(broadcast(phaseOf), Seq("score_c"))
+      .select(col("doc_id"), col("n_tokens"), col("score_c"), col("phase"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_curriculum" -> ((s, d) =>
+      curriculumPlan(s, Tables.documents(s, d))),
     "sample_reservoir"  -> ((s, d) =>
       hashReservoirPerSource(Tables.documents(s, d))),
     "dsir_relevance"    -> ((s, d) => domainRelevance(Tables.documents(s, d))),
@@ -340,6 +377,39 @@ object Curation {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "curation_curriculum" ->
+      s"""WITH w AS (
+         |  SELECT range AS slot,
+         |         ((range * 2654435761 + 104729) % 97) - 48 AS w
+         |  FROM range(4096)),
+         |t AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+         |           % 4096 AS slot
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(w.w) AS BIGINT) AS score_raw
+         |  FROM t JOIN w USING (slot) GROUP BY 1),
+         |k AS (
+         |  SELECT doc_id, n_tokens,
+         |         (score_raw * 100) // n_tokens AS score_c
+         |  FROM a),
+         |pk AS (SELECT score_c, count(*) AS n FROM k GROUP BY 1),
+         |c AS (
+         |  SELECT score_c, n,
+         |         sum(n) OVER (ORDER BY score_c ROWS UNBOUNDED PRECEDING)
+         |           AS cum,
+         |         sum(n) OVER () AS n_total
+         |  FROM pk),
+         |p AS (
+         |  SELECT score_c,
+         |         ((cum - n) * $CurriculumPhases) // n_total AS phase
+         |  FROM c)
+         |SELECT k.doc_id, k.n_tokens, k.score_c,
+         |       CAST(p.phase AS BIGINT) AS phase
+         |FROM k JOIN p USING (score_c)""".stripMargin,
     "sample_reservoir" ->
       """SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         |FROM documents

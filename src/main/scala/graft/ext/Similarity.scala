@@ -574,7 +574,41 @@ object Similarity {
     arms.reduce(_ unionAll _)
   }
 
+  /** Thresholds evaluated by [[embeddingThresholdSweep]] (floor first —
+    * the pair derivation runs once at the loosest value).
+    */
+  val VecSweepThresholds: Seq[Double] = Seq(0.3, 0.35, 0.4, 0.5, 0.6)
+
+  /** Embedding-side dedup threshold what-if — the tuning query run
+    * before committing a corpus to a cosine near-dup pass (the
+    * [[graft.ext.Dedup.dedupThresholdSweep]] shape on vectors): pairs
+    * are derived ONCE at the sweep floor, collapse to each vector's
+    * best cosine against any lower vec_id (keyed max — no window), and
+    * a 5-row explode scores every candidate threshold against that
+    * per-vector max. Exact counts; drop_rate is the one IEEE division.
+    */
+  def embeddingThresholdSweep(emb: DataFrame,
+      thresholds: Seq[Double] = VecSweepThresholds): DataFrame = {
+    val nVec = emb.agg(count(lit(1)).as("n_vecs"))
+    val bestC = embeddingNearDupPairs(emb, thresholds.min)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(max(col("cosine")).as("best_c"))
+    bestC
+      .select(col("best_c"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(sum(when(col("best_c") >= col("threshold"), 1L).otherwise(0L))
+        .as("n_dropped"))
+      .crossJoin(broadcast(nVec))
+      .select(col("threshold"), col("n_dropped"),
+        (col("n_vecs") - col("n_dropped")).as("n_kept"),
+        (col("n_dropped").cast("double") / col("n_vecs").cast("double"))
+          .as("drop_rate"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_dedup_sweep" -> ((s, d) =>
+      embeddingThresholdSweep(Tables.embeddings(s, d))),
     "dedup_srp_eval" -> ((s, d) => srpEval(Tables.embeddings(s, d))),
     "vec_gram_matrix" -> ((s, d) => gramMatrix(Tables.embeddings(s, d))),
     "vec_label_centroids" -> ((s, d) =>
@@ -664,6 +698,35 @@ object Similarity {
 
   /** DuckDB twins (IVF is rows-only; recall asserted in SimilaritySpec). */
   def oracleSql: Map[String, String] = Map(
+    "vec_dedup_sweep" -> {
+      val floor = VecSweepThresholds.min
+      val arms = VecSweepThresholds.mkString(", ")
+      s"""WITH ns AS (
+         |  SELECT label,
+         |         GREATEST(1, CAST(ceil(count(*) / 100000.0) AS BIGINT))
+         |           AS nsub
+         |  FROM embeddings GROUP BY 1),
+         |p AS (
+         |  SELECT b.vec_id AS vec_b, ${duckCos("a", "b")} AS cosine
+         |  FROM embeddings a JOIN ns ON a.label = ns.label
+         |  JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |   AND a.vec_id % ns.nsub = b.vec_id % ns.nsub
+         |  WHERE ${duckCos("a", "b")} >= $floor),
+         |best AS (SELECT vec_b, max(cosine) AS best_c FROM p GROUP BY 1),
+         |n AS (SELECT count(*) AS n_vecs FROM embeddings),
+         |t AS (SELECT CAST(unnest([$arms]) AS DOUBLE) AS threshold),
+         |agg AS (
+         |  SELECT t.threshold,
+         |         CAST(sum(CASE WHEN best.best_c >= t.threshold
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |  FROM best CROSS JOIN t GROUP BY 1)
+         |SELECT threshold, n_dropped,
+         |       n.n_vecs - n_dropped AS n_kept,
+         |       CAST(n_dropped AS DOUBLE) / CAST(n.n_vecs AS DOUBLE)
+         |         AS drop_rate
+         |FROM agg, n""".stripMargin
+    },
     "dedup_srp_eval" -> duckSrpSql,
     "vec_gram_matrix" ->
       """WITH q AS (

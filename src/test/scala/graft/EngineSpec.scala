@@ -44,7 +44,8 @@ class EngineSpec extends SparkSpec {
       e.multimodal.averageHash,
       // round-10 second-wave surface
       e.dedup.despan(), e.dedup.incremental(), e.similarity.srpEval(),
-      e.text.qualityLinear, e.text.kneserNey(), e.layout.rangePlan())
+      e.text.qualityLinear, e.text.kneserNey(), e.layout.rangePlan(),
+      e.similarity.thresholdSweep(), e.curation.curriculum())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -29,6 +29,7 @@ object PlanLint {
     "ab_test_mann_whitney", // cents value domain (~5e4 rows)
     "abc_parts",            // digit-band ladder (~19 rows)
     "bpe_pairs",            // charset^2 adjacent-pair domain
+    "curation_curriculum",  // centi-score value domain (±4.8k rows)
     "drift_daily_ks",       // global-CDF leg: cent-value grid (~5.6e4)
     "gold_region_shares",   // region/nation dimension (<=25 rows)
     "interval_concurrency", // day-domain carry (~2.5k rows)

@@ -244,4 +244,26 @@ class CurationSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("curriculumPlan: equal-mass phases ascend by score, every doc assigned") {
+    val r = Curation.curriculumPlan(spark, docs).collect()
+    assert(r.length === docs.count())
+    val phases = r.map(_.getAs[Long]("phase")).distinct.sorted
+    assert(phases.head === 0L &&
+      phases.last < Curation.CurriculumPhases)
+    // phases are score-ordered: every doc in phase p scores <= every doc
+    // in phase p+1 (boundaries cut the score domain, never split a score)
+    val byPhase = r.groupBy(_.getAs[Long]("phase")).view
+      .mapValues(_.map(_.getAs[Long]("score_c"))).toMap
+    phases.sliding(2).foreach { case Array(lo, hi) =>
+      assert(byPhase(lo).max <= byPhase(hi).min,
+        s"phase $lo must not outscore phase $hi")
+    }
+    // equal-mass within one score-key granularity: no phase is empty and
+    // the largest/smallest differ by at most the hottest score key
+    val sizes = phases.map(p => byPhase(p).length.toLong)
+    val hottest = r.groupBy(_.getAs[Long]("score_c"))
+      .values.map(_.length.toLong).max
+    assert(sizes.max - sizes.min <= hottest)
+  }
 }

@@ -206,6 +206,26 @@ class SimilaritySpec extends SparkSpec {
     assert(shuffled === r)
   }
 
+  test("embeddingThresholdSweep: monotone drop curve, mass conserved") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val r = Similarity.embeddingThresholdSweep(emb)
+      .orderBy("threshold").collect()
+    assert(r.length === Similarity.VecSweepThresholds.length)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_dropped") + row.getAs[Long]("n_kept") === n)
+    }
+    // tightening the threshold can only drop fewer vectors
+    r.sliding(2).foreach { case Array(loose, tight) =>
+      assert(loose.getAs[Long]("n_dropped") >=
+        tight.getAs[Long]("n_dropped"))
+    }
+    // the floor row agrees with the pair operator it derives from
+    val direct = Similarity.embeddingNearDupPairs(emb, 0.3)
+      .select("vec_b").distinct().count()
+    assert(r.head.getAs[Long]("n_dropped") === direct)
+  }
+
   test("srpSignatures: sign bits match driver-side projections") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
