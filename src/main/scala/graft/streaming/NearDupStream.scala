@@ -105,4 +105,33 @@ object NearDupStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(pairEmitter(maxPerBucket))
   }
+
+  /** Band table of the ALREADY-INGESTED corpus — the stored index state
+    * the static-probe path joins against (the streaming counterpart of
+    * [[graft.ext.Dedup.minhashIncremental]]'s index side). Built
+    * batch-side with the identical banding, refreshed on the ingestion
+    * cadence.
+    */
+  def staticIndexBands(indexDocs: DataFrame): DataFrame =
+    bandedDocs(indexDocs).toDF()
+      .withColumnRenamed("doc_id", "index_doc_id")
+
+  /** STATELESS ingest-time dedup screen: incoming docs band per-row
+    * (narrow) and probe the precomputed index band table through a
+    * stream-static broadcast join — no streaming state at all, so
+    * throughput is bounded by the join and restarts carry nothing. This
+    * is the right shape when the reference set is the (slowly-growing)
+    * indexed corpus rather than the stream itself:
+    * [[candidatesStream]]'s stateful buckets handle within-stream dups,
+    * this handles stream-vs-index, and a production ingest runs both.
+    * Emits one row per (new doc, indexed doc, band) collision in Append
+    * mode; exact-Jaccard adjudication against the doc store happens
+    * downstream, exactly as in the batch operator.
+    */
+  def probeStaticIndex(newDocs: DataFrame,
+      indexBands: DataFrame): DataFrame =
+    bandedDocs(newDocs).toDF()
+      .join(broadcast(indexBands), Seq("band_hash"))
+      .select(col("doc_id").as("new_doc_id"), col("index_doc_id"),
+        col("band_hash"))
 }

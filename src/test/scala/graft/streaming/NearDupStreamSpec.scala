@@ -69,4 +69,34 @@ class NearDupStreamSpec extends SparkSpec {
       assert(pairs <= 6, s"cap did not bound emission: $pairs pairs")
     } finally q.stop()
   }
+
+  test("static-index probe: stream-static join flags index dups, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = NearDupStream.staticIndexBands(
+      Seq((100L, near1), (200L, far)).toDF("doc_id", "text"))
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    val q = NearDupStream.probeStaticIndex(sdf, index)
+      .writeStream.format("memory").queryName("neardup_probe")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, near2),
+        (2L, "fresh content sharing nothing with any indexed document"))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_probe")
+        .select("new_doc_id", "index_doc_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      // the near-dup of indexed doc 100 collides; the fresh doc does not
+      assert(hits === Set((1L, 100L)))
+      // collisions equal the batch incremental probe's candidate set on
+      // the union corpus (bands are the identical xxhash64 spelling)
+      val batchCands = Dedup.lshCandidates(Dedup.minhashSignatures(
+          Seq((100L, near1), (200L, far), (1L, near2)).toDF("doc_id", "text")))
+        .as[(Long, Long)].collect().toSet
+      assert(batchCands.contains((1L, 100L)))
+      // stateless: the running query holds no state rows
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(_.isEmpty))
+    } finally q.stop()
+  }
 }
