@@ -410,4 +410,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
   /** Full medallion run with validation; throws on any failed check. */
   def runPipeline(outDir: String): Seq[Pipeline.CheckResult] =
     Pipeline.runAll(spark, dataDir, outDir)
+
+  /** Full training-data curation run (screen → despan → dedup →
+    * curriculum) with validation; throws on any failed check.
+    */
+  def runCorpusPipeline(outDir: String): Seq[Pipeline.CheckResult] =
+    graft.ext.CorpusPipeline.runAll(spark, dataDir, outDir)
 }
