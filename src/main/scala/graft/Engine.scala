@@ -170,6 +170,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def thresholdSweep(
         thresholds: Seq[Double] = Similarity.VecSweepThresholds): DataFrame =
       Similarity.embeddingThresholdSweep(emb, thresholds)
+    def pqProfile: DataFrame = Similarity.pqProfile(emb)
+    def topKPq(k: Int = Similarity.TopK,
+        shortlist: Int = Similarity.PqShortlist): DataFrame =
+      Similarity.pqTopK(emb, k, shortlist)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 

@@ -206,6 +206,48 @@ class SimilaritySpec extends SparkSpec {
     assert(shuffled === r)
   }
 
+  test("pqProfile: full code words in range, nonneg recon, codes discriminate") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Similarity.pqProfile(emb).collect()
+    assert(r.length === emb.count())
+    r.foreach { row =>
+      val codes = row.getSeq[Int](1)
+      assert(codes.length === Similarity.PqSubspaces)
+      assert(codes.forall(c => c >= 0 && c < Similarity.PqCodebookK))
+      assert(row.getAs[Double]("recon_sq_total") >= 0.0)
+    }
+    // quantization must discriminate: far more distinct code words than
+    // a collapsed codebook would give
+    val distinctWords = r.map(_.getSeq[Int](1)).distinct.length
+    assert(distinctWords > r.length / 2,
+      s"only $distinctWords distinct code words over ${r.length} vectors")
+  }
+
+  test("pqTopK: ADC shortlist + exact re-rank recalls >= 0.85 of brute top-10") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(emb)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(f"PQ recall@10 = $recall%.2f")
+    assert(recall >= 0.85, f"recall $recall%.2f below gate")
+    // the re-rank stage reports EXACT cosines: every (q, n) pair shared
+    // with brute must carry an identical cosine value
+    val bc = Similarity.bruteForceTopK(emb)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    Similarity.pqTopK(emb)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, c) =>
+        bc.get((q, n)).foreach(exact => assert(exact === c)) }
+  }
+
   test("embeddingThresholdSweep: monotone drop curve, mass conserved") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
