@@ -650,21 +650,64 @@ object Similarity {
         expr("transform(embedding, v -> CAST(v / pq_n AS FLOAT))"))
       .drop("pq_n")
 
-  /** Per-subspace PQ codebooks: the SAME deterministic Lloyd skeleton as
-    * the IVF codebook, run under squared-L2 on each dimension slice
-    * (cosine is wrong on subvectors — their norms carry signal). Output
-    * (sub_id, centroid_id, c); M small trainings, each over an
-    * (n × subdim) slice, all broadcast-scale.
+  /** Per-subspace PQ codebooks — ALL M subspaces trained JOINTLY: the
+    * subvector stream (vec, sub) is exploded once and every Lloyd
+    * iteration runs ONE assignment agg and ONE mean agg across all
+    * subspaces (2 shuffles/iteration total, vs 2·M for a per-subspace
+    * loop — at 1000 executors that is the difference between 6 and 96
+    * barrier stages). Metric is squared-L2 on the slices (cosine is
+    * wrong on subvectors — their norms carry signal); init is the first
+    * k vectors in vec_id order, sliced, same determinism contract as
+    * [[trainCentroids]]. Output (sub_id, centroid_id, c); the collected
+    * mean table is m×k×subdim ≈ 2k floats — driver-trivial.
     */
   def trainPqCodebooks(emb: DataFrame, m: Int = PqSubspaces,
-      k: Int = PqCodebookK, iters: Int = KmeansIters): DataFrame =
-    (0 until m).map { s =>
-      val sub = emb.select(col("vec_id"),
-        expr(s"slice(embedding, ${s * PqSubDim + 1}, $PqSubDim)")
-          .as("embedding"))
-      trainCentroidsWith(sub, k, iters, (a, b) => -l2sq(a, b))
-        .select(lit(s).as("sub_id"), col("centroid_id"), col("c"))
-    }.reduce(_ unionAll _)
+      k: Int = PqCodebookK, iters: Int = KmeansIters): DataFrame = {
+    val spark = emb.sparkSession
+    val subDim = SrpDim / m
+    val subs = emb.select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, ${m - 1}),
+         |          s -> slice(embedding, s * $subDim + 1, $subDim))"""
+        .stripMargin)).as(Seq("sub_id", "sv"))).persist()
+    val seed = emb.orderBy(col("vec_id")).limit(k).collect()
+    var prev: Map[(Int, Int), Seq[Float]] = (for {
+      (row, i) <- seed.zipWithIndex
+      s <- 0 until m
+    } yield (s, i) ->
+      row.getSeq[Float](row.fieldIndex("embedding"))
+        .slice(s * subDim, (s + 1) * subDim)).toMap
+    val kEff = seed.length
+    def toDf(map: Map[(Int, Int), Seq[Float]]) =
+      spark.createDataFrame(map.toSeq.sortBy(_._1)
+          .map { case ((s, c), v) => (s, c, v) })
+        .toDF("sub_id", "centroid_id", "c")
+    var cents = toDf(prev)
+    for (_ <- 1 to iters) {
+      val best = subs.join(broadcast(cents), Seq("sub_id"))
+        .select(col("vec_id"), col("sub_id"), col("centroid_id"),
+          col("sv"), l2sq(col("sv"), col("c")).as("d"))
+        .groupBy("vec_id", "sub_id")
+        .agg(min_by(struct(col("centroid_id"), col("sv")),
+          struct(col("d"), col("centroid_id"))).as("m"))
+        .select(col("sub_id"), col("m.centroid_id").as("centroid_id"),
+          col("m.sv").as("sv"))
+      val means = best
+        .select(col("sub_id"), col("centroid_id"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub_id", "centroid_id", "pos")
+        .agg(avg(col("x").cast("double")).as("mu"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq
+        }
+      prev = (for (s <- 0 until m; c <- 0 until kEff) yield
+        (s, c) -> byKey.getOrElse((s, c), prev((s, c)))).toMap
+      cents = toDf(prev)
+    }
+    subs.unpersist()
+    cents
+  }
 
   /** PQ encoding: every vector explodes into its M subvectors (narrow),
     * each assigned its nearest sub-centroid with ONE `min_by` hash-agg
