@@ -123,6 +123,49 @@ object Relational {
         col("est").as("est_orders")))
   }
 
+  /** Sketch set-algebra — the audience-overlap readout mergeable HLL
+    * sketches exist for: the 1995 and 1996 buyer populations are each
+    * ONE sketch (map-side combined), the union estimate comes from
+    * `hll_union_agg` over the two, and the intersection estimate falls
+    * out by inclusion–exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) — no re-scan,
+    * no pairwise join of members. Exact counterparts (distinct counts +
+    * a semi-join overlap) ride along so the estimate error is visible in
+    * the output. At 100 TB the sketches are the only thing that moves
+    * between stages; the exact columns are the test-scale audit.
+    * Estimates are implementation-defined → rows-only (the
+    * `agg_hll_sketch` family), gated in RelationalSpec against the exact
+    * values.
+    */
+  def hllOverlap(orders: DataFrame): DataFrame = {
+    val yr = year(to_date(col("o_orderdate")))
+    val base = orders.filter(yr.isin(1995, 1996))
+      .select(yr.as("yr"), col("o_custkey"))
+    val perYear = base.groupBy("yr")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        countDistinct(col("o_custkey")).as("exact"))
+    val a = perYear.filter(col("yr") === 1995)
+      .select(col("sk").as("sk_a"), col("exact").as("exact_a"))
+    val b = perYear.filter(col("yr") === 1996)
+      .select(col("sk").as("sk_b"), col("exact").as("exact_b"))
+    val exactInter = base.filter(col("yr") === 1995)
+      .select("o_custkey").distinct()
+      .join(base.filter(col("yr") === 1996)
+        .select("o_custkey").distinct(), Seq("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("exact_intersect"))
+    val u = perYear.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(u))
+      .crossJoin(broadcast(exactInter))
+      .select(
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        col("est_union"),
+        (hll_sketch_estimate(col("sk_a")) +
+          hll_sketch_estimate(col("sk_b")) - col("est_union"))
+          .as("est_intersect"),
+        col("exact_a"), col("exact_b"), col("exact_intersect"))
+  }
+
   /** Collect aggregates surfaced deterministically: the per-group value
     * SET as a sorted CSV (`collect_set` itself is unordered and
     * partitioning-dependent — `sort_array` + join to a scalar pins a
@@ -729,6 +772,7 @@ object Relational {
     "agg_weighted_median" -> ((s, d) => weightedMedian(Tables.lineitem(s, d))),
     "agg_approx_distinct" -> ((s, d) => approxDistinct(Tables.lineitem(s, d))),
     "agg_hll_sketch"     -> ((s, d) => hllSketchMerge(Tables.lineitem(s, d))),
+    "agg_hll_overlap"    -> ((s, d) => hllOverlap(Tables.orders(s, d))),
     "agg_rollup"         -> ((s, d) => rollupSales(Tables.lineitem(s, d))),
     "agg_cube"           -> ((s, d) => cubeSales(Tables.lineitem(s, d))),
     "agg_unpivot"        -> ((s, d) =>

@@ -342,4 +342,25 @@ class RelationalSpec extends SparkSpec {
       ("A", 5L, 2L, 3L, 2.0 / 3),
       ("B", 1L, 1L, 2L, 0.5)))
   }
+
+  test("hllOverlap: inclusion-exclusion intersection within sketch error") {
+    val row = Relational.hllOverlap(
+      graft.Tables.orders(spark, "/root/testdata/sf0.001")).collect().head
+    val (estA, estB, estU, estI) = (row.getAs[Long]("est_a").toDouble,
+      row.getAs[Long]("est_b").toDouble,
+      row.getAs[Long]("est_union").toDouble,
+      row.getAs[Long]("est_intersect").toDouble)
+    val (exA, exB, exI) = (row.getAs[Long]("exact_a"),
+      row.getAs[Long]("exact_b"), row.getAs[Long]("exact_intersect"))
+    // per-population sketches carry standard HLL error
+    assert(math.abs(estA - exA) <= 0.05 * exA, s"est_a $estA vs $exA")
+    assert(math.abs(estB - exB) <= 0.05 * exB, s"est_b $estB vs $exB")
+    // union never below either side; inclusion-exclusion intersection
+    // inherits three estimates' error — looser gate, but must land
+    // in the right ballpark of the exact semi-join overlap
+    assert(estU >= math.max(estA, estB) * 0.95)
+    assert(exI > 0, "fixture years must share repeat customers")
+    assert(math.abs(estI - exI) <= 0.25 * exI + 3.0,
+      s"est_intersect $estI vs exact $exI")
+  }
 }
