@@ -47,6 +47,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def jaccardPairs(threshold: Double = 0.5,
         maxShingleDf: Long = Dedup.MaxShingleDf): DataFrame =
       Dedup.ngramJaccardPairs(docs, threshold, maxShingleDf)
+    def containmentPairs(threshold: Double = 0.8,
+        maxShingleDf: Long = Dedup.MaxShingleDf): DataFrame =
+      Dedup.containmentDedupPairs(docs, threshold, maxShingleDf)
     def minhashDedup(threshold: Double = 0.5): DataFrame =
       Dedup.minhashDedupDocs(docs, threshold)
     def simhashNearDups(maxHamming: Int = 3): DataFrame =

@@ -152,6 +152,54 @@ object Dedup {
     out
   }
 
+  /** Within-corpus asymmetric near-containment pairs — the quote/subset
+    * detector Jaccard structurally misses: a short document fully
+    * embedded in a long one has tiny Jaccard (the union is dominated by
+    * the long side) but containment `|∩| / min(|A|,|B|)` ≈ 1. A curation
+    * pass runs this alongside the symmetric Jaccard sweep to catch
+    * boilerplate-wrapped copies and quoted passages.
+    *
+    * Same one-shuffle df-capped inverted index as [[ngramJaccardPairs]]
+    * — only the score denominator changes — so the scale argument
+    * transfers verbatim. Reports both scores plus which doc is the
+    * contained (smaller) side; ties on size resolve to doc_a, the same
+    * deterministic rule on both engines.
+    */
+  def containmentDedupPairs(docs: DataFrame, threshold: Double = 0.8,
+      maxShingleDf: Long = MaxShingleDf): DataFrame = {
+    val kept = shingleIds(docs)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf)
+      .select("doc_id", "shingle")
+      .persist()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            b -> struct(a AS doc_a, b AS doc_b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("inter_size"))
+    val out = graft.CheckpointLease.track(inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter_size"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        (col("inter_size") * lit(1.0) /
+          least(col("sa.n"), col("sb.n"))).as("containment"),
+        (col("inter_size") * lit(1.0) /
+          (col("sa.n") + col("sb.n") - col("inter_size"))).as("jaccard"),
+        when(col("sa.n") <= col("sb.n"), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_doc"))
+      .filter(col("containment") >= threshold)
+      .localCheckpoint(true))
+    kept.unpersist()
+    out
+  }
+
   /** Low-cap variant of [[ngramJaccardPairs]] (df cap = 5): at test SF
     * this genuinely drops shingles (max testdata df is 7 at sf0.01 / 25
     * at sf0.1), and its DuckDB oracle replicates the cap — so the skew
@@ -710,6 +758,8 @@ object Dedup {
       ngramJaccardPairs(Tables.documents(s, d))),
     "dedup_ngram_capped"  -> ((s, d) =>
       ngramJaccardPairsCapped(Tables.documents(s, d))),
+    "dedup_containment"   -> ((s, d) =>
+      containmentDedupPairs(Tables.documents(s, d))),
     "decontam_ngrams"     -> ((s, d) => {
       val docs = Tables.documents(s, d)
       containmentPairs(docs.filter(col("source") =!= "src0"),
@@ -1076,6 +1126,35 @@ object Dedup {
     // oracle compute the SAME operator at every SF (round-3 advice: at
     // test SF the cap never fires — max df 25 — but a divergence-by-SF
     // between verified query and oracle is still a latent wrong-answer)
+    "dedup_containment" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                               for i in range(1, len(toks)-1)]))
+        |           AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  WHERE shingle IN (SELECT shingle FROM sh0
+        |                    GROUP BY 1 HAVING count(*) <= 1000)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*) AS inter_size
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter_size,
+        |       sa.n AS n_a, sb.n AS n_b,
+        |       inter_size * 1.0 / least(sa.n, sb.n) AS containment,
+        |       inter_size * 1.0 / (sa.n + sb.n - inter_size) AS jaccard,
+        |       CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END
+        |         AS contained_doc
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE inter_size * 1.0 / least(sa.n, sb.n) >= 0.8""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh0 AS (
         |  SELECT doc_id,

@@ -46,7 +46,8 @@ class EngineSpec extends SparkSpec {
       e.dedup.despan(), e.dedup.incremental(), e.similarity.srpEval(),
       e.text.qualityLinear, e.text.kneserNey(), e.layout.rangePlan(),
       e.similarity.thresholdSweep(), e.curation.curriculum(),
-      e.similarity.pqProfile, e.similarity.topKPq())
+      e.similarity.pqProfile, e.similarity.topKPq(),
+      e.dedup.containmentPairs(threshold = 0.0))
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -214,6 +214,26 @@ class DedupSpec extends SparkSpec {
     assert(groups(1L) === 2L)
   }
 
+  test("containmentDedupPairs: embedded short doc scores 1.0 where jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = "intro words here " + short +
+      " plus many extra trailing tokens one two three four five"
+    val d = Seq((1L, long), (2L, short),
+      (3L, "completely unrelated filler text with different words entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentDedupPairs(d).collect()
+    assert(pairs.length === 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_a") === 1L && p.getAs[Long]("doc_b") === 2L)
+    assert(p.getAs[Double]("containment") === 1.0)
+    assert(p.getAs[Long]("contained_doc") === 2L,
+      "the smaller side is the contained doc")
+    // the symmetric detector misses this pair at its default threshold
+    assert(p.getAs[Double]("jaccard") < 0.5)
+    assert(Dedup.ngramJaccardPairs(d).collect().isEmpty)
+  }
+
   test("minhashIncremental: batch probes index, lower batch id wins, unique kept") {
     import spark.implicits._
     val d = Seq(
