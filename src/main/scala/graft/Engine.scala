@@ -131,6 +131,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def qualityLinear: DataFrame = TextAnalysis.linearQuality(spark, docs)
     def kneserNey(k: Int = Corpus.KnTopK): DataFrame =
       Corpus.knSmoothedBigrams(docs, k)
+    def kneserNey3(k: Int = Corpus.KnTopK): DataFrame =
+      Corpus.knSmoothedTrigrams(docs, k)
     private def docs = Tables.documents(spark, dataDir)
   }
 

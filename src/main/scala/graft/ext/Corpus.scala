@@ -773,9 +773,73 @@ object Corpus {
       .limit(k)
   }
 
+  /** Trigram interpolated Kneser–Ney — the full RECURSIVE formulation
+    * (Chen & Goodman 1998), not a one-level shortcut: the trigram
+    * estimate backs off into a bigram CONTINUATION distribution built
+    * from type counts, which itself backs off into the unigram
+    * continuation:
+    *
+    *   P(w3|w1w2) = max(c123−D,0)/c12 + (D·N1+(w1w2·)/c12) · P_c(w3|w2)
+    *   P_c(w3|w2) = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *              + (D·N1+(w2·*)/N1+(·w2·)) · (N1+(··w3)/T2)
+    *
+    * where every N1+ is a distinct-type count over the trigram table and
+    * T2 the continuation-bigram type total. Reported: the [[KnTopK]]
+    * most frequent trigrams with every integer component plus the
+    * smoothed probability (one fixed float DAG over exact integers,
+    * spelled identically in the DuckDB twin).
+    *
+    * Scale shape: one explode to the trigram stream, then every
+    * aggregate is keyed on VOCABULARY tuples (trigram/bigram/unigram
+    * types — map-side combined, output bounded by vocab not corpus); the
+    * scalar type total broadcasts; the cut is TakeOrdered.
+    */
+  def knSmoothedTrigrams(docs: DataFrame, k: Int = KnTopK): DataFrame = {
+    val tri = docs.select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |          i -> struct(toks[i-1] AS w1, toks[i] AS w2,
+          |                      toks[i+1] AS w3))""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+    val big3 = graft.CheckpointLease.track(
+      tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+        .localCheckpoint(true))
+    val left12 = big3.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("n_fwd12"))
+    val contBi = graft.CheckpointLease.track(
+      big3.groupBy("w2", "w3").agg(count(lit(1)).as("n_bwd23"))
+        .localCheckpoint(true))
+    val mid = contBi.groupBy("w2")
+      .agg(sum("n_bwd23").as("n_mid"), count(lit(1)).as("n_fwd2c"))
+    val uni = contBi.groupBy("w3").agg(count(lit(1)).as("n_bwd3"))
+    val t2 = contBi.agg(count(lit(1)).as("t2"))
+    val pCont =
+      greatest(col("n_bwd23").cast("double") - lit(KnDiscount), lit(0.0)) /
+        col("n_mid").cast("double") +
+        ((lit(KnDiscount) * col("n_fwd2c").cast("double")) /
+          col("n_mid").cast("double")) *
+          (col("n_bwd3").cast("double") / col("t2").cast("double"))
+    big3.join(left12, Seq("w1", "w2")).join(contBi, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(uni, Seq("w3"))
+      .crossJoin(broadcast(t2))
+      .select(col("w1"), col("w2"), col("w3"), col("c123"), col("c12"),
+        col("n_fwd12"), col("n_bwd23"), col("n_mid"), col("n_fwd2c"),
+        col("n_bwd3"), col("t2"),
+        (greatest(col("c123").cast("double") - lit(KnDiscount), lit(0.0)) /
+          col("c12").cast("double") +
+          ((lit(KnDiscount) * col("n_fwd12").cast("double")) /
+            col("c12").cast("double")) * pCont).as("p_kn3"))
+      .orderBy(col("c123").desc, col("w1"), col("w2"), col("w3"))
+      .limit(k)
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_kneser_ney" -> ((s, d) => knSmoothedBigrams(Tables.documents(s, d))),
+    "lm_kneser_ney3" -> ((s, d) =>
+      knSmoothedTrigrams(Tables.documents(s, d))),
     "corpus_bigram_coverage" -> ((s, d) =>
       bigramCoverage(Tables.documents(s, d))),
     "bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
@@ -796,6 +860,42 @@ object Corpus {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "lm_kneser_ney3" ->
+      s"""WITH d AS (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |ix AS (
+         |  SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM d),
+         |p AS (
+         |  SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+         |  FROM ix),
+         |big3 AS (SELECT w1, w2, w3, count(*) AS c123
+         |         FROM p GROUP BY 1, 2, 3),
+         |l12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+         |               count(*) AS n_fwd12
+         |        FROM big3 GROUP BY 1, 2),
+         |cb AS (SELECT w2, w3, count(*) AS n_bwd23
+         |       FROM big3 GROUP BY 1, 2),
+         |mid AS (SELECT w2, CAST(sum(n_bwd23) AS BIGINT) AS n_mid,
+         |               count(*) AS n_fwd2c
+         |        FROM cb GROUP BY 1),
+         |uni AS (SELECT w3, count(*) AS n_bwd3 FROM cb GROUP BY 1),
+         |t AS (SELECT count(*) AS t2 FROM cb)
+         |SELECT w1, w2, w3, c123, c12, n_fwd12, n_bwd23, n_mid,
+         |       n_fwd2c, n_bwd3, t2,
+         |       greatest(CAST(c123 AS DOUBLE) - $KnDiscount, 0.0)
+         |         / CAST(c12 AS DOUBLE)
+         |       + (($KnDiscount * CAST(n_fwd12 AS DOUBLE))
+         |          / CAST(c12 AS DOUBLE))
+         |         * (greatest(CAST(n_bwd23 AS DOUBLE) - $KnDiscount, 0.0)
+         |              / CAST(n_mid AS DOUBLE)
+         |            + (($KnDiscount * CAST(n_fwd2c AS DOUBLE))
+         |               / CAST(n_mid AS DOUBLE))
+         |              * (CAST(n_bwd3 AS DOUBLE) / CAST(t2 AS DOUBLE)))
+         |         AS p_kn3
+         |FROM big3 JOIN l12 USING (w1, w2) JOIN cb USING (w2, w3)
+         |          JOIN mid USING (w2) JOIN uni USING (w3) CROSS JOIN t
+         |ORDER BY c123 DESC, w1, w2, w3 LIMIT $KnTopK""".stripMargin,
     "lm_kneser_ney" ->
       s"""WITH d AS (
          |  SELECT string_split(text, ' ') AS toks FROM documents

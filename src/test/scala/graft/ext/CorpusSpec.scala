@@ -369,6 +369,29 @@ class CorpusSpec extends SparkSpec {
     assert(r(4L) === ((4L, 3L, 0L, 1.0, md5hex("q r s"))))
   }
 
+  test("knSmoothedTrigrams: recursive continuation components, hand-checked") {
+    import spark.implicits._
+    // docs: "a b c a b c" -> trigrams (a,b,c)x2, (b,c,a), (c,a,b)
+    val r = Corpus.knSmoothedTrigrams(
+      Seq((1L, "a b c a b c")).toDF("doc_id", "text"))
+      .select("w1", "w2", "w3", "c123", "c12", "n_fwd12", "n_bwd23",
+        "n_mid", "n_fwd2c", "n_bwd3", "t2", "p_kn3")
+      .as[(String, String, String, Long, Long, Long, Long, Long, Long,
+        Long, Long, Double)].collect()
+      .map(t => (t._1, t._2, t._3) -> t).toMap
+    // (a,b,c): c123=2, c12(a,b)=2, n_fwd12=1;
+    // continuation (b,c): one distinct predecessor (a) -> n_bwd23=1;
+    // mid(b): types (b,*) in cb = {(b,c)} -> n_mid=1, n_fwd2c=1;
+    // uni(c): distinct w2 preceding c in cb = {b} -> n_bwd3=1; t2=3
+    val abc = r(("a", "b", "c"))
+    assert((abc._4, abc._5, abc._6, abc._7, abc._8, abc._9, abc._10,
+      abc._11) === ((2L, 2L, 1L, 1L, 1L, 1L, 1L, 3L)))
+    val pCont = (1.0 - 0.75) / 1.0 + ((0.75 * 1.0) / 1.0) * (1.0 / 3.0)
+    assert(abc._12 === (2.0 - 0.75) / 2.0 + ((0.75 * 1.0) / 2.0) * pCont)
+    // every probability positive and bounded by 1
+    r.values.foreach(t => assert(t._12 > 0.0 && t._12 <= 1.0))
+  }
+
   test("knSmoothedBigrams: hand-computed Kneser-Ney components") {
     import spark.implicits._
     // docs: "a b a b" -> (a,b),(b,a),(a,b); "a b c" -> (a,b),(b,c)
