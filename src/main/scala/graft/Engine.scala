@@ -176,6 +176,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
         thresholds: Seq[Double] = Similarity.VecSweepThresholds): DataFrame =
       Similarity.embeddingThresholdSweep(emb, thresholds)
     def pqProfile: DataFrame = Similarity.pqProfile(emb)
+    def hardNegatives(k: Int = Similarity.HardNegK): DataFrame =
+      Similarity.hardNegatives(emb, k)
     def topKPq(k: Int = Similarity.TopK,
         shortlist: Int = Similarity.PqShortlist): DataFrame =
       Similarity.pqTopK(emb, k, shortlist)

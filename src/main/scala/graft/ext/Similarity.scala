@@ -588,6 +588,44 @@ object Similarity {
     arms.reduce(_ unionAll _)
   }
 
+  /** Hard negatives mined per anchor by [[hardNegatives]]. */
+  val HardNegK = 5
+
+  /** Hard-negative mining — the triplet-building pass of contrastive
+    * embedding training (retrieval models train on (anchor, positive,
+    * hard-negative) triplets; random negatives are too easy to carry
+    * gradient): for each anchor in the bounded query set, the
+    * [[HardNegK]] highest-cosine vectors with a DIFFERENT label (the
+    * hard negatives) plus the single best same-label vector (the
+    * positive), tagged by role. Same scale shape as [[bruteForceTopK]]:
+    * anchors broadcast, corpus streamed once, O(Q·N) with no corpus
+    * shuffle — at 100 TB the anchor set is the (bounded) training batch
+    * being mined, and an IVF/PQ index replaces the exact stream (the
+    * approximate operators above); this exact form is the
+    * oracle-checked ground truth.
+    */
+  def hardNegatives(emb: DataFrame, k: Int = HardNegK): DataFrame = {
+    val anchors = withNorm(emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("q")), "q", "qn")
+    val cands = withNorm(emb.select(col("vec_id"), col("label"),
+      col("embedding").as("e")), "e", "en")
+    val sims = broadcast(anchors)
+      .join(cands, col("anchor_id") =!= col("vec_id"))
+      .select(col("anchor_id"), col("a_label"), col("vec_id"),
+        col("label"),
+        (dot(col("q"), col("e")) / (col("qn") * col("en"))).as("cosine"),
+        when(col("label") === col("a_label"), lit("positive"))
+          .otherwise(lit("hard_negative")).as("role"))
+    val w = Window.partitionBy("anchor_id", "role")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter((col("role") === "hard_negative" && col("rank") <= k) ||
+        (col("role") === "positive" && col("rank") === 1))
+      .select(col("anchor_id"), col("role"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
   /** Thresholds evaluated by [[embeddingThresholdSweep]] (floor first —
     * the pair derivation runs once at the loosest value).
     */
@@ -808,6 +846,8 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hard_negatives" -> ((s, d) =>
+      hardNegatives(Tables.embeddings(s, d))),
     "vec_pq" -> ((s, d) => pqProfile(Tables.embeddings(s, d))),
     "sim_topk_pq" -> ((s, d) => pqTopK(Tables.embeddings(s, d))),
     "vec_dedup_sweep" -> ((s, d) =>
@@ -901,6 +941,21 @@ object Similarity {
 
   /** DuckDB twins (IVF is rows-only; recall asserted in SimilaritySpec). */
   def oracleSql: Map[String, String] = Map(
+    "sim_hard_negatives" ->
+      s"""WITH sims AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+         |         CASE WHEN b.label = a.label THEN 'positive'
+         |              ELSE 'hard_negative' END AS role,
+         |         ${duckCos("a", "b")} AS cosine
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < $NQueries AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id, role
+         |            ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sims)
+         |SELECT anchor_id, role, rank, neighbor_id, cosine FROM r
+         |WHERE (role = 'hard_negative' AND rank <= $HardNegK)
+         |   OR (role = 'positive' AND rank = 1)""".stripMargin,
     "vec_dedup_sweep" -> {
       val floor = VecSweepThresholds.min
       val arms = VecSweepThresholds.mkString(", ")

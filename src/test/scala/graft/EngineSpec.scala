@@ -47,7 +47,8 @@ class EngineSpec extends SparkSpec {
       e.text.qualityLinear, e.text.kneserNey(), e.layout.rangePlan(),
       e.similarity.thresholdSweep(), e.curation.curriculum(),
       e.similarity.pqProfile, e.similarity.topKPq(),
-      e.dedup.containmentPairs(threshold = 0.0))
+      e.dedup.containmentPairs(threshold = 0.0),
+      e.text.kneserNey3(), e.similarity.hardNegatives())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

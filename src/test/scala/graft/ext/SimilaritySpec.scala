@@ -206,6 +206,28 @@ class SimilaritySpec extends SparkSpec {
     assert(shuffled === r)
   }
 
+  test("hardNegatives: cross-label top-k plus one same-label positive per anchor") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.hardNegatives(emb).collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byAnchor = rows.groupBy(_.getAs[Long]("anchor_id"))
+    assert(byAnchor.keySet === (0L until Similarity.NQueries).toSet)
+    byAnchor.foreach { case (a, rs) =>
+      val (pos, neg) = rs.partition(_.getAs[String]("role") == "positive")
+      assert(pos.length === 1 && neg.length === Similarity.HardNegK)
+      // roles match the label structure
+      assert(labels(pos.head.getAs[Long]("neighbor_id")) === labels(a))
+      neg.foreach(n =>
+        assert(labels(n.getAs[Long]("neighbor_id")) !== labels(a)))
+      // hard negatives are ordered and the positive outranks them on
+      // this label-clustered corpus is NOT guaranteed — only ordering is
+      val negCos = neg.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Double]("cosine"))
+      assert(negCos.zip(negCos.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("pqProfile: full code words in range, nonneg recon, codes discriminate") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val r = Similarity.pqProfile(emb).collect()
