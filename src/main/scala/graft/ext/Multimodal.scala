@@ -188,6 +188,22 @@ object Multimodal {
   case class AHash(doc_id: Long, width: Int, height: Int,
       ahash_hi: Long, ahash_lo: Long)
 
+  /** Visual dedup groups keyed by the perceptual average hash — the
+    * image-side [[graft.ext.Dedup.exactGroups]]: assets whose 64-bit
+    * aHash matches collapse to one keeper (lowest doc_id). A byte-exact
+    * group-by would miss re-encoded copies; the perceptual key groups by
+    * CONTENT. One keyed agg over the (narrow, mapPartitions-decoded)
+    * hash stream — decode cost is the scan, the shuffle carries 3 longs
+    * per asset.
+    */
+  def ahashDedupGroups(imgs: Dataset[Asset]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    averageHash(imgs).toDF()
+      .groupBy("ahash_hi", "ahash_lo")
+      .agg(min("doc_id").as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+  }
+
   /** Perceptual AVERAGE HASH (aHash) over REAL decoded PNG pixels: the
     * image nearest-neighbor-samples to an 8×8 grid (block (bx,by) reads
     * pixel `(bx·4, by·h div 8)` — well-defined for any height, matching
@@ -521,6 +537,8 @@ object Multimodal {
     // real decode -> perceptual fingerprint (aHash), oracle-predicted
     // from the payload byte contract
     "mm_ahash" -> ((s, d) => averageHash(encodePng(assetDs(s, d))).toDF()),
+    "mm_dedup_ahash" -> ((s, d) =>
+      ahashDedupGroups(encodePng(assetDs(s, d)))),
     "mm_dhash" -> ((s, d) =>
       differenceHash(encodePng(assetDs(s, d))).toDF()),
     // real decode -> feature pipeline: histogram/mean over decoded pixels
@@ -539,6 +557,36 @@ object Multimodal {
     * string — `ascii`/`substring` over this ASCII corpus address the
     * identical bytes).
     */
+  /** aHash twin, shared by `mm_ahash` and the group-by wrapper of
+    * `mm_dedup_ahash`: predicts the decoded-pixel hash from the payload
+    * byte contract (no codec in SQL).
+    */
+  private val duckAhashSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n, text
+      |  FROM documents),
+      |hh AS (SELECT doc_id, n, text,
+      |              greatest(1, CAST(ceil(n / 32.0) AS BIGINT)) AS h
+      |       FROM t),
+      |px AS (
+      |  SELECT doc_id, h,
+      |         [CASE WHEN (b // 8) * h // 8 * 32 + (b % 8) * 4 < n
+      |               THEN ascii(substring(text,
+      |                 CAST((b // 8) * h // 8 * 32 + (b % 8) * 4 + 1
+      |                      AS INT), 1))
+      |               ELSE 0 END for b in range(0, 64)] AS p
+      |  FROM hh),
+      |m AS (SELECT doc_id, h, p,
+      |             CAST(list_sum(p) AS BIGINT) // 64 AS mean FROM px)
+      |SELECT doc_id, 32 AS width, CAST(h AS INT) AS height,
+      |       CAST(list_sum([CASE WHEN p[b + 33] >= mean
+      |                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+      |                      for b in range(0, 32)]) AS BIGINT) AS ahash_hi,
+      |       CAST(list_sum([CASE WHEN p[b + 1] >= mean
+      |                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+      |                      for b in range(0, 32)]) AS BIGINT) AS ahash_lo
+      |FROM m""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "mm_catalog" ->
       """SELECT doc_id, 'fake/txt' AS format,
@@ -590,31 +638,13 @@ object Multimodal {
         |       sqrt(CAST(CAST(list_sum([x * x for x in fr]) AS BIGINT)
         |                 AS DOUBLE) / len(fr)) AS rms
         |FROM e""".stripMargin,
-    "mm_ahash" ->
-      """WITH t AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS n, text
-        |  FROM documents),
-        |hh AS (SELECT doc_id, n, text,
-        |              greatest(1, CAST(ceil(n / 32.0) AS BIGINT)) AS h
-        |       FROM t),
-        |px AS (
-        |  SELECT doc_id, h,
-        |         [CASE WHEN (b // 8) * h // 8 * 32 + (b % 8) * 4 < n
-        |               THEN ascii(substring(text,
-        |                 CAST((b // 8) * h // 8 * 32 + (b % 8) * 4 + 1
-        |                      AS INT), 1))
-        |               ELSE 0 END for b in range(0, 64)] AS p
-        |  FROM hh),
-        |m AS (SELECT doc_id, h, p,
-        |             CAST(list_sum(p) AS BIGINT) // 64 AS mean FROM px)
-        |SELECT doc_id, 32 AS width, CAST(h AS INT) AS height,
-        |       CAST(list_sum([CASE WHEN p[b + 33] >= mean
-        |                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
-        |                      for b in range(0, 32)]) AS BIGINT) AS ahash_hi,
-        |       CAST(list_sum([CASE WHEN p[b + 1] >= mean
-        |                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
-        |                      for b in range(0, 32)]) AS BIGINT) AS ahash_lo
-        |FROM m""".stripMargin,
+    "mm_ahash" -> duckAhashSql,
+    "mm_dedup_ahash" ->
+      s"""WITH ah AS (
+         |$duckAhashSql)
+         |SELECT ahash_hi, ahash_lo,
+         |       min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+         |FROM ah GROUP BY 1, 2""".stripMargin,
     "mm_dhash" ->
       """WITH t AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n, text

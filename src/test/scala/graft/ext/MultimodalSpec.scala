@@ -200,4 +200,18 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.n_samples === 40L && f1.sum_amp === 40L * x &&
       f1.sum_sq === 40L * x * x)
   }
+
+  test("ahashDedupGroups: same-content images collapse to the lowest keeper") {
+    val ds = Multimodal.assets(docs(
+      1L -> "duplicate payload body",
+      2L -> "duplicate payload body",   // same bytes -> same pixels
+      3L -> ("z" * 40))).as[Multimodal.Asset]
+    val groups = Multimodal.ahashDedupGroups(Multimodal.encodePng(ds))
+      .collect()
+      .map(r => r.getAs[Long]("keeper_doc_id") -> r.getAs[Long]("n_copies"))
+      .toMap
+    assert(groups(1L) === 2L, "identical images share the hash group")
+    assert(groups(3L) === 1L)
+    assert(groups.values.sum === 3L)
+  }
 }
