@@ -185,6 +185,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
   }
 
   object timeSeries {
+    def seasonalNaive: DataFrame =
+      TimeSeries.seasonalNaiveBacktest(Tables.orders(spark, dataDir))
     def gapFillDailySales: DataFrame =
       TimeSeries.gapFillDailySales(Tables.orders(spark, dataDir))
     def rollingCustomerSpend: DataFrame =

@@ -751,6 +751,46 @@ object TimeSeries {
     * baseline rather than an ANSI divide error). The lag window runs
     * over the WEEK-level aggregate (domain-sized).
     */
+  /** Seasonal-naive forecast backtest — the baseline every demand/
+    * capacity forecaster must beat before it earns deployment:
+    * forecast(d) = actual(d−7) (weekly seasonality) vs the naive-1
+    * forecast(d) = actual(d−1), both evaluated over the GAP-FILLED
+    * calendar (a day with no orders counts zero, exactly as a real
+    * forecaster would be scored). Reported: evaluable days, exact
+    * integer-cents absolute-error totals for both baselines, their MAEs
+    * (one division each), and which baseline wins — the backtest
+    * decision row.
+    *
+    * Scale shape: the fact table collapses to the day domain first
+    * (map-side combined); the lag window runs over that bounded
+    * calendar, never the order stream.
+    */
+  def seasonalNaiveBacktest(ord: DataFrame): DataFrame = {
+    val daily = ord.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents("o_totalprice")).as("rev_cents"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val filled = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("rev_cents"), lit(0L))
+        .as("rev_cents"))
+    val w = Window.orderBy("day")
+    filled
+      .withColumn("f7", lag("rev_cents", 7).over(w))
+      .withColumn("f1", lag("rev_cents", 1).over(w))
+      .filter(col("f7").isNotNull && col("f1").isNotNull)
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("rev_cents") - col("f7"))).as("abs_err7_cents"),
+        sum(abs(col("rev_cents") - col("f1"))).as("abs_err1_cents"))
+      .select(col("n_days"), col("abs_err7_cents"), col("abs_err1_cents"),
+        (col("abs_err7_cents").cast("double") /
+          col("n_days").cast("double")).as("mae7_cents"),
+        (col("abs_err1_cents").cast("double") /
+          col("n_days").cast("double")).as("mae1_cents"),
+        (col("abs_err7_cents") < col("abs_err1_cents"))
+          .as("seasonal_wins"))
+  }
+
   def weekOverWeek(ord: DataFrame): DataFrame = {
     val weekly = ord
       .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week"))
@@ -830,6 +870,8 @@ object TimeSeries {
     "cohort_ltv" -> ((s, d) => cohortLtv(Tables.orders(s, d))),
     "twap_user_value" -> ((s, d) => twapUserValue(Tables.events(s, d))),
     "ts_cusum" -> ((s, d) => cusumDailyRevenue(Tables.orders(s, d))),
+    "ts_seasonal_naive" -> ((s, d) =>
+      seasonalNaiveBacktest(Tables.orders(s, d))),
     "ts_ffill" -> ((s, d) => forwardFillDaily(Tables.events(s, d))),
     "ts_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
     "ts_new_returning" -> ((s, d) => newVsReturning(Tables.events(s, d))),
@@ -1152,6 +1194,39 @@ object TimeSeries {
         |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
         |       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
         |FROM dau d JOIN wau w ON d.day = w.day""".stripMargin,
+    "ts_seasonal_naive" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(min(day), max(day),
+        |                                     INTERVAL 1 DAY)) AS DATE)
+        |           AS day
+        |  FROM daily),
+        |filled AS (
+        |  SELECT cal.day, coalesce(d.rev_cents, 0) AS rev_cents
+        |  FROM cal LEFT JOIN daily d USING (day)),
+        |l AS (
+        |  SELECT rev_cents,
+        |         lag(rev_cents, 7) OVER (ORDER BY day) AS f7,
+        |         lag(rev_cents, 1) OVER (ORDER BY day) AS f1
+        |  FROM filled),
+        |e AS (SELECT * FROM l WHERE f7 IS NOT NULL AND f1 IS NOT NULL)
+        |SELECT count(*) AS n_days,
+        |       CAST(sum(abs(rev_cents - f7)) AS BIGINT)
+        |         AS abs_err7_cents,
+        |       CAST(sum(abs(rev_cents - f1)) AS BIGINT)
+        |         AS abs_err1_cents,
+        |       CAST(CAST(sum(abs(rev_cents - f7)) AS BIGINT) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS mae7_cents,
+        |       CAST(CAST(sum(abs(rev_cents - f1)) AS BIGINT) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS mae1_cents,
+        |       CAST(sum(abs(rev_cents - f7)) AS BIGINT) <
+        |         CAST(sum(abs(rev_cents - f1)) AS BIGINT)
+        |         AS seasonal_wins
+        |FROM e""".stripMargin,
     "ts_cusum" ->
       """WITH daily AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,

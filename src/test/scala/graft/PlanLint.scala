@@ -41,6 +41,7 @@ object PlanLint {
     "survival_churn",       // tenure-week ladder (bounded weeks)
     "ts_anomalies",         // day domain
     "ts_cusum",             // day domain
+    "ts_seasonal_naive",    // day-domain lag calendar (~2.5k rows)
     "ts_threshold_episodes",// day domain
     "ts_week_over_week",    // week domain
     "vocab_coverage"        // digit-band ladder

@@ -554,4 +554,22 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(r === Set((0L, 0L, 1L), (1L, 1L, 0L)))
   }
+
+  test("seasonalNaiveBacktest: perfect weekly pattern -> zero seasonal error") {
+    // 14 days, revenue = 10 on Mondays (day 1 and 8), 0 elsewhere:
+    // seasonal-naive (lag-7) predicts perfectly over the 7 evaluable
+    // days; naive-1 misses both spike edges
+    val r = TimeSeries.seasonalNaiveBacktest(orders(
+      (1L, 1L, "O", 10.0, "1997-01-01"),
+      (2L, 1L, "O", 10.0, "1997-01-08"),
+      (3L, 1L, "O", 0.01, "1997-01-14"))).collect().head
+    // calendar Jan 1..14 -> evaluable days Jan 8..14 (7 days)
+    assert(r.getAs[Long]("n_days") === 7L)
+    // lag-7 errors: only Jan 14 differs from Jan 7 (1 cent vs 0)
+    assert(r.getAs[Long]("abs_err7_cents") === 1L)
+    // lag-1: Jan 8 spike (1000 vs 0) + Jan 9 drop (0 vs 1000) + Jan 14
+    assert(r.getAs[Long]("abs_err1_cents") === 2001L)
+    assert(r.getAs[Boolean]("seasonal_wins"))
+    assert(r.getAs[Double]("mae7_cents") === 1.0 / 7.0)
+  }
 }
