@@ -169,6 +169,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def kmeansProfile: DataFrame = Similarity.kmeansClusterProfile(emb)
     def dimProfile: DataFrame = Similarity.dimProfile(emb)
     def labelCentroids: DataFrame = Similarity.labelCentroids(emb)
+    def centroidOutliers: DataFrame = Similarity.centroidOutliers(emb)
     def gramMatrix: DataFrame = Similarity.gramMatrix(emb)
     def srpEval(threshold: Double = 0.35): DataFrame =
       Similarity.srpEval(emb, threshold)

@@ -588,6 +588,32 @@ object Similarity {
     arms.reduce(_ unionAll _)
   }
 
+  /** Mislabeled/corrupt-vector screen: each vector's cosine to its OWN
+    * label centroid, flagged when anti-correlated (cos < 0 — a vector
+    * pointing away from its class mean on this unit-norm corpus). The
+    * centroid is rebuilt from [[labelCentroids]]' EXACT integer micro
+    * sums (truncated mean, re-floated through the identical float cast
+    * on both engines), so the per-vector cosine is a fixed float DAG
+    * over deterministic integers — hash-verifiable where a plain
+    * `avg()` centroid could never be (partition-order float sums).
+    * One keyed agg to the (tiny) centroid table, broadcast back over
+    * one corpus scan.
+    */
+  def centroidOutliers(emb: DataFrame): DataFrame = {
+    val cents = labelCentroids(emb)
+      .groupBy("label")
+      .agg(array_sort(collect_list(
+        struct(col("dim"), col("mean_micro")))).as("dm"))
+      .select(col("label"), expr(
+        """transform(dm, x ->
+          |  CAST(CAST(x.mean_micro AS DOUBLE) / 1000000.0 AS FLOAT))"""
+          .stripMargin).as("c"))
+    emb.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        cosine(col("embedding"), col("c")).as("cos_centroid"))
+      .withColumn("flagged", col("cos_centroid") < 0.0)
+  }
+
   /** Hard negatives mined per anchor by [[hardNegatives]]. */
   val HardNegK = 5
 
@@ -848,6 +874,8 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hard_negatives" -> ((s, d) =>
       hardNegatives(Tables.embeddings(s, d))),
+    "vec_centroid_outliers" -> ((s, d) =>
+      centroidOutliers(Tables.embeddings(s, d))),
     "vec_pq" -> ((s, d) => pqProfile(Tables.embeddings(s, d))),
     "sim_topk_pq" -> ((s, d) => pqTopK(Tables.embeddings(s, d))),
     "vec_dedup_sweep" -> ((s, d) =>
@@ -941,6 +969,41 @@ object Similarity {
 
   /** DuckDB twins (IVF is rows-only; recall asserted in SimilaritySpec). */
   def oracleSql: Map[String, String] = Map(
+    "vec_centroid_outliers" ->
+      """WITH m AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         unnest(range(len(embedding))) AS dim,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |              AS BIGINT) AS micro
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT label, CAST(dim AS INT) AS dim,
+        |         CAST(sum(micro) AS BIGINT) // count(*) AS mean_micro
+        |  FROM m GROUP BY 1, 2),
+        |c AS (
+        |  SELECT label,
+        |         list(CAST(CAST(mean_micro AS DOUBLE) / 1000000.0
+        |                   AS FLOAT) ORDER BY dim) AS c
+        |  FROM a GROUP BY 1)
+        |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+        |       list_sum([CAST(e.embedding[i] AS DOUBLE) * c.c[i]
+        |                 for i in range(1, len(e.embedding) + 1)])
+        |       / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE)
+        |                         * e.embedding[i]
+        |                         for i in range(1, len(e.embedding) + 1)]))
+        |          * sqrt(list_sum([CAST(c.c[i] AS DOUBLE) * c.c[i]
+        |                           for i in range(1, len(c.c) + 1)])))
+        |         AS cos_centroid,
+        |       list_sum([CAST(e.embedding[i] AS DOUBLE) * c.c[i]
+        |                 for i in range(1, len(e.embedding) + 1)])
+        |       / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE)
+        |                         * e.embedding[i]
+        |                         for i in range(1, len(e.embedding) + 1)]))
+        |          * sqrt(list_sum([CAST(c.c[i] AS DOUBLE) * c.c[i]
+        |                           for i in range(1, len(c.c) + 1)])))
+        |         < 0.0 AS flagged
+        |FROM embeddings e JOIN c ON CAST(e.label AS BIGINT) = c.label"""
+        .stripMargin,
     "sim_hard_negatives" ->
       s"""WITH sims AS (
          |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,

@@ -206,6 +206,40 @@ class SimilaritySpec extends SparkSpec {
     assert(shuffled === r)
   }
 
+  test("centroidOutliers: driver-recomputed exact-centroid cosines, sane flags") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Similarity.centroidOutliers(emb).collect()
+    assert(r.length === emb.count())
+    // recompute one label's centroid cosine on the driver with the same
+    // micro-truncation arithmetic
+    val vecs = emb.filter(emb("label") === 3)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val dim = vecs.head._2.length
+    val micro = Array.tabulate(dim)(i =>
+      vecs.map(v => math.floor(v._2(i).toDouble * 1e6).toLong).sum)
+    val cent = micro.map(s =>
+      ((s / vecs.length).toDouble / 1e6).toFloat)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val got = r.filter(_.getAs[Long]("label") == 3L)
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Double]("cos_centroid"))
+      .toMap
+    vecs.foreach { case (id, v) =>
+      val want = dot(v, cent) /
+        (math.sqrt(dot(v, v)) * math.sqrt(dot(cent, cent)))
+      assert(got(id) === want, s"vec $id")
+    }
+    // flags are exactly the negative-cosine rows and a minority
+    val flagged = r.count(_.getAs[Boolean]("flagged"))
+    r.foreach(x => assert(x.getAs[Boolean]("flagged") ===
+      (x.getAs[Double]("cos_centroid") < 0.0)))
+    assert(flagged > 0 && flagged < r.length / 2)
+  }
+
   test("hardNegatives: cross-label top-k plus one same-label positive per anchor") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = Similarity.hardNegatives(emb).collect()
