@@ -744,13 +744,6 @@ object TimeSeries {
           .as("is_anomaly"))
   }
 
-  /** Week-over-week revenue: weekly sums with the previous week's value,
-    * absolute delta, and percent change — the standard BI
-    * period-over-period report. Exact integer cents end-to-end; the
-    * percent change is the one IEEE division (NULL on a zero or missing
-    * baseline rather than an ANSI divide error). The lag window runs
-    * over the WEEK-level aggregate (domain-sized).
-    */
   /** Seasonal-naive forecast backtest — the baseline every demand/
     * capacity forecaster must beat before it earns deployment:
     * forecast(d) = actual(d−7) (weekly seasonality) vs the naive-1
@@ -791,6 +784,13 @@ object TimeSeries {
           .as("seasonal_wins"))
   }
 
+  /** Week-over-week revenue: weekly sums with the previous week's value,
+    * absolute delta, and percent change — the standard BI
+    * period-over-period report. Exact integer cents end-to-end; the
+    * percent change is the one IEEE division (NULL on a zero or missing
+    * baseline rather than an ANSI divide error). The lag window runs
+    * over the WEEK-level aggregate (domain-sized).
+    */
   def weekOverWeek(ord: DataFrame): DataFrame = {
     val weekly = ord
       .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week"))

@@ -955,8 +955,11 @@ object Corpus {
         |SELECT source, n_docs, n_tokens, w_micro, alloc_tokens,
         |       (alloc_tokens * 10000) // n_tokens AS epochs_bp
         |FROM a""".stripMargin,
+    // gram-width constants interpolated from SpanGram (not hardcoded) so
+    // the oracle tracks the registered operator's parameter — the
+    // KnDiscount/KnTopK convention
     "corpus_despan" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |base AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d),
@@ -969,9 +972,11 @@ object Corpus {
         |  SELECT doc_id, p.i AS i, p.gram AS gram FROM (
         |    SELECT doc_id,
         |           unnest([{'i': CAST(i AS BIGINT),
-        |                    'gram': array_to_string(toks[i:i+4], ' ')}
-        |                   for i in range(1, len(toks)-3)]) AS p
-        |    FROM d WHERE len(toks) >= 5)),
+        |                    'gram': array_to_string(
+        |                      toks[i:i+${SpanGram - 1}], ' ')}
+        |                   for i in range(1, len(toks)-${SpanGram - 2})])
+        |             AS p
+        |    FROM d WHERE len(toks) >= $SpanGram)),
         |rk AS (
         |  SELECT doc_id, i,
         |         row_number() OVER (PARTITION BY gram
@@ -979,7 +984,7 @@ object Corpus {
         |  FROM pos),
         |rem AS (
         |  SELECT DISTINCT doc_id, CAST(pp AS BIGINT) AS p
-        |  FROM (SELECT doc_id, unnest(range(i, i + 5)) AS pp
+        |  FROM (SELECT doc_id, unnest(range(i, i + $SpanGram)) AS pp
         |        FROM rk WHERE rn > 1)),
         |kept AS (
         |  SELECT tp.doc_id, tp.p, tp.tok FROM tp
@@ -997,7 +1002,7 @@ object Corpus {
         |       coalesce(per.clean_fp, md5('')) AS clean_fp
         |FROM base b LEFT JOIN per USING (doc_id)""".stripMargin,
     "text_dup_spans" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |base AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d),
@@ -1005,9 +1010,11 @@ object Corpus {
         |  SELECT doc_id, p.i AS i, p.gram AS gram FROM (
         |    SELECT doc_id,
         |           unnest([{'i': CAST(i AS BIGINT),
-        |                    'gram': array_to_string(toks[i:i+4], ' ')}
-        |                   for i in range(1, len(toks)-3)]) AS p
-        |    FROM d WHERE len(toks) >= 5)),
+        |                    'gram': array_to_string(
+        |                      toks[i:i+${SpanGram - 1}], ' ')}
+        |                   for i in range(1, len(toks)-${SpanGram - 2})])
+        |             AS p
+        |    FROM d WHERE len(toks) >= $SpanGram)),
         |freq AS (
         |  SELECT gram FROM pos GROUP BY 1 HAVING count(*) >= 2),
         |dup AS (
@@ -1015,7 +1022,8 @@ object Corpus {
         |isl AS (
         |  SELECT doc_id, i,
         |         CASE WHEN lag(i) OVER w IS NULL
-        |                OR i - lag(i) OVER w > 5 THEN 1 ELSE 0 END AS brk
+        |                OR i - lag(i) OVER w > $SpanGram
+        |              THEN 1 ELSE 0 END AS brk
         |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
         |sp AS (
         |  SELECT doc_id, i,
@@ -1024,7 +1032,7 @@ object Corpus {
         |  FROM isl),
         |spans AS (
         |  SELECT doc_id, span_id,
-        |         max(i) - min(i) + 5 AS span_tokens
+        |         max(i) - min(i) + $SpanGram AS span_tokens
         |  FROM sp GROUP BY 1, 2),
         |per AS (
         |  SELECT doc_id, count(*) AS n_spans,

@@ -94,6 +94,7 @@ object CorpusPipeline {
     val phaseDomain = curriculum.select("phase").distinct().count()
     pkUnique("screen", screen) ++
       pkUnique("despan", despan) ++
+      pkUnique("dedup_exact", load("dedup_exact")) ++
       pkUnique("dedup_incremental", load("dedup_incremental")) ++
       pkUnique("curriculum", curriculum) ++ Seq(
       CheckResult("corpus", "screen", "keeps_nonzero_fraction",

@@ -552,7 +552,14 @@ object Similarity {
     * bucket census is a keyed count per geometry over `bands` rows per
     * vector — everything map-side combinable, no windows, no collects.
     */
-  def srpEval(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
+  /** Near-dup cosine threshold [[srpEval]] measures recall against —
+    * shared with the registered oracle twin ([[duckSrpSql]]) so a
+    * non-default sweep stays inside verified coverage.
+    */
+  val SrpEvalThreshold = 0.35
+
+  def srpEval(emb: DataFrame,
+      threshold: Double = SrpEvalThreshold): DataFrame = {
     val sigs = graft.CheckpointLease.track(
       srpSignatures(emb).localCheckpoint(true))
     val truthX = graft.CheckpointLease.track(
@@ -664,6 +671,9 @@ object Similarity {
     * best cosine against any lower vec_id (keyed max — no window), and
     * a 5-row explode scores every candidate threshold against that
     * per-vector max. Exact counts; drop_rate is the one IEEE division.
+    * The counts are left-joined back onto the threshold DOMAIN so a
+    * dup-free corpus still reports one `n_dropped = 0` row per
+    * threshold instead of an empty what-if table.
     */
   def embeddingThresholdSweep(emb: DataFrame,
       thresholds: Seq[Double] = VecSweepThresholds): DataFrame = {
@@ -671,12 +681,17 @@ object Similarity {
     val bestC = embeddingNearDupPairs(emb, thresholds.min)
       .groupBy(col("vec_b").as("vec_id"))
       .agg(max(col("cosine")).as("best_c"))
-    bestC
+    val counts = bestC
       .select(col("best_c"),
         explode(array(thresholds.map(lit): _*)).as("threshold"))
       .groupBy("threshold")
       .agg(sum(when(col("best_c") >= col("threshold"), 1L).otherwise(0L))
         .as("n_dropped"))
+    val domain = emb.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    domain.join(counts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
       .crossJoin(broadcast(nVec))
       .select(col("threshold"), col("n_dropped"),
         (col("n_vecs") - col("n_dropped")).as("n_kept"),
@@ -794,10 +809,12 @@ object Similarity {
   }
 
   /** PQ code profile per vector: the M-code word plus total squared
-    * reconstruction error. Centroids come from float `avg`s
-    * (partition-order-dependent), so the family is rows-only like
-    * `vec_kmeans`; SimilaritySpec gates code shape and that PQ codes
-    * reconstruct better than a single global codebook would.
+    * reconstruction error. The code word is serialized as a CSV string
+    * (`codes_csv`) — the driver's compare harness sorts output via
+    * pandas, which cannot hash array columns (the `mm_features`
+    * `feature_e6` precedent); a CSV of 16 small ints is lossless.
+    * SimilaritySpec additionally gates code shape and that PQ codes
+    * discriminate (more distinct words than a collapsed codebook).
     */
   def pqProfile(embRaw: DataFrame): DataFrame = {
     val emb = l2normalized(embRaw)
@@ -809,7 +826,8 @@ object Similarity {
         sort_array(collect_list(struct(col("sub_id"), col("code"))))
           .as("cs"))
       .select(col("vec_id"),
-        expr("transform(cs, x -> x.code)").as("codes"),
+        expr("array_join(transform(cs, x -> CAST(x.code AS STRING)), ',')")
+          .as("codes_csv"),
         col("recon_sq_total"))
   }
 
@@ -913,7 +931,7 @@ object Similarity {
     * `dedup_embedding_cosine` CTEs, then pure-integer collision tests
     * and bucket census per geometry arm.
     */
-  private def duckSrpSql: String = {
+  private def duckSrpSql(threshold: Double = SrpEvalThreshold): String = {
     def weightsList(j: Int): String =
       (0 until SrpDim).map(i => if (srpSign(j, i) > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
@@ -959,7 +977,7 @@ object Similarity {
        |  JOIN embeddings b
        |    ON a.label = b.label AND a.vec_id < b.vec_id
        |   AND a.vec_id % ns.nsub = b.vec_id % ns.nsub
-       |  WHERE ${duckCos("a", "b")} >= 0.35),
+       |  WHERE ${duckCos("a", "b")} >= $threshold),
        |tx AS (
        |  SELECT xor(sa.sig, sb.sig) AS x
        |  FROM tp JOIN sig sa ON tp.vec_a = sa.vec_id
@@ -1041,14 +1059,14 @@ object Similarity {
          |  SELECT t.threshold,
          |         CAST(sum(CASE WHEN best.best_c >= t.threshold
          |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-         |  FROM best CROSS JOIN t GROUP BY 1)
+         |  FROM t LEFT JOIN best ON TRUE GROUP BY 1)
          |SELECT threshold, n_dropped,
          |       n.n_vecs - n_dropped AS n_kept,
          |       CAST(n_dropped AS DOUBLE) / CAST(n.n_vecs AS DOUBLE)
          |         AS drop_rate
          |FROM agg, n""".stripMargin
     },
-    "dedup_srp_eval" -> duckSrpSql,
+    "dedup_srp_eval" -> duckSrpSql(),
     "vec_gram_matrix" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -10,8 +10,8 @@ class CorpusPipelineSpec extends SparkSpec {
     val checks = CorpusPipeline.runAll(spark, "/root/testdata/sf0.001", out)
     assert(checks.nonEmpty)
     assert(checks.forall(_.passed), checks.filterNot(_.passed).mkString(", "))
-    assert(checks.count(_.check == "non_empty") === 4)
-    assert(checks.count(_.check.startsWith("pk_unique")) === 4)
+    assert(checks.count(_.check == "non_empty") === 5)
+    assert(checks.count(_.check.startsWith("pk_unique")) === 5)
     // the written stages compose: every screened doc has a curriculum
     // phase, and the stage outputs agree on the corpus size
     val screen = spark.read.parquet(s"$out/corpus/screen")

@@ -267,14 +267,14 @@ class SimilaritySpec extends SparkSpec {
     val r = Similarity.pqProfile(emb).collect()
     assert(r.length === emb.count())
     r.foreach { row =>
-      val codes = row.getSeq[Int](1)
+      val codes = row.getAs[String]("codes_csv").split(',').map(_.toInt)
       assert(codes.length === Similarity.PqSubspaces)
       assert(codes.forall(c => c >= 0 && c < Similarity.PqCodebookK))
       assert(row.getAs[Double]("recon_sq_total") >= 0.0)
     }
     // quantization must discriminate: far more distinct code words than
     // a collapsed codebook would give
-    val distinctWords = r.map(_.getSeq[Int](1)).distinct.length
+    val distinctWords = r.map(_.getAs[String]("codes_csv")).distinct.length
     assert(distinctWords > r.length / 2,
       s"only $distinctWords distinct code words over ${r.length} vectors")
   }
