@@ -122,6 +122,17 @@ object Similarity {
     * round-2 "first 16 vectors" stand-in, whose recall silently degrades
     * on clustered corpora (centroids all land in whichever clusters the
     * low ids happen to occupy).
+    *
+    * == Centroid determinism ==
+    * The Lloyd mean update runs on int64 MICRO-UNIT sums
+    * (`floor(x·10⁶)`, the [[labelCentroids]] trick): per-dimension sums
+    * are order-independent integers, the centroid is the truncated mean
+    * `sum div n` re-floated through an identical double→float cast on
+    * both engines, so the whole codebook — and every query built on it
+    * (assignment, probes, ADC) — is a fixed float DAG over
+    * deterministic integers and hash-checks against the DuckDB twin.
+    * The ≤1e-6 per-coordinate quantization is far below the embedding
+    * noise floor (recall gates in SimilaritySpec are unchanged).
     */
   def trainCentroids(emb: DataFrame, k: Int = Centroids,
       iters: Int = KmeansIters): DataFrame =
@@ -163,11 +174,15 @@ object Similarity {
       val means = best
         .select(col("centroid_id"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("centroid_id"), col("pos"),
+          floor(col("x").cast("double") * lit(1000000.0)).cast("long")
+            .as("micro"))
         .groupBy("centroid_id", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg(expr("sum(micro) div count(1)").as("mm"))
         .collect()
       val byCid = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        cid -> rows.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2).toDouble / 1000000.0).toFloat).toSeq
       }
       prev = (0 until m).map(c => c -> byCid.getOrElse(c, prev(c))).toMap
       cents = spark.createDataFrame(
@@ -341,8 +356,12 @@ object Similarity {
 
   /** Trained-codebook diagnostics: occupancy and mean best-assignment
     * cosine per centroid — the balance/coherence profile an IVF index
-    * build reports. Rows-only (float k-means means are not reproducible
-    * across engines); SimilaritySpec pins recall instead.
+    * build reports. Oracle-compared: the codebook is deterministic (see
+    * [[trainCentroids]]' centroid-determinism note), each vector's best
+    * cosine is a fixed float DAG, and the per-centroid MEAN rides the
+    * same integer trick (nano-unit `floor(best·10⁹)` sums, truncated
+    * mean, one exact final division) instead of a partition-order float
+    * `avg`.
     */
   def kmeansClusterProfile(emb: DataFrame,
       codebook: Option[DataFrame] = None): DataFrame = {
@@ -355,8 +374,13 @@ object Similarity {
           struct(col("ccos"), (-col("centroid_id")).as("tb")))
           .as("centroid_id"),
         max(col("ccos")).as("best"))
+      .select(col("centroid_id"),
+        floor(col("best") * lit(1000000000.0)).cast("long").as("nano"))
       .groupBy("centroid_id")
-      .agg(count(lit(1)).as("n_vecs"), avg("best").as("mean_cosine"))
+      .agg(count(lit(1)).as("n_vecs"), sum("nano").as("sum_nano"))
+      .select(col("centroid_id"), col("n_vecs"),
+        (expr("sum_nano div n_vecs").cast("double") /
+          lit(1000000000.0)).as("mean_cosine"))
   }
 
   /** Symmetric int8 quantization of every embedding — the compression
@@ -773,12 +797,16 @@ object Similarity {
       val means = best
         .select(col("sub_id"), col("centroid_id"),
           posexplode(col("sv")).as(Seq("pos", "x")))
+        .select(col("sub_id"), col("centroid_id"), col("pos"),
+          floor(col("x").cast("double") * lit(1000000.0)).cast("long")
+            .as("micro"))
         .groupBy("sub_id", "centroid_id", "pos")
-        .agg(avg(col("x").cast("double")).as("mu"))
+        .agg(expr("sum(micro) div count(1)").as("mm"))
         .collect()
       val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case (key, rows) =>
-          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq
+          key -> rows.sortBy(_.getInt(2))
+            .map(r => (r.getLong(3).toDouble / 1000000.0).toFloat).toSeq
         }
       prev = (for (s <- 0 until m; c <- 0 until kEff) yield
         (s, c) -> byKey.getOrElse((s, c), prev((s, c)))).toMap
@@ -813,6 +841,12 @@ object Similarity {
     * (`codes_csv`) — the driver's compare harness sorts output via
     * pandas, which cannot hash array columns (the `mm_features`
     * `feature_e6` precedent); a CSV of 16 small ints is lossless.
+    * Oracle-compared: the codebooks are deterministic (see
+    * [[trainCentroids]]' centroid-determinism note) and the recon total
+    * folds the per-subspace errors IN sub_id ORDER (a sequential
+    * `aggregate` over the already-sorted code list ↔ DuckDB `list_sum`
+    * of a sub_id-ordered list) instead of a partition-order `sum` —
+    * the one float reduction left in the profile, made order-fixed.
     * SimilaritySpec additionally gates code shape and that PQ codes
     * discriminate (more distinct words than a collapsed codebook).
     */
@@ -822,13 +856,14 @@ object Similarity {
       trainPqCodebooks(emb).localCheckpoint(true))
     pqCodes(emb, books)
       .groupBy("vec_id")
-      .agg(sum(col("recon_sq")).as("recon_sq_total"),
-        sort_array(collect_list(struct(col("sub_id"), col("code"))))
-          .as("cs"))
+      .agg(sort_array(collect_list(struct(col("sub_id"), col("code"),
+        col("recon_sq")))).as("cs"))
       .select(col("vec_id"),
         expr("array_join(transform(cs, x -> CAST(x.code AS STRING)), ',')")
           .as("codes_csv"),
-        col("recon_sq_total"))
+        expr("""aggregate(transform(cs, x -> x.recon_sq),
+                CAST(0.0 AS DOUBLE), (a, e) -> a + e)""")
+          .as("recon_sq_total"))
   }
 
   /** PQ approximate top-k, the production two-stage query path of an
@@ -840,7 +875,12 @@ object Similarity {
     *      keyed by its stored codes — one broadcast join + one keyed sum
     *      over the (corpus × M) code stream, never touching corpus
     *      floats. That is the 100 TB property: this stage scans 10-byte
-    *      code words, not 256-byte vectors;
+    *      code words, not 256-byte vectors. The table entries are
+    *      quantized to int64 PICO-units (`floor(d·10¹²)` — ~1e-12
+    *      relative error on an O(1) approximate distance) so the ADC
+    *      sum is an ORDER-INDEPENDENT integer: map-side combinable like
+    *      any long sum, and bit-identical across engines where a float
+    *      sum of 16 lookups would depend on partition order;
     *   2. only the [[PqShortlist]] best ADC candidates per query fetch
     *      their full vectors for an exact cosine re-rank (Q×S rows — a
     *      point-lookup-sized join), so reported ranks/cosines are exact
@@ -862,13 +902,15 @@ object Similarity {
           .stripMargin)).as(Seq("sub_id", "qv")))
     val dtab = qsubs.join(broadcast(books), Seq("sub_id"))
       .select(col("query_id"), col("sub_id"),
-        col("centroid_id").as("code"), l2sq(col("qv"), col("c")).as("d"))
+        col("centroid_id").as("code"),
+        floor(l2sq(col("qv"), col("c")) * lit(1000000000000.0))
+          .cast("long").as("dq"))
     val dist = codes.join(broadcast(dtab), Seq("sub_id", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
-      .agg(sum(col("d")).as("adc_sq"))
+      .agg(sum(col("dq")).as("adc_q"))
     val ws = Window.partitionBy("query_id")
-      .orderBy(col("adc_sq").asc, col("vec_id"))
+      .orderBy(col("adc_q").asc, col("vec_id"))
     val short = dist.withColumn("srank", row_number().over(ws))
       .filter(col("srank") <= shortlist)
       .select("query_id", "vec_id")
@@ -924,6 +966,148 @@ object Similarity {
     def d(x: String, y: String) = duckDot.format(x, y)
     s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
   }
+
+  /** [[duckCos]] over two EXPLICIT list expressions (not table aliases'
+    * `embedding` columns) — the centroid-side twin needs cos(vector,
+    * codebook list).
+    */
+  private def duckDotE(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * $b[i] " +
+      s"for i in range(1, len($a) + 1)])"
+
+  private def duckCosE(a: String, b: String): String =
+    s"${duckDotE(a, b)} / (sqrt(${duckDotE(a, a)}) * " +
+      s"sqrt(${duckDotE(b, b)}))"
+
+  /** [[l2sq]]'s twin: the SAME three sequential folds and the same
+    * association `(aa - 2·ab) + bb`.
+    */
+  private def duckL2E(a: String, b: String): String =
+    s"${duckDotE(a, a)} - 2.0 * ${duckDotE(a, b)} + ${duckDotE(b, b)}"
+
+  /** CTE chain replaying [[trainCentroids]]' Lloyd iterations in DuckDB:
+    * deterministic first-`k` init re-keyed dense, per-iteration best-
+    * centroid assignment (cosine DESC, centroid_id tie-break — the
+    * `max_by` struct order), int64 micro-unit mean update re-floated
+    * through the identical double→float cast, empty clusters keeping
+    * their previous centroid via LEFT JOIN. Ends in table
+    * `cents<iters>(centroid_id, c)`.
+    */
+  private def duckTrainedCents(k: Int = Centroids,
+      iters: Int = KmeansIters): String = {
+    val init =
+      s"""cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         |         embedding AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""sc$t AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ${duckCosE("e.embedding", "c.c")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents${t - 1} c),
+         |asg$t AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS rn FROM sc$t)
+         |  WHERE rn = 1),
+         |mm$t AS (
+         |  SELECT centroid_id, dim,
+         |         CAST(sum(micro) AS BIGINT) // count(*) AS mm
+         |  FROM (SELECT centroid_id,
+         |               unnest(range(len(embedding))) AS dim,
+         |               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+         |                          * 1000000.0) AS BIGINT) AS micro
+         |        FROM asg$t)
+         |  GROUP BY 1, 2),
+         |nc$t AS (
+         |  SELECT centroid_id,
+         |         list(CAST(CAST(mm AS DOUBLE) / 1000000.0 AS FLOAT)
+         |              ORDER BY dim) AS c
+         |  FROM mm$t GROUP BY 1),
+         |cents$t AS (
+         |  SELECT p.centroid_id, coalesce(n.c, p.c) AS c
+         |  FROM cents${t - 1} p LEFT JOIN nc$t n USING (centroid_id))"""
+        .stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** CTE chain replaying [[l2normalized]] + [[trainPqCodebooks]]: unit-
+    * normalized vectors (`norm`), the exploded subvector stream
+    * (`subs`), the dense-id seed, and `iters` joint-subspace Lloyd
+    * steps under squared-L2 (min d, centroid_id tie-break — the
+    * `min_by` struct order) with the same integer mean update. Ends in
+    * `pcents<iters>(sub_id, centroid_id, c)`.
+    */
+  private def duckPqCents(k: Int = PqCodebookK,
+      iters: Int = KmeansIters): String = {
+    val m = PqSubspaces
+    val sd = PqSubDim
+    val init =
+      s"""norm AS (
+         |  SELECT vec_id,
+         |         [CAST(CAST(embedding[i] AS DOUBLE) / pn AS FLOAT)
+         |          for i in range(1, len(embedding) + 1)] AS embedding
+         |  FROM (SELECT vec_id, embedding,
+         |               sqrt(${duckDotE("embedding", "embedding")}) AS pn
+         |        FROM embeddings)),
+         |subs AS (
+         |  SELECT vec_id, CAST(g.i AS INT) AS sub_id,
+         |         embedding[g.i * $sd + 1 : g.i * $sd + $sd] AS sv
+         |  FROM norm CROSS JOIN generate_series(0, ${m - 1}) AS g(i)),
+         |pseed AS (
+         |  SELECT vec_id,
+         |         row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id
+         |  FROM (SELECT vec_id FROM norm ORDER BY vec_id LIMIT $k)),
+         |pcents0 AS (
+         |  SELECT s.sub_id, p.centroid_id, s.sv AS c
+         |  FROM subs s JOIN pseed p USING (vec_id))""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""pd$t AS (
+         |  SELECT s.vec_id, s.sub_id, c.centroid_id, s.sv,
+         |         ${duckL2E("s.sv", "c.c")} AS d
+         |  FROM subs s JOIN pcents${t - 1} c USING (sub_id)),
+         |pasg$t AS (
+         |  SELECT sub_id, centroid_id, sv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+         |              ORDER BY d, centroid_id) AS rn FROM pd$t)
+         |  WHERE rn = 1),
+         |pmm$t AS (
+         |  SELECT sub_id, centroid_id, dim,
+         |         CAST(sum(micro) AS BIGINT) // count(*) AS mm
+         |  FROM (SELECT sub_id, centroid_id,
+         |               unnest(range(len(sv))) AS dim,
+         |               CAST(floor(CAST(unnest(sv) AS DOUBLE)
+         |                          * 1000000.0) AS BIGINT) AS micro
+         |        FROM pasg$t)
+         |  GROUP BY 1, 2, 3),
+         |pnc$t AS (
+         |  SELECT sub_id, centroid_id,
+         |         list(CAST(CAST(mm AS DOUBLE) / 1000000.0 AS FLOAT)
+         |              ORDER BY dim) AS c
+         |  FROM pmm$t GROUP BY 1, 2),
+         |pcents$t AS (
+         |  SELECT p.sub_id, p.centroid_id, coalesce(n.c, p.c) AS c
+         |  FROM pcents${t - 1} p
+         |  LEFT JOIN pnc$t n USING (sub_id, centroid_id))""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** Shared tail of the PQ twins: exact distances against the final
+    * codebook and the per-(vec, sub) best code.
+    */
+  private def duckPqCodes(iters: Int = KmeansIters): String =
+    s"""pdf AS (
+       |  SELECT s.vec_id, s.sub_id, c.centroid_id,
+       |         ${duckL2E("s.sv", "c.c")} AS d
+       |  FROM subs s JOIN pcents$iters c USING (sub_id)),
+       |codes AS (
+       |  SELECT vec_id, sub_id, centroid_id AS code, d FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+       |              ORDER BY d, centroid_id) AS rn FROM pdf)
+       |  WHERE rn = 1)""".stripMargin
 
   /** [[srpEval]]'s twin: the ±1 weight vectors interpolated as list
     * literals (same constants as the Spark plan), signature bits via the
@@ -985,8 +1169,126 @@ object Similarity {
        |""".stripMargin + arms
   }
 
-  /** DuckDB twins (IVF is rows-only; recall asserted in SimilaritySpec). */
+  /** DuckDB twins. The k-means/IVF/PQ family replays the deterministic
+    * integer-mean Lloyd training CTE-for-CTE ([[duckTrainedCents]] /
+    * [[duckPqCents]]), so the whole ANN serving path — codebooks,
+    * assignments, probes, ADC, re-rank — is hash-compared, with the
+    * SimilaritySpec recall gates retained on top.
+    */
   def oracleSql: Map[String, String] = Map(
+    "vec_kmeans" ->
+      s"""WITH ${duckTrainedCents()},
+         |pv AS (
+         |  SELECT vec_id, centroid_id, ccos FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |           ${duckCosE("e.embedding", "c.c")} AS ccos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCosE("e.embedding", "c.c")} DESC,
+         |                      c.centroid_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents$KmeansIters c)
+         |  WHERE rn = 1)
+         |SELECT CAST(centroid_id AS INT) AS centroid_id,
+         |       count(*) AS n_vecs,
+         |       CAST(CAST(sum(nano) AS BIGINT) // count(*) AS DOUBLE)
+         |         / 1000000000.0 AS mean_cosine
+         |FROM (SELECT centroid_id,
+         |             CAST(floor(ccos * 1000000000.0) AS BIGINT) AS nano
+         |      FROM pv)
+         |GROUP BY 1""".stripMargin,
+    "sim_topk_ivf" ->
+      s"""WITH ${duckTrainedCents()},
+         |fs AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ${duckCosE("e.embedding", "c.c")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents$KmeansIters c),
+         |asg AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS rn FROM fs)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS crank
+         |    FROM fs WHERE vec_id < $NQueries)
+         |  WHERE crank <= $Probes),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         ${duckCosE("p.q", "a.embedding")} AS cosine
+         |  FROM probes p JOIN asg a USING (centroid_id)
+         |  WHERE p.query_id <> a.vec_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= $TopK""".stripMargin,
+    "dedup_embedding_ivf" ->
+      s"""WITH ${duckTrainedCents()},
+         |fs AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ${duckCosE("e.embedding", "c.c")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents$KmeansIters c),
+         |masg AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS crank FROM fs)
+         |  WHERE crank <= $NearDupProbes),
+         |sizes AS (
+         |  SELECT centroid_id, count(*) AS bn FROM masg GROUP BY 1),
+         |blocked AS (
+         |  SELECT concat(CAST(m.centroid_id AS VARCHAR), '#',
+         |           CAST(m.vec_id % GREATEST(1,
+         |             CAST(ceil(s.bn / 100000.0) AS BIGINT)) AS VARCHAR))
+         |           AS block,
+         |         m.vec_id, m.embedding
+         |  FROM masg m JOIN sizes s USING (centroid_id))
+         |SELECT DISTINCT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${duckCosE("a.embedding", "b.embedding")} AS cosine
+         |  FROM blocked a JOIN blocked b
+         |    ON a.block = b.block AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.35""".stripMargin,
+    "vec_pq" ->
+      s"""WITH ${duckPqCents()},
+         |${duckPqCodes()}
+         |SELECT vec_id,
+         |       array_to_string(list(CAST(code AS VARCHAR)
+         |                            ORDER BY sub_id), ',') AS codes_csv,
+         |       list_sum(list(d ORDER BY sub_id)) AS recon_sq_total
+         |FROM codes GROUP BY 1""".stripMargin,
+    "sim_topk_pq" ->
+      s"""WITH ${duckPqCents()},
+         |${duckPqCodes()},
+         |qd AS (
+         |  SELECT s.vec_id AS query_id, s.sub_id,
+         |         c.centroid_id AS code,
+         |         CAST(floor((${duckL2E("s.sv", "c.c")})
+         |                    * 1000000000000.0) AS BIGINT) AS dq
+         |  FROM subs s JOIN pcents$KmeansIters c USING (sub_id)
+         |  WHERE s.vec_id < $NQueries),
+         |adc AS (
+         |  SELECT q.query_id, cd.vec_id,
+         |         CAST(sum(q.dq) AS BIGINT) AS adc_q
+         |  FROM codes cd JOIN qd q
+         |    ON cd.sub_id = q.sub_id AND cd.code = q.code
+         |  WHERE cd.vec_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY adc_q, vec_id) AS srank FROM adc)
+         |  WHERE srank <= $PqShortlist),
+         |rr AS (
+         |  SELECT s.query_id, s.vec_id AS neighbor_id,
+         |         ${duckCosE("q.embedding", "e.embedding")} AS cosine
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings e ON e.vec_id = s.vec_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM rr)
+         |WHERE rank <= $TopK""".stripMargin,
     "vec_centroid_outliers" ->
       """WITH m AS (
         |  SELECT CAST(label AS BIGINT) AS label,
