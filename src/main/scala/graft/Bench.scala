@@ -64,20 +64,29 @@ object Bench {
       if (ok) dt else -1.0
     }
     val results = picked.map { name =>
-      name -> math.min(timed(name), timed(name))
+      val p1 = timed(name)
+      val p2 = timed(name)
+      (name, math.min(p1, p2), p1, p2)
     }
     // millisecond precision keeps the single JSON line short enough for the
     // driver's fixed-size stdout tail capture (full-precision doubles alone
     // pushed even a truncated line past the buffer in rounds 1-3)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // both raw pass times (and the cpu count below) ride along so a
+    // sweep-inflation episode is diagnosable from the artifact alone:
+    // min >> isolated cost with p1 ≈ p2 means a slow/contended box, while
+    // p1 >> p2 means first-pass residue — no re-run needed to tell
+    val ps = results.map { case (k, _, p1, p2) =>
+      s"\"" + k + "\":[" + f3(p1) + "," + f3(p2) + "]"
+    }.mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — summing -1 sentinels into the
     // total made r09's headline number uninterpretable; "failed" makes a
     // poisoned sweep explicit instead of quietly shrinking the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"cpus":$cpus,"queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
