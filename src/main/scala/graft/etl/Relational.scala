@@ -600,10 +600,15 @@ object Relational {
   def recursiveComponentsSql(spark: SparkSession, edges: DataFrame,
       batchDepth: Int = 4, maxPasses: Int = 1024,
       shortcutEdgeCap: Long = 1_000_000L, shortcutSteps: Int = 1): DataFrame = {
+    val dbgT0 = System.nanoTime()
+    def dbg(tag: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_REC_DEBUG"))
+        System.err.println(f"[recdbg] $tag: ${(System.nanoTime() - dbgT0) / 1e9}%.2f s")
     val und1 = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .localCheckpoint(true)
+    dbg("und1 materialized")
     // Shortcut augmentation (pointer-doubling steps): each step adds
     // (u,w) for every 2-hop path u-x-w, halving the graph's effective
     // diameter, so the level count — the dominant cost, each level paying
@@ -619,38 +624,62 @@ object Relational {
     // more than ~1M edges should run the distributed label-prop fixpoint
     // (`dedup_clusters_dist`) anyway; this SQL form proves the recursion
     // surface.
-    val und = (1 to shortcutSteps).foldLeft(und1) { (g, _) =>
-      if (g.count() > shortcutEdgeCap) g
-      else {
-        val g2 = g.as("a").join(g.as("b"), col("a.v") === col("b.u"))
-          .select(col("a.u").as("u"), col("b.v").as("v"))
-          .where(col("u") =!= col("v"))
-        val merged = g.union(g2).distinct().localCheckpoint(true)
-        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(g)
-        merged
-      }
-    }
-    // Size the recursion's reducers to the MATERIALIZED edge cardinality,
-    // not the session default: the near-dup pair graph is orders of
-    // magnitude smaller than the corpus that produced it, and every level
-    // of every pass pays the per-partition scheduling overhead (~20 joins
-    // x 32 near-empty tasks dominated the measured cost at test SF). The
-    // count is free — `und` is already checkpointed.
+    // Size every job DOWNSTREAM of the materialized pair graph to its
+    // cardinality, not the session default: the near-dup pair graph is
+    // orders of magnitude smaller than the corpus that produced it, and
+    // each tiny job — shortcut joins, seed agg, every recursion level —
+    // pays per-partition scheduling overhead (~20 joins x 32 near-empty
+    // tasks dominated the measured cost at test SF; the shortcut steps
+    // alone dropped ~0.3 s/step when moved inside the recursion-local
+    // conf). Counts are carried through the fold so each materialization
+    // is counted exactly once.
     val shuffleConf = "spark.sql.shuffle.partitions"
     val aqeConf = "spark.sql.adaptive.enabled"
     val sessionParts = spark.conf.get(shuffleConf)
     val sessionAqe = spark.conf.get(aqeConf)
-    val recParts = math.min(und.count() / 2_000_000L + 1L,
-      sessionParts.toLong).toString
-    var labels = und.select(col("u").as("node"), col("u").as("r"))
-      .distinct()
-      .localCheckpoint(true)
+    def parts(n: Long): String =
+      math.min(n / 2_000_000L + 1L, sessionParts.toLong).toString
+    var und = und1
+    var labels: org.apache.spark.sql.DataFrame = null
     try {
-      spark.conf.set(shuffleConf, recParts)
+      val n1 = und1.count()
+      spark.conf.set(shuffleConf, parts(n1))
       // AQE re-plans every recursion level as its own adaptive query —
       // pure overhead once the partition count is already sized to the
       // materialized edge set above (measured ~310 -> ~215 ms/level off).
       spark.conf.set(aqeConf, "false")
+      var undN = n1
+      for (_ <- 1 to shortcutSteps) {
+        if (undN <= shortcutEdgeCap) {
+          val g2 = und.as("a").join(und.as("b"), col("a.v") === col("b.u"))
+            .select(col("a.u").as("u"), col("b.v").as("v"))
+            .where(col("u") =!= col("v"))
+          val merged = und.union(g2).distinct().localCheckpoint(true)
+          org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(und)
+          und = merged
+          undN = merged.count()
+          dbg("shortcut step done")
+        }
+      }
+      // re-size to the CLOSED edge set: densification can outgrow the
+      // base cardinality the shortcut phase was sized from
+      spark.conf.set(shuffleConf, parts(undN))
+      // Seed each node with its 1-HOP minimum (least of own id and any
+      // neighbor's) instead of its own id: on a component the shortcut
+      // steps fully closed, that seed already IS the fixpoint, so the
+      // recursion's first pass exhausts at an empty level 1 and the loop
+      // runs exactly ONE pass — a verification, not a computation
+      // (measured: 2 passes -> 1 at sf0.1, ~1 s off the chronic slowest
+      // bench query). On a graph the size gate left unclosed the seed is
+      // merely a head start: walks only ever lower labels, every node
+      // still anchors a walk carrying its current label (the dominated-
+      // message prune never assumed seed = own id), and the exhaustion
+      // proof below is seed-independent — correctness is unchanged.
+      labels = und.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u").as("node"), least(col("u"), col("mn")).as("r"))
+        .localCheckpoint(true)
+      dbg("labels seeded")
       und.createOrReplaceTempView("rec_und_v")
       var pass = 0
       var converged = false
@@ -711,6 +740,7 @@ object Relational {
         labels = agg.filter(col("node").isNotNull)
         converged = maxDepth < batchDepth
         pass += 1
+        dbg(s"pass $pass done (maxDepth=$maxDepth)")
       }
     } finally {
       spark.conf.set(shuffleConf, sessionParts)
@@ -720,6 +750,7 @@ object Relational {
       spark.catalog.dropTempView("rec_lbl_v")
     }
     graft.CheckpointLease.track(labels)
+    dbg("fn return")
     labels.filter(col("node").isNotNull)
       .select(col("node").as("doc_id"), col("r").as("cluster_id"))
   }
@@ -728,14 +759,16 @@ object Relational {
     * near-dup pair graph (see [[recursiveComponentsSql]]).
     */
   def recursiveSql(spark: SparkSession, sfDir: String): DataFrame =
-    // batchDepth=2: measured fastest at sf0.1 (labels re-seed every two
-    // levels, so the dominated-walk prune works against FRESH labels —
-    // deeper batches let stale-label walks multiply and cost more than the
-    // pass-restart they save; 1.7 s vs 1.9 s at 4, 2.4 s at 8).
+    // Two shortcut steps close each (tiny) dup component, so the 1-hop-min
+    // seed is already the fixpoint and the loop is ONE verification pass.
+    // batchDepth=2 only shapes recovery passes on a graph the size gate
+    // left unclosed (fresh-label re-seeds every two levels keep the
+    // dominated-walk prune effective; measured 1.7 s vs 1.9 at 4, 2.4 at
+    // 8 back when passes did the computing).
     recursiveComponentsSql(spark,
       graft.ext.Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir))
         .select(col("doc_a"), col("doc_b")),
-      batchDepth = 2)
+      batchDepth = 2, shortcutSteps = 2)
 
   /** The SQL entry path: identical pricing summary expressed through
     * `spark.sql` over registered temp views — proves the engine surface

@@ -252,6 +252,18 @@ class RelationalSpec extends SparkSpec {
     assert(labels === (0L to 20L).map(_ -> 0L).toMap)
   }
 
+  test("recursiveComponentsSql: 1-hop-min seed is only a head start — " +
+      "fixpoint still reached with shortcuts disabled") {
+    // 13-node chain, no shortcut closure: the seed lowers each node by at
+    // most one hop, so the walk passes must still do the propagation; the
+    // exhaustion proof may not terminate early on the better seed
+    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Relational.recursiveComponentsSql(spark, edges,
+      batchDepth = 2, shortcutSteps = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (0L to 12L).map(_ -> 0L).toMap)
+  }
+
   test("hllSketchMerge: per-group estimates within 5% of exact; merged " +
       "union matches a direct whole-table sketch") {
     import org.apache.spark.sql.functions._
