@@ -353,7 +353,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Multimodal.sampleFrames(docs, frameBytes, stride)
     def resize(outLen: Int = 256): DataFrame = {
       import spark.implicits._
-      Multimodal.resizeStub(
+      Multimodal.resizeNearest(
         Multimodal.assets(docs).as[Multimodal.Asset], outLen).toDF()
     }
     def decodePng: DataFrame = {

@@ -9,20 +9,22 @@ import graft.Tables
   * metadata, and run decode / feature-extraction / frame-sampling as
   * per-partition batch transforms.
   *
-  * IMAGE decode is REAL: the JDK ships ImageIO's PNG codec, so
-  * [[encodePng]]/[[decodePng]] run an actual encode→parse→inflate round
-  * trip (oracle-checked end to end — see `mm_decode_png`), and
-  * [[imageFeatures]] extracts histogram/mean features from the decoded
-  * raster. AUDIO decode is REAL for the WAV container: the JDK ships
+  * Every decode in this file is a REAL codec call — no stubs. The JDK
+  * ships ImageIO's PNG and JPEG plugins, so
+  * [[encodePng]]/[[decodePng]] run an actual lossless
+  * encode→parse→inflate round trip (oracle-checked end to end — see
+  * `mm_decode_png`), [[encodeJpeg]]/[[decodeImageMeta]] run the LOSSY
+  * flavor (DCT quantization — container metadata stays deterministic
+  * and is oracle-checked as `mm_decode`; pixel fidelity is spec-gated
+  * because libjpeg output is implementation-defined), and
+  * [[imageFeatures]] extracts histogram/mean features from decoded
+  * rasters. AUDIO decode is REAL for the WAV container: the JDK ships
   * `javax.sound.sampled`'s RIFF/PCM reader-writer, so
   * [[encodeWav]]/[[decodeWav]] run an actual encode→parse round trip
-  * (oracle-checked — see `mm_decode_wav`). Compressed audio (MP3/AAC) and
-  * video codecs genuinely aren't in this container, so THOSE decode/feature
-  * steps stay clearly-marked deterministic STUBS (`decodeStub`,
-  * `featuresStub`); everything around them — the binary column handling,
-  * schemas, Encoders, per-partition batch shape, partitioning — is the
-  * same real plumbing the PNG path exercises. In production a stub body
-  * is replaced by the codec call; nothing else changes.
+  * (oracle-checked — see `mm_decode_wav`). Compressed audio (MP3/AAC)
+  * and video containers have no JDK codec; their pipelines reuse these
+  * same shapes (binary column, Encoders, per-partition batch decode)
+  * with the codec swapped in.
   *
   * == Scale design ==
   * `mapPartitions` is deliberate: a real decoder amortizes codec/model
@@ -37,15 +39,14 @@ object Multimodal {
   /** Binary asset row: payload + minimal typed metadata. */
   case class Asset(doc_id: Long, payload: Array[Byte], format: String)
 
-  /** Stub-decoded media metadata (width/height derived deterministically
-    * from bytes — STAND-IN for a real codec).
+  /** Decoded media metadata read back from a real container parse
+    * (see [[decodeImageMeta]]). `n_bytes` is the ENCODED container size
+    * (codec-dependent for lossy formats); the rest is deterministic.
     */
   case class Decoded(doc_id: Long, width: Int, height: Int, channels: Int,
       n_bytes: Int, ok: Boolean)
 
-  case class Features(doc_id: Long, feature: Array[Float])
-
-  /** Resized payload summary (see [[resizeStub]]). */
+  /** Resized payload summary (see [[resizeNearest]]). */
   case class Resized(doc_id: Long, n_bytes_in: Int, n_bytes_out: Int,
       checksum: Long)
 
@@ -65,43 +66,46 @@ object Multimodal {
       length(col("payload")).as("n_bytes"),
       hex(substring(col("payload"), 1, 4)).as("magic_hex"))
 
-  /** DECODE — per-partition batch transform. STUB: real codecs are not in
-    * this container; dimensions are a deterministic function of the bytes
-    * so tests/oracles are stable. Replace the body with e.g. an ImageIO /
-    * ffmpeg call in production; the plumbing (Encoders, iterator batch
-    * shape, schema) is the real thing.
+  /** ENCODE — payload bytes → a real JPEG: the same fixed-width 8-bit
+    * grayscale raster contract as [[encodePng]] (pixel (x,y) =
+    * payload[y·width+x], zero-padded), written by the JDK's ImageIO JPEG
+    * encoder — a genuine lossy codec call (DCT, quantization, Huffman).
+    * Container METADATA (dimensions, bands) survives exactly; pixels
+    * come back approximated, which is precisely what the lossy leg of a
+    * media pipeline must tolerate (MultimodalSpec gates the round-trip
+    * fidelity; the oracle checks the deterministic metadata).
     */
-  def decodeStub(assets: Dataset[Asset]): Dataset[Decoded] = {
+  def encodeJpeg(assets: Dataset[Asset],
+      width: Int = PngWidth): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // real impl: init codec ONCE here, then stream the iterator
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val n = a.payload.length
-        val head = if (n > 0) java.lang.Byte.toUnsignedInt(a.payload(0)) else 0
-        Decoded(a.doc_id,
-          width = 64 + (head % 16) * 32,
-          height = 64 + (n % 16) * 32,
-          channels = 3, n_bytes = n, ok = n > 0)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(grayImage(a.payload, width), "jpg", bos)
+        Asset(a.doc_id, bos.toByteArray, "image/jpeg")
       }
     }
   }
 
-  /** Feature extraction — payload → fixed-dim float vector (byte histogram
-    * folded to 16 dims, L1-normalized). Deterministic stand-in for an
-    * embedding model; same per-partition batch shape as [[decodeStub]].
+  /** DECODE — REAL ImageIO parse of ANY supported image payload (PNG,
+    * JPEG, …), reporting container metadata: dimensions, raster band
+    * count, encoded size, and whether a decoder accepted the bytes. For
+    * the JPEG path the metadata is fully deterministic even though the
+    * pixels are lossy — `mm_decode` oracle-checks it end to end —
+    * while `n_bytes` (the encoded container size) is codec-dependent
+    * and stays out of the registered projection.
     */
-  def featuresStub(assets: Dataset[Asset], dim: Int = 16): Dataset[Features] = {
-    import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
+  def decodeImageMeta(imgs: Dataset[Asset]): Dataset[Decoded] = {
+    import imgs.sparkSession.implicits._
+    imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val hist = new Array[Float](dim)
-        var i = 0
-        while (i < a.payload.length) {
-          hist(java.lang.Byte.toUnsignedInt(a.payload(i)) % dim) += 1f
-          i += 1
-        }
-        val total = math.max(1, a.payload.length).toFloat
-        Features(a.doc_id, hist.map(_ / total))
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        if (img == null) Decoded(a.doc_id, 0, 0, 0, a.payload.length, ok = false)
+        else Decoded(a.doc_id, img.getWidth, img.getHeight,
+          img.getRaster.getNumBands, a.payload.length, ok = true)
       }
     }
   }
@@ -122,24 +126,33 @@ object Multimodal {
     */
   val PngWidth = 32
 
+  /** The shared raster contract of [[encodePng]]/[[encodeJpeg]]: a
+    * `width`-wide 8-bit grayscale image whose row-major pixel stream IS
+    * the payload, zero-padded to the last row.
+    */
+  private def grayImage(payload: Array[Byte],
+      width: Int): java.awt.image.BufferedImage = {
+    val n = payload.length
+    val h = math.max(1, (n + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(
+      width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < width * h) {
+      raster.setSample(i % width, i / width, 0,
+        if (i < n) java.lang.Byte.toUnsignedInt(payload(i)) else 0)
+      i += 1
+    }
+    img
+  }
+
   def encodePng(assets: Dataset[Asset], width: Int = PngWidth): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // no disk-backed streams
       it.map { a =>
-        val n = a.payload.length
-        val h = math.max(1, (n + width - 1) / width)
-        val img = new java.awt.image.BufferedImage(
-          width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var i = 0
-        while (i < width * h) {
-          raster.setSample(i % width, i / width, 0,
-            if (i < n) java.lang.Byte.toUnsignedInt(a.payload(i)) else 0)
-          i += 1
-        }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        javax.imageio.ImageIO.write(grayImage(a.payload, width), "png", bos)
         Asset(a.doc_id, bos.toByteArray, "image/png")
       }
     }
@@ -151,10 +164,8 @@ object Multimodal {
     * made — any 8-bit grayscale PNG decodes identically — so with
     * [[encodePng]] upstream the round trip is oracle-checkable: width is
     * the encode constant, height = ceil(n/width), and the pixel checksum
-    * equals the payload byte sum (padding is zero). Replaces the
-    * environment-forced [[decodeStub]] claim that a real decoder can't
-    * run in this sandbox — for PNG it can; audio/video codecs remain
-    * stubbed ([[decodeStub]] keeps that batch shape).
+    * equals the payload byte sum (padding is zero). The lossless twin
+    * of the [[encodeJpeg]]/[[decodeImageMeta]] JPEG leg.
     */
   def decodePng(imgs: Dataset[Asset]): Dataset[DecodedImage] = {
     import imgs.sparkSession.implicits._
@@ -336,9 +347,9 @@ object Multimodal {
     * PCM WAV decodes identically — so with [[encodeWav]] upstream the
     * round trip is oracle-checkable: rate/channels are the encode
     * constants, n_samples = payload length, checksum = payload byte sum.
-    * With [[decodePng]] this retires the "no audio codec in the sandbox"
-    * claim for the WAV container; compressed codecs (MP3/AAC) and video
-    * genuinely remain out, which [[decodeStub]] continues to stand in for.
+    * Compressed audio codecs (MP3/AAC) and video have no JDK decoder;
+    * their pipelines reuse this exact batch shape with the codec
+    * swapped in.
     */
   def decodeWav(wavs: Dataset[Asset]): Dataset[DecodedAudio] = {
     import wavs.sparkSession.implicits._
@@ -417,8 +428,8 @@ object Multimodal {
 
   /** Image features over REAL decoded pixels: 16-bin intensity histogram
     * (bin = pixel >> 4) plus mean intensity, computed from the raster
-    * [[decodePng]] inflates — the decode→feature pipeline of a media lake
-    * with the stub replaced by the actual codec. Oracle-checkable because
+    * [[decodePng]] inflates — the decode→feature pipeline of a media
+    * lake running its actual codec. Oracle-checkable because
     * the decoded pixel stream is the payload plus zero-padding to the last
     * row: bin 0 absorbs `width·height − n` pad pixels and the mean divides
     * the exact byte sum by the exact pixel count (identical IEEE division
@@ -457,15 +468,16 @@ object Multimodal {
   /** RESIZE — 1-D nearest-neighbor downsample of the payload byte stream
     * to at most `outLen` bytes: output position i reads input byte
     * `floor(i·n/m)`, exactly the access pattern of a nearest-neighbor
-    * image scaler applied to the byte domain (a real impl swaps in a 2-D
-    * sampler over decoded pixels; the per-partition batch shape, the
-    * stride arithmetic, and the summary schema stay). Emits the resampled
-    * length and byte checksum rather than the blob so the result is
-    * scalar-only for the verify harness — and, because sampling positions
-    * are pure integer arithmetic over ASCII payloads, this one IS
-    * DuckDB-oracle-checkable, unlike the decode/feature stubs.
+    * image scaler applied to the byte domain (a 2-D variant samples the
+    * decoded raster instead; the per-partition batch shape, the stride
+    * arithmetic, and the summary schema are identical). Emits the
+    * resampled length and byte checksum rather than the blob so the
+    * result is scalar-only for the verify harness — and, because
+    * sampling positions are pure integer arithmetic over ASCII payloads,
+    * it is DuckDB-oracle-checkable end to end.
     */
-  def resizeStub(assets: Dataset[Asset], outLen: Int = 256): Dataset[Resized] = {
+  def resizeNearest(assets: Dataset[Asset],
+      outLen: Int = 256): Dataset[Resized] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
@@ -507,17 +519,25 @@ object Multimodal {
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_catalog"  -> ((s, d) => catalog(Tables.documents(s, d))),
-    "mm_decode"   -> ((s, d) => decodeStub(assetDs(s, d)).toDF()),
-    // feature vector emitted as a scalar string: the driver's compare
-    // harness sorts rows in pandas, and raw array columns are unhashable
-    // there — scalar-only columns are a hard requirement for EVERY
-    // verify output (array payloads stay in the typed Dataset API)
-    "mm_features" -> ((s, d) => featuresStub(assetDs(s, d)).toDF()
-      .select(col("doc_id"),
-        concat_ws(",", transform(col("feature"),
-          x => round(x.cast("double") * 1000000).cast("long")))
-          .as("feature_e6"))),
-    "mm_resize"   -> ((s, d) => resizeStub(assetDs(s, d)).toDF()),
+    // real JPEG round trip: encode payload -> actual ImageIO parse; the
+    // emitted columns are container metadata (deterministic even for a
+    // lossy codec), so this is oracle-compared; the encoded size
+    // (n_bytes) is codec-dependent and stays out of the projection
+    "mm_decode"   -> ((s, d) =>
+      decodeImageMeta(encodeJpeg(assetDs(s, d))).toDF()
+        .select("doc_id", "width", "height", "channels", "ok")),
+    // real JPEG decode -> feature pipeline: histogram/mean over LOSSY
+    // decoded pixels — rows-only (libjpeg output is impl-defined);
+    // MultimodalSpec gates fidelity against the raster contract. The
+    // hist rides as a scalar CSV string (verify outputs are scalar-only:
+    // the driver's pandas compare cannot hash arrays)
+    "mm_features" -> ((s, d) =>
+      imageFeatures(encodeJpeg(assetDs(s, d))).toDF()
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("hist"), x => x.cast("string")))
+            .as("hist_csv"),
+          col("mean_px"))),
+    "mm_resize"   -> ((s, d) => resizeNearest(assetDs(s, d)).toDF()),
     // real PNG round trip: encode payload -> actual ImageIO decode;
     // png_bytes (container size) is encoder-dependent, so the query
     // emits only the decode-derived columns the oracle can predict
@@ -551,11 +571,12 @@ object Multimodal {
           col("mean_px"))),
   )
 
-  /** DuckDB twins. Decode/features are JVM-side stubs (rows-only); the
-    * catalog, resize, and frame-sampling plumbing are oracle-checked
-    * (DuckDB 1.0 cannot slice BLOBs, so the oracle reads the source
-    * string — `ascii`/`substring` over this ASCII corpus address the
-    * identical bytes).
+  /** DuckDB twins. Everything with a deterministic contract is
+    * oracle-checked — including `mm_decode`'s JPEG container metadata;
+    * only `mm_features`' lossy decoded-pixel values stay rows-only
+    * (spec-gated instead). DuckDB 1.0 cannot slice BLOBs, so the
+    * oracles read the source string — `ascii`/`substring` over this
+    * ASCII corpus address the identical bytes.
     */
   /** aHash twin, shared by `mm_ahash` and the group-by wrapper of
     * `mm_dedup_ahash`: predicts the decoded-pixel hash from the payload
@@ -588,6 +609,15 @@ object Multimodal {
       |FROM m""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the lossy JPEG leg's deterministic surface: dimensions follow the
+    // grayImage raster contract, grayscale decodes to one band, and the
+    // codec must accept every payload
+    "mm_decode" ->
+      """SELECT doc_id, 32 AS width,
+        |       greatest(1, CAST(ceil(octet_length(encode(text)) / 32.0)
+        |                        AS INT)) AS height,
+        |       1 AS channels, TRUE AS ok
+        |FROM documents""".stripMargin,
     "mm_catalog" ->
       """SELECT doc_id, 'fake/txt' AS format,
         |       octet_length(encode(text)) AS n_bytes,

@@ -15,13 +15,37 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[String]("magic_hex") === "68656C6C") // 'hell'
   }
 
-  test("decodeStub: deterministic dims, empty payload marked not-ok") {
-    val ds = Multimodal.assets(docs(1L -> "hello", 2L -> "")).as[Multimodal.Asset]
-    val out = Multimodal.decodeStub(ds).collect()
+  test("encodeJpeg/decodeImageMeta: REAL lossy round trip — exact " +
+      "container metadata, bounded pixel drift") {
+    val text = ("The quick brown fox jumps over the lazy dog. " * 4).trim
+    val ds = Multimodal.assets(docs(1L -> "hello", 2L -> text))
+      .as[Multimodal.Asset]
+    val jp = Multimodal.encodeJpeg(ds)
+    // JPEG magic: FF D8 (SOI)
+    jp.collect().foreach { a =>
+      assert((a.payload(0) & 0xFF) === 0xFF)
+      assert((a.payload(1) & 0xFF) === 0xD8)
+      assert(a.format === "image/jpeg")
+    }
+    val meta = Multimodal.decodeImageMeta(jp).collect()
       .map(d => d.doc_id -> d).toMap
-    assert(out(1L).width === 64 + ('h'.toInt % 16) * 32)
-    assert(out(1L).ok)
-    assert(!out(2L).ok)
+    assert(meta(1L) === Multimodal.Decoded(1L, 32, 1, 1,
+      meta(1L).n_bytes, ok = true))
+    assert(meta(2L).width === 32)
+    assert(meta(2L).height === (text.length + 31) / 32)
+    assert(meta(2L).channels === 1)
+    assert(meta(2L).ok)
+    // lossy pixels: the decoded MEAN intensity must track the payload
+    // mean closely (JPEG preserves the DC component), even though
+    // individual samples drift — the fidelity gate that replaces a
+    // bit-exact oracle for this leg
+    val feats = Multimodal.imageFeatures(jp).collect()
+      .map(f => f.doc_id -> f).toMap
+    val nPx2 = 32L * meta(2L).height
+    val exactMean2 = text.map(_.toLong).sum.toDouble / nPx2
+    assert(math.abs(feats(2L).mean_px - exactMean2) < 8.0,
+      s"JPEG mean drifted: ${feats(2L).mean_px} vs $exactMean2")
+    assert(feats(2L).hist.sum === nPx2)
   }
 
   test("encodePng/decodePng: REAL ImageIO round trip — magic bytes, dims, " +
@@ -153,23 +177,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f.mean_px === 3.0 * 'A'.toInt / 32.0)
   }
 
-  test("featuresStub: L1-normalized fixed-dim histogram") {
-    val ds = Multimodal.assets(docs(1L -> "aaaa")).as[Multimodal.Asset]
-    val f = Multimodal.featuresStub(ds).collect().head
-    assert(f.feature.length === 16)
-    assert(math.abs(f.feature.sum - 1.0f) < 1e-6)
-    assert(f.feature('a'.toInt % 16) === 1.0f)
-  }
-
-  test("resizeStub: short payload passes through; long one downsamples " +
+  test("resizeNearest: short payload passes through; long one downsamples " +
       "at floor(i*n/m)") {
     val short = Multimodal.assets(docs(1L -> "abcd")).as[Multimodal.Asset]
-    val r1 = Multimodal.resizeStub(short).collect().head
+    val r1 = Multimodal.resizeNearest(short).collect().head
     assert((r1.n_bytes_in, r1.n_bytes_out) === ((4, 4)))
     assert(r1.checksum === "abcd".map(_.toLong).sum)
     // n=6 -> m=4: positions floor(i*6/4) = 0,1,3,4 -> a,b,d,e
     val long = Multimodal.assets(docs(2L -> "abcdef")).as[Multimodal.Asset]
-    val r2 = Multimodal.resizeStub(long, outLen = 4).collect().head
+    val r2 = Multimodal.resizeNearest(long, outLen = 4).collect().head
     assert((r2.n_bytes_in, r2.n_bytes_out) === ((6, 4)))
     assert(r2.checksum === "abde".map(_.toLong).sum)
   }
