@@ -354,6 +354,76 @@ object Similarity {
       .distinct()
   }
 
+  /** Cosine threshold above which [[semDedup]] treats two same-cluster
+    * vectors as semantic duplicates (the paper's eps). 0.4 sits well
+    * above this corpus's ~0.3 ambient cosine yet fires on its planted
+    * near-dups (17 drops/500 at sf0.001; 0.5 drops nothing — the
+    * fixture angles are deliberately hard, see the IVF multi-probe
+    * note). Interpolated into the oracle twin, so a retuned eps stays
+    * inside verified coverage.
+    */
+  val SemDedupEps = 0.4
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space with k-means, then WITHIN each cluster drop every vector that
+    * has a semantic duplicate (cosine ≥ `eps`) of higher keep-priority —
+    * the pass web-scale curation runs between exact dedup and quality
+    * filtering, catching paraphrases and re-renders MinHash cannot see.
+    * Keep-priority follows the paper: among duplicates the vector LEAST
+    * similar to its cluster centroid survives (it carries the most
+    * information the centroid doesn't), with vec_id as the deterministic
+    * tie-break. Emitted per vector: cluster, centroid cosine, the drop
+    * verdict, and the duplicate count that caused it.
+    *
+    * Oracle-compared end to end: the codebook is the deterministic
+    * integer-mean Lloyd training ([[trainCentroids]]), assignment and
+    * pair cosines are fixed float DAGs, and the drop rule is a pure
+    * comparison cascade — DuckDB replays training CTE-for-CTE.
+    *
+    * == Scale shape ==
+    * One assignment pass (broadcast codebook), then an equi-join on
+    * `centroid_id` — cost Σ_clusters |c|², the SemDeDup design point: k
+    * scales with the corpus (the paper uses 50k clusters for 600M docs)
+    * so |cluster| stays bounded. No sub-split guard HERE by design: the
+    * drop rule must see every within-cluster pair or it under-drops —
+    * bounding cluster size is the job of k, not of a pair cap (contrast
+    * [[embeddingNearDupPairsIvf]], where a lost pair only costs recall).
+    */
+  def semDedup(emb: DataFrame, eps: Double = SemDedupEps,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = codebook.getOrElse(trainCentroids(emb))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("c")).as("ccos"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        col("ccos"))
+    val a = withNorm(assigned.select(col("centroid_id"),
+      col("vec_id").as("vec_a"), col("ccos").as("ccos_a"),
+      col("embedding").as("ea")), "ea", "na")
+    val b = withNorm(assigned.select(col("centroid_id"),
+      col("vec_id").as("vec_b"), col("ccos").as("ccos_b"),
+      col("embedding").as("eb")), "eb", "nb")
+    // a outranks b (a survives the pair) iff a sits FARTHER from the
+    // centroid, ties to the lower id — the paper's keep rule
+    val drops = a.join(b, Seq("centroid_id"))
+      .filter(col("ccos_a") < col("ccos_b") ||
+        (col("ccos_a") === col("ccos_b") && col("vec_a") < col("vec_b")))
+      .filter((dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        >= eps)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    assigned.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        col("ccos").as("cos_centroid"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (col("n_dups").isNotNull).as("dropped"))
+  }
+
   /** Trained-codebook diagnostics: occupancy and mean best-assignment
     * cosine per centroid — the balance/coherence profile an IVF index
     * build reports. Oracle-compared: the codebook is deterministic (see
@@ -956,6 +1026,7 @@ object Similarity {
       embeddingNearDupPairs(Tables.embeddings(s, d))),
     "dedup_embedding_ivf" -> ((s, d) =>
       embeddingNearDupPairsIvf(Tables.embeddings(s, d))),
+    "dedup_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -1248,6 +1319,30 @@ object Similarity {
          |  FROM blocked a JOIN blocked b
          |    ON a.block = b.block AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.35""".stripMargin,
+    "dedup_semdedup" ->
+      s"""WITH ${duckTrainedCents()},
+         |fs AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ${duckCosE("e.embedding", "c.c")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents$KmeansIters c),
+         |asg AS (
+         |  SELECT vec_id, embedding, centroid_id, ccos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS rn FROM fs)
+         |  WHERE rn = 1),
+         |drops AS (
+         |  SELECT b.vec_id, count(*) AS n_dups
+         |  FROM asg a JOIN asg b
+         |    ON a.centroid_id = b.centroid_id
+         |   AND (a.ccos < b.ccos
+         |        OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+         |  WHERE ${duckCosE("a.embedding", "b.embedding")} >= $SemDedupEps
+         |  GROUP BY 1)
+         |SELECT asg.vec_id, CAST(asg.centroid_id AS INT) AS centroid_id,
+         |       asg.ccos AS cos_centroid,
+         |       CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+         |       d.vec_id IS NOT NULL AS dropped
+         |FROM asg LEFT JOIN drops d USING (vec_id)""".stripMargin,
     "vec_pq" ->
       s"""WITH ${duckPqCents()},
          |${duckPqCodes()}

@@ -304,6 +304,54 @@ class SimilaritySpec extends SparkSpec {
         bc.get((q, n)).foreach(exact => assert(exact === c)) }
   }
 
+  test("semDedup: drop set matches brute-force recomputation, cluster " +
+      "keeper survives, eps monotone") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.trainCentroids(emb)
+    val r = Similarity.semDedup(emb, codebook = Some(cents)).collect()
+    assert(r.length === emb.count())
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(row => row.getLong(0) -> row.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val byC = r.groupBy(_.getAs[Int]("centroid_id"))
+    val expected = scala.collection.mutable.Set[Long]()
+    byC.values.foreach { rows =>
+      for (a <- rows; b <- rows) {
+        val (ca, cb) = (a.getAs[Double]("cos_centroid"),
+          b.getAs[Double]("cos_centroid"))
+        val (ia, ib) = (a.getAs[Long]("vec_id"), b.getAs[Long]("vec_id"))
+        if ((ca < cb || (ca == cb && ia < ib)) &&
+            cos(vecs(ia), vecs(ib)) >= Similarity.SemDedupEps)
+          expected += ib
+      }
+    }
+    val dropped = r.filter(_.getAs[Boolean]("dropped"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(dropped === expected.toSet)
+    info(s"semDedup drops ${dropped.size} of ${r.length} at eps " +
+      s"${Similarity.SemDedupEps}")
+    assert(dropped.nonEmpty, "fixture corpus should contain semantic dups")
+    // the least-centroid-similar member of every cluster always survives
+    byC.values.foreach { rows =>
+      val keeper = rows.minBy(x =>
+        (x.getAs[Double]("cos_centroid"), x.getAs[Long]("vec_id")))
+      assert(!keeper.getAs[Boolean]("dropped"))
+    }
+    // a stricter eps can only drop a subset
+    val strict = Similarity.semDedup(emb, eps = 0.8,
+        codebook = Some(cents)).collect()
+      .filter(_.getAs[Boolean]("dropped")).map(_.getAs[Long]("vec_id")).toSet
+    assert(strict.subsetOf(dropped))
+  }
+
   test("embeddingThresholdSweep: monotone drop curve, mass conserved") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
