@@ -193,10 +193,16 @@ object Similarity {
     cents
   }
 
-  /** IVF assignment: every vector's best centroid from the given codebook
-    * (default: k-means-trained, see [[trainCentroids]]).
+  /** IVF assignment WITH the winning cosine: every vector's best
+    * centroid from the given codebook plus `ccos`, the score that won —
+    * the ONE place the assignment plan (cross join against the
+    * broadcast codebook, cosine score, ccos-desc/centroid_id window,
+    * rank 1) is spelled out, so every consumer ([[ivfAssignments]],
+    * [[semDedup]], [[kmeansClusterProfile]]'s equivalent agg form) and
+    * the DuckDB twins' shared `asg` CTE stay in lock-step on the
+    * tie-break.
     */
-  def ivfAssignments(emb: DataFrame, cents: DataFrame): DataFrame = {
+  def ivfAssignmentsWithCos(emb: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("centroid_id"))
     emb.crossJoin(broadcast(cents))
@@ -204,8 +210,16 @@ object Similarity {
         cosine(col("embedding"), col("c")).as("ccos"))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        col("ccos"))
   }
+
+  /** IVF assignment: every vector's best centroid from the given codebook
+    * (default: k-means-trained, see [[trainCentroids]]).
+    */
+  def ivfAssignments(emb: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssignmentsWithCos(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
 
   def ivfAssignments(emb: DataFrame): DataFrame =
     ivfAssignments(emb, trainCentroids(emb))
@@ -315,8 +329,12 @@ object Similarity {
     * SimilaritySpec measures the whole stack against the unblocked
     * ground truth (≥0.9, like IVF top-k's).
     *
-    * Approximate (bucket boundaries lose some pairs) ⇒ registered
-    * rows-only; the exact label-blocked flavor stays the oracle query.
+    * Approximate vs the unblocked ground truth (bucket boundaries lose
+    * some pairs — the recall gate measures that), but DETERMINISTIC
+    * since the codebook trains on integer micro-means: the registered
+    * `dedup_embedding_ivf` is hash-compared against a DuckDB twin that
+    * replays training + multi-probe blocking CTE-for-CTE, with the
+    * exact label-blocked flavor as the semantic ground truth.
     */
   def embeddingNearDupPairsIvf(emb: DataFrame, threshold: Double = 0.35,
       probes: Int = NearDupProbes, maxBlockSize: Int = 100000,
@@ -393,15 +411,11 @@ object Similarity {
   def semDedup(emb: DataFrame, eps: Double = SemDedupEps,
       codebook: Option[DataFrame] = None): DataFrame = {
     val cents = codebook.getOrElse(trainCentroids(emb))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("c")).as("ccos"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        col("ccos"))
+    // materialize the assignment ONCE: it feeds the a-side, the b-side,
+    // and the final verdict join — uncheckpointed, the corpus×codebook
+    // cosine pass would execute three times (the srpEval sigs pattern)
+    val assigned = graft.CheckpointLease.track(
+      ivfAssignmentsWithCos(emb, cents).localCheckpoint(true))
     val a = withNorm(assigned.select(col("centroid_id"),
       col("vec_id").as("vec_a"), col("ccos").as("ccos_a"),
       col("embedding").as("ea")), "ea", "na")
@@ -909,8 +923,8 @@ object Similarity {
   /** PQ code profile per vector: the M-code word plus total squared
     * reconstruction error. The code word is serialized as a CSV string
     * (`codes_csv`) — the driver's compare harness sorts output via
-    * pandas, which cannot hash array columns (the `mm_features`
-    * `feature_e6` precedent); a CSV of 16 small ints is lossless.
+    * pandas, which cannot hash array columns (the [[quantizeInt8]]
+    * `q_csv` precedent); a CSV of 16 small ints is lossless.
     * Oracle-compared: the codebooks are deterministic (see
     * [[trainCentroids]]' centroid-determinism note) and the recon total
     * folds the per-subspace errors IN sub_id ORDER (a sequential
@@ -1166,6 +1180,22 @@ object Similarity {
     (init +: steps).mkString(",\n")
   }
 
+  /** Shared `fs`/`asg` CTEs of the trained-codebook twins: the full
+    * corpus×codebook score matrix and the rank-1 assignment (keeping
+    * `ccos`) — the SQL mirror of [[ivfAssignmentsWithCos]], written
+    * once so a retuned tie-break changes every twin together.
+    */
+  private def duckAssigned(iters: Int = KmeansIters): String =
+    s"""fs AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |         ${duckCosE("e.embedding", "c.c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents$iters c),
+       |asg AS (
+       |  SELECT vec_id, embedding, centroid_id, ccos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |              ORDER BY ccos DESC, centroid_id) AS rn FROM fs)
+       |  WHERE rn = 1)""".stripMargin
+
   /** Shared tail of the PQ twins: exact distances against the final
     * codebook and the per-(vec, sub) best code.
     */
@@ -1249,34 +1279,18 @@ object Similarity {
   def oracleSql: Map[String, String] = Map(
     "vec_kmeans" ->
       s"""WITH ${duckTrainedCents()},
-         |pv AS (
-         |  SELECT vec_id, centroid_id, ccos FROM (
-         |    SELECT e.vec_id, c.centroid_id,
-         |           ${duckCosE("e.embedding", "c.c")} AS ccos,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${duckCosE("e.embedding", "c.c")} DESC,
-         |                      c.centroid_id) AS rn
-         |    FROM embeddings e CROSS JOIN cents$KmeansIters c)
-         |  WHERE rn = 1)
+         |${duckAssigned()}
          |SELECT CAST(centroid_id AS INT) AS centroid_id,
          |       count(*) AS n_vecs,
          |       CAST(CAST(sum(nano) AS BIGINT) // count(*) AS DOUBLE)
          |         / 1000000000.0 AS mean_cosine
          |FROM (SELECT centroid_id,
          |             CAST(floor(ccos * 1000000000.0) AS BIGINT) AS nano
-         |      FROM pv)
+         |      FROM asg)
          |GROUP BY 1""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH ${duckTrainedCents()},
-         |fs AS (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |         ${duckCosE("e.embedding", "c.c")} AS ccos
-         |  FROM embeddings e CROSS JOIN cents$KmeansIters c),
-         |asg AS (
-         |  SELECT vec_id, embedding, centroid_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |              ORDER BY ccos DESC, centroid_id) AS rn FROM fs)
-         |  WHERE rn = 1),
+         |${duckAssigned()},
          |probes AS (
          |  SELECT vec_id AS query_id, embedding AS q, centroid_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1295,10 +1309,7 @@ object Similarity {
          |WHERE rank <= $TopK""".stripMargin,
     "dedup_embedding_ivf" ->
       s"""WITH ${duckTrainedCents()},
-         |fs AS (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |         ${duckCosE("e.embedding", "c.c")} AS ccos
-         |  FROM embeddings e CROSS JOIN cents$KmeansIters c),
+         |${duckAssigned()},
          |masg AS (
          |  SELECT vec_id, embedding, centroid_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1321,15 +1332,7 @@ object Similarity {
          |WHERE cosine >= 0.35""".stripMargin,
     "dedup_semdedup" ->
       s"""WITH ${duckTrainedCents()},
-         |fs AS (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |         ${duckCosE("e.embedding", "c.c")} AS ccos
-         |  FROM embeddings e CROSS JOIN cents$KmeansIters c),
-         |asg AS (
-         |  SELECT vec_id, embedding, centroid_id, ccos FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |              ORDER BY ccos DESC, centroid_id) AS rn FROM fs)
-         |  WHERE rn = 1),
+         |${duckAssigned()},
          |drops AS (
          |  SELECT b.vec_id, count(*) AS n_dups
          |  FROM asg a JOIN asg b
