@@ -438,6 +438,120 @@ object Similarity {
         (col("n_dups").isNotNull).as("dropped"))
   }
 
+  /** Eps arms [[semDedupSweep]] evaluates (floor first — the pair scan
+    * runs once at the loosest value, like [[VecSweepThresholds]]).
+    */
+  val SemDedupSweepEps: Seq[Double] = Seq(0.3, 0.35, 0.4, 0.5, 0.6)
+
+  /** SemDeDup eps what-if — the tuning query run BEFORE committing a
+    * corpus to a [[semDedup]] pass: how many vectors each candidate
+    * `eps` would drop, from ONE within-cluster pair scan at the sweep
+    * floor. Per vector, keep only the MAXIMUM cosine against any
+    * higher-keep-priority same-cluster neighbor (a keyed max — no
+    * window); a 5-row explode then scores every arm against that
+    * per-vector max, and a left join back onto the eps domain keeps a
+    * drop-free corpus reporting `n_dropped = 0` rows instead of an
+    * empty table ([[embeddingThresholdSweep]]'s contract). By
+    * construction `n_dropped` at each arm equals
+    * `semDedup(eps).filter(dropped).count` — SimilaritySpec pins that
+    * consistency.
+    */
+  def semDedupSweep(emb: DataFrame,
+      epsArms: Seq[Double] = SemDedupSweepEps,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = codebook.getOrElse(trainCentroids(emb))
+    val assigned = graft.CheckpointLease.track(
+      ivfAssignmentsWithCos(emb, cents).localCheckpoint(true))
+    val nVec = emb.agg(count(lit(1)).as("n_vecs"))
+    val a = withNorm(assigned.select(col("centroid_id"),
+      col("vec_id").as("vec_a"), col("ccos").as("ccos_a"),
+      col("embedding").as("ea")), "ea", "na")
+    val b = withNorm(assigned.select(col("centroid_id"),
+      col("vec_id").as("vec_b"), col("ccos").as("ccos_b"),
+      col("embedding").as("eb")), "eb", "nb")
+    val floor = epsArms.min
+    val bestC = a.join(b, Seq("centroid_id"))
+      .filter(col("ccos_a") < col("ccos_b") ||
+        (col("ccos_a") === col("ccos_b") && col("vec_a") < col("vec_b")))
+      .select(col("vec_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= floor)
+      .groupBy(col("vec_b"))
+      .agg(max(col("cos")).as("best_c"))
+    val counts = bestC
+      .select(col("best_c"),
+        explode(array(epsArms.map(lit): _*)).as("eps"))
+      .groupBy("eps")
+      .agg(sum(when(col("best_c") >= col("eps"), 1L).otherwise(0L))
+        .as("n_dropped"))
+    val domain = emb.sparkSession.range(1)
+      .select(explode(array(epsArms.map(lit): _*)).as("eps"))
+    domain.join(counts, Seq("eps"), "left")
+      .select(col("eps"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .crossJoin(broadcast(nVec))
+      .select(col("eps"), col("n_dropped"),
+        (col("n_vecs") - col("n_dropped")).as("n_kept"),
+        (col("n_dropped").cast("double") / col("n_vecs").cast("double"))
+          .as("drop_rate"))
+  }
+
+  /** Truncation widths [[matryoshkaEval]] scores (the full 64 last — a
+    * recall-1.0 canary arm).
+    */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka truncation evaluation — the serving trade-off study run
+    * before deploying prefix-truncated embeddings (Kusupati et al.
+    * 2022, "Matryoshka Representation Learning": models trained so any
+    * PREFIX of the vector is itself a usable embedding; serving picks a
+    * width): for each candidate width `d`, brute-force top-k under the
+    * prefix-`d` cosine, scored by recall against the full-dimension
+    * exact top-k ([[bruteForceTopK]]'s ground truth). The full-width
+    * arm must report recall 1.0 — a structural canary the spec pins.
+    *
+    * Fully deterministic (prefix cosines are the same sequential folds
+    * over the first d coordinates on both engines; ranks tie-break on
+    * neighbor id) ⇒ oracle-compared. Scale shape per arm: broadcast
+    * bounded query set × one corpus stream, O(Q·N) with no corpus
+    * shuffle — and the cheaper arms scan PROPORTIONALLY fewer bytes,
+    * which is the point of the study.
+    */
+  def matryoshkaEval(emb: DataFrame, k: Int = TopK,
+      dims: Seq[Int] = MatryoshkaDims): DataFrame = {
+    val truth = graft.CheckpointLease.track(
+      bruteForceTopK(emb, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true))
+    val arms = dims.map { d =>
+      def pref(c: Column): Column = slice(c, 1, d)
+      val queries = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"),
+          pref(col("embedding")).as("q"))
+        .withColumn("qn", sqrt(dot(col("q"), col("q"))))
+      val cands = emb
+        .select(col("vec_id"), pref(col("embedding")).as("e"))
+        .withColumn("en", sqrt(dot(col("e"), col("e"))))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val top = broadcast(queries)
+        .join(cands, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("q"), col("e")) / (col("qn") * col("en")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+      top.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .select(lit(d.toLong).as("dim"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+    }
+    arms.reduce(_ unionAll _)
+  }
+
   /** Trained-codebook diagnostics: occupancy and mean best-assignment
     * cosine per centroid — the balance/coherence profile an IVF index
     * build reports. Oracle-compared: the codebook is deterministic (see
@@ -1041,6 +1155,10 @@ object Similarity {
     "dedup_embedding_ivf" -> ((s, d) =>
       embeddingNearDupPairsIvf(Tables.embeddings(s, d))),
     "dedup_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
+    "vec_semdedup_sweep" -> ((s, d) =>
+      semDedupSweep(Tables.embeddings(s, d))),
+    "vec_matryoshka_eval" -> ((s, d) =>
+      matryoshkaEval(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -1069,6 +1187,18 @@ object Similarity {
     */
   private def duckL2E(a: String, b: String): String =
     s"${duckDotE(a, a)} - 2.0 * ${duckDotE(a, b)} + ${duckDotE(b, b)}"
+
+  /** PREFIX-`d` cosine over two table aliases' `embedding` columns —
+    * the [[matryoshkaEval]] twin's scorer: the same sequential folds,
+    * bounded to the first `d` coordinates (norms over the prefix too,
+    * mirroring the Spark side's `slice` before `dot`).
+    */
+  private def duckCosPref(a: String, b: String, d: Int): String = {
+    def dt(x: String, y: String) =
+      s"list_sum([CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i] " +
+        s"for i in range(1, ${d + 1})])"
+    s"${dt(a, b)} / (sqrt(${dt(a, a)}) * sqrt(${dt(b, b)}))"
+  }
 
   /** CTE chain replaying [[trainCentroids]]' Lloyd iterations in DuckDB:
     * deterministic first-`k` init re-keyed dense, per-iteration best-
@@ -1346,6 +1476,64 @@ object Similarity {
          |       CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
          |       d.vec_id IS NOT NULL AS dropped
          |FROM asg LEFT JOIN drops d USING (vec_id)""".stripMargin,
+    "vec_semdedup_sweep" -> {
+      val floor = SemDedupSweepEps.min
+      val arms = SemDedupSweepEps.mkString(", ")
+      s"""WITH ${duckTrainedCents()},
+         |${duckAssigned()},
+         |best AS (
+         |  SELECT b.vec_id AS vec_b,
+         |         max(${duckCosE("a.embedding", "b.embedding")}) AS best_c
+         |  FROM asg a JOIN asg b
+         |    ON a.centroid_id = b.centroid_id
+         |   AND (a.ccos < b.ccos
+         |        OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+         |  WHERE ${duckCosE("a.embedding", "b.embedding")} >= $floor
+         |  GROUP BY 1),
+         |n AS (SELECT count(*) AS n_vecs FROM embeddings),
+         |t AS (SELECT CAST(unnest([$arms]) AS DOUBLE) AS eps),
+         |agg AS (
+         |  SELECT t.eps,
+         |         CAST(sum(CASE WHEN best.best_c >= t.eps
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |  FROM t LEFT JOIN best ON TRUE GROUP BY 1)
+         |SELECT eps, n_dropped,
+         |       n.n_vecs - n_dropped AS n_kept,
+         |       CAST(n_dropped AS DOUBLE) / CAST(n.n_vecs AS DOUBLE)
+         |         AS drop_rate
+         |FROM agg, n""".stripMargin
+    },
+    "vec_matryoshka_eval" -> {
+      val armSql = MatryoshkaDims.map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dim, tn.n_true, h.n_hit,
+           |       CAST(h.n_hit AS DOUBLE) / CAST(tn.n_true AS DOUBLE)
+           |         AS recall
+           |FROM (SELECT count(*) AS n_hit FROM (
+           |        SELECT query_id, neighbor_id FROM (
+           |          SELECT *, row_number() OVER (PARTITION BY query_id
+           |                    ORDER BY cosine DESC, neighbor_id) AS rank
+           |          FROM (SELECT q.vec_id AS query_id,
+           |                       e.vec_id AS neighbor_id,
+           |                       ${duckCosPref("q", "e", d)} AS cosine
+           |                FROM embeddings q, embeddings e
+           |                WHERE q.vec_id < $NQueries
+           |                  AND q.vec_id <> e.vec_id))
+           |        WHERE rank <= $TopK) td
+           |      JOIN truth USING (query_id, neighbor_id)) h, tn"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |                 ${duckCos("q", "e")} AS cosine
+         |          FROM embeddings q, embeddings e
+         |          WHERE q.vec_id < $NQueries AND q.vec_id <> e.vec_id))
+         |  WHERE rank <= $TopK),
+         |tn AS (SELECT count(*) AS n_true FROM truth)
+         |""".stripMargin + armSql
+    },
     "vec_pq" ->
       s"""WITH ${duckPqCents()},
          |${duckPqCodes()}

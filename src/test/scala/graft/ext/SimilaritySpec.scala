@@ -352,6 +352,49 @@ class SimilaritySpec extends SparkSpec {
     assert(strict.subsetOf(dropped))
   }
 
+  test("semDedupSweep: mass conserved, monotone arms, counts equal the " +
+      "operator's own drops") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.trainCentroids(emb)
+    val sweep = Similarity.semDedupSweep(emb, codebook = Some(cents))
+      .orderBy("eps").collect()
+    assert(sweep.length === Similarity.SemDedupSweepEps.length)
+    val n = emb.count()
+    sweep.foreach(r =>
+      assert(r.getAs[Long]("n_dropped") + r.getAs[Long]("n_kept") === n))
+    val drops = sweep.map(_.getAs[Long]("n_dropped"))
+    assert(drops.zip(drops.tail).forall { case (x, y) => x >= y },
+      s"drop curve must fall as eps rises: ${drops.toSeq}")
+    // the what-if must agree with the operator it tunes
+    Seq(0.4, 0.5).foreach { eps =>
+      val direct = Similarity.semDedup(emb, eps = eps,
+        codebook = Some(cents)).filter(col("dropped")).count()
+      val arm = sweep.find(r =>
+        math.abs(r.getAs[Double]("eps") - eps) < 1e-12).get
+      assert(arm.getAs[Long]("n_dropped") === direct,
+        s"sweep arm $eps disagrees with semDedup($eps)")
+    }
+  }
+
+  test("matryoshkaEval: full-width arm is a recall-1.0 canary, every arm " +
+      "scored against the same truth set") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Similarity.matryoshkaEval(emb).orderBy("dim").collect()
+    assert(r.length === Similarity.MatryoshkaDims.length)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_true") ===
+        Similarity.NQueries.toLong * Similarity.TopK)
+      val rec = x.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      info(f"dim ${x.getAs[Long]("dim")}%2d recall $rec%.2f")
+    }
+    val full = r.last
+    assert(full.getAs[Long]("dim") === Similarity.SrpDim.toLong)
+    assert(full.getAs[Double]("recall") === 1.0,
+      "prefix = full vector must reproduce the exact top-k")
+  }
+
   test("embeddingThresholdSweep: monotone drop curve, mass conserved") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
