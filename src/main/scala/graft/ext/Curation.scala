@@ -107,6 +107,64 @@ object Curation {
       .select("doc_id", "split")
   }
 
+  /** Per-source keeper budget for [[sourceCap]] (the fixtures carry 25
+    * docs/source, so 20 drops a fifth of every source — the cap fires
+    * without erasing a source).
+    */
+  val SourceCapN = 20
+
+  /** Per-source document cap — the C4/RefinedWeb "at most N documents
+    * per domain" pass that stops one prolific source from dominating
+    * the mix: within each source, keep the `cap` highest-priority
+    * documents (exact token count DESC — keep the substantive ones —
+    * with doc_id as the deterministic tie-break) and flag the rest.
+    *
+    * Scale shape: the keeper set comes from the custom
+    * [[graft.plans.TopKPerGroup]] heap operator, NOT a per-source
+    * window sort — a hot domain with 10⁹ docs costs one bounded heap
+    * per partition plus a cap-sized merge instead of sorting the whole
+    * domain in one task; the verdict join back is a keyed left join.
+    */
+  def sourceCap(docs: DataFrame, cap: Int = SourceCapN): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val keep = graft.plans.TopKPerGroup(scored, Seq("source"),
+        Seq("n_tokens" -> true, "doc_id" -> false), k = cap)
+      .select(col("doc_id"), lit(true).as("in_cap"))
+    scored.join(keep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("in_cap"), lit(false)).as("kept"))
+  }
+
+  /** Train/val/test LEAKAGE audit — the check run before any eval is
+    * trusted: how many near-duplicate pairs ([[Dedup.ngramJaccardPairs]],
+    * the oracle-checked exact-Jaccard detector) STRADDLE the
+    * [[splitAssign]] split boundaries. A near-dup of a training doc
+    * sitting in val/test inflates eval scores exactly like benchmark
+    * contamination; the fix is splitting by DEDUP CLUSTER rather than
+    * by document, and this query quantifies how much that matters on a
+    * given corpus. One row per unordered split pair (least/greatest
+    * normalization) with the cross-split rows flagged `leaky`.
+    *
+    * Scale shape: the pair set is the already-bounded near-dup output
+    * (orders of magnitude below the corpus); two keyed joins against
+    * the narrow split projection and one tiny keyed count.
+    */
+  def splitLeakageAudit(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs).select("doc_a", "doc_b")
+    val splits = splitAssign(docs)
+    val sa = splits.select(col("doc_id").as("doc_a"),
+      col("split").as("split_a"))
+    val sb = splits.select(col("doc_id").as("doc_b"),
+      col("split").as("split_b"))
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_lo") =!= col("split_hi"))
+  }
+
   /** Quality-filter funnel: the per-stage survivor report every corpus
     * curation run publishes — how many documents pass each successive
     * filter (minimum length → lexical diversity → stopword ceiling →
@@ -369,6 +427,9 @@ object Curation {
       weightedReservoir(Tables.documents(s, d))),
     "curation_funnel"   -> ((s, d) => filterFunnel(Tables.documents(s, d))),
     "split_assign"      -> ((s, d) => splitAssign(Tables.documents(s, d))),
+    "curation_source_cap" -> ((s, d) => sourceCap(Tables.documents(s, d))),
+    "split_leakage_audit" -> ((s, d) =>
+      splitLeakageAudit(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => packSequences(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
       stratifiedSample(Tables.documents(s, d))),
@@ -521,6 +582,38 @@ object Curation {
         |UNION ALL SELECT '3_stopwords', n3, CAST(n3 AS DOUBLE) / n0 FROM a
         |UNION ALL SELECT '4_repetition', n4,
         |          CAST(n4 AS DOUBLE) / n0 FROM a""".stripMargin,
+    "curation_source_cap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |            ORDER BY n_tokens DESC, doc_id) AS rk
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, rk <= $SourceCapN AS kept
+         |FROM r""".stripMargin,
+    // the near-dup pair derivation is the dedup_ngram_jaccard twin
+    // VERBATIM (nested as a subquery), so the audit can never drift
+    // from the detector it audits; split arithmetic is split_assign's
+    "split_leakage_audit" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         CASE WHEN h < 3435973836 THEN 'train'
+         |              WHEN h < 3865470566 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+         |        FROM documents)),
+         |p AS (SELECT doc_a, doc_b FROM (
+         |${Dedup.oracleSql("dedup_ngram_jaccard")}) q)
+         |SELECT split_lo, split_hi, n_pairs,
+         |       split_lo <> split_hi AS leaky
+         |FROM (SELECT least(sa.split, sb.split) AS split_lo,
+         |             greatest(sa.split, sb.split) AS split_hi,
+         |             count(*) AS n_pairs
+         |      FROM p JOIN s sa ON p.doc_a = sa.doc_id
+         |             JOIN s sb ON p.doc_b = sb.doc_id
+         |      GROUP BY 1, 2)""".stripMargin,
     // thresholds are floor(0.8 * 2^32) and floor(0.9 * 2^32)
     "split_assign" ->
       """SELECT doc_id,

@@ -8,6 +8,42 @@ class CurationSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def docs = Tables.documents(spark, sf)
 
+  test("sourceCap: per-source keeps = min(cap, size); keepers are exactly " +
+      "the top-cap by (n_tokens desc, doc_id)") {
+    val r = Curation.sourceCap(docs).collect()
+    assert(r.length === docs.count())
+    r.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val kept = rows.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length === math.min(Curation.SourceCapN, rows.length))
+      val expected = rows
+        .sortBy(x => (-x.getAs[Long]("n_tokens"), x.getAs[Long]("doc_id")))
+        .take(Curation.SourceCapN).map(_.getAs[Long]("doc_id")).toSet
+      assert(kept.map(_.getAs[Long]("doc_id")).toSet === expected)
+    }
+  }
+
+  test("splitLeakageAudit: pair mass conserved, groups match a direct " +
+      "recomputation, leaky flag consistent") {
+    val audit = Curation.splitLeakageAudit(docs).collect()
+    val pairs = Dedup.ngramJaccardPairs(docs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val splits = Curation.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs
+      .map { case (a, b) =>
+        val (x, y) = (splits(a), splits(b))
+        (Seq(x, y).min, Seq(x, y).max)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = audit.map(r =>
+      (r.getAs[String]("split_lo"), r.getAs[String]("split_hi")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(got === expected)
+    assert(got.values.sum === pairs.length.toLong)
+    audit.foreach(r => assert(r.getAs[Boolean]("leaky") ===
+      (r.getAs[String]("split_lo") != r.getAs[String]("split_hi"))))
+  }
+
   test("packSequences: every doc lands in exactly one bin, bins are " +
       "contiguous per source, fill tracks the window budget") {
     import spark.implicits._
