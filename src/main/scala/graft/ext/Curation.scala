@@ -88,23 +88,57 @@ object Curation {
     * docs — the property percentile-based splitting loses). Narrow: pure
     * projection, no shuffle.
     */
-  def splitAssign(docs: DataFrame,
-      fracs: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+  val DefaultSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** The split label of an arbitrary non-negative id column — the ONE
+    * place the portable hash + integer-threshold cascade is spelled
+    * out, shared by [[splitAssign]] (per-document ids) and
+    * [[splitByCluster]] (cluster-representative ids).
+    */
+  def splitCol(id: org.apache.spark.sql.Column,
+      fracs: Seq[(String, Double)] = DefaultSplits): org.apache.spark.sql.Column = {
     require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got $fracs")
     val maxId = Long.MaxValue / 2654435761L
-    val guarded = when(col("doc_id").between(0L, maxId), col("doc_id"))
+    val guarded = when(id.between(0L, maxId), id)
       .otherwise(raise_error(lit(
-        s"splitAssign: doc_id outside portable-hash domain [0, $maxId]")))
+        s"splitCol: id outside portable-hash domain [0, $maxId]")))
     val h = (guarded * 2654435761L) % 4294967296L
     val thresholds = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => math.min(4294967296L, math.floor(c * 4294967296.0).toLong))
-    val split = fracs.init.zip(thresholds).foldRight(lit(fracs.last._1)) {
+    fracs.init.zip(thresholds).foldRight(lit(fracs.last._1)) {
       case (((name, _), t), els) => when(h < t, lit(name)).otherwise(els)
     }
-    docs.select(col("doc_id"), h.as("h"), split.as("split"))
-      .select("doc_id", "split")
+  }
+
+  def splitAssign(docs: DataFrame,
+      fracs: Seq[(String, Double)] = DefaultSplits): DataFrame =
+    docs.select(col("doc_id"), splitCol(col("doc_id"), fracs).as("split"))
+
+  /** Cluster-aware split — the FIX for what [[splitLeakageAudit]]
+    * measures: every document inherits the split of its near-dup
+    * CLUSTER representative (the cluster's minimum doc_id; singletons
+    * are their own representative), so the members of a near-dup pair
+    * hash the same id and can never straddle train/val/test. Emits the
+    * representative and whether the doc MOVED relative to the naive
+    * per-document split — the migration cost of fixing leakage.
+    *
+    * Scale shape: cluster labels are the bounded near-dup fixpoint
+    * ([[Components.nearDupClusters]]); one left join onto the corpus id
+    * projection, then narrow hash arithmetic.
+    */
+  def splitByCluster(docs: DataFrame,
+      fracs: Seq[(String, Double)] = DefaultSplits): DataFrame = {
+    val labels = Components.nearDupClusters(docs)
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+      .select(col("doc_id"), col("rep_id"),
+        splitCol(col("rep_id"), fracs).as("split"),
+        (splitCol(col("rep_id"), fracs) =!=
+          splitCol(col("doc_id"), fracs)).as("moved"))
   }
 
   /** Per-source keeper budget for [[sourceCap]] (the fixtures carry 25
@@ -430,6 +464,8 @@ object Curation {
     "curation_source_cap" -> ((s, d) => sourceCap(Tables.documents(s, d))),
     "split_leakage_audit" -> ((s, d) =>
       splitLeakageAudit(Tables.documents(s, d))),
+    "split_by_cluster" -> ((s, d) =>
+      splitByCluster(Tables.documents(s, d))),
     "pack_sequences"    -> ((s, d) => packSequences(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
       stratifiedSample(Tables.documents(s, d))),
@@ -614,6 +650,32 @@ object Curation {
          |      FROM p JOIN s sa ON p.doc_a = sa.doc_id
          |             JOIN s sb ON p.doc_b = sb.doc_id
          |      GROUP BY 1, 2)""".stripMargin,
+    // cluster labels are the dedup_clusters recursive-CTE twin nested
+    // verbatim (the dedup_modularity pattern); split arithmetic is
+    // split_assign's applied to the representative id
+    "split_by_cluster" ->
+      s"""WITH cl AS (
+         |${Components.oracleSql("dedup_clusters")}
+         |),
+         |rep AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS rep_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |h AS (
+         |  SELECT doc_id, rep_id,
+         |         (rep_id * 2654435761) % 4294967296 AS hr,
+         |         (doc_id * 2654435761) % 4294967296 AS hd
+         |  FROM rep)
+         |SELECT doc_id, rep_id,
+         |       CASE WHEN hr < 3435973836 THEN 'train'
+         |            WHEN hr < 3865470566 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       (CASE WHEN hr < 3435973836 THEN 'train'
+         |             WHEN hr < 3865470566 THEN 'val'
+         |             ELSE 'test' END) <>
+         |       (CASE WHEN hd < 3435973836 THEN 'train'
+         |             WHEN hd < 3865470566 THEN 'val'
+         |             ELSE 'test' END) AS moved
+         |FROM h""".stripMargin,
     // thresholds are floor(0.8 * 2^32) and floor(0.9 * 2^32)
     "split_assign" ->
       """SELECT doc_id,

@@ -44,6 +44,28 @@ class CurationSpec extends SparkSpec {
       (r.getAs[String]("split_lo") != r.getAs[String]("split_hi"))))
   }
 
+  test("splitByCluster: no near-dup pair straddles splits; moved flag " +
+      "tracks the naive assignment") {
+    val r = Curation.splitByCluster(docs).collect()
+    assert(r.length === docs.count())
+    val split = r.map(x =>
+      x.getAs[Long]("doc_id") -> x.getAs[String]("split")).toMap
+    Dedup.ngramJaccardPairs(docs).select("doc_a", "doc_b").collect()
+      .foreach { p =>
+        assert(split(p.getLong(0)) === split(p.getLong(1)),
+          s"pair (${p.getLong(0)}, ${p.getLong(1)}) straddles splits")
+      }
+    val naive = Curation.splitAssign(docs).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    r.foreach { x =>
+      assert(x.getAs[Boolean]("moved") ===
+        (x.getAs[String]("split") != naive(x.getAs[Long]("doc_id"))))
+    }
+    // the fix must actually move someone on this corpus (it has near-dup
+    // clusters whose members hash to different naive splits)
+    assert(r.exists(_.getAs[Boolean]("moved")))
+  }
+
   test("packSequences: every doc lands in exactly one bin, bins are " +
       "contiguous per source, fill tracks the window budget") {
     import spark.implicits._
