@@ -239,13 +239,17 @@ object Components {
       s"""WITH cl AS (
          |$ClustersSql
          |),
-         |sh2 AS (
+         |sh20 AS (
          |  SELECT doc_id,
          |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
          |                               for i in range(1, len(toks)-1)]))
          |           AS shingle
          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
          |        FROM documents)),
+         |sh2 AS (
+         |  SELECT doc_id, shingle FROM sh20
+         |  WHERE shingle IN (SELECT shingle FROM sh20
+         |                    GROUP BY 1 HAVING count(*) <= ${Dedup.MaxShingleDf})),
          |sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
          |inter2 AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -306,14 +310,22 @@ object Components {
          |FROM r GROUP BY 1""".stripMargin,
   )
 
+  // carries ngramJaccardPairs' MaxShingleDf stop-shingle cap so the
+  // replayed pair set is the SAME operator at every SF (the cap never
+  // fires at test SF, but omitting it was a latent query/oracle
+  // divergence — round-11 review finding)
   private val ClustersSql =
-      """WITH RECURSIVE sh AS (
+      s"""WITH RECURSIVE sh0 AS (
         |  SELECT doc_id,
         |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
         |                               for i in range(1, len(toks)-1)]))
         |           AS shingle
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
         |        FROM documents)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  WHERE shingle IN (SELECT shingle FROM sh0
+        |                    GROUP BY 1 HAVING count(*) <= ${Dedup.MaxShingleDf})),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -136,9 +136,9 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
       .select(col("doc_id"), col("rep_id"),
-        splitCol(col("rep_id"), fracs).as("split"),
-        (splitCol(col("rep_id"), fracs) =!=
-          splitCol(col("doc_id"), fracs)).as("moved"))
+        splitCol(col("rep_id"), fracs).as("split"))
+      .withColumn("moved",
+        col("split") =!= splitCol(col("doc_id"), fracs))
   }
 
   /** Per-source keeper budget for [[sourceCap]] (the fixtures carry 25
@@ -160,8 +160,13 @@ object Curation {
     * domain in one task; the verdict join back is a keyed left join.
     */
   def sourceCap(docs: DataFrame, cap: Int = SourceCapN): DataFrame = {
-    val scored = docs.select(col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // materialized ONCE: the scored projection feeds both the heap and
+    // the verdict join — left lazy, the full-corpus tokenization would
+    // execute twice (the ngramJaccardPairs shingle-index pattern)
+    val scored = graft.CheckpointLease.track(
+      docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .localCheckpoint(true))
     val keep = graft.plans.TopKPerGroup(scored, Seq("source"),
         Seq("n_tokens" -> true, "doc_id" -> false), k = cap)
       .select(col("doc_id"), lit(true).as("in_cap"))

@@ -1211,15 +1211,22 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5"""
         .stripMargin,
-    // threshold what-if sweep over the same exact-Jaccard pair CTEs
+    // threshold what-if sweep over the same exact-Jaccard pair CTEs —
+    // including the MaxShingleDf stop-shingle cap the Spark derivation
+    // applies (invisible at test SF where max df is ~25, but the oracle
+    // must be the SAME operator at every SF)
     "dedup_threshold_sweep" ->
-      """WITH sh AS (
+      s"""WITH sh0 AS (
         |  SELECT doc_id,
         |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
         |                               for i in range(1, len(toks)-1)]))
         |           AS shingle
         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
         |        FROM documents)),
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
+        |  WHERE shingle IN (SELECT shingle FROM sh0
+        |                    GROUP BY 1 HAVING count(*) <= $MaxShingleDf)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -462,38 +462,22 @@ object Similarity {
     val cents = codebook.getOrElse(trainCentroids(emb))
     val assigned = graft.CheckpointLease.track(
       ivfAssignmentsWithCos(emb, cents).localCheckpoint(true))
-    val nVec = emb.agg(count(lit(1)).as("n_vecs"))
     val a = withNorm(assigned.select(col("centroid_id"),
       col("vec_id").as("vec_a"), col("ccos").as("ccos_a"),
       col("embedding").as("ea")), "ea", "na")
     val b = withNorm(assigned.select(col("centroid_id"),
       col("vec_id").as("vec_b"), col("ccos").as("ccos_b"),
       col("embedding").as("eb")), "eb", "nb")
-    val floor = epsArms.min
     val bestC = a.join(b, Seq("centroid_id"))
       .filter(col("ccos_a") < col("ccos_b") ||
         (col("ccos_a") === col("ccos_b") && col("vec_a") < col("vec_b")))
       .select(col("vec_b"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= floor)
+      .filter(col("cos") >= epsArms.min)
       .groupBy(col("vec_b"))
       .agg(max(col("cos")).as("best_c"))
-    val counts = bestC
-      .select(col("best_c"),
-        explode(array(epsArms.map(lit): _*)).as("eps"))
-      .groupBy("eps")
-      .agg(sum(when(col("best_c") >= col("eps"), 1L).otherwise(0L))
-        .as("n_dropped"))
-    val domain = emb.sparkSession.range(1)
-      .select(explode(array(epsArms.map(lit): _*)).as("eps"))
-    domain.join(counts, Seq("eps"), "left")
-      .select(col("eps"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
-      .crossJoin(broadcast(nVec))
-      .select(col("eps"), col("n_dropped"),
-        (col("n_vecs") - col("n_dropped")).as("n_kept"),
-        (col("n_dropped").cast("double") / col("n_vecs").cast("double"))
-          .as("drop_rate"))
+    sweepReport(bestC, epsArms, "eps",
+      emb.agg(count(lit(1)).as("n_vecs")))
   }
 
   /** Truncation widths [[matryoshkaEval]] scores (the full 64 last — a
@@ -524,23 +508,13 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true))
     val arms = dims.map { d =>
-      def pref(c: Column): Column = slice(c, 1, d)
-      val queries = emb.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"),
-          pref(col("embedding")).as("q"))
-        .withColumn("qn", sqrt(dot(col("q"), col("q"))))
-      val cands = emb
-        .select(col("vec_id"), pref(col("embedding")).as("e"))
-        .withColumn("en", sqrt(dot(col("e"), col("e"))))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      val top = broadcast(queries)
-        .join(cands, col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("q"), col("e")) / (col("qn") * col("en")))
-            .as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
+      // each arm IS bruteForceTopK over the prefix-projected corpus —
+      // same operator, same float DAG, same tie-break; the recall-1.0
+      // canary depends on the full-width arm staying literally the
+      // ground-truth operator
+      val top = bruteForceTopK(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), 1, d).as("embedding")), k)
         .select("query_id", "neighbor_id")
       top.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
@@ -899,23 +873,33 @@ object Similarity {
     */
   def embeddingThresholdSweep(emb: DataFrame,
       thresholds: Seq[Double] = VecSweepThresholds): DataFrame = {
-    val nVec = emb.agg(count(lit(1)).as("n_vecs"))
     val bestC = embeddingNearDupPairs(emb, thresholds.min)
       .groupBy(col("vec_b").as("vec_id"))
       .agg(max(col("cosine")).as("best_c"))
-    val counts = bestC
-      .select(col("best_c"),
-        explode(array(thresholds.map(lit): _*)).as("threshold"))
-      .groupBy("threshold")
-      .agg(sum(when(col("best_c") >= col("threshold"), 1L).otherwise(0L))
+    sweepReport(bestC, thresholds, "threshold",
+      emb.agg(count(lit(1)).as("n_vecs")))
+  }
+
+  /** Shared tail of [[embeddingThresholdSweep]] and [[semDedupSweep]]:
+    * score every arm against the per-vector `best_c` max, then left-join
+    * the counts back onto the arm DOMAIN so a drop-free corpus still
+    * reports one `n_dropped = 0` row per arm — the sweep-reporting
+    * contract, written once.
+    */
+  private def sweepReport(best: DataFrame, arms: Seq[Double],
+      armCol: String, nVec: DataFrame): DataFrame = {
+    val counts = best
+      .select(col("best_c"), explode(array(arms.map(lit): _*)).as(armCol))
+      .groupBy(armCol)
+      .agg(sum(when(col("best_c") >= col(armCol), 1L).otherwise(0L))
         .as("n_dropped"))
-    val domain = emb.sparkSession.range(1)
-      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
-    domain.join(counts, Seq("threshold"), "left")
-      .select(col("threshold"),
+    val domain = best.sparkSession.range(1)
+      .select(explode(array(arms.map(lit): _*)).as(armCol))
+    domain.join(counts, Seq(armCol), "left")
+      .select(col(armCol),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
       .crossJoin(broadcast(nVec))
-      .select(col("threshold"), col("n_dropped"),
+      .select(col(armCol), col("n_dropped"),
         (col("n_vecs") - col("n_dropped")).as("n_kept"),
         (col("n_dropped").cast("double") / col("n_vecs").cast("double"))
           .as("drop_rate"))
