@@ -94,6 +94,12 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def weightedSample(k: Int = 200): DataFrame =
       Curation.weightedReservoir(docs, k)
     def funnel: DataFrame = Curation.filterFunnel(docs)
+    def sourceCap(cap: Int = Curation.SourceCapN): DataFrame =
+      Curation.sourceCap(docs, cap)
+    def splitLeakageAudit: DataFrame = Curation.splitLeakageAudit(docs)
+    def splitByCluster(fracs: Seq[(String, Double)] =
+        Curation.DefaultSplits): DataFrame =
+      Curation.splitByCluster(docs, fracs)
     def sourceMix: DataFrame = Corpus.sourceMix(docs)
     def hashReservoir(k: Int = Curation.ReservoirK): DataFrame =
       Curation.hashReservoirPerSource(docs, k)
@@ -182,6 +188,14 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def topKPq(k: Int = Similarity.TopK,
         shortlist: Int = Similarity.PqShortlist): DataFrame =
       Similarity.pqTopK(emb, k, shortlist)
+    def semDedup(eps: Double = Similarity.SemDedupEps): DataFrame =
+      Similarity.semDedup(emb, eps)
+    def semDedupSweep(
+        epsArms: Seq[Double] = Similarity.SemDedupSweepEps): DataFrame =
+      Similarity.semDedupSweep(emb, epsArms)
+    def matryoshkaEval(k: Int = Similarity.TopK,
+        dims: Seq[Int] = Similarity.MatryoshkaDims): DataFrame =
+      Similarity.matryoshkaEval(emb, k, dims)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 

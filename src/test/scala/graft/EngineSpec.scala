@@ -48,7 +48,11 @@ class EngineSpec extends SparkSpec {
       e.similarity.thresholdSweep(), e.curation.curriculum(),
       e.similarity.pqProfile, e.similarity.topKPq(),
       e.dedup.containmentPairs(threshold = 0.0),
-      e.text.kneserNey3(), e.similarity.hardNegatives())
+      e.text.kneserNey3(), e.similarity.hardNegatives(),
+      // round-11 surface
+      e.similarity.semDedup(), e.similarity.semDedupSweep(),
+      e.similarity.matryoshkaEval(), e.curation.sourceCap(),
+      e.curation.splitLeakageAudit, e.curation.splitByCluster())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
