@@ -681,6 +681,85 @@ object Similarity {
       .select("i", "j", "n_vecs", "gram_q")
   }
 
+  /** Power-iteration count for [[topComponent]] — a FIXED iteration
+    * budget, so the result is a deterministic DAG, not a
+    * convergence-dependent loop (both engines run exactly these steps).
+    */
+  val PowerIters = 8
+
+  /** Top PRINCIPAL COMPONENT of the embedding covariance by power
+    * iteration — the dominant-variance direction that All-but-the-Top
+    * (Mu & Viswanath 2018) removes from embedding spaces and that PCA
+    * whitening scales first. Per dimension: the unit loading, plus the
+    * Rayleigh eigenvalue and its share of total variance (trace).
+    *
+    * == Cross-engine determinism ==
+    * Everything derives from EXACT INTEGERS: the covariance is
+    * `G/(n·10⁸) − μμᵀ` with G the int64 quantized [[gramMatrix]] and μ
+    * the int64 micro-unit truncated means; the power method starts at
+    * the exact vector (1/8, …, 1/8) = 1/√64 and runs [[PowerIters]]
+    * matvec+normalize steps whose folds all run in ASCENDING index
+    * order (Scala while-loops ↔ DuckDB `list_sum(list(... ORDER BY
+    * ...))` — the same sequential-fold equivalence every oracle in
+    * this file leans on). An eigensolver is normally the canonical
+    * "engine-specific float" computation; fixing the iteration count,
+    * the start vector, and every fold order makes THIS one
+    * hash-comparable.
+    *
+    * == Scale shape ==
+    * The corpus-sized work is [[gramMatrix]]'s partial-aggregation scan
+    * (d²·n_partitions shuffle rows regardless of corpus size) and one
+    * micro-mean agg; the d×d solve is driver-side on a BOUNDED 64×64
+    * matrix (the collected-codebook class — 4096 + 64 rows), and the
+    * output is domain-bounded (d rows).
+    */
+  def topComponent(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val mmRows = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long")
+          .as("micro"))
+      .groupBy("dim")
+      .agg(expr("sum(micro) div count(1)").as("mm"))
+      .collect()
+    val d = mmRows.length
+    val mu = new Array[Double](d)
+    mmRows.foreach(r => mu(r.getInt(0)) = r.getLong(1).toDouble / 1000000.0)
+    val gRows = gramMatrix(emb).collect()
+    val n = gRows.head.getAs[Long]("n_vecs").toDouble
+    val c = Array.ofDim[Double](d, d)
+    gRows.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      c(i)(j) = r.getAs[Long]("gram_q").toDouble / (n * 100000000.0) -
+        mu(i) * mu(j)
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+    var v = Array.fill(d)(0.125) // 1/sqrt(64), exact in binary
+    for (_ <- 1 to PowerIters) {
+      val w = matvec(v)
+      var acc = 0.0
+      var i = 0
+      while (i < d) { acc += w(i) * w(i); i += 1 }
+      val nm = math.sqrt(acc)
+      v = w.map(_ / nm)
+    }
+    val cv = matvec(v)
+    var lam = 0.0
+    var tr = 0.0
+    var i = 0
+    while (i < d) { lam += v(i) * cv(i); tr += c(i)(i); i += 1 }
+    spark.createDataFrame(
+        (0 until d).map(k => (k, v(k), lam, lam / tr)))
+      .toDF("dim", "loading", "eigenvalue", "var_explained")
+  }
+
   /** Bits in the SRP signature ([[srpSignatures]]). */
   val SrpBits = 16
 
@@ -1143,6 +1222,8 @@ object Similarity {
       semDedupSweep(Tables.embeddings(s, d))),
     "vec_matryoshka_eval" -> ((s, d) =>
       matryoshkaEval(Tables.embeddings(s, d))),
+    "vec_top_component" -> ((s, d) =>
+      topComponent(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -1460,6 +1541,57 @@ object Similarity {
          |       CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
          |       d.vec_id IS NOT NULL AS dropped
          |FROM asg LEFT JOIN drops d USING (vec_id)""".stripMargin,
+    // the power method unrolled CTE-for-CTE: same integer inputs, same
+    // 1/8 start vector, every fold ORDER BY'd to match the Scala
+    // ascending while-loops
+    "vec_top_component" -> {
+      val iters = (1 to PowerIters).map { t =>
+        s"""w$t AS MATERIALIZED (
+           |  SELECT c.i, list_sum(list(c.c * v.v ORDER BY c.j)) AS w
+           |  FROM c JOIN v${t - 1} v ON c.j = v.i GROUP BY 1),
+           |n$t AS MATERIALIZED (
+           |  SELECT sqrt(list_sum(list(w * w ORDER BY i))) AS nm
+           |  FROM w$t),
+           |v$t AS MATERIALIZED (SELECT i, w / nm AS v FROM w$t, n$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mm AS MATERIALIZED (
+         |  SELECT dim, CAST(sum(micro) AS BIGINT) // count(*) AS mmv
+         |  FROM (SELECT unnest(range(len(embedding))) AS dim,
+         |               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+         |                          * 1000000.0) AS BIGINT) AS micro
+         |        FROM embeddings)
+         |  GROUP BY 1),
+         |mu AS MATERIALIZED (SELECT dim, CAST(mmv AS DOUBLE) / 1000000.0 AS mu
+         |       FROM mm),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id, unnest(range(len(embedding))) AS d,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+         |              AS BIGINT) AS qv
+         |  FROM embeddings),
+         |g AS MATERIALIZED (
+         |  SELECT a.d AS i, b.d AS j, count(*) AS n,
+         |         CAST(sum(a.qv * b.qv) AS BIGINT) AS gq
+         |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+         |c AS MATERIALIZED (
+         |  SELECT g.i, g.j,
+         |         CAST(gq AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)
+         |           - ma.mu * mb.mu AS c
+         |  FROM g JOIN mu ma ON g.i = ma.dim
+         |         JOIN mu mb ON g.j = mb.dim),
+         |v0 AS MATERIALIZED (SELECT dim AS i, CAST(0.125 AS DOUBLE) AS v FROM mm),
+         |$iters,
+         |cv AS MATERIALIZED (
+         |  SELECT c.i, list_sum(list(c.c * v.v ORDER BY c.j)) AS w
+         |  FROM c JOIN v$PowerIters v ON c.j = v.i GROUP BY 1),
+         |lam AS MATERIALIZED (
+         |  SELECT list_sum(list(v.v * cv.w ORDER BY v.i)) AS l
+         |  FROM v$PowerIters v JOIN cv ON v.i = cv.i),
+         |tr AS MATERIALIZED (SELECT list_sum(list(c ORDER BY i)) AS t
+         |       FROM c WHERE i = j)
+         |SELECT CAST(v.i AS INT) AS dim, v.v AS loading,
+         |       lam.l AS eigenvalue, lam.l / tr.t AS var_explained
+         |FROM v$PowerIters v, lam, tr""".stripMargin
+    },
     "vec_semdedup_sweep" -> {
       val floor = SemDedupSweepEps.min
       val arms = SemDedupSweepEps.mkString(", ")

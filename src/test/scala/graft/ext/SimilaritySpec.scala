@@ -395,6 +395,46 @@ class SimilaritySpec extends SparkSpec {
       "prefix = full vector must reproduce the exact top-k")
   }
 
+  test("topComponent: unit loading, positive dominant eigenvalue, " +
+      "residual shrinks to an eigenpair") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Similarity.topComponent(emb).orderBy("dim").collect()
+    assert(r.length === Similarity.SrpDim)
+    val v = r.map(_.getAs[Double]("loading"))
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    val lam = r.head.getAs[Double]("eigenvalue")
+    val ve = r.head.getAs[Double]("var_explained")
+    assert(lam > 0.0)
+    assert(ve > 0.0 && ve <= 1.0 + 1e-12)
+    // recompute the covariance with the operator's own quantization and
+    // check (v, lam) approximates an eigenpair: ||Cv - lam*v|| << lam
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = Similarity.SrpDim
+    val n = vecs.length.toDouble
+    val mu = new Array[Double](d)
+    val g = Array.ofDim[Double](d, d)
+    vecs.foreach { x =>
+      val q = x.map(f => math.floor(f.toDouble * 10000.0))
+      val m6 = x.map(f => math.floor(f.toDouble * 1000000.0))
+      for (i <- 0 until d) {
+        mu(i) += m6(i)
+        for (j <- 0 until d) g(i)(j) += q(i) * q(j)
+      }
+    }
+    for (i <- 0 until d)
+      mu(i) = math.floor(mu(i) / n) / 1000000.0 // ~ truncated micro mean
+    val c = Array.tabulate(d, d)((i, j) =>
+      g(i)(j) / (n * 100000000.0) - mu(i) * mu(j))
+    val cv = Array.tabulate(d)(i =>
+      (0 until d).map(j => c(i)(j) * v(j)).sum)
+    val resid = math.sqrt(
+      (0 until d).map(i => math.pow(cv(i) - lam * v(i), 2)).sum)
+    info(f"eigenvalue $lam%.6g var_explained $ve%.3f residual/lam ${resid / lam}%.3f")
+    assert(resid / lam < 0.5,
+      s"power iteration far from an eigenpair: resid=$resid lam=$lam")
+  }
+
   test("embeddingThresholdSweep: monotone drop curve, mass conserved") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
