@@ -196,6 +196,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def matryoshkaEval(k: Int = Similarity.TopK,
         dims: Seq[Int] = Similarity.MatryoshkaDims): DataFrame =
       Similarity.matryoshkaEval(emb, k, dims)
+    def topComponent: DataFrame = Similarity.topComponent(emb)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 

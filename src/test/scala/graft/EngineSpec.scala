@@ -52,7 +52,8 @@ class EngineSpec extends SparkSpec {
       // round-11 surface
       e.similarity.semDedup(), e.similarity.semDedupSweep(),
       e.similarity.matryoshkaEval(), e.curation.sourceCap(),
-      e.curation.splitLeakageAudit, e.curation.splitByCluster())
+      e.curation.splitLeakageAudit, e.curation.splitByCluster(),
+      e.similarity.topComponent)
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
