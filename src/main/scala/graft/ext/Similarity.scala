@@ -51,6 +51,15 @@ object Similarity {
   private def withNorm(df: DataFrame, vec: String, norm: String): DataFrame =
     df.withColumn(norm, sqrt(dot(col(vec), col(vec))))
 
+  /** int64 MICRO-units: `floor(x·10⁶)` — the exact-integer quantization
+    * behind every truncated-mean determinism trick in this file
+    * (float→double cast is exact, one correctly-rounded multiply,
+    * floor); written once so the Lloyd trainers, [[labelCentroids]],
+    * and their SQL twins can never drift on the scale or rounding.
+    */
+  def microUnits(c: Column): Column =
+    floor(c.cast("double") * lit(1000000.0)).cast("long")
+
   val TopK = 10
   val NQueries = 10
 
@@ -175,8 +184,7 @@ object Similarity {
         .select(col("centroid_id"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .select(col("centroid_id"), col("pos"),
-          floor(col("x").cast("double") * lit(1000000.0)).cast("long")
-            .as("micro"))
+          microUnits(col("x")).as("micro"))
         .groupBy("centroid_id", "pos")
         .agg(expr("sum(micro) div count(1)").as("mm"))
         .collect()
@@ -618,8 +626,7 @@ object Similarity {
     emb.select(col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("label"), col("dim"),
-        floor(col("x").cast("double") * lit(1000000.0)).cast("long")
-          .as("micro"))
+        microUnits(col("x")).as("micro"))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n_vecs"), sum("micro").as("sum_micro"))
       // both Spark's `div` and DuckDB's `//` truncate toward zero on
@@ -707,33 +714,74 @@ object Similarity {
     * hash-comparable.
     *
     * == Scale shape ==
-    * The corpus-sized work is [[gramMatrix]]'s partial-aggregation scan
-    * (d²·n_partitions shuffle rows regardless of corpus size) and one
-    * micro-mean agg; the d×d solve is driver-side on a BOUNDED 64×64
-    * matrix (the collected-codebook class — 4096 + 64 rows), and the
-    * output is domain-bounded (d rows).
+    * ONE corpus scan: a [[gramMatrix]]-shaped `mapPartitions` kernel
+    * accumulates the d×d quantized gram AND the d micro-unit first-
+    * moment sums in the same pass (the gram alone would force a second
+    * scan for the means), emitting d²+d+1 integer rows per partition;
+    * the driver sums the (order-independent) integer partials and
+    * solves the BOUNDED 64×64 system locally — the collected-codebook
+    * class. Output is domain-bounded (d rows). Empty input returns an
+    * empty frame (the DuckDB twin's empty CTEs agree), and a zero
+    * matvec stops iterating instead of dividing by zero.
     */
   def topComponent(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
-    val mmRows = emb
-      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("dim"),
-        floor(col("x").cast("double") * lit(1000000.0)).cast("long")
-          .as("micro"))
-      .groupBy("dim")
-      .agg(expr("sum(micro) div count(1)").as("mm"))
+    import spark.implicits._
+    // per-partition rows: (i, j, value) with j >= 0 the gram partial,
+    // j == -1 the micro-mean partial for dim i, i == -1 the row count
+    val partials = emb.select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        var gram: Array[Long] = null
+        var micro: Array[Long] = null
+        var d = 0
+        var n = 0L
+        it.foreach { v =>
+          if (gram == null) {
+            d = v.length
+            gram = new Array[Long](d * d)
+            micro = new Array[Long](d)
+          }
+          val q = new Array[Long](d)
+          var i = 0
+          while (i < d) {
+            q(i) = math.floor(v(i).toDouble * 10000.0).toLong
+            micro(i) += math.floor(v(i).toDouble * 1000000.0).toLong
+            i += 1
+          }
+          var a = 0
+          while (a < d) {
+            val qa = q(a); val off = a * d
+            var b = 0
+            while (b < d) { gram(off + b) += qa * q(b); b += 1 }
+            a += 1
+          }
+          n += 1
+        }
+        if (gram == null) Iterator.empty
+        else Iterator.tabulate(d * d)(k =>
+          ((k / d).toLong, (k % d).toLong, gram(k))) ++
+          Iterator.tabulate(d)(i => (i.toLong, -1L, micro(i))) ++
+          Iterator.single((-1L, -1L, n))
+      }
       .collect()
-    val d = mmRows.length
-    val mu = new Array[Double](d)
-    mmRows.foreach(r => mu(r.getInt(0)) = r.getLong(1).toDouble / 1000000.0)
-    val gRows = gramMatrix(emb).collect()
-    val n = gRows.head.getAs[Long]("n_vecs").toDouble
-    val c = Array.ofDim[Double](d, d)
-    gRows.foreach { r =>
-      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
-      c(i)(j) = r.getAs[Long]("gram_q").toDouble / (n * 100000000.0) -
-        mu(i) * mu(j)
+    if (partials.isEmpty)
+      return spark.createDataFrame(
+          Seq.empty[(Int, Double, Double, Double)])
+        .toDF("dim", "loading", "eigenvalue", "var_explained")
+    val d = partials.iterator.map(_._1).max.toInt + 1
+    val n = partials.iterator.filter(_._1 == -1L).map(_._3).sum.toDouble
+    val microSum = new Array[Long](d)
+    val gramSum = Array.ofDim[Long](d, d)
+    partials.foreach { case (i, j, v) =>
+      if (i >= 0L && j == -1L) microSum(i.toInt) += v
+      else if (i >= 0L) gramSum(i.toInt)(j.toInt) += v
     }
+    // identical arithmetic to the SQL twin: truncated integer micro
+    // mean re-floated, gram scaled by n·10^8, rank-1 mean correction
+    val mu = Array.tabulate(d)(i =>
+      (microSum(i) / n.toLong).toDouble / 1000000.0)
+    val c = Array.tabulate(d, d)((i, j) =>
+      gramSum(i)(j).toDouble / (n * 100000000.0) - mu(i) * mu(j))
     def matvec(v: Array[Double]): Array[Double] =
       Array.tabulate(d) { i =>
         var acc = 0.0
@@ -748,7 +796,7 @@ object Similarity {
       var i = 0
       while (i < d) { acc += w(i) * w(i); i += 1 }
       val nm = math.sqrt(acc)
-      v = w.map(_ / nm)
+      if (nm > 0.0) v = w.map(_ / nm) // zero matvec (C = 0): keep v
     }
     val cv = matvec(v)
     var lam = 0.0
@@ -1059,8 +1107,7 @@ object Similarity {
         .select(col("sub_id"), col("centroid_id"),
           posexplode(col("sv")).as(Seq("pos", "x")))
         .select(col("sub_id"), col("centroid_id"), col("pos"),
-          floor(col("x").cast("double") * lit(1000000.0)).cast("long")
-            .as("micro"))
+          microUnits(col("x")).as("micro"))
         .groupBy("sub_id", "centroid_id", "pos")
         .agg(expr("sum(micro) div count(1)").as("mm"))
         .collect()

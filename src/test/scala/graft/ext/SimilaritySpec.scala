@@ -431,7 +431,10 @@ class SimilaritySpec extends SparkSpec {
     val resid = math.sqrt(
       (0 until d).map(i => math.pow(cv(i) - lam * v(i), 2)).sum)
     info(f"eigenvalue $lam%.6g var_explained $ve%.3f residual/lam ${resid / lam}%.3f")
-    assert(resid / lam < 0.5,
+    // measured 0.063 on the fixture; 0.15 leaves box/fixture margin but
+    // catches a materially wrong direction (a dropped iteration or a
+    // mis-indexed covariance row lands far above it)
+    assert(resid / lam < 0.15,
       s"power iteration far from an eigenpair: resid=$resid lam=$lam")
   }
 
