@@ -694,42 +694,19 @@ object Similarity {
     */
   val PowerIters = 8
 
-  /** Top PRINCIPAL COMPONENT of the embedding covariance by power
-    * iteration — the dominant-variance direction that All-but-the-Top
-    * (Mu & Viswanath 2018) removes from embedding spaces and that PCA
-    * whitening scales first. Per dimension: the unit loading, plus the
-    * Rayleigh eigenvalue and its share of total variance (trace).
-    *
-    * == Cross-engine determinism ==
-    * Everything derives from EXACT INTEGERS: the covariance is
-    * `G/(n·10⁸) − μμᵀ` with G the int64 quantized [[gramMatrix]] and μ
-    * the int64 micro-unit truncated means; the power method starts at
-    * the exact vector (1/8, …, 1/8) = 1/√64 and runs [[PowerIters]]
-    * matvec+normalize steps whose folds all run in ASCENDING index
-    * order (Scala while-loops ↔ DuckDB `list_sum(list(... ORDER BY
-    * ...))` — the same sequential-fold equivalence every oracle in
-    * this file leans on). An eigensolver is normally the canonical
-    * "engine-specific float" computation; fixing the iteration count,
-    * the start vector, and every fold order makes THIS one
-    * hash-comparable.
-    *
-    * == Scale shape ==
-    * ONE corpus scan: a [[gramMatrix]]-shaped `mapPartitions` kernel
-    * accumulates the d×d quantized gram AND the d micro-unit first-
-    * moment sums in the same pass (the gram alone would force a second
-    * scan for the means), emitting d²+d+1 integer rows per partition;
-    * the driver sums the (order-independent) integer partials and
-    * solves the BOUNDED 64×64 system locally — the collected-codebook
-    * class. Output is domain-bounded (d rows). Empty input returns an
-    * empty frame (the DuckDB twin's empty CTEs agree), and a zero
-    * matvec stops iterating instead of dividing by zero.
+  /** The fused gram+mean partials behind [[topComponent]], AFTER the
+    * keyed merge: rows `(i, j, v)` with `j ≥ 0` a gram entry, `j = -1`
+    * the micro-mean sum for dim `i`, and `(-1, -1)` the row count —
+    * exactly d²+d+1 rows regardless of input partitioning, because the
+    * per-partition integer partials are summed by `groupBy(i,j)` in
+    * the shuffle (map-side partial aggregation), never on the driver.
+    * Exposed package-private so the spec can assert BOTH the bounded
+    * cardinality and the presence of the aggregate in the plan.
     */
-  def topComponent(emb: DataFrame): DataFrame = {
+  private[graft] def topComponentPartials(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // per-partition rows: (i, j, value) with j >= 0 the gram partial,
-    // j == -1 the micro-mean partial for dim i, i == -1 the row count
-    val partials = emb.select(col("embedding")).as[Seq[Float]]
+    emb.select(col("embedding")).as[Seq[Float]]
       .mapPartitions { it =>
         var gram: Array[Long] = null
         var micro: Array[Long] = null
@@ -763,6 +740,50 @@ object Similarity {
           Iterator.tabulate(d)(i => (i.toLong, -1L, micro(i))) ++
           Iterator.single((-1L, -1L, n))
       }
+      .toDF("i", "j", "v")
+      .groupBy("i", "j")
+      .agg(sum("v").as("v"))
+  }
+
+  /** Top PRINCIPAL COMPONENT of the embedding covariance by power
+    * iteration — the dominant-variance direction that All-but-the-Top
+    * (Mu & Viswanath 2018) removes from embedding spaces and that PCA
+    * whitening scales first. Per dimension: the unit loading, plus the
+    * Rayleigh eigenvalue and its share of total variance (trace).
+    *
+    * == Cross-engine determinism ==
+    * Everything derives from EXACT INTEGERS: the covariance is
+    * `G/(n·10⁸) − μμᵀ` with G the int64 quantized [[gramMatrix]] and μ
+    * the int64 micro-unit truncated means; the power method starts at
+    * the exact vector (1/8, …, 1/8) = 1/√64 and runs [[PowerIters]]
+    * matvec+normalize steps whose folds all run in ASCENDING index
+    * order (Scala while-loops ↔ DuckDB `list_sum(list(... ORDER BY
+    * ...))` — the same sequential-fold equivalence every oracle in
+    * this file leans on). An eigensolver is normally the canonical
+    * "engine-specific float" computation; fixing the iteration count,
+    * the start vector, and every fold order makes THIS one
+    * hash-comparable.
+    *
+    * == Scale shape ==
+    * ONE corpus scan: a [[gramMatrix]]-shaped `mapPartitions` kernel
+    * accumulates the d×d quantized gram AND the d micro-unit first-
+    * moment sums in the same pass (the gram alone would force a second
+    * scan for the means), emitting d²+d+1 integer rows per partition —
+    * then, exactly like [[gramMatrix]], a keyed `groupBy(i,j).sum`
+    * merges the partials IN THE SHUFFLE, so the driver collects a
+    * CONSTANT d²+d+1 rows no matter how many input splits the corpus
+    * has (a raw-partials collect would grow as d²·n_partitions — 10⁹+
+    * tuples through the driver at 10⁵–10⁶ splits). The driver then
+    * solves the BOUNDED 64×64 system locally — the collected-codebook
+    * class. Output is domain-bounded (d rows). Empty input returns an
+    * empty frame (the DuckDB twin's empty CTEs agree), and a zero
+    * matvec stops iterating instead of dividing by zero.
+    */
+  def topComponent(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val partials = topComponentPartials(emb)
+      .as[(Long, Long, Long)]
       .collect()
     if (partials.isEmpty)
       return spark.createDataFrame(

@@ -438,6 +438,33 @@ class SimilaritySpec extends SparkSpec {
       s"power iteration far from an eigenpair: resid=$resid lam=$lam")
   }
 
+  test("topComponent: driver traffic is a constant d²+d+1 rows merged " +
+      "by a keyed aggregate, invariant to input partitioning") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val d = Similarity.SrpDim
+    // the collected frame must be the MERGED partials (d²+d+1 rows),
+    // not the raw per-partition ones (which would scale with the
+    // partition count: 13 partitions here would make it 13x bigger)
+    Seq(emb, emb.repartition(13)).foreach { e =>
+      assert(Similarity.topComponentPartials(e).count() ===
+        (d.toLong * d + d + 1))
+    }
+    // and the merge must happen in the shuffle, not on the driver: the
+    // physical plan carries the keyed aggregate over (i, j)
+    val plan = Similarity.topComponentPartials(emb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"),
+      s"expected a keyed aggregate over the partials, got:\n$plan")
+    // result itself is partition-invariant (integer sums commute)
+    val base = Similarity.topComponent(emb).orderBy("dim").collect()
+    val re = Similarity.topComponent(emb.repartition(13))
+      .orderBy("dim").collect()
+    base.zip(re).foreach { case (a, b) =>
+      assert(a.getAs[Double]("loading") === b.getAs[Double]("loading"))
+      assert(a.getAs[Double]("eigenvalue") === b.getAs[Double]("eigenvalue"))
+    }
+  }
+
   test("embeddingThresholdSweep: monotone drop curve, mass conserved") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
