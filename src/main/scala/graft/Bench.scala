@@ -17,9 +17,42 @@ object Bench {
     "text_quality", "text_token_counts", "sql_recursive", "stream_sessions",
     "pack_sequences", "text_chunks")
 
+  /** A pass (or a whole sweep) landing above this multiple of the
+    * committed BENCH_FULL number is treated as box noise, not signal.
+    * 1.5x clears normal run-to-run jitter (~±25% observed) but catches
+    * the 2-10x contended-box episodes that polluted r09/r11 records.
+    */
+  val InflationFactor = 1.5
+
+  /** Per-query seconds from the committed BENCH_FULL.json (the
+    * `queries_sec` object) — the reference for the inflation guard,
+    * but ONLY when the artifact was recorded at the same scale factor
+    * (`sfDir`): comparing an sf0.001 smoke against sf0.1 numbers would
+    * flag nonsense in both directions. Missing file, malformed
+    * content, SF mismatch, or an unknown query all degrade to
+    * "no guard" rather than failing the bench.
+    */
+  def benchFullBaseline(sfDir: String,
+      path: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+        "BENCH_FULL.json")): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+      val idx = txt.indexOf("\"queries_sec\"")
+      if (!sfOk || idx < 0) Map.empty
+      else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r
+        .findAllMatchIn(txt.substring(idx))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // parsed to Int up front: the value is interpolated unquoted into the
+    // JSON result line, so a non-numeric setting (e.g. "*") must fail fast
+    // here rather than emit an unparseable artifact at the end of a sweep
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,10 +96,26 @@ object Bench {
       reset()
       if (ok) dt else -1.0
     }
+    // self-defense against box-noise episodes (r11 post-mortem: a
+    // contended box recorded 2x numbers for sql_recursive and
+    // silver_lineitem into the permanent record even though the plans
+    // were unchanged): when BOTH passes land above InflationFactor x
+    // the committed BENCH_FULL baseline for that query, take one more
+    // pass after a hygiene reset + GC and report min-of-3; if even the
+    // min stays high the query is listed in "inflated" so the reader
+    // knows the number is suspect, not a regression claim
+    val baseline = benchFullBaseline(sfDir)
     val results = picked.map { name =>
-      val p1 = timed(name)
-      val p2 = timed(name)
-      (name, math.min(p1, p2), p1, p2)
+      val first = Seq(timed(name), timed(name))
+      val base = baseline.get(name)
+      val suspect = base.exists(b =>
+        first.forall(_ >= 0) && first.min > InflationFactor * b)
+      val passes = if (suspect) { System.gc(); first :+ timed(name) }
+        else first
+      val best = passes.min
+      val inflated = base.exists(b =>
+        passes.forall(_ >= 0) && best > InflationFactor * b)
+      (name, best, passes, inflated)
     }
     // millisecond precision keeps the single JSON line short enough for the
     // driver's fixed-size stdout tail capture (full-precision doubles alone
@@ -74,19 +123,21 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    // both raw pass times (and the cpu count below) ride along so a
+    // all raw pass times (and the cpu count below) ride along so a
     // sweep-inflation episode is diagnosable from the artifact alone:
     // min >> isolated cost with p1 ≈ p2 means a slow/contended box, while
     // p1 >> p2 means first-pass residue — no re-run needed to tell
-    val ps = results.map { case (k, _, p1, p2) =>
-      s"\"" + k + "\":[" + f3(p1) + "," + f3(p2) + "]"
+    val ps = results.map { case (k, _, passes, _) =>
+      s"\"" + k + "\":" + passes.map(f3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val inflatedList = results.collect { case (k, _, _, true) => s"\"$k\"" }
+      .mkString("[", ",", "]")
     // total sums SUCCESSFUL queries only — summing -1 sentinels into the
     // total made r09's headline number uninterpretable; "failed" makes a
     // poisoned sweep explicit instead of quietly shrinking the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"cpus":$cpus,"queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"cpus":$cpus,"inflated":$inflatedList,"queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -197,6 +197,11 @@ case class Engine(spark: SparkSession, dataDir: String) {
         dims: Seq[Int] = Similarity.MatryoshkaDims): DataFrame =
       Similarity.matryoshkaEval(emb, k, dims)
     def topComponent: DataFrame = Similarity.topComponent(emb)
+    def topComponents(r: Int = Similarity.TopComponentsR): DataFrame =
+      Similarity.topComponents(emb, r)
+    def abttTransform: DataFrame = Similarity.abttTransform(emb)
+    def abttEval(k: Int = Similarity.TopK): DataFrame =
+      Similarity.abttEval(emb, k)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 

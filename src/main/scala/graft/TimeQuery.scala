@@ -36,6 +36,14 @@ object TimeQuery {
         dt
       }
       println(f"TIME $n: ${times.map(t => f"$t%.2f").mkString(", ")} s")
+      // recursion-surface queries publish a phase ledger: print it so
+      // a slow number is attributable (pair derivation vs recursion
+      // floors) straight from this tool's output — the machine-checked
+      // form of the sql_recursive cost contract (see RelationalSpec)
+      val phases = graft.etl.Relational.lastRecursionPhases
+      if (phases.nonEmpty)
+        println("PHASES " + n + ": " + phases.map { case (k, v) =>
+          f"$k=$v%.2f" }.mkString(" ") + " s")
     }
     spark.stop()
   }

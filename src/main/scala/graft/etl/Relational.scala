@@ -601,14 +601,25 @@ object Relational {
       batchDepth: Int = 4, maxPasses: Int = 1024,
       shortcutEdgeCap: Long = 1_000_000L, shortcutSteps: Int = 1): DataFrame = {
     val dbgT0 = System.nanoTime()
-    def dbg(tag: String): Unit =
+    // phase ledger: ALWAYS recorded (two nanoTime reads per phase —
+    // free), published to [[lastRecursionPhases]] on return so
+    // TimeQuery can print it and RelationalSpec can ASSERT the
+    // recursion-cost contract instead of narrating it; the
+    // SPARK_GRAFT_REC_DEBUG stderr print rides the same ledger
+    val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var phaseT = dbgT0
+    def phase(tag: String): Unit = {
+      val now = System.nanoTime()
+      phases(tag) = phases.getOrElse(tag, 0.0) + (now - phaseT) / 1e9
+      phaseT = now
       if (sys.env.contains("SPARK_GRAFT_REC_DEBUG"))
-        System.err.println(f"[recdbg] $tag: ${(System.nanoTime() - dbgT0) / 1e9}%.2f s")
+        System.err.println(f"[recdbg] $tag: ${(now - dbgT0) / 1e9}%.2f s")
+    }
     val und1 = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .localCheckpoint(true)
-    dbg("und1 materialized")
+    phase("pairs")
     // Shortcut augmentation (pointer-doubling steps): each step adds
     // (u,w) for every 2-hop path u-x-w, halving the graph's effective
     // diameter, so the level count — the dominant cost, each level paying
@@ -658,7 +669,7 @@ object Relational {
           org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(und)
           und = merged
           undN = merged.count()
-          dbg("shortcut step done")
+          phase("shortcut")
         }
       }
       // re-size to the CLOSED edge set: densification can outgrow the
@@ -679,7 +690,7 @@ object Relational {
         .agg(min(col("v")).as("mn"))
         .select(col("u").as("node"), least(col("u"), col("mn")).as("r"))
         .localCheckpoint(true)
-      dbg("labels seeded")
+      phase("seed")
       und.createOrReplaceTempView("rec_und_v")
       var pass = 0
       var converged = false
@@ -740,7 +751,7 @@ object Relational {
         labels = agg.filter(col("node").isNotNull)
         converged = maxDepth < batchDepth
         pass += 1
-        dbg(s"pass $pass done (maxDepth=$maxDepth)")
+        phase("recursion")
       }
     } finally {
       spark.conf.set(shuffleConf, sessionParts)
@@ -750,10 +761,25 @@ object Relational {
       spark.catalog.dropTempView("rec_lbl_v")
     }
     graft.CheckpointLease.track(labels)
-    dbg("fn return")
+    phase("return")
+    lastRecursionPhases = phases.toMap
     labels.filter(col("node").isNotNull)
       .select(col("node").as("doc_id"), col("r").as("cluster_id"))
   }
+
+  /** Wall-clock phase breakdown of the LAST [[recursiveComponentsSql]]
+    * run in this JVM: `pairs` (derive + symmetrize + materialize the
+    * input pair graph — shared work [[graft.ext.Dedup.ngramJaccardPairs]]
+    * consumers like dedup_clusters pay identically), `shortcut`, `seed`,
+    * `recursion` (all fixpoint passes), `return`. This is the
+    * machine-checked form of the sql_recursive cost contract (BENCHNOTES
+    * r11): the recursion surface itself must add no more than ~2 s of
+    * per-level scheduling floors on top of the pair cost — asserted in
+    * RelationalSpec and printed by TimeQuery, so a slow bench number is
+    * attributable from the artifact instead of re-narrated each round.
+    */
+  @volatile private[graft] var lastRecursionPhases: Map[String, Double] =
+    Map.empty
 
   /** sql_recursive query: fixpoint reachability over the oracle-checked
     * near-dup pair graph (see [[recursiveComponentsSql]]).

@@ -141,6 +141,22 @@ object Curation {
         col("split") =!= splitCol(col("doc_id"), fracs))
   }
 
+  /** The split CASE cascade as DuckDB SQL over a hash column — the
+    * SAME scanLeft/floor threshold arithmetic as [[splitCol]],
+    * interpolated into the split twins so retuning [[DefaultSplits]]
+    * can never silently diverge query from oracle (the thresholds used
+    * to be hardcoded literals in three places).
+    */
+  private def splitCaseSql(hashCol: String,
+      fracs: Seq[(String, Double)] = DefaultSplits): String = {
+    val thresholds = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.min(4294967296L, math.floor(c * 4294967296.0).toLong))
+    val whens = fracs.init.zip(thresholds).map { case ((name, _), t) =>
+      s"WHEN $hashCol < $t THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${fracs.last._1}' END"
+  }
+
   /** Per-source keeper budget for [[sourceCap]] (the fixtures carry 25
     * docs/source, so 20 drops a fifth of every source — the cap fires
     * without erasing a source).
@@ -640,9 +656,7 @@ object Curation {
     "split_leakage_audit" ->
       s"""WITH s AS (
          |  SELECT doc_id,
-         |         CASE WHEN h < 3435973836 THEN 'train'
-         |              WHEN h < 3865470566 THEN 'val'
-         |              ELSE 'test' END AS split
+         |         ${splitCaseSql("h")} AS split
          |  FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
          |        FROM documents)),
          |p AS (SELECT doc_a, doc_b FROM (
@@ -671,24 +685,15 @@ object Curation {
          |         (doc_id * 2654435761) % 4294967296 AS hd
          |  FROM rep)
          |SELECT doc_id, rep_id,
-         |       CASE WHEN hr < 3435973836 THEN 'train'
-         |            WHEN hr < 3865470566 THEN 'val'
-         |            ELSE 'test' END AS split,
-         |       (CASE WHEN hr < 3435973836 THEN 'train'
-         |             WHEN hr < 3865470566 THEN 'val'
-         |             ELSE 'test' END) <>
-         |       (CASE WHEN hd < 3435973836 THEN 'train'
-         |             WHEN hd < 3865470566 THEN 'val'
-         |             ELSE 'test' END) AS moved
+         |       ${splitCaseSql("hr")} AS split,
+         |       (${splitCaseSql("hr")}) <>
+         |       (${splitCaseSql("hd")}) AS moved
          |FROM h""".stripMargin,
-    // thresholds are floor(0.8 * 2^32) and floor(0.9 * 2^32)
     "split_assign" ->
-      """SELECT doc_id,
-        |       CASE WHEN h < 3435973836 THEN 'train'
-        |            WHEN h < 3865470566 THEN 'val'
-        |            ELSE 'test' END AS split
-        |FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
-        |      FROM documents)""".stripMargin,
+      s"""SELECT doc_id,
+         |       ${splitCaseSql("h")} AS split
+         |FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+         |      FROM documents)""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.VectorFunctions.dotFF
+import graft.functions.VectorFunctions.{dotDD, dotFF}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §7.4 extension
   * mandate): brute-force cosine top-k as the exact baseline, an
@@ -781,14 +781,65 @@ object Similarity {
     */
   def topComponent(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
+    topComponentSolve(emb) match {
+      case None =>
+        spark.createDataFrame(
+            Seq.empty[(Int, Double, Double, Double)])
+          .toDF("dim", "loading", "eigenvalue", "var_explained")
+      case Some(TopComponentResult(_, v, lam, tr)) =>
+        spark.createDataFrame(
+            v.indices.map(k => (k, v(k), lam, lam / tr)))
+          .toDF("dim", "loading", "eigenvalue", "var_explained")
+    }
+  }
+
+  /** The driver-side artifact of [[topComponentSolve]]: the truncated
+    * micro-unit mean vector, the unit top-component loading, and the
+    * Rayleigh eigenvalue / covariance trace — everything
+    * [[abttTransform]] needs to center and project without a second
+    * eigensolve.
+    */
+  private[graft] case class TopComponentResult(mu: Array[Double],
+      v: Array[Double], lam: Double, tr: Double)
+
+  /** Collects the (bounded, keyed-aggregated) [[topComponentPartials]]
+    * and runs the fixed-budget power method on the driver — shared by
+    * [[topComponent]] (which tabulates it) and [[abttTransform]] (which
+    * interpolates `mu` and `v` as plan literals). `None` on an empty
+    * corpus.
+    */
+  private[graft] def topComponentSolve(
+      emb: DataFrame): Option[TopComponentResult] =
+    topComponentsSolve(emb, 1).map(_.head)
+
+  /** Number of deflated principal directions [[topComponents]] extracts
+    * (64-dim fixtures: 4 follows the All-but-the-Top d/100-ish rule of
+    * thumb rounded up, and is where the fixtures' near-isotropic
+    * spectrum stops rewarding more).
+    */
+  val TopComponentsR = 4
+
+  /** Top-`r` principal directions by POWER ITERATION WITH DEFLATION:
+    * after each extracted direction, the (driver-side, d×d) covariance
+    * is deflated — `C ← C − λ·v·vᵀ` — and the fixed-budget power
+    * method re-runs from the same exact 1/8 start vector. ZERO
+    * additional corpus scans beyond [[topComponentPartials]]' one: the
+    * whole extension happens on the collected 4,161-row integer
+    * aggregate. Every fold (matvec, norms, Rayleigh, deflation) runs
+    * in ascending index order, so the DuckDB twin replays the entire
+    * cascade CTE-for-CTE and the result is hash-comparable like the
+    * single-component case. `tr` in each result is the ORIGINAL
+    * covariance trace, so `lam/tr` is each component's share of total
+    * variance.
+    */
+  private[graft] def topComponentsSolve(emb: DataFrame,
+      r: Int = TopComponentsR): Option[Seq[TopComponentResult]] = {
+    val spark = emb.sparkSession
     import spark.implicits._
     val partials = topComponentPartials(emb)
       .as[(Long, Long, Long)]
       .collect()
-    if (partials.isEmpty)
-      return spark.createDataFrame(
-          Seq.empty[(Int, Double, Double, Double)])
-        .toDF("dim", "loading", "eigenvalue", "var_explained")
+    if (partials.isEmpty) return None
     val d = partials.iterator.map(_._1).max.toInt + 1
     val n = partials.iterator.filter(_._1 == -1L).map(_._3).sum.toDouble
     val microSum = new Array[Long](d)
@@ -801,32 +852,161 @@ object Similarity {
     // mean re-floated, gram scaled by n·10^8, rank-1 mean correction
     val mu = Array.tabulate(d)(i =>
       (microSum(i) / n.toLong).toDouble / 1000000.0)
-    val c = Array.tabulate(d, d)((i, j) =>
+    var c = Array.tabulate(d, d)((i, j) =>
       gramSum(i)(j).toDouble / (n * 100000000.0) - mu(i) * mu(j))
-    def matvec(v: Array[Double]): Array[Double] =
+    var tr0 = 0.0
+    for (i <- 0 until d) tr0 += c(i)(i)
+    def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
       Array.tabulate(d) { i =>
         var acc = 0.0
         var j = 0
-        while (j < d) { acc += c(i)(j) * v(j); j += 1 }
+        while (j < d) { acc += m(i)(j) * v(j); j += 1 }
         acc
       }
-    var v = Array.fill(d)(0.125) // 1/sqrt(64), exact in binary
-    for (_ <- 1 to PowerIters) {
-      val w = matvec(v)
-      var acc = 0.0
+    val out = Seq.newBuilder[TopComponentResult]
+    for (_ <- 0 until r) {
+      var v = Array.fill(d)(0.125) // 1/sqrt(64), exact in binary
+      for (_ <- 1 to PowerIters) {
+        val w = matvec(c, v)
+        var acc = 0.0
+        var i = 0
+        while (i < d) { acc += w(i) * w(i); i += 1 }
+        val nm = math.sqrt(acc)
+        if (nm > 0.0) v = w.map(_ / nm) // zero matvec (C = 0): keep v
+      }
+      val cv = matvec(c, v)
+      var lam = 0.0
       var i = 0
-      while (i < d) { acc += w(i) * w(i); i += 1 }
-      val nm = math.sqrt(acc)
-      if (nm > 0.0) v = w.map(_ / nm) // zero matvec (C = 0): keep v
+      while (i < d) { lam += v(i) * cv(i); i += 1 }
+      out += TopComponentResult(mu, v, lam, tr0)
+      // deflate with the SAME association as the SQL twin:
+      // (lam * v_i) * v_j, left-to-right
+      val vv = v
+      c = Array.tabulate(d, d)((i, j) => c(i)(j) - lam * vv(i) * vv(j))
     }
-    val cv = matvec(v)
-    var lam = 0.0
-    var tr = 0.0
-    var i = 0
-    while (i < d) { lam += v(i) * cv(i); tr += c(i)(i); i += 1 }
-    spark.createDataFrame(
-        (0 until d).map(k => (k, v(k), lam, lam / tr)))
-      .toDF("dim", "loading", "eigenvalue", "var_explained")
+    Some(out.result())
+  }
+
+  /** The top-[[TopComponentsR]] deflated principal directions as a
+    * frame: one row per (component, dim) with the unit loading, each
+    * component's Rayleigh eigenvalue on its deflated matrix, and its
+    * share of TOTAL variance — the spectrum profile PCA whitening and
+    * OPQ-style rotations consume. Bounded output (r·d rows); see
+    * [[topComponentsSolve]] for the scale/determinism story.
+    */
+  def topComponents(emb: DataFrame,
+      r: Int = TopComponentsR): DataFrame = {
+    val spark = emb.sparkSession
+    topComponentsSolve(emb, r) match {
+      case None =>
+        spark.createDataFrame(
+            Seq.empty[(Int, Int, Double, Double, Double)])
+          .toDF("component", "dim", "loading", "eigenvalue",
+            "var_explained")
+      case Some(comps) =>
+        spark.createDataFrame(
+            comps.zipWithIndex.flatMap { case (tc, k) =>
+              tc.v.indices.map(i =>
+                (k, i, tc.v(i), tc.lam, tc.lam / tc.tr))
+            })
+          .toDF("component", "dim", "loading", "eigenvalue",
+            "var_explained")
+    }
+  }
+
+  /** All-but-the-Top transform (Mu & Viswanath, ICLR 2018: "All-but-
+    * the-Top: Simple and Effective Postprocessing for Word
+    * Representations"): subtract the corpus mean and the projection on
+    * the dominant principal direction from every embedding —
+    * `x' = (x − μ) − v·(vᵀ(x − μ))` — the postprocessing that removes
+    * the common-direction energy anisotropic embedding spaces waste.
+    * The consumer [[topComponent]]'s eigensolve exists to feed.
+    *
+    * == Cross-engine determinism ==
+    * μ (truncated micro-unit means) and v (fixed-budget power method)
+    * come from [[topComponentSolve]] — bit-identical to the DuckDB
+    * twin's CTE unrolling — and are interpolated as PLAN LITERALS; the
+    * per-row arithmetic is then a fixed IEEE DAG: center in ascending
+    * dim order, one sequential-fold projection
+    * (`aggregate(zip_with(...))` ↔ `list_sum([...])`), one fused
+    * subtract. Stays in double end-to-end (a float round-trip would
+    * break the replay).
+    *
+    * == Scale shape ==
+    * One bounded driver solve (4,161 keyed-aggregated integer rows —
+    * see [[topComponentPartials]]), then a NARROW projection over the
+    * corpus: no shuffle, no second scan, broadcast-free (the 2·d
+    * literals ride inside the plan).
+    */
+  def abttTransform(emb: DataFrame): DataFrame =
+    topComponentSolve(emb) match {
+      case None => // empty corpus: empty frame, array<double> schema
+        emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double"))
+            .as("embedding"))
+      case Some(TopComponentResult(mu, v, _, _)) =>
+        val muArr = array(mu.map(lit(_)).toIndexedSeq: _*)
+        val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
+        emb.select(col("vec_id"),
+            zip_with(col("embedding"), muArr,
+              (x, m) => x.cast("double") - m).as("cen"))
+          .withColumn("proj",
+            aggregate(zip_with(col("cen"), vArr, (c, w) => c * w),
+              lit(0.0), (a, e) => a + e))
+          .select(col("vec_id"),
+            zip_with(col("cen"), vArr,
+              (c, w) => c - col("proj") * w).as("embedding"))
+    }
+
+  /** [[bruteForceTopK]] over an `array<double>` corpus (the
+    * [[abttTransform]] output) — same broadcast-queries × one-corpus-
+    * stream shape, same rank tie-break, with the codegen'd double dot
+    * ([[graft.functions.DotProductDD]]).
+    */
+  def bruteForceTopKD(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .withColumn("qn", sqrt(dotDD(col("q"), col("q"))))
+    val cands = emb.withColumn("en",
+      sqrt(dotDD(col("embedding"), col("embedding"))))
+    val sims = broadcast(queries)
+      .join(cands, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotDD(col("q"), col("embedding")) / (col("qn") * col("en")))
+          .as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** The retrieval-effect study that completes All-but-the-Top: recall
+    * of brute-force top-k in the TRANSFORMED space, scored against the
+    * raw-space exact top-k ([[bruteForceTopK]]'s ground truth), next to
+    * a raw-vs-raw recall-1.0 canary arm (structurally the
+    * [[matryoshkaEval]] shape). A LOW abtt recall is not a bug — it
+    * measures how much retrieval the common-direction removal actually
+    * changes, which is the number a curation stack needs before
+    * swapping the serving space.
+    */
+  def abttEval(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val truth = graft.CheckpointLease.track(
+      bruteForceTopK(emb, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true))
+    val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+    def arm(name: String, top: DataFrame): DataFrame =
+      top.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(nTrue)
+        .select(lit(name).as("space"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+    arm("raw", bruteForceTopK(emb, k).select("query_id", "neighbor_id"))
+      .unionAll(arm("abtt",
+        bruteForceTopKD(abttTransform(emb), k)
+          .select("query_id", "neighbor_id")))
   }
 
   /** Bits in the SRP signature ([[srpSignatures]]). */
@@ -1292,6 +1472,9 @@ object Similarity {
       matryoshkaEval(Tables.embeddings(s, d))),
     "vec_top_component" -> ((s, d) =>
       topComponent(Tables.embeddings(s, d))),
+    "vec_abtt" -> ((s, d) => abttEval(Tables.embeddings(s, d))),
+    "vec_top_components" -> ((s, d) =>
+      topComponents(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -1331,6 +1514,66 @@ object Similarity {
       s"list_sum([CAST($x.embedding[i] AS DOUBLE) * $y.embedding[i] " +
         s"for i in range(1, ${d + 1})])"
     s"${dt(a, b)} / (sqrt(${dt(a, a)}) * sqrt(${dt(b, b)}))"
+  }
+
+  /** CTE chain replaying [[topComponentSolve]] in DuckDB — the
+    * micro-unit truncated means (`mm`/`mu`), the quantized gram (`g`),
+    * the covariance (`c`), and [[PowerIters]] unrolled power-method
+    * steps ending in `v<PowerIters>(i, v)`. Shared by the
+    * `vec_top_component` and `vec_abtt` twins so the eigensolve can
+    * never drift between them. Each normalize step mirrors the Scala
+    * `if (nm > 0.0)` guard: a zero matvec (degenerate all-identical
+    * corpus, C = 0) keeps the previous vector instead of emitting
+    * NULL/NaN loadings.
+    */
+  /** One [[PowerIters]]-step power-method chain over covariance CTE
+    * `cov`, CTE names prefixed `pfx` (so deflated re-runs can coexist):
+    * starts at `<pfx>v0` = 1/8 everywhere, ends at `<pfx>v<PowerIters>`.
+    */
+  private def duckPowerChain(cov: String, pfx: String): String = {
+    val iters = (1 to PowerIters).map { t =>
+      s"""${pfx}w$t AS MATERIALIZED (
+         |  SELECT c.i, list_sum(list(c.c * v.v ORDER BY c.j)) AS w
+         |  FROM $cov c JOIN ${pfx}v${t - 1} v ON c.j = v.i GROUP BY 1),
+         |${pfx}n$t AS MATERIALIZED (
+         |  SELECT sqrt(list_sum(list(w * w ORDER BY i))) AS nm
+         |  FROM ${pfx}w$t),
+         |${pfx}v$t AS MATERIALIZED (
+         |  SELECT w.i, CASE WHEN n.nm > 0 THEN w.w / n.nm ELSE vp.v END AS v
+         |  FROM ${pfx}w$t w JOIN ${pfx}v${t - 1} vp ON w.i = vp.i
+         |  CROSS JOIN ${pfx}n$t n)""".stripMargin
+    }.mkString(",\n")
+    s"""${pfx}v0 AS MATERIALIZED (
+       |  SELECT dim AS i, CAST(0.125 AS DOUBLE) AS v FROM mm),
+       |$iters""".stripMargin
+  }
+
+  private def duckPowerCtes: String = {
+    s"""mm AS MATERIALIZED (
+       |  SELECT dim, CAST(sum(micro) AS BIGINT) // count(*) AS mmv
+       |  FROM (SELECT unnest(range(len(embedding))) AS dim,
+       |               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+       |                          * 1000000.0) AS BIGINT) AS micro
+       |        FROM embeddings)
+       |  GROUP BY 1),
+       |mu AS MATERIALIZED (SELECT dim, CAST(mmv AS DOUBLE) / 1000000.0 AS mu
+       |       FROM mm),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id, unnest(range(len(embedding))) AS d,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+       |              AS BIGINT) AS qv
+       |  FROM embeddings),
+       |g AS MATERIALIZED (
+       |  SELECT a.d AS i, b.d AS j, count(*) AS n,
+       |         CAST(sum(a.qv * b.qv) AS BIGINT) AS gq
+       |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+       |c AS MATERIALIZED (
+       |  SELECT g.i, g.j,
+       |         CAST(gq AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)
+       |           - ma.mu * mb.mu AS c
+       |  FROM g JOIN mu ma ON g.i = ma.dim
+       |         JOIN mu mb ON g.j = mb.dim),
+       |${duckPowerChain("c", "")}""".stripMargin
   }
 
   /** CTE chain replaying [[trainCentroids]]' Lloyd iterations in DuckDB:
@@ -1612,42 +1855,8 @@ object Similarity {
     // the power method unrolled CTE-for-CTE: same integer inputs, same
     // 1/8 start vector, every fold ORDER BY'd to match the Scala
     // ascending while-loops
-    "vec_top_component" -> {
-      val iters = (1 to PowerIters).map { t =>
-        s"""w$t AS MATERIALIZED (
-           |  SELECT c.i, list_sum(list(c.c * v.v ORDER BY c.j)) AS w
-           |  FROM c JOIN v${t - 1} v ON c.j = v.i GROUP BY 1),
-           |n$t AS MATERIALIZED (
-           |  SELECT sqrt(list_sum(list(w * w ORDER BY i))) AS nm
-           |  FROM w$t),
-           |v$t AS MATERIALIZED (SELECT i, w / nm AS v FROM w$t, n$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH mm AS MATERIALIZED (
-         |  SELECT dim, CAST(sum(micro) AS BIGINT) // count(*) AS mmv
-         |  FROM (SELECT unnest(range(len(embedding))) AS dim,
-         |               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
-         |                          * 1000000.0) AS BIGINT) AS micro
-         |        FROM embeddings)
-         |  GROUP BY 1),
-         |mu AS MATERIALIZED (SELECT dim, CAST(mmv AS DOUBLE) / 1000000.0 AS mu
-         |       FROM mm),
-         |q AS MATERIALIZED (
-         |  SELECT vec_id, unnest(range(len(embedding))) AS d,
-         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
-         |              AS BIGINT) AS qv
-         |  FROM embeddings),
-         |g AS MATERIALIZED (
-         |  SELECT a.d AS i, b.d AS j, count(*) AS n,
-         |         CAST(sum(a.qv * b.qv) AS BIGINT) AS gq
-         |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
-         |c AS MATERIALIZED (
-         |  SELECT g.i, g.j,
-         |         CAST(gq AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)
-         |           - ma.mu * mb.mu AS c
-         |  FROM g JOIN mu ma ON g.i = ma.dim
-         |         JOIN mu mb ON g.j = mb.dim),
-         |v0 AS MATERIALIZED (SELECT dim AS i, CAST(0.125 AS DOUBLE) AS v FROM mm),
-         |$iters,
+    "vec_top_component" ->
+      s"""WITH $duckPowerCtes,
          |cv AS MATERIALIZED (
          |  SELECT c.i, list_sum(list(c.c * v.v ORDER BY c.j)) AS w
          |  FROM c JOIN v$PowerIters v ON c.j = v.i GROUP BY 1),
@@ -1658,7 +1867,108 @@ object Similarity {
          |       FROM c WHERE i = j)
          |SELECT CAST(v.i AS INT) AS dim, v.v AS loading,
          |       lam.l AS eigenvalue, lam.l / tr.t AS var_explained
-         |FROM v$PowerIters v, lam, tr""".stripMargin
+         |FROM v$PowerIters v, lam, tr""".stripMargin,
+    // deflation unrolled: component 0 rides the shared power chain;
+    // each further component subtracts lam·v·vT from the covariance
+    // (same left-assoc products as the Scala loop) and re-runs the
+    // identical chain under a fresh CTE prefix
+    "vec_top_components" -> {
+      val segs = (0 until TopComponentsR).map { k =>
+        val pfx = if (k == 0) "" else s"k$k"
+        val cov = if (k == 0) "c" else s"c$k"
+        val chain =
+          if (k == 0) "" else duckPowerChain(cov, pfx) + ",\n"
+        val vN = s"${pfx}v$PowerIters"
+        val rayleigh =
+          s"""cvx$k AS MATERIALIZED (
+             |  SELECT c.i, list_sum(list(c.c * v.v ORDER BY c.j)) AS w
+             |  FROM $cov c JOIN $vN v ON c.j = v.i GROUP BY 1),
+             |lam$k AS MATERIALIZED (
+             |  SELECT list_sum(list(v.v * cv.w ORDER BY v.i)) AS l
+             |  FROM $vN v JOIN cvx$k cv ON v.i = cv.i)""".stripMargin
+        val deflate =
+          if (k == TopComponentsR - 1) ""
+          else s""",
+             |c${k + 1} AS MATERIALIZED (
+             |  SELECT a.i, a.j, a.c - lam$k.l * va.v * vb.v AS c
+             |  FROM $cov a JOIN $vN va ON a.i = va.i
+             |       JOIN $vN vb ON a.j = vb.i CROSS JOIN lam$k)""".stripMargin
+        chain + rayleigh + deflate
+      }.mkString(",\n")
+      val sel = (0 until TopComponentsR).map { k =>
+        val vN = (if (k == 0) "" else s"k$k") + s"v$PowerIters"
+        s"""SELECT CAST($k AS INT) AS component, CAST(v.i AS INT) AS dim,
+           |       v.v AS loading, lam$k.l AS eigenvalue,
+           |       lam$k.l / tr.t AS var_explained
+           |FROM $vN v, lam$k, tr""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckPowerCtes,
+         |tr AS MATERIALIZED (SELECT list_sum(list(c ORDER BY i)) AS t
+         |      FROM c WHERE i = j),
+         |$segs
+         |$sel""".stripMargin
+    },
+    // the ABTT pipeline end-to-end in SQL: the SAME power-method CTEs
+    // produce mu and v, each embedding is centered / projected /
+    // deflated with the identical fold orders, and both arms' top-k
+    // are scored against the raw-space truth
+    "vec_abtt" -> {
+      val n1 = SrpDim + 1
+      val rawTopK =
+        s"""SELECT query_id, neighbor_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cosine DESC, neighbor_id) AS rank
+           |  FROM (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |               ${duckCos("q", "e")} AS cosine
+           |        FROM embeddings q, embeddings e
+           |        WHERE q.vec_id < $NQueries AND q.vec_id <> e.vec_id))
+           |WHERE rank <= $TopK""".stripMargin
+      s"""WITH $duckPowerCtes,
+         |mul AS MATERIALIZED (SELECT list(mu ORDER BY dim) AS m FROM mu),
+         |vl AS MATERIALIZED (SELECT list(v ORDER BY i) AS w FROM v$PowerIters),
+         |cen AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         [CAST(embedding[i] AS DOUBLE) - m.m[i]
+         |          for i in range(1, $n1)] AS c
+         |  FROM embeddings, mul m),
+         |pj AS MATERIALIZED (
+         |  SELECT vec_id, c,
+         |         list_sum([c[i] * w[i] for i in range(1, $n1)]) AS proj
+         |  FROM cen, vl),
+         |te AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         [c[i] - proj * w[i] for i in range(1, $n1)] AS e
+         |  FROM pj, vl),
+         |tn AS MATERIALIZED (
+         |  SELECT vec_id, e,
+         |         sqrt(list_sum([e[i] * e[i] for i in range(1, $n1)])) AS nm
+         |  FROM te),
+         |truth AS MATERIALIZED ($rawTopK),
+         |ntr AS (SELECT count(*) AS n_true FROM truth),
+         |araw AS (
+         |  SELECT count(*) AS n_hit FROM ($rawTopK) td
+         |  JOIN truth USING (query_id, neighbor_id)),
+         |aabtt AS (
+         |  SELECT count(*) AS n_hit FROM (
+         |    SELECT query_id, neighbor_id FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |                   list_sum([q.e[i] * d.e[i]
+         |                             for i in range(1, $n1)])
+         |                     / (q.nm * d.nm) AS cosine
+         |            FROM tn q, tn d
+         |            WHERE q.vec_id < $NQueries AND q.vec_id <> d.vec_id))
+         |    WHERE rank <= $TopK) td
+         |  JOIN truth USING (query_id, neighbor_id))
+         |SELECT 'raw' AS space, ntr.n_true, araw.n_hit,
+         |       CAST(araw.n_hit AS DOUBLE) / CAST(ntr.n_true AS DOUBLE)
+         |         AS recall
+         |FROM araw, ntr
+         |UNION ALL
+         |SELECT 'abtt', ntr.n_true, aabtt.n_hit,
+         |       CAST(aabtt.n_hit AS DOUBLE) / CAST(ntr.n_true AS DOUBLE)
+         |FROM aabtt, ntr""".stripMargin
     },
     "vec_semdedup_sweep" -> {
       val floor = SemDedupSweepEps.min

@@ -55,6 +55,50 @@ case class DotProductFF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[DotProductFF]]'s `array<double>` sibling — same tight sequential
+  * loop, for vectors that are already double-typed (e.g. the centered /
+  * projected embeddings an All-but-the-Top transform produces, where a
+  * float round-trip would destroy the fixed IEEE DAG the oracle
+  * replays).
+  */
+case class DotProductDD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = math.min(aa.numElements(), bb.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += aa.getDouble(i) * bb.getDouble(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductDD =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   private def toCol(e: Expression): Column =
     org.apache.spark.sql.GraftBridge.column(e)
@@ -64,4 +108,8 @@ object VectorFunctions {
   /** Codegen'd dot product of two `array<float>` columns, in double. */
   def dotFF(a: Column, b: Column): Column =
     toCol(DotProductFF(toExpr(a), toExpr(b)))
+
+  /** Codegen'd dot product of two `array<double>` columns. */
+  def dotDD(a: Column, b: Column): Column =
+    toCol(DotProductDD(toExpr(a), toExpr(b)))
 }

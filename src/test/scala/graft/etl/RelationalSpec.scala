@@ -264,6 +264,34 @@ class RelationalSpec extends SparkSpec {
     assert(labels === (0L to 12L).map(_ -> 0L).toMap)
   }
 
+  test("recursiveSql cost contract: the recursion surface adds no more " +
+      "than pair-cost + 2 s of floors (machine-checked, was narrated)") {
+    // the BENCHNOTES r11 contract, promoted to an assertion: of
+    // sql_recursive's wall-clock, everything AFTER the shared n-gram
+    // pair derivation (shortcut closure + seeding + fixpoint passes) is
+    // bounded per-level scheduling floors, not data work — so it must
+    // stay within pairs + 2 s at any SF where the contract is honest.
+    // Run on the real sf0.01 fixture so `pairs` is the genuine shingle
+    // join dedup_clusters pays identically. One discarded warmup pass
+    // first — the contract (like every bench number) is about steady
+    // state, and a cold JVM bills JIT/codegen compilation to whichever
+    // phase runs first.
+    Relational.recursiveSql(spark, "/root/testdata/sf0.01").count()
+    graft.CheckpointLease.releaseAll()
+    val out = Relational.recursiveSql(spark, "/root/testdata/sf0.01")
+    assert(out.count() > 0)
+    graft.CheckpointLease.releaseAll()
+    val ph = Relational.lastRecursionPhases
+    assert(Seq("pairs", "seed", "recursion").forall(ph.contains),
+      s"phase ledger incomplete: $ph")
+    val pairs = ph("pairs")
+    val rest = ph.filterKeys(_ != "pairs").values.sum
+    info(f"pairs $pairs%.2f s, post-pair $rest%.2f s ($ph)")
+    assert(rest <= pairs + 2.0,
+      f"recursion surface cost $rest%.2f s exceeds pair cost " +
+        f"$pairs%.2f s + 2 s — the sql_recursive contract is broken")
+  }
+
   test("hllSketchMerge: per-group estimates within 5% of exact; merged " +
       "union matches a direct whole-table sketch") {
     import org.apache.spark.sql.functions._
