@@ -768,10 +768,11 @@ object Relational {
   }
 
   /** Wall-clock phase breakdown of the LAST [[recursiveComponentsSql]]
-    * run in this JVM: `pairs` (derive + symmetrize + materialize the
-    * input pair graph — shared work [[graft.ext.Dedup.ngramJaccardPairs]]
-    * consumers like dedup_clusters pay identically), `shortcut`, `seed`,
-    * `recursion` (all fixpoint passes), `return`. This is the
+    * run in this JVM: `derive` (the eager n-gram pair derivation —
+    * shared work [[graft.ext.Dedup.ngramJaccardPairs]] consumers like
+    * dedup_clusters pay identically; merged in by [[recursiveSql]]),
+    * `pairs` (symmetrize + materialize the pair graph), `shortcut`,
+    * `seed`, `recursion` (all fixpoint passes), `return`. This is the
     * machine-checked form of the sql_recursive cost contract (BENCHNOTES
     * r11): the recursion surface itself must add no more than ~2 s of
     * per-level scheduling floors on top of the pair cost — asserted in
@@ -784,17 +785,29 @@ object Relational {
   /** sql_recursive query: fixpoint reachability over the oracle-checked
     * near-dup pair graph (see [[recursiveComponentsSql]]).
     */
-  def recursiveSql(spark: SparkSession, sfDir: String): DataFrame =
+  def recursiveSql(spark: SparkSession, sfDir: String): DataFrame = {
     // Two shortcut steps close each (tiny) dup component, so the 1-hop-min
     // seed is already the fixpoint and the loop is ONE verification pass.
     // batchDepth=2 only shapes recovery passes on a graph the size gate
     // left unclosed (fresh-label re-seeds every two levels keep the
     // dominated-walk prune effective; measured 1.7 s vs 1.9 at 4, 2.4 at
     // 8 back when passes did the computing).
-    recursiveComponentsSql(spark,
-      graft.ext.Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir))
-        .select(col("doc_a"), col("doc_b")),
+    // ngramJaccardPairs EAGERLY checkpoints its result, so the dominant
+    // shared cost (the shingle index + posting-list join) is paid right
+    // here, before the recursion ledger starts — time it and merge it in
+    // as `derive`, or the contract below would compare the recursion
+    // floors against only the cheap symmetrize step (measured at
+    // sf0.1/32: derive ~2.2 s vs pairs ~0.24 s).
+    val t0 = System.nanoTime()
+    val pairs = graft.ext.Dedup.ngramJaccardPairs(
+        Tables.documents(spark, sfDir))
+      .select(col("doc_a"), col("doc_b"))
+    val derive = (System.nanoTime() - t0) / 1e9
+    val out = recursiveComponentsSql(spark, pairs,
       batchDepth = 2, shortcutSteps = 2)
+    lastRecursionPhases = lastRecursionPhases + ("derive" -> derive)
+    out
+  }
 
   /** The SQL entry path: identical pricing summary expressed through
     * `spark.sql` over registered temp views — proves the engine surface

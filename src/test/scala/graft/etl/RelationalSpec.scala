@@ -282,14 +282,17 @@ class RelationalSpec extends SparkSpec {
     assert(out.count() > 0)
     graft.CheckpointLease.releaseAll()
     val ph = Relational.lastRecursionPhases
-    assert(Seq("pairs", "seed", "recursion").forall(ph.contains),
+    assert(Seq("derive", "pairs", "seed", "recursion").forall(ph.contains),
       s"phase ledger incomplete: $ph")
-    val pairs = ph("pairs")
-    val rest = ph.filterKeys(_ != "pairs").values.sum
-    info(f"pairs $pairs%.2f s, post-pair $rest%.2f s ($ph)")
-    assert(rest <= pairs + 2.0,
+    // pair cost = the eager shingle/posting derivation + the symmetrize
+    // that materializes the walk graph; everything else is the
+    // recursion surface the contract bounds
+    val pairCost = ph("derive") + ph("pairs")
+    val rest = ph.filterKeys(k => k != "pairs" && k != "derive").values.sum
+    info(f"pair cost $pairCost%.2f s, post-pair $rest%.2f s ($ph)")
+    assert(rest <= pairCost + 2.0,
       f"recursion surface cost $rest%.2f s exceeds pair cost " +
-        f"$pairs%.2f s + 2 s — the sql_recursive contract is broken")
+        f"$pairCost%.2f s + 2 s — the sql_recursive contract is broken")
   }
 
   test("hllSketchMerge: per-group estimates within 5% of exact; merged " +
