@@ -53,7 +53,10 @@ class EngineSpec extends SparkSpec {
       e.similarity.semDedup(), e.similarity.semDedupSweep(),
       e.similarity.matryoshkaEval(), e.curation.sourceCap(),
       e.curation.splitLeakageAudit, e.curation.splitByCluster(),
-      e.similarity.topComponent)
+      e.similarity.topComponent,
+      // round-12 surface
+      e.similarity.topComponents(), e.similarity.abttTransform,
+      e.similarity.abttEval())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
