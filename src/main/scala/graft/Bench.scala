@@ -42,9 +42,18 @@ object Bench {
         .findFirstMatchIn(txt).exists(_.group(1) == sfDir)
       val idx = txt.indexOf("\"queries_sec\"")
       if (!sfOk || idx < 0) Map.empty
-      else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r
-        .findAllMatchIn(txt.substring(idx))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      else {
+        // parse ONLY the queries_sec object (its '{' to the matching
+        // '}' — it is flat, so the first close brace ends it): a
+        // section appended after it in a future artifact must not
+        // pollute or override per-query baselines
+        val open = txt.indexOf('{', idx)
+        val close = txt.indexOf('}', open)
+        if (open < 0 || close < 0) Map.empty
+        else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r
+          .findAllMatchIn(txt.substring(open, close))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
@@ -112,9 +121,14 @@ object Bench {
         first.forall(_ >= 0) && first.min > InflationFactor * b)
       val passes = if (suspect) { System.gc(); first :+ timed(name) }
         else first
-      val best = passes.min
+      // the -1 failure sentinel propagates from the TWO contract passes
+      // (a query failing either is poisoned, as before) — but a guard
+      // pass that THROWS must not discard two valid measurements: it is
+      // best-effort, so failures in it are ignored
+      val best =
+        if (first.min < 0) first.min else passes.filter(_ >= 0).min
       val inflated = base.exists(b =>
-        passes.forall(_ >= 0) && best > InflationFactor * b)
+        best >= 0 && best > InflationFactor * b)
       (name, best, passes, inflated)
     }
     // millisecond precision keeps the single JSON line short enough for the

@@ -26,6 +26,10 @@ object TimeQuery {
       org.apache.spark.sql.GraftBridge.sessionHygiene(spark)
     }
     names.foreach { n =>
+      // the ledger is a JVM global set only by recursion-surface
+      // queries — clear it per query or a later query in the same run
+      // would print the previous one's phases under its own name
+      graft.etl.Relational.lastRecursionPhases = Map.empty
       SparkEntry.queries(n)(spark, sfDir).count() // warmup
       reset()
       val times = (1 to reps).map { _ =>

@@ -1003,6 +1003,11 @@ object Similarity {
         .select(lit(name).as("space"), col("n_true"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_true").cast("double"))
             .as("recall"))
+    // the raw arm deliberately RE-EXECUTES bruteForceTopK rather than
+    // reusing the checkpointed truth: two runs of the same plan scoring
+    // 1.0 against each other is a determinism canary (a tie-unstable
+    // rank would surface here); the Q·N scan it costs is the same one
+    // sim_topk_brute pays as a whole query
     arm("raw", bruteForceTopK(emb, k).select("query_id", "neighbor_id"))
       .unionAll(arm("abtt",
         bruteForceTopKD(abttTransform(emb), k)
@@ -1289,6 +1294,11 @@ object Similarity {
       .as[(Long, Long, Long)].collect()
     require(partials.nonEmpty, "empty corpus has no variance profile")
     val d = partials.iterator.map(_._1).max.toInt + 1
+    // fixed-width subspace slicing downstream: with d % m != 0 the
+    // snake groups would have unequal sizes and the concatenation
+    // would quietly cut groups across subspace boundaries
+    require(d % m == 0,
+      s"subspace count $m must divide the dimension $d")
     val n = partials.iterator.filter(_._1 == -1L).map(_._3).sum.toDouble
     val micro = new Array[Long](d)
     val diag = new Array[Long](d)
