@@ -139,6 +139,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Corpus.knSmoothedBigrams(docs, k)
     def kneserNey3(k: Int = Corpus.KnTopK): DataFrame =
       Corpus.knSmoothedTrigrams(docs, k)
+    def lmDocScores(refSource: String = Corpus.LmRefSource): DataFrame =
+      Corpus.lmDocScores(docs, refSource)
     private def docs = Tables.documents(spark, dataDir)
   }
 

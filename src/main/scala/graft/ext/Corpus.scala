@@ -773,6 +773,84 @@ object Corpus {
       .limit(k)
   }
 
+  /** Reference source [[lmDocScores]] trains its bigram LM on — the
+    * same `src0` target-slice convention as DSIR relevance
+    * ([[graft.ext.Curation]]): the model sees ONE domain and every
+    * document is scored against it.
+    */
+  val LmRefSource = "src0"
+
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020): train the
+    * interpolated Kneser–Ney bigram model ([[knSmoothedBigrams]]'
+    * estimator, full vocabulary) on the REFERENCE slice only, then
+    * score every document's transitions against it — per doc: bigram
+    * count, how many the reference model knows, the OOV rate, and the
+    * MEAN smoothed probability of the known transitions. In-domain
+    * documents score high-mean/zero-OOV; out-of-domain and noise
+    * score low — the ranking CCNet derives from perplexity.
+    *
+    * Instead of `exp(−mean log p)` (a libm log/exp whose rounding
+    * differs across engines — the [[graft.ext.TextAnalysis]] BM25/PMI
+    * precedent), the score is the nano-quantized integer MEAN of the
+    * p_kn values: every per-bigram probability is the same fixed float
+    * DAG as the lm_kneser_ney oracle, `floor(p·10⁹)` is exact, the sum
+    * is an order-independent integer, and the truncated-mean division
+    * is one portable integer op — so the whole scorer hash-matches.
+    *
+    * Scale shape: the model tables are VOCABULARY-bounded keyed aggs
+    * over the (small) reference slice; scoring is one keyed join of
+    * the corpus bigram stream against the broadcast-scale p_kn table
+    * plus one per-doc agg — no windows, no driver state.
+    */
+  def lmDocScores(docs: DataFrame,
+      refSource: String = LmRefSource): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |          i -> struct(toks[i-1] AS w1, toks[i] AS w2))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = graft.CheckpointLease.track(
+      bigrams(docs.filter(col("source") === refSource))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true))
+    val left = big.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n_fwd"))
+    val right = big.groupBy("w2").agg(count(lit(1)).as("n_bwd"))
+    val types = big.agg(count(lit(1)).as("t_types"))
+    val pkn = big.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"),
+        (greatest(col("c12").cast("double") - lit(KnDiscount), lit(0.0)) /
+          col("c1").cast("double") +
+          ((lit(KnDiscount) * col("n_fwd").cast("double")) /
+            col("c1").cast("double")) *
+            (col("n_bwd").cast("double") / col("t_types").cast("double")))
+          .as("p_kn"))
+    val scored = bigrams(docs).join(pkn, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_kn").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        sum(when(col("p_kn").isNotNull,
+            floor(col("p_kn") * lit(1000000000.0)).cast("long"))
+          .otherwise(0L)).as("sum_nano"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        coalesce(col("sum_nano"), lit(0L)).as("sum_nano"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+        (col("n_bigrams") - col("n_known")).as("n_oov"),
+        when(col("n_bigrams") > 0,
+          (col("n_bigrams") - col("n_known")).cast("double") /
+            col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("oov_rate"),
+        (expr("sum_nano div greatest(n_known, 1L)").cast("double") /
+          lit(1000000000.0)).as("mean_pkn"))
+  }
+
   /** Trigram interpolated Kneser–Ney — the full RECURSIVE formulation
     * (Chen & Goodman 1998), not a one-level shortcut: the trigram
     * estimate backs off into a bigram CONTINUATION distribution built
@@ -838,6 +916,7 @@ object Corpus {
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_kneser_ney" -> ((s, d) => knSmoothedBigrams(Tables.documents(s, d))),
+    "lm_doc_scores" -> ((s, d) => lmDocScores(Tables.documents(s, d))),
     "lm_kneser_ney3" -> ((s, d) =>
       knSmoothedTrigrams(Tables.documents(s, d))),
     "corpus_bigram_coverage" -> ((s, d) =>
@@ -919,6 +998,60 @@ object Corpus {
          |         AS p_kn
          |FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
          |ORDER BY c12 DESC, w1, w2 LIMIT $KnTopK""".stripMargin,
+    // the reference-trained KN model replayed with the lm_kneser_ney
+    // estimator expression, then the doc stream left-joins it and the
+    // nano-quantized integer mean replays Spark's truncated division
+    "lm_doc_scores" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |rp AS (
+         |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+         |        FROM d WHERE source = '$LmRefSource'
+         |          AND len(toks) >= 2)),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |             count(*) AS n_fwd
+         |      FROM big GROUP BY 1),
+         |r AS (SELECT w2, count(*) AS n_bwd FROM big GROUP BY 1),
+         |t AS (SELECT count(*) AS t_types FROM big),
+         |pkn AS (
+         |  SELECT w1, w2,
+         |         greatest(CAST(c12 AS DOUBLE) - $KnDiscount, 0.0)
+         |           / CAST(c1 AS DOUBLE)
+         |         + (($KnDiscount * CAST(n_fwd AS DOUBLE))
+         |            / CAST(c1 AS DOUBLE))
+         |           * (CAST(n_bwd AS DOUBLE) / CAST(t_types AS DOUBLE))
+         |           AS p_kn
+         |  FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t),
+         |ap AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |        FROM d WHERE len(toks) >= 2)),
+         |sc AS (
+         |  SELECT ap.doc_id, count(*) AS n_bigrams,
+         |         CAST(sum(CASE WHEN p.p_kn IS NULL THEN 0 ELSE 1 END)
+         |              AS BIGINT) AS n_known,
+         |         CAST(sum(CASE WHEN p.p_kn IS NULL THEN 0
+         |                       ELSE CAST(floor(p.p_kn * 1000000000.0)
+         |                                 AS BIGINT) END)
+         |              AS BIGINT) AS sum_nano
+         |  FROM ap LEFT JOIN pkn p USING (w1, w2) GROUP BY 1)
+         |SELECT dd.doc_id,
+         |       coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |       coalesce(sc.n_known, 0) AS n_known,
+         |       coalesce(sc.n_bigrams, 0) - coalesce(sc.n_known, 0)
+         |         AS n_oov,
+         |       CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+         |            THEN CAST(coalesce(sc.n_bigrams, 0)
+         |                      - coalesce(sc.n_known, 0) AS DOUBLE)
+         |                 / CAST(sc.n_bigrams AS DOUBLE)
+         |            ELSE 0.0 END AS oov_rate,
+         |       CAST(coalesce(sc.sum_nano, 0)
+         |            // greatest(coalesce(sc.n_known, 0), 1) AS DOUBLE)
+         |         / 1000000000.0 AS mean_pkn
+         |FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id""".stripMargin,
     "corpus_bigram_coverage" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

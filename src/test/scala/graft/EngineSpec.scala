@@ -56,7 +56,7 @@ class EngineSpec extends SparkSpec {
       e.similarity.topComponent,
       // round-12 surface
       e.similarity.topComponents(), e.similarity.abttTransform,
-      e.similarity.abttEval())
+      e.similarity.abttEval(), e.text.lmDocScores())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -8,6 +8,36 @@ class CorpusSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def docs = Tables.documents(spark, sf)
 
+  test("lmDocScores: reference docs are fully in-vocabulary, counts " +
+      "conserve, scores bounded") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = Corpus.lmDocScores(docs).collect()
+    assert(r.length === docs.count())
+    val bySrc = docs.select("doc_id", "source").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    var sawOov = false
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val nb = row.getAs[Long]("n_bigrams")
+      val nk = row.getAs[Long]("n_known")
+      val no = row.getAs[Long]("n_oov")
+      assert(nk + no === nb, s"doc $id: known+oov != bigrams")
+      val oov = row.getAs[Double]("oov_rate")
+      val mp = row.getAs[Double]("mean_pkn")
+      assert(oov >= 0.0 && oov <= 1.0)
+      assert(mp >= 0.0 && mp <= 1.0, s"doc $id mean_pkn $mp out of range")
+      // the model is trained ON the reference slice, so every
+      // reference transition is known by construction
+      if (bySrc(id) == Corpus.LmRefSource)
+        assert(no === 0L, s"reference doc $id has OOV transitions")
+      if (no > 0L) sawOov = true
+    }
+    // and the scorer must discriminate: some non-reference doc carries
+    // transitions the single-domain model has never seen
+    assert(sawOov, "no document scored any OOV transition — the " +
+      "reference model cannot be discriminating anything")
+  }
+
   test("chunkDocuments: windows tile the token stream with the stride") {
     import spark.implicits._
     // 300 tokens, chunk=128, stride=96 -> starts 1/97/193, lens 128/128/108
