@@ -330,4 +330,68 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // generated embedding frames for the spectral operators: d=8 keeps
+  // the generated covariance solvable by inspection-scale arithmetic
+  private val vecGen = for {
+    n <- Gen.choose(3, 24)
+    vs <- Gen.listOfN(n * 8, Gen.choose(-0.5f, 0.5f))
+  } yield vs.grouped(8).toSeq
+
+  test("abttTransform: output is orthogonal to the extracted direction " +
+      "on generated corpora") {
+    samples(vecGen, n = 4).foreach { vecs =>
+      val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val solved = graft.ext.Similarity.topComponentSolve(emb).get
+      graft.ext.Similarity.abttTransform(emb).collect().foreach { r =>
+        val e = r.getSeq[Double](1)
+        val proj = e.zip(solved.v).map { case (x, w) => x * w }.sum
+        assert(math.abs(proj) < 1e-9,
+          s"transformed vector not orthogonal to v: $proj")
+      }
+    }
+  }
+
+  test("topComponentsSolve: trace conservation and unit loadings on " +
+      "generated corpora") {
+    samples(vecGen, n = 4).foreach { vecs =>
+      val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val comps = graft.ext.Similarity.topComponentsSolve(emb, 3).get
+      val tr0 = comps.head.tr
+      comps.foreach { c =>
+        val norm = math.sqrt(c.v.map(x => x * x).sum)
+        assert(math.abs(norm - 1.0) < 1e-9)
+        assert(c.lam <= tr0 + 1e-9)
+      }
+      // deflation removes exactly lam from the trace each step, so the
+      // extracted mass can never exceed the total variance
+      assert(comps.map(_.lam).sum <= tr0 + 1e-9,
+        s"sum ${comps.map(_.lam).sum} > trace $tr0")
+    }
+  }
+
+  test("lmDocScores: counts conserve and reference docs are fully " +
+      "known on generated corpora") {
+    samples(Gen.listOfN(10, docGen), n = 4).foreach { texts =>
+      // half the docs form the reference slice (src0), half are src1
+      val df = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", if (i % 2 == 0) "src0" else "src1",
+          t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = graft.ext.Corpus.lmDocScores(df).collect()
+      assert(r.length === texts.length)
+      r.foreach { row =>
+        assert(row.getAs[Long]("n_known") + row.getAs[Long]("n_oov") ===
+          row.getAs[Long]("n_bigrams"))
+        val id = row.getAs[Long]("doc_id")
+        if (id % 2 == 0)
+          assert(row.getAs[Long]("n_oov") === 0L,
+            s"reference doc $id scored OOV against its own model")
+        val mp = row.getAs[Double]("mean_pkn")
+        assert(mp >= 0.0 && mp <= 1.0)
+      }
+    }
+  }
 }
