@@ -190,6 +190,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def topKPq(k: Int = Similarity.TopK,
         shortlist: Int = Similarity.PqShortlist): DataFrame =
       Similarity.pqTopK(emb, k, shortlist)
+    def topKIvfPq(k: Int = Similarity.TopK,
+        shortlist: Int = Similarity.PqShortlist): DataFrame =
+      Similarity.ivfPqTopK(emb, k, shortlist)
     def semDedup(eps: Double = Similarity.SemDedupEps): DataFrame =
       Similarity.semDedup(emb, eps)
     def semDedupSweep(

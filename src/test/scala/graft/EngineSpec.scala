@@ -56,7 +56,8 @@ class EngineSpec extends SparkSpec {
       e.similarity.topComponent,
       // round-12 surface
       e.similarity.topComponents(), e.similarity.abttTransform,
-      e.similarity.abttEval(), e.text.lmDocScores())
+      e.similarity.abttEval(), e.text.lmDocScores(),
+      e.similarity.topKIvfPq())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -304,6 +304,34 @@ class SimilaritySpec extends SparkSpec {
         bc.get((q, n)).foreach(exact => assert(exact === c)) }
   }
 
+  test("ivfPqTopK: probed-list ADC + re-rank recall between the IVF " +
+      "and PQ parents; cosines exact on shared pairs") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(emb)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqTopK(emb)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"IVF+PQ recall@10 = $recall%.2f")
+    // the composition can only lose what its stages lose: IVF probes
+    // measure 0.95, PQ shortlist 0.90 — gate leaves box-to-box
+    // codebook margin below the measured 0.88
+    assert(recall >= 0.75, f"IVF+PQ recall $recall%.2f below gate")
+    // re-rank reports EXACT cosines on every pair shared with brute
+    val bc = Similarity.bruteForceTopK(emb)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    Similarity.ivfPqTopK(emb)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, c) =>
+        bc.get((q, n)).foreach(exact => assert(exact === c)) }
+  }
+
   test("OPQ-lite: variance-balanced permutation is a true permutation; " +
       "recall delta vs the raw basis reported at the same byte budget") {
     import spark.implicits._
