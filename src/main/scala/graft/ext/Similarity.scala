@@ -1537,16 +1537,23 @@ object Similarity {
     * unprobed 63% of the code scan.
     */
   def ivfPqTopK(embRaw: DataFrame, k: Int = TopK,
-      shortlist: Int = PqShortlist): DataFrame = {
+      shortlist: Int = PqShortlist,
+      coarseCodebook: Option[DataFrame] = None,
+      pqBooks: Option[DataFrame] = None): DataFrame = {
+    // In-query training (the registered-query default) is ~80% of the
+    // sf0.1 cost and exists for oracle determinism; an index BUILD
+    // trains once and serves many top-k calls by passing both
+    // codebooks in — the ivfTopK amortization contract, extended to
+    // the fine quantizer.
     // coarse quantizer on the raw vectors (the ivfTopK metric)
-    val cents = graft.CheckpointLease.track(
-      trainCentroids(embRaw).localCheckpoint(true))
+    val cents = coarseCodebook.getOrElse(graft.CheckpointLease.track(
+      trainCentroids(embRaw).localCheckpoint(true)))
     val lists = ivfAssignmentsWithCos(embRaw, cents)
       .select(col("vec_id"), col("centroid_id"))
     // fine quantizer on the normalized vectors (the pqTopK contract)
     val emb = l2normalized(embRaw)
-    val books = graft.CheckpointLease.track(
-      trainPqCodebooks(emb).localCheckpoint(true))
+    val books = pqBooks.getOrElse(graft.CheckpointLease.track(
+      trainPqCodebooks(emb).localCheckpoint(true)))
     val codes = pqCodes(emb, books).select("vec_id", "sub_id", "code")
     val queries = embRaw.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
