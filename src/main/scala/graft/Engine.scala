@@ -50,6 +50,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def containmentPairs(threshold: Double = 0.8,
         maxShingleDf: Long = Dedup.MaxShingleDf): DataFrame =
       Dedup.containmentDedupPairs(docs, threshold, maxShingleDf)
+    def tfidfCosinePairs(threshold: Double = 0.5,
+        maxShingleDf: Long = Dedup.MaxShingleDf): DataFrame =
+      Dedup.tfidfCosinePairs(docs, threshold, maxShingleDf)
     def minhashDedup(threshold: Double = 0.5): DataFrame =
       Dedup.minhashDedupDocs(docs, threshold)
     def simhashNearDups(maxHamming: Int = 3): DataFrame =

@@ -208,6 +208,109 @@ object Dedup {
   def ngramJaccardPairsCapped(docs: DataFrame): DataFrame =
     ngramJaccardPairs(docs, threshold = 0.5, maxShingleDf = 5L)
 
+  /** Term-frequency cap in [[tfidfCosinePairs]]: within-document shingle
+    * repeats beyond this add no weight (sublinear-tf in spirit, and the
+    * hard bound that keeps every integer weight product long-safe at any
+    * corpus size).
+    */
+  val TfidfTfCap = 255L
+
+  /** Integer idf cap in [[tfidfCosinePairs]]: `min(N div df, cap)`.
+    * Bounding the idf is what keeps the quantized weights (and therefore
+    * the dot/norm sums) inside exact 64-bit range as N grows — the same
+    * role the micro-unit scale plays for the embedding kernels.
+    */
+  val TfidfIdfCap = 1000L
+
+  /** Per-document 3-shingle TERM FREQUENCIES (multiset counts, unlike
+    * [[shingleIds]]' distinct sets), computed MAP-SIDE: the shingle list
+    * and its per-row tf aggregation are pure array expressions over each
+    * document, so the frame reaches its consumer with NO shuffle. The
+    * per-row `filter` count is O(L·distinct) like the repetition scorer
+    * (`TextAnalysis.scala` max-tf column) — bounded by document length,
+    * independent of corpus size.
+    */
+  private[graft] def shingleTf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 2),
+          |  i -> xxhash64(element_at(toks, CAST(i AS INT)),
+          |                element_at(toks, CAST(i AS INT) + 1),
+          |                element_at(toks, CAST(i AS INT) + 2))) END"""
+          .stripMargin).as("sh"))
+      .select(col("doc_id"), explode(expr(
+        """transform(array_distinct(sh),
+          |  s -> struct(s AS shingle,
+          |              size(filter(sh, x -> x = s)) AS tf))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.shingle").as("shingle"),
+        col("p.tf").cast("long").as("tf"))
+
+  /** Weighted near-dup pairs by 3-shingle TF-IDF COSINE — the multiset
+    * companion to [[ngramJaccardPairs]]' set Jaccard: two documents that
+    * share rare shingles score higher than two sharing only common ones,
+    * and within-document repetition counts. Same one-shuffle df-capped
+    * inverted index (df window and posting-list aggregation ride one
+    * hash partitioning by shingle), same posting-list pair enumeration,
+    * same [[MaxShingleDf]] skew guard bounding every posting list.
+    *
+    * == Cross-engine determinism ==
+    * Weights are INTEGER-QUANTIZED: `w = min(tf, TfidfTfCap) ·
+    * min(N div df, TfidfIdfCap)` — integer division, no libm log — so
+    * dot products and squared norms are exact order-independent long
+    * sums; the cosine is then one per-pair IEEE DAG
+    * (`dot / (sqrt(n2_a) · sqrt(n2_b))`) the DuckDB twin replays
+    * verbatim. N (corpus size) is a single bounded driver scalar from a
+    * count-pushdown parquet scan, interpolated as a plan literal.
+    *
+    * == Scale shape ==
+    * tf derivation is map-side ([[shingleTf]]); the index pays ONE
+    * shuffle by shingle; norms are a keyed aggregate by doc_id; pair
+    * cost is Σ_shingles C(df, 2) with df ≤ the cap. Weight bounds:
+    * w ≤ 255 · 1000, so a pair dot ≤ 6.6e10 per shared shingle — exact
+    * in long up to ~1.4e8 shared shingles per pair, far beyond any
+    * real document.
+    */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.5,
+      maxShingleDf: Long = MaxShingleDf): DataFrame = {
+    val nDocs = docs.count()
+    val kept = shingleTf(docs)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("doc_id"), col("shingle"),
+        (least(col("tf"), lit(TfidfTfCap)) *
+          least(expr(s"$nDocs div df"), lit(TfidfIdfCap))).as("w"))
+      .persist()
+    val norms = kept.groupBy("doc_id")
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val dots = kept.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("w"))))
+        .as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |                        a.w * b.w AS ww))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(sum(col("p.ww")).as("dot"))
+    val out = graft.CheckpointLease.track(dots
+      .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        col("na.n2").as("norm2_a"), col("nb.n2").as("norm2_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na.n2").cast("double")) *
+            sqrt(col("nb.n2").cast("double")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .localCheckpoint(true))
+    kept.unpersist()
+    out
+  }
+
   /** Benchmark decontamination: for every (training doc, benchmark doc)
     * pair sharing ≥ `minShared` distinct word n-grams, the overlap count
     * and the containment ratio shared/|bench n-grams| — the standard
@@ -776,6 +879,8 @@ object Dedup {
     "dedup_simhash_near"  -> ((s, d) =>
       simhashNearDupPairs(Tables.documents(s, d))),
     "dedup_lsh_eval"      -> ((s, d) => lshEval(Tables.documents(s, d))),
+    "dedup_tfidf_cosine"  -> ((s, d) =>
+      tfidfCosinePairs(Tables.documents(s, d))),
   )
 
   /** Shared fingerprint CTEs of the simhash oracle twins: per-token
@@ -1256,6 +1361,46 @@ object Dedup {
         |       CAST(per.n_dropped AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)
         |         AS drop_rate
         |FROM per, nd""".stripMargin,
+    // integer-quantized tf-idf weights (tf/idf caps and the df skew
+    // guard interpolated from the Scala constants), exact long sums,
+    // one per-pair IEEE cosine DAG — replayed verbatim
+    "dedup_tfidf_cosine" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |              FROM documents),
+         |shall AS (
+         |  SELECT doc_id,
+         |         unnest([array_to_string(toks[i:i+2], ' ')
+         |                 for i in range(1, len(toks)-1)]) AS shingle
+         |  FROM toks),
+         |tf AS (SELECT doc_id, shingle, count(*) AS tf
+         |       FROM shall GROUP BY 1, 2),
+         |df AS (SELECT shingle, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |w AS (
+         |  SELECT tf.doc_id, tf.shingle,
+         |         least(tf.tf, $TfidfTfCap) *
+         |           least(nd.n // df.df, $TfidfIdfCap) AS w
+         |  FROM tf JOIN df USING (shingle) CROSS JOIN nd
+         |  WHERE df.df <= $MaxShingleDf),
+         |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+         |          FROM w GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         |  FROM w a JOIN w b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, dot,
+         |       na.n2 AS norm2_a, nb.n2 AS norm2_b,
+         |       CAST(dot AS DOUBLE) /
+         |         (sqrt(CAST(na.n2 AS DOUBLE)) *
+         |          sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+         |FROM dots
+         |JOIN norms na ON doc_a = na.doc_id
+         |JOIN norms nb ON doc_b = nb.doc_id
+         |WHERE CAST(dot AS DOUBLE) /
+         |      (sqrt(CAST(na.n2 AS DOUBLE)) *
+         |       sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5""".stripMargin,
     "decontam_bloom" -> duckBloomSql,
     // all-pairs source contamination matrix over distinct word-3-grams
     "decontam_matrix" ->

@@ -254,4 +254,63 @@ class DedupSpec extends SparkSpec {
     // doc 4 collides with the indexed doc and the lower-id batch doc
     assert(r(4L)._3 === 1L && r(4L)._5 === 1L && !r(4L)._6)
   }
+
+  test("tfidfCosinePairs: exact dups score ~1, disjoint docs absent, " +
+      "repeats weigh in") {
+    val d = docs(
+      1L -> "a b c d e",         // shingles abc bcd cde, tf 1 each
+      2L -> "a b c d e",         // exact duplicate of 1
+      3L -> "p q r s t",         // disjoint: shares nothing, no pair row
+      4L -> "a b c a b c a b",   // abc/bca/cab tf 2 — the multiset path
+      5L -> "a b c a b c a b")
+    val r = Dedup.tfidfCosinePairs(d, 0.5).collect()
+      .map(p => (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b")) -> p)
+      .toMap
+    assert(r.keySet === Set((1L, 2L), (4L, 5L)),
+      "only the two duplicate pairs clear the threshold")
+    // equal weight vectors: dot == both norms, cosine == 1 up to the
+    // sqrt(x)*sqrt(x) ulp
+    r.values.foreach { p =>
+      assert(p.getAs[Long]("dot") === p.getAs[Long]("norm2_a"))
+      assert(p.getAs[Long]("norm2_a") === p.getAs[Long]("norm2_b"))
+      assert(p.getAs[Double]("cosine") > 0.9999999)
+    }
+    // tf=2 shingles square into the norm: doc 4 = {abc tf2 idf 5div4=1,
+    // bca tf2 idf 5div2=2, cab tf2 idf 2} -> 2^2 + 4^2 + 4^2 = 36
+    assert(r((4L, 5L)).getAs[Long]("norm2_a") === 36L)
+  }
+
+  test("tfidfCosinePairs: idf down-weights common shingles and the df " +
+      "cap drops hot ones") {
+    // "x y z" in 6 of 8 docs (common), "a b c" in exactly 2 (rare):
+    // pair (1,2) shares BOTH; with the cap at 5 < df 6 the hot shingle
+    // is dropped entirely and the pair survives on the rare one
+    val d = docs(Seq(
+      1L -> "x y z a b c", 2L -> "x y z a b c") ++
+      (3L to 6L).map(i => i -> "x y z"): _*)
+    val capped = Dedup.tfidfCosinePairs(d, 0.5, maxShingleDf = 5L)
+      .collect()
+    assert(capped.map(p =>
+      (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))).toSet ===
+      Set((1L, 2L)))
+    // dropped hot shingle means the hot-only docs contribute no rows
+    // at all; the surviving pair matches on its kept shingles
+    // {yza, zab, abc}, each df 2 -> idf = 6 div 2 = 3
+    val p = capped.head
+    assert(p.getAs[Long]("dot") === p.getAs[Long]("norm2_a"))
+    assert(p.getAs[Double]("cosine") > 0.9999999)
+  }
+
+  test("tfidfCosinePairs: partition-invariant (exact integer sums)") {
+    val d = docs(
+      1L -> "a b c d e f g", 2L -> "a b c d e f h",
+      3L -> "a b c d e f g", 4L -> "m n o p q r s")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.tfidfCosinePairs(df, 0.3).collect()
+        .map(p => (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"),
+          p.getAs[Long]("dot"), p.getAs[Long]("norm2_a"),
+          p.getAs[Long]("norm2_b"), p.getAs[Double]("cosine")))
+        .toSet
+    assert(run(d.repartition(1)) === run(d.repartition(7)))
+  }
 }
