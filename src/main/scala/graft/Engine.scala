@@ -210,6 +210,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def abttTransform: DataFrame = Similarity.abttTransform(emb)
     def abttEval(k: Int = Similarity.TopK): DataFrame =
       Similarity.abttEval(emb, k)
+    def whitenTransform(r: Int = Similarity.TopComponentsR): DataFrame =
+      Similarity.whitenTransform(emb, r)
+    def whitenEval(k: Int = Similarity.TopK): DataFrame =
+      Similarity.whitenEval(emb, k)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 

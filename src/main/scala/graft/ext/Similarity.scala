@@ -990,17 +990,27 @@ object Similarity {
     * changes, which is the number a curation stack needs before
     * swapping the serving space.
     */
-  def abttEval(emb: DataFrame, k: Int = TopK): DataFrame = {
+  def abttEval(emb: DataFrame, k: Int = TopK): DataFrame =
+    transformedRecallEval(emb, k, "abtt", abttTransform(emb))
+
+  /** Shared harness of [[abttEval]] and [[whitenEval]]: recall of
+    * brute-force top-k in a TRANSFORMED `array<double>` space, scored
+    * against the raw-space exact top-k ([[bruteForceTopK]]'s ground
+    * truth), next to a raw-vs-raw recall-1.0 canary arm (structurally
+    * the [[matryoshkaEval]] shape).
+    */
+  private def transformedRecallEval(emb: DataFrame, k: Int,
+      name: String, transformed: DataFrame): DataFrame = {
     val truth = graft.CheckpointLease.track(
       bruteForceTopK(emb, k)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true))
     val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
-    def arm(name: String, top: DataFrame): DataFrame =
+    def arm(nm: String, top: DataFrame): DataFrame =
       top.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
         .crossJoin(nTrue)
-        .select(lit(name).as("space"), col("n_true"), col("n_hit"),
+        .select(lit(nm).as("space"), col("n_true"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_true").cast("double"))
             .as("recall"))
     // the raw arm deliberately RE-EXECUTES bruteForceTopK rather than
@@ -1009,10 +1019,89 @@ object Similarity {
     // rank would surface here); the Q·N scan it costs is the same one
     // sim_topk_brute pays as a whole query
     arm("raw", bruteForceTopK(emb, k).select("query_id", "neighbor_id"))
-      .unionAll(arm("abtt",
-        bruteForceTopKD(abttTransform(emb), k)
+      .unionAll(arm(name,
+        bruteForceTopKD(transformed, k)
           .select("query_id", "neighbor_id")))
   }
+
+  /** Upper bound on [[whitenTransform]]'s per-component scale
+    * `sqrt((tr/d)/λ)`: a direction whose eigenvalue is a floating-point
+    * whisker (a deflated-away or genuinely null direction) would
+    * otherwise get its numeric noise amplified ~1/sqrt(λ)-fold — the
+    * standard epsilon-floor concern of whitening, expressed as a cap.
+    * Never binds on a healthy spectrum (the fixtures' scales sit in
+    * [0.6, 1.2]).
+    */
+  val WhitenScaleCap = 10.0
+
+  /** PCA PARTIAL WHITENING (spectral flattening): rescale the energy
+    * along the top-[[TopComponentsR]] principal directions to the
+    * average per-dimension variance —
+    * `x' = cen + Σ_k (s_k − 1)·(v_kᵀcen)·v_k` with
+    * `s_k = min(sqrt((tr/d) / λ_k), WhitenScaleCap)` (and `s_k = 1` on
+    * a degenerate λ ≤ 0)
+    * — the gentler sibling of [[abttTransform]]'s hard removal
+    * (ABTT is the `s = 0` special case of the top direction). All
+    * projections are measured on the SAME centered vector, so the
+    * transform is a single linear map regardless of component order.
+    *
+    * == Cross-engine determinism ==
+    * μ, each v_k and λ_k come from [[topComponentsSolve]] — the
+    * deflated eigensolve the `vec_top_components` twin replays
+    * CTE-for-CTE — and ride into the plan as literals; the scale
+    * arithmetic (`sqrt((tr/d)/λ)`, `s − 1`) and the per-row
+    * center→project→fused-add DAG are fixed IEEE sequences the twin
+    * spells identically.
+    *
+    * == Scale shape ==
+    * One bounded driver eigensolve (the same 4,161-row keyed-aggregated
+    * partials), then a NARROW per-row map over the corpus: no shuffle,
+    * no second scan, 5·d literals in the plan.
+    */
+  def whitenTransform(emb: DataFrame,
+      r: Int = TopComponentsR): DataFrame =
+    topComponentsSolve(emb, r) match {
+      case None => // empty corpus: empty frame, array<double> schema
+        emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double"))
+            .as("embedding"))
+      case Some(comps) =>
+        val mu = comps.head.mu
+        val d = mu.length
+        val lamBar = comps.head.tr / d
+        val muArr = array(mu.map(lit(_)).toIndexedSeq: _*)
+        var df = emb.select(col("vec_id"),
+          zip_with(col("embedding"), muArr,
+            (x, m) => x.cast("double") - m).as("cen"))
+        val scaled = comps.map { c =>
+          (c.v,
+            if (c.lam > 0.0)
+              math.min(math.sqrt(lamBar / c.lam), WhitenScaleCap)
+            else 1.0)
+        }
+        scaled.zipWithIndex.foreach { case ((v, _), k) =>
+          val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
+          df = df.withColumn(s"p$k",
+            aggregate(zip_with(col("cen"), vArr, (c, w) => c * w),
+              lit(0.0), (a, e) => a + e))
+        }
+        val out = scaled.zipWithIndex.foldLeft(col("cen")) {
+          case (acc, ((v, s), k)) =>
+            val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
+            zip_with(acc, vArr,
+              (c, w) => c + col(s"p$k") * (lit(s) - lit(1.0)) * w)
+        }
+        df.select(col("vec_id"), out.as("embedding"))
+    }
+
+  /** The retrieval-effect study for [[whitenTransform]]: recall@k of
+    * brute-force top-k in the flattened space vs the raw-space truth,
+    * next to the raw recall-1.0 canary — how much retrieval the
+    * anisotropy correction actually changes, measured before a curation
+    * stack swaps its serving space.
+    */
+  def whitenEval(emb: DataFrame, k: Int = TopK): DataFrame =
+    transformedRecallEval(emb, k, "whiten", whitenTransform(emb))
 
   /** Bits in the SRP signature ([[srpSignatures]]). */
   val SrpBits = 16
@@ -1637,6 +1726,7 @@ object Similarity {
     "vec_abtt" -> ((s, d) => abttEval(Tables.embeddings(s, d))),
     "vec_top_components" -> ((s, d) =>
       topComponents(Tables.embeddings(s, d))),
+    "vec_whiten" -> ((s, d) => whitenEval(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -1709,6 +1799,44 @@ object Similarity {
        |  SELECT dim AS i, CAST(0.125 AS DOUBLE) AS v FROM mm),
        |$iters""".stripMargin
   }
+
+  /** CTE name holding component `k`'s unit vector at the end of its
+    * power chain: `v<PowerIters>` for the shared k = 0 chain,
+    * `k<k>v<PowerIters>` for deflated re-runs.
+    */
+  private def duckVecName(k: Int): String =
+    (if (k == 0) "" else s"k$k") + s"v$PowerIters"
+
+  /** Deflation segments shared by the `vec_top_components` and
+    * `vec_whiten` twins: component 0 rides the shared power chain;
+    * each further component subtracts `lam·v·vᵀ` from the covariance
+    * (same left-assoc products as the Scala loop) and re-runs the
+    * identical chain under a fresh CTE prefix. Emits `lam<k>` for every
+    * component and leaves each unit vector in [[duckVecName]]'s CTE.
+    */
+  private def duckDeflatedSegs(r: Int = TopComponentsR): String =
+    (0 until r).map { k =>
+      val pfx = if (k == 0) "" else s"k$k"
+      val cov = if (k == 0) "c" else s"c$k"
+      val chain =
+        if (k == 0) "" else duckPowerChain(cov, pfx) + ",\n"
+      val vN = duckVecName(k)
+      val rayleigh =
+        s"""cvx$k AS MATERIALIZED (
+           |  SELECT c.i, list_sum(list(c.c * v.v ORDER BY c.j)) AS w
+           |  FROM $cov c JOIN $vN v ON c.j = v.i GROUP BY 1),
+           |lam$k AS MATERIALIZED (
+           |  SELECT list_sum(list(v.v * cv.w ORDER BY v.i)) AS l
+           |  FROM $vN v JOIN cvx$k cv ON v.i = cv.i)""".stripMargin
+      val deflate =
+        if (k == r - 1) ""
+        else s""",
+           |c${k + 1} AS MATERIALIZED (
+           |  SELECT a.i, a.j, a.c - lam$k.l * va.v * vb.v AS c
+           |  FROM $cov a JOIN $vN va ON a.i = va.i
+           |       JOIN $vN vb ON a.j = vb.i CROSS JOIN lam$k)""".stripMargin
+      chain + rayleigh + deflate
+    }.mkString(",\n")
 
   private def duckPowerCtes: String = {
     s"""mm AS MATERIALIZED (
@@ -2035,40 +2163,102 @@ object Similarity {
     // (same left-assoc products as the Scala loop) and re-runs the
     // identical chain under a fresh CTE prefix
     "vec_top_components" -> {
-      val segs = (0 until TopComponentsR).map { k =>
-        val pfx = if (k == 0) "" else s"k$k"
-        val cov = if (k == 0) "c" else s"c$k"
-        val chain =
-          if (k == 0) "" else duckPowerChain(cov, pfx) + ",\n"
-        val vN = s"${pfx}v$PowerIters"
-        val rayleigh =
-          s"""cvx$k AS MATERIALIZED (
-             |  SELECT c.i, list_sum(list(c.c * v.v ORDER BY c.j)) AS w
-             |  FROM $cov c JOIN $vN v ON c.j = v.i GROUP BY 1),
-             |lam$k AS MATERIALIZED (
-             |  SELECT list_sum(list(v.v * cv.w ORDER BY v.i)) AS l
-             |  FROM $vN v JOIN cvx$k cv ON v.i = cv.i)""".stripMargin
-        val deflate =
-          if (k == TopComponentsR - 1) ""
-          else s""",
-             |c${k + 1} AS MATERIALIZED (
-             |  SELECT a.i, a.j, a.c - lam$k.l * va.v * vb.v AS c
-             |  FROM $cov a JOIN $vN va ON a.i = va.i
-             |       JOIN $vN vb ON a.j = vb.i CROSS JOIN lam$k)""".stripMargin
-        chain + rayleigh + deflate
-      }.mkString(",\n")
       val sel = (0 until TopComponentsR).map { k =>
-        val vN = (if (k == 0) "" else s"k$k") + s"v$PowerIters"
         s"""SELECT CAST($k AS INT) AS component, CAST(v.i AS INT) AS dim,
            |       v.v AS loading, lam$k.l AS eigenvalue,
            |       lam$k.l / tr.t AS var_explained
-           |FROM $vN v, lam$k, tr""".stripMargin
+           |FROM ${duckVecName(k)} v, lam$k, tr""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH $duckPowerCtes,
          |tr AS MATERIALIZED (SELECT list_sum(list(c ORDER BY i)) AS t
          |      FROM c WHERE i = j),
-         |$segs
+         |${duckDeflatedSegs()}
          |$sel""".stripMargin
+    },
+    // partial whitening end-to-end: the SAME deflated eigensolve CTEs
+    // produce mu, each v_k and lam_k; the scales, centering, the four
+    // same-base projections and the fused left-assoc adds are spelled
+    // exactly as the Spark plan evaluates them; both arms' top-k are
+    // scored against the raw-space truth
+    "vec_whiten" -> {
+      val n1 = SrpDim + 1
+      val r = TopComponentsR
+      val rawTopK =
+        s"""SELECT query_id, neighbor_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cosine DESC, neighbor_id) AS rank
+           |  FROM (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |               ${duckCos("q", "e")} AS cosine
+           |        FROM embeddings q, embeddings e
+           |        WHERE q.vec_id < $NQueries AND q.vec_id <> e.vec_id))
+           |WHERE rank <= $TopK""".stripMargin
+      val vls = (0 until r).map { k =>
+        s"""vl$k AS MATERIALIZED (
+           |  SELECT list(v ORDER BY i) AS w FROM ${duckVecName(k)}),
+           |s$k AS MATERIALIZED (
+           |  SELECT CASE WHEN lam$k.l > 0 THEN
+           |           least(sqrt((tr.t / $SrpDim.0) / lam$k.l),
+           |                 $WhitenScaleCap)
+           |         ELSE 1.0 END AS s
+           |  FROM lam$k, tr)""".stripMargin
+      }.mkString(",\n")
+      val pjCols = (0 until r).map { k =>
+        s"list_sum([c[i] * vl$k.w[i] for i in range(1, $n1)]) AS p$k"
+      }.mkString(",\n         ")
+      val pjFrom = (0 until r).map(k => s"vl$k").mkString(", ")
+      val addChain = (0 until r).foldLeft("c[i]") { (acc, k) =>
+        s"$acc + p$k * (s$k.s - 1.0) * vl$k.w[i]"
+      }
+      val sFrom = (0 until r).map(k => s"s$k").mkString(", ")
+      s"""WITH $duckPowerCtes,
+         |tr AS MATERIALIZED (SELECT list_sum(list(c ORDER BY i)) AS t
+         |      FROM c WHERE i = j),
+         |${duckDeflatedSegs()},
+         |mul AS MATERIALIZED (SELECT list(mu ORDER BY dim) AS m FROM mu),
+         |$vls,
+         |cen AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         [CAST(embedding[i] AS DOUBLE) - m.m[i]
+         |          for i in range(1, $n1)] AS c
+         |  FROM embeddings, mul m),
+         |pj AS MATERIALIZED (
+         |  SELECT vec_id, c,
+         |         $pjCols
+         |  FROM cen, $pjFrom),
+         |te AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         [$addChain for i in range(1, $n1)] AS e
+         |  FROM pj, $pjFrom, $sFrom),
+         |tn AS MATERIALIZED (
+         |  SELECT vec_id, e,
+         |         sqrt(list_sum([e[i] * e[i] for i in range(1, $n1)])) AS nm
+         |  FROM te),
+         |truth AS MATERIALIZED ($rawTopK),
+         |ntr AS (SELECT count(*) AS n_true FROM truth),
+         |araw AS (
+         |  SELECT count(*) AS n_hit FROM ($rawTopK) td
+         |  JOIN truth USING (query_id, neighbor_id)),
+         |awh AS (
+         |  SELECT count(*) AS n_hit FROM (
+         |    SELECT query_id, neighbor_id FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cosine DESC, neighbor_id) AS rank
+         |      FROM (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |                   list_sum([q.e[i] * d.e[i]
+         |                             for i in range(1, $n1)])
+         |                     / (q.nm * d.nm) AS cosine
+         |            FROM tn q, tn d
+         |            WHERE q.vec_id < $NQueries AND q.vec_id <> d.vec_id))
+         |    WHERE rank <= $TopK) td
+         |  JOIN truth USING (query_id, neighbor_id))
+         |SELECT 'raw' AS space, ntr.n_true, araw.n_hit,
+         |       CAST(araw.n_hit AS DOUBLE) / CAST(ntr.n_true AS DOUBLE)
+         |         AS recall
+         |FROM araw, ntr
+         |UNION ALL
+         |SELECT 'whiten', ntr.n_true, awh.n_hit,
+         |       CAST(awh.n_hit AS DOUBLE) / CAST(ntr.n_true AS DOUBLE)
+         |FROM awh, ntr""".stripMargin
     },
     // the ABTT pipeline end-to-end in SQL: the SAME power-method CTEs
     // produce mu and v, each embedding is centered / projected /

@@ -616,6 +616,75 @@ class SimilaritySpec extends SparkSpec {
     info(f"abtt recall@10 vs raw space: $rec%.2f")
   }
 
+  test("whitenTransform: output replays the literal center/project/" +
+      "fused-add DAG of the solved components") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val comps = Similarity.topComponentsSolve(emb).get
+    val d = comps.head.mu.length
+    val lamBar = comps.head.tr / d
+    val scales = comps.map(c =>
+      if (c.lam > 0.0)
+        math.min(math.sqrt(lamBar / c.lam), Similarity.WhitenScaleCap)
+      else 1.0)
+    // healthy near-isotropic spectrum: neither the cap nor the
+    // degenerate guard binds
+    scales.foreach(s => assert(s > 0.3 && s < Similarity.WhitenScaleCap))
+    val raw = emb.orderBy("vec_id").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).toArray).toMap
+    val out = Similarity.whitenTransform(emb).orderBy("vec_id").collect()
+    assert(out.length === raw.size)
+    out.take(20).foreach { r =>
+      val x = raw(r.getAs[Long]("vec_id"))
+      // the same fold orders as the plan: center ascending, one
+      // sequential projection per component on the SAME cen, then the
+      // left-assoc fused adds
+      val cen = Array.tabulate(d)(i => x(i).toDouble - comps.head.mu(i))
+      val pj = comps.map { c =>
+        var acc = 0.0
+        for (i <- 0 until d) acc += cen(i) * c.v(i)
+        acc
+      }
+      val expect = Array.tabulate(d) { i =>
+        var e = cen(i)
+        for (k <- comps.indices)
+          e = e + pj(k) * (scales(k) - 1.0) * comps(k).v(i)
+        e
+      }
+      val got = r.getSeq[Double](1)
+      for (i <- 0 until d)
+        assert(math.abs(got(i) - expect(i)) < 1e-12,
+          s"dim $i: got ${got(i)} expect ${expect(i)}")
+    }
+  }
+
+  test("whitenTransform: degenerate all-identical corpus maps to the " +
+      "zero vector (guarded scales, centered out)") {
+    import spark.implicits._
+    val d = Similarity.SrpDim
+    val emb = (0 until 12).map(k =>
+      (k.toLong, Array.fill(d)(0.25f).toSeq)).toDF("vec_id", "embedding")
+    val out = Similarity.whitenTransform(emb).collect()
+    assert(out.length === 12)
+    out.foreach(r =>
+      r.getSeq[Double](1).foreach(v => assert(math.abs(v) < 1e-9)))
+  }
+
+  test("whitenEval: raw arm is a recall-1.0 canary, whiten arm bounded") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Similarity.whitenEval(emb).collect()
+    assert(r.length === 2)
+    val raw = r.find(_.getAs[String]("space") == "raw").get
+    val wh = r.find(_.getAs[String]("space") == "whiten").get
+    Seq(raw, wh).foreach(x => assert(x.getAs[Long]("n_true") ===
+      Similarity.NQueries.toLong * Similarity.TopK))
+    assert(raw.getAs[Double]("recall") === 1.0,
+      "raw space scored against itself must be a perfect recall canary")
+    val rec = wh.getAs[Double]("recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+    info(f"whiten recall@10 vs raw space: $rec%.2f")
+  }
+
   test("topComponent: driver traffic is a constant d²+d+1 rows merged " +
       "by a keyed aggregate, invariant to input partitioning") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
