@@ -144,6 +144,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Corpus.knSmoothedTrigrams(docs, k)
     def lmDocScores(refSource: String = Corpus.LmRefSource): DataFrame =
       Corpus.lmDocScores(docs, refSource)
+    def doremiMix(refSource: String = Corpus.LmRefSource): DataFrame =
+      Corpus.doremiMix(docs, refSource)
     private def docs = Tables.documents(spark, dataDir)
   }
 

@@ -780,6 +780,46 @@ object Corpus {
     */
   val LmRefSource = "src0"
 
+  /** Per-bigram transition stream carrying both the doc and source keys
+    * — shared by [[lmDocScores]] (per-doc scoring) and [[doremiMix]]
+    * (per-source reweighting).
+    */
+  private def bigramStream(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    .filter(size(col("toks")) >= 2)
+    .select(col("doc_id"), col("source"), explode(expr(
+      """transform(sequence(1, size(toks) - 1),
+        |          i -> struct(toks[i-1] AS w1, toks[i] AS w2))"""
+        .stripMargin)).as("p"))
+    .select(col("doc_id"), col("source"),
+      col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** The interpolated Kneser–Ney bigram table trained on the reference
+    * slice only ([[knSmoothedBigrams]]' estimator, full vocabulary) —
+    * the model both [[lmDocScores]] and [[doremiMix]] score against.
+    * Vocabulary-bounded keyed aggs over the (small) reference slice.
+    */
+  private[graft] def refPknTable(docs: DataFrame,
+      refSource: String = LmRefSource): DataFrame = {
+    val big = graft.CheckpointLease.track(
+      bigramStream(docs.filter(col("source") === refSource))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true))
+    val left = big.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n_fwd"))
+    val right = big.groupBy("w2").agg(count(lit(1)).as("n_bwd"))
+    val types = big.agg(count(lit(1)).as("t_types"))
+    big.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"),
+        (greatest(col("c12").cast("double") - lit(KnDiscount), lit(0.0)) /
+          col("c1").cast("double") +
+          ((lit(KnDiscount) * col("n_fwd").cast("double")) /
+            col("c1").cast("double")) *
+            (col("n_bwd").cast("double") / col("t_types").cast("double")))
+          .as("p_kn"))
+  }
+
   /** CCNet-style LM quality scoring (Wenzek et al. 2020): train the
     * interpolated Kneser–Ney bigram model ([[knSmoothedBigrams]]'
     * estimator, full vocabulary) on the REFERENCE slice only, then
@@ -804,32 +844,8 @@ object Corpus {
     */
   def lmDocScores(docs: DataFrame,
       refSource: String = LmRefSource): DataFrame = {
-    def bigrams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |          i -> struct(toks[i-1] AS w1, toks[i] AS w2))"""
-          .stripMargin)).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val big = graft.CheckpointLease.track(
-      bigrams(docs.filter(col("source") === refSource))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .localCheckpoint(true))
-    val left = big.groupBy("w1")
-      .agg(sum("c12").as("c1"), count(lit(1)).as("n_fwd"))
-    val right = big.groupBy("w2").agg(count(lit(1)).as("n_bwd"))
-    val types = big.agg(count(lit(1)).as("t_types"))
-    val pkn = big.join(left, Seq("w1")).join(right, Seq("w2"))
-      .crossJoin(broadcast(types))
-      .select(col("w1"), col("w2"),
-        (greatest(col("c12").cast("double") - lit(KnDiscount), lit(0.0)) /
-          col("c1").cast("double") +
-          ((lit(KnDiscount) * col("n_fwd").cast("double")) /
-            col("c1").cast("double")) *
-            (col("n_bwd").cast("double") / col("t_types").cast("double")))
-          .as("p_kn"))
-    val scored = bigrams(docs).join(pkn, Seq("w1", "w2"), "left")
+    val pkn = refPknTable(docs, refSource)
+    val scored = bigramStream(docs).join(pkn, Seq("w1", "w2"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("p_kn").isNotNull, 1L).otherwise(0L)).as("n_known"),
@@ -849,6 +865,74 @@ object Corpus {
           .otherwise(lit(0.0)).as("oov_rate"),
         (expr("sum_nano div greatest(n_known, 1L)").cast("double") /
           lit(1000000000.0)).as("mean_pkn"))
+  }
+
+  /** DoReMi-FLAVORED one-shot domain reweighting (Xie et al. 2023's
+    * motivation without the exponentiated-gradient loop): score every
+    * source's transitions against the reference-slice LM
+    * ([[refPknTable]]), and up-weight sources whose mean transition
+    * probability EXCEEDS the corpus-wide mean — the domains that look
+    * most like the reference get proportionally more sampling mass,
+    * everything else keeps its document share. Per source: the doc and
+    * bigram tallies, the mean/baseline scores, the micro-unit excess,
+    * the resulting integer weight `n_docs · (10⁶ + excess_micro)` and
+    * both share columns a sampler consumes.
+    *
+    * All decision arithmetic is exact-integer ([[lmDocScores]]' nano-
+    * quantized probabilities, truncated-mean divisions, a long weight
+    * product); only the reported share/mean columns divide to double,
+    * each one per-row IEEE DAG the twin replays. Headroom: nano sums
+    * stay exact to ~9.2e9 known transitions per source — a 100 TB run
+    * drops to micro quantization for 1000× more, the
+    * [[tokenBudgetPlan]] convention.
+    *
+    * Scale shape: one transition scan joined against the broadcast-
+    * scale pkn table, keyed aggs onto the ≤n_sources domain, single-row
+    * broadcast baselines — metadata-sized from there.
+    */
+  def doremiMix(docs: DataFrame,
+      refSource: String = LmRefSource): DataFrame = {
+    val pkn = refPknTable(docs, refSource)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val scored = bigramStream(docs)
+      .join(pkn, Seq("w1", "w2"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_kn").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        sum(when(col("p_kn").isNotNull,
+            floor(col("p_kn") * lit(1000000000.0)).cast("long"))
+          .otherwise(0L)).as("sum_nano"))
+    val bySrc = graft.CheckpointLease.track(counts
+      .join(scored, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        coalesce(col("sum_nano"), lit(0L)).as("sum_nano"))
+      .withColumn("mean_nano",
+        expr("sum_nano div greatest(n_known, 1L)"))
+      .localCheckpoint(true))
+    val base = broadcast(bySrc
+      .agg(sum("sum_nano").as("g_nano"), sum("n_known").as("g_known"))
+      .select(expr("g_nano div greatest(g_known, 1L)").as("base_nano")))
+    val weighted = bySrc.crossJoin(base)
+      .withColumn("excess_micro",
+        expr("greatest(mean_nano - base_nano, 0L) div 1000"))
+      .withColumn("w_micro",
+        col("n_docs") * (lit(1000000L) + col("excess_micro")))
+    val tot = broadcast(weighted
+      .agg(sum("n_docs").as("t_docs"), sum("w_micro").as("t_w")))
+    weighted.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("n_known"),
+        (col("mean_nano").cast("double") / lit(1000000000.0))
+          .as("mean_pkn"),
+        (col("base_nano").cast("double") / lit(1000000000.0))
+          .as("base_pkn"),
+        col("excess_micro"), col("w_micro"),
+        (col("n_docs").cast("double") / col("t_docs").cast("double"))
+          .as("doc_share"),
+        (col("w_micro").cast("double") / col("t_w").cast("double"))
+          .as("weight_share"))
   }
 
   /** Trigram interpolated Kneser–Ney — the full RECURSIVE formulation
@@ -935,10 +1019,91 @@ object Corpus {
     "text_dup_spans" -> ((s, d) => dupSpans(Tables.documents(s, d))),
     "corpus_despan" -> ((s, d) => despanDocuments(Tables.documents(s, d))),
     "mix_token_budget" -> ((s, d) => tokenBudgetPlan(Tables.documents(s, d))),
+    "mix_doremi" -> ((s, d) => doremiMix(Tables.documents(s, d))),
   )
+
+  /** Shared CTEs of the `lm_doc_scores` and `mix_doremi` twins: the
+    * tokenized corpus `d` and the reference-slice Kneser–Ney table
+    * `pkn` ([[refPknTable]]'s SQL spelling) — factored so the two
+    * scorers can never drift.
+    */
+  private def duckRefPknCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |rp AS (
+       |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+       |        FROM d WHERE source = '$LmRefSource'
+       |          AND len(toks) >= 2)),
+       |big AS (SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY 1, 2),
+       |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |             count(*) AS n_fwd
+       |      FROM big GROUP BY 1),
+       |r AS (SELECT w2, count(*) AS n_bwd FROM big GROUP BY 1),
+       |t AS (SELECT count(*) AS t_types FROM big),
+       |pkn AS (
+       |  SELECT w1, w2,
+       |         greatest(CAST(c12 AS DOUBLE) - $KnDiscount, 0.0)
+       |           / CAST(c1 AS DOUBLE)
+       |         + (($KnDiscount * CAST(n_fwd AS DOUBLE))
+       |            / CAST(c1 AS DOUBLE))
+       |           * (CAST(n_bwd AS DOUBLE) / CAST(t_types AS DOUBLE))
+       |           AS p_kn
+       |  FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t)"""
+      .stripMargin
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "mix_doremi" ->
+      s"""WITH $duckRefPknCtes,
+         |ap AS (
+         |  SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i
+         |        FROM d WHERE len(toks) >= 2)),
+         |sc AS (
+         |  SELECT source, count(*) AS n_bigrams,
+         |         CAST(sum(CASE WHEN p.p_kn IS NULL THEN 0 ELSE 1 END)
+         |              AS BIGINT) AS n_known,
+         |         CAST(sum(CASE WHEN p.p_kn IS NULL THEN 0
+         |                       ELSE CAST(floor(p.p_kn * 1000000000.0)
+         |                                 AS BIGINT) END)
+         |              AS BIGINT) AS sum_nano
+         |  FROM ap LEFT JOIN pkn p USING (w1, w2) GROUP BY 1),
+         |cnt AS (SELECT source, count(*) AS n_docs FROM documents
+         |        GROUP BY 1),
+         |bysrc AS (
+         |  SELECT cnt.source, cnt.n_docs,
+         |         coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |         coalesce(sc.n_known, 0) AS n_known,
+         |         coalesce(sc.sum_nano, 0) AS sum_nano,
+         |         coalesce(sc.sum_nano, 0)
+         |           // greatest(coalesce(sc.n_known, 0), 1) AS mean_nano
+         |  FROM cnt LEFT JOIN sc ON cnt.source = sc.source),
+         |base AS (
+         |  SELECT CAST(sum(sum_nano) AS BIGINT)
+         |           // greatest(CAST(sum(n_known) AS BIGINT), 1)
+         |           AS base_nano
+         |  FROM bysrc),
+         |wtd AS (
+         |  SELECT b.*, base.base_nano,
+         |         greatest(b.mean_nano - base.base_nano, 0) // 1000
+         |           AS excess_micro,
+         |         b.n_docs * (1000000 +
+         |           greatest(b.mean_nano - base.base_nano, 0) // 1000)
+         |           AS w_micro
+         |  FROM bysrc b CROSS JOIN base),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+         |               CAST(sum(w_micro) AS BIGINT) AS t_w FROM wtd)
+         |SELECT wtd.source, wtd.n_docs, wtd.n_bigrams, wtd.n_known,
+         |       CAST(mean_nano AS DOUBLE) / 1000000000.0 AS mean_pkn,
+         |       CAST(base_nano AS DOUBLE) / 1000000000.0 AS base_pkn,
+         |       excess_micro, w_micro,
+         |       CAST(wtd.n_docs AS DOUBLE) / CAST(tot.t_docs AS DOUBLE)
+         |         AS doc_share,
+         |       CAST(w_micro AS DOUBLE) / CAST(tot.t_w AS DOUBLE)
+         |         AS weight_share
+         |FROM wtd CROSS JOIN tot""".stripMargin,
     "lm_kneser_ney3" ->
       s"""WITH d AS (
          |  SELECT string_split(text, ' ') AS toks FROM documents
@@ -1002,29 +1167,7 @@ object Corpus {
     // estimator expression, then the doc stream left-joins it and the
     // nano-quantized integer mean replays Spark's truncated division
     "lm_doc_scores" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, source, string_split(text, ' ') AS toks
-         |  FROM documents),
-         |rp AS (
-         |  SELECT toks[i] AS w1, toks[i + 1] AS w2
-         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
-         |        FROM d WHERE source = '$LmRefSource'
-         |          AND len(toks) >= 2)),
-         |big AS (SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY 1, 2),
-         |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
-         |             count(*) AS n_fwd
-         |      FROM big GROUP BY 1),
-         |r AS (SELECT w2, count(*) AS n_bwd FROM big GROUP BY 1),
-         |t AS (SELECT count(*) AS t_types FROM big),
-         |pkn AS (
-         |  SELECT w1, w2,
-         |         greatest(CAST(c12 AS DOUBLE) - $KnDiscount, 0.0)
-         |           / CAST(c1 AS DOUBLE)
-         |         + (($KnDiscount * CAST(n_fwd AS DOUBLE))
-         |            / CAST(c1 AS DOUBLE))
-         |           * (CAST(n_bwd AS DOUBLE) / CAST(t_types AS DOUBLE))
-         |           AS p_kn
-         |  FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t),
+      s"""WITH $duckRefPknCtes,
          |ap AS (
          |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i

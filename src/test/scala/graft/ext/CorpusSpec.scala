@@ -38,6 +38,43 @@ class CorpusSpec extends SparkSpec {
       "reference model cannot be discriminating anything")
   }
 
+  test("doremiMix: shares sum to 1, reference-like sources get the " +
+      "boost, conservation holds") {
+    val d = docs
+    val r = Corpus.doremiMix(d).collect()
+    assert(r.length === d.select("source").distinct().count())
+    val totalDocs = d.count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    val docShare = r.map(_.getAs[Double]("doc_share")).sum
+    val wShare = r.map(_.getAs[Double]("weight_share")).sum
+    assert(math.abs(docShare - 1.0) < 1e-9)
+    assert(math.abs(wShare - 1.0) < 1e-9)
+    r.foreach { row =>
+      val src = row.getAs[String]("source")
+      val exc = row.getAs[Long]("excess_micro")
+      val w = row.getAs[Long]("w_micro")
+      assert(exc >= 0L)
+      assert(w === row.getAs[Long]("n_docs") * (1000000L + exc),
+        s"$src: weight is not the declared integer product")
+      // excess is mean - baseline clamped at zero: a source below the
+      // corpus mean keeps exactly its document mass
+      if (exc == 0L)
+        assert(w === row.getAs[Long]("n_docs") * 1000000L)
+    }
+    // the reference slice scores against its OWN model: it must sit at
+    // or above the corpus-wide baseline (zero OOV, in-domain mass)
+    val ref = r.find(
+      _.getAs[String]("source") == Corpus.LmRefSource).get
+    assert(ref.getAs[Double]("mean_pkn") >=
+      ref.getAs[Double]("base_pkn") - 1e-12)
+    // and the scorer discriminates: not every source is boosted
+    assert(r.exists(_.getAs[Long]("excess_micro") === 0L),
+      "every source above baseline — the mean cannot exceed itself " +
+        "everywhere")
+    val boosted = r.count(_.getAs[Long]("excess_micro") > 0L)
+    info(s"doremiMix: $boosted of ${r.length} sources boosted")
+  }
+
   test("chunkDocuments: windows tile the token stream with the stride") {
     import spark.implicits._
     // 300 tokens, chunk=128, stride=96 -> starts 1/97/193, lens 128/128/108
