@@ -216,6 +216,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Similarity.whitenTransform(emb, r)
     def whitenEval(k: Int = Similarity.TopK): DataFrame =
       Similarity.whitenEval(emb, k)
+    def embeddingDecontam(benchLabel: Int = Similarity.DecontamBenchLabel,
+        eps: Double = Similarity.DecontamEps): DataFrame =
+      Similarity.embeddingDecontam(emb, benchLabel, eps)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 

@@ -1103,6 +1103,66 @@ object Similarity {
   def whitenEval(emb: DataFrame, k: Int = TopK): DataFrame =
     transformedRecallEval(emb, k, "whiten", whitenTransform(emb))
 
+  /** Benchmark slice [[embeddingDecontam]] screens against: the label-0
+    * vectors stand in for a held-out eval set's embeddings, the same
+    * single-slice convention as the n-gram decontamination's `src0`.
+    */
+  val DecontamBenchLabel = 0
+
+  /** Cosine above which [[embeddingDecontam]] flags a corpus vector as
+    * semantically contaminated. Sits above the fixtures' cross-label
+    * p99 best-cosine (~0.43) so test-SF flags are sparse-but-nonzero;
+    * a production run tunes it against a labeled contamination sample.
+    */
+  val DecontamEps = 0.4
+
+  /** SEMANTIC decontamination — the embedding-space companion of the
+    * n-gram/Bloom benchmark screens ([[graft.ext.Dedup]]): for every
+    * corpus vector, the nearest benchmark vector by cosine, and a flag
+    * once that exceeds `eps`. Catches paraphrased or reformatted eval
+    * leakage that shares no 13-gram with the benchmark — the screen
+    * n-gram decontamination structurally misses.
+    *
+    * Output is one row per CORPUS vector (the screening report, not
+    * just the flagged set): best benchmark neighbor, its cosine, the
+    * verdict.
+    *
+    * == Scale shape ==
+    * Benchmarks are tiny next to a 100 TB corpus, so the bench side
+    * BROADCASTS and the corpus streams once — no shuffle at all until
+    * the per-vector argmax, whose groups are bounded by the benchmark
+    * size (the same broadcast-queries shape as [[bruteForceTopK]]).
+    * A benchmark too large to broadcast would switch to the IVF-blocked
+    * pair path ([[embeddingNearDupPairsIvf]]); at real benchmark sizes
+    * (1e3–1e6 rows) broadcast wins.
+    *
+    * == Cross-engine determinism ==
+    * Per-pair cosine is the codegen'd sequential fold ([[dot]]) the
+    * DuckDB twin replays; the argmax is a rank-1 window with the
+    * (cosine DESC, bench_id) tie-break both engines order identically.
+    */
+  def embeddingDecontam(emb: DataFrame,
+      benchLabel: Int = DecontamBenchLabel,
+      eps: Double = DecontamEps): DataFrame = {
+    val bench = withNorm(emb.filter(col("label") === benchLabel)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b")),
+      "b", "bn")
+    val corpus = withNorm(emb.filter(col("label") =!= benchLabel),
+      "embedding", "en")
+    val sims = corpus.crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("label"), col("bench_id"),
+        (dot(col("embedding"), col("b")) / (col("en") * col("bn")))
+          .as("cosine"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("bench_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"),
+        col("bench_id").as("best_bench_id"),
+        col("cosine").as("best_cosine"),
+        (col("cosine") >= lit(eps)).as("contaminated"))
+  }
+
   /** Bits in the SRP signature ([[srpSignatures]]). */
   val SrpBits = 16
 
@@ -1727,6 +1787,8 @@ object Similarity {
     "vec_top_components" -> ((s, d) =>
       topComponents(Tables.embeddings(s, d))),
     "vec_whiten" -> ((s, d) => whitenEval(Tables.embeddings(s, d))),
+    "decontam_embedding" -> ((s, d) =>
+      embeddingDecontam(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -2620,6 +2682,21 @@ object Similarity {
          |            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM sims)
          |WHERE rank <= $TopK""".stripMargin,
+    "decontam_embedding" ->
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding
+         |           FROM embeddings WHERE label = $DecontamBenchLabel),
+         |c AS (SELECT vec_id, label, embedding
+         |      FROM embeddings WHERE label <> $DecontamBenchLabel),
+         |sims AS (
+         |  SELECT c.vec_id, c.label, b.bench_id,
+         |         ${duckCos("c", "b")} AS cosine
+         |  FROM c, b)
+         |SELECT vec_id, label, bench_id AS best_bench_id,
+         |       cosine AS best_cosine,
+         |       cosine >= $DecontamEps AS contaminated
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY cosine DESC, bench_id) AS rn FROM sims)
+         |WHERE rn = 1""".stripMargin,
     // replicates the maxBlockSize=100000 sub-split guard (nsub = 1 for
     // every label at test SF, but query and oracle must stay the SAME
     // operator at every SF — see dedup_ngram_jaccard's cap note)

@@ -685,6 +685,51 @@ class SimilaritySpec extends SparkSpec {
     info(f"whiten recall@10 vs raw space: $rec%.2f")
   }
 
+  test("embeddingDecontam: planted near-copy flagged, benchmark " +
+      "excluded, report covers every corpus vector") {
+    import spark.implicits._
+    val d = Similarity.SrpDim
+    // splitmix64 finalizer: a plain multiplicative hash of the
+    // (seed, i) arithmetic progression leaves Weyl-sequence structure
+    // in the high bits and cross-seed cosines up to ~0.5
+    def mix(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(d) { i =>
+        ((mix(seed * 1000003L + i * 7919L) >>> 40) % 1000L - 500L) /
+          1000.0f
+      }
+    // bench = label 0 (ids 0,1); corpus: id 10 is a near-copy of bench
+    // vector 0 (tiny perturbation), ids 11/12 are unrelated
+    val near = vec(1).clone(); near(0) += 0.01f
+    val rows = Seq(
+      (0L, vec(1).toSeq, 0), (1L, vec(2).toSeq, 0),
+      (10L, near.toSeq, 3), (11L, vec(7).toSeq, 4),
+      (12L, vec(11).toSeq, 5))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingDecontam(emb).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(r.keySet === Set(10L, 11L, 12L),
+      "one screening row per corpus vector, none for the benchmark")
+    assert(r(10L).getAs[Boolean]("contaminated"),
+      "planted near-copy must be flagged")
+    assert(r(10L).getAs[Long]("best_bench_id") === 0L)
+    assert(r(10L).getAs[Double]("best_cosine") > 0.99)
+    r.values.foreach { x =>
+      val c = x.getAs[Double]("best_cosine")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(x.getAs[Boolean]("contaminated") ===
+        (c >= Similarity.DecontamEps))
+    }
+    // hash-decorrelated unrelated vectors stay clean
+    assert(!r(11L).getAs[Boolean]("contaminated"))
+    assert(!r(12L).getAs[Boolean]("contaminated"))
+  }
+
   test("topComponent: driver traffic is a constant d²+d+1 rows merged " +
       "by a keyed aggregate, invariant to input partitioning") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
