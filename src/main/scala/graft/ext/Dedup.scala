@@ -225,25 +225,41 @@ object Dedup {
   /** Per-document 3-shingle TERM FREQUENCIES (multiset counts, unlike
     * [[shingleIds]]' distinct sets), computed MAP-SIDE: the shingle list
     * and its per-row tf aggregation are pure array expressions over each
-    * document, so the frame reaches its consumer with NO shuffle. The
-    * per-row `filter` count is O(L·distinct) like the repetition scorer
-    * (`TextAnalysis.scala` max-tf column) — bounded by document length,
-    * independent of corpus size.
+    * document, so the frame reaches its consumer with NO shuffle.
+    *
+    * tf comes from RUN LENGTHS over the sorted shingle array — run-start
+    * positions by previous-element comparison, lengths by next-start
+    * lookup — O(L log L) per document, so a pathological 100k-token
+    * document costs a sort, not the O(L·distinct) quadratic scan a
+    * per-shingle `filter` count would (1e10 comparisons on such a doc).
     */
   private[graft] def shingleTf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(
         """CASE WHEN size(toks) < 3 THEN array()
-          |ELSE transform(sequence(1, size(toks) - 2),
+          |ELSE sort_array(transform(sequence(1, size(toks) - 2),
           |  i -> xxhash64(element_at(toks, CAST(i AS INT)),
           |                element_at(toks, CAST(i AS INT) + 1),
-          |                element_at(toks, CAST(i AS INT) + 2))) END"""
+          |                element_at(toks, CAST(i AS INT) + 2)))) END"""
           .stripMargin).as("sh"))
+      .select(col("doc_id"), expr(
+        // sequence(1, 0) is DESCENDING [1, 0], not empty — guard the
+        // no-shingle docs before both sequence calls
+        """CASE WHEN size(sh) = 0 THEN array()
+          |ELSE filter(sequence(1, size(sh)),
+          |  i -> i = 1 OR element_at(sh, CAST(i AS INT)) !=
+          |                element_at(sh, CAST(i AS INT) - 1)) END"""
+          .stripMargin).as("starts"), col("sh"))
       .select(col("doc_id"), explode(expr(
-        """transform(array_distinct(sh),
-          |  s -> struct(s AS shingle,
-          |              size(filter(sh, x -> x = s)) AS tf))"""
+        """CASE WHEN size(starts) = 0 THEN array()
+          |ELSE transform(sequence(1, size(starts)),
+          |  j -> struct(
+          |    element_at(sh, CAST(element_at(starts, CAST(j AS INT))
+          |                        AS INT)) AS shingle,
+          |    coalesce(try_element_at(starts, CAST(j AS INT) + 1),
+          |             size(sh) + 1L)
+          |      - element_at(starts, CAST(j AS INT)) AS tf)) END"""
           .stripMargin)).as("p"))
       .select(col("doc_id"), col("p.shingle").as("shingle"),
         col("p.tf").cast("long").as("tf"))
