@@ -146,6 +146,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Corpus.lmDocScores(docs, refSource)
     def doremiMix(refSource: String = Corpus.LmRefSource): DataFrame =
       Corpus.doremiMix(docs, refSource)
+    def distinctNgramProfile: DataFrame = Corpus.distinctNgramProfile(docs)
     private def docs = Tables.documents(spark, dataDir)
   }
 

@@ -867,6 +867,61 @@ object Corpus {
           lit(1000000000.0)).as("mean_pkn"))
   }
 
+  /** N-gram orders profiled by [[distinctNgramProfile]] (distinct-1/2/3
+    * — the configuration diversity reports conventionally use).
+    */
+  val DistinctNs = Seq(1, 2, 3)
+
+  /** Distinct-n DIVERSITY profile per source (Li et al. 2016's
+    * distinct-n, the standard repetition/mode-collapse gate a synthetic
+    * -data pipeline runs before admitting a generator's output): for
+    * each source and n ∈ [[DistinctNs]], the total n-gram count, the
+    * distinct n-gram count, and their ratio — low distinct-n flags a
+    * source that repeats itself.
+    *
+    * Scale shape: totals come map-side from token counts (no n-gram
+    * materialization); the distinct counts are ONE keyed aggregation
+    * over the tagged n-gram stream — map-side combined on
+    * (source, n, ngram), output bounded by |vocab|·|sources|, then
+    * reduced to the 3·n_sources profile. n-grams travel as xxhash64
+    * ids (8-byte longs, same bijectivity argument as
+    * [[graft.ext.Dedup.ngramIds]]); ratios are per-row IEEE divisions
+    * of exact longs.
+    */
+  def distinctNgramProfile(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), split(col("text"), " ").as("toks"))
+    val tAggs = DistinctNs.map(n =>
+      sum(greatest(size(col("toks")) - lit(n - 1), lit(0))
+        .cast("long")).as(s"t$n"))
+    val totals = toks.groupBy("source")
+      .agg(tAggs.head, tAggs.tail: _*)
+      .select(col("source"), explode(array(DistinctNs.map(n =>
+        struct(lit(n).as("n"), col(s"t$n").as("total_ngrams"))): _*))
+        .as("p"))
+      .select(col("source"), col("p.n").as("n"),
+        col("p.total_ngrams").as("total_ngrams"))
+    def gramStream(n: Int): DataFrame = {
+      val hashArgs = (0 until n)
+        .map(j => s"element_at(toks, CAST(i AS INT) + $j)")
+        .mkString(", ")
+      toks.select(col("source"), lit(n).as("n"), explode(expr(
+        s"""CASE WHEN size(toks) < $n THEN array()
+           |ELSE transform(sequence(1, size(toks) - ${n - 1}),
+           |               i -> xxhash64($hashArgs)) END"""
+          .stripMargin)).as("ngram"))
+    }
+    val distincts = DistinctNs.map(gramStream).reduce(_ unionByName _)
+      .groupBy("source", "n", "ngram").agg(count(lit(1)).as("c"))
+      .groupBy("source", "n").agg(count(lit(1)).as("distinct_ngrams"))
+    totals.join(distincts, Seq("source", "n"))
+      .select(col("source"), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"),
+        when(col("total_ngrams") > 0,
+          col("distinct_ngrams").cast("double") /
+            col("total_ngrams").cast("double"))
+          .otherwise(lit(0.0)).as("distinct_ratio"))
+  }
+
   /** DoReMi-FLAVORED one-shot domain reweighting (Xie et al. 2023's
     * motivation without the exponentiated-gradient loop): score every
     * source's transitions against the reference-slice LM
@@ -1020,6 +1075,8 @@ object Corpus {
     "corpus_despan" -> ((s, d) => despanDocuments(Tables.documents(s, d))),
     "mix_token_budget" -> ((s, d) => tokenBudgetPlan(Tables.documents(s, d))),
     "mix_doremi" -> ((s, d) => doremiMix(Tables.documents(s, d))),
+    "corpus_distinct_n" -> ((s, d) =>
+      distinctNgramProfile(Tables.documents(s, d))),
   )
 
   /** Shared CTEs of the `lm_doc_scores` and `mix_doremi` twins: the
@@ -1055,6 +1112,35 @@ object Corpus {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "corpus_distinct_n" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |tot AS (
+        |  SELECT source, n,
+        |         CAST(sum(greatest(len(toks) - n + 1, 0)) AS BIGINT)
+        |           AS total_ngrams
+        |  FROM d CROSS JOIN (SELECT unnest([1, 2, 3]) AS n)
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, 1 AS n, unnest(toks) AS ngram FROM d
+        |  UNION ALL
+        |  SELECT source, 2,
+        |         unnest([array_to_string(toks[i:i+1], ' ')
+        |                 for i in range(1, len(toks))]) FROM d
+        |  UNION ALL
+        |  SELECT source, 3,
+        |         unnest([array_to_string(toks[i:i+2], ' ')
+        |                 for i in range(1, len(toks)-1)]) FROM d),
+        |dist AS (SELECT source, n, count(DISTINCT ngram)
+        |           AS distinct_ngrams
+        |         FROM g GROUP BY 1, 2)
+        |SELECT tot.source, CAST(tot.n AS INT) AS n, tot.total_ngrams,
+        |       dist.distinct_ngrams,
+        |       CASE WHEN tot.total_ngrams > 0
+        |            THEN CAST(dist.distinct_ngrams AS DOUBLE)
+        |                 / CAST(tot.total_ngrams AS DOUBLE)
+        |            ELSE 0.0 END AS distinct_ratio
+        |FROM tot JOIN dist USING (source, n)""".stripMargin,
     "mix_doremi" ->
       s"""WITH $duckRefPknCtes,
          |ap AS (

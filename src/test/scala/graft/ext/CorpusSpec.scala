@@ -75,6 +75,35 @@ class CorpusSpec extends SparkSpec {
     info(s"doremiMix: $boosted of ${r.length} sources boosted")
   }
 
+  test("distinctNgramProfile: hand-counted totals and distincts, " +
+      "repetition drives the ratio down") {
+    import spark.implicits._
+    val d = Seq(
+      // srcA doc: "a b a b a" -> 5 unigrams (2 distinct),
+      // 4 bigrams (2 distinct: "a b","b a"), 3 trigrams (2 distinct)
+      (1L, "a b a b a", "srcA"),
+      // srcB: all-distinct tokens -> every ratio is 1.0
+      (2L, "p q r s", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = Corpus.distinctNgramProfile(d).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Int]("n")) -> x)
+      .toMap
+    assert(r.keySet === Set(("srcA", 1), ("srcA", 2), ("srcA", 3),
+      ("srcB", 1), ("srcB", 2), ("srcB", 3)))
+    def chk(src: String, n: Int, tot: Long, dist: Long): Unit = {
+      val row = r((src, n))
+      assert(row.getAs[Long]("total_ngrams") === tot, s"$src n=$n total")
+      assert(row.getAs[Long]("distinct_ngrams") === dist,
+        s"$src n=$n distinct")
+      assert(row.getAs[Double]("distinct_ratio") ===
+        dist.toDouble / tot.toDouble)
+    }
+    chk("srcA", 1, 5, 2); chk("srcA", 2, 4, 2); chk("srcA", 3, 3, 2)
+    chk("srcB", 1, 4, 4); chk("srcB", 2, 3, 3); chk("srcB", 3, 2, 2)
+  }
+
   test("chunkDocuments: windows tile the token stream with the stride") {
     import spark.implicits._
     // 300 tokens, chunk=128, stride=96 -> starts 1/97/193, lens 128/128/108
