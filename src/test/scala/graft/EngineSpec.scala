@@ -57,7 +57,12 @@ class EngineSpec extends SparkSpec {
       // round-12 surface
       e.similarity.topComponents(), e.similarity.abttTransform,
       e.similarity.abttEval(), e.text.lmDocScores(),
-      e.similarity.topKIvfPq())
+      e.similarity.topKIvfPq(),
+      // round-12 second-wave surface
+      e.dedup.tfidfCosinePairs(threshold = 0.0),
+      e.similarity.whitenTransform(), e.similarity.whitenEval(),
+      e.similarity.embeddingDecontam(), e.text.doremiMix(),
+      e.text.distinctNgramProfile)
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
