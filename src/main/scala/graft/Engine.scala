@@ -220,6 +220,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def embeddingDecontam(benchLabel: Int = Similarity.DecontamBenchLabel,
         eps: Double = Similarity.DecontamEps): DataFrame =
       Similarity.embeddingDecontam(emb, benchLabel, eps)
+    def mmrTopK(k: Int = Similarity.TopK,
+        shortlist: Int = Similarity.MmrShortlist,
+        lam: Double = Similarity.MmrLambda): DataFrame =
+      Similarity.mmrTopK(emb, k, shortlist, lam)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 

@@ -1103,6 +1103,114 @@ object Similarity {
   def whitenEval(emb: DataFrame, k: Int = TopK): DataFrame =
     transformedRecallEval(emb, k, "whiten", whitenTransform(emb))
 
+  /** Relevance-shortlist size of [[mmrTopK]]'s first stage: MMR
+    * diversifies among the top-`MmrShortlist` candidates by cosine, the
+    * standard two-stage retrieve-then-rerank cut that bounds the greedy
+    * loop's working set regardless of corpus size.
+    */
+  val MmrShortlist = 50
+
+  /** Relevance weight λ of the MMR objective
+    * `λ·rel − (1−λ)·max_sim_to_selected` (Carbonell & Goldstein 1998).
+    * 0.7 leans toward relevance while still breaking up near-duplicate
+    * result lists.
+    */
+  val MmrLambda = 0.7
+
+  /** MAXIMAL MARGINAL RELEVANCE top-k (Carbonell & Goldstein 1998) —
+    * diversity-aware retrieval: instead of the k nearest neighbors
+    * (which near-duplicate corpora fill with copies of one result),
+    * greedily select the candidate maximizing
+    * `λ·cos(q, c) − (1−λ)·max_{s∈selected} cos(c, s)` — each pick is
+    * penalized by its similarity to what is already selected. Rank 1
+    * is pure relevance (`max_sim_prior` defined 0.0 there).
+    *
+    * == Scale shape ==
+    * Two DISTRIBUTED stages do all corpus-sized work: the relevance
+    * scan (broadcast queries × one corpus stream, the
+    * [[bruteForceTopK]] shape — an IVF shortlist slots in here at real
+    * scale) and the within-shortlist pairwise sims (self-join keyed by
+    * query, ≤ C(C−1)/2 rows per query). The greedy loop then runs on
+    * the DRIVER over a BOUNDED artifact — Q·C relevance rows plus
+    * Q·C²/2 sims, constants independent of corpus size (the collected-
+    * codebook precedent), so no per-iteration Spark jobs at all.
+    *
+    * == Cross-engine determinism ==
+    * Every similarity is the sequential-fold cosine DAG; the greedy
+    * compares those exact doubles with (score DESC, cand_id) ties and
+    * the λ/(1−λ) literals are computed ONCE in Scala and interpolated
+    * into the twin, which replays the selection as k unrolled CTE
+    * steps.
+    */
+  def mmrTopK(emb: DataFrame, k: Int = TopK,
+      shortlist: Int = MmrShortlist,
+      lam: Double = MmrLambda): DataFrame = {
+    val spark = emb.sparkSession
+    val oneMinusLam = 1.0 - lam
+    val queries = withNorm(emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+      "q", "qn")
+    val cands = withNorm(emb, "embedding", "en")
+    val rel = broadcast(queries)
+      .join(cands, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        col("embedding").as("e"), col("en"),
+        (dot(col("q"), col("embedding")) / (col("qn") * col("en")))
+          .as("rel"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("cand_id"))
+    val short = graft.CheckpointLease.track(rel
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .localCheckpoint(true))
+    val pair = short.as("a").join(short.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.cand_id") < col("b.cand_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.cand_id").as("ca"), col("b.cand_id").as("cb"),
+        (dot(col("a.e"), col("b.e")) / (col("a.en") * col("b.en")))
+          .as("sim"))
+    // bounded driver artifacts: Q·C rels, Q·C(C−1)/2 sims
+    val relRows = short.select("query_id", "cand_id", "rel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simMap = pair.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getDouble(3)).toMap
+    val out = Seq.newBuilder[(Long, Int, Long, Double, Double, Double)]
+    relRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, rows) =>
+      val cand = scala.collection.mutable.LinkedHashMap(
+        rows.sortBy(r => (-r._3, r._2)).map(r => r._2 -> r._3): _*)
+      var sel = List.empty[Long]
+      var rank = 1
+      while (rank <= k && cand.nonEmpty) {
+        // (score DESC, cand_id ASC) argmax — the twin's row_number order
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        var bestRel = 0.0
+        var bestMs = 0.0
+        cand.foreach { case (c, r) =>
+          val ms =
+            if (sel.isEmpty) 0.0
+            else sel.iterator.map { s =>
+              simMap(if (c < s) (q, c, s) else (q, s, c))
+            }.max
+          val score = lam * r - oneMinusLam * ms
+          if (score > bestScore ||
+              (score == bestScore && (bestId < 0 || c < bestId))) {
+            bestId = c; bestScore = score; bestRel = r; bestMs = ms
+          }
+        }
+        out += ((q, rank, bestId, bestRel, bestMs, bestScore))
+        cand.remove(bestId)
+        sel = bestId :: sel
+        rank += 1
+      }
+    }
+    spark.createDataFrame(out.result())
+      .toDF("query_id", "rank", "neighbor_id", "relevance",
+        "max_sim_prior", "mmr_score")
+  }
+
   /** Benchmark slice [[embeddingDecontam]] screens against: the label-0
     * vectors stand in for a held-out eval set's embeddings, the same
     * single-slice convention as the n-gram decontamination's `src0`.
@@ -1789,6 +1897,7 @@ object Similarity {
     "vec_whiten" -> ((s, d) => whitenEval(Tables.embeddings(s, d))),
     "decontam_embedding" -> ((s, d) =>
       embeddingDecontam(Tables.embeddings(s, d))),
+    "sim_mmr_topk" -> ((s, d) => mmrTopK(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -2682,6 +2791,82 @@ object Similarity {
          |            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM sims)
          |WHERE rank <= $TopK""".stripMargin,
+    // the MMR greedy unrolled: shortlist + pair sims once, then k
+    // argmax steps, each scoring remaining candidates against the
+    // cumulative selection with the same lambda literals the Scala
+    // greedy uses
+    "sim_mmr_topk" -> {
+      val lam = MmrLambda
+      val olam = 1.0 - MmrLambda
+      val score = s"$lam * rel - $olam * msim"
+      val steps = (2 to TopK).map { t =>
+        // every step CTE MATERIALIZED: inlined, the selcum chain
+        // re-evaluates its whole prefix per reference — exponential
+        s"""cand$t AS MATERIALIZED (
+           |  SELECT s.* FROM short s
+           |  WHERE NOT EXISTS (SELECT 1 FROM selcum${t - 1} x
+           |                    WHERE x.query_id = s.query_id
+           |                      AND x.neighbor_id = s.cand_id)),
+           |ms$t AS MATERIALIZED (
+           |  SELECT c.query_id, c.cand_id, c.rel, max(ps.sim) AS msim
+           |  FROM cand$t c
+           |  JOIN ps ON ps.query_id = c.query_id AND ps.ca = c.cand_id
+           |  JOIN selcum${t - 1} x
+           |    ON x.query_id = c.query_id AND x.neighbor_id = ps.cb
+           |  GROUP BY 1, 2, 3),
+           |sel$t AS MATERIALIZED (
+           |  SELECT query_id, $t AS rank, cand_id AS neighbor_id,
+           |         rel AS relevance, msim AS max_sim_prior,
+           |         $score AS mmr_score
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |            ORDER BY $score DESC, cand_id) AS rn
+           |        FROM ms$t)
+           |  WHERE rn = 1),
+           |selcum$t AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id FROM selcum${t - 1}
+           |  UNION ALL SELECT query_id, neighbor_id FROM sel$t)"""
+          .stripMargin
+      }.mkString(",\n")
+      val unionAll = (1 to TopK)
+        .map(t => s"SELECT * FROM sel$t").mkString("\nUNION ALL\n")
+      s"""WITH rel0 AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+         |         ${duckCos("q", "e")} AS rel
+         |  FROM embeddings q, embeddings e
+         |  WHERE q.vec_id < $NQueries AND q.vec_id <> e.vec_id),
+         |short AS MATERIALIZED (
+         |  SELECT query_id, cand_id, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rel DESC, cand_id) AS rn FROM rel0)
+         |  WHERE rn <= $MmrShortlist),
+         |pair AS MATERIALIZED (
+         |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         |         ${duckCos("ea", "eb")} AS sim
+         |  FROM short a
+         |  JOIN short b ON a.query_id = b.query_id
+         |              AND a.cand_id < b.cand_id
+         |  JOIN embeddings ea ON ea.vec_id = a.cand_id
+         |  JOIN embeddings eb ON eb.vec_id = b.cand_id),
+         |ps AS MATERIALIZED (
+         |  SELECT query_id, ca, cb, sim FROM pair
+         |  UNION ALL
+         |  SELECT query_id, cb AS ca, ca AS cb, sim FROM pair),
+         |sel1 AS MATERIALIZED (
+         |  SELECT query_id, 1 AS rank, cand_id AS neighbor_id,
+         |         rel AS relevance, 0.0 AS max_sim_prior,
+         |         $lam * rel - $olam * 0.0 AS mmr_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY $lam * rel - $olam * 0.0 DESC, cand_id)
+         |            AS rn
+         |        FROM short)
+         |  WHERE rn = 1),
+         |selcum1 AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM sel1),
+         |$steps
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |       relevance, max_sim_prior, mmr_score
+         |FROM ($unionAll)""".stripMargin
+    },
     "decontam_embedding" ->
       s"""WITH b AS (SELECT vec_id AS bench_id, embedding
          |           FROM embeddings WHERE label = $DecontamBenchLabel),

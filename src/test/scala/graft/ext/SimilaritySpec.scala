@@ -730,6 +730,66 @@ class SimilaritySpec extends SparkSpec {
     assert(!r(12L).getAs[Boolean]("contaminated"))
   }
 
+  test("mmrTopK: near-duplicate of the top hit is demoted behind the " +
+      "diverse aspect, scores recompute exactly") {
+    import spark.implicits._
+    val d = Similarity.SrpDim
+    def v(pairs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(d)(0.0f)
+      pairs.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    // query 0 has two aspects (dims 0 and 1); 10/11 are near-dups of
+    // each other on aspect 0; 12 covers aspect 1; 13 is irrelevant
+    val emb = Seq(
+      (0L, v(0 -> 1.0f, 1 -> 1.0f)),
+      (10L, v(0 -> 1.0f, 1 -> 0.4f)),
+      (11L, v(0 -> 1.0f, 1 -> 0.40001f)),
+      (12L, v(1 -> 1.0f)),
+      (13L, v(5 -> 1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.mmrTopK(emb, k = 3).orderBy("query_id", "rank")
+      .collect()
+    assert(r.length === 3)
+    val order = r.map(_.getAs[Long]("neighbor_id")).toSeq
+    // relevance alone would rank the near-dup pair 1-2 (11 then 10);
+    // MMR demotes the dup behind the diverse aspect-1 hit
+    assert(order === Seq(11L, 12L, 10L), s"got $order")
+    r.foreach { row =>
+      val expect = Similarity.MmrLambda * row.getAs[Double]("relevance") -
+        (1.0 - Similarity.MmrLambda) * row.getAs[Double]("max_sim_prior")
+      assert(row.getAs[Double]("mmr_score") === expect)
+    }
+    assert(r.head.getAs[Double]("max_sim_prior") === 0.0,
+      "rank 1 is pure relevance")
+    assert(r(2).getAs[Double]("max_sim_prior") > 0.999,
+      "the demoted dup carries its near-1 similarity to rank 1")
+  }
+
+  test("mmrTopK: fixture run selects k distinct neighbors per query, " +
+      "rank 1 agrees with brute-force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Similarity.mmrTopK(emb).collect()
+    assert(r.length === Similarity.NQueries * Similarity.TopK)
+    val byQ = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === Similarity.NQueries)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ===
+        (1 to Similarity.TopK))
+      val ids = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(ids.distinct.length === ids.length, s"query $q repeats")
+    }
+    val brute1 = Similarity.bruteForceTopK(emb)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .collect()
+      .map(x => x.getAs[Long]("query_id") -> x.getAs[Long]("neighbor_id"))
+      .toMap
+    r.filter(_.getAs[Int]("rank") == 1).foreach { row =>
+      assert(row.getAs[Long]("neighbor_id") ===
+        brute1(row.getAs[Long]("query_id")),
+        "MMR rank 1 must be the pure-relevance argmax")
+    }
+  }
+
   test("topComponent: driver traffic is a constant d²+d+1 rows merged " +
       "by a keyed aggregate, invariant to input partitioning") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
