@@ -224,6 +224,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
         shortlist: Int = Similarity.MmrShortlist,
         lam: Double = Similarity.MmrLambda): DataFrame =
       Similarity.mmrTopK(emb, k, shortlist, lam)
+    def lofScores(k: Int = Similarity.LofK,
+        threshold: Double = Similarity.LofThreshold): DataFrame =
+      Similarity.lofScores(emb, k, threshold)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 

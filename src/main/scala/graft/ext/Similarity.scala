@@ -1103,6 +1103,100 @@ object Similarity {
   def whitenEval(emb: DataFrame, k: Int = TopK): DataFrame =
     transformedRecallEval(emb, k, "whiten", whitenTransform(emb))
 
+  /** Neighborhood size of [[lofScores]] (the LOF paper's MinPts). */
+  val LofK = 10
+
+  /** LOF above which [[lofScores]] flags a vector. The fixtures'
+    * near-uniform cloud scores 0.98–1.03 everywhere, so 1.2 flags
+    * nothing there (honest — there are no density outliers to find);
+    * a planted off-manifold point scores far above it (spec witness).
+    */
+  val LofThreshold = 1.2
+
+  /** LOCAL OUTLIER FACTOR (Breunig et al. 2000) over cosine distance —
+    * the DENSITY-based off-manifold screen, complementary to
+    * [[centroidOutliers]]' direction-based one: a vector whose local
+    * density is much lower than its neighbors' (LOF ≫ 1) is isolated
+    * junk even when it points roughly the right way. Per vector: the
+    * k-distance, local reachability density, LOF, and the
+    * ≥ [[LofThreshold]] flag.
+    *
+    * == Scale shape ==
+    * The kNN stage is the quadratic exact ground truth (each unordered
+    * pair computed once, mirrored in-pipeline, [[nearestNeighborGraph]]'s
+    * shape) cut by the [[graft.plans.TopKPerGroup]] HEAP — O(n log k)
+    * per group, no window sort; a 100 TB corpus swaps this stage for
+    * the IVF-blocked kNN and keeps everything downstream, which is all
+    * keyed aggregates and joins over the N·k edge table.
+    *
+    * == Cross-engine determinism ==
+    * Distances are `1 − cosine` of the sequential-fold cosine DAG;
+    * k-distance is an exact max; every neighborhood SUM (reachability,
+    * neighbor-lrd) folds in ascending (dist, neighbor) order via
+    * `sort_array` + `aggregate` ↔ `list_sum(list(... ORDER BY ...))`,
+    * so the doubles add in the same IEEE order on both engines.
+    * Degenerate guard: k exact duplicates drive the reachability sum
+    * to 0 — lrd gets the 0.0 sentinel and LOF is defined 1.0 there,
+    * mirrored in the twin.
+    */
+  def lofScores(emb: DataFrame, k: Int = LofK,
+      threshold: Double = LofThreshold): DataFrame = {
+    val a = withNorm(
+      emb.select(col("vec_id").as("src"), col("embedding").as("ea")),
+      "ea", "na")
+    val b = withNorm(
+      emb.select(col("vec_id").as("dst"), col("embedding").as("eb")),
+      "eb", "nb")
+    val sims = a.join(b, col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("cosine"))
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("cosine")),
+        struct(col("dst").as("src"), col("src").as("dst"),
+          col("cosine")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cosine").as("cosine"))
+    val knn = graft.CheckpointLease.track(
+      graft.plans.TopKPerGroup(sims, Seq("src"),
+          Seq("cosine" -> true, "dst" -> false), k)
+        .select(col("src"), col("dst"),
+          (lit(1.0) - col("cosine")).as("dist"))
+        .localCheckpoint(true))
+    val kd = knn.groupBy("src")
+      .agg(max("dist").as("kdist"), count(lit(1)).as("cnt"))
+    val reach = knn
+      .join(kd.select(col("src").as("dst"), col("kdist").as("kdist_b")),
+        Seq("dst"))
+      .select(col("src"), col("dst"), col("dist"),
+        greatest(col("dist"), col("kdist_b")).as("r"))
+    val lrd = reach.groupBy("src")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("dist"), col("dst"),
+          col("r")))),
+        lit(0.0), (acc, e) => acc + e.getField("r")).as("srd"))
+      .join(kd, Seq("src"))
+      .select(col("src"), col("cnt"), col("kdist"),
+        when(col("srd") > 0,
+          col("cnt").cast("double") / col("srd"))
+          .otherwise(lit(0.0)).as("lrd"))
+    knn
+      .join(lrd, Seq("src"))
+      .join(lrd.select(col("src").as("dst"), col("lrd").as("lrd_b")),
+        Seq("dst"))
+      .groupBy(col("src"), col("cnt"), col("kdist"), col("lrd"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("dist"), col("dst"),
+          col("lrd_b")))),
+        lit(0.0), (acc, e) => acc + e.getField("lrd_b")).as("sumlrd"))
+      .select(col("src").as("vec_id"), col("cnt").as("n_neighbors"),
+        col("kdist").as("k_dist"), col("lrd"),
+        when(col("lrd") > 0,
+          (col("sumlrd") / col("cnt").cast("double")) / col("lrd"))
+          .otherwise(lit(1.0)).as("lof"))
+      .withColumn("is_outlier", col("lof") >= lit(threshold))
+  }
+
   /** Relevance-shortlist size of [[mmrTopK]]'s first stage: MMR
     * diversifies among the top-`MmrShortlist` candidates by cosine, the
     * standard two-stage retrieve-then-rerank cut that bounds the greedy
@@ -1898,6 +1992,7 @@ object Similarity {
     "decontam_embedding" -> ((s, d) =>
       embeddingDecontam(Tables.embeddings(s, d))),
     "sim_mmr_topk" -> ((s, d) => mmrTopK(Tables.embeddings(s, d))),
+    "vec_lof" -> ((s, d) => lofScores(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -2791,6 +2886,54 @@ object Similarity {
          |            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM sims)
          |WHERE rank <= $TopK""".stripMargin,
+    // the LOF cascade with every neighborhood sum as an ORDERED list
+    // fold (list_sum over ORDER BY dist, v — the Spark side's
+    // sort_array + aggregate), so the doubles add in the same IEEE
+    // order; degenerate lrd/lof sentinels mirrored
+    "vec_lof" ->
+      s"""WITH half AS (
+         |  SELECT a.vec_id AS u, b.vec_id AS v,
+         |         ${duckCos("a", "b")} AS cosine
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < b.vec_id),
+         |m AS (
+         |  SELECT u, v, cosine FROM half
+         |  UNION ALL SELECT v AS u, u AS v, cosine FROM half),
+         |knn AS MATERIALIZED (
+         |  SELECT u, v, 1.0 - cosine AS dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY u
+         |              ORDER BY cosine DESC, v) AS rn FROM m)
+         |  WHERE rn <= $LofK),
+         |kd AS MATERIALIZED (
+         |  SELECT u, max(dist) AS kdist, count(*) AS cnt
+         |  FROM knn GROUP BY 1),
+         |reach AS (
+         |  SELECT k.u, k.v, k.dist, greatest(k.dist, kb.kdist) AS r
+         |  FROM knn k JOIN kd kb ON k.v = kb.u),
+         |srd AS (
+         |  SELECT u, list_sum(list(r ORDER BY dist, v)) AS srd
+         |  FROM reach GROUP BY 1),
+         |lrd AS MATERIALIZED (
+         |  SELECT kd.u, kd.cnt, kd.kdist,
+         |         CASE WHEN srd.srd > 0
+         |              THEN CAST(kd.cnt AS DOUBLE) / srd.srd
+         |              ELSE 0.0 END AS lrd
+         |  FROM srd JOIN kd ON srd.u = kd.u),
+         |agg AS (
+         |  SELECT k.u, la.cnt, la.kdist, la.lrd,
+         |         list_sum(list(lb.lrd ORDER BY k.dist, k.v)) AS sumlrd
+         |  FROM knn k
+         |  JOIN lrd la ON k.u = la.u
+         |  JOIN lrd lb ON k.v = lb.u
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT u AS vec_id, cnt AS n_neighbors, kdist AS k_dist, lrd,
+         |       CASE WHEN lrd > 0
+         |            THEN (sumlrd / CAST(cnt AS DOUBLE)) / lrd
+         |            ELSE 1.0 END AS lof,
+         |       CASE WHEN lrd > 0
+         |            THEN (sumlrd / CAST(cnt AS DOUBLE)) / lrd
+         |            ELSE 1.0 END >= $LofThreshold AS is_outlier
+         |FROM agg""".stripMargin,
     // the MMR greedy unrolled: shortlist + pair sims once, then k
     // argmax steps, each scoring remaining candidates against the
     // cumulative selection with the same lambda literals the Scala

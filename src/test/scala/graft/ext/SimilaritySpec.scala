@@ -790,6 +790,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lofScores: planted off-manifold point scores LOF >> 1, tight " +
+      "cluster stays near 1") {
+    import spark.implicits._
+    val d = Similarity.SrpDim
+    def mix(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    // 20 points jittered around one direction + 1 orthogonal outlier
+    val cluster = (0 until 20).map { s =>
+      val arr = Array.tabulate(d) { i =>
+        val base = if (i < 8) 1.0f else 0.0f
+        base + ((mix(s * 97L + i) >>> 40) % 100L) / 2000.0f
+      }
+      (s.toLong, arr.toSeq)
+    }
+    val outlier = {
+      val arr = Array.fill(d)(0.0f); arr(40) = 1.0f
+      (99L, arr.toSeq)
+    }
+    val emb = (cluster :+ outlier).toDF("vec_id", "embedding")
+    val r = Similarity.lofScores(emb).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(r.size === 21)
+    r.values.foreach { x =>
+      assert(x.getAs[Long]("n_neighbors") === Similarity.LofK.toLong)
+      assert(x.getAs[Double]("k_dist") > 0.0)
+      assert(x.getAs[Double]("lrd") > 0.0)
+    }
+    val out = r(99L)
+    assert(out.getAs[Boolean]("is_outlier"),
+      s"outlier LOF ${out.getAs[Double]("lof")} below threshold")
+    assert(out.getAs[Double]("lof") > 2.0,
+      "an orthogonal point amid a tight cluster must score LOF >> 1")
+    cluster.foreach { case (id, _) =>
+      assert(!r(id).getAs[Boolean]("is_outlier"),
+        s"cluster point $id falsely flagged: ${r(id).getAs[Double]("lof")}")
+    }
+  }
+
   test("topComponent: driver traffic is a constant d²+d+1 rows merged " +
       "by a keyed aggregate, invariant to input partitioning") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
