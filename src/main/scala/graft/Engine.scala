@@ -147,6 +147,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def doremiMix(refSource: String = Corpus.LmRefSource): DataFrame =
       Corpus.doremiMix(docs, refSource)
     def distinctNgramProfile: DataFrame = Corpus.distinctNgramProfile(docs)
+    def ccnetBuckets(refSource: String = Corpus.LmRefSource): DataFrame =
+      Corpus.ccnetBuckets(docs, refSource)
     private def docs = Tables.documents(spark, dataDir)
   }
 

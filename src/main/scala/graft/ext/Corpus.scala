@@ -922,6 +922,50 @@ object Corpus {
           .otherwise(lit(0.0)).as("distinct_ratio"))
   }
 
+  /** Number of CCNet quality buckets (head / middle / tail). */
+  val CcnetBuckets = 3L
+
+  /** CCNet's defining OUTPUT table (Wenzek et al. 2020): every document
+    * bucketed head / middle / tail by its LM score WITHIN its source —
+    * the per-domain tercile cut the original pipeline ships so
+    * consumers can train on "head only" or "head + middle". Scores are
+    * [[lmDocScores]]' nano-quantized mean transition probabilities.
+    *
+    * The cut NEVER ranks the corpus: scores collapse to a bounded
+    * permille key (`floor(mean_pkn·1000)` ∈ [0, 1000]), per-source
+    * tercile boundaries come from cumulative counts over that tiny
+    * VALUE DOMAIN (the [[graft.ext.Curation.curriculumPlan]] split
+    * arithmetic, descending so bucket 0 = best), and docs get their
+    * bucket back through a broadcast join — one scan, one doc-keyed
+    * shuffle, no global window over docs. Ties within a permille key
+    * share a bucket by construction (deterministic on both engines).
+    */
+  def ccnetBuckets(docs: DataFrame,
+      refSource: String = LmRefSource): DataFrame = {
+    val scored = lmDocScores(docs, refSource)
+      .select(col("doc_id"), col("mean_pkn"), col("oov_rate"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("pm",
+        expr("CAST(floor(mean_pkn * 1000.0) AS BIGINT)"))
+    val perKey = scored.groupBy("source", "pm")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source").orderBy(col("pm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bucketOf = perKey
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("n_total", sum(col("n")).over(wAll))
+      .select(col("source"), col("pm"),
+        expr(s"((cum - n) * $CcnetBuckets) div n_total").as("bucket_i"))
+    scored.join(broadcast(bucketOf), Seq("source", "pm"))
+      .select(col("doc_id"), col("source"), col("mean_pkn"),
+        col("oov_rate"), col("pm"), col("bucket_i"),
+        when(col("bucket_i") === 0, "head")
+          .when(col("bucket_i") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** DoReMi-FLAVORED one-shot domain reweighting (Xie et al. 2023's
     * motivation without the exponentiated-gradient loop): score every
     * source's transitions against the reference-slice LM
@@ -1077,6 +1121,8 @@ object Corpus {
     "mix_doremi" -> ((s, d) => doremiMix(Tables.documents(s, d))),
     "corpus_distinct_n" -> ((s, d) =>
       distinctNgramProfile(Tables.documents(s, d))),
+    "quality_ccnet_buckets" -> ((s, d) =>
+      ccnetBuckets(Tables.documents(s, d))),
   )
 
   /** Shared CTEs of the `lm_doc_scores` and `mix_doremi` twins: the
@@ -1112,6 +1158,54 @@ object Corpus {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    // the CCNet bucket twin: the lm_doc_scores scoring CTEs, then the
+    // permille value-domain cumulative cut per source (descending, so
+    // bucket 0 = head) replayed with the identical integer arithmetic
+    "quality_ccnet_buckets" ->
+      s"""WITH $duckRefPknCtes,
+         |ap AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |        FROM d WHERE len(toks) >= 2)),
+         |sc AS (
+         |  SELECT ap.doc_id, count(*) AS n_bigrams,
+         |         CAST(sum(CASE WHEN p.p_kn IS NULL THEN 0 ELSE 1 END)
+         |              AS BIGINT) AS n_known,
+         |         CAST(sum(CASE WHEN p.p_kn IS NULL THEN 0
+         |                       ELSE CAST(floor(p.p_kn * 1000000000.0)
+         |                                 AS BIGINT) END)
+         |              AS BIGINT) AS sum_nano
+         |  FROM ap LEFT JOIN pkn p USING (w1, w2) GROUP BY 1),
+         |scored AS (
+         |  SELECT dd.doc_id, dd.source,
+         |         CAST(coalesce(sc.sum_nano, 0)
+         |              // greatest(coalesce(sc.n_known, 0), 1) AS DOUBLE)
+         |           / 1000000000.0 AS mean_pkn,
+         |         CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+         |              THEN CAST(coalesce(sc.n_bigrams, 0)
+         |                        - coalesce(sc.n_known, 0) AS DOUBLE)
+         |                   / CAST(sc.n_bigrams AS DOUBLE)
+         |              ELSE 0.0 END AS oov_rate
+         |  FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id),
+         |sk AS (
+         |  SELECT *, CAST(floor(mean_pkn * 1000.0) AS BIGINT) AS pm
+         |  FROM scored),
+         |perkey AS (SELECT source, pm, count(*) AS n FROM sk
+         |           GROUP BY 1, 2),
+         |cuts AS (
+         |  SELECT source, pm,
+         |         CAST(((sum(n) OVER (PARTITION BY source
+         |                             ORDER BY pm DESC
+         |                             ROWS UNBOUNDED PRECEDING) - n)
+         |               * $CcnetBuckets)
+         |              // sum(n) OVER (PARTITION BY source) AS BIGINT)
+         |           AS bucket_i
+         |  FROM perkey)
+         |SELECT sk.doc_id, sk.source, sk.mean_pkn, sk.oov_rate, sk.pm,
+         |       cuts.bucket_i,
+         |       CASE cuts.bucket_i WHEN 0 THEN 'head'
+         |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM sk JOIN cuts USING (source, pm)""".stripMargin,
     "corpus_distinct_n" ->
       """WITH d AS (SELECT source, string_split(text, ' ') AS toks
         |           FROM documents),

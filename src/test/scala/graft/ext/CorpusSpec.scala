@@ -104,6 +104,42 @@ class CorpusSpec extends SparkSpec {
     chk("srcB", 1, 4, 4); chk("srcB", 2, 3, 3); chk("srcB", 3, 2, 2)
   }
 
+  test("ccnetBuckets: every doc bucketed, head outscores tail within " +
+      "each source, roughly equal thirds") {
+    val d = docs
+    val r = Corpus.ccnetBuckets(d).collect()
+    assert(r.length === d.count())
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rows) =>
+      // bucket label consistent with the index
+      rows.foreach { x =>
+        val want = x.getAs[Long]("bucket_i") match {
+          case 0 => "head"; case 1 => "middle"; case _ => "tail"
+        }
+        assert(x.getAs[String]("bucket") === want)
+      }
+      // within a source, every head doc's permille key >= every tail's
+      // (the cut is on the quantized score, descending)
+      val heads = rows.filter(_.getAs[String]("bucket") == "head")
+        .map(_.getAs[Long]("pm"))
+      val tails = rows.filter(_.getAs[String]("bucket") == "tail")
+        .map(_.getAs[Long]("pm"))
+      if (heads.nonEmpty && tails.nonEmpty)
+        assert(heads.min >= tails.max, s"$src: head below tail")
+      // the first (best) permille key is always bucket 0 by the cut
+      // arithmetic; with a smooth score spread all three buckets
+      // appear (ties can legitimately swallow a bucket under skew, so
+      // the three-way assertion keys on distinct-count headroom)
+      assert(heads.nonEmpty, s"$src: no head bucket")
+      val distinctKeys = rows.map(_.getAs[Long]("pm")).distinct.length
+      if (distinctKeys >= rows.length / 2 && rows.length >= 9) {
+        val sizes = rows.groupBy(_.getAs[String]("bucket"))
+          .view.mapValues(_.length).toMap
+        assert(sizes.size === 3, s"$src: only ${sizes.keySet}")
+      }
+    }
+  }
+
   test("chunkDocuments: windows tile the token stream with the stride") {
     import spark.implicits._
     // 300 tokens, chunk=128, stride=96 -> starts 1/97/193, lens 128/128/108
