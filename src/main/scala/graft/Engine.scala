@@ -229,6 +229,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def lofScores(k: Int = Similarity.LofK,
         threshold: Double = Similarity.LofThreshold): DataFrame =
       Similarity.lofScores(emb, k, threshold)
+    def knnGraphIvfEval(k: Int = Similarity.TopK,
+        probes: Int = Similarity.NearDupProbes): DataFrame =
+      Similarity.knnGraphIvfEval(emb, k, probes)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 

@@ -380,6 +380,88 @@ object Similarity {
       .distinct()
   }
 
+  /** IVF-BLOCKED approximate kNN graph with its edge-recall eval — the
+    * operator that makes the "at 100 TB the quadratic kNN stage swaps
+    * for IVF blocking" claim ([[exactKnnEdges]], [[lofScores]]) real
+    * and MEASURED: every vector enters its `probes` best k-means
+    * buckets (SYMMETRIC multi-probe — both endpoints probe, a pair is
+    * a candidate when the probe sets intersect —
+    * [[embeddingNearDupPairsIvf]]'s blocking with the same
+    * maxBlockSize sub-split skew guard). The asymmetric
+    * query-probes x home-cell geometry was measured first and loses
+    * on this corpus: edge recall 0.70 at 6 probes vs 0.93 symmetric
+    * at 4 (the fixtures' near-isotropic angles barely separate into
+    * home cells — the IVF multi-probe note; a clustered production
+    * corpus flips that trade, and the probe knob is exposed).
+    * Candidates are the bucket-equi-join pairs deduped once; each
+    * vector keeps its top-k by cosine via the
+    * [[graft.plans.TopKPerGroup]] heap; the result is scored against
+    * the exact directed kNN edge set. One summary row: exact edges,
+    * hit edges, candidate volume, edge recall — the number that says
+    * whether the blocked graph can substitute for the quadratic one
+    * downstream (LOF, near-dup clustering, hard negatives).
+    *
+    * Cost is Σ_buckets |b|² instead of n²; DETERMINISTIC throughout
+    * (integer micro-mean Lloyd codebook, fold cosines, exact counts,
+    * one final division) so the whole eval hash-matches its twin.
+    */
+  def knnGraphIvfEval(emb: DataFrame, k: Int = TopK,
+      probes: Int = NearDupProbes, maxBlockSize: Int = 100000,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = codebook.getOrElse(trainCentroids(emb))
+    val wv = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("c")).as("ccos"))
+      .withColumn("crank", row_number().over(wv))
+      .filter(col("crank") <= probes)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val sizes = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("bn"))
+    val blocked = assigned.join(broadcast(sizes), Seq("centroid_id"))
+      .withColumn("nsub",
+        greatest(lit(1L), ceil(col("bn") / lit(maxBlockSize.toDouble))
+          .cast("long")))
+      .withColumn("block",
+        concat_ws("#", col("centroid_id"),
+          pmod(col("vec_id"), col("nsub"))))
+      .select("block", "vec_id", "embedding")
+    val a = withNorm(blocked.select(col("block"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea")), "ea", "na")
+    val b = withNorm(blocked.select(col("block"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb")), "eb", "nb")
+    // the candidate relation is symmetric (both endpoints probe the
+    // same way), so each unordered pair pays ONE cosine and one
+    // dedup-shuffle row, then mirrors in-pipeline — half the distinct
+    // volume of the directed form
+    val cand = graft.CheckpointLease.track(a.join(b, Seq("block"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("cosine"))
+      .distinct()
+      .select(explode(array(
+        struct(col("vec_a"), col("vec_b"), col("cosine")),
+        struct(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"),
+          col("cosine")))).as("e"))
+      .select(col("e.vec_a").as("vec_a"), col("e.vec_b").as("vec_b"),
+        col("e.cosine").as("cosine"))
+      .localCheckpoint(true))
+    val approx = graft.plans.TopKPerGroup(cand, Seq("vec_a"),
+        Seq("cosine" -> true, "vec_b" -> false), k)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val exact = exactKnnEdges(emb, k).select("src", "dst")
+    val nTrue = broadcast(exact.agg(count(lit(1)).as("n_true")))
+    val nCand = broadcast(cand.agg(count(lit(1)).as("n_cand")))
+    approx.join(exact, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(nTrue).crossJoin(nCand)
+      .select(col("n_true"), col("n_hit"), col("n_cand"),
+        (col("n_hit").cast("double") / col("n_true").cast("double"))
+          .as("edge_recall"))
+  }
+
   /** Cosine threshold above which [[semDedup]] treats two same-cluster
     * vectors as semantic duplicates (the paper's eps). 0.4 sits well
     * above this corpus's ~0.3 ambient cosine yet fires on its planted
@@ -1139,8 +1221,14 @@ object Similarity {
     * to 0 — lrd gets the 0.0 sentinel and LOF is defined 1.0 there,
     * mirrored in the twin.
     */
-  def lofScores(emb: DataFrame, k: Int = LofK,
-      threshold: Double = LofThreshold): DataFrame = {
+  /** Exact directed kNN edge list (src, dst, cosine): each unordered
+    * pair's cosine computed once and mirrored in-pipeline
+    * ([[nearestNeighborGraph]]'s shape), cut by the
+    * [[graft.plans.TopKPerGroup]] heap — O(n log k) per group, no
+    * window sort. Shared by [[lofScores]] and [[knnGraphIvfEval]]'s
+    * ground-truth arm.
+    */
+  private[graft] def exactKnnEdges(emb: DataFrame, k: Int): DataFrame = {
     val a = withNorm(
       emb.select(col("vec_id").as("src"), col("embedding").as("ea")),
       "ea", "na")
@@ -1157,9 +1245,15 @@ object Similarity {
           col("cosine")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.cosine").as("cosine"))
+    graft.plans.TopKPerGroup(sims, Seq("src"),
+      Seq("cosine" -> true, "dst" -> false), k)
+      .select("src", "dst", "cosine")
+  }
+
+  def lofScores(emb: DataFrame, k: Int = LofK,
+      threshold: Double = LofThreshold): DataFrame = {
     val knn = graft.CheckpointLease.track(
-      graft.plans.TopKPerGroup(sims, Seq("src"),
-          Seq("cosine" -> true, "dst" -> false), k)
+      exactKnnEdges(emb, k)
         .select(col("src"), col("dst"),
           (lit(1.0) - col("cosine")).as("dist"))
         .localCheckpoint(true))
@@ -1993,6 +2087,8 @@ object Similarity {
       embeddingDecontam(Tables.embeddings(s, d))),
     "sim_mmr_topk" -> ((s, d) => mmrTopK(Tables.embeddings(s, d))),
     "vec_lof" -> ((s, d) => lofScores(Tables.embeddings(s, d))),
+    "sim_knn_graph_ivf" -> ((s, d) =>
+      knnGraphIvfEval(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -2392,6 +2488,63 @@ object Similarity {
          |  FROM blocked a JOIN blocked b
          |    ON a.block = b.block AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.35""".stripMargin,
+    // blocked-graph recall eval: trained-codebook symmetric multi-probe
+    // blocking (the dedup_embedding_ivf CTEs), per-vector top-k over
+    // the deduped candidates, scored against the exact mirrored-pair
+    // kNN edges
+    "sim_knn_graph_ivf" ->
+      s"""WITH ${duckTrainedCents()},
+         |${duckAssigned()},
+         |masg AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS crank FROM fs)
+         |  WHERE crank <= $NearDupProbes),
+         |sizes AS (
+         |  SELECT centroid_id, count(*) AS bn FROM masg GROUP BY 1),
+         |blocked AS (
+         |  SELECT concat(CAST(m.centroid_id AS VARCHAR), '#',
+         |           CAST(m.vec_id % GREATEST(1,
+         |             CAST(ceil(s.bn / 100000.0) AS BIGINT)) AS VARCHAR))
+         |           AS block,
+         |         m.vec_id, m.embedding
+         |  FROM masg m JOIN sizes s USING (centroid_id)),
+         |candh AS MATERIALIZED (
+         |  SELECT DISTINCT vec_a, vec_b, cosine FROM (
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |           ${duckCosE("a.embedding", "b.embedding")} AS cosine
+         |    FROM blocked a JOIN blocked b
+         |      ON a.block = b.block AND a.vec_id < b.vec_id)),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_a, vec_b, cosine FROM candh
+         |  UNION ALL
+         |  SELECT vec_b AS vec_a, vec_a AS vec_b, cosine FROM candh),
+         |approx AS MATERIALIZED (
+         |  SELECT vec_a AS src, vec_b AS dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_a
+         |              ORDER BY cosine DESC, vec_b) AS rn FROM cand)
+         |  WHERE rn <= $TopK),
+         |half AS (
+         |  SELECT a.vec_id AS u, b.vec_id AS v,
+         |         ${duckCos("a", "b")} AS cosine
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < b.vec_id),
+         |mirrored AS (
+         |  SELECT u, v, cosine FROM half
+         |  UNION ALL SELECT v AS u, u AS v, cosine FROM half),
+         |exact AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY u
+         |              ORDER BY cosine DESC, v) AS rn FROM mirrored)
+         |  WHERE rn <= $TopK),
+         |nt AS (SELECT count(*) AS n_true FROM exact),
+         |nc AS (SELECT count(*) AS n_cand FROM cand),
+         |nh AS (SELECT count(*) AS n_hit
+         |       FROM approx JOIN exact USING (src, dst))
+         |SELECT nt.n_true, nh.n_hit, nc.n_cand,
+         |       CAST(nh.n_hit AS DOUBLE) / CAST(nt.n_true AS DOUBLE)
+         |         AS edge_recall
+         |FROM nt, nh, nc""".stripMargin,
     "dedup_semdedup" ->
       s"""WITH ${duckTrainedCents()},
          |${duckAssigned()},

@@ -832,6 +832,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnGraphIvfEval: blocked graph clears the 0.9 edge-recall gate " +
+      "while pruning the candidate space") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val r = Similarity.knnGraphIvfEval(emb).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val nTrue = row.getAs[Long]("n_true")
+    val nHit = row.getAs[Long]("n_hit")
+    val nCand = row.getAs[Long]("n_cand")
+    val recall = row.getAs[Double]("edge_recall")
+    assert(nTrue === n * Similarity.TopK)
+    assert(nHit <= nTrue)
+    assert(nCand < n * (n - 1),
+      "blocking must prune below the full directed pair space")
+    assert(recall >= 0.9,
+      f"blocked kNN edge recall $recall%.3f below the substitution gate")
+    info(f"IVF kNN graph: recall $recall%.3f over $nCand candidates " +
+      f"(full space ${n * (n - 1)})")
+  }
+
   test("topComponent: driver traffic is a constant d²+d+1 rows merged " +
       "by a keyed aggregate, invariant to input partitioning") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
