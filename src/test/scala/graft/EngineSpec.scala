@@ -62,7 +62,9 @@ class EngineSpec extends SparkSpec {
       e.dedup.tfidfCosinePairs(threshold = 0.0),
       e.similarity.whitenTransform(), e.similarity.whitenEval(),
       e.similarity.embeddingDecontam(), e.text.doremiMix(),
-      e.text.distinctNgramProfile)
+      e.text.distinctNgramProfile, e.similarity.mmrTopK(),
+      e.similarity.lofScores(), e.similarity.knnGraphIvfEval(),
+      e.text.ccnetBuckets())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
