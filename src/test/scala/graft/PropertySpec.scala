@@ -394,4 +394,102 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("tfidfCosinePairs: Cauchy-Schwarz holds exactly on the integer " +
+      "sums; planted duplicate pair surfaces at ~1") {
+    samples(Gen.listOfN(8, docGen), n = 4).foreach { texts =>
+      // plant one exact duplicate so a pair is guaranteed when the
+      // generated doc is long enough to shingle
+      val all = texts :+ texts.head
+      val pairs = Dedup.tfidfCosinePairs(docsDf(all), threshold = 0.0)
+        .collect()
+      pairs.foreach { p =>
+        val dot = BigInt(p.getAs[Long]("dot"))
+        val na = BigInt(p.getAs[Long]("norm2_a"))
+        val nb = BigInt(p.getAs[Long]("norm2_b"))
+        assert(dot > 0 && na > 0 && nb > 0)
+        assert(dot * dot <= na * nb,
+          s"Cauchy-Schwarz violated: $dot^2 > $na*$nb")
+        val c = p.getAs[Double]("cosine")
+        assert(c > 0.0 && c <= 1.0 + 1e-12)
+      }
+      if (texts.head.split(" ").length >= 3)
+        assert(pairs.exists(p =>
+          p.getAs[Long]("doc_a") === 0L &&
+            p.getAs[Long]("doc_b") === all.length - 1L &&
+            p.getAs[Double]("cosine") > 0.9999999),
+          "planted duplicate pair missing")
+    }
+  }
+
+  test("distinctNgramProfile: distinct <= total, unigram totals equal " +
+      "the token count, ratios in (0, 1]") {
+    samples(Gen.listOfN(10, docGen), n = 4).foreach { texts =>
+      val nonEmpty = texts.map(t => if (t.isEmpty) "the" else t)
+      val r = graft.ext.Corpus.distinctNgramProfile(docsDf(nonEmpty))
+        .collect()
+      val tokens = nonEmpty.map(_.split(" ").length.toLong).sum
+      r.foreach { row =>
+        val tot = row.getAs[Long]("total_ngrams")
+        val dis = row.getAs[Long]("distinct_ngrams")
+        assert(dis <= tot)
+        val ratio = row.getAs[Double]("distinct_ratio")
+        assert(ratio > 0.0 && ratio <= 1.0)
+        if (row.getAs[Int]("n") == 1) assert(tot === tokens)
+      }
+    }
+  }
+
+  test("mmrTopK: rank 1 is the relevance argmax, neighbors distinct, " +
+      "scores recompute from the reported columns") {
+    val vec = for {
+      vs <- Gen.listOfN(graft.ext.Similarity.SrpDim,
+        Gen.choose(-100, 100))
+    } yield vs.map(_ / 100.0f)
+    samples(Gen.listOfN(12, vec), n = 3).foreach { rows =>
+      val emb = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val r = graft.ext.Similarity.mmrTopK(emb, k = 4).collect()
+      val brute1 = graft.ext.Similarity.bruteForceTopK(emb, 1)
+        .collect()
+        .map(x => x.getAs[Long]("query_id") ->
+          x.getAs[Long]("neighbor_id")).toMap
+      r.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+        val ids = rs.map(_.getAs[Long]("neighbor_id"))
+        assert(ids.distinct.length === ids.length)
+        val r1 = rs.find(_.getAs[Int]("rank") == 1).get
+        assert(r1.getAs[Long]("neighbor_id") === brute1(q))
+      }
+      r.foreach { row =>
+        val expect =
+          graft.ext.Similarity.MmrLambda *
+            row.getAs[Double]("relevance") -
+          (1.0 - graft.ext.Similarity.MmrLambda) *
+            row.getAs[Double]("max_sim_prior")
+        assert(row.getAs[Double]("mmr_score") === expect)
+      }
+    }
+  }
+
+  test("lofScores: positive densities, full neighbor counts, LOF near " +
+      "1 on generated clouds") {
+    val vec = for {
+      vs <- Gen.listOfN(graft.ext.Similarity.SrpDim,
+        Gen.choose(-100, 100))
+    } yield vs.map(_ / 100.0f)
+    samples(Gen.listOfN(15, vec), n = 3).foreach { rows =>
+      val emb = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val r = graft.ext.Similarity.lofScores(emb, k = 5).collect()
+      assert(r.length === rows.length)
+      r.foreach { row =>
+        assert(row.getAs[Long]("n_neighbors") === 5L)
+        assert(row.getAs[Double]("lrd") > 0.0)
+        val lof = row.getAs[Double]("lof")
+        // a uniform random cloud has no density cliffs: LOF stays in a
+        // loose band around 1 (the flag threshold is far outside it)
+        assert(lof > 0.0 && lof < 3.0, s"implausible LOF $lof")
+      }
+    }
+  }
 }
