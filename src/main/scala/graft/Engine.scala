@@ -232,6 +232,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def knnGraphIvfEval(k: Int = Similarity.TopK,
         probes: Int = Similarity.NearDupProbes): DataFrame =
       Similarity.knnGraphIvfEval(emb, k, probes)
+    def embeddingDecontamSweep(
+        benchLabel: Int = Similarity.DecontamBenchLabel): DataFrame =
+      Similarity.embeddingDecontamSweep(emb, benchLabel)
     private def emb = Tables.embeddings(spark, dataDir)
   }
 

@@ -1459,6 +1459,48 @@ object Similarity {
         (col("cosine") >= lit(eps)).as("contaminated"))
   }
 
+  /** Threshold arms of [[embeddingDecontamSweep]] (brackets
+    * [[DecontamEps]], spanning the fixtures' cross-label best-cosine
+    * spread).
+    */
+  val DecontamSweepEps = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
+
+  /** Threshold WHAT-IF sweep for the semantic decontamination screen —
+    * the tuning table a release review reads before fixing
+    * [[DecontamEps]]: for each candidate eps, how many corpus vectors
+    * would be flagged and the flag rate. One bench×corpus scan
+    * reduced to a per-vector best-cosine (order-independent exact
+    * max), then the bounded arm table joins on — the
+    * [[semDedupSweep]] shape.
+    */
+  def embeddingDecontamSweep(emb: DataFrame,
+      benchLabel: Int = DecontamBenchLabel,
+      epsArms: Seq[Double] = DecontamSweepEps): DataFrame = {
+    val spark = emb.sparkSession
+    val bench = withNorm(emb.filter(col("label") === benchLabel)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b")),
+      "b", "bn")
+    val best = graft.CheckpointLease.track(
+      withNorm(emb.filter(col("label") =!= benchLabel), "embedding", "en")
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id"),
+          (dot(col("embedding"), col("b")) / (col("en") * col("bn")))
+            .as("cosine"))
+        .groupBy("vec_id").agg(max("cosine").as("best_cosine"))
+        .localCheckpoint(true))
+    val n = broadcast(best.agg(count(lit(1)).as("n_corpus")))
+    val arms = broadcast(
+      spark.createDataFrame(epsArms.map(Tuple1(_))).toDF("eps"))
+    best.crossJoin(arms)
+      .groupBy("eps")
+      .agg(sum(when(col("best_cosine") >= col("eps"), 1L)
+        .otherwise(0L)).as("n_flagged"))
+      .crossJoin(n)
+      .select(col("eps"), col("n_flagged"), col("n_corpus"),
+        (col("n_flagged").cast("double") / col("n_corpus").cast("double"))
+          .as("flag_rate"))
+  }
+
   /** Bits in the SRP signature ([[srpSignatures]]). */
   val SrpBits = 16
 
@@ -2089,6 +2131,8 @@ object Similarity {
     "vec_lof" -> ((s, d) => lofScores(Tables.embeddings(s, d))),
     "sim_knn_graph_ivf" -> ((s, d) =>
       knnGraphIvfEval(Tables.embeddings(s, d))),
+    "decontam_embedding_sweep" -> ((s, d) =>
+      embeddingDecontamSweep(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -3162,6 +3206,28 @@ object Similarity {
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
          |       relevance, max_sim_prior, mmr_score
          |FROM ($unionAll)""".stripMargin
+    },
+    "decontam_embedding_sweep" -> {
+      val arms = DecontamSweepEps.mkString(", ")
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding
+         |           FROM embeddings WHERE label = $DecontamBenchLabel),
+         |c AS (SELECT vec_id, label, embedding
+         |      FROM embeddings WHERE label <> $DecontamBenchLabel),
+         |best AS MATERIALIZED (
+         |  SELECT c.vec_id, max(${duckCos("c", "b")}) AS best_cosine
+         |  FROM c, b GROUP BY 1),
+         |n AS (SELECT count(*) AS n_corpus FROM best),
+         |t AS (SELECT CAST(unnest([$arms]) AS DOUBLE) AS eps),
+         |agg AS (
+         |  SELECT t.eps,
+         |         CAST(sum(CASE WHEN best.best_cosine >= t.eps
+         |                       THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_flagged
+         |  FROM t LEFT JOIN best ON TRUE GROUP BY 1)
+         |SELECT eps, n_flagged, n.n_corpus,
+         |       CAST(n_flagged AS DOUBLE) / CAST(n.n_corpus AS DOUBLE)
+         |         AS flag_rate
+         |FROM agg, n""".stripMargin
     },
     "decontam_embedding" ->
       s"""WITH b AS (SELECT vec_id AS bench_id, embedding

@@ -853,6 +853,28 @@ class SimilaritySpec extends SparkSpec {
       f"(full space ${n * (n - 1)})")
   }
 
+  test("embeddingDecontamSweep: monotone arms, agrees with the screen " +
+      "at the operating eps") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sweep = Similarity.embeddingDecontamSweep(emb)
+      .orderBy("eps").collect()
+    assert(sweep.length === Similarity.DecontamSweepEps.length)
+    val nCorpus = sweep.head.getAs[Long]("n_corpus")
+    sweep.foreach(r => assert(r.getAs[Long]("n_corpus") === nCorpus))
+    // flagged counts are non-increasing in eps
+    val counts = sweep.map(_.getAs[Long]("n_flagged")).toSeq
+    assert(counts === counts.sorted.reverse, s"not monotone: $counts")
+    // the arm at the operating threshold equals the screen's flag count
+    val atOp = sweep.find(
+      _.getAs[Double]("eps") == Similarity.DecontamEps).get
+    val flagged = Similarity.embeddingDecontam(emb)
+      .filter(org.apache.spark.sql.functions.col("contaminated"))
+      .count()
+    assert(atOp.getAs[Long]("n_flagged") === flagged)
+    assert(atOp.getAs[Double]("flag_rate") ===
+      atOp.getAs[Long]("n_flagged").toDouble / nCorpus.toDouble)
+  }
+
   test("topComponent: driver traffic is a constant d²+d+1 rows merged " +
       "by a keyed aggregate, invariant to input partitioning") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
