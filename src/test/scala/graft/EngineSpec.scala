@@ -64,7 +64,7 @@ class EngineSpec extends SparkSpec {
       e.similarity.embeddingDecontam(), e.text.doremiMix(),
       e.text.distinctNgramProfile, e.similarity.mmrTopK(),
       e.similarity.lofScores(), e.similarity.knnGraphIvfEval(),
-      e.text.ccnetBuckets())
+      e.text.ccnetBuckets(), e.similarity.embeddingDecontamSweep())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
