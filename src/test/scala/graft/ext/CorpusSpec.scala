@@ -140,6 +140,15 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("ccnetBuckets: assignment is invariant to input partitioning") {
+    val d = docs
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.ccnetBuckets(df).collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("pm"),
+          r.getAs[Long]("bucket_i"), r.getAs[String]("bucket"))).toSet
+    assert(run(d.repartition(2)) === run(d.repartition(9)))
+  }
+
   test("chunkDocuments: windows tile the token stream with the stride") {
     import spark.implicits._
     // 300 tokens, chunk=128, stride=96 -> starts 1/97/193, lens 128/128/108

@@ -875,6 +875,17 @@ class SimilaritySpec extends SparkSpec {
       atOp.getAs[Long]("n_flagged").toDouble / nCorpus.toDouble)
   }
 
+  test("knnGraphIvfEval: summary is invariant to input partitioning " +
+      "(integer-trained codebook, exact counts)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.knnGraphIvfEval(df).collect().map(r =>
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("n_cand"), r.getAs[Double]("edge_recall")))
+        .toSeq
+    assert(run(emb.repartition(3)) === run(emb.repartition(11)))
+  }
+
   test("topComponent: driver traffic is a constant d²+d+1 rows merged " +
       "by a keyed aggregate, invariant to input partitioning") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
