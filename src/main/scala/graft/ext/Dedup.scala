@@ -100,37 +100,71 @@ object Dedup {
     */
   val MaxShingleDf = 1000L
 
-  /** Exact pairwise 3-gram Jaccard ≥ `threshold` via an inverted index —
-    * the ground-truth near-dup operator. The shingle index is built once
-    * and persisted (it feeds the df cap, the pair generation, and the
-    * per-doc sizes — previously computed 4x per query); the tiny pair
-    * result is eagerly checkpointed so the cache releases before return.
+  /** Skew-safe df-capped inverted index in ONE shuffle: per kept
+    * shingle, its exact document frequency and its COMPLETE sorted
+    * posting list `(shingle, ds)`, with stop-shingles (df > cap)
+    * dropped.
     *
-    * Pair generation enumerates each posting list directly
-    * (`collect_list` per shingle + ordered combinations) instead of a
-    * sort-merge SELF-JOIN on the index: the output is the same
-    * Σ_shingles C(df, 2) candidate rows, but the join's second sorted
-    * copy of the full index disappears, and since the index is persisted
-    * already hash-partitioned by shingle, the posting-list aggregation
-    * needs NO exchange. The df cap above bounds every posting list, so
-    * the per-group state (df ≤ cap ids) and the combination blowup stay
-    * bounded at any scale.
+    * == Why not a window ==
+    * `count(*) over (partition by shingle)` co-locates a hot shingle's
+    * ENTIRE posting list on one task before the cap filter can drop it
+    * — WindowExec cannot partially aggregate, so the skewed-key shuffle
+    * lands on exactly the stop-shingles ("of the and" at df ≈ n_docs)
+    * the cap exists to guard.
+    *
+    * == Why not groupBy-count + broadcast anti-join ==
+    * A separate df pass (partial-aggregating `groupBy(shingle).count`,
+    * then broadcasting the over-cap head as an anti-join onto the
+    * posting stream) is skew-safe but pays the shingle derive twice and
+    * assumes the over-cap head fits a broadcast — Σdf/cap ids, which an
+    * adversarial distribution can grow past any broadcast budget.
+    *
+    * == This shape ==
+    * One `groupBy(shingle)` computes BOTH an exact partial-aggregating
+    * `count(1)` (df) and a [[graft.functions.CappedLongList]] bounded
+    * collect: the aggregation state per key never exceeds `cap` ids, on
+    * the map side and at every merge, so the hottest possible shingle
+    * costs ≤ #map-partials × cap shuffled ids and ≤ cap retained ones —
+    * bounded by cluster width, not data. The cap filter then makes the
+    * two consistent: a surviving row (df ≤ cap) was NEVER truncated, so
+    * its list is provably complete; a truncated row has df > cap and is
+    * dropped before anything observes its contents. Kept universe and
+    * posting lists are therefore IDENTICAL to the windowed form's, and
+    * the oracle twins need no change.
+    */
+  private[graft] def cappedShingleIndex(docs: DataFrame,
+      maxShingleDf: Long): DataFrame = {
+    val cap = math.min(maxShingleDf, Int.MaxValue.toLong).toInt
+    shingleIds(docs)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"),
+        graft.functions.CappedCollect.cappedLongs(col("doc_id"), cap)
+          .as("ds0"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("shingle"), sort_array(col("ds0")).as("ds"))
+  }
+
+  /** Exact pairwise 3-gram Jaccard ≥ `threshold` via an inverted index —
+    * the ground-truth near-dup operator. The single-shuffle df-capped
+    * index ([[cappedShingleIndex]] — bounded-state capped collect +
+    * exact partial-agg df, no window, no hot-key co-location) is
+    * persisted once (it feeds the pair generation and the per-doc
+    * sizes); the tiny pair result is eagerly checkpointed so the cache
+    * releases before return.
+    *
+    * Pair generation enumerates each posting list directly (ordered
+    * combinations over the index's sorted `ds` arrays) instead of a
+    * sort-merge SELF-JOIN: the output is the same Σ_shingles C(df, 2)
+    * candidate rows, but the join's second sorted copy of the full
+    * index disappears. Every surviving df ≤ cap, so the per-group state
+    * and the combination blowup stay bounded at any scale.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    // drop stop-shingles by document frequency BEFORE pairing; the df
-    // count rides a window over the SAME hash partitioning the
-    // posting-list aggregation needs, so the whole index pays exactly
-    // ONE shuffle
-    val kept = shingleIds(docs)
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= maxShingleDf)
-      .select("doc_id", "shingle")
-      .persist()
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = kept.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val index = cappedShingleIndex(docs, maxShingleDf).persist()
+    val sizes = index.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = index
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
@@ -148,7 +182,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
       .localCheckpoint(true))
-    kept.unpersist()
+    index.unpersist()
     out
   }
 
@@ -159,7 +193,7 @@ object Dedup {
     * pass runs this alongside the symmetric Jaccard sweep to catch
     * boilerplate-wrapped copies and quoted passages.
     *
-    * Same one-shuffle df-capped inverted index as [[ngramJaccardPairs]]
+    * Same skew-safe df-capped inverted index as [[ngramJaccardPairs]]
     * — only the score denominator changes — so the scale argument
     * transfers verbatim. Reports both scores plus which doc is the
     * contained (smaller) side; ties on size resolve to doc_a, the same
@@ -167,15 +201,10 @@ object Dedup {
     */
   def containmentDedupPairs(docs: DataFrame, threshold: Double = 0.8,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    val kept = shingleIds(docs)
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= maxShingleDf)
-      .select("doc_id", "shingle")
-      .persist()
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = kept.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val index = cappedShingleIndex(docs, maxShingleDf).persist()
+    val sizes = index.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = index
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
@@ -196,7 +225,7 @@ object Dedup {
           .otherwise(col("doc_b")).as("contained_doc"))
       .filter(col("containment") >= threshold)
       .localCheckpoint(true))
-    kept.unpersist()
+    index.unpersist()
     out
   }
 
@@ -267,10 +296,11 @@ object Dedup {
   /** Weighted near-dup pairs by 3-shingle TF-IDF COSINE — the multiset
     * companion to [[ngramJaccardPairs]]' set Jaccard: two documents that
     * share rare shingles score higher than two sharing only common ones,
-    * and within-document repetition counts. Same one-shuffle df-capped
-    * inverted index (df window and posting-list aggregation ride one
-    * hash partitioning by shingle), same posting-list pair enumeration,
-    * same [[MaxShingleDf]] skew guard bounding every posting list.
+    * and within-document repetition counts. Same single-shuffle
+    * bounded-state df-capped index shape as [[cappedShingleIndex]]
+    * (the weighted (doc_id, tf) variant, with the exact df feeding the
+    * idf weight in-row), same posting-list pair enumeration, same
+    * [[MaxShingleDf]] skew guard bounding every posting list.
     *
     * == Cross-engine determinism ==
     * Weights are INTEGER-QUANTIZED: `w = min(tf, TfidfTfCap) ·
@@ -283,7 +313,10 @@ object Dedup {
     *
     * == Scale shape ==
     * tf derivation is map-side ([[shingleTf]]); the index pays ONE
-    * shuffle by shingle; norms are a keyed aggregate by doc_id; pair
+    * skew-free shuffle (capped collect state ≤ cap entries per key at
+    * every merge, exact df via partial-agg count — see
+    * [[cappedShingleIndex]]); norms are a keyed aggregate by doc_id
+    * over the capped index's postings; pair
     * cost is Σ_shingles C(df, 2) with df ≤ the cap. Weight bounds:
     * w ≤ 255 · 1000, so a pair dot ≤ 6.6e10 per shared shingle — exact
     * in long up to ~1.4e8 shared shingles per pair, far beyond any
@@ -292,19 +325,29 @@ object Dedup {
   def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
     val nDocs = docs.count()
-    val kept = shingleTf(docs)
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("shingle")))
+    val cap = math.min(maxShingleDf, Int.MaxValue.toLong).toInt
+    // ONE groupBy(shingle): exact df (partial-agg count) + bounded
+    // capped collect of (doc_id, tf); survivors (df <= cap) are
+    // provably complete, and the integer weight applies in-row from
+    // the co-aggregated df — see cappedShingleIndex's scaladoc
+    val index = shingleTf(docs)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"),
+        graft.functions.CappedCollect.cappedLongPairs(
+          col("doc_id"), col("tf"), cap)
+          .as("ps"))
       .filter(col("df") <= maxShingleDf)
-      .select(col("doc_id"), col("shingle"),
-        (least(col("tf"), lit(TfidfTfCap)) *
-          least(expr(s"$nDocs div df"), lit(TfidfIdfCap))).as("w"))
+      .select(col("shingle"), expr(
+        s"""sort_array(transform(ps, e -> struct(e._1 AS doc_id,
+           |  least(e._2, $TfidfTfCap) *
+           |  least($nDocs div df, $TfidfIdfCap) AS w)))"""
+          .stripMargin).as("ds"))
       .persist()
-    val norms = kept.groupBy("doc_id")
+    val norms = index.select(explode(col("ds")).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.w").as("w"))
+      .groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("n2"))
-    val dots = kept.groupBy("shingle")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("w"))))
-        .as("ds"))
+    val dots = index
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
@@ -323,7 +366,7 @@ object Dedup {
             sqrt(col("nb.n2").cast("double")))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .localCheckpoint(true))
-    kept.unpersist()
+    index.unpersist()
     out
   }
 
