@@ -100,10 +100,8 @@ object Dedup {
     */
   val MaxShingleDf = 1000L
 
-  /** Skew-safe df-capped inverted index in ONE shuffle: per kept
-    * shingle, its exact document frequency and its COMPLETE sorted
-    * posting list `(shingle, ds)`, with stop-shingles (df > cap)
-    * dropped.
+  /** Skew-safe df-cap: drops stop-shingle postings from the stream
+    * BEFORE any shuffle that would co-locate them.
     *
     * == Why not a window ==
     * `count(*) over (partition by shingle)` co-locates a hot shingle's
@@ -112,59 +110,69 @@ object Dedup {
     * lands on exactly the stop-shingles ("of the and" at df ≈ n_docs)
     * the cap exists to guard.
     *
-    * == Why not groupBy-count + broadcast anti-join ==
-    * A separate df pass (partial-aggregating `groupBy(shingle).count`,
-    * then broadcasting the over-cap head as an anti-join onto the
-    * posting stream) is skew-safe but pays the shingle derive twice and
-    * assumes the over-cap head fits a broadcast — Σdf/cap ids, which an
-    * adversarial distribution can grow past any broadcast budget.
-    *
     * == This shape ==
-    * One `groupBy(shingle)` computes BOTH an exact partial-aggregating
-    * `count(1)` (df) and a [[graft.functions.CappedLongList]] bounded
-    * collect: the aggregation state per key never exceeds `cap` ids, on
-    * the map side and at every merge, so the hottest possible shingle
-    * costs ≤ #map-partials × cap shuffled ids and ≤ cap retained ones —
-    * bounded by cluster width, not data. The cap filter then makes the
-    * two consistent: a surviving row (df ≤ cap) was NEVER truncated, so
-    * its list is provably complete; a truncated row has df > cap and is
-    * dropped before anything observes its contents. Kept universe and
-    * posting lists are therefore IDENTICAL to the windowed form's, and
-    * the oracle twins need no change.
+    * The df pass is a plain `groupBy(shingle).count()` — a codegen
+    * HashAggregate whose MAP-SIDE partials absorb the hot key (each map
+    * partition contributes one `(shingle, n)` row, so the reduce side
+    * sees #map-partials rows per key, bounded by cluster width, not
+    * data). Only the OVER-cap head survives the filter — at most
+    * Σdf / cap shingles, the bounded head of the distribution — and is
+    * broadcast as a LEFT ANTI join onto the posting stream, a map-side
+    * hash probe with no shuffle of the postings at all. Every
+    * downstream shuffle (posting-list aggregation, per-doc sizes) then
+    * runs on a stream whose keys all have df ≤ cap: skew-free by
+    * construction.
+    *
+    * If an adversarial corpus ever grew the over-cap head past the
+    * broadcast budget, dropping the hint degrades gracefully: anti-JOIN
+    * skew is AQE-splittable (skewed partitions split and the small side
+    * replicated), which windows and aggregations are not — that is why
+    * the cap must be an anti-join, not a window.
+    *
+    * The returned stream is hash-REPARTITIONED by shingle — skew-free
+    * by construction, since every surviving key has ≤ cap postings —
+    * so the posting-list aggregation that follows rides this exchange
+    * with no further shuffle of the stream: the cap costs one extra
+    * map-side derive of `sh` (both arms evaluate it; callers pass a
+    * cheap re-derivable stream, not a persisted one) plus the partial-
+    * aggregated df shuffle, and nothing else.
     */
-  private[graft] def cappedShingleIndex(docs: DataFrame,
-      maxShingleDf: Long): DataFrame = {
-    val cap = math.min(maxShingleDf, Int.MaxValue.toLong).toInt
-    shingleIds(docs)
-      .groupBy("shingle")
-      .agg(count(lit(1)).as("df"),
-        graft.functions.CappedCollect.cappedLongs(col("doc_id"), cap)
-          .as("ds0"))
-      .filter(col("df") <= maxShingleDf)
-      .select(col("shingle"), sort_array(col("ds0")).as("ds"))
+  private[graft] def keptPostings(sh: DataFrame, maxShingleDf: Long,
+      dfStream: Option[DataFrame] = None): DataFrame = {
+    // df = docs-per-shingle; a caller whose `sh` carries extra per-doc
+    // compute (e.g. shingleTf's run-length sort) passes the cheaper
+    // one-row-per-(doc, shingle) derivation for the count-only arm
+    val overCap = dfStream.getOrElse(sh)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("shingle")
+    sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
+      .repartition(col("shingle"))
   }
 
   /** Exact pairwise 3-gram Jaccard ≥ `threshold` via an inverted index —
-    * the ground-truth near-dup operator. The single-shuffle df-capped
-    * index ([[cappedShingleIndex]] — bounded-state capped collect +
-    * exact partial-agg df, no window, no hot-key co-location) is
-    * persisted once (it feeds the pair generation and the per-doc
-    * sizes); the tiny pair result is eagerly checkpointed so the cache
-    * releases before return.
+    * the ground-truth near-dup operator. The kept (df-capped) posting
+    * stream is persisted once, already hash-partitioned by shingle (see
+    * [[keptPostings]] for why the df cap is a broadcast anti-join, not
+    * a window): it feeds the per-doc sizes and the pair generation, and
+    * the posting-list aggregation needs NO further exchange. The tiny
+    * pair result is eagerly checkpointed so the cache releases before
+    * return.
     *
-    * Pair generation enumerates each posting list directly (ordered
-    * combinations over the index's sorted `ds` arrays) instead of a
-    * sort-merge SELF-JOIN: the output is the same Σ_shingles C(df, 2)
-    * candidate rows, but the join's second sorted copy of the full
-    * index disappears. Every surviving df ≤ cap, so the per-group state
-    * and the combination blowup stay bounded at any scale.
+    * Pair generation enumerates each posting list directly
+    * (`collect_list` per shingle + ordered combinations) instead of a
+    * sort-merge SELF-JOIN on the index: the output is the same
+    * Σ_shingles C(df, 2) candidate rows, but the join's second sorted
+    * copy of the full index disappears. The anti-join above guarantees
+    * every aggregated posting list is ≤ cap, so the per-group state and
+    * the combination blowup stay bounded at any scale.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    val index = cappedShingleIndex(docs, maxShingleDf).persist()
-    val sizes = index.select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = index
+    val kept = keptPostings(shingleIds(docs), maxShingleDf).persist()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
@@ -182,7 +190,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
       .localCheckpoint(true))
-    index.unpersist()
+    kept.unpersist()
     out
   }
 
@@ -201,10 +209,10 @@ object Dedup {
     */
   def containmentDedupPairs(docs: DataFrame, threshold: Double = 0.8,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    val index = cappedShingleIndex(docs, maxShingleDf).persist()
-    val sizes = index.select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = index
+    val kept = keptPostings(shingleIds(docs), maxShingleDf).persist()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
@@ -225,7 +233,7 @@ object Dedup {
           .otherwise(col("doc_b")).as("contained_doc"))
       .filter(col("containment") >= threshold)
       .localCheckpoint(true))
-    index.unpersist()
+    kept.unpersist()
     out
   }
 
@@ -296,11 +304,13 @@ object Dedup {
   /** Weighted near-dup pairs by 3-shingle TF-IDF COSINE — the multiset
     * companion to [[ngramJaccardPairs]]' set Jaccard: two documents that
     * share rare shingles score higher than two sharing only common ones,
-    * and within-document repetition counts. Same single-shuffle
-    * bounded-state df-capped index shape as [[cappedShingleIndex]]
-    * (the weighted (doc_id, tf) variant, with the exact df feeding the
-    * idf weight in-row), same posting-list pair enumeration, same
-    * [[MaxShingleDf]] skew guard bounding every posting list.
+    * and within-document repetition counts. Same skew-safe df-cap shape
+    * as [[ngramJaccardPairs]] (broadcast anti-join, see
+    * [[keptPostings]]), same posting-list pair enumeration, same
+    * [[MaxShingleDf]] guard bounding every posting list — plus a
+    * surviving-df recount co-aggregated with the posting lists to feed
+    * the idf weight in-row (survivors' df ≤ cap is exact by
+    * construction, so the recount equals the df pass's number).
     *
     * == Cross-engine determinism ==
     * Weights are INTEGER-QUANTIZED: `w = min(tf, TfidfTfCap) ·
@@ -312,11 +322,11 @@ object Dedup {
     * count-pushdown parquet scan, interpolated as a plan literal.
     *
     * == Scale shape ==
-    * tf derivation is map-side ([[shingleTf]]); the index pays ONE
-    * skew-free shuffle (capped collect state ≤ cap entries per key at
-    * every merge, exact df via partial-agg count — see
-    * [[cappedShingleIndex]]); norms are a keyed aggregate by doc_id
-    * over the capped index's postings; pair
+    * tf derivation is map-side ([[shingleTf]]); the df cap is the
+    * [[keptPostings]] broadcast anti-join (no posting shuffle); the
+    * index aggregation is then ONE skew-free shuffle over the kept
+    * stream (every key ≤ cap postings by construction); norms are a
+    * keyed aggregate by doc_id over the weighted index's postings; pair
     * cost is Σ_shingles C(df, 2) with df ≤ the cap. Weight bounds:
     * w ≤ 255 · 1000, so a pair dot ≤ 6.6e10 per shared shingle — exact
     * in long up to ~1.4e8 shared shingles per pair, far beyond any
@@ -325,22 +335,19 @@ object Dedup {
   def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
     val nDocs = docs.count()
-    val cap = math.min(maxShingleDf, Int.MaxValue.toLong).toInt
-    // ONE groupBy(shingle): exact df (partial-agg count) + bounded
-    // capped collect of (doc_id, tf); survivors (df <= cap) are
-    // provably complete, and the integer weight applies in-row from
-    // the co-aggregated df — see cappedShingleIndex's scaladoc
-    val index = shingleTf(docs)
+    // post-anti-join recount: survivors have df <= cap (nothing was
+    // dropped from their posting lists), so count(1) here IS the df the
+    // idf weight needs — no join back against the full df table
+    val index = keptPostings(shingleTf(docs), maxShingleDf,
+        dfStream = Some(shingleIds(docs)))
       .groupBy("shingle")
       .agg(count(lit(1)).as("df"),
-        graft.functions.CappedCollect.cappedLongPairs(
-          col("doc_id"), col("tf"), cap)
+        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
           .as("ps"))
-      .filter(col("df") <= maxShingleDf)
       .select(col("shingle"), expr(
-        s"""sort_array(transform(ps, e -> struct(e._1 AS doc_id,
-           |  least(e._2, $TfidfTfCap) *
-           |  least($nDocs div df, $TfidfIdfCap) AS w)))"""
+        s"""transform(ps, e -> struct(e.doc_id AS doc_id,
+           |  least(e.tf, $TfidfTfCap) *
+           |  least($nDocs div df, $TfidfIdfCap) AS w))"""
           .stripMargin).as("ds"))
       .persist()
     val norms = index.select(explode(col("ds")).as("e"))

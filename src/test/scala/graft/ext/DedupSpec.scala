@@ -314,52 +314,30 @@ class DedupSpec extends SparkSpec {
     assert(run(d.repartition(1)) === run(d.repartition(7)))
   }
 
-  test("cappedShingleIndex plan: no WindowExec over the posting stream " +
-      "— one partial-aggregating ObjectHashAggregate with bounded " +
-      "capped-collect state (the skew guard's own skew guard)") {
+  test("keptPostings plan: the df cap is HashAggregate partials + a " +
+      "broadcast anti-join — no WindowExec over the posting stream " +
+      "(the skew guard's own skew guard)") {
     val d = docs(
       1L -> "a b c d e", 2L -> "a b c d e", 3L -> "p q r s t")
-    val idx = Dedup.cappedShingleIndex(d, 5L)
-    val plan = idx.queryExecution.executedPlan.toString
+    val kept = Dedup.keptPostings(Dedup.shingleIds(d), 5L)
+    val plan = kept.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"df cap must not ride a window (hot-key co-location): $plan")
-    // the capped collect is an ObjectHashAggregate that runs in
-    // partial+final mode: ONE skew-free shuffle, bounded merge state
-    assert(plan.contains("ObjectHashAggregate"), plan)
-    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
-      s"capped collect must partial-aggregate map-side: $plan")
-    // exact df + complete sorted posting lists for survivors
-    val rows = idx.select("ds").as[Seq[Long]].collect()
-    assert(rows.length === 6) // 3 shared shingles + 3 unique to doc 3
-    assert(rows.count(_ == Seq(1L, 2L)) === 3)
-    assert(rows.count(_ == Seq(3L)) === 3)
-    // capped universe identical to the windowed definition: df<=1
-    // keeps only doc 3's unique shingles
-    val hard = Dedup.cappedShingleIndex(d, 1L)
-      .select(org.apache.spark.sql.functions.explode($"ds").as("doc_id"))
-      .as[Long].collect()
+    // the df pass partially aggregates map-side (the hot key is
+    // absorbed into one partial row per map partition)...
+    assert(plan.contains("HashAggregate"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"df count must partial-aggregate map-side: $plan")
+    // ...and the over-cap head is probed map-side, never shuffled
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"over-cap drop must be a broadcast anti-join: $plan")
+    // kept universe identical to the windowed definition
+    val all = kept.select("doc_id").as[Long].collect()
+    assert(all.length === 9 && all.toSet === Set(1L, 2L, 3L))
+    // df<=1 keeps only doc 3's unique shingles
+    val hard = Dedup.keptPostings(Dedup.shingleIds(d), 1L)
+      .select("doc_id").as[Long].collect()
     assert(hard.toSet === Set(3L) && hard.length === 3)
-  }
-
-  test("CappedLongList: state bounded at cap through reduce AND merge; " +
-      "complete when under cap") {
-    val agg = new graft.functions.CappedLongList(3)
-    // reduce past the cap never grows the buffer
-    val full = (1L to 10L).foldLeft(agg.zero)(agg.reduce)
-    assert(full._1 === 3 && full._2.length === 3)
-    // merge of two full buffers stays at cap
-    val m = agg.merge(full, (1L to 10L).foldLeft(agg.zero)(agg.reduce))
-    assert(m._1 === 3 && m._2.length === 3)
-    // under-cap merge keeps everything (completeness precondition)
-    val a = agg.reduce(agg.zero, 1L)
-    val b = agg.reduce(agg.zero, 2L)
-    val ab = agg.merge(a, b)
-    assert(ab._1 === 2 && ab._2.toSet === Set(1L, 2L))
-    // pair variant: same bounds
-    val pa = new graft.functions.CappedLongPairList(2)
-    val pf = (1L to 5L).map(i => (i, i * 10))
-      .foldLeft(pa.zero)(pa.reduce)
-    assert(pf._1 === 2 && pf._2.length === 2)
-    assert(pa.merge(pf, pf)._1 === 2)
   }
 }
