@@ -408,6 +408,31 @@ object Similarity {
   def knnGraphIvfEval(emb: DataFrame, k: Int = TopK,
       probes: Int = NearDupProbes, maxBlockSize: Int = 100000,
       codebook: Option[DataFrame] = None): DataFrame = {
+    val cand = ivfKnnCandidates(emb, probes, maxBlockSize, codebook)
+    val approx = graft.plans.TopKPerGroup(cand, Seq("vec_a"),
+        Seq("cosine" -> true, "vec_b" -> false), k)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val exact = exactKnnEdges(emb, k).select("src", "dst")
+    val nTrue = broadcast(exact.agg(count(lit(1)).as("n_true")))
+    val nCand = broadcast(cand.agg(count(lit(1)).as("n_cand")))
+    approx.join(exact, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(nTrue).crossJoin(nCand)
+      .select(col("n_true"), col("n_hit"), col("n_cand"),
+        (col("n_hit").cast("double") / col("n_true").cast("double"))
+          .as("edge_recall"))
+  }
+
+  /** Directed IVF-blocked candidate edges `(vec_a, vec_b, cosine)` —
+    * symmetric multi-probe bucket blocking with the maxBlockSize
+    * sub-split skew guard; each unordered pair pays ONE cosine and one
+    * dedup-shuffle row, then mirrors in-pipeline (half the distinct
+    * volume of the directed form). Shared by [[knnGraphIvfEval]] (which
+    * also scores the candidate volume) and [[ivfKnnEdges]].
+    */
+  private[graft] def ivfKnnCandidates(emb: DataFrame,
+      probes: Int = NearDupProbes, maxBlockSize: Int = 100000,
+      codebook: Option[DataFrame] = None): DataFrame = {
     val cents = codebook.getOrElse(trainCentroids(emb))
     val wv = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("centroid_id"))
@@ -448,19 +473,29 @@ object Similarity {
       .select(col("e.vec_a").as("vec_a"), col("e.vec_b").as("vec_b"),
         col("e.cosine").as("cosine"))
       .localCheckpoint(true))
-    val approx = graft.plans.TopKPerGroup(cand, Seq("vec_a"),
-        Seq("cosine" -> true, "vec_b" -> false), k)
-      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
-    val exact = exactKnnEdges(emb, k).select("src", "dst")
-    val nTrue = broadcast(exact.agg(count(lit(1)).as("n_true")))
-    val nCand = broadcast(cand.agg(count(lit(1)).as("n_cand")))
-    approx.join(exact, Seq("src", "dst"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-      .crossJoin(nTrue).crossJoin(nCand)
-      .select(col("n_true"), col("n_hit"), col("n_cand"),
-        (col("n_hit").cast("double") / col("n_true").cast("double"))
-          .as("edge_recall"))
+    cand
   }
+
+  /** Directed IVF-blocked kNN edge list `(src, dst, cosine)` — the
+    * measured substitute for [[exactKnnEdges]] at scale
+    * ([[knnGraphIvfEval]] pins its edge recall at 0.93 on the
+    * fixtures): [[ivfKnnCandidates]]' symmetric multi-probe blocking
+    * cut to each vector's top-k by the [[graft.plans.TopKPerGroup]]
+    * heap. Cost is Σ_buckets |b|² instead of n². Feed this to
+    * [[lofScores]]' `edges` hook (or any other kNN-edge consumer) when
+    * the corpus outgrows the quadratic exact stage; a vector whose
+    * probed buckets yield no candidates has no edges here, so density
+    * screens over this graph skip it rather than fabricating a
+    * neighborhood.
+    */
+  def ivfKnnEdges(emb: DataFrame, k: Int = TopK,
+      probes: Int = NearDupProbes, maxBlockSize: Int = 100000,
+      codebook: Option[DataFrame] = None): DataFrame =
+    graft.plans.TopKPerGroup(
+      ivfKnnCandidates(emb, probes, maxBlockSize, codebook),
+      Seq("vec_a"), Seq("cosine" -> true, "vec_b" -> false), k)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"),
+        col("cosine"))
 
   /** Cosine threshold above which [[semDedup]] treats two same-cluster
     * vectors as semantic duplicates (the paper's eps). 0.4 sits well
@@ -1204,12 +1239,18 @@ object Similarity {
     * ≥ [[LofThreshold]] flag.
     *
     * == Scale shape ==
-    * The kNN stage is the quadratic exact ground truth (each unordered
-    * pair computed once, mirrored in-pipeline, [[nearestNeighborGraph]]'s
-    * shape) cut by the [[graft.plans.TopKPerGroup]] HEAP — O(n log k)
-    * per group, no window sort; a 100 TB corpus swaps this stage for
-    * the IVF-blocked kNN and keeps everything downstream, which is all
-    * keyed aggregates and joins over the N·k edge table.
+    * The kNN stage defaults to the quadratic exact ground truth (each
+    * unordered pair computed once, mirrored in-pipeline,
+    * [[nearestNeighborGraph]]'s shape) cut by the
+    * [[graft.plans.TopKPerGroup]] HEAP — O(n log k) per group, no
+    * window sort. A 100 TB corpus swaps that stage out through the
+    * `edges` hook — pass [[ivfKnnEdges]]' blocked graph (edge recall
+    * 0.93 vs exact, [[knnGraphIvfEval]]) and everything downstream,
+    * which is all keyed aggregates and joins over the N·k edge table,
+    * is unchanged; `vec_lof_ivf` is exactly that wiring, oracle-checked.
+    * The cascade reads each vector's neighborhood size from the edge
+    * table (`cnt`), so sub-k blocked neighborhoods degrade the density
+    * estimate gracefully instead of breaking the formula.
     *
     * == Cross-engine determinism ==
     * Distances are `1 − cosine` of the sequential-fold cosine DAG;
@@ -1251,9 +1292,10 @@ object Similarity {
   }
 
   def lofScores(emb: DataFrame, k: Int = LofK,
-      threshold: Double = LofThreshold): DataFrame = {
+      threshold: Double = LofThreshold,
+      edges: Option[DataFrame] = None): DataFrame = {
     val knn = graft.CheckpointLease.track(
-      exactKnnEdges(emb, k)
+      edges.getOrElse(exactKnnEdges(emb, k))
         .select(col("src"), col("dst"),
           (lit(1.0) - col("cosine")).as("dist"))
         .localCheckpoint(true))
@@ -2129,6 +2171,10 @@ object Similarity {
       embeddingDecontam(Tables.embeddings(s, d))),
     "sim_mmr_topk" -> ((s, d) => mmrTopK(Tables.embeddings(s, d))),
     "vec_lof" -> ((s, d) => lofScores(Tables.embeddings(s, d))),
+    "vec_lof_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      lofScores(e, edges = Some(ivfKnnEdges(e, k = LofK)))
+    }),
     "sim_knn_graph_ivf" -> ((s, d) =>
       knnGraphIvfEval(Tables.embeddings(s, d))),
     "decontam_embedding_sweep" -> ((s, d) =>
@@ -3083,6 +3129,72 @@ object Similarity {
          |            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM sims)
          |WHERE rank <= $TopK""".stripMargin,
+    // LOF over the IVF-blocked kNN graph: the sim_knn_graph_ivf
+    // candidate CTEs feed the vec_lof cascade unchanged — the oracle
+    // proof that the blocked graph substitutes for the exact kNN stage
+    // downstream without touching anything after it
+    "vec_lof_ivf" ->
+      s"""WITH ${duckTrainedCents()},
+         |${duckAssigned()},
+         |masg AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS crank FROM fs)
+         |  WHERE crank <= $NearDupProbes),
+         |sizes AS (
+         |  SELECT centroid_id, count(*) AS bn FROM masg GROUP BY 1),
+         |blocked AS (
+         |  SELECT concat(CAST(m.centroid_id AS VARCHAR), '#',
+         |           CAST(m.vec_id % GREATEST(1,
+         |             CAST(ceil(s.bn / 100000.0) AS BIGINT)) AS VARCHAR))
+         |           AS block,
+         |         m.vec_id, m.embedding
+         |  FROM masg m JOIN sizes s USING (centroid_id)),
+         |candh AS MATERIALIZED (
+         |  SELECT DISTINCT vec_a, vec_b, cosine FROM (
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |           ${duckCosE("a.embedding", "b.embedding")} AS cosine
+         |    FROM blocked a JOIN blocked b
+         |      ON a.block = b.block AND a.vec_id < b.vec_id)),
+         |mc AS (
+         |  SELECT vec_a AS u, vec_b AS v, cosine FROM candh
+         |  UNION ALL
+         |  SELECT vec_b AS u, vec_a AS v, cosine FROM candh),
+         |knn AS MATERIALIZED (
+         |  SELECT u, v, 1.0 - cosine AS dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY u
+         |              ORDER BY cosine DESC, v) AS rn FROM mc)
+         |  WHERE rn <= $LofK),
+         |kd AS MATERIALIZED (
+         |  SELECT u, max(dist) AS kdist, count(*) AS cnt
+         |  FROM knn GROUP BY 1),
+         |reach AS (
+         |  SELECT k.u, k.v, k.dist, greatest(k.dist, kb.kdist) AS r
+         |  FROM knn k JOIN kd kb ON k.v = kb.u),
+         |srd AS (
+         |  SELECT u, list_sum(list(r ORDER BY dist, v)) AS srd
+         |  FROM reach GROUP BY 1),
+         |lrd AS MATERIALIZED (
+         |  SELECT kd.u, kd.cnt, kd.kdist,
+         |         CASE WHEN srd.srd > 0
+         |              THEN CAST(kd.cnt AS DOUBLE) / srd.srd
+         |              ELSE 0.0 END AS lrd
+         |  FROM srd JOIN kd ON srd.u = kd.u),
+         |agg AS (
+         |  SELECT k.u, la.cnt, la.kdist, la.lrd,
+         |         list_sum(list(lb.lrd ORDER BY k.dist, k.v)) AS sumlrd
+         |  FROM knn k
+         |  JOIN lrd la ON k.u = la.u
+         |  JOIN lrd lb ON k.v = lb.u
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT u AS vec_id, cnt AS n_neighbors, kdist AS k_dist, lrd,
+         |       CASE WHEN lrd > 0
+         |            THEN (sumlrd / CAST(cnt AS DOUBLE)) / lrd
+         |            ELSE 1.0 END AS lof,
+         |       CASE WHEN lrd > 0
+         |            THEN (sumlrd / CAST(cnt AS DOUBLE)) / lrd
+         |            ELSE 1.0 END >= $LofThreshold AS is_outlier
+         |FROM agg""".stripMargin,
     // the LOF cascade with every neighborhood sum as an ORDERED list
     // fold (list_sum over ORDER BY dist, v — the Spark side's
     // sort_array + aggregate), so the doubles add in the same IEEE

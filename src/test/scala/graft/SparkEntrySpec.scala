@@ -36,7 +36,7 @@ class SparkEntrySpec extends SparkSpec {
     * means a module map lost entries.
     */
   test("registered query count matches the documented surface") {
-    assert(SparkEntry.queries.size === 266)
+    assert(SparkEntry.queries.size === 267)
   }
 
   test("every oracle key refers to a registered query") {

@@ -830,6 +830,40 @@ class SimilaritySpec extends SparkSpec {
       assert(!r(id).getAs[Boolean]("is_outlier"),
         s"cluster point $id falsely flagged: ${r(id).getAs[Double]("lof")}")
     }
+    // the same witness over the IVF-blocked graph (the edges hook —
+    // what a 100 TB run feeds LOF instead of the quadratic stage):
+    // the off-manifold point is still flagged, the cluster still clean
+    val rb = Similarity.lofScores(emb,
+        edges = Some(Similarity.ivfKnnEdges(emb, k = Similarity.LofK)))
+      .collect().map(x => x.getAs[Long]("vec_id") -> x).toMap
+    graft.CheckpointLease.releaseAll()
+    assert(rb.contains(99L), "outlier missing from the blocked graph")
+    assert(rb(99L).getAs[Boolean]("is_outlier"),
+      s"blocked-graph LOF ${rb(99L).getAs[Double]("lof")} below threshold")
+    assert(rb(99L).getAs[Double]("lof") > 2.0)
+    cluster.foreach { case (id, _) =>
+      assert(!rb.getOrElse(id, fail(s"cluster point $id missing"))
+        .getAs[Boolean]("is_outlier"),
+        s"cluster point $id falsely flagged over blocked edges")
+    }
+  }
+
+  test("lofScores exact vs blocked edges agree on sf0.001: same vector " +
+      "set, same (empty) outlier flags on the near-uniform cloud") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.lofScores(e).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Boolean]("is_outlier"))
+      .toMap
+    val ivf = Similarity.lofScores(e,
+        edges = Some(Similarity.ivfKnnEdges(e, k = Similarity.LofK)))
+      .collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Boolean]("is_outlier"))
+      .toMap
+    graft.CheckpointLease.releaseAll()
+    assert(ivf.keySet === exact.keySet,
+      "every vector must keep a neighborhood under the blocked graph")
+    assert(exact.values.forall(_ == false) && ivf.values.forall(_ == false),
+      "the near-uniform fixture has no density outliers under either arm")
   }
 
   test("knnGraphIvfEval: blocked graph clears the 0.9 edge-recall gate " +
