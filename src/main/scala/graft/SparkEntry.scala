@@ -40,7 +40,7 @@ object SparkEntry {
       HeavyHitters.queries ++ IncrementalAgg.queries ++ Expectations.queries ++
       Graph.queries ++ FuzzyJoin.queries ++ Retail.queries ++
       Experiment.queries ++ Stats.queries ++ Layout.queries ++
-      graft.sources.Bronze.queries
+      graft.sources.Bronze.queries ++ graft.sources.AnnIndex.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -55,5 +55,6 @@ object SparkEntry {
       HeavyHitters.oracleSql ++ IncrementalAgg.oracleSql ++
       Expectations.oracleSql ++ Graph.oracleSql ++ FuzzyJoin.oracleSql ++
       Retail.oracleSql ++ Experiment.oracleSql ++ Stats.oracleSql ++
-      Layout.oracleSql ++ graft.sources.Bronze.oracleSql
+      Layout.oracleSql ++ graft.sources.Bronze.oracleSql ++
+      graft.sources.AnnIndex.oracleSql
 }

@@ -2084,16 +2084,44 @@ object Similarity {
     val books = pqBooks.getOrElse(graft.CheckpointLease.track(
       trainPqCodebooks(emb).localCheckpoint(true)))
     val codes = pqCodes(emb, books).select("vec_id", "sub_id", "code")
+    ivfPqServe(embRaw, cents, books,
+      codes.join(lists, Seq("vec_id")), k, shortlist)
+  }
+
+  /** Per-query probe set `(query_id, centroid_id)` against a coarse
+    * codebook — the first stage of every IVF serve path. Exposed so a
+    * STORED index can derive the probed-partition set for partition
+    * pruning before the scan ([[graft.sources.AnnIndex]]).
+    */
+  private[graft] def ivfProbes(embRaw: DataFrame, cents: DataFrame,
+      probesN: Int = Probes): DataFrame = {
     val queries = embRaw.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val wp = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("centroid_id"))
-    val probes = broadcast(queries).crossJoin(broadcast(cents))
+    broadcast(queries).crossJoin(broadcast(cents))
       .select(col("query_id"), col("centroid_id"),
         cosine(col("q"), col("c")).as("ccos"))
       .withColumn("crank", row_number().over(wp))
-      .filter(col("crank") <= Probes)
+      .filter(col("crank") <= probesN)
       .select("query_id", "centroid_id")
+  }
+
+  /** The IVFADC serve pipeline over an ALREADY-CODED corpus stream
+    * `codedLists (vec_id, sub_id, code, centroid_id)` — shared verbatim
+    * by [[ivfPqTopK]] (in-query coding) and the stored-index path
+    * ([[graft.sources.AnnIndex.serveIvfPqTopK]], which reads the coded
+    * stream from parquet partitioned by `centroid_id` and prunes it to
+    * the probed lists before this pipeline ever sees it). Result
+    * identity between the two under the same codebooks is therefore
+    * structural, and spec-asserted.
+    */
+  private[graft] def ivfPqServe(embRaw: DataFrame, cents: DataFrame,
+      books: DataFrame, codedLists: DataFrame, k: Int = TopK,
+      shortlist: Int = PqShortlist,
+      probesN: Int = Probes): DataFrame = {
+    val emb = l2normalized(embRaw)
+    val probes = ivfProbes(embRaw, cents, probesN)
     val qsubs = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), posexplode(expr(
         s"""transform(sequence(0, ${PqSubspaces - 1}),
@@ -2104,7 +2132,7 @@ object Similarity {
         col("centroid_id").as("code"),
         floor(l2sq(col("qv"), col("c")) * lit(1000000000000.0))
           .cast("long").as("dq"))
-    val dist = codes.join(lists, Seq("vec_id"))
+    val dist = codedLists
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(dtab), Seq("query_id", "sub_id", "code"))

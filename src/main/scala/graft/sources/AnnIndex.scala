@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** The ANN index as a STORED ARTIFACT — the build-once / serve-many
+  * lifecycle [[graft.ext.Similarity.ivfPqTopK]]'s codebook parameters
+  * promise but stop short of: train the coarse + PQ codebooks once,
+  * write the coded corpus PARTITIONED BY `centroid_id` (the FAISS
+  * inverted-list file layout expressed as a parquet partition tree),
+  * and serve top-k by reading ONLY the probed lists' partitions.
+  *
+  * == Why partitioning by centroid_id matters ==
+  * The in-query path restricts the ADC scan to probed lists with a
+  * broadcast-hash SEMI join — every code row is still READ, then
+  * dropped. The stored layout turns that filter into partition
+  * PRUNING: the probe set is a bounded driver artifact (≤ NQueries ×
+  * Probes ids), interpolated as literals into the scan filter, so the
+  * unprobed `1 − Probes/K` fraction of the index is never opened at
+  * all — at production K (thousands of lists) a ~0.1% scan.
+  * AnnIndexSpec asserts the pruned scan at plan level (PartitionFilters
+  * on the codes relation) and result identity with the in-memory path
+  * under the same codebooks.
+  *
+  * == Layout ==
+  * {{{
+  * dir/coarse_codebook/   (centroid_id, c)           — K rows
+  * dir/pq_books/          (sub_id, centroid_id, c)   — M×K rows
+  * dir/codes/centroid_id=<i>/  (vec_id, sub_id, code) — the lists
+  * }}}
+  * Codebooks are tiny (bounded by K and M×K, corpus-independent); the
+  * codes tree is the only corpus-sized artifact, M rows of one byte-
+  * range code per vector, written through one keyed equi-join of the
+  * PQ codes with their list assignment.
+  */
+object AnnIndex {
+
+  /** Train (or accept) both codebooks and write the full index to
+    * `dir`. Returns the (coarse, pq) codebooks actually used so a
+    * caller can hold them for serve-path identity checks.
+    */
+  def buildIvfPq(embRaw: DataFrame, dir: String,
+      coarseCodebook: Option[DataFrame] = None,
+      pqBooks: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val cents = coarseCodebook.getOrElse(graft.CheckpointLease.track(
+      Similarity.trainCentroids(embRaw).localCheckpoint(true)))
+    val books = pqBooks.getOrElse(graft.CheckpointLease.track(
+      Similarity.trainPqCodebooks(Similarity.l2normalized(embRaw))
+        .localCheckpoint(true)))
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/coarse_codebook")
+    books.coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_books")
+    val lists = Similarity.ivfAssignments(embRaw, cents)
+      .select(col("vec_id"), col("centroid_id"))
+    Similarity.pqCodes(Similarity.l2normalized(embRaw), books)
+      .select("vec_id", "sub_id", "code")
+      .join(lists, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/codes")
+    (cents, books)
+  }
+
+  /** Serve IVFADC top-k from a stored index: compute the probe set
+    * against the stored coarse codebook, collect the probed centroid
+    * ids (bounded: ≤ NQueries × Probes), and open ONLY those
+    * partitions of the codes tree — the pruned scan feeds the same
+    * [[graft.ext.Similarity.ivfPqServe]] pipeline the in-query path
+    * uses, so results are identical under identical codebooks.
+    */
+  def serveIvfPqTopK(spark: SparkSession, dir: String,
+      embRaw: DataFrame, k: Int = Similarity.TopK,
+      shortlist: Int = Similarity.PqShortlist,
+      probesN: Int = Similarity.Probes): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/coarse_codebook")
+    val books = spark.read.parquet(s"$dir/pq_books")
+    // bounded driver artifact: the distinct probed lists
+    val probed = Similarity.ivfProbes(embRaw, cents, probesN)
+      .select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    val coded = spark.read.parquet(s"$dir/codes")
+      .filter(col("centroid_id").isin(probed.map(Int.box): _*))
+      .select("vec_id", "sub_id", "code", "centroid_id")
+    Similarity.ivfPqServe(embRaw, cents, books, coded, k, shortlist,
+      probesN)
+  }
+
+  /** Driver-contract registration: build the index under the build
+    * scratch dir (the csv_silver_orders precedent), then serve from it
+    * — one query exercising the full store→prune→serve lifecycle.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_ivfpq_stored" -> ((s, d) => {
+      val e = graft.Tables.embeddings(s, d)
+      val dir = s"${sys.props("user.dir")}/target/ann-index/" +
+        s"ivfpq_${Integer.toHexString(d.hashCode)}"
+      buildIvfPq(e, dir)
+      serveIvfPqTopK(s, dir, e)
+    }),
+  )
+
+  /** The stored path must serve IDENTICAL results to the in-memory
+    * IVFADC under the same deterministically-trained codebooks — same
+    * twin SQL, so the oracle compare IS the identity check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "sim_topk_ivfpq_stored" -> Similarity.oracleSql("sim_topk_ivfpq"),
+  )
+}

@@ -24,7 +24,8 @@ class SparkEntrySpec extends SparkSpec {
     IncrementalAgg.queries, Expectations.queries,
     Graph.queries, FuzzyJoin.queries, Retail.queries,
     Experiment.queries, Stats.queries, Layout.queries,
-    graft.sources.Bronze.queries).map(_.size)
+    graft.sources.Bronze.queries,
+    graft.sources.AnnIndex.queries).map(_.size)
 
   test("no query name collisions across modules") {
     assert(SparkEntry.queries.size === moduleSizes.sum)
@@ -36,7 +37,7 @@ class SparkEntrySpec extends SparkSpec {
     * means a module map lost entries.
     */
   test("registered query count matches the documented surface") {
-    assert(SparkEntry.queries.size === 267)
+    assert(SparkEntry.queries.size === 268)
   }
 
   test("every oracle key refers to a registered query") {

@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+class AnnIndexSpec extends SparkSpec {
+
+  private val dir =
+    s"${sys.props("user.dir")}/target/ann-index-spec/ivfpq"
+
+  test("stored IVFPQ index: codes land partitioned by centroid_id, the " +
+      "serve scan is partition-PRUNED to the probed lists, and results " +
+      "are identical to the in-memory path under the same codebooks") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (cents, books) = AnnIndex.buildIvfPq(e, dir)
+
+    // the on-disk layout is one directory per inverted list
+    val listDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).toSet
+    assert(listDirs.nonEmpty, "codes tree must be partitioned by list")
+
+    // at 2 probes the probe set is a strict subset of the 16 lists at
+    // this SF (the default 6×10 covers all 16 — pruning would be moot),
+    // so the pruned scan provably opens less than the index
+    val probed = Similarity.ivfProbes(e,
+        spark.read.parquet(s"$dir/coarse_codebook"), probesN = 2)
+      .select("centroid_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(probed.nonEmpty && probed.size < listDirs.size,
+      s"probed ${probed.size} of ${listDirs.size} lists — pruning moot")
+
+    // plan-level pruning assertion (the BronzeSpec parquet precedent):
+    // the probe filter must reach the scan as a PartitionFilter on
+    // centroid_id, not a post-scan row filter
+    val served = AnnIndex.serveIvfPqTopK(spark, dir, e, probesN = 2)
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*".r
+      .findFirstIn(plan)
+    assert(pf.isDefined,
+      s"expected a centroid_id PartitionFilter on the codes scan: $plan")
+    assert(pf.get.contains("IN") || pf.get.contains("in("),
+      s"probe set must prune as an IN filter: ${pf.get}")
+
+    // result identity with the in-memory IVFADC under the same books
+    // and probe count — the scaladoc claim at ivfPqTopK, made checkable
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    val lists = Similarity.ivfAssignments(e, cents)
+      .select("vec_id", "centroid_id")
+    val codes = Similarity.pqCodes(Similarity.l2normalized(e), books)
+      .select("vec_id", "sub_id", "code")
+    val mem2 = rows(Similarity.ivfPqServe(e, cents, books,
+      codes.join(lists, Seq("vec_id")), probesN = 2))
+    assert(rows(served) === mem2,
+      "stored-index serve must equal the in-memory path row-for-row")
+    // and at the default probe count (the registered-query shape)
+    val memFull = rows(Similarity.ivfPqTopK(e,
+      coarseCodebook = Some(cents), pqBooks = Some(books)))
+    val stFull = rows(AnnIndex.serveIvfPqTopK(spark, dir, e))
+    graft.CheckpointLease.releaseAll()
+    assert(stFull === memFull,
+      "default-probe stored serve must equal ivfPqTopK")
+  }
+
+  test("serving from the stored index skips retraining: a fresh session " +
+      "read serves straight from the written codebooks") {
+    // build happened in the previous test; serve alone must not touch
+    // trainCentroids/trainPqCodebooks (no checkpoint lease acquired)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val served = AnnIndex.serveIvfPqTopK(spark, dir, e)
+    assert(served.filter(col("rank") === 1).count() > 0)
+    graft.CheckpointLease.releaseAll()
+  }
+}
