@@ -1357,13 +1357,16 @@ object Similarity {
     *
     * == Scale shape ==
     * Two DISTRIBUTED stages do all corpus-sized work: the relevance
-    * scan (broadcast queries × one corpus stream, the
-    * [[bruteForceTopK]] shape — an IVF shortlist slots in here at real
-    * scale) and the within-shortlist pairwise sims (self-join keyed by
-    * query, ≤ C(C−1)/2 rows per query). The greedy loop then runs on
-    * the DRIVER over a BOUNDED artifact — Q·C relevance rows plus
-    * Q·C²/2 sims, constants independent of corpus size (the collected-
-    * codebook precedent), so no per-iteration Spark jobs at all.
+    * scan (default: broadcast queries × one corpus stream, the
+    * [[bruteForceTopK]] shape; at real scale pass `shortlistFrom` — an
+    * ANN shortlist `(query_id, cand_id, rel)` such as [[ivfTopK]]
+    * renamed, the registered `sim_mmr_topk_ivf` wiring — and the
+    * relevance stage scans only probed lists) and the within-shortlist
+    * pairwise sims (self-join keyed by query, ≤ C(C−1)/2 rows per
+    * query). The greedy loop then runs on the DRIVER over a BOUNDED
+    * artifact — Q·C relevance rows plus Q·C²/2 sims, constants
+    * independent of corpus size (the collected-codebook precedent), so
+    * no per-iteration Spark jobs at all.
     *
     * == Cross-engine determinism ==
     * Every similarity is the sequential-fold cosine DAG; the greedy
@@ -1374,25 +1377,39 @@ object Similarity {
     */
   def mmrTopK(emb: DataFrame, k: Int = TopK,
       shortlist: Int = MmrShortlist,
-      lam: Double = MmrLambda): DataFrame = {
+      lam: Double = MmrLambda,
+      shortlistFrom: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
     val oneMinusLam = 1.0 - lam
-    val queries = withNorm(emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q")),
-      "q", "qn")
     val cands = withNorm(emb, "embedding", "en")
-    val rel = broadcast(queries)
-      .join(cands, col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("cand_id"),
-        col("embedding").as("e"), col("en"),
-        (dot(col("q"), col("embedding")) / (col("qn") * col("en")))
-          .as("rel"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("rel").desc, col("cand_id"))
-    val short = graft.CheckpointLease.track(rel
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= shortlist)
-      .localCheckpoint(true))
+    // the relevance stage: default is the brute corpus scan; at real
+    // scale pass `shortlistFrom` = an ANN shortlist
+    // `(query_id, cand_id, rel)` (e.g. [[ivfTopK]] renamed — the
+    // registered `sim_mmr_topk_ivf` wiring) and the only corpus-sized
+    // work left is the ANN probe itself: the embedding fetch below is
+    // a keyed equi-join of Q·C shortlist rows against the corpus, and
+    // everything after runs on bounded artifacts.
+    val short = graft.CheckpointLease.track((shortlistFrom match {
+      case Some(sf) =>
+        sf.select(col("query_id"), col("cand_id"), col("rel"))
+          .join(cands, col("cand_id") === col("vec_id"))
+          .select(col("query_id"), col("cand_id"),
+            col("embedding").as("e"), col("en"), col("rel"))
+      case None =>
+        val queries = withNorm(emb.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+          "q", "qn")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("rel").desc, col("cand_id"))
+        broadcast(queries)
+          .join(cands, col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            col("embedding").as("e"), col("en"),
+            (dot(col("q"), col("embedding")) / (col("qn") * col("en")))
+              .as("rel"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= shortlist)
+    }).localCheckpoint(true))
     val pair = short.as("a").join(short.as("b"),
         col("a.query_id") === col("b.query_id") &&
           col("a.cand_id") < col("b.cand_id"))
@@ -2198,6 +2215,13 @@ object Similarity {
     "decontam_embedding" -> ((s, d) =>
       embeddingDecontam(Tables.embeddings(s, d))),
     "sim_mmr_topk" -> ((s, d) => mmrTopK(Tables.embeddings(s, d))),
+    "sim_mmr_topk_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      mmrTopK(e, shortlistFrom = Some(
+        ivfTopK(e, k = MmrShortlist)
+          .select(col("query_id"), col("neighbor_id").as("cand_id"),
+            col("cosine").as("rel"))))
+    }),
     "vec_lof" -> ((s, d) => lofScores(Tables.embeddings(s, d))),
     "vec_lof_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -2229,6 +2253,76 @@ object Similarity {
   private def duckCosE(a: String, b: String): String =
     s"${duckDotE(a, b)} / (sqrt(${duckDotE(a, a)}) * " +
       s"sqrt(${duckDotE(b, b)}))"
+
+  /** The MMR greedy twin, parameterized by its shortlist header — CTEs
+    * that must end by defining `short (query_id, cand_id, rel)`. Shared
+    * by the brute relevance scan (`sim_mmr_topk`) and the IVF-fed one
+    * (`sim_mmr_topk_ivf`), which differ ONLY in how the shortlist is
+    * produced — exactly the Spark side's `shortlistFrom` contract.
+    */
+  private def duckMmrSql(shortHeader: String): String = {
+    val lam = MmrLambda
+    val olam = 1.0 - MmrLambda
+    val score = s"$lam * rel - $olam * msim"
+    val steps = (2 to TopK).map { t =>
+      // every step CTE MATERIALIZED: inlined, the selcum chain
+      // re-evaluates its whole prefix per reference — exponential
+      s"""cand$t AS MATERIALIZED (
+         |  SELECT s.* FROM short s
+         |  WHERE NOT EXISTS (SELECT 1 FROM selcum${t - 1} x
+         |                    WHERE x.query_id = s.query_id
+         |                      AND x.neighbor_id = s.cand_id)),
+         |ms$t AS MATERIALIZED (
+         |  SELECT c.query_id, c.cand_id, c.rel, max(ps.sim) AS msim
+         |  FROM cand$t c
+         |  JOIN ps ON ps.query_id = c.query_id AND ps.ca = c.cand_id
+         |  JOIN selcum${t - 1} x
+         |    ON x.query_id = c.query_id AND x.neighbor_id = ps.cb
+         |  GROUP BY 1, 2, 3),
+         |sel$t AS MATERIALIZED (
+         |  SELECT query_id, $t AS rank, cand_id AS neighbor_id,
+         |         rel AS relevance, msim AS max_sim_prior,
+         |         $score AS mmr_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY $score DESC, cand_id) AS rn
+         |        FROM ms$t)
+         |  WHERE rn = 1),
+         |selcum$t AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM selcum${t - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM sel$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to TopK)
+      .map(t => s"SELECT * FROM sel$t").mkString("\nUNION ALL\n")
+    s"""WITH $shortHeader,
+       |pair AS MATERIALIZED (
+       |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+       |         ${duckCos("ea", "eb")} AS sim
+       |  FROM short a
+       |  JOIN short b ON a.query_id = b.query_id
+       |              AND a.cand_id < b.cand_id
+       |  JOIN embeddings ea ON ea.vec_id = a.cand_id
+       |  JOIN embeddings eb ON eb.vec_id = b.cand_id),
+       |ps AS MATERIALIZED (
+       |  SELECT query_id, ca, cb, sim FROM pair
+       |  UNION ALL
+       |  SELECT query_id, cb AS ca, ca AS cb, sim FROM pair),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, 1 AS rank, cand_id AS neighbor_id,
+       |         rel AS relevance, 0.0 AS max_sim_prior,
+       |         $lam * rel - $olam * 0.0 AS mmr_score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY $lam * rel - $olam * 0.0 DESC, cand_id)
+       |            AS rn
+       |        FROM short)
+       |  WHERE rn = 1),
+       |selcum1 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM sel1),
+       |$steps
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       |       relevance, max_sim_prior, mmr_score
+       |FROM ($unionAll)""".stripMargin
+  }
 
   /** [[l2sq]]'s twin: the SAME three sequential folds and the same
     * association `(aa - 2·ab) + bb`.
@@ -3275,41 +3369,8 @@ object Similarity {
     // argmax steps, each scoring remaining candidates against the
     // cumulative selection with the same lambda literals the Scala
     // greedy uses
-    "sim_mmr_topk" -> {
-      val lam = MmrLambda
-      val olam = 1.0 - MmrLambda
-      val score = s"$lam * rel - $olam * msim"
-      val steps = (2 to TopK).map { t =>
-        // every step CTE MATERIALIZED: inlined, the selcum chain
-        // re-evaluates its whole prefix per reference — exponential
-        s"""cand$t AS MATERIALIZED (
-           |  SELECT s.* FROM short s
-           |  WHERE NOT EXISTS (SELECT 1 FROM selcum${t - 1} x
-           |                    WHERE x.query_id = s.query_id
-           |                      AND x.neighbor_id = s.cand_id)),
-           |ms$t AS MATERIALIZED (
-           |  SELECT c.query_id, c.cand_id, c.rel, max(ps.sim) AS msim
-           |  FROM cand$t c
-           |  JOIN ps ON ps.query_id = c.query_id AND ps.ca = c.cand_id
-           |  JOIN selcum${t - 1} x
-           |    ON x.query_id = c.query_id AND x.neighbor_id = ps.cb
-           |  GROUP BY 1, 2, 3),
-           |sel$t AS MATERIALIZED (
-           |  SELECT query_id, $t AS rank, cand_id AS neighbor_id,
-           |         rel AS relevance, msim AS max_sim_prior,
-           |         $score AS mmr_score
-           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-           |            ORDER BY $score DESC, cand_id) AS rn
-           |        FROM ms$t)
-           |  WHERE rn = 1),
-           |selcum$t AS MATERIALIZED (
-           |  SELECT query_id, neighbor_id FROM selcum${t - 1}
-           |  UNION ALL SELECT query_id, neighbor_id FROM sel$t)"""
-          .stripMargin
-      }.mkString(",\n")
-      val unionAll = (1 to TopK)
-        .map(t => s"SELECT * FROM sel$t").mkString("\nUNION ALL\n")
-      s"""WITH rel0 AS (
+    "sim_mmr_topk" -> duckMmrSql(
+      s"""rel0 AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
          |         ${duckCos("q", "e")} AS rel
          |  FROM embeddings q, embeddings e
@@ -3318,35 +3379,29 @@ object Similarity {
          |  SELECT query_id, cand_id, rel FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |              ORDER BY rel DESC, cand_id) AS rn FROM rel0)
-         |  WHERE rn <= $MmrShortlist),
-         |pair AS MATERIALIZED (
-         |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
-         |         ${duckCos("ea", "eb")} AS sim
-         |  FROM short a
-         |  JOIN short b ON a.query_id = b.query_id
-         |              AND a.cand_id < b.cand_id
-         |  JOIN embeddings ea ON ea.vec_id = a.cand_id
-         |  JOIN embeddings eb ON eb.vec_id = b.cand_id),
-         |ps AS MATERIALIZED (
-         |  SELECT query_id, ca, cb, sim FROM pair
-         |  UNION ALL
-         |  SELECT query_id, cb AS ca, ca AS cb, sim FROM pair),
-         |sel1 AS MATERIALIZED (
-         |  SELECT query_id, 1 AS rank, cand_id AS neighbor_id,
-         |         rel AS relevance, 0.0 AS max_sim_prior,
-         |         $lam * rel - $olam * 0.0 AS mmr_score
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |            ORDER BY $lam * rel - $olam * 0.0 DESC, cand_id)
-         |            AS rn
-         |        FROM short)
-         |  WHERE rn = 1),
-         |selcum1 AS MATERIALIZED (
-         |  SELECT query_id, neighbor_id FROM sel1),
-         |$steps
-         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
-         |       relevance, max_sim_prior, mmr_score
-         |FROM ($unionAll)""".stripMargin
-    },
+         |  WHERE rn <= $MmrShortlist)""".stripMargin),
+    // the IVF-fed MMR: rel0 is the probed-lists candidate relation
+    // (the sim_topk_ivf CTEs), everything after `short` is the SAME
+    // greedy — the twin-level proof of the shortlistFrom contract
+    "sim_mmr_topk_ivf" -> duckMmrSql(
+      s"""${duckTrainedCents()},
+         |${duckAssigned()},
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS crank
+         |    FROM fs WHERE vec_id < $NQueries)
+         |  WHERE crank <= $Probes),
+         |rel0 AS (
+         |  SELECT p.query_id, a.vec_id AS cand_id,
+         |         ${duckCosE("p.q", "a.embedding")} AS rel
+         |  FROM probes p JOIN asg a USING (centroid_id)
+         |  WHERE p.query_id <> a.vec_id),
+         |short AS MATERIALIZED (
+         |  SELECT query_id, cand_id, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rel DESC, cand_id) AS rn FROM rel0)
+         |  WHERE rn <= $MmrShortlist)""".stripMargin),
     "decontam_embedding_sweep" -> {
       val arms = DecontamSweepEps.mkString(", ")
       s"""WITH b AS (SELECT vec_id AS bench_id, embedding

@@ -790,6 +790,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrTopK shortlistFrom: IVF-fed MMR agrees with the brute arm — " +
+      "rank-1 recall and selection overlap clear their gates") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def sel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id")))
+    val brute = sel(Similarity.mmrTopK(emb))
+    val ivf = sel(Similarity.mmrTopK(emb, shortlistFrom = Some(
+      Similarity.ivfTopK(emb, k = Similarity.MmrShortlist)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("cosine").as("rel")))))
+    graft.CheckpointLease.releaseAll()
+    val nq = Similarity.NQueries
+    // rank 1 is pure relevance, so agreement here is IVF recall@1
+    val b1 = brute.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val i1 = ivf.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val r1Agree = b1.count { case (q, n) => i1.get(q).contains(n) }
+    assert(r1Agree >= (0.8 * nq).toInt,
+      s"rank-1 agreement $r1Agree/$nq below gate")
+    // full-selection overlap (order-insensitive): the diversified sets
+    // should mostly coincide when the shortlists mostly coincide
+    val bSet = brute.map(r => (r._1, r._3)).toSet
+    val iSet = ivf.map(r => (r._1, r._3)).toSet
+    val overlap = (bSet & iSet).size.toDouble / bSet.size
+    assert(overlap >= 0.7,
+      f"selection overlap $overlap%.2f below 0.7 " +
+        s"(${(bSet & iSet).size}/${bSet.size})")
+  }
+
   test("lofScores: planted off-manifold point scores LOF >> 1, tight " +
       "cluster stays near 1") {
     import spark.implicits._
