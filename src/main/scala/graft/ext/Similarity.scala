@@ -239,6 +239,24 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, k: Int = TopK,
       codebook: Option[DataFrame] = None): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    ivfCandidates(emb, codebook)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** The UN-cut IVF candidate relation `(query_id, neighbor_id,
+    * cosine)`: each query's [[Probes]] best lists equi-joined against
+    * the home-cell assignment — [[ivfTopK]] is its per-query top-k;
+    * role-aware consumers ([[hardNegatives]]' `candidatesFrom`) take it
+    * whole so a rank cut cannot starve one role before the role split.
+    * One row per (query, candidate): a candidate's home cell is unique,
+    * so no dedup shuffle is needed.
+    */
+  def ivfCandidates(emb: DataFrame,
+      codebook: Option[DataFrame] = None): DataFrame = {
     val cents = codebook.getOrElse(trainCentroids(emb))
     val assigned = ivfAssignments(emb, cents)
     val queries = emb.filter(col("vec_id") < NQueries)
@@ -251,15 +269,10 @@ object Similarity {
       .withColumn("crank", row_number().over(wp))
       .filter(col("crank") <= Probes)
       .select("query_id", "q", "centroid_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     probed.join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q"), col("embedding")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
   /** Embedding-cosine near-dup pairs (the vector flavor of dedup):
@@ -1708,23 +1721,48 @@ object Similarity {
     * positive), tagged by role. Same scale shape as [[bruteForceTopK]]:
     * anchors broadcast, corpus streamed once, O(Q·N) with no corpus
     * shuffle — at 100 TB the anchor set is the (bounded) training batch
-    * being mined, and an IVF/PQ index replaces the exact stream (the
-    * approximate operators above); this exact form is the
-    * oracle-checked ground truth.
+    * being mined, and an ANN candidate relation replaces the exact
+    * stream through `candidatesFrom` (`(anchor_id, vec_id, cosine)` —
+    * [[ivfCandidates]] renamed is the registered
+    * `sim_hard_negatives_ivf` wiring; the UN-cut relation, so the role
+    * split sees every probed candidate and a top-k cut cannot starve
+    * the positive); this exact form is the oracle-checked ground
+    * truth. Under ANN candidates an anchor whose probed lists hold no
+    * same-label vector yields no positive row — mine against a larger
+    * probe set rather than fabricating one.
     */
-  def hardNegatives(emb: DataFrame, k: Int = HardNegK): DataFrame = {
-    val anchors = withNorm(emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
-        col("embedding").as("q")), "q", "qn")
-    val cands = withNorm(emb.select(col("vec_id"), col("label"),
-      col("embedding").as("e")), "e", "en")
-    val sims = broadcast(anchors)
-      .join(cands, col("anchor_id") =!= col("vec_id"))
-      .select(col("anchor_id"), col("a_label"), col("vec_id"),
-        col("label"),
-        (dot(col("q"), col("e")) / (col("qn") * col("en"))).as("cosine"),
-        when(col("label") === col("a_label"), lit("positive"))
-          .otherwise(lit("hard_negative")).as("role"))
+  def hardNegatives(emb: DataFrame, k: Int = HardNegK,
+      candidatesFrom: Option[DataFrame] = None): DataFrame = {
+    val sims = candidatesFrom match {
+      case Some(cf) =>
+        // labels ride keyed joins against the bounded anchor set and
+        // the candidate rows — no corpus scan beyond what produced cf
+        val aLabels = broadcast(emb.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("anchor_id"),
+            col("label").as("a_label")))
+        cf.select(col("anchor_id"), col("vec_id"), col("cosine"))
+          .join(aLabels, Seq("anchor_id"))
+          .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .select(col("anchor_id"), col("a_label"), col("vec_id"),
+            col("label"), col("cosine"),
+            when(col("label") === col("a_label"), lit("positive"))
+              .otherwise(lit("hard_negative")).as("role"))
+      case None =>
+        val anchors = withNorm(emb.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("anchor_id"),
+            col("label").as("a_label"), col("embedding").as("q")),
+          "q", "qn")
+        val cands = withNorm(emb.select(col("vec_id"), col("label"),
+          col("embedding").as("e")), "e", "en")
+        broadcast(anchors)
+          .join(cands, col("anchor_id") =!= col("vec_id"))
+          .select(col("anchor_id"), col("a_label"), col("vec_id"),
+            col("label"),
+            (dot(col("q"), col("e")) / (col("qn") * col("en")))
+              .as("cosine"),
+            when(col("label") === col("a_label"), lit("positive"))
+              .otherwise(lit("hard_negative")).as("role"))
+    }
     val w = Window.partitionBy("anchor_id", "role")
       .orderBy(col("cosine").desc, col("vec_id"))
     sims.withColumn("rank", row_number().over(w))
@@ -2178,6 +2216,13 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hard_negatives" -> ((s, d) =>
       hardNegatives(Tables.embeddings(s, d))),
+    "sim_hard_negatives_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      hardNegatives(e, candidatesFrom = Some(
+        ivfCandidates(e)
+          .select(col("query_id").as("anchor_id"),
+            col("neighbor_id").as("vec_id"), col("cosine"))))
+    }),
     "vec_centroid_outliers" -> ((s, d) =>
       centroidOutliers(Tables.embeddings(s, d))),
     "vec_pq" -> ((s, d) => pqProfile(Tables.embeddings(s, d))),
@@ -3142,6 +3187,36 @@ object Similarity {
          |         ${duckCos("a", "b")} AS cosine
          |  FROM embeddings a, embeddings b
          |  WHERE a.vec_id < $NQueries AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id, role
+         |            ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sims)
+         |SELECT anchor_id, role, rank, neighbor_id, cosine FROM r
+         |WHERE (role = 'hard_negative' AND rank <= $HardNegK)
+         |   OR (role = 'positive' AND rank = 1)""".stripMargin,
+    // the ANN-fed miner: sims is the probed-lists candidate relation
+    // (the sim_topk_ivf CTEs) role-tagged by a label join; the rank
+    // cascade after it is IDENTICAL to sim_hard_negatives' — the
+    // twin-level proof of the candidatesFrom contract
+    "sim_hard_negatives_ivf" ->
+      s"""WITH ${duckTrainedCents()},
+         |${duckAssigned()},
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS crank
+         |    FROM fs WHERE vec_id < $NQueries)
+         |  WHERE crank <= $Probes),
+         |sims AS (
+         |  SELECT p.query_id AS anchor_id, a.vec_id AS neighbor_id,
+         |         CASE WHEN bl.label = qa.label THEN 'positive'
+         |              ELSE 'hard_negative' END AS role,
+         |         ${duckCosE("p.q", "a.embedding")} AS cosine
+         |  FROM probes p
+         |  JOIN embeddings qa ON qa.vec_id = p.query_id
+         |  JOIN asg a USING (centroid_id)
+         |  JOIN embeddings bl ON bl.vec_id = a.vec_id
+         |  WHERE p.query_id <> a.vec_id),
          |r AS (
          |  SELECT *, row_number() OVER (PARTITION BY anchor_id, role
          |            ORDER BY cosine DESC, neighbor_id) AS rank

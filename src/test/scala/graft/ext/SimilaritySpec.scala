@@ -820,6 +820,32 @@ class SimilaritySpec extends SparkSpec {
         s"(${(bSet & iSet).size}/${bSet.size})")
   }
 
+  test("hardNegatives candidatesFrom: IVF-fed mining agrees with the " +
+      "brute arm and still yields positives") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def sel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[String]("role"),
+        r.getAs[Long]("neighbor_id")))
+    val brute = sel(Similarity.hardNegatives(emb))
+    val ivf = sel(Similarity.hardNegatives(emb, candidatesFrom = Some(
+      Similarity.ivfCandidates(emb)
+        .select(col("query_id").as("anchor_id"),
+          col("neighbor_id").as("vec_id"), col("cosine")))))
+    val nq = Similarity.NQueries
+    // every anchor keeps a positive under the probed candidate set at
+    // this SF (labels spread across lists, probes cover enough)
+    assert(ivf.count(_._2 == "positive") === nq,
+      "an anchor lost its positive under IVF candidates")
+    val bruteNeg = brute.filter(_._2 == "hard_negative")
+      .map(r => (r._1, r._3)).toSet
+    val ivfNeg = ivf.filter(_._2 == "hard_negative")
+      .map(r => (r._1, r._3)).toSet
+    val overlap = (bruteNeg & ivfNeg).size.toDouble / bruteNeg.size
+    assert(overlap >= 0.7,
+      f"hard-negative overlap $overlap%.2f below 0.7")
+  }
+
   test("lofScores: planted off-manifold point scores LOF >> 1, tight " +
       "cluster stays near 1") {
     import spark.implicits._
