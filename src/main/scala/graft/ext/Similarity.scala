@@ -3493,7 +3493,11 @@ object Similarity {
          |         CAST(sum(CASE WHEN best.best_cosine >= t.eps
          |                       THEN 1 ELSE 0 END) AS BIGINT)
          |           AS n_flagged
-         |  FROM t LEFT JOIN best ON TRUE GROUP BY 1)
+         |  -- inner CROSS JOIN, not LEFT JOIN ON TRUE: on an empty
+         |  -- corpus slice both engines must emit ZERO rows (the Spark
+         |  -- side's crossJoin-groupBy shape) instead of DuckDB alone
+         |  -- emitting one 0/0 row per eps (r12 advice)
+         |  FROM t CROSS JOIN best GROUP BY 1)
          |SELECT eps, n_flagged, n.n_corpus,
          |       CAST(n_flagged AS DOUBLE) / CAST(n.n_corpus AS DOUBLE)
          |         AS flag_rate

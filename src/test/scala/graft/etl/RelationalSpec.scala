@@ -298,9 +298,20 @@ class RelationalSpec extends SparkSpec {
       (pairCost, rest)
     }
     val (pairCost, rest) = samples.minBy(_._2)
-    assert(rest <= pairCost + 2.0,
-      f"recursion surface cost $rest%.2f s exceeds pair cost " +
-        f"$pairCost%.2f s + 2 s — the sql_recursive contract is broken")
+    // ratio-based bound with a generous absolute floor (r12 advice):
+    // a flat `pairCost + 2 s` turned contended-box episodes into red
+    // test runs, because the recursion surface's per-level scheduling
+    // floors inflate MORE than the data work under contention. The
+    // ratio leg scales with the box (pairCost inflates on the same
+    // episodes); the 6 s floor absorbs stray stalls when pairCost is
+    // small. A real regression — the surface growing with data —
+    // still trips this: at any honest SF the surface is scheduling
+    // floors, nowhere near 1.5x the pair derivation it rides behind.
+    val bound = math.max(6.0, 1.5 * pairCost + 2.0)
+    assert(rest <= bound,
+      f"recursion surface cost $rest%.2f s exceeds bound $bound%.2f s " +
+        f"(pair cost $pairCost%.2f s) — the sql_recursive contract is " +
+        "broken")
   }
 
   test("hllSketchMerge: per-group estimates within 5% of exact; merged " +
