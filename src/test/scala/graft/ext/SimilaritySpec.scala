@@ -362,6 +362,62 @@ class SimilaritySpec extends SparkSpec {
     assert(opq >= 0.80, f"OPQ-lite recall $opq%.2f collapsed")
   }
 
+  test("OPQ-lite on a SKEWED spectrum: variance balancing wins — the " +
+      "measured upgrade the near-isotropic fixtures cannot show") {
+    import spark.implicits._
+    val d = Similarity.SrpDim
+    val m = Similarity.PqSubspaces
+    def mix(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def u(s: Long): Double = ((mix(s) >>> 40) % 2000L - 1000L) / 1000.0
+    // skewed spectrum: 8 contiguous high-variance dims, the rest near
+    // zero — the common real-embedding shape (energy concentrated in a
+    // few leading directions). Raw fixed-width slicing hands ALL the
+    // signal to 2 of the 16 subspaces (8 bits for the whole problem);
+    // the variance-balanced snake deal gives every subspace one signal
+    // dim (a full byte each).
+    // 2000 vectors: deep enough that the 50-deep exact re-rank cannot
+    // paper over a bad ADC ranking (at 300 the shortlist covered the
+    // true top-10 under ANY quantization and both arms scored 1.0)
+    val vecs = (0 until 2000).map { v =>
+      val arr = Array.tabulate(d) { j =>
+        val std = if (j < 8) 1.0 else 0.02
+        (u(v * 131L + j * 7919L + 17L) * std).toFloat
+      }
+      (v.toLong, arr.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val perm = Similarity.pqVarianceBalancedPerm(emb)
+    assert(perm.sorted === (0 until d), "not a permutation")
+    // the deal spreads the top-8 dims one-per-subspace
+    val bySub = perm.grouped(d / m).toSeq
+    assert(bySub.forall(_.count(_ < 8) <= 1),
+      s"high-variance dims still clustered: $bySub")
+    val brute = Similarity.bruteForceTopK(emb)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recallOf(p: Option[Seq[Int]]): Double = {
+      val got = Similarity.pqTopK(emb, perm = p)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val raw = recallOf(None)
+    val opq = recallOf(Some(perm))
+    info(f"skewed-spectrum PQ recall@10: raw $raw%.2f, " +
+      f"OPQ-lite $opq%.2f (delta ${opq - raw}%+.2f)")
+    // the win that justifies flipping the perm ON for anisotropic
+    // corpora (the production default stays raw: the real fixtures are
+    // near-isotropic and the oracle twins pin that path)
+    assert(opq > raw,
+      f"variance balancing must win on a skewed spectrum ($opq%.2f " +
+        f"vs $raw%.2f)")
+  }
+
   test("semDedup: drop set matches brute-force recomputation, cluster " +
       "keeper survives, eps monotone") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
