@@ -44,25 +44,29 @@ object Bench {
       if (!sfOk || idx < 0) Map.empty
       else {
         // parse ONLY the queries_sec object, delimited by BRACE DEPTH
-        // (not the first '}'): a future artifact nesting a value inside
-        // queries_sec must truncate the map loudly via depth mismatch,
-        // not silently disable the guard (r12 advice). String values
-        // containing braces would still confuse this scan — the
-        // artifact is machine-written with no such values, and
-        // BenchSpec pins the committed file parsing end-to-end.
+        // (not the first '}'). A nested object inside queries_sec would
+        // previously still be regex-harvested and — toMap being
+        // last-wins — could silently OVERRIDE a real query's baseline
+        // with an inner number (r13 advice): any nesting now disables
+        // the guard outright (Map.empty) rather than returning a map
+        // whose provenance is ambiguous. String values containing
+        // braces would still confuse this scan — the artifact is
+        // machine-written with no such values, and BenchSpec pins the
+        // committed file parsing end-to-end.
         val open = txt.indexOf('{', idx)
         var depth = 0
         var i = open
         var close = -1
+        var nested = false
         while (open >= 0 && i < txt.length && close < 0) {
           txt.charAt(i) match {
-            case '{' => depth += 1
+            case '{' => depth += 1; if (depth > 1) nested = true
             case '}' => depth -= 1; if (depth == 0) close = i
             case _ =>
           }
           i += 1
         }
-        if (open < 0 || close < 0) Map.empty
+        if (open < 0 || close < 0 || nested) Map.empty
         else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r
           .findAllMatchIn(txt.substring(open, close))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -168,10 +172,15 @@ object Bench {
     // real regression, now self-evident from the JSON alone.
     val isolated = {
       val flagged = results.collect { case (k, _, _, true) => k }
-      if (flagged.nonEmpty) System.gc()
       flagged.map { name =>
+        // GC per query (not once for the whole loop) so a later flagged
+        // entry isn't re-measured on the heap residue of an earlier one;
+        // the warmup catch is NonFatal only — an OOM/dying JVM must
+        // abort the bench rather than record a misleading retry number
+        // (r13 advice)
+        System.gc()
         try { all(name)(spark, sfDir).count() }
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
         reset()
         name -> timed(name)
       }

@@ -87,13 +87,21 @@ object AnnIndex {
 
   /** Driver-contract registration: build the index under the build
     * scratch dir (the csv_silver_orders precedent), then serve from it
-    * — one query exercising the full store→prune→serve lifecycle.
+    * — one query exercising the full store→prune→serve lifecycle, so
+    * its bench time measures build+train+serve BY DESIGN (the serve-only
+    * cost is what [[serveIvfPqTopK]] alone pays; AnnIndexSpec times the
+    * lifecycle split implicitly via the no-retrain test).
+    *
+    * The scratch dir is keyed by the FULL sanitized dataset path, not a
+    * 32-bit hash (r13 advice): two different datasets can never collide
+    * into one index dir, so the only writer of a given dir is a driver
+    * serving that exact dataset.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_ivfpq_stored" -> ((s, d) => {
       val e = graft.Tables.embeddings(s, d)
-      val dir = s"${sys.props("user.dir")}/target/ann-index/" +
-        s"ivfpq_${Integer.toHexString(d.hashCode)}"
+      val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir = s"${sys.props("user.dir")}/target/ann-index/ivfpq_$key"
       buildIvfPq(e, dir)
       serveIvfPqTopK(s, dir, e)
     }),

@@ -47,26 +47,38 @@ class BenchSpec extends AnyFunSuite {
       "/nonexistent/nope.json") === Map.empty)
   }
 
-  test("benchFullBaseline: brace-depth scan survives a nested value " +
-      "inside queries_sec and trailing siblings after it") {
+  test("benchFullBaseline: a nested value inside queries_sec disables " +
+      "the guard outright; trailing siblings after a flat object don't " +
+      "leak in") {
+    // r13 advice: nested members used to regex-leak into the map, and a
+    // nested duplicate of a real query key (toMap last-wins) could
+    // silently override the true baseline — nesting now means Map.empty
     val f = java.nio.file.Files.createTempFile("bench_full", ".json")
     java.nio.file.Files.write(f,
       """{
         | "sf": "/root/testdata/sf0.1",
         | "queries_sec": {
         |  "q1_pricing_summary": 0.466,
-        |  "weird_future_entry": {"sec": 1.5, "note": 2},
+        |  "weird_future_entry": {"sql_recursive": 999.0, "note": 2},
+        |  "sql_recursive": 8.203
+        | }
+        |}""".stripMargin.getBytes("UTF-8"))
+    assert(Bench.benchFullBaseline("/root/testdata/sf0.1", f.toString)
+      === Map.empty, "nested object inside queries_sec must fail loudly")
+    // flat object + trailing sibling: parses, and the sibling's numbers
+    // cannot override the true values
+    java.nio.file.Files.write(f,
+      """{
+        | "sf": "/root/testdata/sf0.1",
+        | "queries_sec": {
+        |  "q1_pricing_summary": 0.466,
         |  "sql_recursive": 8.203
         | },
         | "appended_later": {"sql_recursive": 999.0}
         |}""".stripMargin.getBytes("UTF-8"))
     val m = Bench.benchFullBaseline("/root/testdata/sf0.1", f.toString)
-    // the flat entries parse; the nested object's members leak into the
-    // map (documented limitation) but — critically — the scan does NOT
-    // stop at the nested '}': sql_recursive keeps its TRUE value and
-    // the post-object sibling cannot override it
-    assert(m("q1_pricing_summary") === 0.466)
-    assert(m("sql_recursive") === 8.203)
+    assert(m === Map("q1_pricing_summary" -> 0.466,
+      "sql_recursive" -> 8.203))
     java.nio.file.Files.delete(f)
   }
 }

@@ -312,6 +312,16 @@ class RelationalSpec extends SparkSpec {
       f"recursion surface cost $rest%.2f s exceeds bound $bound%.2f s " +
         f"(pair cost $pairCost%.2f s) — the sql_recursive contract is " +
         "broken")
+    // and an ABSOLUTE ceiling (r13 advice): the ratio leg scales with
+    // pairCost, so on a box where pair derivation dominates, a genuine
+    // ~1.5x surface regression could hide inside it. The measured
+    // steady-state surface at sf0.01 is ~0.5-1.5 s; 20 s is ~15x that —
+    // far above any contended-box episode on record, but a surface that
+    // started growing with data (the regression class the contract
+    // exists for) blows straight through it.
+    assert(rest <= 20.0,
+      f"recursion surface cost $rest%.2f s exceeds the 20 s absolute " +
+        "ceiling at sf0.01 — surface is growing with data")
   }
 
   test("hllSketchMerge: per-group estimates within 5% of exact; merged " +

@@ -9,6 +9,17 @@ class AnnIndexSpec extends SparkSpec {
   private val dir =
     s"${sys.props("user.dir")}/target/ann-index-spec/ivfpq"
 
+  // each test builds-if-missing so the suite survives filtering to a
+  // single test or a failure in an earlier one (r13 advice: test 2 used
+  // to depend on test 1 having written the index)
+  private def ensureIndex(): Unit = {
+    if (!new java.io.File(s"$dir/codes").isDirectory) {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      AnnIndex.buildIvfPq(e, dir)
+      graft.CheckpointLease.releaseAll()
+    }
+  }
+
   test("stored IVFPQ index: codes land partitioned by centroid_id, the " +
       "serve scan is partition-PRUNED to the probed lists, and results " +
       "are identical to the in-memory path under the same codebooks") {
@@ -66,8 +77,9 @@ class AnnIndexSpec extends SparkSpec {
 
   test("serving from the stored index skips retraining: a fresh session " +
       "read serves straight from the written codebooks") {
-    // build happened in the previous test; serve alone must not touch
-    // trainCentroids/trainPqCodebooks (no checkpoint lease acquired)
+    ensureIndex() // self-contained: rebuild if test 1 didn't run
+    // serve alone must not touch trainCentroids/trainPqCodebooks (no
+    // checkpoint lease acquired beyond a build-if-missing above)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val served = AnnIndex.serveIvfPqTopK(spark, dir, e)
     assert(served.filter(col("rank") === 1).count() > 0)
