@@ -1471,6 +1471,80 @@ object Similarity {
         "max_sim_prior", "mmr_score")
   }
 
+  /** k-center greedy picks: 8 rounds keeps the unrolled twin linear and
+    * cheap while the radius sequence is still a real coverage curve.
+    */
+  val CoresetK = 8
+
+  /** k-CENTER GREEDY CORESET (Gonzalez 1985 farthest-point traversal) —
+    * the geometric data-SELECTION primitive: pick the point farthest
+    * (cosine distance `1 − cos`) from everything selected so far, k
+    * times. The selected set 2-approximates the optimal k-center cover,
+    * so its radius curve is the standard "how many exemplars until the
+    * corpus is covered" diagnostic, and the centers themselves are the
+    * diversity-maximal seed set for labeling/eval-slice selection.
+    *
+    * Output: one row per pick `(rank, center_id, radius)` where
+    * `radius` is the pick's distance to the previously-selected set
+    * (the coverage radius BEFORE the pick lowers it; rank 1 — the
+    * deterministic min-`vec_id` seed — defines 0.0), plus a final
+    * `(k+1, -1, radius)` row carrying the k-center objective: the max
+    * remaining distance after all k picks.
+    *
+    * == Scale shape ==
+    * The textbook distributed Gonzalez: the state is the corpus plus
+    * one `dmin` column (distance to the nearest selected center), and
+    * each round is (a) one argmax — `TakeOrdered(1)` over `(dmin DESC,
+    * vec_id)`, a tree-reduced top-1, no sort — and (b) one NARROW map
+    * folding the new center in via `least(dmin, dist-to-new)`, the new
+    * center riding along as a broadcast-class literal (d floats). No
+    * joins, no shuffles, k sequential scans total — Lloyd's-iteration
+    * shape. Each round's state is eagerly `localCheckpoint`ed so the
+    * plan stays O(1) deep instead of re-deriving r distance folds on
+    * round r (O(k²) rescans without it).
+    *
+    * == Cross-engine determinism ==
+    * Distances are the sequential-fold dot DAG over float inputs with
+    * norms computed once per vector; the argmax ties on `vec_id`; the
+    * `least` chain and the final `max` are exact on doubles. The twin
+    * replays the same k rounds as unrolled MATERIALIZED CTEs (the MMR
+    * precedent), so every emitted radius hash-matches bit-for-bit.
+    * A previously-picked center (dmin ≈ 0) can only be re-picked once
+    * every remaining point is at distance 0 — i.e. k exceeds the number
+    * of distinct vectors — impossible on real embedding corpora and
+    * replayed identically by the twin in any case.
+    */
+  def kcenterCoreset(emb: DataFrame, k: Int = CoresetK): DataFrame = {
+    val spark = emb.sparkSession
+    val base = withNorm(emb.select("vec_id", "embedding"), "embedding", "en")
+    def distTo(ce: Seq[Float], cn: Double): Column =
+      lit(1.0) - dot(col("embedding"), typedlit(ce)) / (col("en") * lit(cn))
+    // seed: min vec_id — deterministic with no doubles involved
+    val seed = base.orderBy(col("vec_id")).limit(1)
+      .select("vec_id", "embedding", "en").collect()(0)
+    var picks = List((1, seed.getLong(0), 0.0))
+    var state = graft.CheckpointLease.track(
+      base.withColumn("dmin",
+        distTo(seed.getSeq[Float](1), seed.getDouble(2)))
+        .localCheckpoint(true))
+    for (r <- 2 to k) {
+      // the argmax row carries its own embedding/norm, so the round's
+      // center fetch is the SAME top-1 job, not a second lookup
+      val top = state.orderBy(col("dmin").desc, col("vec_id"))
+        .limit(1).select("vec_id", "dmin", "embedding", "en").collect()(0)
+      picks ::= ((r, top.getLong(0), top.getDouble(1)))
+      state = graft.CheckpointLease.track(
+        state.withColumn("dmin",
+          least(col("dmin"),
+            distTo(top.getSeq[Float](2), top.getDouble(3))))
+          .localCheckpoint(true))
+    }
+    val cover = state.agg(max(col("dmin"))).collect()(0).getDouble(0)
+    picks ::= ((k + 1, -1L, cover))
+    spark.createDataFrame(picks.reverse)
+      .toDF("rank", "center_id", "radius")
+  }
+
   /** Benchmark slice [[embeddingDecontam]] screens against: the label-0
     * vectors stand in for a held-out eval set's embeddings, the same
     * single-slice convention as the n-gram decontamination's `src0`.
@@ -2282,6 +2356,8 @@ object Similarity {
       knnGraphIvfEval(Tables.embeddings(s, d))),
     "decontam_embedding_sweep" -> ((s, d) =>
       embeddingDecontamSweep(Tables.embeddings(s, d))),
+    "sample_coreset" -> ((s, d) =>
+      kcenterCoreset(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -2304,6 +2380,47 @@ object Similarity {
   private def duckCosE(a: String, b: String): String =
     s"${duckDotE(a, b)} / (sqrt(${duckDotE(a, a)}) * " +
       s"sqrt(${duckDotE(b, b)}))"
+
+  /** The k-center greedy twin: k−1 unrolled (pick, fold) rounds over a
+    * dmin-carrying corpus CTE — every CTE MATERIALIZED (the MMR/k-core
+    * lesson: inlined, round r re-evaluates its whole prefix per
+    * reference, exponential in k).
+    */
+  private def duckCoresetSql(k: Int = CoresetK): String = {
+    val dist =
+      s"1 - ${duckDotE("e.embedding", "c.embedding")} / (e.en * c.en)"
+    val steps = (2 to k).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT vec_id, dmin FROM d${r - 1}
+         |  ORDER BY dmin DESC, vec_id LIMIT 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT d.vec_id, d.embedding, d.en FROM d${r - 1} d
+         |  JOIN p$r USING (vec_id)),
+         |d$r AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, e.en,
+         |         least(e.dmin, $dist) AS dmin
+         |  FROM d${r - 1} e, c$r c)""".stripMargin
+    }.mkString(",\n")
+    val unions = (2 to k).map { r =>
+      s"UNION ALL SELECT $r, vec_id, dmin FROM p$r"
+    }.mkString("\n")
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${duckDotE("embedding", "embedding")}) AS en
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, en FROM n
+       |  WHERE vec_id = (SELECT min(vec_id) FROM n)),
+       |d1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, e.en, $dist AS dmin
+       |  FROM n e, c1 c),
+       |$steps
+       |SELECT 1 AS rank, vec_id AS center_id,
+       |       CAST(0.0 AS DOUBLE) AS radius FROM c1
+       |$unions
+       |UNION ALL SELECT ${k + 1}, CAST(-1 AS BIGINT),
+       |  (SELECT max(dmin) FROM d$k)""".stripMargin
+  }
 
   /** The MMR greedy twin, parameterized by its shortlist header — CTEs
     * that must end by defining `short (query_id, cand_id, rel)`. Shared
@@ -2698,6 +2815,7 @@ object Similarity {
     * SimilaritySpec recall gates retained on top.
     */
   def oracleSql: Map[String, String] = Map(
+    "sample_coreset" -> duckCoresetSql(),
     "vec_kmeans" ->
       s"""WITH ${duckTrainedCents()},
          |${duckAssigned()}

@@ -1117,4 +1117,50 @@ class SimilaritySpec extends SparkSpec {
       assert(rec >= 0.0 && rec <= 1.0)
     }
   }
+
+  test("kcenterCoreset: one pick per planted cluster, deterministic " +
+      "seed, monotone coverage radius, final objective row") {
+    // three orthogonal 2-point clusters; the greedy must visit all
+    // three before refining any (their cross-cluster distance is 1.0,
+    // within-cluster 0.2)
+    val d = emb(
+      0L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      1L -> Seq(0.8f, 0.6f, 0.0f, 0.0f),
+      10L -> Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      11L -> Seq(0.0f, 0.8f, 0.6f, 0.0f),
+      20L -> Seq(0.0f, 0.0f, 1.0f, 0.0f),
+      21L -> Seq(0.0f, 0.0f, 0.8f, 0.6f))
+    val r = Similarity.kcenterCoreset(d, k = 3)
+      .orderBy("rank").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2)))
+    assert(r.length === 4)
+    assert(r(0) === ((1, 0L, 0.0)), "seed must be min vec_id at radius 0")
+    // picks 2 and 3 land in the two other clusters (orthogonal: radius
+    // exactly 1.0; ties broken on vec_id so 10 precedes 20)
+    assert(r(1) === ((2, 10L, 1.0)))
+    assert(r(2) === ((3, 20L, 1.0)))
+    // the objective row: every remaining point is a within-cluster
+    // near-dup of a center (cos 0.8 -> dist ~0.2)
+    val (rk, cid, cover) = r(3)
+    assert(rk === 4 && cid === -1L)
+    assert(cover > 0.0 && cover < 0.5, s"cover radius $cover")
+  }
+
+  test("kcenterCoreset: fixture run — distinct centers, non-increasing " +
+      "radius curve, objective bounded by the last pick") {
+    val r = Similarity.kcenterCoreset(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+      .orderBy("rank").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2)))
+    assert(r.length === Similarity.CoresetK + 1)
+    val centers = r.dropRight(1).map(_._2)
+    assert(centers.distinct.length === centers.length,
+      "greedy re-picked a center before exhausting the corpus")
+    // coverage radius is non-increasing: pick r's dmin is bounded by
+    // the max dmin BEFORE pick r-1 lowered it
+    r.drop(1).map(_._3).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"radius curve increased: $a -> $b")
+    }
+    assert(r.last._2 === -1L)
+  }
 }
