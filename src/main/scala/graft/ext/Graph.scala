@@ -116,6 +116,59 @@ object Graph {
     ranks.select(col("node").as("part_node"), col("r").as("rank_scaled"))
   }
 
+  val LpaRounds = 4
+
+  /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) — community
+    * detection: every node starts labeled with itself; each round it
+    * adopts the most frequent label among its neighbors (ties → the
+    * SMALLEST label, making the async algorithm's random tie-break
+    * deterministic and cross-engine replayable). After `rounds` sync
+    * passes, label = community id. Complements [[Components]] (which
+    * merges anything connected) by *splitting* a connected co-purchase
+    * graph into densely-linked neighborhoods — the corpus-curation use
+    * is domain/community discovery on link graphs.
+    *
+    * == Scale shape ==
+    * Each round is the Pregel step as two keyed aggregations: messages
+    * = edges ⋈ labels on src (labels are node-count-sized, so under
+    * [[NodeBroadcastMaxRows]] they broadcast and the checkpointed edge
+    * list is scanned in place — no per-round E-row exchange, the
+    * [[pagerank]] gate), then `groupBy(dst, label).count` (map-side
+    * partials absorb hot nodes) and a per-node `max(struct(count,
+    * −label))` argmax — another partial-merging aggregate, never a
+    * window over the message stream. Labels are integers throughout,
+    * so every round is exactly reproducible at any partitioning.
+    *
+    * Sync LPA can oscillate on bipartite structure — `rounds` is a
+    * fixed budget, not a convergence test, and the registered query's
+    * output is the round-`rounds` labeling (the twin replays the same
+    * rounds CTE-for-CTE).
+    */
+  def labelPropagation(edgesIn: DataFrame,
+      rounds: Int = LpaRounds): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    var labels = graft.CheckpointLease.track(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint())
+    val bcLabels = labels.count() <= NodeBroadcastMaxRows
+    for (_ <- 1 to rounds) {
+      val lab = labels.withColumnRenamed("node", "src")
+      val msgs = edges
+        .join(if (bcLabels) broadcast(lab) else lab, Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      // argmax(count, then min label) as ONE partial-merging aggregate:
+      // max(struct(count, −label)) — no window over the message stream
+      labels = graft.CheckpointLease.track(
+        msgs.groupBy("node", "label").agg(count(lit(1)).as("c"))
+          .groupBy("node")
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("label"))
+          .localCheckpoint(false))
+    }
+    labels.select(col("node").as("part_node"), col("label"))
+  }
+
   /** Oriented-edge count at or under which the closing join broadcasts
     * the edge list (≈10M rows × ~24 B ≈ 240 MB — comfortably inside
     * executor memory and far from the broadcast hard ceiling); above it
@@ -607,7 +660,36 @@ object Graph {
       edgeJaccard(coPurchaseEdges(Tables.lineitem(s, d)))),
     "graph_clustering" -> ((s, d) =>
       clusteringCoeff(coPurchaseEdges(Tables.lineitem(s, d)))),
+    "graph_lpa" -> ((s, d) =>
+      labelPropagation(coPurchaseEdges(Tables.lineitem(s, d)))),
   )
+
+  /** Unrolled LPA oracle: `rounds` sync passes as chained CTEs, the
+    * per-node argmax spelled as window-max + min(label) over the
+    * maximal-count rows — identical tie semantics to the Spark side's
+    * `max(struct(count, −label))`. All-integer, so bit-exact.
+    */
+  private def duckLpaSql(rounds: Int = LpaRounds): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""m$r AS MATERIALIZED (
+         |  SELECT e.dst AS node, l.label, count(*) AS c
+         |  FROM e JOIN l${r - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT node, min(label) AS label FROM (
+         |    SELECT node, label, c,
+         |           max(c) OVER (PARTITION BY node) AS mc FROM m$r) t
+         |  WHERE c = mc GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM e),
+       |$steps
+       |SELECT node AS part_node, label FROM l$rounds""".stripMargin
+  }
 
   /** Unrolled k-core oracle: 8 peel rounds as chained CTEs (e0..e8),
     * identical restriction arithmetic per round.
@@ -676,6 +758,7 @@ object Graph {
         |SELECT a2.s AS s_suppkey, a1.a1 AS indeg, a2.a2
         |FROM a2 JOIN a1 ON a2.s = a1.s""".stripMargin,
     "graph_kcore" -> duckKcoreSql,
+    "graph_lpa" -> duckLpaSql(),
     // same degree-orientation + wedge close + 3-edges-per-triangle plan,
     // tuple comparisons spelled as ROW(...) < ROW(...)
     "graph_edge_jaccard" ->

@@ -226,4 +226,32 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(r === Set((3L, 1L, 0.25), (1L, 3L, 0.75)))
   }
+
+  test("labelPropagation: two triangles over a bridge settle into two " +
+      "communities with deterministic min-label ties") {
+    // triangles {1,2,3} and {10,11,12}, bridge 3-10; hand-replayed sync
+    // rounds: A converges to label 1; B converges to label 3 (node 3's
+    // label crossed the bridge in round 1 and won B's round-2 ties)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.labelPropagation(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+    graft.CheckpointLease.releaseAll()
+  }
+
+  test("labelPropagation: partition-invariant (integer argmax ties)") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val a = Graph.labelPropagation(edges.repartition(7))
+      .as[(Long, Long)].collect().toSet
+    graft.CheckpointLease.releaseAll()
+    val b = Graph.labelPropagation(edges.coalesce(1))
+      .as[(Long, Long)].collect().toSet
+    graft.CheckpointLease.releaseAll()
+    assert(a === b)
+  }
 }
