@@ -622,6 +622,158 @@ object Corpus {
        |FROM m GROUP BY 1""".stripMargin
   }
 
+  /** WordPiece vocab size: small enough on the synthetic corpus that a
+    * real share of words needs multi-piece segmentation (the fallback
+    * paths get exercised), large enough that frequent stems land. */
+  val WordpieceVocab = 16
+
+  /** Longest subword piece induced/matched (induction takes lengths
+    * 2..[[WordpieceMaxPiece]]; length-1 fallback advances one char). */
+  val WordpieceMaxPiece = 4
+
+  /** Words longer than this are DROPPED from the report — the skew
+    * guard (a pathological megabyte "word" would otherwise make one
+    * fold iteration unbounded), mirrored verbatim in the twin. */
+  val WordpieceMaxWordLen = 16
+
+  /** WORDPIECE-STYLE GREEDY SEGMENTATION REPORT — the OTHER tokenizer
+    * inference family next to [[bpeApply]]'s merge replay: BERT-class
+    * tokenizers segment by MAXIMAL MUNCH (repeatedly take the longest
+    * vocab entry prefixing the remainder; unknown → advance one char),
+    * so fertility under greedy longest-match is the compatibility
+    * metric when a corpus moves between tokenizer families.
+    *
+    * Vocab induction is deliberately ITERATION-FREE (unlike BPE's merge
+    * loop) so the whole operator replays in SQL: candidate pieces are
+    * every substring of length 2..[[WordpieceMaxPiece]] of every
+    * distinct word, weighted by corpus term frequency per occurrence;
+    * the vocab is the top-[[WordpieceVocab]] by (weight DESC, piece) —
+    * integer weights, so the cut is deterministic.
+    *
+    * == Scale shape ==
+    * Word counting is one keyed agg; candidates explode ≤ L·maxPiece
+    * pieces per DISTINCT word (the word-domain table, not the corpus);
+    * the vocab is a bounded driver artifact (V strings — the collected-
+    * codebook class) interpolated into ONE narrow `aggregate` fold that
+    * segments each distinct word in ≤ len steps with O(maxPiece) vocab
+    * probes per step; per-source totals then ride a keyed equi-join of
+    * the word-domain segmentation back onto the (source, word) counts.
+    * No corpus-sized shuffle beyond the word count itself.
+    *
+    * == Cross-engine determinism ==
+    * Everything is integer (counts, positions, piece lengths) except
+    * the final fertility ratio, an identical IEEE division of exact
+    * BIGINT sums both sides. The twin derives the SAME vocab in SQL and
+    * replays the munch as a recursive CTE walking a precomputed
+    * (word, pos) → step table (aggregation is not allowed in a
+    * recursive term, so the per-position longest-match is materialized
+    * non-recursively first — positions are bounded by
+    * [[WordpieceMaxWordLen]]).
+    */
+  def wordpieceReport(docs: DataFrame,
+      vocabSize: Int = WordpieceVocab,
+      maxPiece: Int = WordpieceMaxPiece): DataFrame = {
+    val wc = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word").rlike("^[!-~]+$") &&
+        length(col("word")) <= WordpieceMaxWordLen)
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    val words = wc.groupBy("word").agg(sum("cnt").as("tf"))
+    // candidate pieces: every substring of length 2..maxPiece, one row
+    // per OCCURRENCE (position), weighted by the word's corpus tf
+    val cand = words.select(col("tf"), explode(expr(
+      s"""flatten(transform(sequence(2, $maxPiece), l ->
+         |  CASE WHEN length(word) >= l
+         |       THEN transform(sequence(1, length(word) - l + 1),
+         |                      i -> substr(word, i, l))
+         |       ELSE cast(array() AS array<string>) END))""".stripMargin))
+      .as("piece"))
+    val vocab = cand.groupBy("piece").agg(sum("tf").as("wt"))
+      .orderBy(col("wt").desc, col("piece"))
+      .limit(vocabSize)
+      .select("piece").collect().map(_.getString(0))
+    require(vocab.nonEmpty, "wordpieceReport: empty candidate vocab")
+    val vocabArr = vocab
+      .map(s => "'" + s.replace("'", "''") + "'").mkString("array(", ",", ")")
+    // maximal munch as ONE narrow fold: ≤ len(word) steps, each probing
+    // lengths maxPiece..1 (array_max over the matching lengths = the
+    // longest), falling back to a single-char advance
+    val seg = words.select(col("word"), expr(
+      s"""aggregate(
+         |  sequence(1, length(word)),
+         |  named_struct('pos', 0, 'cnt', 0L),
+         |  (st, x) -> IF(st.pos >= length(word), st,
+         |    named_struct(
+         |      'pos', st.pos + coalesce(array_max(filter(
+         |          sequence(1, least($maxPiece, length(word) - st.pos)),
+         |          l -> array_contains($vocabArr,
+         |                 substr(word, st.pos + 1, l)))), 1),
+         |      'cnt', st.cnt + 1L)),
+         |  st -> st.cnt)""".stripMargin).as("n_toks"))
+    wc.join(seg, Seq("word"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_toks")).as("n_tokens"),
+        sum(when(col("n_toks") === 1L, col("cnt")).otherwise(0L))
+          .as("one_piece_words"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        col("one_piece_words"),
+        (col("n_tokens").cast("double") / col("n_words"))
+          .as("toks_per_word"))
+  }
+
+  /** [[wordpieceReport]]'s DuckDB twin: same vocab induction in SQL,
+    * the munch replayed as a recursive CTE over a non-recursive
+    * (word, pos) → longest-match step table.
+    */
+  private def wordpieceOracle(vocabSize: Int = WordpieceVocab,
+      maxPiece: Int = WordpieceMaxPiece): String =
+    s"""WITH RECURSIVE wc AS MATERIALIZED (
+       |  SELECT source, tok AS word, count(*) AS cnt
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE regexp_matches(tok, '^[!-~]+$$')
+       |    AND length(tok) <= $WordpieceMaxWordLen
+       |  GROUP BY 1, 2),
+       |w AS MATERIALIZED (
+       |  SELECT word, CAST(sum(cnt) AS BIGINT) AS tf FROM wc GROUP BY 1),
+       |cand AS (
+       |  SELECT unnest(flatten([[substr(word, i, l)
+       |             for i in range(1, length(word) - l + 2)]
+       |             for l in range(2, ${maxPiece + 1})])) AS piece, tf
+       |  FROM w),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece FROM (
+       |    SELECT piece, CAST(sum(tf) AS BIGINT) AS wt FROM cand
+       |    GROUP BY 1)
+       |  ORDER BY wt DESC, piece LIMIT $vocabSize),
+       |steps AS MATERIALIZED (
+       |  SELECT w.word, p.pos, coalesce(max(length(v.piece)), 1) AS step
+       |  FROM w CROSS JOIN range(0, $WordpieceMaxWordLen) p(pos)
+       |  LEFT JOIN vocab v
+       |    ON length(v.piece) <= length(w.word) - p.pos
+       |   AND v.piece = substr(w.word, p.pos + 1, length(v.piece))
+       |  WHERE p.pos < length(w.word)
+       |  GROUP BY 1, 2),
+       |seg AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cnt FROM w
+       |  UNION ALL
+       |  SELECT s.word, CAST(s.pos + st.step AS INTEGER), s.cnt + 1
+       |  FROM seg s JOIN steps st
+       |    ON st.word = s.word AND st.pos = s.pos),
+       |sw AS MATERIALIZED (
+       |  SELECT word, cnt AS n_toks FROM seg
+       |  WHERE pos = length(word))
+       |SELECT wc.source,
+       |       CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+       |       CAST(sum(wc.cnt * sw.n_toks) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN sw.n_toks = 1 THEN wc.cnt ELSE 0 END)
+       |         AS BIGINT) AS one_piece_words,
+       |       CAST(CAST(sum(wc.cnt * sw.n_toks) AS BIGINT) AS DOUBLE)
+       |         / CAST(sum(wc.cnt) AS BIGINT) AS toks_per_word
+       |FROM wc JOIN sw USING (word)
+       |GROUP BY 1""".stripMargin
+
   /** [[bpeTrain]]'s DuckDB twin: the k merge rounds unrolled as CTE
     * stages (pair-count → top-1 → literal replace), MATERIALIZED so each
     * stage's token table computes once instead of inlining exponentially.
@@ -1107,6 +1259,7 @@ object Corpus {
     "bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
     "bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => bpePairCounts(Tables.documents(s, d))),
+    "tok_wordpiece" -> ((s, d) => wordpieceReport(Tables.documents(s, d))),
     "text_normalize" -> ((s, d) => normalizeStats(Tables.documents(s, d))),
     "mix_temperature" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
     "corpus_source_mix" -> ((s, d) => sourceMix(Tables.documents(s, d))),
@@ -1158,6 +1311,7 @@ object Corpus {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "tok_wordpiece" -> wordpieceOracle(),
     // the CCNet bucket twin: the lm_doc_scores scoring CTEs, then the
     // permille value-domain cumulative cut per source (descending, so
     // bucket 0 = head) replayed with the identical integer arithmetic

@@ -556,4 +556,46 @@ class CorpusSpec extends SparkSpec {
       assert((t._3.toDouble - 0.75) / t._4.toDouble <= t._8)
     }
   }
+
+  test("wordpieceReport: hand-replayed maximal munch on a planted vocab") {
+    import spark.implicits._
+    // words: abcd(tf 2), ab(1), cd(1), xy(1). Candidate weights:
+    // ab 3, cd 3, then (abc, abcd, bc, bcd @ 2; xy @ 1) -> top-3 vocab
+    // = {ab, cd, abc} (wt DESC, piece ASC). Munch: abcd -> abc + d (2),
+    // ab -> 1, cd -> 1, xy -> x + y (2).
+    val d = Seq((1L, "abcd abcd ab cd xy", "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.wordpieceReport(d, vocabSize = 3, maxPiece = 4)
+      .collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[String]("source") === "s1")
+    assert(row.getAs[Long]("n_words") === 5L)
+    assert(row.getAs[Long]("n_tokens") === 8L)
+    assert(row.getAs[Long]("one_piece_words") === 2L)
+    assert(row.getAs[Double]("toks_per_word") === 1.6)
+  }
+
+  test("wordpieceReport: fixture run — fertility bounded, every source " +
+      "reported, over-long words dropped not truncated") {
+    val r = Corpus.wordpieceReport(docs).collect()
+    assert(r.length === docs.select("source").distinct().count())
+    r.foreach { row =>
+      val w = row.getAs[Long]("n_words")
+      val t = row.getAs[Long]("n_tokens")
+      assert(w > 0 && t >= w, s"fertility must be >= 1: $row")
+      assert(row.getAs[Long]("one_piece_words") <= w)
+      assert(row.getAs[Double]("toks_per_word") ===
+        t.toDouble / w)
+    }
+    // the length cap drops, never truncates: a 17-char word contributes
+    // nothing (17 > WordpieceMaxWordLen)
+    import spark.implicits._
+    val longWord = "x" * (Corpus.WordpieceMaxWordLen + 1)
+    val d2 = Seq((1L, s"ab ab $longWord", "s1"))
+      .toDF("doc_id", "text", "source")
+    val r2 = Corpus.wordpieceReport(d2, vocabSize = 1, maxPiece = 4)
+      .collect()
+    assert(r2.head.getAs[Long]("n_words") === 2L)
+  }
 }
