@@ -518,7 +518,68 @@ object Stats {
           .as("mean_right"))
   }
 
+  /** Bootstrap resample arms — 16 keeps the arm table readable while
+    * the arm-to-arm spread is already a usable CI width. */
+  val BootstrapArms = 16
+
+  /** Poisson(1) inverse-CDF thresholds on the u32 hash domain
+    * (`floor(P(X ≤ k) · 2³²)` for k = 0..5; the k=6 cap absorbs the
+    * ~5.9e-4 tail): a uniform u32 compared against these integer
+    * literals yields a deterministic Poisson(1) draw with NO floating
+    * comparison anywhere, so the resample replays exactly cross-engine.
+    */
+  val PoissonCdfU32: Seq[Long] = Seq(1580030168L, 3160060337L,
+    3950075421L, 4213413783L, 4279248373L, 4292415291L)
+
+  /** POISSON BOOTSTRAP over mean order value — the distributed
+    * bootstrap (each row draws its per-arm multiplicity from
+    * Poisson(1) instead of the n-out-of-n resample, the standard
+    * streaming/MapReduce reformulation): `arms` deterministic resample
+    * arms of `orders`, each reporting draw count, exact drawn cents,
+    * and the arm mean. The arm table IS the bootstrap distribution of
+    * the mean — CI endpoints are order statistics of these rows.
+    *
+    * == Scale shape ==
+    * One narrow explode (×arms) over the fact stream feeding ONE
+    * keyed aggregation on the `arms`-sized domain — map-side partials
+    * absorb everything, no join, no window, no second pass. At any
+    * corpus size the output is `arms` rows.
+    *
+    * == Determinism ==
+    * The per-(row, arm) multiplicity is the portable Knuth-hash u32 of
+    * `o_orderkey·arms + arm` (same hash + id-domain guard as
+    * [[graft.ext.Corpus.shardAssign]]) cut by [[PoissonCdfU32]] —
+    * all-integer; the only double is the final mean, an identical
+    * IEEE division of exact BIGINT sums on both engines.
+    */
+  def poissonBootstrap(orders: DataFrame,
+      arms: Int = BootstrapArms): DataFrame = {
+    val maxId = Long.MaxValue / 2654435761L
+    val key = col("o_orderkey") * arms + col("arm")
+    val guarded = when(key.between(0L, maxId), key)
+      .otherwise(raise_error(lit(
+        s"poissonBootstrap: key outside portable-hash domain [0, $maxId]")))
+    val h = (guarded * 2654435761L) % 4294967296L
+    val draw = PoissonCdfU32.zipWithIndex
+      .foldRight(lit(PoissonCdfU32.length): Column) {
+        case ((t, k), els) => when(h < t, lit(k)).otherwise(els)
+      }
+    orders
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        explode(sequence(lit(0L), lit((arms - 1).toLong))).as("arm"))
+      .select(col("arm"), col("cents"), draw.cast("long").as("w"))
+      .groupBy("arm")
+      .agg(sum("w").as("n_draws"),
+        sum(col("w") * col("cents")).as("draw_cents"))
+      .select(col("arm"), col("n_draws"), col("draw_cents"),
+        when(col("n_draws") === 0L, lit(null).cast("double"))
+          .otherwise(col("draw_cents").cast("double") / col("n_draws"))
+          .as("mean_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_bootstrap" -> ((s, d) => poissonBootstrap(Tables.orders(s, d))),
     "stats_spearman" -> ((s, d) => spearmanQtyValue(Tables.lineitem(s, d))),
     "stats_ks" -> ((s, d) => ksEventValues(Tables.events(s, d))),
     "drift_daily_ks" -> ((s, d) => dailyValueDrift(Tables.events(s, d))),
@@ -543,6 +604,27 @@ object Stats {
     * equal to Spark's `div` for the non-negative operands here).
     */
   def oracleSql: Map[String, String] = Map(
+    "stats_bootstrap" -> {
+      val cases = PoissonCdfU32.zipWithIndex
+        .map { case (t, k) => s"WHEN m < $t THEN $k" }.mkString(" ")
+      s"""WITH a AS (SELECT range AS arm FROM range(0, $BootstrapArms)),
+         |b AS (
+         |  SELECT a.arm,
+         |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         |         ((o.o_orderkey * $BootstrapArms + a.arm)
+         |           * 2654435761) % 4294967296 AS m
+         |  FROM orders o CROSS JOIN a),
+         |w AS (SELECT arm, cents,
+         |        CAST(CASE $cases ELSE ${PoissonCdfU32.length} END
+         |          AS BIGINT) AS w
+         |      FROM b)
+         |SELECT arm, CAST(sum(w) AS BIGINT) AS n_draws,
+         |       CAST(sum(w * cents) AS BIGINT) AS draw_cents,
+         |       CASE WHEN CAST(sum(w) AS BIGINT) = 0 THEN NULL
+         |            ELSE CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+         |                 / CAST(sum(w) AS BIGINT) END AS mean_cents
+         |FROM w GROUP BY 1""".stripMargin
+    },
     "stats_spearman" ->
       """WITH daily AS (
         |  SELECT l_returnflag,

@@ -242,4 +242,43 @@ class StatsSpec extends SparkSpec {
       .map(t => t._1 -> (t._2, t._3)).toMap
     assert(r("1") === ((3L, 0.75)) && r("9") === ((1L, 0.25)))
   }
+
+  test("poissonBootstrap: hand-computed draw, arm domain, partition " +
+      "invariance") {
+    // o_orderkey=1, arm=0: key=16, h = 16*2654435761 mod 2^32
+    //   = 3816266512, which falls in [t1, t2) -> draw 2
+    val one = Seq((1L, 10.0)).toDF("o_orderkey", "o_totalprice")
+    val r1 = Stats.poissonBootstrap(one)
+      .filter($"arm" === 0L).collect().head
+    assert(r1.getAs[Long]("n_draws") === 2L)
+    assert(r1.getAs[Long]("draw_cents") === 2000L)
+    assert(r1.getAs[Double]("mean_cents") === 1000.0)
+
+    val orders = Seq.tabulate(200)(i => ((i + 1).toLong, (i + 1) * 1.5))
+      .toDF("o_orderkey", "o_totalprice")
+    def run(df: DataFrame) = Stats.poissonBootstrap(df).collect()
+      .map(r => (r.getAs[Long]("arm"), r.getAs[Long]("n_draws"),
+        r.getAs[Long]("draw_cents"))).toSet
+    val a = run(orders)
+    assert(a.map(_._1) === (0L until 16L).toSet)
+    // Poisson(1) multiplicities: total draws concentrate around n per arm
+    val totalDraws = a.toSeq.map(_._2).sum
+    assert(math.abs(totalDraws - 16L * 200L) < 16L * 200L / 5,
+      s"total draws $totalDraws far from ${16 * 200}")
+    assert(run(orders.repartition(13)) === a)
+  }
+
+  test("poissonBootstrap: fixture arm means bracket the true mean") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val truth = orders
+      .selectExpr("cast(sum(cast(round(o_totalprice * 100) as long)) as double)" +
+        " / count(*) as m").collect().head.getDouble(0)
+    val means = Stats.poissonBootstrap(orders).collect()
+      .map(_.getAs[Double]("mean_cents"))
+    assert(means.length === Stats.BootstrapArms)
+    means.foreach(m => assert(math.abs(m - truth) / truth < 0.05,
+      s"arm mean $m vs truth $truth"))
+    // a real bootstrap has spread: not all arms identical
+    assert(means.distinct.length > 1)
+  }
 }
