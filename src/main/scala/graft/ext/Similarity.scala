@@ -232,6 +232,41 @@ object Similarity {
   def ivfAssignments(emb: DataFrame): DataFrame =
     ivfAssignments(emb, trainCentroids(emb))
 
+  /** IVF INDEX DIAGNOSTICS — the list-balance report an index build
+    * emits before anything serves from it: list count, corpus size,
+    * largest/smallest inverted list, and the IMBALANCE FACTOR
+    * `K·Σsᵢ²/n²` (= 1.0 for perfectly equal lists; it is exactly the
+    * expected scan blow-up of size-proportional probing vs a balanced
+    * index, and ≥ 1 by Cauchy–Schwarz). A skewed report here is the
+    * early warning that probed-list serving ([[ivfTopK]],
+    * [[ivfPqTopK]], the stored [[graft.sources.AnnIndex]]) will
+    * straggle on hot lists.
+    *
+    * Scale shape: one keyed count over the assignment stream (map-side
+    * partials), then one single-row aggregate over the K-sized list
+    * table. The imbalance double is the identical IEEE tree both
+    * sides: `CAST(Σs² AS DOUBLE)·K / (CAST(n) · CAST(n))` — casts
+    * BEFORE the products so the expression never needs n² to fit an
+    * integer at production corpus sizes.
+    */
+  def ivfListStats(emb: DataFrame,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = codebook.getOrElse(trainCentroids(emb))
+    val sizes = ivfAssignments(emb, cents)
+      .groupBy("centroid_id").agg(count(lit(1)).as("sz"))
+    sizes
+      .agg(count(lit(1)).as("k_lists"),
+        sum("sz").as("n_vecs"),
+        max("sz").as("max_list"),
+        min("sz").as("min_list"),
+        sum(col("sz") * col("sz")).as("sum_sq"))
+      .select(col("k_lists"), col("n_vecs"), col("max_list"),
+        col("min_list"),
+        (col("sum_sq").cast("double") * col("k_lists") /
+          (col("n_vecs").cast("double") * col("n_vecs").cast("double")))
+          .as("imbalance"))
+  }
+
   /** IVF approximate top-k: probe the [[Probes]] best centroids per query,
     * exact search within those inverted lists only. Pass a pre-trained
     * `codebook` to amortize training across queries (an index build trains
@@ -2358,6 +2393,8 @@ object Similarity {
       embeddingDecontamSweep(Tables.embeddings(s, d))),
     "sample_coreset" -> ((s, d) =>
       kcenterCoreset(Tables.embeddings(s, d))),
+    "sim_ivf_stats" -> ((s, d) =>
+      ivfListStats(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -2816,6 +2853,21 @@ object Similarity {
     */
   def oracleSql: Map[String, String] = Map(
     "sample_coreset" -> duckCoresetSql(),
+    "sim_ivf_stats" ->
+      s"""WITH ${duckTrainedCents()},
+         |${duckAssigned()},
+         |sizes AS (
+         |  SELECT centroid_id, count(*) AS sz FROM asg GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS k_lists,
+         |       CAST(sum(sz) AS BIGINT) AS n_vecs,
+         |       CAST(max(sz) AS BIGINT) AS max_list,
+         |       CAST(min(sz) AS BIGINT) AS min_list,
+         |       CAST(CAST(sum(sz * sz) AS BIGINT) AS DOUBLE)
+         |         * CAST(count(*) AS BIGINT)
+         |         / (CAST(CAST(sum(sz) AS BIGINT) AS DOUBLE)
+         |            * CAST(CAST(sum(sz) AS BIGINT) AS DOUBLE))
+         |         AS imbalance
+         |FROM sizes""".stripMargin,
     "vec_kmeans" ->
       s"""WITH ${duckTrainedCents()},
          |${duckAssigned()}

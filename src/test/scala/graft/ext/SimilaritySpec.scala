@@ -1163,4 +1163,29 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(r.last._2 === -1L)
   }
+
+  test("ivfListStats: planted codebook gives exact sizes; fixture " +
+      "imbalance respects the Cauchy-Schwarz floor") {
+    import spark.implicits._
+    // hand codebook: two orthogonal centroids; 3 vectors join c0, 1
+    // joins c1 -> sizes {3, 1}: imbalance = 2*(9+1)/16 = 1.25
+    val cents = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
+      .toDF("centroid_id", "c")
+    val d = emb(1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.9f, 0.1f),
+      3L -> Seq(0.8f, 0.2f), 4L -> Seq(0.0f, 1.0f))
+    val r = Similarity.ivfListStats(d, codebook = Some(cents))
+      .collect().head
+    assert(r.getAs[Long]("k_lists") === 2L)
+    assert(r.getAs[Long]("n_vecs") === 4L)
+    assert(r.getAs[Long]("max_list") === 3L)
+    assert(r.getAs[Long]("min_list") === 1L)
+    assert(r.getAs[Double]("imbalance") === 1.25)
+
+    val f = Similarity.ivfListStats(
+      Tables.embeddings(spark, "/root/testdata/sf0.001")).collect().head
+    assert(f.getAs[Long]("n_vecs") === 500L)
+    assert(f.getAs[Long]("k_lists") <= Similarity.Centroids)
+    assert(f.getAs[Double]("imbalance") >= 1.0)
+    assert(f.getAs[Long]("max_list") >= f.getAs[Long]("min_list"))
+  }
 }
