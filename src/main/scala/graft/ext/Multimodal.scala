@@ -308,6 +308,101 @@ object Multimodal {
     }
   }
 
+  /** Perceptual-hash output: 63 DCT-sign bits (bit 0 — the DC slot —
+    * unused), split into two halves like [[AHash]]. */
+  case class PHash(doc_id: Long, width: Int, height: Int,
+      phash_hi: Long, phash_lo: Long)
+
+  /** Fixed-point DCT basis for [[perceptualHash]]:
+    * `floor(cos((2x+1)·u·π/64) · 2¹⁴)` for u ∈ 0..7, x ∈ 0..31.
+    * Computed ONCE here and interpolated into the DuckDB twin as
+    * integer literals, so both engines share the exact same basis and
+    * no libm call happens at query time on either side (the SRP
+    * weight-list precedent).
+    */
+  val PhashCos: Array[Array[Long]] = Array.tabulate(8, 32) { (u, x) =>
+    math.floor(math.cos((2 * x + 1) * u * math.Pi / 64.0) * 16384.0).toLong
+  }
+
+  /** Perceptual DCT HASH (pHash) over REAL decoded PNG pixels — the
+    * frequency-domain member of the perceptual-dedup trio ([[averageHash]]
+    * thresholds brightness, [[differenceHash]] gradients; pHash is the
+    * one robust to global brightness/contrast shifts because it signs
+    * LOW-FREQUENCY DCT structure against the AC median). The image
+    * nearest-neighbor-samples to a 32×32 grid, a 2-D DCT-II restricted
+    * to the 8×8 low-frequency block runs in EXACT fixed-point integer
+    * arithmetic over the [[PhashCos]] basis (separable two-pass on the
+    * Spark side; the straight double sum in the twin — integer addition
+    * is associative, so any order agrees bit-for-bit), and bit
+    * `v·8+u` (b = 1..63, DC excluded) is set iff its coefficient
+    * exceeds the exact integer MEDIAN of the 63 AC coefficients —
+    * median, not mean, so no signed floor-division semantics can
+    * diverge cross-engine. Magnitudes: |F| ≤ 32²·255·2¹⁴·2¹⁴ ≈ 7e13,
+    * exact in a long. Near-dup detection is Hamming distance on the
+    * 63 bits, same serving shape as the other two hashes.
+    */
+  def perceptualHash(imgs: Dataset[Asset]): Dataset[PHash] = {
+    import imgs.sparkSession.implicits._
+    imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"doc ${a.doc_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val p = Array.ofDim[Long](32, 32) // p(y)(x)
+        var j = 0
+        while (j < 32) {
+          var i = 0
+          while (i < 32) {
+            p(j)(i) = raster.getSample(i * (w / 32), (j * h) / 32, 0).toLong
+            i += 1
+          }
+          j += 1
+        }
+        // separable DCT: t(v)(x) = Σ_y C(v,y)·p(y)(x), then
+        // F(u,v) = Σ_x C(u,x)·t(v)(x)
+        val t = Array.ofDim[Long](8, 32)
+        var v = 0
+        while (v < 8) {
+          var x = 0
+          while (x < 32) {
+            var s = 0L
+            var y = 0
+            while (y < 32) { s += PhashCos(v)(y) * p(y)(x); y += 1 }
+            t(v)(x) = s
+            x += 1
+          }
+          v += 1
+        }
+        val f = new Array[Long](64) // b = v·8 + u
+        v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var s = 0L
+            var x = 0
+            while (x < 32) { s += PhashCos(u)(x) * t(v)(x); x += 1 }
+            f(v * 8 + u) = s
+            u += 1
+          }
+          v += 1
+        }
+        val med = f.drop(1).sorted.apply(31) // exact median of 63 AC terms
+        var hi = 0L; var lo = 0L
+        var b = 1
+        while (b < 64) {
+          if (f(b) > med) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        PHash(a.doc_id, w, h, hi, lo)
+      }
+    }
+  }
+
   /** Real-codec audio decode output: stream parameters and sample checksum
     * read back by `javax.sound.sampled` from actual WAV bytes.
     */
@@ -561,6 +656,8 @@ object Multimodal {
       ahashDedupGroups(encodePng(assetDs(s, d)))),
     "mm_dhash" -> ((s, d) =>
       differenceHash(encodePng(assetDs(s, d))).toDF()),
+    "mm_phash" -> ((s, d) =>
+      perceptualHash(encodePng(assetDs(s, d))).toDF()),
     // real decode -> feature pipeline: histogram/mean over decoded pixels
     // (hist emitted as a scalar CSV string — verify outputs are scalar-only)
     "mm_features_png" -> ((s, d) =>
@@ -608,7 +705,58 @@ object Multimodal {
       |                      for b in range(0, 32)]) AS BIGINT) AS ahash_lo
       |FROM m""".stripMargin
 
+  /** pHash twin: predicts the decoded-pixel DCT hash from the payload
+    * byte contract. The fixed-point cosine basis [[PhashCos]] is
+    * interpolated as integer literals (single source of truth — no
+    * trig in SQL); the DCT here is the straight nested sum (integer
+    * addition is associative, so it agrees exactly with the Spark
+    * side's separable two-pass). Samples are CAST to BIGINT before the
+    * products so no intermediate rides 32-bit arithmetic.
+    */
+  private def duckPhashSql: String = {
+    val ct = PhashCos.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ",\n      |  ", "]")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n, text
+       |  FROM documents),
+       |hh AS (SELECT doc_id, n, text,
+       |              greatest(1, CAST(ceil(n / 32.0) AS BIGINT)) AS h
+       |       FROM t0),
+       |px AS (
+       |  SELECT doc_id, h,
+       |         [CASE WHEN (q // 32) * h // 32 * 32 + (q % 32) < n
+       |               THEN CAST(ascii(substring(text,
+       |                 CAST((q // 32) * h // 32 * 32 + (q % 32) + 1
+       |                      AS INT), 1)) AS BIGINT)
+       |               ELSE 0 END for q in range(0, 1024)] AS p
+       |  FROM hh),
+       |cb AS (SELECT $ct AS ct),
+       |tv AS (
+       |  SELECT doc_id, h, ct,
+       |         [[list_sum([ct[v + 1][y + 1] * p[y * 32 + x + 1]
+       |                     for y in range(0, 32)])
+       |           for x in range(0, 32)] for v in range(0, 8)] AS t
+       |  FROM px, cb),
+       |fm AS (
+       |  SELECT doc_id, h,
+       |         flatten([[list_sum([ct[u + 1][x + 1] * t[v + 1][x + 1]
+       |                     for x in range(0, 32)])
+       |           for u in range(0, 8)] for v in range(0, 8)]) AS f
+       |  FROM tv),
+       |md AS (SELECT doc_id, h, f,
+       |              list_sort(f[2:64])[32] AS med FROM fm)
+       |SELECT doc_id, 32 AS width, CAST(h AS INT) AS height,
+       |       CAST(list_sum([CASE WHEN f[b + 33] > med
+       |                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+       |                      for b in range(0, 32)]) AS BIGINT) AS phash_hi,
+       |       CAST(list_sum([CASE WHEN b >= 1 AND f[b + 1] > med
+       |                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+       |                      for b in range(0, 32)]) AS BIGINT) AS phash_lo
+       |FROM md""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "mm_phash" -> duckPhashSql,
     // the lossy JPEG leg's deterministic surface: dimensions follow the
     // grayImage raster contract, grayscale decodes to one band, and the
     // codec must accept every payload

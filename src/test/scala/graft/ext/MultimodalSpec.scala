@@ -230,4 +230,50 @@ class MultimodalSpec extends SparkSpec {
     assert(groups(3L) === 1L)
     assert(groups.values.sum === 3L)
   }
+
+  test("perceptualHash: REAL decode matches the payload byte-contract " +
+      "prediction term-for-term; DC bit unused; content-sensitive") {
+    // independent predictor: straight triple-product DCT over the byte
+    // contract (integer sums are associative, so it must equal the
+    // engine's separable two-pass exactly)
+    def predict(payload: Array[Byte]): (Long, Long, Int) = {
+      val n = payload.length
+      val h = math.max(1, (n + 31) / 32)
+      val p = Array.tabulate(32, 32) { (j, i) =>
+        val idx = ((j * h) / 32) * 32 + i
+        if (idx < n) java.lang.Byte.toUnsignedInt(payload(idx)).toLong
+        else 0L
+      }
+      val f = new Array[Long](64)
+      for (v <- 0 until 8; u <- 0 until 8) {
+        var s = 0L
+        for (y <- 0 until 32; x <- 0 until 32)
+          s += Multimodal.PhashCos(u)(x) * Multimodal.PhashCos(v)(y) * p(y)(x)
+        f(v * 8 + u) = s
+      }
+      val med = f.drop(1).sorted.apply(31)
+      var hi = 0L; var lo = 0L
+      for (b <- 1 until 64) if (f(b) > med) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      (hi, lo, h)
+    }
+    val texts = Seq(
+      1L -> new String(Array.tabulate(200)(i => (i % 96 + 32).toChar)),
+      2L -> "key agg row scan slow fast table value part",
+      3L -> "a b a b a b a b a b a b a b a b a b a b a b")
+    val ds = Multimodal.assets(docs(texts: _*)).as[Multimodal.Asset]
+    val r = Multimodal.perceptualHash(Multimodal.encodePng(ds)).collect()
+      .map(a => a.doc_id -> a).toMap
+    texts.foreach { case (id, txt) =>
+      val (hi, lo, h) = predict(txt.getBytes("UTF-8"))
+      assert(r(id).phash_hi === hi, s"doc $id hi")
+      assert(r(id).phash_lo === lo, s"doc $id lo")
+      assert(r(id).height === h && r(id).width === 32)
+      assert((r(id).phash_lo & 1L) === 0L, "DC bit must stay unused")
+    }
+    assert(texts.map { case (id, _) =>
+      (r(id).phash_hi, r(id).phash_lo) }.toSet.size === 3,
+      "different content must fingerprint differently")
+  }
 }
