@@ -403,6 +403,50 @@ object Multimodal {
     }
   }
 
+  /** NEAR-DUP IMAGE PAIRS by banded pHash Hamming distance — the
+    * image-side LSH: the 64 fingerprint bits split into 8 one-byte
+    * bands, candidates collide on ANY band, survivors verify
+    * `hamming ≤ maxHamming`. With 8 bands the pigeonhole guarantee is
+    * EXHAUSTIVE for `maxHamming ≤ 7` (a pair differing in ≤ 7 bits
+    * leaves at least one byte equal), so unlike probabilistic LSH this
+    * banding loses zero recall at the default threshold — the
+    * [[graft.ext.Dedup.simhashNearDupPairs]] shape on the DCT hash.
+    *
+    * Scale shape: fingerprints are 3 longs per asset (decode cost is
+    * the scan); the self-join is keyed by (band, value) with candidate
+    * fan-out bounded per bucket, then the verify is a narrow bit_count.
+    */
+  def phashNearDupPairs(imgs: Dataset[Asset],
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7,
+      "8-byte banding is only exhaustive for maxHamming <= 7")
+    // materialize fingerprints once: the banded self-join consumes the
+    // decode subplan twice (the simhashNearDupPairs lesson)
+    val fp = graft.CheckpointLease.track(
+      perceptualHash(imgs).toDF().localCheckpoint())
+    val banded = fp.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+      posexplode(array(
+        (0 until 4).map(b =>
+          shiftright(col("phash_lo"), b * 8).bitwiseAND(0xFF)) ++
+        (0 until 4).map(b =>
+          shiftright(col("phash_hi"), b * 8).bitwiseAND(0xFF)): _*))
+        .as(Seq("band_idx", "band_val")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash_hi").as("ha"), col("a.phash_lo").as("la"),
+        col("b.phash_hi").as("hb"), col("b.phash_lo").as("lb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Real-codec audio decode output: stream parameters and sample checksum
     * read back by `javax.sound.sampled` from actual WAV bytes.
     */
@@ -658,6 +702,8 @@ object Multimodal {
       differenceHash(encodePng(assetDs(s, d))).toDF()),
     "mm_phash" -> ((s, d) =>
       perceptualHash(encodePng(assetDs(s, d))).toDF()),
+    "mm_dedup_phash" -> ((s, d) =>
+      phashNearDupPairs(encodePng(assetDs(s, d)))),
     // real decode -> feature pipeline: histogram/mean over decoded pixels
     // (hist emitted as a scalar CSV string — verify outputs are scalar-only)
     "mm_features_png" -> ((s, d) =>
@@ -713,10 +759,21 @@ object Multimodal {
     * side's separable two-pass). Samples are CAST to BIGINT before the
     * products so no intermediate rides 32-bit arithmetic.
     */
-  private def duckPhashSql: String = {
+  private def duckPhashSql: String =
+    s"""WITH $duckPhashCtes
+       |SELECT doc_id, 32 AS width, CAST(h AS INT) AS height,
+       |       phash_hi, phash_lo
+       |FROM ph""".stripMargin
+
+  /** Shared pHash CTE chain, ending in `ph(doc_id, h, phash_hi,
+    * phash_lo)` — the fingerprint table both `mm_phash` and the banded
+    * near-dup twin build on. MATERIALIZED: the near-dup twin's
+    * self-join would otherwise inline the whole DCT per side.
+    */
+  private def duckPhashCtes: String = {
     val ct = PhashCos.map(_.mkString("[", ", ", "]"))
       .mkString("[", ",\n      |  ", "]")
-    s"""WITH t0 AS (
+    s"""t0 AS (
        |  SELECT doc_id, octet_length(encode(text)) AS n, text
        |  FROM documents),
        |hh AS (SELECT doc_id, n, text,
@@ -744,19 +801,37 @@ object Multimodal {
        |           for u in range(0, 8)] for v in range(0, 8)]) AS f
        |  FROM tv),
        |md AS (SELECT doc_id, h, f,
-       |              list_sort(f[2:64])[32] AS med FROM fm)
-       |SELECT doc_id, 32 AS width, CAST(h AS INT) AS height,
+       |              list_sort(f[2:64])[32] AS med FROM fm),
+       |ph AS MATERIALIZED (
+       |  SELECT doc_id, h,
        |       CAST(list_sum([CASE WHEN f[b + 33] > med
        |                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
        |                      for b in range(0, 32)]) AS BIGINT) AS phash_hi,
        |       CAST(list_sum([CASE WHEN b >= 1 AND f[b + 1] > med
        |                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
        |                      for b in range(0, 32)]) AS BIGINT) AS phash_lo
-       |FROM md""".stripMargin
+       |  FROM md)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
     "mm_phash" -> duckPhashSql,
+    "mm_dedup_phash" ->
+      s"""WITH $duckPhashCtes,
+         |bands AS MATERIALIZED (
+         |  SELECT doc_id, phash_hi, phash_lo, t.b AS band_idx,
+         |         CASE WHEN t.b < 4 THEN (phash_lo >> (t.b * 8)) & 255
+         |              ELSE (phash_hi >> ((t.b - 4) * 8)) & 255
+         |         END AS band_val
+         |  FROM ph CROSS JOIN range(0, 8) t(b))
+         |SELECT DISTINCT doc_a, doc_b, hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(xor(a.phash_hi, b.phash_hi)) +
+         |              bit_count(xor(a.phash_lo, b.phash_lo))
+         |           AS INTEGER) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id)
+         |WHERE hamming <= 6""".stripMargin,
     // the lossy JPEG leg's deterministic surface: dimensions follow the
     // grayImage raster contract, grayscale decodes to one band, and the
     // codec must accept every payload

@@ -276,4 +276,25 @@ class MultimodalSpec extends SparkSpec {
       (r(id).phash_hi, r(id).phash_lo) }.toSet.size === 3,
       "different content must fingerprint differently")
   }
+
+  test("phashNearDupPairs: identical content pairs at hamming 0; banding " +
+      "is exhaustive at the threshold; threshold guard") {
+    val t1 = "key agg row scan slow fast table value part hash value"
+    val ds = Multimodal.assets(docs(
+      1L -> t1, 2L -> t1,
+      3L -> new String(Array.tabulate(300)(i => (i * 7 % 96 + 32).toChar))))
+      .as[Multimodal.Asset]
+    val pairs = Multimodal.phashNearDupPairs(Multimodal.encodePng(ds))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    graft.CheckpointLease.releaseAll()
+    assert(pairs.contains((1L, 2L, 0)), s"identical docs must pair: " +
+      pairs.mkString(", "))
+    pairs.foreach { case (a, b, hm) =>
+      assert(a < b && hm <= 6, s"bad pair ($a, $b, $hm)")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDupPairs(Multimodal.encodePng(ds),
+        maxHamming = 8)
+    }
+  }
 }
