@@ -447,6 +447,20 @@ object Multimodal {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Near-dup IMAGE CLUSTERS: connected components over the banded
+    * pHash pair graph — the image-side [[Components.nearDupClusters]].
+    * Every asset in a near-dup cluster, labeled by the minimum doc_id
+    * reachable; assets with no near-dup partner don't appear (the same
+    * pair-graph domain convention as the text clusters). Rides
+    * [[Components.connectedComponents]]'s threshold-gated union-find:
+    * pair graphs are corpus-sparse, so the driver pass wins under the
+    * gate and the distributed label propagation remains the unbounded
+    * fallback.
+    */
+  def phashClusters(imgs: Dataset[Asset]): DataFrame =
+    Components.connectedComponents(phashNearDupPairs(imgs))
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+
   /** Real-codec audio decode output: stream parameters and sample checksum
     * read back by `javax.sound.sampled` from actual WAV bytes.
     */
@@ -704,6 +718,8 @@ object Multimodal {
       perceptualHash(encodePng(assetDs(s, d))).toDF()),
     "mm_dedup_phash" -> ((s, d) =>
       phashNearDupPairs(encodePng(assetDs(s, d)))),
+    "mm_phash_clusters" -> ((s, d) =>
+      phashClusters(encodePng(assetDs(s, d)))),
     // real decode -> feature pipeline: histogram/mean over decoded pixels
     // (hist emitted as a scalar CSV string — verify outputs are scalar-only)
     "mm_features_png" -> ((s, d) =>
@@ -832,6 +848,34 @@ object Multimodal {
          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |   AND a.doc_id < b.doc_id)
          |WHERE hamming <= 6""".stripMargin,
+    // the clusters twin: same fingerprints + banding, then the
+    // min-reachable-id fixpoint as a recursive CTE (the ClustersSql
+    // pattern on the image pair graph)
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $duckPhashCtes,
+         |bands AS MATERIALIZED (
+         |  SELECT doc_id, phash_hi, phash_lo, t.b AS band_idx,
+         |         CASE WHEN t.b < 4 THEN (phash_lo >> (t.b * 8)) & 255
+         |              ELSE (phash_hi >> ((t.b - 4) * 8)) & 255
+         |         END AS band_val
+         |  FROM ph CROSS JOIN range(0, 8) t(b)),
+         |prs AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash_hi, b.phash_hi)) +
+         |        bit_count(xor(a.phash_lo, b.phash_lo)) <= 6),
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |reach AS (
+         |  SELECT u AS node, u AS r FROM und
+         |  UNION
+         |  SELECT und.u AS node, reach.r
+         |  FROM und JOIN reach ON und.v = reach.node)
+         |SELECT node AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY 1""".stripMargin,
     // the lossy JPEG leg's deterministic surface: dimensions follow the
     // grayImage raster contract, grayscale decodes to one band, and the
     // codec must accept every payload

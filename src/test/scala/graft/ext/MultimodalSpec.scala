@@ -297,4 +297,20 @@ class MultimodalSpec extends SparkSpec {
         maxHamming = 8)
     }
   }
+
+  test("phashClusters: identical content merges transitively to the " +
+      "min doc_id; unpaired assets stay out of the pair-graph domain") {
+    val t1 = "key agg row scan slow fast table value part hash value"
+    val ds = Multimodal.assets(docs(
+      1L -> t1, 2L -> t1, 5L -> t1,
+      9L -> new String(Array.tabulate(300)(i => (i * 7 % 96 + 32).toChar))))
+      .as[Multimodal.Asset]
+    val cl = Multimodal.phashClusters(Multimodal.encodePng(ds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CheckpointLease.releaseAll()
+    assert(cl.get(1L).contains(1L) && cl.get(2L).contains(1L) &&
+      cl.get(5L).contains(1L), s"identical trio must share cluster 1: $cl")
+    assert(!cl.contains(9L),
+      "an asset with no near-dup partner is outside the pair graph")
+  }
 }
