@@ -1506,6 +1506,59 @@ object Similarity {
         "max_sim_prior", "mmr_score")
   }
 
+  /** STRUCTURED RANDOM ROTATION `x' = H·D·x / √d` (Sylvester–Hadamard
+    * H, deterministic sign diagonal D) — the classic PQ/LSH
+    * preprocessing (Andoni et al. 2015; the "random rotation" baseline
+    * of the OPQ literature): an exact orthogonal transform that SPREADS
+    * anisotropic energy evenly across dimensions, so fixed-width PQ
+    * subspace slicing stops starving (the failure
+    * [[pqVarianceBalancedPerm]]'s snake deal also fixes, here without
+    * needing a variance pass). Everything is engine-portable by
+    * construction: H entries are ±1 (`(−1)^popcount(u AND j)`), D's
+    * signs come from bit 16 of the portable Knuth-hash u32 of the
+    * dimension index, the fold adds/subtracts the double-cast inputs
+    * SEQUENTIALLY, and √d = 8 is a power of two so the final scale is
+    * one exact division. No RNG state, no trig, no matrix literal.
+    *
+    * Scale shape: one narrow map, d² adds per row, no shuffle.
+    */
+  val HadamardDim = 64
+
+  private[graft] def hadamardExpr(vecCol: String): String = {
+    val d = HadamardDim
+    // sign of term (u, j): parity of popcount(u & j) + D's sign bit
+    val dbit = s"((((j * 2654435761) % 4294967296) div 65536) % 2)"
+    s"""transform(sequence(0, ${d - 1}), u ->
+       |  aggregate(sequence(0, ${d - 1}), CAST(0.0 AS DOUBLE),
+       |    (acc, j) -> CASE WHEN (bit_count(u & j) + $dbit) % 2 = 0
+       |      THEN acc + CAST(element_at($vecCol, j + 1) AS DOUBLE)
+       |      ELSE acc - CAST(element_at($vecCol, j + 1) AS DOUBLE) END,
+       |    acc -> acc / CAST(8.0 AS DOUBLE)))""".stripMargin
+  }
+
+  /** The rotated corpus `(vec_id, rotated array<double>)`. */
+  def hadamardRotate(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr(hadamardExpr("embedding")).as("rotated"))
+
+  /** SPECTRUM-FLATTENING REPORT of [[hadamardRotate]]: per-dimension
+    * corpus energy (µ-quantized exact integer sums of x², the
+    * [[gramMatrix]] trick) before vs after rotation — the evidence a
+    * curator reads to decide whether the rotation is worth a reindex
+    * (energy concentrated in few dims before + flat after ⇒ yes).
+    * One narrow map + one keyed agg on the d-sized domain.
+    */
+  def hadamardSpectrum(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        expr(hadamardExpr("embedding")).as("rotated"))
+      .select(posexplode(expr(
+        """zip_with(embedding, rotated, (a, b) -> struct(
+          |  CAST(floor(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+          |             * 1000000.0) AS BIGINT) AS rq,
+          |  CAST(floor(b * b * 1000000.0) AS BIGINT) AS tq))"""
+          .stripMargin)).as(Seq("dim", "e")))
+      .groupBy("dim")
+      .agg(sum("e.rq").as("energy_q_raw"), sum("e.tq").as("energy_q_rot"))
+
   /** k-center greedy picks: 8 rounds keeps the unrolled twin linear and
     * cheap while the radius sequence is still a real coverage curve.
     */
@@ -2395,6 +2448,8 @@ object Similarity {
       kcenterCoreset(Tables.embeddings(s, d))),
     "sim_ivf_stats" -> ((s, d) =>
       ivfListStats(Tables.embeddings(s, d))),
+    "vec_rotate_hadamard" -> ((s, d) =>
+      hadamardSpectrum(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -2853,6 +2908,31 @@ object Similarity {
     */
   def oracleSql: Map[String, String] = Map(
     "sample_coreset" -> duckCoresetSql(),
+    "vec_rotate_hadamard" -> {
+      val d = HadamardDim
+      val dbit = "((((j * 2654435761) % 4294967296) // 65536) % 2)"
+      s"""WITH r AS (
+         |  SELECT vec_id, embedding,
+         |         [(list_sum([CASE WHEN (bit_count(u & j) + $dbit) % 2 = 0
+         |                     THEN CAST(embedding[j + 1] AS DOUBLE)
+         |                     ELSE -CAST(embedding[j + 1] AS DOUBLE) END
+         |                     for j in range(0, $d)])
+         |           / CAST(8.0 AS DOUBLE)) for u in range(0, $d)]
+         |           AS rotated
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT t.u AS dim,
+         |         CAST(floor(CAST(embedding[t.u + 1] AS DOUBLE)
+         |              * CAST(embedding[t.u + 1] AS DOUBLE)
+         |              * 1000000.0) AS BIGINT) AS rq,
+         |         CAST(floor(rotated[t.u + 1] * rotated[t.u + 1]
+         |              * 1000000.0) AS BIGINT) AS tq
+         |  FROM r CROSS JOIN range(0, $d) t(u))
+         |SELECT CAST(dim AS INT) AS dim,
+         |       CAST(sum(rq) AS BIGINT) AS energy_q_raw,
+         |       CAST(sum(tq) AS BIGINT) AS energy_q_rot
+         |FROM e GROUP BY 1""".stripMargin
+    },
     "sim_ivf_stats" ->
       s"""WITH ${duckTrainedCents()},
          |${duckAssigned()},

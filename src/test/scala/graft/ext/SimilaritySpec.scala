@@ -1188,4 +1188,69 @@ class SimilaritySpec extends SparkSpec {
     assert(f.getAs[Double]("imbalance") >= 1.0)
     assert(f.getAs[Long]("max_list") >= f.getAs[Long]("min_list"))
   }
+
+  test("hadamardRotate: exact basis witnesses; spectrum flattens and PQ " +
+      "recall improves on the skewed corpus (the rotation-vs-raw " +
+      "evidence, matching the OPQ-lite measurement)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // basis witness: H.D.e0 / 8 is the constant vector s0/8 (H column 0
+    // is all +1), so every output entry is identical with |v| = 0.125
+    val e0 = emb(1L -> (Seq(1.0f) ++ Seq.fill(63)(0.0f)))
+    val r0 = Similarity.hadamardRotate(e0).collect().head
+      .getSeq[Double](1)
+    assert(r0.length === 64 && r0.distinct.length === 1 &&
+      math.abs(r0.head) === 0.125, s"basis rotation wrong: ${r0.take(4)}")
+    // skewed-spectrum corpus (same generator as the OPQ-lite test)
+    def mix(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def u(s: Long): Double = ((mix(s) >>> 40) % 2000L - 1000L) / 1000.0
+    val d = Similarity.SrpDim
+    val vecs = (0 until 2000).map { v =>
+      val arr = Array.tabulate(d) { j =>
+        val std = if (j < 8) 1.0 else 0.02
+        (u(v * 131L + j * 7919L + 17L) * std).toFloat
+      }
+      (v.toLong, arr.toSeq)
+    }
+    val embSkew = vecs.toDF("vec_id", "embedding")
+    val rep = Similarity.hadamardSpectrum(embSkew).collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("energy_q_raw"),
+        r.getAs[Long]("energy_q_rot")))
+    assert(rep.length === 64)
+    val totRaw = rep.map(_._2).sum.toDouble
+    val totRot = rep.map(_._3).sum.toDouble
+    // orthogonal transform preserves total energy (up to the u-quant)
+    assert(math.abs(totRot - totRaw) / totRaw < 0.005,
+      s"energy not preserved: $totRaw -> $totRot")
+    val top8Raw = rep.filter(_._1 < 8).map(_._2).sum / totRaw
+    val top8Rot = rep.filter(_._1 < 8).map(_._3).sum / totRot
+    info(f"top-8 energy share: raw $top8Raw%.3f -> rotated $top8Rot%.3f")
+    assert(top8Raw > 0.9, "fixture must be anisotropic")
+    assert(top8Rot < 0.35, "rotation must flatten the spectrum")
+    // the PQ payoff: same recall harness as the OPQ-lite measurement
+    val brute = Similarity.bruteForceTopK(embSkew)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recallOf(e: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.pqTopK(e)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val raw = recallOf(embSkew)
+    val rotatedF = Similarity.hadamardRotate(embSkew)
+      .select(col("vec_id"),
+        expr("transform(rotated, x -> CAST(x AS FLOAT))").as("embedding"))
+    val rot = recallOf(rotatedF)
+    info(f"skewed-spectrum PQ recall@10: raw $raw%.2f, " +
+      f"Hadamard-rotated $rot%.2f (delta ${rot - raw}%+.2f)")
+    assert(rot > raw,
+      f"structured rotation must win on a skewed spectrum ($rot%.2f " +
+        f"vs $raw%.2f)")
+  }
 }
