@@ -267,6 +267,71 @@ object Similarity {
           .as("imbalance"))
   }
 
+  /** Probe counts [[ivfProbeSweep]] measures — ending at the production
+    * default [[Probes]], so the sweep's last row is the operating point.
+    */
+  val IvfProbeArms: Seq[Int] = Seq(1, 2, 4, 6)
+
+  /** IVF PROBE↔RECALL SWEEP — the tuning table of the ANN lifecycle
+    * (build [[trainCentroids]] → health [[ivfListStats]] → THIS → serve
+    * [[ivfTopK]]/[[ivfPqTopK]] → store [[graft.sources.AnnIndex]]):
+    * for each probe count, recall@k of the probed-lists search against
+    * the exact brute truth plus the candidate volume paid for it — the
+    * measured evidence behind choosing [[Probes]], in the same
+    * "measure, don't guess" family as [[srpEval]]'s geometry table and
+    * [[knnGraphIvfEval]]'s edge recall.
+    *
+    * Scale shape: the per-query centroid ranking and the UN-cut
+    * candidate relation (tagged with each candidate's probe rank) are
+    * computed ONCE and checkpointed; every arm is then a `crank ≤ p`
+    * filter over that one table — no per-arm re-join, no re-ranking.
+    * The output is |arms| rows assembled on the driver from count
+    * aggregates (bounded artifact class).
+    */
+  def ivfProbeSweep(emb: DataFrame,
+      arms: Seq[Int] = IvfProbeArms): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = trainCentroids(emb)
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val qc = withNorm(emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+        "q", "qn")
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q"), col("qn"), col("centroid_id"),
+        cosine(col("q"), col("c")).as("ccos"))
+      .withColumn("crank", row_number().over(wv))
+      .filter(col("crank") <= arms.max)
+    val aN = withNorm(ivfAssignments(emb, cents)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("e"),
+        col("centroid_id")), "e", "en")
+    // one candidate row per (query, candidate): the home cell is
+    // unique, and crank tags which arm first admits it
+    val candAll = graft.CheckpointLease.track(
+      qc.join(aN, Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("crank"),
+          (dot(col("q"), col("e")) / (col("qn") * col("en")))
+            .as("cosine"))
+        .localCheckpoint(true))
+    val truth = graft.CheckpointLease.track(
+      bruteForceTopK(emb).select("query_id", "neighbor_id")
+        .localCheckpoint(true))
+    val nTrue = truth.count()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val rows = arms.map { p =>
+      val c = candAll.filter(col("crank") <= p)
+      val top = c.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+      val nHit = top.join(truth, Seq("query_id", "neighbor_id")).count()
+      val nCand = c.count()
+      (p, nTrue, nHit, nCand, nHit.toDouble / nTrue)
+    }
+    spark.createDataFrame(rows)
+      .toDF("probes", "n_true", "n_hit", "cand_rows", "recall")
+  }
+
   /** IVF approximate top-k: probe the [[Probes]] best centroids per query,
     * exact search within those inverted lists only. Pass a pre-trained
     * `codebook` to amortize training across queries (an index build trains
@@ -2450,6 +2515,8 @@ object Similarity {
       ivfListStats(Tables.embeddings(s, d))),
     "vec_rotate_hadamard" -> ((s, d) =>
       hadamardSpectrum(Tables.embeddings(s, d))),
+    "sim_ivf_probe_sweep" -> ((s, d) =>
+      ivfProbeSweep(Tables.embeddings(s, d))),
   )
 
   private val duckDot =
@@ -2932,6 +2999,50 @@ object Similarity {
          |       CAST(sum(rq) AS BIGINT) AS energy_q_raw,
          |       CAST(sum(tq) AS BIGINT) AS energy_q_rot
          |FROM e GROUP BY 1""".stripMargin
+    },
+    "sim_ivf_probe_sweep" -> {
+      val armSelects = IvfProbeArms.map { p =>
+        s"""SELECT $p AS probes,
+           |  (SELECT count(*) FROM bt) AS n_true,
+           |  (SELECT count(*) FROM (
+           |     SELECT query_id, neighbor_id FROM (
+           |       SELECT query_id, neighbor_id,
+           |              row_number() OVER (PARTITION BY query_id
+           |                ORDER BY cosine DESC, neighbor_id) AS rank
+           |       FROM cand WHERE crank <= $p) WHERE rank <= $TopK)
+           |     t JOIN bt USING (query_id, neighbor_id)) AS n_hit,
+           |  (SELECT count(*) FROM cand WHERE crank <= $p) AS cand_rows"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${duckTrainedCents()},
+         |${duckAssigned()},
+         |qc AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, embedding AS q, centroid_id, crank
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS crank
+         |    FROM fs WHERE vec_id < $NQueries)
+         |  WHERE crank <= ${IvfProbeArms.max}),
+         |cand AS MATERIALIZED (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, p.crank,
+         |         ${duckCosE("p.q", "a.embedding")} AS cosine
+         |  FROM qc p JOIN asg a USING (centroid_id)
+         |  WHERE p.query_id <> a.vec_id),
+         |bt AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckCosE("q.embedding", "c.embedding")}
+         |               DESC, c.vec_id) AS rnk
+         |    FROM embeddings q JOIN embeddings c
+         |      ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+         |  WHERE rnk <= $TopK)
+         |SELECT probes, CAST(n_true AS BIGINT) AS n_true,
+         |       CAST(n_hit AS BIGINT) AS n_hit,
+         |       CAST(cand_rows AS BIGINT) AS cand_rows,
+         |       CAST(CAST(n_hit AS BIGINT) AS DOUBLE)
+         |         / CAST(n_true AS BIGINT) AS recall
+         |FROM ($armSelects)""".stripMargin
     },
     "sim_ivf_stats" ->
       s"""WITH ${duckTrainedCents()},

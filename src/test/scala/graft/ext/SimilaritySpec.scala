@@ -1253,4 +1253,27 @@ class SimilaritySpec extends SparkSpec {
       f"structured rotation must win on a skewed spectrum ($rot%.2f " +
         f"vs $raw%.2f)")
   }
+
+  test("ivfProbeSweep: recall and candidate volume rise monotonically " +
+      "with probes; the operating point clears the recall gate") {
+    val r = Similarity.ivfProbeSweep(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+      .orderBy("probes").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    graft.CheckpointLease.releaseAll()
+    assert(r.map(_._1).toSeq === Similarity.IvfProbeArms)
+    assert(r.map(_._2).distinct.length === 1, "truth size must be fixed")
+    r.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 >= lo._3, s"recall not monotone: $lo -> $hi")
+      assert(hi._4 >= lo._4, s"candidates not monotone: $lo -> $hi")
+    }
+    r.foreach { case (_, t, h, _, rec) =>
+      assert(rec === h.toDouble / t)
+    }
+    // the last arm IS the production probe count: same gate as the
+    // ivfTopK recall spec
+    assert(r.last._1 === Similarity.Probes)
+    assert(r.last._5 >= 0.9, s"operating-point recall ${r.last._5}")
+  }
 }
