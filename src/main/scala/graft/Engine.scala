@@ -142,6 +142,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Corpus.knSmoothedBigrams(docs, k)
     def kneserNey3(k: Int = Corpus.KnTopK): DataFrame =
       Corpus.knSmoothedTrigrams(docs, k)
+    def wordpiece(vocabSize: Int = Corpus.WordpieceVocab,
+        maxPiece: Int = Corpus.WordpieceMaxPiece): DataFrame =
+      Corpus.wordpieceReport(docs, vocabSize, maxPiece)
     def lmDocScores(refSource: String = Corpus.LmRefSource): DataFrame =
       Corpus.lmDocScores(docs, refSource)
     def doremiMix(refSource: String = Corpus.LmRefSource): DataFrame =
@@ -226,6 +229,14 @@ case class Engine(spark: SparkSession, dataDir: String) {
         shortlist: Int = Similarity.MmrShortlist,
         lam: Double = Similarity.MmrLambda): DataFrame =
       Similarity.mmrTopK(emb, k, shortlist, lam)
+    def kcenterCoreset(k: Int = Similarity.CoresetK): DataFrame =
+      Similarity.kcenterCoreset(emb, k)
+    def ivfListStats: DataFrame = Similarity.ivfListStats(emb)
+    def ivfProbeSweep(
+        arms: Seq[Int] = Similarity.IvfProbeArms): DataFrame =
+      Similarity.ivfProbeSweep(emb, arms)
+    def hadamardRotate: DataFrame = Similarity.hadamardRotate(emb)
+    def hadamardSpectrum: DataFrame = Similarity.hadamardSpectrum(emb)
     def lofScores(k: Int = Similarity.LofK,
         threshold: Double = Similarity.LofThreshold): DataFrame =
       Similarity.lofScores(emb, k, threshold)
@@ -256,6 +267,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.cohortRetention(Tables.events(spark, dataDir))
     def cohortLtv: DataFrame =
       TimeSeries.cohortLtv(Tables.orders(spark, dataDir))
+    def holt: DataFrame =
+      TimeSeries.holtDailyRevenue(Tables.orders(spark, dataDir))
     def twap: DataFrame =
       TimeSeries.twapUserValue(Tables.events(spark, dataDir))
     def cusum: DataFrame =
@@ -308,6 +321,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def hits: DataFrame = Graph.hits(Tables.lineitem(spark, dataDir),
       Tables.orders(spark, dataDir))
     def assortativity: DataFrame = Graph.assortativity(edges)
+    def communities(rounds: Int = Graph.LpaRounds): DataFrame =
+      Graph.labelPropagation(edges, rounds)
   }
 
   /** Exact-arithmetic statistics — see [[graft.ext.Stats]]. */
@@ -327,6 +342,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
     def theilSen: DataFrame = Stats.theilSenSegment(
       Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
+    def bootstrap(arms: Int = Stats.BootstrapArms): DataFrame =
+      Stats.poissonBootstrap(Tables.orders(spark, dataDir), arms)
   }
 
   object quality {
@@ -423,6 +440,21 @@ case class Engine(spark: SparkSession, dataDir: String) {
       import spark.implicits._
       val ds = Multimodal.assets(docs).as[Multimodal.Asset]
       Multimodal.imageFeatures(Multimodal.encodePng(ds)).toDF()
+    }
+    def perceptualHash: DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.perceptualHash(Multimodal.encodePng(ds)).toDF()
+    }
+    def phashNearDups(maxHamming: Int = 6): DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.phashNearDupPairs(Multimodal.encodePng(ds), maxHamming)
+    }
+    def phashClusters: DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.phashClusters(Multimodal.encodePng(ds))
     }
     def averageHash: DataFrame = {
       import spark.implicits._
