@@ -542,6 +542,70 @@ object TimeSeries {
       .toDF("day", "y_cents", "forecast", "level", "trend")
   }
 
+  /** Holt-Winters smoothing weights — like [[HoltAlpha]]/[[HoltBeta]],
+    * all powers of two so `1 − γ` is exact and the decimal literals
+    * round-trip to identical doubles in both engines. */
+  val HwAlpha = 0.5
+  val HwBeta = 0.25
+  val HwGamma = 0.25
+
+  /** Weekly season length for the additive Holt-Winters fit. */
+  val HwPeriod = 7
+
+  /** ADDITIVE HOLT-WINTERS (level + trend + weekly seasonal) over daily
+    * revenue — the seasonal member of the forecasting family:
+    * [[holtDailyRevenue]] fits level/trend only; this adds the third
+    * state the day-of-week cycle that [[dowSeasonality]] *measures*
+    * actually needs at forecast time. Per observed day (after the seed
+    * week) the one-step-ahead forecast `l + t + s_{t−7}` made BEFORE
+    * seeing the day, then the state update
+    * `l' = α(y − s_{t−7}) + (1−α)(l + t)`,
+    * `t' = β(l' − l) + (1−β)t`, `s_t = γ(y − l') + (1−γ)s_{t−7}`,
+    * seeded from the first week: `l₇ = (Σy₁..₇)/7`, `t₇ = 0`,
+    * `sᵢ = yᵢ − l₇`.
+    *
+    * Scale shape: identical to [[holtDailyRevenue]] — the corpus-sized
+    * work is the one keyed day aggregation; the 3-state recurrence
+    * folds on the driver over the VALUE-BOUNDED day domain (~2.5k rows
+    * at any SF). The twin replays it as a linear recursive CTE whose
+    * state row carries the 7-slot seasonal register (sv1 = s_{t−6} …
+    * sv7 = s_t), shifted one slot per step — the same circular buffer
+    * the Scala fold keeps. Doubles agree bit-for-bit because both
+    * sides evaluate the identical update tree on exact integer cents
+    * and the α/β/γ literals are powers of two.
+    */
+  def holtWintersDailyRevenue(ord: DataFrame): DataFrame = {
+    val spark = ord.sparkSession
+    import spark.implicits._
+    val daily = ord
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(cents("o_totalprice")).as("y_cents"))
+      .orderBy("day")
+      .as[(String, Long)].collect()
+    require(daily.length > HwPeriod,
+      s"holt-winters: need more than $HwPeriod days, got ${daily.length}")
+    // seed week: one division, then per-slot subtraction — the twin's
+    // anchor CTE spells the identical (sum/7.0 then subtract) order
+    var level = daily.take(HwPeriod).map(_._2).sum.toDouble / 7.0
+    var trend = 0.0
+    val sv = scala.collection.mutable.Queue[Double](
+      daily.take(HwPeriod).map(_._2.toDouble - level): _*)
+    val out = Seq.newBuilder[(String, Long, Double, Double, Double, Double)]
+    daily.drop(HwPeriod).foreach { case (day, y) =>
+      val yd = y.toDouble
+      val svUsed = sv.dequeue() // s_{t-7}: oldest slot of the register
+      val forecast = level + trend + svUsed
+      val prev = level
+      level = HwAlpha * (yd - svUsed) + (1.0 - HwAlpha) * (level + trend)
+      trend = HwBeta * (level - prev) + (1.0 - HwBeta) * trend
+      val season = HwGamma * (yd - level) + (1.0 - HwGamma) * svUsed
+      sv.enqueue(season)
+      out += ((day, y, forecast, level, trend, season))
+    }
+    spark.createDataFrame(out.result())
+      .toDF("day", "y_cents", "forecast", "level", "trend", "seasonal")
+  }
+
   /** Day-of-week seasonality index over daily revenue: mean revenue of
     * each ISO weekday relative to the overall daily mean (1.0 = flat).
     * The ratio of two means collapses to cross-multiplied exact
@@ -920,6 +984,8 @@ object TimeSeries {
     "twap_user_value" -> ((s, d) => twapUserValue(Tables.events(s, d))),
     "ts_cusum" -> ((s, d) => cusumDailyRevenue(Tables.orders(s, d))),
     "ts_holt" -> ((s, d) => holtDailyRevenue(Tables.orders(s, d))),
+    "ts_holt_winters" -> ((s, d) =>
+      holtWintersDailyRevenue(Tables.orders(s, d))),
     "ts_seasonal_naive" -> ((s, d) =>
       seasonalNaiveBacktest(Tables.orders(s, d))),
     "ts_ffill" -> ((s, d) => forwardFillDaily(Tables.events(s, d))),
@@ -940,6 +1006,53 @@ object TimeSeries {
   )
 
   /** DuckDB twins. */
+  /** Holt-Winters twin: linear recursive CTE whose state row carries
+    * the 7-slot seasonal register (sv1 = s_{t−6} … sv7 = s_t), shifted
+    * one slot per step — slot sv1 is the `s_{t−7}` the step consumes.
+    * The anchor aggregates the seed week (i ≤ 7): level = Σy/7.0 then
+    * per-slot subtraction, in exactly the Scala fold's operation order.
+    */
+  private def duckHoltWintersSql: String = {
+    val a = HwAlpha
+    val oma = 1.0 - HwAlpha
+    val b = HwBeta
+    val omb = 1.0 - HwBeta
+    val g = HwGamma
+    val omg = 1.0 - HwGamma
+    // the new level, inlined wherever the step references l'
+    val nl = s"$a * (CAST(d.y_cents AS DOUBLE) - h.sv1) + " +
+      s"$oma * (h.level + h.trend)"
+    val seedSlots = (1 to HwPeriod).map { k =>
+      s"""         max(CASE WHEN i = $k THEN CAST(y_cents AS DOUBLE) END)
+         |           - CAST(sum(y_cents) AS DOUBLE) / 7.0 AS sv$k""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE dd AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY day) AS i, day, y_cents
+       |  FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |                    AS BIGINT) AS y_cents
+       |        FROM orders GROUP BY 1)),
+       |h AS (
+       |  SELECT $HwPeriod AS i,
+       |         CAST(NULL AS VARCHAR) AS day,
+       |         CAST(NULL AS BIGINT) AS y_cents,
+       |         CAST(NULL AS DOUBLE) AS forecast,
+       |         CAST(sum(y_cents) AS DOUBLE) / 7.0 AS level,
+       |         CAST(0.0 AS DOUBLE) AS trend,
+       |$seedSlots
+       |  FROM dd WHERE i <= $HwPeriod
+       |  UNION ALL
+       |  SELECT d.i, d.day, d.y_cents,
+       |         h.level + h.trend + h.sv1 AS forecast,
+       |         $nl AS level,
+       |         $b * (($nl) - h.level) + $omb * h.trend AS trend,
+       |         h.sv2, h.sv3, h.sv4, h.sv5, h.sv6, h.sv7,
+       |         $g * (CAST(d.y_cents AS DOUBLE) - ($nl)) + $omg * h.sv1
+       |  FROM h JOIN dd d ON d.i = h.i + 1)
+       |SELECT day, y_cents, forecast, level, trend, sv7 AS seasonal
+       |FROM h WHERE i > $HwPeriod""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "survival_churn" ->
       """WITH per AS (
@@ -1281,6 +1394,7 @@ object TimeSeries {
     // row-numbered day table; the new level is recomputed inline in the
     // trend update (the identical expression tree yields the identical
     // double, and a recursive term cannot reference its own select list)
+    "ts_holt_winters" -> duckHoltWintersSql,
     "ts_holt" -> {
       val a = HoltAlpha
       val oma = 1.0 - HoltAlpha

@@ -592,6 +592,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r(2) === (("1995-01-03", 300L, 162.5, 231.25, 29.6875)))
   }
 
+  test("holtWintersDailyRevenue: hand-replayed seed week + first update") {
+    import spark.implicits._
+    // 8 days, y = 100..800 cents: seed level = 2800/7 = 400, trend 0,
+    // seasonals y_i - 400 = [-300..300 step 100]. Day 8 consumes
+    // s_1 = -300: forecast 400 + 0 - 300 = 100; l' = .5*(800+300) +
+    // .5*400 = 750; t' = .25*350 = 87.5; s_8 = .25*(800-750) - .75*300
+    // = -212.5
+    val ord = (1 to 8).map(i =>
+      (f"1995-01-0$i%d", i * 1.00)).toDF("o_orderdate", "o_totalprice")
+    val r = TimeSeries.holtWintersDailyRevenue(ord)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(r.length === 1)
+    assert(r(0) === (("1995-01-08", 800L, 100.0, 750.0, 87.5, -212.5)))
+  }
+
+  test("holtWintersDailyRevenue: fixture run — one row per post-seed day," +
+      " seasonal-aware fit beats predicting zero") {
+    val ord = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val r = TimeSeries.holtWintersDailyRevenue(ord)
+      .orderBy("day").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    val nDays = ord.select(
+      org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("o_orderdate"), "yyyy-MM-dd"))
+      .distinct().count()
+    assert(r.length === nDays - TimeSeries.HwPeriod)
+    val sse = r.map { case (_, y, f) => val e = y.toDouble - f; e * e }.sum
+    val sse0 = r.map { case (_, y, _) => y.toDouble * y.toDouble }.sum
+    assert(sse < sse0, "Holt-Winters fit worse than predicting zero")
+  }
+
   test("holtDailyRevenue: fixture run — one row per day, forecast " +
       "residuals shrink vs the naive last-value baseline in aggregate") {
     val ord = graft.Tables.orders(spark, "/root/testdata/sf0.001")
