@@ -578,7 +578,65 @@ object Stats {
           .as("mean_cents"))
   }
 
+  /** WELCH'S UNEQUAL-VARIANCE t-TEST between two order-priority
+    * cohorts' order values — the parametric companion of
+    * [[ksEventValues]] (distribution-free) and `ab_test_mann_whitney`
+    * (rank-based): same two-sample question, answered through means
+    * and variances with the Welch–Satterthwaite degrees of freedom.
+    *
+    * Exactness: the corpus pass reduces each cohort to three exact
+    * integers — n, Σx, Σx² over whole-DOLLAR order values (`cents div
+    * 100`; at sf0.1 Σx² ≈ 10¹⁶, inside int64 through sf≈10⁴ — past
+    * that, lift ss to DECIMAL(38,0), the sums stay exact). Every
+    * fractional column is then a fixed IEEE tree over those six
+    * integers, written ONCE on each side in the same operation order
+    * (mean → variance → per-cohort SE² → t → df), so the doubles agree
+    * bit-for-bit: `var = (Σx² − Σx·mean)/(n−1)`, `t = Δmean/√(se²ₐ +
+    * se²ᵦ)`, `df = (se²ₐ+se²ᵦ)² / (se²ₐ²/(nₐ−1) + se²ᵦ²/(nᵦ−1))`.
+    *
+    * Scale shape: one partial-aggregating groupBy over the fact table
+    * into TWO rows, then a single-row pivot — no window, no sort, no
+    * second corpus pass at any SF.
+    */
+  def welchTOrderValues(orders: DataFrame,
+      priA: String = "1-URGENT", priB: String = "5-LOW"): DataFrame = {
+    val byGrp = orders
+      .filter(col("o_orderpriority").isin(priA, priB))
+      .select(
+        when(col("o_orderpriority") === priA, "a").otherwise("b").as("grp"),
+        expr("cast(round(o_totalprice * 100) as long) div 100").as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    byGrp.agg(
+        max(when(col("grp") === "a", col("n"))).as("n_a"),
+        max(when(col("grp") === "b", col("n"))).as("n_b"),
+        max(when(col("grp") === "a", col("s"))).as("s_a"),
+        max(when(col("grp") === "b", col("s"))).as("s_b"),
+        max(when(col("grp") === "a", col("ss"))).as("ss_a"),
+        max(when(col("grp") === "b", col("ss"))).as("ss_b"))
+      .withColumn("mean_a", col("s_a").cast("double") / col("n_a"))
+      .withColumn("mean_b", col("s_b").cast("double") / col("n_b"))
+      .withColumn("var_a",
+        (col("ss_a").cast("double") - col("s_a").cast("double") * col("mean_a")) /
+          (col("n_a") - 1))
+      .withColumn("var_b",
+        (col("ss_b").cast("double") - col("s_b").cast("double") * col("mean_b")) /
+          (col("n_b") - 1))
+      .withColumn("se2_a", col("var_a") / col("n_a"))
+      .withColumn("se2_b", col("var_b") / col("n_b"))
+      .withColumn("t_stat", (col("mean_a") - col("mean_b")) /
+        sqrt(col("se2_a") + col("se2_b")))
+      .withColumn("df_welch",
+        ((col("se2_a") + col("se2_b")) * (col("se2_a") + col("se2_b"))) /
+          (col("se2_a") * col("se2_a") / (col("n_a") - 1) +
+            col("se2_b") * col("se2_b") / (col("n_b") - 1)))
+      .select("n_a", "n_b", "s_a", "s_b", "ss_a", "ss_b",
+        "mean_a", "mean_b", "var_a", "var_b", "t_stat", "df_welch")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_welch_t" -> ((s, d) => welchTOrderValues(Tables.orders(s, d))),
     "stats_bootstrap" -> ((s, d) => poissonBootstrap(Tables.orders(s, d))),
     "stats_spearman" -> ((s, d) => spearmanQtyValue(Tables.lineitem(s, d))),
     "stats_ks" -> ((s, d) => ksEventValues(Tables.events(s, d))),
@@ -604,6 +662,44 @@ object Stats {
     * equal to Spark's `div` for the non-negative operands here).
     */
   def oracleSql: Map[String, String] = Map(
+    "stats_welch_t" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+        |              ELSE 'b' END AS grp,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS x
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |g AS (
+        |  SELECT grp, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |         CAST(sum(x * x) AS BIGINT) AS ss
+        |  FROM v GROUP BY 1),
+        |p AS (
+        |  SELECT max(CASE WHEN grp = 'a' THEN n END) AS n_a,
+        |         max(CASE WHEN grp = 'b' THEN n END) AS n_b,
+        |         max(CASE WHEN grp = 'a' THEN s END) AS s_a,
+        |         max(CASE WHEN grp = 'b' THEN s END) AS s_b,
+        |         max(CASE WHEN grp = 'a' THEN ss END) AS ss_a,
+        |         max(CASE WHEN grp = 'b' THEN ss END) AS ss_b
+        |  FROM g),
+        |m AS (
+        |  SELECT *, CAST(s_a AS DOUBLE) / n_a AS mean_a,
+        |            CAST(s_b AS DOUBLE) / n_b AS mean_b FROM p),
+        |w AS (
+        |  SELECT *,
+        |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * mean_a) / (n_a - 1)
+        |      AS var_a,
+        |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * mean_b) / (n_b - 1)
+        |      AS var_b
+        |  FROM m),
+        |e AS (
+        |  SELECT *, var_a / n_a AS se2_a, var_b / n_b AS se2_b FROM w)
+        |SELECT n_a, n_b, s_a, s_b, ss_a, ss_b, mean_a, mean_b,
+        |       var_a, var_b,
+        |       (mean_a - mean_b) / sqrt(se2_a + se2_b) AS t_stat,
+        |       (se2_a + se2_b) * (se2_a + se2_b) /
+        |         (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1))
+        |         AS df_welch
+        |FROM e""".stripMargin,
     "stats_bootstrap" -> {
       val cases = PoissonCdfU32.zipWithIndex
         .map { case (t, k) => s"WHEN m < $t THEN $k" }.mkString(" ")

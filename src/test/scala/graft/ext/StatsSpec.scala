@@ -281,4 +281,40 @@ class StatsSpec extends SparkSpec {
     // a real bootstrap has spread: not all arms identical
     assert(means.distinct.length > 1)
   }
+
+  test("welchTOrderValues: hand-computed moments, t and Welch df") {
+    // a: 10, 20, 30 dollars -> n 3, s 60, ss 1400, mean 20, var 100
+    // b: 40, 50            -> n 2, s 90, ss 4100, mean 45, var 50
+    val o = Seq(
+      ("1-URGENT", 10.0), ("1-URGENT", 20.0), ("1-URGENT", 30.0),
+      ("5-LOW", 40.0), ("5-LOW", 50.0),
+      ("3-MEDIUM", 999.0) // excluded cohort must not leak in
+    ).toDF("o_orderpriority", "o_totalprice")
+    val r = Stats.welchTOrderValues(o).collect().head
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("s_a") === 60L)
+    assert(r.getAs[Long]("ss_a") === 1400L)
+    assert(r.getAs[Long]("s_b") === 90L)
+    assert(r.getAs[Long]("ss_b") === 4100L)
+    assert(r.getAs[Double]("mean_a") === 20.0)
+    assert(r.getAs[Double]("var_a") === 100.0)
+    assert(r.getAs[Double]("var_b") === 50.0)
+    // se2_a = 100/3, se2_b = 25; t = -25 / sqrt(175/3); df ~ 2.8824
+    val t = r.getAs[Double]("t_stat")
+    assert(math.abs(t - (-25.0 / math.sqrt(100.0 / 3 + 25.0))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("df_welch") - 2.882352941176471) < 1e-9)
+  }
+
+  test("welchTOrderValues: fixture run — one row, both cohorts populated," +
+      " df between min(n)-1 and n_a+n_b-2") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val r = Stats.welchTOrderValues(orders).collect().head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na > 0 && nb > 0)
+    val df = r.getAs[Double]("df_welch")
+    assert(df >= math.min(na, nb) - 1.0 && df <= na + nb - 2.0,
+      s"Welch df $df outside [min(n)-1, n_a+n_b-2]")
+    assert(!r.getAs[Double]("t_stat").isNaN)
+  }
 }
