@@ -116,6 +116,71 @@ object Graph {
     ranks.select(col("node").as("part_node"), col("r").as("rank_scaled"))
   }
 
+  /** Seed-set size for [[personalizedPagerank]]'s registered query. */
+  val PprSeedCount = 8
+
+  /** PERSONALIZED PAGERANK (random walk with restart) — the seeded
+    * variant of [[pagerank]]: teleport mass returns to a SEED SET
+    * instead of spreading uniformly, so ranks measure proximity to the
+    * seeds (the curation use: "find everything related to these
+    * products/domains"). Seeds are the `seedCount` highest-degree
+    * nodes, ties to the smallest node id — a deterministic,
+    * cross-engine-replayable anchor (global top-k = TakeOrdered, no
+    * sort of the full node set).
+    *
+    * Same fixed-point integer contract as [[pagerank]]: rank mass
+    * scaled by [[Scale]], floor division per step, so the unrolled
+    * BIGINT twin hash-matches bit-for-bit. Initial mass `Scale/|S|` on
+    * each seed, zero elsewhere; per-step
+    * `r' = (seed ? Scale·15/(100·|S|) : 0) + (85·Σ contrib) div 100`.
+    *
+    * Scale shape: identical per-iteration plan to [[pagerank]] (one
+    * broadcast-gated edge⋈ranks join + one dst-keyed partial-merging
+    * aggregate); the extra seed join broadcasts a `seedCount`-row
+    * table. Nodes the walk hasn't reached keep rank 0 and stay in the
+    * output (the zero/nonzero split IS the result).
+    */
+  def personalizedPagerank(edgesIn: DataFrame, iterations: Int = 3,
+      seedCount: Int = PprSeedCount): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    val deg = graft.CheckpointLease.track(
+      edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint())
+    val n = deg.count()
+    require(n > 0, "personalizedPagerank: empty graph")
+    val s = math.min(seedCount.toLong, n)
+    val seeds = broadcast(graft.CheckpointLease.track(
+      deg.orderBy(col("outdeg").desc, col("node")).limit(seedCount)
+        .select(col("node"), lit(1L).as("seed_flag"))
+        .localCheckpoint()))
+    val teleport = Scale * 15L / (100L * s)
+    val bcRanks = n <= NodeBroadcastMaxRows
+    var ranks = deg.join(seeds, Seq("node"), "left")
+      .select(col("node"), col("outdeg"),
+        when(col("seed_flag").isNotNull, lit(Scale / s))
+          .otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib =
+        ranks.select(col("node").as("src"), expr("r div outdeg").as("c"))
+      val contribs = edges
+        .join(if (bcRanks) broadcast(contrib) else contrib, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("csum"))
+      ranks = graft.CheckpointLease.track(
+        deg.join(contribs, Seq("node"), "left")
+          .join(seeds, Seq("node"), "left")
+          .select(col("node"), col("outdeg"),
+            (when(col("seed_flag").isNotNull, lit(teleport))
+              .otherwise(lit(0L)) +
+              expr("(85 * coalesce(csum, 0L)) div 100")).as("r"))
+          .localCheckpoint(false))
+    }
+    ranks.join(seeds, Seq("node"), "left")
+      .select(col("node").as("part_node"), col("r").as("rank_scaled"),
+        coalesce(col("seed_flag"), lit(0L)).as("is_seed"))
+  }
+
   val LpaRounds = 4
 
   /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) — community
@@ -662,7 +727,52 @@ object Graph {
       clusteringCoeff(coPurchaseEdges(Tables.lineitem(s, d)))),
     "graph_lpa" -> ((s, d) =>
       labelPropagation(coPurchaseEdges(Tables.lineitem(s, d)))),
+    "graph_ppr" -> ((s, d) =>
+      personalizedPagerank(coPurchaseEdges(Tables.lineitem(s, d)),
+        iterations = 3)),
   )
+
+  /** Unrolled personalized-PageRank twin: same 3 fixed-point
+    * iterations as the `graph_pagerank` oracle, with the teleport term
+    * gated to the top-degree seed set (ORDER BY outdeg DESC, node
+    * LIMIT k — the Spark side's TakeOrdered anchor, identical ties).
+    */
+  private def duckPprSql(iterations: Int = 3,
+      seedCount: Int = PprSeedCount): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |              CAST(sum(r${i - 1}.r // r${i - 1}.outdeg) AS BIGINT) AS csum
+         |       FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1),
+         |r$i AS (SELECT d.node, d.outdeg,
+         |              CASE WHEN sd.node IS NOT NULL
+         |                   THEN (1000000000000 * 15) // (100 * (SELECT s FROM nn))
+         |                   ELSE 0 END +
+         |              (85 * COALESCE(c$i.csum, 0)) // 100 AS r
+         |       FROM deg d LEFT JOIN c$i ON d.node = c$i.node
+         |              LEFT JOIN sd ON d.node = sd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+       |nn AS (SELECT least($seedCount, count(*)) AS s FROM deg),
+       |sd AS MATERIALIZED (
+       |  SELECT node, 1 AS seed_flag FROM deg
+       |  ORDER BY outdeg DESC, node LIMIT $seedCount),
+       |r0 AS (SELECT d.node, d.outdeg,
+       |              CASE WHEN sd.node IS NOT NULL
+       |                   THEN 1000000000000 // (SELECT s FROM nn)
+       |                   ELSE 0 END AS r
+       |       FROM deg d LEFT JOIN sd ON d.node = sd.node),
+       |$steps
+       |SELECT r$iterations.node AS part_node, r$iterations.r AS rank_scaled,
+       |       CAST(COALESCE(sd.seed_flag, 0) AS BIGINT) AS is_seed
+       |FROM r$iterations LEFT JOIN sd ON r$iterations.node = sd.node"""
+      .stripMargin
+  }
 
   /** Unrolled LPA oracle: `rounds` sync passes as chained CTEs, the
     * per-node argmax spelled as window-max + min(label) over the
@@ -723,6 +833,7 @@ object Graph {
     * exactly.
     */
   def oracleSql: Map[String, String] = Map(
+    "graph_ppr" -> duckPprSql(),
     "graph_assortativity" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

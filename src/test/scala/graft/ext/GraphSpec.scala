@@ -43,6 +43,42 @@ class GraphSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("personalizedPagerank: hand-replayed 3 iterations, teleport only " +
+      "to the top-degree seed") {
+    // undirected path 1 — 2 — 3: seed = node 2 (degree 2), s = 1,
+    // teleport = 1.5e11, init r = [0, 1e12, 0]; three exact
+    // fixed-point iterations land on [370812500000, 258375000000, ...]
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)
+    ).toDF("src", "dst")
+    val got = Graph.personalizedPagerank(edges, iterations = 3, seedCount = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((370812500000L, 0L)))
+    assert(got(2L) === ((258375000000L, 1L)))
+    assert(got(3L) === ((370812500000L, 0L)))
+    graft.CheckpointLease.releaseAll()
+  }
+
+  test("personalizedPagerank: deterministic across partitionings, " +
+      "zero rank stays on nodes the walk cannot reach") {
+    // two components: square 1-2-3-4 and isolated pair 5-6; seeds land
+    // in the square (higher degree), so 5/6 keep rank exactly 0
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (5L, 6L))
+    val edges = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val a = Graph.personalizedPagerank(edges.repartition(1), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    graft.CheckpointLease.releaseAll()
+    val b = Graph.personalizedPagerank(edges.repartition(7), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    graft.CheckpointLease.releaseAll()
+    assert(a.toSeq === b.toSeq)
+    // seeds: nodes 1 and 3 (degree 3 each, smallest ids win ties)
+    assert(a.filter(_._3 == 1L).map(_._1).toSeq === Seq(1L, 3L))
+    assert(a.filter(x => x._1 >= 5L).forall(_._2 === 0L),
+      "isolated component must keep zero rank")
+  }
+
   test("triangleCount: counts each triangle once, orientation-independent") {
     // K4 on {1,2,3,4} (4 triangles) plus a pendant 4-5 (0 triangles)
     val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
