@@ -197,7 +197,65 @@ object Privacy {
         "emd", "above_bar")
   }
 
+  /** Truncation bound of the two-sided geometric noise: support −B..B. */
+  val DpB = 8
+
+  /** Cumulative weights of the truncated two-sided geometric with
+    * α = 1/2 over −8..7 (the +8 tail is the CASE's ELSE): weight of k
+    * is 256·(1/2)^|k|, total 766. All-integer by construction.
+    */
+  val DpGeomCumWeights: Seq[Int] =
+    Seq(1, 3, 7, 15, 31, 63, 127, 255, 511, 639, 703, 735, 751, 759, 763, 765)
+
+  /** u32 inverse-CDF cut points: floor(cum · 2³² / 766), computed in
+    * exact BigInt arithmetic — both the Spark plan and the DuckDB twin
+    * consume these as integer LITERALS, so no engine evaluates any
+    * transcendental at query time (the [[graft.ext.Stats.PoissonCdfU32]]
+    * precedent).
+    */
+  val DpThresholdsU32: Seq[Long] = DpGeomCumWeights
+    .map(c => (BigInt(c) * BigInt(2).pow(32) / 766).toLong)
+
+  /** DIFFERENTIALLY-PRIVATE NOISY COUNTS (geometric mechanism, Ghosh–
+    * Roughgarden–Sundararajan 2009) per nation — the release step after
+    * the k-anon/l-div/t-closeness audits: per-nation customer counts
+    * plus two-sided geometric noise with α = 1/2 (ε = ln 2 for the
+    * ±1-sensitivity count), truncated at ±[[DpB]] (tail mass < 2⁻⁸/383
+    * per side — the standard bounded-noise variant).
+    *
+    * Determinism: the draw is the integer inverse-CDF of a Knuth
+    * multiplicative hash of the group key — u = (key·2654435761) mod
+    * 2³² cut by [[DpThresholdsU32]] — so the twin replays it exactly.
+    * A production release would salt the hash with a per-release
+    * secret; the registered query keeps the unsalted key so the oracle
+    * can replay the draw (the RNG-portability contract of
+    * `stats_bootstrap`). `true_cnt` is emitted for the correctness
+    * gate; a real DP release drops it and keeps only `released_cnt`
+    * (noisy, clamped at zero).
+    *
+    * Scale shape: one partial-aggregating count over the fact side,
+    * then a broadcast join against the bounded dim — noise is a narrow
+    * integer CASE over the 25-row aggregate, zero extra passes.
+    */
+  def dpNoisyCounts(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val h = (col("n_nationkey").cast("long") * 2654435761L) % 4294967296L
+    val noise = DpThresholdsU32.zipWithIndex
+      .foldRight(lit(DpB.toLong): Column) {
+        case ((t, k), els) => when(h < t, lit((k - DpB).toLong)).otherwise(els)
+      }
+    customer
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("true_cnt"), noise.as("noise"))
+      .withColumn("noisy_cnt", col("true_cnt") + col("noise"))
+      .withColumn("released_cnt", greatest(lit(0L), col("noisy_cnt")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_dp_counts" -> ((s, d) =>
+      dpNoisyCounts(Tables.customer(s, d), Tables.nation(s, d))),
     "tclose_audit" -> ((s, d) => tClosenessAudit(Tables.customer(s, d))),
     "pii_redact_text" -> ((s, d) => redactDocuments(Tables.documents(s, d))),
     "pii_mask_customers" -> ((s, d) => maskCustomers(Tables.customer(s, d))),
@@ -207,6 +265,25 @@ object Privacy {
 
   /** DuckDB twins — same regexes (shared Java/RE2 subset), same plant. */
   def oracleSql: Map[String, String] = Map(
+    "privacy_dp_counts" -> {
+      val cases = DpThresholdsU32.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN ${k - DpB}" }.mkString(" ")
+      s"""WITH g AS (
+         |  SELECT c_nationkey, count(*) AS true_cnt
+         |  FROM customer GROUP BY 1),
+         |j AS (
+         |  SELECT n.n_name, g.true_cnt,
+         |         (n.n_nationkey * 2654435761) % 4294967296 AS u
+         |  FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey),
+         |d AS (
+         |  SELECT n_name, true_cnt,
+         |         CAST(CASE $cases ELSE $DpB END AS BIGINT) AS noise
+         |  FROM j)
+         |SELECT n_name, true_cnt, noise,
+         |       true_cnt + noise AS noisy_cnt,
+         |       greatest(0, true_cnt + noise) AS released_cnt
+         |FROM d""".stripMargin
+    },
     "tclose_audit" ->
       """WITH bkt AS (
         |  SELECT c_mktsegment, c_nationkey,

@@ -111,4 +111,40 @@ class PrivacySpec extends SparkSpec {
     assert(r("A") === (("A", 2L, 2L, 0.25, true)))
     assert(r("B") === (("B", 2L, 2L, 0.25, true)))
   }
+
+  test("dpNoisyCounts: deterministic draw, bounded support, clamped release") {
+    // key 0 hashes to u = 0 < every threshold -> noise exactly -B
+    val nation = (0L to 999L).map(k => (k, s"n_$k")).toDF("n_nationkey", "n_name")
+    val customer = (0L to 999L).flatMap(k => Seq.fill(5)(Tuple1(k)))
+      .toDF("c_nationkey")
+    val r = Privacy.dpNoisyCounts(customer, nation)
+      .select("n_name", "true_cnt", "noise", "noisy_cnt", "released_cnt")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.length === 1000)
+    val byName = r.map(t => t._1 -> t).toMap
+    assert(byName("n_0") === (("n_0", 5L, -8L, -3L, 0L)),
+      "key 0 must draw the left tail and clamp at zero")
+    r.foreach { case (n, cnt, noise, noisy, rel) =>
+      assert(cnt === 5L)
+      assert(noise >= -Privacy.DpB && noise <= Privacy.DpB, s"$n noise $noise")
+      assert(noisy === cnt + noise)
+      assert(rel === math.max(0L, noisy))
+    }
+    // the geometric shape shows through 1000 uniform-ish hash draws:
+    // zero noise (weight 256/766) beats each tail (weight 1/766)
+    val freq = r.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(freq.getOrElse(0L, 0) > freq.getOrElse(8L, 0))
+    assert(freq.getOrElse(0L, 0) > freq.getOrElse(-8L, 0))
+    assert(freq.getOrElse(0L, 0) > 200, s"P(0) ~ 1/3, got ${freq.get(0L)}")
+  }
+
+  test("dpNoisyCounts: thresholds are the exact BigInt inverse-CDF cuts") {
+    // recompute independently from the weight definition 256*(1/2)^|k|
+    val weights = (-8 to 8).map(k => 256 >> math.abs(k))
+    assert(weights.sum === 766)
+    val cum = weights.scanLeft(0)(_ + _).tail.dropRight(1)
+    assert(cum === Privacy.DpGeomCumWeights)
+    val expected = cum.map(c => (BigInt(c) * BigInt(2).pow(32) / 766).toLong)
+    assert(Privacy.DpThresholdsU32 === expected)
+  }
 }
