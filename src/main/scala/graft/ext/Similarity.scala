@@ -375,6 +375,53 @@ object Similarity {
         cosine(col("q"), col("embedding")).as("cosine"))
   }
 
+  /** Cosine floor of [[rangeSearchEval]] — loose enough that every
+    * fixture query has a non-trivial truth set. */
+  val RangeSearchThreshold = 0.3
+
+  /** IVF RANGE (radius) SEARCH with recall eval — the second serving
+    * primitive next to top-k: return EVERY neighbor with cosine ≥ τ,
+    * not the best k (the dedup/decontam consumers want "all matches
+    * above the bar", and a top-k cut silently truncates dense
+    * neighborhoods). Served from the same probed inverted lists as
+    * [[ivfTopK]]: candidates = the query's [[Probes]] best lists,
+    * exact cosine on candidates only, then the τ cut — so reported
+    * hits are a SUBSET of the brute truth and per-query recall =
+    * n_hit/n_true measures exactly the mass the unprobed lists hide.
+    * `n_cand` is the candidate volume paid (the cost column of
+    * [[ivfProbeSweep]], here per query).
+    *
+    * Scale shape: the serving arm is the [[ivfCandidates]] plan (probe
+    * ranking over a broadcast codebook, keyed equi-join into the probed
+    * lists, ONE partial-merging per-query aggregate); the brute truth
+    * arm is the eval's ground truth over the [[NQueries]]-bounded query
+    * set — eval-only, like every recall arm in this file.
+    */
+  def rangeSearchEval(emb: DataFrame,
+      threshold: Double = RangeSearchThreshold,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = codebook.getOrElse(trainCentroids(emb))
+    val served = ivfCandidates(emb, Some(cents))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("cosine") >= threshold, 1L).otherwise(0L)).as("n_hit"))
+    val truth = broadcast(emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q")))
+      .join(emb, col("query_id") =!= col("vec_id"))
+      .filter(cosine(col("q"), col("embedding")) >= threshold)
+      .groupBy("query_id").agg(count(lit(1)).as("n_true"))
+    emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(truth, Seq("query_id"), "left")
+      .join(served, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", when(col("n_true") === 0L, lit(1.0))
+        .otherwise(col("n_hit").cast("double") / col("n_true").cast("double")))
+  }
+
   /** Embedding-cosine near-dup pairs (the vector flavor of dedup):
     * same-label pairs with cosine ≥ `threshold`. Blocking on `label` is
     * an equi-join on the block key, so cost is Σ_blocks |b|² instead of
@@ -791,6 +838,55 @@ object Similarity {
       .select(col("centroid_id"), col("n_vecs"),
         (expr("sum_nano div n_vecs").cast("double") /
           lit(1000000000.0)).as("mean_cosine"))
+  }
+
+  /** SIMPLIFIED (centroid-based) SILHOUETTE per cluster — the cluster-
+    * quality companion of [[kmeansClusterProfile]] (occupancy/coherence)
+    * and [[ivfListStats]] (balance): for every vector, a = cosine
+    * distance to its OWN centroid, b = distance to the nearest OTHER
+    * centroid, s = (b − a) / max(b, ε). The medoid-free variant
+    * (Hruschka 2004) — per point it needs only the k centroid scores
+    * already computed for assignment, not the O(n²) pairwise
+    * distances of Rousseeuw's original, which is what makes it the
+    * 100 TB form. Under nearest-centroid assignment a ≤ b by
+    * construction, so s ∈ [0, 1): it measures the assignment MARGIN
+    * (0 = on the decision boundary).
+    *
+    * Determinism: the codebook is the deterministic [[trainCentroids]]
+    * artifact; per-vector s is a fixed float/double DAG over it; the
+    * per-cluster mean rides the nano-unit integer trick
+    * ([[kmeansClusterProfile]]): `floor(s·10⁹)` sums (non-negative, so
+    * Spark `div` = DuckDB `//`), truncated mean, one exact division.
+    *
+    * Scale shape: one broadcast codebook × corpus scan, one vec-keyed
+    * 16-row window for the two best scores, one partial-merging
+    * cluster aggregate — no quadratic stage anywhere.
+    */
+  def silhouetteProfile(emb: DataFrame,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = codebook.getOrElse(trainCentroids(emb))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        cosine(col("embedding"), col("c")).as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(max(when(col("rn") === 1, col("centroid_id"))).as("centroid_id"),
+        max(when(col("rn") === 1, col("ccos"))).as("best"),
+        max(when(col("rn") === 2, col("ccos"))).as("second"))
+      .withColumn("a", lit(1.0) - col("best"))
+      .withColumn("b", lit(1.0) - col("second"))
+      .withColumn("sil",
+        (col("b") - col("a")) / greatest(col("b"), lit(1e-12)))
+      .select(col("centroid_id"),
+        floor(col("sil") * lit(1000000000.0)).cast("long").as("nano"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vecs"), sum("nano").as("sum_nano"))
+      .select(col("centroid_id"), col("n_vecs"),
+        (expr("sum_nano div n_vecs").cast("double") /
+          lit(1000000000.0)).as("mean_sil"))
   }
 
   /** Symmetric int8 quantization of every embedding — the compression
@@ -2514,8 +2610,12 @@ object Similarity {
     "sim_knn_graph"  -> ((s, d) =>
       nearestNeighborGraph(Tables.embeddings(s, d))),
     "sim_topk_ivf"   -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "sim_range_search" -> ((s, d) =>
+      rangeSearchEval(Tables.embeddings(s, d))),
     "vec_kmeans"     -> ((s, d) =>
       kmeansClusterProfile(Tables.embeddings(s, d))),
+    "vec_silhouette" -> ((s, d) =>
+      silhouetteProfile(Tables.embeddings(s, d))),
     "dedup_embedding_cosine" -> ((s, d) =>
       embeddingNearDupPairs(Tables.embeddings(s, d))),
     "dedup_embedding_ivf" -> ((s, d) =>
@@ -3111,6 +3211,71 @@ object Similarity {
          |             CAST(floor(ccos * 1000000000.0) AS BIGINT) AS nano
          |      FROM asg)
          |GROUP BY 1""".stripMargin,
+    "sim_range_search" ->
+      s"""WITH ${duckTrainedCents()},
+         |${duckAssigned()},
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS crank
+         |    FROM fs WHERE vec_id < $NQueries)
+         |  WHERE crank <= $Probes),
+         |cand AS (
+         |  SELECT p.query_id,
+         |         ${duckCosE("p.q", "a.embedding")} AS cosine
+         |  FROM probes p JOIN asg a USING (centroid_id)
+         |  WHERE p.query_id <> a.vec_id),
+         |ia AS (
+         |  SELECT query_id, count(*) AS n_cand,
+         |         CAST(sum(CASE WHEN cosine >= $RangeSearchThreshold
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM cand GROUP BY 1),
+         |qq AS (
+         |  SELECT vec_id AS query_id, embedding AS q FROM embeddings
+         |  WHERE vec_id < $NQueries),
+         |tr AS (
+         |  SELECT qq.query_id, count(*) AS n_true
+         |  FROM qq JOIN embeddings e ON qq.query_id <> e.vec_id
+         |  WHERE ${duckCosE("qq.q", "e.embedding")} >= $RangeSearchThreshold
+         |  GROUP BY 1),
+         |j AS (
+         |  SELECT qq.query_id,
+         |         COALESCE(tr.n_true, 0) AS n_true,
+         |         COALESCE(ia.n_cand, 0) AS n_cand,
+         |         COALESCE(ia.n_hit, 0) AS n_hit
+         |  FROM qq LEFT JOIN tr USING (query_id)
+         |          LEFT JOIN ia USING (query_id))
+         |SELECT query_id, n_true, n_cand, n_hit,
+         |       CASE WHEN n_true = 0 THEN 1.0
+         |            ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+         |       END AS recall
+         |FROM j""".stripMargin,
+    "vec_silhouette" ->
+      s"""WITH ${duckTrainedCents()},
+         |fs2 AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |         ${duckCosE("e.embedding", "c.c")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents$KmeansIters c),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY ccos DESC, centroid_id) AS rn FROM fs2),
+         |ab AS (
+         |  SELECT vec_id,
+         |         max(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+         |         max(CASE WHEN rn = 1 THEN ccos END) AS best,
+         |         max(CASE WHEN rn = 2 THEN ccos END) AS second
+         |  FROM rk WHERE rn <= 2 GROUP BY 1),
+         |sv AS (
+         |  SELECT centroid_id,
+         |         CAST(floor(((1.0 - second) - (1.0 - best)) /
+         |              greatest(1.0 - second, 1e-12) * 1000000000.0)
+         |           AS BIGINT) AS nano
+         |  FROM ab)
+         |SELECT CAST(centroid_id AS INT) AS centroid_id,
+         |       count(*) AS n_vecs,
+         |       CAST(CAST(sum(nano) AS BIGINT) // count(*) AS DOUBLE)
+         |         / 1000000000.0 AS mean_sil
+         |FROM sv GROUP BY 1""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH ${duckTrainedCents()},
          |${duckAssigned()},

@@ -1276,4 +1276,61 @@ class SimilaritySpec extends SparkSpec {
     assert(r.last._1 === Similarity.Probes)
     assert(r.last._5 >= 0.9, s"operating-point recall ${r.last._5}")
   }
+
+  test("silhouetteProfile: planted codebook — margin 1 on-axis, margin 0 " +
+      "on the decision boundary, truncated cluster means") {
+    val d = emb(
+      1L -> Seq(1f, 0f),     // own c0 (a=0), other c1 (b=1) -> sil 1
+      2L -> Seq(0.5f, 0.5f), // equidistant: tie -> c0, a=b -> sil 0
+      3L -> Seq(0f, 1f))     // own c1 -> sil 1
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f)))
+      .toDF("centroid_id", "c")
+    val r = Similarity.silhouetteProfile(d, Some(cents))
+      .select("centroid_id", "n_vecs", "mean_sil")
+      .as[(Int, Long, Double)].collect().toSet
+    // c0: (1e9 + 0) div 2 = 5e8 -> 0.5; c1: 1e9 div 1 -> 1.0
+    assert(r === Set((0, 2L, 0.5), (1, 1L, 1.0)))
+  }
+
+  test("silhouetteProfile: fixture run — clusters partition the corpus, " +
+      "margins in [0, 1), partition-invariant") {
+    val d = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.silhouetteProfile(df)
+        .select("centroid_id", "n_vecs", "mean_sil")
+        .as[(Int, Long, Double)].collect().sortBy(_._1)
+    val r = run(d)
+    assert(r.map(_._2).sum === d.count())
+    r.foreach { case (cid, n, s) =>
+      assert(n > 0)
+      assert(s >= 0.0 && s < 1.0, s"cluster $cid mean_sil $s out of [0,1)")
+    }
+    // a clustered corpus must show real margin somewhere
+    assert(r.map(_._3).max > 0.1, "no cluster shows separation margin")
+    assert(run(d.repartition(7)).toSeq === r.toSeq)
+  }
+
+  test("rangeSearchEval: served hits are a subset of the brute truth; " +
+      "probed lists keep most of the radius mass") {
+    val d = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Similarity.rangeSearchEval(d)
+      .select("query_id", "n_true", "n_cand", "n_hit", "recall")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.length === Similarity.NQueries)
+    r.foreach { case (q, t, c, h, rec) =>
+      assert(h <= t, s"query $q: hits $h exceed truth $t")
+      assert(h <= c, s"query $q: hits $h exceed candidates $c")
+      assert(c > 0, s"query $q scanned no candidates")
+      if (t == 0) assert(rec === 1.0)
+      else assert(rec === h.toDouble / t)
+    }
+    val macroRecall = {
+      val withTruth = r.filter(_._2 > 0)
+      withTruth.map(_._5).sum / withTruth.length
+    }
+    info(f"range-search macro recall at tau ${Similarity.RangeSearchThreshold}: $macroRecall%.3f")
+    assert(macroRecall >= 0.6, s"macro recall $macroRecall")
+    // the point of IVF: candidates scanned < full corpus per query
+    assert(r.map(_._3).max < d.count() - 1)
+  }
 }
