@@ -169,6 +169,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Privacy.lDiversityAudit(Tables.customer(spark, dataDir), lBar)
     def tCloseness(tBar: Double = 0.15): DataFrame =
       Privacy.tClosenessAudit(Tables.customer(spark, dataDir), tBar)
+    def dpCounts: DataFrame = Privacy.dpNoisyCounts(
+      Tables.customer(spark, dataDir), Tables.nation(spark, dataDir))
   }
 
   object similarity {
@@ -186,6 +188,11 @@ case class Engine(spark: SparkSession, dataDir: String) {
         iters: Int = Similarity.KmeansIters): DataFrame =
       Similarity.trainCentroids(emb, k, iters)
     def kmeansProfile: DataFrame = Similarity.kmeansClusterProfile(emb)
+    def silhouette(codebook: Option[DataFrame] = None): DataFrame =
+      Similarity.silhouetteProfile(emb, codebook)
+    def rangeSearch(
+        threshold: Double = Similarity.RangeSearchThreshold): DataFrame =
+      Similarity.rangeSearchEval(emb, threshold)
     def dimProfile: DataFrame = Similarity.dimProfile(emb)
     def labelCentroids: DataFrame = Similarity.labelCentroids(emb)
     def centroidOutliers: DataFrame = Similarity.centroidOutliers(emb)
@@ -269,6 +276,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.cohortLtv(Tables.orders(spark, dataDir))
     def holt: DataFrame =
       TimeSeries.holtDailyRevenue(Tables.orders(spark, dataDir))
+    def holtWinters: DataFrame =
+      TimeSeries.holtWintersDailyRevenue(Tables.orders(spark, dataDir))
     def twap: DataFrame =
       TimeSeries.twapUserValue(Tables.events(spark, dataDir))
     def cusum: DataFrame =
@@ -323,6 +332,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def assortativity: DataFrame = Graph.assortativity(edges)
     def communities(rounds: Int = Graph.LpaRounds): DataFrame =
       Graph.labelPropagation(edges, rounds)
+    def personalizedPagerank(iterations: Int = 3,
+        seedCount: Int = Graph.PprSeedCount): DataFrame =
+      Graph.personalizedPagerank(edges, iterations, seedCount)
   }
 
   /** Exact-arithmetic statistics — see [[graft.ext.Stats]]. */
@@ -344,6 +356,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
     def bootstrap(arms: Int = Stats.BootstrapArms): DataFrame =
       Stats.poissonBootstrap(Tables.orders(spark, dataDir), arms)
+    def welchT: DataFrame =
+      Stats.welchTOrderValues(Tables.orders(spark, dataDir))
   }
 
   object quality {

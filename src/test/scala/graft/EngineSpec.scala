@@ -64,7 +64,12 @@ class EngineSpec extends SparkSpec {
       e.similarity.embeddingDecontam(), e.text.doremiMix(),
       e.text.distinctNgramProfile, e.similarity.mmrTopK(),
       e.similarity.lofScores(), e.similarity.knnGraphIvfEval(),
-      e.text.ccnetBuckets(), e.similarity.embeddingDecontamSweep())
+      e.text.ccnetBuckets(), e.similarity.embeddingDecontamSweep(),
+      // round-14 continuation surface
+      e.timeSeries.holtWinters, e.stats.welchT,
+      e.graph.personalizedPagerank(iterations = 1, seedCount = 2),
+      e.privacy.dpCounts, e.similarity.silhouette(),
+      e.similarity.rangeSearch())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
