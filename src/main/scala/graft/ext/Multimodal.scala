@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Multimodal-column plumbing (SURVEY.md §7.4 extension mandate): treat
@@ -579,6 +580,44 @@ object Multimodal {
     }
   }
 
+  /** AUDIO FINGERPRINT (Haitsma–Kalker 2002, single-band form) over the
+    * real decoded PCM stream: the sign of the frame-to-frame ENERGY
+    * DELTA is robust to gain/offset changes, so packing 32 consecutive
+    * delta bits gives the compact sub-fingerprint words an audio-dedup
+    * index bands on (the audio analog of [[perceptualHash]]'s DCT
+    * bits). Bit f (f ≥ 1) is 1 when mean energy rose:
+    * `sum_sq_f · n_{f−1} > sum_sq_{f−1} · n_f` — the cross-multiplied
+    * exact-integer comparison, so no division ever runs; word w packs
+    * bits 32w+1..32w+32 as `Σ bit << ((f−1) mod 32)`.
+    *
+    * Scale shape: one narrow decode pass ([[audioFrameEnergy]]), one
+    * per-asset window over the ~50-frame stream (keyed by doc_id — a
+    * bounded partition by construction), one partial-merging pack
+    * aggregate. The twin extends the `mm_audio_energy` byte-contract
+    * CTEs with the identical lag/pack arithmetic.
+    */
+  case class AudioFp(doc_id: Long, word_id: Long, n_bits: Long, fp: Long)
+
+  def audioFingerprint(wavs: Dataset[Asset],
+      frameLen: Int = 160): Dataset[AudioFp] = {
+    import wavs.sparkSession.implicits._
+    val fr = audioFrameEnergy(wavs, frameLen).toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame_id")
+    fr.select(col("doc_id"), col("frame_id"), col("n_samples"), col("sum_sq"))
+      .withColumn("prev_sq", lag("sum_sq", 1).over(w))
+      .withColumn("prev_n", lag("n_samples", 1).over(w))
+      .filter(col("prev_sq").isNotNull)
+      .select(col("doc_id"),
+        expr("(frame_id - 1) div 32").as("word_id"),
+        when(col("sum_sq") * col("prev_n") > col("prev_sq") * col("n_samples"),
+          lit(1L)).otherwise(lit(0L)).as("bit"),
+        expr("cast((frame_id - 1) % 32 as int)").as("pos"))
+      .groupBy("doc_id", "word_id")
+      .agg(count(lit(1)).as("n_bits"),
+        sum(expr("shiftleft(bit, pos)")).as("fp"))
+      .as[AudioFp]
+  }
+
   /** Image features over REAL decoded pixels: 16-bin intensity histogram
     * (bin = pixel >> 4) plus mean intensity, computed from the raster
     * [[decodePng]] inflates — the decode→feature pipeline of a media
@@ -707,6 +746,8 @@ object Multimodal {
       decodeWav(encodeWav(assetDs(s, d))).toDF()),
     "mm_audio_energy" -> ((s, d) =>
       audioFrameEnergy(encodeWav(assetDs(s, d))).toDF()),
+    "mm_audio_fingerprint" -> ((s, d) =>
+      audioFingerprint(encodeWav(assetDs(s, d))).toDF()),
     // real decode -> perceptual fingerprint (aHash), oracle-predicted
     // from the payload byte contract
     "mm_ahash" -> ((s, d) => averageHash(encodePng(assetDs(s, d))).toDF()),
@@ -935,6 +976,44 @@ object Multimodal {
         |       sqrt(CAST(CAST(list_sum([x * x for x in fr]) AS BIGINT)
         |                 AS DOUBLE) / len(fr)) AS rms
         |FROM e""".stripMargin,
+    "mm_audio_fingerprint" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         [ascii(substring(text, i, 1))
+        |          for i in range(1, octet_length(encode(text)) + 1)] AS samp
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, samp,
+        |         unnest(range((len(samp) + 159) // 160)) AS frame_id
+        |  FROM s),
+        |e AS (
+        |  SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+        |         samp[frame_id * 160 + 1 :
+        |              least((frame_id + 1) * 160, len(samp))] AS fr
+        |  FROM f),
+        |en AS (
+        |  SELECT doc_id, frame_id, CAST(len(fr) AS BIGINT) AS n_samples,
+        |         CAST(list_sum([x * x for x in fr]) AS BIGINT) AS sum_sq
+        |  FROM e),
+        |d AS (
+        |  SELECT doc_id, frame_id, n_samples, sum_sq,
+        |         lag(sum_sq) OVER (PARTITION BY doc_id ORDER BY frame_id)
+        |           AS prev_sq,
+        |         lag(n_samples) OVER (PARTITION BY doc_id ORDER BY frame_id)
+        |           AS prev_n
+        |  FROM en),
+        |b AS (
+        |  SELECT doc_id, (frame_id - 1) // 32 AS word_id,
+        |         CAST((frame_id - 1) % 32 AS INT) AS pos,
+        |         CASE WHEN sum_sq * prev_n > prev_sq * n_samples
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM d WHERE prev_sq IS NOT NULL)
+        |SELECT doc_id, CAST(word_id AS BIGINT) AS word_id,
+        |       count(*) AS n_bits,
+        |       CAST(sum(CASE WHEN bit = 1
+        |                     THEN (CAST(1 AS BIGINT) << pos)
+        |                     ELSE 0 END) AS BIGINT) AS fp
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "mm_ahash" -> duckAhashSql,
     "mm_dedup_ahash" ->
       s"""WITH ah AS (

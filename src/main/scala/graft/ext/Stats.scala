@@ -635,7 +635,72 @@ object Stats {
         "mean_a", "mean_b", "var_a", "var_b", "t_stat", "df_welch")
   }
 
+  /** The five TPC-H order priorities, in fixed slot order — the ANOVA
+    * pivot and its twin must sum group terms in the SAME order for the
+    * IEEE trees to agree. */
+  val AnovaPriorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** ONE-WAY ANOVA F-TEST across all five order-priority cohorts — the
+    * k-group generalization of [[welchTOrderValues]]: does order value
+    * differ anywhere across priorities? Same exact-moments contract:
+    * the corpus pass reduces each cohort to (n, Σx, Σx²) over
+    * whole-dollar values, the pivot packs the 15 integers into one
+    * row, and every fractional column is a fixed IEEE tree evaluated
+    * in the SAME left-to-right group order on both sides:
+    * `SST = Σx²_tot − Σx_tot·x̄`, `SSW = Σ_g (Σx²_g − Σx_g·x̄_g)`
+    * (five terms, slot order), `SSB = SST − SSW`,
+    * `F = (SSB/(k−1)) / (SSW/(N−k))`.
+    *
+    * Scale shape: identical to Welch — one partial-aggregating groupBy
+    * into FIVE rows, a single-row pivot, no second corpus pass.
+    */
+  def anovaOrderValues(orders: DataFrame): DataFrame = {
+    val k = AnovaPriorities.length
+    val byGrp = orders
+      .filter(col("o_orderpriority").isin(AnovaPriorities: _*))
+      .select(col("o_orderpriority").as("grp"),
+        expr("cast(round(o_totalprice * 100) as long) div 100").as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    val slots = AnovaPriorities.zipWithIndex
+    val pivots =
+      slots.map { case (p, i) =>
+        max(when(col("grp") === p, col("n"))).as(s"n_$i") } ++
+      slots.map { case (p, i) =>
+        max(when(col("grp") === p, col("s"))).as(s"s_$i") } ++
+      slots.map { case (p, i) =>
+        max(when(col("grp") === p, col("ss"))).as(s"ss_$i") }
+    var row = byGrp.agg(pivots.head, pivots.tail: _*)
+    row = row
+      .withColumn("n_tot",
+        slots.map { case (_, i) => col(s"n_$i") }.reduce(_ + _))
+      .withColumn("s_tot",
+        slots.map { case (_, i) => col(s"s_$i") }.reduce(_ + _))
+      .withColumn("ss_tot",
+        slots.map { case (_, i) => col(s"ss_$i") }.reduce(_ + _))
+      .withColumn("grand_mean", col("s_tot").cast("double") / col("n_tot"))
+      .withColumn("sst", col("ss_tot").cast("double") -
+        col("s_tot").cast("double") * col("grand_mean"))
+    for ((_, i) <- slots) {
+      row = row.withColumn(s"w_$i",
+        col(s"ss_$i").cast("double") - col(s"s_$i").cast("double") *
+          (col(s"s_$i").cast("double") / col(s"n_$i")))
+    }
+    row
+      .withColumn("ssw",
+        slots.map { case (_, i) => col(s"w_$i") }.reduce(_ + _))
+      .withColumn("ssb", col("sst") - col("ssw"))
+      .withColumn("df1", lit((k - 1).toLong))
+      .withColumn("df2", col("n_tot") - k)
+      .withColumn("f_stat",
+        (col("ssb") / col("df1")) / (col("ssw") / col("df2")))
+      .select("n_tot", "df1", "df2", "sst", "ssw", "ssb", "f_stat")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_anova" -> ((s, d) => anovaOrderValues(Tables.orders(s, d))),
     "stats_welch_t" -> ((s, d) => welchTOrderValues(Tables.orders(s, d))),
     "stats_bootstrap" -> ((s, d) => poissonBootstrap(Tables.orders(s, d))),
     "stats_spearman" -> ((s, d) => spearmanQtyValue(Tables.lineitem(s, d))),
@@ -661,7 +726,58 @@ object Stats {
     * IEEE expression trees (`//` is DuckDB's integer floor division,
     * equal to Spark's `div` for the non-negative operands here).
     */
+  /** ANOVA twin, generated from [[AnovaPriorities]] so the slot order —
+    * and therefore every left-associated group sum — matches the Spark
+    * pivot exactly. */
+  private def duckAnovaSql: String = {
+    val k = AnovaPriorities.length
+    val slots = AnovaPriorities.zipWithIndex
+    val inList = AnovaPriorities.map(p => s"'$p'").mkString(", ")
+    val pivots = (slots.map { case (p, i) =>
+      s"max(CASE WHEN grp = '$p' THEN n END) AS n_$i" } ++
+      slots.map { case (p, i) =>
+        s"max(CASE WHEN grp = '$p' THEN s END) AS s_$i" } ++
+      slots.map { case (p, i) =>
+        s"max(CASE WHEN grp = '$p' THEN ss END) AS ss_$i" })
+      .mkString(",\n         ")
+    def sumOf(pfx: String) =
+      slots.map { case (_, i) => s"${pfx}_$i" }.mkString(" + ")
+    val wTerms = slots.map { case (_, i) =>
+      s"""CAST(ss_$i AS DOUBLE) - CAST(s_$i AS DOUBLE) *
+         |           (CAST(s_$i AS DOUBLE) / n_$i) AS w_$i""".stripMargin
+    }.mkString(",\n         ")
+    s"""WITH v AS (
+       |  SELECT o_orderpriority AS grp,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS x
+       |  FROM orders WHERE o_orderpriority IN ($inList)),
+       |g AS (
+       |  SELECT grp, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+       |         CAST(sum(x * x) AS BIGINT) AS ss
+       |  FROM v GROUP BY 1),
+       |p AS (
+       |  SELECT $pivots
+       |  FROM g),
+       |t AS (
+       |  SELECT *, ${sumOf("n")} AS n_tot, ${sumOf("s")} AS s_tot,
+       |         ${sumOf("ss")} AS ss_tot
+       |  FROM p),
+       |m AS (SELECT *, CAST(s_tot AS DOUBLE) / n_tot AS grand_mean FROM t),
+       |a AS (
+       |  SELECT *,
+       |         CAST(ss_tot AS DOUBLE) - CAST(s_tot AS DOUBLE) * grand_mean
+       |           AS sst,
+       |         $wTerms
+       |  FROM m),
+       |b AS (SELECT *, ${sumOf("w")} AS ssw FROM a),
+       |c AS (SELECT *, sst - ssw AS ssb, CAST(${k - 1} AS BIGINT) AS df1,
+       |             n_tot - $k AS df2 FROM b)
+       |SELECT n_tot, df1, df2, sst, ssw, ssb,
+       |       (ssb / df1) / (ssw / df2) AS f_stat
+       |FROM c""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "stats_anova" -> duckAnovaSql,
     "stats_welch_t" ->
       """WITH v AS (
         |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
