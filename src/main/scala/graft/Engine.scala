@@ -358,6 +358,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Stats.poissonBootstrap(Tables.orders(spark, dataDir), arms)
     def welchT: DataFrame =
       Stats.welchTOrderValues(Tables.orders(spark, dataDir))
+    def anova: DataFrame =
+      Stats.anovaOrderValues(Tables.orders(spark, dataDir))
   }
 
   object quality {
@@ -474,6 +476,11 @@ case class Engine(spark: SparkSession, dataDir: String) {
       import spark.implicits._
       val ds = Multimodal.assets(docs).as[Multimodal.Asset]
       Multimodal.averageHash(Multimodal.encodePng(ds)).toDF()
+    }
+    def audioFingerprint(frameLen: Int = 160): DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.audioFingerprint(Multimodal.encodeWav(ds), frameLen).toDF()
     }
     private def docs = Tables.documents(spark, dataDir)
   }

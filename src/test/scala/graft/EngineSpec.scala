@@ -69,7 +69,9 @@ class EngineSpec extends SparkSpec {
       e.timeSeries.holtWinters, e.stats.welchT,
       e.graph.personalizedPagerank(iterations = 1, seedCount = 2),
       e.privacy.dpCounts, e.similarity.silhouette(),
-      e.similarity.rangeSearch())
+      e.similarity.rangeSearch(),
+      // round-15 surface
+      e.stats.anova, e.multimodal.audioFingerprint())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

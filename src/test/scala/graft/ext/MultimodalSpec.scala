@@ -217,6 +217,38 @@ class MultimodalSpec extends SparkSpec {
       f1.sum_sq === 40L * x * x)
   }
 
+  test("audioFingerprint: hand-packed energy-rise bits, tail frame uses " +
+      "the cross-multiplied mean-energy compare, single frame emits none") {
+    val ds = Multimodal.assets(docs(
+      // frames a,c,b,b: deltas rise,fall,flat -> bits 1,0,0 -> fp 1
+      1L -> ("a" * 160 + "c" * 160 + "b" * 160 + "b" * 160),
+      // rising a,b,c -> bits 1,1 at pos 0,1 -> fp 3
+      2L -> ("a" * 160 + "b" * 160 + "c" * 160),
+      // 40-sample tail: bit iff 40z²·160 > 160a²·40 ⟺ z² > a² -> 1
+      3L -> ("a" * 160 + "z" * 40),
+      // one frame -> no deltas -> no fingerprint rows
+      4L -> ("a" * 100))).as[Multimodal.Asset]
+    val fp = Multimodal.audioFingerprint(Multimodal.encodeWav(ds))
+      .collect().map(f => (f.doc_id, f.word_id) -> f).toMap
+    assert(fp.keySet === Set((1L, 0L), (2L, 0L), (3L, 0L)))
+    assert(fp((1L, 0L)).n_bits === 3L && fp((1L, 0L)).fp === 1L)
+    assert(fp((2L, 0L)).n_bits === 2L && fp((2L, 0L)).fp === 3L)
+    assert(fp((3L, 0L)).n_bits === 1L && fp((3L, 0L)).fp === 1L)
+  }
+
+  test("audioFingerprint: 34 alternating frames span two words with the " +
+      "documented (frame-1) mod 32 packing") {
+    // frames alternate a,b,a,b,…: delta f (1-based) rises iff f is odd,
+    // landing at pos (f-1): word 0 = bits at even pos = 0x55555555
+    val ds = Multimodal.assets(docs(
+      1L -> (("a" * 160 + "b" * 160) * 17))).as[Multimodal.Asset]
+    val fp = Multimodal.audioFingerprint(Multimodal.encodeWav(ds))
+      .collect().map(f => f.word_id -> f).toMap
+    assert(fp.keySet === Set(0L, 1L))
+    assert(fp(0L).n_bits === 32L && fp(0L).fp === 0x55555555L)
+    assert(fp(1L).n_bits === 1L && fp(1L).fp === 1L)
+  }
+
   test("ahashDedupGroups: same-content images collapse to the lowest keeper") {
     val ds = Multimodal.assets(docs(
       1L -> "duplicate payload body",

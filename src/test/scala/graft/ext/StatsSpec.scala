@@ -306,6 +306,46 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("df_welch") - 2.882352941176471) < 1e-9)
   }
 
+  test("anovaOrderValues: hand-computed 5-group moments, SST/SSW/SSB and F") {
+    // cohort moments (whole dollars):
+    //   1-URGENT:        10,20,30 -> n 3, s  60, ss  1400, w = 1400-1200 = 200
+    //   2-HIGH:          40,50    -> n 2, s  90, ss  4100, w = 4100-4050 =  50
+    //   3-MEDIUM:        60       -> n 1, s  60, ss  3600, w = 0
+    //   4-NOT SPECIFIED: 70,80    -> n 2, s 150, ss 11300, w = 11300-11250 = 50
+    //   5-LOW:           90       -> n 1, s  90, ss  8100, w = 0
+    // N 9, Σx 450, Σx² 28500, grand mean 50
+    // SST = 28500 - 450·50 = 6000; SSW = 300; SSB = 5700
+    // F = (5700/4) / (300/4) = 19 exactly
+    val o = Seq(
+      ("1-URGENT", 10.0), ("1-URGENT", 20.0), ("1-URGENT", 30.0),
+      ("2-HIGH", 40.0), ("2-HIGH", 50.0),
+      ("3-MEDIUM", 60.0),
+      ("4-NOT SPECIFIED", 70.0), ("4-NOT SPECIFIED", 80.0),
+      ("5-LOW", 90.0),
+      ("9-BOGUS", 999.0) // outside the priority domain: must not leak in
+    ).toDF("o_orderpriority", "o_totalprice")
+    val r = Stats.anovaOrderValues(o).collect().head
+    assert(r.getAs[Long]("n_tot") === 9L)
+    assert(r.getAs[Long]("df1") === 4L)
+    assert(r.getAs[Long]("df2") === 4L)
+    assert(r.getAs[Double]("sst") === 6000.0)
+    assert(r.getAs[Double]("ssw") === 300.0)
+    assert(r.getAs[Double]("ssb") === 5700.0)
+    assert(r.getAs[Double]("f_stat") === 19.0)
+  }
+
+  test("anovaOrderValues: fixture run — one row, all cohorts populated, " +
+      "SST = SSW + SSB, F positive") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val r = Stats.anovaOrderValues(orders).collect().head
+    assert(r.getAs[Long]("n_tot") > 0L)
+    assert(r.getAs[Long]("df2") === r.getAs[Long]("n_tot") - 5L)
+    val (sst, ssw, ssb) = (r.getAs[Double]("sst"), r.getAs[Double]("ssw"),
+      r.getAs[Double]("ssb"))
+    assert(math.abs(sst - (ssw + ssb)) <= 1e-9 * sst)
+    assert(ssw > 0 && r.getAs[Double]("f_stat") > 0)
+  }
+
   test("welchTOrderValues: fixture run — one row, both cohorts populated," +
       " df between min(n)-1 and n_a+n_b-2") {
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
