@@ -482,6 +482,17 @@ case class Engine(spark: SparkSession, dataDir: String) {
       val ds = Multimodal.assets(docs).as[Multimodal.Asset]
       Multimodal.audioFingerprint(Multimodal.encodeWav(ds), frameLen).toDF()
     }
+    def audioNearDups(maxHamming: Int = 6): DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.audioNearDupPairs(Multimodal.encodeWav(ds),
+        maxHamming = maxHamming)
+    }
+    def audioClusters: DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.audioClusters(Multimodal.encodeWav(ds))
+    }
     private def docs = Tables.documents(spark, dataDir)
   }
 

@@ -618,6 +618,77 @@ object Multimodal {
       .as[AudioFp]
   }
 
+  /** NEAR-DUP AUDIO PAIRS by sub-fingerprint word collisions — the audio
+    * analog of [[phashNearDupPairs]], completing the Haitsma–Kalker
+    * serving path: candidates collide on an EXACT (word_id, fp) match
+    * (the classic sub-fingerprint hash-table probe), survivors verify
+    * total Hamming distance over the aligned word streams.
+    *
+    * Two deliberate contracts:
+    *   - Over-common sub-fingerprints (silence, flat energy — the
+    *     stop-words of audio) are dropped from CANDIDATE GENERATION when
+    *     more than `maxBucket` assets share a word: the df-cap pattern
+    *     of [[Dedup]]'s inverted index, which bounds per-bucket fan-out
+    *     so no skewed key can go quadratic at scale. The verify metric
+    *     is unaffected — only recall through that bucket is traded, and
+    *     a capped bucket means the word carried ~no information anyway.
+    *   - Pairs must align EXACTLY: the word join carries `n_bits`, and
+    *     the matched-word count must equal BOTH assets' word counts, so
+    *     streams of different lengths never pair (a prefix match is not
+    *     a near-dup under a fixed-alignment fingerprint).
+    *
+    * Scale shape: fingerprints are ≤ n_frames/32 longs per asset and
+    * are checkpointed once (the banded join consumes the decode subplan
+    * twice — the [[phashNearDupPairs]] lesson); the self-join is keyed
+    * by (word_id, fp) with the over-cap anti-join keeping buckets
+    * bounded; verify is one partial-merging sum over matched words.
+    */
+  def audioNearDupPairs(wavs: Dataset[Asset], frameLen: Int = 160,
+      maxHamming: Int = 6, maxBucket: Int = 64): DataFrame = {
+    val fp = graft.CheckpointLease.track(
+      audioFingerprint(wavs, frameLen).toDF().localCheckpoint())
+    val hot = fp.groupBy("word_id", "fp")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+      .select("word_id", "fp")
+    val cand = fp.join(broadcast(hot), Seq("word_id", "fp"), "left_anti")
+    val pairs = cand.as("a")
+      .join(cand.as("b"),
+        col("a.word_id") === col("b.word_id") &&
+          col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val nWords = fp.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    pairs
+      .join(fp.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(fp.as("fb"),
+        col("doc_b") === col("fb.doc_id") &&
+          col("fa.word_id") === col("fb.word_id") &&
+          col("fa.n_bits") === col("fb.n_bits"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(bit_count(col("fa.fp").bitwiseXOR(col("fb.fp"))))
+          .as("hamming"),
+        count(lit(1)).as("matched"))
+      .join(nWords.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(nWords.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .filter(col("matched") === col("na.n_words") &&
+        col("matched") === col("nb.n_words") &&
+        col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Near-dup AUDIO CLUSTERS: connected components over the word-collision
+    * pair graph — the audio-side [[phashClusters]]. Same domain
+    * convention: only assets with at least one near-dup partner appear,
+    * labeled by the minimum reachable doc_id.
+    */
+  def audioClusters(wavs: Dataset[Asset], frameLen: Int = 160,
+      maxHamming: Int = 6, maxBucket: Int = 64): DataFrame =
+    Components.connectedComponents(
+        audioNearDupPairs(wavs, frameLen, maxHamming, maxBucket))
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+
   /** Image features over REAL decoded pixels: 16-bin intensity histogram
     * (bin = pixel >> 4) plus mean intensity, computed from the raster
     * [[decodePng]] inflates — the decode→feature pipeline of a media
@@ -748,6 +819,10 @@ object Multimodal {
       audioFrameEnergy(encodeWav(assetDs(s, d))).toDF()),
     "mm_audio_fingerprint" -> ((s, d) =>
       audioFingerprint(encodeWav(assetDs(s, d))).toDF()),
+    "mm_dedup_audio" -> ((s, d) =>
+      audioNearDupPairs(encodeWav(assetDs(s, d)))),
+    "mm_audio_clusters" -> ((s, d) =>
+      audioClusters(encodeWav(assetDs(s, d)))),
     // real decode -> perceptual fingerprint (aHash), oracle-predicted
     // from the payload byte contract
     "mm_ahash" -> ((s, d) => averageHash(encodePng(assetDs(s, d))).toDF()),
@@ -870,6 +945,84 @@ object Multimodal {
        |  FROM md)""".stripMargin
   }
 
+  /** Shared audio-fingerprint CTE chain — the `mm_audio_energy` byte
+    * contract extended with the Haitsma–Kalker lag/pack arithmetic,
+    * ending in `fpt(doc_id, word_id, n_bits, fp)`. MATERIALIZED: the
+    * near-dup twin consumes it five times.
+    */
+  private def duckAudioFpCtes: String =
+    """s AS (
+      |  SELECT doc_id,
+      |         [ascii(substring(text, i, 1))
+      |          for i in range(1, octet_length(encode(text)) + 1)] AS samp
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, samp,
+      |         unnest(range((len(samp) + 159) // 160)) AS frame_id
+      |  FROM s),
+      |e AS (
+      |  SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+      |         samp[frame_id * 160 + 1 :
+      |              least((frame_id + 1) * 160, len(samp))] AS fr
+      |  FROM f),
+      |en AS (
+      |  SELECT doc_id, frame_id, CAST(len(fr) AS BIGINT) AS n_samples,
+      |         CAST(list_sum([x * x for x in fr]) AS BIGINT) AS sum_sq
+      |  FROM e),
+      |d AS (
+      |  SELECT doc_id, frame_id, n_samples, sum_sq,
+      |         lag(sum_sq) OVER (PARTITION BY doc_id ORDER BY frame_id)
+      |           AS prev_sq,
+      |         lag(n_samples) OVER (PARTITION BY doc_id ORDER BY frame_id)
+      |           AS prev_n
+      |  FROM en),
+      |b AS (
+      |  SELECT doc_id, (frame_id - 1) // 32 AS word_id,
+      |         CAST((frame_id - 1) % 32 AS INT) AS pos,
+      |         CASE WHEN sum_sq * prev_n > prev_sq * n_samples
+      |              THEN 1 ELSE 0 END AS bit
+      |  FROM d WHERE prev_sq IS NOT NULL),
+      |fpt AS MATERIALIZED (
+      |  SELECT doc_id, CAST(word_id AS BIGINT) AS word_id,
+      |         count(*) AS n_bits,
+      |         CAST(sum(CASE WHEN bit = 1
+      |                       THEN (CAST(1 AS BIGINT) << pos)
+      |                       ELSE 0 END) AS BIGINT) AS fp
+      |  FROM b GROUP BY 1, 2)""".stripMargin
+
+  /** Shared audio near-dup pair CTEs over `fpt`: the df-capped
+    * word-collision candidates plus the aligned-stream Hamming verify,
+    * ending in `verified(doc_a, doc_b, hamming)` — the constants mirror
+    * [[audioNearDupPairs]]'s defaults (maxBucket 64, maxHamming 6).
+    */
+  private def duckAudioPairCtes: String =
+    """cnt AS (
+      |  SELECT word_id, fp, count(*) AS n_docs FROM fpt GROUP BY 1, 2),
+      |cand AS MATERIALIZED (
+      |  SELECT f.doc_id, f.word_id, f.fp
+      |  FROM fpt f JOIN cnt c ON f.word_id = c.word_id AND f.fp = c.fp
+      |  WHERE c.n_docs <= 64),
+      |prs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM cand a JOIN cand b
+      |    ON a.word_id = b.word_id AND a.fp = b.fp AND a.doc_id < b.doc_id),
+      |nw AS (SELECT doc_id, count(*) AS n_words FROM fpt GROUP BY 1),
+      |hm AS (
+      |  SELECT p.doc_a, p.doc_b,
+      |         CAST(sum(bit_count(xor(fa.fp, fb.fp))) AS BIGINT) AS hamming,
+      |         count(*) AS matched
+      |  FROM prs p
+      |  JOIN fpt fa ON fa.doc_id = p.doc_a
+      |  JOIN fpt fb ON fb.doc_id = p.doc_b
+      |   AND fb.word_id = fa.word_id AND fb.n_bits = fa.n_bits
+      |  GROUP BY 1, 2),
+      |verified AS MATERIALIZED (
+      |  SELECT h.doc_a, h.doc_b, h.hamming
+      |  FROM hm h JOIN nw na ON na.doc_id = h.doc_a
+      |            JOIN nw nb ON nb.doc_id = h.doc_b
+      |  WHERE h.matched = na.n_words AND h.matched = nb.n_words
+      |    AND h.hamming <= 6)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "mm_phash" -> duckPhashSql,
     "mm_dedup_phash" ->
@@ -977,43 +1130,25 @@ object Multimodal {
         |                 AS DOUBLE) / len(fr)) AS rms
         |FROM e""".stripMargin,
     "mm_audio_fingerprint" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |         [ascii(substring(text, i, 1))
-        |          for i in range(1, octet_length(encode(text)) + 1)] AS samp
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, samp,
-        |         unnest(range((len(samp) + 159) // 160)) AS frame_id
-        |  FROM s),
-        |e AS (
-        |  SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
-        |         samp[frame_id * 160 + 1 :
-        |              least((frame_id + 1) * 160, len(samp))] AS fr
-        |  FROM f),
-        |en AS (
-        |  SELECT doc_id, frame_id, CAST(len(fr) AS BIGINT) AS n_samples,
-        |         CAST(list_sum([x * x for x in fr]) AS BIGINT) AS sum_sq
-        |  FROM e),
-        |d AS (
-        |  SELECT doc_id, frame_id, n_samples, sum_sq,
-        |         lag(sum_sq) OVER (PARTITION BY doc_id ORDER BY frame_id)
-        |           AS prev_sq,
-        |         lag(n_samples) OVER (PARTITION BY doc_id ORDER BY frame_id)
-        |           AS prev_n
-        |  FROM en),
-        |b AS (
-        |  SELECT doc_id, (frame_id - 1) // 32 AS word_id,
-        |         CAST((frame_id - 1) % 32 AS INT) AS pos,
-        |         CASE WHEN sum_sq * prev_n > prev_sq * n_samples
-        |              THEN 1 ELSE 0 END AS bit
-        |  FROM d WHERE prev_sq IS NOT NULL)
-        |SELECT doc_id, CAST(word_id AS BIGINT) AS word_id,
-        |       count(*) AS n_bits,
-        |       CAST(sum(CASE WHEN bit = 1
-        |                     THEN (CAST(1 AS BIGINT) << pos)
-        |                     ELSE 0 END) AS BIGINT) AS fp
-        |FROM b GROUP BY 1, 2""".stripMargin,
+      s"""WITH $duckAudioFpCtes
+         |SELECT doc_id, word_id, n_bits, fp FROM fpt""".stripMargin,
+    "mm_dedup_audio" ->
+      s"""WITH $duckAudioFpCtes,
+         |$duckAudioPairCtes
+         |SELECT doc_a, doc_b, hamming FROM verified""".stripMargin,
+    "mm_audio_clusters" ->
+      s"""WITH RECURSIVE $duckAudioFpCtes,
+         |$duckAudioPairCtes,
+         |und AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified),
+         |reach AS (
+         |  SELECT u AS node, u AS r FROM und
+         |  UNION
+         |  SELECT und.u AS node, reach.r
+         |  FROM und JOIN reach ON und.v = reach.node)
+         |SELECT node AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY 1""".stripMargin,
     "mm_ahash" -> duckAhashSql,
     "mm_dedup_ahash" ->
       s"""WITH ah AS (

@@ -71,7 +71,8 @@ class EngineSpec extends SparkSpec {
       e.privacy.dpCounts, e.similarity.silhouette(),
       e.similarity.rangeSearch(),
       // round-15 surface
-      e.stats.anova, e.multimodal.audioFingerprint())
+      e.stats.anova, e.multimodal.audioFingerprint(),
+      e.multimodal.audioNearDups(), e.multimodal.audioClusters)
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

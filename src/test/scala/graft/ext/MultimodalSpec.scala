@@ -249,6 +249,62 @@ class MultimodalSpec extends SparkSpec {
     assert(fp(1L).n_bits === 1L && fp(1L).fp === 1L)
   }
 
+  test("audioNearDupPairs: re-encoded same audio collapses at hamming 0, " +
+      "one flipped tail bit survives at hamming 1, distinct audio and " +
+      "misaligned word counts separate") {
+    // frameLen 4: frames alternate aaaa/bbbb -> word 0 = 0x55555555
+    val base = ("aaaa" + "bbbb") * 16
+    val ds = Multimodal.assets(docs(
+      1L -> (base + "aaaa" + "bbbb"),   // words [0x55555555, fp 1]
+      2L -> (base + "aaaa" + "bbbb"),   // identical re-encode of doc 1
+      3L -> (base + "aaaa" + "aaaa"),   // word 1 bit flips -> hamming 1
+      4L -> (base + "aaaa" + "bbbb" + "cccc"), // extra frame: 2-bit word 1
+      5L -> ("cccc" + "aaaa") * 17      // falling deltas: word 0 = 0
+    )).as[Multimodal.Asset]
+    val pairs = Multimodal.audioNearDupPairs(
+        Multimodal.encodeWav(ds), frameLen = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // doc 4 collides with 1/2/3 on word 0 but its word-1 n_bits differs,
+    // so the aligned-stream verify drops it; doc 5 shares no word at all
+    assert(pairs.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs((1L, 2L)) === 0L)
+    assert(pairs((1L, 3L)) === 1L && pairs((2L, 3L)) === 1L)
+  }
+
+  test("audioNearDupPairs: over-common sub-fingerprints are df-capped out " +
+      "of candidate generation") {
+    val ds = Multimodal.assets(docs(
+      1L -> ("x" * 8), 2L -> ("x" * 8), 3L -> ("x" * 8)))
+      .as[Multimodal.Asset]
+    // three identical 2-frame streams share one word: bucket size 3
+    val capped = Multimodal.audioNearDupPairs(
+      Multimodal.encodeWav(ds), frameLen = 4, maxBucket = 2)
+    assert(capped.count() === 0L)
+    val uncapped = Multimodal.audioNearDupPairs(
+      Multimodal.encodeWav(ds), frameLen = 4)
+    assert(uncapped.count() === 3L)
+  }
+
+  test("audioClusters: near-dup components merge to the min doc_id; " +
+      "unpaired assets stay out of the pair-graph domain") {
+    val base = ("aaaa" + "bbbb") * 16
+    val ds = Multimodal.assets(docs(
+      1L -> (base + "aaaa" + "bbbb"),
+      2L -> (base + "aaaa" + "bbbb"),
+      3L -> (base + "aaaa" + "aaaa"),   // hamming 1 from 1/2
+      6L -> ("y" * 8), 7L -> ("y" * 8), // separate identical pair
+      9L -> ("cccc" + "aaaa") * 17      // singleton: no partner
+    )).as[Multimodal.Asset]
+    val clusters = Multimodal.audioClusters(
+        Multimodal.encodeWav(ds), frameLen = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 6L, 7L -> 6L))
+  }
+
   test("ahashDedupGroups: same-content images collapse to the lowest keeper") {
     val ds = Multimodal.assets(docs(
       1L -> "duplicate payload body",
