@@ -538,6 +538,22 @@ case class Engine(spark: SparkSession, dataDir: String) {
         Tables.orders(spark, dataDir), parts)
   }
 
+  /** Stored-ANN-index lifecycle (build → append → pruned serve) — see
+    * [[graft.sources.AnnIndex]].
+    */
+  object ann {
+    def buildIndex(dir: String): Unit = {
+      graft.sources.AnnIndex.buildIvfPq(
+        Tables.embeddings(spark, dataDir), dir)
+      ()
+    }
+    def appendIndex(newVecs: DataFrame, dir: String): Unit =
+      graft.sources.AnnIndex.appendIvfPq(spark, newVecs, dir)
+    def serve(dir: String, k: Int = graft.ext.Similarity.TopK): DataFrame =
+      graft.sources.AnnIndex.serveIvfPqTopK(spark, dir,
+        Tables.embeddings(spark, dataDir), k)
+  }
+
   /** Full medallion run with validation; throws on any failed check. */
   def runPipeline(outDir: String): Seq[Pipeline.CheckResult] =
     Pipeline.runAll(spark, dataDir, outDir)

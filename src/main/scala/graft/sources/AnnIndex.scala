@@ -61,6 +61,39 @@ object AnnIndex {
     (cents, books)
   }
 
+  /** APPEND new vectors to a stored index under the FROZEN codebooks —
+    * the index-maintenance half of the lifecycle: a production index is
+    * built once and then receives deltas for a long time before anyone
+    * pays for retraining. The new vectors are assigned and PQ-encoded
+    * against the codebooks already ON DISK (never retrained — the whole
+    * point), and the coded rows are appended so ONLY the partitions of
+    * the centroids the delta lands in receive new files; every other
+    * inverted list's files are untouched (the `dedup_incremental`
+    * index-probe shape, for vectors).
+    *
+    * Because assignment and encoding are pure per-vector functions of
+    * the frozen codebooks, build(base) + append(delta) produces a codes
+    * tree row-identical to build(base ∪ delta) under the same books —
+    * AnnIndexSpec asserts that identity and the untouched-partition
+    * claim file-for-file.
+    *
+    * Scale shape: one narrow delta scan, one broadcast-sized codebook
+    * join each for assignment and encoding, and a write whose file ops
+    * are bounded by the delta's centroid fan-out, not the index size.
+    */
+  def appendIvfPq(spark: SparkSession, newVecs: DataFrame,
+      dir: String): Unit = {
+    val cents = spark.read.parquet(s"$dir/coarse_codebook")
+    val books = spark.read.parquet(s"$dir/pq_books")
+    val lists = Similarity.ivfAssignments(newVecs, cents)
+      .select(col("vec_id"), col("centroid_id"))
+    Similarity.pqCodes(Similarity.l2normalized(newVecs), books)
+      .select("vec_id", "sub_id", "code")
+      .join(lists, Seq("vec_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/codes")
+  }
+
   /** Serve IVFADC top-k from a stored index: compute the probe set
     * against the stored coarse codebook, collect the probed centroid
     * ids (bounded: ≤ NQueries × Probes), and open ONLY those
@@ -105,6 +138,29 @@ object AnnIndex {
       buildIvfPq(e, dir)
       serveIvfPqTopK(s, dir, e)
     }),
+    // the maintenance lifecycle end-to-end: train once on the corpus,
+    // build the index on a base split, append the held-out delta under
+    // the FROZEN on-disk codebooks, serve. The final codes tree is
+    // row-identical to a full build under the same books (appendIvfPq
+    // scaladoc), so the in-memory IVFADC twin is the oracle; the build
+    // step's static overwrite clears prior appends, keeping re-runs
+    // idempotent.
+    "sim_ivfpq_append" -> ((s, d) => {
+      val e = graft.Tables.embeddings(s, d)
+      val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val dir =
+        s"${sys.props("user.dir")}/target/ann-index/ivfpq_append_$key"
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+      val cents = graft.CheckpointLease.track(
+        Similarity.trainCentroids(e).localCheckpoint(true))
+      val books = graft.CheckpointLease.track(
+        Similarity.trainPqCodebooks(Similarity.l2normalized(e))
+          .localCheckpoint(true))
+      buildIvfPq(base, dir, Some(cents), Some(books))
+      appendIvfPq(s, delta, dir)
+      serveIvfPqTopK(s, dir, e)
+    }),
   )
 
   /** The stored path must serve IDENTICAL results to the in-memory
@@ -113,5 +169,6 @@ object AnnIndex {
     */
   def oracleSql: Map[String, String] = Map(
     "sim_topk_ivfpq_stored" -> Similarity.oracleSql("sim_topk_ivfpq"),
+    "sim_ivfpq_append" -> Similarity.oracleSql("sim_topk_ivfpq"),
   )
 }

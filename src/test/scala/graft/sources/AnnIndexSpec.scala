@@ -75,6 +75,59 @@ class AnnIndexSpec extends SparkSpec {
       "default-probe stored serve must equal ivfPqTopK")
   }
 
+  test("appendIvfPq: delta encodes against FROZEN codebooks, only the " +
+      "delta's centroid partitions receive files, and the result equals " +
+      "a from-scratch rebuild row-for-row") {
+    val adir = s"${sys.props("user.dir")}/target/ann-index-spec/append"
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // a 10-vector delta: small enough that its centroid fan-out is a
+    // strict subset of the 16 lists, so partial-write is observable
+    val base = e.filter(col("vec_id") % 50 =!= 0)
+    val delta = e.filter(col("vec_id") % 50 === 0)
+    val cents = graft.CheckpointLease.track(
+      Similarity.trainCentroids(e).localCheckpoint(true))
+    val books = graft.CheckpointLease.track(
+      Similarity.trainPqCodebooks(Similarity.l2normalized(e))
+        .localCheckpoint(true))
+    AnnIndex.buildIvfPq(base, adir, Some(cents), Some(books))
+
+    // snapshot the per-partition file sets before the append
+    def partFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$adir/codes").listFiles()
+        .filter(_.getName.startsWith("centroid_id=")).map { p =>
+          p.getName -> p.listFiles().map(_.getName)
+            .filterNot(_.startsWith("_")).toSet
+        }.toMap
+    val before = partFiles()
+    AnnIndex.appendIvfPq(spark, delta, adir)
+    val after = partFiles()
+
+    val deltaCents = Similarity.ivfAssignments(delta, cents)
+      .select("centroid_id").distinct().collect()
+      .map(r => s"centroid_id=${r.getInt(0)}").toSet
+    assert(deltaCents.nonEmpty && deltaCents.size < after.size,
+      s"delta fan-out ${deltaCents.size}/${after.size} — claim moot")
+    after.foreach { case (part, files) =>
+      val prev = before.getOrElse(part, Set.empty[String])
+      if (deltaCents.contains(part))
+        assert((files -- prev).nonEmpty, s"$part gained no file")
+      else
+        assert(files === prev, s"untouched list $part was rewritten")
+    }
+
+    // build(base) + append(delta) == build(all) under the same books
+    val rebuildDir =
+      s"${sys.props("user.dir")}/target/ann-index-spec/rebuild"
+    AnnIndex.buildIvfPq(e, rebuildDir, Some(cents), Some(books))
+    def codes(dir: String) = spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "sub_id", "code", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(codes(adir) === codes(rebuildDir),
+      "appended index must equal the from-scratch rebuild row-for-row")
+    graft.CheckpointLease.releaseAll()
+  }
+
   test("serving from the stored index skips retraining: a fresh session " +
       "read serves straight from the written codebooks") {
     ensureIndex() // self-contained: rebuild if test 1 didn't run
