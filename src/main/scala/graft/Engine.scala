@@ -332,6 +332,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def assortativity: DataFrame = Graph.assortativity(edges)
     def communities(rounds: Int = Graph.LpaRounds): DataFrame =
       Graph.labelPropagation(edges, rounds)
+    def communityModularity(rounds: Int = Graph.LpaRounds): DataFrame =
+      Graph.lpaModularity(edges, rounds)
     def personalizedPagerank(iterations: Int = 3,
         seedCount: Int = Graph.PprSeedCount): DataFrame =
       Graph.personalizedPagerank(edges, iterations, seedCount)

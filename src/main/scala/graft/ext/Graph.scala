@@ -234,6 +234,70 @@ object Graph {
     labels.select(col("node").as("part_node"), col("label"))
   }
 
+  /** Newman modularity decomposition of an ARBITRARY node labeling over
+    * a both-ways edge list — the community-quality gate
+    * [[Components.modularityOfPairs]] gives near-dup clusters, for
+    * labelings where edges may cross communities (LPA, external
+    * partitions). Per community c: `q_c = e_c/2m − (d_c/2m)²`, with
+    * both-ways counts used throughout (`m2 = 2m` = directed edge count,
+    * `e_in` = directed intra-community edges), so every input is an
+    * exact integer and q_c is a fixed IEEE tree. `Σ q_c` is the
+    * partition's modularity Q — the "is this real structure or
+    * hairball?" scalar.
+    *
+    * Scale shape: one degree aggregate, one keyed label join per edge
+    * endpoint (labels are node-sized — broadcast-gated at
+    * [[NodeBroadcastMaxRows]] like every per-round LPA join), partial-
+    * merging aggregates only, one scalar broadcast. Communities with no
+    * intra edge keep a row via the left join (e_in = 0).
+    */
+  def modularityOfLabels(edgesIn: DataFrame,
+      labelsIn: DataFrame): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    val labels = labelsIn.select(col("node"), col("cluster_id"))
+    val bc = labels.count() <= NodeBroadcastMaxRows
+    def gate(df: DataFrame) = if (bc) broadcast(df) else df
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val m2Df = edges.agg(count(lit(1)).as("m2"))
+    val dc = deg.join(gate(labels), Seq("node"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_sum"))
+    val ec = edges
+      .join(gate(labels.select(col("node").as("src"),
+        col("cluster_id").as("ca"))), Seq("src"))
+      .join(gate(labels.select(col("node").as("dst"),
+        col("cluster_id").as("cb"))), Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cluster_id"))
+      .agg(count(lit(1)).as("e_in"))
+    dc.join(ec, Seq("cluster_id"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(m2Df))
+      .withColumn("share",
+        col("d_sum").cast("double") / col("m2").cast("double"))
+      .select(col("cluster_id"), col("n_nodes"), col("e_in"), col("d_sum"),
+        col("m2"),
+        (col("e_in").cast("double") / col("m2").cast("double") -
+          col("share") * col("share")).as("q_contrib"))
+  }
+
+  /** LPA communities + their modularity gate in one table: run
+    * [[labelPropagation]], then score the labeling with
+    * [[modularityOfLabels]] — the same "real structure?" check near-dup
+    * clusters get, closing the loop for community detection. The LPA
+    * labels are consumed three times downstream, but each round's label
+    * table is already checkpointed inside [[labelPropagation]], so the
+    * fan-out re-reads a materialized table, not the Pregel subplan.
+    */
+  def lpaModularity(edgesIn: DataFrame,
+      rounds: Int = LpaRounds): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    modularityOfLabels(edges,
+      labelPropagation(edges, rounds)
+        .select(col("part_node").as("node"), col("label").as("cluster_id")))
+  }
+
   /** Oriented-edge count at or under which the closing join broadcasts
     * the edge list (≈10M rows × ~24 B ≈ 240 MB — comfortably inside
     * executor memory and far from the broadcast hard ceiling); above it
@@ -727,6 +791,8 @@ object Graph {
       clusteringCoeff(coPurchaseEdges(Tables.lineitem(s, d)))),
     "graph_lpa" -> ((s, d) =>
       labelPropagation(coPurchaseEdges(Tables.lineitem(s, d)))),
+    "graph_lpa_modularity" -> ((s, d) =>
+      lpaModularity(coPurchaseEdges(Tables.lineitem(s, d)))),
     "graph_ppr" -> ((s, d) =>
       personalizedPagerank(coPurchaseEdges(Tables.lineitem(s, d)),
         iterations = 3)),
@@ -779,7 +845,7 @@ object Graph {
     * maximal-count rows — identical tie semantics to the Spark side's
     * `max(struct(count, −label))`. All-integer, so bit-exact.
     */
-  private def duckLpaSql(rounds: Int = LpaRounds): String = {
+  private def duckLpaCtes(rounds: Int = LpaRounds): String = {
     val steps = (1 to rounds).map { r =>
       s"""m$r AS MATERIALIZED (
          |  SELECT e.dst AS node, l.label, count(*) AS c
@@ -790,16 +856,49 @@ object Graph {
          |           max(c) OVER (PARTITION BY node) AS mc FROM m$r) t
          |  WHERE c = mc GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (
+    s"""li AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |e AS MATERIALIZED (
        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
        |l0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS node, src AS label FROM e),
-       |$steps
-       |SELECT node AS part_node, label FROM l$rounds""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def duckLpaSql(rounds: Int = LpaRounds): String =
+    s"""WITH ${duckLpaCtes(rounds)}
+       |SELECT node AS part_node, label FROM l$rounds""".stripMargin
+
+  /** LPA-modularity twin: the LPA round CTEs composed with the
+    * both-ways modularity arithmetic of [[modularityOfLabels]] — same
+    * exact-integer inputs, same IEEE tree for share/q_contrib.
+    */
+  private def duckLpaModularitySql(rounds: Int = LpaRounds): String =
+    s"""WITH ${duckLpaCtes(rounds)},
+       |lab AS MATERIALIZED (
+       |  SELECT node, label AS cluster_id FROM l$rounds),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |mm AS (SELECT count(*) AS m2 FROM e),
+       |dc AS (
+       |  SELECT lab.cluster_id, count(*) AS n_nodes,
+       |         CAST(sum(deg.deg) AS BIGINT) AS d_sum
+       |  FROM deg JOIN lab USING (node) GROUP BY 1),
+       |ec AS (
+       |  SELECT la.cluster_id, count(*) AS e_in
+       |  FROM e JOIN lab la ON e.src = la.node
+       |         JOIN lab lb ON e.dst = lb.node
+       |  WHERE la.cluster_id = lb.cluster_id
+       |  GROUP BY 1),
+       |f AS (
+       |  SELECT dc.cluster_id, dc.n_nodes,
+       |         COALESCE(ec.e_in, 0) AS e_in, dc.d_sum, mm.m2,
+       |         CAST(dc.d_sum AS DOUBLE) / CAST(mm.m2 AS DOUBLE) AS share
+       |  FROM dc LEFT JOIN ec USING (cluster_id), mm)
+       |SELECT cluster_id, n_nodes, e_in, d_sum, m2,
+       |       CAST(e_in AS DOUBLE) / CAST(m2 AS DOUBLE) - share * share
+       |         AS q_contrib
+       |FROM f""".stripMargin
 
   /** Unrolled k-core oracle: 8 peel rounds as chained CTEs (e0..e8),
     * identical restriction arithmetic per round.
@@ -870,6 +969,7 @@ object Graph {
         |FROM a2 JOIN a1 ON a2.s = a1.s""".stripMargin,
     "graph_kcore" -> duckKcoreSql,
     "graph_lpa" -> duckLpaSql(),
+    "graph_lpa_modularity" -> duckLpaModularitySql(),
     // same degree-orientation + wedge close + 3-edges-per-triangle plan,
     // tuple comparisons spelled as ROW(...) < ROW(...)
     "graph_edge_jaccard" ->

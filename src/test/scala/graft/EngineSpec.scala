@@ -72,7 +72,8 @@ class EngineSpec extends SparkSpec {
       e.similarity.rangeSearch(),
       // round-15 surface
       e.stats.anova, e.multimodal.audioFingerprint(),
-      e.multimodal.audioNearDups(), e.multimodal.audioClusters)
+      e.multimodal.audioNearDups(), e.multimodal.audioClusters,
+      e.graph.communityModularity(rounds = 1))
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -278,6 +278,42 @@ class GraphSpec extends SparkSpec {
     graft.CheckpointLease.releaseAll()
   }
 
+  test("lpaModularity: planted two-community graph scores exact per-" +
+      "community q, positive Q, and beats a parity relabel") {
+    // same planted graph as the LPA test: communities {1,2,3} / {10,11,12},
+    // m2 = 14 directed edges; each community: e_in 6, d_sum 7
+    // -> q_c = 6/14 - (7/14)^2 per community, Q ~ 0.357
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val rows = Graph.lpaModularity(edges).collect()
+    val byC = rows.map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    assert(byC.keySet === Set(1L, 3L))
+    byC.values.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") === 3L)
+      assert(r.getAs[Long]("e_in") === 6L)
+      assert(r.getAs[Long]("d_sum") === 7L)
+      assert(r.getAs[Long]("m2") === 14L)
+      assert(r.getAs[Double]("q_contrib") ===
+        6.0 / 14 - (7.0 / 14) * (7.0 / 14))
+    }
+    val qLpa = rows.map(_.getAs[Double]("q_contrib")).sum
+    // a community-blind parity relabel must score strictly worse
+    val parity = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node") % 2)
+    val qParity = Graph.modularityOfLabels(edges, parity)
+      .collect().map(_.getAs[Double]("q_contrib")).sum
+    assert(qLpa > 0 && qParity < 0 && qLpa > qParity)
+    // a community with zero intra edges keeps its row (left join)
+    val lone = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id",
+        when(col("node") === 1L, lit(99L)).otherwise(lit(0L)))
+    val eIn = Graph.modularityOfLabels(edges, lone).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("e_in")).toMap
+    assert(eIn(99L) === 0L)
+    graft.CheckpointLease.releaseAll()
+  }
+
   test("labelPropagation: partition-invariant (integer argmax ties)") {
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
       (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
