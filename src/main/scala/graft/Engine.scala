@@ -278,6 +278,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.holtDailyRevenue(Tables.orders(spark, dataDir))
     def holtWinters: DataFrame =
       TimeSeries.holtWintersDailyRevenue(Tables.orders(spark, dataDir))
+    def forecastBacktest: DataFrame =
+      TimeSeries.forecastBacktest(Tables.orders(spark, dataDir))
     def twap: DataFrame =
       TimeSeries.twapUserValue(Tables.events(spark, dataDir))
     def cusum: DataFrame =

@@ -517,12 +517,30 @@ object TimeSeries {
     */
   def holtDailyRevenue(ord: DataFrame): DataFrame = {
     val spark = ord.sparkSession
+    spark.createDataFrame(holtFold(collectDaily(ord)))
+      .toDF("day", "y_cents", "forecast", "level", "trend")
+  }
+
+  /** The one corpus pass shared by the forecasting family: daily revenue
+    * in exact integer cents, collected ordered over the VALUE-BOUNDED
+    * day domain (the recurrence inputs).
+    */
+  private def collectDaily(ord: DataFrame): Array[(String, Long)] = {
+    val spark = ord.sparkSession
     import spark.implicits._
-    val daily = ord
+    ord
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(sum(cents("o_totalprice")).as("y_cents"))
       .orderBy("day")
       .as[(String, Long)].collect()
+  }
+
+  /** The Holt recurrence as a pure fold over the collected day series —
+    * split from the DataFrame wrapper so [[forecastBacktest]] can score
+    * it without re-aggregating the corpus.
+    */
+  private[etl] def holtFold(
+      daily: Array[(String, Long)]): Seq[(String, Long, Double, Double, Double)] = {
     val out = Seq.newBuilder[(String, Long, Double, Double, Double)]
     var level = 0.0
     var trend = 0.0
@@ -538,8 +556,7 @@ object TimeSeries {
         else HoltBeta * (level - prev) + (1.0 - HoltBeta) * trend
       out += ((day, y, forecast, level, trend))
     }
-    spark.createDataFrame(out.result())
-      .toDF("day", "y_cents", "forecast", "level", "trend")
+    out.result()
   }
 
   /** Holt-Winters smoothing weights — like [[HoltAlpha]]/[[HoltBeta]],
@@ -576,12 +593,19 @@ object TimeSeries {
     */
   def holtWintersDailyRevenue(ord: DataFrame): DataFrame = {
     val spark = ord.sparkSession
-    import spark.implicits._
-    val daily = ord
-      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
-      .agg(sum(cents("o_totalprice")).as("y_cents"))
-      .orderBy("day")
-      .as[(String, Long)].collect()
+    spark.createDataFrame(holtWintersFold(collectDaily(ord)))
+      .toDF("day", "y_cents", "forecast", "level", "trend", "seasonal")
+  }
+
+  /** The Holt-Winters recurrence as a pure fold over the collected day
+    * series (rows start AFTER the seed week) — split from the DataFrame
+    * wrapper so [[forecastBacktest]] can score it without re-aggregating
+    * the corpus. The >HwPeriod precondition is part of the registered-
+    * query contract (the driver corpora span years); a caller holding a
+    * shorter series gets the require, not a silent empty frame.
+    */
+  private[etl] def holtWintersFold(daily: Array[(String, Long)])
+      : Seq[(String, Long, Double, Double, Double, Double)] = {
     require(daily.length > HwPeriod,
       s"holt-winters: need more than $HwPeriod days, got ${daily.length}")
     // seed week: one division, then per-slot subtraction — the twin's
@@ -602,8 +626,48 @@ object TimeSeries {
       sv.enqueue(season)
       out += ((day, y, forecast, level, trend, season))
     }
-    spark.createDataFrame(out.result())
-      .toDF("day", "y_cents", "forecast", "level", "trend", "seasonal")
+    out.result()
+  }
+
+  /** FORECAST BACKTEST ROLLUP — the model-selection row over the
+    * forecasting family: every method one-step-ahead-forecasts the SAME
+    * holdout (observed days after the Holt-Winters seed week, so the
+    * seasonal method is never scored where it has no state), absolute
+    * errors accumulate in exact integer MILLICENTS
+    * (`floor(|y − f|·1000)` — double subtraction and ×1000 are exact
+    * for corpus-scale cents, floor pins the one rounding), and the row
+    * with the minimum total error (method-name tie-break) wins.
+    * Methods: `holt` (level+trend), `holt_winters` (+weekly seasonal),
+    * `seasonal_naive` (y₍ᵢ₋₇₎ on the observed series), `naive1`
+    * (y₍ᵢ₋₁₎ — the floor every forecaster must beat).
+    *
+    * Scale shape: ONE corpus aggregation to the bounded day domain
+    * ([[collectDaily]]), then pure driver folds; the twin replays the
+    * two recursive CTEs plus integer lags over the same row-numbered
+    * day table.
+    */
+  def forecastBacktest(ord: DataFrame): DataFrame = {
+    val spark = ord.sparkSession
+    val daily = collectDaily(ord)
+    val y = daily.map(_._2)
+    val holtF = holtFold(daily).map(r => r._1 -> r._3).toMap
+    val hwF = holtWintersFold(daily).map(r => r._1 -> r._3).toMap
+    val holdout = (HwPeriod until daily.length)
+    def errMilli(f: Int => Double): Long =
+      holdout.map { i =>
+        math.floor(math.abs(y(i).toDouble - f(i)) * 1000.0).toLong
+      }.sum
+    val errs = Seq(
+      "holt" -> errMilli(i => holtF(daily(i)._1)),
+      "holt_winters" -> errMilli(i => hwF(daily(i)._1)),
+      "naive1" -> errMilli(i => y(i - 1).toDouble),
+      "seasonal_naive" -> errMilli(i => y(i - HwPeriod).toDouble))
+    val best = errs.minBy { case (m, e) => (e, m) }._1
+    val n = holdout.length.toLong
+    spark.createDataFrame(errs.map { case (m, e) =>
+        (m, n, e, e.toDouble / n.toDouble, m == best)
+      })
+      .toDF("method", "n_days", "abs_err_milli", "mae_milli", "is_best")
   }
 
   /** Day-of-week seasonality index over daily revenue: mean revenue of
@@ -988,6 +1052,8 @@ object TimeSeries {
       holtWintersDailyRevenue(Tables.orders(s, d))),
     "ts_seasonal_naive" -> ((s, d) =>
       seasonalNaiveBacktest(Tables.orders(s, d))),
+    "ts_forecast_backtest" -> ((s, d) =>
+      forecastBacktest(Tables.orders(s, d))),
     "ts_ffill" -> ((s, d) => forwardFillDaily(Tables.events(s, d))),
     "ts_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
     "ts_new_returning" -> ((s, d) => newVsReturning(Tables.events(s, d))),
@@ -1012,7 +1078,52 @@ object TimeSeries {
     * The anchor aggregates the seed week (i ≤ 7): level = Σy/7.0 then
     * per-slot subtraction, in exactly the Scala fold's operation order.
     */
-  private def duckHoltWintersSql: String = {
+  /** The shared row-numbered daily-revenue CTE of the forecasting twins
+    * — the SQL mirror of [[collectDaily]].
+    */
+  private def duckDailyCte: String =
+    """dd AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY day) AS i, day, y_cents
+      |  FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                    AS BIGINT) AS y_cents
+      |        FROM orders GROUP BY 1))""".stripMargin
+
+  /** The Holt recurrence as a named recursive state CTE over `dd` —
+    * the new level is recomputed inline in the trend update (the
+    * identical expression tree yields the identical double, and a
+    * recursive term cannot reference its own select list).
+    */
+  private def duckHoltStateCte(name: String): String = {
+    val a = HoltAlpha
+    val oma = 1.0 - HoltAlpha
+    val b = HoltBeta
+    val omb = 1.0 - HoltBeta
+    val newLevel =
+      s"$a * CAST(d.y_cents AS DOUBLE) + $oma * ($name.level + $name.trend)"
+    s"""$name AS (
+       |  SELECT i, day, y_cents,
+       |         CAST(y_cents AS DOUBLE) AS forecast,
+       |         CAST(y_cents AS DOUBLE) AS level,
+       |         CAST(0.0 AS DOUBLE) AS trend
+       |  FROM dd WHERE i = 1
+       |  UNION ALL
+       |  SELECT d.i, d.day, d.y_cents,
+       |         $name.level + $name.trend AS forecast,
+       |         $newLevel AS level,
+       |         $b * (($newLevel) - $name.level) + $omb * $name.trend
+       |           AS trend
+       |  FROM $name JOIN dd d ON d.i = $name.i + 1)""".stripMargin
+  }
+
+  /** The Holt-Winters recurrence as a named recursive state CTE over
+    * `dd`, carrying the 7-slot seasonal register (sv1 = s_{t−6} … sv7 =
+    * s_t), shifted one slot per step — slot sv1 is the `s_{t−7}` the
+    * step consumes. The anchor aggregates the seed week (i ≤ 7): level
+    * = Σy/7.0 then per-slot subtraction, in exactly the Scala fold's
+    * operation order.
+    */
+  private def duckHwStateCte(name: String): String = {
     val a = HwAlpha
     val oma = 1.0 - HwAlpha
     val b = HwBeta
@@ -1020,19 +1131,13 @@ object TimeSeries {
     val g = HwGamma
     val omg = 1.0 - HwGamma
     // the new level, inlined wherever the step references l'
-    val nl = s"$a * (CAST(d.y_cents AS DOUBLE) - h.sv1) + " +
-      s"$oma * (h.level + h.trend)"
+    val nl = s"$a * (CAST(d.y_cents AS DOUBLE) - $name.sv1) + " +
+      s"$oma * ($name.level + $name.trend)"
     val seedSlots = (1 to HwPeriod).map { k =>
       s"""         max(CASE WHEN i = $k THEN CAST(y_cents AS DOUBLE) END)
          |           - CAST(sum(y_cents) AS DOUBLE) / 7.0 AS sv$k""".stripMargin
     }.mkString(",\n")
-    s"""WITH RECURSIVE dd AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY day) AS i, day, y_cents
-       |  FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
-       |               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-       |                    AS BIGINT) AS y_cents
-       |        FROM orders GROUP BY 1)),
-       |h AS (
+    s"""$name AS (
        |  SELECT $HwPeriod AS i,
        |         CAST(NULL AS VARCHAR) AS day,
        |         CAST(NULL AS BIGINT) AS y_cents,
@@ -1043,14 +1148,55 @@ object TimeSeries {
        |  FROM dd WHERE i <= $HwPeriod
        |  UNION ALL
        |  SELECT d.i, d.day, d.y_cents,
-       |         h.level + h.trend + h.sv1 AS forecast,
+       |         $name.level + $name.trend + $name.sv1 AS forecast,
        |         $nl AS level,
-       |         $b * (($nl) - h.level) + $omb * h.trend AS trend,
-       |         h.sv2, h.sv3, h.sv4, h.sv5, h.sv6, h.sv7,
-       |         $g * (CAST(d.y_cents AS DOUBLE) - ($nl)) + $omg * h.sv1
-       |  FROM h JOIN dd d ON d.i = h.i + 1)
+       |         $b * (($nl) - $name.level) + $omb * $name.trend AS trend,
+       |         $name.sv2, $name.sv3, $name.sv4, $name.sv5, $name.sv6,
+       |         $name.sv7,
+       |         $g * (CAST(d.y_cents AS DOUBLE) - ($nl)) + $omg * $name.sv1
+       |  FROM $name JOIN dd d ON d.i = $name.i + 1)""".stripMargin
+  }
+
+  private def duckHoltWintersSql: String =
+    s"""WITH RECURSIVE $duckDailyCte,
+       |${duckHwStateCte("h")}
        |SELECT day, y_cents, forecast, level, trend, sv7 AS seasonal
        |FROM h WHERE i > $HwPeriod""".stripMargin
+
+  /** Backtest-rollup twin: both recursive state CTEs plus the integer
+    * lag baselines over the same `dd`, each scored with the identical
+    * `floor(abs(y − f)·1000)` millicent arithmetic.
+    */
+  private def duckForecastBacktestSql: String = {
+    def milli(yExpr: String, fExpr: String) =
+      s"CAST(sum(CAST(floor(abs(CAST($yExpr AS DOUBLE) - $fExpr) " +
+        s"* 1000.0) AS BIGINT)) AS BIGINT)"
+    s"""WITH RECURSIVE $duckDailyCte,
+       |${duckHoltStateCte("hh")},
+       |${duckHwStateCte("hw")},
+       |eh AS (SELECT count(*) AS n, ${milli("y_cents", "forecast")} AS err
+       |       FROM hh WHERE i > $HwPeriod),
+       |ew AS (SELECT count(*) AS n, ${milli("y_cents", "forecast")} AS err
+       |       FROM hw WHERE i > $HwPeriod),
+       |e1 AS (SELECT count(*) AS n,
+       |              ${milli("a.y_cents", "CAST(b.y_cents AS DOUBLE)")}
+       |                AS err
+       |       FROM dd a JOIN dd b ON a.i = b.i + 1
+       |       WHERE a.i > $HwPeriod),
+       |es AS (SELECT count(*) AS n,
+       |              ${milli("a.y_cents", "CAST(b.y_cents AS DOUBLE)")}
+       |                AS err
+       |       FROM dd a JOIN dd b ON a.i = b.i + $HwPeriod),
+       |u AS (
+       |  SELECT 'holt' AS method, n, err FROM eh
+       |  UNION ALL SELECT 'holt_winters', n, err FROM ew
+       |  UNION ALL SELECT 'naive1', n, err FROM e1
+       |  UNION ALL SELECT 'seasonal_naive', n, err FROM es)
+       |SELECT method, CAST(n AS BIGINT) AS n_days, err AS abs_err_milli,
+       |       CAST(err AS DOUBLE) / CAST(CAST(n AS BIGINT) AS DOUBLE)
+       |         AS mae_milli,
+       |       (row_number() OVER (ORDER BY err, method) = 1) AS is_best
+       |FROM u""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1395,33 +1541,11 @@ object TimeSeries {
     // trend update (the identical expression tree yields the identical
     // double, and a recursive term cannot reference its own select list)
     "ts_holt_winters" -> duckHoltWintersSql,
-    "ts_holt" -> {
-      val a = HoltAlpha
-      val oma = 1.0 - HoltAlpha
-      val b = HoltBeta
-      val omb = 1.0 - HoltBeta
-      val newLevel =
-        s"$a * CAST(d.y_cents AS DOUBLE) + $oma * (h.level + h.trend)"
-      s"""WITH RECURSIVE dd AS MATERIALIZED (
-         |  SELECT row_number() OVER (ORDER BY day) AS i, day, y_cents
-         |  FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
-         |               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-         |                    AS BIGINT) AS y_cents
-         |        FROM orders GROUP BY 1)),
-         |h AS (
-         |  SELECT i, day, y_cents,
-         |         CAST(y_cents AS DOUBLE) AS forecast,
-         |         CAST(y_cents AS DOUBLE) AS level,
-         |         CAST(0.0 AS DOUBLE) AS trend
-         |  FROM dd WHERE i = 1
-         |  UNION ALL
-         |  SELECT d.i, d.day, d.y_cents,
-         |         h.level + h.trend AS forecast,
-         |         $newLevel AS level,
-         |         $b * (($newLevel) - h.level) + $omb * h.trend AS trend
-         |  FROM h JOIN dd d ON d.i = h.i + 1)
-         |SELECT day, y_cents, forecast, level, trend FROM h""".stripMargin
-    },
+    "ts_holt" ->
+      s"""WITH RECURSIVE $duckDailyCte,
+         |${duckHoltStateCte("h")}
+         |SELECT day, y_cents, forecast, level, trend FROM h""".stripMargin,
+    "ts_forecast_backtest" -> duckForecastBacktestSql,
     "ts_cusum" ->
       """WITH daily AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,

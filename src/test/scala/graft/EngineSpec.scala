@@ -73,7 +73,8 @@ class EngineSpec extends SparkSpec {
       // round-15 surface
       e.stats.anova, e.multimodal.audioFingerprint(),
       e.multimodal.audioNearDups(), e.multimodal.audioClusters,
-      e.graph.communityModularity(rounds = 1))
+      e.graph.communityModularity(rounds = 1),
+      e.timeSeries.forecastBacktest)
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -573,6 +573,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Double]("mae7_cents") === 1.0 / 7.0)
   }
 
+  test("forecastBacktest: seasonal+trend series crowns Holt-Winters; " +
+      "trend-only series crowns Holt; lag baselines score exact integers") {
+    import spark.implicits._
+    def mkOrd(ys: Seq[Long]) = ys.zipWithIndex.map { case (c, i) =>
+      (java.time.LocalDate.of(1995, 1, 1).plusDays(i.toLong).toString,
+        c / 100.0)
+    }.toDF("o_orderdate", "o_totalprice")
+
+    // weekly pattern + 1000-cent/day trend over 35 days: only the
+    // seasonal-state method can track both components
+    val season = Seq(0L, 90000L, 10000L, 80000L, 20000L, 70000L, 30000L)
+    val seas = (0 until 35).map(i => season(i % 7) + 1000L * i)
+    val r1 = TimeSeries.forecastBacktest(mkOrd(seas)).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(r1.keySet ===
+      Set("holt", "holt_winters", "naive1", "seasonal_naive"))
+    r1.values.foreach(r => assert(r.getAs[Long]("n_days") === 28L))
+    assert(r1("holt_winters").getAs[Boolean]("is_best"))
+    assert(r1.values.count(_.getAs[Boolean]("is_best")) === 1)
+    // the integer lag baselines admit independent exact totals:
+    // seasonal_naive errs 7 days of trend (7000 cents) on each of 28
+    // holdout days; naive1 errs |Δseason + trend| day by day
+    assert(r1("seasonal_naive").getAs[Long]("abs_err_milli")
+      === 196000000L)
+    assert(r1("naive1").getAs[Long]("abs_err_milli") === 1676000000L)
+    assert(r1("seasonal_naive").getAs[Double]("mae_milli")
+      === 196000000.0 / 28)
+
+    // pure linear ramp: level+trend is the right model; the seasonal
+    // register only adds mis-seeded wiggle it must unlearn
+    val lin = (0 until 35).map(i => 50000L + 1000L * i)
+    val r2 = TimeSeries.forecastBacktest(mkOrd(lin)).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(r2("holt").getAs[Boolean]("is_best"))
+    assert(r2("naive1").getAs[Long]("abs_err_milli") === 28000000L)
+    assert(r2("seasonal_naive").getAs[Long]("abs_err_milli")
+      === 196000000L)
+  }
+
   test("holtDailyRevenue: hand-replayed level/trend recurrence, " +
       "forecast made before the observation") {
     import spark.implicits._
