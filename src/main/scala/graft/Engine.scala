@@ -169,8 +169,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Privacy.lDiversityAudit(Tables.customer(spark, dataDir), lBar)
     def tCloseness(tBar: Double = 0.15): DataFrame =
       Privacy.tClosenessAudit(Tables.customer(spark, dataDir), tBar)
-    def dpCounts: DataFrame = Privacy.dpNoisyCounts(
-      Tables.customer(spark, dataDir), Tables.nation(spark, dataDir))
+    def dpCounts(salt: Long = 0L): DataFrame = Privacy.dpNoisyCounts(
+      Tables.customer(spark, dataDir), Tables.nation(spark, dataDir), salt)
   }
 
   object similarity {

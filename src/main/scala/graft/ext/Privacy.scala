@@ -224,12 +224,15 @@ object Privacy {
     * per side — the standard bounded-noise variant).
     *
     * Determinism: the draw is the integer inverse-CDF of a Knuth
-    * multiplicative hash of the group key — u = (key·2654435761) mod
-    * 2³² cut by [[DpThresholdsU32]] — so the twin replays it exactly.
-    * A production release would salt the hash with a per-release
-    * secret; the registered query keeps the unsalted key so the oracle
-    * can replay the draw (the RNG-portability contract of
-    * `stats_bootstrap`). `true_cnt` is emitted for the correctness
+    * multiplicative hash of the group key plus `salt` —
+    * u = ((key + salt)·2654435761) mod 2³² cut by [[DpThresholdsU32]]
+    * — so the twin replays it exactly. `salt` is the per-release
+    * secret a production deployment draws fresh each release (an
+    * adversary who knows the key but not the salt cannot invert the
+    * noise); the registered query pins salt = 0 so the oracle can
+    * replay the draw (the RNG-portability contract of
+    * `stats_bootstrap`) — an UNSALTED release is an eval artifact, not
+    * a private one. `true_cnt` is likewise emitted for the correctness
     * gate; a real DP release drops it and keeps only `released_cnt`
     * (noisy, clamped at zero).
     *
@@ -237,8 +240,11 @@ object Privacy {
     * then a broadcast join against the bounded dim — noise is a narrow
     * integer CASE over the 25-row aggregate, zero extra passes.
     */
-  def dpNoisyCounts(customer: DataFrame, nation: DataFrame): DataFrame = {
-    val h = (col("n_nationkey").cast("long") * 2654435761L) % 4294967296L
+  def dpNoisyCounts(customer: DataFrame, nation: DataFrame,
+      salt: Long = 0L): DataFrame = {
+    require(salt >= 0L, "salt must be non-negative (u32 hash domain)")
+    val h = ((col("n_nationkey").cast("long") + salt) * 2654435761L) %
+      4294967296L
     val noise = DpThresholdsU32.zipWithIndex
       .foldRight(lit(DpB.toLong): Column) {
         case ((t, k), els) => when(h < t, lit((k - DpB).toLong)).otherwise(els)

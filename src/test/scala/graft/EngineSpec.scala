@@ -68,7 +68,7 @@ class EngineSpec extends SparkSpec {
       // round-14 continuation surface
       e.timeSeries.holtWinters, e.stats.welchT,
       e.graph.personalizedPagerank(iterations = 1, seedCount = 2),
-      e.privacy.dpCounts, e.similarity.silhouette(),
+      e.privacy.dpCounts(), e.similarity.silhouette(),
       e.similarity.rangeSearch(),
       // round-15 surface
       e.stats.anova, e.multimodal.audioFingerprint(),

@@ -138,6 +138,31 @@ class PrivacySpec extends SparkSpec {
     assert(freq.getOrElse(0L, 0) > 200, s"P(0) ~ 1/3, got ${freq.get(0L)}")
   }
 
+  test("dpNoisyCounts: a per-release salt reshuffles the draws without " +
+      "touching the true counts; salt 0 is the registered contract") {
+    val nation = (0L to 99L).map(k => (k, s"n_$k"))
+      .toDF("n_nationkey", "n_name")
+    val customer = (0L to 99L).flatMap(k => Seq.fill(5)(Tuple1(k)))
+      .toDF("c_nationkey")
+    def draws(salt: Long) = Privacy.dpNoisyCounts(customer, nation, salt)
+      .select("n_name", "true_cnt", "noise")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    val s0 = draws(0L)
+    val s0Again = draws(0L)
+    val s1 = draws(12345L)
+    assert(s0 === s0Again, "same salt must replay identically")
+    // key 0 + salt 0 draws the left tail (the unsalted contract pin)
+    assert(s0("n_0")._3 === -8L)
+    s1.values.foreach { case (_, cnt, noise) =>
+      assert(cnt === 5L)
+      assert(noise >= -Privacy.DpB && noise <= Privacy.DpB)
+    }
+    assert(s0.count { case (n, t) => t._3 != s1(n)._3 } > 10,
+      "a different salt must move a substantial share of the draws")
+    intercept[IllegalArgumentException](
+      Privacy.dpNoisyCounts(customer, nation, -1L))
+  }
+
   test("dpNoisyCounts: thresholds are the exact BigInt inverse-CDF cuts") {
     // recompute independently from the weight definition 256*(1/2)^|k|
     val weights = (-8 to 8).map(k => 256 >> math.abs(k))
