@@ -1766,6 +1766,15 @@ object Similarity {
     */
   val CoresetK = 8
 
+  /** Folds between eager state checkpoints in [[kcenterCoreset]]: the
+    * corpus-sized snapshot is written once per R rounds (k→⌈k/R⌉
+    * writes) and each intermediate scan replays at most R−1 narrow
+    * `least` folds — strictly cheaper than writing the corpus, and the
+    * pick sequence is unchanged (the folds are the same expressions in
+    * the same order, checkpointed or not).
+    */
+  val CoresetCheckpointEvery = 4
+
   /** k-CENTER GREEDY CORESET (Gonzalez 1985 farthest-point traversal) —
     * the geometric data-SELECTION primitive: pick the point farthest
     * (cosine distance `1 − cos`) from everything selected so far, k
@@ -1789,9 +1798,12 @@ object Similarity {
     * folding the new center in via `least(dmin, dist-to-new)`, the new
     * center riding along as a broadcast-class literal (d floats). No
     * joins, no shuffles, k sequential scans total — Lloyd's-iteration
-    * shape. Each round's state is eagerly `localCheckpoint`ed so the
-    * plan stays O(1) deep instead of re-deriving r distance folds on
-    * round r (O(k²) rescans without it).
+    * shape. The state is eagerly `localCheckpoint`ed every
+    * [[CoresetCheckpointEvery]] folds — between checkpoints each scan
+    * replays at most R−1 narrow `least` folds over the last snapshot
+    * (pennies next to the scan itself), cutting the corpus-sized
+    * executor-disk writes from k to ⌈k/R⌉ while keeping the plan O(R)
+    * deep instead of the O(k²) rescans an uncheckpointed chain pays.
     *
     * == Cross-engine determinism ==
     * Distances are the sequential-fold dot DAG over float inputs with
@@ -1823,11 +1835,14 @@ object Similarity {
       val top = state.orderBy(col("dmin").desc, col("vec_id"))
         .limit(1).select("vec_id", "dmin", "embedding", "en").collect()(0)
       picks ::= ((r, top.getLong(0), top.getDouble(1)))
-      state = graft.CheckpointLease.track(
-        state.withColumn("dmin",
-          least(col("dmin"),
-            distTo(top.getSeq[Float](2), top.getDouble(3))))
-          .localCheckpoint(true))
+      val folded = state.withColumn("dmin",
+        least(col("dmin"), distTo(top.getSeq[Float](2), top.getDouble(3))))
+      // snapshot every R folds; in between, the lazy chain replays <R
+      // narrow least-folds per scan (identical arithmetic, same picks)
+      state =
+        if ((r - 1) % CoresetCheckpointEvery == 0)
+          graft.CheckpointLease.track(folded.localCheckpoint(true))
+        else folded
     }
     val cover = state.agg(max(col("dmin"))).collect()(0).getDouble(0)
     picks ::= ((k + 1, -1L, cover))
