@@ -280,6 +280,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.holtWintersDailyRevenue(Tables.orders(spark, dataDir))
     def forecastBacktest: DataFrame =
       TimeSeries.forecastBacktest(Tables.orders(spark, dataDir))
+    def decompose: DataFrame =
+      TimeSeries.decomposeDaily(Tables.orders(spark, dataDir))
     def twap: DataFrame =
       TimeSeries.twapUserValue(Tables.events(spark, dataDir))
     def cusum: DataFrame =
@@ -496,6 +498,19 @@ case class Engine(spark: SparkSession, dataDir: String) {
       import spark.implicits._
       val ds = Multimodal.assets(docs).as[Multimodal.Asset]
       Multimodal.audioClusters(Multimodal.encodeWav(ds))
+    }
+    def audioVad(msqThreshold: Long = Multimodal.VadMsqThreshold)
+        : DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.audioVadSegments(Multimodal.encodeWav(ds),
+        msqThreshold = msqThreshold)
+    }
+    def blankFilter(varThreshold: Double = Multimodal.BlankVarThreshold)
+        : DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.imageMoments(Multimodal.encodePng(ds), varThreshold).toDF()
     }
     private def docs = Tables.documents(spark, dataDir)
   }

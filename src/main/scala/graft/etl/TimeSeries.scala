@@ -670,6 +670,57 @@ object TimeSeries {
       .toDF("method", "n_days", "abs_err_milli", "mae_milli", "is_best")
   }
 
+  /** Centered rolling-trend half-window of [[decomposeDaily]] (±3 days
+    * = the weekly period, so the trend window always spans one full
+    * day-of-week cycle away from the edges). */
+  val DecomposeTrendHalfWindow = 3
+
+  /** CLASSICAL ADDITIVE DECOMPOSITION of daily revenue —
+    * `y = trend + seasonal + remainder`, the diagnostic view that sits
+    * between [[dowSeasonality]] (measures the cycle) and
+    * [[holtWintersDailyRevenue]] (forecasts with it): per day, the
+    * centered 7-day rolling mean as trend, the day-of-week effect
+    * `mean_dow(y) − mean_all(y)` as seasonal, and what neither explains
+    * as remainder.
+    *
+    * Determinism: every mean is exact-integer-sum / count (cents never
+    * leave integers until ONE division each), and the remainder is the
+    * fixed IEEE tree `y − trend − seasonal` over those three doubles —
+    * no double ever enters an aggregation, so order cannot matter.
+    *
+    * Scale shape: one fact shuffle to daily cents; the rolling window,
+    * dow aggregate, and broadcast total all run on the VALUE-BOUNDED
+    * day domain (the [[cusumDailyRevenue]] argument).
+    */
+  def decomposeDaily(ord: DataFrame): DataFrame = {
+    val daily = graft.CheckpointLease.track(
+      ord.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents("o_totalprice")).as("y_cents"))
+        .localCheckpoint()) // feeds the trend window, dow means, total
+    val h = DecomposeTrendHalfWindow
+    val wTrend = Window.orderBy("day").rowsBetween(-h, h)
+    val tot = daily.agg(count(lit(1)).as("n_all"),
+      sum("y_cents").as("s_all"))
+    val dow = daily
+      .groupBy((weekday(col("day")) + 1).cast("long").as("isodow"))
+      .agg(count(lit(1)).as("n_dow"), sum("y_cents").as("s_dow"))
+    val trendC = col("t_sum").cast("double") / col("t_n")
+    val seasC = col("s_dow").cast("double") / col("n_dow") -
+      col("s_all").cast("double") / col("n_all")
+    daily
+      .withColumn("t_sum", sum("y_cents").over(wTrend))
+      .withColumn("t_n", count(lit(1)).over(wTrend))
+      .withColumn("isodow", (weekday(col("day")) + 1).cast("long"))
+      .join(broadcast(dow), Seq("isodow"))
+      .crossJoin(broadcast(tot))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("y_cents"),
+        trendC.as("trend"),
+        seasC.as("seasonal"),
+        (col("y_cents").cast("double") - trendC - seasC).as("remainder"))
+  }
+
   /** Day-of-week seasonality index over daily revenue: mean revenue of
     * each ISO weekday relative to the overall daily mean (1.0 = flat).
     * The ratio of two means collapses to cross-multiplied exact
@@ -1054,6 +1105,7 @@ object TimeSeries {
       seasonalNaiveBacktest(Tables.orders(s, d))),
     "ts_forecast_backtest" -> ((s, d) =>
       forecastBacktest(Tables.orders(s, d))),
+    "ts_decompose" -> ((s, d) => decomposeDaily(Tables.orders(s, d))),
     "ts_ffill" -> ((s, d) => forwardFillDaily(Tables.events(s, d))),
     "ts_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
     "ts_new_returning" -> ((s, d) => newVsReturning(Tables.events(s, d))),
@@ -1567,6 +1619,36 @@ object TimeSeries {
         |       CAST(c.cum_cents * t.n_days - c.tt * t.total_cents
         |            AS DOUBLE) / (t.n_days * t.total_cents) AS cusum_norm
         |FROM c, t""".stripMargin,
+    "ts_decompose" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |              AS BIGINT) AS y_cents
+         |  FROM orders GROUP BY 1),
+         |w AS (
+         |  SELECT day, y_cents,
+         |         CAST(sum(y_cents) OVER tw AS BIGINT) AS t_sum,
+         |         CAST(count(*) OVER tw AS BIGINT) AS t_n,
+         |         CAST(isodow(day) AS BIGINT) AS dw
+         |  FROM daily
+         |  WINDOW tw AS (ORDER BY day
+         |                ROWS BETWEEN $DecomposeTrendHalfWindow PRECEDING
+         |                         AND $DecomposeTrendHalfWindow FOLLOWING)),
+         |tot AS (SELECT count(*) AS n_all,
+         |               CAST(sum(y_cents) AS BIGINT) AS s_all FROM daily),
+         |dws AS (
+         |  SELECT CAST(isodow(day) AS BIGINT) AS dw, count(*) AS n_dow,
+         |         CAST(sum(y_cents) AS BIGINT) AS s_dow
+         |  FROM daily GROUP BY 1)
+         |SELECT strftime(w.day, '%Y-%m-%d') AS day, w.y_cents,
+         |       CAST(w.t_sum AS DOUBLE) / w.t_n AS trend,
+         |       CAST(d.s_dow AS DOUBLE) / d.n_dow -
+         |         CAST(t.s_all AS DOUBLE) / t.n_all AS seasonal,
+         |       CAST(w.y_cents AS DOUBLE) -
+         |         CAST(w.t_sum AS DOUBLE) / w.t_n -
+         |         (CAST(d.s_dow AS DOUBLE) / d.n_dow -
+         |          CAST(t.s_all AS DOUBLE) / t.n_all) AS remainder
+         |FROM w JOIN dws d ON w.dw = d.dw, tot t""".stripMargin,
     "ts_seasonality" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -618,6 +618,41 @@ object Multimodal {
       .as[AudioFp]
   }
 
+  /** Mean-square frame energy above which a frame counts as ACTIVE in
+    * [[audioVadSegments]] — the corpus median at the test SFs, so real
+    * frames split both ways; a production deployment calibrates it on
+    * labeled silence.
+    */
+  val VadMsqThreshold = 9830L
+
+  /** ENERGY-GATE VAD SEGMENTS (silence trimming) over the real decoded
+    * PCM stream — the preprocessing every speech pipeline runs between
+    * decode and feature extraction: a frame is ACTIVE when its mean
+    * square energy clears the gate (`sum_sq > θ·n` — the
+    * cross-multiplied exact-integer compare, no division), and maximal
+    * runs of consecutive active frames become segments via
+    * gaps-and-islands (`frame_id − row_number` grouping). Per segment:
+    * frame span, frame count, and exact integer sample/energy totals.
+    *
+    * Scale shape: one decode pass ([[audioFrameEnergy]]), one
+    * row_number window over the per-asset frame stream (bounded
+    * partitions by construction), one partial-merging segment
+    * aggregate.
+    */
+  def audioVadSegments(wavs: Dataset[Asset], frameLen: Int = 160,
+      msqThreshold: Long = VadMsqThreshold): DataFrame = {
+    val fr = audioFrameEnergy(wavs, frameLen).toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame_id")
+    fr.filter(col("sum_sq") > lit(msqThreshold) * col("n_samples"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"), (col("frame_id") - col("rn")).as("grp"))
+      .agg(min("frame_id").as("seg_start"), max("frame_id").as("seg_end"),
+        count(lit(1)).as("n_frames"), sum("n_samples").as("n_samples"),
+        sum("sum_sq").as("sum_sq"))
+      .select("doc_id", "seg_start", "seg_end", "n_frames", "n_samples",
+        "sum_sq")
+  }
+
   /** NEAR-DUP AUDIO PAIRS by sub-fingerprint word collisions — the audio
     * analog of [[phashNearDupPairs]], completing the Haitsma–Kalker
     * serving path: candidates collide on an EXACT (word_id, fp) match
@@ -728,6 +763,62 @@ object Multimodal {
     }
   }
 
+  /** Pixel variance below which a decoded image counts as BLANK in
+    * [[imageMoments]] — near-constant rasters (solid fills, dead
+    * camera frames, empty renders) sit orders of magnitude under any
+    * real content; a production deployment calibrates it on labeled
+    * blanks.
+    */
+  val BlankVarThreshold = 100.0
+
+  case class ImageMoments(doc_id: Long, n_px: Long, sum_px: Long,
+    sum_sq_px: Long, mean_px: Double, var_px: Double, is_blank: Boolean)
+
+  /** BLANK / LOW-INFORMATION IMAGE FILTER over REAL decoded pixels —
+    * the screen a media lake runs right after decode (drop solid
+    * fills and dead frames before paying for feature extraction):
+    * exact integer pixel moments (n, Σp, Σp²) off the raster, then
+    * `mean = Σp/n`, `var = Σp²/n − mean²` (the fixed IEEE tree both
+    * engines evaluate identically), flagged blank under
+    * `varThreshold`. Oracle-checkable because the decoded pixel
+    * stream is the payload plus zero-padding to the last row
+    * (the [[imageFeatures]] contract).
+    *
+    * Scale shape: one mapPartitions decode pass, three integers per
+    * image on the wire, no shuffle at all.
+    */
+  def imageMoments(imgs: Dataset[Asset],
+      varThreshold: Double = BlankVarThreshold): Dataset[ImageMoments] = {
+    import imgs.sparkSession.implicits._
+    imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"doc ${a.doc_id}: payload is not a decodable image")
+        val raster = img.getRaster
+        val n = img.getWidth.toLong * img.getHeight
+        var sum = 0L
+        var sumSq = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val px = raster.getSample(x, y, 0).toLong
+            sum += px
+            sumSq += px * px
+            x += 1
+          }
+          y += 1
+        }
+        val mean = sum.toDouble / n
+        val varr = sumSq.toDouble / n - mean * mean
+        ImageMoments(a.doc_id, n, sum, sumSq, mean, varr,
+          varr < varThreshold)
+      }
+    }
+  }
+
   /** RESIZE — 1-D nearest-neighbor downsample of the payload byte stream
     * to at most `outLen` bytes: output position i reads input byte
     * `floor(i·n/m)`, exactly the access pattern of a nearest-neighbor
@@ -823,6 +914,10 @@ object Multimodal {
       audioNearDupPairs(encodeWav(assetDs(s, d)))),
     "mm_audio_clusters" -> ((s, d) =>
       audioClusters(encodeWav(assetDs(s, d)))),
+    "mm_audio_vad" -> ((s, d) =>
+      audioVadSegments(encodeWav(assetDs(s, d)))),
+    "mm_blank_filter" -> ((s, d) =>
+      imageMoments(encodePng(assetDs(s, d))).toDF()),
     // real decode -> perceptual fingerprint (aHash), oracle-predicted
     // from the payload byte contract
     "mm_ahash" -> ((s, d) => averageHash(encodePng(assetDs(s, d))).toDF()),
@@ -945,12 +1040,11 @@ object Multimodal {
        |  FROM md)""".stripMargin
   }
 
-  /** Shared audio-fingerprint CTE chain — the `mm_audio_energy` byte
-    * contract extended with the Haitsma–Kalker lag/pack arithmetic,
-    * ending in `fpt(doc_id, word_id, n_bits, fp)`. MATERIALIZED: the
-    * near-dup twin consumes it five times.
+  /** Shared audio frame-energy CTE chain — the `mm_audio_energy` byte
+    * contract, ending in `en(doc_id, frame_id, n_samples, sum_sq)` —
+    * the base both the fingerprint and VAD twins extend.
     */
-  private def duckAudioFpCtes: String =
+  private def duckAudioEnergyCtes: String =
     """s AS (
       |  SELECT doc_id,
       |         [ascii(substring(text, i, 1))
@@ -968,7 +1062,15 @@ object Multimodal {
       |en AS (
       |  SELECT doc_id, frame_id, CAST(len(fr) AS BIGINT) AS n_samples,
       |         CAST(list_sum([x * x for x in fr]) AS BIGINT) AS sum_sq
-      |  FROM e),
+      |  FROM e)""".stripMargin
+
+  /** Shared audio-fingerprint CTE chain — [[duckAudioEnergyCtes]]
+    * extended with the Haitsma–Kalker lag/pack arithmetic, ending in
+    * `fpt(doc_id, word_id, n_bits, fp)`. MATERIALIZED: the near-dup
+    * twin consumes it five times.
+    */
+  private def duckAudioFpCtes: String =
+    s"""$duckAudioEnergyCtes,
       |d AS (
       |  SELECT doc_id, frame_id, n_samples, sum_sq,
       |         lag(sum_sq) OVER (PARTITION BY doc_id ORDER BY frame_id)
@@ -1149,6 +1251,41 @@ object Multimodal {
          |  FROM und JOIN reach ON und.v = reach.node)
          |SELECT node AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY 1""".stripMargin,
+    "mm_audio_vad" ->
+      s"""WITH $duckAudioEnergyCtes,
+         |act AS (
+         |  SELECT doc_id, frame_id, n_samples, sum_sq,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY frame_id) AS rn
+         |  FROM en WHERE sum_sq > $VadMsqThreshold * n_samples)
+         |SELECT doc_id, min(frame_id) AS seg_start,
+         |       max(frame_id) AS seg_end, count(*) AS n_frames,
+         |       CAST(sum(n_samples) AS BIGINT) AS n_samples,
+         |       CAST(sum(sum_sq) AS BIGINT) AS sum_sq
+         |FROM act GROUP BY doc_id, frame_id - rn""".stripMargin,
+    "mm_blank_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS n,
+         |         [ascii(substring(text, i, 1))
+         |          for i in range(1, octet_length(encode(text)) + 1)]
+         |           AS bytes
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         greatest(1, CAST(ceil(n / 32.0) AS BIGINT)) * 32 AS n_px,
+         |         CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS sum_px,
+         |         CAST(coalesce(list_sum([x * x for x in bytes]), 0)
+         |              AS BIGINT) AS sum_sq_px
+         |  FROM t),
+         |v AS (
+         |  SELECT *, CAST(sum_px AS DOUBLE) / n_px AS mean_px,
+         |         CAST(sum_sq_px AS DOUBLE) / n_px -
+         |           (CAST(sum_px AS DOUBLE) / n_px) *
+         |           (CAST(sum_px AS DOUBLE) / n_px) AS var_px
+         |  FROM m)
+         |SELECT doc_id, n_px, sum_px, sum_sq_px, mean_px, var_px,
+         |       var_px < $BlankVarThreshold AS is_blank
+         |FROM v""".stripMargin,
     "mm_ahash" -> duckAhashSql,
     "mm_dedup_ahash" ->
       s"""WITH ah AS (

@@ -74,7 +74,8 @@ class EngineSpec extends SparkSpec {
       e.stats.anova, e.multimodal.audioFingerprint(),
       e.multimodal.audioNearDups(), e.multimodal.audioClusters,
       e.graph.communityModularity(rounds = 1),
-      e.timeSeries.forecastBacktest)
+      e.timeSeries.forecastBacktest, e.timeSeries.decompose,
+      e.multimodal.audioVad(), e.multimodal.blankFilter())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

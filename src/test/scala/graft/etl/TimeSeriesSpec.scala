@@ -573,6 +573,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Double]("mae7_cents") === 1.0 / 7.0)
   }
 
+  test("decomposeDaily: hand-computed trend/seasonal/remainder on a " +
+      "two-week linear ramp; seasonal effects sum to zero") {
+    import spark.implicits._
+    // 14 days from Monday 1995-01-02, y = 100·(i+1) cents:
+    // dow mean (isodow i+1) = 50·(2i+9), overall mean 750
+    //   -> seasonal(i) = 100i − 300
+    // centered ±3 trend: full-window days get 100·(i+1); day 0 averages
+    // days 0..3 -> 250
+    val ord = (0 until 14).map(i =>
+      (java.time.LocalDate.of(1995, 1, 2).plusDays(i.toLong).toString,
+        (i + 1) * 1.00)).toDF("o_orderdate", "o_totalprice")
+    val r = TimeSeries.decomposeDaily(ord).collect()
+      .map(x => x.getAs[String]("day") -> x).toMap
+    assert(r.size === 14)
+    val d0 = r("1995-01-02")
+    assert(d0.getAs[Long]("y_cents") === 100L)
+    assert(d0.getAs[Double]("trend") === 250.0)
+    assert(d0.getAs[Double]("seasonal") === -300.0)
+    assert(d0.getAs[Double]("remainder") === 100.0 - 250.0 + 300.0)
+    val d3 = r("1995-01-05")
+    assert(d3.getAs[Double]("trend") === 400.0)
+    assert(d3.getAs[Double]("seasonal") === 0.0)
+    assert(d3.getAs[Double]("remainder") === 0.0)
+    val seasonalSum = r.values.map(_.getAs[Double]("seasonal")).sum
+    assert(math.abs(seasonalSum) < 1e-9,
+      "dow effects over whole weeks must cancel")
+  }
+
   test("forecastBacktest: seasonal+trend series crowns Holt-Winters; " +
       "trend-only series crowns Holt; lag baselines score exact integers") {
     import spark.implicits._

@@ -249,6 +249,44 @@ class MultimodalSpec extends SparkSpec {
     assert(fp(1L).n_bits === 1L && fp(1L).fp === 1L)
   }
 
+  test("audioVadSegments: gaps-and-islands over the energy gate — " +
+      "active runs become segments, silence splits them, all-silent " +
+      "audio emits none") {
+    // 'x' (120² = 14400) clears the 9830 gate; ' ' (32² = 1024) doesn't
+    val ds = Multimodal.assets(docs(
+      1L -> ("x" * 160 + " " * 160 + "x" * 320 + " " * 160 + "x" * 160),
+      2L -> (" " * 320))).as[Multimodal.Asset]
+    val segs = Multimodal.audioVadSegments(Multimodal.encodeWav(ds))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_start"),
+        r.getAs[Long]("seg_end"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_samples"), r.getAs[Long]("sum_sq"))).toSet
+    val xsq = 160L * 120 * 120
+    assert(segs === Set(
+      (1L, 0L, 0L, 1L, 160L, xsq),
+      (1L, 2L, 3L, 2L, 320L, 2 * xsq),
+      (1L, 5L, 5L, 1L, 160L, xsq)))
+  }
+
+  test("imageMoments: exact pixel moments with zero-padding, constant " +
+      "raster flags blank, content does not") {
+    val ds = Multimodal.assets(docs(
+      1L -> ("A" * 32),   // one full row, all 65s -> var 0 -> blank
+      2L -> ("A" * 3)     // 3×65 + 29 pad zeros -> high variance
+    )).as[Multimodal.Asset]
+    val m = Multimodal.imageMoments(Multimodal.encodePng(ds))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(m(1L).n_px === 32L && m(1L).sum_px === 32L * 65 &&
+      m(1L).sum_sq_px === 32L * 65 * 65)
+    assert(m(1L).var_px === 0.0 && m(1L).is_blank)
+    assert(m(2L).n_px === 32L && m(2L).sum_px === 195L &&
+      m(2L).sum_sq_px === 12675L)
+    val mean2 = 195.0 / 32
+    assert(m(2L).mean_px === mean2)
+    assert(m(2L).var_px === 12675.0 / 32 - mean2 * mean2)
+    assert(!m(2L).is_blank)
+  }
+
   test("audioNearDupPairs: re-encoded same audio collapses at hamming 0, " +
       "one flipped tail bit survives at hamming 1, distinct audio and " +
       "misaligned word counts separate") {
