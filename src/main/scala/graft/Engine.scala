@@ -526,6 +526,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def eventsNearOrders(toleranceDays: Int): DataFrame =
       RangeJoin.eventsNearOrders(Tables.events(spark, dataDir),
         Tables.orders(spark, dataDir), toleranceDays)
+    def bucketedRevenue: DataFrame =
+      graft.sources.Bronze.bucketedJoinRevenue(spark, dataDir)
     def saltedJoin(big: DataFrame, small: DataFrame, key: String,
         salts: Int = 16): DataFrame = {
       import org.apache.spark.sql.functions.{col, xxhash64}

@@ -210,8 +210,17 @@ object Graph {
     * rounds CTE-for-CTE).
     */
   def labelPropagation(edgesIn: DataFrame,
-      rounds: Int = LpaRounds): DataFrame = {
-    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+      rounds: Int = LpaRounds): DataFrame =
+    labelPropagationOn(
+      graft.CheckpointLease.track(edgesIn.localCheckpoint()), rounds)
+
+  /** [[labelPropagation]]'s core over an ALREADY-MATERIALIZED edge list
+    * — split out so composites ([[lpaModularity]]) can share ONE edge
+    * checkpoint across the rounds and the downstream consumers instead
+    * of re-writing the corpus-sized list per stage.
+    */
+  private[ext] def labelPropagationOn(edges: DataFrame,
+      rounds: Int): DataFrame = {
     var labels = graft.CheckpointLease.track(
       edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
@@ -252,8 +261,15 @@ object Graph {
     * intra edge keep a row via the left join (e_in = 0).
     */
   def modularityOfLabels(edgesIn: DataFrame,
+      labelsIn: DataFrame): DataFrame =
+    modularityOfLabelsOn(
+      graft.CheckpointLease.track(edgesIn.localCheckpoint()), labelsIn)
+
+  /** [[modularityOfLabels]]'s core over an ALREADY-MATERIALIZED edge
+    * list (three consumers: degrees, m2, the per-endpoint label joins).
+    */
+  private[ext] def modularityOfLabelsOn(edges: DataFrame,
       labelsIn: DataFrame): DataFrame = {
-    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
     val labels = labelsIn.select(col("node"), col("cluster_id"))
     val bc = labels.count() <= NodeBroadcastMaxRows
     def gate(df: DataFrame) = if (bc) broadcast(df) else df
@@ -292,9 +308,12 @@ object Graph {
     */
   def lpaModularity(edgesIn: DataFrame,
       rounds: Int = LpaRounds): DataFrame = {
+    // ONE edge checkpoint feeds the LPA rounds AND the modularity
+    // degree/m2/intra-edge consumers — re-checkpointing per stage would
+    // write the corpus-sized edge list three times
     val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
-    modularityOfLabels(edges,
-      labelPropagation(edges, rounds)
+    modularityOfLabelsOn(edges,
+      labelPropagationOn(edges, rounds)
         .select(col("part_node").as("node"), col("label").as("cluster_id")))
   }
 

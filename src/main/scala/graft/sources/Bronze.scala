@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
 import org.apache.spark.sql.types._
 
 /** Bronze-zone ingestion — the reference's source/sink surface
@@ -180,16 +181,103 @@ object Bronze {
     graft.etl.Silver.ordersStage(back)
   }
 
+  /** S1/S3, driver-surfaced like [[csvRoundtripOrders]] but through the
+    * ORC sink+source: binary columnar round trip (no text formats to
+    * pin), then the silver stage — the same oracle, so ORC fidelity is
+    * hash-checked, not just spec-checked.
+    */
+  def orcRoundtripOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${sys.props("user.dir")}/target/orc-roundtrip/" +
+      s"orders_${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    writeOrc(graft.Tables.orders(spark, sfDir), path)
+    graft.etl.Silver.ordersStage(readOrc(spark, path))
+  }
+
+  /** S1/S3 through the JSON-lines sink+source: explicit schema on the
+    * way back (no inference pass) with the timestamp text format pinned
+    * on both sides, exactly the [[csvRoundtripOrders]] discipline.
+    */
+  def jsonRoundtripOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${sys.props("user.dir")}/target/json-roundtrip/" +
+      s"orders_${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    graft.Tables.orders(spark, sfDir).write
+      .mode(SaveMode.Overwrite)
+      .option("timestampFormat", fmt)
+      .option("timestampNTZFormat", fmt)
+      .json(path)
+    val back = spark.read
+      .schema(schemas("orders"))
+      .option("mode", "FAILFAST")
+      .option("timestampFormat", fmt)
+      .option("timestampNTZFormat", fmt)
+      .json(path)
+    graft.etl.Silver.ordersStage(back)
+  }
+
+  /** BUCKETED CO-LOCATED JOIN, driver-surfaced: write orders and
+    * customer bucketed by their join key (same bucket count), then join
+    * and aggregate revenue per market segment — at query time the join
+    * reads co-located buckets with NO exchange on either side
+    * (OperatorsSpec asserts the plan; this query hash-checks the
+    * results through the DuckDB gate). The 100 TB pattern for fact⋈fact
+    * joins repeated across many queries: pay the shuffle once at write
+    * time, never again.
+    *
+    * Scratch hygiene: table names key on the full sanitized dataset
+    * path (the AnnIndex precedent); a stale managed-table directory
+    * from a previous session (fresh in-memory catalog, old warehouse
+    * dir) is deleted before the write, since DROP TABLE can't see it.
+    */
+  def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+    val to = s"graft_orders_bkt_$key"
+    val tc = s"graft_customer_bkt_$key"
+    val wh = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq(to, tc).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(s"$wh/$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (d.exists()) rm(d)
+    }
+    writeBucketed(graft.Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_totalprice"), to, 8, Seq("o_custkey"))
+    writeBucketed(graft.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment"), tc, 8, Seq("c_custkey"))
+    spark.table(to)
+      .join(spark.table(tc), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as long)"))
+          .as("revenue_cents"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_silver_orders" -> (csvRoundtripOrders(_, _)),
+    "orc_silver_orders" -> (orcRoundtripOrders(_, _)),
+    "json_silver_orders" -> (jsonRoundtripOrders(_, _)),
+    "join_bucketed_revenue" -> (bucketedJoinRevenue(_, _)),
   )
 
-  /** The CSV round-trip must land byte-identical to the parquet-sourced
-    * silver_orders — same oracle SQL, so the twin IS the fidelity check.
+  /** The CSV/ORC/JSON round-trips must land byte-identical to the
+    * parquet-sourced silver_orders — same oracle SQL, so the twin IS
+    * the fidelity check.
     */
   def oracleSql: Map[String, String] = Map(
     "csv_silver_orders" -> graft.etl.Silver.oracleSql("silver_orders"),
+    "orc_silver_orders" -> graft.etl.Silver.oracleSql("silver_orders"),
+    "json_silver_orders" -> graft.etl.Silver.oracleSql("silver_orders"),
+    "join_bucketed_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
   )
 
   /** S2-shape generic JDBC reader (the reference reads every zone through

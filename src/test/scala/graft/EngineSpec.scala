@@ -75,7 +75,8 @@ class EngineSpec extends SparkSpec {
       e.multimodal.audioNearDups(), e.multimodal.audioClusters,
       e.graph.communityModularity(rounds = 1),
       e.timeSeries.forecastBacktest, e.timeSeries.decompose,
-      e.multimodal.audioVad(), e.multimodal.blankFilter())
+      e.multimodal.audioVad(), e.multimodal.blankFilter(),
+      e.analytics.bucketedRevenue)
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

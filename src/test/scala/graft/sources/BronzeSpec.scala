@@ -29,6 +29,44 @@ class BronzeSpec extends SparkSpec {
       "CSV write+read must be value-faithful through the silver stage")
   }
 
+  test("orcRoundtripOrders and jsonRoundtripOrders equal the parquet-" +
+      "sourced silver stage") {
+    val viaParquet = graft.etl.Silver.orders(spark, "/root/testdata/sf0.001")
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(viaParquet.nonEmpty)
+    val viaOrc = Bronze.orcRoundtripOrders(spark, "/root/testdata/sf0.001")
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(viaOrc === viaParquet,
+      "ORC write+read must be value-faithful through the silver stage")
+    val viaJson = Bronze.jsonRoundtripOrders(spark, "/root/testdata/sf0.001")
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(viaJson === viaParquet,
+      "JSON write+read must be value-faithful through the silver stage")
+  }
+
+  test("bucketedJoinRevenue equals the plain join, and re-runs are " +
+      "idempotent over the stale warehouse dir") {
+    def plain = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.orders(spark, "/root/testdata/sf0.001")
+        .join(graft.Tables.customer(spark, "/root/testdata/sf0.001"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("cast(round(o_totalprice * 100) as long)"))
+            .as("revenue_cents"))
+        .collect().map(_.toSeq).toSet
+    }
+    val bucketed = Bronze.bucketedJoinRevenue(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    assert(bucketed === plain)
+    // second run in the same session: DROP TABLE + dir cleanup must not
+    // trip over the managed-table location left by the first
+    val again = Bronze.bucketedJoinRevenue(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    assert(again === plain)
+  }
+
   test("explicit schemas match the driver parquet testdata on read") {
     for ((name, schema) <- Bronze.schemas if name != "events") {
       val actual = spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
