@@ -171,6 +171,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Privacy.tClosenessAudit(Tables.customer(spark, dataDir), tBar)
     def dpCounts(salt: Long = 0L): DataFrame = Privacy.dpNoisyCounts(
       Tables.customer(spark, dataDir), Tables.nation(spark, dataDir), salt)
+    def erasureAudit: DataFrame = Privacy.erasureAudit(
+      Tables.customer(spark, dataDir), Tables.orders(spark, dataDir),
+      Tables.lineitem(spark, dataDir))
   }
 
   object similarity {
@@ -383,6 +386,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame =
       Quality.keySkew(df, keyCol, label)
     def mad: DataFrame = Quality.madQuantity(Tables.lineitem(spark, dataDir))
+    def referentialIntegrity: DataFrame =
+      Quality.referentialIntegrity(spark, dataDir)
   }
 
   object streaming {

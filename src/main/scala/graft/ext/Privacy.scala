@@ -259,7 +259,51 @@ object Privacy {
       .withColumn("released_cnt", greatest(lit(0L), col("noisy_cnt")))
   }
 
+  /** Simulated deletion-request predicate for the registered erasure
+    * query: every 97th customer key — a deterministic stand-in for the
+    * DSR list a real deployment reads from its requests table.
+    */
+  val ErasureKeyModulus = 97L
+
+  /** RIGHT-TO-ERASURE CASCADE AUDIT (GDPR Art. 17 / CCPA delete) — the
+    * release-side twin of the k-anon/l-div audits: given a
+    * deletion-request key list, how many rows leave EACH table once the
+    * delete propagates through the FK graph (customer → their orders →
+    * those orders' lineitems)? One audit row per table with
+    * before/deleted/after counts; the retained relations are the
+    * LEFT ANTI complements of the semi-joins counted here.
+    *
+    * Scale shape: the request list is tiny next to the corpus, so it
+    * BROADCASTS into the customer/orders semi-joins; the second hop
+    * (lineitems of deleted orders) semi-joins on the deleted-order
+    * keys, which are request-proportional. Every count is a
+    * partial-merging aggregate; output is tables-sized.
+    */
+  def erasureAudit(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val keys = customer
+      .filter(col("c_custkey") % ErasureKeyModulus === 0)
+      .select(col("c_custkey").as("k"))
+    val delCust = customer.join(broadcast(keys),
+      col("c_custkey") === col("k"), "left_semi")
+    val delOrd = orders.join(broadcast(keys),
+      col("o_custkey") === col("k"), "left_semi")
+    val delLi = lineitem.join(delOrd.select(col("o_orderkey").as("ok2")),
+      col("l_orderkey") === col("ok2"), "left_semi")
+    def row(t: String, full: DataFrame, del: DataFrame) =
+      full.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(broadcast(del.agg(count(lit(1)).as("rows_deleted"))))
+        .select(lit(t).as("table_name"), col("rows_before"),
+          col("rows_deleted"),
+          (col("rows_before") - col("rows_deleted")).as("rows_after"))
+    row("customer", customer, delCust)
+      .unionAll(row("orders", orders, delOrd))
+      .unionAll(row("lineitem", lineitem, delLi))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_erasure" -> ((s, d) => erasureAudit(Tables.customer(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d))),
     "privacy_dp_counts" -> ((s, d) =>
       dpNoisyCounts(Tables.customer(s, d), Tables.nation(s, d))),
     "tclose_audit" -> ((s, d) => tClosenessAudit(Tables.customer(s, d))),
@@ -271,6 +315,33 @@ object Privacy {
 
   /** DuckDB twins — same regexes (shared Java/RE2 subset), same plant. */
   def oracleSql: Map[String, String] = Map(
+    "privacy_erasure" ->
+      s"""WITH ks AS (
+         |  SELECT c_custkey FROM customer
+         |  WHERE c_custkey % $ErasureKeyModulus = 0),
+         |del_ord AS (
+         |  SELECT o_orderkey FROM orders
+         |  WHERE o_custkey IN (SELECT c_custkey FROM ks))
+         |SELECT 'customer' AS table_name,
+         |       (SELECT count(*) FROM customer) AS rows_before,
+         |       (SELECT count(*) FROM ks) AS rows_deleted,
+         |       (SELECT count(*) FROM customer) -
+         |         (SELECT count(*) FROM ks) AS rows_after
+         |UNION ALL
+         |SELECT 'orders',
+         |       (SELECT count(*) FROM orders),
+         |       (SELECT count(*) FROM del_ord),
+         |       (SELECT count(*) FROM orders) -
+         |         (SELECT count(*) FROM del_ord)
+         |UNION ALL
+         |SELECT 'lineitem',
+         |       (SELECT count(*) FROM lineitem),
+         |       (SELECT count(*) FROM lineitem
+         |        WHERE l_orderkey IN (SELECT o_orderkey FROM del_ord)),
+         |       (SELECT count(*) FROM lineitem) -
+         |         (SELECT count(*) FROM lineitem
+         |          WHERE l_orderkey IN (SELECT o_orderkey FROM del_ord))"""
+        .stripMargin,
     "privacy_dp_counts" -> {
       val cases = DpThresholdsU32.zipWithIndex
         .map { case (t, k) => s"WHEN u < $t THEN ${k - DpB}" }.mkString(" ")

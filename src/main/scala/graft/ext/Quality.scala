@@ -266,11 +266,53 @@ object Quality {
         (col("mad2") / lit(2.0)).as("mad_qty"))
   }
 
+  /** The warehouse's foreign-key graph — (fact, fkCol, dim, pkCol),
+    * the single source of truth for both the Spark audit and the
+    * generated twin.
+    */
+  val FkEdges: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** One FK edge's audit row: fact size, orphan count (fact keys with
+    * no dim partner — LEFT ANTI against the distinct dim key), verdict.
+    */
+  def fkAudit(fact: DataFrame, fkCol: String, dim: DataFrame,
+      pkCol: String, label: String): DataFrame = {
+    val n = fact.agg(count(lit(1)).as("n_rows"))
+    val orph = fact.select(col(fkCol).as("k"))
+      .join(dim.select(col(pkCol).as("k")).distinct(), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    n.crossJoin(broadcast(orph))
+      .select(lit(label).as("fk_edge"), col("n_rows"), col("n_orphans"),
+        (col("n_orphans") === 0L).as("ok"))
+  }
+
+  /** REFERENTIAL-INTEGRITY AUDIT over the whole warehouse FK graph —
+    * the standing data-quality check every pipeline runs after load:
+    * one row per [[FkEdges]] edge with the fact size, orphan count, and
+    * verdict. Scale shape: per edge one anti-join against the DISTINCT
+    * dim keys (dims broadcast at real sizes; the planner picks it from
+    * the scan stats) reduced to one partial-merging count — the audit's
+    * output is edges-sized, never data-sized.
+    */
+  def referentialIntegrity(s: SparkSession, d: String): DataFrame =
+    FkEdges.map { case (ft, fk, dt, pk) =>
+      fkAudit(Tables.load(s, d, ft), fk, Tables.load(s, d, dt), pk,
+        s"$ft.$fk->$dt.$pk")
+    }.reduce(_ unionAll _)
+
   /** Driver-contract registration. Timestamps are pre-formatted to
     * strings and the double price to integer cents, so every profiled
     * column's min/max stringification is engine-identical.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_referential" -> (referentialIntegrity(_, _)),
     "feature_zscore" -> ((s, d) => zscoreQuantity(Tables.lineitem(s, d))),
     "feature_binning" -> ((s, d) => decileBinning(Tables.lineitem(s, d))),
     "feature_cdf" -> ((s, d) => featureCdf(Tables.lineitem(s, d))),
@@ -293,8 +335,25 @@ object Quality {
     "quality_outliers" -> ((s, d) => outliers(Tables.orders(s, d))),
   )
 
+  /** [[referentialIntegrity]]'s twin, generated from the same
+    * [[FkEdges]] list — NOT EXISTS mirrors LEFT ANTI exactly (both
+    * null-safe, keys here are non-null anyway).
+    */
+  private def duckReferentialSql: String =
+    FkEdges.map { case (ft, fk, dt, pk) =>
+      s"""SELECT '$ft.$fk->$dt.$pk' AS fk_edge,
+         |       (SELECT count(*) FROM $ft) AS n_rows,
+         |       (SELECT count(*) FROM $ft f WHERE NOT EXISTS
+         |          (SELECT 1 FROM $dt p WHERE p.$pk = f.$fk))
+         |         AS n_orphans,
+         |       (SELECT count(*) FROM $ft f WHERE NOT EXISTS
+         |          (SELECT 1 FROM $dt p WHERE p.$pk = f.$fk)) = 0 AS ok"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** DuckDB twin — same long-format stats per column. */
   def oracleSql: Map[String, String] = Map(
+    "dq_referential" -> duckReferentialSql,
     "feature_mad" ->
       """WITH b AS (
         |  SELECT l_returnflag,

@@ -76,7 +76,8 @@ class EngineSpec extends SparkSpec {
       e.graph.communityModularity(rounds = 1),
       e.timeSeries.forecastBacktest, e.timeSeries.decompose,
       e.multimodal.audioVad(), e.multimodal.blankFilter(),
-      e.analytics.bucketedRevenue)
+      e.analytics.bucketedRevenue, e.quality.referentialIntegrity,
+      e.privacy.erasureAudit)
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -112,6 +112,28 @@ class PrivacySpec extends SparkSpec {
     assert(r("B") === (("B", 2L, 2L, 0.25, true)))
   }
 
+  test("erasureAudit: the delete cascades customer -> orders -> " +
+      "lineitems with exact per-table counts; non-requested rows stay") {
+    // request list = custkey % 97 == 0: here customers 97 and 194
+    val customer = Seq(1L, 2L, 97L, 194L, 195L).map(Tuple1(_))
+      .toDF("c_custkey")
+    val orders = Seq(
+      (10L, 1L), (11L, 97L), (12L, 97L), (13L, 194L), (14L, 195L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (10L, 1), (11L, 1), (11L, 2), (12L, 1), (13L, 1), (14L, 1))
+      .toDF("l_orderkey", "l_linenumber")
+    val audit = Privacy.erasureAudit(customer, orders, lineitem)
+      .collect().map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("rows_before"), r.getAs[Long]("rows_deleted"),
+          r.getAs[Long]("rows_after"))).toMap
+    assert(audit("customer") === ((5L, 2L, 3L)))
+    // orders 11, 12 (cust 97) and 13 (cust 194) cascade out
+    assert(audit("orders") === ((5L, 3L, 2L)))
+    // lineitems of orders 11 (×2), 12, 13 cascade out; 10/14 stay
+    assert(audit("lineitem") === ((6L, 4L, 2L)))
+  }
+
   test("dpNoisyCounts: deterministic draw, bounded support, clamped release") {
     // key 0 hashes to u = 0 < every threshold -> noise exactly -B
     val nation = (0L to 999L).map(k => (k, s"n_$k")).toDF("n_nationkey", "n_name")

@@ -5,6 +5,32 @@ import graft.SparkSpec
 class QualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("fkAudit: planted orphan is counted; clean edge passes; " +
+      "fixture FK graph is fully consistent") {
+    val fact = Seq((1L, 10L), (2L, 10L), (3L, 99L))
+      .toDF("id", "fk") // fk 99 has no dim partner
+    val dim = Seq(Tuple1(10L), Tuple1(11L), Tuple1(10L)).toDF("pk")
+    val bad = Quality.fkAudit(fact, "fk", dim, "pk", "fact.fk->dim.pk")
+      .collect().head
+    assert(bad.getAs[String]("fk_edge") === "fact.fk->dim.pk")
+    assert(bad.getAs[Long]("n_rows") === 3L)
+    assert(bad.getAs[Long]("n_orphans") === 1L)
+    assert(!bad.getAs[Boolean]("ok"))
+    val clean = Quality.fkAudit(fact.filter($"fk" === 10L), "fk", dim,
+      "pk", "e").collect().head
+    assert(clean.getAs[Long]("n_orphans") === 0L &&
+      clean.getAs[Boolean]("ok"))
+    // the driver fixtures keep every FK edge consistent
+    val audit = Quality.referentialIntegrity(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(audit.length === Quality.FkEdges.length)
+    audit.foreach { r =>
+      assert(r.getAs[Boolean]("ok"),
+        s"${r.getAs[String]("fk_edge")} has orphans")
+      assert(r.getAs[Long]("n_rows") > 0L)
+    }
+  }
+
   test("zscoreQuantity: exact per-group standardization from integer sums") {
     // group A: quantities 2, 4, 6 -> mean 4, pop. var ((3*56-144)/9)=8/3
     // group B: quantities 10, 10 -> var 0 -> z = NULL (degenerate group
