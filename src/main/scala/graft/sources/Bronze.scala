@@ -162,8 +162,10 @@ object Bronze {
     * read (orders timestamps are midnight-precision, FIXTURES.md §B).
     */
   def csvRoundtripOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    // full sanitized path, not a 32-bit hash (the AnnIndex r13-advice
+    // precedent): two datasets can never collide into one scratch dir
     val path = s"${sys.props("user.dir")}/target/csv-roundtrip/" +
-      s"orders_${Integer.toHexString(sfDir.hashCode)}"
+      s"orders_${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
     val fmt = "yyyy-MM-dd HH:mm:ss"
     graft.Tables.orders(spark, sfDir).write
       .mode(SaveMode.Overwrite)
