@@ -511,6 +511,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Multimodal.audioVadSegments(Multimodal.encodeWav(ds),
         msqThreshold = msqThreshold)
     }
+    def videoShots(deltaThreshold: Long = Multimodal.ShotDeltaThreshold)
+        : DataFrame =
+      Multimodal.videoShots(docs, deltaThreshold = deltaThreshold)
     def blankFilter(varThreshold: Double = Multimodal.BlankVarThreshold)
         : DataFrame = {
       import spark.implicits._

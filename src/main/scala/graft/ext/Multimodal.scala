@@ -864,6 +864,48 @@ object Multimodal {
           .as("frame"))
       .filter(length(col("frame")) === frameBytes)
 
+  /** Frame-sum delta above which [[videoShots]] declares a shot
+    * boundary — the corpus p75 at the test SFs, so real streams split
+    * into multiple shots; a production deployment calibrates it on
+    * labeled cuts.
+    */
+  val ShotDeltaThreshold = 90L
+
+  /** SHOT-BOUNDARY DETECTION over the sampled frame stream — the video
+    * analog of [[audioVadSegments]]: a cut is declared when the
+    * frame-feature delta (here the exact byte sum of the sampled frame
+    * — a real pipeline plugs a decoded-histogram distance into the same
+    * plan) exceeds the threshold, and frames between cuts group into
+    * SHOTS via a running boundary count. Per shot: frame span, frame
+    * count, exact byte total. The first frame of every stream opens
+    * shot 1.
+    *
+    * Scale shape: one narrow frame scan ([[sampleFrames]]), one lag +
+    * one running-sum window over the per-asset frame stream (bounded
+    * partitions), one partial-merging shot aggregate.
+    */
+  def videoShots(docs: DataFrame, frameBytes: Int = 16, stride: Int = 4,
+      deltaThreshold: Long = ShotDeltaThreshold): DataFrame = {
+    val fr = sampleFrames(docs, frameBytes, stride)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        // exact byte sum of the (ASCII-contract) frame payload
+        expr("aggregate(sequence(1, length(frame)), 0L, " +
+          "(a, i) -> a + ascii(substring(cast(frame as string), i, 1)))")
+          .as("fsum"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    fr.withColumn("prev", lag("fsum", 1).over(w))
+      .withColumn("boundary",
+        when(col("prev").isNull ||
+          abs(col("fsum") - col("prev")) > deltaThreshold, 1L)
+          .otherwise(0L))
+      .withColumn("shot_id", sum("boundary").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "shot_id")
+      .agg(min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"), sum("fsum").as("sum_bytes"))
+  }
+
   /** Typed entry points over the testdata documents table. */
   private def assetDs(s: SparkSession, d: String): Dataset[Asset] = {
     import s.implicits._
@@ -916,6 +958,7 @@ object Multimodal {
       audioClusters(encodeWav(assetDs(s, d)))),
     "mm_audio_vad" -> ((s, d) =>
       audioVadSegments(encodeWav(assetDs(s, d)))),
+    "mm_video_shots" -> ((s, d) => videoShots(Tables.documents(s, d))),
     "mm_blank_filter" -> ((s, d) =>
       imageMoments(encodePng(assetDs(s, d))).toDF()),
     // real decode -> perceptual fingerprint (aHash), oracle-predicted
@@ -1286,6 +1329,41 @@ object Multimodal {
          |SELECT doc_id, n_px, sum_px, sum_sq_px, mean_px, var_px,
          |       var_px < $BlankVarThreshold AS is_blank
          |FROM v""".stripMargin,
+    "mm_video_shots" ->
+      s"""WITH idx AS (
+         |  SELECT doc_id, text,
+         |         unnest(range(0, greatest(
+         |           CAST(trunc((octet_length(encode(text)) - 16) / 64.0)
+         |                AS BIGINT), 0) + 1)) AS frame_idx
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |         CAST(list_sum([ascii(substring(text,
+         |                CAST(frame_idx * 64 + i AS INT), 1))
+         |              for i in range(1, 17)]) AS BIGINT) AS fsum
+         |  FROM idx
+         |  WHERE octet_length(encode(substring(text,
+         |          CAST(frame_idx * 64 + 1 AS INT), 16))) = 16),
+         |d AS (
+         |  SELECT *, lag(fsum) OVER (PARTITION BY doc_id
+         |                            ORDER BY frame_idx) AS prev
+         |  FROM fr),
+         |b AS (
+         |  SELECT doc_id, frame_idx, fsum,
+         |         CASE WHEN prev IS NULL
+         |                   OR abs(fsum - prev) > $ShotDeltaThreshold
+         |              THEN 1 ELSE 0 END AS boundary
+         |  FROM d),
+         |sh AS (
+         |  SELECT doc_id, frame_idx, fsum,
+         |         CAST(sum(boundary) OVER (PARTITION BY doc_id
+         |              ORDER BY frame_idx ROWS UNBOUNDED PRECEDING)
+         |           AS BIGINT) AS shot_id
+         |  FROM b)
+         |SELECT doc_id, shot_id, min(frame_idx) AS start_frame,
+         |       max(frame_idx) AS end_frame, count(*) AS n_frames,
+         |       CAST(sum(fsum) AS BIGINT) AS sum_bytes
+         |FROM sh GROUP BY 1, 2""".stripMargin,
     "mm_ahash" -> duckAhashSql,
     "mm_dedup_ahash" ->
       s"""WITH ah AS (

@@ -268,6 +268,24 @@ class MultimodalSpec extends SparkSpec {
       (1L, 5L, 5L, 1L, 160L, xsq)))
   }
 
+  test("videoShots: a frame-sum jump opens a new shot; first frame " +
+      "opens shot 1; exact spans and byte totals") {
+    // stride layout: frame f samples bytes [f·64, f·64+16). 192 'a's then
+    // 224 'z's -> frames 0-2 sum 16·97, frames 3-6 sum 16·122; the jump
+    // at frame 3 (Δ=400 > 90) cuts the stream into two shots
+    val d = docs(1L -> ("a" * 192 + "z" * 224))
+    val shots = Multimodal.videoShots(d).collect()
+      .map(r => r.getAs[Long]("shot_id") ->
+        (r.getAs[Long]("start_frame"), r.getAs[Long]("end_frame"),
+          r.getAs[Long]("n_frames"), r.getAs[Long]("sum_bytes"))).toMap
+    assert(shots === Map(
+      1L -> ((0L, 2L, 3L, 3L * 16 * 97)),
+      2L -> ((3L, 6L, 4L, 4L * 16 * 122))))
+    // below-threshold drift does not cut: same char everywhere -> 1 shot
+    val flat = Multimodal.videoShots(docs(2L -> ("q" * 416))).collect()
+    assert(flat.length === 1 && flat.head.getAs[Long]("n_frames") === 7L)
+  }
+
   test("imageMoments: exact pixel moments with zero-padding, constant " +
       "raster flags blank, content does not") {
     val ds = Multimodal.assets(docs(
