@@ -285,6 +285,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.forecastBacktest(Tables.orders(spark, dataDir))
     def decompose: DataFrame =
       TimeSeries.decomposeDaily(Tables.orders(spark, dataDir))
+    def userStreaks: DataFrame =
+      TimeSeries.userStreaks(Tables.events(spark, dataDir))
     def twap: DataFrame =
       TimeSeries.twapUserValue(Tables.events(spark, dataDir))
     def cusum: DataFrame =

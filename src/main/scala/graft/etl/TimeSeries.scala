@@ -377,6 +377,28 @@ object TimeSeries {
     * with no activity are not emitted (their DAU is 0; WAU may still be
     * positive but has no stickiness reading).
     */
+  /** USER ACTIVITY STREAKS — per user, runs of CONSECUTIVE active
+    * calendar days via gaps-and-islands (`epoch-day − row_number` is
+    * constant within a run): total active days, number of streaks, and
+    * the longest streak. The retention team's "current/longest streak"
+    * table, and — unlike the calendar-domain recurrences — a genuinely
+    * data-sized windowed computation: the window partitions by USER,
+    * so it scales horizontally with the user count, each partition
+    * bounded by the calendar.
+    */
+  def userStreaks(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"), count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"))
+  }
+
   def activeUsers(ev: DataFrame): DataFrame = {
     val ud = graft.CheckpointLease.track(
       ev.select(col("user_id"), to_date(col("ts")).as("day"))
@@ -1108,6 +1130,7 @@ object TimeSeries {
     "ts_decompose" -> ((s, d) => decomposeDaily(Tables.orders(s, d))),
     "ts_ffill" -> ((s, d) => forwardFillDaily(Tables.events(s, d))),
     "ts_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
+    "ts_user_streaks" -> ((s, d) => userStreaks(Tables.events(s, d))),
     "ts_new_returning" -> ((s, d) => newVsReturning(Tables.events(s, d))),
     "ts_threshold_episodes" -> ((s, d) =>
       thresholdEpisodes(Tables.orders(s, d))),
@@ -1540,6 +1563,20 @@ object TimeSeries {
         |            AS DOUBLE) / count(*) AS new_share
         |FROM ud JOIN f USING (user_id)
         |GROUP BY ud.day""".stripMargin,
+    "ts_user_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |         date_diff('day', DATE '1970-01-01', day) -
+        |           row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |           AS grp
+        |  FROM d),
+        |s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |       count(*) AS n_streaks, CAST(max(len) AS BIGINT)
+        |         AS longest_streak
+        |FROM s GROUP BY 1""".stripMargin,
     "ts_active_users" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

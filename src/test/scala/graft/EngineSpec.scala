@@ -77,7 +77,8 @@ class EngineSpec extends SparkSpec {
       e.timeSeries.forecastBacktest, e.timeSeries.decompose,
       e.multimodal.audioVad(), e.multimodal.blankFilter(),
       e.analytics.bucketedRevenue, e.quality.referentialIntegrity,
-      e.privacy.erasureAudit, e.multimodal.videoShots())
+      e.privacy.erasureAudit, e.multimodal.videoShots(),
+      e.timeSeries.userStreaks)
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

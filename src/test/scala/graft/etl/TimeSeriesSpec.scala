@@ -573,6 +573,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Double]("mae7_cents") === 1.0 / 7.0)
   }
 
+  test("userStreaks: consecutive days group into streaks, gaps split, " +
+      "multiple events per day count once") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: Jan 1-3 (streak 3, day 2 twice), Jan 5 (streak 1)
+      (1L, "1995-01-01 10:00:00"), (1L, "1995-01-02 08:00:00"),
+      (1L, "1995-01-02 22:00:00"), (1L, "1995-01-03 01:00:00"),
+      (1L, "1995-01-05 12:00:00"),
+      // user 2: a single day
+      (2L, "1995-02-01 00:00:00"))
+      .toDF("user_id", "ts_s")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val r = TimeSeries.userStreaks(ev).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_active_days"), x.getAs[Long]("n_streaks"),
+          x.getAs[Long]("longest_streak"))).toMap
+    assert(r === Map(1L -> ((4L, 2L, 3L)), 2L -> ((1L, 1L, 1L))))
+  }
+
   test("decomposeDaily: hand-computed trend/seasonal/remainder on a " +
       "two-week linear ramp; seasonal effects sum to zero") {
     import spark.implicits._
