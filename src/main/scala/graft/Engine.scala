@@ -324,6 +324,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def wilson: DataFrame = Experiment.wilsonAb(Tables.events(spark, dataDir))
     def mannWhitney: DataFrame =
       Experiment.mannWhitney(Tables.events(spark, dataDir))
+    def cuped: DataFrame = Experiment.cuped(Tables.events(spark, dataDir))
   }
 
   /** Co-purchase graph analytics — see [[graft.ext.Graph]]. */

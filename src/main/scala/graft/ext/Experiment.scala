@@ -116,16 +116,180 @@ object Experiment {
         col("s.z").as("z"))
   }
 
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et al.
+    * 2013): variance-reduced A/B readout. The event calendar is split at
+    * its midpoint day; each user's PRE-period spend becomes the covariate
+    * X and the EXPERIMENT-period spend the metric Y, and the adjusted
+    * metric `Y − θ·(X − X̄)` with `θ = cov(X,Y)/var(X)` removes the
+    * between-user variance X explains. θ is pooled across both arms
+    * (assignment is independent of pre-period behavior, the standard
+    * CUPED estimator).
+    *
+    * == Determinism contract ==
+    * Per-user X/Y are exact cent sums; n·Σxy − Σx·Σy and the two
+    * variance analogues are exact DECIMAL(38,0) integers (DuckDB
+    * HUGEINT on the twin). Each emitted double is a fixed tree of
+    * correctly-rounded casts and one division per ratio, mirrored
+    * operand-for-operand in the twin. Zero-variance degenerate inputs
+    * pin θ and ρ² to 0 via the same CASE on both sides (IEEE ÷0 would
+    * otherwise diverge engines).
+    *
+    * == Scale shape ==
+    * One bounds aggregate (2 longs, broadcast), one per-user fact
+    * aggregate, then a user-level aggregate with map-side partials —
+    * three shuffles total, none keyed on anything skewable (user_id is
+    * the natural even key). The per-variant and pooled moments ride the
+    * SAME aggregate via conditional sums, so no second pass over users.
+    */
+  def cuped(ev: DataFrame): DataFrame = {
+    val withDay = ev.select(
+      col("user_id"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val bounds = withDay.agg(
+      min("day").as("min_day"), max("day").as("max_day"))
+      .withColumn("split_day", expr("(min_day + max_day) div 2"))
+    val perUser = withDay.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("day") <= col("split_day"), col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("day") > col("split_day"), col("cents"))
+          .otherwise(0L)).as("y"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = perUser.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 0, dec(col("x")))
+        .otherwise(dec(lit(0L)))).as("sx0"),
+      sum(when(col("variant") === 0, dec(col("y")))
+        .otherwise(dec(lit(0L)))).as("sy0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 1, dec(col("x")))
+        .otherwise(dec(lit(0L)))).as("sx1"),
+      sum(when(col("variant") === 1, dec(col("y")))
+        .otherwise(dec(lit(0L)))).as("sy1"))
+    val d = (c: Column) => c.cast("double")
+    val moments = m
+      .withColumn("cov_n", d(dec(col("n")) * col("sxy") -
+        col("sx") * col("sy")))
+      .withColumn("varx_n", d(dec(col("n")) * col("sxx") -
+        col("sx") * col("sx")))
+      .withColumn("vary_n", d(dec(col("n")) * col("syy") -
+        col("sy") * col("sy")))
+      .withColumn("theta",
+        when(col("varx_n") === 0.0, lit(0.0))
+          .otherwise(col("cov_n") / col("varx_n")))
+      .withColumn("rho2",
+        when(col("varx_n") === 0.0 || col("vary_n") === 0.0, lit(0.0))
+          .otherwise((col("cov_n") * col("cov_n")) /
+            (col("varx_n") * col("vary_n"))))
+      .withColumn("mean_x_all", d(col("sx")) / d(col("n")))
+    moments.select(explode(array(
+        struct(lit(0L).as("variant"), col("n0").as("n_users"),
+          col("sx0").as("sx_v"), col("sy0").as("sy_v"),
+          col("theta"), col("rho2"), col("mean_x_all")),
+        struct(lit(1L).as("variant"), col("n1").as("n_users"),
+          col("sx1").as("sx_v"), col("sy1").as("sy_v"),
+          col("theta"), col("rho2"), col("mean_x_all")))).as("s"))
+      .select(col("s.variant").as("variant"),
+        col("s.n_users").as("n_users"),
+        (d(col("s.sx_v")) / d(col("s.n_users"))).as("mean_x"),
+        (d(col("s.sy_v")) / d(col("s.n_users"))).as("mean_y"),
+        col("s.theta").as("theta"), col("s.rho2").as("rho2"),
+        (d(col("s.sy_v")) / d(col("s.n_users")) - col("s.theta") *
+          (d(col("s.sx_v")) / d(col("s.n_users")) - col("s.mean_x_all")))
+          .as("mean_y_adj"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab_test_wilson" -> ((s, d) => wilsonAb(Tables.events(s, d))),
     "ab_test_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
+    "exp_cuped" -> ((s, d) => cuped(Tables.events(s, d))),
   )
 
   /** DuckDB twin — intermediate CTE columns pin the operand order to
     * exactly this code's, so every IEEE op rounds identically.
     */
   def oracleSql: Map[String, String] = Map(
+    "exp_cuped" ->
+      """WITH wd AS (
+        |  SELECT user_id,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |           AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT min(day) AS min_day, max(day) AS max_day,
+        |         (min(day) + max(day)) // 2 AS split_day
+        |  FROM wd),
+        |pu AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |         CAST(sum(CASE WHEN day <= split_day THEN cents
+        |                       ELSE 0 END) AS BIGINT) AS x,
+        |         CAST(sum(CASE WHEN day > split_day THEN cents
+        |                       ELSE 0 END) AS BIGINT) AS y
+        |  FROM wd CROSS JOIN b
+        |  GROUP BY user_id),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx,
+        |         sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+        |         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n0,
+        |         sum(CASE WHEN variant = 0 THEN CAST(x AS HUGEINT)
+        |                  ELSE 0 END) AS sx0,
+        |         sum(CASE WHEN variant = 0 THEN CAST(y AS HUGEINT)
+        |                  ELSE 0 END) AS sy0,
+        |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n1,
+        |         sum(CASE WHEN variant = 1 THEN CAST(x AS HUGEINT)
+        |                  ELSE 0 END) AS sx1,
+        |         sum(CASE WHEN variant = 1 THEN CAST(y AS HUGEINT)
+        |                  ELSE 0 END) AS sy1
+        |  FROM pu),
+        |mo AS (
+        |  SELECT *,
+        |         CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |           AS cov_n,
+        |         CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |           AS varx_n,
+        |         CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)
+        |           AS vary_n,
+        |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_all
+        |  FROM m),
+        |mo2 AS (
+        |  SELECT *,
+        |         CASE WHEN varx_n = 0.0 THEN 0.0
+        |              ELSE cov_n / varx_n END AS theta,
+        |         CASE WHEN varx_n = 0.0 OR vary_n = 0.0 THEN 0.0
+        |              ELSE (cov_n * cov_n) / (varx_n * vary_n) END AS rho2
+        |  FROM mo),
+        |v AS (
+        |  SELECT CAST(0 AS BIGINT) AS variant, n0 AS n_users,
+        |         sx0 AS sx_v, sy0 AS sy_v, theta, rho2, mean_x_all
+        |  FROM mo2
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), n1, sx1, sy1, theta, rho2, mean_x_all
+        |  FROM mo2)
+        |SELECT variant, n_users,
+        |       CAST(sx_v AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_x,
+        |       CAST(sy_v AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+        |       theta, rho2,
+        |       CAST(sy_v AS DOUBLE) / CAST(n_users AS DOUBLE) - theta *
+        |         (CAST(sx_v AS DOUBLE) / CAST(n_users AS DOUBLE) -
+        |          mean_x_all) AS mean_y_adj
+        |FROM v""".stripMargin,
     "ab_test_mann_whitney" ->
       """WITH vl AS (
         |  SELECT CAST(round(value * 100) AS BIGINT) AS v,

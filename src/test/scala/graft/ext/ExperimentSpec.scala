@@ -69,4 +69,64 @@ class ExperimentSpec extends SparkSpec {
     assert(math.abs(r(0L)._5 - z0) < 1e-12)
     assert(math.abs(r(0L)._5 + r(1L)._5) < 1e-15) // antisymmetric
   }
+
+  private def cupedEvents(rows: (Long, Long, String, Double)*) =
+    rows.zipWithIndex.map { case ((uid, _, day, v), i) =>
+      (i.toLong, uid, "view", v, "{}", ts(s"$day 00:00:00")) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+
+  test("cuped: hand-computed theta, rho2, and adjusted means") {
+    // calendar 2024-01-01..04 -> split after Jan 2 (midpoint floor)
+    // pooled x = [100,200,300,400] cents, y = [200,450,500,800]
+    // cov_n = 4*580000 - 1000*1950 = 370000; varx_n = 200000
+    // theta = 1.85; rho2 = 370000^2 / (200000*727500)
+    val ev = cupedEvents(
+      (0L, 0L, "2024-01-01", 1.00), (0L, 0L, "2024-01-03", 2.00),
+      (2L, 0L, "2024-01-02", 3.00), (2L, 0L, "2024-01-04", 5.00),
+      (1L, 1L, "2024-01-01", 2.00), (1L, 1L, "2024-01-03", 4.50),
+      (3L, 1L, "2024-01-02", 4.00), (3L, 1L, "2024-01-04", 8.00))
+    val r = Experiment.cuped(ev)
+      .select("variant", "n_users", "mean_x", "mean_y", "theta", "rho2",
+        "mean_y_adj")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(r.map(x => (x._1, x._2, x._3, x._4)).toSeq ===
+      Seq((0L, 2L, 200.0, 350.0), (1L, 2L, 300.0, 625.0)))
+    assert(math.abs(r(0)._5 - 1.85) < 1e-12)
+    assert(math.abs(r(0)._6 - 370000.0 * 370000.0 /
+      (200000.0 * 727500.0)) < 1e-12)
+    // adj = mean_y - theta * (mean_x - 250)
+    assert(math.abs(r(0)._7 - 442.5) < 1e-12)
+    assert(math.abs(r(1)._7 - 532.5) < 1e-12)
+    // the covariate explains most of the gap: |adj diff| < |raw diff|
+    assert(math.abs(r(1)._7 - r(0)._7) < math.abs(r(1)._4 - r(0)._4))
+  }
+
+  test("cuped: perfectly linear Y = 2X equalizes arms and pins rho2 = 1") {
+    val ev = cupedEvents(
+      (0L, 0L, "2024-01-01", 1.00), (0L, 0L, "2024-01-03", 2.00),
+      (2L, 0L, "2024-01-02", 3.00), (2L, 0L, "2024-01-04", 6.00),
+      (1L, 1L, "2024-01-01", 2.00), (1L, 1L, "2024-01-03", 4.00),
+      (3L, 1L, "2024-01-02", 4.00), (3L, 1L, "2024-01-04", 8.00))
+    val r = Experiment.cuped(ev)
+      .select("variant", "theta", "rho2", "mean_y_adj")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(math.abs(r(0)._2 - 2.0) < 1e-12)
+    assert(math.abs(r(0)._3 - 1.0) < 1e-12)
+    assert(math.abs(r(0)._4 - r(1)._4) < 1e-9) // arms agree post-adjust
+  }
+
+  test("cuped: zero pre-period variance pins theta and rho2 to 0") {
+    // every user has x = 100 cents -> varx_n = 0; adjusted mean = raw mean
+    val ev = cupedEvents(
+      (0L, 0L, "2024-01-01", 1.00), (0L, 0L, "2024-01-03", 2.00),
+      (1L, 1L, "2024-01-01", 1.00), (1L, 1L, "2024-01-03", 5.00))
+    val r = Experiment.cuped(ev)
+      .select("variant", "theta", "rho2", "mean_y", "mean_y_adj")
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    r.foreach { x =>
+      assert(x._2 === 0.0 && x._3 === 0.0)
+      assert(x._4 === x._5)
+    }
+  }
 }
