@@ -517,6 +517,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def videoShots(deltaThreshold: Long = Multimodal.ShotDeltaThreshold)
         : DataFrame =
       Multimodal.videoShots(docs, deltaThreshold = deltaThreshold)
+    def videoNearDupPairs(maxMismatch: Int = 1): DataFrame =
+      Multimodal.videoNearDupPairs(docs, maxMismatch = maxMismatch)
+    def videoClusters(maxMismatch: Int = 1): DataFrame =
+      Multimodal.videoClusters(docs, maxMismatch = maxMismatch)
     def blankFilter(varThreshold: Double = Multimodal.BlankVarThreshold)
         : DataFrame = {
       import spark.implicits._

@@ -906,6 +906,87 @@ object Multimodal {
         count(lit(1)).as("n_frames"), sum("fsum").as("sum_bytes"))
   }
 
+  /** NEAR-DUP VIDEO PAIRS by shot-signature collisions — the video analog
+    * of [[audioNearDupPairs]], completing the copy-detection chain for
+    * the third modality: a video's ordered shot table
+    * (`shot_id → (n_frames, sum_bytes)` from [[videoShots]]) IS its
+    * signature, candidates collide on one EXACT shot word, and survivors
+    * verify the number of mismatched shots over the aligned shot
+    * streams.
+    *
+    * Same two contracts as the audio side:
+    *   - over-common shot words (test patterns, black frames) are df-capped
+    *     out of CANDIDATE GENERATION at `maxBucket` — bucket fan-out stays
+    *     bounded under any skew; verify is unaffected;
+    *   - pairs align EXACTLY: matched-shot count must equal BOTH videos'
+    *     shot counts, so different shot structures never pair.
+    *
+    * The pigeonhole makes banding exhaustive: two aligned videos with
+    * ≤ `maxMismatch` differing shots and more than `maxMismatch` shots
+    * total share at least one identical shot word, so recall through
+    * uncapped buckets is lossless — the [[phashNearDupPairs]] argument
+    * with shots in place of hash bytes.
+    *
+    * Scale shape: signatures are n_shots rows/video and checkpointed once
+    * (consumed by cap, self-join, and verify); the self-join is keyed by
+    * the (shot_id, n_frames, sum_bytes) word with the over-cap anti-join
+    * bounding buckets; verify is one partial-merging aggregate over
+    * matched shots.
+    */
+  def videoNearDupPairs(docs: DataFrame, frameBytes: Int = 16,
+      stride: Int = 4, deltaThreshold: Long = ShotDeltaThreshold,
+      maxMismatch: Int = 1, maxBucket: Int = 64): DataFrame = {
+    val sig = graft.CheckpointLease.track(
+      videoShots(docs, frameBytes, stride, deltaThreshold)
+        .select("doc_id", "shot_id", "n_frames", "sum_bytes")
+        .localCheckpoint())
+    val word = Seq("shot_id", "n_frames", "sum_bytes")
+    val hot = sig.groupBy(word.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+      .select(word.map(col): _*)
+    val cand = sig.join(broadcast(hot), word, "left_anti")
+    val pairs = cand.as("a")
+      .join(cand.as("b"),
+        col("a.shot_id") === col("b.shot_id") &&
+          col("a.n_frames") === col("b.n_frames") &&
+          col("a.sum_bytes") === col("b.sum_bytes") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val nShots = sig.groupBy("doc_id").agg(count(lit(1)).as("n_shots"))
+    pairs
+      .join(sig.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(sig.as("fb"),
+        col("doc_b") === col("fb.doc_id") &&
+          col("fa.shot_id") === col("fb.shot_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("matched"),
+        sum(when(col("fa.n_frames") === col("fb.n_frames") &&
+          col("fa.sum_bytes") === col("fb.sum_bytes"), 1L).otherwise(0L))
+          .as("equal_shots"))
+      .join(nShots.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(nShots.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .filter(col("matched") === col("na.n_shots") &&
+        col("matched") === col("nb.n_shots") &&
+        col("matched") - col("equal_shots") <= maxMismatch)
+      .select(col("doc_a"), col("doc_b"), col("na.n_shots").as("n_shots"),
+        (col("matched") - col("equal_shots")).as("mismatched"))
+  }
+
+  /** Near-dup VIDEO CLUSTERS: connected components over the shot-collision
+    * pair graph — the video-side [[phashClusters]]/[[audioClusters]].
+    * Same domain convention: only videos with at least one near-dup
+    * partner appear, labeled by the minimum reachable doc_id.
+    */
+  def videoClusters(docs: DataFrame, frameBytes: Int = 16, stride: Int = 4,
+      deltaThreshold: Long = ShotDeltaThreshold, maxMismatch: Int = 1,
+      maxBucket: Int = 64): DataFrame =
+    Components.connectedComponents(
+        videoNearDupPairs(docs, frameBytes, stride, deltaThreshold,
+          maxMismatch, maxBucket))
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+
   /** Typed entry points over the testdata documents table. */
   private def assetDs(s: SparkSession, d: String): Dataset[Asset] = {
     import s.implicits._
@@ -959,6 +1040,10 @@ object Multimodal {
     "mm_audio_vad" -> ((s, d) =>
       audioVadSegments(encodeWav(assetDs(s, d)))),
     "mm_video_shots" -> ((s, d) => videoShots(Tables.documents(s, d))),
+    "mm_dedup_video" -> ((s, d) =>
+      videoNearDupPairs(Tables.documents(s, d))),
+    "mm_video_clusters" -> ((s, d) =>
+      videoClusters(Tables.documents(s, d))),
     "mm_blank_filter" -> ((s, d) =>
       imageMoments(encodePng(assetDs(s, d))).toDF()),
     // real decode -> perceptual fingerprint (aHash), oracle-predicted
@@ -1168,6 +1253,83 @@ object Multimodal {
       |  WHERE h.matched = na.n_words AND h.matched = nb.n_words
       |    AND h.hamming <= 6)""".stripMargin
 
+  /** Shared shot-table CTE chain for the video twins — ends in `vshots`
+    * (one row per (doc_id, shot_id) with frame span and exact totals),
+    * mirroring [[videoShots]] step for step.
+    */
+  private def duckVideoShotCtes: String =
+    s"""idx AS (
+       |  SELECT doc_id, text,
+       |         unnest(range(0, greatest(
+       |           CAST(trunc((octet_length(encode(text)) - 16) / 64.0)
+       |                AS BIGINT), 0) + 1)) AS frame_idx
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |         CAST(list_sum([ascii(substring(text,
+       |                CAST(frame_idx * 64 + i AS INT), 1))
+       |              for i in range(1, 17)]) AS BIGINT) AS fsum
+       |  FROM idx
+       |  WHERE octet_length(encode(substring(text,
+       |          CAST(frame_idx * 64 + 1 AS INT), 16))) = 16),
+       |d AS (
+       |  SELECT *, lag(fsum) OVER (PARTITION BY doc_id
+       |                            ORDER BY frame_idx) AS prev
+       |  FROM fr),
+       |bnd AS (
+       |  SELECT doc_id, frame_idx, fsum,
+       |         CASE WHEN prev IS NULL
+       |                   OR abs(fsum - prev) > $ShotDeltaThreshold
+       |              THEN 1 ELSE 0 END AS boundary
+       |  FROM d),
+       |sh AS (
+       |  SELECT doc_id, frame_idx, fsum,
+       |         CAST(sum(boundary) OVER (PARTITION BY doc_id
+       |              ORDER BY frame_idx ROWS UNBOUNDED PRECEDING)
+       |           AS BIGINT) AS shot_id
+       |  FROM bnd),
+       |vshots AS MATERIALIZED (
+       |  SELECT doc_id, shot_id, min(frame_idx) AS start_frame,
+       |         max(frame_idx) AS end_frame, count(*) AS n_frames,
+       |         CAST(sum(fsum) AS BIGINT) AS sum_bytes
+       |  FROM sh GROUP BY 1, 2)""".stripMargin
+
+  /** Shared video near-dup pair CTEs over [[duckVideoShotCtes]]'s
+    * `vshots` — ends in `vverified`, mirroring [[videoNearDupPairs]]
+    * (df cap 64, aligned verify, mismatch ≤ 1).
+    */
+  private def duckVideoPairCtes: String =
+    """vcnt AS (
+      |  SELECT shot_id, n_frames, sum_bytes, count(*) AS n_docs
+      |  FROM vshots GROUP BY 1, 2, 3),
+      |vcand AS MATERIALIZED (
+      |  SELECT v.doc_id, v.shot_id, v.n_frames, v.sum_bytes
+      |  FROM vshots v JOIN vcnt c ON v.shot_id = c.shot_id
+      |   AND v.n_frames = c.n_frames AND v.sum_bytes = c.sum_bytes
+      |  WHERE c.n_docs <= 64),
+      |vprs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM vcand a JOIN vcand b ON a.shot_id = b.shot_id
+      |   AND a.n_frames = b.n_frames AND a.sum_bytes = b.sum_bytes
+      |   AND a.doc_id < b.doc_id),
+      |vns AS (SELECT doc_id, count(*) AS n_shots FROM vshots GROUP BY 1),
+      |vm AS (
+      |  SELECT p.doc_a, p.doc_b, count(*) AS matched,
+      |         CAST(sum(CASE WHEN fa.n_frames = fb.n_frames
+      |                        AND fa.sum_bytes = fb.sum_bytes
+      |                   THEN 1 ELSE 0 END) AS BIGINT) AS equal_shots
+      |  FROM vprs p
+      |  JOIN vshots fa ON fa.doc_id = p.doc_a
+      |  JOIN vshots fb ON fb.doc_id = p.doc_b AND fb.shot_id = fa.shot_id
+      |  GROUP BY 1, 2),
+      |vverified AS MATERIALIZED (
+      |  SELECT m.doc_a, m.doc_b, na.n_shots AS n_shots,
+      |         m.matched - m.equal_shots AS mismatched
+      |  FROM vm m JOIN vns na ON na.doc_id = m.doc_a
+      |            JOIN vns nb ON nb.doc_id = m.doc_b
+      |  WHERE m.matched = na.n_shots AND m.matched = nb.n_shots
+      |    AND m.matched - m.equal_shots <= 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "mm_phash" -> duckPhashSql,
     "mm_dedup_phash" ->
@@ -1330,40 +1492,28 @@ object Multimodal {
          |       var_px < $BlankVarThreshold AS is_blank
          |FROM v""".stripMargin,
     "mm_video_shots" ->
-      s"""WITH idx AS (
-         |  SELECT doc_id, text,
-         |         unnest(range(0, greatest(
-         |           CAST(trunc((octet_length(encode(text)) - 16) / 64.0)
-         |                AS BIGINT), 0) + 1)) AS frame_idx
-         |  FROM documents),
-         |fr AS (
-         |  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-         |         CAST(list_sum([ascii(substring(text,
-         |                CAST(frame_idx * 64 + i AS INT), 1))
-         |              for i in range(1, 17)]) AS BIGINT) AS fsum
-         |  FROM idx
-         |  WHERE octet_length(encode(substring(text,
-         |          CAST(frame_idx * 64 + 1 AS INT), 16))) = 16),
-         |d AS (
-         |  SELECT *, lag(fsum) OVER (PARTITION BY doc_id
-         |                            ORDER BY frame_idx) AS prev
-         |  FROM fr),
-         |b AS (
-         |  SELECT doc_id, frame_idx, fsum,
-         |         CASE WHEN prev IS NULL
-         |                   OR abs(fsum - prev) > $ShotDeltaThreshold
-         |              THEN 1 ELSE 0 END AS boundary
-         |  FROM d),
-         |sh AS (
-         |  SELECT doc_id, frame_idx, fsum,
-         |         CAST(sum(boundary) OVER (PARTITION BY doc_id
-         |              ORDER BY frame_idx ROWS UNBOUNDED PRECEDING)
-         |           AS BIGINT) AS shot_id
-         |  FROM b)
-         |SELECT doc_id, shot_id, min(frame_idx) AS start_frame,
-         |       max(frame_idx) AS end_frame, count(*) AS n_frames,
-         |       CAST(sum(fsum) AS BIGINT) AS sum_bytes
-         |FROM sh GROUP BY 1, 2""".stripMargin,
+      s"""WITH $duckVideoShotCtes
+         |SELECT doc_id, shot_id, start_frame, end_frame, n_frames,
+         |       sum_bytes
+         |FROM vshots""".stripMargin,
+    "mm_dedup_video" ->
+      s"""WITH $duckVideoShotCtes,
+         |$duckVideoPairCtes
+         |SELECT doc_a, doc_b, n_shots, mismatched
+         |FROM vverified""".stripMargin,
+    "mm_video_clusters" ->
+      s"""WITH RECURSIVE $duckVideoShotCtes,
+         |$duckVideoPairCtes,
+         |vund AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM vverified
+         |  UNION SELECT doc_b, doc_a FROM vverified),
+         |vreach AS (
+         |  SELECT u AS node, u AS r FROM vund
+         |  UNION
+         |  SELECT vund.u AS node, vreach.r
+         |  FROM vund JOIN vreach ON vund.v = vreach.node)
+         |SELECT node AS doc_id, min(r) AS cluster_id
+         |FROM vreach GROUP BY 1""".stripMargin,
     "mm_ahash" -> duckAhashSql,
     "mm_dedup_ahash" ->
       s"""WITH ah AS (

@@ -286,6 +286,47 @@ class MultimodalSpec extends SparkSpec {
     assert(flat.length === 1 && flat.head.getAs[Long]("n_frames") === 7L)
   }
 
+  test("videoNearDupPairs: identical videos collapse at mismatch 0, one " +
+      "changed shot survives at mismatch 1, different shot counts and " +
+      "fully distinct shot tables separate") {
+    val twoShot = "a" * 192 + "z" * 224       // shots a³ | z⁴
+    val d = docs(
+      1L -> twoShot,
+      2L -> twoShot,                           // exact re-upload of 1
+      3L -> ("a" * 192 + "y" * 224),           // same cut, 2nd shot differs
+      4L -> ("a" * 416),                       // one shot: never aligns
+      5L -> ("b" * 192 + "x" * 224))           // 2 shots, no word collision
+    val pairs = Multimodal.videoNearDupPairs(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_shots"), r.getAs[Long]("mismatched"))).toMap
+    assert(pairs === Map(
+      (1L, 2L) -> ((2L, 0L)),
+      (1L, 3L) -> ((2L, 1L)),
+      (2L, 3L) -> ((2L, 1L))))
+  }
+
+  test("videoNearDupPairs: over-common shot words are df-capped out of " +
+      "candidate generation") {
+    val twoShot = "a" * 192 + "z" * 224
+    val d = docs(11L -> twoShot, 12L -> twoShot, 13L -> twoShot,
+      14L -> twoShot)
+    assert(Multimodal.videoNearDupPairs(d, maxBucket = 2).count() === 0L)
+    assert(Multimodal.videoNearDupPairs(d).count() === 6L)
+  }
+
+  test("videoClusters: near-dup components merge to the min doc_id; " +
+      "non-dups stay out of the domain") {
+    val d = docs(
+      1L -> ("a" * 192 + "z" * 224),
+      2L -> ("a" * 192 + "z" * 224),
+      3L -> ("a" * 192 + "y" * 224),           // linked to 1,2 via shot 1
+      4L -> ("a" * 416))                       // no partner -> absent
+    val cl = Multimodal.videoClusters(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("imageMoments: exact pixel moments with zero-padding, constant " +
       "raster flags blank, content does not") {
     val ds = Multimodal.assets(docs(
