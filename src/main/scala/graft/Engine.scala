@@ -347,6 +347,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def personalizedPagerank(iterations: Int = 3,
         seedCount: Int = Graph.PprSeedCount): DataFrame =
       Graph.personalizedPagerank(edges, iterations, seedCount)
+    def bfs(seedCount: Int = Graph.PprSeedCount,
+        rounds: Int = Graph.BfsRounds): DataFrame =
+      Graph.bfsDistances(edges, seedCount, rounds)
   }
 
   /** Exact-arithmetic statistics — see [[graft.ext.Stats]]. */

@@ -181,6 +181,54 @@ object Graph {
         coalesce(col("seed_flag"), lit(0L)).as("is_seed"))
   }
 
+  val BfsRounds = 4
+
+  /** MULTI-SOURCE BFS DISTANCES — unweighted shortest hop count from
+    * the `seedCount` highest-degree nodes (the [[personalizedPagerank]]
+    * seed anchor: ties to the smallest node id), capped at `rounds`
+    * hops. The graph-feature companion to PPR: PPR measures walk
+    * proximity, BFS measures exact hop distance — "how many links from
+    * the catalog core is this part?" — and distance-to-seed-set is a
+    * standard graph feature for curation and anomaly screens.
+    *
+    * == Scale shape ==
+    * Level-synchronous frontier BFS: each round joins the edge list
+    * with the CURRENT FRONTIER only (not the full visited set), then
+    * anti-joins visited to keep first-reach rows — both joins broadcast
+    * under [[NodeBroadcastMaxRows]] so the checkpointed edge list is
+    * scanned in place. The visited set grows monotonically and is
+    * checkpointed per round (≤ n rows). All-integer distances; the
+    * recursive-CTE twin's `min(dist)` over ≤`rounds`-hop reach rows is
+    * the same first-reach semantics.
+    */
+  def bfsDistances(edgesIn: DataFrame, seedCount: Int = PprSeedCount,
+      rounds: Int = BfsRounds): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val n = deg.count()
+    require(n > 0, "bfsDistances: empty graph")
+    def gate(df: DataFrame) =
+      if (n <= NodeBroadcastMaxRows) broadcast(df) else df
+    var dist = graft.CheckpointLease.track(
+      deg.orderBy(col("outdeg").desc, col("node")).limit(seedCount)
+        .select(col("node"), lit(0L).as("dist"))
+        .localCheckpoint())
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val cand = edges
+        .join(gate(frontier.select(col("node").as("src"))), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      frontier = graft.CheckpointLease.track(
+        cand.join(gate(dist), Seq("node"), "left_anti")
+          .select(col("node"), lit(r.toLong).as("dist"))
+          .localCheckpoint(false))
+      dist = graft.CheckpointLease.track(
+        dist.union(frontier).localCheckpoint(false))
+    }
+    dist.select(col("node").as("part_node"), col("dist"))
+  }
+
   val LpaRounds = 4
 
   /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) — community
@@ -815,6 +863,8 @@ object Graph {
     "graph_ppr" -> ((s, d) =>
       personalizedPagerank(coPurchaseEdges(Tables.lineitem(s, d)),
         iterations = 3)),
+    "graph_bfs" -> ((s, d) =>
+      bfsDistances(coPurchaseEdges(Tables.lineitem(s, d)))),
   )
 
   /** Unrolled personalized-PageRank twin: same 3 fixed-point
@@ -952,6 +1002,24 @@ object Graph {
     */
   def oracleSql: Map[String, String] = Map(
     "graph_ppr" -> duckPprSql(),
+    "graph_bfs" ->
+      s"""WITH RECURSIVE li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         |deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+         |sd AS MATERIALIZED (
+         |  SELECT node FROM deg ORDER BY outdeg DESC, node
+         |  LIMIT $PprSeedCount),
+         |bfs AS (
+         |  SELECT node, 0 AS dist FROM sd
+         |  UNION
+         |  SELECT e.dst AS node, b.dist + 1 AS dist
+         |  FROM bfs b JOIN e ON e.src = b.node
+         |  WHERE b.dist < $BfsRounds)
+         |SELECT node AS part_node, CAST(min(dist) AS BIGINT) AS dist
+         |FROM bfs GROUP BY 1""".stripMargin,
     "graph_assortativity" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -326,4 +326,34 @@ class GraphSpec extends SparkSpec {
     graft.CheckpointLease.releaseAll()
     assert(a === b)
   }
+  test("bfsDistances: hand-computed hops on a chain from the min-tie " +
+      "top-degree seed; rounds cap the reach") {
+    // chain 1-2-3-4-5-6: interior degrees 2 (tie -> seed = node 2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("src", "dst")
+    val got = Graph.bfsDistances(edges, seedCount = 1, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CheckpointLease.releaseAll()
+    assert(got === Map(2L -> 0L, 1L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      6L -> 4L))
+    val capped = Graph.bfsDistances(edges, seedCount = 1, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CheckpointLease.releaseAll()
+    assert(capped === Map(2L -> 0L, 1L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfsDistances: multi-source takes the nearer seed; disconnected " +
+      "components stay out of the domain") {
+    // square 1-2-3-4 plus pendant 7 on node 1; isolated pair 5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 7L),
+        (5L, 6L))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("src", "dst")
+    // degrees: 1 -> 3, others 2 or 1; seeds (k=2) = {1, 2} (tie at 2
+    // broken by id)
+    val got = Graph.bfsDistances(edges, seedCount = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CheckpointLease.releaseAll()
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 7L -> 1L))
+    assert(!got.contains(5L) && !got.contains(6L))
+  }
 }
