@@ -130,6 +130,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def search(k: Int = 20): DataFrame = TextAnalysis.bm25TopK(docs, k)
     def vocabCoverage: DataFrame = TextAnalysis.vocabCoverage(docs)
     def evalLangId: DataFrame = TextAnalysis.evalLangId(docs)
+    def evalAucRoc(bins: Int = 10): DataFrame =
+      TextAnalysis.evalAucRoc(docs, bins)
     def readability: DataFrame = TextAnalysis.readability(docs)
     def compressRatio: DataFrame = TextAnalysis.compressRatio(docs)
     def winnow(n: Int = TextAnalysis.WinnowGram,

@@ -279,6 +279,62 @@ object TextAnalysis {
         (col("n").cast("double") / col("pred_total")).as("share_of_pred"))
   }
 
+  /** EXACT AUC + ROC DECILE CURVE — the threshold-free companion to
+    * [[evalLangId]]'s confusion matrix: scores a binary "classifier"
+    * (here: does document length predict `lang = 'en'`?) by the exact
+    * Mann–Whitney/midrank AUC plus a 10-bin ROC table (cumulative
+    * TP/FP scanning scores descending, one IEEE division per rate).
+    *
+    * Everything through the AUC numerator is EXACT: scores are already
+    * integers (`n_chars`), midranks double to integers at the
+    * distinct-value level (`2·below + t + 1`, the [[Experiment]]
+    * rank-sum device), and
+    * `AUC = (R⁺₂ₓ − n⁺(n⁺+1)) / (2·n⁺·n⁻)` is one integer numerator
+    * over one correctly-rounded product — ties handled exactly, no
+    * trapezoid approximation.
+    *
+    * Scale shape: one fact aggregate to the DISTINCT-SCORE level; the
+    * cumulative/ntile windows ride the VALUE-LEVEL table, bounded by
+    * the score domain (document lengths), not the corpus — the
+    * [[Experiment.mannWhitney]] bounded-domain argument.
+    */
+  def evalAucRoc(docs: DataFrame, bins: Int = 10): DataFrame = {
+    val vl = docs
+      .select(col("n_chars").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("v")
+      .agg(sum("pos").as("pos_c"), count(lit(1)).as("t"))
+      .withColumn("neg_c", col("t") - col("pos_c"))
+    val wAsc = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = vl
+      .withColumn("below", coalesce(sum("t").over(wAsc), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("below") + col("t") + 1L)
+      .agg(sum("pos_c").as("n_pos"), sum("neg_c").as("n_neg"),
+        sum(col("pos_c") * col("rank2")).as("rpos_2x"))
+    val wDesc = Window.orderBy(col("v").desc)
+    val cum = vl
+      .withColumn("cum_tp", sum("pos_c").over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_fp", sum("neg_c").over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin", ntile(bins).over(wDesc))
+    cum.groupBy("bin")
+      .agg(min("v").as("thresh"), max("cum_tp").as("tp"),
+        max("cum_fp").as("fp"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin").cast("long").as("bin"), col("thresh"),
+        col("tp"), col("fp"),
+        (col("tp").cast("double") / col("n_pos").cast("double"))
+          .as("tpr"),
+        (col("fp").cast("double") / col("n_neg").cast("double"))
+          .as("fpr"),
+        ((col("rpos_2x") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .cast("double") /
+          (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")))
+          .as("auc"))
+  }
+
   /** BM25 relevance scoring of the corpus against a query term set —
     * the standard full-text ranking function (Robertson/Spärck Jones;
     * parameters k1 = 1.2, b = 0.75). Emits one row per (doc, matched
@@ -676,6 +732,7 @@ object TextAnalysis {
     "search_bm25"       -> ((s, d) => bm25(Tables.documents(s, d))),
     "search_bm25_topk"  -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "eval_confusion"    -> ((s, d) => evalLangId(Tables.documents(s, d))),
+    "eval_auc_roc"      -> ((s, d) => evalAucRoc(Tables.documents(s, d))),
     "text_keywords"     -> ((s, d) => keywords(Tables.documents(s, d))),
     "text_repetition"   -> ((s, d) => repetition(Tables.documents(s, d))),
     "text_stats"        -> ((s, d) => stats(Tables.documents(s, d))),
@@ -868,6 +925,44 @@ object TextAnalysis {
         |           (CAST(tf.dl * s.n_docs AS DOUBLE) / s.total_len)))
         |         AS tf_norm
         |FROM tf JOIN df USING (term), s""".stripMargin,
+    "eval_auc_roc" ->
+      """WITH vl AS (
+        |  SELECT n_chars AS v,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS pos_c,
+        |         count(*) AS t
+        |  FROM documents GROUP BY 1),
+        |vl2 AS (SELECT *, t - pos_c AS neg_c FROM vl),
+        |rk AS (
+        |  SELECT *, coalesce(CAST(sum(t) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS below
+        |  FROM vl2),
+        |tot AS (
+        |  SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+        |         CAST(sum(neg_c) AS BIGINT) AS n_neg,
+        |         CAST(sum(pos_c * (2 * below + t + 1)) AS BIGINT)
+        |           AS rpos_2x
+        |  FROM rk),
+        |cm AS (
+        |  SELECT v, pos_c, neg_c,
+        |         CAST(sum(pos_c) OVER (ORDER BY v DESC
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tp,
+        |         CAST(sum(neg_c) OVER (ORDER BY v DESC
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_fp,
+        |         ntile(10) OVER (ORDER BY v DESC) AS bin
+        |  FROM vl2),
+        |g AS (
+        |  SELECT bin, min(v) AS thresh, max(cum_tp) AS tp,
+        |         max(cum_fp) AS fp
+        |  FROM cm GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, thresh, tp, fp,
+        |       CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS tpr,
+        |       CAST(fp AS DOUBLE) / CAST(n_neg AS DOUBLE) AS fpr,
+        |       CAST(rpos_2x - n_pos * (n_pos + 1) AS DOUBLE) /
+        |         (CAST(2.0 AS DOUBLE) * CAST(n_pos * n_neg AS DOUBLE))
+        |         AS auc
+        |FROM g CROSS JOIN tot""".stripMargin,
     "eval_confusion" ->
       """WITH c AS (
         |  SELECT lang AS declared_lang,

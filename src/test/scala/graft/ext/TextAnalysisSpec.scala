@@ -357,4 +357,32 @@ class TextAnalysisSpec extends SparkSpec {
       assert(keep === (raw >= 0L))
     }
   }
+  test("evalAucRoc: perfect separation pins AUC 1 with cumulative ROC " +
+      "bins; rates are exact count ratios") {
+    val d = docs(
+      (1L, "a" * 10, "en"), (2L, "b" * 20, "en"),
+      (3L, "x", "de"), (4L, "yz", "de"))
+    val r = TextAnalysis.evalAucRoc(d).collect()
+    r.foreach(x => assert(x.getAs[Double]("auc") === 1.0))
+    val byBin = r.map(x => x.getAs[Long]("bin") ->
+      ((x.getAs[Long]("thresh"), x.getAs[Long]("tp"),
+        x.getAs[Long]("fp")))).toMap
+    assert(byBin === Map(
+      1L -> ((20L, 1L, 0L)), 2L -> ((10L, 2L, 0L)),
+      3L -> ((2L, 2L, 1L)), 4L -> ((1L, 2L, 2L))))
+    val b2 = r.find(_.getAs[Long]("bin") == 2L).get
+    assert(b2.getAs[Double]("tpr") === 1.0 &&
+      b2.getAs[Double]("fpr") === 0.0)
+  }
+
+  test("evalAucRoc: fully tied scores midrank to AUC 0.5; inverted " +
+      "separation to AUC 0") {
+    val tied = docs((1L, "aaaaa", "en"), (2L, "bbbbb", "de"))
+    assert(TextAnalysis.evalAucRoc(tied).collect()
+      .head.getAs[Double]("auc") === 0.5)
+    val inv = docs((1L, "a", "en"), (2L, "bb", "en"),
+      (3L, "x" * 10, "de"), (4L, "y" * 20, "de"))
+    assert(TextAnalysis.evalAucRoc(inv).collect()
+      .head.getAs[Double]("auc") === 0.0)
+  }
 }
