@@ -396,6 +396,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def mad: DataFrame = Quality.madQuantity(Tables.lineitem(spark, dataDir))
     def referentialIntegrity: DataFrame =
       Quality.referentialIntegrity(spark, dataDir)
+    def freshness: DataFrame = Quality.freshnessAudit(spark, dataDir)
   }
 
   object streaming {

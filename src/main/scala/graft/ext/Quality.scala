@@ -307,12 +307,70 @@ object Quality {
         s"$ft.$fk->$dt.$pk")
     }.reduce(_ unionAll _)
 
+  /** Monitored (table, event-time column, SLA days) triples for
+    * [[freshnessAudit]]. SLAs are contract constants of the registered
+    * query: transactional tables may trail the freshest feed by up to
+    * 30/45 days, the event stream by 7, before the audit flags them.
+    */
+  val FreshnessSlas: Seq[(String, String, Long)] = Seq(
+    ("orders", "o_orderdate", 30L),
+    ("lineitem", "l_shipdate", 45L),
+    ("events", "ts", 7L))
+
+  /** DATA-FRESHNESS / SLA AUDIT — the staleness half of a data-quality
+    * suite ([[referentialIntegrity]] checks integrity, this checks
+    * recency): one row per monitored table with its row count, max
+    * event date, lag behind the CORPUS REFERENCE DATE (the max across
+    * all monitored tables — no wall clock, so the audit is
+    * deterministic and replayable), the table's SLA, and the verdict.
+    *
+    * Scale shape: one count+max aggregate per table (partial-merging,
+    * no shuffle beyond the final single-row reduce), a metadata-sized
+    * union, and a broadcast single-row reference join. The audit's
+    * output is tables-sized, never data-sized.
+    */
+  def freshnessAuditOn(tables: Seq[(String, DataFrame, String)],
+      slas: Map[String, Long]): DataFrame = {
+    val per = tables.map { case (name, df, dateCol) =>
+      df.agg(count(lit(1)).as("n_rows"),
+          max(col(dateCol).cast("date")).as("max_d"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("max_d"))
+    }.reduce(_ unionAll _)
+    val ref = per.agg(max("max_d").as("ref_d"))
+    val slaCol = slas.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (name, days)) =>
+        when(col("table_name") === name, lit(days)).otherwise(acc)
+      }
+    per.crossJoin(broadcast(ref))
+      .withColumn("lag_days",
+        datediff(col("ref_d"), col("max_d")).cast("long"))
+      .withColumn("sla_days", slaCol)
+      .select(col("table_name"), col("n_rows"),
+        date_format(col("max_d"), "yyyy-MM-dd").as("max_date"),
+        col("lag_days"), col("sla_days"),
+        (col("lag_days") > col("sla_days")).as("is_stale"))
+  }
+
+  /** [[freshnessAuditOn]] over the [[FreshnessSlas]] contract tables.
+    * `events` goes through [[Tables.events]] (ts normalization), the
+    * rest through the generic loader.
+    */
+  def freshnessAudit(s: SparkSession, d: String): DataFrame =
+    freshnessAuditOn(
+      FreshnessSlas.map { case (t, c, _) =>
+        val df = if (t == "events") Tables.events(s, d)
+          else Tables.load(s, d, t)
+        (t, df, c)
+      },
+      FreshnessSlas.map { case (t, _, sla) => t -> sla }.toMap)
+
   /** Driver-contract registration. Timestamps are pre-formatted to
     * strings and the double price to integer cents, so every profiled
     * column's min/max stringification is engine-identical.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_referential" -> (referentialIntegrity(_, _)),
+    "dq_freshness" -> (freshnessAudit(_, _)),
     "feature_zscore" -> ((s, d) => zscoreQuantity(Tables.lineitem(s, d))),
     "feature_binning" -> ((s, d) => decileBinning(Tables.lineitem(s, d))),
     "feature_cdf" -> ((s, d) => featureCdf(Tables.lineitem(s, d))),
@@ -339,6 +397,29 @@ object Quality {
     * [[FkEdges]] list — NOT EXISTS mirrors LEFT ANTI exactly (both
     * null-safe, keys here are non-null anyway).
     */
+  /** Freshness twin generated from the SAME [[FreshnessSlas]] contract
+    * list, so the monitored surface can never drift between engines.
+    */
+  private def duckFreshnessSql: String = {
+    val per = FreshnessSlas.map { case (t, c, _) =>
+      s"""SELECT '$t' AS table_name, count(*) AS n_rows,
+         |       max(CAST($c AS DATE)) AS max_d FROM $t""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val sla = FreshnessSlas.map { case (t, _, days) =>
+      s"WHEN '$t' THEN $days"
+    }.mkString(" ")
+    s"""WITH per AS (
+       |$per),
+       |ref AS (SELECT max(max_d) AS ref_d FROM per)
+       |SELECT table_name, n_rows, strftime(max_d, '%Y-%m-%d') AS max_date,
+       |       CAST(datediff('day', max_d, ref_d) AS BIGINT) AS lag_days,
+       |       CAST(CASE table_name $sla ELSE 0 END AS BIGINT) AS sla_days,
+       |       CAST(datediff('day', max_d, ref_d) AS BIGINT) >
+       |         CAST(CASE table_name $sla ELSE 0 END AS BIGINT)
+       |         AS is_stale
+       |FROM per CROSS JOIN ref""".stripMargin
+  }
+
   private def duckReferentialSql: String =
     FkEdges.map { case (ft, fk, dt, pk) =>
       s"""SELECT '$ft.$fk->$dt.$pk' AS fk_edge,
@@ -354,6 +435,7 @@ object Quality {
   /** DuckDB twin — same long-format stats per column. */
   def oracleSql: Map[String, String] = Map(
     "dq_referential" -> duckReferentialSql,
+    "dq_freshness" -> duckFreshnessSql,
     "feature_mad" ->
       """WITH b AS (
         |  SELECT l_returnflag,

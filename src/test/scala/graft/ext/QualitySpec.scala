@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class QualitySpec extends SparkSpec {
   import spark.implicits._
@@ -141,5 +142,20 @@ class QualitySpec extends SparkSpec {
       ("a", 2L, 1L, 4L, 4L, 2.0, 0.5),
       ("b", 1L, 1L, 4L, 4L, 2.0, 0.5),
       ("b", 2L, 3L, 4L, 4L, 2.0, 0.5)))
+  }
+  test("freshnessAuditOn: lag against the corpus reference date, SLA " +
+      "verdicts, exact counts") {
+    val a = Seq(("2024-01-08", 1), ("2024-01-10", 2))
+      .toDF("d", "x").select(col("d").cast("timestamp").as("d"), col("x"))
+    val b = Seq(("2024-01-01", 1))
+      .toDF("d", "x").select(col("d").cast("timestamp").as("d"), col("x"))
+    val r = Quality.freshnessAuditOn(
+        Seq(("a", a, "d"), ("b", b, "d")), Map("a" -> 1L, "b" -> 5L))
+      .select("table_name", "n_rows", "max_date", "lag_days", "sla_days",
+        "is_stale")
+      .as[(String, Long, String, Long, Long, Boolean)].collect().toSet
+    assert(r === Set(
+      ("a", 2L, "2024-01-10", 0L, 1L, false),
+      ("b", 1L, "2024-01-01", 9L, 5L, true)))
   }
 }
