@@ -147,6 +147,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def wordpiece(vocabSize: Int = Corpus.WordpieceVocab,
         maxPiece: Int = Corpus.WordpieceMaxPiece): DataFrame =
       Corpus.wordpieceReport(docs, vocabSize, maxPiece)
+    def unigram(vocabSize: Int = Corpus.UnigramVocab,
+        maxPiece: Int = Corpus.UnigramMaxPiece): DataFrame =
+      Corpus.unigramReport(docs, vocabSize, maxPiece)
     def lmDocScores(refSource: String = Corpus.LmRefSource): DataFrame =
       Corpus.lmDocScores(docs, refSource)
     def doremiMix(refSource: String = Corpus.LmRefSource): DataFrame =

@@ -774,6 +774,172 @@ object Corpus {
        |FROM wc JOIN sw USING (word)
        |GROUP BY 1""".stripMargin
 
+  /** Unigram vocab size (multi-char pieces kept besides the guaranteed
+    * single-char coverage set). Small enough that real words need
+    * multi-piece Viterbi paths, large enough that frequent stems land.
+    */
+  val UnigramVocab = 64
+
+  /** Longest candidate piece for [[unigramReport]]. */
+  val UnigramMaxPiece = 4
+
+  /** Words longer than this are dropped from the report — the
+    * [[WordpieceMaxWordLen]] skew guard, and the unroll bound of the
+    * twin's DP. */
+  val UnigramMaxWordLen = 16
+
+  /** Piece cost = [[UnigramCostScale]] div (weight + 1) — the integer
+    * surrogate for −log p (monotone in frequency, exactly replayable;
+    * a true −ln p twin would hit the libm-rounding exclusion the BM25
+    * scaladoc documents). */
+  val UnigramCostScale = 1000000000000L
+
+  /** UNIGRAM-LM (SentencePiece-style) VITERBI SEGMENTATION REPORT — the
+    * third tokenizer family next to [[bpeTrain]]'s merges and
+    * [[wordpieceReport]]'s greedy munch: each word takes the GLOBALLY
+    * cheapest segmentation under a per-piece cost table (Viterbi DP),
+    * not the locally longest prefix. Pieces are substrings of length
+    * 1..[[UnigramMaxPiece]] weighted by corpus tf; the vocabulary is
+    * the top-[[UnigramVocab]] by (weight DESC, piece) plus ALL single
+    * characters (coverage — the DP can never get stuck); piece cost is
+    * the integer surrogate above.
+    *
+    * The DP minimizes `Σ(cost·1024 + 1)` per piece — ONE additive
+    * shortest path whose integer encoding is lexicographic
+    * (total cost, then piece count) for paths under 1024 pieces, so
+    * min-cost ties resolve to fewest pieces deterministically, with no
+    * backtrack needed for the report's counts.
+    *
+    * == Scale shape ==
+    * Word counting is one keyed agg; candidates explode on the DISTINCT
+    * word domain; the vocab is a bounded driver artifact (V + charset
+    * costs — the collected-codebook class) interpolated into ONE narrow
+    * `aggregate` fold that runs the whole DP per word in ≤ len steps ×
+    * maxPiece probes; per-source totals ride the (source, word) counts.
+    *
+    * == Cross-engine determinism ==
+    * All integers until the final fertility ratio (identical IEEE
+    * division). The twin derives the SAME vocab in SQL and unrolls the
+    * DP over positions 1..[[UnigramMaxWordLen]] as chained CTEs
+    * (min-aggregation is not allowed in a recursive term — the
+    * [[wordpieceOracle]] device, applied per DP layer).
+    */
+  def unigramReport(docs: DataFrame,
+      vocabSize: Int = UnigramVocab,
+      maxPiece: Int = UnigramMaxPiece): DataFrame = {
+    val wc = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word").rlike("^[!-~]+$") &&
+        length(col("word")) <= UnigramMaxWordLen)
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    val words = wc.groupBy("word").agg(sum("cnt").as("tf"))
+    val cand = words.select(col("tf"), explode(expr(
+      s"""flatten(transform(sequence(1, $maxPiece), l ->
+         |  CASE WHEN length(word) >= l
+         |       THEN transform(sequence(1, length(word) - l + 1),
+         |                      i -> substr(word, i, l))
+         |       ELSE cast(array() AS array<string>) END))""".stripMargin))
+      .as("piece"))
+    val wts = cand.groupBy("piece").agg(sum("tf").as("wt"))
+    val vocab = wts.orderBy(col("wt").desc, col("piece")).limit(vocabSize)
+      .unionByName(wts.where(length(col("piece")) === 1))
+      .distinct()
+      .collect()
+      .map(r => r.getString(0) -> (UnigramCostScale / (r.getLong(1) + 1L)))
+    require(vocab.nonEmpty, "unigramReport: empty candidate vocab")
+    val mapLit = vocab.sortBy(_._1)
+      .map { case (p, c) => s"'${p.replace("'", "''")}', ${c}L" }
+      .mkString("map(", ", ", ")")
+    // Viterbi as ONE fold: state = dp array (1-based; dp[j] at index
+    // j+1), each step appends dp[i] = min over piece lengths of
+    // dp[i−l] + cost·1024 + 1; absent pieces lookup to NULL and
+    // array_min skips them; single-char coverage keeps dp[i] non-null
+    val dpExpr =
+      s"""aggregate(
+         |  sequence(1, length(word)),
+         |  array(0L),
+         |  (st, i) -> concat(st, array(array_min(
+         |    transform(sequence(1, least($maxPiece, i)),
+         |      l -> element_at(st, i - l + 1) +
+         |           try_element_at($mapLit,
+         |             substr(word, i - l + 1, l)) * 1024L + 1L)))),
+         |  st -> element_at(st, length(word) + 1))""".stripMargin
+    val seg = words.select(col("word"), expr(dpExpr).as("d"))
+      .select(col("word"), expr("d div 1024").as("min_cost"),
+        (col("d") % 1024).as("n_pieces"))
+    wc.join(seg, Seq("word"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_pieces")).as("n_tokens"),
+        sum(col("cnt") * col("min_cost")).as("total_cost"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        col("total_cost"),
+        (col("n_tokens").cast("double") / col("n_words"))
+          .as("pieces_per_word"))
+  }
+
+  /** [[unigramReport]]'s DuckDB twin: same vocab induction, the DP
+    * unrolled over positions as chained min-CTEs (one UNION-ALL arm per
+    * piece length), finals collected at each word's own length.
+    */
+  private def unigramOracle(vocabSize: Int = UnigramVocab,
+      maxPiece: Int = UnigramMaxPiece): String = {
+    val steps = (1 to UnigramMaxWordLen).map { i =>
+      val arms = (1 to math.min(maxPiece, i)).map { l =>
+        s"""    SELECT x.word, x.d + vc.cost * 1024 + 1 AS v
+           |    FROM d${i - l} x JOIN vc
+           |      ON length(x.word) >= $i
+           |     AND vc.piece = substr(x.word, ${i - l + 1}, $l)"""
+          .stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""d$i AS MATERIALIZED (
+         |  SELECT word, min(v) AS d FROM (
+         |$arms) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to UnigramMaxWordLen).map { i =>
+      s"  SELECT word, d FROM d$i WHERE length(word) = $i"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT source, tok AS word, count(*) AS cnt
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE regexp_matches(tok, '^[!-~]+$$')
+       |    AND length(tok) <= $UnigramMaxWordLen
+       |  GROUP BY 1, 2),
+       |w AS MATERIALIZED (
+       |  SELECT word, CAST(sum(cnt) AS BIGINT) AS tf FROM wc GROUP BY 1),
+       |cand AS (
+       |  SELECT unnest(flatten([[substr(word, i, l)
+       |             for i in range(1, length(word) - l + 2)]
+       |             for l in range(1, ${maxPiece + 1})])) AS piece, tf
+       |  FROM w),
+       |wts AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(tf) AS BIGINT) AS wt FROM cand
+       |  GROUP BY 1),
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT piece, wt FROM (
+       |    (SELECT piece, wt FROM wts ORDER BY wt DESC, piece
+       |     LIMIT $vocabSize)
+       |    UNION ALL
+       |    SELECT piece, wt FROM wts WHERE length(piece) = 1)),
+       |vc AS MATERIALIZED (
+       |  SELECT piece, $UnigramCostScale // (wt + 1) AS cost FROM vocab),
+       |d0 AS (SELECT word, CAST(0 AS BIGINT) AS d FROM w),
+       |$steps,
+       |fin AS (
+       |$finals),
+       |seg AS (SELECT word, d // 1024 AS min_cost, d % 1024 AS n_pieces
+       |        FROM fin)
+       |SELECT wc.source,
+       |       CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+       |       CAST(sum(wc.cnt * seg.n_pieces) AS BIGINT) AS n_tokens,
+       |       CAST(sum(wc.cnt * seg.min_cost) AS BIGINT) AS total_cost,
+       |       CAST(CAST(sum(wc.cnt * seg.n_pieces) AS BIGINT) AS DOUBLE)
+       |         / CAST(sum(wc.cnt) AS BIGINT) AS pieces_per_word
+       |FROM wc JOIN seg ON wc.word = seg.word
+       |GROUP BY 1""".stripMargin
+  }
+
   /** [[bpeTrain]]'s DuckDB twin: the k merge rounds unrolled as CTE
     * stages (pair-count → top-1 → literal replace), MATERIALIZED so each
     * stage's token table computes once instead of inlining exponentially.
@@ -1260,6 +1426,7 @@ object Corpus {
     "bpe_apply" -> ((s, d) => bpeApply(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => bpePairCounts(Tables.documents(s, d))),
     "tok_wordpiece" -> ((s, d) => wordpieceReport(Tables.documents(s, d))),
+    "tok_unigram" -> ((s, d) => unigramReport(Tables.documents(s, d))),
     "text_normalize" -> ((s, d) => normalizeStats(Tables.documents(s, d))),
     "mix_temperature" -> ((s, d) => temperatureMix(Tables.documents(s, d))),
     "corpus_source_mix" -> ((s, d) => sourceMix(Tables.documents(s, d))),
@@ -1312,6 +1479,7 @@ object Corpus {
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
     "tok_wordpiece" -> wordpieceOracle(),
+    "tok_unigram" -> unigramOracle(),
     // the CCNet bucket twin: the lm_doc_scores scoring CTEs, then the
     // permille value-domain cumulative cut per source (descending, so
     // bucket 0 = head) replayed with the identical integer arithmetic

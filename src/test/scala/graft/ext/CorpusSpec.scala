@@ -598,4 +598,56 @@ class CorpusSpec extends SparkSpec {
       .collect()
     assert(r2.head.getAs[Long]("n_words") === 2L)
   }
+  test("unigramReport: hand-replayed Viterbi — whole-word piece beats " +
+      "the char path; empty multi-char vocab forces char segmentation") {
+    import spark.implicits._
+    // words ab(tf 2), cd(1); costs: a,b,ab -> 1e12 div 3; c,d,cd -> div 2
+    val d = Seq((1L, "ab ab cd", "s1")).toDF("doc_id", "text", "source")
+    val r = Corpus.unigramReport(d).collect().head
+    assert(r.getAs[Long]("n_words") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 3L)       // every word 1 piece
+    assert(r.getAs[Long]("total_cost") ===
+      2L * 333333333333L + 500000000000L)
+    assert(r.getAs[Double]("pieces_per_word") === 1.0)
+    // vocabSize 0 -> single-char coverage only: every word splits
+    val r0 = Corpus.unigramReport(d, vocabSize = 0).collect().head
+    assert(r0.getAs[Long]("n_tokens") === 6L)
+    assert(r0.getAs[Long]("total_cost") ===
+      2L * 666666666666L + 1000000000000L)
+    assert(r0.getAs[Double]("pieces_per_word") === 2.0)
+  }
+
+  test("unigramReport: Viterbi takes the globally cheapest path under " +
+      "a cut vocab (not greedy longest-match)") {
+    import spark.implicits._
+    // words aaab(2), ab(1); weights a7 aa4 ab3 b3 ...; top-2 = {a, aa},
+    // singles add b. costs: a 125e9, aa 200e9, b 250e9.
+    // aaab -> aa+a+b (575e9, 3 pieces); ab -> a+b (375e9, 2)
+    val d = Seq((1L, "aaab aaab ab", "s1")).toDF("doc_id", "text", "source")
+    val r = Corpus.unigramReport(d, vocabSize = 2).collect().head
+    assert(r.getAs[Long]("n_words") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 8L)
+    assert(r.getAs[Long]("total_cost") ===
+      2L * 575000000000L + 375000000000L)
+    assert(r.getAs[Double]("pieces_per_word") === 8.0 / 3)
+  }
+
+  test("unigramReport: fixture run — every source reported, fertility " +
+      ">= 1, over-long words dropped") {
+    val r = Corpus.unigramReport(docs).collect()
+    assert(r.length === docs.select("source").distinct().count())
+    r.foreach { row =>
+      val w = row.getAs[Long]("n_words")
+      val t = row.getAs[Long]("n_tokens")
+      assert(w > 0 && t >= w, s"fertility must be >= 1: $row")
+      assert(row.getAs[Double]("pieces_per_word") === t.toDouble / w)
+      assert(row.getAs[Long]("total_cost") > 0L)
+    }
+    import spark.implicits._
+    val longWord = "x" * (Corpus.UnigramMaxWordLen + 1)
+    val d2 = Seq((1L, s"ab ab $longWord", "s1"))
+      .toDF("doc_id", "text", "source")
+    assert(Corpus.unigramReport(d2).collect()
+      .head.getAs[Long]("n_words") === 2L)
+  }
 }
