@@ -185,6 +185,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def topK(k: Int = Similarity.TopK): DataFrame =
       Similarity.bruteForceTopK(emb, k)
     def knnGraph: DataFrame = Similarity.nearestNeighborGraph(emb)
+    def knnLabelEval(k: Int = Similarity.KnnEvalK): DataFrame =
+      Similarity.knnLabelEval(emb, k)
     def topKApprox(k: Int = Similarity.TopK): DataFrame =
       Similarity.ivfTopK(emb, k)
     def nearDupPairs(threshold: Double = 0.35): DataFrame =

@@ -81,6 +81,63 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Votes per LOO query in [[knnLabelEval]]. */
+  val KnnEvalK = 5
+
+  /** LEAVE-ONE-OUT kNN LABEL EVAL — the classifier-quality readout of
+    * an embedding space: every vector queries the rest of the corpus,
+    * its k nearest (exact cosine) neighbors vote by label (ties → the
+    * SMALLEST label, the [[Graph.labelPropagation]] argmax device), and
+    * per-label accuracy = share of vectors whose neighborhood agrees
+    * with their label. High accuracy ⇔ labels form tight clusters —
+    * the standard probe for "are these embeddings any good for this
+    * taxonomy?".
+    *
+    * Scale shape: this is the EXACT arm (half-join + mirror, the
+    * [[nearestNeighborGraph]] shape, argmax through the
+    * [[graft.plans.TopKPerGroup]] heap); at corpus scale the IVF
+    * shortlist substitutes for the quadratic pair stream exactly as in
+    * [[knnGraphIvf]] — same vote/accuracy tail from the shortlisted
+    * neighbors.
+    */
+  def knnLabelEval(emb: DataFrame, k: Int = KnnEvalK): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label").cast("long")
+      .as("label"))
+    val a = withNorm(
+      emb.select(col("vec_id").as("src"), col("embedding").as("ea")),
+      "ea", "na")
+    val b = withNorm(
+      emb.select(col("vec_id").as("dst"), col("embedding").as("eb")),
+      "eb", "nb")
+    val sims = a.join(b, col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("cosine")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("cosine"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cosine").as("cosine"))
+    val topk = graft.plans.TopKPerGroup(sims, Seq("src"),
+      Seq("cosine" -> true, "dst" -> false), k)
+    val pred = topk
+      .join(labels.select(col("vec_id").as("dst"),
+        col("label").as("nlabel")), Seq("dst"))
+      .groupBy("src", "nlabel").agg(count(lit(1)).as("c"))
+      .groupBy("src")
+      .agg(max(struct(col("c"), (-col("nlabel")).as("nl"))).as("m"))
+      .select(col("src"), (-col("m.nl")).as("predicted"))
+    pred.join(labels.select(col("vec_id").as("src"), col("label")),
+        Seq("src"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+          .as("correct"))
+      .select(col("label"), col("n"), col("correct"),
+        (col("correct").cast("double") / col("n").cast("double"))
+          .as("accuracy"))
+  }
+
   /** Nearest-neighbor edge for EVERY vector (quadratic ground truth).
     * Cosine is symmetric, so each unordered pair is computed ONCE
     * (src < dst) and mirrored — half the dot products of the naive
@@ -2621,6 +2678,7 @@ object Similarity {
       labelCentroids(Tables.embeddings(s, d))),
     "vec_dim_profile" -> ((s, d) => dimProfile(Tables.embeddings(s, d))),
     "sim_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
+    "vec_knn_eval" -> ((s, d) => knnLabelEval(Tables.embeddings(s, d))),
     "vec_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "sim_knn_graph"  -> ((s, d) =>
       nearestNeighborGraph(Tables.embeddings(s, d))),
@@ -4123,6 +4181,33 @@ object Similarity {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          | AND a.vec_id % ns.nsub = b.vec_id % ns.nsub
          |WHERE ${duckCos("a", "b")} >= 0.35""".stripMargin,
+    "vec_knn_eval" ->
+      s"""WITH sims AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |         ${duckCos("a", "b")} AS cosine, b.label AS nlabel
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id <> b.vec_id),
+         |topk AS (
+         |  SELECT src, nlabel FROM (
+         |    SELECT src, nlabel, row_number() OVER (PARTITION BY src
+         |              ORDER BY cosine DESC, dst) AS rank
+         |    FROM sims)
+         |  WHERE rank <= $KnnEvalK),
+         |votes AS (
+         |  SELECT src, nlabel, count(*) AS c FROM topk GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT src, CAST(min(nlabel) AS BIGINT) AS predicted FROM (
+         |    SELECT src, nlabel, c,
+         |           max(c) OVER (PARTITION BY src) AS mc FROM votes) t
+         |  WHERE c = mc GROUP BY 1)
+         |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n,
+         |       CAST(sum(CASE WHEN p.predicted = e.label
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+         |       CAST(CAST(sum(CASE WHEN p.predicted = e.label
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) /
+         |         CAST(count(*) AS DOUBLE) AS accuracy
+         |FROM pred p JOIN embeddings e ON e.vec_id = p.src
+         |GROUP BY 1""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH sims AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,

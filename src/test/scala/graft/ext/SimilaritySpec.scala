@@ -1333,4 +1333,42 @@ class SimilaritySpec extends SparkSpec {
     // the point of IVF: candidates scanned < full corpus per query
     assert(r.map(_._3).max < d.count() - 1)
   }
+  private def embL(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("knnLabelEval: separated clusters classify perfectly; a planted " +
+      "mislabel is the only miss") {
+    // label 0 cluster near [1,0], label 1 cluster near [0,1]; vec 6
+    // sits on cluster 1's flank but carries label 0 -> its 1-NN vote
+    // must miss, while staying far enough out not to capture 4/5's 1-NN
+    val d = embL(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.8f, 0.05f), 0),
+      (4L, Seq(0.0f, 1.0f), 1), (5L, Seq(0.1f, 0.9f), 1),
+      (6L, Seq(0.3f, 0.7f), 0))
+    val r = Similarity.knnLabelEval(d, k = 1)
+      .select("label", "n", "correct", "accuracy")
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    // label 0 members: vecs 1,2,3 predict 0 (in-cluster 1-NN); vec 6's
+    // 1-NN is vec 5 (label 1) -> 3/4 correct
+    assert(r(0L)._2 === 4L && r(0L)._3 === 3L && r(0L)._4 === 0.75)
+    // label 1 members: 4 and 5 are each other's 1-NN -> 2/2
+    assert(r(1L)._2 === 2L && r(1L)._3 === 2L && r(1L)._4 === 1.0)
+  }
+
+  test("knnLabelEval: vote ties break to the smallest label") {
+    // vec 1 at the origin axis sees one neighbor of each label at the
+    // same cosine -> tie {0: 1, 1: 1} -> predicted 0
+    val d = embL(
+      (1L, Seq(1.0f, 1.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 1))
+    val r = Similarity.knnLabelEval(d, k = 2)
+      .select("label", "correct")
+      .as[(Long, Long)].collect().toMap
+    // vec 1 ties -> 0 (correct); vec 2 neighbors {1(l0), 3(l1)} tie -> 0
+    // correct; vec 3 neighbors {1(l0), 2(l0)} -> 0, a miss for label 1
+    assert(r(0L) === 2L)
+    assert(r(1L) === 0L)
+  }
 }
