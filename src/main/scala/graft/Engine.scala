@@ -376,6 +376,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
     def theilSen: DataFrame = Stats.theilSenSegment(
       Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
+    def olsTrend: DataFrame = Stats.olsSegment(
+      Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
     def bootstrap(arms: Int = Stats.BootstrapArms): DataFrame =
       Stats.poissonBootstrap(Tables.orders(spark, dataDir), arms)
     def welchT: DataFrame =

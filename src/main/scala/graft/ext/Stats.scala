@@ -290,9 +290,14 @@ object Stats {
     * at any corpus size; the ranking window is partitioned by segment
     * over that bounded table.
     */
-  def theilSenSegment(orders: DataFrame, customer: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val weekly = orders
+  /** Weekly mean spend (whole dollars, floor) per market segment — the
+    * shared (x, y) table of BOTH trend estimators ([[theilSenSegment]],
+    * [[olsSegment]]), split out so the robust and least-squares slopes
+    * can never drift onto different pre-aggregates.
+    */
+  private def weeklySegmentSpend(orders: DataFrame,
+      customer: DataFrame): DataFrame =
+    orders
       .join(customer.select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"),
@@ -302,6 +307,48 @@ object Stats {
         sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
       .withColumn("y", expr("rev_cents div (n_orders * 100)"))
       .select("c_mktsegment", "w", "y")
+
+  /** GROUPED OLS TREND — per-segment least-squares slope/intercept/R²
+    * over the SAME weekly spend table [[theilSenSegment]] medians: the
+    * pair an analyst reads together (OLS is efficient under clean data,
+    * Theil–Sen robust to outliers — divergence between them IS the
+    * outlier signal). All five moments (n, Σx, Σy, Σx², Σxy, Σy²) are
+    * exact int64 sums of the calendar-bounded weekly table;
+    * `slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`,
+    * `intercept = (Σy − slope·Σx)/n`, and
+    * `R² = num²/(den·(nΣy² − (Σy)²))` are fixed IEEE trees with one
+    * division each, zero-variance groups pinned to 0 by the same CASE
+    * both sides. One keyed aggregate — no window, no second pass.
+    */
+  def olsSegment(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    weeklySegmentSpend(orders, customer)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_weeks"),
+        sum("w").as("sx"), sum("y").as("sy"),
+        sum(col("w") * col("w")).as("sxx"),
+        sum(col("w") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("n_weeks") * col("sxy") -
+        col("sx") * col("sy"))
+      .withColumn("den", col("n_weeks") * col("sxx") -
+        col("sx") * col("sx"))
+      .withColumn("deny", col("n_weeks") * col("syy") -
+        col("sy") * col("sy"))
+      .withColumn("slope", when(col("den") === 0L, lit(0.0))
+        .otherwise(d(col("num")) / d(col("den"))))
+      .withColumn("intercept",
+        (d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n_weeks")))
+      .withColumn("r2",
+        when(col("den") === 0L || col("deny") === 0L, lit(0.0))
+          .otherwise((d(col("num")) * d(col("num"))) /
+            (d(col("den")) * d(col("deny")))))
+      .select("c_mktsegment", "n_weeks", "slope", "intercept", "r2")
+  }
+
+  def theilSenSegment(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = weeklySegmentSpend(orders, customer)
     val pairs = weekly.as("a")
       .join(broadcast(weekly.as("b")),
         col("a.c_mktsegment") === col("b.c_mktsegment") &&
@@ -710,6 +757,8 @@ object Stats {
       changepointDailyRevenue(Tables.orders(s, d))),
     "stats_theil_sen" -> ((s, d) =>
       theilSenSegment(Tables.orders(s, d), Tables.customer(s, d))),
+    "stats_ols_segment" -> ((s, d) =>
+      olsSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "stats_mann_kendall" -> ((s, d) =>
       mannKendallSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "ts_autocorr" -> ((s, d) => autocorrDailyRevenue(Tables.orders(s, d))),
@@ -952,6 +1001,45 @@ object Stats {
         |       CAST(s1 AS DOUBLE) / CAST(n1 * 100 AS DOUBLE) AS mean_left,
         |       CAST(s2 AS DOUBLE) / CAST(n2 * 100 AS DOUBLE) AS mean_right
         |FROM sc ORDER BY score DESC, split_day LIMIT 1""".stripMargin,
+    "stats_ols_segment" ->
+      """WITH weekly AS (
+        |  SELECT c.c_mktsegment,
+        |         CAST(datediff('day', DATE '1995-01-01',
+        |                       CAST(o.o_orderdate AS DATE)) AS BIGINT)
+        |           // 7 AS w,
+        |         count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |w2 AS (SELECT c_mktsegment, w, rev_cents // (n_orders * 100) AS y
+        |       FROM weekly),
+        |m AS (
+        |  SELECT c_mktsegment, count(*) AS n_weeks,
+        |         CAST(sum(w) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(w * w) AS BIGINT) AS sxx,
+        |         CAST(sum(w * y) AS BIGINT) AS sxy,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM w2 GROUP BY 1),
+        |m2 AS (
+        |  SELECT *, n_weeks * sxy - sx * sy AS num,
+        |         n_weeks * sxx - sx * sx AS den,
+        |         n_weeks * syy - sy * sy AS deny
+        |  FROM m),
+        |m3 AS (
+        |  SELECT *, CASE WHEN den = 0 THEN 0.0
+        |                 ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |            END AS slope
+        |  FROM m2)
+        |SELECT c_mktsegment, n_weeks, slope,
+        |       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+        |         CAST(n_weeks AS DOUBLE) AS intercept,
+        |       CASE WHEN den = 0 OR deny = 0 THEN 0.0
+        |            ELSE (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+        |                 (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE))
+        |       END AS r2
+        |FROM m3""".stripMargin,
     "stats_theil_sen" ->
       """WITH weekly AS (
         |  SELECT c.c_mktsegment,

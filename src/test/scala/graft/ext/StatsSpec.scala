@@ -357,4 +357,28 @@ class StatsSpec extends SparkSpec {
       s"Welch df $df outside [min(n)-1, n_a+n_b-2]")
     assert(!r.getAs[Double]("t_stat").isNaN)
   }
+  test("olsSegment: exact slope/intercept/R2 on a hand-built weekly " +
+      "line; single-week groups pin to zero; noise shows in R2") {
+    val cust = Seq((1L, "A"), (2L, "B"), (3L, "C"))
+      .toDF("c_custkey", "c_mktsegment")
+    val o = orders(
+      // A: y = 10 + 5w over weeks 0..2 -> slope 5, intercept 10, R2 1
+      (1L, 1L, 10.0, "1995-01-01 00:00:00"),
+      (2L, 1L, 15.0, "1995-01-08 00:00:00"),
+      (3L, 1L, 20.0, "1995-01-15 00:00:00"),
+      // B: one week only -> den 0 -> slope 0, intercept = y, R2 0
+      (4L, 2L, 7.0, "1995-01-01 00:00:00"),
+      // C: y = [10, 10, 40] -> slope 15, intercept 5, R2 0.75
+      (5L, 3L, 10.0, "1995-01-01 00:00:00"),
+      (6L, 3L, 10.0, "1995-01-08 00:00:00"),
+      (7L, 3L, 40.0, "1995-01-15 00:00:00"))
+    val r = Stats.olsSegment(o, cust)
+      .select("c_mktsegment", "n_weeks", "slope", "intercept", "r2")
+      .as[(String, Long, Double, Double, Double)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("A") === (("A", 3L, 5.0, 10.0, 1.0)))
+    assert(r("B") === (("B", 1L, 0.0, 7.0, 0.0)))
+    assert(r("C")._2 === 3L && r("C")._3 === 15.0 && r("C")._4 === 5.0)
+    assert(r("C")._5 === 0.75)
+  }
 }
