@@ -310,6 +310,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.thresholdEpisodes(Tables.orders(spark, dataDir))
     def robustAnomalies: DataFrame =
       TimeSeries.robustAnomalies(Tables.orders(spark, dataDir))
+    def seasonalAnomalies: DataFrame =
+      TimeSeries.seasonalAnomalies(Tables.orders(spark, dataDir))
     def retentionTriangle: DataFrame =
       TimeSeries.retentionTriangle(Tables.events(spark, dataDir))
   }

@@ -743,6 +743,44 @@ object TimeSeries {
         (col("y_cents").cast("double") - trendC - seasC).as("remainder"))
   }
 
+  /** SEASONALLY-ADJUSTED ROBUST ANOMALIES — [[robustAnomalies]]' MAD
+    * z-score applied to [[decomposeDaily]]'s REMAINDER instead of raw
+    * revenue: the weekly cycle and local trend are explained away
+    * first, so a weekday spiking to weekend levels is flagged even
+    * though its raw value sits inside the overall spread (and regular
+    * weekend highs are NOT flagged as raw-MAD would). The composite
+    * every alerting stack runs once it has a seasonal model.
+    *
+    * Determinism: the remainder (a double from the fixed decompose
+    * tree) is quantized to exact milli-cents (`floor(r·1000)` — one
+    * correctly-rounded multiply + floor), putting the median/MAD back
+    * on the ×2 integer-scaling trick of [[robustAnomalies]]; the
+    * modified z is the same fixed DAG. All windows and percentile
+    * passes ride the day-level series (metadata-sized).
+    */
+  def seasonalAnomalies(ord: DataFrame): DataFrame = {
+    val dec = graft.CheckpointLease.track(
+      decomposeDaily(ord)
+        .select(col("day"), col("y_cents"),
+          floor(col("remainder") * lit(1000.0)).cast("long")
+            .as("rem_milli"))
+        .localCheckpoint()) // feeds the median pass AND the rejoin
+    val med = dec.agg(expr("percentile(rem_milli * 2, 0.5)").as("med2"))
+    val withDev = dec.crossJoin(broadcast(med))
+      .withColumn("adev2",
+        abs(col("rem_milli").cast("double") * 2 - col("med2")))
+    val mad = withDev.agg(expr("percentile(adev2, 0.5)").as("mad2"))
+    withDev.crossJoin(broadcast(mad))
+      .withColumn("robust_z",
+        when(col("mad2") > 0.0,
+          lit(0.6745) * (col("rem_milli").cast("double") * 2 -
+            col("med2")) / col("mad2")))
+      .select(col("day"), col("y_cents"), col("rem_milli"),
+        col("robust_z"),
+        coalesce(abs(col("robust_z")) > lit(3.5), lit(false))
+          .as("is_anomaly"))
+  }
+
   /** Day-of-week seasonality index over daily revenue: mean revenue of
     * each ISO weekday relative to the overall daily mean (1.0 = flat).
     * The ratio of two means collapses to cross-multiplied exact
@@ -1128,6 +1166,8 @@ object TimeSeries {
     "ts_forecast_backtest" -> ((s, d) =>
       forecastBacktest(Tables.orders(s, d))),
     "ts_decompose" -> ((s, d) => decomposeDaily(Tables.orders(s, d))),
+    "ts_seasonal_anomalies" -> ((s, d) =>
+      seasonalAnomalies(Tables.orders(s, d))),
     "ts_ffill" -> ((s, d) => forwardFillDaily(Tables.events(s, d))),
     "ts_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
     "ts_user_streaks" -> ((s, d) => userStreaks(Tables.events(s, d))),
@@ -1686,6 +1726,52 @@ object TimeSeries {
          |         (CAST(d.s_dow AS DOUBLE) / d.n_dow -
          |          CAST(t.s_all AS DOUBLE) / t.n_all) AS remainder
          |FROM w JOIN dws d ON w.dw = d.dw, tot t""".stripMargin,
+    "ts_seasonal_anomalies" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |              AS BIGINT) AS y_cents
+         |  FROM orders GROUP BY 1),
+         |w AS (
+         |  SELECT day, y_cents,
+         |         CAST(sum(y_cents) OVER tw AS BIGINT) AS t_sum,
+         |         CAST(count(*) OVER tw AS BIGINT) AS t_n,
+         |         CAST(isodow(day) AS BIGINT) AS dw
+         |  FROM daily
+         |  WINDOW tw AS (ORDER BY day
+         |                ROWS BETWEEN $DecomposeTrendHalfWindow PRECEDING
+         |                         AND $DecomposeTrendHalfWindow FOLLOWING)),
+         |tot AS (SELECT count(*) AS n_all,
+         |               CAST(sum(y_cents) AS BIGINT) AS s_all FROM daily),
+         |dws AS (
+         |  SELECT CAST(isodow(day) AS BIGINT) AS dw, count(*) AS n_dow,
+         |         CAST(sum(y_cents) AS BIGINT) AS s_dow
+         |  FROM daily GROUP BY 1),
+         |dc AS (
+         |  SELECT strftime(w.day, '%Y-%m-%d') AS day, w.y_cents,
+         |         CAST(floor((CAST(w.y_cents AS DOUBLE) -
+         |              CAST(w.t_sum AS DOUBLE) / w.t_n -
+         |              (CAST(d.s_dow AS DOUBLE) / d.n_dow -
+         |               CAST(t.s_all AS DOUBLE) / t.n_all)) *
+         |              CAST(1000.0 AS DOUBLE)) AS BIGINT) AS rem_milli
+         |  FROM w JOIN dws d ON w.dw = d.dw, tot t),
+         |m AS (SELECT quantile_cont(rem_milli * 2, 0.5) AS med2 FROM dc),
+         |dv AS (
+         |  SELECT dc.*, m.med2,
+         |         abs(CAST(rem_milli AS DOUBLE) * 2 - m.med2) AS adev2
+         |  FROM dc, m),
+         |md AS (SELECT quantile_cont(adev2, 0.5) AS mad2 FROM dv),
+         |z AS (
+         |  SELECT dv.day, dv.y_cents, dv.rem_milli,
+         |         CASE WHEN md.mad2 > 0.0
+         |              THEN CAST(0.6745 AS DOUBLE) *
+         |                   (CAST(dv.rem_milli AS DOUBLE) * 2 - dv.med2) /
+         |                   md.mad2 END AS robust_z
+         |  FROM dv, md)
+         |SELECT day, y_cents, rem_milli, robust_z,
+         |       coalesce(abs(robust_z) > CAST(3.5 AS DOUBLE), false)
+         |         AS is_anomaly
+         |FROM z""".stripMargin,
     "ts_seasonality" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -728,4 +728,61 @@ class TimeSeriesSpec extends SparkSpec {
       y.toDouble * y.toDouble }.sum
     assert(sse < sse0, "Holt fit worse than predicting zero")
   }
+  test("seasonalAnomalies: matches an independent reference " +
+      "decompose+MAD replay; the planted deseasonalized spike is " +
+      "flagged with the max |z|") {
+    // 28 days from Mon 2024-01-01: weekdays $100, weekends $200, and
+    // Wed 2024-01-17 planted at $200 — raw value inside the overall
+    // range, huge once the weekly cycle is explained away
+    val start = java.time.LocalDate.of(2024, 1, 1)
+    val days = (0 until 28).map(start.plusDays(_))
+    val planted = java.time.LocalDate.of(2024, 1, 17)
+    val vals = days.map { d =>
+      val weekend = d.getDayOfWeek.getValue >= 6
+      d -> (if (d == planted || weekend) 200.0 else 100.0)
+    }
+    val o = orders(vals.zipWithIndex.map { case ((d, v), i) =>
+      (i.toLong, 1L, "F", v, d.toString) }: _*)
+    val got = TimeSeries.seasonalAnomalies(o).collect()
+      .map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("rem_milli"), r.getAs[java.lang.Double]("robust_z"),
+          r.getAs[Boolean]("is_anomaly")))).toMap
+
+    // ---- independent reference replay (plain Scala, not the column DAG)
+    val cents = vals.map { case (_, v) => math.round(v * 100) }
+    val n = cents.length
+    val trend = cents.indices.map { i =>
+      val lo = math.max(0, i - 3); val hi = math.min(n - 1, i + 3)
+      val win = (lo to hi).map(cents(_))
+      win.sum.toDouble / win.length
+    }
+    val dows = days.map(_.getDayOfWeek.getValue)
+    val sAll = cents.sum
+    val dowMean = dows.distinct.map { dw =>
+      val ys = cents.indices.filter(i => dows(i) == dw).map(cents(_))
+      dw -> (ys.sum.toDouble / ys.length - sAll.toDouble / n)
+    }.toMap
+    val remMilli = cents.indices.map { i =>
+      math.floor((cents(i).toDouble - trend(i) - dowMean(dows(i)))
+        * 1000.0).toLong
+    }
+    def pct50(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val pos = (s.length - 1) * 0.5
+      val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val med2 = pct50(remMilli.map(x => (x * 2).toDouble))
+    val mad2 = pct50(remMilli.map(x => math.abs(x * 2 - med2)))
+    val refZ = remMilli.map(x => 0.6745 * (x * 2 - med2) / mad2)
+
+    days.indices.foreach { i =>
+      val day = days(i).toString
+      val (gm, gz, _) = got(day)
+      assert(gm === remMilli(i), s"rem_milli mismatch at $day")
+      assert(math.abs(gz - refZ(i)) < 1e-9, s"z mismatch at $day")
+    }
+    val (_, pz, pFlag) = got(planted.toString)
+    assert(pFlag, "planted day must be flagged")
+    assert(math.abs(pz) === got.values.map(v => math.abs(v._2)).max)
+  }
 }
