@@ -302,6 +302,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.dowSeasonality(Tables.orders(spark, dataDir))
     def forwardFill: DataFrame =
       TimeSeries.forwardFillDaily(Tables.events(spark, dataDir))
+    def interpolate: DataFrame =
+      TimeSeries.interpolateDaily(Tables.events(spark, dataDir))
     def activeUsers: DataFrame =
       TimeSeries.activeUsers(Tables.events(spark, dataDir))
     def newVsReturning: DataFrame =

@@ -342,6 +342,57 @@ object TimeSeries {
         col("v_cents_filled"), col("v_obs").isNotNull.as("is_observed"))
   }
 
+  /** LINEAR-INTERPOLATION GAP FILL — the third fill policy beside
+    * [[gapFillDailySales]] (zeros) and [[forwardFillDaily]] (carry
+    * last): missing days take the straight line between the bracketing
+    * observations, `v = v_prev + (v_next − v_prev)·gap/(span)` — the
+    * fill a metrics store applies to slowly-moving gauges. Interior
+    * days always have both brackets (the calendar spans min..max
+    * observed day per user), observed days emit their own value
+    * exactly.
+    *
+    * Determinism: observations are exact cents (the [[forwardFillDaily]]
+    * max_by survivor), gap/span are integer day differences, and the
+    * interpolation is ONE fixed IEEE tree (one division, one multiply,
+    * one add) mirrored in the twin. Windows partition by user — the
+    * horizontal-scaling shape of [[userStreaks]], each partition
+    * calendar-bounded.
+    */
+  def interpolateDaily(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        struct(col("ts"), col("event_id")).as("ord"),
+        cents("value").as("v_cents"))
+      .groupBy("user_id", "day")
+      .agg(max_by(col("v_cents"), col("ord")).as("v_obs"))
+    val dailyM = graft.CheckpointLease.track(daily.localCheckpoint())
+    val cal = dailyM.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val wB = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cal.join(dailyM, Seq("user_id", "day"), "left")
+      .withColumn("pd", last(when(col("v_obs").isNotNull, col("day")),
+        ignoreNulls = true).over(wB))
+      .withColumn("pv", last("v_obs", ignoreNulls = true).over(wB))
+      .withColumn("nd", first(when(col("v_obs").isNotNull, col("day")),
+        ignoreNulls = true).over(wF))
+      .withColumn("nv", first("v_obs", ignoreNulls = true).over(wF))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        when(col("v_obs").isNotNull, col("v_obs").cast("double"))
+          .otherwise(col("pv").cast("double") +
+            (col("nv") - col("pv")).cast("double") *
+              (datediff(col("day"), col("pd")).cast("double") /
+                datediff(col("nd"), col("pd")).cast("double")))
+          .as("v_interp"),
+        col("v_obs").isNotNull.as("is_observed"))
+  }
+
   /** Daily new-vs-returning split: per activity day, how many active
     * users were seen for the FIRST time that day vs seen before — the
     * acquisition/retention decomposition of DAU. A user's first day is
@@ -1169,6 +1220,7 @@ object TimeSeries {
     "ts_seasonal_anomalies" -> ((s, d) =>
       seasonalAnomalies(Tables.orders(s, d))),
     "ts_ffill" -> ((s, d) => forwardFillDaily(Tables.events(s, d))),
+    "ts_interp_fill" -> ((s, d) => interpolateDaily(Tables.events(s, d))),
     "ts_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
     "ts_user_streaks" -> ((s, d) => userStreaks(Tables.events(s, d))),
     "ts_new_returning" -> ((s, d) => newVsReturning(Tables.events(s, d))),
@@ -1517,6 +1569,47 @@ object TimeSeries {
         |SELECT c.prev_type, c.event_type, c.n_transitions,
         |       CAST(c.n_transitions AS DOUBLE) / t.n_from AS p_transition
         |FROM c JOIN t USING (prev_type)""".stripMargin,
+    "ts_interp_fill" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS v,
+        |         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |daily AS (SELECT user_id, day, v AS v_obs FROM r WHERE rn = 1),
+        |cal AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(min(day), max(day),
+        |                                     INTERVAL 1 DAY)) AS DATE)
+        |           AS day
+        |  FROM daily GROUP BY user_id),
+        |j AS (
+        |  SELECT cal.user_id, cal.day, daily.v_obs
+        |  FROM cal LEFT JOIN daily
+        |    ON cal.user_id = daily.user_id AND cal.day = daily.day),
+        |br AS (
+        |  SELECT user_id, day, v_obs,
+        |         last_value(CASE WHEN v_obs IS NOT NULL THEN day END
+        |           IGNORE NULLS) OVER wb AS pd,
+        |         last_value(v_obs IGNORE NULLS) OVER wb AS pv,
+        |         first_value(CASE WHEN v_obs IS NOT NULL THEN day END
+        |           IGNORE NULLS) OVER wf AS nd,
+        |         first_value(v_obs IGNORE NULLS) OVER wf AS nv
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+        |                ROWS UNBOUNDED PRECEDING),
+        |         wf AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND
+        |                             UNBOUNDED FOLLOWING))
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       CASE WHEN v_obs IS NOT NULL THEN CAST(v_obs AS DOUBLE)
+        |            ELSE CAST(pv AS DOUBLE) +
+        |                 CAST(nv - pv AS DOUBLE) *
+        |                 (CAST(datediff('day', pd, day) AS DOUBLE) /
+        |                  CAST(datediff('day', pd, nd) AS DOUBLE))
+        |       END AS v_interp,
+        |       v_obs IS NOT NULL AS is_observed
+        |FROM br""".stripMargin,
     "ts_ffill" ->
       """WITH r AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

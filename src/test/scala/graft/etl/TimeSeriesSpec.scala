@@ -785,4 +785,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(pFlag, "planted day must be flagged")
     assert(math.abs(pz) === got.values.map(v => math.abs(v._2)).max)
   }
+  private def valueEvents(rows: (Long, Long, Double, String)*) =
+    rows.map { case (eid, uid, v, t) =>
+      (eid, uid, "view", v, "{}", ts(t)) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+
+  test("interpolateDaily: straight line between brackets, observed days " +
+      "exact, last-of-day survivor, per-user calendars independent") {
+    val r = TimeSeries.interpolateDaily(valueEvents(
+      // user 1: obs day1 = 100c (later event wins the day), day3 = 300c
+      (1L, 1L, 9.99, "2024-01-01 08:00:00"),
+      (2L, 1L, 1.00, "2024-01-01 12:00:00"),
+      (3L, 1L, 3.00, "2024-01-03 00:00:00"),
+      // user 2: obs day1 = 100c, day4 = 400c -> thirds in between
+      (4L, 2L, 1.00, "2024-01-01 00:00:00"),
+      (5L, 2L, 4.00, "2024-01-04 00:00:00")))
+      .select("user_id", "day", "v_interp", "is_observed")
+      .as[(Long, String, Double, Boolean)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4))).toMap
+    assert(r((1L, "2024-01-01")) === ((100.0, true)))
+    assert(r((1L, "2024-01-02")) === ((200.0, false))) // exact midpoint
+    assert(r((1L, "2024-01-03")) === ((300.0, true)))
+    assert(r((2L, "2024-01-02"))._1 ===
+      100.0 + 300.0 * (1.0 / 3.0))                     // same IEEE tree
+    assert(r((2L, "2024-01-03"))._1 === 100.0 + 300.0 * (2.0 / 3.0))
+    assert(r.size === 7)                               // 3 + 4 days
+  }
 }
