@@ -84,6 +84,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Curation.packSequences(docs, window)
     def stratifiedSample(every: Int = 7): DataFrame =
       Curation.stratifiedSample(docs, every)
+    def balancedSample(perClass: Int = Curation.BalancedPerClass): DataFrame =
+      Curation.balancedSample(docs, perClass)
     def weightedMix: DataFrame = Curation.weightedMix(docs)
     def chunks(chunk: Int = Corpus.ChunkTokens,
         stride: Int = Corpus.ChunkStride): DataFrame =

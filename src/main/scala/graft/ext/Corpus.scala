@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -76,20 +76,29 @@ object Corpus {
     * same guarantees, any id domain (just not expressible in the DuckDB
     * oracle, hence not the default here).
     */
+  /** Portable Knuth u32 of a non-negative id column — the ONE place the
+    * `id·2654435761 mod 2³²` arithmetic (and its id-domain guard) is
+    * spelled out, shared by [[shardAssign]] and
+    * [[Curation.balancedSample]].
+    */
+  def portableHash(id: Column, caller: String = "portableHash"): Column = {
+    // Long overflows at id > Long.MaxValue / 2654435761 ≈ 3.47e9:
+    // enforce the domain in-plan so a bad id is an error, not a
+    // negative hash
+    val maxId = Long.MaxValue / 2654435761L
+    val guarded = when(id.between(0L, maxId), id)
+      .otherwise(raise_error(concat(
+        lit(s"$caller: id outside portable-hash domain [0, $maxId] (got "),
+        id.cast("string"),
+        lit("); hash with xxhash64 instead"))))
+    (guarded * 2654435761L) % 4294967296L
+  }
+
   def shardAssign(docs: DataFrame, shards: Long = NumShards,
       portable: Boolean = true): DataFrame = {
     val h =
       if (portable) {
-        // Long overflows at doc_id > Long.MaxValue / 2654435761 ≈ 3.47e9:
-        // enforce the domain in-plan so a bad id is an error, not a
-        // negative shard
-        val maxId = Long.MaxValue / 2654435761L
-        val guarded = when(col("doc_id").between(0L, maxId), col("doc_id"))
-          .otherwise(raise_error(concat(
-            lit(s"shardAssign: doc_id outside portable-hash domain [0, $maxId] (got "),
-            col("doc_id").cast("string"),
-            lit("); call with portable = false to hash with xxhash64"))))
-        (guarded * 2654435761L) % 4294967296L
+        portableHash(col("doc_id"), "shardAssign")
       } else {
         pmod(xxhash64(col("doc_id")), lit(4294967296L))
       }

@@ -66,6 +66,32 @@ object Curation {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Rows kept per class by [[balancedSample]]. */
+  val BalancedPerClass = 50
+
+  /** BALANCED PER-CLASS SAMPLE — equal COUNT per language regardless of
+    * class size (contrast [[stratifiedSample]]'s equal RATE): the first
+    * `perClass` documents per lang in portable-Knuth-hash order
+    * ([[Corpus.portableHash]] — pseudo-random yet exactly replayable
+    * under any partitioning, the property RNG samples lose). Classes
+    * smaller than `perClass` keep everything — the class-rebalancing
+    * primitive in front of fine-tuning mixes and eval set construction.
+    *
+    * Scale shape: one narrow projection + one per-class window over
+    * hash order; the window partitions by class, so skewed classes
+    * cost their own partition only, and the output is
+    * `classes × perClass`-bounded.
+    */
+  def balancedSample(docs: DataFrame,
+      perClass: Int = BalancedPerClass): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        Corpus.portableHash(col("doc_id"), "balancedSample").as("h"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= perClass)
+      .select("doc_id", "lang", "source", "n_chars", "sample_rank")
+  }
+
   /** Weighted dataset mixing: each source shard `srcN` keeps
     * `20 + 3·N` percent of its documents, selected by `doc_id % 100` —
     * the deterministic form of "sample source X at weight w into the
@@ -490,6 +516,8 @@ object Curation {
     "pack_sequences"    -> ((s, d) => packSequences(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
       stratifiedSample(Tables.documents(s, d))),
+    "sample_balanced" -> ((s, d) =>
+      balancedSample(Tables.documents(s, d))),
     "mix_weighted"      -> ((s, d) => weightedMix(Tables.documents(s, d))),
   )
 
@@ -711,6 +739,18 @@ object Curation {
         |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM b GROUP BY 1, 2""".stripMargin,
+    "sample_balanced" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |         (doc_id * 2654435761) % 4294967296 AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |            ORDER BY h, doc_id) AS sample_rank
+         |  FROM h)
+         |SELECT doc_id, lang, source, n_chars,
+         |       CAST(sample_rank AS BIGINT) AS sample_rank
+         |FROM r WHERE sample_rank <= $BalancedPerClass""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,

@@ -324,4 +324,28 @@ class CurationSpec extends SparkSpec {
       .values.map(_.length.toLong).max
     assert(sizes.max - sizes.min <= hottest)
   }
+  test("balancedSample: equal count per class in portable-hash order, " +
+      "small classes kept whole, partition-invariant") {
+    import spark.implicits._
+    val d = Seq(
+      (10L, "en"), (11L, "en"), (12L, "en"), (13L, "en"), (14L, "en"),
+      (20L, "de"), (21L, "de"))
+      .map { case (id, l) => (id, s"t$id", l, "src0", 5L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.balancedSample(d, perClass = 3).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[Long]("doc_id"),
+        x.getAs[Long]("sample_rank")))
+    // reference order: Knuth u32 ascending, then id
+    def h(id: Long) = (id * 2654435761L) % 4294967296L
+    val enExpect = Seq(10L, 11L, 12L, 13L, 14L)
+      .sortBy(id => (h(id), id)).take(3)
+    assert(r.filter(_._1 == "en").sortBy(_._3).map(_._2).toSeq === enExpect)
+    // class smaller than perClass keeps everything
+    assert(r.filter(_._1 == "de").map(_._2).toSet === Set(20L, 21L))
+    // stable under repartitioning
+    val r2 = Curation.balancedSample(d.repartition(7), perClass = 3)
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[Long]("sample_rank"))).toSet
+    assert(r2 === r.map(x => (x._2, x._3)).toSet)
+  }
 }
