@@ -66,14 +66,73 @@ object SkewJoin {
         round(sum(col("l_extendedprice")) * 100).cast("long")
           .as("revenue_cents"))
 
+  /** Share of the predicted pair volume above which
+    * [[joinExplosionProfile]] recommends salting a key. */
+  val SaltShareThreshold = 0.1
+
+  /** JOIN-EXPLOSION PRE-FLIGHT — the report that decides when
+    * [[saltedJoin]] is worth its dim-replication cost, computed BEFORE
+    * paying the shuffle: for a self-equi-join on `user_id` (the
+    * sessionization/attribution shape), the exact output size is
+    * `Σ c(k)²` over per-key counts, and the top keys' `c(k)²` shares
+    * show whether one reducer would take the whole join. One row per
+    * top-`topN` key: its row count, pair contribution, share of the
+    * predicted join output, and the salt verdict.
+    *
+    * Everything derives from ONE key-count aggregate (map-side partials
+    * absorb the hot keys — the profile itself cannot skew); the top-N
+    * is a TakeOrdered, the totals a single-row broadcast. Exact
+    * integers throughout, one IEEE division per share.
+    */
+  def joinExplosionProfile(ev: DataFrame, topN: Int = 10): DataFrame = {
+    val counts = ev.groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("cnt").as("total_rows"),
+      sum(col("cnt") * col("cnt")).as("predicted_pairs"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topN)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"),
+        (col("cnt") * col("cnt")).as("key_pairs"),
+        col("n_keys"), col("total_rows"), col("predicted_pairs"),
+        ((col("cnt") * col("cnt")).cast("double") /
+          col("predicted_pairs").cast("double")).as("pair_share"),
+        (((col("cnt") * col("cnt")).cast("double") /
+          col("predicted_pairs").cast("double")) > SaltShareThreshold)
+          .as("needs_salt"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_salted" -> ((s, d) =>
       revenueByPriority(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "join_explosion_profile" -> ((s, d) =>
+      joinExplosionProfile(Tables.events(s, d))),
   )
 
   /** DuckDB twin: the PLAIN join — salting must not change the answer. */
   def oracleSql: Map[String, String] = Map(
+    "join_explosion_profile" ->
+      s"""WITH counts AS (
+         |  SELECT user_id AS key, count(*) AS cnt
+         |  FROM events GROUP BY 1),
+         |tot AS (
+         |  SELECT count(*) AS n_keys,
+         |         CAST(sum(cnt) AS BIGINT) AS total_rows,
+         |         CAST(sum(cnt * cnt) AS BIGINT) AS predicted_pairs
+         |  FROM counts),
+         |top AS (
+         |  SELECT key, cnt FROM counts
+         |  ORDER BY cnt DESC, key LIMIT 10)
+         |SELECT t.key, t.cnt, t.cnt * t.cnt AS key_pairs,
+         |       o.n_keys, o.total_rows, o.predicted_pairs,
+         |       CAST(t.cnt * t.cnt AS DOUBLE) /
+         |         CAST(o.predicted_pairs AS DOUBLE) AS pair_share,
+         |       (CAST(t.cnt * t.cnt AS DOUBLE) /
+         |         CAST(o.predicted_pairs AS DOUBLE)) > $SaltShareThreshold
+         |         AS needs_salt
+         |FROM top t CROSS JOIN tot o""".stripMargin,
     "join_salted" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,
         |       CAST(round(sum(l.l_extendedprice) * 100) AS BIGINT)

@@ -135,4 +135,30 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       prevThreshold)
   }
+  test("joinExplosionProfile: exact pair prediction, shares, and the " +
+      "salt verdict flips at the threshold") {
+    import spark.implicits._
+    // user 1: 6 rows, user 2: 2, user 3: 1 -> predicted pairs 41;
+    // shares 36/41 (salt), 4/41 < 0.1 (no), 1/41 (no)
+    val ev = ((1 to 6).map(i => (i.toLong, 1L)) ++
+        Seq((7L, 2L), (8L, 2L), (9L, 3L)))
+      .map { case (e, u) => (e, u, "view", 1.0, "{}",
+        ts("2024-01-01 00:00:00")) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+    val r = SkewJoin.joinExplosionProfile(ev)
+      .select("key", "cnt", "key_pairs", "n_keys", "total_rows",
+        "predicted_pairs", "pair_share", "needs_salt")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r.size === 3)
+    r.values.foreach { x =>
+      assert(x._4 === 3L && x._5 === 9L && x._6 === 41L)
+    }
+    assert(r(1L)._3 === 36L && r(1L)._7 === 36.0 / 41 && r(1L)._8)
+    assert(r(2L)._3 === 4L && !r(2L)._8)
+    assert(r(3L)._3 === 1L && !r(3L)._8)
+    // the predicted size IS the self-join size
+    val actual = ev.as("a").join(ev.as("b"), "user_id").count()
+    assert(actual === 41L)
+  }
 }
