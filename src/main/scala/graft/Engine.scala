@@ -410,6 +410,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def referentialIntegrity: DataFrame =
       Quality.referentialIntegrity(spark, dataDir)
     def freshness: DataFrame = Quality.freshnessAudit(spark, dataDir)
+    def uniqueness: DataFrame = Quality.uniquenessAudit(spark, dataDir)
   }
 
   object streaming {

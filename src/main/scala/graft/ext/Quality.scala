@@ -307,6 +307,47 @@ object Quality {
         s"$ft.$fk->$dt.$pk")
     }.reduce(_ unionAll _)
 
+  /** Declared primary keys audited by [[uniquenessAudit]] — one entry
+    * per contract table; the twin is GENERATED from this list.
+    */
+  val PrimaryKeys: Seq[(String, String)] = Seq(
+    ("region", "r_regionkey"), ("nation", "n_nationkey"),
+    ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+    ("part", "p_partkey"), ("orders", "o_orderkey"),
+    ("events", "event_id"), ("documents", "doc_id"),
+    ("embeddings", "vec_id"))
+
+  /** PRIMARY-KEY UNIQUENESS AUDIT — the third leg of the DQ suite
+    * ([[referentialIntegrity]]: FK integrity, [[freshnessAudit]]:
+    * recency, this: key uniqueness): one row per declared PK with the
+    * row count, distinct-key count, duplicate surplus, null-key count,
+    * and the verdict. A silver stage dedups on exactly these keys, so
+    * this audit is the post-load assertion that it worked.
+    *
+    * Scale shape: one count+count-distinct aggregate per table (Catalyst
+    * plans a single expand + partial-merging aggregate), output
+    * tables-sized.
+    */
+  def uniquenessAuditOn(tables: Seq[(String, DataFrame, String)])
+      : DataFrame =
+    tables.map { case (t, df, k) =>
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(k)).as("n_distinct"),
+          sum(when(col(k).isNull, 1L).otherwise(0L)).as("n_null"))
+        .select(lit(s"$t.$k").as("pk"), col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_dup"),
+          coalesce(col("n_null"), lit(0L)).as("n_null"),
+          (col("n_rows") === col("n_distinct")).as("is_unique"))
+    }.reduce(_ unionAll _)
+
+  /** [[uniquenessAuditOn]] over the [[PrimaryKeys]] contract tables. */
+  def uniquenessAudit(s: SparkSession, d: String): DataFrame =
+    uniquenessAuditOn(PrimaryKeys.map { case (t, k) =>
+      val df = if (t == "events") Tables.events(s, d)
+        else Tables.load(s, d, t)
+      (t, df, k)
+    })
+
   /** Monitored (table, event-time column, SLA days) triples for
     * [[freshnessAudit]]. SLAs are contract constants of the registered
     * query: transactional tables may trail the freshest feed by up to
@@ -371,6 +412,7 @@ object Quality {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_referential" -> (referentialIntegrity(_, _)),
     "dq_freshness" -> (freshnessAudit(_, _)),
+    "dq_uniqueness" -> (uniquenessAudit(_, _)),
     "feature_zscore" -> ((s, d) => zscoreQuantity(Tables.lineitem(s, d))),
     "feature_binning" -> ((s, d) => decileBinning(Tables.lineitem(s, d))),
     "feature_cdf" -> ((s, d) => featureCdf(Tables.lineitem(s, d))),
@@ -397,6 +439,20 @@ object Quality {
     * [[FkEdges]] list — NOT EXISTS mirrors LEFT ANTI exactly (both
     * null-safe, keys here are non-null anyway).
     */
+  /** Uniqueness twin generated from the SAME [[PrimaryKeys]] contract
+    * list, so the audited key surface can never drift between engines.
+    */
+  private def duckUniquenessSql: String =
+    PrimaryKeys.map { case (t, k) =>
+      s"""SELECT '$t.$k' AS pk, count(*) AS n_rows,
+         |       count(DISTINCT $k) AS n_distinct,
+         |       count(*) - count(DISTINCT $k) AS n_dup,
+         |       CAST(sum(CASE WHEN $k IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_null,
+         |       count(*) = count(DISTINCT $k) AS is_unique
+         |FROM $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Freshness twin generated from the SAME [[FreshnessSlas]] contract
     * list, so the monitored surface can never drift between engines.
     */
@@ -436,6 +492,7 @@ object Quality {
   def oracleSql: Map[String, String] = Map(
     "dq_referential" -> duckReferentialSql,
     "dq_freshness" -> duckFreshnessSql,
+    "dq_uniqueness" -> duckUniquenessSql,
     "feature_mad" ->
       """WITH b AS (
         |  SELECT l_returnflag,

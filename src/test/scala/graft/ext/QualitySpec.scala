@@ -158,4 +158,17 @@ class QualitySpec extends SparkSpec {
       ("a", 2L, "2024-01-10", 0L, 1L, false),
       ("b", 1L, "2024-01-01", 9L, 5L, true)))
   }
+  test("uniquenessAuditOn: duplicate surplus and null keys counted, " +
+      "clean table passes") {
+    val a = Seq(Some(1L), Some(1L), Some(2L), None)
+      .toDF("k")
+    val b = Seq(1L, 2L, 3L).toDF("k")
+    val r = Quality.uniquenessAuditOn(Seq(("a", a, "k"), ("b", b, "k")))
+      .select("pk", "n_rows", "n_distinct", "n_dup", "n_null", "is_unique")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    // table a: 4 rows, distinct non-null keys {1,2} -> dup surplus 2
+    assert(r === Set(
+      ("a.k", 4L, 2L, 2L, 1L, false),
+      ("b.k", 3L, 3L, 0L, 0L, true)))
+  }
 }
