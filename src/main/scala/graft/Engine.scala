@@ -527,6 +527,12 @@ case class Engine(spark: SparkSession, dataDir: String) {
       val ds = Multimodal.assets(docs).as[Multimodal.Asset]
       Multimodal.audioClusters(Multimodal.encodeWav(ds))
     }
+    def audioResample(frameLen: Int = 160): DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.audioResampleEnergy(Multimodal.encodeWav(ds), frameLen)
+        .toDF()
+    }
     def audioVad(msqThreshold: Long = Multimodal.VadMsqThreshold)
         : DataFrame = {
       import spark.implicits._

@@ -618,6 +618,59 @@ object Multimodal {
       .as[AudioFp]
   }
 
+  /** DECIMATE-BY-2 RESAMPLE → FRAME ENERGY — the sample-rate conversion
+    * step of a speech pipeline (8 kHz → 4 kHz here), run as a REAL
+    * decode: the RIFF stream is parsed by `javax.sound`, consecutive
+    * sample pairs average to one output sample (`(s₀+s₁) div 2` —
+    * exact integer floor, the box anti-alias filter), an unpaired tail
+    * sample is dropped, and the resampled stream cuts into the same
+    * fixed frames as [[audioFrameEnergy]]. Emits the identical
+    * [[AudioFrame]] shape, so the whole downstream chain (VAD,
+    * fingerprints, near-dup) runs unchanged on the lower rate.
+    *
+    * Scale shape: one narrow decode pass per asset, no shuffle — the
+    * [[audioFrameEnergy]] kernel with a two-sample accumulator in
+    * front.
+    */
+  def audioResampleEnergy(wavs: Dataset[Asset],
+      frameLen: Int = 160): Dataset[AudioFrame] = {
+    import wavs.sparkSession.implicits._
+    wavs.flatMap { a =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AudioFrame]
+      var frameId = 0L
+      var n = 0L
+      var sum = 0L
+      var sumSq = 0L
+      def flush(): Unit = if (n > 0) {
+        out += AudioFrame(a.doc_id, frameId, n, sum, sumSq,
+          math.sqrt(sumSq.toDouble / n))
+        frameId += 1; n = 0; sum = 0; sumSq = 0
+      }
+      var pending = -1
+      val buf = new Array[Byte](8192)
+      var read = ais.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i < read) {
+          val s = java.lang.Byte.toUnsignedInt(buf(i))
+          if (pending < 0) pending = s
+          else {
+            val r = (pending + s) / 2
+            pending = -1
+            sum += r; sumSq += r.toLong * r; n += 1
+            if (n == frameLen) flush()
+          }
+          i += 1
+        }
+        read = ais.read(buf)
+      }
+      flush()
+      out
+    }
+  }
+
   /** Mean-square frame energy above which a frame counts as ACTIVE in
     * [[audioVadSegments]] — the corpus median at the test SFs, so real
     * frames split both ways; a production deployment calibrates it on
@@ -1031,6 +1084,8 @@ object Multimodal {
       decodeWav(encodeWav(assetDs(s, d))).toDF()),
     "mm_audio_energy" -> ((s, d) =>
       audioFrameEnergy(encodeWav(assetDs(s, d))).toDF()),
+    "mm_audio_resample" -> ((s, d) =>
+      audioResampleEnergy(encodeWav(assetDs(s, d))).toDF()),
     "mm_audio_fingerprint" -> ((s, d) =>
       audioFingerprint(encodeWav(assetDs(s, d))).toDF()),
     "mm_dedup_audio" -> ((s, d) =>
@@ -1428,6 +1483,34 @@ object Multimodal {
         |  SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
         |         samp[frame_id * 160 + 1 :
         |              least((frame_id + 1) * 160, len(samp))] AS fr
+        |  FROM f)
+        |SELECT doc_id, frame_id,
+        |       CAST(len(fr) AS BIGINT) AS n_samples,
+        |       CAST(list_sum(fr) AS BIGINT) AS sum_amp,
+        |       CAST(list_sum([x * x for x in fr]) AS BIGINT) AS sum_sq,
+        |       sqrt(CAST(CAST(list_sum([x * x for x in fr]) AS BIGINT)
+        |                 AS DOUBLE) / len(fr)) AS rms
+        |FROM e""".stripMargin,
+    "mm_audio_resample" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         [ascii(substring(text, i, 1))
+        |          for i in range(1, octet_length(encode(text)) + 1)] AS samp
+        |  FROM documents),
+        |rs AS (
+        |  SELECT doc_id,
+        |         [(samp[2 * i - 1] + samp[2 * i]) // 2
+        |          for i in range(1, len(samp) // 2 + 1)] AS rsam
+        |  FROM s),
+        |f AS (
+        |  SELECT doc_id, rsam,
+        |         unnest(range((len(rsam) + 159) // 160)) AS frame_id
+        |  FROM rs
+        |  WHERE len(rsam) > 0),
+        |e AS (
+        |  SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+        |         rsam[frame_id * 160 + 1 :
+        |              least((frame_id + 1) * 160, len(rsam))] AS fr
         |  FROM f)
         |SELECT doc_id, frame_id,
         |       CAST(len(fr) AS BIGINT) AS n_samples,

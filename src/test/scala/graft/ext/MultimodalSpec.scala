@@ -498,4 +498,23 @@ class MultimodalSpec extends SparkSpec {
     assert(!cl.contains(9L),
       "an asset with no near-dup partner is outside the pair graph")
   }
+  test("audioResampleEnergy: pair-averaged samples, dropped odd tail, " +
+      "frame split on the decimated stream") {
+    val ds = Multimodal.assets(docs(
+      1L -> "abcd",     // (97+98)/2=97, (99+100)/2=99
+      2L -> "abc",      // 97; the unpaired 'c' is dropped
+      3L -> ("a" * 400) // 200 resampled 97s -> frames of 160 + 40
+    )).as[Multimodal.Asset]
+    val r = Multimodal.audioResampleEnergy(Multimodal.encodeWav(ds))
+      .collect().map(f => (f.doc_id, f.frame_id) -> f).toMap
+    assert(r((1L, 0L)).n_samples === 2L)
+    assert(r((1L, 0L)).sum_amp === 196L)
+    assert(r((1L, 0L)).sum_sq === 97L * 97 + 99L * 99)
+    assert(r((2L, 0L)).n_samples === 1L && r((2L, 0L)).sum_amp === 97L)
+    assert(r((3L, 0L)).n_samples === 160L &&
+      r((3L, 0L)).sum_sq === 160L * 97 * 97)
+    assert(r((3L, 1L)).n_samples === 40L &&
+      r((3L, 1L)).sum_amp === 40L * 97)
+    assert(r.size === 4)
+  }
 }
