@@ -378,6 +378,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Stats.benfordOrderTotals(Tables.orders(spark, dataDir))
     def autocorrelation(lags: Seq[Int] = Stats.AutocorrLags): DataFrame =
       Stats.autocorrDailyRevenue(Tables.orders(spark, dataDir), lags)
+    def pacf(maxLag: Int = Stats.PacfMaxLag): DataFrame =
+      Stats.pacfDailyRevenue(Tables.orders(spark, dataDir), maxLag)
     def mannKendall: DataFrame = Stats.mannKendallSegment(
       Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
     def theilSen: DataFrame = Stats.theilSenSegment(

@@ -212,6 +212,170 @@ object Stats {
       .select("lag", "n_pairs", "r_num", "den_x", "den_z", "r")
   }
 
+  /** Lags 1..[[PacfMaxLag]] emitted by [[pacfDailyRevenue]]. */
+  val PacfMaxLag = 7
+
+  /** PARTIAL AUTOCORRELATION (Durbin–Levinson) of daily revenue — the
+    * AR-order diagnostic read next to [[autocorrDailyRevenue]]'s ACF:
+    * PACF(k) is lag-k correlation with lags 1..k−1 regressed out, so an
+    * AR(p) series cuts off sharply after lag p where the raw ACF decays
+    * slowly. Stationary ACF first: with the global mean folded in by
+    * cross-multiplication,
+    * `num_k = n²·Σy_t y_{t+k} − n·S·(H_k+T_k) + m_k·S²` is an EXACT
+    * integer (DECIMAL(38,0) sums / HUGEINT twin), and
+    * `ρ_k = num_k/num_0` is one double division per lag. The DL
+    * recursion then runs over those ≤[[PacfMaxLag]] ρ doubles as a
+    * fixed cascade of `+ − × ÷` evaluated in identical order on both
+    * sides — driver-side here (8 scalars, the collected-codebook
+    * class), an UNROLLED CTE chain in the twin, subtraction order
+    * pinned to the same left fold.
+    *
+    * Scale shape: the day-domain decomposition of
+    * [[autocorrDailyRevenue]] (fact → ≤ ~2.5k daily rows, per-lag
+    * self-joins on the day table); everything after the per-lag
+    * aggregate is metadata-sized.
+    */
+  def pacfDailyRevenue(orders: DataFrame,
+      maxLag: Int = PacfMaxLag): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val daily = orders
+      .groupBy(dayX(col("o_orderdate")).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("rev_cents"))
+      .withColumn("y", expr("rev_cents div 100000"))
+      .select("day", "y")
+    val dailyM = graft.CheckpointLease.track(daily.localCheckpoint())
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lagged = (0 to maxLag).map { k =>
+      dailyM.as("a")
+        .join(dailyM.as("b"), col("a.day") === col("b.day") + lit(k))
+        .select(lit(k).as("lag"), col("a.y").as("x"), col("b.y").as("z"))
+    }.reduce(_ union _)
+    val per = lagged.groupBy("lag")
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("x")) * dec(col("z"))).as("a_k"),
+        sum(dec(col("z"))).as("h_k"),
+        sum(dec(col("x"))).as("t_k"))
+      .collect().map { r =>
+        r.getAs[Int]("lag") -> ((r.getAs[Long]("m"),
+          BigDecimal(r.getAs[java.math.BigDecimal]("a_k")),
+          BigDecimal(r.getAs[java.math.BigDecimal]("h_k")),
+          BigDecimal(r.getAs[java.math.BigDecimal]("t_k"))))
+      }.toMap
+    require(per.contains(0), "pacfDailyRevenue: empty series")
+    val (n, _, s, _) = per(0)
+    def num(k: Int): BigDecimal = per.get(k) match {
+      case None => BigDecimal(0)
+      case Some((m, ak, hk, tk)) =>
+        BigDecimal(n) * BigDecimal(n) * ak -
+          BigDecimal(n) * s * (hk + tk) + BigDecimal(m) * s * s
+    }
+    val num0 = num(0)
+    val rho = Array.tabulate(maxLag + 1) { k =>
+      if (k == 0) 1.0
+      else if (num0 == 0) 0.0
+      else num(k).toDouble / num0.toDouble
+    }
+    val phi = Array.ofDim[Double](maxLag + 1, maxLag + 1)
+    if (maxLag >= 1) phi(1)(1) = rho(1)
+    for (k <- 2 to maxLag) {
+      var numv = rho(k)
+      var j = 1
+      while (j < k) { numv -= phi(k - 1)(j) * rho(k - j); j += 1 }
+      var denv = 1.0
+      j = 1
+      while (j < k) { denv -= phi(k - 1)(j) * rho(j); j += 1 }
+      val pkk = numv / denv
+      phi(k)(k) = pkk
+      j = 1
+      while (j < k) {
+        phi(k)(j) = phi(k - 1)(j) - pkk * phi(k - 1)(k - j); j += 1
+      }
+    }
+    (1 to maxLag).map(k => (k.toLong, rho(k), phi(k)(k)))
+      .toDF("lag", "rho", "pacf")
+  }
+
+  /** [[pacfDailyRevenue]]'s twin: same exact-integer ACF numerators in
+    * HUGEINT, the Durbin–Levinson cascade UNROLLED as chained CTEs with
+    * the subtraction order pinned to the Scala loop's left fold.
+    */
+  private def duckPacfSql(maxLag: Int = PacfMaxLag): String = {
+    val pairArms = (0 to maxLag).map { k =>
+      s"""  SELECT $k AS lag, a.y AS x, b.y AS z
+         |  FROM daily a JOIN daily b ON a.day = b.day + $k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val pivot = (0 to maxLag).map { k =>
+      s"coalesce(max(CASE WHEN lag = $k THEN num END), 0) AS num_$k"
+    }.mkString(",\n         ")
+    val rhoCols = (1 to maxLag).map { k =>
+      s"""CASE WHEN num_0 = 0 THEN 0.0
+         |              ELSE CAST(num_$k AS DOUBLE) / CAST(num_0 AS DOUBLE)
+         |         END AS rho_$k""".stripMargin
+    }.mkString(",\n         ")
+    val dl = new StringBuilder
+    var prev = "rhos2"
+    if (maxLag >= 1) {
+      dl.append("p1 AS (SELECT *, rho_1 AS phi_1_1 FROM rhos2)")
+      prev = "p1"
+    }
+    for (k <- 2 to maxLag) {
+      val numExpr = (1 until k).foldLeft(s"rho_$k") { (acc, j) =>
+        s"$acc - phi_${k - 1}_$j * rho_${k - j}"
+      }
+      val denExpr = (1 until k).foldLeft("CAST(1.0 AS DOUBLE)") {
+        (acc, j) => s"$acc - phi_${k - 1}_$j * rho_$j"
+      }
+      dl.append(",\n").append(
+        s"q$k AS (SELECT *, ($numExpr) / ($denExpr) AS phi_${k}_$k " +
+          s"FROM $prev)")
+      prev = s"q$k"
+      if (k < maxLag) {
+        val updates = (1 until k).map { j =>
+          s"phi_${k - 1}_$j - phi_${k}_$k * phi_${k - 1}_${k - j} " +
+            s"AS phi_${k}_$j"
+        }.mkString(",\n  ")
+        dl.append(",\n").append(s"r$k AS (SELECT *,\n  $updates\nFROM $prev)")
+        prev = s"r$k"
+      }
+    }
+    val finals = (1 to maxLag).map { k =>
+      s"  SELECT CAST($k AS BIGINT) AS lag, rho_$k AS rho, " +
+        s"phi_${k}_$k AS pacf FROM $prev"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT CAST(datediff('day', DATE '1995-01-01',
+       |                       CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       |              AS BIGINT) // 100000 AS y
+       |  FROM orders GROUP BY 1),
+       |pairs AS (
+       |$pairArms),
+       |per AS (
+       |  SELECT lag, count(*) AS m,
+       |         sum(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS a_k,
+       |         sum(CAST(z AS HUGEINT)) AS h_k,
+       |         sum(CAST(x AS HUGEINT)) AS t_k
+       |  FROM pairs GROUP BY 1),
+       |g AS (SELECT m AS n, h_k AS s FROM per WHERE lag = 0),
+       |nums AS (
+       |  SELECT per.lag,
+       |         CAST(g.n AS HUGEINT) * CAST(g.n AS HUGEINT) * per.a_k -
+       |         CAST(g.n AS HUGEINT) * g.s * (per.h_k + per.t_k) +
+       |         CAST(per.m AS HUGEINT) * g.s * g.s AS num
+       |  FROM per, g),
+       |rhos AS (
+       |  SELECT $pivot
+       |  FROM nums),
+       |rhos2 AS (
+       |  SELECT *,
+       |         $rhoCols
+       |  FROM rhos),
+       |$dl
+       |$finals""".stripMargin
+  }
+
   /** Mann-Kendall trend test per market segment over the daily mean
     * order value series — the non-parametric companion to
     * [[trendSegmentSpend]]'s OLS slope (robust to outliers and
@@ -762,6 +926,7 @@ object Stats {
     "stats_mann_kendall" -> ((s, d) =>
       mannKendallSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "ts_autocorr" -> ((s, d) => autocorrDailyRevenue(Tables.orders(s, d))),
+    "ts_pacf" -> ((s, d) => pacfDailyRevenue(Tables.orders(s, d))),
     "stats_trend_segment" -> ((s, d) =>
       trendSegmentSpend(Tables.orders(s, d), Tables.customer(s, d))),
     "stats_corr_qty_value" -> ((s, d) => corrQtyValue(Tables.lineitem(s, d))),
@@ -1111,6 +1276,7 @@ object Stats {
         |              THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
         |            ELSE 0.0 END AS z
         |FROM g""".stripMargin,
+    "ts_pacf" -> duckPacfSql(),
     "ts_autocorr" ->
       """WITH daily AS (
         |  SELECT CAST(datediff('day', DATE '1995-01-01',

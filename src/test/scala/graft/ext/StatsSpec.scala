@@ -381,4 +381,51 @@ class StatsSpec extends SparkSpec {
     assert(r("C")._2 === 3L && r("C")._3 === 15.0 && r("C")._4 === 5.0)
     assert(r("C")._5 === 0.75)
   }
+  test("pacfDailyRevenue: matches an independent ACF + Durbin-Levinson " +
+      "replay; lag-1 PACF equals lag-1 ACF") {
+    // 14 consecutive days, daily revenue k$ = ys(i) (prices in $1000s
+    // so y = rev_cents div 100000 lands exactly on the series)
+    val ys = Seq(1L, 5L, 2L, 8L, 3L, 9L, 4L, 7L, 6L, 2L, 9L, 1L, 5L, 4L)
+    val o = orders(ys.zipWithIndex.map { case (y, i) =>
+      ((i + 1).toLong, 1L, y * 1000.0,
+        java.time.LocalDate.of(1995, 3, 1).plusDays(i).toString)
+    }: _*)
+    val maxLag = 4
+    val got = Stats.pacfDailyRevenue(o, maxLag).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        ((r.getAs[Double]("rho"), r.getAs[Double]("pacf")))).toMap
+
+    // ---- reference replay from definitions
+    val n = ys.length
+    val sSum = ys.sum
+    def num(k: Int): BigDecimal = {
+      val pairs = (0 until n - k).map(t => (ys(t), ys(t + k)))
+      val ak = pairs.map { case (a, b) => BigDecimal(a) * BigDecimal(b) }.sum
+      val hk = BigDecimal(pairs.map(_._1).sum)
+      val tk = BigDecimal(pairs.map(_._2).sum)
+      BigDecimal(n) * BigDecimal(n) * ak -
+        BigDecimal(n) * BigDecimal(sSum) * (hk + tk) +
+        BigDecimal(pairs.length) * BigDecimal(sSum) * BigDecimal(sSum)
+    }
+    val rho = Array.tabulate(maxLag + 1)(k =>
+      if (k == 0) 1.0 else num(k).toDouble / num(0).toDouble)
+    val phi = Array.ofDim[Double](maxLag + 1, maxLag + 1)
+    phi(1)(1) = rho(1)
+    for (k <- 2 to maxLag) {
+      var nv = rho(k); var j = 1
+      while (j < k) { nv -= phi(k - 1)(j) * rho(k - j); j += 1 }
+      var dv = 1.0; j = 1
+      while (j < k) { dv -= phi(k - 1)(j) * rho(j); j += 1 }
+      phi(k)(k) = nv / dv
+      j = 1
+      while (j < k) {
+        phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j); j += 1
+      }
+    }
+    (1 to maxLag).foreach { k =>
+      assert(got(k.toLong)._1 === rho(k), s"rho($k)")
+      assert(math.abs(got(k.toLong)._2 - phi(k)(k)) < 1e-12, s"pacf($k)")
+    }
+    assert(got(1L)._2 === got(1L)._1) // PACF(1) == ACF(1) by definition
+  }
 }
