@@ -380,6 +380,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Stats.autocorrDailyRevenue(Tables.orders(spark, dataDir), lags)
     def pacf(maxLag: Int = Stats.PacfMaxLag): DataFrame =
       Stats.pacfDailyRevenue(Tables.orders(spark, dataDir), maxLag)
+    def rollingCorrelation(window: Int = Stats.RollingCorrWindow): DataFrame =
+      Stats.rollingCorrDaily(Tables.orders(spark, dataDir), window)
     def mannKendall: DataFrame = Stats.mannKendallSegment(
       Tables.orders(spark, dataDir), Tables.customer(spark, dataDir))
     def theilSen: DataFrame = Stats.theilSenSegment(

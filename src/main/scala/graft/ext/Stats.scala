@@ -212,6 +212,47 @@ object Stats {
       .select("lag", "n_pairs", "r_num", "den_x", "den_z", "r")
   }
 
+  /** Trailing window (days) of [[rollingCorrDaily]]. */
+  val RollingCorrWindow = 28
+
+  /** ROLLING CORRELATION between daily order count and daily revenue —
+    * the regime-shift monitor ("are busy days still big days?"): per
+    * day, the Pearson r of the two metrics over the trailing
+    * [[RollingCorrWindow]] days. All five moments are ROLLING exact
+    * integer sums over the day-level series (w ≤ 28, counts ≤ ~10⁴,
+    * k$ ≤ ~10⁵ — far inside int64), and r is the
+    * [[autocorrDailyRevenue]] expression tree per row: one integer
+    * cross-multiplied numerator, two variance integers, one
+    * division-by-sqrt-product. Zero-variance windows surface NULL (the
+    * degenerate-group convention), partial leading windows are emitted
+    * with their own n_w. Windows ride the CALENDAR-BOUNDED day table.
+    */
+  def rollingCorrDaily(orders: DataFrame,
+      window: Int = RollingCorrWindow): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(-(window - 1), 0)
+    val daily = orders
+      .groupBy(dayX(col("o_orderdate")).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      .withColumn("z", expr("rev_cents div 100000"))
+    daily
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sz", sum("z").over(w))
+      .withColumn("sxz", sum(col("x") * col("z")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("szz", sum(col("z") * col("z")).over(w))
+      .withColumn("r_num", col("n_w") * col("sxz") - col("sx") * col("sz"))
+      .withColumn("den_x", col("n_w") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("den_z", col("n_w") * col("szz") - col("sz") * col("sz"))
+      .select(col("day"), col("n_w"),
+        when(col("den_x") > 0L && col("den_z") > 0L,
+          col("r_num").cast("double") /
+            (sqrt(col("den_x").cast("double")) *
+              sqrt(col("den_z").cast("double")))).as("r"))
+  }
+
   /** Lags 1..[[PacfMaxLag]] emitted by [[pacfDailyRevenue]]. */
   val PacfMaxLag = 7
 
@@ -927,6 +968,7 @@ object Stats {
       mannKendallSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "ts_autocorr" -> ((s, d) => autocorrDailyRevenue(Tables.orders(s, d))),
     "ts_pacf" -> ((s, d) => pacfDailyRevenue(Tables.orders(s, d))),
+    "ts_rolling_corr" -> ((s, d) => rollingCorrDaily(Tables.orders(s, d))),
     "stats_trend_segment" -> ((s, d) =>
       trendSegmentSpend(Tables.orders(s, d), Tables.customer(s, d))),
     "stats_corr_qty_value" -> ((s, d) => corrQtyValue(Tables.lineitem(s, d))),
@@ -1277,6 +1319,40 @@ object Stats {
         |            ELSE 0.0 END AS z
         |FROM g""".stripMargin,
     "ts_pacf" -> duckPacfSql(),
+    "ts_rolling_corr" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(datediff('day', DATE '1995-01-01',
+         |                       CAST(o_orderdate AS DATE)) AS BIGINT)
+         |           AS day,
+         |         count(*) AS x,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |              AS BIGINT) // 100000 AS z
+         |  FROM orders GROUP BY 1),
+         |r AS (
+         |  SELECT day,
+         |         CAST(count(*) OVER tw AS BIGINT) AS n_w,
+         |         CAST(sum(x) OVER tw AS BIGINT) AS sx,
+         |         CAST(sum(z) OVER tw AS BIGINT) AS sz,
+         |         CAST(sum(x * z) OVER tw AS BIGINT) AS sxz,
+         |         CAST(sum(x * x) OVER tw AS BIGINT) AS sxx,
+         |         CAST(sum(z * z) OVER tw AS BIGINT) AS szz
+         |  FROM daily
+         |  WINDOW tw AS (ORDER BY day
+         |                ROWS BETWEEN ${RollingCorrWindow - 1} PRECEDING
+         |                         AND CURRENT ROW)),
+         |f AS (
+         |  SELECT day, n_w,
+         |         n_w * sxz - sx * sz AS r_num,
+         |         n_w * sxx - sx * sx AS den_x,
+         |         n_w * szz - sz * sz AS den_z
+         |  FROM r)
+         |SELECT day, n_w,
+         |       CASE WHEN den_x > 0 AND den_z > 0
+         |            THEN CAST(r_num AS DOUBLE) /
+         |                 (sqrt(CAST(den_x AS DOUBLE)) *
+         |                  sqrt(CAST(den_z AS DOUBLE)))
+         |       END AS r
+         |FROM f""".stripMargin,
     "ts_autocorr" ->
       """WITH daily AS (
         |  SELECT CAST(datediff('day', DATE '1995-01-01',

@@ -428,4 +428,31 @@ class StatsSpec extends SparkSpec {
     }
     assert(got(1L)._2 === got(1L)._1) // PACF(1) == ACF(1) by definition
   }
+  test("rollingCorrDaily: perfect linearity gives r = 1, anti gives -1, " +
+      "constant metric surfaces NULL") {
+    // days 0..3, one window of 3: counts x = [1,2,3,...]; revenue k$
+    // proportional to count -> r = 1 in every full window
+    def mk(ys: Seq[(Int, Long)]) = orders(
+      ys.zipWithIndex.flatMap { case ((cnt, k), i) =>
+        (1 to cnt).map(j => ((i * 10 + j).toLong, 1L, k * 1000.0 / cnt,
+          java.time.LocalDate.of(1995, 3, 1).plusDays(i).toString))
+      }: _*)
+    // x = [1, 2, 3, 4]; z = x exactly (k$ = count)
+    val lin = mk(Seq((1, 1L), (2, 2L), (3, 3L), (4, 4L)))
+    val r1 = Stats.rollingCorrDaily(lin, window = 3).collect()
+      .filter(_.getAs[Long]("n_w") >= 2L) // single-point window has var 0
+      .map(_.getAs[java.lang.Double]("r"))
+    assert(r1.nonEmpty && r1.forall(v =>
+      v != null && math.abs(v - 1.0) < 1e-12))
+    // z descends while x ascends -> r = -1 on full windows
+    val anti = mk(Seq((1, 4L), (2, 3L), (3, 2L), (4, 1L)))
+    val r2 = Stats.rollingCorrDaily(anti, window = 3).collect()
+      .filter(_.getAs[Long]("n_w") === 3L)
+      .map(_.getAs[java.lang.Double]("r"))
+    assert(r2.nonEmpty && r2.forall(v => math.abs(v + 1.0) < 1e-12))
+    // constant revenue -> den_z = 0 -> NULL, not a crash
+    val const = mk(Seq((1, 5L), (2, 5L), (3, 5L)))
+    val r3 = Stats.rollingCorrDaily(const, window = 3).collect()
+    assert(r3.forall(_.isNullAt(2)))
+  }
 }
