@@ -134,6 +134,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def evalLangId: DataFrame = TextAnalysis.evalLangId(docs)
     def evalAucRoc(bins: Int = 10): DataFrame =
       TextAnalysis.evalAucRoc(docs, bins)
+    def blocklist(terms: Seq[String] = TextAnalysis.BlocklistTerms)
+        : DataFrame = TextAnalysis.blocklistScreen(docs, terms)
     def readability: DataFrame = TextAnalysis.readability(docs)
     def compressRatio: DataFrame = TextAnalysis.compressRatio(docs)
     def winnow(n: Int = TextAnalysis.WinnowGram,

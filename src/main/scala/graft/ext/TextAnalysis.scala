@@ -279,6 +279,42 @@ object TextAnalysis {
         (col("n").cast("double") / col("pred_total")).as("share_of_pred"))
   }
 
+  /** Demo blocklist of [[blocklistScreen]] — a contract list (real
+    * deployments load theirs from a policy table); includes a term the
+    * corpus never contains so the zero-hit path is exercised. */
+  val BlocklistTerms: Seq[String] = Seq("slow", "stream", "secret")
+
+  /** Hits above which [[blocklistScreen]] flags a document. */
+  val BlocklistMaxHits = 1
+
+  /** TERM-BLOCKLIST SCREEN — the policy-filter stage of a corpus
+    * pipeline (safety terms, competitor names, PII keywords): per
+    * document, total occurrences of blocked terms, distinct blocked
+    * terms present, and the flag (`n_hits > maxHits`). Zero-hit
+    * documents stay in the output with explicit zeros — a screen that
+    * silently drops the clean rows can't be audited.
+    *
+    * Scale shape: one narrow token explode filtered by a broadcastable
+    * term set (codegen'd IN for a literal list; a large policy table
+    * would swap in a broadcast semi-join, same plan shape), one keyed
+    * aggregate, one left join back to the doc spine. The twin derives
+    * its IN list from the SAME Scala constant.
+    */
+  def blocklistScreen(docs: DataFrame,
+      terms: Seq[String] = BlocklistTerms,
+      maxHits: Int = BlocklistMaxHits): DataFrame = {
+    val hits = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("h"), countDistinct(col("tok")).as("t"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        coalesce(col("t"), lit(0L)).as("n_terms"))
+      .withColumn("flagged", col("n_hits") > maxHits)
+  }
+
   /** EXACT AUC + ROC DECILE CURVE — the threshold-free companion to
     * [[evalLangId]]'s confusion matrix: scores a binary "classifier"
     * (here: does document length predict `lang = 'en'`?) by the exact
@@ -733,6 +769,7 @@ object TextAnalysis {
     "search_bm25_topk"  -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "eval_confusion"    -> ((s, d) => evalLangId(Tables.documents(s, d))),
     "eval_auc_roc"      -> ((s, d) => evalAucRoc(Tables.documents(s, d))),
+    "text_blocklist"    -> ((s, d) => blocklistScreen(Tables.documents(s, d))),
     "text_keywords"     -> ((s, d) => keywords(Tables.documents(s, d))),
     "text_repetition"   -> ((s, d) => repetition(Tables.documents(s, d))),
     "text_stats"        -> ((s, d) => stats(Tables.documents(s, d))),
@@ -925,6 +962,20 @@ object TextAnalysis {
         |           (CAST(tf.dl * s.n_docs AS DOUBLE) / s.total_len)))
         |         AS tf_norm
         |FROM tf JOIN df USING (term), s""".stripMargin,
+    "text_blocklist" -> {
+      val inList = BlocklistTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, count(*) AS n_hits,
+         |         count(DISTINCT tok) AS n_terms
+         |  FROM tok WHERE tok IN ($inList) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+         |       coalesce(h.n_terms, 0) AS n_terms,
+         |       coalesce(h.n_hits, 0) > $BlocklistMaxHits AS flagged
+         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin
+    },
     "eval_auc_roc" ->
       """WITH vl AS (
         |  SELECT n_chars AS v,

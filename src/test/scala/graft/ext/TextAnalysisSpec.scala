@@ -385,4 +385,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.evalAucRoc(inv).collect()
       .head.getAs[Double]("auc") === 0.0)
   }
+  test("blocklistScreen: counts, distinct terms, flag threshold, zero-hit " +
+      "rows kept with explicit zeros") {
+    val d = docs(
+      (1L, "slow stream slow join", "en"),   // 3 hits, 2 terms -> flagged
+      (2L, "stream of data", "en"),          // 1 hit -> not flagged (>1)
+      (3L, "clean text only", "en"))         // 0 hits, still present
+    val r = TextAnalysis.blocklistScreen(d)
+      .select("doc_id", "n_hits", "n_terms", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(r === Set(
+      (1L, 3L, 2L, true),
+      (2L, 1L, 1L, false),
+      (3L, 0L, 0L, false)))
+  }
 }
