@@ -440,6 +440,14 @@ case class Engine(spark: SparkSession, dataDir: String) {
         k: Int = graft.streaming.HeavyUsersStream.DefaultCounters)
         : DataFrame =
       graft.streaming.HeavyUsersStream.heavyUsersStream(typedStream, k).toDF()
+    def rateMonitor(typedStream: org.apache.spark.sql.Dataset[
+        graft.streaming.RateMonitorStream.MinuteEvent],
+        k: Int = graft.streaming.RateMonitorStream.EwmaDepth): DataFrame =
+      graft.streaming.RateMonitorStream.rateMonitorStream(typedStream, k)
+        .toDF()
+    def rateMonitorBatch(k: Int = graft.streaming.RateMonitorStream.EwmaDepth)
+        : DataFrame =
+      EventsStreaming.rateMonitorBatch(Tables.events(spark, dataDir), k)
   }
 
   /** MERGE INTO-style upsert of `source` into `target` by `keys`. */

@@ -322,8 +322,43 @@ object EventsStreaming {
       .select("event_type", "user_id", "n_events")
   }
 
+  /** Batch twin of [[RateMonitorStream]]: per (event_type, minute)
+    * counts, the truncated EWMA of the previous [[RateMonitorStream
+    * .EwmaDepth]] OBSERVED minutes via the lag-window device
+    * ([[graft.etl.WindowOps.ewmaCustomerSpend]]'s exact dyadic
+    * weights), and the `count > SpikeFactor · ewma_prev` flag. First
+    * minutes (no history) emit NULL baseline / false flag. Windows
+    * partition by event type over the minute-level pre-aggregate —
+    * calendar-bounded per type.
+    */
+  def rateMonitorBatch(ev: DataFrame,
+      k: Int = RateMonitorStream.EwmaDepth): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("minute")
+    val mc = ev
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 60000000").as("minute"))
+      .groupBy("event_type", "minute")
+      .agg(count(lit(1)).as("n_events"))
+    val terms = (1 to k).map { j =>
+      val x = lag(col("n_events"), j).over(w)
+      val wt = lit(math.pow(0.5, j))
+      (when(x.isNotNull, x.cast("double") * wt).otherwise(lit(0.0)),
+        when(x.isNotNull, wt).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    mc.withColumn("ewma_prev", when(den > 0.0, num / den))
+      .withColumn("is_spike",
+        coalesce(col("n_events").cast("double") >
+          lit(RateMonitorStream.SpikeFactor) * col("ewma_prev"),
+          lit(false)))
+      .select("event_type", "minute", "n_events", "ewma_prev", "is_spike")
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_rate_monitor" -> ((s, d) =>
+      rateMonitorBatch(Tables.events(s, d))),
     "stream_top_users" -> ((s, d) => topUsersBatch(Tables.events(s, d))),
     "stream_late_audit" -> ((s, d) => latenessAudit(Tables.events(s, d))),
     "stream_hourly"   -> ((s, d) => hourlyBatch(Tables.events(s, d))),
@@ -344,6 +379,40 @@ object EventsStreaming {
     * which is exactly `session_window`'s merge semantics.
     */
   def oracleSql: Map[String, String] = Map(
+    "stream_rate_monitor" -> {
+      val k = RateMonitorStream.EwmaDepth
+      val lagCols = (1 to k).map(j =>
+        s"lag(n_events, $j) OVER w AS x$j").mkString(",\n         ")
+      val num = (1 to k).map { j =>
+        val wt = java.math.BigDecimal.valueOf(math.pow(0.5, j)).toPlainString
+        s"COALESCE(CAST(x$j AS DOUBLE), 0) * $wt"
+      }.mkString("\n          + ")
+      val den = (1 to k).map { j =>
+        val wt = java.math.BigDecimal.valueOf(math.pow(0.5, j)).toPlainString
+        s"CASE WHEN x$j IS NULL THEN 0 ELSE $wt END"
+      }.mkString("\n          + ")
+      s"""WITH mc AS (
+         |  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+         |         count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |lagged AS (
+         |  SELECT event_type, minute, n_events,
+         |         $lagCols
+         |  FROM mc
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY minute)),
+         |f AS (
+         |  SELECT event_type, minute, n_events,
+         |         ($num) AS num,
+         |         ($den) AS den
+         |  FROM lagged)
+         |SELECT event_type, minute, n_events,
+         |       CASE WHEN den > 0.0 THEN num / den END AS ewma_prev,
+         |       coalesce(CAST(n_events AS DOUBLE) >
+         |                ${RateMonitorStream.SpikeFactor} *
+         |                (CASE WHEN den > 0.0 THEN num / den END), false)
+         |         AS is_spike
+         |FROM f""".stripMargin
+    },
     "stream_top_users" ->
       """WITH c AS (
         |  SELECT event_type, user_id, count(*) AS n_events
