@@ -448,6 +448,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def rateMonitorBatch(k: Int = graft.streaming.RateMonitorStream.EwmaDepth)
         : DataFrame =
       EventsStreaming.rateMonitorBatch(Tables.events(spark, dataDir), k)
+    def dispersion: DataFrame =
+      EventsStreaming.dispersionByType(Tables.events(spark, dataDir))
   }
 
   /** MERGE INTO-style upsert of `source` into `target` by `keys`. */

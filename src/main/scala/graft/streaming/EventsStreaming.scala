@@ -355,10 +355,35 @@ object EventsStreaming {
       .select("event_type", "minute", "n_events", "ewma_prev", "is_spike")
   }
 
+  /** INDEX OF DISPERSION (Fano factor) of per-minute arrival counts per
+    * event type — the burstiness diagnostic behind capacity planning
+    * and the [[rateMonitorBatch]] thresholds: D = variance/mean of the
+    * minute counts; D ≈ 1 is Poisson (memoryless arrivals), D ≫ 1 is
+    * bursty. Cross-multiplied exact integers:
+    * `D = (n·Σc² − S²) / (n·S)` — two integer aggregates, ONE
+    * division; minutes with zero events are absent (observed-minute
+    * convention, like the monitor's baseline).
+    */
+  def dispersionByType(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        expr("unix_micros(ts) div 60000000").as("minute"))
+      .groupBy("event_type", "minute")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_minutes"),
+        sum("c").as("n_events"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("event_type"), col("n_minutes"), col("n_events"),
+        ((col("n_minutes") * col("sum_sq") -
+          col("n_events") * col("n_events")).cast("double") /
+          (col("n_minutes") * col("n_events")).cast("double"))
+          .as("dispersion"))
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_rate_monitor" -> ((s, d) =>
       rateMonitorBatch(Tables.events(s, d))),
+    "ts_dispersion" -> ((s, d) => dispersionByType(Tables.events(s, d))),
     "stream_top_users" -> ((s, d) => topUsersBatch(Tables.events(s, d))),
     "stream_late_audit" -> ((s, d) => latenessAudit(Tables.events(s, d))),
     "stream_hourly"   -> ((s, d) => hourlyBatch(Tables.events(s, d))),
@@ -413,6 +438,20 @@ object EventsStreaming {
          |         AS is_spike
          |FROM f""".stripMargin
     },
+    "ts_dispersion" ->
+      """WITH mc AS (
+        |  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, count(*) AS n_minutes,
+        |         CAST(sum(c) AS BIGINT) AS n_events,
+        |         CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |  FROM mc GROUP BY 1)
+        |SELECT event_type, n_minutes, n_events,
+        |       CAST(n_minutes * sum_sq - n_events * n_events AS DOUBLE) /
+        |         CAST(n_minutes * n_events AS DOUBLE) AS dispersion
+        |FROM a""".stripMargin,
     "stream_top_users" ->
       """WITH c AS (
         |  SELECT event_type, user_id, count(*) AS n_events

@@ -354,4 +354,23 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got === Set((1L, 3L, 1L, 1111L), (2L, 0L, 8L, 8889L)))
     assert(got.toSeq.map(_._4).sum === 10000L)
   }
+  test("dispersionByType: exact Fano factor — constant stream 0, " +
+      "bursty stream > 1, underdispersed < 1") {
+    def mk(typ: String, perMin: Seq[Int], base: Int) = perMin.zipWithIndex
+      .flatMap { case (c, m) => (1 to c).map(j =>
+        ((base + m * 100 + j).toLong, f"2024-01-01 00:$m%02d:00", 1L,
+          typ, 1.0)) }
+    val ev = events((mk("flat", Seq(2, 2), 0) ++
+      mk("burst", Seq(1, 7), 10000) ++
+      mk("mild", Seq(1, 3), 20000)): _*)
+    val r = EventsStreaming.dispersionByType(ev)
+      .select("event_type", "n_minutes", "n_events", "dispersion")
+      .as[(String, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("flat") === (("flat", 2L, 4L, 0.0)))
+    // (2*50 - 64) / (2*8) = 36/16
+    assert(r("burst") === (("burst", 2L, 8L, 2.25)))
+    // (2*10 - 16) / (2*4) = 0.5
+    assert(r("mild") === (("mild", 2L, 4L, 0.5)))
+  }
 }
