@@ -616,6 +616,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def rangePlan(parts: Long = graft.plans.Layout.RangeParts): DataFrame =
       graft.plans.Layout.rangePartitionPlan(
         Tables.orders(spark, dataDir), parts)
+    def clusteringDepth: DataFrame =
+      graft.plans.Layout.clusteringDepth(Tables.orders(spark, dataDir))
   }
 
   /** Stored-ANN-index lifecycle (build → append → pruned serve) — see

@@ -185,6 +185,49 @@ object Layout {
       .unionAll(audit("bydate", floor(col("day") / lit(40.0)).cast("long")))
   }
 
+  /** CLUSTERING DEPTH of the two [[zonemapPrune]] what-if layouts — the
+    * Delta/Iceberg OPTIMIZE advisor metric: for each shard, how many
+    * shards' key ranges overlap it (itself included). Depth 1 ⇔
+    * perfectly clustered non-overlapping ranges (every point query
+    * opens one file); depth ≈ n_shards ⇔ fully interleaved (zone maps
+    * prune nothing). Where [[zonemapPrune]] scores ONE predicate, depth
+    * scores the layout for ALL range predicates at once — the number
+    * that justifies a re-cluster before any query runs.
+    *
+    * Scale shape: shard ranges are a fan-out-bounded aggregate (64
+    * rows/layout — file-count-sized at any corpus size); the overlap
+    * self-join and depth rollup ride that bounded table, never the
+    * fact stream. Exact integers, one division for the average.
+    */
+  def clusteringDepth(orders: DataFrame): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")), to_date(lit(EpochDate)))
+      .cast("long")
+    val base = orders.select(col("o_orderkey"), day.as("day"))
+    def shardRanges(label: String, shard: Column) =
+      base.groupBy(shard.as("shard"))
+        .agg(min("day").as("d_min"), max("day").as("d_max"))
+        .select(lit(label).as("layout"), col("shard"), col("d_min"),
+          col("d_max"))
+    val ranges = graft.CheckpointLease.track(
+      shardRanges("bykey", pmod(col("o_orderkey"), lit(PruneShards)))
+        .unionAll(shardRanges("bydate",
+          floor(col("day") / lit(40.0)).cast("long")))
+        .localCheckpoint())
+    ranges.as("a")
+      .join(ranges.as("b"),
+        col("a.layout") === col("b.layout") &&
+          col("a.d_min") <= col("b.d_max") &&
+          col("b.d_min") <= col("a.d_max"))
+      .groupBy(col("a.layout").as("layout"), col("a.shard").as("shard"))
+      .agg(count(lit(1)).as("depth"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_shards"), max("depth").as("max_depth"),
+        sum("depth").as("sum_depth"))
+      .select(col("layout"), col("n_shards"), col("max_depth"),
+        (col("sum_depth").cast("double") / col("n_shards").cast("double"))
+          .as("avg_depth"))
+  }
+
   /** Partition fan-out for [[rangePartitionPlan]] (16 — file-count
     * granularity for the fixture; a 100 TB table uses thousands, the
     * arithmetic is scale-free).
@@ -239,6 +282,8 @@ object Layout {
     "layout_hilbert" -> ((s, d) => hilbertBlocks(Tables.orders(s, d))),
     "layout_compaction" -> ((s, d) => compactionPlan(Tables.orders(s, d))),
     "layout_zonemap_prune" -> ((s, d) => zonemapPrune(Tables.orders(s, d))),
+    "layout_clustering_depth" -> ((s, d) =>
+      clusteringDepth(Tables.orders(s, d))),
     "layout_range_plan" -> ((s, d) =>
       rangePartitionPlan(Tables.orders(s, d))),
   )
@@ -341,6 +386,32 @@ object Layout {
         |       (est_bytes + 1048575) // 1048576 AS n_files,
         |       est_bytes * 2 < 1048576 AS small_file
         |FROM m""".stripMargin,
+    "layout_clustering_depth" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey,
+         |         CAST(datediff('day', DATE '$EpochDate',
+         |                  CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+         |  FROM orders),
+         |rng AS (
+         |  SELECT 'bykey' AS layout, o_orderkey % $PruneShards AS shard,
+         |         min(day) AS d_min, max(day) AS d_max
+         |  FROM base GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'bydate' AS layout,
+         |         CAST(floor(day / 40.0) AS BIGINT) AS shard,
+         |         min(day) AS d_min, max(day) AS d_max
+         |  FROM base GROUP BY 1, 2),
+         |dep AS (
+         |  SELECT a.layout, a.shard, count(*) AS depth
+         |  FROM rng a JOIN rng b
+         |    ON a.layout = b.layout
+         |   AND a.d_min <= b.d_max AND b.d_min <= a.d_max
+         |  GROUP BY 1, 2)
+         |SELECT layout, count(*) AS n_shards,
+         |       CAST(max(depth) AS BIGINT) AS max_depth,
+         |       CAST(CAST(sum(depth) AS BIGINT) AS DOUBLE) /
+         |         CAST(count(*) AS DOUBLE) AS avg_depth
+         |FROM dep GROUP BY 1""".stripMargin,
     "layout_zonemap_prune" ->
       """WITH base AS (
         |  SELECT o_orderkey,

@@ -133,4 +133,21 @@ class LayoutSpec extends SparkSpec {
       assert(a.getAs[Long]("day_max") < b.getAs[Long]("day_min"))
     }
   }
+  test("clusteringDepth: date-clustered layout has depth 1, key-hashed " +
+      "layout interleaves to near-full depth") {
+    // 80 orders, day k = orderkey k (k = 0..79 from 1992-01-01):
+    // bydate -> 2 disjoint shards (days 0-39 | 40-79), depth 1 each;
+    // bykey (mod 64) -> shards 0..15 span [s, s+64] (overlap everything),
+    // singleton shards 16..63 overlap the 16 wide ones + themselves
+    val o = orders((0 until 80).map { k =>
+      (k.toLong, 1L, "F", 100.0,
+        java.time.LocalDate.of(1992, 1, 1).plusDays(k).toString, "1-URGENT")
+    }: _*)
+    val r = Layout.clusteringDepth(o)
+      .select("layout", "n_shards", "max_depth", "avg_depth")
+      .as[(String, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r("bydate") === (("bydate", 2L, 1L, 1.0)))
+    // sum depth = 16*64 + 48*17 = 1840 -> avg 28.75
+    assert(r("bykey") === (("bykey", 64L, 64L, 28.75)))
+  }
 }
