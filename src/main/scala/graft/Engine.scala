@@ -191,6 +191,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def knnGraph: DataFrame = Similarity.nearestNeighborGraph(emb)
     def knnLabelEval(k: Int = Similarity.KnnEvalK): DataFrame =
       Similarity.knnLabelEval(emb, k)
+    def knnLabelEvalIvf(k: Int = Similarity.KnnEvalK,
+        probes: Int = Similarity.NearDupProbes): DataFrame =
+      Similarity.knnLabelEvalIvf(emb, k, probes)
     def topKApprox(k: Int = Similarity.TopK): DataFrame =
       Similarity.ivfTopK(emb, k)
     def nearDupPairs(threshold: Double = 0.35): DataFrame =

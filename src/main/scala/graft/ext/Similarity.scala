@@ -138,6 +138,42 @@ object Similarity {
           .as("accuracy"))
   }
 
+  /** [[knnLabelEval]]'s SCALE ARM: the same vote/accuracy tail over the
+    * IVF-blocked candidate stream ([[ivfKnnCandidates]] — multi-probe
+    * bucket blocking with the sub-split skew guard) instead of the
+    * quadratic pair stream. Vectors whose probed buckets yield no
+    * candidate are absent from the readout (the recall trade the
+    * [[knnGraphIvfEval]] edge-recall gate quantifies); per-label
+    * accuracy converges to the exact arm as probes grow, which
+    * SimilaritySpec gates on the fixture.
+    */
+  def knnLabelEvalIvf(emb: DataFrame, k: Int = KnnEvalK,
+      probes: Int = NearDupProbes,
+      maxBlockSize: Int = 100000): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label").cast("long")
+      .as("label"))
+    val cand = ivfKnnCandidates(emb, probes, maxBlockSize)
+    val topk = graft.plans.TopKPerGroup(cand, Seq("vec_a"),
+        Seq("cosine" -> true, "vec_b" -> false), k)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val pred = topk
+      .join(labels.select(col("vec_id").as("dst"),
+        col("label").as("nlabel")), Seq("dst"))
+      .groupBy("src", "nlabel").agg(count(lit(1)).as("c"))
+      .groupBy("src")
+      .agg(max(struct(col("c"), (-col("nlabel")).as("nl"))).as("m"))
+      .select(col("src"), (-col("m.nl")).as("predicted"))
+    pred.join(labels.select(col("vec_id").as("src"), col("label")),
+        Seq("src"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+          .as("correct"))
+      .select(col("label"), col("n"), col("correct"),
+        (col("correct").cast("double") / col("n").cast("double"))
+          .as("accuracy"))
+  }
+
   /** Nearest-neighbor edge for EVERY vector (quadratic ground truth).
     * Cosine is symmetric, so each unordered pair is computed ONCE
     * (src < dst) and mirrored — half the dot products of the naive
@@ -2679,6 +2715,8 @@ object Similarity {
     "vec_dim_profile" -> ((s, d) => dimProfile(Tables.embeddings(s, d))),
     "sim_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "vec_knn_eval" -> ((s, d) => knnLabelEval(Tables.embeddings(s, d))),
+    "vec_knn_eval_ivf" -> ((s, d) =>
+      knnLabelEvalIvf(Tables.embeddings(s, d))),
     "vec_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "sim_knn_graph"  -> ((s, d) =>
       nearestNeighborGraph(Tables.embeddings(s, d))),
@@ -3395,6 +3433,55 @@ object Similarity {
     // blocking (the dedup_embedding_ivf CTEs), per-vector top-k over
     // the deduped candidates, scored against the exact mirrored-pair
     // kNN edges
+    "vec_knn_eval_ivf" ->
+      s"""WITH ${duckTrainedCents()},
+         |${duckAssigned()},
+         |masg AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS crank FROM fs)
+         |  WHERE crank <= $NearDupProbes),
+         |sizes AS (
+         |  SELECT centroid_id, count(*) AS bn FROM masg GROUP BY 1),
+         |blocked AS (
+         |  SELECT concat(CAST(m.centroid_id AS VARCHAR), '#',
+         |           CAST(m.vec_id % GREATEST(1,
+         |             CAST(ceil(s.bn / 100000.0) AS BIGINT)) AS VARCHAR))
+         |           AS block,
+         |         m.vec_id, m.embedding
+         |  FROM masg m JOIN sizes s USING (centroid_id)),
+         |candh AS MATERIALIZED (
+         |  SELECT DISTINCT vec_a, vec_b, cosine FROM (
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |           ${duckCosE("a.embedding", "b.embedding")} AS cosine
+         |    FROM blocked a JOIN blocked b
+         |      ON a.block = b.block AND a.vec_id < b.vec_id)),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_a, vec_b, cosine FROM candh
+         |  UNION ALL
+         |  SELECT vec_b AS vec_a, vec_a AS vec_b, cosine FROM candh),
+         |topk AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_a
+         |              ORDER BY cosine DESC, vec_b) AS rn FROM cand)
+         |  WHERE rn <= $KnnEvalK),
+         |votes AS (
+         |  SELECT t.src, e.label AS nlabel, count(*) AS c
+         |  FROM topk t JOIN embeddings e ON e.vec_id = t.dst
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT src, CAST(min(nlabel) AS BIGINT) AS predicted FROM (
+         |    SELECT src, nlabel, c,
+         |           max(c) OVER (PARTITION BY src) AS mc FROM votes) t
+         |  WHERE c = mc GROUP BY 1)
+         |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n,
+         |       CAST(sum(CASE WHEN p.predicted = e.label
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+         |       CAST(CAST(sum(CASE WHEN p.predicted = e.label
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) /
+         |         CAST(count(*) AS DOUBLE) AS accuracy
+         |FROM pred p JOIN embeddings e ON e.vec_id = p.src
+         |GROUP BY 1""".stripMargin,
     "sim_knn_graph_ivf" ->
       s"""WITH ${duckTrainedCents()},
          |${duckAssigned()},

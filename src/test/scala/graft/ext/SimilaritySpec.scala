@@ -1371,4 +1371,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r(0L) === 2L)
     assert(r(1L) === 0L)
   }
+  test("knnLabelEvalIvf: per-label accuracy tracks the exact arm on the " +
+      "fixture within the recall trade") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.knnLabelEval(emb).collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("correct"),
+          r.getAs[Double]("accuracy")))).toMap
+    val ivf = Similarity.knnLabelEvalIvf(emb).collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("correct"),
+          r.getAs[Double]("accuracy")))).toMap
+    graft.CheckpointLease.releaseAll()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (label, (n, _, acc)) =>
+      val (ne, _, accE) = exact(label)
+      assert(n <= ne, s"label $label: IVF domain can only shrink")
+      assert(math.abs(acc - accE) <= 0.2,
+        s"label $label: IVF accuracy $acc drifted from exact $accE")
+    }
+    // the shortlist keeps most of the corpus in the readout
+    val kept = ivf.values.map(_._1).sum.toDouble /
+      exact.values.map(_._1).sum
+    assert(kept >= 0.85, s"IVF kept only $kept of the corpus")
+  }
 }
