@@ -55,6 +55,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Dedup.tfidfCosinePairs(docs, threshold, maxShingleDf)
     def minhashDedup(threshold: Double = 0.5): DataFrame =
       Dedup.minhashDedupDocs(docs, threshold)
+    def sourceMatrix(threshold: Double = 0.5): DataFrame =
+      Dedup.crossSourceDupMatrix(docs, threshold)
     def simhashNearDups(maxHamming: Int = 3): DataFrame =
       Dedup.simhashNearDupPairs(docs, maxHamming)
     def nearDupClusters(threshold: Double = 0.5): DataFrame =

@@ -677,6 +677,50 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** CROSS-SOURCE NEAR-DUP MATRIX — which sources copy from which: the
+    * verified portable-MinHash pair stream
+    * ([[minhashDedupDocsPortable]]'s candidates + exact-Jaccard gate)
+    * rolled up per unordered source pair. `intra` rows measure
+    * within-source duplication (template/boilerplate pressure); cross
+    * rows with high counts flag one source as a scrape or mirror of
+    * another — the readout that drives per-source dedup and mixing
+    * decisions upstream of training.
+    *
+    * Scale shape: everything through the verified pairs is the banded
+    * MinHash path (bounded bucket fan-out, no all-pairs stage); the
+    * rollups ride the PAIR table and a source-pair key whose
+    * cardinality is sources² — metadata-sized.
+    */
+  def crossSourceDupMatrix(docs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).persist()
+    val cands = lshCandidatesPortable(minhashSignaturesPortable(sh))
+    val verified = graft.CheckpointLease.track(
+      jaccardForPairs(sh, cands)
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b").localCheckpoint(true))
+    sh.unpersist()
+    val src = docs.select(col("doc_id"), col("source"))
+    val withSrc = verified
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"),
+        col("doc_a"), col("doc_b"))
+    val pairs = withSrc.groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docsIn = withSrc
+      .select(col("source_lo"), col("source_hi"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_docs"))
+    pairs.join(docsIn, Seq("source_lo", "source_hi"))
+      .withColumn("intra", col("source_lo") === col("source_hi"))
+  }
+
   /** Incremental MinHash index maintenance — the 100 TB shape of
     * near-dup dedup under CONTINUOUS INGESTION. A naive pipeline
     * re-deduplicates the whole corpus every cycle (index×index work,
@@ -939,6 +983,8 @@ object Dedup {
       minhashDedupDocs(Tables.documents(s, d))),
     "dedup_minhash_md5"   -> ((s, d) =>
       minhashDedupDocsPortable(Tables.documents(s, d))),
+    "dedup_source_matrix" -> ((s, d) =>
+      crossSourceDupMatrix(Tables.documents(s, d))),
     "dedup_incremental"   -> ((s, d) =>
       minhashIncremental(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => simhashGroups(Tables.documents(s, d))),
@@ -1126,7 +1172,13 @@ object Dedup {
        |FROM f""".stripMargin
   }
 
-  private def duckMinhashPortableSql: String = {
+  /** Shared portable-MinHash pair CTE chain (shingles → md5 slot
+    * hashes → signatures → bands → candidates → exact intersections),
+    * ending in `inter` + `sizes` — composed by the `dedup_minhash_md5`
+    * survivor twin and the `dedup_source_matrix` rollup so the
+    * signature arithmetic can never drift between them.
+    */
+  private def duckMinhashPairCtes: String = {
     val mins = (0 until MinhashK).map(j =>
       s"min((h * ${slotA(j)} + ${slotB(j)}) % $SlotMod) AS h$j")
       .mkString(",\n         ")
@@ -1137,7 +1189,7 @@ object Dedup {
         .mkString(" || ':' || ")
       s"  SELECT doc_id, $b AS band, $key AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH sh0 AS (
+    s"""sh0 AS (
        |  SELECT doc_id,
        |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
        |                               for i in range(1, len(toks)-1)]))
@@ -1165,7 +1217,11 @@ object Dedup {
        |  FROM cand c
        |  JOIN sh0 a ON c.doc_a = a.doc_id
        |  JOIN sh0 b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def duckMinhashPortableSql: String =
+    s"""WITH $duckMinhashPairCtes,
        |dropped AS (
        |  SELECT DISTINCT i.doc_b
        |  FROM inter i
@@ -1175,7 +1231,6 @@ object Dedup {
        |SELECT d.doc_id, d.lang, d.source, d.n_chars
        |FROM documents d
        |WHERE d.doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin
-  }
 
   /** [[minhashIncremental]]'s twin: the portable signature/banding CTEs
     * with the band table split by source, probe joins (batch×index and
@@ -1266,6 +1321,34 @@ object Dedup {
   def oracleSql: Map[String, String] = Map(
     "dedup_incremental" -> duckIncrementalSql,
     "dedup_minhash_md5" -> duckMinhashPortableSql,
+    "dedup_source_matrix" ->
+      s"""WITH $duckMinhashPairCtes,
+         |ver AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM inter i
+         |  JOIN sizes sa ON i.doc_a = sa.doc_id
+         |  JOIN sizes sb ON i.doc_b = sb.doc_id
+         |  WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5),
+         |ws AS (
+         |  SELECT least(da.source, db.source) AS source_lo,
+         |         greatest(da.source, db.source) AS source_hi,
+         |         v.doc_a, v.doc_b
+         |  FROM ver v
+         |  JOIN documents da ON v.doc_a = da.doc_id
+         |  JOIN documents db ON v.doc_b = db.doc_id),
+         |p AS (
+         |  SELECT source_lo, source_hi, count(*) AS n_pairs
+         |  FROM ws GROUP BY 1, 2),
+         |dd AS (
+         |  SELECT source_lo, source_hi, count(*) AS n_docs FROM (
+         |    SELECT DISTINCT source_lo, source_hi, doc_id FROM (
+         |      SELECT source_lo, source_hi,
+         |             unnest([doc_a, doc_b]) AS doc_id
+         |      FROM ws))
+         |  GROUP BY 1, 2)
+         |SELECT p.source_lo, p.source_hi, p.n_pairs, dd.n_docs,
+         |       p.source_lo = p.source_hi AS intra
+         |FROM p JOIN dd USING (source_lo, source_hi)""".stripMargin,
     "dedup_lsh_eval" -> duckLshEvalSql,
     "dedup_simhash" ->
       s"""WITH $duckSimhashCtes

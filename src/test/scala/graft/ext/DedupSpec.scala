@@ -340,4 +340,24 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(hard.toSet === Set(3L) && hard.length === 3)
   }
+  private def docsWithSource(rows: (Long, String, String)*) =
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("crossSourceDupMatrix: cross-source copies and intra-source " +
+      "boilerplate land in separate matrix cells; uniques stay out") {
+    val d = docsWithSource(
+      (1L, "the quick brown fox jumps over dogs", "srcA"),
+      (2L, "the quick brown fox jumps over dogs", "srcB"), // copy of 1
+      (3L, "alpha beta gamma delta epsilon zeta", "srcA"),
+      (4L, "alpha beta gamma delta epsilon zeta", "srcA"), // intra dup
+      (5L, "completely unrelated text with no twin", "srcB"))
+    val r = Dedup.crossSourceDupMatrix(d)
+      .select("source_lo", "source_hi", "n_pairs", "n_docs", "intra")
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    graft.CheckpointLease.releaseAll()
+    assert(r === Set(
+      ("srcA", "srcB", 1L, 2L, false),
+      ("srcA", "srcA", 1L, 2L, true)))
+  }
 }
