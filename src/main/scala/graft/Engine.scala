@@ -345,6 +345,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def mannWhitney: DataFrame =
       Experiment.mannWhitney(Tables.events(spark, dataDir))
     def cuped: DataFrame = Experiment.cuped(Tables.events(spark, dataDir))
+    def srm: DataFrame = Experiment.srm(Tables.events(spark, dataDir))
   }
 
   /** Co-purchase graph analytics — see [[graft.ext.Graph]]. */

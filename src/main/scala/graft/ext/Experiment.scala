@@ -208,17 +208,71 @@ object Experiment {
           .as("mean_y_adj"))
   }
 
+  /** Sample-ratio-mismatch (SRM) guardrail, per exposure segment — the
+    * experiment-health check every platform runs BEFORE reading any
+    * metric: if the observed variant split deviates from the designed
+    * 50/50 beyond chance, the experiment is corrupted (logging loss,
+    * redirect bias, bot filtering applied asymmetrically) and all
+    * readouts above are void. Segment = `event_type`, because a per-
+    * segment SRM localizes WHERE exposure logging broke (a global pass
+    * can hide two offsetting segment failures).
+    *
+    * For two arms with expectation n/2 each the chi-square statistic
+    * collapses algebraically to `(n0 − n1)² / n` (df = 1). The flag is
+    * decided IN EXACT INTEGERS — `1000·(n0−n1)² > 3841·n` is the α=0.05
+    * critical value 3.841 cross-multiplied — so engine and oracle can
+    * never disagree on the verdict even if a float differed in the last
+    * bit; `chi2` itself is one correctly-rounded division over the same
+    * integers.
+    *
+    * Scale shape: one expand + two-phase distinct aggregate keyed on
+    * event_type (bounded segment domain); everything after is
+    * per-segment scalar arithmetic. No joins, no windows.
+    */
+  def srm(ev: DataFrame): DataFrame = {
+    val agg = ev
+      .select(col("event_type"),
+        (col("user_id") % 2).cast("long").as("variant"), col("user_id"))
+      .groupBy("event_type")
+      .agg(
+        countDistinct(when(col("variant") === 0, col("user_id"))).as("n0"),
+        countDistinct(when(col("variant") === 1, col("user_id"))).as("n1"))
+    agg
+      .withColumn("n", col("n0") + col("n1"))
+      .withColumn("dd", (col("n0") - col("n1")) * (col("n0") - col("n1")))
+      .select(col("event_type"), col("n0"), col("n1"), col("n"),
+        (col("dd").cast("double") / col("n").cast("double")).as("chi2"),
+        when(col("dd") * lit(1000L) > lit(3841L) * col("n"), 1L)
+          .otherwise(0L).as("srm_flag"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab_test_wilson" -> ((s, d) => wilsonAb(Tables.events(s, d))),
     "ab_test_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
     "exp_cuped" -> ((s, d) => cuped(Tables.events(s, d))),
+    "exp_srm" -> ((s, d) => srm(Tables.events(s, d))),
   )
 
   /** DuckDB twin — intermediate CTE columns pin the operand order to
     * exactly this code's, so every IEEE op rounds identically.
     */
   def oracleSql: Map[String, String] = Map(
+    "exp_srm" ->
+      """WITH a AS (
+        |  SELECT event_type,
+        |         count(DISTINCT CASE WHEN user_id % 2 = 0
+        |                             THEN user_id END) AS n0,
+        |         count(DISTINCT CASE WHEN user_id % 2 = 1
+        |                             THEN user_id END) AS n1
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT *, n0 + n1 AS n, (n0 - n1) * (n0 - n1) AS dd FROM a)
+        |SELECT event_type, n0, n1, n,
+        |       CAST(dd AS DOUBLE) / CAST(n AS DOUBLE) AS chi2,
+        |       CAST(CASE WHEN dd * 1000 > 3841 * n THEN 1 ELSE 0 END
+        |            AS BIGINT) AS srm_flag
+        |FROM b""".stripMargin,
     "exp_cuped" ->
       """WITH wd AS (
         |  SELECT user_id,

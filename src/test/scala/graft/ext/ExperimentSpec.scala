@@ -129,4 +129,35 @@ class ExperimentSpec extends SparkSpec {
       assert(x._4 === x._5)
     }
   }
+
+  test("srm: balanced segment passes, one-sided segment flags; chi2 " +
+      "matches the textbook two-cell formula") {
+    // "view": users 0..9 -> 5 even / 5 odd, diff 0 -> chi2 0, no flag.
+    // "click": users 0,2,..,18 (all even) -> n0=10, n1=0.
+    //   textbook: E = 5; (10-5)^2/5 + (0-5)^2/5 = 10 -> flagged (>3.841).
+    // repeated events by one user must not inflate the distinct counts.
+    val view = (0L until 10L).map(u => (100L + u, u, "view"))
+    val click = (0L until 10L).map(i => (200L + i, 2L * i, "click"))
+    val r = Experiment.srm(events(view ++ click :+ (300L, 0L, "view"): _*))
+      .select("event_type", "n0", "n1", "n", "chi2", "srm_flag")
+      .as[(String, Long, Long, Long, Double, Long)]
+      .collect().sortBy(_._1)
+    assert(r.toSeq === Seq(
+      ("click", 10L, 0L, 10L, 10.0, 1L),
+      ("view", 5L, 5L, 10L, 0.0, 0L)))
+  }
+
+  test("srm: boundary sits exactly at the 3.841 critical value") {
+    // n = 1000, diff = 62 -> 1000*62^2 = 3_844_000 > 3841*1000 (flag);
+    // diff = 60 -> 3_600_000 < 3_841_000 (no flag). Build both segments
+    // from distinct users: n0 = (n+diff)/2 even ids, n1 = (n-diff)/2 odd.
+    def seg(name: String, n0: Int, n1: Int) =
+      (0 until n0).map(i => (1L, 2L * i, name)) ++
+        (0 until n1).map(i => (1L, 2L * i + 1L, name))
+    val r = Experiment.srm(events(
+      seg("a", 531, 469) ++ seg("b", 530, 470) map identity: _*))
+      .select("event_type", "srm_flag").as[(String, Long)]
+      .collect().sortBy(_._1)
+    assert(r.toSeq === Seq(("a", 1L), ("b", 0L)))
+  }
 }
