@@ -136,6 +136,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def evalLangId: DataFrame = TextAnalysis.evalLangId(docs)
     def evalAucRoc(bins: Int = 10): DataFrame =
       TextAnalysis.evalAucRoc(docs, bins)
+    def evalCalibration: DataFrame = TextAnalysis.evalCalibration(docs)
     def blocklist(terms: Seq[String] = TextAnalysis.BlocklistTerms)
         : DataFrame = TextAnalysis.blocklistScreen(docs, terms)
     def readability: DataFrame = TextAnalysis.readability(docs)

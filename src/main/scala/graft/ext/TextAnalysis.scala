@@ -371,6 +371,54 @@ object TextAnalysis {
           .as("auc"))
   }
 
+  /** Calibration readout for the same length-predicts-English scorer
+    * [[evalAucRoc]] ranks: AUC says the score ORDERS well; calibration
+    * says whether the score's VALUE can be read as a probability — the
+    * second half of every model-eval dashboard (reliability diagram +
+    * Brier score + expected calibration error).
+    *
+    * The score is the capped-length pseudo-probability
+    * `s = least(n_chars, 1000) / 1000` kept in MILLIS (an integer) all
+    * the way through, so every aggregate is exact:
+    *  - per reliability bin (`least(s_milli,999) div 100`, ten fixed
+    *    0.1-wide bins): n, positives, Σs_milli — `conf` (mean predicted)
+    *    and `acc` (observed rate) are each ONE correctly-rounded
+    *    division over those integers;
+    *  - Brier = Σ(s_milli − 1000·y)² / (10⁶·N) — the numerator is an
+    *    exact integer sum (each term ≤ 10⁶, so a long holds it past
+    *    10¹² rows), one division at the end;
+    *  - ECE = Σ_bins |1000·pos_b − Σs_milli,b| / (1000·N) — the usual
+    *    Σ (n_b/N)·|acc−conf| rearranged so the numerator is an exact
+    *    integer too (no float sum over bins whose order could wobble).
+    *
+    * Scale shape: one partial-merging aggregate to the 10-bin table,
+    * one scalar roll-up over it, broadcast back — no joins on data-sized
+    * keys, no windows.
+    */
+  def evalCalibration(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      least(col("n_chars"), lit(1000L)).cast("long").as("s_milli"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val bins = scored
+      .withColumn("bin", expr("least(s_milli, 999) div 100"))
+      .withColumn("e", col("s_milli") - lit(1000L) * col("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("pos_c"),
+        sum("s_milli").as("sum_s"), sum(col("e") * col("e")).as("sq"))
+    val g = bins.agg(
+      sum("n").as("n_tot"), sum("sq").as("sq_tot"),
+      sum(abs(lit(1000L) * col("pos_c") - col("sum_s"))).as("ece_num"))
+    bins.crossJoin(broadcast(g))
+      .select(col("bin"), col("n"), col("pos_c").as("n_pos"),
+        (col("sum_s").cast("double") /
+          (col("n").cast("double") * lit(1000.0))).as("conf"),
+        (col("pos_c").cast("double") / col("n").cast("double")).as("acc"),
+        (col("sq_tot").cast("double") /
+          (col("n_tot").cast("double") * lit(1000000.0))).as("brier"),
+        (col("ece_num").cast("double") /
+          (col("n_tot").cast("double") * lit(1000.0))).as("ece"))
+  }
+
   /** BM25 relevance scoring of the corpus against a query term set —
     * the standard full-text ranking function (Robertson/Spärck Jones;
     * parameters k1 = 1.2, b = 0.75). Emits one row per (doc, matched
@@ -769,6 +817,7 @@ object TextAnalysis {
     "search_bm25_topk"  -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "eval_confusion"    -> ((s, d) => evalLangId(Tables.documents(s, d))),
     "eval_auc_roc"      -> ((s, d) => evalAucRoc(Tables.documents(s, d))),
+    "eval_calibration"  -> ((s, d) => evalCalibration(Tables.documents(s, d))),
     "text_blocklist"    -> ((s, d) => blocklistScreen(Tables.documents(s, d))),
     "text_keywords"     -> ((s, d) => keywords(Tables.documents(s, d))),
     "text_repetition"   -> ((s, d) => repetition(Tables.documents(s, d))),
@@ -976,6 +1025,33 @@ object TextAnalysis {
          |       coalesce(h.n_hits, 0) > $BlocklistMaxHits AS flagged
          |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin
     },
+    "eval_calibration" ->
+      """WITH s AS (
+        |  SELECT least(n_chars, 1000) AS s_milli,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(s_milli, 999) // 100 AS bin,
+        |         count(*) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS pos_c,
+        |         CAST(sum(s_milli) AS BIGINT) AS sum_s,
+        |         CAST(sum((s_milli - 1000 * pos) * (s_milli - 1000 * pos))
+        |              AS BIGINT) AS sq
+        |  FROM s GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+        |         CAST(sum(sq) AS BIGINT) AS sq_tot,
+        |         CAST(sum(abs(1000 * pos_c - sum_s)) AS BIGINT) AS ece_num
+        |  FROM b)
+        |SELECT bin, n, pos_c AS n_pos,
+        |       CAST(sum_s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)
+        |         AS conf,
+        |       CAST(pos_c AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+        |       CAST(sq_tot AS DOUBLE) / (CAST(n_tot AS DOUBLE) * 1000000.0)
+        |         AS brier,
+        |       CAST(ece_num AS DOUBLE) / (CAST(n_tot AS DOUBLE) * 1000.0)
+        |         AS ece
+        |FROM b CROSS JOIN g""".stripMargin,
     "eval_auc_roc" ->
       """WITH vl AS (
         |  SELECT n_chars AS v,

@@ -399,4 +399,40 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1L, 1L, false),
       (3L, 0L, 0L, false)))
   }
+
+  test("evalCalibration: hand-built bins, exact conf/acc, Brier and ECE " +
+      "from integer numerators; over-cap lengths fold into the top bin") {
+    // bin 0: len 50 en (s=0.05, pos) + len 50 de (neg)
+    //   -> conf 100/2000 = 0.05, acc 0.5, ece_num |1000*1 - 100| = 900
+    // bin 9: len 950 en + len 1200 en (s_milli capped at 1000, bin
+    //   least(1000,999) div 100 = 9) -> conf 1950/2000, acc 1,
+    //   ece_num |2000 - 1950| = 50
+    // Brier numerator: 950^2 (en@50) + 50^2 (de@50) + 50^2 (en@950) + 0
+    val d = docs(
+      (1L, "a" * 50, "en"), (2L, "b" * 50, "de"),
+      (3L, "c" * 950, "en"), (4L, "d" * 1200, "en"))
+    val r = TextAnalysis.evalCalibration(d)
+      .select("bin", "n", "n_pos", "conf", "acc", "brier", "ece")
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(r.map(x => (x._1, x._2, x._3)).toSeq ===
+      Seq((0L, 2L, 1L), (9L, 2L, 2L)))
+    assert(r(0)._4 === 0.05 && r(0)._5 === 0.5)
+    assert(r(1)._4 === 1950.0 / 2000.0 && r(1)._5 === 1.0)
+    r.foreach { x =>
+      assert(x._6 === 907500.0 / 4000000.0)
+      assert(x._7 === 950.0 / 4000.0)
+    }
+  }
+
+  test("evalCalibration: a perfectly calibrated bin contributes zero ECE") {
+    // both docs score 0.5 and exactly half are positive
+    val d = docs((1L, "a" * 500, "en"), (2L, "b" * 500, "de"))
+    val r = TextAnalysis.evalCalibration(d)
+      .select("bin", "conf", "acc", "ece", "brier")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(r.length === 1 && r.head._1 === 5L)
+    assert(r.head._2 === 0.5 && r.head._3 === 0.5 && r.head._4 === 0.0)
+    assert(r.head._5 === 0.25) // (500^2 + 500^2) / (2 * 10^6)
+  }
 }
