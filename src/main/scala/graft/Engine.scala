@@ -372,6 +372,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def bfs(seedCount: Int = Graph.PprSeedCount,
         rounds: Int = Graph.BfsRounds): DataFrame =
       Graph.bfsDistances(edges, seedCount, rounds)
+    def linkPrediction(topK: Int = Graph.LinkPredTopK): DataFrame =
+      Graph.linkPrediction(edges, topK)
   }
 
   /** Exact-arithmetic statistics — see [[graft.ext.Stats]]. */

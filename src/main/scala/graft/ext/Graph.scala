@@ -609,6 +609,67 @@ object Graph {
       .limit(topK)
   }
 
+  /** Pairs reported by [[linkPrediction]]. */
+  val LinkPredTopK = 100
+  /** Middles with degree above this are skipped as evidence — the hub
+    * guard (see [[linkPrediction]] scaladoc).
+    */
+  val LinkPredMaxMiddleDegree = 256L
+
+  /** Resource-allocation link prediction (Zhou/Lü/Zhang 2009): for each
+    * NON-adjacent pair (u,v), `RA = Σ_w 1/deg(w)` over their common
+    * neighbors w — the "which products will be co-purchased next"
+    * recommender primitive, and on benchmark graphs the strongest of
+    * the classic local indices (it down-weights hub middles, which
+    * carry almost no signal). Top `topK` pairs by score.
+    *
+    * The score is kept EXACT as `ra_micro = Σ (10⁶ div deg(w))` — a
+    * fixed-point integer both engines compute identically (the one
+    * double emitted is a single correctly-rounded division by 10⁶), and
+    * the top-k cut orders by (ra_micro desc, u, v) so ties never make
+    * the cut nondeterministic.
+    *
+    * == Scale shape ==
+    * The wedge enumeration through middle w is Σ deg(w)² — unlike the
+    * triangle path it CANNOT be degree-oriented, because the middle is
+    * the evidence. The guard is [[LinkPredMaxMiddleDegree]]: hubs are
+    * dropped BEFORE the self-join (they contribute ≤ 10⁶/cap each,
+    * i.e. the evidence RA itself says to ignore), bounding per-middle
+    * fan-out at cap²/2 rows — the same reducer-protection argument as
+    * [[coPurchaseEdges]]'s mega-order cap. One keyed self-join on w,
+    * one pair aggregate, one anti-join against the (broadcast-gated)
+    * edge list, TakeOrdered for the cut — no global sort.
+    */
+  def linkPrediction(edgesIn: DataFrame, topK: Int = LinkPredTopK,
+      maxMiddleDegree: Long = LinkPredMaxMiddleDegree): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    val nEdges = edges.count()
+    val bcNodes = nEdges <= NodeBroadcastMaxRows
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val degGate = if (bcNodes) broadcast(deg) else deg
+    val ew = edges
+      .join(degGate.select(col("node").as("src"), col("deg").as("deg_w")),
+        Seq("src"))
+      .filter(col("deg_w") <= maxMiddleDegree)
+    val wedges = ew.select(col("src").as("w"), col("dst").as("u"),
+        col("deg_w"))
+      .join(ew.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val scores = wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 div deg_w")).as("ra_micro"))
+    val canon = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val canonGate =
+      if (nEdges <= TriangleBroadcastMaxEdges) broadcast(canon) else canon
+    scores.join(canonGate, Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("common"), col("ra_micro"),
+        (col("ra_micro").cast("double") / lit(1000000.0)).as("ra"))
+      .orderBy(col("ra_micro").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
   /** Per-node clustering coefficient `c(v) = 2·T(v) / (deg(v)·(deg(v)−1))`
     * — the local-density profile (which products sit inside tight
     * co-purchase communities vs on bridges; the node-level reading of
@@ -865,6 +926,8 @@ object Graph {
         iterations = 3)),
     "graph_bfs" -> ((s, d) =>
       bfsDistances(coPurchaseEdges(Tables.lineitem(s, d)))),
+    "graph_link_pred" -> ((s, d) =>
+      linkPrediction(coPurchaseEdges(Tables.lineitem(s, d)))),
   )
 
   /** Unrolled personalized-PageRank twin: same 3 fixed-point
@@ -1059,6 +1122,32 @@ object Graph {
     "graph_lpa_modularity" -> duckLpaModularitySql(),
     // same degree-orientation + wedge close + 3-edges-per-triangle plan,
     // tuple comparisons spelled as ROW(...) < ROW(...)
+    "graph_link_pred" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS MATERIALIZED (
+        |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        |ew AS MATERIALIZED (
+        |  SELECT e.src AS w, e.dst, d.deg AS deg_w
+        |  FROM e JOIN deg d ON e.src = d.node
+        |  WHERE d.deg <= 256),
+        |wed AS (
+        |  SELECT a.w, a.dst AS u, b.dst AS v, a.deg_w
+        |  FROM ew a JOIN ew b ON a.w = b.w AND a.dst < b.dst),
+        |sc AS (
+        |  SELECT u, v, count(*) AS common,
+        |         CAST(sum(1000000 // deg_w) AS BIGINT) AS ra_micro
+        |  FROM wed GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT sc.u, sc.v, sc.common, sc.ra_micro
+        |  FROM sc LEFT JOIN e ON sc.u = e.src AND sc.v = e.dst
+        |  WHERE e.src IS NULL)
+        |SELECT u, v, common, ra_micro,
+        |       CAST(ra_micro AS DOUBLE) / 1000000.0 AS ra
+        |FROM cand ORDER BY ra_micro DESC, u, v LIMIT 100""".stripMargin,
     "graph_edge_jaccard" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

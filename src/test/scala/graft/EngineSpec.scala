@@ -78,7 +78,8 @@ class EngineSpec extends SparkSpec {
       e.multimodal.audioVad(), e.multimodal.blankFilter(),
       e.analytics.bucketedRevenue, e.quality.referentialIntegrity,
       e.privacy.erasureAudit, e.multimodal.videoShots(),
-      e.timeSeries.userStreaks, e.experiment.srm, e.text.evalCalibration)
+      e.timeSeries.userStreaks, e.experiment.srm, e.text.evalCalibration,
+      e.graph.linkPrediction())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

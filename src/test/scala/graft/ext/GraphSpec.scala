@@ -356,4 +356,36 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 7L -> 1L))
     assert(!got.contains(5L) && !got.contains(6L))
   }
+
+  test("linkPrediction: RA on a 4-cycle scores both diagonals via two " +
+      "degree-2 middles; adjacent pairs are excluded") {
+    // cycle 1-2-3-4-1: non-adjacent pairs (1,3) and (2,4), each with
+    // common neighbors of degree 2 -> ra_micro = 2 * (10^6 div 2) = 10^6
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 4L), (4L, 3L), (4L, 1L), (1L, 4L)).toDF("src", "dst")
+    val r = Graph.linkPrediction(edges)
+      .select("u", "v", "common", "ra_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
+    graft.CheckpointLease.releaseAll()
+    assert(r.toSeq === Seq((1L, 3L, 2L, 1000000L),
+      (2L, 4L, 2L, 1000000L)))
+  }
+
+  test("linkPrediction: middles above the degree cap contribute no " +
+      "evidence") {
+    // star: hub 10 connects leaves 1..4 -> every leaf pair's only
+    // common neighbor is the hub (deg 4). cap=3 silences it entirely;
+    // cap=4 admits it with ra_micro = 10^6 div 4.
+    val star = (1L to 4L).flatMap(l => Seq((10L, l), (l, 10L)))
+      .toDF("src", "dst")
+    assert(Graph.linkPrediction(star, maxMiddleDegree = 3L).count() === 0L)
+    graft.CheckpointLease.releaseAll()
+    val r = Graph.linkPrediction(star, maxMiddleDegree = 4L)
+      .select("u", "v", "common", "ra_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    graft.CheckpointLease.releaseAll()
+    assert(r.length === 6) // C(4,2) leaf pairs
+    assert(r.forall(x => x._3 === 1L && x._4 === 250000L))
+  }
 }
