@@ -594,6 +594,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
         Tables.orders(spark, dataDir), toleranceDays)
     def bucketedRevenue: DataFrame =
       graft.sources.Bronze.bucketedJoinRevenue(spark, dataDir)
+    def dppRevenue: DataFrame =
+      graft.sources.Bronze.dppJoinRevenue(spark, dataDir)
     def explosionProfile(topN: Int = 10): DataFrame =
       SkewJoin.joinExplosionProfile(Tables.events(spark, dataDir), topN)
     def saltedJoin(big: DataFrame, small: DataFrame, key: String,

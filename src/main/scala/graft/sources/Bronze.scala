@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+import org.apache.spark.sql.functions.{col, count, date_format, expr, lit, sum}
 import org.apache.spark.sql.types._
 
 /** Bronze-zone ingestion — the reference's source/sink surface
@@ -217,6 +217,50 @@ object Bronze {
     graft.etl.Silver.ordersStage(back)
   }
 
+  /** DYNAMIC PARTITION PRUNING, driver-surfaced: write orders
+    * directory-partitioned by calendar month, materialize an
+    * independent month dimension (month → quarter), then join fact to
+    * the dim FILTERED to Q1. At plan time the months surviving the
+    * filter are unknown, so static pruning can't help — Spark's DPP
+    * inserts a `dynamicpruningexpression` on the fact scan's partition
+    * column, fed by the dim's broadcast, and the fact side READS ONLY
+    * the matching month directories (BronzeSpec asserts the pruning
+    * subquery in the plan; this query hash-checks the values through
+    * the DuckDB gate). The 100 TB pattern for date-partitioned facts
+    * joined to filtered dimensions — the scan cost tracks the dim
+    * filter's selectivity, not the table size.
+    *
+    * The dim is written to its own scratch parquet and read back so it
+    * is a genuinely separate relation (deriving it from the fact's
+    * lineage would let Catalyst collapse the join instead of pruning).
+    * Scratch paths key on the full sanitized dataset path (the AnnIndex
+    * precedent).
+    */
+  def dppJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"${sys.props("user.dir")}/target/dpp"
+    val factPath = s"$base/orders_$key"
+    val dimPath = s"$base/months_$key"
+    val orders = graft.Tables.orders(spark, sfDir)
+    writeParquet(
+      orders.withColumn("month",
+        date_format(col("o_orderdate"), "yyyy-MM")),
+      factPath, Seq("month"))
+    writeParquet(
+      orders.select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          expr("cast((month(o_orderdate) - 1) div 3 + 1 as long)")
+            .as("quarter"))
+        .distinct(),
+      dimPath)
+    val fact = spark.read.parquet(factPath)
+    val dim = spark.read.parquet(dimPath)
+    fact.join(dim.filter(col("quarter") === 1L), Seq("month"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as long)"))
+          .as("revenue_cents"))
+  }
+
   /** BUCKETED CO-LOCATED JOIN, driver-surfaced: write orders and
     * customer bucketed by their join key (same bucket count), then join
     * and aggregate revenue per market segment — at query time the join
@@ -264,6 +308,7 @@ object Bronze {
     "orc_silver_orders" -> (orcRoundtripOrders(_, _)),
     "json_silver_orders" -> (jsonRoundtripOrders(_, _)),
     "join_bucketed_revenue" -> (bucketedJoinRevenue(_, _)),
+    "join_dpp_revenue" -> (dppJoinRevenue(_, _)),
   )
 
   /** The CSV/ORC/JSON round-trips must land byte-identical to the
@@ -274,6 +319,15 @@ object Bronze {
     "csv_silver_orders" -> graft.etl.Silver.oracleSql("silver_orders"),
     "orc_silver_orders" -> graft.etl.Silver.oracleSql("silver_orders"),
     "json_silver_orders" -> graft.etl.Silver.oracleSql("silver_orders"),
+    "join_dpp_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents
+        |FROM orders
+        |WHERE (CAST(strftime(o_orderdate, '%m') AS INTEGER) - 1) // 3 + 1
+        |      = 1
+        |GROUP BY 1""".stripMargin,
     "join_bucketed_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -67,6 +67,24 @@ class BronzeSpec extends SparkSpec {
     assert(again === plain)
   }
 
+  test("dppJoinRevenue: plan carries a dynamic-pruning subquery on the " +
+      "partition column and values equal the plain Q1 filter") {
+    import org.apache.spark.sql.functions._
+    val df = Bronze.dppJoinRevenue(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression on the fact scan:\n$plan")
+    val plain = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter(expr("(month(o_orderdate) - 1) div 3 + 1 = 1"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as long)"))
+          .as("revenue_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet === plain)
+    assert(plain.nonEmpty) // the fixture must actually exercise Q1
+  }
+
   test("explicit schemas match the driver parquet testdata on read") {
     for ((name, schema) <- Bronze.schemas if name != "events") {
       val actual = spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
