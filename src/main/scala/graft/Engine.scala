@@ -137,6 +137,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def evalAucRoc(bins: Int = 10): DataFrame =
       TextAnalysis.evalAucRoc(docs, bins)
     def evalCalibration: DataFrame = TextAnalysis.evalCalibration(docs)
+    def evalPrCurve(bins: Int = 10): DataFrame =
+      TextAnalysis.evalPrCurve(docs, bins)
     def blocklist(terms: Seq[String] = TextAnalysis.BlocklistTerms)
         : DataFrame = TextAnalysis.blocklistScreen(docs, terms)
     def readability: DataFrame = TextAnalysis.readability(docs)

@@ -371,6 +371,49 @@ object TextAnalysis {
           .as("auc"))
   }
 
+  /** Precision-recall decile table for the [[evalAucRoc]] scorer — the
+    * eval that matters when positives are rare (ROC's FPR stays flat
+    * while precision collapses; Davis & Goadrich 2006). Same
+    * distinct-score-level cumulative machinery as the ROC table: per
+    * descending-score decile, the cut threshold, cumulative TP/FP, and
+    * `precision = tp/(tp+fp)`, `recall = tp/n_pos` — one correctly-
+    * rounded division each over exact counts — plus the prevalence
+    * baseline `n_pos/n` a PR curve is judged against (a random scorer's
+    * precision is the prevalence at every recall).
+    *
+    * Scale shape: one fact aggregate to the DISTINCT-SCORE level;
+    * windows ride the value-level table bounded by the score domain
+    * (the [[Experiment.mannWhitney]] bounded-domain argument).
+    */
+  def evalPrCurve(docs: DataFrame, bins: Int = 10): DataFrame = {
+    val vl = docs
+      .select(col("n_chars").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("v")
+      .agg(sum("pos").as("pos_c"), count(lit(1)).as("t"))
+      .withColumn("neg_c", col("t") - col("pos_c"))
+    val tot = vl.agg(sum("pos_c").as("n_pos"), sum("t").as("n"))
+    val wDesc = Window.orderBy(col("v").desc)
+    val cum = vl
+      .withColumn("cum_tp", sum("pos_c").over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_fp", sum("neg_c").over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin", ntile(bins).over(wDesc))
+    cum.groupBy("bin")
+      .agg(min("v").as("thresh"), max("cum_tp").as("tp"),
+        max("cum_fp").as("fp"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin").cast("long").as("bin"), col("thresh"),
+        col("tp"), col("fp"),
+        (col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")).as("precision"),
+        (col("tp").cast("double") / col("n_pos").cast("double"))
+          .as("recall"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("baseline"))
+  }
+
   /** Calibration readout for the same length-predicts-English scorer
     * [[evalAucRoc]] ranks: AUC says the score ORDERS well; calibration
     * says whether the score's VALUE can be read as a probability — the
@@ -818,6 +861,7 @@ object TextAnalysis {
     "eval_confusion"    -> ((s, d) => evalLangId(Tables.documents(s, d))),
     "eval_auc_roc"      -> ((s, d) => evalAucRoc(Tables.documents(s, d))),
     "eval_calibration"  -> ((s, d) => evalCalibration(Tables.documents(s, d))),
+    "eval_pr_curve"     -> ((s, d) => evalPrCurve(Tables.documents(s, d))),
     "text_blocklist"    -> ((s, d) => blocklistScreen(Tables.documents(s, d))),
     "text_keywords"     -> ((s, d) => keywords(Tables.documents(s, d))),
     "text_repetition"   -> ((s, d) => repetition(Tables.documents(s, d))),
@@ -1025,6 +1069,35 @@ object TextAnalysis {
          |       coalesce(h.n_hits, 0) > $BlocklistMaxHits AS flagged
          |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin
     },
+    "eval_pr_curve" ->
+      """WITH vl AS (
+        |  SELECT n_chars AS v,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS pos_c,
+        |         count(*) AS t
+        |  FROM documents GROUP BY 1),
+        |vl2 AS (SELECT *, t - pos_c AS neg_c FROM vl),
+        |tot AS (
+        |  SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+        |         CAST(sum(t) AS BIGINT) AS n
+        |  FROM vl2),
+        |cm AS (
+        |  SELECT v, pos_c, neg_c,
+        |         CAST(sum(pos_c) OVER (ORDER BY v DESC
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tp,
+        |         CAST(sum(neg_c) OVER (ORDER BY v DESC
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_fp,
+        |         ntile(10) OVER (ORDER BY v DESC) AS bin
+        |  FROM vl2),
+        |g AS (
+        |  SELECT bin, min(v) AS thresh, max(cum_tp) AS tp,
+        |         max(cum_fp) AS fp
+        |  FROM cm GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, thresh, tp, fp,
+        |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        |       CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall,
+        |       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS baseline
+        |FROM g CROSS JOIN tot""".stripMargin,
     "eval_calibration" ->
       """WITH s AS (
         |  SELECT least(n_chars, 1000) AS s_milli,

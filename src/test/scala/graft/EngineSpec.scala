@@ -79,7 +79,8 @@ class EngineSpec extends SparkSpec {
       e.analytics.bucketedRevenue, e.quality.referentialIntegrity,
       e.privacy.erasureAudit, e.multimodal.videoShots(),
       e.timeSeries.userStreaks, e.experiment.srm, e.text.evalCalibration,
-      e.graph.linkPrediction(), e.analytics.dppRevenue)
+      e.graph.linkPrediction(), e.analytics.dppRevenue,
+      e.text.evalPrCurve())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

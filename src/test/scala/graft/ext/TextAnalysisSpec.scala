@@ -400,6 +400,25 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 0L, 0L, false)))
   }
 
+  test("evalPrCurve: cumulative precision/recall per descending-score " +
+      "bin with the prevalence baseline") {
+    // scores desc: 20(en) 10(en) 2(de) 1(de); 4 distinct values -> 4 bins
+    val d = docs(
+      (1L, "a" * 10, "en"), (2L, "b" * 20, "en"),
+      (3L, "x", "de"), (4L, "yz", "de"))
+    val r = TextAnalysis.evalPrCurve(d)
+      .select("bin", "thresh", "tp", "fp", "precision", "recall",
+        "baseline")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(r.map(x => (x._1, x._2, x._3, x._4)).toSeq === Seq(
+      (1L, 20L, 1L, 0L), (2L, 10L, 2L, 0L),
+      (3L, 2L, 2L, 1L), (4L, 1L, 2L, 2L)))
+    assert(r.map(_._5).toSeq === Seq(1.0, 1.0, 2.0 / 3.0, 0.5))
+    assert(r.map(_._6).toSeq === Seq(0.5, 1.0, 1.0, 1.0))
+    r.foreach(x => assert(x._7 === 0.5))
+  }
+
   test("evalCalibration: hand-built bins, exact conf/acc, Brier and ECE " +
       "from integer numerators; over-cap lengths fold into the top bin") {
     // bin 0: len 50 en (s=0.05, pos) + len 50 de (neg)
