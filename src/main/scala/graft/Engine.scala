@@ -206,6 +206,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def nearDupPairsIvf(threshold: Double = 0.35): DataFrame =
       Similarity.embeddingNearDupPairsIvf(emb, threshold)
     def quantizeInt8: DataFrame = Similarity.quantizeInt8(emb)
+    def topKSq(k: Int = Similarity.TopK): DataFrame =
+      Similarity.sqTopK(emb, k)
     def trainCentroids(k: Int = Similarity.Centroids,
         iters: Int = Similarity.KmeansIters): DataFrame =
       Similarity.trainCentroids(emb, k, iters)

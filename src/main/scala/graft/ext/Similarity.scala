@@ -1007,6 +1007,64 @@ object Similarity {
                           * (CAST(x AS DOUBLE) - q * (maxabs / 127.0))),
                 CAST(0.0 AS DOUBLE), (a, e) -> a + e))""").as("recon_l2"))
 
+  /** Scalar-quantized (int8) top-k — the third quantization arm beside
+    * PQ ([[pqTopK]]) and IVFPQ: each vector is coded once as 64 signed
+    * bytes (per-vector maxabs scale, the [[quantizeInt8]] codes), and
+    * candidate scoring runs ENTIRELY in integer arithmetic — the code
+    * dot product and both squared norms are exact BIGINTs (≤ 127²·64
+    * per term, overflow-free past 10¹² dims) — with one fixed
+    * double tree (two sqrts, one multiply, one divide) at the end.
+    * Because cosine is scale-invariant, the per-vector scale cancels:
+    * the score IS the cosine of the quantized directions, so the only
+    * approximation is the rounding itself (~0.3% on unit-ish vectors).
+    * This is the 4×-smaller/memory-bandwidth arm a 100 TB ANN serving
+    * tier runs when PQ's codebook training is not worth it.
+    *
+    * All-zero codes (vectors below the quantization floor) carry no
+    * direction and are excluded on BOTH sides — the same rows would
+    * otherwise score NaN and make the window cut engine-dependent.
+    *
+    * Scale shape: one narrow coding pass, broadcast of the NQueries
+    * coded queries, per-partition integer kernels, per-query top-k
+    * window — the [[bruteForceTopK]] shape with 4× less data motion;
+    * the IVF shortlist composes in front of it exactly as for MMR/LOF.
+    */
+  def sqTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val coded = emb
+      .select(col("vec_id"),
+        expr("""greatest(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                  (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))), 1e-12d)""")
+          .as("maxabs"),
+        col("embedding"))
+      .withColumn("qvec",
+        expr("transform(embedding, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS INT))"))
+      .withColumn("qn2",
+        expr("""aggregate(qvec, CAST(0 AS BIGINT),
+                 (a, v) -> a + CAST(v AS BIGINT) * CAST(v AS BIGINT))"""))
+      .filter(col("qn2") > 0L)
+      .select("vec_id", "qvec", "qn2")
+    val queries = coded.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("qvec").as("q"),
+        col("qn2").as("qa"))
+    val sims = broadcast(queries)
+      .join(coded, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("""aggregate(zip_with(q, qvec,
+                 (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("dot_i"),
+        col("qa"), col("qn2").as("qb"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("dot_i").cast("double") /
+          (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double"))))
+          .as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   /** Per-dimension profile of the embedding matrix: count, min, max,
     * and zero share for each coordinate — the feature-scaling
@@ -2718,6 +2776,7 @@ object Similarity {
     "vec_knn_eval_ivf" -> ((s, d) =>
       knnLabelEvalIvf(Tables.embeddings(s, d))),
     "vec_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
+    "sim_topk_sq" -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
     "sim_knn_graph"  -> ((s, d) =>
       nearestNeighborGraph(Tables.embeddings(s, d))),
     "sim_topk_ivf"   -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
@@ -4048,6 +4107,42 @@ object Similarity {
         |         * (CAST(embedding[i] AS DOUBLE) - qvec[i] * (maxabs / 127.0))
         |         for i in range(1, len(embedding) + 1)])) AS recon_l2
         |FROM q""".stripMargin,
+    "sim_topk_sq" ->
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |         greatest(list_max([abs(CAST(embedding[i] AS DOUBLE))
+         |                            for i in range(1, len(embedding) + 1)]),
+         |                  1e-12) AS maxabs
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id,
+         |         [CAST(round(CAST(embedding[i] AS DOUBLE)
+         |                     * (127.0 / maxabs)) AS INT)
+         |          for i in range(1, len(embedding) + 1)] AS qvec
+         |  FROM m),
+         |n AS (
+         |  SELECT vec_id, qvec,
+         |         CAST(list_sum([CAST(qvec[i] AS BIGINT)
+         |                        * CAST(qvec[i] AS BIGINT)
+         |                        for i in range(1, len(qvec) + 1)])
+         |              AS BIGINT) AS qn2
+         |  FROM q),
+         |nz AS (SELECT * FROM n WHERE qn2 > 0),
+         |sims AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         CAST(CAST(list_sum([CAST(a.qvec[i] AS BIGINT)
+         |                             * CAST(b.qvec[i] AS BIGINT)
+         |                             for i in range(1, len(a.qvec) + 1)])
+         |                   AS BIGINT) AS DOUBLE)
+         |         / (sqrt(CAST(a.qn2 AS DOUBLE)) * sqrt(CAST(b.qn2 AS DOUBLE)))
+         |           AS cosine
+         |  FROM nz a, nz b
+         |  WHERE a.vec_id < $NQueries AND a.vec_id <> b.vec_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sims)
+         |WHERE rank <= $TopK""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH sims AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -1395,4 +1395,41 @@ class SimilaritySpec extends SparkSpec {
       exact.values.map(_._1).sum
     assert(kept >= 0.85, s"IVF kept only $kept of the corpus")
   }
+
+  test("sqTopK: int8 scoring recalls >= 0.9 of brute top-10 on sf0.001 " +
+      "embeddings") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(d).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val sq = Similarity.sqTopK(d).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (brute intersect sq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SQ recall $recall below 0.9")
+    info(f"SQ recall@10 = $recall%.2f")
+  }
+
+  test("sqTopK: scale invariance — scaling a vector leaves its codes' " +
+      "direction and the ranking unchanged; zero vectors are excluded") {
+    // 2 & 3 parallel up to scale, 4 orthogonal; query 0 near-parallel
+    // to them. Parallel candidates tie on quantized cosine -> id order.
+    val d = emb(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.9f, 0.1f),
+      2L -> Seq(1.0f, 0.001f), 3L -> Seq(100.0f, 0.1f),
+      4L -> Seq(0.0f, 1.0f), 5L -> Seq(0.0f, 0.0f))
+    val r = Similarity.sqTopK(d, k = 5)
+      .filter(org.apache.spark.sql.functions.col("query_id") === 0L)
+      .orderBy("rank")
+      .select("neighbor_id", "cosine")
+      .as[(Long, Double)].collect()
+    // zero vector 5 never appears (on either side)
+    assert(!r.map(_._1).contains(5L))
+    // 2 and 3 quantize to the same direction -> identical cosine,
+    // tie broken by id; both beat 1 and 4
+    val pos = r.map(_._1).toSeq
+    assert(pos.indexOf(2L) >= 0 && pos.indexOf(3L) === pos.indexOf(2L) + 1)
+    val c2 = r.find(_._1 == 2L).get._2
+    val c3 = r.find(_._1 == 3L).get._2
+    assert(c2 === c3)
+    assert(pos.indexOf(4L) === pos.length - 1) // orthogonal ranks last
+  }
 }
