@@ -409,6 +409,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Stats.welchTOrderValues(Tables.orders(spark, dataDir))
     def anova: DataFrame =
       Stats.anovaOrderValues(Tables.orders(spark, dataDir))
+    def permutation(reps: Int = Stats.PermutationReps): DataFrame =
+      Stats.permutationTest(Tables.events(spark, dataDir), reps)
   }
 
   object quality {

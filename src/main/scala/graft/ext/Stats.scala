@@ -830,6 +830,81 @@ object Stats {
           .as("mean_cents"))
   }
 
+  /** Replicates drawn by [[permutationTest]]. */
+  val PermutationReps = 64
+
+  /** PERMUTATION TEST of the variant effect on per-user spend — the
+    * assumption-free companion of `ab_test_*`: under H₀ (assignment
+    * doesn't matter) every relabeling of users is equally likely, so
+    * the observed arm-mean difference is compared against the
+    * difference under [[PermutationReps]] pseudo-random relabelings
+    * and `p = #{|Δ_r| ≥ |Δ_obs|} / R`. Relabelings come from the
+    * portable Knuth hash of `user_id·R + rep` (the [[poissonBootstrap]]
+    * key device) — deterministic and exactly replayable on both
+    * engines, the same replayability-over-secrecy trade documented on
+    * `privacy_dp_counts`.
+    *
+    * Exactness: each replicate reduces to two exact integers (its arm-0
+    * count and cent sum) against the shared totals; every Δ is the
+    * same fixed four-division IEEE tree on both sides, so the ≥
+    * comparisons — and therefore the p-value — can never split
+    * engines. Degenerate one-arm relabelings (possible only on tiny
+    * fixtures) yield NULL Δ and count as non-exceeding on both sides.
+    *
+    * Scale shape: ONE corpus aggregate to per-user spend; the
+    * replicate explosion rides the USER-level table (R× users rows,
+    * partial-aggregated map-side into R groups), never the event
+    * stream. Two metadata-sized broadcasts close the readout.
+    */
+  def permutationTest(ev: DataFrame,
+      reps: Int = PermutationReps): DataFrame = {
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val obs = perUser.agg(
+      count(lit(1)).as("n"), sum("cents").as("s"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 0, col("cents")).otherwise(0L)).as("s0"))
+    val maxId = Long.MaxValue / 2654435761L
+    val key = col("user_id") * reps + col("rep")
+    val guarded = when(key.between(0L, maxId), key)
+      .otherwise(raise_error(lit(
+        s"permutationTest: key outside portable-hash domain [0, $maxId]")))
+    // arm = HIGH bit of the 32-bit hash (h >= 2^31): the LOW bit of a
+    // multiplicative hash is just the key's parity (odd constant), which
+    // with an even `reps` would collapse every replicate to one arm
+    val assign = (((guarded * 2654435761L) % 4294967296L) >=
+      lit(2147483648L)).cast("long")
+    val repAgg = perUser
+      .select(col("user_id"), col("cents"),
+        explode(sequence(lit(0L), lit((reps - 1).toLong))).as("rep"))
+      .withColumn("a", assign)
+      .groupBy("rep")
+      .agg(sum(when(col("a") === 0L, 1L).otherwise(0L)).as("rn0"),
+        sum(when(col("a") === 0L, col("cents")).otherwise(0L)).as("rs0"))
+    val d = (c: Column) => c.cast("double")
+    val joined = repAgg.crossJoin(broadcast(obs))
+      .withColumn("obs_delta",
+        when(col("n0") === 0L || col("n0") === col("n"),
+          lit(null).cast("double"))
+          .otherwise(d(col("s0")) / d(col("n0")) -
+            d(col("s") - col("s0")) / d(col("n") - col("n0"))))
+      .withColumn("delta",
+        when(col("rn0") === 0L || col("rn0") === col("n"),
+          lit(null).cast("double"))
+          .otherwise(d(col("rs0")) / d(col("rn0")) -
+            d(col("s") - col("rs0")) / d(col("n") - col("rn0"))))
+      .withColumn("exceeds",
+        when(col("delta").isNull || col("obs_delta").isNull, 0L)
+          .otherwise(when(abs(col("delta")) >= abs(col("obs_delta")), 1L)
+            .otherwise(0L)))
+    val p = joined.agg(sum("exceeds").as("n_exceed"))
+    joined.crossJoin(broadcast(p))
+      .select(col("rep"), col("rn0").as("n0"), col("rs0").as("s0_cents"),
+        col("delta"), col("obs_delta"),
+        (col("n_exceed").cast("double") / lit(reps.toDouble)).as("p_value"))
+  }
+
   /** WELCH'S UNEQUAL-VARIANCE t-TEST between two order-priority
     * cohorts' order values — the parametric companion of
     * [[ksEventValues]] (distribution-free) and `ab_test_mann_whitney`
@@ -957,6 +1032,7 @@ object Stats {
     "stats_bootstrap" -> ((s, d) => poissonBootstrap(Tables.orders(s, d))),
     "stats_spearman" -> ((s, d) => spearmanQtyValue(Tables.lineitem(s, d))),
     "stats_ks" -> ((s, d) => ksEventValues(Tables.events(s, d))),
+    "stats_permutation" -> ((s, d) => permutationTest(Tables.events(s, d))),
     "drift_daily_ks" -> ((s, d) => dailyValueDrift(Tables.events(s, d))),
     "stats_changepoint" -> ((s, d) =>
       changepointDailyRevenue(Tables.orders(s, d))),
@@ -1033,6 +1109,53 @@ object Stats {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "stats_permutation" -> {
+      val reps = PermutationReps
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |           AS cents,
+         |         user_id % 2 AS variant
+         |  FROM events GROUP BY user_id),
+         |o AS (
+         |  SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+         |         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n0,
+         |         CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END)
+         |              AS BIGINT) AS s0
+         |  FROM pu),
+         |r AS (SELECT range AS rep FROM range(0, $reps)),
+         |asg AS (
+         |  SELECT rep,
+         |         CAST(sum(CASE WHEN ((pu.user_id * $reps + rep)
+         |               * 2654435761) % 4294967296 < 2147483648
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS rn0,
+         |         CAST(sum(CASE WHEN ((pu.user_id * $reps + rep)
+         |               * 2654435761) % 4294967296 < 2147483648
+         |               THEN cents ELSE 0 END) AS BIGINT) AS rs0
+         |  FROM pu CROSS JOIN r GROUP BY rep),
+         |j AS (
+         |  SELECT rep, rn0, rs0, n, s, n0, s0,
+         |         CASE WHEN n0 = 0 OR n0 = n THEN NULL
+         |              ELSE CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+         |                 - CAST(s - s0 AS DOUBLE) / CAST(n - n0 AS DOUBLE)
+         |         END AS obs_delta,
+         |         CASE WHEN rn0 = 0 OR rn0 = n THEN NULL
+         |              ELSE CAST(rs0 AS DOUBLE) / CAST(rn0 AS DOUBLE)
+         |                 - CAST(s - rs0 AS DOUBLE)
+         |                   / CAST(n - rn0 AS DOUBLE)
+         |         END AS delta
+         |  FROM asg CROSS JOIN o),
+         |x AS (
+         |  SELECT *, CASE WHEN delta IS NULL OR obs_delta IS NULL THEN 0
+         |                 WHEN abs(delta) >= abs(obs_delta) THEN 1
+         |                 ELSE 0 END AS exceeds
+         |  FROM j),
+         |p AS (SELECT CAST(sum(exceeds) AS BIGINT) AS n_exceed FROM x)
+         |SELECT rep, rn0 AS n0, rs0 AS s0_cents, delta, obs_delta,
+         |       CAST(n_exceed AS DOUBLE) / $reps.0 AS p_value
+         |FROM x CROSS JOIN p""".stripMargin
+    },
     "stats_anova" -> duckAnovaSql,
     "stats_welch_t" ->
       """WITH v AS (

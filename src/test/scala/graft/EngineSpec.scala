@@ -80,7 +80,8 @@ class EngineSpec extends SparkSpec {
       e.privacy.erasureAudit, e.multimodal.videoShots(),
       e.timeSeries.userStreaks, e.experiment.srm, e.text.evalCalibration,
       e.graph.linkPrediction(), e.analytics.dppRevenue,
-      e.text.evalPrCurve(), e.similarity.topKSq())
+      e.text.evalPrCurve(), e.similarity.topKSq(),
+      e.stats.permutation())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -455,4 +455,59 @@ class StatsSpec extends SparkSpec {
     val r3 = Stats.rollingCorrDaily(const, window = 3).collect()
     assert(r3.forall(_.isNullAt(2)))
   }
+
+  private def permEvents(rows: (Long, Double)*): DataFrame =
+    rows.zipWithIndex.map { case ((uid, v), i) =>
+      (i.toLong, uid, "view", v, "{}",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+
+  test("permutationTest: constant metric pins every delta to 0 and " +
+      "p to 1") {
+    // every user spends the same -> any relabeling gives delta 0,
+    // |0| >= |0| on all replicates
+    val ev = permEvents((0L to 9L).map(u => (u, 1.0)): _*)
+    val r = Stats.permutationTest(ev, reps = 8)
+      .select("rep", "delta", "obs_delta", "p_value")
+      .as[(Long, Option[Double], Option[Double], Double)].collect()
+    assert(r.length === 8)
+    assert(r.forall(x => x._2.contains(0.0) && x._3.contains(0.0)))
+    assert(r.forall(_._4 === 1.0))
+  }
+
+  test("permutationTest: replicate sums and p match an independent " +
+      "replay of the hash contract") {
+    // strong parity effect: variant-0 users spend 10.00, variant-1 zero
+    val users = (0L to 9L).map(u => (u, if (u % 2 == 0) 10.0 else 0.0))
+    val reps = 8
+    val r = Stats.permutationTest(permEvents(users: _*), reps = reps)
+      .select("rep", "n0", "s0_cents", "delta", "obs_delta", "p_value")
+      .as[(Long, Long, Long, Option[Double], Option[Double], Double)]
+      .collect().sortBy(_._1)
+    // independent replay (plain Scala, same published contract)
+    def assign(u: Long, rep: Long): Long =
+      if ((((u * reps + rep) * 2654435761L) % 4294967296L) >= 2147483648L)
+        1L
+      else 0L
+    val cents = users.map { case (u, v) => u -> math.round(v * 100) }
+    val n = 10L
+    val s = cents.map(_._2).sum
+    val obs = {
+      val z = cents.filter(_._1 % 2 == 0)
+      z.map(_._2).sum.toDouble / z.size -
+        (s - z.map(_._2).sum).toDouble / (n - z.size)
+    }
+    val expected = (0 until reps).map { rep =>
+      val zero = cents.filter { case (u, _) => assign(u, rep.toLong) == 0L }
+      val (rn0, rs0) = (zero.size.toLong, zero.map(_._2).sum)
+      val delta =
+        if (rn0 == 0L || rn0 == n) None
+        else Some(rs0.toDouble / rn0 - (s - rs0).toDouble / (n - rn0))
+      (rep.toLong, rn0, rs0, delta)
+    }
+    val pExp = expected.count(_._4.exists(d =>
+      math.abs(d) >= math.abs(obs))).toDouble / reps
+    assert(r.map(x => (x._1, x._2, x._3, x._4)).toSeq === expected)
+    assert(r.forall(x => x._5.contains(obs) && x._6 === pExp))
+  }
 }
