@@ -378,6 +378,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Graph.bfsDistances(edges, seedCount, rounds)
     def linkPrediction(topK: Int = Graph.LinkPredTopK): DataFrame =
       Graph.linkPrediction(edges, topK)
+    def components: DataFrame = Graph.weakComponents(edges)
   }
 
   /** Exact-arithmetic statistics — see [[graft.ext.Stats]]. */

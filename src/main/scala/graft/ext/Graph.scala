@@ -609,6 +609,26 @@ object Graph {
       .limit(topK)
   }
 
+  /** Weakly-connected components of the co-purchase graph, reported as
+    * per-component sizes — the catalog-health readout (is the product
+    * space one connected market or many isolated islands?) and the
+    * precondition check for the traversal operators above (PageRank/LPA
+    * semantics differ across disconnected pieces). Reuses
+    * [[Components.connectedComponents]]: min-label propagation with a
+    * join-free convergence test at scale, exact driver union-find under
+    * [[Components.LocalEdgeThreshold]] edges; both yield component =
+    * min reachable node id, so the output is deterministic and the
+    * DuckDB twin is the same label by recursive closure.
+    */
+  def weakComponents(edgesIn: DataFrame): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    val pairs = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    Components.connectedComponents(pairs)
+      .groupBy(col("comp").as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Pairs reported by [[linkPrediction]]. */
   val LinkPredTopK = 100
   /** Middles with degree above this are skipped as evidence — the hub
@@ -928,6 +948,8 @@ object Graph {
       bfsDistances(coPurchaseEdges(Tables.lineitem(s, d)))),
     "graph_link_pred" -> ((s, d) =>
       linkPrediction(coPurchaseEdges(Tables.lineitem(s, d)))),
+    "graph_wcc" -> ((s, d) =>
+      weakComponents(coPurchaseEdges(Tables.lineitem(s, d)))),
   )
 
   /** Unrolled personalized-PageRank twin: same 3 fixed-point
@@ -1122,6 +1144,29 @@ object Graph {
     "graph_lpa_modularity" -> duckLpaModularitySql(),
     // same degree-orientation + wedge close + 3-edges-per-triangle plan,
     // tuple comparisons spelled as ROW(...) < ROW(...)
+    "graph_wcc" ->
+      """WITH RECURSIVE li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |p AS (SELECT src AS doc_a, dst AS doc_b FROM e WHERE src < dst),
+        |und AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT u AS node, u AS r FROM und
+        |  UNION
+        |  SELECT und.u AS node, reach.r
+        |  FROM und JOIN reach ON und.v = reach.node),
+        |lab AS (
+        |  SELECT node, min(r) AS comp
+        |  FROM (SELECT node, r FROM reach
+        |        UNION SELECT node, node FROM (SELECT DISTINCT u AS node
+        |                                      FROM und))
+        |  GROUP BY 1)
+        |SELECT comp AS component_id, count(*) AS n_nodes
+        |FROM lab GROUP BY 1""".stripMargin,
     "graph_link_pred" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -388,4 +388,15 @@ class GraphSpec extends SparkSpec {
     assert(r.length === 6) // C(4,2) leaf pairs
     assert(r.forall(x => x._3 === 1L && x._4 === 250000L))
   }
+
+  test("weakComponents: two islands get min-id labels and exact sizes") {
+    // triangle {1,2,3} and path {7-8}; both directions as coPurchase emits
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (7L, 8L), (8L, 7L)).toDF("src", "dst")
+    val r = Graph.weakComponents(edges)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    graft.CheckpointLease.releaseAll()
+    assert(r.toSeq === Seq((1L, 3L), (7L, 2L)))
+  }
 }
