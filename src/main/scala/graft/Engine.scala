@@ -188,6 +188,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def erasureAudit: DataFrame = Privacy.erasureAudit(
       Tables.customer(spark, dataDir), Tables.orders(spark, dataDir),
       Tables.lineitem(spark, dataDir))
+    def randomizedResponse(salt: Long = 0L): DataFrame =
+      Privacy.randomizedResponse(Tables.customer(spark, dataDir),
+        Tables.nation(spark, dataDir), salt)
   }
 
   object similarity {

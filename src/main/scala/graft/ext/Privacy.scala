@@ -259,6 +259,47 @@ object Privacy {
       .withColumn("released_cnt", greatest(lit(0L), col("noisy_cnt")))
   }
 
+  /** RANDOMIZED RESPONSE (Warner 1965) — the LOCAL-DP companion of
+    * [[dpNoisyCounts]]'s central-DP release: each customer reports a
+    * sensitive binary flag (account balance in the red) TRUTHFULLY with
+    * probability p = 3/4 and FLIPPED with probability 1/4, so no single
+    * report reveals the truth (ε = ln 3 per report), yet the population
+    * rate debiasses exactly: with p = 3/4,
+    * `n̂_yes = (obs − n/4) / (1/2) = (4·obs − n) / 2` — an exact
+    * integer numerator and ONE division.
+    *
+    * The flip draw is the portable Knuth hash of `c_custkey + salt`
+    * against the u32 quarter-point — deterministic and replayable, the
+    * same salt-0-for-the-oracle / fresh-salt-in-production contract as
+    * [[dpNoisyCounts]] (and as there, `true_yes` is emitted for the
+    * correctness gate only; a real release keeps `obs_yes`/`est_yes`).
+    *
+    * Scale shape: one narrow per-row flip + one partial-merging
+    * aggregate per nation, broadcast dim join — the dpNoisyCounts plan
+    * with the noise moved from the aggregate to the rows, which is
+    * exactly the central-vs-local DP distinction.
+    */
+  def randomizedResponse(customer: DataFrame, nation: DataFrame,
+      salt: Long = 0L): DataFrame = {
+    require(salt >= 0L, "salt must be non-negative (u32 hash domain)")
+    val h = ((col("c_custkey") + salt) * 2654435761L) % 4294967296L
+    val flip = h < 1073741824L // 2^30 = quarter of the u32 range
+    val truth = col("c_acctbal") < 0.0
+    customer
+      .select(col("c_nationkey"),
+        when(truth, 1L).otherwise(0L).as("y"),
+        when(flip, when(truth, 0L).otherwise(1L))
+          .otherwise(when(truth, 1L).otherwise(0L)).as("r"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum("y").as("true_yes"),
+        sum("r").as("obs_yes"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n"), col("true_yes"), col("obs_yes"),
+        ((lit(4L) * col("obs_yes") - col("n")).cast("double") / lit(2.0))
+          .as("est_yes"))
+  }
+
   /** Simulated deletion-request predicate for the registered erasure
     * query: every 97th customer key — a deterministic stand-in for the
     * DSR list a real deployment reads from its requests table.
@@ -307,6 +348,8 @@ object Privacy {
     "privacy_dp_counts" -> ((s, d) =>
       dpNoisyCounts(Tables.customer(s, d), Tables.nation(s, d))),
     "tclose_audit" -> ((s, d) => tClosenessAudit(Tables.customer(s, d))),
+    "privacy_rr" -> ((s, d) => randomizedResponse(Tables.customer(s, d),
+      Tables.nation(s, d))),
     "pii_redact_text" -> ((s, d) => redactDocuments(Tables.documents(s, d))),
     "pii_mask_customers" -> ((s, d) => maskCustomers(Tables.customer(s, d))),
     "kanon_audit" -> ((s, d) => kAnonymityAudit(Tables.customer(s, d))),
@@ -315,6 +358,24 @@ object Privacy {
 
   /** DuckDB twins — same regexes (shared Java/RE2 subset), same plant. */
   def oracleSql: Map[String, String] = Map(
+    "privacy_rr" ->
+      """WITH f AS (
+        |  SELECT c_nationkey,
+        |         CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END AS y,
+        |         CASE WHEN (c_custkey * 2654435761) % 4294967296
+        |                   < 1073741824
+        |              THEN CASE WHEN c_acctbal < 0.0 THEN 0 ELSE 1 END
+        |              ELSE CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END
+        |         END AS r
+        |  FROM customer),
+        |a AS (
+        |  SELECT c_nationkey, count(*) AS n,
+        |         CAST(sum(y) AS BIGINT) AS true_yes,
+        |         CAST(sum(r) AS BIGINT) AS obs_yes
+        |  FROM f GROUP BY 1)
+        |SELECT n_name, n, true_yes, obs_yes,
+        |       CAST(4 * obs_yes - n AS DOUBLE) / 2.0 AS est_yes
+        |FROM a JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "privacy_erasure" ->
       s"""WITH ks AS (
          |  SELECT c_custkey FROM customer

@@ -81,7 +81,8 @@ class EngineSpec extends SparkSpec {
       e.timeSeries.userStreaks, e.experiment.srm, e.text.evalCalibration,
       e.graph.linkPrediction(), e.analytics.dppRevenue,
       e.text.evalPrCurve(), e.similarity.topKSq(),
-      e.stats.permutation(), e.graph.components)
+      e.stats.permutation(), e.graph.components,
+      e.privacy.randomizedResponse())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

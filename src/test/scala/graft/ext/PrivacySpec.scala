@@ -185,6 +185,39 @@ class PrivacySpec extends SparkSpec {
       Privacy.dpNoisyCounts(customer, nation, -1L))
   }
 
+  test("randomizedResponse: flips replay the hash contract and the " +
+      "debias formula is exact") {
+    // nation 0: customers 1..8, negative balance for keys 1..4
+    val nation = Seq((0L, "n_0")).toDF("n_nationkey", "n_name")
+    val customer = (1L to 8L).map(k =>
+        (k, 0L, if (k <= 4) -10.0 else 10.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val r = Privacy.randomizedResponse(customer, nation)
+      .select("n_name", "n", "true_yes", "obs_yes", "est_yes")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(r.length === 1)
+    val (_, n, trueYes, obsYes, est) = r.head
+    assert(n === 8L && trueYes === 4L)
+    // independent replay of the flip rule
+    val expObs = (1L to 8L).map { k =>
+      val flip = ((k * 2654435761L) % 4294967296L) < 1073741824L
+      val y = k <= 4
+      if (flip) !y else y
+    }.count(identity).toLong
+    assert(obsYes === expObs)
+    assert(est === (4L * obsYes - n).toDouble / 2.0)
+    // a salt change must move at least one report on a larger panel
+    val big = (1L to 200L).map(k => (k, 0L, if (k % 2 == 0) -1.0 else 1.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val o0 = Privacy.randomizedResponse(big, nation)
+      .select("obs_yes").as[Long].head()
+    val o1 = Privacy.randomizedResponse(big, nation, salt = 12345L)
+      .select("obs_yes").as[Long].head()
+    assert(o0 !== o1)
+    intercept[IllegalArgumentException](
+      Privacy.randomizedResponse(customer, nation, -1L))
+  }
+
   test("dpNoisyCounts: thresholds are the exact BigInt inverse-CDF cuts") {
     // recompute independently from the weight definition 256*(1/2)^|k|
     val weights = (-8 to 8).map(k => 256 >> math.abs(k))
