@@ -329,6 +329,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
       TimeSeries.thresholdEpisodes(Tables.orders(spark, dataDir))
     def robustAnomalies: DataFrame =
       TimeSeries.robustAnomalies(Tables.orders(spark, dataDir))
+    def rollingMedian(window: Int = TimeSeries.RollingMedianWindow)
+        : DataFrame =
+      TimeSeries.rollingMedianDailyRevenue(
+        Tables.orders(spark, dataDir), window)
     def seasonalAnomalies: DataFrame =
       TimeSeries.seasonalAnomalies(Tables.orders(spark, dataDir))
     def retentionTriangle: DataFrame =

@@ -477,6 +477,42 @@ object TimeSeries {
     * NULL/false rather than dividing by zero. The percentile aggregates
     * and the rejoin all ride the DAY-LEVEL series (metadata-sized).
     */
+  /** Exact rolling median of daily revenue over a trailing window of
+    * [[RollingMedianWindow]] OBSERVED days — the robust companion of
+    * the rolling mean/EWMA smoothers: one outlier day shifts the mean
+    * by its full weight but leaves the median untouched, which is why
+    * ops dashboards trend the median. Exactness needs no percentile
+    * estimator: the window holds ≤ 7 exact cent values, so the median
+    * is `sorted[(w+1) div 2]` for odd w and ONE division
+    * `(mid₁+mid₂)/2` for even w (warm-up rows) — both engines sort the
+    * same integers and pick the same elements.
+    *
+    * Scale shape: the corpus collapses to the day-level table first;
+    * the unpartitioned window rides the CALENDAR-bounded days (the
+    * standing ts_* bounded-domain argument), each row carrying a ≤7
+    * element array.
+    */
+  val RollingMedianWindow = 7
+
+  def rollingMedianDailyRevenue(ord: DataFrame,
+      window: Int = RollingMedianWindow): DataFrame = {
+    val daily = ord
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(cents("o_totalprice")).as("rev_cents"))
+    val w = Window.orderBy("day").rowsBetween(-(window - 1), 0)
+    daily
+      .withColumn("vals", sort_array(collect_list("rev_cents").over(w)))
+      .select(col("day"), col("rev_cents"),
+        size(col("vals")).cast("long").as("w"),
+        expr("""CASE WHEN size(vals) % 2 = 1
+                THEN CAST(element_at(vals,
+                       CAST((size(vals) + 1) DIV 2 AS INT)) AS DOUBLE)
+                ELSE CAST(element_at(vals, CAST(size(vals) DIV 2 AS INT))
+                        + element_at(vals,
+                            CAST(size(vals) DIV 2 AS INT) + 1) AS DOUBLE)
+                     / 2.0 END""").as("median_cents"))
+  }
+
   def robustAnomalies(ord: DataFrame): DataFrame = {
     val daily = graft.CheckpointLease.track(
       ord.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
@@ -1228,6 +1264,8 @@ object TimeSeries {
       thresholdEpisodes(Tables.orders(s, d))),
     "ts_robust_anomalies" -> ((s, d) =>
       robustAnomalies(Tables.orders(s, d))),
+    "ts_rolling_median" -> ((s, d) =>
+      rollingMedianDailyRevenue(Tables.orders(s, d))),
     "ts_seasonality" -> ((s, d) => dowSeasonality(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
     "funnel_window" -> ((s, d) =>
@@ -1634,6 +1672,24 @@ object TimeSeries {
         |         ROWS UNBOUNDED PRECEDING) AS v_cents_filled,
         |       v_obs IS NOT NULL AS is_observed
         |FROM j""".stripMargin,
+    "ts_rolling_median" ->
+      """WITH d AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT day, rev_cents,
+        |         list_sort(list(rev_cents) OVER (ORDER BY day
+        |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vals
+        |  FROM d)
+        |SELECT day, rev_cents, CAST(len(vals) AS BIGINT) AS w,
+        |       CASE WHEN len(vals) % 2 = 1
+        |            THEN CAST(vals[(len(vals) + 1) // 2] AS DOUBLE)
+        |            ELSE CAST(vals[len(vals) // 2]
+        |                    + vals[len(vals) // 2 + 1] AS DOUBLE) / 2.0
+        |       END AS median_cents
+        |FROM r""".stripMargin,
     "ts_robust_anomalies" ->
       """WITH daily AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,

@@ -811,4 +811,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r((2L, "2024-01-03"))._1 === 100.0 + 300.0 * (2.0 / 3.0))
     assert(r.size === 7)                               // 3 + 4 days
   }
+
+  test("rollingMedianDailyRevenue: warm-up even windows average the " +
+      "middles; an outlier day never moves the median") {
+    // daily cents: 100, 300, 200, 900000 (outlier), 400
+    val o = orders(
+      (1L, 1L, "F", 1.00, "2024-01-01"), (2L, 1L, "F", 3.00, "2024-01-02"),
+      (3L, 1L, "F", 2.00, "2024-01-03"), (4L, 1L, "F", 9000.00, "2024-01-04"),
+      (5L, 1L, "F", 4.00, "2024-01-05"))
+    val r = TimeSeries.rollingMedianDailyRevenue(o, window = 3)
+      .select("day", "w", "median_cents")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(_._2).toSeq === Seq(1L, 2L, 3L, 3L, 3L))
+    // day1: [100] -> 100; day2: [100,300] -> 200 (even avg);
+    // day3: [100,200,300] -> 200; day4: [200,300,900000] -> 300;
+    // day5: [200,400,900000] -> 400 — the outlier never surfaces
+    assert(r.map(_._3).toSeq === Seq(100.0, 200.0, 200.0, 300.0, 400.0))
+  }
 }
