@@ -139,6 +139,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def evalCalibration: DataFrame = TextAnalysis.evalCalibration(docs)
     def evalPrCurve(bins: Int = 10): DataFrame =
       TextAnalysis.evalPrCurve(docs, bins)
+    def phraseSearch(term1: String = TextAnalysis.PhraseTerm1,
+        term2: String = TextAnalysis.PhraseTerm2): DataFrame =
+      TextAnalysis.phraseSearch(docs, term1, term2)
     def blocklist(terms: Seq[String] = TextAnalysis.BlocklistTerms)
         : DataFrame = TextAnalysis.blocklistScreen(docs, terms)
     def readability: DataFrame = TextAnalysis.readability(docs)

@@ -462,6 +462,41 @@ object TextAnalysis {
           (col("n_tot").cast("double") * lit(1000.0))).as("ece"))
   }
 
+  /** Phrase terms of the registered [[phraseSearch]] query. */
+  val PhraseTerm1 = "fast"
+  val PhraseTerm2 = "table"
+
+  /** POSITIONAL PHRASE SEARCH — the inverted-index primitive BM25's
+    * bag-of-words scoring cannot express: find documents containing the
+    * exact two-word phrase, via POSTING LISTS WITH POSITIONS (term →
+    * (doc, pos)) and an adjacency equi-join `pos₂ = pos₁ + 1`, never a
+    * substring rescan of the raw text. Per matching doc: occurrence
+    * count and the first match's 0-based token position (the snippet
+    * anchor a search UI needs).
+    *
+    * Scale shape: the posting stream is filtered to the TWO phrase
+    * terms before anything shuffles — the join input is
+    * term-selectivity-sized, not corpus-sized, which is the whole point
+    * of an inverted index; the adjacency join keys on (doc, pos), the
+    * most even key there is. The DuckDB twin replays the same adjacency
+    * predicate over 1-based list positions.
+    */
+  def phraseSearch(docs: DataFrame, term1: String = PhraseTerm1,
+      term2: String = PhraseTerm2): DataFrame = {
+    val posting = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("term") === term1 || col("term") === term2)
+    val a = posting.filter(col("term") === term1)
+      .select(col("doc_id"), col("pos").as("p1"))
+    val b = posting.filter(col("term") === term2)
+      .select(col("doc_id").as("doc_b"), col("pos").as("p2"))
+    a.join(b, col("doc_id") === col("doc_b") && col("p2") === col("p1") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"),
+        min("p1").cast("long").as("first_pos"))
+  }
+
   /** BM25 relevance scoring of the corpus against a query term set —
     * the standard full-text ranking function (Robertson/Spärck Jones;
     * parameters k1 = 1.2, b = 0.75). Emits one row per (doc, matched
@@ -857,6 +892,7 @@ object TextAnalysis {
     "text_pmi"          -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
     "vocab_coverage"    -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "search_bm25"       -> ((s, d) => bm25(Tables.documents(s, d))),
+    "search_phrase"     -> ((s, d) => phraseSearch(Tables.documents(s, d))),
     "search_bm25_topk"  -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "eval_confusion"    -> ((s, d) => evalLangId(Tables.documents(s, d))),
     "eval_auc_roc"      -> ((s, d) => evalAucRoc(Tables.documents(s, d))),
@@ -1069,6 +1105,18 @@ object TextAnalysis {
          |       coalesce(h.n_hits, 0) > $BlocklistMaxHits AS flagged
          |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin
     },
+    "search_phrase" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         [i for i in range(1, len(toks))
+         |          if toks[i] = '$PhraseTerm1'
+         |         AND toks[i + 1] = '$PhraseTerm2'] AS hits
+         |  FROM t)
+         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_occ,
+         |       CAST(list_min(hits) - 1 AS BIGINT) AS first_pos
+         |FROM m WHERE len(hits) > 0""".stripMargin,
     "eval_pr_curve" ->
       """WITH vl AS (
         |  SELECT n_chars AS v,

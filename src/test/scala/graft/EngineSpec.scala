@@ -82,7 +82,8 @@ class EngineSpec extends SparkSpec {
       e.graph.linkPrediction(), e.analytics.dppRevenue,
       e.text.evalPrCurve(), e.similarity.topKSq(),
       e.stats.permutation(), e.graph.components,
-      e.privacy.randomizedResponse(), e.timeSeries.rollingMedian())
+      e.privacy.randomizedResponse(), e.timeSeries.rollingMedian(),
+      e.text.phraseSearch())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -400,6 +400,19 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 0L, 0L, false)))
   }
 
+  test("phraseSearch: adjacency only — scattered terms and reversed " +
+      "order never match; overlapping occurrences all count") {
+    val d = docs(
+      (1L, "fast table scan makes fast table joins", "en"), // 2 occ @ 0, 4
+      (2L, "fast scan table", "en"),                        // not adjacent
+      (3L, "table fast", "en"),                             // reversed
+      (4L, "a fast table", "en"))                           // 1 occ @ 1
+    val r = TextAnalysis.phraseSearch(d)
+      .select("doc_id", "n_occ", "first_pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq((1L, 2L, 0L), (4L, 1L, 1L)))
+  }
+
   test("evalPrCurve: cumulative precision/recall per descending-score " +
       "bin with the prevalence baseline") {
     // scores desc: 20(en) 10(en) 2(de) 1(de); 4 distinct values -> 4 bins
