@@ -646,6 +646,9 @@ case class Engine(spark: SparkSession, dataDir: String) {
         Tables.orders(spark, dataDir), parts)
     def clusteringDepth: DataFrame =
       graft.plans.Layout.clusteringDepth(Tables.orders(spark, dataDir))
+    def bloomSkip(bits: Long = graft.plans.Layout.BloomBits): DataFrame =
+      graft.plans.Layout.bloomSkipAudit(
+        Tables.orders(spark, dataDir), bits)
   }
 
   /** Stored-ANN-index lifecycle (build → append → pruned serve) — see

@@ -277,8 +277,86 @@ object Layout {
   }
 
   /** Driver-contract registration (SparkEntry aggregates these). */
+  /** Bloom bit-array size of [[bloomSkipAudit]] (per shard). */
+  val BloomBits = 4096L
+  /** Probe workload: every customer key divisible by this. */
+  val BloomProbeModulus = 997L
+
+  /** BLOOM-FILTER FILE-SKIPPING AUDIT — the EQUALITY companion of
+    * [[zonemapPrune]]'s range story: the orders table sharded by month
+    * (time-clustered files, the layout every warehouse lands in), point
+    * lookups on `o_custkey` — a column month-clustering leaves fully
+    * interleaved, so min/max zonemaps skip nothing. Parquet-style
+    * per-file bloom filters fix that: this audit BUILDS each shard's
+    * bloom (two multiplicative-hash positions per key into
+    * [[BloomBits]] bits — k=2, the parquet split-block default's shape),
+    * replays a deterministic probe workload (keys ≡ 0 mod
+    * [[BloomProbeModulus]]) against every shard, and reports per shard:
+    * probes, bloom passes, true presences, false positives, the SKIP
+    * share (probes that never open the file) and the realized FP rate
+    * against the m/n/k theory.
+    *
+    * Everything is exact set arithmetic — a bloom is the DISTINCT
+    * (shard, bit) set, a probe passes iff ALL its bit rows match, both
+    * engines hash the same integers — so the audit is hash-checkable.
+    * The key domain is guarded like [[graft.ext.Corpus.portableHash]]
+    * (u64 overflow would silently wrap in Spark and error in DuckDB).
+    *
+    * Scale shape: bloom build is one distinct over (shard, key) then a
+    * narrow 2-row explode + distinct — partial aggregation absorbs the
+    * fan-out; the probe side is probe-workload × shard-count sized
+    * (shards are calendar-bounded), joined on the (shard, bit) key.
+    * No corpus-sized join anywhere.
+    */
+  def bloomSkipAudit(orders: DataFrame, bits: Long = BloomBits,
+      probeModulus: Long = BloomProbeModulus): DataFrame = {
+    val maxId = Long.MaxValue / 2654435761L
+    def guard(c: Column) = when(c.between(0L, maxId), c)
+      .otherwise(raise_error(lit(
+        s"bloomSkipAudit: key outside hash domain [0, $maxId]")))
+    def bitPos(c: Column, mult: Long): Column =
+      pmod((guard(c) * mult) % 4294967296L, lit(bits))
+    def positions(c: Column): Column =
+      array(bitPos(c, 2654435761L), bitPos(c, 2246822519L))
+    val ks = orders.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("shard"),
+        col("o_custkey").as("k"))
+      .distinct()
+    val bloom = ks
+      .select(col("shard"), explode(positions(col("k"))).as("pos"))
+      .distinct()
+    val probes = orders.select(col("o_custkey").as("k")).distinct()
+      .filter(col("k") % probeModulus === 0)
+    val shards = ks.select("shard").distinct()
+    val ppos = probes.crossJoin(broadcast(shards))
+      .select(col("k"), col("shard"), explode(positions(col("k"))).as("pos"))
+    val hits = ppos.join(
+        bloom.select(col("shard").as("bs"), col("pos").as("bp")),
+        col("shard") === col("bs") && col("pos") === col("bp"), "left")
+      .groupBy("k", "shard")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("k"), col("shard"),
+        when(col("n_hit") === col("n_pos"), 1L).otherwise(0L).as("m"))
+    val truth = ks.filter(col("k") % probeModulus === 0)
+      .select(col("k").as("tk"), col("shard").as("ts"), lit(1L).as("t"))
+    val agg = hits.join(truth,
+        col("k") === col("tk") && col("shard") === col("ts"), "left")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_probes"), sum("m").as("n_maybe"),
+        sum(coalesce(col("t"), lit(0L))).as("n_true"))
+    agg.select(col("shard"), col("n_probes"), col("n_maybe"), col("n_true"),
+      (col("n_maybe") - col("n_true")).as("n_false_pos"),
+      ((col("n_probes") - col("n_maybe")).cast("double") /
+        col("n_probes").cast("double")).as("skip_share"),
+      when(col("n_probes") - col("n_true") === 0L, lit(null).cast("double"))
+        .otherwise((col("n_maybe") - col("n_true")).cast("double") /
+          (col("n_probes") - col("n_true")).cast("double")).as("fp_rate"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> ((s, d) => zorderBlocks(Tables.orders(s, d))),
+    "layout_bloom_skip" -> ((s, d) => bloomSkipAudit(Tables.orders(s, d))),
     "layout_hilbert" -> ((s, d) => hilbertBlocks(Tables.orders(s, d))),
     "layout_compaction" -> ((s, d) => compactionPlan(Tables.orders(s, d))),
     "layout_zonemap_prune" -> ((s, d) => zonemapPrune(Tables.orders(s, d))),
@@ -293,6 +371,58 @@ object Layout {
     * shift/mask fold).
     */
   def oracleSql: Map[String, String] = Map(
+    "layout_bloom_skip" -> {
+      val b = BloomBits
+      val m = BloomProbeModulus
+      s"""WITH ks AS (
+         |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS shard,
+         |         o_custkey AS k
+         |  FROM orders),
+         |bloom AS (
+         |  SELECT DISTINCT shard, pos FROM (
+         |    SELECT shard, (k * 2654435761) % 4294967296 % $b AS pos
+         |    FROM ks
+         |    UNION ALL
+         |    SELECT shard, (k * 2246822519) % 4294967296 % $b FROM ks)),
+         |probes AS (
+         |  SELECT DISTINCT o_custkey AS k FROM orders
+         |  WHERE o_custkey % $m = 0),
+         |shards AS (SELECT DISTINCT shard FROM ks),
+         |ppos AS (
+         |  SELECT k, shard, (k * 2654435761) % 4294967296 % $b AS pos
+         |  FROM probes CROSS JOIN shards
+         |  UNION ALL
+         |  SELECT k, shard, (k * 2246822519) % 4294967296 % $b
+         |  FROM probes CROSS JOIN shards),
+         |hits AS (
+         |  SELECT ppos.k, ppos.shard, count(*) AS n_pos,
+         |         CAST(sum(CASE WHEN bl.pos IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hit
+         |  FROM ppos LEFT JOIN bloom bl
+         |    ON ppos.shard = bl.shard AND ppos.pos = bl.pos
+         |  GROUP BY 1, 2),
+         |mb AS (
+         |  SELECT k, shard,
+         |         CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END AS m
+         |  FROM hits),
+         |truth AS (
+         |  SELECT k, shard, 1 AS t FROM ks WHERE k % $m = 0),
+         |agg AS (
+         |  SELECT mb.shard, count(*) AS n_probes,
+         |         CAST(sum(mb.m) AS BIGINT) AS n_maybe,
+         |         CAST(sum(coalesce(truth.t, 0)) AS BIGINT) AS n_true
+         |  FROM mb LEFT JOIN truth
+         |    ON mb.k = truth.k AND mb.shard = truth.shard
+         |  GROUP BY 1)
+         |SELECT shard, n_probes, n_maybe, n_true,
+         |       n_maybe - n_true AS n_false_pos,
+         |       CAST(n_probes - n_maybe AS DOUBLE) / CAST(n_probes AS DOUBLE)
+         |         AS skip_share,
+         |       CASE WHEN n_probes - n_true = 0 THEN NULL
+         |            ELSE CAST(n_maybe - n_true AS DOUBLE) /
+         |                 CAST(n_probes - n_true AS DOUBLE) END AS fp_rate
+         |FROM agg""".stripMargin
+    },
     "layout_range_plan" ->
       s"""WITH pk AS (
          |  SELECT datediff('day', DATE '1992-01-01',

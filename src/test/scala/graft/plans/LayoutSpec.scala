@@ -150,4 +150,33 @@ class LayoutSpec extends SparkSpec {
     // sum depth = 16*64 + 48*17 = 1840 -> avg 28.75
     assert(r("bykey") === (("bykey", 64L, 64L, 28.75)))
   }
+
+  test("bloomSkipAudit: present keys always pass their shard's bloom; " +
+      "absent keys skip unless both bit positions collide") {
+    // two month shards; probe keys are multiples of 997
+    // shard 2024-01 holds {997, 1994}; shard 2024-02 holds {2991}
+    val o = orders(
+      (1L, 997L, "F", 1.0, "2024-01-05 00:00:00", "x"),
+      (2L, 1994L, "F", 1.0, "2024-01-09 00:00:00", "x"),
+      (3L, 2991L, "F", 1.0, "2024-02-01 00:00:00", "x"),
+      (4L, 5L, "F", 1.0, "2024-02-02 00:00:00", "x")) // non-probe filler
+    val r = Layout.bloomSkipAudit(o)
+      .select("shard", "n_probes", "n_maybe", "n_true", "n_false_pos")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    // every shard sees all 3 probe keys
+    assert(r.values.forall(_._2 === 3L))
+    // no bloom misses a truly present key
+    assert(r("2024-01")._4 === 2L && r("2024-02")._4 === 1L)
+    assert(r.values.forall(x => x._3 >= x._4))
+    // independent replay of the two-hash bloom for the absent keys
+    def pos(k: Long) = Seq(
+      k * 2654435761L % 4294967296L % 4096L,
+      k * 2246822519L % 4294967296L % 4096L)
+    val bloom01 = Seq(997L, 1994L).flatMap(pos).toSet
+    val expMaybe01 = Seq(997L, 1994L, 2991L)
+      .count(k => pos(k).forall(bloom01.contains)).toLong
+    assert(r("2024-01")._3 === expMaybe01)
+    assert(r("2024-01")._5 === expMaybe01 - 2L)
+  }
 }
