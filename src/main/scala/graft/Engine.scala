@@ -361,6 +361,7 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Experiment.mannWhitney(Tables.events(spark, dataDir))
     def cuped: DataFrame = Experiment.cuped(Tables.events(spark, dataDir))
     def srm: DataFrame = Experiment.srm(Tables.events(spark, dataDir))
+    def mde: DataFrame = Experiment.mde(Tables.events(spark, dataDir))
   }
 
   /** Co-purchase graph analytics — see [[graft.ext.Graph]]. */

@@ -246,18 +246,135 @@ object Experiment {
           .otherwise(0L).as("srm_flag"))
   }
 
+  /** MINIMUM DETECTABLE EFFECT (MDE) at 80% power / 5% two-sided α —
+    * the experiment-SIZING readout run before launch and alongside
+    * every null result ("we saw nothing" means nothing without "and we
+    * could have seen X"): per arm, n and the per-user spend variance
+    * from exact cent moments, then
+    * `MDE = (z_{α/2} + z_β) · √(s²₀/n₀ + s²₁/n₁)` with the standard
+    * constants 1.96 and 0.8416 folded as literals on both engines.
+    * Also emits the relative MDE against the pooled mean — the number
+    * product teams actually quote.
+    *
+    * Exactness: one user-level aggregate carries both arms' n, Σx, Σx²
+    * (exact DECIMAL(38,0) / HUGEINT); every double is the same fixed
+    * tree of casts, three divisions, one sqrt, mirrored
+    * operand-for-operand in the twin. Degenerate arms (n ≤ 1 or zero
+    * pooled mean) pin the affected outputs to NULL via the same CASE.
+    *
+    * Scale shape: one corpus aggregate to per-user spend, one
+    * single-row moment aggregate — the [[cuped]] plan minus the
+    * calendar split.
+    */
+  def mde(ev: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val perUser = ev
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(sum("cents").as("x"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val m = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 0, dec(col("x")))
+        .otherwise(dec(lit(0L)))).as("sx0"),
+      sum(when(col("variant") === 0, dec(col("x")) * dec(col("x")))
+        .otherwise(dec(lit(0L)))).as("sxx0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 1, dec(col("x")))
+        .otherwise(dec(lit(0L)))).as("sx1"),
+      sum(when(col("variant") === 1, dec(col("x")) * dec(col("x")))
+        .otherwise(dec(lit(0L)))).as("sxx1"))
+    // var = (n·Σx² − (Σx)²) / (n·(n−1)) as one double over exact ints
+    def variance(n: Column, sx: Column, sxx: Column): Column =
+      when(n <= 1L, lit(null).cast("double"))
+        .otherwise(d(dec(n) * sxx - sx * sx) /
+          d(dec(n) * dec(n - 1L)))
+    m.withColumn("var0", variance(col("n0"), col("sx0"), col("sxx0")))
+      .withColumn("var1", variance(col("n1"), col("sx1"), col("sxx1")))
+      .withColumn("mean_all",
+        when(col("n0") + col("n1") === 0L, lit(null).cast("double"))
+          .otherwise(d(col("sx0") + col("sx1")) / d(col("n0") + col("n1"))))
+      .withColumn("mde_cents",
+        when(col("var0").isNull || col("var1").isNull,
+          lit(null).cast("double"))
+          .otherwise(lit(1.96 + 0.8416) *
+            sqrt(col("var0") / d(col("n0")) + col("var1") / d(col("n1")))))
+      .select(col("n0"), col("n1"), col("var0"), col("var1"),
+        col("mean_all"), col("mde_cents"),
+        when(col("mde_cents").isNull || col("mean_all").isNull ||
+          col("mean_all") === 0.0, lit(null).cast("double"))
+          .otherwise(col("mde_cents") / col("mean_all")).as("mde_rel"))
+  }
+
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab_test_wilson" -> ((s, d) => wilsonAb(Tables.events(s, d))),
     "ab_test_mann_whitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
     "exp_cuped" -> ((s, d) => cuped(Tables.events(s, d))),
     "exp_srm" -> ((s, d) => srm(Tables.events(s, d))),
+    "exp_mde" -> ((s, d) => mde(Tables.events(s, d))),
   )
 
   /** DuckDB twin — intermediate CTE columns pin the operand order to
     * exactly this code's, so every IEEE op rounds identically.
     */
   def oracleSql: Map[String, String] = Map(
+    "exp_mde" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS x,
+        |         user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n0,
+        |         sum(CASE WHEN variant = 0 THEN CAST(x AS HUGEINT)
+        |                  ELSE 0 END) AS sx0,
+        |         sum(CASE WHEN variant = 0
+        |                  THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+        |                  ELSE 0 END) AS sxx0,
+        |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n1,
+        |         sum(CASE WHEN variant = 1 THEN CAST(x AS HUGEINT)
+        |                  ELSE 0 END) AS sx1,
+        |         sum(CASE WHEN variant = 1
+        |                  THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+        |                  ELSE 0 END) AS sxx1
+        |  FROM pu),
+        |v AS (
+        |  SELECT *,
+        |         CASE WHEN n0 <= 1 THEN NULL
+        |              ELSE CAST(CAST(n0 AS HUGEINT) * sxx0 - sx0 * sx0
+        |                        AS DOUBLE)
+        |                 / CAST(CAST(n0 AS HUGEINT)
+        |                        * CAST(n0 - 1 AS HUGEINT) AS DOUBLE)
+        |         END AS var0,
+        |         CASE WHEN n1 <= 1 THEN NULL
+        |              ELSE CAST(CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1
+        |                        AS DOUBLE)
+        |                 / CAST(CAST(n1 AS HUGEINT)
+        |                        * CAST(n1 - 1 AS HUGEINT) AS DOUBLE)
+        |         END AS var1,
+        |         CASE WHEN n0 + n1 = 0 THEN NULL
+        |              ELSE CAST(sx0 + sx1 AS DOUBLE)
+        |                 / CAST(n0 + n1 AS DOUBLE) END AS mean_all
+        |  FROM m),
+        |w AS (
+        |  SELECT *,
+        |         CASE WHEN var0 IS NULL OR var1 IS NULL THEN NULL
+        |              ELSE (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+        |                   * sqrt(var0 / CAST(n0 AS DOUBLE)
+        |                        + var1 / CAST(n1 AS DOUBLE))
+        |         END AS mde_cents
+        |  FROM v)
+        |SELECT n0, n1, var0, var1, mean_all, mde_cents,
+        |       CASE WHEN mde_cents IS NULL OR mean_all IS NULL
+        |                 OR mean_all = 0.0 THEN NULL
+        |            ELSE mde_cents / mean_all END AS mde_rel
+        |FROM w""".stripMargin,
     "exp_srm" ->
       """WITH a AS (
         |  SELECT event_type,

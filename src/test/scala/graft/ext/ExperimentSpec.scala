@@ -147,6 +147,37 @@ class ExperimentSpec extends SparkSpec {
       ("view", 5L, 5L, 10L, 0.0, 0L)))
   }
 
+  test("mde: hand-computed variances and the 2.8016-sigma formula; " +
+      "single-user arm pins outputs to NULL") {
+    // variant 0 (users 0,2): spends 100, 300 cents -> var = 20000
+    // variant 1 (users 1,3): spends 200, 200 cents -> var = 0
+    val ev = events((1L, 0L, "a"), (2L, 2L, "a"), (3L, 1L, "a"),
+      (4L, 3L, "a"))
+      .drop("value")
+      .withColumn("value",
+        org.apache.spark.sql.functions.expr(
+          "CASE user_id WHEN 0 THEN 1.0 WHEN 2 THEN 3.0 ELSE 2.0 END"))
+    val r = Experiment.mde(ev)
+      .select("n0", "n1", "var0", "var1", "mean_all", "mde_cents",
+        "mde_rel")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x._1 === 2L && x._2 === 2L)
+    assert(x._3 === 20000.0 && x._4 === 0.0)
+    assert(x._5 === 200.0)
+    val expMde = (1.96 + 0.8416) * math.sqrt(20000.0 / 2 + 0.0 / 2)
+    assert(x._6 === expMde && x._7 === expMde / 200.0)
+
+    // a 1-user arm cannot estimate variance -> NULLs
+    val tiny = events((1L, 0L, "a"), (2L, 1L, "a"), (3L, 3L, "a"))
+    val t = Experiment.mde(tiny)
+      .select("var0", "mde_cents", "mde_rel")
+      .as[(Option[Double], Option[Double], Option[Double])].collect().head
+    assert(t._1.isEmpty && t._2.isEmpty && t._3.isEmpty)
+  }
+
   test("srm: boundary sits exactly at the 3.841 critical value") {
     // n = 1000, diff = 62 -> 1000*62^2 = 3_844_000 > 3841*1000 (flag);
     // diff = 60 -> 3_600_000 < 3_841_000 (no flag). Build both segments
