@@ -336,6 +336,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
         : DataFrame =
       TimeSeries.rollingMedianDailyRevenue(
         Tables.orders(spark, dataDir), window)
+    def lagFeatures: DataFrame =
+      TimeSeries.lagFeatures(Tables.orders(spark, dataDir))
     def seasonalAnomalies: DataFrame =
       TimeSeries.seasonalAnomalies(Tables.orders(spark, dataDir))
     def retentionTriangle: DataFrame =

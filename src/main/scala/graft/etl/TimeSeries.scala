@@ -513,6 +513,39 @@ object TimeSeries {
                      / 2.0 END""").as("median_cents"))
   }
 
+  /** LAG/ROLLING FEATURE MATRIX over daily revenue — the feature-
+    * engineering step in front of any tabular forecaster: per day,
+    * yesterday's value (lag 1), the same weekday last week (lag 7), the
+    * trailing 7-observed-day mean, and the day-of-week — the four
+    * features every revenue model starts from. Lags are exact cent
+    * values; the rolling mean is ONE division of an exact window sum by
+    * the window row count; `dow` uses the ISO numbering both engines
+    * share via explicit formulas (Spark `dayofweek` is Sunday=1 —
+    * avoided; `(days_since_epoch + 3) mod 7` gives Monday=0 on both
+    * sides from the same integer).
+    *
+    * Scale shape: corpus → day table first; unpartitioned lag/rolling
+    * windows ride the calendar-bounded days (standing ts_* argument).
+    */
+  def lagFeatures(ord: DataFrame): DataFrame = {
+    val daily = ord
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(cents("o_totalprice")).as("rev_cents"))
+    val wo = Window.orderBy("day")
+    val w7 = wo.rowsBetween(-6, 0)
+    daily
+      .withColumn("lag1_cents", lag("rev_cents", 1).over(wo))
+      .withColumn("lag7_cents", lag("rev_cents", 7).over(wo))
+      .withColumn("ma7_cents",
+        sum("rev_cents").over(w7).cast("double") /
+          count(lit(1)).over(w7).cast("double"))
+      .withColumn("dow",
+        pmod(datediff(col("day").cast("date"),
+          lit("1970-01-01").cast("date")) + 3, lit(7)).cast("long"))
+      .select("day", "rev_cents", "lag1_cents", "lag7_cents",
+        "ma7_cents", "dow")
+  }
+
   def robustAnomalies(ord: DataFrame): DataFrame = {
     val daily = graft.CheckpointLease.track(
       ord.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
@@ -1266,6 +1299,7 @@ object TimeSeries {
       robustAnomalies(Tables.orders(s, d))),
     "ts_rolling_median" -> ((s, d) =>
       rollingMedianDailyRevenue(Tables.orders(s, d))),
+    "feature_lags" -> ((s, d) => lagFeatures(Tables.orders(s, d))),
     "ts_seasonality" -> ((s, d) => dowSeasonality(Tables.orders(s, d))),
     "funnel_conversion" -> ((s, d) => funnel(Tables.events(s, d))),
     "funnel_window" -> ((s, d) =>
@@ -1672,6 +1706,24 @@ object TimeSeries {
         |         ROWS UNBOUNDED PRECEDING) AS v_cents_filled,
         |       v_obs IS NOT NULL AS is_observed
         |FROM j""".stripMargin,
+    "feature_lags" ->
+      """WITH d AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day, rev_cents,
+        |       lag(rev_cents, 1) OVER wo AS lag1_cents,
+        |       lag(rev_cents, 7) OVER wo AS lag7_cents,
+        |       CAST(sum(rev_cents) OVER w7 AS DOUBLE)
+        |         / CAST(count(*) OVER w7 AS DOUBLE) AS ma7_cents,
+        |       CAST((datediff('day', DATE '1970-01-01',
+        |                      CAST(day AS DATE)) + 3) % 7 AS BIGINT)
+        |         AS dow
+        |FROM d
+        |WINDOW wo AS (ORDER BY day),
+        |       w7 AS (ORDER BY day
+        |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "ts_rolling_median" ->
       """WITH d AS (
         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,

@@ -812,6 +812,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.size === 7)                               // 3 + 4 days
   }
 
+  test("lagFeatures: exact lags, trailing mean over observed days, " +
+      "Monday-0 dow on both epoch formulas") {
+    // 2024-01-01 is a Monday; daily cents 100, 200, 400
+    val o = orders(
+      (1L, 1L, "F", 1.00, "2024-01-01"), (2L, 1L, "F", 2.00, "2024-01-02"),
+      (3L, 1L, "F", 4.00, "2024-01-03"))
+    val r = TimeSeries.lagFeatures(o)
+      .select("day", "rev_cents", "lag1_cents", "lag7_cents", "ma7_cents",
+        "dow")
+      .as[(String, Long, Option[Long], Option[Long], Double, Long)]
+      .collect().sortBy(_._1)
+    assert(r.map(_._2).toSeq === Seq(100L, 200L, 400L))
+    assert(r.map(_._3).toSeq === Seq(None, Some(100L), Some(200L)))
+    assert(r.forall(_._4.isEmpty)) // no 7-day history yet
+    assert(r.map(_._5).toSeq === Seq(100.0, 150.0, 700.0 / 3.0))
+    assert(r.map(_._6).toSeq === Seq(0L, 1L, 2L)) // Mon, Tue, Wed
+  }
+
   test("rollingMedianDailyRevenue: warm-up even windows average the " +
       "middles; an outlier day never moves the median") {
     // daily cents: 100, 300, 200, 900000 (outlier), 400
