@@ -425,6 +425,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Stats.anovaOrderValues(Tables.orders(spark, dataDir))
     def permutation(reps: Int = Stats.PermutationReps): DataFrame =
       Stats.permutationTest(Tables.events(spark, dataDir), reps)
+    def bhFdr(reps: Int = Stats.PermutationReps): DataFrame =
+      Stats.bhFdrSegments(Tables.events(spark, dataDir), reps)
   }
 
   object quality {

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Exact-arithmetic statistics the reference's Gold layer stops short
@@ -905,6 +906,96 @@ object Stats {
         (col("n_exceed").cast("double") / lit(reps.toDouble)).as("p_value"))
   }
 
+  /** BH numerator of the FDR level: q = [[BhFdrQNum]]/10. */
+  val BhFdrQNum = 1L
+
+  /** BENJAMINI–HOCHBERG FDR across per-segment permutation tests — the
+    * multiple-testing step every metrics platform needs once it tests
+    * MANY segments (test 20 segments at α=0.05 and one "wins" by
+    * chance): per event-type segment, the [[permutationTest]] machinery
+    * yields an EXACT RATIONAL p-value `c/R` (exceed count over
+    * replicates), and the BH step-up at q = 0.1 — reject all segments
+    * ranked ≤ max{k : p₍ₖ₎ ≤ k·q/m} — is then decided ENTIRELY in
+    * integers: `p_k ≤ k·q/m  ⇔  c_k·m·10 ≤ k·R·`[[BhFdrQNum]], so the
+    * reject set can never split engines. Ties in p rank by segment name
+    * (deterministic); degenerate segments (one-arm observed split)
+    * carry NULL p and stand outside the BH family on both sides.
+    *
+    * Scale shape: one corpus aggregate to (user, segment) spend; the
+    * replicate explosion rides that table; everything after is keyed by
+    * (segment, rep) — both bounded. The BH window runs over m ≤ dozens
+    * of segment rows.
+    */
+  def bhFdrSegments(ev: DataFrame,
+      reps: Int = PermutationReps): DataFrame = {
+    val perUser = ev
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val obs = perUser.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("cents").as("s"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 0, col("cents")).otherwise(0L)).as("s0"))
+    val maxId = Long.MaxValue / 2654435761L
+    val key = col("user_id") * reps + col("rep")
+    val guarded = when(key.between(0L, maxId), key)
+      .otherwise(raise_error(lit(
+        s"bhFdrSegments: key outside portable-hash domain [0, $maxId]")))
+    val assign = (((guarded * 2654435761L) % 4294967296L) >=
+      lit(2147483648L)).cast("long")
+    val repAgg = perUser
+      .select(col("event_type"), col("user_id"), col("cents"),
+        explode(sequence(lit(0L), lit((reps - 1).toLong))).as("rep"))
+      .withColumn("a", assign)
+      .groupBy("event_type", "rep")
+      .agg(sum(when(col("a") === 0L, 1L).otherwise(0L)).as("rn0"),
+        sum(when(col("a") === 0L, col("cents")).otherwise(0L)).as("rs0"))
+    val d = (c: Column) => c.cast("double")
+    val joined = repAgg.join(broadcast(obs), Seq("event_type"))
+      .withColumn("obs_delta",
+        when(col("n0") === 0L || col("n0") === col("n"),
+          lit(null).cast("double"))
+          .otherwise(d(col("s0")) / d(col("n0")) -
+            d(col("s") - col("s0")) / d(col("n") - col("n0"))))
+      .withColumn("delta",
+        when(col("rn0") === 0L || col("rn0") === col("n"),
+          lit(null).cast("double"))
+          .otherwise(d(col("rs0")) / d(col("rn0")) -
+            d(col("s") - col("rs0")) / d(col("n") - col("rn0"))))
+      .withColumn("exceeds",
+        when(col("obs_delta").isNull, lit(null).cast("long"))
+          .otherwise(when(col("delta").isNotNull &&
+            abs(col("delta")) >= abs(col("obs_delta")), 1L).otherwise(0L)))
+    val perSeg = joined.groupBy("event_type")
+      .agg(max(when(col("obs_delta").isNull, 1L).otherwise(0L))
+        .as("degenerate"),
+        sum("exceeds").as("c"))
+      .withColumn("c", when(col("degenerate") === 1L,
+        lit(null).cast("long")).otherwise(col("c")))
+      .drop("degenerate")
+    val mDf = perSeg.agg(
+      sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("m"))
+    val wRank = Window.orderBy(col("c").asc_nulls_last, col("event_type"))
+    val ranked = perSeg.crossJoin(broadcast(mDf))
+      .withColumn("rank",
+        when(col("c").isNull, lit(null).cast("long"))
+          .otherwise(row_number().over(wRank).cast("long")))
+      .withColumn("bh_ok",
+        when(col("c").isNull, 0L)
+          .otherwise(when(col("c") * col("m") * 10L <=
+            col("rank") * reps * BhFdrQNum, 1L).otherwise(0L)))
+    val kmax = ranked.agg(
+      coalesce(max(when(col("bh_ok") === 1L, col("rank"))), lit(0L))
+        .as("kmax"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col("event_type"), col("c").as("n_exceed"),
+        when(col("c").isNull, lit(null).cast("double"))
+          .otherwise(d(col("c")) / lit(reps.toDouble)).as("p_value"),
+        col("rank"), col("m"),
+        when(col("rank").isNotNull && col("rank") <= col("kmax"), 1L)
+          .otherwise(0L).as("rejected"))
+  }
+
   /** WELCH'S UNEQUAL-VARIANCE t-TEST between two order-priority
     * cohorts' order values — the parametric companion of
     * [[ksEventValues]] (distribution-free) and `ab_test_mann_whitney`
@@ -1033,6 +1124,7 @@ object Stats {
     "stats_spearman" -> ((s, d) => spearmanQtyValue(Tables.lineitem(s, d))),
     "stats_ks" -> ((s, d) => ksEventValues(Tables.events(s, d))),
     "stats_permutation" -> ((s, d) => permutationTest(Tables.events(s, d))),
+    "stats_bh_fdr" -> ((s, d) => bhFdrSegments(Tables.events(s, d))),
     "drift_daily_ks" -> ((s, d) => dailyValueDrift(Tables.events(s, d))),
     "stats_changepoint" -> ((s, d) =>
       changepointDailyRevenue(Tables.orders(s, d))),
@@ -1109,6 +1201,85 @@ object Stats {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "stats_bh_fdr" -> {
+      val reps = PermutationReps
+      s"""WITH pu AS (
+         |  SELECT event_type, user_id,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |           AS cents,
+         |         user_id % 2 AS variant
+         |  FROM events GROUP BY 1, 2),
+         |o AS (
+         |  SELECT event_type, count(*) AS n,
+         |         CAST(sum(cents) AS BIGINT) AS s,
+         |         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n0,
+         |         CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END)
+         |              AS BIGINT) AS s0
+         |  FROM pu GROUP BY 1),
+         |r AS (SELECT range AS rep FROM range(0, $reps)),
+         |asg AS (
+         |  SELECT event_type, rep,
+         |         CAST(sum(CASE WHEN ((pu.user_id * $reps + rep)
+         |               * 2654435761) % 4294967296 < 2147483648
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS rn0,
+         |         CAST(sum(CASE WHEN ((pu.user_id * $reps + rep)
+         |               * 2654435761) % 4294967296 < 2147483648
+         |               THEN cents ELSE 0 END) AS BIGINT) AS rs0
+         |  FROM pu CROSS JOIN r GROUP BY 1, 2),
+         |j AS (
+         |  SELECT asg.event_type, rn0, rs0, n, s, n0, s0,
+         |         CASE WHEN n0 = 0 OR n0 = n THEN NULL
+         |              ELSE CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+         |                 - CAST(s - s0 AS DOUBLE) / CAST(n - n0 AS DOUBLE)
+         |         END AS obs_delta,
+         |         CASE WHEN rn0 = 0 OR rn0 = n THEN NULL
+         |              ELSE CAST(rs0 AS DOUBLE) / CAST(rn0 AS DOUBLE)
+         |                 - CAST(s - rs0 AS DOUBLE)
+         |                   / CAST(n - rn0 AS DOUBLE)
+         |         END AS delta
+         |  FROM asg JOIN o USING (event_type)),
+         |x AS (
+         |  SELECT event_type,
+         |         CASE WHEN obs_delta IS NULL THEN NULL
+         |              WHEN delta IS NOT NULL
+         |                   AND abs(delta) >= abs(obs_delta) THEN 1
+         |              ELSE 0 END AS exceeds,
+         |         CASE WHEN obs_delta IS NULL THEN 1 ELSE 0 END AS degen
+         |  FROM j),
+         |ps AS (
+         |  SELECT event_type,
+         |         CASE WHEN max(degen) = 1 THEN NULL
+         |              ELSE CAST(sum(exceeds) AS BIGINT) END AS c
+         |  FROM x GROUP BY 1),
+         |mm AS (
+         |  SELECT CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS m
+         |  FROM ps),
+         |rk AS (
+         |  SELECT ps.event_type, ps.c, mm.m,
+         |         CASE WHEN ps.c IS NULL THEN NULL
+         |              ELSE CAST(row_number() OVER (
+         |                     ORDER BY ps.c ASC NULLS LAST, ps.event_type)
+         |                   AS BIGINT) END AS rank
+         |  FROM ps CROSS JOIN mm),
+         |fl AS (
+         |  SELECT *, CASE WHEN c IS NULL THEN 0
+         |                 WHEN c * m * 10 <= rank * $reps * $BhFdrQNum
+         |                 THEN 1 ELSE 0 END AS bh_ok
+         |  FROM rk),
+         |km AS (
+         |  SELECT coalesce(max(CASE WHEN bh_ok = 1 THEN rank END),
+         |                  CAST(0 AS BIGINT)) AS kmax
+         |  FROM fl)
+         |SELECT event_type, c AS n_exceed,
+         |       CASE WHEN c IS NULL THEN NULL
+         |            ELSE CAST(c AS DOUBLE) / $reps.0 END AS p_value,
+         |       rank, m,
+         |       CAST(CASE WHEN rank IS NOT NULL AND rank <= kmax
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS rejected
+         |FROM fl CROSS JOIN km""".stripMargin
+    },
     "stats_permutation" -> {
       val reps = PermutationReps
       s"""WITH pu AS (

@@ -462,6 +462,12 @@ class StatsSpec extends SparkSpec {
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
     }.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
 
+  private def typedEvents(rows: (Long, String, Double)*): DataFrame =
+    rows.zipWithIndex.map { case ((uid, et, v), i) =>
+      (i.toLong, uid, et, v, "{}",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+
   test("permutationTest: constant metric pins every delta to 0 and " +
       "p to 1") {
     // every user spends the same -> any relabeling gives delta 0,
@@ -473,6 +479,29 @@ class StatsSpec extends SparkSpec {
     assert(r.length === 8)
     assert(r.forall(x => x._2.contains(0.0) && x._3.contains(0.0)))
     assert(r.forall(_._4 === 1.0))
+  }
+
+  test("bhFdrSegments: strong segment rejected, null segment kept, " +
+      "one-arm segment stands outside the family") {
+    val big = (0L until 30L).map(u =>
+      (u, "big", if (u % 2 == 0) 10.0 else 0.0))
+    val nul = (100L until 120L).map(u => (u, "null", 5.0))
+    val degen = (200L to 210L by 2).map(u => (u, "degen", 3.0))
+    val r = Stats.bhFdrSegments(typedEvents(big ++ nul ++ degen: _*))
+      .select("event_type", "n_exceed", "p_value", "rank", "m", "rejected")
+      .as[(String, Option[Long], Option[Double], Option[Long], Long,
+        Long)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r.values.forall(_._5 === 2L)) // degen outside the family
+    val d = r("degen")
+    assert(d._2.isEmpty && d._3.isEmpty && d._4.isEmpty && d._6 === 0L)
+    val n = r("null")
+    assert(n._3.contains(1.0) && n._6 === 0L) // |0| >= |0| everywhere
+    val b = r("big")
+    assert(b._4.contains(1L) && b._6 === 1L,
+      s"strong effect must rank first and be rejected: $b")
+    // BH threshold replay: reject iff c*m*10 <= rank*64
+    assert(b._2.exists(c => c * 2 * 10 <= 1 * 64))
   }
 
   test("permutationTest: replicate sums and p match an independent " +
