@@ -214,6 +214,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def quantizeInt8: DataFrame = Similarity.quantizeInt8(emb)
     def topKSq(k: Int = Similarity.TopK): DataFrame =
       Similarity.sqTopK(emb, k)
+    def topKSqIvf(k: Int = Similarity.TopK): DataFrame =
+      Similarity.sqTopK(emb, k, candidates = Some(
+        Similarity.ivfCandidates(emb)
+          .select("query_id", "neighbor_id")))
     def trainCentroids(k: Int = Similarity.Centroids,
         iters: Int = Similarity.KmeansIters): DataFrame =
       Similarity.trainCentroids(emb, k, iters)

@@ -1029,7 +1029,8 @@ object Similarity {
     * window — the [[bruteForceTopK]] shape with 4× less data motion;
     * the IVF shortlist composes in front of it exactly as for MMR/LOF.
     */
-  def sqTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+  def sqTopK(emb: DataFrame, k: Int = TopK,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val coded = emb
       .select(col("vec_id"),
         expr("""greatest(aggregate(embedding, CAST(0.0 AS DOUBLE),
@@ -1044,16 +1045,31 @@ object Similarity {
                  (a, v) -> a + CAST(v AS BIGINT) * CAST(v AS BIGINT))"""))
       .filter(col("qn2") > 0L)
       .select("vec_id", "qvec", "qn2")
-    val queries = coded.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("qvec").as("q"),
-        col("qn2").as("qa"))
-    val sims = broadcast(queries)
-      .join(coded, col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+    // paired (query code, candidate code) stream: full broadcast cross
+    // by default, or an IVF-blocked shortlist when `candidates` is given
+    // (the scale arm — the same composition MMR/LOF use)
+    val paired = candidates match {
+      case Some(cd) =>
+        cd.select("query_id", "neighbor_id")
+          .join(coded.select(col("vec_id").as("query_id"),
+            col("qvec").as("q"), col("qn2").as("qa")), Seq("query_id"))
+          .join(coded.select(col("vec_id").as("neighbor_id"),
+            col("qvec"), col("qn2").as("qb")), Seq("neighbor_id"))
+      case None =>
+        val queries = coded.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("query_id"), col("qvec").as("q"),
+            col("qn2").as("qa"))
+        broadcast(queries)
+          .join(coded, col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("q"), col("qa"), col("qvec"), col("qn2").as("qb"))
+    }
+    val sims = paired
+      .select(col("query_id"), col("neighbor_id"),
         expr("""aggregate(zip_with(q, qvec,
                  (a, b) -> CAST(a AS BIGINT) * CAST(b AS BIGINT)),
                  CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("dot_i"),
-        col("qa"), col("qn2").as("qb"))
+        col("qa"), col("qb"))
       .select(col("query_id"), col("neighbor_id"),
         (col("dot_i").cast("double") /
           (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double"))))
@@ -2777,6 +2793,11 @@ object Similarity {
       knnLabelEvalIvf(Tables.embeddings(s, d))),
     "vec_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "sim_topk_sq" -> ((s, d) => sqTopK(Tables.embeddings(s, d))),
+    "sim_topk_sq_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      sqTopK(e, candidates = Some(
+        ivfCandidates(e).select("query_id", "neighbor_id")))
+    }),
     "sim_knn_graph"  -> ((s, d) =>
       nearestNeighborGraph(Tables.embeddings(s, d))),
     "sim_topk_ivf"   -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
@@ -4107,6 +4128,57 @@ object Similarity {
         |         * (CAST(embedding[i] AS DOUBLE) - qvec[i] * (maxabs / 127.0))
         |         for i in range(1, len(embedding) + 1)])) AS recon_l2
         |FROM q""".stripMargin,
+    // the SQ scorer over the IVF candidate stream: probes/cand CTEs are
+    // the sim_range_search skeleton, the SQ code CTEs are sim_topk_sq's —
+    // the oracle proof that the int8 arm composes with blocking unchanged
+    "sim_topk_sq_ivf" ->
+      s"""WITH ${duckTrainedCents()},
+         |${duckAssigned()},
+         |probes AS (
+         |  SELECT vec_id AS query_id, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS crank
+         |    FROM fs WHERE vec_id < $NQueries)
+         |  WHERE crank <= $Probes),
+         |cd AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg a USING (centroid_id)
+         |  WHERE p.query_id <> a.vec_id),
+         |m AS (
+         |  SELECT vec_id, embedding,
+         |         greatest(list_max([abs(CAST(embedding[i] AS DOUBLE))
+         |                            for i in range(1, len(embedding) + 1)]),
+         |                  1e-12) AS maxabs
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id,
+         |         [CAST(round(CAST(embedding[i] AS DOUBLE)
+         |                     * (127.0 / maxabs)) AS INT)
+         |          for i in range(1, len(embedding) + 1)] AS qvec
+         |  FROM m),
+         |n AS (
+         |  SELECT vec_id, qvec,
+         |         CAST(list_sum([CAST(qvec[i] AS BIGINT)
+         |                        * CAST(qvec[i] AS BIGINT)
+         |                        for i in range(1, len(qvec) + 1)])
+         |              AS BIGINT) AS qn2
+         |  FROM q),
+         |nz AS (SELECT * FROM n WHERE qn2 > 0),
+         |sims AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |         CAST(CAST(list_sum([CAST(qa.qvec[i] AS BIGINT)
+         |                             * CAST(qb.qvec[i] AS BIGINT)
+         |                             for i in range(1, len(qa.qvec) + 1)])
+         |                   AS BIGINT) AS DOUBLE)
+         |         / (sqrt(CAST(qa.qn2 AS DOUBLE))
+         |            * sqrt(CAST(qb.qn2 AS DOUBLE))) AS cosine
+         |  FROM cd JOIN nz qa ON cd.query_id = qa.vec_id
+         |          JOIN nz qb ON cd.neighbor_id = qb.vec_id)
+         |SELECT query_id, rank, neighbor_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sims)
+         |WHERE rank <= $TopK""".stripMargin,
     "sim_topk_sq" ->
       s"""WITH m AS (
          |  SELECT vec_id, embedding,

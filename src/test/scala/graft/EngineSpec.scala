@@ -84,7 +84,8 @@ class EngineSpec extends SparkSpec {
       e.stats.permutation(), e.graph.components,
       e.privacy.randomizedResponse(), e.timeSeries.rollingMedian(),
       e.text.phraseSearch(), e.layout.bloomSkip(), e.experiment.mde,
-      e.timeSeries.lagFeatures, e.stats.bhFdr())
+      e.timeSeries.lagFeatures, e.stats.bhFdr(),
+      e.similarity.topKSqIvf())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -1408,6 +1408,30 @@ class SimilaritySpec extends SparkSpec {
     info(f"SQ recall@10 = $recall%.2f")
   }
 
+  test("sqTopK over the IVF shortlist: recall >= 0.85 of brute top-10 " +
+      "and exact score agreement with the full SQ arm on shared pairs") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val full = Similarity.sqTopK(d)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    val ivf = Similarity.sqTopK(d, candidates = Some(
+        Similarity.ivfCandidates(d).select("query_id", "neighbor_id")))
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(d)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (brute intersect
+      ivf.map(x => (x._1, x._2)).toSet).size.toDouble / brute.size
+    assert(recall >= 0.85, s"SQ-over-IVF recall $recall below 0.85")
+    // the shortlist only PRUNES: shared pairs score identically
+    ivf.foreach { case (q, nb, c) =>
+      full.get((q, nb)).foreach(fc => assert(fc === c, s"pair ($q,$nb)"))
+    }
+    info(f"SQ-over-IVF recall@10 = $recall%.2f")
+  }
+
   test("sqTopK: scale invariance — scaling a vector leaves its codes' " +
       "direction and the ranking unchanged; zero vectors are excluded") {
     // 2 & 3 parallel up to scale, 4 orthogonal; query 0 near-parallel
