@@ -622,6 +622,13 @@ case class Engine(spark: SparkSession, dataDir: String) {
       graft.sources.Bronze.bucketedJoinRevenue(spark, dataDir)
     def dppRevenue: DataFrame =
       graft.sources.Bronze.dppJoinRevenue(spark, dataDir)
+    def shippingPriority: DataFrame = Relational.shippingPriority(
+      Tables.customer(spark, dataDir), Tables.orders(spark, dataDir),
+      Tables.lineitem(spark, dataDir))
+    def localSupplierVolume: DataFrame = Relational.localSupplierVolume(
+      Tables.region(spark, dataDir), Tables.nation(spark, dataDir),
+      Tables.customer(spark, dataDir), Tables.supplier(spark, dataDir),
+      Tables.orders(spark, dataDir), Tables.lineitem(spark, dataDir))
     def explosionProfile(topN: Int = 10): DataFrame =
       SkewJoin.joinExplosionProfile(Tables.events(spark, dataDir), topN)
     def saltedJoin(big: DataFrame, small: DataFrame, key: String,

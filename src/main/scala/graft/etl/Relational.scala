@@ -226,6 +226,76 @@ object Relational {
       .withColumn("avg_qty",
         col("sum_qty").cast("double") / col("n_lines"))
 
+  /** Cutoff date shared by [[shippingPriority]]'s both predicates. */
+  val Q3Cutoff = "1996-03-15"
+
+  /** TPC-H-Q3-shape shipping priority: the top 10 unshipped orders by
+    * discounted revenue for one market segment — the classic
+    * star-probe: a SELECTIVE dim (≈1/5 of customers) broadcast into
+    * the orders scan, the surviving orders joined to lineitem on the
+    * natural orderkey, revenue as the exact e4-integer sum (the
+    * [[pricingSummary]] device), and a TakeOrdered cut whose tie-break
+    * (revenue_e4 desc, o_orderdate, l_orderkey) is total — no global
+    * sort, no nondeterministic cut.
+    */
+  def shippingPriority(cust: DataFrame, ord: DataFrame,
+      li: DataFrame): DataFrame = {
+    val cut = lit(Q3Cutoff).cast("timestamp")
+    val seg = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    ord.filter(col("o_orderdate") < cut)
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .join(li.filter(col("l_shipdate") > cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        * 10000).cast("long").as("revenue_e4"))
+      .withColumn("revenue", col("revenue_e4") / 10000.0)
+      .orderBy(col("revenue_e4").desc, col("o_orderdate"),
+        col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Year window of [[localSupplierVolume]]. */
+  val Q5Year = "1996"
+
+  /** TPC-H-Q5-shape local supplier volume: discounted revenue per
+    * nation where the CUSTOMER and the SUPPLIER sit in the same nation
+    * of one region, over one order year — the five-way star join every
+    * warehouse benchmarks: region→nation (broadcast, bounded),
+    * customer/supplier resolved against the broadcast nation set, the
+    * orders⋈lineitem fact spine shuffled once on orderkey, and the
+    * locality predicate `c_nationkey = s_nationkey` applied as a join
+    * condition (not a post-filter), so non-local pairs never
+    * materialize. Revenue is the exact e4-integer sum per nation.
+    */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame,
+      cust: DataFrame, supp: DataFrame, ord: DataFrame,
+      li: DataFrame): DataFrame = {
+    val asiaNations = nation
+      .join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = cust.join(broadcast(asiaNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val o = ord.filter(
+        col("o_orderdate") >= lit(s"$Q5Year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${Q5Year.toInt + 1}-01-01")
+          .cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val s = supp.select(col("s_suppkey"), col("s_nationkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        * 10000).cast("long").as("revenue_e4"))
+      .withColumn("revenue", col("revenue_e4") / 10000.0)
+  }
+
   /** Semi/anti joins: tag every customer by order existence. Left-semi and
     * left-anti plan as one hash join each with NO payload from the right
     * side — at 100 TB the build side carries only the key column, and
@@ -833,6 +903,11 @@ object Relational {
   /** Driver-contract registration (SparkEntry aggregates these). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
+    "q3_shipping_priority" -> ((s, d) => shippingPriority(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q5_local_supplier" -> ((s, d) => localSupplierVolume(
+      Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+      Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q1_pricing_sql"     -> (pricingSummarySql(_, _)),
     "rank_top_customers" -> ((s, d) => topCustomersPerSegment(
       Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
@@ -895,6 +970,37 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
     "q1_pricing_sql"     -> q1Oracle,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |       CAST(round(sum(l_extendedprice * (1.0 - l_discount))
+         |                  * 10000) AS BIGINT) AS revenue_e4,
+         |       CAST(round(sum(l_extendedprice * (1.0 - l_discount))
+         |                  * 10000) AS BIGINT) / 10000.0 AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |     JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '$Q3Cutoff 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '$Q3Cutoff 00:00:00'
+         |GROUP BY 1, 2
+         |ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |       CAST(round(sum(l_extendedprice * (1.0 - l_discount))
+         |                  * 10000) AS BIGINT) AS revenue_e4,
+         |       CAST(round(sum(l_extendedprice * (1.0 - l_discount))
+         |                  * 10000) AS BIGINT) / 10000.0 AS revenue
+         |FROM region JOIN nation ON n_regionkey = r_regionkey
+         |     JOIN customer ON c_nationkey = n_nationkey
+         |     JOIN orders ON o_custkey = c_custkey
+         |     JOIN lineitem ON l_orderkey = o_orderkey
+         |     JOIN supplier ON l_suppkey = s_suppkey
+         |                  AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '$Q5Year-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '${Q5Year.toInt + 1}-01-01 00:00:00'
+         |GROUP BY 1""".stripMargin,
     "agg_weighted_median" ->
       """WITH base AS (
         |  SELECT l_returnflag,

@@ -435,4 +435,74 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(estI - exI) <= 0.25 * exI + 3.0,
       s"est_intersect $estI vs exact $exI")
   }
+
+  test("shippingPriority: segment + both date cuts enforced, exact e4 " +
+      "revenue, deterministic cut order") {
+    def mkLi(rows: (Long, Double, Double, String)*) =
+      rows.zipWithIndex.map { case ((ok, price, disc, ship), i) =>
+        (ok, 1L, 1L, i + 1, 1.0, price, disc, 0.0, "N", "O",
+          ts(s"$ship 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val cust = Seq(
+      (1L, "a", 0, 0.0, "BUILDING"), (2L, "b", 0, 0.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    val ord = Seq(
+      (10L, 1L, "O", 1.0, ts("1996-03-01 00:00:00"), "x"), // qualifies
+      (11L, 1L, "O", 1.0, ts("1996-04-01 00:00:00"), "x"), // too late
+      (12L, 2L, "O", 1.0, ts("1996-03-01 00:00:00"), "x")) // wrong seg
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val lines = mkLi(
+      (10L, 100.0, 0.1, "1996-04-01"),  // 90.0000 -> 900000 e4
+      (10L, 50.0, 0.0, "1996-05-01"),   // +50 -> 1400000 e4
+      (10L, 999.0, 0.0, "1996-01-01"),  // shipped before cutoff: excluded
+      (11L, 10.0, 0.0, "1996-05-01"), (12L, 10.0, 0.0, "1996-05-01"))
+    val r = Relational.shippingPriority(cust, ord, lines)
+      .select("l_orderkey", "o_orderdate", "revenue_e4", "revenue")
+      .as[(Long, String, Long, Double)].collect()
+    assert(r.toSeq === Seq((10L, "1996-03-01", 1400000L, 140.0)))
+  }
+
+  test("localSupplierVolume: only same-nation customer/supplier pairs " +
+      "inside the region and year contribute") {
+    val region = Seq((0, "ASIA"), (1, "EUROPE"))
+      .toDF("r_regionkey", "r_name")
+    val nation = Seq((0, "JAPAN", 0), (1, "CHINA", 0), (2, "FRANCE", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val cust = Seq(
+      (1L, "c1", 0, 0.0, "X"), (2L, "c2", 1, 0.0, "X"),
+      (3L, "c3", 2, 0.0, "X"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    val supp = Seq((1L, "s1", 0, 0.0), (2L, "s2", 1, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val ord = Seq(
+      (10L, 1L, "O", 1.0, ts("1996-06-01 00:00:00"), "x"),
+      (11L, 2L, "O", 1.0, ts("1996-06-01 00:00:00"), "x"),
+      (12L, 1L, "O", 1.0, ts("1995-06-01 00:00:00"), "x"), // wrong year
+      (13L, 3L, "O", 1.0, ts("1996-06-01 00:00:00"), "x")) // EUROPE cust
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    def line(ok: Long, sk: Long, price: Double, disc: Double, ln: Int) =
+      (ok, 1L, sk, ln, 1.0, price, disc, 0.0, "N", "O",
+        ts("1996-06-02 00:00:00"))
+    val lines = Seq(
+      line(10L, 1L, 200.0, 0.5, 1),  // JAPAN local: 100.0
+      line(10L, 2L, 77.0, 0.0, 2),   // supplier in CHINA: not local
+      line(11L, 2L, 30.0, 0.0, 1),   // CHINA local: 30.0
+      line(12L, 1L, 999.0, 0.0, 1),  // wrong year
+      line(13L, 1L, 999.0, 0.0, 1))  // customer outside region
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = Relational.localSupplierVolume(region, nation, cust, supp,
+        ord, lines)
+      .select("n_name", "revenue_e4", "revenue")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq(("CHINA", 300000L, 30.0),
+      ("JAPAN", 1000000L, 100.0)))
+  }
 }
