@@ -584,6 +584,13 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Multimodal.audioResampleEnergy(Multimodal.encodeWav(ds), frameLen)
         .toDF()
     }
+    def audioSnr(msqThreshold: Long = Multimodal.VadMsqThreshold)
+        : DataFrame = {
+      import spark.implicits._
+      val ds = Multimodal.assets(docs).as[Multimodal.Asset]
+      Multimodal.audioSnr(Multimodal.encodeWav(ds),
+        msqThreshold = msqThreshold)
+    }
     def audioVad(msqThreshold: Long = Multimodal.VadMsqThreshold)
         : DataFrame = {
       import spark.implicits._

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -706,6 +706,49 @@ object Multimodal {
         "sum_sq")
   }
 
+  /** SPEECH-TO-NOISE ENERGY RATIO per asset — the recording-quality
+    * gate a speech pipeline runs right after [[audioVadSegments]]: mean
+    * per-sample energy inside VAD-active frames over mean energy in the
+    * silence frames. The RATIO is emitted, not decibels — `10·log₁₀`
+    * is strictly monotone, so every threshold a dB gate would apply
+    * maps 1:1 onto the ratio (the `text_pmi` no-libm device; libm logs
+    * differ across engines in the last bit). Numerators/denominators
+    * are exact integer energy sums; the output is a fixed tree of three
+    * divisions. Assets that are all speech or all silence carry NULLs
+    * via the same CASE on both sides.
+    *
+    * Scale shape: one narrow decode pass (shared [[AudioFrame]] shape),
+    * one partial-merging per-asset aggregate — no windows, no joins.
+    */
+  def audioSnr(wavs: Dataset[Asset], frameLen: Int = 160,
+      msqThreshold: Long = VadMsqThreshold): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    audioFrameEnergy(wavs, frameLen).toDF()
+      .withColumn("speech",
+        (col("sum_sq") > lit(msqThreshold) * col("n_samples"))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), sum("speech").as("n_speech"),
+        sum(when(col("speech") === 1L, col("sum_sq")).otherwise(0L))
+          .as("sp_sq"),
+        sum(when(col("speech") === 1L, col("n_samples")).otherwise(0L))
+          .as("sp_n"),
+        sum(when(col("speech") === 0L, col("sum_sq")).otherwise(0L))
+          .as("sil_sq"),
+        sum(when(col("speech") === 0L, col("n_samples")).otherwise(0L))
+          .as("sil_n"))
+      .select(col("doc_id"), col("n_frames"), col("n_speech"),
+        when(col("sp_n") === 0L, lit(null).cast("double"))
+          .otherwise(d(col("sp_sq")) / d(col("sp_n"))).as("speech_msq"),
+        when(col("sil_n") === 0L, lit(null).cast("double"))
+          .otherwise(d(col("sil_sq")) / d(col("sil_n")))
+          .as("silence_msq"),
+        when(col("sp_n") === 0L || col("sil_n") === 0L ||
+          col("sil_sq") === 0L, lit(null).cast("double"))
+          .otherwise((d(col("sp_sq")) / d(col("sp_n"))) /
+            (d(col("sil_sq")) / d(col("sil_n")))).as("snr_ratio"))
+  }
+
   /** NEAR-DUP AUDIO PAIRS by sub-fingerprint word collisions — the audio
     * analog of [[phashNearDupPairs]], completing the Haitsma–Kalker
     * serving path: candidates collide on an EXACT (word_id, fp) match
@@ -1094,6 +1137,7 @@ object Multimodal {
       audioClusters(encodeWav(assetDs(s, d)))),
     "mm_audio_vad" -> ((s, d) =>
       audioVadSegments(encodeWav(assetDs(s, d)))),
+    "mm_audio_snr" -> ((s, d) => audioSnr(encodeWav(assetDs(s, d)))),
     "mm_video_shots" -> ((s, d) => videoShots(Tables.documents(s, d))),
     "mm_dedup_video" -> ((s, d) =>
       videoNearDupPairs(Tables.documents(s, d))),
@@ -1551,6 +1595,37 @@ object Multimodal {
          |       CAST(sum(n_samples) AS BIGINT) AS n_samples,
          |       CAST(sum(sum_sq) AS BIGINT) AS sum_sq
          |FROM act GROUP BY doc_id, frame_id - rn""".stripMargin,
+    "mm_audio_snr" ->
+      s"""WITH $duckAudioEnergyCtes,
+         |tg AS (
+         |  SELECT doc_id, n_samples, sum_sq,
+         |         CASE WHEN sum_sq > $VadMsqThreshold * n_samples
+         |              THEN 1 ELSE 0 END AS speech
+         |  FROM en),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_frames,
+         |         CAST(sum(speech) AS BIGINT) AS n_speech,
+         |         CAST(sum(CASE WHEN speech = 1 THEN sum_sq ELSE 0 END)
+         |              AS BIGINT) AS sp_sq,
+         |         CAST(sum(CASE WHEN speech = 1 THEN n_samples ELSE 0 END)
+         |              AS BIGINT) AS sp_n,
+         |         CAST(sum(CASE WHEN speech = 0 THEN sum_sq ELSE 0 END)
+         |              AS BIGINT) AS sil_sq,
+         |         CAST(sum(CASE WHEN speech = 0 THEN n_samples ELSE 0 END)
+         |              AS BIGINT) AS sil_n
+         |  FROM tg GROUP BY 1)
+         |SELECT doc_id, n_frames, n_speech,
+         |       CASE WHEN sp_n = 0 THEN NULL
+         |            ELSE CAST(sp_sq AS DOUBLE) / CAST(sp_n AS DOUBLE)
+         |       END AS speech_msq,
+         |       CASE WHEN sil_n = 0 THEN NULL
+         |            ELSE CAST(sil_sq AS DOUBLE) / CAST(sil_n AS DOUBLE)
+         |       END AS silence_msq,
+         |       CASE WHEN sp_n = 0 OR sil_n = 0 OR sil_sq = 0 THEN NULL
+         |            ELSE (CAST(sp_sq AS DOUBLE) / CAST(sp_n AS DOUBLE))
+         |               / (CAST(sil_sq AS DOUBLE) / CAST(sil_n AS DOUBLE))
+         |       END AS snr_ratio
+         |FROM a""".stripMargin,
     "mm_blank_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id, octet_length(encode(text)) AS n,

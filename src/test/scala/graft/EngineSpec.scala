@@ -86,7 +86,7 @@ class EngineSpec extends SparkSpec {
       e.text.phraseSearch(), e.layout.bloomSkip(), e.experiment.mde,
       e.timeSeries.lagFeatures, e.stats.bhFdr(),
       e.similarity.topKSqIvf(), e.analytics.shippingPriority,
-      e.analytics.localSupplierVolume)
+      e.analytics.localSupplierVolume, e.multimodal.audioSnr())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

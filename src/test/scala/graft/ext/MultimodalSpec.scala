@@ -217,6 +217,26 @@ class MultimodalSpec extends SparkSpec {
       f1.sum_sq === 40L * x * x)
   }
 
+  test("audioSnr: speech/silence split at the VAD threshold, exact " +
+      "mean-square energies, one-sided assets carry NULLs") {
+    // 'x' = 120 -> msq 14400 > 9830 (speech); 'a' = 97 -> 9409 (silence)
+    val ds = Multimodal.assets(docs(
+      1L -> ("x" * 160 + "a" * 160),  // one speech + one silence frame
+      2L -> ("a" * 160),              // all silence
+      3L -> ("x" * 160))).as[Multimodal.Asset]
+    val r = Multimodal.audioSnr(Multimodal.encodeWav(ds))
+      .select("doc_id", "n_frames", "n_speech", "speech_msq",
+        "silence_msq", "snr_ratio")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2 === 2L && r(1L)._3 === 1L)
+    assert(r(1L)._4.contains(14400.0) && r(1L)._5.contains(9409.0))
+    assert(r(1L)._6.contains(14400.0 / 9409.0))
+    assert(r(2L)._3 === 0L && r(2L)._4.isEmpty && r(2L)._6.isEmpty)
+    assert(r(3L)._3 === 1L && r(3L)._5.isEmpty && r(3L)._6.isEmpty)
+  }
+
   test("audioFingerprint: hand-packed energy-rise bits, tail frame uses " +
       "the cross-multiplied mean-energy compare, single frame emits none") {
     val ds = Multimodal.assets(docs(
