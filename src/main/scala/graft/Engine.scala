@@ -342,6 +342,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
         Tables.orders(spark, dataDir), window)
     def lagFeatures: DataFrame =
       TimeSeries.lagFeatures(Tables.orders(spark, dataDir))
+    def markovSteadyState(iters: Int = TimeSeries.MarkovIters): DataFrame =
+      TimeSeries.markovSteadyState(Tables.events(spark, dataDir), iters)
     def seasonalAnomalies: DataFrame =
       TimeSeries.seasonalAnomalies(Tables.orders(spark, dataDir))
     def retentionTriangle: DataFrame =

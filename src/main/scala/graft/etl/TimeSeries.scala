@@ -185,6 +185,66 @@ object TimeSeries {
           .as("p_transition"))
   }
 
+  /** Power-iteration steps of [[markovSteadyState]]. */
+  val MarkovIters = 10
+
+  /** STEADY-STATE of the event-type Markov chain — where the user
+    * journey CONVERGES, vs [[transitionMatrix]]'s one-step view: the
+    * empirical transition matrix is power-iterated [[MarkovIters]]
+    * times from the observed from-distribution, and the long-run share
+    * per event type is reported beside the empirical share (their gap
+    * is the "journey pulls users toward X" signal funnels read).
+    *
+    * Determinism is the integer fixed-point device: transition probs
+    * are exact `c·10⁶ div r` parts-per-million, the state vector lives
+    * in parts-per-billion, and each step sums the per-edge integer
+    * `(ppb·p_ppm) div 10⁶` — ADDITION OF LONGS, so partition order
+    * cannot perturb a bit (a double π would be order-sensitive inside
+    * the groupBy). Truncation leaks < |types| ppb of mass per step —
+    * quantization, not error, and identical on both engines. Domain
+    * bound: `c ≤ 9.2e12` transitions per cell before `c·10⁶` overflows
+    * (scaladoc contract, the portable-hash precedent).
+    *
+    * Scale shape: ONE corpus window builds the per-user steps; the
+    * transition table is |types|²-bounded and CHECKPOINTED, so the ten
+    * iterations are broadcast joins over dozens of rows — plan-sized,
+    * not data-sized.
+    */
+  def markovSteadyState(ev: DataFrame,
+      iters: Int = MarkovIters): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val counts = graft.CheckpointLease.track(
+      ev.select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+    val totals = counts.groupBy("prev_type").agg(sum("c").as("r"))
+    val p = counts.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        expr("(c * 1000000) div r").as("p_ppm"))
+    val grand = totals.agg(sum("r").as("g"))
+    var pi = totals.crossJoin(broadcast(grand))
+      .select(col("prev_type").as("t"),
+        expr("(r * 1000000000) div g").as("ppb"))
+    for (_ <- 1 to iters) {
+      pi = pi.join(p, col("t") === col("prev_type"))
+        .select(col("next_type").as("nt"),
+          expr("(ppb * p_ppm) div 1000000").as("contrib"))
+        .groupBy(col("nt").as("t"))
+        .agg(sum("contrib").as("ppb"))
+        .select(col("t"), col("ppb"))
+    }
+    pi.join(totals.select(col("prev_type").as("t"), col("r")), Seq("t"))
+      .crossJoin(broadcast(grand))
+      .select(col("t").as("event_type"), col("ppb").as("steady_ppb"),
+        (col("ppb").cast("double") / lit(1000000000.0))
+          .as("steady_share"),
+        (col("r").cast("double") / col("g").cast("double"))
+          .as("from_share"))
+  }
+
   /** Weekly cohort retention: users are cohorted by the week of their
     * first event; each later week reports how many of that cohort were
     * active (distinct-user exact counts; the retention ratio divides
@@ -1272,6 +1332,7 @@ object TimeSeries {
     "interval_concurrency" -> ((s, d) =>
       sessionConcurrency(Tables.events(s, d))),
     "event_transitions" -> ((s, d) => transitionMatrix(Tables.events(s, d))),
+    "ts_markov_steady" -> ((s, d) => markovSteadyState(Tables.events(s, d))),
     "cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "cohort_triangle" -> ((s, d) =>
       retentionTriangle(Tables.events(s, d))),
@@ -1628,6 +1689,42 @@ object TimeSeries {
         |  FROM deltas)
         |SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrency
         |FROM run GROUP BY day""".stripMargin,
+    "ts_markov_steady" -> {
+      val iters = (1 to MarkovIters).map { k =>
+        s"""pi$k AS (
+           |  SELECT p.next_type AS ty,
+           |         CAST(sum((pi${k - 1}.ppb * p.p_ppm) // 1000000)
+           |              AS BIGINT) AS ppb
+           |  FROM pi${k - 1} JOIN p ON pi${k - 1}.ty = p.prev_type
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH steps AS (
+         |  SELECT user_id, event_type,
+         |         lag(event_type) OVER (PARTITION BY user_id
+         |                               ORDER BY event_id) AS prev_type
+         |  FROM events),
+         |c AS (SELECT prev_type, event_type, count(*) AS c
+         |      FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT prev_type, CAST(sum(c) AS BIGINT) AS r
+         |      FROM c GROUP BY 1),
+         |p AS (
+         |  SELECT c.prev_type, c.event_type AS next_type,
+         |         CAST((c.c * 1000000) // t.r AS BIGINT) AS p_ppm
+         |  FROM c JOIN t USING (prev_type)),
+         |g AS (SELECT CAST(sum(r) AS BIGINT) AS g FROM t),
+         |pi0 AS (
+         |  SELECT prev_type AS ty,
+         |         CAST((r * 1000000000) // g.g AS BIGINT) AS ppb
+         |  FROM t CROSS JOIN g),
+         |$iters
+         |SELECT pi$MarkovIters.ty AS event_type,
+         |       pi$MarkovIters.ppb AS steady_ppb,
+         |       CAST(pi$MarkovIters.ppb AS DOUBLE) / 1000000000.0
+         |         AS steady_share,
+         |       CAST(t.r AS DOUBLE) / CAST(g.g AS DOUBLE) AS from_share
+         |FROM pi$MarkovIters JOIN t ON pi$MarkovIters.ty = t.prev_type
+         |CROSS JOIN g""".stripMargin
+    },
     "event_transitions" ->
       """WITH steps AS (
         |  SELECT user_id, event_type,

@@ -86,7 +86,8 @@ class EngineSpec extends SparkSpec {
       e.text.phraseSearch(), e.layout.bloomSkip(), e.experiment.mde,
       e.timeSeries.lagFeatures, e.stats.bhFdr(),
       e.similarity.topKSqIvf(), e.analytics.shippingPriority,
-      e.analytics.localSupplierVolume, e.multimodal.audioSnr())
+      e.analytics.localSupplierVolume, e.multimodal.audioSnr(),
+      e.timeSeries.markovSteadyState())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

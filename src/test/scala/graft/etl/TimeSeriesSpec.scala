@@ -812,6 +812,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.size === 7)                               // 3 + 4 days
   }
 
+  test("markovSteadyState: two-state chain hits the analytic fixed " +
+      "point (1/3, 2/3) exactly in ppb") {
+    // transitions: A->B (from A, p=1); B->A, B->B (from B, p=.5 each)
+    // steady state: pi(A) = 1/3, pi(B) = 2/3 — also the from-share, so
+    // the integer iteration is AT the fixed point from step 0
+    val ev = events(
+      (1L, 1L, "A", "2024-01-01 00:00:00"),
+      (2L, 1L, "B", "2024-01-01 00:01:00"),
+      (3L, 2L, "B", "2024-01-01 00:00:00"),
+      (4L, 2L, "A", "2024-01-01 00:01:00"),
+      (5L, 3L, "B", "2024-01-01 00:00:00"),
+      (6L, 3L, "B", "2024-01-01 00:01:00"))
+    val r = TimeSeries.markovSteadyState(ev)
+      .select("event_type", "steady_ppb", "steady_share", "from_share")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    graft.CheckpointLease.releaseAll()
+    assert(r.map(x => (x._1, x._2)).toSeq ===
+      Seq(("A", 333333333L), ("B", 666666666L)))
+    assert(r(0)._3 === 333333333L / 1000000000.0)
+    assert(r(0)._4 === 1.0 / 3.0 && r(1)._4 === 2.0 / 3.0)
+  }
+
   test("lagFeatures: exact lags, trailing mean over observed days, " +
       "Monday-0 dow on both epoch formulas") {
     // 2024-01-01 is a Monday; daily cents 100, 200, 400
