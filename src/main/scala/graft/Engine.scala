@@ -360,6 +360,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def repeatIntervals: DataFrame =
       Retail.repeatIntervals(Tables.orders(spark, dataDir))
     def skyline: DataFrame = Retail.skylineParts(Tables.part(spark, dataDir))
+    def priceIndex: DataFrame =
+      Retail.unitValueIndex(Tables.lineitem(spark, dataDir))
   }
 
   /** Experiment readouts over events — see [[graft.ext.Experiment]]. */

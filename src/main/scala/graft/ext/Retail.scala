@@ -295,8 +295,50 @@ object Retail {
   }
 
   /** Driver-contract registration (SparkEntry aggregates these). */
+  /** UNIT-VALUE PRICE INDEX per ship month against the first observed
+    * month's basket — the monitoring series a retailer (or a CPI shop)
+    * tracks for price drift: restrict every month to the parts sold in
+    * the BASE month (so mix shift into new products can't masquerade as
+    * price change — the fixed-basket idea of a Laspeyres index, with
+    * the unit value `Σrev/Σqty` standing in for a per-part price
+    * survey), then `index_t = uv_t / uv_base`.
+    *
+    * Exactness: per month two exact integer sums (cents, units); unit
+    * value is ONE division and the index one more over the broadcast
+    * base row — a fixed tree, never an average of averages.
+    *
+    * Scale shape: one bounds aggregate (broadcast), one semi-join
+    * against the part-bounded basket, one month-keyed partial-merging
+    * aggregate; output is calendar-bounded.
+    */
+  def unitValueIndex(li: DataFrame): DataFrame = {
+    val m = li.select(
+      date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+      col("l_partkey"),
+      round(col("l_extendedprice") * 100).cast("long").as("rev_cents"),
+      round(col("l_quantity")).cast("long").as("qty"))
+    val base = m.agg(min("month").as("base_month"))
+    val basket = m.crossJoin(broadcast(base))
+      .filter(col("month") === col("base_month"))
+      .select("l_partkey").distinct()
+    val monthly = m.join(basket, Seq("l_partkey"), "left_semi")
+      .groupBy("month")
+      .agg(sum("rev_cents").as("rev_cents"), sum("qty").as("qty"))
+    val b0 = monthly.crossJoin(broadcast(base))
+      .filter(col("month") === col("base_month"))
+      .select(col("rev_cents").as("rev0"), col("qty").as("qty0"))
+    monthly.crossJoin(broadcast(b0))
+      .select(col("month"), col("rev_cents"), col("qty"),
+        (col("rev_cents").cast("double") / col("qty").cast("double"))
+          .as("unit_value"),
+        ((col("rev_cents").cast("double") / col("qty").cast("double")) /
+          (col("rev0").cast("double") / col("qty0").cast("double")))
+          .as("price_index"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "abc_parts" -> ((s, d) => abcClassification(Tables.lineitem(s, d))),
+    "retail_price_index" -> ((s, d) => unitValueIndex(Tables.lineitem(s, d))),
     "basket_lift" -> ((s, d) => basketLift(Tables.lineitem(s, d))),
     "rfm_segments" -> ((s, d) => rfmSegments(Tables.orders(s, d))),
     "repeat_intervals" -> ((s, d) => repeatIntervals(Tables.orders(s, d))),
@@ -308,6 +350,31 @@ object Retail {
     * the banded decomposition must reproduce exactly.
     */
   def oracleSql: Map[String, String] = Map(
+    "retail_price_index" ->
+      """WITH m AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_cents,
+        |         CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |b AS (SELECT min(month) AS base_month FROM m),
+        |bk AS (
+        |  SELECT DISTINCT l_partkey FROM m CROSS JOIN b
+        |  WHERE month = base_month),
+        |mo AS (
+        |  SELECT month, CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+        |         CAST(sum(qty) AS BIGINT) AS qty
+        |  FROM m WHERE l_partkey IN (SELECT l_partkey FROM bk)
+        |  GROUP BY 1),
+        |b0 AS (
+        |  SELECT mo.rev_cents AS rev0, mo.qty AS qty0
+        |  FROM mo CROSS JOIN b WHERE mo.month = b.base_month)
+        |SELECT month, rev_cents, qty,
+        |       CAST(rev_cents AS DOUBLE) / CAST(qty AS DOUBLE)
+        |         AS unit_value,
+        |       (CAST(rev_cents AS DOUBLE) / CAST(qty AS DOUBLE)) /
+        |       (CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE))
+        |         AS price_index
+        |FROM mo CROSS JOIN b0""".stripMargin,
     "abc_parts" ->
       """WITH rev AS (
         |  SELECT l_partkey,

@@ -147,4 +147,24 @@ class RetailSpec extends SparkSpec {
     // exactly one Window operator, fed by the per-price HashAggregate
     assert(plan.split("Window").length - 1 === 1, plan)
   }
+
+  test("unitValueIndex: fixed base-month basket, exact unit values, " +
+      "new products never shift the index") {
+    def row(pk: Long, price: Double, qty: Double, ship: String) =
+      (1L, pk, 1L, 1, qty, price, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf(s"$ship 00:00:00"))
+    val d = Seq(
+      row(1L, 100.0, 1.0, "2024-01-05"),       // base: uv 100
+      row(1L, 220.0, 2.0, "2024-02-05"),       // Feb: uv 110 -> 1.1
+      row(2L, 999.0, 1.0, "2024-02-06"))       // new part: excluded
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = Retail.unitValueIndex(d)
+      .select("month", "rev_cents", "qty", "unit_value", "price_index")
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq(
+      ("2024-01", 10000L, 1L, 10000.0, 1.0),
+      ("2024-02", 22000L, 2L, 11000.0, 1.1)))
+  }
 }
