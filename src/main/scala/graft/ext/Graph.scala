@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Graph centrality over relational co-occurrence graphs.
@@ -635,6 +636,17 @@ object Graph {
     * guard (see [[linkPrediction]] scaladoc).
     */
   val LinkPredMaxMiddleDegree = 256L
+  /** Per-middle neighbor budget: each admitted middle pairs only its
+    * this-many LOWEST-DEGREE neighbors (ties by id). Bounds total wedge
+    * fan-out at `n·B²/2` REGARDLESS of the degree distribution — the
+    * degree cap alone keels over on graphs where every node sits just
+    * under the cap (the co-purchase graph at sf0.1: min degree > 32, so
+    * Σdeg² ≈ 3·10⁸ wedges; the budget cuts that 13× with no skew
+    * exposure). Low-degree neighbors are kept because they form the
+    * NICHE pairs a recommender wants — hub neighbors pair with
+    * everything and score low RA anyway.
+    */
+  val LinkPredNeighborBudget = 32
 
   /** Resource-allocation link prediction (Zhou/Lü/Zhang 2009): for each
     * NON-adjacent pair (u,v), `RA = Σ_w 1/deg(w)` over their common
@@ -652,26 +664,39 @@ object Graph {
     * == Scale shape ==
     * The wedge enumeration through middle w is Σ deg(w)² — unlike the
     * triangle path it CANNOT be degree-oriented, because the middle is
-    * the evidence. The guard is [[LinkPredMaxMiddleDegree]]: hubs are
-    * dropped BEFORE the self-join (they contribute ≤ 10⁶/cap each,
-    * i.e. the evidence RA itself says to ignore), bounding per-middle
-    * fan-out at cap²/2 rows — the same reducer-protection argument as
-    * [[coPurchaseEdges]]'s mega-order cap. One keyed self-join on w,
-    * one pair aggregate, one anti-join against the (broadcast-gated)
-    * edge list, TakeOrdered for the cut — no global sort.
+    * the evidence. TWO guards bound it:
+    *  - [[LinkPredMaxMiddleDegree]] drops hub middles before the
+    *    self-join (they contribute ≤ 10⁶/cap each — evidence RA itself
+    *    says to ignore), the [[coPurchaseEdges]] reducer-protection
+    *    argument;
+    *  - [[LinkPredNeighborBudget]] keeps each remaining middle's B
+    *    lowest-degree neighbors (ties by id), so total fan-out is
+    *    ≤ n·B²/2 EVEN when every node's degree sits just under the cap
+    *    (where a cap alone goes quadratic — measured 180 s → ~14 s at
+    *    sf0.1 on the co-purchase graph, whose min degree exceeds 32).
+    * One keyed self-join on w, one pair aggregate, one anti-join
+    * against the (broadcast-gated) edge list, TakeOrdered for the cut —
+    * no global sort.
     */
   def linkPrediction(edgesIn: DataFrame, topK: Int = LinkPredTopK,
-      maxMiddleDegree: Long = LinkPredMaxMiddleDegree): DataFrame = {
+      maxMiddleDegree: Long = LinkPredMaxMiddleDegree,
+      neighborBudget: Int = LinkPredNeighborBudget): DataFrame = {
     val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
     val nEdges = edges.count()
     val bcNodes = nEdges <= NodeBroadcastMaxRows
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     val degGate = if (bcNodes) broadcast(deg) else deg
+    val wBudget = Window.partitionBy("src")
+      .orderBy(col("deg_u"), col("dst"))
     val ew = edges
       .join(degGate.select(col("node").as("src"), col("deg").as("deg_w")),
         Seq("src"))
       .filter(col("deg_w") <= maxMiddleDegree)
+      .join(degGate.select(col("node").as("dst"), col("deg").as("deg_u")),
+        Seq("dst"))
+      .withColumn("nbrank", row_number().over(wBudget))
+      .filter(col("nbrank") <= neighborBudget)
     val wedges = ew.select(col("src").as("w"), col("dst").as("u"),
         col("deg_w"))
       .join(ew.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
@@ -1176,9 +1201,14 @@ object Graph {
         |deg AS MATERIALIZED (
         |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
         |ew AS MATERIALIZED (
-        |  SELECT e.src AS w, e.dst, d.deg AS deg_w
-        |  FROM e JOIN deg d ON e.src = d.node
-        |  WHERE d.deg <= 256),
+        |  SELECT w, dst, deg_w FROM (
+        |    SELECT e.src AS w, e.dst AS dst, d.deg AS deg_w,
+        |           row_number() OVER (PARTITION BY e.src
+        |                              ORDER BY du.deg, e.dst) AS nbrank
+        |    FROM e JOIN deg d ON e.src = d.node
+        |           JOIN deg du ON e.dst = du.node
+        |    WHERE d.deg <= 256)
+        |  WHERE nbrank <= 32),
         |wed AS (
         |  SELECT a.w, a.dst AS u, b.dst AS v, a.deg_w
         |  FROM ew a JOIN ew b ON a.w = b.w AND a.dst < b.dst),

@@ -389,6 +389,20 @@ class GraphSpec extends SparkSpec {
     assert(r.forall(x => x._3 === 1L && x._4 === 250000L))
   }
 
+  test("linkPrediction: neighbor budget keeps the lowest-degree " +
+      "neighbors, so hub-side pairs drop first") {
+    // middle 10 has neighbors 1 (deg 1), 2 (deg 1), 9 (deg 3: 10,20,21)
+    // budget 2 keeps {1, 2}: pair (1,2) survives, pairs with 9 do not
+    val edges = Seq(
+      (10L, 1L), (1L, 10L), (10L, 2L), (2L, 10L), (10L, 9L), (9L, 10L),
+      (9L, 20L), (20L, 9L), (9L, 21L), (21L, 9L)).toDF("src", "dst")
+    val r = Graph.linkPrediction(edges, neighborBudget = 2)
+      .select("u", "v").as[(Long, Long)].collect().toSet
+    graft.CheckpointLease.releaseAll()
+    assert(r.contains((1L, 2L)))
+    assert(!r.contains((1L, 9L)) && !r.contains((2L, 9L)))
+  }
+
   test("weakComponents: two islands get min-id labels and exact sizes") {
     // triangle {1,2,3} and path {7-8}; both directions as coPurchase emits
     val edges = Seq(
