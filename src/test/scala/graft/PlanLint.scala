@@ -44,7 +44,15 @@ object PlanLint {
     "ts_seasonal_naive",    // day-domain lag calendar (~2.5k rows)
     "ts_threshold_episodes",// day domain
     "ts_week_over_week",    // week domain
-    "vocab_coverage"        // digit-band ladder
+    "vocab_coverage",       // digit-band ladder
+    // round-15 audits (bound argument in each operator's scaladoc)
+    "eval_auc_roc",         // distinct-score value domain (doc lengths)
+    "eval_pr_curve",        // distinct-score value domain (doc lengths)
+    "feature_lags",         // day domain (~2.4k rows)
+    "stats_bh_fdr",         // segment-count rank window (|event types|)
+    "ts_decompose",         // day domain
+    "ts_rolling_corr",      // day domain
+    "ts_rolling_median"     // day domain
   )
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
