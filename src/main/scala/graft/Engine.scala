@@ -676,6 +676,8 @@ case class Engine(spark: SparkSession, dataDir: String) {
     def bloomSkip(bits: Long = graft.plans.Layout.BloomBits): DataFrame =
       graft.plans.Layout.bloomSkipAudit(
         Tables.orders(spark, dataDir), bits)
+    def broadcastAdvisor: DataFrame =
+      graft.plans.Layout.broadcastAdvisor(spark, dataDir)
   }
 
   /** Stored-ANN-index lifecycle (build → append → pruned serve) — see

@@ -354,9 +354,54 @@ object Layout {
           (col("n_probes") - col("n_true")).cast("double")).as("fp_rate"))
   }
 
+  /** Broadcast-eligibility threshold (Spark's default
+    * `spark.sql.autoBroadcastJoinThreshold`).
+    */
+  val BroadcastThresholdBytes = 10L * 1024 * 1024
+
+  /** BROADCAST-JOIN ADVISOR over the dimension tables — the planning
+    * audit behind every `broadcast()` hint in this engine: per dim,
+    * EXACT data bytes (fixed-width columns at their storage width plus
+    * the exact summed string lengths — not a sampled estimate), and the
+    * eligibility verdict against [[BroadcastThresholdBytes]] decided by
+    * integer compare. At 100 TB this is the table that says which
+    * side of each star join ships to executors and which must shuffle —
+    * and because it is computed AS A QUERY, it re-evaluates as dims
+    * grow (the failure mode of a hardcoded hint list).
+    *
+    * One partial-merging aggregate per dim (count + string-length
+    * sums); the per-row fixed widths are the schema contract, shared
+    * with the twin via the same constants.
+    */
+  def broadcastAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(name: String, df: DataFrame, fixed: Long,
+        strCols: Seq[String]): DataFrame = {
+      val strSum = strCols.map(c => sum(length(col(c)).cast("long")))
+        .reduce(_ + _)
+      df.agg(count(lit(1)).as("n_rows"), strSum.as("str_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          (col("n_rows") * fixed).as("fixed_bytes"), col("str_bytes"),
+          (col("n_rows") * fixed + col("str_bytes")).as("est_bytes"),
+          ((col("n_rows") * fixed + col("str_bytes")).cast("double") /
+            lit(BroadcastThresholdBytes.toDouble)).as("threshold_share"),
+          when(col("n_rows") * fixed + col("str_bytes") <=
+            BroadcastThresholdBytes, 1L).otherwise(0L).as("broadcast_ok"))
+    }
+    audit("region", Tables.region(spark, sfDir), 4L, Seq("r_name"))
+      .unionAll(audit("nation", Tables.nation(spark, sfDir), 8L,
+        Seq("n_name")))
+      .unionAll(audit("customer", Tables.customer(spark, sfDir), 20L,
+        Seq("c_name", "c_mktsegment")))
+      .unionAll(audit("supplier", Tables.supplier(spark, sfDir), 20L,
+        Seq("s_name")))
+      .unionAll(audit("part", Tables.part(spark, sfDir), 20L,
+        Seq("p_name", "p_brand", "p_type")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> ((s, d) => zorderBlocks(Tables.orders(s, d))),
     "layout_bloom_skip" -> ((s, d) => bloomSkipAudit(Tables.orders(s, d))),
+    "plan_broadcast_advisor" -> (broadcastAdvisor(_, _)),
     "layout_hilbert" -> ((s, d) => hilbertBlocks(Tables.orders(s, d))),
     "layout_compaction" -> ((s, d) => compactionPlan(Tables.orders(s, d))),
     "layout_zonemap_prune" -> ((s, d) => zonemapPrune(Tables.orders(s, d))),
@@ -371,6 +416,29 @@ object Layout {
     * shift/mask fold).
     */
   def oracleSql: Map[String, String] = Map(
+    "plan_broadcast_advisor" -> {
+      val thr = BroadcastThresholdBytes
+      def arm(name: String, fixed: Long, strSum: String) =
+        s"""SELECT '$name' AS table_name, count(*) AS n_rows,
+           |       CAST(count(*) * $fixed AS BIGINT) AS fixed_bytes,
+           |       CAST($strSum AS BIGINT) AS str_bytes,
+           |       CAST(count(*) * $fixed + $strSum AS BIGINT)
+           |         AS est_bytes,
+           |       CAST(count(*) * $fixed + $strSum AS DOUBLE)
+           |         / CAST($thr AS DOUBLE) AS threshold_share,
+           |       CAST(CASE WHEN count(*) * $fixed + $strSum <= $thr
+           |                 THEN 1 ELSE 0 END AS BIGINT) AS broadcast_ok
+           |FROM $name""".stripMargin
+      Seq(
+        arm("region", 4L, "sum(length(r_name))"),
+        arm("nation", 8L, "sum(length(n_name))"),
+        arm("customer", 20L,
+          "sum(length(c_name) + length(c_mktsegment))"),
+        arm("supplier", 20L, "sum(length(s_name))"),
+        arm("part", 20L,
+          "sum(length(p_name) + length(p_brand) + length(p_type))"))
+        .mkString("\nUNION ALL\n")
+    },
     "layout_bloom_skip" -> {
       val b = BloomBits
       val m = BloomProbeModulus

@@ -87,7 +87,8 @@ class EngineSpec extends SparkSpec {
       e.timeSeries.lagFeatures, e.stats.bhFdr(),
       e.similarity.topKSqIvf(), e.analytics.shippingPriority,
       e.analytics.localSupplierVolume, e.multimodal.audioSnr(),
-      e.timeSeries.markovSteadyState(), e.retail.priceIndex)
+      e.timeSeries.markovSteadyState(), e.retail.priceIndex,
+      e.layout.broadcastAdvisor)
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }

@@ -151,6 +151,29 @@ class LayoutSpec extends SparkSpec {
     assert(r("bykey") === (("bykey", 64L, 64L, 28.75)))
   }
 
+  test("broadcastAdvisor: exact byte accounting against the fixture " +
+      "schemas; every dim verdict consistent with its computed bytes") {
+    val r = Layout.broadcastAdvisor(spark, "/root/testdata/sf0.001")
+      .select("table_name", "n_rows", "fixed_bytes", "str_bytes",
+        "est_bytes", "broadcast_ok")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r.keySet === Set("region", "nation", "customer", "supplier",
+      "part"))
+    // independent replay for region: 5 rows x 4 fixed bytes + names
+    val names = graft.Tables.region(spark, "/root/testdata/sf0.001")
+      .select("r_name").as[String].collect()
+    val reg = r("region")
+    assert(reg._2 === names.length.toLong)
+    assert(reg._3 === 4L * names.length)
+    assert(reg._4 === names.map(_.length.toLong).sum)
+    r.values.foreach { x =>
+      assert(x._5 === x._3 + x._4)
+      assert(x._6 === (if (x._5 <= Layout.BroadcastThresholdBytes) 1L
+                       else 0L))
+    }
+  }
+
   test("bloomSkipAudit: present keys always pass their shard's bloom; " +
       "absent keys skip unless both bit positions collide") {
     // two month shards; probe keys are multiples of 997
