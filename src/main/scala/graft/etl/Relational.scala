@@ -25,6 +25,27 @@ object Relational {
 
   private def centsSum(c: String) = round(sum(col(c)) * 100).cast("long")
 
+  /** Order-invariant exact e4 discounted revenue: 2-decimal inputs make
+    * `round(price·100)` and `round(disc·100)` exact longs, so each row's
+    * `price_cents · (100 − disc_pct)` is an exactly-representable e4
+    * integer; summing those (through decimal(38,0) so no intermediate
+    * long wrap) is associative/commutative — bit-identical under ANY
+    * partitioning, unlike a double sum rounded once at the end whose
+    * accumulated ULP error can cross the 0.5e-4 boundary as groups grow.
+    */
+  private def revenueE4Sum: Column =
+    sum((round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      .cast("decimal(38,0)")).cast("long")
+
+  /** The DuckDB operand-for-operand twin of [[revenueE4Sum]] (HUGEINT
+    * accumulation; the final BIGINT cast fails loudly on overflow).
+    */
+  private val revenueE4SumSql: String =
+    """CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |     AS BIGINT)""".stripMargin
+
   /** Top-5 customers by spend within each market segment (ranking window
     * over an aggregate).
     */
@@ -211,16 +232,15 @@ object Relational {
       .withColumnRenamed("O", "cents_o")
 
   /** TPC-H-Q1-shape pricing summary: flag/status rollup of quantities and
-    * discounted revenue. Revenue terms `price*(1-disc)` are exact 4-dp
-    * decimals, so the e4-integer sum is exact (the cents pattern at 1e4).
+    * discounted revenue. Revenue is [[revenueE4Sum]] — a per-row exact e4
+    * long summed as integers, order-invariant by construction.
     */
   def pricingSummary(li: DataFrame): DataFrame =
     li.groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity")).cast("long").as("sum_qty"),
         centsSum("l_extendedprice").as("base_cents"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          * 10000).cast("long").as("revenue_e4"),
+        revenueE4Sum.as("revenue_e4"),
         count(lit(1)).as("n_lines"))
       .withColumn("revenue", col("revenue_e4") / 10000.0)
       .withColumn("avg_qty",
@@ -233,8 +253,8 @@ object Relational {
     * discounted revenue for one market segment — the classic
     * star-probe: a SELECTIVE dim (≈1/5 of customers) broadcast into
     * the orders scan, the surviving orders joined to lineitem on the
-    * natural orderkey, revenue as the exact e4-integer sum (the
-    * [[pricingSummary]] device), and a TakeOrdered cut whose tie-break
+    * natural orderkey, revenue as the order-invariant per-row e4 integer
+    * sum ([[revenueE4Sum]]), and a TakeOrdered cut whose tie-break
     * (revenue_e4 desc, o_orderdate, l_orderkey) is total — no global
     * sort, no nondeterministic cut.
     */
@@ -249,8 +269,7 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        * 10000).cast("long").as("revenue_e4"))
+      .agg(revenueE4Sum.as("revenue_e4"))
       .withColumn("revenue", col("revenue_e4") / 10000.0)
       .orderBy(col("revenue_e4").desc, col("o_orderdate"),
         col("l_orderkey"))
@@ -268,7 +287,8 @@ object Relational {
     * orders⋈lineitem fact spine shuffled once on orderkey, and the
     * locality predicate `c_nationkey = s_nationkey` applied as a join
     * condition (not a post-filter), so non-local pairs never
-    * materialize. Revenue is the exact e4-integer sum per nation.
+    * materialize. Revenue is the order-invariant per-row e4 integer sum
+    * per nation ([[revenueE4Sum]]).
     */
   def localSupplierVolume(region: DataFrame, nation: DataFrame,
       cust: DataFrame, supp: DataFrame, ord: DataFrame,
@@ -291,8 +311,7 @@ object Relational {
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        * 10000).cast("long").as("revenue_e4"))
+      .agg(revenueE4Sum.as("revenue_e4"))
       .withColumn("revenue", col("revenue_e4") / 10000.0)
   }
 
@@ -890,8 +909,9 @@ object Relational {
         |       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
         |       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
         |         AS base_cents,
-        |       CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 10000)
-        |            AS BIGINT) AS revenue_e4,
+        |       CAST(sum(CAST((CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |               AS DECIMAL(38,0))) AS BIGINT) AS revenue_e4,
         |       count(*) AS n_lines
         |FROM lineitem_v
         |GROUP BY l_returnflag, l_linestatus""".stripMargin)
@@ -951,13 +971,12 @@ object Relational {
   )
 
   private val q1Oracle =
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT l_returnflag, l_linestatus,
       |         CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
       |         CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
       |           AS base_cents,
-      |         CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 10000)
-      |              AS BIGINT) AS revenue_e4,
+      |         $revenueE4SumSql AS revenue_e4,
       |         count(*) AS n_lines
       |  FROM lineitem GROUP BY 1, 2)
       |SELECT l_returnflag, l_linestatus, sum_qty, base_cents, revenue_e4,
@@ -973,10 +992,8 @@ object Relational {
     "q3_shipping_priority" ->
       s"""SELECT l_orderkey,
          |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-         |       CAST(round(sum(l_extendedprice * (1.0 - l_discount))
-         |                  * 10000) AS BIGINT) AS revenue_e4,
-         |       CAST(round(sum(l_extendedprice * (1.0 - l_discount))
-         |                  * 10000) AS BIGINT) / 10000.0 AS revenue
+         |       $revenueE4SumSql AS revenue_e4,
+         |       $revenueE4SumSql / 10000.0 AS revenue
          |FROM customer JOIN orders ON c_custkey = o_custkey
          |     JOIN lineitem ON l_orderkey = o_orderkey
          |WHERE c_mktsegment = 'BUILDING'
@@ -987,10 +1004,8 @@ object Relational {
          |LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       s"""SELECT n_name,
-         |       CAST(round(sum(l_extendedprice * (1.0 - l_discount))
-         |                  * 10000) AS BIGINT) AS revenue_e4,
-         |       CAST(round(sum(l_extendedprice * (1.0 - l_discount))
-         |                  * 10000) AS BIGINT) / 10000.0 AS revenue
+         |       $revenueE4SumSql AS revenue_e4,
+         |       $revenueE4SumSql / 10000.0 AS revenue
          |FROM region JOIN nation ON n_regionkey = r_regionkey
          |     JOIN customer ON c_nationkey = n_nationkey
          |     JOIN orders ON o_custkey = c_custkey

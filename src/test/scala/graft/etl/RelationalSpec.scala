@@ -505,4 +505,25 @@ class RelationalSpec extends SparkSpec {
     assert(r.toSeq === Seq(("CHINA", 300000L, 30.0),
       ("JAPAN", 1000000L, 100.0)))
   }
+
+  test("revenue_e4 is order-invariant: bit-identical under 1 vs 64 input " +
+      "partitions (the proof a double-sum-then-round cannot pass)") {
+    // Real sf0.001 rows PLUS an adversarial block of ULP-noisy prices
+    // (x.x5 cents at e2 with nonzero discounts), so a float accumulation
+    // would sit near rounding boundaries.
+    val real = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val noisy = (1 to 20000).map { i =>
+      (100000L + i, 1L, 1L, 1, 1.0, 0.01 * i + 0.005, (i % 11) * 0.01,
+        0.0, "N", "O", ts("1997-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val all = real.select(noisy.columns.map(c => $"$c"): _*).union(noisy)
+    def run(parts: Int) =
+      Relational.pricingSummary(all.repartition(parts))
+        .select("l_returnflag", "l_linestatus", "revenue_e4")
+        .collect().map(_.toSeq).sortBy(_.toString)
+    assert(run(1).toSeq === run(64).toSeq,
+      "per-row e4 integer sum must be partition-permutation invariant")
+  }
 }
