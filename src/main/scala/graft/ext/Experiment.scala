@@ -219,11 +219,13 @@ object Experiment {
     *
     * For two arms with expectation n/2 each the chi-square statistic
     * collapses algebraically to `(n0 − n1)² / n` (df = 1). The flag is
-    * decided IN EXACT INTEGERS — `1000·(n0−n1)² > 3841·n` is the α=0.05
-    * critical value 3.841 cross-multiplied — so engine and oracle can
-    * never disagree on the verdict even if a float differed in the last
-    * bit; `chi2` itself is one correctly-rounded division over the same
-    * integers.
+    * decided IN EXACT INTEGERS — `100000·(n0−n1)² > 384146·n` is the
+    * α=0.05 critical value 3.84146 (χ²₁ 0.95 quantile to 5 dp; 3.841
+    * would mis-flag chi2 in (3.841, 3.84146]) cross-multiplied through
+    * DECIMAL(38,0)/HUGEINT so the products can't wrap at billion-user n
+    * — so engine and oracle can never disagree on the verdict even if a
+    * float differed in the last bit; `chi2` itself is one
+    * correctly-rounded division over the same integers.
     *
     * Scale shape: one expand + two-phase distinct aggregate keyed on
     * event_type (bounded segment domain); everything after is
@@ -242,7 +244,8 @@ object Experiment {
       .withColumn("dd", (col("n0") - col("n1")) * (col("n0") - col("n1")))
       .select(col("event_type"), col("n0"), col("n1"), col("n"),
         (col("dd").cast("double") / col("n").cast("double")).as("chi2"),
-        when(col("dd") * lit(1000L) > lit(3841L) * col("n"), 1L)
+        when(col("dd").cast("decimal(38,0)") * lit(100000L) >
+            col("n").cast("decimal(38,0)") * lit(384146L), 1L)
           .otherwise(0L).as("srm_flag"))
   }
 
@@ -261,6 +264,13 @@ object Experiment {
     * tree of casts, three divisions, one sqrt, mirrored
     * operand-for-operand in the twin. Degenerate arms (n ≤ 1 or zero
     * pooled mean) pin the affected outputs to NULL via the same CASE.
+    * Domain guard (the portable-hash-guard pattern): the variance
+    * products `n·Σx²` and `(Σx)²` stay exact only below 10³⁸ — past
+    * that Spark's non-ANSI decimal silently NULLs while DuckDB's
+    * HUGEINT raises, so BOTH sides raise_error/error() when
+    * `n > 10⁸ or Σx² > 10³⁰` (which bounds n·Σx² < 10³⁸ and, since
+    * (Σx)² ≤ n·Σx², the square too) — the engines fail loudly
+    * together instead of diverging.
     *
     * Scale shape: one corpus aggregate to per-user spend, one
     * single-row moment aggregate — the [[cuped]] plan minus the
@@ -286,9 +296,16 @@ object Experiment {
         .otherwise(dec(lit(0L)))).as("sx1"),
       sum(when(col("variant") === 1, dec(col("x")) * dec(col("x")))
         .otherwise(dec(lit(0L)))).as("sxx1"))
-    // var = (n·Σx² − (Σx)²) / (n·(n−1)) as one double over exact ints
+    // var = (n·Σx² − (Σx)²) / (n·(n−1)) as one double over exact ints;
+    // moment-domain guard so decimal(38,0) products can't silently NULL
+    val momentCap =
+      lit("1000000000000000000000000000000").cast("decimal(38,0)")
     def variance(n: Column, sx: Column, sxx: Column): Column =
-      when(n <= 1L, lit(null).cast("double"))
+      when(n > 100000000L || sxx > momentCap, raise_error(lit(
+        "mde: moments outside the exact decimal(38,0) domain " +
+          "(n > 1e8 or sum(x^2) > 1e30 would overflow n*sxx)"))
+        .cast("double"))
+        .when(n <= 1L, lit(null).cast("double"))
         .otherwise(d(dec(n) * sxx - sx * sx) /
           d(dec(n) * dec(n - 1L)))
     m.withColumn("var0", variance(col("n0"), col("sx0"), col("sxx0")))
@@ -346,13 +363,21 @@ object Experiment {
         |  FROM pu),
         |v AS (
         |  SELECT *,
-        |         CASE WHEN n0 <= 1 THEN NULL
+        |         CASE WHEN n0 > 100000000 OR sxx0 >
+        |                CAST('1000000000000000000000000000000' AS HUGEINT)
+        |              THEN CAST(error('mde: moments outside the exact '
+        |                              || 'decimal(38,0) domain') AS DOUBLE)
+        |              WHEN n0 <= 1 THEN NULL
         |              ELSE CAST(CAST(n0 AS HUGEINT) * sxx0 - sx0 * sx0
         |                        AS DOUBLE)
         |                 / CAST(CAST(n0 AS HUGEINT)
         |                        * CAST(n0 - 1 AS HUGEINT) AS DOUBLE)
         |         END AS var0,
-        |         CASE WHEN n1 <= 1 THEN NULL
+        |         CASE WHEN n1 > 100000000 OR sxx1 >
+        |                CAST('1000000000000000000000000000000' AS HUGEINT)
+        |              THEN CAST(error('mde: moments outside the exact '
+        |                              || 'decimal(38,0) domain') AS DOUBLE)
+        |              WHEN n1 <= 1 THEN NULL
         |              ELSE CAST(CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1
         |                        AS DOUBLE)
         |                 / CAST(CAST(n1 AS HUGEINT)
@@ -387,7 +412,9 @@ object Experiment {
         |  SELECT *, n0 + n1 AS n, (n0 - n1) * (n0 - n1) AS dd FROM a)
         |SELECT event_type, n0, n1, n,
         |       CAST(dd AS DOUBLE) / CAST(n AS DOUBLE) AS chi2,
-        |       CAST(CASE WHEN dd * 1000 > 3841 * n THEN 1 ELSE 0 END
+        |       CAST(CASE WHEN CAST(dd AS HUGEINT) * 100000
+        |                       > CAST(n AS HUGEINT) * 384146
+        |                  THEN 1 ELSE 0 END
         |            AS BIGINT) AS srm_flag
         |FROM b""".stripMargin,
     "exp_cuped" ->

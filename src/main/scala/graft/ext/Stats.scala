@@ -839,7 +839,10 @@ object Stats {
     * doesn't matter) every relabeling of users is equally likely, so
     * the observed arm-mean difference is compared against the
     * difference under [[PermutationReps]] pseudo-random relabelings
-    * and `p = #{|Δ_r| ≥ |Δ_obs|} / R`. Relabelings come from the
+    * and `p = (#{|Δ_r| ≥ |Δ_obs|} + 1) / (R + 1)` — the Phipson &
+    * Smith (2010) estimator: the observed labeling is itself one valid
+    * permutation, so the p-value can never be exactly 0, keeping the
+    * test calibrated under H₀. Relabelings come from the
     * portable Knuth hash of `user_id·R + rep` (the [[poissonBootstrap]]
     * key device) — deterministic and exactly replayable on both
     * engines, the same replayability-over-secrecy trade documented on
@@ -903,7 +906,8 @@ object Stats {
     joined.crossJoin(broadcast(p))
       .select(col("rep"), col("rn0").as("n0"), col("rs0").as("s0_cents"),
         col("delta"), col("obs_delta"),
-        (col("n_exceed").cast("double") / lit(reps.toDouble)).as("p_value"))
+        ((col("n_exceed") + 1L).cast("double") / lit((reps + 1).toDouble))
+          .as("p_value"))
   }
 
   /** BH numerator of the FDR level: q = [[BhFdrQNum]]/10. */
@@ -913,10 +917,12 @@ object Stats {
     * multiple-testing step every metrics platform needs once it tests
     * MANY segments (test 20 segments at α=0.05 and one "wins" by
     * chance): per event-type segment, the [[permutationTest]] machinery
-    * yields an EXACT RATIONAL p-value `c/R` (exceed count over
-    * replicates), and the BH step-up at q = 0.1 — reject all segments
-    * ranked ≤ max{k : p₍ₖ₎ ≤ k·q/m} — is then decided ENTIRELY in
-    * integers: `p_k ≤ k·q/m  ⇔  c_k·m·10 ≤ k·R·`[[BhFdrQNum]], so the
+    * yields an EXACT RATIONAL p-value `(c+1)/(R+1)` (exceed count over
+    * replicates, Phipson & Smith 2010 — the observed labeling counts as
+    * one permutation), and the BH step-up at q = 0.1 — reject all
+    * segments ranked ≤ max{k : p₍ₖ₎ ≤ k·q/m} — is then decided ENTIRELY
+    * in integers: `p_k ≤ k·q/m  ⇔  (c_k+1)·m·10 ≤ k·(R+1)·`[[BhFdrQNum]],
+    * so the
     * reject set can never split engines. Ties in p rank by segment name
     * (deterministic); degenerate segments (one-arm observed split)
     * carry NULL p and stand outside the BH family on both sides.
@@ -982,15 +988,16 @@ object Stats {
           .otherwise(row_number().over(wRank).cast("long")))
       .withColumn("bh_ok",
         when(col("c").isNull, 0L)
-          .otherwise(when(col("c") * col("m") * 10L <=
-            col("rank") * reps * BhFdrQNum, 1L).otherwise(0L)))
+          .otherwise(when((col("c") + 1L) * col("m") * 10L <=
+            col("rank") * (reps + 1) * BhFdrQNum, 1L).otherwise(0L)))
     val kmax = ranked.agg(
       coalesce(max(when(col("bh_ok") === 1L, col("rank"))), lit(0L))
         .as("kmax"))
     ranked.crossJoin(broadcast(kmax))
       .select(col("event_type"), col("c").as("n_exceed"),
         when(col("c").isNull, lit(null).cast("double"))
-          .otherwise(d(col("c")) / lit(reps.toDouble)).as("p_value"),
+          .otherwise(d(col("c") + 1L) / lit((reps + 1).toDouble))
+          .as("p_value"),
         col("rank"), col("m"),
         when(col("rank").isNotNull && col("rank") <= col("kmax"), 1L)
           .otherwise(0L).as("rejected"))
@@ -1265,7 +1272,8 @@ object Stats {
          |  FROM ps CROSS JOIN mm),
          |fl AS (
          |  SELECT *, CASE WHEN c IS NULL THEN 0
-         |                 WHEN c * m * 10 <= rank * $reps * $BhFdrQNum
+         |                 WHEN (c + 1) * m * 10
+         |                      <= rank * ${reps + 1} * $BhFdrQNum
          |                 THEN 1 ELSE 0 END AS bh_ok
          |  FROM rk),
          |km AS (
@@ -1274,7 +1282,8 @@ object Stats {
          |  FROM fl)
          |SELECT event_type, c AS n_exceed,
          |       CASE WHEN c IS NULL THEN NULL
-         |            ELSE CAST(c AS DOUBLE) / $reps.0 END AS p_value,
+         |            ELSE CAST(c + 1 AS DOUBLE) / ${reps + 1}.0
+         |       END AS p_value,
          |       rank, m,
          |       CAST(CASE WHEN rank IS NOT NULL AND rank <= kmax
          |                 THEN 1 ELSE 0 END AS BIGINT) AS rejected
@@ -1324,7 +1333,7 @@ object Stats {
          |  FROM j),
          |p AS (SELECT CAST(sum(exceeds) AS BIGINT) AS n_exceed FROM x)
          |SELECT rep, rn0 AS n0, rs0 AS s0_cents, delta, obs_delta,
-         |       CAST(n_exceed AS DOUBLE) / $reps.0 AS p_value
+         |       CAST(n_exceed + 1 AS DOUBLE) / ${reps + 1}.0 AS p_value
          |FROM x CROSS JOIN p""".stripMargin
     },
     "stats_anova" -> duckAnovaSql,

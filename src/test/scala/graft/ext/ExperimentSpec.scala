@@ -178,17 +178,41 @@ class ExperimentSpec extends SparkSpec {
     assert(t._1.isEmpty && t._2.isEmpty && t._3.isEmpty)
   }
 
-  test("srm: boundary sits exactly at the 3.841 critical value") {
-    // n = 1000, diff = 62 -> 1000*62^2 = 3_844_000 > 3841*1000 (flag);
-    // diff = 60 -> 3_600_000 < 3_841_000 (no flag). Build both segments
-    // from distinct users: n0 = (n+diff)/2 even ids, n1 = (n-diff)/2 odd.
+  test("srm: boundary sits at the exact 3.84146 critical value") {
+    // "a": n = 1000, diff = 62 -> chi2 = 3.844 > 3.84146 (flag);
+    // "b": diff = 60 -> chi2 = 3.6 (no flag);
+    // "c": n = 4605, diff = 133 -> chi2 = 17689/4605 = 3.84125..., which
+    //   sits INSIDE (3.841, 3.84146] — a truncated 3.841 constant would
+    //   mis-flag it (1000*17689 > 3841*4605), the exact 5-dp value must
+    //   not (100000*17689 = 1_768_900_000 <= 384146*4605 = 1_768_992_330).
     def seg(name: String, n0: Int, n1: Int) =
       (0 until n0).map(i => (1L, 2L * i, name)) ++
         (0 until n1).map(i => (1L, 2L * i + 1L, name))
     val r = Experiment.srm(events(
-      seg("a", 531, 469) ++ seg("b", 530, 470) map identity: _*))
+      seg("a", 531, 469) ++ seg("b", 530, 470) ++
+        seg("c", 2369, 2236) map identity: _*))
       .select("event_type", "srm_flag").as[(String, Long)]
       .collect().sortBy(_._1)
-    assert(r.toSeq === Seq(("a", 1L), ("b", 0L)))
+    assert(r.toSeq === Seq(("a", 1L), ("b", 0L), ("c", 0L)))
+  }
+
+  test("mde: moment-domain guard raises loudly instead of silently " +
+      "NULLing past the decimal(38,0) bound") {
+    // one user spending 1e13 dollars -> cents 1e15, sxx = 1e30 + eps over
+    // the cap once a second user pushes sxx past 1e30
+    val big = events((1L, 0L, "a"), (2L, 2L, "a"), (3L, 1L, "a"),
+      (4L, 3L, "a"))
+      .drop("value")
+      .withColumn("value",
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN user_id % 2 = 0 THEN 1e14 ELSE 2.0 END"))
+    val e = intercept[Exception] {
+      Experiment.mde(big).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("decimal(38,0) domain")),
+      s"expected the domain guard, got: $e")
   }
 }

@@ -500,8 +500,8 @@ class StatsSpec extends SparkSpec {
     val b = r("big")
     assert(b._4.contains(1L) && b._6 === 1L,
       s"strong effect must rank first and be rejected: $b")
-    // BH threshold replay: reject iff c*m*10 <= rank*64
-    assert(b._2.exists(c => c * 2 * 10 <= 1 * 64))
+    // BH threshold replay: reject iff (c+1)*m*10 <= rank*(R+1)
+    assert(b._2.exists(c => (c + 1) * 2 * 10 <= 1 * 65))
   }
 
   test("permutationTest: replicate sums and p match an independent " +
@@ -534,8 +534,9 @@ class StatsSpec extends SparkSpec {
         else Some(rs0.toDouble / rn0 - (s - rs0).toDouble / (n - rn0))
       (rep.toLong, rn0, rs0, delta)
     }
-    val pExp = expected.count(_._4.exists(d =>
-      math.abs(d) >= math.abs(obs))).toDouble / reps
+    // Phipson & Smith: the observed labeling is one permutation
+    val pExp = (expected.count(_._4.exists(d =>
+      math.abs(d) >= math.abs(obs))) + 1).toDouble / (reps + 1)
     assert(r.map(x => (x._1, x._2, x._3, x._4)).toSeq === expected)
     assert(r.forall(x => x._5.contains(obs) && x._6 === pExp))
   }
