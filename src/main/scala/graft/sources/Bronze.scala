@@ -273,7 +273,9 @@ object Bronze {
     * Scratch hygiene: table names key on the full sanitized dataset
     * path (the AnnIndex precedent); a stale managed-table directory
     * from a previous session (fresh in-memory catalog, old warehouse
-    * dir) is deleted before the write, since DROP TABLE can't see it.
+    * dir) is deleted before the write, since DROP TABLE can't see it —
+    * through [[Scratch.deleteRecursivelyUnder]], which refuses any
+    * path outside the warehouse/target scratch roots.
     */
   def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val key = sfDir.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
@@ -283,12 +285,8 @@ object Bronze {
       spark.conf.get("spark.sql.warehouse.dir")).getPath
     Seq(to, tc).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val d = new java.io.File(s"$wh/$t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      if (d.exists()) rm(d)
+      Scratch.deleteRecursivelyUnder(new java.io.File(s"$wh/$t"),
+        Scratch.allowedRoots(spark))
     }
     writeBucketed(graft.Tables.orders(spark, sfDir)
       .select("o_custkey", "o_totalprice"), to, 8, Seq("o_custkey"))
