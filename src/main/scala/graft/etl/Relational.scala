@@ -257,14 +257,21 @@ object Relational {
     * sum ([[revenueE4Sum]]), and a TakeOrdered cut whose tie-break
     * (revenue_e4 desc, o_orderdate, l_orderkey) is total — no global
     * sort, no nondeterministic cut.
+    *
+    * The segment-key dim GROWS with SF (it is 1/5 of customers), so its
+    * broadcast is not hardcoded: [[graft.plans.Layout.advisedBroadcast]]
+    * measures the projection's exact bytes (8/row) at plan time and
+    * tags it only while it fits — past ~1.3 M matching customers the
+    * join flips to shuffle instead of OOMing executors.
     */
   def shippingPriority(cust: DataFrame, ord: DataFrame,
       li: DataFrame): DataFrame = {
     val cut = lit(Q3Cutoff).cast("timestamp")
-    val seg = cust.filter(col("c_mktsegment") === "BUILDING")
-      .select("c_custkey")
+    val seg = graft.plans.Layout.advisedBroadcast(
+      cust.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey"), fixed = 8L)
     ord.filter(col("o_orderdate") < cut)
-      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .join(seg, col("o_custkey") === col("c_custkey"))
       .join(li.filter(col("l_shipdate") > cut),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"),
@@ -289,6 +296,11 @@ object Relational {
     * condition (not a post-filter), so non-local pairs never
     * materialize. Revenue is the order-invariant per-row e4 integer sum
     * per nation ([[revenueE4Sum]]).
+    *
+    * region/nation broadcasts stay hardcoded (≤5/25 rows at ANY SF);
+    * the supplier projection grows with SF, so its broadcast goes
+    * through [[graft.plans.Layout.advisedBroadcast]] (16 exact bytes
+    * per row) and flips to shuffle past ~650 k suppliers.
     */
   def localSupplierVolume(region: DataFrame, nation: DataFrame,
       cust: DataFrame, supp: DataFrame, ord: DataFrame,
@@ -305,10 +317,11 @@ object Relational {
         col("o_orderdate") < lit(s"${Q5Year.toInt + 1}-01-01")
           .cast("timestamp"))
       .select(col("o_orderkey"), col("o_custkey"))
-    val s = supp.select(col("s_suppkey"), col("s_nationkey"))
+    val s = graft.plans.Layout.advisedBroadcast(
+      supp.select(col("s_suppkey"), col("s_nationkey")), fixed = 16L)
     o.join(c, col("o_custkey") === col("c_custkey"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
       .agg(revenueE4Sum.as("revenue_e4"))

@@ -373,12 +373,50 @@ object Layout {
     * sums); the per-row fixed widths are the schema contract, shared
     * with the twin via the same constants.
     */
+  /** Per-dim byte-accounting constants shared by [[broadcastAdvisor]],
+    * [[advisedBroadcast]] callers, and the LayoutSpec drift assertion —
+    * fixed-width column bytes at storage width, plus the string columns
+    * whose exact lengths the audit sums.
+    */
+  val DimWidths: Seq[(String, Long, Seq[String])] = Seq(
+    ("region", 4L, Seq("r_name")),
+    ("nation", 8L, Seq("n_name")),
+    ("customer", 20L, Seq("c_name", "c_mktsegment")),
+    ("supplier", 20L, Seq("s_name")),
+    ("part", 20L, Seq("p_name", "p_brand", "p_type")))
+
+  /** The ONE exact-bytes aggregate both the advisor report and the
+    * [[advisedBroadcast]] planning hook run — shared so the report and
+    * the executed plans cannot drift: count plus exact summed string
+    * lengths (empty string set → 0, empty table → 0).
+    */
+  private def exactBytesAgg(df: DataFrame, strCols: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+      coalesce(strCols.map(c => sum(length(col(c)).cast("long")))
+        .reduceOption(_ + _).getOrElse(lit(0L)).cast("long"), lit(0L))
+        .as("str_bytes"))
+
+  /** THE PLANNING HOOK: tag `df` with `broadcast()` iff its EXACT bytes
+    * (the [[broadcastAdvisor]] formula, same aggregate) fit under the
+    * threshold; return it untagged otherwise, letting the join shuffle.
+    * Costs one planning-time aggregate scan of the dim — the exact
+    * analog of AQE's runtime size statistics, paid on the SMALL side
+    * only, which is what makes a hardcoded-hint list safe to delete:
+    * a dim that grows past 10 MiB at some SF silently flips from
+    * broadcast to shuffle instead of OOMing every executor.
+    */
+  def advisedBroadcast(df: DataFrame, fixed: Long,
+      strCols: Seq[String] = Nil,
+      thresholdBytes: Long = BroadcastThresholdBytes): DataFrame = {
+    val r = exactBytesAgg(df, strCols).collect()(0)
+    val bytes = r.getLong(0) * fixed + r.getLong(1)
+    if (bytes <= thresholdBytes) broadcast(df) else df
+  }
+
   def broadcastAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
     def audit(name: String, df: DataFrame, fixed: Long,
-        strCols: Seq[String]): DataFrame = {
-      val strSum = strCols.map(c => sum(length(col(c)).cast("long")))
-        .reduce(_ + _)
-      df.agg(count(lit(1)).as("n_rows"), strSum.as("str_bytes"))
+        strCols: Seq[String]): DataFrame =
+      exactBytesAgg(df, strCols)
         .select(lit(name).as("table_name"), col("n_rows"),
           (col("n_rows") * fixed).as("fixed_bytes"), col("str_bytes"),
           (col("n_rows") * fixed + col("str_bytes")).as("est_bytes"),
@@ -386,16 +424,15 @@ object Layout {
             lit(BroadcastThresholdBytes.toDouble)).as("threshold_share"),
           when(col("n_rows") * fixed + col("str_bytes") <=
             BroadcastThresholdBytes, 1L).otherwise(0L).as("broadcast_ok"))
+    def table(name: String): DataFrame = name match {
+      case "region"   => Tables.region(spark, sfDir)
+      case "nation"   => Tables.nation(spark, sfDir)
+      case "customer" => Tables.customer(spark, sfDir)
+      case "supplier" => Tables.supplier(spark, sfDir)
+      case "part"     => Tables.part(spark, sfDir)
     }
-    audit("region", Tables.region(spark, sfDir), 4L, Seq("r_name"))
-      .unionAll(audit("nation", Tables.nation(spark, sfDir), 8L,
-        Seq("n_name")))
-      .unionAll(audit("customer", Tables.customer(spark, sfDir), 20L,
-        Seq("c_name", "c_mktsegment")))
-      .unionAll(audit("supplier", Tables.supplier(spark, sfDir), 20L,
-        Seq("s_name")))
-      .unionAll(audit("part", Tables.part(spark, sfDir), 20L,
-        Seq("p_name", "p_brand", "p_type")))
+    DimWidths.map { case (n, w, sc) => audit(n, table(n), w, sc) }
+      .reduce(_ unionAll _)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

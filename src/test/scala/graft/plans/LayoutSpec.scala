@@ -174,6 +174,49 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("advisedBroadcast flips the EXECUTED plan at the byte threshold " +
+      "(auto-broadcast disabled so only the hook decides)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = (1L to 1000L).map(k => (k, k % 7)).toDF("k", "v")
+      val dim = (1L to 50L).map(k => (k, s"name_$k")).toDF("k", "nm")
+      def planOf(d: org.apache.spark.sql.DataFrame) =
+        fact.join(d, Seq("k")).groupBy("nm").count()
+          .queryExecution.executedPlan.toString
+      // 50 rows x 8 fixed + ~7-char names << 10 MiB -> broadcast
+      val under = planOf(Layout.advisedBroadcast(dim, fixed = 8L,
+        strCols = Seq("nm")))
+      assert(under.contains("BroadcastHashJoin"), under.take(400))
+      // same dim against a 10-BYTE threshold -> the hook must NOT tag,
+      // and with auto-broadcast off the join shuffles
+      val over = planOf(Layout.advisedBroadcast(dim, fixed = 8L,
+        strCols = Seq("nm"), thresholdBytes = 10L))
+      assert(!over.contains("BroadcastHashJoin"), over.take(400))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("advisedBroadcast and broadcastAdvisor cannot drift: per dim, " +
+      "the hook tags iff the advisor's verdict is broadcast_ok") {
+    val sf = "/root/testdata/sf0.001"
+    val verdicts = Layout.broadcastAdvisor(spark, sf)
+      .select("table_name", "broadcast_ok").as[(String, Long)]
+      .collect().toMap
+    def table(n: String) = n match {
+      case "region"   => graft.Tables.region(spark, sf)
+      case "nation"   => graft.Tables.nation(spark, sf)
+      case "customer" => graft.Tables.customer(spark, sf)
+      case "supplier" => graft.Tables.supplier(spark, sf)
+      case "part"     => graft.Tables.part(spark, sf)
+    }
+    Layout.DimWidths.foreach { case (name, fixed, strCols) =>
+      val tagged = Layout.advisedBroadcast(table(name), fixed, strCols)
+        .queryExecution.logical.toString.contains("broadcast")
+      assert(tagged === (verdicts(name) === 1L),
+        s"$name: hook tagged=$tagged but advisor says ${verdicts(name)}")
+    }
+  }
+
   test("bloomSkipAudit: present keys always pass their shard's bloom; " +
       "absent keys skip unless both bit positions collide") {
     // two month shards; probe keys are multiples of 997
