@@ -297,32 +297,44 @@ object Curation {
         col("s.survival_rate").as("survival_rate"))
   }
 
-  /** Weighted reservoir sample (Efraimidis–Spirakis A-Res with a
-    * deterministic pseudo-uniform): each document draws
-    * `u = (pmod(xxhash64(doc_id), 2³²) + 0.5) / 2³²` and the k largest
-    * `ln(u)/w` keys win — inclusion probability proportional to weight
-    * `w` (here `n_chars`: sample big documents preferentially), yet
-    * fully reproducible under any partitioning or re-run, like
-    * [[splitAssign]]. The `+0.5` keeps u strictly inside (0,1) so the
-    * log is always finite.
+  /** Weighted sample by PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM
+    * 2007): each document draws the deterministic pseudo-uniform
+    * `u = (2h+1)/2³³` from the portable Knuth hash
+    * `h = (doc_id·2654435761) mod 2³²` (odd numerator, so u is strictly
+    * inside (0,1)) and the k LARGEST priorities `q = w/u` win —
+    * inclusion probability increasing in weight `w` (here `n_chars`:
+    * sample big documents preferentially), fully reproducible under any
+    * partitioning or re-run, like [[splitAssign]].
     *
-    * Registered rows-only: the selection key crosses libm `ln`, whose
-    * last-bit rounding differs across engines (same reasoning as
-    * [[TextAnalysis.topTermsPerLang]]) — CurationSpec pins the exact
-    * selected set against an independent JVM computation instead.
+    * Oracle-comparable BY CONSTRUCTION (this replaced the earlier
+    * Efraimidis–Spirakis `ln(u)/w` key, which crossed libm `ln` and
+    * pinned the query rows-only): `q = (w·2³³)/(2h+1)` is ONE
+    * correctly-rounded IEEE division of two exactly-representable
+    * integers — `w·2³³ ≤ 10⁶·2³³ < 2⁵³` (guarded) and `2h+1 < 2³³` —
+    * so both engines compute bit-identical keys and the
+    * (q desc, doc_id) cut is total and portable.
     *
     * Scale shape: narrow key projection; the top-k is a TakeOrdered
     * (per-partition heaps + merge), never a global sort.
     */
-  def weightedReservoir(docs: DataFrame, k: Int = 200): DataFrame =
+  def weightedReservoir(docs: DataFrame, k: Int = 200): DataFrame = {
+    val maxId = Long.MaxValue / 2654435761L
+    val guardedId = when(col("doc_id").between(0L, maxId), col("doc_id"))
+      .otherwise(raise_error(lit(
+        s"weightedReservoir: doc_id outside portable-hash domain [0, $maxId]")))
+    val guardedW = when(col("n_chars").between(1L, 1000000L), col("n_chars"))
+      .otherwise(raise_error(lit(
+        "weightedReservoir: weight outside [1, 1e6] (w*2^33 must stay " +
+          "exactly representable in a double)")))
+    val h = (guardedId * 2654435761L) % 4294967296L
     docs
-      .withColumn("u",
-        (pmod(xxhash64(col("doc_id")), lit(4294967296L)).cast("double") +
-          lit(0.5)) / lit(4294967296.0))
-      .withColumn("res_key", log(col("u")) / col("n_chars"))
+      .withColumn("res_key",
+        (guardedW * lit(8589934592L)).cast("double") /
+          (h * 2L + 1L).cast("double"))
       .orderBy(col("res_key").desc, col("doc_id"))
       .limit(k)
       .select("doc_id", "lang", "source", "n_chars", "res_key")
+  }
 
   /** Driver-contract registration (SparkEntry aggregates these). */
   /** Length-bucketed batching profile: each doc is assigned to the
@@ -523,6 +535,14 @@ object Curation {
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
+    "sample_weighted" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |       CAST(n_chars * 8589934592 AS DOUBLE)
+        |         / CAST(((doc_id * 2654435761) % 4294967296) * 2 + 1
+        |                AS DOUBLE) AS res_key
+        |FROM documents
+        |ORDER BY res_key DESC, doc_id
+        |LIMIT 200""".stripMargin,
     "curation_curriculum" ->
       s"""WITH w AS (
          |  SELECT range AS slot,

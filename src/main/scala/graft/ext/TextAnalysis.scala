@@ -548,16 +548,27 @@ object TextAnalysis {
   }
 
   /** Top-k documents by full BM25 score (Σ per-term ln(idf_ratio) ·
-    * tf_norm over [[bm25]]'s rows). Carries the libm `ln`, so it is
-    * registered rows-only (spec-gated); the component table above is
-    * the bit-exact oracle surface. Top-k via TakeOrdered, not a global
-    * sort.
+    * tf_norm over [[bm25]]'s rows), with the logarithm taken through
+    * [[graft.functions.PortableLn]] — a sqrt-ladder log both engines
+    * compute bit-identically — which is what moved this query from
+    * rows-only to hash-compared: every factor of the score is now a
+    * fixed DAG of correctly-rounded IEEE ops mirrored in the twin.
+    * The per-doc sum adds ≤|query| (3) doubles in the same ascending
+    * term order on both sides (the groupBy carries term-sorted
+    * collected structs, not an order-free float sum). Top-k via
+    * TakeOrdered, not a global sort.
     */
   def bm25TopK(docs: DataFrame, k: Int = 20): DataFrame =
     bm25(docs)
-      .withColumn("part_score", log(col("idf_ratio")) * col("tf_norm"))
+      .withColumn("part_score",
+        graft.functions.PortableLn.portableLn(col("idf_ratio")) *
+          col("tf_norm"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms_hit"), sum("part_score").as("score"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("part_score")))),
+          lit(0.0), (acc, s) => acc + s.getField("part_score"))
+          .as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
@@ -1065,6 +1076,51 @@ object TextAnalysis {
         |SELECT rank, term, cnt, cum_tokens,
         |       CAST(cum_tokens AS DOUBLE) / total_toks AS cum_share
         |FROM r WHERE rank IN (3, 10, 30, 100, 1000, 10000)""".stripMargin,
+    "search_bm25_topk" -> {
+      val y = graft.functions.PortableLn.yLadderSql("idf_ratio")
+      val pln = graft.functions.PortableLn.correctionSql("y")
+      s"""WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl, text
+        |  FROM documents),
+        |s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)
+        |        AS total_len FROM d),
+        |tok AS (
+        |  SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM tok
+        |  WHERE term IN ('hash', 'join', 'filter')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+        |comp AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         (CAST(s.n_docs - df.doc_freq AS DOUBLE) +
+        |            CAST(0.5 AS DOUBLE)) /
+        |         (CAST(df.doc_freq AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |           AS idf_ratio,
+        |         (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |           (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |             (CAST(tf.dl * s.n_docs AS DOUBLE) / s.total_len)))
+        |           AS tf_norm
+        |  FROM tf JOIN df USING (term), s),
+        |lad AS (SELECT doc_id, term, tf_norm, $y AS y FROM comp),
+        |ps AS (SELECT doc_id, term,
+        |              $pln * tf_norm AS part_score
+        |       FROM lad),
+        |g AS (
+        |  SELECT doc_id, count(*) AS n_terms_hit,
+        |         coalesce(max(CASE WHEN term = 'filter'
+        |                           THEN part_score END), 0.0)
+        |       + coalesce(max(CASE WHEN term = 'hash'
+        |                           THEN part_score END), 0.0)
+        |       + coalesce(max(CASE WHEN term = 'join'
+        |                           THEN part_score END), 0.0) AS score
+        |  FROM ps GROUP BY 1)
+        |SELECT doc_id, n_terms_hit, score
+        |FROM g ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
     "search_bm25" ->
       """WITH d AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS dl, text

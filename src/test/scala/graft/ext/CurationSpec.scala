@@ -218,20 +218,18 @@ class CurationSpec extends SparkSpec {
       ("4_repetition", 1L, 0.2)))
   }
 
-  test("weightedReservoir: top-k by ln(u)/w matches an independent JVM " +
-      "ranking; selection is repartition-stable") {
+  test("weightedReservoir: top-k priorities w/u match an independent " +
+      "JVM replay; selection is repartition-stable; weight guard raises") {
     import spark.implicits._
     val d = (1L to 50L).map(i =>
       (i, "x", "en", "src0", (i % 7 + 1) * 100))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    // independent ranking: pull each doc's xxhash64 from Spark (the only
-    // engine-specific input), then redo u/key/sort in plain Scala
-    val hashes = d.select(col("doc_id"), xxhash64(col("doc_id")).as("h"),
-        col("n_chars"))
-      .as[(Long, Long, Long)].collect()
-    val expected = hashes.map { case (id, h, w) =>
-      val m = ((h % 4294967296L) + 4294967296L) % 4294967296L
-      (id, math.log((m.toDouble + 0.5) / 4294967296.0) / w)
+    // independent replay of the published contract in plain Scala:
+    // h = Knuth u32 of doc_id, priority = (w*2^33) / (2h+1)
+    val expected = (1L to 50L).map { id =>
+      val w = (id % 7 + 1) * 100
+      val h = (id * 2654435761L) % 4294967296L
+      (id, (w * 8589934592L).toDouble / (h * 2L + 1L).toDouble)
     }.sortBy { case (id, key) => (-key, id) }.take(10).map(_._1).toSet
     val got = Curation.weightedReservoir(d, k = 10)
       .select("doc_id").as[Long].collect().toSet
@@ -239,6 +237,29 @@ class CurationSpec extends SparkSpec {
     val gotShuffled = Curation.weightedReservoir(d.repartition(7), k = 10)
       .select("doc_id").as[Long].collect().toSet
     assert(gotShuffled === expected)
+    // zero weight sits outside the exactness domain -> loud
+    val bad = Seq((1L, "x", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[Exception] {
+      Curation.weightedReservoir(bad, k = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("weight outside")))
+  }
+
+  test("weightedReservoir: inclusion tracks weight (heavier docs are " +
+      "sampled more often across disjoint id blocks)") {
+    import spark.implicits._
+    // 1000 docs, half weight 10, half weight 1000; k=100 winners should
+    // be overwhelmingly heavy under priority sampling
+    val d = (1L to 1000L).map(i =>
+      (i, "x", "en", "src0", if (i % 2 == 0) 1000L else 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val heavy = Curation.weightedReservoir(d, k = 100)
+      .select("n_chars").as[Long].collect().count(_ === 1000L)
+    assert(heavy > 80, s"expected heavy docs to dominate, got $heavy/100")
   }
 
   test("batchPadding: bucket ladder, waste accounting, batch ceil-div") {

@@ -175,8 +175,10 @@ class TextAnalysisSpec extends SparkSpec {
       1e-12)
   }
 
-  test("bm25TopK: balanced doc outranks the long keyword-stuffed one") {
-    // d1 hits both terms (score ln(.6)+ln(5/3) = 0 exactly in reals);
+  test("bm25TopK: balanced doc outranks the long keyword-stuffed one; " +
+      "score matches a JVM replay of the portable-ln contract bit for bit") {
+    // d1 hits both terms (score ln(.6)+ln(5/3) = 0 exactly in reals;
+    // the portable ln reproduces that to ~1e-11);
     // d2 hits only 'hash' whose idf ratio < 1 -> negative score
     val r = TextAnalysis.bm25TopK(docs(
       (1L, "hash join loop", "en"),
@@ -186,7 +188,14 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(r.map(_._1).toSeq === Seq(1L, 2L))
     assert(r(0)._2 === 2L && r(1)._2 === 1L)
-    assert(math.abs(r(0)._3) < 1e-12 && r(1)._3 < 0)
+    assert(math.abs(r(0)._3) < 1e-9 && r(1)._3 < 0)
+    // bit-exact replay: term-ascending sum of pln(idf_ratio) * tf_norm
+    import graft.functions.PortableLn.replay
+    val d1 = (0.0 + replay(0.6) * 1.0) + replay(2.5 / 1.5) * 1.0
+    assert(r(0)._3 === d1)
+    // operand-for-operand: the engine computes tf*2.2, not the folded 6.6
+    val tfn2 = (3.0 * 2.2) / (3.0 + 1.2 * (0.25 + 0.75 * (12.0 / 9)))
+    assert(r(1)._3 === 0.0 + replay(0.6) * tfn2)
   }
 
   test("keywords: tf-ranked, rare-term tie-break on corpus df") {
