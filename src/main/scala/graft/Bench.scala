@@ -95,8 +95,14 @@ object Bench {
       org.apache.spark.sql.GraftBridge.sessionHygiene(spark)
     }
     val all = SparkEntry.queries
+    // dev-only subset filter (comma-separated names) for isolated
+    // re-measures; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val picked =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq.sorted
+      if (only.isDefined) all.keys.toSeq.sorted.filter(only.get.contains)
+      else if (sys.env.contains("SPARK_GRAFT_BENCH_ALL"))
+        all.keys.toSeq.sorted
       else Headline.filter(all.contains)
     // unmeasured warmup pass: JIT + codegen compile + file-index caches,
     // so the timed pass reports steady-state throughput (first-run JIT

@@ -559,13 +559,119 @@ object Graph {
         .select(col("n"), col("b"), col("c"))
     }
 
+  /** Expansion-row budget for the pruned path: if the surviving edges'
+    * Σ min(deg_u, deg_v) exceeds this, the degree screen didn't bite
+    * (a near-regular high-triangle graph) and the oriented-wedge path
+    * is the better plan — fall back to it.
+    */
+  val EdgeJaccardExpansionBudget = 30000000L
+
+  /** Exact |N(u) ∩ N(v)| for a SMALL candidate edge set, by expanding
+    * the LOWER-degree endpoint's adjacency (Σ min-deg rows) and probing
+    * the other endpoint's edges — the restricted-support primitive of
+    * [[edgeJaccard]]'s pruned path. `cand` must carry u, v, deg_u,
+    * deg_v with u < v.
+    */
+  private def supportFor(cand: DataFrame, edges: DataFrame): DataFrame = {
+    val a = when(col("deg_u") <= col("deg_v"), col("u")).otherwise(col("v"))
+    val b = when(col("deg_u") <= col("deg_v"), col("v")).otherwise(col("u"))
+    val expanded = edges.select(col("src").as("a"), col("dst").as("w"))
+      .join(broadcast(cand.select(a.as("a"), b.as("b"))), Seq("a"))
+    expanded
+      .join(edges.select(col("src").as("b"), col("dst").as("w")),
+        Seq("b", "w"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+  }
+
+  /** Pruned top-k edge Jaccard (the default path): the top-100 cut
+    * never needs edges whose BEST-CASE Jaccard can't reach the kth
+    * score. Since common ≤ min(deg_u,deg_v) − 1, the bound is
+    * `best = (min−1)/(max−1)` — pure degree arithmetic, no wedges.
+    * Two phases, both exact:
+    *
+    *  1. POOL: score the top `10k` edges by `best` (restricted support
+    *     via [[supportFor]] — Σ min-deg expansion, not a wedge stream);
+    *     the kth ACTUAL Jaccard among them is a valid lower bound τ of
+    *     the global kth (any subset's kth ≤ the global kth).
+    *  2. SCREEN: keep only edges with best ≥ τ — decided by INTEGER
+    *     cross-multiplication (min−1)·τ_den ≥ τ_num·(max−1), no float
+    *     boundary — and compute their exact support the same way; the
+    *     global top-k all survive (actual ≤ best), so the final
+    *     TakeOrdered cut is IDENTICAL to the unpruned answer (spec'd
+    *     against [[edgeJaccardFull]]).
+    *
+    * If the screen doesn't bite (Σ min-deg of survivors over
+    * [[EdgeJaccardExpansionBudget]], e.g. a near-regular graph dense in
+    * triangles), fall back to the oriented-wedge path — same output.
+    * Everything on the cut path is integer-exact; the one double per
+    * row is the same correctly-rounded division as before.
+    */
   def edgeJaccard(edgesIn: DataFrame, topK: Int = EdgeJaccardTopK,
-      broadcastMaxEdges: Long = TriangleBroadcastMaxEdges): DataFrame = {
+      broadcastMaxEdges: Long = TriangleBroadcastMaxEdges,
+      expansionBudget: Long = EdgeJaccardExpansionBudget): DataFrame = {
     val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
     val bcNodes = edges.count() <= NodeBroadcastMaxRows
     val deg = graft.CheckpointLease.track(
       edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(false))
+    val degU = deg.select(col("node").as("u"), col("deg").as("deg_u"))
+    val degV = deg.select(col("node").as("v"), col("deg").as("deg_v"))
+    // undirected edges + degree bounds; best_num = 0 edges have zero
+    // support and are never output candidates (the old path omitted
+    // them the same way: no triangle, no support row)
+    val und = graft.CheckpointLease.track(
+      edges.filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+        .join(if (bcNodes) broadcast(degU) else degU, Seq("u"))
+        .join(if (bcNodes) broadcast(degV) else degV, Seq("v"))
+        .select(col("u"), col("v"), col("deg_u"), col("deg_v"),
+          (least(col("deg_u"), col("deg_v")) - 1L).as("best_num"),
+          (greatest(col("deg_u"), col("deg_v")) - 1L).as("best_den"))
+        .filter(col("best_num") > 0L)
+        .localCheckpoint(false))
+    def score(cand: DataFrame): DataFrame =
+      supportFor(cand, edges)
+        .join(cand.select("u", "v", "deg_u", "deg_v"), Seq("u", "v"))
+        .select(col("u"), col("v"), col("common"), col("deg_u"),
+          col("deg_v"),
+          (col("common").cast("double") /
+            (col("deg_u") + col("deg_v") - 2L - col("common")))
+            .as("jaccard"))
+    val pool = und
+      .orderBy((col("best_num").cast("double") / col("best_den")).desc,
+        col("u"), col("v"))
+      .limit(math.max(topK * 10, topK + 16))
+    // kth actual score in the pool, as an exact rational (bounded
+    // collect: <= topK rows)
+    val poolTop = score(pool)
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("common"),
+        (col("deg_u") + col("deg_v") - 2L - col("common")).as("denom"))
+      .collect()
+    val (tauNum, tauDen) =
+      if (poolTop.length < topK) (0L, 1L)
+      else (poolTop.last.getLong(0), poolTop.last.getLong(1))
+    val surv = und.filter(
+      col("best_num") * tauDen >= lit(tauNum) * col("best_den"))
+    val expansion = surv
+      .agg(coalesce(sum(least(col("deg_u"), col("deg_v"))), lit(0L)))
+      .head().getLong(0)
+    if (expansion <= expansionBudget)
+      score(surv).orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(topK)
+    else
+      edgeJaccardFull(edges, bcNodes, deg, topK, broadcastMaxEdges)
+  }
+
+  /** The unpruned oriented-wedge formulation — the [[edgeJaccard]]
+    * fallback and its equivalence oracle in GraphSpec.
+    */
+  private[ext] def edgeJaccardFull(edges: DataFrame, bcNodes: Boolean,
+      deg: DataFrame, topK: Int,
+      broadcastMaxEdges: Long): DataFrame = {
     val rel = graft.CheckpointLease.track(
       orientedEdges(edges, bcDeg = bcNodes).localCheckpoint(false))
     val (nOriented, packable) = orientedStats(rel)

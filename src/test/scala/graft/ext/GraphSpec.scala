@@ -205,6 +205,47 @@ class GraphSpec extends SparkSpec {
     assert(viaBroadcast === viaShuffle)
   }
 
+  test("edgeJaccard: pruned path, forced fallback, and the unpruned " +
+      "formulation all return the identical top-k") {
+    // a graph big enough that the pool really is a strict subset and the
+    // degree screen bites: 8 dense cliques of size 6 bridged in a ring,
+    // plus a sparse star fringe of low-jaccard edges
+    val cliques = (0 until 8).flatMap { c =>
+      val ids = (0 until 6).map(i => (c * 6 + i + 1).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }
+    val ring = (0 until 8).map(c =>
+      ((c * 6 + 1).toLong, ((c + 1) % 8 * 6 + 2).toLong))
+    val fringe = (1 to 40).map(i => (100L + i, (i % 48 + 1).toLong))
+    val edges = (cliques ++ ring ++ fringe)
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val pruned = Graph.edgeJaccard(edges, topK = 10).collect().toSeq
+    graft.CheckpointLease.releaseAll()
+    val fallback = Graph.edgeJaccard(edges, topK = 10,
+      expansionBudget = 0L).collect().toSeq
+    graft.CheckpointLease.releaseAll()
+    assert(pruned === fallback)
+    assert(pruned.length === 10)
+    // the screen must actually prune here: every clique-internal edge
+    // has best-case (5-1)/(6-1) while fringe stars top out far lower
+    val j = pruned.map(_.getAs[Double]("jaccard"))
+    assert(j.head >= j.last && j.last > 0.0)
+  }
+
+  test("edgeJaccard: pruned and unpruned agree on the sf0.001 " +
+      "co-purchase graph") {
+    val edges = Graph.coPurchaseEdges(
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    val pruned = Graph.edgeJaccard(edges).collect().toSeq
+    graft.CheckpointLease.releaseAll()
+    val full = Graph.edgeJaccard(edges, expansionBudget = 0L)
+      .collect().toSeq
+    graft.CheckpointLease.releaseAll()
+    assert(pruned === full)
+    assert(pruned.nonEmpty)
+  }
+
   test("clusteringCoeff: triangle node 1.0, pendant/bridge nodes 0.0") {
     // triangle {1,2,3} plus pendant 3-4: nodes 1,2 have deg 2 and sit on
     // the one triangle -> coeff 1.0; node 3 deg 3 -> 2*1/(3*2) = 1/3;
