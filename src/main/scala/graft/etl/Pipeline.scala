@@ -102,4 +102,65 @@ object Pipeline {
       s"validation failed: ${failed.map(c => s"${c.table}/${c.check}").mkString(", ")}")
     checks
   }
+
+  /** Reference-parity run with an external DATABASE as every zone's
+    * store (the reference keeps bronze/silver/gold in Postgres and each
+    * task reads the previous zone back from the DB, reference
+    * `to_bronze.py:41-50`, `to_silver.py:22-42`, `to_gold.py:36-45`):
+    * raw parquet → `bronze_<t>` → `silver_<t>` → `gold_<t>`, every hop
+    * through [[Bronze.writeJdbc]] / a JDBC read of the PREVIOUS zone —
+    * no stage touches the parquet fixtures after bronze.
+    *
+    * The gold stages consume raw-SHAPE tables (this engine's registered,
+    * oracle-verified gold surface — like the reference's `to_gold`
+    * SELECTing the untransformed columns), so they read the bronze zone
+    * back from the DB; the silver zone is materialized and validated
+    * through the DB alongside. PipelineSpec asserts every DB gold table
+    * is value-identical to the parquet-path gold — the storage-fidelity
+    * proof (timestamps, doubles, strings survive the JDBC round-trip).
+    *
+    * Returns the gold table names written (prefixed `gold_`).
+    */
+  def runAllJdbc(spark: SparkSession, sfDir: String,
+      url: String): Seq[String] = {
+    import graft.Tables
+    val raw: Seq[(String, DataFrame)] = Seq(
+      "orders"   -> Tables.orders(spark, sfDir),
+      "customer" -> Tables.customer(spark, sfDir),
+      "lineitem" -> Tables.lineitem(spark, sfDir),
+      "part"     -> Tables.part(spark, sfDir),
+      "supplier" -> Tables.supplier(spark, sfDir),
+      "nation"   -> Tables.nation(spark, sfDir),
+      "events"   -> Tables.events(spark, sfDir))
+    raw.foreach { case (n, df) => Bronze.writeJdbc(df, url, s"bronze_$n") }
+    def zone(z: String, n: String): DataFrame =
+      spark.read.format("jdbc").option("url", url)
+        .option("dbtable", s"${z}_$n").load()
+    val silver: Seq[(String, DataFrame)] = Seq(
+      "orders"   -> Silver.ordersStage(zone("bronze", "orders")),
+      "customer" -> Silver.customerStage(zone("bronze", "customer")),
+      "lineitem" -> Silver.lineitemStage(zone("bronze", "lineitem")),
+      "part"     -> Silver.partStage(zone("bronze", "part"),
+        zone("bronze", "nation")),
+      "supplier" -> Silver.supplierStage(zone("bronze", "supplier")),
+      "events"   -> Silver.eventsStage(zone("bronze", "events")))
+    silver.foreach { case (n, df) => Bronze.writeJdbc(df, url, s"silver_$n") }
+    val gold: Seq[(String, DataFrame)] = Seq(
+      "daily_sales" -> Gold.dailySalesStage(
+        zone("bronze", "lineitem"), zone("bronze", "orders")),
+      "customer_metrics" -> Gold.customerMetricsStage(
+        zone("bronze", "lineitem"), zone("bronze", "orders"),
+        zone("bronze", "customer")),
+      "product_performance" -> Gold.productPerformanceStage(
+        zone("bronze", "lineitem"), zone("bronze", "part")),
+      "seller_performance" -> Gold.sellerPerformanceStage(
+        zone("bronze", "lineitem"), zone("bronze", "supplier"),
+        zone("bronze", "orders")),
+      "satisfaction_metrics" -> Gold.satisfactionMetricsStage(
+        zone("bronze", "events")),
+      "delivery_performance" -> Gold.deliveryPerformanceStage(
+        zone("bronze", "lineitem"), zone("bronze", "orders")))
+    gold.foreach { case (n, df) => Bronze.writeJdbc(df, url, s"gold_$n") }
+    gold.map { case (n, _) => s"gold_$n" }
+  }
 }
