@@ -343,6 +343,177 @@ object Relational {
     semi.unionAll(anti)
   }
 
+  /** Quarter window of [[returnedItemReport]]. */
+  val Q10Quarter = "1996-10-01"
+
+  /** TPC-H-Q10-shape returned-item report: the 20 customers who returned
+    * the most discounted revenue in one order quarter. Plan shape at
+    * scale: the fact spine (quarter-filtered orders ⋈ lineitem filtered
+    * to `l_returnflag = 'R'` — both predicates reach the parquet scans)
+    * shuffles once on orderkey, the per-customer rollup shuffles once on
+    * custkey, and only THEN does the small aggregate join customer and
+    * the 25-row broadcast nation — dimension payload never rides through
+    * the fact shuffles. Revenue is the order-invariant [[revenueE4Sum]];
+    * the top-20 cut is TakeOrdered with a total tie-break (revenue desc,
+    * c_custkey), so the selected SET is deterministic.
+    */
+  def returnedItemReport(cust: DataFrame, ord: DataFrame, li: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val lo = lit(Q10Quarter).cast("timestamp")
+    val o = ord.filter(col("o_orderdate") >= lo &&
+        col("o_orderdate") < add_months(lo, 3))
+      .select("o_orderkey", "o_custkey")
+    val perCust = li.filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(revenueE4Sum.as("revenue_e4"))
+    perCust
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+        col("revenue_e4"),
+        (col("revenue_e4") / 10000.0).as("revenue"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H-Q13-shape customer order-count distribution: how many
+    * customers placed exactly k qualifying orders, INCLUDING k = 0 — the
+    * zero bucket is why the filter (`o_orderstatus <> 'F'`) must live in
+    * the JOIN CONDITION of the left outer join, not a WHERE (a where
+    * would delete the unmatched customers the query exists to count).
+    * Two aggregations: per-customer count shuffles on custkey (the only
+    * fact-sized shuffle), then the count-of-counts reduces to at most
+    * |max orders per customer| rows. `count(o_orderkey)` — not
+    * `count(*)` — so unmatched outer rows count 0.
+    */
+  def customerOrderDistribution(cust: DataFrame, ord: DataFrame): DataFrame =
+    cust.join(ord,
+        cust("c_custkey") === ord("o_custkey") &&
+          ord("o_orderstatus") =!= "F", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Ship month of [[promoRevenue]]. */
+  val Q14Month = "1996-09-01"
+
+  /** TPC-H-Q14-shape promotion effect: the share of one ship-month's
+    * discounted revenue that came from parts of type `PROMO`, as a
+    * conditional aggregate over the lineitem ⋈ part join. Both operands
+    * of the ratio are exact per-row e4 longs ([[revenueE4Sum]] gated by
+    * a `when`), so the percentage is one double division of two
+    * order-invariant integers — no accumulation noise. The part side
+    * projects to (key, 8-byte flag) and goes through
+    * [[graft.plans.Layout.advisedBroadcast]]: broadcast while the
+    * 9-byte/row projection fits, shuffle past that — part grows with SF.
+    */
+  def promoRevenue(li: DataFrame, pt: DataFrame): DataFrame = {
+    val lo = lit(Q14Month).cast("timestamp")
+    val flags = graft.plans.Layout.advisedBroadcast(
+      pt.select(col("p_partkey"),
+        (col("p_type") === "PROMO").as("is_promo")), fixed = 9L)
+    val rowE4 = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    li.filter(col("l_shipdate") >= lo && col("l_shipdate") < add_months(lo, 1))
+      .join(flags, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), rowE4).otherwise(lit(0L))
+          .cast("decimal(38,0)")).cast("long").as("promo_e4"),
+        sum(rowE4.cast("decimal(38,0)")).cast("long").as("total_e4"))
+      .withColumn("promo_pct",
+        col("promo_e4") * 100.0 / col("total_e4"))
+  }
+
+  /** Quantity threshold of [[largeOrders]] (classic Q18 value: ~99.9th
+    * percentile of per-order quantity in this fixture family).
+    */
+  val Q18MinQty = 300.0
+
+  /** TPC-H-Q18-shape large-volume customers: orders whose total ordered
+    * quantity exceeds [[Q18MinQty]], with their customer. The HAVING
+    * subquery becomes ONE lineitem aggregation whose survivors (a few
+    * per 100 k orders) then drive the joins — the aggregated quantity is
+    * reused directly instead of re-scanning lineitem (TPC-H's phrasing
+    * scans it twice), and orders/customer join AFTER the threshold cut,
+    * so the big tables join against a vanishingly small build side.
+    * Top-100 by (o_totalprice desc, o_orderkey) — a total order.
+    */
+  def largeOrders(cust: DataFrame, ord: DataFrame, li: DataFrame): DataFrame = {
+    val big = li.groupBy("l_orderkey")
+      .agg(round(sum("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > Q18MinQty)
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("totalprice_cents"),
+        col("total_qty"))
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H-Q19-shape disjunctive predicate revenue: discounted revenue
+    * from lineitem ⋈ part pairs matching ANY of three (brand, size
+    * range, quantity range) conjunct groups. The brand disjunction's
+    * union bound (`p_brand IN (...) AND p_size BETWEEN 1 AND 25`) is
+    * applied as an explicit pre-filter on part so the scan prunes even
+    * where the optimizer won't factor a common term out of the OR; the
+    * exact three-way disjunction then evaluates as the JOIN condition on
+    * the (typically broadcastable) survivor set, never as a post-join
+    * filter over non-qualifying pairs. Output is one exact
+    * [[revenueE4Sum]] row.
+    */
+  def disjunctiveRevenue(li: DataFrame, pt: DataFrame): DataFrame = {
+    val arms = Seq(("Brand#12", 15, 1.0, 11.0), ("Brand#23", 20, 10.0, 20.0),
+      ("Brand#34", 25, 20.0, 30.0))
+    val prefiltered = graft.plans.Layout.advisedBroadcast(
+      pt.filter(col("p_brand").isin(arms.map(_._1): _*) &&
+          col("p_size").between(1, arms.map(_._2).max))
+        .select("p_partkey", "p_brand", "p_size"), fixed = 24L)
+    val cond = arms.map { case (brand, maxSize, qLo, qHi) =>
+      col("p_brand") === brand && col("p_size").between(1, maxSize) &&
+        col("l_quantity").between(qLo, qHi)
+    }.reduce(_ || _)
+    li.join(prefiltered, col("l_partkey") === col("p_partkey") && cond)
+      .agg(revenueE4Sum.as("revenue_e4"))
+      .withColumn("revenue", col("revenue_e4") / 10000.0)
+  }
+
+  /** Dormancy cutoff of [[dormantRichCustomers]]. */
+  val Q22Cutoff = "2000-01-01"
+
+  /** TPC-H-Q22-shape dormant high-balance customers: per nation, the
+    * count and held balance of customers whose balance exceeds the
+    * global positive-balance average but who placed NO order since
+    * [[Q22Cutoff]]. The scalar subquery (global average) is computed as
+    * an EXACT pair (cents sum, count) cross-joined as one broadcast row,
+    * and the threshold test is the integer cross-multiplication
+    * `bal_cents · n > sum_cents` — order-invariant, no float average to
+    * sit within an ULP of. The NOT EXISTS is a left-anti join against
+    * date-filtered orders projected to the key column only (the filter
+    * reaches the orders scan; the anti build side carries 8 bytes/row).
+    */
+  def dormantRichCustomers(cust: DataFrame, ord: DataFrame): DataFrame = {
+    val balCents = round(col("c_acctbal") * 100).cast("long")
+    val thr = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(balCents.cast("decimal(38,0)")).cast("long").as("sum_cents"),
+        count(lit(1)).as("n_pos"))
+    val recent = ord
+      .filter(col("o_orderdate") >= lit(Q22Cutoff).cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(thr))
+      .filter(balCents * col("n_pos") > col("sum_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_dormant"),
+        sum(balCents.cast("decimal(38,0)")).cast("long")
+          .as("held_cents"))
+  }
+
   /** Generator (UDTF-shape): one output row per word of `p_name`, with
     * its 0-based position. `posexplode` runs inside whole-stage codegen
     * (GenerateExec) — no shuffle, output partitioning inherits the scan.
@@ -942,6 +1113,19 @@ object Relational {
       Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
       Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q1_pricing_sql"     -> (pricingSummarySql(_, _)),
+    "q10_returned_items" -> ((s, d) => returnedItemReport(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.nation(s, d))),
+    "q13_order_distribution" -> ((s, d) => customerOrderDistribution(
+      Tables.customer(s, d), Tables.orders(s, d))),
+    "q14_promo_revenue"  -> ((s, d) => promoRevenue(
+      Tables.lineitem(s, d), Tables.part(s, d))),
+    "q18_large_orders"   -> ((s, d) => largeOrders(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q19_disjunctive_revenue" -> ((s, d) => disjunctiveRevenue(
+      Tables.lineitem(s, d), Tables.part(s, d))),
+    "q22_dormant_customers" -> ((s, d) => dormantRichCustomers(
+      Tables.customer(s, d), Tables.orders(s, d))),
     "rank_top_customers" -> ((s, d) => topCustomersPerSegment(
       Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
     "rank_top_customers_heap" -> ((s, d) => topCustomersPerSegmentHeap(
@@ -1015,6 +1199,87 @@ object Relational {
          |GROUP BY 1, 2
          |ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
          |LIMIT 10""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         |       $revenueE4SumSql AS revenue_e4,
+         |       $revenueE4SumSql / 10000.0 AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |     JOIN customer ON o_custkey = c_custkey
+         |     JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '$Q10Quarter 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue_e4 DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""WITH j AS (
+         |  SELECT (p_type = 'PROMO') AS is_promo,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT)
+         |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+         |           AS row_e4
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '$Q14Month 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+         |SELECT CAST(sum(CASE WHEN is_promo THEN row_e4 ELSE 0 END)
+         |         AS BIGINT) AS promo_e4,
+         |       CAST(sum(row_e4) AS BIGINT) AS total_e4,
+         |       CAST(sum(CASE WHEN is_promo THEN row_e4 ELSE 0 END)
+         |         AS BIGINT) * 100.0 / CAST(sum(row_e4) AS BIGINT)
+         |         AS promo_pct
+         |FROM j""".stripMargin,
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |         CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING sum(l_quantity) > $Q18MinQty)
+         |SELECT c_name, c_custkey, o_orderkey,
+         |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |       CAST(round(o_totalprice * 100) AS BIGINT)
+         |         AS totalprice_cents,
+         |       total_qty
+         |FROM big JOIN orders ON o_orderkey = l_orderkey
+         |     JOIN customer ON o_custkey = c_custkey
+         |ORDER BY totalprice_cents DESC, o_orderkey
+         |LIMIT 100""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      s"""SELECT $revenueE4SumSql AS revenue_e4,
+         |       $revenueE4SumSql / 10000.0 AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_dormant_customers" ->
+      s"""WITH thr AS (
+         |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+         |           AS BIGINT) AS sum_cents,
+         |         count(*) AS n_pos
+         |  FROM customer WHERE c_acctbal > 0),
+         |recent AS (
+         |  SELECT o_custkey FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$Q22Cutoff 00:00:00')
+         |SELECT c_nationkey, count(*) AS n_dormant,
+         |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+         |         AS BIGINT) AS held_cents
+         |FROM customer, thr
+         |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_cents
+         |  AND NOT EXISTS (SELECT 1 FROM recent
+         |                  WHERE o_custkey = c_custkey)
+         |GROUP BY 1""".stripMargin,
     "q5_local_supplier" ->
       s"""SELECT n_name,
          |       $revenueE4SumSql AS revenue_e4,

@@ -526,4 +526,131 @@ class RelationalSpec extends SparkSpec {
     assert(run(1).toSeq === run(64).toSeq,
       "per-row e4 integer sum must be partition-permutation invariant")
   }
+
+  private def liQ(rows: (Long, Long, Double, Double, Double, String, String)*) =
+    rows.map { case (ok, pk, qty, price, disc, rf, ship) =>
+      (ok, pk, 1L, 1, qty, price, disc, 0.0, rf, "O",
+        ts(s"$ship 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+
+  private def ordQ(rows: (Long, Long, String, String)*) =
+    rows.map { case (ok, ck, st, date) =>
+      (ok, ck, st, 100.0, ts(s"$date 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+
+  private def custQ(rows: (Long, Long, Double)*) =
+    rows.map { case (ck, nk, bal) => (ck, s"c$ck", nk, bal, "BUILDING") }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+
+  test("returnedItemReport: only R-flag lines in the quarter count; " +
+      "top-k plans as TakeOrderedAndProject") {
+    val nation = Seq((1L, "FRANCE", 1L)).toDF("n_nationkey", "n_name",
+      "n_regionkey")
+    val cust = custQ((10L, 1L, 12.34), (11L, 1L, 0.0))
+    val ord = ordQ((1L, 10L, "O", "1996-11-01"),  // in quarter
+      (2L, 11L, "O", "1997-02-01"),               // out of quarter
+      (3L, 10L, "O", "1996-12-01"))               // in quarter, no R line
+    val lines = liQ(
+      (1L, 1L, 1.0, 10.00, 0.10, "R", "1996-11-05"),
+      (2L, 1L, 1.0, 99.00, 0.00, "R", "1997-02-05"),
+      (3L, 1L, 1.0, 50.00, 0.00, "N", "1996-12-05"))
+    val q = Relational.returnedItemReport(cust, ord, lines, nation)
+    val r = q.collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("c_custkey") === 10L)
+    assert(r.head.getAs[Long]("revenue_e4") === 1000L * 90L)
+    assert(r.head.getAs[Long]("acctbal_cents") === 1234L)
+    // Plan shape on real input (on the toy rows above the optimizer can
+    // PROVE maxRows <= 20 and erases the Limit, so no TakeOrdered node
+    // exists there — that's EliminateLimits working, not a regression).
+    val d = "/root/testdata/sf0.001"
+    val qp = Relational.returnedItemReport(graft.Tables.customer(spark, d),
+      graft.Tables.orders(spark, d), graft.Tables.lineitem(spark, d),
+      graft.Tables.nation(spark, d))
+    qp.collect()
+    assert(qp.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "top-20 cut must be per-partition heaps, not a global sort")
+  }
+
+  test("customerOrderDistribution: zero-order customers land in the " +
+      "k=0 bucket and join-condition status filter is not a WHERE") {
+    val cust = custQ((1L, 1L, 0.0), (2L, 1L, 0.0), (3L, 1L, 0.0))
+    // cust 1: two O orders; cust 2: only an F order (must count as 0);
+    // cust 3: no orders at all (must count as 0).
+    val ord = ordQ((1L, 1L, "O", "1996-01-01"), (2L, 1L, "O", "1996-01-02"),
+      (3L, 2L, "F", "1996-01-03"))
+    val r = Relational.customerOrderDistribution(cust, ord)
+      .as[(Long, Long)].collect().toSeq
+    assert(r === Seq((0L, 2L), (2L, 1L)))
+  }
+
+  test("promoRevenue: conditional e4 ratio over the ship month only") {
+    val pt = Seq((1L, "p", "Brand#1", "PROMO", 1, 1.0),
+        (2L, "p", "Brand#1", "STANDARD", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val lines = liQ(
+      (1L, 1L, 1.0, 30.00, 0.00, "N", "1996-09-10"), // promo, in month
+      (2L, 2L, 1.0, 10.00, 0.00, "N", "1996-09-20"), // standard, in month
+      (3L, 1L, 1.0, 99.00, 0.00, "N", "1996-10-01")) // out of month
+    val r = Relational.promoRevenue(lines, pt).collect().head
+    assert(r.getAs[Long]("promo_e4") === 300000L)
+    assert(r.getAs[Long]("total_e4") === 400000L)
+    assert(r.getAs[Double]("promo_pct") === 75.0)
+  }
+
+  test("largeOrders: threshold on total quantity, one lineitem scan") {
+    val cust = custQ((10L, 1L, 0.0))
+    val ord = ordQ((1L, 10L, "O", "1996-01-01"), (2L, 10L, "O", "1996-01-02"))
+    val lines = liQ(
+      (1L, 1L, 200.0, 1.00, 0.0, "N", "1996-01-05"),
+      (1L, 1L, 150.0, 1.00, 0.0, "N", "1996-01-06"), // order 1: 350 > 300
+      (2L, 1L, 299.0, 1.00, 0.0, "N", "1996-01-07")) // order 2: under
+    val q = Relational.largeOrders(cust, ord, lines)
+    val r = q.collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("o_orderkey") === 1L)
+    assert(r.head.getAs[Long]("total_qty") === 350L)
+    // the aggregate is reused — exactly one lineitem-shaped scan
+    assert(q.queryExecution.optimizedPlan.collectLeaves().size === 3,
+      "q18 must not re-scan lineitem for the quantity sum")
+  }
+
+  test("disjunctiveRevenue: each arm admits only its own (brand, size, " +
+      "qty) box") {
+    def part(pk: Long, brand: String, size: Int) =
+      (pk, "p", brand, "STANDARD", size, 1.0)
+    val pt = Seq(part(1L, "Brand#12", 10), part(2L, "Brand#23", 18),
+        part(3L, "Brand#34", 24), part(4L, "Brand#12", 40),
+        part(5L, "Brand#99", 5))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val lines = liQ(
+      (1L, 1L, 5.0, 10.00, 0.0, "N", "1996-01-01"),  // arm 1: qty 5 in 1..11
+      (2L, 2L, 15.0, 20.00, 0.0, "N", "1996-01-01"), // arm 2: qty 15 in 10..20
+      (3L, 3L, 25.0, 40.00, 0.0, "N", "1996-01-01"), // arm 3: qty 25 in 20..30
+      (4L, 1L, 50.0, 80.00, 0.0, "N", "1996-01-01"), // arm 1 brand, qty out
+      (5L, 4L, 5.0, 160.00, 0.0, "N", "1996-01-01"), // size 40 out of range
+      (6L, 5L, 5.0, 320.00, 0.0, "N", "1996-01-01")) // brand out
+    val r = Relational.disjunctiveRevenue(lines, pt).collect().head
+    assert(r.getAs[Long]("revenue_e4") === (1000L + 2000L + 4000L) * 100L)
+  }
+
+  test("dormantRichCustomers: integer threshold above positive-average " +
+      "balance, anti-joined on recent orders") {
+    // positive balances: 100.00 and 300.00 -> avg 200.00; negative ignored
+    val cust = custQ((1L, 1L, 100.0), (2L, 1L, 300.0), (3L, 2L, -50.0),
+      (4L, 2L, 250.0))
+    // cust 2 (rich) ordered recently -> excluded; cust 4 (rich, nation 2,
+    // old order only) -> dormant; cust 1 below threshold.
+    val ord = ordQ((1L, 2L, "O", "2001-05-01"), (2L, 4L, "O", "1999-05-01"))
+    val r = Relational.dormantRichCustomers(cust, ord)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r === Seq((2L, 1L, 25000L)))
+  }
 }
