@@ -14,11 +14,15 @@ object TimeQuery {
     val names = if (args.length > 2) args.drop(2).toSeq
                 else Seq("dedup_clusters")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // dev-only A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applied on top
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split("=", 2))
+      .foreach { case Array(k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def reset(): Unit = {
       CheckpointLease.releaseAll()

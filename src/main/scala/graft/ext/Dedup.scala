@@ -245,6 +245,93 @@ object Dedup {
   def ngramJaccardPairsCapped(docs: DataFrame): DataFrame =
     ngramJaccardPairs(docs, threshold = 0.5, maxShingleDf = 5L)
 
+  /** PREFIX-FILTERED exact Jaccard pairs (SSJoin/PPJoin, Chaudhuri 2006 /
+    * Xiao 2008): the same output contract as [[ngramJaccardPairs]] — every
+    * pair with 3-gram Jaccard ≥ tNum/tDen over the df-capped shingle
+    * universe — but candidates come only from collisions among each
+    * document's PREFIX under a global rarest-first shingle order.
+    *
+    * The filter lemma: order every doc's kept shingles by (df asc,
+    * shingle) and keep the first `p = n − ⌈t·n⌉ + 1` as its prefix; two
+    * docs with J ≥ t MUST share a shingle lying in BOTH prefixes. Proof
+    * sketch: J ≥ t gives `|A∩B| ≥ t·|A∪B| ≥ ⌈t·n_a⌉` (and ⌈t·n_b⌉).
+    * Let a*, b* be the last prefix elements in the global order and say
+    * a* ≤ b*; only `⌈t·n_a⌉ − 1 < |A∩B|` elements of A sit past a*, so
+    * some common shingle c ≤ a* lies in A's prefix — and c ≤ a* ≤ b*
+    * puts c inside B's prefix too (B's prefix is exactly its elements
+    * ≤ b*). So the candidate set is a superset of the answer and the
+    * exact verify pass makes the cut identical — asserted against
+    * [[ngramJaccardPairs]] in DedupSpec and hash-verified against the
+    * same naive DuckDB twin.
+    *
+    * Why it exists, measured honestly: candidate volume is Σ C(df, 2)
+    * over PREFIX postings only, and rarest-first ordering pushes
+    * prefixes onto the low-df tail — measured at sf0.1: 1.27 M naive
+    * candidates → 431 k (2.9×, on 134 k of 260 k postings indexed).
+    * At this overhead-dominated test scale the plain enumeration still
+    * WINS wall-clock (≈3 s vs ≈6 s: the df join, per-doc rank window,
+    * and array-verify joins cost more than the candidates they save),
+    * which is why [[ngramJaccardPairs]] stays the engine's default
+    * below the crossover; the prefix arm is the asymptotic path for
+    * corpora whose candidate mass — quadratic in posting-list density —
+    * outgrows those fixed per-stage costs. The prefix length is
+    * computed in EXACT integers (`⌈t·n⌉ = (tNum·n + tDen − 1) div
+    * tDen`) — a float ceil within an ULP of an integer could shorten a
+    * prefix and silently break the completeness lemma.
+    *
+    * Stages: the [[keptPostings]] stream (persisted once), one df join
+    * riding its shingle partitioning, one per-doc rank window, prefix
+    * posting enumeration (same ordered-combinations device), then exact
+    * verify via per-doc sorted shingle arrays (`array_intersect` on the
+    * two bounded arrays) — no stage keyed on anything hotter than the
+    * df-capped shingles.
+    */
+  def prefixJaccardPairs(docs: DataFrame, tNum: Long = 1L, tDen: Long = 2L,
+      maxShingleDf: Long = MaxShingleDf): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
+    val threshold = tNum.toDouble / tDen.toDouble
+    val kept = keptPostings(shingleIds(docs), maxShingleDf).persist()
+    val dfs = kept.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("shingle"))
+    val positioned = kept.join(dfs, Seq("shingle"))
+      .withColumn("pos", row_number().over(wDoc))
+    val sizes = positioned.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    // prefix = n − ⌈t·n⌉ + 1, the ceil in exact integer arithmetic
+    val prefix = positioned.join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= col("n") -
+        expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+    val cand = prefix
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            b -> struct(a AS doc_a, b AS doc_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val arrays = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("shs"))
+    val out = graft.CheckpointLease.track(cand
+      .join(arrays.select(col("doc_id").as("doc_a"),
+        col("shs").as("sa")), Seq("doc_a"))
+      .join(arrays.select(col("doc_id").as("doc_b"),
+        col("shs").as("sb")), Seq("doc_b"))
+      .withColumn("inter_size",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("union_size",
+        size(col("sa")).cast("long") + size(col("sb")) - col("inter_size"))
+      .withColumn("jaccard",
+        col("inter_size") * lit(1.0) / col("union_size"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
+      .localCheckpoint(true))
+    kept.unpersist()
+    out
+  }
+
   /** Term-frequency cap in [[tfidfCosinePairs]]: within-document shingle
     * repeats beyond this add no weight (sublinear-tf in spirit, and the
     * hard bound that keeps every integer weight product long-safe at any
@@ -969,6 +1056,8 @@ object Dedup {
     "dedup_exact_docs"    -> ((s, d) => exactDocs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       ngramJaccardPairs(Tables.documents(s, d))),
+    "dedup_prefix_jaccard" -> ((s, d) =>
+      prefixJaccardPairs(Tables.documents(s, d))),
     "dedup_ngram_capped"  -> ((s, d) =>
       ngramJaccardPairsCapped(Tables.documents(s, d))),
     "dedup_containment"   -> ((s, d) =>
@@ -1318,6 +1407,37 @@ object Dedup {
   /** DuckDB twins (xxhash64 minhash is hash-dependent → rows-only; the
     * portable variant below is fully oracle-checked).
     */
+  /** The naive pairwise-Jaccard twin, shared by dedup_ngram_jaccard and
+    * dedup_prefix_jaccard (identical cut by the prefix-filter lemma).
+    */
+  private val duckNgramJaccardSql: String =
+    """WITH sh0 AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                               for i in range(1, len(toks)-1)]))
+      |           AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents)),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM sh0
+      |  WHERE shingle IN (SELECT shingle FROM sh0
+      |                    GROUP BY 1 HAVING count(*) <= 1000)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         count(*) AS inter_size
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter_size,
+      |       sa.n + sb.n - inter_size AS union_size,
+      |       inter_size * 1.0 / (sa.n + sb.n - inter_size) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5"""
+      .stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_incremental" -> duckIncrementalSql,
     "dedup_minhash_md5" -> duckMinhashPortableSql,
@@ -1409,33 +1529,11 @@ object Dedup {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE inter_size * 1.0 / least(sa.n, sb.n) >= 0.8""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH sh0 AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                               for i in range(1, len(toks)-1)]))
-        |           AS shingle
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |        FROM documents)),
-        |sh AS (
-        |  SELECT doc_id, shingle FROM sh0
-        |  WHERE shingle IN (SELECT shingle FROM sh0
-        |                    GROUP BY 1 HAVING count(*) <= 1000)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         count(*) AS inter_size
-        |  FROM sh a JOIN sh b
-        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, inter_size,
-        |       sa.n + sb.n - inter_size AS union_size,
-        |       inter_size * 1.0 / (sa.n + sb.n - inter_size) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5"""
-        .stripMargin,
+    // the prefix-filtered arm's cut is IDENTICAL to the naive one (the
+    // filter lemma in prefixJaccardPairs' scaladoc), so it shares the
+    // naive twin verbatim — any divergence is an engine bug, not a twin
+    "dedup_prefix_jaccard" -> duckNgramJaccardSql,
+    "dedup_ngram_jaccard" -> duckNgramJaccardSql,
     // the capped variant's oracle replicates the df cap: shingles in >5
     // docs are dropped from the index before sizes/intersections
     "dedup_ngram_capped" ->

@@ -933,6 +933,53 @@ object Similarity {
           lit(1000000000.0)).as("mean_cosine"))
   }
 
+  /** Per-cluster SOURCE composition — "what does each embedding cluster
+    * contain?", the curation readout that turns unsupervised k-means
+    * structure into an actionable mixture audit (a cluster dominated by
+    * one source is that source's house style; a flat mixture is a real
+    * semantic topic). Every vector takes its nearest trained centroid
+    * (the [[kmeansClusterProfile]] assignment, same argmax tie-break),
+    * joins its document's `source`, and each (cluster, source) cell
+    * reports its count, its share of the cluster, and the cluster's
+    * Herfindahl–Hirschman concentration `Σ share²` — shares and HHI are
+    * single IEEE divisions of exact integer counts (squares through
+    * decimal(38,0)/HUGEINT so 1e12-doc clusters can't wrap), so both
+    * engines emit identical doubles.
+    *
+    * Scale shape: broadcast codebook × one corpus scan for assignment,
+    * one join to the documents table on the shared id, one keyed
+    * aggregate; the windows run over the aggregated (k × |sources|)
+    * table — value-domain bounded, never corpus-sized.
+    */
+  def clusterSourceMix(emb: DataFrame, docs: DataFrame,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = codebook.getOrElse(trainCentroids(emb))
+    val asg = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        cosine(col("embedding"), col("c")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), (-col("centroid_id")).as("tb")))
+        .as("centroid_id"))
+    val mix = asg
+      .join(docs.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .groupBy("centroid_id", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("centroid_id")
+    def d(x: Column) = x.cast("decimal(38,0)")
+    mix
+      .withColumn("cluster_total", sum("n_docs").over(w))
+      .withColumn("sq", sum(d(col("n_docs")) * d(col("n_docs"))).over(w))
+      .select(col("centroid_id"), col("source"), col("n_docs"),
+        col("cluster_total"),
+        (col("n_docs").cast("double") / col("cluster_total").cast("double"))
+          .as("share"),
+        (col("sq").cast("double") /
+          (col("cluster_total").cast("double") *
+            col("cluster_total").cast("double"))).as("hhi"))
+  }
+
   /** SIMPLIFIED (centroid-based) SILHOUETTE per cluster — the cluster-
     * quality companion of [[kmeansClusterProfile]] (occupancy/coherence)
     * and [[ivfListStats]] (balance): for every vector, a = cosine
@@ -2765,6 +2812,158 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** kNN depth of [[bitextMarginPairs]]' margin denominator. */
+  val BitextK = 4
+
+  /** Mining threshold: a mutual-best pair counts as mined when its
+    * cosine clears the average of the two local kNN neighborhoods by
+    * ≥ 5% (ratio margin ≥ 1.05 — the operating range reported for
+    * margin-mined bitext).
+    */
+  val BitextMarginE6Threshold = 1050000L
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019): candidate
+    * translation pairs between two language slices of the corpus,
+    * scored by the RATIO margin — `cos(x,y)` over the mean of x's and
+    * y's own k-NN cosines — which cancels hubness (a vector close to
+    * everything earns no margin), then kept only when x and y are each
+    * other's best margin (mutual-best), with a `mined` flag at the
+    * [[BitextMarginE6Threshold]] ratio.
+    *
+    * Determinism: cosines quantize to exact e6 longs ([[microUnits]] of
+    * the bit-identical fold cosine), kNN sums are exact long sums over
+    * a (cos_e6 desc, id) cut, and the margin is ONE IEEE division
+    * `cos_e6·2k / (sum_x + sum_y)` of exact integers — both engines
+    * rank identical doubles with id tie-breaks. Pairs whose denominator
+    * is ≤ 0 (kNN neighborhoods of net-negative cosine — no meaningful
+    * ratio) are excluded by the same predicate both sides.
+    *
+    * Scale: this is the exact arm — one broadcast of the smaller
+    * language slice's (id, vector, norm) into a nested-loop score of
+    * the other slice, two per-id window cuts, two narrow sum joins. At
+    * corpus scale the |A|×|B| score stream swaps for the IVF shortlist
+    * exactly as [[knnGraphIvf]] substitutes for [[nearestNeighborGraph]]
+    * — margin/mutual-best stages are unchanged downstream of the
+    * candidate stream.
+    */
+  def bitextMarginPairs(emb: DataFrame, docs: DataFrame,
+      langA: String = "en", langB: String = "fr",
+      k: Int = BitextK): DataFrame = {
+    val e = emb.join(docs.select(col("doc_id"), col("lang")),
+      col("vec_id") === col("doc_id"))
+    val a = withNorm(e.filter(col("lang") === langA)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va")),
+      "va", "na")
+    val b = withNorm(e.filter(col("lang") === langB)
+      .select(col("vec_id").as("b_id"), col("embedding").as("vb")),
+      "vb", "nb")
+    val scored = broadcast(a).join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        microUnits(dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cos_e6"))
+    marginMineStages(scored, k)
+  }
+
+  /** The margin→mutual-best→mined tail of [[bitextMarginPairs]], over
+    * ANY (a_id, b_id, cos_e6) candidate stream — shared by the exact
+    * arm (full cross) and the IVF arm (probed-list candidates), so the
+    * estimator downstream of candidate generation cannot drift between
+    * them.
+    */
+  private def marginMineStages(scored: DataFrame, k: Int): DataFrame = {
+    val wa = Window.partitionBy("a_id")
+      .orderBy(col("cos_e6").desc, col("b_id"))
+    val wb = Window.partitionBy("b_id")
+      .orderBy(col("cos_e6").desc, col("a_id"))
+    val sumA = scored.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= k)
+      .groupBy("a_id").agg(sum("cos_e6").as("sum_a"))
+    val sumB = scored.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= k)
+      .groupBy("b_id").agg(sum("cos_e6").as("sum_b"))
+    // sums are one row per vector (corpus-growing): no hardcoded
+    // broadcast hint — AQE broadcasts them while they fit, like any dim
+    val margins = scored
+      .join(sumA, Seq("a_id"))
+      .join(sumB, Seq("b_id"))
+      .filter(col("sum_a") + col("sum_b") > 0L)
+      .withColumn("margin",
+        (col("cos_e6") * lit(2L * k)).cast("double") /
+          (col("sum_a") + col("sum_b")).cast("double"))
+    val mf = Window.partitionBy("a_id")
+      .orderBy(col("margin").desc, col("b_id"))
+    val mb = Window.partitionBy("b_id")
+      .orderBy(col("margin").desc, col("a_id"))
+    margins
+      .withColumn("rf", row_number().over(mf))
+      .withColumn("rb", row_number().over(mb))
+      .filter(col("rf") === 1 && col("rb") === 1)
+      .select(col("a_id"), col("b_id"), col("cos_e6"), col("margin"),
+        // margin >= thr/1e6 decided in EXACT integers (cross-multiplied;
+        // |cos_e6·2k·1e6| <= 8e12, |thr·(sum_a+sum_b)| <= 8.4e12 — no wrap)
+        (col("cos_e6") * lit(2L * k) * lit(1000000L) >=
+          lit(BitextMarginE6Threshold) * (col("sum_a") + col("sum_b")))
+          .cast("int").as("mined"))
+  }
+
+  /** Probe depth of [[bitextMarginPairsIvf]]. 12 of the 16 trained
+    * lists looks extravagant, but the near-isotropic fixture is IVF's
+    * WORST case (no cluster structure → a vector's best partner lands
+    * in a uniformly random list, recall ≈ probes/lists: measured 0.62
+    * at 6, 0.89 at 12); clustered real-world multilingual embeddings
+    * reach the same recall at a small fixed probe count over thousands
+    * of lists — probe depth is the serving-time recall/cost dial, not a
+    * constant of the algorithm.
+    */
+  val BitextProbes = 12
+
+  /** The 100 TB arm of [[bitextMarginPairs]]: the |A|×|B| cross-score
+    * swaps for IVF candidates — every B vector files into its ONE best
+    * trained-centroid list, every A vector probes its [[BitextProbes]]
+    * best lists, and only (probe, list) collisions are scored. Margin
+    * sums, mutual-best, and the mined flag run UNCHANGED on the
+    * candidate stream ([[marginMineStages]]) — the margin denominator
+    * becomes the k-NN of the CANDIDATE neighborhood, the standard trade
+    * every IVF arm in this file makes (recall measured against the
+    * exact arm in SimilaritySpec, ≥ 0.85 on the fixture). Candidates
+    * are unique by construction (each B vector lives in exactly one
+    * list).
+    *
+    * Scale shape: broadcast codebook × two lang-filtered scans, one
+    * keyed equi-join probe→list, then the per-id windows/aggregates of
+    * the shared tail — no all-pairs stage anywhere.
+    */
+  def bitextMarginPairsIvf(emb: DataFrame, docs: DataFrame,
+      langA: String = "en", langB: String = "fr", k: Int = BitextK,
+      probes: Int = BitextProbes,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cents = codebook.getOrElse(trainCentroids(emb))
+    val e = emb.join(docs.select(col("doc_id"), col("lang")),
+      col("vec_id") === col("doc_id"))
+    val bLists = withNorm(
+      ivfAssignments(e.filter(col("lang") === langB)
+        .select(col("vec_id"), col("embedding")), cents)
+        .select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+          col("centroid_id")),
+      "vb", "nb")
+    val a = withNorm(e.filter(col("lang") === langA)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va")),
+      "va", "na")
+    val wp = Window.partitionBy("a_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probed = a.crossJoin(broadcast(cents))
+      .select(col("a_id"), col("va"), col("na"), col("centroid_id"),
+        cosine(col("va"), col("c")).as("ccos"))
+      .withColumn("crank", row_number().over(wp))
+      .filter(col("crank") <= probes)
+      .select("a_id", "va", "na", "centroid_id")
+    val scored = probed.join(bLists, Seq("centroid_id"))
+      .select(col("a_id"), col("b_id"),
+        microUnits(dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cos_e6"))
+    marginMineStages(scored, k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_hard_negatives" -> ((s, d) =>
       hardNegatives(Tables.embeddings(s, d))),
@@ -2788,6 +2987,10 @@ object Similarity {
       labelCentroids(Tables.embeddings(s, d))),
     "vec_dim_profile" -> ((s, d) => dimProfile(Tables.embeddings(s, d))),
     "sim_topk_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
+    "sim_bitext_margin" -> ((s, d) => bitextMarginPairs(
+      Tables.embeddings(s, d), Tables.documents(s, d))),
+    "sim_bitext_margin_ivf" -> ((s, d) => bitextMarginPairsIvf(
+      Tables.embeddings(s, d), Tables.documents(s, d))),
     "vec_knn_eval" -> ((s, d) => knnLabelEval(Tables.embeddings(s, d))),
     "vec_knn_eval_ivf" -> ((s, d) =>
       knnLabelEvalIvf(Tables.embeddings(s, d))),
@@ -2805,6 +3008,8 @@ object Similarity {
       rangeSearchEval(Tables.embeddings(s, d))),
     "vec_kmeans"     -> ((s, d) =>
       kmeansClusterProfile(Tables.embeddings(s, d))),
+    "vec_cluster_sources" -> ((s, d) => clusterSourceMix(
+      Tables.embeddings(s, d), Tables.documents(s, d))),
     "vec_silhouette" -> ((s, d) =>
       silhouetteProfile(Tables.embeddings(s, d))),
     "dedup_embedding_cosine" -> ((s, d) =>
@@ -2854,6 +3059,40 @@ object Similarity {
   private val duckDot =
     "list_sum([CAST(%1$s.embedding[i] AS DOUBLE) * %2$s.embedding[i] " +
       "for i in range(1, len(%1$s.embedding) + 1)])"
+
+  /** The margin→mutual-best→mined CTE tail of both bitext twins — the
+    * SQL mirror of [[marginMineStages]], shared so the two arms' twins
+    * cannot drift (expects an `s(a_id, b_id, cos_e6)` CTE upstream).
+    */
+  private def duckBitextTail: String =
+    s"""ka AS (
+       |  SELECT a_id, CAST(sum(cos_e6) AS BIGINT) AS sum_a FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id
+       |              ORDER BY cos_e6 DESC, b_id) AS rn FROM s)
+       |  WHERE rn <= $BitextK GROUP BY 1),
+       |kb AS (
+       |  SELECT b_id, CAST(sum(cos_e6) AS BIGINT) AS sum_b FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY b_id
+       |              ORDER BY cos_e6 DESC, a_id) AS rn FROM s)
+       |  WHERE rn <= $BitextK GROUP BY 1),
+       |m AS MATERIALIZED (
+       |  SELECT s.a_id, s.b_id, s.cos_e6, ka.sum_a, kb.sum_b,
+       |         CAST(s.cos_e6 * ${2 * BitextK} AS DOUBLE)
+       |           / CAST(ka.sum_a + kb.sum_b AS DOUBLE) AS margin
+       |  FROM s JOIN ka USING (a_id) JOIN kb USING (b_id)
+       |  WHERE ka.sum_a + kb.sum_b > 0),
+       |r AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY a_id
+       |           ORDER BY margin DESC, b_id) AS rf,
+       |         row_number() OVER (PARTITION BY b_id
+       |           ORDER BY margin DESC, a_id) AS rb
+       |  FROM m)
+       |SELECT a_id, b_id, cos_e6, margin,
+       |       CASE WHEN cos_e6 * ${2 * BitextK} * 1000000
+       |                 >= $BitextMarginE6Threshold * (sum_a + sum_b)
+       |            THEN 1 ELSE 0 END AS mined
+       |FROM r WHERE rf = 1 AND rb = 1""".stripMargin
 
   private def duckCos(a: String, b: String): String = {
     def d(x: String, y: String) = duckDot.format(x, y)
@@ -3391,6 +3630,27 @@ object Similarity {
          |            * CAST(CAST(sum(sz) AS BIGINT) AS DOUBLE))
          |         AS imbalance
          |FROM sizes""".stripMargin,
+    "vec_cluster_sources" ->
+      s"""WITH ${duckTrainedCents()},
+         |${duckAssigned()},
+         |mix AS (
+         |  SELECT centroid_id, source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM asg JOIN documents ON vec_id = doc_id
+         |  GROUP BY 1, 2),
+         |t AS (
+         |  SELECT *,
+         |         CAST(sum(n_docs) OVER (PARTITION BY centroid_id)
+         |              AS BIGINT) AS cluster_total,
+         |         sum(CAST(n_docs AS HUGEINT) * CAST(n_docs AS HUGEINT))
+         |           OVER (PARTITION BY centroid_id) AS sq
+         |  FROM mix)
+         |SELECT CAST(centroid_id AS INT) AS centroid_id, source, n_docs,
+         |       cluster_total,
+         |       CAST(n_docs AS DOUBLE) / CAST(cluster_total AS DOUBLE)
+         |         AS share,
+         |       CAST(sq AS DOUBLE) / (CAST(cluster_total AS DOUBLE)
+         |         * CAST(cluster_total AS DOUBLE)) AS hhi
+         |FROM t""".stripMargin,
     "vec_kmeans" ->
       s"""WITH ${duckTrainedCents()},
          |${duckAssigned()}
@@ -4215,6 +4475,49 @@ object Similarity {
          |            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM sims)
          |WHERE rank <= $TopK""".stripMargin,
+    "sim_bitext_margin" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, lang
+         |  FROM embeddings JOIN documents ON vec_id = doc_id),
+         |a AS (SELECT vec_id AS a_id, embedding AS va FROM e
+         |      WHERE lang = 'en'),
+         |b AS (SELECT vec_id AS b_id, embedding AS vb FROM e
+         |      WHERE lang = 'fr'),
+         |s AS MATERIALIZED (
+         |  SELECT a_id, b_id,
+         |         CAST(floor((${duckCosE("va", "vb")}) * 1000000.0)
+         |              AS BIGINT) AS cos_e6
+         |  FROM a, b WHERE a_id <> b_id),
+         |$duckBitextTail""".stripMargin,
+    "sim_bitext_margin_ivf" ->
+      s"""WITH ${duckTrainedCents()},
+         |e AS (
+         |  SELECT vec_id, embedding, lang
+         |  FROM embeddings JOIN documents ON vec_id = doc_id),
+         |bfs AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ${duckCosE("e.embedding", "c.c")} AS ccos
+         |  FROM e CROSS JOIN cents$KmeansIters c WHERE e.lang = 'fr'),
+         |basg AS (
+         |  SELECT vec_id AS b_id, embedding AS vb, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS rn FROM bfs)
+         |  WHERE rn = 1),
+         |afs AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ${duckCosE("e.embedding", "c.c")} AS ccos
+         |  FROM e CROSS JOIN cents$KmeansIters c WHERE e.lang = 'en'),
+         |probed AS (
+         |  SELECT vec_id AS a_id, embedding AS va, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY ccos DESC, centroid_id) AS rn FROM afs)
+         |  WHERE rn <= $BitextProbes),
+         |s AS MATERIALIZED (
+         |  SELECT a_id, b_id,
+         |         CAST(floor((${duckCosE("va", "vb")}) * 1000000.0)
+         |              AS BIGINT) AS cos_e6
+         |  FROM probed JOIN basg USING (centroid_id)),
+         |$duckBitextTail""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH sims AS (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -572,6 +572,72 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Retrieved depth of [[searchEvalMap]]. */
+  val SearchEvalK = 20
+
+  /** Ranking-quality eval of the BM25 retriever ([[bm25TopK]]) against
+    * a deterministic binary relevance oracle — the retriever-selection
+    * readout an LLM retrieval pipeline needs (RAG corpus curation lives
+    * or dies on MRR/MAP, not on eyeballing top-10s). Relevant = docs
+    * containing ALL query terms; retrieved = the top-[[SearchEvalK]] BM25
+    * cut. One row out: MRR (reciprocal first-hit rank), P@5, P@10,
+    * recall@k, and MAP@k.
+    *
+    * Determinism: every metric is a division of exact integers except
+    * AP's precision sum, which folds `cum_hits/rank` contributions in
+    * ASCENDING RANK ORDER over the sorted collected array — the
+    * [[bm25TopK]] order-pinned float-sum device (non-relevant ranks
+    * contribute exactly 0.0, an identity under IEEE addition, so both
+    * engines fold the identical sequence). Zero-relevant corpora pin
+    * recall/AP NULL via the same CASE both sides.
+    *
+    * Scale shape: the ranked list is a k-row constant; the truth table
+    * rides [[bm25]]'s query-vocabulary-bounded aggregate; the two
+    * global windows (rank stamp, cumulative hits) run over ≤ k rows —
+    * bounded by the LIMIT above them, never by the corpus (PlanLint
+    * whitelisted with this argument).
+    */
+  def searchEvalMap(docs: DataFrame, k: Int = SearchEvalK): DataFrame = {
+    val nTerms = 3 // bm25's default query vocabulary size
+    val scored = bm25TopK(docs, k)
+    val wRank = Window.orderBy(col("score").desc, col("doc_id"))
+    val ranked = scored
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+    val truth = bm25(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === nTerms)
+      .select(col("doc_id"), lit(1L).as("rel1"))
+    val nRel = truth.agg(count(lit(1)).as("n_relevant"))
+    val wCum = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranked.join(truth, Seq("doc_id"), "left")
+      .select(col("rank"), coalesce(col("rel1"), lit(0L)).as("rel"))
+      .withColumn("cum_hits", sum("rel").over(wCum))
+    val folded = cum.agg(
+      sum("rel").as("n_hits_k"),
+      sum(when(col("rank") <= 5, col("rel")).otherwise(0L)).as("hits5"),
+      sum(when(col("rank") <= 10, col("rel")).otherwise(0L)).as("hits10"),
+      min(when(col("rel") === 1L, col("rank"))).as("first_hit"),
+      aggregate(
+        array_sort(collect_list(struct(col("rank"),
+          when(col("rel") === 1L,
+            col("cum_hits").cast("double") / col("rank"))
+            .otherwise(lit(0.0)).as("contrib")))),
+        lit(0.0), (acc, x) => acc + x.getField("contrib")).as("ap_num"))
+    folded.crossJoin(broadcast(nRel)).select(
+      col("n_relevant"), col("n_hits_k"),
+      coalesce(lit(1.0) / col("first_hit"), lit(0.0)).as("mrr"),
+      (col("hits5").cast("double") / lit(5.0)).as("p_at_5"),
+      (col("hits10").cast("double") / lit(10.0)).as("p_at_10"),
+      when(col("n_relevant") === 0L, lit(null).cast("double"))
+        .otherwise(col("n_hits_k").cast("double") /
+          col("n_relevant").cast("double")).as("recall_at_k"),
+      when(least(col("n_relevant"), lit(k.toLong)) === 0L,
+        lit(null).cast("double"))
+        .otherwise(col("ap_num") /
+          least(col("n_relevant"), lit(k.toLong)).cast("double")).as("ap"))
+  }
+
   /** Vocabulary coverage curve: at each probe rank k (terms ordered by
     * corpus frequency desc, term asc), the cumulative token mass the
     * top-k terms cover — the Zipf diagnostic that sizes a tokenizer
@@ -855,6 +921,48 @@ object TextAnalysis {
         "ok_min_words", "ok_max_word_len", "is_canonical", "keep")
   }
 
+  /** Cohen's kappa agreement between the two rule-based quality screens
+    * ([[gopherRules]] vs [[c4Rules]]) — the filter-calibration readout a
+    * curation pipeline needs before composing screens: high kappa means
+    * the second filter is redundant, low kappa means the intersection
+    * policy is doing real selection. The 2×2 keep-contingency
+    * (n11/n10/n01/n00) reduces to exact longs; observed agreement `po`,
+    * chance agreement `pe`, and `kappa = (N·agree − Σ rᵢcᵢ) /
+    * (N² − Σ rᵢcᵢ)` are each ONE IEEE division of exact
+    * decimal(38,0)-products (N² overflows BIGINT past ~3e9 docs; the
+    * twin's HUGEINT multiplication matches), so engines cannot drift.
+    * Degenerate corpora where a filter is constant (pe = 1, den = 0) pin
+    * kappa NULL via the same CASE both sides.
+    *
+    * Scale: both rule screens are map-side per doc (c4's span dedup is
+    * the one keyed shuffle), one join on doc_id, one global aggregate —
+    * a single row out.
+    */
+  def filterKappa(docs: DataFrame): DataFrame = {
+    val g = gopherRules(docs)
+      .select(col("doc_id"), col("keep").cast("long").as("kg"))
+    val c = c4Rules(docs)
+      .select(col("doc_id"), col("keep").cast("long").as("kc"))
+    val m = g.join(c, "doc_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("kg") * col("kc")).as("n11"),
+      sum(col("kg") * (lit(1L) - col("kc"))).as("n10"),
+      sum((lit(1L) - col("kg")) * col("kc")).as("n01"),
+      sum((lit(1L) - col("kg")) * (lit(1L) - col("kc"))).as("n00"))
+    def d(x: Column) = x.cast("decimal(38,0)")
+    val agree = col("n11") + col("n00")
+    val chance = d(col("n11") + col("n10")) * d(col("n11") + col("n01")) +
+      d(col("n01") + col("n00")) * d(col("n10") + col("n00"))
+    val nsq = d(col("n_docs")) * d(col("n_docs"))
+    val num = d(col("n_docs")) * d(agree) - chance
+    val den = nsq - chance
+    m.select(col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
+      (agree.cast("double") / col("n_docs").cast("double")).as("po"),
+      (chance.cast("double") / nsq.cast("double")).as("pe"),
+      when(den === lit(0).cast("decimal(38,0)"), lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")).as("kappa"))
+  }
+
   /** Feature-slot count of [[linearQuality]]'s hashing trick (2¹²). */
   val QlSlots = 4096L
 
@@ -895,6 +1003,8 @@ object TextAnalysis {
     "quality_linear" -> ((s, d) => linearQuality(s, Tables.documents(s, d))),
     "quality_gopher" -> ((s, d) => gopherRules(Tables.documents(s, d))),
     "quality_c4"     -> ((s, d) => c4Rules(Tables.documents(s, d))),
+    "quality_filter_kappa" -> ((s, d) =>
+      filterKappa(Tables.documents(s, d))),
     "text_compress_ratio" -> ((s, d) =>
       compressRatio(Tables.documents(s, d))),
     "text_readability"  -> ((s, d) => readability(Tables.documents(s, d))),
@@ -905,6 +1015,7 @@ object TextAnalysis {
     "search_bm25"       -> ((s, d) => bm25(Tables.documents(s, d))),
     "search_phrase"     -> ((s, d) => phraseSearch(Tables.documents(s, d))),
     "search_bm25_topk"  -> ((s, d) => bm25TopK(Tables.documents(s, d))),
+    "search_eval_map"   -> ((s, d) => searchEvalMap(Tables.documents(s, d))),
     "eval_confusion"    -> ((s, d) => evalLangId(Tables.documents(s, d))),
     "eval_auc_roc"      -> ((s, d) => evalAucRoc(Tables.documents(s, d))),
     "eval_calibration"  -> ((s, d) => evalCalibration(Tables.documents(s, d))),
@@ -920,6 +1031,119 @@ object TextAnalysis {
     "text_winnow" -> ((s, d) => winnowFingerprints(Tables.documents(s, d))),
     "text_token_counts" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
   )
+
+  /** The BM25-scored-corpus CTE chain (ends at `g(doc_id, n_terms_hit,
+    * score)`), shared by the search_bm25_topk twin and search_eval_map's
+    * ranking/truth CTEs so retriever and eval can never drift.
+    */
+  private val duckBm25ScoredCtes: String = {
+    val y = graft.functions.PortableLn.yLadderSql("idf_ratio")
+    val pln = graft.functions.PortableLn.correctionSql("y")
+    s"""d AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl, text
+       |  FROM documents),
+       |s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)
+       |        AS total_len FROM d),
+       |tok AS (
+       |  SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM tok
+       |  WHERE term IN ('hash', 'join', 'filter')
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+       |comp AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         (CAST(s.n_docs - df.doc_freq AS DOUBLE) +
+       |            CAST(0.5 AS DOUBLE)) /
+       |         (CAST(df.doc_freq AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |           AS idf_ratio,
+       |         (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+       |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |           (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+       |             (CAST(tf.dl * s.n_docs AS DOUBLE) / s.total_len)))
+       |           AS tf_norm
+       |  FROM tf JOIN df USING (term), s),
+       |lad AS (SELECT doc_id, term, tf_norm, $y AS y FROM comp),
+       |ps AS (SELECT doc_id, term,
+       |              $pln * tf_norm AS part_score
+       |       FROM lad),
+       |g AS (
+       |  SELECT doc_id, count(*) AS n_terms_hit,
+       |         coalesce(max(CASE WHEN term = 'filter'
+       |                           THEN part_score END), 0.0)
+       |       + coalesce(max(CASE WHEN term = 'hash'
+       |                           THEN part_score END), 0.0)
+       |       + coalesce(max(CASE WHEN term = 'join'
+       |                           THEN part_score END), 0.0) AS score
+       |  FROM ps GROUP BY 1)""".stripMargin
+  }
+
+  /** [[gopherRules]]' full twin statement — shared between the
+    * quality_gopher entry and quality_filter_kappa's `g` CTE so the two
+    * can never drift.
+    */
+  private val duckGopherSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, CAST(len(text) AS INT) AS n_chars_txt,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_chars_txt,
+      |         CAST(len(toks) AS INT) AS n_tokens,
+      |         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+      |         CAST(len(list_filter(toks, t -> t IN ('the', 'a')))
+      |              AS INT) AS n_func,
+      |         CAST(list_max(list_transform(list_distinct(toks),
+      |              t -> len(list_filter(toks, x -> x = t)))) AS INT)
+      |           AS top_cnt
+      |  FROM b)
+      |SELECT doc_id, lang, n_tokens,
+      |       n_chars_txt - n_tokens + 1 AS token_chars,
+      |       n_distinct, n_func, top_cnt,
+      |       CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+      |            THEN 1 ELSE 0 END AS ok_word_count,
+      |       CASE WHEN n_chars_txt - n_tokens + 1 >= n_tokens * 3
+      |             AND n_chars_txt - n_tokens + 1 <= n_tokens * 10
+      |            THEN 1 ELSE 0 END AS ok_mean_len,
+      |       CASE WHEN n_func >= 2 THEN 1 ELSE 0 END AS ok_func_words,
+      |       CASE WHEN top_cnt * 10 <= n_tokens * 3
+      |            THEN 1 ELSE 0 END AS ok_top_token,
+      |       CASE WHEN n_distinct * 2 >= n_tokens
+      |            THEN 1 ELSE 0 END AS ok_distinct,
+      |       CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+      |             AND n_chars_txt - n_tokens + 1 >= n_tokens * 3
+      |             AND n_chars_txt - n_tokens + 1 <= n_tokens * 10
+      |             AND n_func >= 2 AND top_cnt * 10 <= n_tokens * 3
+      |             AND n_distinct * 2 >= n_tokens
+      |            THEN 1 ELSE 0 END AS keep
+      |FROM c""".stripMargin
+
+  /** [[c4Rules]]' full twin statement — shared like [[duckGopherSql]]. */
+  private val duckC4Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |         CAST(list_max(list_transform(string_split(text, ' '),
+      |              t -> len(t))) AS INT) AS max_tok_len,
+      |         CASE WHEN NOT contains(text, '{')
+      |               AND NOT contains(lower(text), 'lorem ipsum')
+      |              THEN 1 ELSE 0 END AS ok_clean,
+      |         md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+      |           AS span_fp
+      |  FROM documents),
+      |m AS (SELECT span_fp, min(doc_id) AS min_id FROM c GROUP BY 1)
+      |SELECT c.doc_id, c.n_tokens, c.max_tok_len, c.span_fp, c.ok_clean,
+      |       CASE WHEN c.n_tokens >= 5 THEN 1 ELSE 0 END AS ok_min_words,
+      |       CASE WHEN c.max_tok_len <= 20 THEN 1 ELSE 0 END
+      |         AS ok_max_word_len,
+      |       CASE WHEN c.doc_id = m.min_id THEN 1 ELSE 0 END
+      |         AS is_canonical,
+      |       CASE WHEN c.n_tokens >= 5 AND c.max_tok_len <= 20
+      |             AND c.ok_clean = 1 AND c.doc_id = m.min_id
+      |            THEN 1 ELSE 0 END AS keep
+      |FROM c JOIN m USING (span_fp)""".stripMargin
 
   /** DuckDB twins of [[queries]]. */
   def oracleSql: Map[String, String] = Map(
@@ -943,64 +1167,38 @@ object TextAnalysis {
          |         AS score,
          |       score_raw >= 0 AS keep
          |FROM a""".stripMargin,
-    "quality_gopher" ->
-      """WITH b AS (
-        |  SELECT doc_id, lang, CAST(len(text) AS INT) AS n_chars_txt,
-        |         string_split(text, ' ') AS toks
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, lang, n_chars_txt,
-        |         CAST(len(toks) AS INT) AS n_tokens,
-        |         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
-        |         CAST(len(list_filter(toks, t -> t IN ('the', 'a')))
-        |              AS INT) AS n_func,
-        |         CAST(list_max(list_transform(list_distinct(toks),
-        |              t -> len(list_filter(toks, x -> x = t)))) AS INT)
-        |           AS top_cnt
-        |  FROM b)
-        |SELECT doc_id, lang, n_tokens,
-        |       n_chars_txt - n_tokens + 1 AS token_chars,
-        |       n_distinct, n_func, top_cnt,
-        |       CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
-        |            THEN 1 ELSE 0 END AS ok_word_count,
-        |       CASE WHEN n_chars_txt - n_tokens + 1 >= n_tokens * 3
-        |             AND n_chars_txt - n_tokens + 1 <= n_tokens * 10
-        |            THEN 1 ELSE 0 END AS ok_mean_len,
-        |       CASE WHEN n_func >= 2 THEN 1 ELSE 0 END AS ok_func_words,
-        |       CASE WHEN top_cnt * 10 <= n_tokens * 3
-        |            THEN 1 ELSE 0 END AS ok_top_token,
-        |       CASE WHEN n_distinct * 2 >= n_tokens
-        |            THEN 1 ELSE 0 END AS ok_distinct,
-        |       CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
-        |             AND n_chars_txt - n_tokens + 1 >= n_tokens * 3
-        |             AND n_chars_txt - n_tokens + 1 <= n_tokens * 10
-        |             AND n_func >= 2 AND top_cnt * 10 <= n_tokens * 3
-        |             AND n_distinct * 2 >= n_tokens
-        |            THEN 1 ELSE 0 END AS keep
-        |FROM c""".stripMargin,
-    "quality_c4" ->
-      """WITH c AS (
-        |  SELECT doc_id,
-        |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-        |         CAST(list_max(list_transform(string_split(text, ' '),
-        |              t -> len(t))) AS INT) AS max_tok_len,
-        |         CASE WHEN NOT contains(text, '{')
-        |               AND NOT contains(lower(text), 'lorem ipsum')
-        |              THEN 1 ELSE 0 END AS ok_clean,
-        |         md5(array_to_string(string_split(text, ' ')[1:8], ' '))
-        |           AS span_fp
-        |  FROM documents),
-        |m AS (SELECT span_fp, min(doc_id) AS min_id FROM c GROUP BY 1)
-        |SELECT c.doc_id, c.n_tokens, c.max_tok_len, c.span_fp, c.ok_clean,
-        |       CASE WHEN c.n_tokens >= 5 THEN 1 ELSE 0 END AS ok_min_words,
-        |       CASE WHEN c.max_tok_len <= 20 THEN 1 ELSE 0 END
-        |         AS ok_max_word_len,
-        |       CASE WHEN c.doc_id = m.min_id THEN 1 ELSE 0 END
-        |         AS is_canonical,
-        |       CASE WHEN c.n_tokens >= 5 AND c.max_tok_len <= 20
-        |             AND c.ok_clean = 1 AND c.doc_id = m.min_id
-        |            THEN 1 ELSE 0 END AS keep
-        |FROM c JOIN m USING (span_fp)""".stripMargin,
+    "quality_gopher" -> duckGopherSql,
+    "quality_c4" -> duckC4Sql,
+    "quality_filter_kappa" ->
+      s"""WITH g AS ($duckGopherSql),
+         |c4 AS ($duckC4Sql),
+         |j AS (
+         |  SELECT g.keep AS kg, c4.keep AS kc
+         |  FROM g JOIN c4 ON g.doc_id = c4.doc_id),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(kg * kc) AS BIGINT) AS n11,
+         |         CAST(sum(kg * (1 - kc)) AS BIGINT) AS n10,
+         |         CAST(sum((1 - kg) * kc) AS BIGINT) AS n01,
+         |         CAST(sum((1 - kg) * (1 - kc)) AS BIGINT) AS n00
+         |  FROM j),
+         |x AS (
+         |  SELECT *,
+         |         CAST(n11 + n10 AS HUGEINT) * CAST(n11 + n01 AS HUGEINT)
+         |           + CAST(n01 + n00 AS HUGEINT)
+         |             * CAST(n10 + n00 AS HUGEINT) AS chance,
+         |         CAST(n_docs AS HUGEINT) * CAST(n_docs AS HUGEINT)
+         |           AS nsq
+         |  FROM m)
+         |SELECT n_docs, n11, n10, n01, n00,
+         |       CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+         |       CAST(chance AS DOUBLE) / CAST(nsq AS DOUBLE) AS pe,
+         |       CASE WHEN nsq - chance = 0 THEN NULL
+         |            ELSE CAST(CAST(n_docs AS HUGEINT)
+         |                        * CAST(n11 + n00 AS HUGEINT)
+         |                        - chance AS DOUBLE)
+         |                 / CAST(nsq - chance AS DOUBLE) END AS kappa
+         |FROM x""".stripMargin,
     "text_readability" ->
       """WITH c AS (
         |  SELECT doc_id,
@@ -1076,51 +1274,48 @@ object TextAnalysis {
         |SELECT rank, term, cnt, cum_tokens,
         |       CAST(cum_tokens AS DOUBLE) / total_toks AS cum_share
         |FROM r WHERE rank IN (3, 10, 30, 100, 1000, 10000)""".stripMargin,
-    "search_bm25_topk" -> {
-      val y = graft.functions.PortableLn.yLadderSql("idf_ratio")
-      val pln = graft.functions.PortableLn.correctionSql("y")
-      s"""WITH d AS (
-        |  SELECT doc_id, len(string_split(text, ' ')) AS dl, text
-        |  FROM documents),
-        |s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)
-        |        AS total_len FROM d),
-        |tok AS (
-        |  SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
-        |  FROM d),
-        |tf AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf
-        |  FROM tok
-        |  WHERE term IN ('hash', 'join', 'filter')
-        |  GROUP BY 1, 2, 3),
-        |df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
-        |comp AS (
-        |  SELECT tf.doc_id, tf.term,
-        |         (CAST(s.n_docs - df.doc_freq AS DOUBLE) +
-        |            CAST(0.5 AS DOUBLE)) /
-        |         (CAST(df.doc_freq AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |           AS idf_ratio,
-        |         (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
-        |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-        |           (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
-        |             (CAST(tf.dl * s.n_docs AS DOUBLE) / s.total_len)))
-        |           AS tf_norm
-        |  FROM tf JOIN df USING (term), s),
-        |lad AS (SELECT doc_id, term, tf_norm, $y AS y FROM comp),
-        |ps AS (SELECT doc_id, term,
-        |              $pln * tf_norm AS part_score
-        |       FROM lad),
-        |g AS (
-        |  SELECT doc_id, count(*) AS n_terms_hit,
-        |         coalesce(max(CASE WHEN term = 'filter'
-        |                           THEN part_score END), 0.0)
-        |       + coalesce(max(CASE WHEN term = 'hash'
-        |                           THEN part_score END), 0.0)
-        |       + coalesce(max(CASE WHEN term = 'join'
-        |                           THEN part_score END), 0.0) AS score
-        |  FROM ps GROUP BY 1)
+    "search_bm25_topk" ->
+      s"""WITH $duckBm25ScoredCtes
         |SELECT doc_id, n_terms_hit, score
-        |FROM g ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+        |FROM g ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "search_eval_map" ->
+      s"""WITH $duckBm25ScoredCtes,
+        |ranked AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+        |           doc_id) AS rank FROM g)
+        |  WHERE rank <= 20),
+        |truth AS (SELECT doc_id FROM g WHERE n_terms_hit = 3),
+        |nr AS (SELECT count(*) AS n_relevant FROM truth),
+        |cum AS (
+        |  SELECT rank,
+        |         CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS rel,
+        |         CAST(sum(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END)
+        |              OVER (ORDER BY rank) AS BIGINT) AS cum_hits
+        |  FROM ranked r LEFT JOIN truth t USING (doc_id)),
+        |fold AS (
+        |  SELECT CAST(sum(rel) AS BIGINT) AS n_hits_k,
+        |         CAST(sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END)
+        |              AS BIGINT) AS hits5,
+        |         CAST(sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END)
+        |              AS BIGINT) AS hits10,
+        |         min(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+        |         list_sum(list(CASE WHEN rel = 1
+        |             THEN CAST(cum_hits AS DOUBLE) / rank
+        |             ELSE CAST(0.0 AS DOUBLE) END ORDER BY rank))
+        |           AS ap_num
+        |  FROM cum)
+        |SELECT n_relevant, n_hits_k,
+        |       coalesce(CAST(1.0 AS DOUBLE) / first_hit, 0.0) AS mrr,
+        |       CAST(hits5 AS DOUBLE) / 5.0 AS p_at_5,
+        |       CAST(hits10 AS DOUBLE) / 10.0 AS p_at_10,
+        |       CASE WHEN n_relevant = 0 THEN NULL
+        |            ELSE CAST(n_hits_k AS DOUBLE)
+        |                 / CAST(n_relevant AS DOUBLE) END AS recall_at_k,
+        |       CASE WHEN least(n_relevant, 20) = 0 THEN NULL
+        |            ELSE ap_num / CAST(least(n_relevant, 20) AS DOUBLE)
+        |            END AS ap
+        |FROM fold, nr""".stripMargin,
     "search_bm25" ->
       """WITH d AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS dl, text

@@ -52,7 +52,10 @@ object PlanLint {
     "stats_bh_fdr",         // segment-count rank window (|event types|)
     "ts_decompose",         // day domain
     "ts_rolling_corr",      // day domain
-    "ts_rolling_median"     // day domain
+    "ts_rolling_median",    // day domain
+    // round-16 audit
+    "search_eval_map"       // rank/cum windows over the LIMIT-k table
+                            // (<= 20 rows by construction)
   )
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -360,4 +360,36 @@ class DedupSpec extends SparkSpec {
       ("srcA", "srcB", 1L, 2L, false),
       ("srcA", "srcA", 1L, 2L, true)))
   }
+
+  test("prefixJaccardPairs: toy near-dups and exact dups cut identically " +
+      "to the naive arm") {
+    val d = docs(
+      1L -> "a b c d e f g h",      // near-dup of 2
+      2L -> "a b c d e f g x",
+      3L -> "a b c d e f g h",      // exact dup of 1
+      4L -> "p q r s t u v w")      // unrelated
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter_size"), r.getAs[Long]("union_size"),
+        r.getAs[Double]("jaccard"))
+    val naive = Dedup.ngramJaccardPairs(d).collect().map(key).toSet
+    val pref = Dedup.prefixJaccardPairs(d).collect().map(key).toSet
+    graft.CheckpointLease.releaseAll()
+    assert(pref === naive)
+    assert(naive.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L),
+      (2L, 3L)))
+  }
+
+  test("prefixJaccardPairs: full-fixture cut equals ngramJaccardPairs " +
+      "at sf0.001 (the completeness lemma, machine-checked)") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter_size"), r.getAs[Long]("union_size"))
+    val naive = Dedup.ngramJaccardPairs(d).collect().map(key).toSet
+    val pref = Dedup.prefixJaccardPairs(d).collect().map(key).toSet
+    graft.CheckpointLease.releaseAll()
+    assert(pref === naive)
+    assert(naive.nonEmpty, "fixture must exercise the pair path")
+  }
 }

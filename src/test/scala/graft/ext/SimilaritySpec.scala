@@ -1456,4 +1456,66 @@ class SimilaritySpec extends SparkSpec {
     assert(c2 === c3)
     assert(pos.indexOf(4L) === pos.length - 1) // orthogonal ranks last
   }
+
+  test("clusterSourceMix: exact per-cluster source counts, shares, and " +
+      "HHI under a fixed codebook") {
+    import org.apache.spark.sql.functions.col
+    val codebook = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
+      .toDF("centroid_id", "c")
+    val vecs = emb(
+      1L -> Seq(1.0f, 0.1f), 2L -> Seq(0.9f, 0.0f), 3L -> Seq(1.0f, 0.2f),
+      4L -> Seq(0.1f, 1.0f), 5L -> Seq(0.0f, 0.9f))
+    val docs = Seq((1L, "srcA"), (2L, "srcA"), (3L, "srcB"),
+        (4L, "srcA"), (5L, "srcA"))
+      .map { case (id, s) => (id, "t", "en", s, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Similarity.clusterSourceMix(vecs, docs, Some(codebook))
+      .orderBy(col("centroid_id"), col("source"))
+      .select("centroid_id", "source", "n_docs", "cluster_total",
+        "share", "hhi")
+      .as[(Int, String, Long, Long, Double, Double)].collect().toSeq
+    assert(r === Seq(
+      (0, "srcA", 2L, 3L, 2.0 / 3.0, 5.0 / 9.0),
+      (0, "srcB", 1L, 3L, 1.0 / 3.0, 5.0 / 9.0),
+      (1, "srcA", 2L, 2L, 1.0, 1.0)))
+  }
+
+  test("bitextMarginPairsIvf: probed-list arm recovers most of the " +
+      "exact arm's mutual pairs on the fixture") {
+    val d = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, d)
+    val docs = Tables.documents(spark, d)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bitextMarginPairs(vecs, docs))
+    val ivf = pairs(Similarity.bitextMarginPairsIvf(vecs, docs))
+    assert(exact.nonEmpty, "fixture must produce mutual-best pairs")
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"ivf arm recall $recall < 0.85 " +
+      s"(exact ${exact.size}, ivf ${ivf.size})")
+  }
+
+  test("bitextMarginPairs: mutual-best translation pairs survive, a " +
+      "displaced suitor does not, matches clear the margin") {
+    import org.apache.spark.sql.functions.col
+    // en side: e1 along x, e2 along y, e3 near x (loses f1 to e1)
+    // fr side: f101 ~ e1's translation, f102 ~ e2's
+    val vecs = emb(
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.0f, 1.0f),
+      3L -> Seq(0.9f, 0.1f),
+      101L -> Seq(1.0f, 0.05f), 102L -> Seq(0.05f, 1.0f))
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "en"),
+        (101L, "fr"), (102L, "fr"))
+      .map { case (id, l) => (id, "t", l, "src0", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Similarity.bitextMarginPairs(vecs, docs)
+      .orderBy(col("a_id"))
+      .select("a_id", "b_id", "margin", "mined")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(r.map(p => (p._1, p._2)) === Seq((1L, 101L), (2L, 102L)),
+      s"expected the two true pairs, got $r")
+    // true translations dominate their kNN average comfortably
+    assert(r.forall(_._3 > 1.05), s"margins too small: $r")
+    assert(r.forall(_._4 === 1))
+  }
 }

@@ -476,4 +476,66 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.head._2 === 0.5 && r.head._3 === 0.5 && r.head._4 === 0.0)
     assert(r.head._5 === 0.25) // (500^2 + 500^2) / (2 * 10^6)
   }
+
+  test("searchEvalMap: hand-computable metrics on a tiny corpus") {
+    val d = docs(
+      (1L, "hash join filter alpha beta gamma", "en"),   // all 3 -> relevant
+      (2L, "hash join delta epsilon zeta eta", "en"),    // 2 terms
+      (3L, "plain words only here today", "en"),
+      (4L, "more plain words again here", "en"),
+      (5L, "yet more filler content rows", "en"),
+      (6L, "last unrelated document text", "en"))
+    val r = TextAnalysis.searchEvalMap(d).collect().head
+    assert(r.getAs[Long]("n_relevant") === 1L)
+    assert(r.getAs[Long]("n_hits_k") === 1L)
+    // doc 1 carries a third positive-idf term on top of doc 2's two,
+    // so it ranks first: MRR = 1, AP = 1
+    assert(r.getAs[Double]("mrr") === 1.0)
+    assert(r.getAs[Double]("p_at_5") === 0.2)
+    assert(r.getAs[Double]("p_at_10") === 0.1)
+    assert(r.getAs[Double]("recall_at_k") === 1.0)
+    assert(r.getAs[Double]("ap") === 1.0)
+  }
+
+  test("searchEvalMap: zero-relevant corpus pins recall/AP NULL, MRR 0") {
+    val d = docs(
+      (1L, "hash join only two terms here", "en"),
+      (2L, "join filter pair but not three", "en"),
+      (3L, "no terms at all here", "en"))
+    val r = TextAnalysis.searchEvalMap(d).collect().head
+    assert(r.getAs[Long]("n_relevant") === 0L)
+    assert(r.getAs[Double]("mrr") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("recall_at_k")))
+    assert(r.isNullAt(r.fieldIndex("ap")))
+  }
+
+  test("filterKappa: hand-built 2x2 contingency, zero-association kappa") {
+    val d = docs(
+      // both keep: 12 varied words, mean len 44/12, two 'the'
+      (1L, "the cat ran over the big red dog with joy today quickly", "en"),
+      // gopher keeps, c4 rejects ('{' trips ok_clean)
+      (2L, "the man saw x{y and the kid ate pie and ran home", "en"),
+      // c4 keeps, gopher rejects (6 words < 10)
+      (3L, "big dogs run very far away", "en"),
+      // both reject (2 words, '{')
+      (4L, "ab {x", "en"))
+    val r = TextAnalysis.filterKappa(d).collect().head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00")) === ((1L, 1L, 1L, 1L)))
+    assert(r.getAs[Double]("po") === 0.5)
+    assert(r.getAs[Double]("pe") === 0.5)
+    // po == pe: agreement is exactly what chance predicts -> kappa 0
+    assert(r.getAs[Double]("kappa") === 0.0)
+  }
+
+  test("filterKappa: constant filters pin kappa NULL (pe = 1 guard)") {
+    val d = docs(
+      (1L, "the cat ran over the big red dog with joy today quickly", "en"),
+      (2L, "the man saw fog and the kid ate pie and ran home", "en"))
+    val r = TextAnalysis.filterKappa(d).collect().head
+    assert(r.getAs[Long]("n11") === 2L)
+    assert(r.getAs[Double]("pe") === 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
 }
