@@ -435,6 +435,120 @@ object Layout {
       .reduce(_ unionAll _)
   }
 
+  /** Join-size estimator audit (the Selinger/System-R uniformity rule
+    * every cost-based optimizer starts from): for each audited join,
+    * `est = n_left · n_right / max(d_left, d_right)` from EXACT row and
+    * distinct-key counts, next to the EXACT join cardinality — the
+    * calibration readout that says how far the uniformity assumption is
+    * from THIS data before anyone trusts it to pick join orders. On the
+    * three PK–FK joins the assumption holds exactly (err_ratio = 1 —
+    * asserted in LayoutSpec); the skewed status SELF-join is the arm
+    * that shows a real miss (Σ c_k² > n²/|statuses| whenever the status
+    * mix is unbalanced).
+    *
+    * The ground truth is NOT a materialized join: |A ⋈ B| =
+    * Σ_k cnt_A(k)·cnt_B(k), computed from the two per-key count tables
+    * — distinct-key-sized work even when the join output would be
+    * quadratic (the status self-join at sf0.1 would materialize ~1.2e8
+    * rows; the formula touches 3). Products ride decimal(38,0) (the
+    * twin multiplies HUGEINT), the estimate is one IEEE division, and
+    * `err_ratio = actual/est` one more division of identical doubles.
+    *
+    * Scale shape: one keyed count aggregate per side, a distinct-key-
+    * sized equi-join, two single-row reductions — nothing output-sized.
+    */
+  def joinCardinalityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    def arm(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val lc = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
+      val rc = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr"))
+      val ls = lc.agg(sum("cl").as("n_left"), count(lit(1)).as("d_left"))
+      val rs = rc.agg(sum("cr").as("n_right"), count(lit(1)).as("d_right"))
+      val act = lc.join(rc, "k")
+        .agg(coalesce(sum(d38(col("cl")) * d38(col("cr"))),
+          lit(0).cast("decimal(38,0)")).cast("long").as("actual_rows"))
+      ls.crossJoin(broadcast(rs)).crossJoin(broadcast(act))
+        .select(lit(name).as("join_name"),
+          col("n_left"), col("d_left"), col("n_right"), col("d_right"),
+          col("actual_rows"),
+          ((d38(col("n_left")) * d38(col("n_right"))).cast("double") /
+            greatest(col("d_left"), col("d_right")).cast("double"))
+            .as("est_rows"))
+        .withColumn("err_ratio",
+          col("actual_rows").cast("double") / col("est_rows"))
+    }
+    arm("lineitem_orders", Tables.lineitem(spark, sfDir), "l_orderkey",
+        Tables.orders(spark, sfDir), "o_orderkey")
+      .unionAll(arm("lineitem_part", Tables.lineitem(spark, sfDir),
+        "l_partkey", Tables.part(spark, sfDir), "p_partkey"))
+      .unionAll(arm("orders_customer", Tables.orders(spark, sfDir),
+        "o_custkey", Tables.customer(spark, sfDir), "c_custkey"))
+      .unionAll(arm("orders_status_self", Tables.orders(spark, sfDir),
+        "o_orderstatus", Tables.orders(spark, sfDir), "o_orderstatus"))
+  }
+
+  /** Equi-width bucket size (cents) of [[selectivityAudit]]'s histogram
+    * — the agg_histogram grid (25 k dollars × 20 buckets, last open).
+    */
+  val SelBucketCents = 2500000L
+
+  /** Range predicates audited by [[selectivityAudit]], as [lo, hi) cent
+    * bounds. All sit below the open-ended last bucket (47.5 M cents) so
+    * every estimate interpolates over closed buckets only.
+    */
+  val SelPredicates: Seq[(Long, Long)] = Seq(
+    (1234500L, 4321100L),     // narrow, off-boundary
+    (5000000L, 20000000L),    // medium, bucket-aligned
+    (33300L, 44400000L))      // wide, off-boundary both ends
+
+  /** Histogram range-selectivity audit — the second half of the cost
+    * model next to [[joinCardinalityAudit]]: an equi-width histogram
+    * (exact per-bucket counts) estimates each [lo, hi) predicate's
+    * cardinality with linear within-bucket interpolation, next to the
+    * exact count. The interpolation is EXACT rational arithmetic with
+    * the common denominator pulled out: every bucket contributes
+    * `count · overlap_cents` (decimal(38,0) — counts and overlaps are
+    * exact longs), and `est = Σ / bucket_width` is the single IEEE
+    * division; `err_ratio` is one more division of identical doubles.
+    *
+    * Scale shape: one scan builds the 20-row histogram (map-side
+    * partials absorb everything), the predicate×bucket grid is
+    * 3×20 literal rows, and the exact counts ride one conditional
+    * aggregate over the same scan — no shuffle wider than the grid.
+    */
+  def selectivityAudit(ord: DataFrame): DataFrame = {
+    val pc = ord.select(
+      round(col("o_totalprice") * 100).cast("long").as("pc"))
+    val hist = pc
+      .select(least(expr(s"pc div $SelBucketCents"), lit(19L))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val spark = ord.sparkSession
+    import spark.implicits._
+    val preds = SelPredicates.toDF("lo_cents", "hi_cents")
+    val est = preds.crossJoin(broadcast(hist))
+      .withColumn("ov", greatest(lit(0L),
+        least(col("hi_cents"), (col("bucket") + 1) * SelBucketCents) -
+          greatest(col("lo_cents"), col("bucket") * SelBucketCents)))
+      .groupBy("lo_cents", "hi_cents")
+      .agg(sum((col("cnt") * col("ov")).cast("decimal(38,0)"))
+        .as("contrib"))
+      .select(col("lo_cents"), col("hi_cents"),
+        (col("contrib").cast("double") / lit(SelBucketCents.toDouble))
+          .as("est_rows"))
+    val act = pc.join(broadcast(preds),
+        col("pc") >= col("lo_cents") && col("pc") < col("hi_cents"))
+      .groupBy("lo_cents", "hi_cents")
+      .agg(count(lit(1)).as("actual_rows"))
+    est.join(act, Seq("lo_cents", "hi_cents"), "left")
+      .select(col("lo_cents"), col("hi_cents"), col("est_rows"),
+        coalesce(col("actual_rows"), lit(0L)).as("actual_rows"))
+      .withColumn("err_ratio",
+        when(col("actual_rows") === 0L, lit(null).cast("double"))
+          .otherwise(col("est_rows") / col("actual_rows").cast("double")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> ((s, d) => zorderBlocks(Tables.orders(s, d))),
     "layout_bloom_skip" -> ((s, d) => bloomSkipAudit(Tables.orders(s, d))),
@@ -446,6 +560,9 @@ object Layout {
       clusteringDepth(Tables.orders(s, d))),
     "layout_range_plan" -> ((s, d) =>
       rangePartitionPlan(Tables.orders(s, d))),
+    "plan_join_cardinality" -> (joinCardinalityAudit(_, _)),
+    "plan_selectivity_audit" -> ((s, d) =>
+      selectivityAudit(Tables.orders(s, d))),
   )
 
   /** DuckDB twins — same grid math, bit ops spelled with `//`/`%`/`<<`
@@ -453,6 +570,72 @@ object Layout {
     * shift/mask fold).
     */
   def oracleSql: Map[String, String] = Map(
+    "plan_join_cardinality" -> {
+      def arm(name: String, left: String, lk: String, right: String,
+          rk: String) =
+        s"""SELECT '$name' AS join_name, n_left, d_left, n_right,
+           |       d_right, actual_rows,
+           |       CAST(CAST(n_left AS HUGEINT) * n_right AS DOUBLE)
+           |         / CAST(greatest(d_left, d_right) AS DOUBLE)
+           |           AS est_rows,
+           |       CAST(actual_rows AS DOUBLE)
+           |         / (CAST(CAST(n_left AS HUGEINT) * n_right
+           |                 AS DOUBLE)
+           |            / CAST(greatest(d_left, d_right) AS DOUBLE))
+           |           AS err_ratio
+           |FROM (
+           |  WITH lc AS (SELECT $lk AS k, count(*) AS cl FROM $left
+           |              GROUP BY 1),
+           |       rc AS (SELECT $rk AS k, count(*) AS cr FROM $right
+           |              GROUP BY 1)
+           |  SELECT
+           |    (SELECT CAST(sum(cl) AS BIGINT) FROM lc) AS n_left,
+           |    (SELECT count(*) FROM lc) AS d_left,
+           |    (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS n_right,
+           |    (SELECT count(*) FROM rc) AS d_right,
+           |    (SELECT CAST(coalesce(sum(CAST(cl AS HUGEINT) * cr), 0)
+           |            AS BIGINT)
+           |     FROM lc JOIN rc USING (k)) AS actual_rows)""".stripMargin
+      Seq(
+        arm("lineitem_orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        arm("lineitem_part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        arm("orders_customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        arm("orders_status_self", "orders", "o_orderstatus",
+          "orders", "o_orderstatus")).mkString("\nUNION ALL\n")
+    },
+    "plan_selectivity_audit" -> {
+      val w = SelBucketCents
+      val predRows = SelPredicates
+        .map { case (lo, hi) => s"($lo, $hi)" }.mkString(", ")
+      s"""WITH pc AS (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+         |  FROM orders),
+         |hist AS (
+         |  SELECT least(pc // $w, 19) AS bucket, count(*) AS cnt
+         |  FROM pc GROUP BY 1),
+         |preds(lo_cents, hi_cents) AS (VALUES $predRows),
+         |est AS (
+         |  SELECT lo_cents, hi_cents,
+         |         CAST(sum(CAST(cnt AS HUGEINT) *
+         |             greatest(0, least(hi_cents, (bucket + 1) * $w)
+         |                         - greatest(lo_cents, bucket * $w)))
+         |           AS DOUBLE) / CAST($w AS DOUBLE) AS est_rows
+         |  FROM preds, hist GROUP BY 1, 2),
+         |act AS (
+         |  SELECT lo_cents, hi_cents,
+         |         CAST(count(pc.pc) AS BIGINT) AS actual_rows
+         |  FROM preds LEFT JOIN pc
+         |    ON pc.pc >= lo_cents AND pc.pc < hi_cents
+         |  GROUP BY 1, 2)
+         |SELECT e.lo_cents, e.hi_cents, e.est_rows, a.actual_rows,
+         |       CASE WHEN a.actual_rows = 0 THEN NULL
+         |            ELSE e.est_rows / CAST(a.actual_rows AS DOUBLE)
+         |            END AS err_ratio
+         |FROM est e JOIN act a USING (lo_cents, hi_cents)""".stripMargin
+    },
     "plan_broadcast_advisor" -> {
       val thr = BroadcastThresholdBytes
       def arm(name: String, fixed: Long, strSum: String) =

@@ -245,4 +245,57 @@ class LayoutSpec extends SparkSpec {
     assert(r("2024-01")._3 === expMaybe01)
     assert(r("2024-01")._5 === expMaybe01 - 2L)
   }
+
+  test("joinCardinalityAudit: uniformity is exact on PK-FK joins, " +
+      "misses on the skewed status self-join, ground truth matches " +
+      "the group-count identity") {
+    val d = "/root/testdata/sf0.001"
+    val r = Layout.joinCardinalityAudit(spark, d).collect()
+      .map(x => x.getAs[String]("join_name") -> x).toMap
+    assert(r.size === 4)
+    // PK-FK arms: max(d_l, d_r) = n_right (unique PK), actual = n_left
+    // (referential integrity) -> est = n_left exactly, err_ratio = 1
+    Seq("lineitem_orders", "lineitem_part", "orders_customer").foreach {
+      name =>
+        val x = r(name)
+        assert(x.getAs[Long]("actual_rows") === x.getAs[Long]("n_left"),
+          s"$name: FK integrity")
+        assert(x.getAs[Double]("err_ratio") === 1.0, s"$name: uniform")
+    }
+    // skewed self-join: actual = sum c_k^2, est = n^2 / |statuses|;
+    // recompute both independently and require a real (>1) miss
+    val counts = graft.Tables.orders(spark, d)
+      .groupBy("o_orderstatus").count()
+      .as[(String, Long)].collect().map(_._2)
+    val n = counts.sum
+    val expActual = counts.map(c => c * c).sum
+    val expEst = n.toDouble * n / counts.length
+    val s = r("orders_status_self")
+    assert(s.getAs[Long]("actual_rows") === expActual)
+    assert(s.getAs[Double]("est_rows") === expEst)
+    assert(s.getAs[Double]("err_ratio") > 1.0,
+      "unbalanced status mix must beat the uniformity estimate")
+  }
+
+  test("selectivityAudit: interpolated estimates land near exact " +
+      "counts and exact counts match direct predicates") {
+    val d = "/root/testdata/sf0.001"
+    val ord = graft.Tables.orders(spark, d)
+    val r = Layout.selectivityAudit(ord).collect()
+      .map(x => (x.getAs[Long]("lo_cents"), x.getAs[Long]("hi_cents"))
+        -> x).toMap
+    assert(r.size === Layout.SelPredicates.size)
+    Layout.SelPredicates.foreach { case (lo, hi) =>
+      val direct = ord.filter(
+        round(col("o_totalprice") * 100).cast("long") >= lo &&
+          round(col("o_totalprice") * 100).cast("long") < hi).count()
+      val x = r((lo, hi))
+      assert(x.getAs[Long]("actual_rows") === direct)
+      // the fixture's totalprice is near-uniform, so the equi-width
+      // interpolation should sit within 25% of truth on every arm
+      val ratio = x.getAs[Double]("err_ratio")
+      assert(ratio > 0.75 && ratio < 1.25,
+        s"[$lo,$hi): err_ratio $ratio out of band")
+    }
+  }
 }
