@@ -1252,6 +1252,73 @@ object TimeSeries {
           .as("seasonal_wins"))
   }
 
+  /** Calibration share (percent of evaluable days) of
+    * [[conformalBacktest]]'s split.
+    */
+  val ConformalCalPct = 70L
+
+  /** SPLIT-CONFORMAL interval calibration for the seasonal-naive
+    * forecaster (Vovk et al.; the distribution-free prediction-interval
+    * recipe): the first [[ConformalCalPct]]% of evaluable days
+    * calibrate, `q̂` = the ⌈(n_cal+1)·0.9⌉-th SMALLEST absolute
+    * residual (the finite-sample-valid order statistic, NOT a plug-in
+    * quantile), and the held-out tail reports empirical coverage of
+    * `forecast ± q̂` against the 90% target. This is the "can I trust
+    * the interval" readout that turns a point backtest
+    * ([[seasonalNaiveBacktest]]) into a calibrated forecaster.
+    *
+    * Exactness: residuals are integer cents, the conformal rank
+    * `⌈0.9·(n+1)⌉ = (9·(n+1) + 9) div 10` is computed in integers
+    * (clamped to n_cal for calibration windows under 9 days, where the
+    * finite-sample guarantee is vacuous anyway — documented, mirrored),
+    * q̂ is an exact order statistic selected by (|resid|, day) rank,
+    * and coverage is one division of exact counts.
+    *
+    * Scale shape: the fact stream collapses to the gap-filled day
+    * calendar first; every window (day rank, residual rank) runs over
+    * that bounded domain — PlanLint-whitelisted with this argument.
+    */
+  def conformalBacktest(ord: DataFrame): DataFrame = {
+    val daily = ord.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents("o_totalprice")).as("rev_cents"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val filled = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("rev_cents"), lit(0L))
+        .as("rev_cents"))
+    val w = Window.orderBy("day")
+    val evBase = filled
+      .withColumn("f7", lag("rev_cents", 7).over(w))
+      .filter(col("f7").isNotNull)
+      .withColumn("absresid", abs(col("rev_cents") - col("f7")))
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+    val nEval = evBase.agg(count(lit(1)).as("n_eval"))
+    val ev = evBase.crossJoin(broadcast(nEval))
+      .withColumn("n_cal",
+        expr(s"(n_eval * $ConformalCalPct) div 100"))
+    val calib = ev.filter(col("rn") <= col("n_cal"))
+      .withColumn("qrank",
+        row_number().over(Window.orderBy(col("absresid"), col("day"))))
+    val q = calib
+      .withColumn("k",
+        least(expr("(9 * (n_cal + 1) + 9) div 10"), col("n_cal")))
+      .filter(col("qrank") === col("k"))
+      .select(col("absresid").as("q_cents"))
+    val test = ev.filter(col("rn") > col("n_cal"))
+    test.crossJoin(broadcast(q))
+      .agg(max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("q_cents")).as("q_cents"),
+        sum(when(col("absresid") <= col("q_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("n_test"), col("q_cents"),
+        col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"),
+        lit(0.9).as("target_coverage"))
+  }
+
   /** Week-over-week revenue: weekly sums with the previous week's value,
     * absolute delta, and percent change — the standard BI
     * period-over-period report. Exact integer cents end-to-end; the
@@ -1344,6 +1411,8 @@ object TimeSeries {
       holtWintersDailyRevenue(Tables.orders(s, d))),
     "ts_seasonal_naive" -> ((s, d) =>
       seasonalNaiveBacktest(Tables.orders(s, d))),
+    "ts_conformal" -> ((s, d) =>
+      conformalBacktest(Tables.orders(s, d))),
     "ts_forecast_backtest" -> ((s, d) =>
       forecastBacktest(Tables.orders(s, d))),
     "ts_decompose" -> ((s, d) => decomposeDaily(Tables.orders(s, d))),
@@ -1930,6 +1999,48 @@ object TimeSeries {
         |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
         |       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
         |FROM dau d JOIN wau w ON d.day = w.day""".stripMargin,
+    "ts_conformal" ->
+      s"""WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(min(day), max(day),
+        |                                     INTERVAL 1 DAY)) AS DATE)
+        |           AS day
+        |  FROM daily),
+        |filled AS (
+        |  SELECT cal.day, coalesce(d.rev_cents, 0) AS rev_cents
+        |  FROM cal LEFT JOIN daily d USING (day)),
+        |l AS (
+        |  SELECT day, rev_cents,
+        |         lag(rev_cents, 7) OVER (ORDER BY day) AS f7
+        |  FROM filled),
+        |evb AS (
+        |  SELECT day, abs(rev_cents - f7) AS absresid,
+        |         row_number() OVER (ORDER BY day) AS rn
+        |  FROM l WHERE f7 IS NOT NULL),
+        |ne AS (SELECT count(*) AS n_eval FROM evb),
+        |ev AS (
+        |  SELECT evb.*, (n_eval * $ConformalCalPct) // 100 AS n_cal
+        |  FROM evb, ne),
+        |calib AS (
+        |  SELECT *, row_number() OVER (ORDER BY absresid, day) AS qrank
+        |  FROM ev WHERE rn <= n_cal),
+        |q AS (
+        |  SELECT absresid AS q_cents FROM calib
+        |  WHERE qrank = least((9 * (n_cal + 1) + 9) // 10, n_cal)),
+        |t AS (SELECT * FROM ev WHERE rn > n_cal)
+        |SELECT CAST(max(n_cal) AS BIGINT) AS n_cal,
+        |       count(*) AS n_test,
+        |       CAST(max(q_cents) AS BIGINT) AS q_cents,
+        |       CAST(sum(CASE WHEN absresid <= q_cents THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_covered,
+        |       CAST(sum(CASE WHEN absresid <= q_cents THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage,
+        |       0.9 AS target_coverage
+        |FROM t, q""".stripMargin,
     "ts_seasonal_naive" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -105,6 +105,58 @@ object Quality {
     * the bin comparison `price·10 > bound_e3` is integer-exact, so tie
     * rows land identically on both engines.
     */
+  /** Folds of [[targetEncode]]'s out-of-fold scheme. */
+  val TeFolds = 5L
+
+  /** Smoothing pseudo-count of [[targetEncode]] (shrinks rare
+    * categories toward the global mean — the standard m-estimate).
+    */
+  val TeSmoothing = 100L
+
+  /** OUT-OF-FOLD TARGET ENCODING — the leakage-aware categorical
+    * encoder (Micci-Barreca 2001) feature pipelines feed tree/linear
+    * models with: each (category, fold) cell gets the target mean of
+    * the category's rows in the OTHER folds, m-estimate-smoothed toward
+    * the global mean, so no row's own target leaks into its feature.
+    * Folds are the portable Knuth hash of the order key mod
+    * [[TeFolds]] — replayable under any partitioning, unlike an RNG
+    * split.
+    *
+    * Exactness: the smoothed encoding `(sum_oof + m·ḡ) / (n_oof + m)`
+    * nests the global-mean division, so it is computed as ONE division
+    * of exact decimal(38,0) cross-products —
+    * `(n_g·sum_oof + m·sum_g) / (n_g·(n_oof + m))` — and both engines
+    * emit the identical double (the twin multiplies HUGEINT).
+    *
+    * Scale shape: one join to resolve the category, one
+    * (category × fold) keyed aggregate with map-side partials, the
+    * out-of-fold sums by total-minus-own against the per-category
+    * rollup — output is |categories|·folds rows, never corpus-sized.
+    */
+  def targetEncode(ord: DataFrame, cust: DataFrame): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val rows = ord
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("category"),
+        (graft.ext.Corpus.portableHash(col("o_orderkey"), "targetEncode")
+          % TeFolds).as("fold"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cf = rows.groupBy("category", "fold")
+      .agg(count(lit(1)).as("n_cf"), sum("cents").as("sum_cf"))
+    val c = cf.groupBy("category")
+      .agg(sum("n_cf").as("n_c"), sum("sum_cf").as("sum_c"))
+    val g = cf.agg(sum("n_cf").as("n_g"), sum("sum_cf").as("sum_g"))
+    cf.join(c, Seq("category")).crossJoin(broadcast(g))
+      .select(col("category"), col("fold"),
+        (col("n_c") - col("n_cf")).as("n_oof"),
+        (col("sum_c") - col("sum_cf")).as("sum_oof_cents"),
+        ((d38(col("n_g")) * d38(col("sum_c") - col("sum_cf")) +
+          d38(lit(TeSmoothing)) * d38(col("sum_g"))).cast("double") /
+          (d38(col("n_g")) *
+            (d38(col("n_c") - col("n_cf")) + d38(lit(TeSmoothing))))
+            .cast("double")).as("encoded_cents"))
+  }
+
   def decileBinning(li: DataFrame): DataFrame = {
     val bounds = li.groupBy("l_returnflag")
       .agg(expr("transform(" +
@@ -415,6 +467,8 @@ object Quality {
     "dq_uniqueness" -> (uniquenessAudit(_, _)),
     "feature_zscore" -> ((s, d) => zscoreQuantity(Tables.lineitem(s, d))),
     "feature_binning" -> ((s, d) => decileBinning(Tables.lineitem(s, d))),
+    "feature_target_encode" -> ((s, d) => targetEncode(
+      Tables.orders(s, d), Tables.customer(s, d))),
     "feature_cdf" -> ((s, d) => featureCdf(Tables.lineitem(s, d))),
     "crosstab_chi2" -> ((s, d) => crosstabChi2(Tables.events(s, d))),
     "feature_mad" -> ((s, d) => madQuantity(Tables.lineitem(s, d))),
@@ -531,6 +585,35 @@ object Quality {
         |FROM cells c
         |JOIN rt USING (event_type)
         |JOIN ct USING (month), n""".stripMargin,
+    "feature_target_encode" ->
+      s"""WITH rows0 AS (
+         |  SELECT c_mktsegment AS category,
+         |         (o_orderkey * 2654435761) % 4294967296 % $TeFolds
+         |           AS fold,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |cf AS (
+         |  SELECT category, fold, count(*) AS n_cf,
+         |         CAST(sum(cents) AS BIGINT) AS sum_cf
+         |  FROM rows0 GROUP BY 1, 2),
+         |c AS (
+         |  SELECT category, CAST(sum(n_cf) AS BIGINT) AS n_c,
+         |         CAST(sum(sum_cf) AS BIGINT) AS sum_c
+         |  FROM cf GROUP BY 1),
+         |g AS (
+         |  SELECT CAST(sum(n_cf) AS BIGINT) AS n_g,
+         |         CAST(sum(sum_cf) AS BIGINT) AS sum_g
+         |  FROM cf)
+         |SELECT cf.category, cf.fold,
+         |       c.n_c - cf.n_cf AS n_oof,
+         |       c.sum_c - cf.sum_cf AS sum_oof_cents,
+         |       CAST(CAST(g.n_g AS HUGEINT) * (c.sum_c - cf.sum_cf)
+         |              + CAST($TeSmoothing AS HUGEINT) * g.sum_g
+         |            AS DOUBLE)
+         |         / CAST(CAST(g.n_g AS HUGEINT) *
+         |             ((c.n_c - cf.n_cf) + $TeSmoothing) AS DOUBLE)
+         |           AS encoded_cents
+         |FROM cf JOIN c USING (category), g""".stripMargin,
     "feature_binning" ->
       """WITH b AS (
         |  SELECT l_returnflag,

@@ -53,9 +53,11 @@ object PlanLint {
     "ts_decompose",         // day domain
     "ts_rolling_corr",      // day domain
     "ts_rolling_median",    // day domain
-    // round-16 audit
-    "search_eval_map"       // rank/cum windows over the LIMIT-k table
+    // round-16 audits
+    "search_eval_map",      // rank/cum windows over the LIMIT-k table
                             // (<= 20 rows by construction)
+    "ts_conformal"          // day-domain lag/rank windows (gap-filled
+                            // calendar, ~2.5k rows)
   )
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

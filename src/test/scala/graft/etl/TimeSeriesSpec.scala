@@ -868,4 +868,23 @@ class TimeSeriesSpec extends SparkSpec {
     // day5: [200,400,900000] -> 400 — the outlier never surfaces
     assert(r.map(_._3).toSeq === Seq(100.0, 200.0, 200.0, 300.0, 400.0))
   }
+
+  test("conformalBacktest: exact order-statistic quantile, 70/30 day " +
+      "split, a test-window outlier breaks coverage by exactly one day") {
+    // 27 consecutive days, rev(i) = 100+i dollars -> every 7-day
+    // residual is exactly 700 cents; day 27 spikes to 1000 dollars
+    // (residual 88000 cents), landing in the TEST window.
+    val rows = (1 to 27).map { i =>
+      val price = if (i == 27) 1000.0 else 100.0 + i
+      (i.toLong, 1L, "O", price, f"1996-01-$i%02d")
+    }
+    val r = TimeSeries.conformalBacktest(orders(rows: _*)).collect().head
+    // eval days 8..27 (20): cal = first 14, test = last 6
+    assert(r.getAs[Long]("n_cal") === 14L)
+    assert(r.getAs[Long]("n_test") === 6L)
+    // k = min(ceil(0.9*15), 14) = 14 -> q = the constant 700
+    assert(r.getAs[Long]("q_cents") === 700L)
+    assert(r.getAs[Long]("n_covered") === 5L)
+    assert(r.getAs[Double]("coverage") === 5.0 / 6.0)
+  }
 }

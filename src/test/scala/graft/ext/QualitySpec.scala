@@ -171,4 +171,35 @@ class QualitySpec extends SparkSpec {
       ("a.k", 4L, 2L, 2L, 1L, false),
       ("b.k", 3L, 3L, 0L, 0L, true)))
   }
+
+  test("targetEncode: out-of-fold means exclude the own fold; a " +
+      "category living entirely in one fold shrinks to the global mean") {
+    def fold(ok: Long) = ok * 2654435761L % 4294967296L % Quality.TeFolds
+    // two segA orders in DIFFERENT folds, one segB order
+    val okA1 = 1L
+    val okA2 = (2L to 100L).find(k => fold(k) != fold(okA1)).get
+    val okB = 7L
+    val cust = Seq((10L, "c", 1L, 0.0, "segA"), (20L, "c", 1L, 0.0, "segB"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    val ord = Seq((okA1, 10L, 100.0), (okA2, 10L, 300.0), (okB, 20L, 500.0))
+      .map { case (ok, ck, p) =>
+        (ok, ck, "O", p, ts("1996-01-01 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = Quality.targetEncode(ord, cust).collect()
+      .map(x => (x.getAs[String]("category"), x.getAs[Long]("fold")) ->
+        (x.getAs[Long]("n_oof"), x.getAs[Long]("sum_oof_cents"),
+          x.getAs[Double]("encoded_cents"))).toMap
+    assert(r.size === 3)
+    // global: n_g = 3, sum_g = 90000 cents -> mean 30000
+    // segA/fold(okA1): oof = {okA2} -> (3*30000 + 100*90000)/(3*101)
+    assert(r(("segA", fold(okA1))) ===
+      ((1L, 30000L, 9090000.0 / 303.0)))
+    assert(r(("segA", fold(okA2))) ===
+      ((1L, 10000L, 9030000.0 / 303.0)))
+    // segB entirely in its own fold: zero out-of-fold evidence ->
+    // the m-estimate collapses to the exact global mean
+    assert(r(("segB", fold(okB))) === ((0L, 0L, 30000.0)))
+  }
 }
