@@ -514,6 +514,143 @@ object Relational {
           .as("held_cents"))
   }
 
+  /** Ship-year window of [[forecastRevenue]]. */
+  val Q6Year = "1996"
+
+  /** TPC-H-Q6-shape forecasting revenue change: one scan, three range
+    * predicates (ship year, discount band, quantity cap), one exact-e4
+    * aggregate — the pushdown benchmark: ALL three predicates must
+    * reach the parquet scan (no join to hide behind), and the
+    * aggregation is a single map-side-combined reduction. The discount
+    * band compares stored 2-decimal doubles against the same literals
+    * on both engines — identical IEEE comparisons, no epsilon.
+    */
+  def forecastRevenue(li: DataFrame): DataFrame = {
+    val lo = lit(s"$Q6Year-01-01").cast("timestamp")
+    li.filter(col("l_shipdate") >= lo &&
+        col("l_shipdate") < add_months(lo, 12) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"), revenueE4Sum.as("revenue_e4"))
+      .withColumn("revenue", col("revenue_e4") / 10000.0)
+  }
+
+  /** Region pair of [[tradeVolume]]. */
+  val Q7Regions: (String, String) = ("ASIA", "AMERICA")
+
+  /** TPC-H-Q7-shape trade volume: discounted revenue shipped BETWEEN
+    * two regions (either direction, same-region pairs excluded by the
+    * disjunctive pair predicate), per (supplier region, customer
+    * region, ship year). Both sides pre-filter to the two regions
+    * against the broadcast nation→region map BEFORE the fact joins, so
+    * the OR pair condition evaluates on an already-restricted stream —
+    * the join order every optimizer wants for a band of selective
+    * dimension predicates. Exact e4 revenue per cell.
+    */
+  def tradeVolume(region: DataFrame, nation: DataFrame, cust: DataFrame,
+      supp: DataFrame, ord: DataFrame, li: DataFrame): DataFrame = {
+    val (ra, rb) = Q7Regions
+    val natRegion = nation
+      .join(broadcast(region.filter(col("r_name").isin(ra, rb))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val cn = cust.join(broadcast(natRegion),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("r_name").as("cust_region"))
+    val sn = graft.plans.Layout.advisedBroadcast(
+      supp.join(broadcast(natRegion),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("r_name").as("supp_region")),
+      fixed = 16L, strCols = Seq("supp_region"))
+    val lo = lit(s"$Q6Year-01-01").cast("timestamp")
+    li.filter(col("l_shipdate") >= lo &&
+        col("l_shipdate") < add_months(lo, 24))
+      .join(ord.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_region") === ra && col("cust_region") === rb) ||
+        (col("supp_region") === rb && col("cust_region") === ra))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenueE4Sum.as("revenue_e4"))
+      .withColumn("revenue", col("revenue_e4") / 10000.0)
+  }
+
+  /** Market region / target supplier nation of [[marketShare]]. */
+  val Q8Market = "AMERICA"
+  val Q8Nation = "NATION_3"
+
+  /** TPC-H-Q8-shape national market share: within one region's customer
+    * market over two order years, the share of discounted revenue
+    * supplied by one nation — per year, one division of two exact e4
+    * longs (the conditional sum gated by a `when`, the [[promoRevenue]]
+    * device on a five-way star). Customers resolve against the
+    * broadcast region map; the supplier side carries only an 8-byte
+    * is-target flag through the advisor-gated broadcast.
+    */
+  def marketShare(region: DataFrame, nation: DataFrame, cust: DataFrame,
+      supp: DataFrame, ord: DataFrame, li: DataFrame): DataFrame = {
+    val mktCust = cust
+      .join(broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === Q8Market)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val targetKeys = nation.filter(col("n_name") === Q8Nation)
+      .select(col("n_nationkey").as("target_nk"))
+    val suppFlag = graft.plans.Layout.advisedBroadcast(
+      supp.join(broadcast(targetKeys),
+          col("s_nationkey") === col("target_nk"), "left_outer")
+        .select(col("s_suppkey"),
+          col("target_nk").isNotNull.as("is_target")),
+      fixed = 9L)
+    val lo = lit("1995-01-01").cast("timestamp")
+    val rowE4 = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    ord.filter(col("o_orderdate") >= lo &&
+        col("o_orderdate") < add_months(lo, 24))
+      .join(mktCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(suppFlag, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("is_target"), rowE4).otherwise(lit(0L))
+          .cast("decimal(38,0)")).cast("long").as("target_e4"),
+        sum(rowE4.cast("decimal(38,0)")).cast("long").as("total_e4"))
+      .withColumn("mkt_share",
+        col("target_e4").cast("double") / col("total_e4").cast("double"))
+  }
+
+  /** Brand under [[smallQtyRevenue]]'s correlated-average predicate. */
+  val Q17Brand = "Brand#23"
+
+  /** TPC-H-Q17-shape small-quantity-order revenue: lineitems of one
+    * brand whose quantity falls below 20% of that PART's average
+    * quantity — the classic correlated scalar-aggregate subquery,
+    * decorrelated by hand into one per-part aggregate joined back to
+    * the fact (exactly the plan Catalyst's decorrelation would emit,
+    * declared explicitly so the threshold arithmetic can be EXACT:
+    * `qty·5·n_p < Σqty_p` compares integers — quantities are whole
+    * numbers — instead of a float `avg` whose ULPs could flip boundary
+    * rows between engines).
+    */
+  def smallQtyRevenue(li: DataFrame, pt: DataFrame): DataFrame = {
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(round(sum("l_quantity")).cast("long").as("sq"),
+        count(lit(1)).as("nq"))
+    val brandKeys = graft.plans.Layout.advisedBroadcast(
+      pt.filter(col("p_brand") === Q17Brand).select("p_partkey"),
+      fixed = 8L)
+    li.join(brandKeys, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(round(col("l_quantity")).cast("long") * 5L * col("nq") <
+        col("sq"))
+      .agg(count(lit(1)).as("n_lines"), revenueE4Sum.as("revenue_e4"))
+      .withColumn("revenue", col("revenue_e4") / 10000.0)
+  }
+
   /** Generator (UDTF-shape): one output row per word of `p_name`, with
     * its 0-based position. `posexplode` runs inside whole-stage codegen
     * (GenerateExec) — no shuffle, output partitioning inherits the scan.
@@ -1113,6 +1250,16 @@ object Relational {
       Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
       Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q1_pricing_sql"     -> (pricingSummarySql(_, _)),
+    "q6_forecast_revenue" -> ((s, d) =>
+      forecastRevenue(Tables.lineitem(s, d))),
+    "q7_trade_volume" -> ((s, d) => tradeVolume(
+      Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+      Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q8_market_share" -> ((s, d) => marketShare(
+      Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+      Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q17_small_qty_revenue" -> ((s, d) => smallQtyRevenue(
+      Tables.lineitem(s, d), Tables.part(s, d))),
     "q10_returned_items" -> ((s, d) => returnedItemReport(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
       Tables.nation(s, d))),
@@ -1199,6 +1346,76 @@ object Relational {
          |GROUP BY 1, 2
          |ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
          |LIMIT 10""".stripMargin,
+    "q6_forecast_revenue" ->
+      s"""SELECT count(*) AS n_lines,
+         |       $revenueE4SumSql AS revenue_e4,
+         |       $revenueE4SumSql / 10000.0 AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$Q6Year-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '${Q6Year.toInt + 1}-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q7_trade_volume" ->
+      s"""SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+         |       year(l_shipdate) AS l_year,
+         |       $revenueE4SumSql AS revenue_e4,
+         |       $revenueE4SumSql / 10000.0 AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+         |WHERE ((sr.r_name = '${Q7Regions._1}'
+         |        AND cr.r_name = '${Q7Regions._2}')
+         |    OR (sr.r_name = '${Q7Regions._2}'
+         |        AND cr.r_name = '${Q7Regions._1}'))
+         |  AND l_shipdate >= TIMESTAMP '$Q6Year-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '${Q6Year.toInt + 2}-01-01 00:00:00'
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH x AS (
+         |  SELECT year(o_orderdate) AS o_year,
+         |         (sn.n_name = '$Q8Nation') AS is_target,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT)
+         |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+         |           AS row_e4
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  WHERE cr.r_name = '$Q8Market'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+         |SELECT o_year,
+         |       CAST(sum(CASE WHEN is_target THEN row_e4 ELSE 0 END)
+         |            AS BIGINT) AS target_e4,
+         |       CAST(sum(row_e4) AS BIGINT) AS total_e4,
+         |       CAST(CAST(sum(CASE WHEN is_target THEN row_e4 ELSE 0 END)
+         |                 AS BIGINT) AS DOUBLE)
+         |         / CAST(CAST(sum(row_e4) AS BIGINT) AS DOUBLE)
+         |           AS mkt_share
+         |FROM x GROUP BY 1""".stripMargin,
+    "q17_small_qty_revenue" ->
+      s"""WITH pa AS (
+         |  SELECT l_partkey AS pk,
+         |         CAST(round(sum(l_quantity)) AS BIGINT) AS sq,
+         |         count(*) AS nq
+         |  FROM lineitem GROUP BY 1)
+         |SELECT count(*) AS n_lines,
+         |       $revenueE4SumSql AS revenue_e4,
+         |       $revenueE4SumSql / 10000.0 AS revenue
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN pa ON pk = l_partkey
+         |WHERE p_brand = '$Q17Brand'
+         |  AND CAST(round(l_quantity) AS BIGINT) * 5 * nq < sq"""
+        .stripMargin,
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, n_name,
          |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,

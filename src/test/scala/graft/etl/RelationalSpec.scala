@@ -641,6 +641,100 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("revenue_e4") === (1000L + 2000L + 4000L) * 100L)
   }
 
+  test("forecastRevenue: all three range predicates gate the aggregate") {
+    val lines = liQ(
+      (1L, 1L, 10.0, 100.00, 0.06, "N", "1996-05-01"), // qualifies
+      (2L, 1L, 24.0, 100.00, 0.06, "N", "1996-05-01"), // qty at cap: out
+      (3L, 1L, 10.0, 100.00, 0.04, "N", "1996-05-01"), // discount low: out
+      (4L, 1L, 10.0, 100.00, 0.06, "N", "1997-05-01")) // year out
+    val r = Relational.forecastRevenue(lines).collect().head
+    assert(r.getAs[Long]("n_lines") === 1L)
+    assert(r.getAs[Long]("revenue_e4") === 10000L * 94L)
+  }
+
+  test("tradeVolume: only cross-region pairs in either direction " +
+      "contribute; same-region flows are excluded") {
+    val region = Seq((1L, "ASIA"), (2L, "AMERICA"), (3L, "EUROPE"))
+      .toDF("r_regionkey", "r_name")
+    val nation = Seq((1L, "N1", 1L), (2L, "N2", 2L), (3L, "N3", 3L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val cust = custQ((10L, 1L, 0.0), (20L, 2L, 0.0), (30L, 3L, 0.0))
+    val supp = Seq((100L, "s", 1L, 0.0), (200L, "s", 2L, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val ord = ordQ((1L, 10L, "O", "1996-02-01"),  // ASIA customer
+      (2L, 20L, "O", "1996-03-01"),               // AMERICA customer
+      (3L, 30L, "O", "1996-04-01"))               // EUROPE customer
+    // supplier 100 = ASIA, 200 = AMERICA
+    val lines = Seq(
+      (1L, 200L, 10.00, "1996-02-05"), // AMERICA -> ASIA: counts
+      (2L, 100L, 20.00, "1996-03-05"), // ASIA -> AMERICA: counts
+      (2L, 200L, 40.00, "1996-03-06"), // AMERICA -> AMERICA: excluded
+      (3L, 100L, 80.00, "1996-04-05")) // ASIA -> EUROPE cust: excluded
+      .map { case (ok, sk, price, ship) =>
+        (ok, 1L, sk, 1, 1.0, price, 0.0, 0.0, "N", "O",
+          ts(s"$ship 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = Relational.tradeVolume(region, nation, cust, supp, ord, lines)
+      .select("supp_region", "cust_region", "l_year", "revenue_e4")
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(r === Set(
+      ("AMERICA", "ASIA", 1996, 100000L),
+      ("ASIA", "AMERICA", 1996, 200000L)))
+  }
+
+  test("marketShare: per-year target share is the exact conditional " +
+      "ratio over the market region only") {
+    val region = Seq((1L, "AMERICA"), (2L, "ASIA"))
+      .toDF("r_regionkey", "r_name")
+    val nation = Seq((3L, "NATION_3", 1L), (4L, "NATION_4", 1L),
+        (5L, "NATION_5", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    // cust 10 in AMERICA (nation 4); cust 20 in ASIA (excluded market)
+    val cust = custQ((10L, 4L, 0.0), (20L, 5L, 0.0))
+    // supplier 100 = target nation 3, supplier 200 = nation 4
+    val supp = Seq((100L, "s", 3L, 0.0), (200L, "s", 4L, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val ord = ordQ((1L, 10L, "O", "1995-06-01"),
+      (2L, 10L, "O", "1996-06-01"), (3L, 20L, "O", "1995-07-01"))
+    val lines = Seq(
+      (1L, 100L, 30.00), // 1995, target
+      (1L, 200L, 10.00), // 1995, non-target
+      (2L, 200L, 50.00), // 1996, non-target only
+      (3L, 100L, 99.00)) // ASIA customer: excluded entirely
+      .map { case (ok, sk, price) =>
+        (ok, 1L, sk, 1, 1.0, price, 0.0, 0.0, "N", "O",
+          ts("1995-06-05 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = Relational.marketShare(region, nation, cust, supp, ord, lines)
+      .select("o_year", "target_e4", "total_e4", "mkt_share")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r === Seq(
+      (1995, 300000L, 400000L, 0.75),
+      (1996, 0L, 500000L, 0.0)))
+  }
+
+  test("smallQtyRevenue: the exact integer threshold admits only rows " +
+      "under 20% of their part's average quantity") {
+    val pt = Seq((1L, "p", "Brand#23", "STANDARD", 1, 1.0),
+        (2L, "p", "Brand#99", "STANDARD", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    // part 1: quantities 1, 49, 50 -> sum 100, n 3; threshold qty*15<100
+    // -> qty <= 6 qualifies (only the 1)
+    val lines = liQ(
+      (1L, 1L, 1.0, 10.00, 0.0, "N", "1996-01-01"),
+      (2L, 1L, 49.0, 20.00, 0.0, "N", "1996-01-01"),
+      (3L, 1L, 50.0, 40.00, 0.0, "N", "1996-01-01"),
+      (4L, 2L, 1.0, 80.00, 0.0, "N", "1996-01-01")) // wrong brand
+    val r = Relational.smallQtyRevenue(lines, pt).collect().head
+    assert(r.getAs[Long]("n_lines") === 1L)
+    assert(r.getAs[Long]("revenue_e4") === 1000L * 100L)
+  }
+
   test("dormantRichCustomers: integer threshold above positive-average " +
       "balance, anti-joined on recent orders") {
     // positive balances: 100.00 and 300.00 -> avg 200.00; negative ignored
