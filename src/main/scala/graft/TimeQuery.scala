@@ -20,8 +20,12 @@ object TimeQuery {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
-      .flatMap(_.split(';')).map(_.split("=", 2))
-      .foreach { case Array(k, v) => builder.config(k, v) }
+      .flatMap(_.split(';')).filter(_.nonEmpty).map(_.split("=", 2))
+      .foreach {
+        case Array(k, v) => builder.config(k, v)
+        case Array(bad) => sys.error(
+          s"SPARK_GRAFT_EXTRA_CONF token '$bad' is not k=v")
+      }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def reset(): Unit = {

@@ -78,8 +78,10 @@ object Gold {
     val rev = ord.join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("c_nationkey")
       .agg(centsSum("o_totalprice").as("rev_cents"))
-      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"),
-        col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+      .join(graft.plans.Layout.advisedBroadcast(
+        nat.select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        fixed = 16L, strCols = Seq("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
     val wRegion = Window.partitionBy("n_regionkey")
     val wAll = Window.partitionBy()
     rev

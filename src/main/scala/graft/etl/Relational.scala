@@ -637,18 +637,62 @@ object Relational {
     * rows between engines).
     */
   def smallQtyRevenue(li: DataFrame, pt: DataFrame): DataFrame = {
-    val perPart = li.groupBy(col("l_partkey").as("pk"))
-      .agg(round(sum("l_quantity")).cast("long").as("sq"),
-        count(lit(1)).as("nq"))
     val brandKeys = graft.plans.Layout.advisedBroadcast(
       pt.filter(col("p_brand") === Q17Brand).select("p_partkey"),
       fixed = 8L)
-    li.join(brandKeys, col("l_partkey") === col("p_partkey"), "left_semi")
+    // ONE brand-restricted stream feeds BOTH sides (q18's build-side-
+    // reuse shape): the per-part aggregate only ever contributes groups
+    // that survive the inner join back to the brand fact rows, so
+    // semi-joining BEFORE the groupBy is output-identical while cutting
+    // the aggregate's groups (and both scans' surviving rows) by the
+    // brand selectivity (~25x here) — at fact scale that is the
+    // difference between aggregating the whole corpus and one brand.
+    val restricted = li.join(brandKeys,
+      col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPart = restricted.groupBy(col("l_partkey").as("pk"))
+      .agg(round(sum("l_quantity")).cast("long").as("sq"),
+        count(lit(1)).as("nq"))
+    restricted
       .join(perPart, col("l_partkey") === col("pk"))
       .filter(round(col("l_quantity")).cast("long") * 5L * col("nq") <
         col("sq"))
       .agg(count(lit(1)).as("n_lines"), revenueE4Sum.as("revenue_e4"))
       .withColumn("revenue", col("revenue_e4") / 10000.0)
+  }
+
+  /** First ship month of [[topSupplier]]'s 3-month revenue view. */
+  val Q15Start = "1996-01-01"
+
+  /** TPC-H-Q15-shape top supplier: the supplier(s) whose discounted
+    * revenue over a 3-month ship window equals the maximum over ALL
+    * suppliers — Q15's scalar-subquery-over-a-view shape. The revenue
+    * view is materialized ONCE (localCheckpoint; one row per supplier
+    * that shipped in the window — dimension-sized, never fact-sized) and
+    * BOTH consumers read it: the 1-row scalar MAX and the equality
+    * probe. Without the checkpoint each consumer would re-run the fact
+    * aggregate — the exact double-scan Q15's view syntax exists to
+    * avoid. Ties are EXACT: revenue is the integer [[revenueE4Sum]], so
+    * `= max` admits every tied supplier with no float-ULP ambiguity
+    * (the reason the reference-shape `WHERE total = (SELECT max …)`
+    * can be mirrored bit-for-bit). The max row broadcasts into the view
+    * probe; the surviving supplier keys (≥1 row) broadcast into the
+    * supplier dimension. Output ordered by s_suppkey (Q15's tie order).
+    */
+  def topSupplier(supp: DataFrame, li: DataFrame): DataFrame = {
+    val lo = lit(Q15Start).cast("timestamp")
+    val rev = graft.CheckpointLease.track(
+      li.filter(col("l_shipdate") >= lo &&
+          col("l_shipdate") < add_months(lo, 3))
+        .groupBy(col("l_suppkey"))
+        .agg(revenueE4Sum.as("total_revenue_e4"))
+        .localCheckpoint())
+    val mx = rev.agg(max("total_revenue_e4").as("max_rev_e4"))
+    val winners = rev.join(broadcast(mx),
+      col("total_revenue_e4") === col("max_rev_e4"))
+    supp.join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"),
+        (col("total_revenue_e4") / 10000.0).as("total_revenue"))
+      .orderBy("s_suppkey")
   }
 
   /** Generator (UDTF-shape): one output row per word of `p_name`, with
@@ -1260,6 +1304,8 @@ object Relational {
       Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q17_small_qty_revenue" -> ((s, d) => smallQtyRevenue(
       Tables.lineitem(s, d), Tables.part(s, d))),
+    "q15_top_supplier" -> ((s, d) => topSupplier(
+      Tables.supplier(s, d), Tables.lineitem(s, d))),
     "q10_returned_items" -> ((s, d) => returnedItemReport(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
       Tables.nation(s, d))),
@@ -1455,12 +1501,25 @@ object Relational {
          |         AS BIGINT) * 100.0 / CAST(sum(row_e4) AS BIGINT)
          |         AS promo_pct
          |FROM j""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey, $revenueE4SumSql AS total_revenue_e4
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '$Q15Start 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue_e4,
+         |       total_revenue_e4 / 10000.0 AS total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         |WHERE total_revenue_e4 =
+         |      (SELECT max(total_revenue_e4) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
     "q18_large_orders" ->
       s"""WITH big AS (
          |  SELECT l_orderkey,
          |         CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
          |  FROM lineitem GROUP BY 1
-         |  HAVING sum(l_quantity) > $Q18MinQty)
+         |  HAVING CAST(round(sum(l_quantity)) AS BIGINT) > $Q18MinQty)
          |SELECT c_name, c_custkey, o_orderkey,
          |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
          |       CAST(round(o_totalprice * 100) AS BIGINT)

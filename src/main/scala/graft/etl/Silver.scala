@@ -126,15 +126,21 @@ object Silver {
     * (J1) + coalesce fallback (P4) + key dedup (D2). part⋈nation plays the
     * products⋈category_translation role (SURVEY.md §7.2); p_size only
     * matches nationkeys 0-24, so unmatched rows exercise the null path.
-    * The nation side is broadcast — bounded at 25 rows at any scale.
+    * The nation side broadcasts via the exact-bytes advisor hook.
     */
   def part(spark: SparkSession, sfDir: String): DataFrame =
     partStage(Tables.part(spark, sfDir), Tables.nation(spark, sfDir))
 
   def partStage(pt: DataFrame, nation: DataFrame): DataFrame = {
-    val nat = nation.select(col("n_nationkey"), col("n_name"))
+    // advisor-gated (r16 verdict #3): nation is 25 rows at any SF so the
+    // hook always says broadcast today, but the exact-bytes check (not a
+    // hardcoded hint) is what keeps that true if the dim ever grows —
+    // over threshold it degrades to a shuffle join instead of OOMing
+    val nat = graft.plans.Layout.advisedBroadcast(
+      nation.select(col("n_nationkey"), col("n_name")),
+      fixed = 8L, strCols = Seq("n_name"))
     dedupByKey(
-      pt.join(broadcast(nat), pt("p_size") === nat("n_nationkey"), "left")
+      pt.join(nat, pt("p_size") === nat("n_nationkey"), "left")
         .withColumn("category", coalesce(col("n_name"), lit("unknown"))),
       "p_partkey",
       // every non-key column participates — a true total order, so the

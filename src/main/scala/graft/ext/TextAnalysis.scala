@@ -519,8 +519,7 @@ object TextAnalysis {
     * vocabulary-bounded); df re-aggregates the tf table; corpus length
     * stats ride a broadcast 1-row cross-join.
     */
-  def bm25(docs: DataFrame, query: Seq[String] = Seq("hash", "join",
-      "filter")): DataFrame = {
+  def bm25(docs: DataFrame, query: Seq[String] = Bm25Query): DataFrame = {
     val withLen = docs.select(col("doc_id"), size(toks).as("dl"), col("text"))
     val stats = withLen.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("total_len"))
@@ -572,6 +571,14 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** [[bm25]]'s default query vocabulary — the ONE place the term list
+    * lives: the Scala retriever, [[searchEvalMap]]'s all-terms relevance
+    * cut, and the generated DuckDB twin ([[duckBm25ScoredCtes]]) all
+    * derive from it, so changing the query re-derives retriever, truth
+    * filter, and oracle together instead of silently drifting.
+    */
+  val Bm25Query: Seq[String] = Seq("hash", "join", "filter")
+
   /** Retrieved depth of [[searchEvalMap]]. */
   val SearchEvalK = 20
 
@@ -598,7 +605,7 @@ object TextAnalysis {
     * whitelisted with this argument).
     */
   def searchEvalMap(docs: DataFrame, k: Int = SearchEvalK): DataFrame = {
-    val nTerms = 3 // bm25's default query vocabulary size
+    val nTerms = Bm25Query.size
     val scored = bm25TopK(docs, k)
     val wRank = Window.orderBy(col("score").desc, col("doc_id"))
     val ranked = scored
@@ -1050,7 +1057,7 @@ object TextAnalysis {
        |tf AS (
        |  SELECT doc_id, dl, term, count(*) AS tf
        |  FROM tok
-       |  WHERE term IN ('hash', 'join', 'filter')
+       |  WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})
        |  GROUP BY 1, 2, 3),
        |df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
        |comp AS (
@@ -1071,12 +1078,11 @@ object TextAnalysis {
        |       FROM lad),
        |g AS (
        |  SELECT doc_id, count(*) AS n_terms_hit,
-       |         coalesce(max(CASE WHEN term = 'filter'
-       |                           THEN part_score END), 0.0)
-       |       + coalesce(max(CASE WHEN term = 'hash'
-       |                           THEN part_score END), 0.0)
-       |       + coalesce(max(CASE WHEN term = 'join'
-       |                           THEN part_score END), 0.0) AS score
+       |${Bm25Query.sorted.zipWithIndex.map { case (t, i) =>
+           val head = if (i == 0) "         " else "       |       + "
+           s"${head}coalesce(max(CASE WHEN term = '$t'\n" +
+             s"       |                           THEN part_score END), 0.0)"
+         }.mkString("\n")} AS score
        |  FROM ps GROUP BY 1)""".stripMargin
   }
 
@@ -1285,7 +1291,8 @@ object TextAnalysis {
         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC,
         |           doc_id) AS rank FROM g)
         |  WHERE rank <= 20),
-        |truth AS (SELECT doc_id FROM g WHERE n_terms_hit = 3),
+        |truth AS (SELECT doc_id FROM g
+        |          WHERE n_terms_hit = ${Bm25Query.size}),
         |nr AS (SELECT count(*) AS n_relevant FROM truth),
         |cum AS (
         |  SELECT rank,

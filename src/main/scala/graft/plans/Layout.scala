@@ -532,7 +532,8 @@ object Layout {
         least(col("hi_cents"), (col("bucket") + 1) * SelBucketCents) -
           greatest(col("lo_cents"), col("bucket") * SelBucketCents)))
       .groupBy("lo_cents", "hi_cents")
-      .agg(sum((col("cnt") * col("ov")).cast("decimal(38,0)"))
+      .agg(sum(col("cnt").cast("decimal(38,0)") *
+          col("ov").cast("decimal(38,0)"))
         .as("contrib"))
       .select(col("lo_cents"), col("hi_cents"),
         (col("contrib").cast("double") / lit(SelBucketCents.toDouble))

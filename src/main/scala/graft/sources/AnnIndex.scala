@@ -118,6 +118,26 @@ object AnnIndex {
       probesN)
   }
 
+  /** Dataset identity for the serve-only query's index dir: the
+    * embeddings table's FILE-LEVEL fingerprint (names + byte lengths +
+    * modification times, FNV-1a hashed) — driver-side FS metadata only,
+    * O(#files) with no data scan, so staleness detection costs nothing
+    * at corpus scale. A regenerated fixture (same path, new bytes)
+    * changes length/mtime → new fingerprint → new index dir → rebuild,
+    * which is what keeps a persisted serve artifact from silently
+    * answering for data it was not built on.
+    */
+  def datasetFingerprint(spark: SparkSession, sfDir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listing = fs.listStatus(path).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    var h = 0xcbf29ce484222325L // FNV-1a 64-bit, stable across JVMs
+    listing.foreach { ch => h ^= ch.toLong; h *= 0x100000001b3L }
+    java.lang.Long.toHexString(h)
+  }
+
   /** Driver-contract registration: build the index under the build
     * scratch dir (the csv_silver_orders precedent), then serve from it
     * — one query exercising the full store→prune→serve lifecycle, so
@@ -161,6 +181,24 @@ object AnnIndex {
       appendIvfPq(s, delta, dir)
       serveIvfPqTopK(s, dir, e)
     }),
+    // SERVE-ONLY latency (r16 verdict #4): the other two lifecycle
+    // queries time train+build+serve together; this one pays the
+    // pruned-scan serve cost alone once the artifact exists. Build runs
+    // IF AND ONLY IF no completed index matches the dataset fingerprint
+    // (codes/_SUCCESS is written last, so its presence implies the
+    // codebooks landed too) — in the bench, the unmeasured warmup pass
+    // absorbs the one-time build and the timed passes measure what a
+    // 100 TB deployment pays per query against a standing index.
+    "sim_serve_ivfpq" -> ((s, d) => {
+      val e = graft.Tables.embeddings(s, d)
+      val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val fp = datasetFingerprint(s, d)
+      val dir =
+        s"${sys.props("user.dir")}/target/ann-index/serve_${key}_$fp"
+      if (!new java.io.File(s"$dir/codes/_SUCCESS").exists())
+        buildIvfPq(e, dir)
+      serveIvfPqTopK(s, dir, e)
+    }),
   )
 
   /** The stored path must serve IDENTICAL results to the in-memory
@@ -170,5 +208,6 @@ object AnnIndex {
   def oracleSql: Map[String, String] = Map(
     "sim_topk_ivfpq_stored" -> Similarity.oracleSql("sim_topk_ivfpq"),
     "sim_ivfpq_append" -> Similarity.oracleSql("sim_topk_ivfpq"),
+    "sim_serve_ivfpq" -> Similarity.oracleSql("sim_topk_ivfpq"),
   )
 }

@@ -103,7 +103,8 @@ class GoldSpec extends SparkSpec {
     val nat = Seq((0L, "ALPHA", 0L), (1L, "BETA", 0L), (2L, "GAMMA", 1L))
       .toDF("n_nationkey", "n_name", "n_regionkey")
     // region 0: ALPHA 200 + BETA 100 = 300; region 1: GAMMA 100; total 400
-    val r = Gold.regionNationShares(orders, cust, nat)
+    val q = Gold.regionNationShares(orders, cust, nat)
+    val r = q
       .select("n_regionkey", "n_name", "rev_cents", "region_cents",
         "share_of_region", "region_share_of_total")
       .as[(Long, String, Long, Long, Double, Double)].collect().toSet
@@ -111,5 +112,9 @@ class GoldSpec extends SparkSpec {
       (0L, "ALPHA", 20000L, 30000L, 2.0 / 3, 0.75),
       (0L, "BETA", 10000L, 30000L, 1.0 / 3, 0.75),
       (1L, "GAMMA", 10000L, 10000L, 1.0, 0.25)))
+    // the nation side consults the exact-bytes advisor hook (r16 #3)
+    assert(q.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "advisor-gated nation join must broadcast when under threshold")
   }
 }

@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
@@ -733,6 +734,95 @@ class RelationalSpec extends SparkSpec {
     val r = Relational.smallQtyRevenue(lines, pt).collect().head
     assert(r.getAs[Long]("n_lines") === 1L)
     assert(r.getAs[Long]("revenue_e4") === 1000L * 100L)
+  }
+
+  test("smallQtyRevenue: brand-restricting the per-part aggregate is " +
+      "output-identical to aggregating all of lineitem, and the plan " +
+      "carries the semi-join on BOTH lineitem branches") {
+    val pt = Seq((1L, "p", "Brand#23", "STANDARD", 1, 1.0),
+        (2L, "p", "Brand#99", "STANDARD", 1, 1.0),
+        (3L, "p", "Brand#23", "STANDARD", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    // part 2 (wrong brand) has qualifying-shaped rows that MUST NOT
+    // leak into either side; part 3 has a qualifier and a non-qualifier
+    val lines = liQ(
+      (1L, 1L, 1.0, 10.00, 0.0, "N", "1996-01-01"),
+      (2L, 1L, 49.0, 20.00, 0.0, "N", "1996-01-01"),
+      (3L, 1L, 50.0, 40.00, 0.0, "N", "1996-01-01"),
+      (4L, 2L, 1.0, 80.00, 0.0, "N", "1996-01-01"),
+      (5L, 2L, 99.0, 80.00, 0.0, "N", "1996-01-01"),
+      (6L, 3L, 2.0, 30.00, 0.0, "N", "1996-01-01"),
+      (7L, 3L, 98.0, 30.00, 0.0, "N", "1996-01-01"))
+    val q = Relational.smallQtyRevenue(lines, pt)
+    // the pre-r17 shape: perPart over the UNRESTRICTED lineitem — the
+    // inner join back to brand-only fact rows makes the restriction
+    // invisible in the output (the identity the rewrite relies on)
+    val perPartAll = lines.groupBy(col("l_partkey").as("pk"))
+      .agg(round(sum("l_quantity")).cast("long").as("sq"),
+        count(lit(1)).as("nq"))
+    val brandKeys = pt.filter(col("p_brand") === Relational.Q17Brand)
+      .select("p_partkey")
+    val old = lines
+      .join(brandKeys, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(perPartAll, col("l_partkey") === col("pk"))
+      .filter(round(col("l_quantity")).cast("long") * 5L * col("nq") <
+        col("sq"))
+      .agg(count(lit(1)).as("n_lines"))
+      .collect().head.getAs[Long]("n_lines")
+    val rNew = q.collect().head
+    assert(rNew.getAs[Long]("n_lines") === old)
+    assert(rNew.getAs[Long]("n_lines") === 2L) // parts 1 and 3 only
+    // plan pin: both lineitem branches (aggregate side AND fact side)
+    // sit above a brand semi-join, and no extra scans appeared
+    val plan = q.queryExecution.optimizedPlan
+    val semiJoins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semiJoins.size === 2,
+      "both the per-part aggregate and the fact side must consume the " +
+        "brand-restricted stream")
+    assert(plan.collectLeaves().size === 4,
+      "2 lineitem + 2 brand-key scans, nothing more")
+    val aggAboveSemi = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.groupingExpressions.nonEmpty &&
+          a.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+          }.nonEmpty => a
+    }
+    assert(aggAboveSemi.nonEmpty,
+      "the per-part aggregate must scan only the brand's rows")
+  }
+
+  test("topSupplier: exact-integer scalar max admits ALL tied suppliers, " +
+      "window bounds ship dates, and the revenue view is not recomputed") {
+    val supp = Seq((1L, "s1", 1L, 0.0), (2L, "s2", 1L, 0.0),
+        (3L, "s3", 1L, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    // suppliers 1 and 2 tie at exactly 50.00 revenue in-window;
+    // supplier 3 is higher but ships OUTSIDE the 3-month window
+    val lines = liQ(
+      (1L, 1L, 1.0, 25.00, 0.0, "N", "1996-01-15"),
+      (2L, 1L, 1.0, 25.00, 0.0, "N", "1996-03-31"),
+      (3L, 1L, 1.0, 50.00, 0.0, "N", "1996-02-10"),
+      (4L, 1L, 1.0, 99.00, 0.0, "N", "1996-04-01"), // out of window
+      (5L, 1L, 1.0, 99.00, 0.0, "N", "1995-12-31")) // out of window
+      .withColumn("l_suppkey",
+        when(col("l_orderkey") <= 2L, 1L)
+          .when(col("l_orderkey") === 3L, 2L).otherwise(3L))
+    val q = Relational.topSupplier(supp, lines)
+    val r = q.collect()
+    assert(r.map(_.getAs[Long]("s_suppkey")).toSeq === Seq(1L, 2L))
+    assert(r.forall(_.getAs[Long]("total_revenue_e4") === 500000L))
+    assert(r.forall(_.getAs[Double]("total_revenue") === 50.0))
+    // the revenue view is checkpoint-materialized: no consumer re-runs
+    // the fact aggregate (no lineitem-shaped leaf survives in the plan)
+    val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.count(_.output.exists(_.name == "l_shipdate")) === 0,
+      "both the scalar max and the probe must read the materialized view")
+    graft.CheckpointLease.releaseAll()
   }
 
   test("dormantRichCustomers: integer threshold above positive-average " +

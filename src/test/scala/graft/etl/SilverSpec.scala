@@ -86,10 +86,16 @@ class SilverSpec extends SparkSpec {
         "p_retailprice")
     val nat = Seq((5, "NATION_5", 1)).toDF("n_nationkey", "n_name",
       "n_regionkey")
-    val out = Silver.partStage(pt, nat).collect()
+    val q = Silver.partStage(pt, nat)
+    val out = q.collect()
       .map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("category"))
       .toMap
     assert(out === Map(1L -> "NATION_5", 2L -> "unknown"))
+    // the nation side consults the exact-bytes advisor hook (r16 #3) —
+    // an under-threshold dim must come out broadcast in the executed plan
+    assert(q.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "advisor-gated nation join must broadcast when under threshold")
   }
 
   test("eventsStage: fills null value, dedups event_id by earliest ts") {

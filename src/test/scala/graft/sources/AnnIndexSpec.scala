@@ -138,4 +138,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(served.filter(col("rank") === 1).count() > 0)
     graft.CheckpointLease.releaseAll()
   }
+
+  test("sim_serve_ivfpq builds once per dataset fingerprint: the second " +
+      "invocation serves from the standing artifact without rewriting " +
+      "it, and a metadata change flips the fingerprint") {
+    val sf = "/root/testdata/sf0.001"
+    val fp = AnnIndex.datasetFingerprint(spark, sf)
+    assert(fp === AnnIndex.datasetFingerprint(spark, sf),
+      "fingerprint must be a pure function of the file metadata")
+    val q = AnnIndex.queries("sim_serve_ivfpq")
+    val first = q(spark, sf).collect()
+    graft.CheckpointLease.releaseAll()
+    val codes = new java.io.File(
+      s"${sys.props("user.dir")}/target/ann-index/serve_" +
+        s"${sf.replaceAll("[^A-Za-z0-9._-]", "_")}_$fp/codes")
+    def snapshot() = codes.listFiles().flatMap { d =>
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      (d +: kids).map(f => f.getPath -> f.lastModified())
+    }.toMap
+    val before = snapshot()
+    val second = q(spark, sf).collect()
+    graft.CheckpointLease.releaseAll()
+    assert(snapshot() === before,
+      "second serve must not rebuild or touch the codes tree")
+    assert(first.map(_.toString).sorted.toSeq ===
+      second.map(_.toString).sorted.toSeq)
+    // a different listing (names/lengths/mtimes) must change the key —
+    // fake a dataset dir whose single file differs only in mtime
+    val fake = new java.io.File(
+      s"${sys.props("user.dir")}/target/ann-index-spec/fakedata")
+    val table = new java.io.File(fake, "embeddings.parquet")
+    table.mkdirs()
+    val f = new java.io.File(table, "part-00000.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    f.setLastModified(1000000000000L)
+    val fpA = AnnIndex.datasetFingerprint(spark, fake.getPath)
+    f.setLastModified(1100000000000L)
+    val fpB = AnnIndex.datasetFingerprint(spark, fake.getPath)
+    assert(fpA !== fpB, "an mtime change must flip the fingerprint")
+  }
 }
