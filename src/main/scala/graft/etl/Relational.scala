@@ -930,7 +930,11 @@ object Relational {
   /** Randomized sampling surface (engine-specific RNG → rows-only
     * checks): Bernoulli row sample of orders plus a per-language
     * stratified sample of documents (`sampleBy` — the class-balancing
-    * primitive of training-data curation).
+    * primitive of training-data curation). Registered as
+    * `sample_native_rng`: Spark's sampler draws from a partition-seeded
+    * XORShift stream no other engine can replay, so this arm is
+    * rows-only BY DECLARATION — [[hashSampledUnion]] is the
+    * hash-compared twin with the same rates and shape.
     */
   def sampledUnion(ord: DataFrame, docs: DataFrame): DataFrame = {
     val bern = ord.sample(withReplacement = false, fraction = 0.05, seed = 42)
@@ -939,6 +943,64 @@ object Relational {
       Map("en" -> 0.1, "es" -> 0.5, "fr" -> 0.5, "de" -> 1.0), 42L)
       .select(col("doc_id").as("id"), lit("stratified_doc").as("method"))
     bern.unionAll(strata)
+  }
+
+  /** Per-language keep fractions shared by both sampling arms. */
+  val StratifiedFracs: Seq[(String, Double)] =
+    Seq("en" -> 0.1, "es" -> 0.5, "fr" -> 0.5, "de" -> 1.0)
+
+  /** u32 keep-threshold of a fraction: keep iff Knuth-hash(id) <
+    * floor(frac·2³²) — exact integer comparison, no float anywhere.
+    */
+  private def keepThreshold(frac: Double): Long =
+    math.min(4294967296L, math.floor(frac * 4294967296.0).toLong)
+
+  /** [[sampledUnion]]'s hash-compared twin (r16 verdict #5): the SAME
+    * two sampling semantics — 5% Bernoulli over orders, per-language
+    * stratified over documents — with the RNG replaced by the portable
+    * Knuth multiplicative hash `h = (id·2654435761) mod 2³²` and each
+    * keep decision the exact integer comparison `h < floor(frac·2³²)`
+    * (the `sample_weighted` device). Both engines evaluate the
+    * identical integer formula per row, so the sample is bit-identical
+    * under any partitioning AND replayable by the DuckDB oracle — the
+    * property Spark's partition-seeded XORShift can never have. Ids are
+    * domain-guarded (≤ Long.MaxValue / 2654435761) so the multiply
+    * cannot wrap. Scale shape: a pushed-down-able narrow filter; no
+    * shuffle, no RNG state.
+    */
+  def hashSampledUnion(ord: DataFrame, docs: DataFrame): DataFrame = {
+    val maxId = Long.MaxValue / 2654435761L
+    def h(id: org.apache.spark.sql.Column, nm: String) = {
+      val g = when(id.between(0L, maxId), id)
+        .otherwise(raise_error(lit(
+          s"hashSampledUnion: $nm outside portable-hash domain [0, $maxId]")))
+      (g * 2654435761L) % 4294967296L
+    }
+    val bern = ord
+      .filter(h(col("o_orderkey"), "o_orderkey") < keepThreshold(0.05))
+      .select(col("o_orderkey").as("id"), lit("bernoulli_order").as("method"))
+    val langThresh = StratifiedFracs.foldRight(lit(0L)) {
+      case ((l, f), els) =>
+        when(col("lang") === l, lit(keepThreshold(f))).otherwise(els)
+    }
+    val strata = docs.filter(h(col("doc_id"), "doc_id") < langThresh)
+      .select(col("doc_id").as("id"), lit("stratified_doc").as("method"))
+    bern.unionAll(strata)
+  }
+
+  /** DuckDB twin of [[hashSampledUnion]] — thresholds interpolated from
+    * the same [[keepThreshold]] values the Spark side compiles in.
+    */
+  private[etl] def hashSampledUnionSql: String = {
+    val cases = StratifiedFracs.map { case (l, f) =>
+      s"WHEN '$l' THEN ${keepThreshold(f)}" }.mkString(" ")
+    s"""SELECT o_orderkey AS id, 'bernoulli_order' AS method FROM orders
+       |WHERE (o_orderkey * 2654435761) % 4294967296 <
+       |      ${keepThreshold(0.05)}
+       |UNION ALL
+       |SELECT doc_id AS id, 'stratified_doc' AS method FROM documents
+       |WHERE (doc_id * 2654435761) % 4294967296 <
+       |      (CASE lang $cases ELSE 0 END)""".stripMargin
   }
 
   /** Argmax/argmin aggregates (`max_by`/`min_by`): the row-valued extremum
@@ -1351,7 +1413,9 @@ object Relational {
     "set_intersect"      -> ((s, d) => intersectNations(Tables.customer(s, d))),
     "sample_systematic"  -> ((s, d) =>
       systematicSampleOrders(Tables.orders(s, d))),
-    "sample_random"      -> ((s, d) => sampledUnion(
+    "sample_random"      -> ((s, d) => hashSampledUnion(
+      Tables.orders(s, d), Tables.documents(s, d))),
+    "sample_native_rng"  -> ((s, d) => sampledUnion(
       Tables.orders(s, d), Tables.documents(s, d))),
     "agg_argmax"         -> ((s, d) => argmaxAggs(Tables.lineitem(s, d))),
     "agg_histogram"      -> ((s, d) => histogramOrders(Tables.orders(s, d))),
@@ -1802,6 +1866,7 @@ object Relational {
     "sample_systematic" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 20 = 0""".stripMargin,
+    "sample_random" -> hashSampledUnionSql,
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |       CAST(round(quantile_cont(l_extendedprice, 0.5) * 1000)

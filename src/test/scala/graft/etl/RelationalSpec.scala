@@ -201,6 +201,34 @@ class RelationalSpec extends SparkSpec {
     assert(deKeep === 200, "fraction 1.0 stratum must keep every row")
   }
 
+  test("hashSampledUnion: partition-invariant, exact thresholds per " +
+      "stratum, full-fraction stratum keeps everything") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, s"text $i", if (i % 2 == 0) "en" else "de", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ord = (1 to 200).map(i => (i.toLong, 1L, "F", 1.0,
+      ts("1997-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val one = Relational.hashSampledUnion(ord.coalesce(1), docs.coalesce(1))
+      .collect().map(_.toString).sorted.toSeq
+    val many = Relational.hashSampledUnion(ord.repartition(64),
+      docs.repartition(64)).collect().map(_.toString).sorted.toSeq
+    assert(one === many,
+      "portable-hash sample must be bit-identical under any partitioning")
+    val rows = Relational.hashSampledUnion(ord, docs).collect()
+    val strata = rows.filter(_.getAs[String]("method") == "stratified_doc")
+    assert(strata.map(_.getAs[Long]("id")).count(_ % 2 == 1) === 200,
+      "fraction 1.0 stratum must keep every row")
+    // every kept row satisfies the integer threshold it was kept under
+    val enIds = strata.map(_.getAs[Long]("id")).filter(_ % 2 == 0)
+    assert(enIds.forall(id =>
+      (id * 2654435761L) % 4294967296L < (0.1 * 4294967296.0).toLong))
+    val bern = rows.filter(_.getAs[String]("method") == "bernoulli_order")
+    assert(bern.map(_.getAs[Long]("id")).forall(id =>
+      (id * 2654435761L) % 4294967296L < (0.05 * 4294967296.0).toLong))
+  }
+
   test("argmaxAggs: extremum row keys, composite-key tie-break") {
     val r = Relational.argmaxAggs(li(
       (5L, 1L, "A", "F", 10.0),
