@@ -264,20 +264,23 @@ object Dedup {
     * [[ngramJaccardPairs]] in DedupSpec and hash-verified against the
     * same naive DuckDB twin.
     *
-    * Why it exists, measured honestly: candidate volume is Σ C(df, 2)
-    * over PREFIX postings only, and rarest-first ordering pushes
-    * prefixes onto the low-df tail — measured at sf0.1: 1.27 M naive
-    * candidates → 431 k (2.9×, on 134 k of 260 k postings indexed).
-    * At this overhead-dominated test scale the plain enumeration still
-    * WINS wall-clock (≈3 s vs ≈6 s: the df join, per-doc rank window,
-    * and array-verify joins cost more than the candidates they save),
-    * which is why [[ngramJaccardPairs]] stays the engine's default
-    * below the crossover; the prefix arm is the asymptotic path for
-    * corpora whose candidate mass — quadratic in posting-list density —
-    * outgrows those fixed per-stage costs. The prefix length is
-    * computed in EXACT integers (`⌈t·n⌉ = (tNum·n + tDen − 1) div
-    * tDen`) — a float ceil within an ULP of an integer could shorten a
-    * prefix and silently break the completeness lemma.
+    * Why it exists, measured honestly (sf0.1, r17 after adding PPJoin's
+    * length + positional filters): 1,265,779 naive candidates →
+    * 430,594 prefix collisions (2.9×) → 328,908 after the in-transform
+    * length filter → 124,837 verify pairs after the positional filter —
+    * a 10.1× total cut vs naive and 3.3× fewer array-verifies than the
+    * r16 prefix-only arm. Wall-clock fell ≈6 s → ≈3.7–4.8 s; the plain
+    * enumeration still WINS at this overhead-dominated test scale
+    * (≈1.9 s: the df join, rank window, and min_by shuffle cost more
+    * than the candidates they save), so [[ngramJaccardPairs]] stays the
+    * default below the crossover; the prefix arm is the asymptotic path
+    * for corpora whose candidate mass — quadratic in posting-list
+    * density — outgrows those fixed per-stage costs, and the crossover
+    * corpus size is now ~3× smaller than r16's. All bounds are EXACT
+    * integers (`⌈t·n⌉ = (tNum·n + tDen − 1) div tDen`, overlap
+    * requirement `α = ⌈tNum·(n_a+n_b)/(tNum+tDen)⌉`) — a float ceil
+    * within an ULP of an integer could shorten a prefix or loosen a
+    * bound and silently break the completeness lemma.
     *
     * Stages: the [[keptPostings]] stream (persisted once), one df join
     * riding its shingle partitioning, one per-doc rank window, prefix
@@ -302,16 +305,45 @@ object Dedup {
     val prefix = positioned.join(sizes, Seq("doc_id"))
       .filter(col("pos") <= col("n") -
         expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+    // pair enumeration with PPJoin's two candidate-time filters, both in
+    // exact integers so completeness is provable, not approximate:
+    //  - LENGTH: with n_a ≤ n_b (the struct sort's first key), J ≤
+    //    n_a/n_b, so J ≥ t forces n_a·tDen ≥ n_b·tNum — applied INSIDE
+    //    the per-posting transform, before any pair leaves the executor;
+    //  - POSITIONAL: per pair keep only its MINIMAL colliding shingle w
+    //    under the global (df, shingle) order (min_by below). Any common
+    //    element c < w would sit in both prefixes (pos(c) < pos(w) ≤
+    //    prefix length on each side) and collide earlier — contradiction
+    //    — so A∩B ⊆ {w} ∪ {elements after w on both sides}, giving
+    //    |A∩B| ≤ 1 + min(n_a − pos_a, n_b − pos_b). J ≥ t needs
+    //    |A∩B| ≥ α = ⌈tNum·(n_a+n_b)/(tNum+tDen)⌉; pairs whose bound
+    //    can't reach α are dropped before the array verify.
+    val pairCols = Seq("n_a", "doc_a0", "pos_a", "n_b", "doc_b0", "pos_b")
     val cand = prefix
       .groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |            b -> struct(a AS doc_a, b AS doc_b))))"""
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(
+          struct(col("n"), col("doc_id"), col("pos")))).as("ds"))
+      .select(col("shingle"), col("df"), explode(expr(
+        s"""flatten(transform(ds, (a, i) ->
+          |  transform(filter(slice(ds, i + 2, size(ds)),
+          |                   b -> a.n * $tDen >= b.n * $tNum),
+          |    b -> struct(a.n AS n_a, a.doc_id AS doc_a0, a.pos AS pos_a,
+          |                b.n AS n_b, b.doc_id AS doc_b0,
+          |                b.pos AS pos_b))))"""
           .stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+      .select(col("shingle") +: col("df") +:
+        pairCols.map(c => col(s"p.$c").as(c)): _*)
+      .groupBy("doc_a0", "doc_b0")
+      .agg(min_by(struct(pairCols.map(col): _*),
+        struct(col("df"), col("shingle"))).as("m"))
+      .select(pairCols.map(c => col(s"m.$c").as(c)): _*)
+      .filter(lit(1L) +
+        least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >=
+        expr(s"(($tNum * (n_a + n_b)) + ${tNum + tDen - 1}) " +
+          s"div ${tNum + tDen}"))
+      .select(least(col("doc_a0"), col("doc_b0")).as("doc_a"),
+        greatest(col("doc_a0"), col("doc_b0")).as("doc_b"))
     val arrays = kept.groupBy("doc_id")
       .agg(sort_array(collect_list(col("shingle"))).as("shs"))
     val out = graft.CheckpointLease.track(cand

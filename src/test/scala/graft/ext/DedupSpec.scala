@@ -380,6 +380,30 @@ class DedupSpec extends SparkSpec {
       (2L, 3L)))
   }
 
+  test("prefixJaccardPairs: the length and positional filters are " +
+      "lossless at the exact threshold boundary") {
+    // J exactly = 1/2: shingle sets of sizes 4 and 4 sharing
+    // inter 8/3... construct via overlap: |A|=6,|B|=6,|A∩B|=4 ->
+    // J = 4/8 = 0.5 exactly — the boundary pair the filters must KEEP
+    // (a one-off ceil error in prefix length, the length bound, or the
+    // overlap requirement alpha would drop it). 3-gram shingles over
+    // words: "a b c d e f g h" has shingles (a b c)..(f g h) = 6.
+    val d = docs(
+      1L -> "a b c d e f g h",   // 6 shingles
+      2L -> "a b c d e f x y",   // shares (a b c)..(d e f) = 4 of 6
+      3L -> "z1 z2 z3 z4 z5")    // size-3 unrelated (length-filter prey)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter_size"), r.getAs[Long]("union_size"),
+        r.getAs[Double]("jaccard"))
+    val naive = Dedup.ngramJaccardPairs(d).collect().map(key).toSet
+    val pref = Dedup.prefixJaccardPairs(d).collect().map(key).toSet
+    graft.CheckpointLease.releaseAll()
+    assert(pref === naive)
+    assert(naive.map(p => (p._1, p._2, p._5)) === Set((1L, 2L, 0.5)),
+      "the exact-boundary pair must survive every candidate filter")
+  }
+
   test("prefixJaccardPairs: full-fixture cut equals ngramJaccardPairs " +
       "at sf0.001 (the completeness lemma, machine-checked)") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
