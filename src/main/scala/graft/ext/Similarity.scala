@@ -1671,6 +1671,24 @@ object Similarity {
     * 0.93 vs exact, [[knnGraphIvfEval]]) and everything downstream,
     * which is all keyed aggregates and joins over the N·k edge table,
     * is unchanged; `vec_lof_ivf` is exactly that wiring, oracle-checked.
+    *
+    * == Why there is NO edge-jaccard-style τ-prune here (r16 #7) ==
+    * Investigated and measured, not skipped. The candidate universe is
+    * already same-block pairs, so the only free triangle bound is the
+    * SHARED centroid's: d(p,x) ≥ |d(p,c) − d(x,c)| on the l2-normalized
+    * sphere — and both endpoints chose c among their nearest centroids,
+    * which makes that projection difference small by construction.
+    * Measured at sf0.1 against the free k-distance upper bound
+    * τ_p = d(p,c₀) + radius(c₀): 0 of 968,059 candidate pairs prunable
+    * (the bound never clears τ). A tighter τ needs a within-primary-
+    * block k-pass — the same Σ|b|² it would be saving — and block-level
+    * skipping is not output-identity-provable at all: dropping p's
+    * probe of block b also deletes the mirrored candidates (x, p) whose
+    * loss only x's τ could justify. Unlike edge-jaccard's integer
+    * cross-multiplication, these are IEEE distances, so even the
+    * pair-level screen would need an epsilon margin rather than an
+    * exact proof. Conclusion: leave the blocked kNN as the scale path;
+    * its cost is the honest price of density estimation here.
     * The cascade reads each vector's neighborhood size from the edge
     * table (`cnt`), so sub-k blocked neighborhoods degrade the density
     * estimate gracefully instead of breaking the formula.
