@@ -364,6 +364,98 @@ object Dedup {
     out
   }
 
+  /** Token-gram width of [[repeatedSpans]]. Lee et al. use 50 BPE
+    * tokens on web corpora; 8 whitespace tokens exercises the identical
+    * span-coalescing semantics on the fixture's 10–99-token documents
+    * (at n = 8 the sf0.01 corpus carries 1,015 cross-doc duplicate
+    * grams — measured, not assumed).
+    */
+  val SpanGram = 8
+
+  /** CROSS-DOCUMENT repeated substring spans (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr primitive): every maximal token span that appears, at
+    * [[SpanGram]]-gram granularity, in at least TWO distinct documents.
+    * This is the span-REMOVAL feed (cut the repeated span, keep the
+    * document) that whole-document dedup cannot express — boilerplate
+    * headers, license blocks, quoted tweets — and it is exact: a gram
+    * is flagged iff its literal token string occurs in ≥ 2 docs
+    * (within-doc repeats are [[TextAnalysis.repetition]]'s job and do
+    * NOT flag here), and consecutive flagged gram starts coalesce into
+    * maximal spans by the gaps-and-islands device (`i − row_number()`
+    * per doc). Per span: 1-based token start/end, token length, and the
+    * dup-gram count that built it.
+    *
+    * == Scale shape ==
+    * The gram aggregate is a plain groupBy whose map-side partials
+    * absorb hot grams ([[keptPostings]]' argument); only the
+    * dup-gram HEAD (count ≥ 2 of DISTINCT docs) survives and joins
+    * back onto the position stream as an aggregated one-row-per-gram
+    * side — no posting-list explosion. The islands window partitions
+    * by doc_id (bounded by document length, never corpus size). At
+    * 100 TB the gram SHUFFLE carries the literal n-token strings —
+    * the exactness cost; the standard production variant buckets by a
+    * 64-bit gram hash and verifies within bucket, trading one more
+    * pass for ~8× narrower shuffle rows, but its output is the same
+    * and the fixture's oracle demands the exact form.
+    *
+    * == Determinism ==
+    * Integers end-to-end: token positions, distinct-doc counts, island
+    * arithmetic. The only strings are the grams themselves, compared
+    * by equality. Nothing floats, so the twin matches bit-for-bit.
+    */
+  def repeatedSpans(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    val pos = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+           |          i -> struct(CAST(i AS BIGINT) AS i,
+           |                      concat_ws(' ', slice(toks, i, $n))
+           |                        AS gram))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.gram").as("gram"))
+    val dup = pos.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val hits = pos.join(dup, Seq("gram")).select("doc_id", "i")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    hits.withColumn("isl", col("i") - row_number().over(w))
+      .groupBy("doc_id", "isl")
+      .agg(min("i").as("span_start"),
+        (max("i") + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_dup_grams"))
+  }
+
+  /** The span-removal ECONOMICS of [[repeatedSpans]] — per document:
+    * total tokens, tokens inside cross-doc repeated spans (islands are
+    * disjoint by construction, so the sum is the exact removable
+    * count), span count, and the removable share. This is the readout
+    * a curation run consults BEFORE committing to span removal: how
+    * much of the corpus is boilerplate, and whether it concentrates in
+    * few documents (cut the docs) or spreads thin (cut the spans).
+    * Docs with no repeated span report zeros rather than vanishing —
+    * the denominator matters. One extra keyed aggregate + a left join
+    * back onto a narrow per-doc token count; the share is one IEEE
+    * division of exact longs.
+    */
+  def spanRemovalPlan(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    val perDoc = repeatedSpans(docs, n).groupBy("doc_id")
+      .agg(sum("span_tokens").cast("long").as("repeated_tokens"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("repeated_tokens"), lit(0L)).as("repeated_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("repeated_share",
+        col("repeated_tokens").cast("double") /
+          col("n_tokens").cast("double"))
+  }
+
   /** Term-frequency cap in [[tfidfCosinePairs]]: within-document shingle
     * repeats beyond this add no weight (sublinear-tf in spirit, and the
     * hard bound that keeps every integer weight product long-safe at any
@@ -1090,6 +1182,10 @@ object Dedup {
       ngramJaccardPairs(Tables.documents(s, d))),
     "dedup_prefix_jaccard" -> ((s, d) =>
       prefixJaccardPairs(Tables.documents(s, d))),
+    "dedup_repeated_spans" -> ((s, d) =>
+      repeatedSpans(Tables.documents(s, d))),
+    "dedup_span_removal" -> ((s, d) =>
+      spanRemovalPlan(Tables.documents(s, d))),
     "dedup_ngram_capped"  -> ((s, d) =>
       ngramJaccardPairsCapped(Tables.documents(s, d))),
     "dedup_containment"   -> ((s, d) =>
@@ -1470,8 +1566,66 @@ object Dedup {
       |WHERE inter_size * 1.0 / (sa.n + sb.n - inter_size) >= 0.5"""
       .stripMargin
 
+  /** The repeated-span CTE chain (ends at `spans(doc_id, span_start,
+    * span_end, span_tokens, n_dup_grams)`), shared by the
+    * dedup_repeated_spans twin and dedup_span_removal's roll-up so the
+    * two can never drift.
+    */
+  private val duckRepeatedSpanCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, p.i AS i, p.gram AS gram
+       |  FROM (
+       |    SELECT doc_id,
+       |           unnest([{'i': CAST(i AS BIGINT),
+       |                    'gram': array_to_string(
+       |                              toks[i:i+${SpanGram - 1}], ' ')}
+       |                   for i in range(1, len(toks) - ${SpanGram - 2})])
+       |             AS p
+       |    FROM d WHERE len(toks) >= $SpanGram) q),
+       |dup AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS nd
+       |    FROM pos GROUP BY 1)
+       |  WHERE nd >= 2),
+       |hits AS (SELECT doc_id, i FROM pos JOIN dup USING (gram)),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+       |           AS isl
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_id,
+       |         min(i) AS span_start,
+       |         CAST(max(i) + ${SpanGram - 1} AS BIGINT) AS span_end,
+       |         CAST(max(i) + ${SpanGram - 1} - min(i) + 1 AS BIGINT)
+       |           AS span_tokens,
+       |         count(*) AS n_dup_grams
+       |  FROM isl GROUP BY doc_id, isl)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_incremental" -> duckIncrementalSql,
+    "dedup_repeated_spans" ->
+      s"""WITH $duckRepeatedSpanCtes
+         |SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams
+         |FROM spans""".stripMargin,
+    "dedup_span_removal" ->
+      s"""WITH $duckRepeatedSpanCtes,
+         |perdoc AS (
+         |  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT)
+         |           AS repeated_tokens,
+         |         count(*) AS n_spans
+         |  FROM spans GROUP BY 1)
+         |SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |       coalesce(repeated_tokens, 0) AS repeated_tokens,
+         |       coalesce(n_spans, 0) AS n_spans,
+         |       CAST(coalesce(repeated_tokens, 0) AS DOUBLE) /
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |         AS repeated_share
+         |FROM documents LEFT JOIN perdoc USING (doc_id)""".stripMargin,
     "dedup_minhash_md5" -> duckMinhashPortableSql,
     "dedup_source_matrix" ->
       s"""WITH $duckMinhashPairCtes,

@@ -361,6 +361,47 @@ class DedupSpec extends SparkSpec {
       ("srcA", "srcA", 1L, 2L, true)))
   }
 
+  test("repeatedSpans: consecutive cross-doc grams coalesce into one " +
+      "maximal span; within-doc-only repeats and short docs are excluded") {
+    val d = docs(
+      // docs 1/2 share exactly the 8-token prefix (gram i=1 only)
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h x y",
+      // docs 3/4 share a 10-token prefix -> grams i=1..3 -> ONE span
+      3L -> "p q r s t u v w x z2 t3a t3b",
+      4L -> "p q r s t u v w x z2 o4",
+      // gram repeated twice WITHIN doc 5 only: nd = 1, must not flag
+      5L -> "m1 m2 m3 m4 m5 m6 m7 m8 mid m1 m2 m3 m4 m5 m6 m7 m8",
+      6L -> "s1 s2 s3") // shorter than the gram width: no grams at all
+    val r = Dedup.repeatedSpans(d)
+      .select("doc_id", "span_start", "span_end", "span_tokens",
+        "n_dup_grams")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(r === Set(
+      (1L, 1L, 8L, 8L, 1L),
+      (2L, 1L, 8L, 8L, 1L),
+      (3L, 1L, 10L, 10L, 3L),
+      (4L, 1L, 10L, 10L, 3L)))
+  }
+
+  test("spanRemovalPlan: disjoint islands sum exactly, clean and short " +
+      "docs report zeros with the true denominator") {
+    val d = docs(
+      1L -> "a b c d e f g h i j",                // span [1,8] -> 8 of 10
+      2L -> "a b c d e f g h x y",
+      3L -> "clean doc with no repeats here at all ok", // 0 of 9... 8 toks
+      4L -> "s1 s2 s3")                           // too short: 0 of 3
+    val r = Dedup.spanRemovalPlan(d)
+      .select("doc_id", "n_tokens", "repeated_tokens", "n_spans",
+        "repeated_share")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 10L, 8L, 1L, 0.8)))
+    assert(r(2L) === ((2L, 10L, 8L, 1L, 0.8)))
+    assert(r(3L)._3 === 0L && r(3L)._5 === 0.0)
+    assert(r(4L) === ((4L, 3L, 0L, 0L, 0.0)))
+  }
+
   test("prefixJaccardPairs: toy near-dups and exact dups cut identically " +
       "to the naive arm") {
     val d = docs(
