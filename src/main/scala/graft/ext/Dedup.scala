@@ -404,8 +404,9 @@ object Dedup {
     * arithmetic. The only strings are the grams themselves, compared
     * by equality. Nothing floats, so the twin matches bit-for-bit.
     */
-  def repeatedSpans(docs: DataFrame, n: Int = SpanGram): DataFrame = {
-    val pos = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+  /** The (doc_id, i, gram) position stream both span arms derive. */
+  private def spanPositions(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(toks) - ${n - 1}),
@@ -413,11 +414,12 @@ object Dedup {
            |                      concat_ws(' ', slice(toks, i, $n))
            |                        AS gram))""".stripMargin)).as("p"))
       .select(col("doc_id"), col("p.i").as("i"), col("p.gram").as("gram"))
-    val dup = pos.groupBy("gram")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2)
-      .select("gram")
-    val hits = pos.join(dup, Seq("gram")).select("doc_id", "i")
+
+  /** Gaps-and-islands coalescing of flagged gram starts into maximal
+    * spans — shared by both span arms so their outputs are the same
+    * function of the same hit set.
+    */
+  private def spansFromHits(hits: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("i")
     hits.withColumn("isl", col("i") - row_number().over(w))
       .groupBy("doc_id", "isl")
@@ -427,6 +429,43 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_dup_grams"))
+  }
+
+  def repeatedSpans(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    val pos = spanPositions(docs, n)
+    val dup = pos.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    spansFromHits(pos.join(dup, Seq("gram")).select("doc_id", "i"), n)
+  }
+
+  /** [[repeatedSpans]]' 100 TB arm: the candidate aggregate keys on the
+    * 64-bit `xxhash64(gram)` instead of the literal n-token string — an
+    * 8-byte shuffle row where the exact arm moves ~8n bytes — and the
+    * gram strings travel ONLY for the bucket-collision head, where a
+    * second (hash, gram) aggregate re-verifies literal equality before
+    * anything flags. Output is therefore IDENTICAL to the exact arm
+    * regardless of hash quality: a collision can only ADD candidates to
+    * the verify stage, never a false dup past it (the flag still
+    * requires ≥ 2 distinct docs per literal gram), and a true dup gram
+    * always collides with itself. DedupSpec machine-checks the
+    * identity; the oracle twin is the exact arm's — the hash never
+    * reaches the output, so DuckDB needs no xxhash64.
+    */
+  def repeatedSpansHashed(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    val pos = spanPositions(docs, n)
+    val withH = pos.withColumn("h", xxhash64(col("gram")))
+    val dupH = withH.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val cand = withH.join(dupH, Seq("h"))
+    val dup = cand.groupBy("h", "gram")
+      .agg(countDistinct("doc_id").as("ndg"))
+      .filter(col("ndg") >= 2)
+      .select("h", "gram")
+    spansFromHits(cand.join(dup, Seq("h", "gram")).select("doc_id", "i"), n)
   }
 
   /** The span-removal ECONOMICS of [[repeatedSpans]] — per document:
@@ -1186,6 +1225,8 @@ object Dedup {
       repeatedSpans(Tables.documents(s, d))),
     "dedup_span_removal" -> ((s, d) =>
       spanRemovalPlan(Tables.documents(s, d))),
+    "dedup_spans_hashed" -> ((s, d) =>
+      repeatedSpansHashed(Tables.documents(s, d))),
     "dedup_ngram_capped"  -> ((s, d) =>
       ngramJaccardPairsCapped(Tables.documents(s, d))),
     "dedup_containment"   -> ((s, d) =>
@@ -1608,6 +1649,12 @@ object Dedup {
   def oracleSql: Map[String, String] = Map(
     "dedup_incremental" -> duckIncrementalSql,
     "dedup_repeated_spans" ->
+      s"""WITH $duckRepeatedSpanCtes
+         |SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams
+         |FROM spans""".stripMargin,
+    // identical output by construction (hash only selects candidates,
+    // literal grams re-verify): same twin as the exact arm
+    "dedup_spans_hashed" ->
       s"""WITH $duckRepeatedSpanCtes
          |SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams
          |FROM spans""".stripMargin,

@@ -384,6 +384,24 @@ class DedupSpec extends SparkSpec {
       (4L, 1L, 10L, 10L, 3L)))
   }
 
+  test("repeatedSpansHashed: identical to the exact arm on the toy set " +
+      "and the full sf0.001 fixture (hash only selects candidates)") {
+    val toy = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h x y",
+      3L -> "m1 m2 m3 m4 m5 m6 m7 m8 mid m1 m2 m3 m4 m5 m6 m7 m8")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "span_start", "span_end", "span_tokens",
+          "n_dup_grams")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(key(Dedup.repeatedSpansHashed(toy)) ===
+      key(Dedup.repeatedSpans(toy)))
+    val full = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = key(Dedup.repeatedSpans(full))
+    assert(key(Dedup.repeatedSpansHashed(full)) === exact)
+    assert(exact.nonEmpty, "fixture must exercise the span path")
+  }
+
   test("spanRemovalPlan: disjoint islands sum exactly, clean and short " +
       "docs report zeros with the true denominator") {
     val d = docs(
