@@ -468,6 +468,63 @@ object Dedup {
     spansFromHits(cand.join(dup, Seq("h", "gram")).select("doc_id", "i"), n)
   }
 
+  /** The span-removal TRANSFORM itself — [[repeatedSpans]]' semantics
+    * applied keep-one-copy, Lee et al.'s actual dedup step: for every
+    * cross-doc duplicated gram, its CANONICAL occurrence (minimum
+    * (doc_id, position) — an order-invariant struct-min aggregate, not
+    * a window over the gram key, so hot grams stay map-side combinable)
+    * survives and every other occurrence flags; flagged gram starts
+    * coalesce into maximal spans ([[spansFromHits]]); the covered token
+    * positions (span extents CAN overlap across islands — gram starts 2
+    * apart coalesce into different islands whose +n−1 extents intersect
+    * — hence the distinct) are anti-joined out of the token stream; and
+    * the surviving tokens rebuild `clean_text` in exact position order
+    * (sorted struct fold — both engines concatenate the identical
+    * sequence). Per doc: original/kept/removed token counts and the
+    * scrubbed text; docs losing everything keep a row with '' (the
+    * exact-duplicate-of-a-canonical case), docs under the gram width
+    * pass through untouched.
+    *
+    * Scale: one more keyed aggregate than [[repeatedSpans]] (the
+    * canonical struct-min rides the same gram groupBy), a bounded
+    * per-span position explode, one anti-join, and a per-doc rebuild
+    * aggregate bounded by document length.
+    */
+  def spanScrub(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    val pos = spanPositions(docs, n)
+    val dup = pos.groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd"),
+        min(struct(col("doc_id"), col("i"))).as("canon"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), col("canon"))
+    val flagged = pos.join(dup, Seq("gram"))
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("i") === col("canon.i")))
+      .select("doc_id", "i")
+    val remove = spansFromHits(flagged, n)
+      .select(col("doc_id"),
+        explode(expr("sequence(span_start, span_end)")).as("j"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("j0", "tok")))
+      .select(col("doc_id"), (col("j0") + 1).cast("long").as("j"),
+        col("tok"))
+    val rebuilt = toks.join(remove, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("j"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** The span-removal ECONOMICS of [[repeatedSpans]] — per document:
     * total tokens, tokens inside cross-doc repeated spans (islands are
     * disjoint by construction, so the sum is the exact removable
@@ -1227,6 +1284,8 @@ object Dedup {
       spanRemovalPlan(Tables.documents(s, d))),
     "dedup_spans_hashed" -> ((s, d) =>
       repeatedSpansHashed(Tables.documents(s, d))),
+    "dedup_span_scrub" -> ((s, d) =>
+      spanScrub(Tables.documents(s, d))),
     "dedup_ngram_capped"  -> ((s, d) =>
       ngramJaccardPairsCapped(Tables.documents(s, d))),
     "dedup_containment"   -> ((s, d) =>
@@ -1612,7 +1671,8 @@ object Dedup {
     * dedup_repeated_spans twin and dedup_span_removal's roll-up so the
     * two can never drift.
     */
-  private val duckRepeatedSpanCtes: String =
+  /** The token-position prefix (`d`, `pos`) shared by every span twin. */
+  private val duckSpanPosCtes: String =
     s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks
        |  FROM documents),
@@ -1625,7 +1685,10 @@ object Dedup {
        |                              toks[i:i+${SpanGram - 1}], ' ')}
        |                   for i in range(1, len(toks) - ${SpanGram - 2})])
        |             AS p
-       |    FROM d WHERE len(toks) >= $SpanGram) q),
+       |    FROM d WHERE len(toks) >= $SpanGram) q)""".stripMargin
+
+  private val duckRepeatedSpanCtes: String =
+    s"""$duckSpanPosCtes,
        |dup AS (
        |  SELECT gram FROM (
        |    SELECT gram, count(DISTINCT doc_id) AS nd
@@ -1658,6 +1721,50 @@ object Dedup {
       s"""WITH $duckRepeatedSpanCtes
          |SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams
          |FROM spans""".stripMargin,
+    "dedup_span_scrub" ->
+      s"""WITH $duckSpanPosCtes,
+         |dupc AS (
+         |  SELECT gram, min({'doc_id': doc_id, 'i': i}) AS canon
+         |  FROM pos GROUP BY gram
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |flagged AS (
+         |  SELECT p.doc_id, p.i
+         |  FROM pos p JOIN dupc USING (gram)
+         |  WHERE NOT (p.doc_id = canon.doc_id AND p.i = canon.i)),
+         |isl2 AS (
+         |  SELECT doc_id, i,
+         |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+         |           AS isl
+         |  FROM flagged),
+         |spans2 AS (
+         |  SELECT doc_id, min(i) AS s,
+         |         CAST(max(i) + ${SpanGram - 1} AS BIGINT) AS e
+         |  FROM isl2 GROUP BY doc_id, isl),
+         |remove AS (
+         |  SELECT DISTINCT doc_id, CAST(unnest(range(s, e + 1)) AS BIGINT)
+         |           AS j
+         |  FROM spans2),
+         |toks AS (
+         |  SELECT doc_id, CAST(t.j AS BIGINT) AS j, t.tok AS tok
+         |  FROM (
+         |    SELECT doc_id,
+         |           unnest([{'j': CAST(j AS BIGINT), 'tok': toks[j]}
+         |                   for j in range(1, len(toks) + 1)]) AS t
+         |    FROM d) q),
+         |rebuilt AS (
+         |  SELECT t.doc_id,
+         |         count(*) AS kept_tokens,
+         |         string_agg(t.tok, ' ' ORDER BY t.j) AS clean_text
+         |  FROM toks t ANTI JOIN remove r
+         |    ON t.doc_id = r.doc_id AND t.j = r.j
+         |  GROUP BY 1)
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       coalesce(kept_tokens, 0) AS kept_tokens,
+         |       CAST(len(toks) AS BIGINT) - coalesce(kept_tokens, 0)
+         |         AS removed_tokens,
+         |       coalesce(clean_text, '') AS clean_text
+         |FROM d LEFT JOIN rebuilt USING (doc_id)""".stripMargin,
     "dedup_span_removal" ->
       s"""WITH $duckRepeatedSpanCtes,
          |perdoc AS (

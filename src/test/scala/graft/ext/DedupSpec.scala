@@ -402,6 +402,24 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture must exercise the span path")
   }
 
+  test("spanScrub: the canonical (min doc, pos) occurrence survives, " +
+      "every other copy is cut, untouched docs round-trip") {
+    val d = docs(
+      1L -> "a b c d e f g h i j",   // canonical copy: untouched
+      2L -> "a b c d e f g h x y",   // loses the 8-token prefix
+      3L -> "m1 m2 m3 m4 m5 m6 m7 m8 mid m1 m2 m3 m4 m5 m6 m7 m8", // intra
+      4L -> "s1 s2 s3")              // under gram width: pass-through
+    val r = Dedup.spanScrub(d)
+      .select("doc_id", "n_tokens", "kept_tokens", "removed_tokens",
+        "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 10L, 10L, 0L, "a b c d e f g h i j")))
+    assert(r(2L) === ((2L, 10L, 2L, 8L, "x y")))
+    assert(r(3L)._4 === 0L && r(3L)._5.startsWith("m1 m2"))
+    assert(r(4L) === ((4L, 3L, 3L, 0L, "s1 s2 s3")))
+  }
+
   test("spanRemovalPlan: disjoint islands sum exactly, clean and short " +
       "docs report zeros with the true denominator") {
     val d = docs(
