@@ -144,7 +144,11 @@ object Corpus {
     * between consecutive duplicated starts exceeds n) into maximal
     * spans. Per document: token count, span count, tokens covered by
     * spans, and the covered fraction — the actionable output a
-    * substring-dedup pass cuts or rewrites.
+    * substring-dedup pass cuts or rewrites. Cross-doc-ONLY flags at
+    * per-SPAN grain live in [[Dedup.repeatedSpans]]
+    * (`dedup_repeated_spans`) — see its scaladoc for the full
+    * variant table (dup rule, grain, coalescing); this one answers
+    * "how much of each doc is duplicated text at all".
     *
     * Scale shape: the gram frequency is ONE keyed count that
     * partial-aggregates map-side (hot boilerplate grams combine locally
@@ -192,7 +196,10 @@ object Corpus {
   }
 
   /** Exact substring-dedup TRANSFORM — the rewrite side of [[dupSpans]]
-    * (the Lee et al. 2022 "Deduplicating Training Data" pass): every
+    * (the Lee et al. 2022 "Deduplicating Training Data" pass; the
+    * cross-doc-only variant that emits the rewritten plain text is
+    * [[Dedup.spanScrub]], `dedup_span_scrub` — see its scaladoc for
+    * the variant table): every
     * [[SpanGram]]-token window that occurs more than once corpus-wide
     * keeps only its globally FIRST occurrence (ordered by doc_id, then
     * position), every token covered by a LATER occurrence is dropped,

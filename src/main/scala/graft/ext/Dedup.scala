@@ -376,6 +376,19 @@ object Dedup {
     * "Deduplicating Training Data Makes Language Models Better" — the
     * ExactSubstr primitive): every maximal token span that appears, at
     * [[SpanGram]]-gram granularity, in at least TWO distinct documents.
+    *
+    * Relationship to [[Corpus.dupSpans]] (`text_dup_spans`), which
+    * reports per-DOC span aggregates under a different dup rule — the
+    * two are deliberate variants, not duplicates: (1) the flag here is
+    * ≥ 2 DISTINCT DOCS per gram (cross-doc boilerplate only; within-doc
+    * repeats stay with the repetition screen), vs any ≥ 2 occurrences
+    * corpus-wide there (self-repetition also flags); (2) the grain here
+    * is one row per SPAN with its token extents — the feed a span-level
+    * redactor consumes — vs per-doc counts there; (3) islands here
+    * coalesce strictly-consecutive gram starts (exact extent
+    * arithmetic), vs gap ≤ n merging there (wider, report-oriented
+    * spans). Pick by question: "what exact regions repeat across docs"
+    * → here; "how much of each doc is duplicated text at all" → there.
     * This is the span-REMOVAL feed (cut the repeated span, keep the
     * document) that whole-document dedup cannot express — boilerplate
     * headers, license blocks, quoted tweets — and it is exact: a gram
@@ -469,7 +482,14 @@ object Dedup {
   }
 
   /** The span-removal TRANSFORM itself — [[repeatedSpans]]' semantics
-    * applied keep-one-copy, Lee et al.'s actual dedup step: for every
+    * applied keep-one-copy. Counterpart of [[Corpus.despanDocuments]]
+    * (`corpus_despan`), with the same deliberate deltas as the
+    * detection arms: cross-doc-only flags (within-doc repeats are NOT
+    * scrubbed here — a doc's own refrain is a style signal, not
+    * boilerplate), strict-consecutive islands with exact extents, and
+    * the rewritten PLAIN TEXT in the output (the downstream training
+    * corpus), where despan emits an md5 fingerprint for cheap
+    * cross-engine comparison. Lee et al.'s actual dedup step: for every
     * cross-doc duplicated gram, its CANONICAL occurrence (minimum
     * (doc_id, position) — an order-invariant struct-min aggregate, not
     * a window over the gram key, so hot grams stay map-side combinable)
