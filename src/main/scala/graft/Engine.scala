@@ -78,6 +78,16 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Dedup.minhashIncremental(docs, batchSource, threshold)
     def bloomScreen(threshold: Double = 0.2): DataFrame =
       Dedup.bloomDecontam(docs, threshold)
+    def prefixJaccardPairs(tNum: Long = 1L, tDen: Long = 2L): DataFrame =
+      Dedup.prefixJaccardPairs(docs, tNum, tDen)
+    def crossDocSpans(n: Int = Dedup.SpanGram): DataFrame =
+      Dedup.repeatedSpans(docs, n)
+    def crossDocSpansHashed(n: Int = Dedup.SpanGram): DataFrame =
+      Dedup.repeatedSpansHashed(docs, n)
+    def spanRemovalPlan(n: Int = Dedup.SpanGram): DataFrame =
+      Dedup.spanRemovalPlan(docs, n)
+    def spanScrub(n: Int = Dedup.SpanGram): DataFrame =
+      Dedup.spanScrub(docs, n)
     private def docs = Tables.documents(spark, dataDir)
   }
 
@@ -640,6 +650,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Tables.region(spark, dataDir), Tables.nation(spark, dataDir),
       Tables.customer(spark, dataDir), Tables.supplier(spark, dataDir),
       Tables.orders(spark, dataDir), Tables.lineitem(spark, dataDir))
+    def topSupplier: DataFrame = Relational.topSupplier(
+      Tables.supplier(spark, dataDir), Tables.lineitem(spark, dataDir))
+    def hashSample: DataFrame = Relational.hashSampledUnion(
+      Tables.orders(spark, dataDir), Tables.documents(spark, dataDir))
     def explosionProfile(topN: Int = 10): DataFrame =
       SkewJoin.joinExplosionProfile(Tables.events(spark, dataDir), topN)
     def saltedJoin(big: DataFrame, small: DataFrame, key: String,

@@ -88,7 +88,12 @@ class EngineSpec extends SparkSpec {
       e.similarity.topKSqIvf(), e.analytics.shippingPriority,
       e.analytics.localSupplierVolume, e.multimodal.audioSnr(),
       e.timeSeries.markovSteadyState(), e.retail.priceIndex,
-      e.layout.broadcastAdvisor)
+      e.layout.broadcastAdvisor,
+      // round-17 surface
+      e.analytics.topSupplier, e.analytics.hashSample,
+      e.dedup.prefixJaccardPairs(), e.dedup.crossDocSpans(),
+      e.dedup.crossDocSpansHashed(), e.dedup.spanRemovalPlan(),
+      e.dedup.spanScrub())
     // one action per family proves the wiring end-to-end
     frames.foreach(df => assert(df.limit(1).count() === 1L))
   }
