@@ -1,7 +1,99 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Bench {
+
+  /** Prune-proof evaluation action (r17 verdict #2). `.count()` lets
+    * Catalyst eliminate work that doesn't affect cardinality — most
+    * visibly a unique-key LEFT JOIN back onto a base table
+    * (dedup_span_removal / dedup_span_scrub recorded ~0.4 s count-pruned
+    * plans for a ~3-5 s transform). Hashing EVERY output column and
+    * folding forces the full result to materialize without changing the
+    * query's own plan: this is a harness fix, not a plan pessimization.
+    * The struct(*)->xxhash64->bit_xor shape reduces to one driver-side
+    * row, so it adds no collect pressure regardless of result size
+    * (bit_xor, not sum: summing 64-bit hashes overflows under Spark 4's
+    * default ANSI mode).
+    */
+  def consume(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+    if (df.columns.isEmpty) { df.count(); () }
+    else {
+      df.select(xxhash64(struct(col("*"))).as("h"))
+        .agg(expr("bit_xor(h)")).collect(); ()
+    }
+  }
+
+  /** One SparkSession shape shared by the sweep JVM and the fresh-retry
+    * JVM (graft.BenchOne) so a fresh-JVM number is comparable by
+    * construction — same master, same shuffle partitions, no UI.
+    */
+  def buildSession(cpus: Int): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.ui.enabled", "false")
+    // consume() hashes struct(*); a map-typed output column would
+    // otherwise throw at analysis (hash-on-map is banned by default)
+    .config("spark.sql.legacy.allowHashOnMapType", "true")
+    .getOrCreate()
+
+  /** Session hygiene between queries: release leased checkpoints and any
+    * cached plans so one query's storage can never be charged to another
+    * (round-2 post-mortem: leaked checkpoint blocks inflated an unrelated
+    * query 7x in the recorded bench).
+    */
+  def reset(spark: SparkSession): Unit = {
+    CheckpointLease.releaseAll()
+    spark.catalog.clearCache()
+    org.apache.spark.sql.GraftBridge.sessionHygiene(spark)
+  }
+
+  /** Fresh-JVM re-measure tier (r17 verdict #1). A same-JVM "isolated"
+    * retry still shares the sweep's heap residue, fragmented code cache
+    * and GC history — r17 recorded graph_wcc at 11.4 s same-JVM-isolated
+    * vs 3.2-4.6 s fresh-JVM, and the adjudication lived in BENCHNOTES
+    * prose instead of the artifact. This spawns `java -cp
+    * <classes>:<spark jars> graft.BenchOne <name>` (same session shape,
+    * one unmeasured warmup + one timed pass) and parses its one-line
+    * result, so a pressure episode is adjudicated INSIDE the JSON.
+    * Best-effort: missing classes dir, spawn failure, timeout or an
+    * unparseable line all yield None rather than poisoning the sweep.
+    */
+  def freshJvmRetry(name: String, sfDir: String, cpus: Int,
+      timeoutSec: Long = 600): Option[Double] =
+    try {
+      val classes = sys.env.get("SPARK_GRAFT_CLASSES_DIR")
+        .getOrElse("target/scala-2.13/classes")
+      if (!new java.io.File(classes).exists()) return None
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
+        .defaultModuleOptions().split("\\s+").filter(_.nonEmpty).toSeq
+      val cmd = (javaBin +: moduleOpts) ++
+        Seq("-Xmx24g", "-cp", s"$classes:/opt/spark/jars/*",
+          "graft.BenchOne", name)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus.toString)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      // drain stdout on a daemon thread: readAllBytes inline would block
+      // past the timeout, and leaving the pipe undrained could wedge the
+      // child on a full buffer before it prints its result line
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val drainer = new Thread(() =>
+        try p.getInputStream.transferTo(outBuf)
+        catch { case _: Throwable => () })
+      drainer.setDaemon(true)
+      drainer.start()
+      if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); return None
+      }
+      drainer.join(5000)
+      val out = new String(outBuf.toByteArray, "UTF-8")
+      s"BENCH_ONE $name ([-0-9.]+)".r.findFirstMatchIn(out)
+        .map(_.group(1).toDouble).filter(_ >= 0)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Headline queries: one representative per expensive operator family
     * (scan+agg, join chain, window, cleansing, skew/as-of/range join,
     * dedup x4, ANN x2, text, recursive SQL, sessionization, packing).
@@ -79,21 +171,9 @@ object Bench {
     // JSON result line, so a non-numeric setting (e.g. "*") must fail fast
     // here rather than emit an unparseable artifact at the end of a sweep
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    // session hygiene between queries: release leased checkpoints and any
-    // cached plans so one query's storage can never be charged to another
-    // (round-2 post-mortem: leaked checkpoint blocks inflated an unrelated
-    // query 7x in the recorded bench)
-    def reset(): Unit = {
-      CheckpointLease.releaseAll()
-      spark.catalog.clearCache()
-      org.apache.spark.sql.GraftBridge.sessionHygiene(spark)
-    }
+    def reset(): Unit = Bench.reset(spark)
     val all = SparkEntry.queries
     // dev-only subset filter (comma-separated names) for isolated
     // re-measures; the driver never sets it
@@ -108,7 +188,7 @@ object Bench {
     // so the timed pass reports steady-state throughput (first-run JIT
     // noise otherwise dominates individual query numbers by 2-4x)
     picked.foreach { name =>
-      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { consume(all(name)(spark, sfDir)) } catch { case _: Throwable => () }
       reset()
     }
     // best-of-2 timed passes: this box shows intermittent 2-10x outliers
@@ -122,7 +202,7 @@ object Bench {
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       val ok =
-        try { all(name)(spark, sfDir).count(); true }
+        try { consume(all(name)(spark, sfDir)); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       reset()
@@ -185,7 +265,7 @@ object Bench {
         // abort the bench rather than record a misleading retry number
         // (r13 advice)
         System.gc()
-        try { all(name)(spark, sfDir).count() }
+        try { consume(all(name)(spark, sfDir)) }
         catch { case scala.util.control.NonFatal(_) => () }
         reset()
         name -> timed(name)
@@ -194,12 +274,55 @@ object Bench {
     val isoJson = isolated
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // fresh-JVM tier (r17 verdict #1): a same-JVM isolated retry that is
+    // STILL above the guard is re-measured in a clean child JVM, so the
+    // artifact itself distinguishes sweep-JVM pressure from a real
+    // regression — no BENCHNOTES prose needed to defend the record
+    val isoByName = isolated.toMap
+    val fresh = results.collect {
+      case (k, _, _, true) if baseline.get(k).exists(b =>
+          isoByName.get(k).forall(v => v < 0 || v > InflationFactor * b)) =>
+        k -> freshJvmRetry(k, sfDir, cpus)
+    }.collect { case (k, Some(v)) => k -> v }
+    val freshJson = fresh
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — summing -1 sentinels into the
     // total made r09's headline number uninterpretable; "failed" makes a
     // poisoned sweep explicit instead of quietly shrinking the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"cpus":$cpus,"inflated":$inflatedList,"isolated_retry_sec":$isoJson,"queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"cpus":$cpus,"inflated":$inflatedList,"isolated_retry_sec":$isoJson,"fresh_jvm_retry_sec":$freshJson,"queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
+
+/** One-query fresh-JVM measurer for [[Bench.freshJvmRetry]]: same session
+  * shape as the sweep (Bench.buildSession), one unmeasured warmup pass,
+  * hygiene reset, one timed pass with the prune-proof [[Bench.consume]]
+  * action, one machine-parseable line:
+  *   BENCH_ONE <name> <sec|-1.0>
+  * Runs via plain `java -cp` over the compiled classes dir plus the
+  * Spark jars dir, so the measurement starts from a cold heap/code cache.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = Bench.buildSession(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    val q = SparkEntry.queries(name)
+    try { Bench.consume(q(spark, sfDir)) }
+    catch { case scala.util.control.NonFatal(_) => () }
+    Bench.reset(spark)
+    val t0 = System.nanoTime()
+    val ok =
+      try { Bench.consume(q(spark, sfDir)); true }
+      catch { case _: Throwable => false }
+    val dt = (System.nanoTime() - t0) / 1e9
+    val sec = if (ok) "%.3f".formatLocal(java.util.Locale.ROOT, dt) else "-1.0"
+    println(s"BENCH_ONE $name $sec")
     spark.stop()
   }
 }

@@ -7,7 +7,53 @@ import org.scalatest.funsuite.AnyFunSuite
   * depends on (a silent mis-parse would disable the guard without any
   * visible signal).
   */
-class BenchSpec extends AnyFunSuite {
+class BenchSpec extends AnyFunSuite with SparkSpec {
+
+  test("consume: evaluates without pruning-sensitive shortcuts and " +
+      "handles array/binary/map output columns") {
+    // hash-on-map is banned by default; Bench.buildSession enables the
+    // legacy flag, so the shared test session must mirror it here
+    spark.conf.set("spark.sql.legacy.allowHashOnMapType", "true")
+    import spark.implicits._
+    val df = Seq((1, Seq(1.5, 2.5), Array[Byte](1, 2), Map("a" -> 1)))
+      .toDF("id", "arr", "bin", "m")
+    Bench.consume(df) // must not throw
+    // the action must consume EVERY column: a unique-key left join whose
+    // columns are only touched by consume() must actually execute — a
+    // .count() action lets Catalyst eliminate it entirely (r17 verdict
+    // #2). Assert at the optimized-plan level: under count() the join is
+    // gone; under consume()'s full-row hash it survives.
+    val base = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val dim = Seq((1, 10), (2, 20)).toDF("k", "extra")
+      .groupBy($"k").agg(org.apache.spark.sql.functions.max($"extra").as("extra"))
+    val joined = base.join(dim, Seq("k"), "left")
+    def optimizedHasJoin(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.nonEmpty
+    import org.apache.spark.sql.functions.{col, struct, xxhash64, expr}
+    val countShape = joined.groupBy().count()
+    val consumeShape = joined
+      .select(xxhash64(struct(col("*"))).as("h")).agg(expr("bit_xor(h)"))
+    assert(!optimizedHasJoin(countShape),
+      "count() over a unique-key left join should join-eliminate — if " +
+        "this starts failing the prune-proof rationale needs re-checking")
+    assert(optimizedHasJoin(consumeShape),
+      "consume()'s full-row hash must keep the join in the plan")
+  }
+
+  test("freshJvmRetry: parse contract matches BenchOne's output line") {
+    // the regex lives inline in freshJvmRetry; pin the line format both
+    // sides agree on so a drive-by reformat of BenchOne's println can't
+    // silently turn every fresh retry into None
+    val line = "BENCH_ONE graph_wcc 3.214"
+    val m = "BENCH_ONE graph_wcc ([-0-9.]+)".r.findFirstMatchIn(line)
+    assert(m.map(_.group(1).toDouble) === Some(3.214))
+    val fail = "BENCH_ONE graph_wcc -1.0"
+    val mf = "BENCH_ONE graph_wcc ([-0-9.]+)".r.findFirstMatchIn(fail)
+      .map(_.group(1).toDouble).filter(_ >= 0)
+    assert(mf === None, "failure sentinel must yield None, not a number")
+  }
 
   test("benchFullBaseline: parses queries_sec, ignores header numbers, " +
       "guards only at the recorded scale factor") {

@@ -14,7 +14,9 @@ out = {
     "sf": raw["sf"],
     "mode": "SPARK_GRAFT_BENCH_ALL=1, local[32], shuffle.partitions=32, "
             "one unmeasured warmup pass, best-of-2 timed passes, "
-            "session hygiene between queries (see graft.Bench)",
+            "prune-proof action agg(sum(xxhash64(struct(*)))) consuming "
+            "every output column, session hygiene between queries "
+            "(see graft.Bench)",
     "total_sec": raw["value"],
     "n_queries": len(qs),
     "failures": sorted(k for k, v in qs.items() if v < 0),
@@ -28,6 +30,10 @@ out = {
     # box/sweep noise; isolated still high is a real regression.
     "inflated": raw.get("inflated", []),
     "isolated_retry_sec": raw.get("isolated_retry_sec", {}),
+    # r17 verdict #1: flagged queries whose same-JVM isolated retry was
+    # still above the guard get ONE cold-JVM re-measure (graft.BenchOne)
+    # so pressure-vs-regression is adjudicated inside the artifact.
+    "fresh_jvm_retry_sec": raw.get("fresh_jvm_retry_sec", {}),
 }
 with open("BENCH_FULL.json", "w") as f:
     json.dump(out, f, indent=1)
