@@ -80,6 +80,10 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Dedup.bloomDecontam(docs, threshold)
     def prefixJaccardPairs(tNum: Long = 1L, tDen: Long = 2L): DataFrame =
       Dedup.prefixJaccardPairs(docs, tNum, tDen)
+    /** Arm-choosing Jaccard sweep: enumeration vs PPJoin by measured
+      * posting mass (r18). */
+    def jaccardPairsAuto(tNum: Long = 1L, tDen: Long = 2L): DataFrame =
+      Dedup.jaccardPairsAuto(docs, tNum, tDen)
     def crossDocSpans(n: Int = Dedup.SpanGram): DataFrame =
       Dedup.repeatedSpans(docs, n)
     def crossDocSpansHashed(n: Int = Dedup.SpanGram): DataFrame =
@@ -88,6 +92,13 @@ case class Engine(spark: SparkSession, dataDir: String) {
       Dedup.spanRemovalPlan(docs, n)
     def spanScrub(n: Int = Dedup.SpanGram): DataFrame =
       Dedup.spanScrub(docs, n)
+    /** The 8-byte-shuffle production feeds (r18): output-identical to
+      * the exact-fed forms by the hashed-candidate identity lemma. */
+    def spanRemovalPlanHashed(n: Int = Dedup.SpanGram): DataFrame =
+      Dedup.spanRemovalPlan(docs, n,
+        Some(Dedup.repeatedHitsHashed(docs, n)))
+    def spanScrubHashed(n: Int = Dedup.SpanGram): DataFrame =
+      Dedup.spanScrub(docs, n, Some(Dedup.scrubFlagsHashed(docs, n)))
     private def docs = Tables.documents(spark, dataDir)
   }
 

@@ -48,10 +48,16 @@ object Expectations {
       .select(lit("unique").as("rule"), lit(key).as("column"),
         col("n_bad"))
 
-  /** Referential-integrity check: child keys with no parent. */
+  /** Referential-integrity check: child keys with no parent. The parent
+    * side is a whole dimension — data-dependent, so the broadcast is
+    * advisor-gated (r17 verdict #4); the byte estimate is over the
+    * pruned key column (8 bytes/row), which is all the anti-join ships.
+    */
   def checkRef(child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame =
-    child.join(broadcast(parent),
+    child.join(
+        graft.plans.Layout.advisedBroadcast(
+          parent.select(parent(parentKey)), fixed = 8L),
         child(childKey) === parent(parentKey), "left_anti")
       .agg(count(lit(1)).as("n_bad"))
       .select(lit("ref_integrity").as("rule"),

@@ -146,7 +146,15 @@ object Dedup {
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select("shingle")
-    sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
+    // DATA-DEPENDENT side with no hint (r17 verdict #4): the over-cap
+    // head is bounded only by N/cap — corpus-sized in the limit — and
+    // re-deriving it for an exact-bytes planning scan would double the
+    // dominant shingle aggregate. AQE's runtime size statistics are the
+    // gate here: it converts the anti-join to broadcast exactly when
+    // the head's ACTUAL shuffle bytes fit, and the anti-join's shuffle
+    // partitioning on `shingle` is reused by the repartition below when
+    // it stays sort-merge.
+    sh.join(overCap, Seq("shingle"), "left_anti")
       .repartition(col("shingle"))
   }
 
@@ -168,8 +176,13 @@ object Dedup {
     * the combination blowup stay bounded at any scale.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-      maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    val kept = keptPostings(shingleIds(docs), maxShingleDf).persist()
+      maxShingleDf: Long = MaxShingleDf,
+      keptFrom: Option[DataFrame] = None): DataFrame = {
+    // keptFrom: a caller (jaccardPairsAuto) that already persisted the
+    // df-capped posting stream passes it in; ownership (unpersist)
+    // stays with the caller
+    val kept = keptFrom.getOrElse(
+      keptPostings(shingleIds(docs), maxShingleDf).persist())
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.groupBy("shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -190,7 +203,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
       .localCheckpoint(true))
-    kept.unpersist()
+    if (keptFrom.isEmpty) kept.unpersist()
     out
   }
 
@@ -290,10 +303,12 @@ object Dedup {
     * df-capped shingles.
     */
   def prefixJaccardPairs(docs: DataFrame, tNum: Long = 1L, tDen: Long = 2L,
-      maxShingleDf: Long = MaxShingleDf): DataFrame = {
+      maxShingleDf: Long = MaxShingleDf,
+      keptFrom: Option[DataFrame] = None): DataFrame = {
     require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
     val threshold = tNum.toDouble / tDen.toDouble
-    val kept = keptPostings(shingleIds(docs), maxShingleDf).persist()
+    val kept = keptFrom.getOrElse(
+      keptPostings(shingleIds(docs), maxShingleDf).persist())
     val dfs = kept.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("shingle"))
@@ -360,6 +375,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
       .localCheckpoint(true))
+    if (keptFrom.isEmpty) kept.unpersist()
+    out
+  }
+
+  /** CALIBRATED crossover for [[jaccardPairsAuto]], in naive-candidate
+    * rows (Σ C(df, 2) over the df-capped posting lists). Derivation
+    * from the r17 head-to-head at sf0.1 (honest numbers, see
+    * [[prefixJaccardPairs]]): at M = 1.27e6 candidates enumeration ran
+    * ≈1.9 s (≈1.5 µs/candidate all-in) while PPJoin ran ≈4.0 s, of
+    * which ≈3.8 s is mass-independent fixed cost (df join, rank
+    * window, min_by shuffle) and the rest scales with its ~10× smaller
+    * candidate head. Break-even: 1.5e-6·M = 3.8 + 1.5e-7·M → M ≈ 2.8e6;
+    * rounded to 3e6 so the default stays on the measured-winner side of
+    * the gap. A calibration ESTIMATE, not a law — the spec pins the
+    * choice function's behavior on both sides, not the constant.
+    */
+  val JaccardArmCrossover = 3000000L
+
+  /** Arm-choosing exact Jaccard pair sweep (r17 verdict #7): compute
+    * the naive candidate mass Σ df·(df−1)/2 from the SAME df aggregate
+    * [[keptPostings]] runs anyway, then run plain enumeration
+    * ([[ngramJaccardPairs]]) below [[JaccardArmCrossover]] and the
+    * PPJoin arm ([[prefixJaccardPairs]]) above it — the engine picks
+    * per corpus instead of per hardcode. Outputs are identical by the
+    * arms' existing equivalence lemma (DedupSpec asserts both arms and
+    * this chooser on both sides of the crossover), so the oracle twin
+    * is the naive arm's. The decision scan is one aggregate over the
+    * persisted posting stream both arms reuse via `keptFrom` — no
+    * recompute.
+    */
+  def jaccardPairsAuto(docs: DataFrame, tNum: Long = 1L, tDen: Long = 2L,
+      maxShingleDf: Long = MaxShingleDf,
+      crossover: Long = JaccardArmCrossover): DataFrame = {
+    val kept = keptPostings(shingleIds(docs), maxShingleDf).persist()
+    val mass = kept.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L))
+        .as("mass"))
+      .collect()(0).getLong(0)
+    val out =
+      if (mass <= crossover)
+        ngramJaccardPairs(docs, tNum.toDouble / tDen.toDouble,
+          maxShingleDf, keptFrom = Some(kept))
+      else prefixJaccardPairs(docs, tNum, tDen, maxShingleDf,
+        keptFrom = Some(kept))
     kept.unpersist()
     out
   }
@@ -444,14 +503,22 @@ object Dedup {
         col("n_dup_grams"))
   }
 
-  def repeatedSpans(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+  /** The exact flagged hit stream `(doc_id, i)` — every occurrence of a
+    * gram appearing in ≥ 2 distinct docs. The feed [[repeatedSpans]]
+    * coalesces and the default `hitsFrom` of [[spanRemovalPlan]].
+    */
+  private[graft] def repeatedHits(docs: DataFrame,
+      n: Int = SpanGram): DataFrame = {
     val pos = spanPositions(docs, n)
     val dup = pos.groupBy("gram")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
       .select("gram")
-    spansFromHits(pos.join(dup, Seq("gram")).select("doc_id", "i"), n)
+    pos.join(dup, Seq("gram")).select("doc_id", "i")
   }
+
+  def repeatedSpans(docs: DataFrame, n: Int = SpanGram): DataFrame =
+    spansFromHits(repeatedHits(docs, n), n)
 
   /** [[repeatedSpans]]' 100 TB arm: the candidate aggregate keys on the
     * 64-bit `xxhash64(gram)` instead of the literal n-token string — an
@@ -466,7 +533,15 @@ object Dedup {
     * identity; the oracle twin is the exact arm's — the hash never
     * reaches the output, so DuckDB needs no xxhash64.
     */
-  def repeatedSpansHashed(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+  /** [[repeatedHits]]' narrow-shuffle arm: identical output (the hash
+    * only SELECTS candidates; literal grams re-verify within the
+    * collision head — see [[repeatedSpansHashed]]'s identity argument),
+    * but the corpus-wide aggregate keys on 8 bytes. This is the stream
+    * the `hitsFrom` hooks exist for: at 100 TB the transform runs over
+    * THIS feed, and the exact arm is the fixture-oracle form.
+    */
+  private[graft] def repeatedHitsHashed(docs: DataFrame,
+      n: Int = SpanGram): DataFrame = {
     val pos = spanPositions(docs, n)
     val withH = pos.withColumn("h", xxhash64(col("gram")))
     val dupH = withH.groupBy("h")
@@ -478,8 +553,11 @@ object Dedup {
       .agg(countDistinct("doc_id").as("ndg"))
       .filter(col("ndg") >= 2)
       .select("h", "gram")
-    spansFromHits(cand.join(dup, Seq("h", "gram")).select("doc_id", "i"), n)
+    cand.join(dup, Seq("h", "gram")).select("doc_id", "i")
   }
+
+  def repeatedSpansHashed(docs: DataFrame, n: Int = SpanGram): DataFrame =
+    spansFromHits(repeatedHitsHashed(docs, n), n)
 
   /** The span-removal TRANSFORM itself — [[repeatedSpans]]' semantics
     * applied keep-one-copy. Counterpart of [[Corpus.despanDocuments]]
@@ -509,18 +587,71 @@ object Dedup {
     * canonical struct-min rides the same gram groupBy), a bounded
     * per-span position explode, one anti-join, and a per-doc rebuild
     * aggregate bounded by document length.
+    *
+    * `flagsFrom` (r17 verdict #3, the `candidatesFrom` precedent from
+    * [[Similarity.hardNegatives]]): inject a precomputed flagged-start
+    * stream `(doc_id, i)` — in production [[scrubFlagsHashed]], whose
+    * corpus-wide aggregate shuffles 8-byte hashes instead of literal
+    * n-token strings — so the TRANSFORM, not just the report family,
+    * has the narrow arm. Output-identity of the hashed feed is argued
+    * at [[scrubFlagsHashed]] and machine-checked in DedupSpec; the
+    * oracle twin is unchanged.
     */
-  def spanScrub(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+  /** [[spanScrub]]'s default flag stream: every NON-CANONICAL occurrence
+    * `(doc_id, i)` of a cross-doc duplicated gram (canonical = minimum
+    * (doc_id, i), an order-invariant struct-min riding the same gram
+    * aggregate — hot grams stay map-side combinable).
+    */
+  private[graft] def scrubFlags(docs: DataFrame,
+      n: Int = SpanGram): DataFrame = {
     val pos = spanPositions(docs, n)
     val dup = pos.groupBy("gram")
       .agg(countDistinct("doc_id").as("nd"),
         min(struct(col("doc_id"), col("i"))).as("canon"))
       .filter(col("nd") >= 2)
       .select(col("gram"), col("canon"))
-    val flagged = pos.join(dup, Seq("gram"))
+    pos.join(dup, Seq("gram"))
       .filter(!(col("doc_id") === col("canon.doc_id") &&
         col("i") === col("canon.i")))
       .select("doc_id", "i")
+  }
+
+  /** [[scrubFlags]]' narrow-shuffle arm, mirroring [[repeatedHitsHashed]]:
+    * the corpus-wide aggregate keys on `xxhash64(gram)` (8-byte shuffle
+    * rows) and the gram strings travel only for the collision head.
+    * Output is IDENTICAL to the exact arm: a gram g in ≥ 2 distinct docs
+    * makes its hash bucket pass `nd ≥ 2` (the hash count dominates the
+    * gram count), so ALL of g's occurrences reach the candidate stream —
+    * which means the per-(h, gram) re-verification sees g's full global
+    * occurrence set: `ndg` equals the exact arm's distinct-doc count and
+    * the struct-min canon equals the exact arm's global canon. Collision
+    * passengers form their own (h, gram′) groups and die on `ndg ≥ 2`
+    * unless genuinely duplicated. DedupSpec machine-checks the identity
+    * on the toy set and the sf0.001 fixture.
+    */
+  private[graft] def scrubFlagsHashed(docs: DataFrame,
+      n: Int = SpanGram): DataFrame = {
+    val pos = spanPositions(docs, n)
+    val withH = pos.withColumn("h", xxhash64(col("gram")))
+    val dupH = withH.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val cand = withH.join(dupH, Seq("h"))
+    val dup = cand.groupBy("h", "gram")
+      .agg(countDistinct("doc_id").as("ndg"),
+        min(struct(col("doc_id"), col("i"))).as("canon"))
+      .filter(col("ndg") >= 2)
+      .select(col("h"), col("gram"), col("canon"))
+    cand.join(dup, Seq("h", "gram"))
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("i") === col("canon.i")))
+      .select("doc_id", "i")
+  }
+
+  def spanScrub(docs: DataFrame, n: Int = SpanGram,
+      flagsFrom: Option[DataFrame] = None): DataFrame = {
+    val flagged = flagsFrom.getOrElse(scrubFlags(docs, n))
     val remove = spansFromHits(flagged, n)
       .select(col("doc_id"),
         explode(expr("sequence(span_start, span_end)")).as("j"))
@@ -546,21 +677,41 @@ object Dedup {
   }
 
   /** The span-removal ECONOMICS of [[repeatedSpans]] — per document:
-    * total tokens, tokens inside cross-doc repeated spans (islands are
-    * disjoint by construction, so the sum is the exact removable
-    * count), span count, and the removable share. This is the readout
-    * a curation run consults BEFORE committing to span removal: how
-    * much of the corpus is boilerplate, and whether it concentrates in
-    * few documents (cut the docs) or spreads thin (cut the spans).
-    * Docs with no repeated span report zeros rather than vanishing —
-    * the denominator matters. One extra keyed aggregate + a left join
+    * total tokens, tokens covered by cross-doc repeated spans, span
+    * count, and the removable share. This is the readout a curation run
+    * consults BEFORE committing to span removal: how much of the corpus
+    * is boilerplate, and whether it concentrates in few documents (cut
+    * the docs) or spreads thin (cut the spans).
+    *
+    * Island STARTS are disjoint, but their +n−1 EXTENTS are not:
+    * flagged gram starts 2..n−1 apart land in different islands whose
+    * token ranges intersect (starts 1 and 3 with start 2 clean cover
+    * [1,n] and [3,n+2] — 6 shared positions at n=8). `repeated_tokens`
+    * therefore counts DISTINCT covered positions — the same
+    * explode(sequence)->distinct device [[spanScrub]]'s remove stage
+    * uses — never a sum of `span_tokens`, which double-counts overlap
+    * and can push `repeated_share` past 1.0. `n_spans` stays the island
+    * count (distinct starts). Docs with no repeated span report zeros
+    * rather than vanishing — the denominator matters. One keyed
+    * aggregate over the bounded per-span position explode + a left join
     * back onto a narrow per-doc token count; the share is one IEEE
     * division of exact longs.
+    *
+    * `hitsFrom` (r17 verdict #3): inject a precomputed flagged-start
+    * stream — in production [[repeatedHitsHashed]]'s 8-byte-shuffle
+    * candidates — instead of the default exact [[repeatedHits]]; the
+    * hashed feed is output-identical by [[repeatedSpansHashed]]'s
+    * argument, so the oracle twin is shared.
     */
-  def spanRemovalPlan(docs: DataFrame, n: Int = SpanGram): DataFrame = {
-    val perDoc = repeatedSpans(docs, n).groupBy("doc_id")
-      .agg(sum("span_tokens").cast("long").as("repeated_tokens"),
-        count(lit(1)).as("n_spans"))
+  def spanRemovalPlan(docs: DataFrame, n: Int = SpanGram,
+      hitsFrom: Option[DataFrame] = None): DataFrame = {
+    val spans = spansFromHits(hitsFrom.getOrElse(repeatedHits(docs, n)), n)
+    val perDoc = spans
+      .select(col("doc_id"), col("span_start"),
+        explode(expr("sequence(span_start, span_end)")).as("j"))
+      .groupBy("doc_id")
+      .agg(countDistinct("j").cast("long").as("repeated_tokens"),
+        countDistinct("span_start").cast("long").as("n_spans"))
     docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -724,14 +875,21 @@ object Dedup {
     val bg = ngramIds(bench, n).persist()
     val bSizes = bg.groupBy(col("doc_id").as("bench_id"))
       .agg(count(lit(1)).as("bench_ngrams"))
+    // DATA-DEPENDENT broadcasts (r17 verdict #4): "benchmark sets are
+    // tiny" is an assumption about the CALLER's slice, not a bound by
+    // construction — both hints go through the exact-bytes advisor,
+    // whose planning scan is amortized by the persist() above
+    val bgSide = graft.plans.Layout.advisedBroadcast(bg.as("b"),
+      fixed = 16L)
     val shared = ngramIds(corpus, n).as("c")
-      .join(broadcast(bg.as("b")), col("c.ngram") === col("b.ngram"))
+      .join(bgSide, col("c.ngram") === col("b.ngram"))
       .groupBy(col("c.doc_id").as("corpus_id"),
         col("b.doc_id").as("bench_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
     val out = graft.CheckpointLease.track(shared
-      .join(broadcast(bSizes), Seq("bench_id"))
+      .join(graft.plans.Layout.advisedBroadcast(bSizes, fixed = 16L),
+        Seq("bench_id"))
       .withColumn("containment",
         col("shared_ngrams") * lit(1.0) / col("bench_ngrams"))
       .select("corpus_id", "bench_id", "shared_ngrams", "bench_ngrams",
@@ -1298,6 +1456,8 @@ object Dedup {
       ngramJaccardPairs(Tables.documents(s, d))),
     "dedup_prefix_jaccard" -> ((s, d) =>
       prefixJaccardPairs(Tables.documents(s, d))),
+    "dedup_jaccard_auto" -> ((s, d) =>
+      jaccardPairsAuto(Tables.documents(s, d))),
     "dedup_repeated_spans" -> ((s, d) =>
       repeatedSpans(Tables.documents(s, d))),
     "dedup_span_removal" -> ((s, d) =>
@@ -1306,6 +1466,18 @@ object Dedup {
       repeatedSpansHashed(Tables.documents(s, d))),
     "dedup_span_scrub" -> ((s, d) =>
       spanScrub(Tables.documents(s, d))),
+    // the hashed-fed transforms (r17 verdict #3): same outputs as their
+    // exact-fed counterparts — the hook swaps only the candidate
+    // aggregation's shuffle width — so the twins are shared verbatim
+    "dedup_scrub_hashed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      spanScrub(docs, SpanGram, Some(scrubFlagsHashed(docs, SpanGram)))
+    }),
+    "dedup_removal_hashed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      spanRemovalPlan(docs, SpanGram,
+        Some(repeatedHitsHashed(docs, SpanGram)))
+    }),
     "dedup_ngram_capped"  -> ((s, d) =>
       ngramJaccardPairsCapped(Tables.documents(s, d))),
     "dedup_containment"   -> ((s, d) =>
@@ -1729,19 +1901,10 @@ object Dedup {
        |         count(*) AS n_dup_grams
        |  FROM isl GROUP BY doc_id, isl)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
-    "dedup_incremental" -> duckIncrementalSql,
-    "dedup_repeated_spans" ->
-      s"""WITH $duckRepeatedSpanCtes
-         |SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams
-         |FROM spans""".stripMargin,
-    // identical output by construction (hash only selects candidates,
-    // literal grams re-verify): same twin as the exact arm
-    "dedup_spans_hashed" ->
-      s"""WITH $duckRepeatedSpanCtes
-         |SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams
-         |FROM spans""".stripMargin,
-    "dedup_span_scrub" ->
+  /** [[spanScrub]]'s twin — shared verbatim by the exact-fed and
+    * hashed-fed registrations (the hash never reaches the output).
+    */
+  private def duckSpanScrubSql: String =
       s"""WITH $duckSpanPosCtes,
          |dupc AS (
          |  SELECT gram, min({'doc_id': doc_id, 'i': i}) AS canon
@@ -1784,14 +1947,25 @@ object Dedup {
          |       CAST(len(toks) AS BIGINT) - coalesce(kept_tokens, 0)
          |         AS removed_tokens,
          |       coalesce(clean_text, '') AS clean_text
-         |FROM d LEFT JOIN rebuilt USING (doc_id)""".stripMargin,
-    "dedup_span_removal" ->
+         |FROM d LEFT JOIN rebuilt USING (doc_id)""".stripMargin
+
+  /** [[spanRemovalPlan]]'s twin — shared verbatim by the exact-fed and
+    * hashed-fed registrations.
+    */
+  private def duckSpanRemovalSql: String =
       s"""WITH $duckRepeatedSpanCtes,
+         |covered AS (
+         |  -- island extents can overlap (starts 2..n-1 apart): count
+         |  -- DISTINCT covered positions, never sum span_tokens
+         |  SELECT doc_id, span_start,
+         |         CAST(unnest(range(span_start, span_end + 1)) AS BIGINT)
+         |           AS j
+         |  FROM spans),
          |perdoc AS (
-         |  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT)
-         |           AS repeated_tokens,
-         |         count(*) AS n_spans
-         |  FROM spans GROUP BY 1)
+         |  SELECT doc_id,
+         |         CAST(count(DISTINCT j) AS BIGINT) AS repeated_tokens,
+         |         CAST(count(DISTINCT span_start) AS BIGINT) AS n_spans
+         |  FROM covered GROUP BY 1)
          |SELECT doc_id,
          |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          |       coalesce(repeated_tokens, 0) AS repeated_tokens,
@@ -1799,7 +1973,24 @@ object Dedup {
          |       CAST(coalesce(repeated_tokens, 0) AS DOUBLE) /
          |         CAST(len(string_split(text, ' ')) AS DOUBLE)
          |         AS repeated_share
-         |FROM documents LEFT JOIN perdoc USING (doc_id)""".stripMargin,
+         |FROM documents LEFT JOIN perdoc USING (doc_id)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_incremental" -> duckIncrementalSql,
+    "dedup_repeated_spans" ->
+      s"""WITH $duckRepeatedSpanCtes
+         |SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams
+         |FROM spans""".stripMargin,
+    // identical output by construction (hash only selects candidates,
+    // literal grams re-verify): same twin as the exact arm
+    "dedup_spans_hashed" ->
+      s"""WITH $duckRepeatedSpanCtes
+         |SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams
+         |FROM spans""".stripMargin,
+    "dedup_span_scrub" -> duckSpanScrubSql,
+    "dedup_scrub_hashed" -> duckSpanScrubSql,
+    "dedup_span_removal" -> duckSpanRemovalSql,
+    "dedup_removal_hashed" -> duckSpanRemovalSql,
     "dedup_minhash_md5" -> duckMinhashPortableSql,
     "dedup_source_matrix" ->
       s"""WITH $duckMinhashPairCtes,
@@ -1894,6 +2085,8 @@ object Dedup {
     // naive twin verbatim — any divergence is an engine bug, not a twin
     "dedup_prefix_jaccard" -> duckNgramJaccardSql,
     "dedup_ngram_jaccard" -> duckNgramJaccardSql,
+    // arm choice never changes the cut (equivalence lemma): same twin
+    "dedup_jaccard_auto" -> duckNgramJaccardSql,
     // the capped variant's oracle replicates the df cap: shingles in >5
     // docs are dropped from the index before sizes/intersections
     "dedup_ngram_capped" ->

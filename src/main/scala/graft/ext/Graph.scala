@@ -571,6 +571,13 @@ object Graph {
     * the other endpoint's edges — the restricted-support primitive of
     * [[edgeJaccard]]'s pruned path. `cand` must carry u, v, deg_u,
     * deg_v with u < v.
+    *
+    * Broadcast contract (r17 verdict #4 audit): `cand` is
+    * BOUNDED-BY-CONTRACT — every caller passes a top-k-capped candidate
+    * set (the degree-bound prune's survivors), never a corpus-sized
+    * frame, so the hint stays hardcoded; an advisor scan here would
+    * re-run the caller's whole prune pipeline to count rows it already
+    * bounded.
     */
   private def supportFor(cand: DataFrame, edges: DataFrame): DataFrame = {
     val a = when(col("deg_u") <= col("deg_v"), col("u")).otherwise(col("v"))
@@ -911,14 +918,22 @@ object Graph {
     var deg = graft.CheckpointLease.track(
       edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(false))
+    // DATA-DEPENDENT broadcasts (r17 verdict #4): dropped/decr are
+    // node-sized in the worst case (a first round can shed most of the
+    // graph), not bounded by construction — gated once on the node
+    // count, the bfsDistances device; deg is checkpointed so the count
+    // is one cheap scan, and dropped/decr are always ⊆ nodes
+    val n = deg.count()
+    def gate(df: DataFrame) =
+      if (n <= NodeBroadcastMaxRows) broadcast(df) else df
     var dropped = deg.filter(col("deg") < k).select("node")
     for (_ <- 1 until rounds) {
       val decr = edges
-        .join(broadcast(dropped.withColumnRenamed("node", "dst")), Seq("dst"))
+        .join(gate(dropped.withColumnRenamed("node", "dst")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("dec"))
       deg = graft.CheckpointLease.track(
-        deg.join(broadcast(dropped), Seq("node"), "left_anti")
-          .join(broadcast(decr), Seq("node"), "left")
+        deg.join(gate(dropped), Seq("node"), "left_anti")
+          .join(gate(decr), Seq("node"), "left")
           .select(col("node"),
             (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
           .localCheckpoint(false))
@@ -927,10 +942,10 @@ object Graph {
     // final round's delta IS the output: survivors with their in-core
     // degree (zero-degree survivors omitted, matching the groupBy form)
     val decr = edges
-      .join(broadcast(dropped.withColumnRenamed("node", "dst")), Seq("dst"))
+      .join(gate(dropped.withColumnRenamed("node", "dst")), Seq("dst"))
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("dec"))
-    deg.join(broadcast(dropped), Seq("node"), "left_anti")
-      .join(broadcast(decr), Seq("node"), "left")
+    deg.join(gate(dropped), Seq("node"), "left_anti")
+      .join(gate(decr), Seq("node"), "left")
       .select(col("node"),
         (col("deg") - coalesce(col("dec"), lit(0L))).as("core_deg"))
       .filter(col("core_deg") > 0)
@@ -1004,13 +1019,16 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
+    // supplier-sized sides, no hint (r17 verdict #4): a1 grows with the
+    // supplier dim and re-deriving it for a planning scan would re-run
+    // the edge join; AQE's runtime statistics gate the conversion
     val a1 = edges.groupBy("s").agg(count(lit(1)).as("a1"))
-    val h1 = edges.join(broadcast(a1), Seq("s"))
+    val h1 = edges.join(a1, Seq("s"))
       .groupBy("c").agg(sum("a1").as("h1"))
     edges.join(h1, Seq("c"))
       .groupBy("s")
       .agg(sum("h1").as("a2"))
-      .join(broadcast(a1), Seq("s"))
+      .join(a1, Seq("s"))
       .select(col("s").as("s_suppkey"), col("a1").as("indeg"), col("a2"))
   }
 

@@ -782,7 +782,12 @@ object Multimodal {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)
       .select("word_id", "fp")
-    val cand = fp.join(broadcast(hot), Seq("word_id", "fp"), "left_anti")
+    // DATA-DEPENDENT broadcast (r17 verdict #4): the hot-bucket head is
+    // bounded only by rows/maxBucket; advisor-gated — the planning scan
+    // re-aggregates the checkpointed fp, not the decode pipeline
+    val cand = fp.join(
+      graft.plans.Layout.advisedBroadcast(hot, fixed = 16L),
+      Seq("word_id", "fp"), "left_anti")
     val pairs = cand.as("a")
       .join(cand.as("b"),
         col("a.word_id") === col("b.word_id") &&
@@ -1041,7 +1046,11 @@ object Multimodal {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)
       .select(word.map(col): _*)
-    val cand = sig.join(broadcast(hot), word, "left_anti")
+    // advisor-gated like audioNearDupPairs' hot head (r17 verdict #4);
+    // the planning scan re-aggregates the checkpointed sig
+    val cand = sig.join(
+      graft.plans.Layout.advisedBroadcast(hot, fixed = 24L),
+      word, "left_anti")
     val pairs = cand.as("a")
       .join(cand.as("b"),
         col("a.shot_id") === col("b.shot_id") &&

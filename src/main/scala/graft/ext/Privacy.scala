@@ -325,9 +325,13 @@ object Privacy {
     val keys = customer
       .filter(col("c_custkey") % ErasureKeyModulus === 0)
       .select(col("c_custkey").as("k"))
-    val delCust = customer.join(broadcast(keys),
+    // DATA-DEPENDENT broadcast (r17 verdict #4): the request list is
+    // customer-proportional (1/ErasureKeyModulus of the dim), not
+    // bounded by construction — advisor-gated, one cheap key-column scan
+    val keysSide = graft.plans.Layout.advisedBroadcast(keys, fixed = 8L)
+    val delCust = customer.join(keysSide,
       col("c_custkey") === col("k"), "left_semi")
-    val delOrd = orders.join(broadcast(keys),
+    val delOrd = orders.join(keysSide,
       col("o_custkey") === col("k"), "left_semi")
     val delLi = lineitem.join(delOrd.select(col("o_orderkey").as("ok2")),
       col("l_orderkey") === col("ok2"), "left_semi")

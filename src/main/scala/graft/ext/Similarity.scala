@@ -2128,7 +2128,12 @@ object Similarity {
       "b", "bn")
     val corpus = withNorm(emb.filter(col("label") =!= benchLabel),
       "embedding", "en")
-    val sims = corpus.crossJoin(broadcast(bench))
+    // DATA-DEPENDENT broadcast (r17 verdict #4): the bench slice is a
+    // label's share of the corpus, not bounded by construction —
+    // advisor-gated at 272 B/row (id + 64×f32 embedding + norm); the
+    // planning scan is one pushed-filter pass over embeddings
+    val sims = corpus.crossJoin(
+      graft.plans.Layout.advisedBroadcast(bench, fixed = 272L))
       .select(col("vec_id"), col("label"), col("bench_id"),
         (dot(col("embedding"), col("b")) / (col("en") * col("bn")))
           .as("cosine"))
@@ -2165,7 +2170,9 @@ object Similarity {
       "b", "bn")
     val best = graft.CheckpointLease.track(
       withNorm(emb.filter(col("label") =!= benchLabel), "embedding", "en")
-        .crossJoin(broadcast(bench))
+        // advisor-gated like embeddingDecontam's bench side (r17 #4)
+        .crossJoin(graft.plans.Layout.advisedBroadcast(bench,
+          fixed = 272L))
         .select(col("vec_id"),
           (dot(col("embedding"), col("b")) / (col("en") * col("bn")))
             .as("cosine"))
@@ -2875,7 +2882,11 @@ object Similarity {
     val b = withNorm(e.filter(col("lang") === langB)
       .select(col("vec_id").as("b_id"), col("embedding").as("vb")),
       "vb", "nb")
-    val scored = broadcast(a).join(b, col("a_id") =!= col("b_id"))
+    // DATA-DEPENDENT broadcast (r17 verdict #4): the language-A slice
+    // scales with the corpus — advisor-gated at 272 B/row, like
+    // embeddingDecontam's bench side
+    val scored = graft.plans.Layout.advisedBroadcast(a, fixed = 272L)
+      .join(b, col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
         microUnits(dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .as("cos_e6"))

@@ -190,7 +190,11 @@ object TextAnalysis {
       .agg(countDistinct("doc_id").as("doc_freq"))
     val w = Window.partitionBy("lang")
       .orderBy(col("tf").desc, col("token"))
-    tf.join(broadcast(df), Seq("token"))
+    // vocabulary-sized side, no hint (r17 verdict #4): df grows with
+    // the corpus's distinct tokens, and an exact-bytes planning scan
+    // would re-run the tokenization; AQE's runtime shuffle statistics
+    // make the broadcast-vs-sort-merge call from actual bytes
+    tf.join(df, Seq("token"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("lang", "rnk", "token", "tf", "doc_freq")
@@ -245,7 +249,9 @@ object TextAnalysis {
     val df = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("doc_freq"), col("term"))
-    tf.join(broadcast(df), Seq("term"))
+    // vocabulary-sized side, no hint (r17 verdict #4): AQE gates it
+    // from actual shuffle bytes — see topTermsPerLang
+    tf.join(df, Seq("term"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("doc_id", "rnk", "term", "tf", "doc_freq")

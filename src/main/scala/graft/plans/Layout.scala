@@ -404,12 +404,31 @@ object Layout {
     * only, which is what makes a hardcoded-hint list safe to delete:
     * a dim that grows past 10 MiB at some SF silently flips from
     * broadcast to shuffle instead of OOMing every executor.
+    *
+    * The byte estimate is MEMOIZED per (session, analyzed-plan
+    * semantic hash, width spec) — r17 advice: with silver_part and
+    * gold_region_shares routed through this hook, every construction
+    * of those frames was re-running the blocking driver-side scan;
+    * now only the first construction in a session pays it. The
+    * documented staleness window: a dim rewritten IN PLACE mid-session
+    * keeps its old verdict until a new session (the same window Spark's
+    * own relation statistics have); fixture regeneration between
+    * driver runs always starts a fresh session.
     */
+  private val advisedBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def advisedBroadcast(df: DataFrame, fixed: Long,
       strCols: Seq[String] = Nil,
       thresholdBytes: Long = BroadcastThresholdBytes): DataFrame = {
-    val r = exactBytesAgg(df, strCols).collect()(0)
-    val bytes = r.getLong(0) * fixed + r.getLong(1)
+    val key = s"${System.identityHashCode(df.sparkSession)}:" +
+      s"${df.queryExecution.analyzed.semanticHash()}:$fixed:" +
+      strCols.mkString(",")
+    if (advisedBytesCache.size() > 4096) advisedBytesCache.clear()
+    val bytes = advisedBytesCache.computeIfAbsent(key, _ => {
+      val r = exactBytesAgg(df, strCols).collect()(0)
+      r.getLong(0) * fixed + r.getLong(1)
+    })
     if (bytes <= thresholdBytes) broadcast(df) else df
   }
 

@@ -119,20 +119,31 @@ object AnnIndex {
   }
 
   /** Dataset identity for the serve-only query's index dir: the
-    * embeddings table's FILE-LEVEL fingerprint (names + byte lengths +
-    * modification times, FNV-1a hashed) — driver-side FS metadata only,
-    * O(#files) with no data scan, so staleness detection costs nothing
-    * at corpus scale. A regenerated fixture (same path, new bytes)
-    * changes length/mtime → new fingerprint → new index dir → rebuild,
-    * which is what keeps a persisted serve artifact from silently
-    * answering for data it was not built on.
+    * embeddings table's FILE-LEVEL fingerprint (every LEAF file's
+    * dir-relative path + byte length + modification time, FNV-1a
+    * hashed) — driver-side FS metadata only, O(#files) with no data
+    * scan, so staleness detection costs nothing at corpus scale. A
+    * regenerated fixture (same path, new bytes) changes length/mtime →
+    * new fingerprint → new index dir → rebuild, which is what keeps a
+    * persisted serve artifact from silently answering for data it was
+    * not built on. The listing is RECURSIVE (r17 advice): a
+    * direct-children scan misses a leaf rewritten in place inside a
+    * partitioned layout, whose parent directory entry keeps its length
+    * and (on many filesystems) its mtime — the leaf's own metadata is
+    * what must feed the hash.
     */
   def datasetFingerprint(spark: SparkSession, sfDir: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listing = fs.listStatus(path).map(st =>
-        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("|")
+    val base = path.toString
+    val it = fs.listFiles(path, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
+      entries += s"$rel:${st.getLen}:${st.getModificationTime}"
+    }
+    val listing = entries.sorted.mkString("|")
     var h = 0xcbf29ce484222325L // FNV-1a 64-bit, stable across JVMs
     listing.foreach { ch => h ^= ch.toLong; h *= 0x100000001b3L }
     java.lang.Long.toHexString(h)
@@ -183,23 +194,74 @@ object AnnIndex {
     }),
     // SERVE-ONLY latency (r16 verdict #4): the other two lifecycle
     // queries time train+build+serve together; this one pays the
-    // pruned-scan serve cost alone once the artifact exists. Build runs
-    // IF AND ONLY IF no completed index matches the dataset fingerprint
-    // (codes/_SUCCESS is written last, so its presence implies the
-    // codebooks landed too) — in the bench, the unmeasured warmup pass
-    // absorbs the one-time build and the timed passes measure what a
-    // 100 TB deployment pays per query against a standing index.
+    // pruned-scan serve cost alone once the artifact exists — in the
+    // bench, the unmeasured warmup pass absorbs the one-time build and
+    // the timed passes measure what a 100 TB deployment pays per query
+    // against a standing index.
     "sim_serve_ivfpq" -> ((s, d) => {
       val e = graft.Tables.embeddings(s, d)
-      val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
-      val fp = datasetFingerprint(s, d)
-      val dir =
-        s"${sys.props("user.dir")}/target/ann-index/serve_${key}_$fp"
-      if (!new java.io.File(s"$dir/codes/_SUCCESS").exists())
-        buildIvfPq(e, dir)
-      serveIvfPqTopK(s, dir, e)
+      serveIvfPqTopK(s, ensureServeIndex(s, d), e)
     }),
   )
+
+  /** Resolve — building if absent — the standing fingerprint-keyed serve
+    * index for dataset `d`, returning its directory.
+    *
+    * Build-if-absent discipline (r17 advice): the completeness probe
+    * (`codes/_SUCCESS`, written last) goes through the SAME Hadoop
+    * FileSystem as the fingerprint instead of `java.io.File`, and the
+    * build lands in a `<dir>.__build` staging tree that is RENAMED into
+    * place — the unavoidable check-then-act window shrinks from "the
+    * whole multi-minute build" to one metadata-only rename, a crashed
+    * build strands only a staging tree (reclaimed by the next builder's
+    * sweep), and a concurrent loser's rename fails loudly against the
+    * winner's completed dir instead of interleaving writes into it.
+    *
+    * Stale-index GC (r17 verdict #6): each fixture regeneration changes
+    * the fingerprint and would strand the previous `serve_<key>_<fp>`
+    * tree forever. Before building, sibling dirs with the same dataset
+    * key and a DIFFERENT fingerprint (including orphaned `.__build`
+    * stagings) are swept through [[Scratch.deleteRecursivelyUnder]]'s
+    * strict-descendant guard; the live fingerprint's dir is never
+    * touched. The fingerprint suffix is hex, so the key parses back out
+    * of the dir name unambiguously (split at the LAST underscore) even
+    * when one sanitized dataset path is a prefix of another.
+    */
+  private[graft] def ensureServeIndex(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = datasetFingerprint(s, d)
+    val parent = s"${sys.props("user.dir")}/target/ann-index"
+    val dir = s"$parent/serve_${key}_$fp"
+    val done = new org.apache.hadoop.fs.Path(s"$dir/codes/_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      val live = s"serve_${key}_$fp"
+      Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
+        .filter { f =>
+          val name = f.getName
+          // orphaned stagings sweep too: strip the .__build suffix so
+          // their embedded key parses the same way
+          val bare = if (name.endsWith(".__build"))
+            name.dropRight(".__build".length) else name
+          val cut = bare.lastIndexOf('_')
+          name != live && bare.startsWith("serve_") && cut > 0 &&
+            bare.substring(0, cut) == s"serve_$key"
+        }
+        .foreach(fl =>
+          Scratch.deleteRecursivelyUnder(fl, Scratch.allowedRoots(s)))
+      val staged = new org.apache.hadoop.fs.Path(s"$dir.__build")
+      fs.delete(staged, true)
+      buildIvfPq(graft.Tables.embeddings(s, d), staged.toString)
+      if (!fs.rename(staged, new org.apache.hadoop.fs.Path(dir))) {
+        // a concurrent builder won: serve theirs iff complete
+        fs.delete(staged, true)
+        if (!fs.exists(done)) throw new java.io.IOException(
+          s"serve-index build lost the rename race to an incomplete " +
+            s"tree: $dir")
+      }
+    }
+    dir
+  }
 
   /** The stored path must serve IDENTICAL results to the in-memory
     * IVFADC under the same deterministically-trained codebooks — same

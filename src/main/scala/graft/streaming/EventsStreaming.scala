@@ -105,15 +105,24 @@ object EventsStreaming {
     ev.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Stream-static enrichment: each micro-batch joins the (broadcast)
-    * customer dimension — the standard fact-stream ⋈ dim pattern. No
-    * stream state at all: the static side re-resolves per batch, so a
+  /** Stream-static enrichment: each micro-batch joins the customer
+    * dimension — the standard fact-stream ⋈ dim pattern. No stream
+    * state at all: the static side re-resolves per batch, so a
     * refreshed dim table is picked up without restarting the query.
+    *
+    * DATA-DEPENDENT broadcast (r17 verdict #4): customer grows with
+    * scale factor — unlike the bounded codebook/calendar hints, a
+    * hardcoded `broadcast()` here OOMs executors once the dim passes
+    * the threshold, so the hint goes through the exact-bytes advisor
+    * (one planning-time scan of the projected dim; AQE cannot be the
+    * gate on a stream-static join).
     */
   def enrichStream(ev: DataFrame, cust: DataFrame): DataFrame =
     ev.join(
-      broadcast(cust.select(col("c_custkey").as("user_id"),
-        col("c_mktsegment"), col("c_nationkey"))),
+      graft.plans.Layout.advisedBroadcast(
+        cust.select(col("c_custkey").as("user_id"),
+          col("c_mktsegment"), col("c_nationkey")),
+        fixed = 12L, strCols = Seq("c_mktsegment")),
       Seq("user_id"), "left")
 
   /** Click→purchase attribution: every purchase within 30 minutes of a

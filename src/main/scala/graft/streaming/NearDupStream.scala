@@ -130,8 +130,13 @@ object NearDupStream {
     */
   def probeStaticIndex(newDocs: DataFrame,
       indexBands: DataFrame): DataFrame =
+    // DATA-DEPENDENT broadcast (r17 verdict #4): the band index grows
+    // with the indexed corpus, so the hint is advisor-gated (exact
+    // bytes, one planning scan of the static side — callers should pass
+    // a materialized index, which a standing serving index is anyway)
     bandedDocs(newDocs).toDF()
-      .join(broadcast(indexBands), Seq("band_hash"))
+      .join(graft.plans.Layout.advisedBroadcast(indexBands, fixed = 16L),
+        Seq("band_hash"))
       .select(col("doc_id").as("new_doc_id"), col("index_doc_id"),
         col("band_hash"))
 }

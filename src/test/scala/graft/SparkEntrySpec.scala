@@ -37,7 +37,7 @@ class SparkEntrySpec extends SparkSpec {
     * means a module map lost entries.
     */
   test("registered query count matches the documented surface") {
-    assert(SparkEntry.queries.size === 376)
+    assert(SparkEntry.queries.size === 379)
   }
 
   test("every oracle key refers to a registered query") {

@@ -320,6 +320,13 @@ class DedupSpec extends SparkSpec {
     val d = docs(
       1L -> "a b c d e", 2L -> "a b c d e", 3L -> "p q r s t")
     val kept = Dedup.keptPostings(Dedup.shingleIds(d), 5L)
+    // the over-cap head carries no hint since r18 (data-dependent side,
+    // r17 verdict #4): the size-statistics machinery (static estimate
+    // here, AQE runtime stats once inputs are estimate-opaque) makes
+    // the broadcast call. collect() — not count(), which builds a
+    // SEPARATE query execution — so this frame's own adaptive plan is
+    // the one finalized and inspected.
+    kept.collect()
     val plan = kept.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"df cap must not ride a window (hot-key co-location): $plan")
@@ -328,10 +335,11 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"df count must partial-aggregate map-side: $plan")
-    // ...and the over-cap head is probed map-side, never shuffled
+    // ...and the hint-free over-cap head is still probed map-side on a
+    // small head — the stats machinery must pick the broadcast anti-join
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftAnti"),
-      s"over-cap drop must be a broadcast anti-join: $plan")
+      s"over-cap drop must stats-convert to a broadcast anti-join: $plan")
     // kept universe identical to the windowed definition
     val all = kept.select("doc_id").as[Long].collect()
     assert(all.length === 9 && all.toSet === Set(1L, 2L, 3L))
@@ -436,6 +444,92 @@ class DedupSpec extends SparkSpec {
     assert(r(2L) === ((2L, 10L, 8L, 1L, 0.8)))
     assert(r(3L)._3 === 0L && r(3L)._5 === 0.0)
     assert(r(4L) === ((4L, 3L, 0L, 0L, 0.0)))
+  }
+
+  test("spanRemovalPlan: overlapping island extents count covered " +
+      "positions once — repeated_share can never exceed 1.0") {
+    // doc 1's grams at starts 1 and 3 are cross-doc duplicated, start 2
+    // is clean: two islands [1,8] and [3,10] overlapping on 3..8. A
+    // span_tokens SUM would report 16 of 10 tokens (share 1.6); distinct
+    // covered positions give the true 10 (r17 advice).
+    val d = docs(
+      1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10",
+      2L -> "t1 t2 t3 t4 t5 t6 t7 t8 x y",   // shares doc1's start-1 gram
+      3L -> "u v t3 t4 t5 t6 t7 t8 t9 t10")  // shares doc1's start-3 gram
+    val r = Dedup.spanRemovalPlan(d)
+      .select("doc_id", "n_tokens", "repeated_tokens", "n_spans",
+        "repeated_share")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 10L, 10L, 2L, 1.0)))
+    assert(r(2L) === ((2L, 10L, 8L, 1L, 0.8)))
+    assert(r(3L) === ((3L, 10L, 8L, 1L, 0.8)))
+  }
+
+  test("hashed-fed spanScrub and spanRemovalPlan are output-identical " +
+      "to the exact-fed arms on the toy set and the sf0.001 fixture") {
+    // r17 verdict #3: the hooks swap ONLY the candidate aggregation's
+    // shuffle width (8-byte gram hashes vs literal n-token strings);
+    // the identity argument lives at scrubFlagsHashed/repeatedHitsHashed
+    // and is machine-checked here on both fixtures
+    val toy = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h x y",
+      3L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10",
+      4L -> "u v t3 t4 t5 t6 t7 t8 t9 t10",  // overlapping-extent case
+      5L -> "s1 s2 s3")
+    def scrubKey(d: org.apache.spark.sql.DataFrame) = {
+      val exact = Dedup.spanScrub(d)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val hashed = Dedup.spanScrub(d, Dedup.SpanGram,
+          Some(Dedup.scrubFlagsHashed(d, Dedup.SpanGram)))
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      (exact, hashed)
+    }
+    def planKey(d: org.apache.spark.sql.DataFrame) = {
+      val exact = Dedup.spanRemovalPlan(d)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val hashed = Dedup.spanRemovalPlan(d, Dedup.SpanGram,
+          Some(Dedup.repeatedHitsHashed(d, Dedup.SpanGram)))
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      (exact, hashed)
+    }
+    val (se, sh) = scrubKey(toy)
+    assert(sh === se)
+    val (pe, ph) = planKey(toy)
+    assert(ph === pe)
+    val full = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (fse, fsh) = scrubKey(full)
+    assert(fsh === fse)
+    assert(fse.exists(_._4 > 0L), "fixture must exercise the scrub path")
+    val (fpe, fph) = planKey(full)
+    assert(fph === fpe)
+  }
+
+  test("jaccardPairsAuto: identical output on BOTH sides of the " +
+      "crossover, and the default constant is the documented value") {
+    // r17 verdict #7: the chooser must be spec'd on both sides — force
+    // each arm by pinning the crossover at the extremes and assert the
+    // cut is the (already lemma-equal) pair set either way
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x",
+      3L -> "a b c d e f g h",
+      4L -> "p q r s t u v w")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val naive = key(Dedup.ngramJaccardPairs(d))
+    val viaEnum = key(Dedup.jaccardPairsAuto(d, crossover = Long.MaxValue))
+    val viaPrefix = key(Dedup.jaccardPairsAuto(d, crossover = 0L))
+    graft.CheckpointLease.releaseAll()
+    assert(viaEnum === naive, "below the crossover: enumeration arm")
+    assert(viaPrefix === naive, "above the crossover: PPJoin arm")
+    assert(naive.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L),
+      (2L, 3L)))
+    // the documented default — a drive-by change must update the
+    // calibration derivation in the scaladoc with it
+    assert(Dedup.JaccardArmCrossover === 3000000L)
   }
 
   test("prefixJaccardPairs: toy near-dups and exact dups cut identically " +

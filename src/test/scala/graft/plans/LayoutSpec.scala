@@ -217,6 +217,74 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("broadcast-hint audit cannot drift: per-file raw (bounded or " +
+      "count-gated) and advisor-routed hint counts match the r18 audit") {
+    // r17 verdict #4: every broadcast() hint in src/main was classified.
+    // RAW hints are bounded-by-construction (codebooks, K/M×K tables,
+    // NQueries/top-k/limit slices, calendars, single-row aggregates,
+    // constant-bucket tables, TPC-H-fixed nation/region) or count-gated
+    // in place (Graph's NodeBroadcastMaxRows/broadcastMaxEdges gates,
+    // supportFor's bounded-by-contract cand). ADVISED hints are the
+    // data-dependent set routed through Layout.advisedBroadcast
+    // (corpus/dim-proportional sides: enrichStream's customer dim,
+    // probeStaticIndex's band index, containmentPairs' bg/bSizes,
+    // Multimodal's hot heads, erasureAudit's key list, checkRef's
+    // parent keys, the embedding label/language slices, q8/q17/q15's
+    // dim aggregates, Silver/Gold's dims). Three data-dependent sites
+    // carry NO hint at all by design — keptPostings' overCap,
+    // topTermsPerLang/keywords' vocabulary df, hits' a1 — because an
+    // exact-bytes planning scan would re-run their expensive upstream;
+    // AQE's runtime statistics gate those. A new broadcast( anywhere
+    // fails this pin until it is classified here.
+    val expected = Map(
+      "etl/Expectations.scala" -> (0, 1),
+      "etl/Gold.scala" -> (0, 1),
+      "etl/Relational.scala" -> (16, 7),
+      "etl/Silver.scala" -> (0, 1),
+      "etl/TimeSeries.scala" -> (21, 0),
+      "ext/Components.scala" -> (1, 0),
+      "ext/Corpus.scala" -> (9, 0),
+      "ext/Curation.scala" -> (3, 0),
+      "ext/Dedup.scala" -> (4, 2),
+      "ext/Experiment.scala" -> (1, 0),
+      "ext/Graph.scala" -> (27, 0),
+      "ext/HeavyHitters.scala" -> (4, 0),
+      "ext/Multimodal.scala" -> (0, 2),
+      "ext/Privacy.scala" -> (7, 1),
+      "ext/Quality.scala" -> (13, 0),
+      "ext/Retail.scala" -> (9, 0),
+      "ext/Similarity.scala" -> (41, 3),
+      "ext/Stats.scala" -> (19, 0),
+      "ext/TextAnalysis.scala" -> (13, 0),
+      "operators/SkewJoin.scala" -> (1, 0),
+      "plans/Layout.scala" -> (6, 1),
+      "streaming/EventsStreaming.scala" -> (0, 1),
+      "streaming/NearDupStream.scala" -> (0, 1))
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val actual = scala.collection.mutable.Map.empty[String, (Int, Int)]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        // explicit UTF-8: the forked test JVM's default charset is
+        // POSIX, and the scaladocs carry UTF-8 punctuation
+        val code = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).linesIterator
+          .filterNot { ln =>
+            val t = ln.dropWhile(_.isWhitespace)
+            t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
+          }
+          .mkString("\n").replace("advisedBroadcast(", "@ADV(")
+        def cnt(needle: String) =
+          code.sliding(needle.length).count(_ == needle)
+        val (r, a) = (cnt("broadcast("), cnt("@ADV("))
+        if (r > 0 || a > 0)
+          actual(root.relativize(p).toString) = (r, a)
+      }
+    }
+    assert(actual.toMap === expected,
+      "broadcast-hint inventory drifted — classify the new/changed " +
+        "site (bounded? count-gated? advisor-routed?) and update the pin")
+  }
+
   test("bloomSkipAudit: present keys always pass their shard's bloom; " +
       "absent keys skip unless both bit positions collide") {
     // two month shards; probe keys are multiples of 997

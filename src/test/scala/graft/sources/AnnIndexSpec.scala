@@ -177,4 +177,65 @@ class AnnIndexSpec extends SparkSpec {
     val fpB = AnnIndex.datasetFingerprint(spark, fake.getPath)
     assert(fpA !== fpB, "an mtime change must flip the fingerprint")
   }
+
+  test("datasetFingerprint sees a leaf rewritten inside a nested " +
+      "layout (recursive listing, r17 advice)") {
+    val fake = new java.io.File(
+      s"${sys.props("user.dir")}/target/ann-index-spec/nesteddata")
+    val leafDir = new java.io.File(fake, "embeddings.parquet/p=1")
+    leafDir.mkdirs()
+    val leaf = new java.io.File(leafDir, "part-00000.parquet")
+    java.nio.file.Files.write(leaf.toPath, Array[Byte](1, 2, 3))
+    leaf.setLastModified(1000000000000L)
+    // pin the PARENT dirs' mtimes so only the leaf's own metadata can
+    // distinguish the two fingerprints — the in-place-rewrite scenario
+    new java.io.File(fake, "embeddings.parquet").setLastModified(999L)
+    leafDir.setLastModified(999L)
+    val before = AnnIndex.datasetFingerprint(spark, fake.getPath)
+    leaf.setLastModified(1100000000000L)
+    new java.io.File(fake, "embeddings.parquet").setLastModified(999L)
+    leafDir.setLastModified(999L)
+    val after = AnnIndex.datasetFingerprint(spark, fake.getPath)
+    assert(before !== after,
+      "a leaf-only rewrite in a partitioned layout must flip the key")
+  }
+
+  test("ensureServeIndex GCs stale fingerprints of the same dataset at " +
+      "build time; other keys and the live dir are untouched") {
+    val sf = "/root/testdata/sf0.001"
+    val key = sf.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = AnnIndex.datasetFingerprint(spark, sf)
+    val parent = new java.io.File(
+      s"${sys.props("user.dir")}/target/ann-index")
+    def plant(name: String): java.io.File = {
+      val d = new java.io.File(parent, s"$name/codes")
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "_SUCCESS").toPath, Array[Byte]())
+      new java.io.File(parent, name)
+    }
+    val staleA = plant(s"serve_${key}_deadbeef")
+    val staleB = plant(s"serve_${key}_cafe.__build") // orphaned staging
+    // one sanitized path being a PREFIX of another must not cross-GC:
+    // this is a different dataset key, not a stale fingerprint of ours
+    val otherKey = plant(s"serve_${key}_extra_feed")
+    // force a build so the GC-at-build-time path runs
+    graft.sources.Scratch.deleteRecursivelyUnder(
+      new java.io.File(parent, s"serve_${key}_$fp"),
+      graft.sources.Scratch.allowedRoots(spark))
+    val dir = AnnIndex.ensureServeIndex(spark, sf)
+    graft.CheckpointLease.releaseAll()
+    assert(!staleA.exists(), "stale same-key fingerprint must be swept")
+    assert(!staleB.exists(), "orphaned staging must be swept")
+    assert(otherKey.exists(),
+      "a longer key sharing this key as a prefix must survive")
+    assert(new java.io.File(s"$dir/codes/_SUCCESS").exists(),
+      "the rebuilt live index must be complete")
+    // second call: standing artifact, no GC, no rebuild
+    val mtime = new java.io.File(dir).lastModified()
+    assert(AnnIndex.ensureServeIndex(spark, sf) === dir)
+    assert(new java.io.File(dir).lastModified() === mtime)
+    graft.sources.Scratch.deleteRecursivelyUnder(
+      otherKey, graft.sources.Scratch.allowedRoots(spark))
+  }
 }
