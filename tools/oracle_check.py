@@ -74,10 +74,14 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             failures += 1
             continue
         print(f"PASS {name} ({len(got)} rows)")
-    # queries with no oracle → rows-only smoke
+    # queries with no oracle → rows-only smoke; under an `only` subset,
+    # restrict this sweep too (a chunked caller's per-query verdict must
+    # not inherit every other query's rows-only state)
     import os
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
+        if only is not None and name not in only:
+            continue
         if name not in oracle:
             n = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{d}/*.parquet"))
             print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only, {n} rows)")
