@@ -139,12 +139,23 @@ object Relational {
     * merge-of-groups == direct whole-table sketch.
     */
   def hllSketchMerge(li: DataFrame): DataFrame = {
-    val perGroup = li.groupBy("l_returnflag")
-      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
-        countDistinct("l_orderkey").as("exact_orders"))
-    val merged = perGroup.agg(
+    // two separate fixes the prune-proof bench motivated (3.2 s → ~2.2 s
+    // at sf0.1; the irreducible remainder IS the sketch aggregation):
+    // the sketch and the exact count live in SEPARATE aggregates (the
+    // [[approxDistinct]] Expand argument — a distinct + non-distinct mix
+    // doubles every input row), and the 3-row sketch table is
+    // checkpoint-materialized ONCE because both the per-group estimate
+    // and the merged-union estimate consume it — un-materialized, the
+    // full sketch aggregation ran twice.
+    val keyed = li.select(col("l_returnflag"), col("l_orderkey"))
+    val sk = graft.CheckpointLease.track(keyed.groupBy("l_returnflag")
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      .localCheckpoint())
+    val exact = keyed.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("exact_orders"))
+    val merged = sk.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-    perGroup
+    sk.join(broadcast(exact), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         col("exact_orders"),
         hll_sketch_estimate(col("sk")).as("est_orders"))

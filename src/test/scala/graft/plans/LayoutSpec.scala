@@ -239,7 +239,7 @@ class LayoutSpec extends SparkSpec {
     val expected = Map(
       "etl/Expectations.scala" -> (0, 1),
       "etl/Gold.scala" -> (0, 1),
-      "etl/Relational.scala" -> (17, 7),
+      "etl/Relational.scala" -> (18, 7),
       "etl/Silver.scala" -> (0, 1),
       "etl/TimeSeries.scala" -> (21, 0),
       "ext/Components.scala" -> (1, 0),
