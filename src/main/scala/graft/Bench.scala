@@ -59,8 +59,19 @@ object Bench {
     * Best-effort: missing classes dir, spawn failure, timeout or an
     * unparseable line all yield None rather than poisoning the sweep.
     */
+  /** Warmup passes the fresh-JVM tier runs before its timed pass. One
+    * pass absorbs codegen compile + file-index caches but NOT cold code
+    * cache for iterative queries (r18 measured graph_clustering at
+    * 25.5 s cold-under-sweep / 6.8 s cold-idle / 4.9 s steady with one
+    * warmup) — so the tier could adjudicate direction but not magnitude.
+    * Three warmups let C2 reach steady state on the loop bodies, so the
+    * recorded fresh number IS the pass-4 steady state. The count rides
+    * in the bench JSON (`fresh_jvm_warmups`) so the artifact documents k.
+    */
+  val FreshJvmWarmups = 3
+
   def freshJvmRetry(name: String, sfDir: String, cpus: Int,
-      timeoutSec: Long = 600): Option[Double] =
+      timeoutSec: Long = 600, warmups: Int = FreshJvmWarmups): Option[Double] =
     try {
       val classes = sys.env.get("SPARK_GRAFT_CLASSES_DIR")
         .getOrElse("target/scala-2.13/classes")
@@ -70,7 +81,7 @@ object Bench {
         .defaultModuleOptions().split("\\s+").filter(_.nonEmpty).toSeq
       val cmd = (javaBin +: moduleOpts) ++
         Seq("-Xmx24g", "-cp", s"$classes:/opt/spark/jars/*",
-          "graft.BenchOne", name)
+          "graft.BenchOne", name, warmups.toString)
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus.toString)
@@ -292,30 +303,37 @@ object Bench {
     // poisoned sweep explicit instead of quietly shrinking the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"cpus":$cpus,"inflated":$inflatedList,"isolated_retry_sec":$isoJson,"fresh_jvm_retry_sec":$freshJson,"queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"cpus":$cpus,"inflated":$inflatedList,"isolated_retry_sec":$isoJson,"fresh_jvm_retry_sec":$freshJson,"fresh_jvm_warmups":$FreshJvmWarmups,"queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
 
 /** One-query fresh-JVM measurer for [[Bench.freshJvmRetry]]: same session
-  * shape as the sweep (Bench.buildSession), one unmeasured warmup pass,
-  * hygiene reset, one timed pass with the prune-proof [[Bench.consume]]
-  * action, one machine-parseable line:
+  * shape as the sweep (Bench.buildSession), `k` unmeasured warmup passes
+  * (args(1), default 1 — the retry tier passes
+  * [[Bench.FreshJvmWarmups]]), hygiene reset between passes, one timed
+  * pass with the prune-proof [[Bench.consume]] action, one
+  * machine-parseable line:
   *   BENCH_ONE <name> <sec|-1.0>
   * Runs via plain `java -cp` over the compiled classes dir plus the
-  * Spark jars dir, so the measurement starts from a cold heap/code cache.
+  * Spark jars dir, so the measurement starts from a cold heap/code cache
+  * — and with k≥3 warmups the timed pass is the pass-(k+1) steady state,
+  * not a cold-code-cache number (r18 magnitude caveat, retired).
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
+    val warmups = args.lift(1).map(_.toInt).getOrElse(1).max(0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Bench.buildSession(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val q = SparkEntry.queries(name)
-    try { Bench.consume(q(spark, sfDir)) }
-    catch { case scala.util.control.NonFatal(_) => () }
-    Bench.reset(spark)
+    (1 to warmups).foreach { _ =>
+      try { Bench.consume(q(spark, sfDir)) }
+      catch { case scala.util.control.NonFatal(_) => () }
+      Bench.reset(spark)
+    }
     val t0 = System.nanoTime()
     val ok =
       try { Bench.consume(q(spark, sfDir)); true }

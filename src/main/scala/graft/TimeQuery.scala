@@ -42,22 +42,25 @@ object TimeQuery {
       graft.etl.Relational.lastRecursionPhases = Map.empty
       Bench.consume(SparkEntry.queries(n)(spark, sfDir)) // warmup
       reset()
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { rep =>
+        graft.etl.Relational.lastRecursionPhases = Map.empty
         val t0 = System.nanoTime()
         Bench.consume(SparkEntry.queries(n)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         reset()
+        // recursion-surface queries publish a phase ledger: print it
+        // PER REP so a pass-over-pass drift (r18 verdict: sql_recursive's
+        // in-sweep passes rose monotonically) is attributable to a
+        // specific phase straight from this tool's output — the
+        // machine-checked form of the sql_recursive cost contract
+        // (see RelationalSpec)
+        val phases = graft.etl.Relational.lastRecursionPhases
+        if (phases.nonEmpty)
+          println(s"PHASES $n[$rep]: " + phases.map { case (k, v) =>
+            f"$k=$v%.2f" }.mkString(" ") + " s")
         dt
       }
       println(f"TIME $n: ${times.map(t => f"$t%.2f").mkString(", ")} s")
-      // recursion-surface queries publish a phase ledger: print it so
-      // a slow number is attributable (pair derivation vs recursion
-      // floors) straight from this tool's output — the machine-checked
-      // form of the sql_recursive cost contract (see RelationalSpec)
-      val phases = graft.etl.Relational.lastRecursionPhases
-      if (phases.nonEmpty)
-        println("PHASES " + n + ": " + phases.map { case (k, v) =>
-          f"$k=$v%.2f" }.mkString(" ") + " s")
     }
     spark.stop()
   }

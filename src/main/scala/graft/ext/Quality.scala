@@ -37,7 +37,26 @@ object Quality {
           (col("__rows") - col("__nn")).as("n_nulls"),
           col("n_distinct"), col("min_str"), col("max_str"))
     }
-    arms.reduce(_ unionAll _)
+    // a zero-column frame has no arms to union (reduce would throw);
+    // return an empty result with the profile schema, as the old
+    // explode-based implementation did
+    if (arms.isEmpty) {
+      val s = df.sparkSession
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("column",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_nulls",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_distinct",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("min_str",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("max_str",
+            org.apache.spark.sql.types.StringType))))
+    } else arms.reduce(_ unionAll _)
   }
 
   /** Percentile-bound outlier detection: orders outside [p1, p99] of

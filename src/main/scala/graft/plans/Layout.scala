@@ -418,10 +418,23 @@ object Layout {
   private val advisedBytesCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  // Stable per-session token, NOT identityHashCode (r18 advice): identity
+  // hashes can be reused after a session is GC'd in the same JVM, and a
+  // path-scan plan's semanticHash is stable across sessions, so a
+  // regenerated fixture read in a later session could reuse a stale byte
+  // verdict. A WeakHashMap keyed on the session object issues each LIVE
+  // session one UUID; a dead session's entry vanishes with it, so an
+  // identity-reused successor always draws a fresh token.
+  private val sessionToken =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+
   def advisedBroadcast(df: DataFrame, fixed: Long,
       strCols: Seq[String] = Nil,
       thresholdBytes: Long = BroadcastThresholdBytes): DataFrame = {
-    val key = s"${System.identityHashCode(df.sparkSession)}:" +
+    val tok = sessionToken.computeIfAbsent(df.sparkSession,
+      _ => java.util.UUID.randomUUID().toString)
+    val key = s"$tok:" +
       s"${df.queryExecution.analyzed.semanticHash()}:$fixed:" +
       strCols.mkString(",")
     if (advisedBytesCache.size() > 4096) advisedBytesCache.clear()

@@ -239,17 +239,33 @@ object AnnIndex {
       Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
         .filter { f =>
           val name = f.getName
-          // orphaned stagings sweep too: strip the .__build suffix so
-          // their embedded key parses the same way
+          // orphaned stagings sweep too: strip the .<nonce>.__build
+          // suffix so their embedded key parses the same way
           val bare = if (name.endsWith(".__build"))
             name.dropRight(".__build".length) else name
           val cut = bare.lastIndexOf('_')
+          // same-fingerprint stagings are EXCLUDED from the sweep: with
+          // per-builder staging paths a sibling `serve_<key>_<fp>.<nonce>`
+          // entry may be a live concurrent build of this very index —
+          // deleting it mid-write is exactly the interleaving the unique
+          // paths exist to prevent. A crashed same-fp staging leaks only
+          // until the next fingerprint change, when it matches here.
           name != live && bare.startsWith("serve_") && cut > 0 &&
-            bare.substring(0, cut) == s"serve_$key"
+            bare.substring(0, cut) == s"serve_$key" &&
+            bare != live && !bare.startsWith(live + ".")
         }
         .foreach(fl =>
           Scratch.deleteRecursivelyUnder(fl, Scratch.allowedRoots(s)))
-      val staged = new org.apache.hadoop.fs.Path(s"$dir.__build")
+      // per-builder staging path (PID + nonce): all builders sharing ONE
+      // <dir>.__build tree meant two concurrent driver processes could
+      // interleave writes and rename a MIXED tree whose codes/_SUCCESS
+      // exists — the rename race only protects builders that never share
+      // a staging tree. The orphan sweep above still reclaims crashed
+      // stagings of any suffix (the `.__build` check is endsWith-based
+      // over the fingerprinted prefix).
+      val nonce = s"${ProcessHandle.current().pid()}-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val staged = new org.apache.hadoop.fs.Path(s"$dir.$nonce.__build")
       fs.delete(staged, true)
       buildIvfPq(graft.Tables.embeddings(s, d), staged.toString)
       if (!fs.rename(staged, new org.apache.hadoop.fs.Path(dir))) {

@@ -12,12 +12,23 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
   test("consume: evaluates without pruning-sensitive shortcuts and " +
       "handles array/binary/map output columns") {
     // hash-on-map is banned by default; Bench.buildSession enables the
-    // legacy flag, so the shared test session must mirror it here
-    spark.conf.set("spark.sql.legacy.allowHashOnMapType", "true")
+    // legacy flag, so the shared test session must mirror it here —
+    // and RESTORE it after (r18 advice: leaking the legacy flag into
+    // suites sharing the session made hash-on-map order-dependent)
+    val flag = "spark.sql.legacy.allowHashOnMapType"
+    val prior = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
     import spark.implicits._
-    val df = Seq((1, Seq(1.5, 2.5), Array[Byte](1, 2), Map("a" -> 1)))
-      .toDF("id", "arr", "bin", "m")
-    Bench.consume(df) // must not throw
+    try {
+      val df = Seq((1, Seq(1.5, 2.5), Array[Byte](1, 2), Map("a" -> 1)))
+        .toDF("id", "arr", "bin", "m")
+      Bench.consume(df) // must not throw
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(flag, v)
+        case None => spark.conf.unset(flag)
+      }
+    }
     // the action must consume EVERY column: a unique-key left join whose
     // columns are only touched by consume() must actually execute — a
     // .count() action lets Catalyst eliminate it entirely (r17 verdict

@@ -6,6 +6,15 @@ import org.apache.spark.sql.functions.col
 class QualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("profile: zero-column frame returns an empty profile, not a " +
+      "reduce-on-empty throw (r18 advice)") {
+    val zero = spark.range(3).drop("id")
+    val p = Quality.profile(zero)
+    assert(p.columns.toSeq === Seq("column", "n_rows", "n_nulls",
+      "n_distinct", "min_str", "max_str"))
+    assert(p.count() === 0L)
+  }
+
   test("fkAudit: planted orphan is counted; clean edge passes; " +
       "fixture FK graph is fully consistent") {
     val fact = Seq((1L, 10L), (2L, 10L), (3L, 99L))

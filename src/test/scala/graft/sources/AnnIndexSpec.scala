@@ -219,6 +219,10 @@ class AnnIndexSpec extends SparkSpec {
     // one sanitized path being a PREFIX of another must not cross-GC:
     // this is a different dataset key, not a stale fingerprint of ours
     val otherKey = plant(s"serve_${key}_extra_feed")
+    // a SAME-fingerprint per-builder staging may be a live concurrent
+    // build of this very index — the sweep must leave it alone (r18
+    // advice: unique staging paths only help if nobody deletes them)
+    val liveStaging = plant(s"serve_${key}_$fp.99999-abcd1234.__build")
     // force a build so the GC-at-build-time path runs
     graft.sources.Scratch.deleteRecursivelyUnder(
       new java.io.File(parent, s"serve_${key}_$fp"),
@@ -229,6 +233,9 @@ class AnnIndexSpec extends SparkSpec {
     assert(!staleB.exists(), "orphaned staging must be swept")
     assert(otherKey.exists(),
       "a longer key sharing this key as a prefix must survive")
+    assert(liveStaging.exists(),
+      "a same-fingerprint staging (possibly a live concurrent build) " +
+        "must survive the sweep")
     assert(new java.io.File(s"$dir/codes/_SUCCESS").exists(),
       "the rebuilt live index must be complete")
     // second call: standing artifact, no GC, no rebuild
@@ -237,5 +244,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(new java.io.File(dir).lastModified() === mtime)
     graft.sources.Scratch.deleteRecursivelyUnder(
       otherKey, graft.sources.Scratch.allowedRoots(spark))
+    graft.sources.Scratch.deleteRecursivelyUnder(
+      liveStaging, graft.sources.Scratch.allowedRoots(spark))
   }
 }

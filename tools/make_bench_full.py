@@ -14,7 +14,7 @@ out = {
     "sf": raw["sf"],
     "mode": "SPARK_GRAFT_BENCH_ALL=1, local[32], shuffle.partitions=32, "
             "one unmeasured warmup pass, best-of-2 timed passes, "
-            "prune-proof action agg(sum(xxhash64(struct(*)))) consuming "
+            "prune-proof action agg(bit_xor(xxhash64(struct(*)))) consuming "
             "every output column, session hygiene between queries "
             "(see graft.Bench)",
     "total_sec": raw["value"],
@@ -34,6 +34,10 @@ out = {
     # still above the guard get ONE cold-JVM re-measure (graft.BenchOne)
     # so pressure-vs-regression is adjudicated inside the artifact.
     "fresh_jvm_retry_sec": raw.get("fresh_jvm_retry_sec", {}),
+    # r18 verdict #4: warmup passes the fresh tier ran before its timed
+    # pass — k>=3 means the recorded number is pass-(k+1) steady state,
+    # not a cold-code-cache figure.
+    "fresh_jvm_warmups": raw.get("fresh_jvm_warmups", 1),
 }
 with open("BENCH_FULL.json", "w") as f:
     json.dump(out, f, indent=1)
