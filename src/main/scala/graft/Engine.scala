@@ -99,6 +99,12 @@ case class Engine(spark: SparkSession, dataDir: String) {
         Some(Dedup.repeatedHitsHashed(docs, n)))
     def spanScrubHashed(n: Int = Dedup.SpanGram): DataFrame =
       Dedup.spanScrub(docs, n, Some(Dedup.scrubFlagsHashed(docs, n)))
+    /** Arm-choosing span transforms (r19): exact vs hashed feed by
+      * measured gram-shuffle mass, the jaccardPairsAuto precedent. */
+    def spanScrubAuto(n: Int = Dedup.SpanGram): DataFrame =
+      Dedup.spanScrubAuto(docs, n)
+    def spanRemovalPlanAuto(n: Int = Dedup.SpanGram): DataFrame =
+      Dedup.spanRemovalPlanAuto(docs, n)
     private def docs = Tables.documents(spark, dataDir)
   }
 

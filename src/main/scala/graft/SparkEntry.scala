@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Expectations, Gold, Relational, ScalarSurface, Silver, TimeSeries, WindowOps}
 import graft.ext.{Components, Corpus, Curation, Dedup, Experiment, Graph, HeavyHitters, Multimodal, Privacy, Quality, Retail, Similarity, Stats, TextAnalysis}
-import graft.streaming.EventsStreaming
+import graft.streaming.{EventsStreaming, MedallionStream}
 import graft.operators.{AsOfJoin, BloomJoin, FuzzyJoin, IncrementalAgg, MergeUpsert, RangeJoin, SkewJoin, SnapshotDiff}
 import graft.plans.Layout
 
@@ -40,7 +40,8 @@ object SparkEntry {
       HeavyHitters.queries ++ IncrementalAgg.queries ++ Expectations.queries ++
       Graph.queries ++ FuzzyJoin.queries ++ Retail.queries ++
       Experiment.queries ++ Stats.queries ++ Layout.queries ++
-      graft.sources.Bronze.queries ++ graft.sources.AnnIndex.queries
+      graft.sources.Bronze.queries ++ graft.sources.AnnIndex.queries ++
+      MedallionStream.queries
 
   /** DuckDB twins of [[queries]], same column names/aliases both sides. */
   def oracleSql: Map[String, String] =
@@ -56,5 +57,5 @@ object SparkEntry {
       Expectations.oracleSql ++ Graph.oracleSql ++ FuzzyJoin.oracleSql ++
       Retail.oracleSql ++ Experiment.oracleSql ++ Stats.oracleSql ++
       Layout.oracleSql ++ graft.sources.Bronze.oracleSql ++
-      graft.sources.AnnIndex.oracleSql
+      graft.sources.AnnIndex.oracleSql ++ MedallionStream.oracleSql
 }

@@ -723,6 +723,73 @@ object Dedup {
           col("n_tokens").cast("double"))
   }
 
+  /** Decision scan for the span-arm auto-select: estimated BYTES of
+    * literal gram strings the EXACT arm's corpus-wide aggregate would
+    * shuffle — Σ over documents of gram positions × mean gram width
+    * (`n` tokens at the document's mean token-plus-separator width).
+    * One narrow aggregate over `docs` reading only `text`; unlike
+    * [[jaccardPairsAuto]]'s mass scan (which rides the posting stream
+    * both arms reuse) this deliberately never BUILDS the position
+    * stream — the span arms don't share a persisted intermediate, so
+    * the cheap upper bound from per-doc token counts is the right
+    * price for a routing decision. Exact long arithmetic; integer
+    * division only shaves the estimate, never the decision's safety
+    * (both arms are output-identical — see [[scrubFlagsHashed]]).
+    */
+  private[graft] def spanGramMassBytes(docs: DataFrame, n: Int): Long =
+    docs.select(
+        expr(s"""CAST(size(split(text, ' ')) AS BIGINT)""").as("t"),
+        expr("CAST(length(text) + 1 AS BIGINT)").as("b"))
+      .filter(col("t") >= n)
+      .agg(coalesce(sum(
+        (col("t") - lit(n - 1)) * ((lit(n.toLong) * col("b")) / col("t"))
+          .cast("long")), lit(0L)).as("mass"))
+      .collect()(0).getLong(0)
+
+  /** CALIBRATED crossover for [[spanScrubAuto]]/[[spanRemovalPlanAuto]],
+    * in estimated exact-arm gram-shuffle bytes ([[spanGramMassBytes]]).
+    * Derivation from the r18 head-to-head at sf0.1 (BENCHNOTES): the
+    * hashed feed cost 6.0 s where the exact feed cost 3.9 s — its two
+    * extra stages (hash-bucket join + per-(h, gram) re-verify) are a
+    * ≈2.1 s fixed-plus-mass overhead at that corpus' ≈0.1 GB gram mass,
+    * while the exact arm's extra shuffle bytes were still near-free
+    * locally. The exact arm's marginal cost is the gram bytes
+    * themselves (~1 GB/s effective local shuffle; worse on a real
+    * cluster's network); the hashed arm moves ~8 bytes where the exact
+    * moves the ~70-byte literal gram, so break-even sits where the
+    * ≈(1 − 8/width) byte saving pays the fixed overhead:
+    * 2.1 s ≈ B × (1/1 GB/s) × 0.89 → B ≈ 2.4 GB, rounded down to 2 GB
+    * so a cluster deployment (network shuffle, spill pressure) errs
+    * toward the arm that wins at scale. A calibration ESTIMATE, not a
+    * law — the spec pins the choice function's behavior on both sides,
+    * not the constant.
+    */
+  val SpanArmCrossoverBytes = 2000000000L
+
+  /** Arm-choosing span scrub (r18 verdict #5, the [[jaccardPairsAuto]]
+    * precedent): measure the corpus' estimated gram-shuffle mass with
+    * one narrow scan, then feed [[spanScrub]] the exact flag stream
+    * below [[SpanArmCrossoverBytes]] and the 8-byte-shuffle hashed
+    * stream above it. Outputs are identical by [[scrubFlagsHashed]]'s
+    * identity argument (machine-checked in DedupSpec on both sides of
+    * the crossover), so the oracle twin is the exact arm's.
+    */
+  def spanScrubAuto(docs: DataFrame, n: Int = SpanGram,
+      crossover: Long = SpanArmCrossoverBytes): DataFrame =
+    spanScrub(docs, n,
+      if (spanGramMassBytes(docs, n) <= crossover) None
+      else Some(scrubFlagsHashed(docs, n)))
+
+  /** Arm-choosing span-removal readout — same selector as
+    * [[spanScrubAuto]], feeding [[spanRemovalPlan]]'s `hitsFrom` hook
+    * with [[repeatedHitsHashed]] above the crossover.
+    */
+  def spanRemovalPlanAuto(docs: DataFrame, n: Int = SpanGram,
+      crossover: Long = SpanArmCrossoverBytes): DataFrame =
+    spanRemovalPlan(docs, n,
+      if (spanGramMassBytes(docs, n) <= crossover) None
+      else Some(repeatedHitsHashed(docs, n)))
+
   /** Term-frequency cap in [[tfidfCosinePairs]]: within-document shingle
     * repeats beyond this add no weight (sublinear-tf in spirit, and the
     * hard bound that keeps every integer weight product long-safe at any
@@ -1478,6 +1545,13 @@ object Dedup {
       spanRemovalPlan(docs, SpanGram,
         Some(repeatedHitsHashed(docs, SpanGram)))
     }),
+    // arm-choosing span transforms (r18 verdict #5): the engine measures
+    // the corpus' gram-shuffle mass and picks exact vs hashed feed per
+    // corpus; outputs identical either way, twins shared verbatim
+    "dedup_scrub_auto" -> ((s, d) =>
+      spanScrubAuto(Tables.documents(s, d))),
+    "dedup_removal_auto" -> ((s, d) =>
+      spanRemovalPlanAuto(Tables.documents(s, d))),
     "dedup_ngram_capped"  -> ((s, d) =>
       ngramJaccardPairsCapped(Tables.documents(s, d))),
     "dedup_containment"   -> ((s, d) =>
@@ -1991,6 +2065,8 @@ object Dedup {
     "dedup_scrub_hashed" -> duckSpanScrubSql,
     "dedup_span_removal" -> duckSpanRemovalSql,
     "dedup_removal_hashed" -> duckSpanRemovalSql,
+    "dedup_scrub_auto" -> duckSpanScrubSql,
+    "dedup_removal_auto" -> duckSpanRemovalSql,
     "dedup_minhash_md5" -> duckMinhashPortableSql,
     "dedup_source_matrix" ->
       s"""WITH $duckMinhashPairCtes,

@@ -76,8 +76,31 @@ object UpsertSink {
       case Some(t) => MergeUpsert.upsert(t, deduped, keys)
       case None => deduped
     }
+    commitStaged(merged, fs, staged, target)
+  }
+
+  /** Staged-swap overwrite of a NON-keyed table (a gold recompute, a
+    * report): write to `<target>._staged`, delete live, rename staged in
+    * — the same never-destroy-before-commit discipline [[applyBatch]]
+    * uses for the keyed snapshot, factored out so every streaming-epoch
+    * materialization shares one crash-safety argument. Unlike
+    * [[applyBatch]] there is no merge and no recovery-promote: the table
+    * is a pure recompute, so a stranded staged tree is simply replaced
+    * by the next epoch's write.
+    */
+  def stagedOverwrite(df: DataFrame, targetPath: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val staged = new org.apache.hadoop.fs.Path(targetPath + "._staged")
+    val fs = target.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    commitStaged(df, fs, staged, target)
+  }
+
+  private def commitStaged(df: DataFrame, fs: org.apache.hadoop.fs.FileSystem,
+      staged: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path): Unit = {
     fs.delete(staged, true)
-    merged.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
     fs.delete(target, true)
     // rename returns false (not an exception) on several HDFS failure
     // modes; silently continuing would mark the epoch committed with no

@@ -25,7 +25,8 @@ class SparkEntrySpec extends SparkSpec {
     Graph.queries, FuzzyJoin.queries, Retail.queries,
     Experiment.queries, Stats.queries, Layout.queries,
     graft.sources.Bronze.queries,
-    graft.sources.AnnIndex.queries).map(_.size)
+    graft.sources.AnnIndex.queries,
+    graft.streaming.MedallionStream.queries).map(_.size)
 
   test("no query name collisions across modules") {
     assert(SparkEntry.queries.size === moduleSizes.sum)
@@ -37,7 +38,7 @@ class SparkEntrySpec extends SparkSpec {
     * means a module map lost entries.
     */
   test("registered query count matches the documented surface") {
-    assert(SparkEntry.queries.size === 379)
+    assert(SparkEntry.queries.size === 382)
   }
 
   test("every oracle key refers to a registered query") {

@@ -532,6 +532,45 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.JaccardArmCrossover === 3000000L)
   }
 
+  test("spanScrubAuto/spanRemovalPlanAuto: identical output on BOTH " +
+      "sides of the crossover; mass scan is a sane upper-bound estimate") {
+    // r18 verdict #5: the span family's arm choice must be spec'd the
+    // way jaccardPairsAuto is — force each arm at the crossover extremes
+    // and assert the (already lemma-equal) outputs either way
+    val d = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h x y",
+      3L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10",
+      4L -> "u v t3 t4 t5 t6 t7 t8 t9 t10",
+      5L -> "s1 s2 s3")
+    def scrubKey(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, String)].collect().toSet
+    def planKey(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Double)].collect().toSet
+    val scrubExact = scrubKey(Dedup.spanScrub(d))
+    assert(scrubKey(Dedup.spanScrubAuto(d, crossover = Long.MaxValue))
+      === scrubExact, "below the crossover: exact feed")
+    assert(scrubKey(Dedup.spanScrubAuto(d, crossover = 0L))
+      === scrubExact, "above the crossover: hashed feed")
+    val planExact = planKey(Dedup.spanRemovalPlan(d))
+    assert(planKey(Dedup.spanRemovalPlanAuto(d, crossover = Long.MaxValue))
+      === planExact)
+    assert(planKey(Dedup.spanRemovalPlanAuto(d, crossover = 0L))
+      === planExact)
+    // the mass estimate: docs 1-4 carry 3 gram positions each (10 tokens,
+    // n=8), doc 5 is sub-gram and contributes nothing; per-position width
+    // ~= 8 tokens at the doc's mean token-plus-separator width — an
+    // upper-bound proxy for the exact arm's gram-shuffle bytes, so it
+    // must dominate 12 positions x the shortest token width and stay
+    // well under corpus-text x n
+    val mass = Dedup.spanGramMassBytes(d, Dedup.SpanGram)
+    assert(mass > 12L * 8, s"mass $mass too small to be a byte estimate")
+    assert(mass < 5000L, s"mass $mass exceeds any sane bound for 5 docs")
+    // the documented default — a drive-by change must update the
+    // calibration derivation in the scaladoc with it
+    assert(Dedup.SpanArmCrossoverBytes === 2000000000L)
+  }
+
   test("prefixJaccardPairs: toy near-dups and exact dups cut identically " +
       "to the naive arm") {
     val d = docs(
