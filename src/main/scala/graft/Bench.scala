@@ -15,6 +15,15 @@ object Bench {
     * (bit_xor, not sum: summing 64-bit hashes overflows under Spark 4's
     * default ANSI mode).
     */
+  /** Version tag of [[consume]]'s measurement action. The committed
+    * headline baseline (BASELINE.json `headline_gate.action_version`)
+    * is only comparable to a bench recorded under the SAME action —
+    * BenchSpec pins the two together, so changing consume() without
+    * re-recording the baseline fails CI instead of silently skewing the
+    * 2× gate (r18 verdict nit #2).
+    */
+  val ActionVersion = "consume-r18"
+
   def consume(df: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
     if (df.columns.isEmpty) { df.count(); () }

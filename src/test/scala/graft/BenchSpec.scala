@@ -53,6 +53,23 @@ class BenchSpec extends AnyFunSuite with SparkSpec {
       "consume()'s full-row hash must keep the join in the plan")
   }
 
+  test("the committed headline baseline's action version matches the " +
+      "live consume action (the 2x gate's denominator stays one number)") {
+    // r18 verdict nit #2 / #7: the gate is one division ONLY while both
+    // sides run the same action — a consume() change must re-record
+    // BASELINE.json's headline_gate in the same commit or fail here
+    val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BASELINE.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val v = "\"action_version\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(txt).map(_.group(1))
+    assert(v === Some(Bench.ActionVersion),
+      "BASELINE.json action_version drifted from Bench.ActionVersion")
+    val b = "\"baseline_sec\"\\s*:\\s*([0-9.]+)".r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    assert(b.exists(_ > 0), "headline_gate.baseline_sec must be present")
+  }
+
   test("freshJvmRetry: parse contract matches BenchOne's output line") {
     // the regex lives inline in freshJvmRetry; pin the line format both
     // sides agree on so a drive-by reformat of BenchOne's println can't

@@ -12,6 +12,9 @@ qs = raw["queries"]
 out = {
     "recorded_round": int(sys.argv[2]),
     "sf": raw["sf"],
+    # must equal graft.Bench.ActionVersion (BenchSpec pins BASELINE.json's
+    # copy; this one makes the sweep artifact self-describing too)
+    "action_version": "consume-r18",
     "mode": "SPARK_GRAFT_BENCH_ALL=1, local[32], shuffle.partitions=32, "
             "one unmeasured warmup pass, best-of-2 timed passes, "
             "prune-proof action agg(bit_xor(xxhash64(struct(*)))) consuming "
