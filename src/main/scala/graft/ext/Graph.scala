@@ -743,6 +743,97 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Round budget for [[wccCertificate]]'s BFS forest — a SAFETY BOUND,
+    * not a truncation: the loop exhausts at the true root-set
+    * eccentricity (tiny on co-purchase graphs) and the method REQUIRES
+    * completion, so hitting the bound throws instead of emitting a
+    * partial certificate.
+    */
+  val WccCertMaxRounds = 64
+
+  /** WCC CERTIFICATE: per node, its component id plus a spanning-forest
+    * witness `(node, comp, parent, depth)` that lets a verifier confirm
+    * the component labeling with LINEAR property checks — no transitive
+    * closure. This is what makes [[weakComponents]] auditable at any
+    * scale: the r18 sf0.1 oracle record had to defer `graph_wcc` because
+    * DuckDB's recursive-closure twin is superlinear (measured: killed
+    * after 240 s at sf0.1), while this certificate verifies in seconds.
+    *
+    * == The lemma (why local checks prove global components) ==
+    * Suppose a table T(node, comp, parent, depth) over exactly the graph's
+    * node set satisfies:
+    *  (1) comp(u) <= u for every u;
+    *  (2) depth(u)=0  <=>  parent(u) IS NULL  <=>  comp(u)=u;
+    *  (3) every non-root's (node, parent) is a real edge, with
+    *      comp(parent)=comp(node) and depth(parent)=depth(node)-1;
+    *  (4) every edge (u,v) has comp(u)=comp(v).
+    * Then comp(u) = min(u's connected component) for every u. Proof:
+    * by induction on depth via (3), every u reaches the node comp(u)
+    * along real edges, so comp(u) is IN u's component (no over-merge);
+    * by (4) comp is constant on each component (no split); apply (1) at
+    * the component's true minimum m: comp(m) <= m, and comp(m) is a
+    * member of the component so comp(m) >= m — hence the constant is m.
+    *
+    * The certificate itself is CANONICAL (deterministic, twin-matchable):
+    * depth is the BFS level from the component root and parent is the
+    * MINIMUM neighbor one level up, so the DuckDB twin re-derives it
+    * exactly at the gate SFs, and the sf0.1 staged verifier
+    * (`tools/oracle_wcc_staged.py`) checks properties (1)-(4) plus the
+    * [[weakComponents]] readout without ever running a closure.
+    *
+    * == Scale shape ==
+    * [[Components.connectedComponents]] supplies comp (min-label
+    * propagation; driver union-find under the local threshold). The
+    * forest is frontier-bounded multi-source BFS: each round joins the
+    * edge list to the frontier only (keyed shuffle, broadcast-gated
+    * under [[NodeBroadcastMaxRows]]), takes `min(parent)` as a
+    * map-side-combinable aggregate, and anti-joins the settled set;
+    * rounds = root-set eccentricity. Superseded checkpoints are
+    * released per round — the same discipline as the components loop.
+    */
+  def wccCertificate(edgesIn: DataFrame,
+      maxRounds: Int = WccCertMaxRounds): DataFrame = {
+    val edges = graft.CheckpointLease.track(edgesIn.localCheckpoint())
+    val pairs = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val comp = graft.CheckpointLease.track(
+      Components.connectedComponents(pairs).localCheckpoint())
+    val nNodes = comp.count()
+    def gate(df: DataFrame) =
+      if (nNodes <= NodeBroadcastMaxRows) broadcast(df) else df
+    var settled = graft.CheckpointLease.track(
+      comp.filter(col("node") === col("comp"))
+        .select(col("node"), lit(null).cast("long").as("parent"),
+          lit(0L).as("depth"))
+        .localCheckpoint())
+    var frontier = settled
+    var r = 1
+    var done = false
+    while (!done && r <= maxRounds) {
+      val cand = edges
+        .join(gate(frontier.select(col("node").as("dst"))), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("parent"))
+      val next = graft.CheckpointLease.track(
+        cand.join(gate(settled.select("node")), Seq("node"), "left_anti")
+          .select(col("node"), col("parent"), lit(r.toLong).as("depth"))
+          .localCheckpoint(false))
+      if (next.isEmpty) done = true
+      else {
+        settled = graft.CheckpointLease.track(
+          settled.union(next).localCheckpoint(false))
+        frontier = next
+        r += 1
+      }
+    }
+    val out = settled.join(comp, Seq("node"))
+      .select(col("node"), col("comp"), col("parent"), col("depth"))
+    require(done && out.count() == nNodes,
+      s"wccCertificate: BFS forest incomplete after $maxRounds rounds " +
+        "— raise maxRounds (certificates must cover every node)")
+    out
+  }
+
   /** Pairs reported by [[linkPrediction]]. */
   val LinkPredTopK = 100
   /** Middles with degree above this are skipped as evidence — the hub
@@ -1099,6 +1190,8 @@ object Graph {
       linkPrediction(coPurchaseEdges(Tables.lineitem(s, d)))),
     "graph_wcc" -> ((s, d) =>
       weakComponents(coPurchaseEdges(Tables.lineitem(s, d)))),
+    "graph_wcc_cert" -> ((s, d) =>
+      wccCertificate(coPurchaseEdges(Tables.lineitem(s, d)))),
   )
 
   /** Unrolled personalized-PageRank twin: same 3 fixed-point
@@ -1316,6 +1409,40 @@ object Graph {
         |  GROUP BY 1)
         |SELECT comp AS component_id, count(*) AS n_nodes
         |FROM lab GROUP BY 1""".stripMargin,
+    // the certificate's CANONICAL form re-derived: closure for comp,
+    // bounded multi-source BFS from the component roots for depth,
+    // min-neighbor-one-level-up for parent (WccCertMaxRounds matches
+    // the Spark side's safety bound; both exhaust at the eccentricity)
+    "graph_wcc_cert" ->
+      s"""WITH RECURSIVE li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM e
+         |  UNION
+         |  SELECT e.src AS node, reach.r
+         |  FROM e JOIN reach ON e.dst = reach.node),
+         |lab AS MATERIALIZED (
+         |  SELECT node, min(r) AS comp FROM reach GROUP BY 1),
+         |bfs AS (
+         |  SELECT node, 0 AS d FROM lab WHERE node = comp
+         |  UNION
+         |  SELECT e.src AS node, b.d + 1 AS d
+         |  FROM e JOIN bfs b ON e.dst = b.node
+         |  WHERE b.d < $WccCertMaxRounds),
+         |lvl AS MATERIALIZED (
+         |  SELECT node, CAST(min(d) AS BIGINT) AS depth FROM bfs GROUP BY 1),
+         |par AS (
+         |  SELECT e.src AS node, min(e.dst) AS parent
+         |  FROM e JOIN lvl lu ON e.src = lu.node
+         |         JOIN lvl lv ON e.dst = lv.node
+         |  WHERE lv.depth = lu.depth - 1
+         |  GROUP BY 1)
+         |SELECT l.node, lab.comp, p.parent, l.depth
+         |FROM lvl l JOIN lab ON l.node = lab.node
+         |LEFT JOIN par p ON l.node = p.node""".stripMargin,
     "graph_link_pred" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

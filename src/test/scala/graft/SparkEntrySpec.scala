@@ -38,7 +38,7 @@ class SparkEntrySpec extends SparkSpec {
     * means a module map lost entries.
     */
   test("registered query count matches the documented surface") {
-    assert(SparkEntry.queries.size === 382)
+    assert(SparkEntry.queries.size === 383)
   }
 
   test("every oracle key refers to a registered query") {

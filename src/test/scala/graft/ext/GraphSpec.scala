@@ -454,4 +454,63 @@ class GraphSpec extends SparkSpec {
     graft.CheckpointLease.releaseAll()
     assert(r.toSeq === Seq((1L, 3L), (7L, 2L)))
   }
+
+  test("wccCertificate: canonical spanning forest on a toy graph — " +
+      "roots, min-parents, BFS depths") {
+    // path 1-2-3 plus triangle edge 1-3 collapsed: component {1,2,3}
+    // (root 1; 2 and 3 both depth 1, parent 1) and path {7-8-9}
+    // (root 7; 8 depth 1 parent 7; 9 depth 2 parent 8)
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (7L, 8L), (8L, 7L), (8L, 9L), (9L, 8L)).toDF("src", "dst")
+    val r = Graph.wccCertificate(edges)
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(2)).map(_.asInstanceOf[Long]), x.getLong(3)))
+      .sortBy(_._1)
+    graft.CheckpointLease.releaseAll()
+    assert(r.toSeq === Seq(
+      (1L, 1L, None, 0L), (2L, 1L, Some(1L), 1L), (3L, 1L, Some(1L), 1L),
+      (7L, 7L, None, 0L), (8L, 7L, Some(7L), 1L), (9L, 7L, Some(8L), 2L)))
+  }
+
+  test("wccCertificate: the certificate lemma's properties hold on the " +
+      "sf0.001 co-purchase graph and the readout equals weakComponents") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val edges = Graph.coPurchaseEdges(li).localCheckpoint()
+    val cert = Graph.wccCertificate(edges).localCheckpoint()
+    val nodes = edges.select($"src".as("node")).distinct()
+    // coverage: exactly the node set
+    assert(cert.count() === nodes.count())
+    assert(cert.join(nodes, Seq("node")).count() === cert.count())
+    // (1) comp <= node; (2) root iff parent null iff depth 0
+    assert(cert.filter($"comp" > $"node").count() === 0L)
+    assert(cert.filter(($"depth" === 0L) =!= $"parent".isNull).count()
+      === 0L)
+    assert(cert.filter(($"depth" === 0L) =!= ($"comp" === $"node"))
+      .count() === 0L)
+    // (3) parent is a real neighbor, same comp, depth-1
+    val pj = cert.filter($"parent".isNotNull)
+      .join(edges.withColumnRenamed("src", "node")
+        .withColumnRenamed("dst", "parent"), Seq("node", "parent"))
+    assert(pj.count() === cert.filter($"parent".isNotNull).count())
+    val pc = cert.filter($"parent".isNotNull).as("c")
+      .join(cert.as("p"), col("c.parent") === col("p.node"))
+    assert(pc.filter(col("c.comp") =!= col("p.comp")).count() === 0L)
+    assert(pc.filter(col("c.depth") =!= col("p.depth") + 1L).count()
+      === 0L)
+    // (4) edge consistency
+    val ec = edges.join(cert.select($"node".as("src"),
+        $"comp".as("comp_s")), Seq("src"))
+      .join(cert.select($"node".as("dst"), $"comp".as("comp_d")),
+        Seq("dst"))
+    assert(ec.filter($"comp_s" =!= $"comp_d").count() === 0L)
+    // readout equality with weakComponents
+    val fromCert = cert.groupBy($"comp".as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .as[(Long, Long)].collect().toSet
+    val direct = Graph.weakComponents(edges)
+      .as[(Long, Long)].collect().toSet
+    graft.CheckpointLease.releaseAll()
+    assert(fromCert === direct)
+  }
 }

@@ -247,7 +247,9 @@ class LayoutSpec extends SparkSpec {
       "ext/Curation.scala" -> (3, 0),
       "ext/Dedup.scala" -> (4, 2),
       "ext/Experiment.scala" -> (1, 0),
-      "ext/Graph.scala" -> (27, 0),
+      "ext/Graph.scala" -> (28, 0), // +1 r19: wccCertificate's shared
+                                    // count-gated BFS gate helper
+                                    // (nNodes <= NodeBroadcastMaxRows)
       "ext/HeavyHitters.scala" -> (4, 0),
       "ext/Multimodal.scala" -> (0, 2),
       "ext/Privacy.scala" -> (7, 1),

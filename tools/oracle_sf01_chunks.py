@@ -26,18 +26,20 @@ import time
 sys.path.insert(0, os.path.dirname(__file__))
 import oracle_check  # noqa: E402
 
-# Families whose DuckDB twins re-derive quadratic/iterative pipelines
-# (k-means sweeps, PQ codebooks, recursive graph CTEs) that DuckDB
-# cannot finish at sf0.1 on this box. Measured in r17; each carries the
-# reason recorded into the artifact.
+# r19: the r17 blanket (sim_|vec_|graph_) deferral was calibrated by the
+# ONE-SHOT compare hanging, never per query. tools/oracle_sf01_deferred.py
+# measured every twin individually: all 54 of the 55 run in 0.9-42 s at
+# sf0.1 and PASS. Only graph_wcc's closure twin is genuinely superlinear
+# (killed at 240 s) — it is verified by tools/oracle_wcc_staged.py
+# instead (linear certificate property checks over the graph_wcc_cert
+# dump), so a fresh run defers it here and the staged tool converts the
+# deferral into a real verdict.
 DEFER = [
-    (re.compile(r"^(sim_|vec_)"),
-     "DuckDB twin re-derives the k-means/PQ training pipeline "
-     "(unrolled iterations) — oracle-side quadratic at sf0.1; "
-     "verified at sf0.001+sf0.01 and by family identity specs"),
-    (re.compile(r"^graph_"),
-     "DuckDB twin is a recursive CTE over the edge list — oracle-side "
-     "superlinear at sf0.1; verified at sf0.001+sf0.01"),
+    (re.compile(r"^graph_wcc(_cert)?$"),
+     "one-shot DuckDB twin re-derives the transitive closure — "
+     "superlinear at sf0.1 (measured: killed after 240s); run "
+     "tools/oracle_wcc_staged.py for the linear certificate "
+     "verification that replaces it"),
 ]
 
 
