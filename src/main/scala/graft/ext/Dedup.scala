@@ -751,18 +751,18 @@ object Dedup {
     * Derivation from the r18 head-to-head at sf0.1 (BENCHNOTES): the
     * hashed feed cost 6.0 s where the exact feed cost 3.9 s — its two
     * extra stages (hash-bucket join + per-(h, gram) re-verify) are a
-    * ≈2.1 s fixed-plus-mass overhead at that corpus' ≈0.1 GB gram mass,
-    * while the exact arm's extra shuffle bytes were still near-free
-    * locally. The exact arm's marginal cost is the gram bytes
-    * themselves (~1 GB/s effective local shuffle; worse on a real
-    * cluster's network); the hashed arm moves ~8 bytes where the exact
-    * moves the ~70-byte literal gram, so break-even sits where the
-    * ≈(1 − 8/width) byte saving pays the fixed overhead:
+    * ≈2.1 s overhead at that corpus' measured ≈10.3 MB gram mass
+    * (this scan's own estimate at sf0.1), where the exact arm's gram
+    * shuffle is still near-free. The exact arm's marginal cost is the
+    * gram bytes themselves (~1 GB/s effective local shuffle; worse on
+    * a real cluster's network); the hashed arm moves ~8 bytes where
+    * the exact moves the ~70-byte literal gram, so break-even sits
+    * where the ≈(1 − 8/width) byte saving pays the overhead:
     * 2.1 s ≈ B × (1/1 GB/s) × 0.89 → B ≈ 2.4 GB, rounded down to 2 GB
-    * so a cluster deployment (network shuffle, spill pressure) errs
-    * toward the arm that wins at scale. A calibration ESTIMATE, not a
-    * law — the spec pins the choice function's behavior on both sides,
-    * not the constant.
+    * (~200× the sf0.1 corpus) so a cluster deployment (network
+    * shuffle, spill pressure) errs toward the arm that wins at scale.
+    * A calibration ESTIMATE, not a law — the spec pins the choice
+    * function's behavior on both sides, not the constant.
     */
   val SpanArmCrossoverBytes = 2000000000L
 
