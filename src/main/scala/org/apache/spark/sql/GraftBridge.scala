@@ -26,6 +26,12 @@ object GraftBridge {
       case _ => ()
     }
 
+  /** Drain the async listener bus (QueryExecutionListener events ride it)
+    * so a tool that collects executed plans reads a complete sink.
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Between-queries session reset for long-lived benchmark/verify JVMs.
     *
     * A single session running ~80 queries twice accumulates broadcast
