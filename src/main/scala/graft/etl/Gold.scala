@@ -134,19 +134,35 @@ object Gold {
 
   def customerMetricsStage(li: DataFrame, ord: DataFrame,
       cust: DataFrame): DataFrame = {
-    val w = Window.partitionBy("c_custkey")
+    // The reference computes first/last purchase with a window over
+    // c_custkey and then groups by (custkey, segment, first, last) — but
+    // all three extra keys are FUNCTIONS of c_custkey within the joined
+    // stream (one segment per customer; the window's min/max are
+    // per-custkey constants), so the groups are exactly the per-customer
+    // groups and the window is a plain aggregate in disguise. Computing
+    // min/max INSIDE the aggregation removes the Window plus its full
+    // Sort of the joined fact stream, and — the part that matters at
+    // 100 TB — restores map-side partial aggregation: the exchange now
+    // carries one partial row per customer per map partition instead of
+    // every line item (guide §2.3 "aggregate before you shuffle";
+    // before/after plans in plans/r19/gold_customer_metrics_*.txt:
+    // Exchange+Sort+Window+2×HashAggregate → partial HashAggregate+
+    // Exchange+final HashAggregate). Output is bit-identical: same
+    // date_format over the same min/max, same column order —
+    // oracle-verified (hash_match) after the rewrite.
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey"))
-      .withColumn("first_purchase_date",
-        date_format(min("o_orderdate").over(w), "yyyy-MM-dd"))
-      .withColumn("last_purchase_date",
-        date_format(max("o_orderdate").over(w), "yyyy-MM-dd"))
-      .groupBy("c_custkey", "c_mktsegment",
-        "first_purchase_date", "last_purchase_date")
+      .groupBy("c_custkey", "c_mktsegment")
       .agg(
         count("l_orderkey").as("total_items"),
         centsSum("l_extendedprice").as("total_spent_cents"),
-        datediff(max("o_orderdate"), min("o_orderdate")).cast("long")
+        min("o_orderdate").as("__first"),
+        max("o_orderdate").as("__last"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        date_format(col("__first"), "yyyy-MM-dd").as("first_purchase_date"),
+        date_format(col("__last"), "yyyy-MM-dd").as("last_purchase_date"),
+        col("total_items"), col("total_spent_cents"),
+        datediff(col("__last"), col("__first")).cast("long")
           .as("customer_lifetime_days"))
       .withColumn("total_spent", col("total_spent_cents") / 100.0)
       .withColumn("avg_item_price",

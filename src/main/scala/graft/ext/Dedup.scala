@@ -76,13 +76,20 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact dedup keeping the lowest doc_id per text. */
-  def exactDocs(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select("doc_id", "lang", "source", "n_chars")
-  }
+  /** Exact dedup keeping the lowest doc_id per text.
+    *
+    * r19: one `min_by` aggregate instead of the row_number window —
+    * same survivor (doc_id is unique, so min_by is deterministic), but
+    * the aggregate partial-combines map-side: the exchange carries one
+    * row per distinct text per map partition instead of every row, and
+    * the per-partition sort disappears (guide §2.3).
+    */
+  def exactDocs(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source"),
+        col("n_chars")), col("doc_id")).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
+        col("m.source").as("source"), col("m.n_chars").as("n_chars"))
 
   /** Stop-shingle document-frequency cap: shingles occurring in more
     * documents than this are dropped from the index before the self-join.
@@ -100,8 +107,8 @@ object Dedup {
     */
   val MaxShingleDf = 1000L
 
-  /** Skew-safe df-cap: drops stop-shingle postings from the stream
-    * BEFORE any shuffle that would co-locate them.
+  /** Skew-safe df-capped posting LISTS in ONE pass — `(shingle, df, ds)`
+    * with `ds` the ascending doc_id list and `df ≤ maxShingleDf` exact.
     *
     * == Why not a window ==
     * `count(*) over (partition by shingle)` co-locates a hot shingle's
@@ -110,82 +117,80 @@ object Dedup {
     * lands on exactly the stop-shingles ("of the and" at df ≈ n_docs)
     * the cap exists to guard.
     *
-    * == This shape ==
-    * The df pass is a plain `groupBy(shingle).count()` — a codegen
-    * HashAggregate whose MAP-SIDE partials absorb the hot key (each map
-    * partition contributes one `(shingle, n)` row, so the reduce side
-    * sees #map-partials rows per key, bounded by cluster width, not
-    * data). Only the OVER-cap head survives the filter — at most
-    * Σdf / cap shingles, the bounded head of the distribution — and is
-    * broadcast as a LEFT ANTI join onto the posting stream, a map-side
-    * hash probe with no shuffle of the postings at all. Every
-    * downstream shuffle (posting-list aggregation, per-doc sizes) then
-    * runs on a stream whose keys all have df ≤ cap: skew-free by
-    * construction.
+    * == This shape (r19 optimization; guide §2.3/§2.4) ==
+    * One aggregation with the capped buffer
+    * ([[graft.functions.CappedPostingsAgg]]): map-side partials collect
+    * at most `cap` doc_ids per shingle and degenerate to a 16-byte
+    * exact counter the moment they pass the cap, so a hot key ships
+    * count-only buffers — the same bytes the old separate df-count pass
+    * shipped — and never co-locates its posting list anywhere. Groups
+    * whose exact merged count exceeds the cap are dropped by the filter
+    * (identical semantics to the r1–r18 two-pass anti-join, DuckDB
+    * twins unchanged).
     *
-    * If an adversarial corpus ever grew the over-cap head past the
-    * broadcast budget, dropping the hint degrades gracefully: anti-JOIN
-    * skew is AQE-splittable (skewed partitions split and the small side
-    * replicated), which windows and aggregations are not — that is why
-    * the cap must be an anti-join, not a window.
-    *
-    * The returned stream is hash-REPARTITIONED by shingle — skew-free
-    * by construction, since every surviving key has ≤ cap postings —
-    * so the posting-list aggregation that follows rides this exchange
-    * with no further shuffle of the stream: the cap costs one extra
-    * map-side derive of `sh` (both arms evaluate it; callers pass a
-    * cheap re-derivable stream, not a persisted one) plus the partial-
-    * aggregated df shuffle, and nothing else.
+    * Versus the previous shape (df-count pass + broadcast LEFT ANTI +
+    * hash repartition + collect_list), this removes: the SECOND derive
+    * of the tokenized posting stream (tokenize + n-gram hash + explode
+    * ran twice), the anti-join stage, the df pass's exchange, and the
+    * standalone repartition — one pass and one exchange carry the cap,
+    * the lists, and the exact df. Measured on the r19 PlanDump stage
+    * ledger before/after (plans/r19/dedup_ngram_jaccard_*.txt).
     */
-  private[graft] def keptPostings(sh: DataFrame, maxShingleDf: Long,
-      dfStream: Option[DataFrame] = None): DataFrame = {
-    // df = docs-per-shingle; a caller whose `sh` carries extra per-doc
-    // compute (e.g. shingleTf's run-length sort) passes the cheaper
-    // one-row-per-(doc, shingle) derivation for the count-only arm
-    val overCap = dfStream.getOrElse(sh)
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
-      .select("shingle")
-    // DATA-DEPENDENT side with no hint (r17 verdict #4): the over-cap
-    // head is bounded only by N/cap — corpus-sized in the limit — and
-    // re-deriving it for an exact-bytes planning scan would double the
-    // dominant shingle aggregate. AQE's runtime size statistics are the
-    // gate here: it converts the anti-join to broadcast exactly when
-    // the head's ACTUAL shuffle bytes fit, and the anti-join's shuffle
-    // partitioning on `shingle` is reused by the repartition below when
-    // it stays sort-merge.
-    sh.join(overCap, Seq("shingle"), "left_anti")
-      .repartition(col("shingle"))
-  }
+  private[graft] def keptPostingLists(sh: DataFrame,
+      maxShingleDf: Long): DataFrame =
+    sh.groupBy("shingle")
+      .agg(graft.functions.CappedPostings.list(col("doc_id"), maxShingleDf)
+        .as("cd"))
+      .filter(col("cd.n") <= maxShingleDf)
+      .select(col("shingle"), col("cd.n").as("df"), col("cd.ds").as("ds"))
+
+  /** [[keptPostingLists]] for tf-weighted postings: `ds` packs
+    * `(doc_id, tf)` pairs flat (`[id0, tf0, id1, tf1, ...]`),
+    * block-sorted by doc_id; `df` is the exact posting count. Same
+    * one-pass capped-buffer skew argument.
+    */
+  private[graft] def keptPostingWeightedLists(sh: DataFrame,
+      maxShingleDf: Long): DataFrame =
+    sh.groupBy("shingle")
+      .agg(graft.functions.CappedPostings.weighted(
+        col("doc_id"), col("tf"), maxShingleDf).as("cd"))
+      .filter(col("cd.n") <= maxShingleDf)
+      .select(col("shingle"), col("cd.n").as("df"), col("cd.ds").as("ds"))
 
   /** Exact pairwise 3-gram Jaccard ≥ `threshold` via an inverted index —
-    * the ground-truth near-dup operator. The kept (df-capped) posting
-    * stream is persisted once, already hash-partitioned by shingle (see
-    * [[keptPostings]] for why the df cap is a broadcast anti-join, not
-    * a window): it feeds the per-doc sizes and the pair generation, and
-    * the posting-list aggregation needs NO further exchange. The tiny
-    * pair result is eagerly checkpointed so the cache releases before
-    * return.
+    * the ground-truth near-dup operator. The df-capped posting LISTS
+    * ([[keptPostingLists]]: one pass, one exchange, skew-safe capped
+    * buffers) are persisted once and feed both the per-doc sizes and
+    * the pair generation. The tiny pair result is eagerly checkpointed
+    * so the cache releases before return.
     *
-    * Pair generation enumerates each posting list directly
-    * (`collect_list` per shingle + ordered combinations) instead of a
+    * Pair generation enumerates each (already aggregated, already
+    * sorted) posting list's ordered combinations directly instead of a
     * sort-merge SELF-JOIN on the index: the output is the same
     * Σ_shingles C(df, 2) candidate rows, but the join's second sorted
-    * copy of the full index disappears. The anti-join above guarantees
-    * every aggregated posting list is ≤ cap, so the per-group state and
-    * the combination blowup stay bounded at any scale.
+    * copy of the full index disappears. The capped aggregate guarantees
+    * every list is ≤ cap, so the per-group state and the combination
+    * blowup stay bounded at any scale.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Long = MaxShingleDf,
       keptFrom: Option[DataFrame] = None): DataFrame = {
     // keptFrom: a caller (jaccardPairsAuto) that already persisted the
-    // df-capped posting stream passes it in; ownership (unpersist)
+    // df-capped posting lists passes them in; ownership (unpersist)
     // stays with the caller
-    val kept = keptFrom.getOrElse(
-      keptPostings(shingleIds(docs), maxShingleDf).persist())
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = kept.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val lists = keptFrom.getOrElse(
+      keptPostingLists(shingleIds(docs), maxShingleDf).persist())
+    // sizes feeds BOTH per-pair joins below (sa and sb). Spark does not
+    // share a common subplan across two join sides, so without the
+    // persist the per-doc count — a full pass over the posting lists
+    // plus its aggregation exchange — ran TWICE (r19 PlanDump: two
+    // identical HashAggregate+Exchange branches, two of the three
+    // heaviest stages of this query). Persisting costs one narrow
+    // (doc_id, n) table, bounded by doc count, and halves that work at
+    // every scale (guide §2.4: remove shuffles outright).
+    val sizes = lists.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
+    val inter = lists
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
@@ -203,7 +208,8 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
       .localCheckpoint(true))
-    if (keptFrom.isEmpty) kept.unpersist()
+    sizes.unpersist()
+    if (keptFrom.isEmpty) lists.unpersist()
     out
   }
 
@@ -222,10 +228,11 @@ object Dedup {
     */
   def containmentDedupPairs(docs: DataFrame, threshold: Double = 0.8,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    val kept = keptPostings(shingleIds(docs), maxShingleDf).persist()
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = kept.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val lists = keptPostingLists(shingleIds(docs), maxShingleDf).persist()
+    // persisted for the same two-join-sides reason as ngramJaccardPairs
+    val sizes = lists.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
+    val inter = lists
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
@@ -246,7 +253,8 @@ object Dedup {
           .otherwise(col("doc_b")).as("contained_doc"))
       .filter(col("containment") >= threshold)
       .localCheckpoint(true))
-    kept.unpersist()
+    sizes.unpersist()
+    lists.unpersist()
     out
   }
 
@@ -295,25 +303,32 @@ object Dedup {
     * within an ULP of an integer could shorten a prefix or loosen a
     * bound and silently break the completeness lemma.
     *
-    * Stages: the [[keptPostings]] stream (persisted once), one df join
-    * riding its shingle partitioning, one per-doc rank window, prefix
-    * posting enumeration (same ordered-combinations device), then exact
-    * verify via per-doc sorted shingle arrays (`array_intersect` on the
-    * two bounded arrays) — no stage keyed on anything hotter than the
-    * df-capped shingles.
+    * Stages: the [[keptPostingLists]] table (persisted once; df rides
+    * each list row, so the old df self-join is gone), one per-doc rank
+    * window over the re-exploded postings, prefix posting enumeration
+    * (same ordered-combinations device), then exact verify via per-doc
+    * sorted shingle arrays (`array_intersect` on the two bounded
+    * arrays) — no stage keyed on anything hotter than the df-capped
+    * shingles.
     */
   def prefixJaccardPairs(docs: DataFrame, tNum: Long = 1L, tDen: Long = 2L,
       maxShingleDf: Long = MaxShingleDf,
       keptFrom: Option[DataFrame] = None): DataFrame = {
     require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
     val threshold = tNum.toDouble / tDen.toDouble
-    val kept = keptFrom.getOrElse(
-      keptPostings(shingleIds(docs), maxShingleDf).persist())
-    val dfs = kept.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val lists = keptFrom.getOrElse(
+      keptPostingLists(shingleIds(docs), maxShingleDf).persist())
     val wDoc = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("shingle"))
-    val positioned = kept.join(dfs, Seq("shingle"))
+    // df arrives ON the list row (exact by the capped aggregate), so the
+    // r16–r18 `kept ⋈ dfs` self-join is gone outright; persisted because
+    // BOTH the per-doc size aggregate and the prefix filter consume this
+    // subplan — without the persist the explode + rank window (a full
+    // shuffle + sort of the posting stream) ran twice (r19 PlanDump)
+    val positioned = lists
+      .select(col("shingle"), col("df"), explode(col("ds")).as("doc_id"))
       .withColumn("pos", row_number().over(wDoc))
+      .persist()
     val sizes = positioned.groupBy("doc_id")
       .agg(count(lit(1)).as("n"))
     // prefix = n − ⌈t·n⌉ + 1, the ceil in exact integer arithmetic
@@ -359,8 +374,13 @@ object Dedup {
           s"div ${tNum + tDen}"))
       .select(least(col("doc_a0"), col("doc_b0")).as("doc_a"),
         greatest(col("doc_a0"), col("doc_b0")).as("doc_b"))
-    val arrays = kept.groupBy("doc_id")
+    // persisted: joined once per pair side (sa and sb) — without it the
+    // per-doc sorted-array aggregation ran twice (same two-join-sides
+    // blindness as ngramJaccardPairs' sizes); built from the persisted
+    // positioned stream so the lists cache is read once per consumer
+    val arrays = positioned.groupBy("doc_id")
       .agg(sort_array(collect_list(col("shingle"))).as("shs"))
+      .persist()
     val out = graft.CheckpointLease.track(cand
       .join(arrays.select(col("doc_id").as("doc_a"),
         col("shs").as("sa")), Seq("doc_a"))
@@ -375,7 +395,9 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter_size", "union_size", "jaccard")
       .localCheckpoint(true))
-    if (keptFrom.isEmpty) kept.unpersist()
+    arrays.unpersist()
+    positioned.unpersist()
+    if (keptFrom.isEmpty) lists.unpersist()
     out
   }
 
@@ -394,32 +416,32 @@ object Dedup {
   val JaccardArmCrossover = 3000000L
 
   /** Arm-choosing exact Jaccard pair sweep (r17 verdict #7): compute
-    * the naive candidate mass Σ df·(df−1)/2 from the SAME df aggregate
-    * [[keptPostings]] runs anyway, then run plain enumeration
+    * the naive candidate mass Σ df·(df−1)/2 from the df column the
+    * capped aggregate already produced, then run plain enumeration
     * ([[ngramJaccardPairs]]) below [[JaccardArmCrossover]] and the
     * PPJoin arm ([[prefixJaccardPairs]]) above it — the engine picks
     * per corpus instead of per hardcode. Outputs are identical by the
     * arms' existing equivalence lemma (DedupSpec asserts both arms and
     * this chooser on both sides of the crossover), so the oracle twin
-    * is the naive arm's. The decision scan is one aggregate over the
-    * persisted posting stream both arms reuse via `keptFrom` — no
-    * recompute.
+    * is the naive arm's. The decision scan is one single-row aggregate
+    * over the persisted posting lists both arms reuse via `keptFrom` —
+    * no df re-aggregation at all since r19 (df is a list column).
     */
   def jaccardPairsAuto(docs: DataFrame, tNum: Long = 1L, tDen: Long = 2L,
       maxShingleDf: Long = MaxShingleDf,
       crossover: Long = JaccardArmCrossover): DataFrame = {
-    val kept = keptPostings(shingleIds(docs), maxShingleDf).persist()
-    val mass = kept.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val lists = keptPostingLists(shingleIds(docs), maxShingleDf).persist()
+    val mass = lists
       .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L))
         .as("mass"))
       .collect()(0).getLong(0)
     val out =
       if (mass <= crossover)
         ngramJaccardPairs(docs, tNum.toDouble / tDen.toDouble,
-          maxShingleDf, keptFrom = Some(kept))
+          maxShingleDf, keptFrom = Some(lists))
       else prefixJaccardPairs(docs, tNum, tDen, maxShingleDf,
-        keptFrom = Some(kept))
-    kept.unpersist()
+        keptFrom = Some(lists))
+    lists.unpersist()
     out
   }
 
@@ -460,7 +482,7 @@ object Dedup {
     *
     * == Scale shape ==
     * The gram aggregate is a plain groupBy whose map-side partials
-    * absorb hot grams ([[keptPostings]]' argument); only the
+    * absorb hot grams ([[keptPostingLists]]' argument); only the
     * dup-gram HEAD (count ≥ 2 of DISTINCT docs) survives and joins
     * back onto the position stream as an aggregated one-row-per-gram
     * side — no posting-list explosion. The islands window partitions
@@ -509,12 +531,22 @@ object Dedup {
     */
   private[graft] def repeatedHits(docs: DataFrame,
       n: Int = SpanGram): DataFrame = {
-    val pos = spanPositions(docs, n)
+    // pos feeds BOTH the dup-gram aggregate and the join back onto the
+    // occurrence stream; without the persist the tokenize + gram
+    // explode ran twice per call (r19 PlanDump — the two-consumers
+    // blindness). The hit stream itself is duplicated-gram occurrences
+    // only (head-sized), so the eager checkpoint that lets pos release
+    // before return is cheap at any scale.
+    val pos = spanPositions(docs, n).persist()
     val dup = pos.groupBy("gram")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
       .select("gram")
-    pos.join(dup, Seq("gram")).select("doc_id", "i")
+    val out = graft.CheckpointLease.track(
+      pos.join(dup, Seq("gram")).select("doc_id", "i")
+        .localCheckpoint(true))
+    pos.unpersist()
+    out
   }
 
   def repeatedSpans(docs: DataFrame, n: Int = SpanGram): DataFrame =
@@ -542,18 +574,28 @@ object Dedup {
     */
   private[graft] def repeatedHitsHashed(docs: DataFrame,
       n: Int = SpanGram): DataFrame = {
+    // persisted ×2 (r19): withH feeds the bucket aggregate AND the
+    // candidate join; cand feeds the per-(h, gram) re-verify AND the
+    // final join — without the persists the tokenize + gram explode
+    // ran FOUR times per call. cand is the collision head only
+    // (bucket-duplicated positions), so its cache is small at scale.
     val pos = spanPositions(docs, n)
-    val withH = pos.withColumn("h", xxhash64(col("gram")))
+    val withH = pos.withColumn("h", xxhash64(col("gram"))).persist()
     val dupH = withH.groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
       .select("h")
-    val cand = withH.join(dupH, Seq("h"))
+    val cand = withH.join(dupH, Seq("h")).persist()
     val dup = cand.groupBy("h", "gram")
       .agg(countDistinct("doc_id").as("ndg"))
       .filter(col("ndg") >= 2)
       .select("h", "gram")
-    cand.join(dup, Seq("h", "gram")).select("doc_id", "i")
+    val out = graft.CheckpointLease.track(
+      cand.join(dup, Seq("h", "gram")).select("doc_id", "i")
+        .localCheckpoint(true))
+    cand.unpersist()
+    withH.unpersist()
+    out
   }
 
   def repeatedSpansHashed(docs: DataFrame, n: Int = SpanGram): DataFrame =
@@ -604,16 +646,22 @@ object Dedup {
     */
   private[graft] def scrubFlags(docs: DataFrame,
       n: Int = SpanGram): DataFrame = {
-    val pos = spanPositions(docs, n)
+    // same persist + eager-checkpoint shape as [[repeatedHits]] (the
+    // position stream fed two consumers and derived twice before r19)
+    val pos = spanPositions(docs, n).persist()
     val dup = pos.groupBy("gram")
       .agg(countDistinct("doc_id").as("nd"),
         min(struct(col("doc_id"), col("i"))).as("canon"))
       .filter(col("nd") >= 2)
       .select(col("gram"), col("canon"))
-    pos.join(dup, Seq("gram"))
-      .filter(!(col("doc_id") === col("canon.doc_id") &&
-        col("i") === col("canon.i")))
-      .select("doc_id", "i")
+    val out = graft.CheckpointLease.track(
+      pos.join(dup, Seq("gram"))
+        .filter(!(col("doc_id") === col("canon.doc_id") &&
+          col("i") === col("canon.i")))
+        .select("doc_id", "i")
+        .localCheckpoint(true))
+    pos.unpersist()
+    out
   }
 
   /** [[scrubFlags]]' narrow-shuffle arm, mirroring [[repeatedHitsHashed]]:
@@ -631,22 +679,29 @@ object Dedup {
     */
   private[graft] def scrubFlagsHashed(docs: DataFrame,
       n: Int = SpanGram): DataFrame = {
+    // same ×2 persist + eager-checkpoint shape as [[repeatedHitsHashed]]
+    // (the position stream derived four times before r19)
     val pos = spanPositions(docs, n)
-    val withH = pos.withColumn("h", xxhash64(col("gram")))
+    val withH = pos.withColumn("h", xxhash64(col("gram"))).persist()
     val dupH = withH.groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
       .select("h")
-    val cand = withH.join(dupH, Seq("h"))
+    val cand = withH.join(dupH, Seq("h")).persist()
     val dup = cand.groupBy("h", "gram")
       .agg(countDistinct("doc_id").as("ndg"),
         min(struct(col("doc_id"), col("i"))).as("canon"))
       .filter(col("ndg") >= 2)
       .select(col("h"), col("gram"), col("canon"))
-    cand.join(dup, Seq("h", "gram"))
-      .filter(!(col("doc_id") === col("canon.doc_id") &&
-        col("i") === col("canon.i")))
-      .select("doc_id", "i")
+    val out = graft.CheckpointLease.track(
+      cand.join(dup, Seq("h", "gram"))
+        .filter(!(col("doc_id") === col("canon.doc_id") &&
+          col("i") === col("canon.i")))
+        .select("doc_id", "i")
+        .localCheckpoint(true))
+    cand.unpersist()
+    withH.unpersist()
+    out
   }
 
   def spanScrub(docs: DataFrame, n: Int = SpanGram,
@@ -850,12 +905,10 @@ object Dedup {
     * companion to [[ngramJaccardPairs]]' set Jaccard: two documents that
     * share rare shingles score higher than two sharing only common ones,
     * and within-document repetition counts. Same skew-safe df-cap shape
-    * as [[ngramJaccardPairs]] (broadcast anti-join, see
-    * [[keptPostings]]), same posting-list pair enumeration, same
-    * [[MaxShingleDf]] guard bounding every posting list — plus a
-    * surviving-df recount co-aggregated with the posting lists to feed
-    * the idf weight in-row (survivors' df ≤ cap is exact by
-    * construction, so the recount equals the df pass's number).
+    * as [[ngramJaccardPairs]] (one-pass capped buffers, see
+    * [[keptPostingWeightedLists]]), same posting-list pair enumeration,
+    * same [[MaxShingleDf]] guard bounding every posting list — the
+    * capped aggregate's exact count IS the df the idf weight needs.
     *
     * == Cross-engine determinism ==
     * Weights are INTEGER-QUANTIZED: `w = min(tf, TfidfTfCap) ·
@@ -867,10 +920,9 @@ object Dedup {
     * count-pushdown parquet scan, interpolated as a plan literal.
     *
     * == Scale shape ==
-    * tf derivation is map-side ([[shingleTf]]); the df cap is the
-    * [[keptPostings]] broadcast anti-join (no posting shuffle); the
-    * index aggregation is then ONE skew-free shuffle over the kept
-    * stream (every key ≤ cap postings by construction); norms are a
+    * tf derivation is map-side ([[shingleTf]]); cap, df, and posting
+    * lists ride ONE skew-free capped aggregation of that stream (hot
+    * keys ship count-only partial buffers); norms are a
     * keyed aggregate by doc_id over the weighted index's postings; pair
     * cost is Σ_shingles C(df, 2) with df ≤ the cap. Weight bounds:
     * w ≤ 255 · 1000, so a pair dot ≤ 6.6e10 per shared shingle — exact
@@ -880,25 +932,28 @@ object Dedup {
   def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.5,
       maxShingleDf: Long = MaxShingleDf): DataFrame = {
     val nDocs = docs.count()
-    // post-anti-join recount: survivors have df <= cap (nothing was
-    // dropped from their posting lists), so count(1) here IS the df the
-    // idf weight needs — no join back against the full df table
-    val index = keptPostings(shingleTf(docs), maxShingleDf,
-        dfStream = Some(shingleIds(docs)))
-      .groupBy("shingle")
-      .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
-          .as("ps"))
+    // one pass: the capped WEIGHTED aggregate collects each shingle's
+    // (doc_id, tf) postings flat-packed with an exact df (the old shape
+    // derived the stream twice — once through shingleTf, once through
+    // shingleIds for the count-only arm — plus an anti-join and a
+    // repartition); blocks arrive doc_id-sorted, identical to the old
+    // sort_array(collect_list(struct(doc_id, tf))) order
+    val index = keptPostingWeightedLists(shingleTf(docs), maxShingleDf)
       .select(col("shingle"), expr(
-        s"""transform(ps, e -> struct(e.doc_id AS doc_id,
-           |  least(e.tf, $TfidfTfCap) *
-           |  least($nDocs div df, $TfidfIdfCap) AS w))"""
+        s"""transform(sequence(1, CAST(size(ds) div 2 AS INT)),
+           |  j -> struct(element_at(ds, CAST(2 * j - 1 AS INT)) AS doc_id,
+           |    least(element_at(ds, CAST(2 * j AS INT)), $TfidfTfCap) *
+           |    least($nDocs div df, $TfidfIdfCap) AS w))"""
           .stripMargin).as("ds"))
       .persist()
+    // persisted: joined once per pair side (na and nb) — without it the
+    // norm aggregation (explode + keyed sum over the weighted index) ran
+    // twice (same two-join-sides blindness as ngramJaccardPairs' sizes)
     val norms = index.select(explode(col("ds")).as("e"))
       .select(col("e.doc_id").as("doc_id"), col("e.w").as("w"))
       .groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("n2"))
+      .persist()
     val dots = index
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
@@ -918,6 +973,7 @@ object Dedup {
             sqrt(col("nb.n2").cast("double")))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .localCheckpoint(true))
+    norms.unpersist()
     index.unpersist()
     out
   }
@@ -1102,8 +1158,13 @@ object Dedup {
     * verify step of LSH. Joins the shingle index to the pair list, so
     * cost is O(candidates × shingles-per-doc), never O(n²).
     */
-  def jaccardForPairs(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  def jaccardForPairs(sh: DataFrame, pairs: DataFrame,
+      sizesFrom: Option[DataFrame] = None): DataFrame = {
+    // sizesFrom: a caller holding the per-doc distinct-shingle ARRAY
+    // form passes `(doc_id, n)` derived narrowly (size(sh_arr) — no
+    // shuffle); the default aggregates the exploded index
+    val sizes = sizesFrom.getOrElse(
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
     val inter = pairs
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sh.as("b"), col("doc_b") === col("b.doc_id") &&
@@ -1125,19 +1186,29 @@ object Dedup {
     * both the signature aggregation and the verify join.
     */
   def minhashDedupDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleIds(docs).persist()
-    // signatures take the narrow path (no explode/groupBy shuffle); the
-    // exploded index is still needed for the verify join below
-    val cands = lshCandidates(minhashSignaturesNarrow(docs))
+    // r19: tokenize ONCE. The distinct-shingle ARRAY form feeds all
+    // three consumers — the narrow signatures, the per-doc sizes
+    // (size(sh_arr): a projection, where the old shape aggregated the
+    // exploded index with a full shuffle, twice — once per join side),
+    // and the exploded verify index. The r1–r18 shape derived the
+    // tokenization twice (exploded index + signature arrays).
+    val arrs = shingleIdArrays(
+      docs.filter(size(split(col("text"), " ")) >= 3)).persist()
+    val sh = arrs.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val sizes = arrs.select(col("doc_id"),
+      size(col("sh_arr")).cast("long").as("n"))
+    val cands = lshCandidates(arrs.select(col("doc_id"),
+      graft.functions.MinHashSignature.sig(col("sh_arr"), MinhashK)
+        .as("sig")))
     // eager checkpoint: the (tiny) verified pair set materializes NOW,
     // which lets the shingle cache be released before this function
     // returns; the checkpoint itself is leased so harnesses release its
     // blocks after the consuming action (see graft.CheckpointLease)
     val verified = graft.CheckpointLease.track(
-      jaccardForPairs(sh, cands)
+      jaccardForPairs(sh, cands, sizesFrom = Some(sizes))
         .filter(col("jaccard") >= threshold)
         .localCheckpoint(true))
-    sh.unpersist()
+    arrs.unpersist()
     docs.join(verified.select(col("doc_b").as("doc_id")), Seq("doc_id"),
         "left_anti")
       .select("doc_id", "lang", "source", "n_chars")

@@ -265,14 +265,18 @@ object Similarity {
     var cents = spark.createDataFrame(prev.toSeq.sortBy(_._1))
       .toDF("centroid_id", "c")
     for (_ <- 1 to iters) {
-      val best = vecs.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("centroid_id"),
-          score(col("embedding"), col("c")).as("ccos"))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("centroid_id"), col("embedding")),
-          struct(col("ccos"), (-col("centroid_id")).as("tb"))).as("m"))
-        .select(col("m.centroid_id").as("centroid_id"),
-          col("m.embedding").as("embedding"))
+      // r19: assignment as a NARROW per-row argmax over the (driver-
+      // side) codebook — the r2–r18 crossJoin + groupBy(vec_id) max_by
+      // paid a k-fold row explosion plus a full corpus shuffle PER
+      // LLOYD ITERATION; the aggregate-HOF argmax is the same pick
+      // (strict `>` over cid-ascending candidates = max_by's
+      // (ccos, -cid) tie-break, same NaN-largest total order) with
+      // zero exchanges (guide §2.4)
+      val bestCol = bestOfCandidates(
+        candidatesCol(prev.toSeq, col("embedding"), score))
+      val best = vecs
+        .select(bestCol.getField("centroid_id").as("centroid_id"),
+          col("embedding"))
       val means = best
         .select(col("centroid_id"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -294,26 +298,99 @@ object Similarity {
     cents
   }
 
+  /** Per-row candidate array `[(ccos, centroid_id), ...]` over a
+    * driver-side codebook, in cid-ascending order — the r19 narrow
+    * assignment core. One score subtree per centroid (LINEAR plan
+    * size; a when-chain fold would duplicate the accumulator per step
+    * and blow the tree up exponentially). Each candidate's score is
+    * the identical [[cosine]]/`score` expression over the identical
+    * float values (literal array = the codebook row), so scores are
+    * bit-identical to the old crossJoin form.
+    */
+  private def candidatesCol(cb: Seq[(Int, Seq[Float])], vec: Column,
+      score: (Column, Column) => Column): Column = {
+    require(cb.nonEmpty, "empty codebook")
+    array(cb.sortBy(_._1).map { case (cid, v) =>
+      struct(score(vec, typedLit(v)).as("ccos"),
+        lit(cid).as("centroid_id"))
+    }: _*)
+  }
+
+  private def collectCodebook(cents: DataFrame): Seq[(Int, Seq[Float])] =
+    cents.select(col("centroid_id"), col("c"))
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[Number].intValue,
+        r.getSeq[Float](1)))
+      .toSeq
+
+  /** Best-centroid struct `(ccos, centroid_id)` as a NARROW per-row
+    * `aggregate` over [[candidatesCol]] — exactly the old window's
+    * `row_number() over (order by ccos desc, centroid_id) = 1` pick:
+    * Spark's `>` is the same NaN-largest total order the sort used,
+    * and on ties the earlier (smaller) cid survives the strict
+    * comparison. The lambda references its accumulator as a variable,
+    * so the plan stays linear in k.
+    */
+  private def bestOfCandidates(cands: Column): Column =
+    aggregate(cands, element_at(cands, 1),
+      (acc, x) => when(x.getField("ccos") > acc.getField("ccos"), x)
+        .otherwise(acc))
+
+  /** Argmin counterpart of [[bestOfCandidates]] for `(d, centroid_id)`
+    * candidate structs — exactly `min_by(..., struct(d, centroid_id))`:
+    * strict `<` over cid-ascending candidates keeps the earlier
+    * (smaller) cid on ties, and Spark's NaN-largest total order means a
+    * NaN distance never displaces a finite one (and is displaced by
+    * any finite one), matching min_by's struct ordering.
+    */
+  private def minOfCandidates(cands: Column): Column =
+    aggregate(cands, element_at(cands, 1),
+      (acc, x) => when(x.getField("d") < acc.getField("d"), x)
+        .otherwise(acc))
+
+  /** The codebook ranked per row by `(ccos desc, centroid_id asc)` as a
+    * NARROW array projection — the top-N companion of
+    * [[bestCentroidCol]] for probe selection. `array_sort`'s comparator
+    * uses the same `>` total order (NaN largest) the old
+    * `row_number()` window sorted by, and centroid ids are distinct, so
+    * `slice(..., 1, p)` is exactly the window's `crank <= p` cut — with
+    * no k-fold row explosion, no exchange, and no sort of the query
+    * stream (guide §2.4). Elements are `struct(ccos, centroid_id)`.
+    */
+  private def rankedCentroidsCol(cents: DataFrame, vec: Column): Column =
+    array_sort(candidatesCol(collectCodebook(cents), vec, cosine),
+      (l: Column, r: Column) =>
+        when(l.getField("ccos") > r.getField("ccos"), lit(-1))
+          .when(r.getField("ccos") > l.getField("ccos"), lit(1))
+          .when(l.getField("centroid_id") < r.getField("centroid_id"),
+            lit(-1))
+          .otherwise(lit(1)))
+
   /** IVF assignment WITH the winning cosine: every vector's best
     * centroid from the given codebook plus `ccos`, the score that won —
-    * the ONE place the assignment plan (cross join against the
-    * broadcast codebook, cosine score, ccos-desc/centroid_id window,
-    * rank 1) is spelled out, so every consumer ([[ivfAssignments]],
-    * [[semDedup]], [[kmeansClusterProfile]]'s equivalent agg form) and
-    * the DuckDB twins' shared `asg` CTE stay in lock-step on the
-    * tie-break.
+    * the ONE place the assignment semantics (cosine score, ccos-desc/
+    * centroid_id tie-break) are spelled out, so every consumer
+    * ([[ivfAssignments]], [[semDedup]], [[kmeansClusterProfile]]'s
+    * equivalent agg form) and the DuckDB twins' shared `asg` CTE stay
+    * in lock-step on the tie-break.
+    *
+    * r19 optimization (guide §2.4): the r2–r18 plan was
+    * `crossJoin(broadcast(cents))` + a `row_number()` window over
+    * vec_id — a k-fold row explosion followed by a FULL SHUFFLE + SORT
+    * of the corpus, per assignment consumer. Assignment is per-row
+    * work against a bounded codebook, so it now runs as a narrow
+    * projection ([[bestCentroidCol]]): no exchange, no sort, no row
+    * explosion — at 100 TB this deletes one corpus shuffle per Lloyd
+    * iteration / serve / eval path. Output rows and scores are
+    * bit-identical (same cosine expression, same tie-break; the whole
+    * sim/vec oracle family re-verified after).
     */
-  def ivfAssignmentsWithCos(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("c")).as("ccos"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        col("ccos"))
-  }
+  def ivfAssignmentsWithCos(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        bestOfCandidates(candidatesCol(collectCodebook(cents),
+          col("embedding"), cosine)).as("b"))
+      .select(col("vec_id"), col("embedding"),
+        col("b.centroid_id").as("centroid_id"), col("b.ccos").as("ccos"))
 
   /** IVF assignment: every vector's best centroid from the given codebook
     * (default: k-means-trained, see [[trainCentroids]]).
@@ -385,16 +462,17 @@ object Similarity {
       arms: Seq[Int] = IvfProbeArms): DataFrame = {
     val spark = emb.sparkSession
     val cents = trainCentroids(emb)
-    val wv = Window.partitionBy("query_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
+    // r19: narrow probe ranking (rankedCentroidsCol) — posexplode's
+    // 0-based pos + 1 is exactly the old window's crank
     val qc = withNorm(emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q")),
         "q", "qn")
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("q"), col("qn"), col("centroid_id"),
-        cosine(col("q"), col("c")).as("ccos"))
-      .withColumn("crank", row_number().over(wv))
-      .filter(col("crank") <= arms.max)
+      .select(col("query_id"), col("q"), col("qn"),
+        posexplode(slice(rankedCentroidsCol(cents, col("q")), 1, arms.max))
+          .as(Seq("pos", "pc")))
+      .select(col("query_id"), col("q"), col("qn"),
+        col("pc.centroid_id").as("centroid_id"),
+        (col("pos") + 1).as("crank"))
     val aN = withNorm(ivfAssignments(emb, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("e"),
         col("centroid_id")), "e", "en")
@@ -454,14 +532,15 @@ object Similarity {
     val assigned = ivfAssignments(emb, cents)
     val queries = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val wp = Window.partitionBy("query_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    val probed = broadcast(queries).crossJoin(broadcast(cents))
-      .select(col("query_id"), col("q"), col("centroid_id"),
-        cosine(col("q"), col("c")).as("ccos"))
-      .withColumn("crank", row_number().over(wp))
-      .filter(col("crank") <= Probes)
-      .select("query_id", "q", "centroid_id")
+    // r19: probe ranking as a narrow array sort over the bounded
+    // codebook (see rankedCentroidsCol) — the old broadcast crossJoin +
+    // row_number window exploded and re-sorted the query set per call
+    val probed = queries
+      .select(col("query_id"), col("q"),
+        explode(slice(rankedCentroidsCol(cents, col("q")), 1, Probes))
+          .as("pc"))
+      .select(col("query_id"), col("q"),
+        col("pc.centroid_id").as("centroid_id"))
     probed.join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -687,14 +766,15 @@ object Similarity {
       probes: Int = NearDupProbes, maxBlockSize: Int = 100000,
       codebook: Option[DataFrame] = None): DataFrame = {
     val cents = codebook.getOrElse(trainCentroids(emb))
-    val wv = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("c")).as("ccos"))
-      .withColumn("crank", row_number().over(wv))
-      .filter(col("crank") <= probes)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    // r19: symmetric multi-probe assignment as a narrow array sort over
+    // the bounded codebook (rankedCentroidsCol) — the old crossJoin +
+    // row_number window shuffled AND sorted the full corpus per call
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(slice(rankedCentroidsCol(cents, col("embedding")),
+          1, probes)).as("pc"))
+      .select(col("vec_id"), col("embedding"),
+        col("pc.centroid_id").as("centroid_id"))
     val sizes = assigned.groupBy("centroid_id")
       .agg(count(lit(1)).as("bn"))
     val blocked = assigned.join(broadcast(sizes), Seq("centroid_id"))
@@ -2535,25 +2615,23 @@ object Similarity {
     emb.withColumn("embedding",
       array(perm.map(p => col("embedding").getItem(p)): _*))
 
-  /** Per-subspace PQ codebooks — ALL M subspaces trained JOINTLY: the
-    * subvector stream (vec, sub) is exploded once and every Lloyd
-    * iteration runs ONE assignment agg and ONE mean agg across all
-    * subspaces (2 shuffles/iteration total, vs 2·M for a per-subspace
-    * loop — at 1000 executors that is the difference between 6 and 96
-    * barrier stages). Metric is squared-L2 on the slices (cosine is
-    * wrong on subvectors — their norms carry signal); init is the first
-    * k vectors in vec_id order, sliced, same determinism contract as
-    * [[trainCentroids]]. Output (sub_id, centroid_id, c); the collected
-    * mean table is m×k×subdim ≈ 2k floats — driver-trivial.
+  /** Per-subspace PQ codebooks — ALL M subspaces trained JOINTLY, and
+    * (r19) with the assignment as a NARROW per-row argmin against the
+    * driver-side codebooks: every Lloyd iteration now costs ONE mean
+    * aggregation shuffle across all subspaces (vs 2/iteration before
+    * r19 and 2·M for a per-subspace loop — at 1000 executors that is
+    * the difference between 3 and 96 barrier stages). Metric is
+    * squared-L2 on the slices (cosine is wrong on subvectors — their
+    * norms carry signal); init is the first k vectors in vec_id order,
+    * sliced, same determinism contract as [[trainCentroids]]. Output
+    * (sub_id, centroid_id, c); the collected mean table is m×k×subdim
+    * ≈ 2k floats — driver-trivial.
     */
   def trainPqCodebooks(emb: DataFrame, m: Int = PqSubspaces,
       k: Int = PqCodebookK, iters: Int = KmeansIters): DataFrame = {
     val spark = emb.sparkSession
     val subDim = SrpDim / m
-    val subs = emb.select(col("vec_id"), posexplode(expr(
-      s"""transform(sequence(0, ${m - 1}),
-         |          s -> slice(embedding, s * $subDim + 1, $subDim))"""
-        .stripMargin)).as(Seq("sub_id", "sv"))).persist()
+    val subs = emb.select(col("vec_id"), col("embedding")).persist()
     val seed = emb.orderBy(col("vec_id")).limit(k).collect()
     var prev: Map[(Int, Int), Seq[Float]] = (for {
       (row, i) <- seed.zipWithIndex
@@ -2568,14 +2646,29 @@ object Similarity {
         .toDF("sub_id", "centroid_id", "c")
     var cents = toDf(prev)
     for (_ <- 1 to iters) {
-      val best = subs.join(broadcast(cents), Seq("sub_id"))
-        .select(col("vec_id"), col("sub_id"), col("centroid_id"),
-          col("sv"), l2sq(col("sv"), col("c")).as("d"))
-        .groupBy("vec_id", "sub_id")
-        .agg(min_by(struct(col("centroid_id"), col("sv")),
-          struct(col("d"), col("centroid_id"))).as("m"))
-        .select(col("sub_id"), col("m.centroid_id").as("centroid_id"),
-          col("m.sv").as("sv"))
+      // r19: per-subspace assignment as a NARROW per-row argmin over
+      // the driver-side codebooks — the r14–r18 shape joined the
+      // exploded subvector stream against the broadcast codebook
+      // (n·M·K rows) and ran a groupBy(vec_id, sub_id) min_by, a full
+      // corpus-stream shuffle PER LLOYD ITERATION. minOfCandidates
+      // replicates min_by's (d, centroid_id) pick exactly; each
+      // candidate's l2sq is the identical expression over identical
+      // values, so codebooks are bit-identical (oracle re-verified).
+      val assignCols = (0 until m).map { s =>
+        val sv = expr(s"slice(embedding, ${s * subDim} + 1, $subDim)")
+        val cands = array((0 until kEff).map { c =>
+          struct(l2sq(sv, typedLit(prev((s, c)))).as("d"),
+            lit(c).as("centroid_id"))
+        }: _*)
+        struct(lit(s).as("sub_id"),
+          minOfCandidates(cands).getField("centroid_id")
+            .as("centroid_id"),
+          sv.as("sv"))
+      }
+      val best = subs
+        .select(explode(array(assignCols: _*)).as("p"))
+        .select(col("p.sub_id").as("sub_id"),
+          col("p.centroid_id").as("centroid_id"), col("p.sv").as("sv"))
       val means = best
         .select(col("sub_id"), col("centroid_id"),
           posexplode(col("sv")).as(Seq("pos", "x")))
@@ -2597,24 +2690,39 @@ object Similarity {
     cents
   }
 
-  /** PQ encoding: every vector explodes into its M subvectors (narrow),
-    * each assigned its nearest sub-centroid with ONE `min_by` hash-agg
-    * against the broadcast codebooks — no window, no per-row loops.
-    * Returns (vec_id, sub_id, code, recon_sq).
+  /** PQ encoding: each vector's M nearest sub-centroids computed as a
+    * NARROW per-row argmin against the collected (M·K-row, bounded)
+    * codebooks — r19 shape; the previous form joined the exploded
+    * subvector stream with the broadcast books (n·M·K rows) and ran a
+    * groupBy(vec_id, sub_id) min_by, i.e. one full corpus-stream
+    * shuffle per encode. [[minOfCandidates]] replicates min_by's
+    * (d, centroid_id) pick exactly and `l2sq` is the identical
+    * expression over identical values, so codes and recon_sq are
+    * bit-identical. Returns (vec_id, sub_id, code, recon_sq).
     */
   def pqCodes(emb: DataFrame, books: DataFrame): DataFrame = {
-    val subs = emb.select(col("vec_id"), posexplode(expr(
-      s"""transform(sequence(0, ${PqSubspaces - 1}),
-         |          s -> slice(embedding, s * $PqSubDim + 1, $PqSubDim))"""
-        .stripMargin)).as(Seq("sub_id", "sv")))
-    subs.join(broadcast(books), Seq("sub_id"))
-      .select(col("vec_id"), col("sub_id"), col("centroid_id"),
-        l2sq(col("sv"), col("c")).as("d"))
-      .groupBy("vec_id", "sub_id")
-      .agg(min_by(struct(col("centroid_id"), col("d")),
-        struct(col("d"), col("centroid_id"))).as("m"))
-      .select(col("vec_id"), col("sub_id"),
-        col("m.centroid_id").as("code"), col("m.d").as("recon_sq"))
+    val bk = books.select(col("sub_id"), col("centroid_id"), col("c"))
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[Number].intValue,
+        r.get(1).asInstanceOf[Number].intValue) -> r.getSeq[Float](2))
+      .toMap
+    val m = bk.keys.map(_._1).max + 1
+    val subDim = SrpDim / m
+    val codeCols = (0 until m).map { s =>
+      val sv = expr(s"slice(embedding, ${s * subDim} + 1, $subDim)")
+      val cids = bk.keys.filter(_._1 == s).map(_._2).toSeq.sorted
+      val cands = array(cids.map { c =>
+        struct(l2sq(sv, typedLit(bk((s, c)))).as("d"),
+          lit(c).as("centroid_id"))
+      }: _*)
+      val b = minOfCandidates(cands)
+      struct(lit(s).as("sub_id"),
+        b.getField("centroid_id").as("code"),
+        b.getField("d").as("recon_sq"))
+    }
+    emb.select(col("vec_id"), explode(array(codeCols: _*)).as("p"))
+      .select(col("vec_id"), col("p.sub_id").as("sub_id"),
+        col("p.code").as("code"), col("p.recon_sq").as("recon_sq"))
   }
 
   /** PQ code profile per vector: the M-code word plus total squared
@@ -2776,14 +2884,13 @@ object Similarity {
       probesN: Int = Probes): DataFrame = {
     val queries = embRaw.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    val wp = Window.partitionBy("query_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    broadcast(queries).crossJoin(broadcast(cents))
-      .select(col("query_id"), col("centroid_id"),
-        cosine(col("q"), col("c")).as("ccos"))
-      .withColumn("crank", row_number().over(wp))
-      .filter(col("crank") <= probesN)
-      .select("query_id", "centroid_id")
+    // r19: narrow probe ranking (rankedCentroidsCol) — no crossJoin, no
+    // window shuffle+sort of the query set
+    queries
+      .select(col("query_id"),
+        explode(slice(rankedCentroidsCol(cents, col("q")), 1, probesN))
+          .as("pc"))
+      .select(col("query_id"), col("pc.centroid_id").as("centroid_id"))
   }
 
   /** The IVFADC serve pipeline over an ALREADY-CODED corpus stream
@@ -2978,14 +3085,14 @@ object Similarity {
     val a = withNorm(e.filter(col("lang") === langA)
       .select(col("vec_id").as("a_id"), col("embedding").as("va")),
       "va", "na")
-    val wp = Window.partitionBy("a_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    val probed = a.crossJoin(broadcast(cents))
-      .select(col("a_id"), col("va"), col("na"), col("centroid_id"),
-        cosine(col("va"), col("c")).as("ccos"))
-      .withColumn("crank", row_number().over(wp))
-      .filter(col("crank") <= probes)
-      .select("a_id", "va", "na", "centroid_id")
+    // r19: narrow probe ranking (rankedCentroidsCol) — no crossJoin, no
+    // window shuffle+sort of the query-language stream
+    val probed = a
+      .select(col("a_id"), col("va"), col("na"),
+        explode(slice(rankedCentroidsCol(cents, col("va")), 1, probes))
+          .as("pc"))
+      .select(col("a_id"), col("va"), col("na"),
+        col("pc.centroid_id").as("centroid_id"))
     val scored = probed.join(bLists, Seq("centroid_id"))
       .select(col("a_id"), col("b_id"),
         microUnits(dot(col("va"), col("vb")) / (col("na") * col("nb")))

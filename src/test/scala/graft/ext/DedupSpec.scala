@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, explode}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -314,39 +315,74 @@ class DedupSpec extends SparkSpec {
     assert(run(d.repartition(1)) === run(d.repartition(7)))
   }
 
-  test("keptPostings plan: the df cap is HashAggregate partials + a " +
-      "broadcast anti-join — no WindowExec over the posting stream " +
-      "(the skew guard's own skew guard)") {
+  test("keptPostingLists plan: the df cap is ONE capped-buffer " +
+      "aggregation — partial+final ObjectHashAggregate, a single " +
+      "Exchange, no WindowExec, no anti-join, no second derive of the " +
+      "posting stream (r19 one-pass shape)") {
     val d = docs(
       1L -> "a b c d e", 2L -> "a b c d e", 3L -> "p q r s t")
-    val kept = Dedup.keptPostings(Dedup.shingleIds(d), 5L)
-    // the over-cap head carries no hint since r18 (data-dependent side,
-    // r17 verdict #4): the size-statistics machinery (static estimate
-    // here, AQE runtime stats once inputs are estimate-opaque) makes
-    // the broadcast call. collect() — not count(), which builds a
-    // SEPARATE query execution — so this frame's own adaptive plan is
-    // the one finalized and inspected.
+    val kept = Dedup.keptPostingLists(Dedup.shingleIds(d), 5L)
+    // collect() — not count(), which builds a SEPARATE query execution —
+    // so this frame's own adaptive plan is the one finalized and inspected
     kept.collect()
+    // AdaptiveSparkPlan.toString appends the pre-adaptive Initial Plan
+    // section after execution — pin the FINAL plan only
     val plan = kept.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(!plan.contains("Window"),
       s"df cap must not ride a window (hot-key co-location): $plan")
-    // the df pass partially aggregates map-side (the hot key is
-    // absorbed into one partial row per map partition)...
-    assert(plan.contains("HashAggregate"), plan)
-    assert("HashAggregate".r.findAllIn(plan).size >= 2,
-      s"df count must partial-aggregate map-side: $plan")
-    // ...and the hint-free over-cap head is still probed map-side on a
-    // small head — the stats machinery must pick the broadcast anti-join
-    assert(plan.contains("BroadcastHashJoin") &&
-      plan.contains("LeftAnti"),
-      s"over-cap drop must stats-convert to a broadcast anti-join: $plan")
-    // kept universe identical to the windowed definition
-    val all = kept.select("doc_id").as[Long].collect()
+    // the capped aggregate partially aggregates map-side (a hot key is
+    // absorbed into one count-only partial buffer per map partition)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"capped collect must partial-aggregate map-side: $plan")
+    // one pass, one exchange: the r1–r18 shape paid a second tokenize,
+    // an anti-join, and a standalone repartition on top
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"kept lists must cost exactly one exchange: $plan")
+    assert(!plan.contains("LeftAnti"), s"anti-join retired in r19: $plan")
+    assert("Scan parquet".r.findAllIn(plan).size <= 1 &&
+      "LocalTableScan".r.findAllIn(plan).size <= 1,
+      s"posting stream must be derived once: $plan")
+    // kept universe identical to the r1–r18 anti-join definition
+    val all = kept.select(explode(col("ds")).as("doc_id"))
+      .as[Long].collect()
     assert(all.length === 9 && all.toSet === Set(1L, 2L, 3L))
+    // df on the row = exact posting count; lists arrive sorted
+    val rows = kept.collect()
+    rows.foreach { r =>
+      val ds = r.getSeq[Long](r.fieldIndex("ds"))
+      assert(ds.length.toLong === r.getAs[Long]("df"))
+      assert(ds === ds.sorted)
+    }
     // df<=1 keeps only doc 3's unique shingles
-    val hard = Dedup.keptPostings(Dedup.shingleIds(d), 1L)
-      .select("doc_id").as[Long].collect()
+    val hard = Dedup.keptPostingLists(Dedup.shingleIds(d), 1L)
+      .select(explode(col("ds")).as("doc_id")).as[Long].collect()
     assert(hard.toSet === Set(3L) && hard.length === 3)
+  }
+
+  test("CappedPostingsAgg: exact df across merges, count-only overflow " +
+      "buffers, sorted output; stride-2 blocks sort by doc_id") {
+    // direct Aggregator semantics (the skew guard's exactness contract)
+    val a1 = new graft.functions.CappedPostingsAgg(3, 1)
+    def red(b: graft.functions.CappedBuf, v: Long*) =
+      v.foldLeft(b)((acc, x) => a1.reduce(acc, Array(x)))
+    // under-cap merge: all elements kept, sorted by finish
+    val m = a1.finish(a1.merge(red(a1.zero, 5L, 2L), red(a1.zero, 9L)))
+    assert(m.n === 3L && m.ds.toSeq === Seq(2L, 5L, 9L))
+    // exact count survives overflow; elements drop the moment n > cap
+    val o = a1.merge(red(a1.zero, 1L, 2L), red(a1.zero, 3L, 4L))
+    assert(o.n === 4L && o.ds === null)
+    val o2 = a1.merge(o, red(a1.zero, 7L))
+    assert(o2.n === 5L && o2.ds === null)
+    // per-partition overflow alone already degenerates to count-only
+    val p = red(a1.zero, 1L, 2L, 3L, 4L, 5L)
+    assert(p.n === 5L && p.ds === null)
+    // stride 2: (doc_id, tf) blocks sort by leading doc_id
+    val a2 = new graft.functions.CappedPostingsAgg(3, 2)
+    val w = a2.finish(a2.merge(
+      a2.reduce(a2.zero, Array(30L, 7L)),
+      a2.reduce(a2.zero, Array(10L, 9L))))
+    assert(w.n === 2L && w.ds.toSeq === Seq(10L, 9L, 30L, 7L))
   }
   private def docsWithSource(rows: (Long, String, String)*) =
     rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }

@@ -255,7 +255,12 @@ class LayoutSpec extends SparkSpec {
       "ext/Privacy.scala" -> (7, 1),
       "ext/Quality.scala" -> (13, 0),
       "ext/Retail.scala" -> (9, 0),
-      "ext/Similarity.scala" -> (41, 3),
+      "ext/Similarity.scala" -> (30, 3), // −11 r19: the IVF/PQ
+                                         // assignment + probe-ranking
+                                         // crossJoin(broadcast(codebook))
+                                         // sites became narrow per-row
+                                         // folds over driver-side
+                                         // codebooks (no join at all)
       "ext/Stats.scala" -> (19, 0),
       "ext/TextAnalysis.scala" -> (13, 0),
       "operators/SkewJoin.scala" -> (1, 0),
