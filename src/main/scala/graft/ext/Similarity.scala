@@ -336,17 +336,6 @@ object Similarity {
       (acc, x) => when(x.getField("ccos") > acc.getField("ccos"), x)
         .otherwise(acc))
 
-  /** Argmin counterpart of [[bestOfCandidates]] for `(d, centroid_id)`
-    * candidate structs — exactly `min_by(..., struct(d, centroid_id))`:
-    * strict `<` over cid-ascending candidates keeps the earlier
-    * (smaller) cid on ties, and Spark's NaN-largest total order means a
-    * NaN distance never displaces a finite one (and is displaced by
-    * any finite one), matching min_by's struct ordering.
-    */
-  private def minOfCandidates(cands: Column): Column =
-    aggregate(cands, element_at(cands, 1),
-      (acc, x) => when(x.getField("d") < acc.getField("d"), x)
-        .otherwise(acc))
 
   /** The codebook ranked per row by `(ccos desc, centroid_id asc)` as a
     * NARROW array projection — the top-N companion of
@@ -2615,23 +2604,25 @@ object Similarity {
     emb.withColumn("embedding",
       array(perm.map(p => col("embedding").getItem(p)): _*))
 
-  /** Per-subspace PQ codebooks — ALL M subspaces trained JOINTLY, and
-    * (r19) with the assignment as a NARROW per-row argmin against the
-    * driver-side codebooks: every Lloyd iteration now costs ONE mean
-    * aggregation shuffle across all subspaces (vs 2/iteration before
-    * r19 and 2·M for a per-subspace loop — at 1000 executors that is
-    * the difference between 3 and 96 barrier stages). Metric is
-    * squared-L2 on the slices (cosine is wrong on subvectors — their
-    * norms carry signal); init is the first k vectors in vec_id order,
-    * sliced, same determinism contract as [[trainCentroids]]. Output
-    * (sub_id, centroid_id, c); the collected mean table is m×k×subdim
-    * ≈ 2k floats — driver-trivial.
+  /** Per-subspace PQ codebooks — ALL M subspaces trained JOINTLY: the
+    * subvector stream (vec, sub) is exploded once and every Lloyd
+    * iteration runs ONE assignment agg and ONE mean agg across all
+    * subspaces (2 shuffles/iteration total, vs 2·M for a per-subspace
+    * loop — at 1000 executors that is the difference between 6 and 96
+    * barrier stages). Metric is squared-L2 on the slices (cosine is
+    * wrong on subvectors — their norms carry signal); init is the first
+    * k vectors in vec_id order, sliced, same determinism contract as
+    * [[trainCentroids]]. Output (sub_id, centroid_id, c); the collected
+    * mean table is m×k×subdim ≈ 2k floats — driver-trivial.
     */
   def trainPqCodebooks(emb: DataFrame, m: Int = PqSubspaces,
       k: Int = PqCodebookK, iters: Int = KmeansIters): DataFrame = {
     val spark = emb.sparkSession
     val subDim = SrpDim / m
-    val subs = emb.select(col("vec_id"), col("embedding")).persist()
+    val subs = emb.select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, ${m - 1}),
+         |          s -> slice(embedding, s * $subDim + 1, $subDim))"""
+        .stripMargin)).as(Seq("sub_id", "sv"))).persist()
     val seed = emb.orderBy(col("vec_id")).limit(k).collect()
     var prev: Map[(Int, Int), Seq[Float]] = (for {
       (row, i) <- seed.zipWithIndex
@@ -2646,29 +2637,24 @@ object Similarity {
         .toDF("sub_id", "centroid_id", "c")
     var cents = toDf(prev)
     for (_ <- 1 to iters) {
-      // r19: per-subspace assignment as a NARROW per-row argmin over
-      // the driver-side codebooks — the r14–r18 shape joined the
-      // exploded subvector stream against the broadcast codebook
-      // (n·M·K rows) and ran a groupBy(vec_id, sub_id) min_by, a full
-      // corpus-stream shuffle PER LLOYD ITERATION. minOfCandidates
-      // replicates min_by's (d, centroid_id) pick exactly; each
-      // candidate's l2sq is the identical expression over identical
-      // values, so codebooks are bit-identical (oracle re-verified).
-      val assignCols = (0 until m).map { s =>
-        val sv = expr(s"slice(embedding, ${s * subDim} + 1, $subDim)")
-        val cands = array((0 until kEff).map { c =>
-          struct(l2sq(sv, typedLit(prev((s, c)))).as("d"),
-            lit(c).as("centroid_id"))
-        }: _*)
-        struct(lit(s).as("sub_id"),
-          minOfCandidates(cands).getField("centroid_id")
-            .as("centroid_id"),
-          sv.as("sv"))
-      }
-      val best = subs
-        .select(explode(array(assignCols: _*)).as("p"))
-        .select(col("p.sub_id").as("sub_id"),
-          col("p.centroid_id").as("centroid_id"), col("p.sv").as("sv"))
+      // NOTE (r19, measured): the narrow per-row argmin that replaced
+      // the coarse-quantizer window (bestOfCandidates, k=16 candidates)
+      // was ALSO tried here — and lost 5–8× (sim_topk_pq 4.0 → 33.6 s):
+      // at M×K = 512 candidate subtrees whole-stage codegen bails on
+      // the giant projection and the per-row HOF evaluates interpreted,
+      // with a fresh slice allocation per candidate. The broadcast join
+      // + min_by hash-agg below stays fully codegen'd, so it remains
+      // the measured winner for the fine quantizer (guide §1.1: the
+      // "ideal" plan lost empirically; revert recorded in
+      // OPTIMIZATION_r19.md).
+      val best = subs.join(broadcast(cents), Seq("sub_id"))
+        .select(col("vec_id"), col("sub_id"), col("centroid_id"),
+          col("sv"), l2sq(col("sv"), col("c")).as("d"))
+        .groupBy("vec_id", "sub_id")
+        .agg(min_by(struct(col("centroid_id"), col("sv")),
+          struct(col("d"), col("centroid_id"))).as("m"))
+        .select(col("sub_id"), col("m.centroid_id").as("centroid_id"),
+          col("m.sv").as("sv"))
       val means = best
         .select(col("sub_id"), col("centroid_id"),
           posexplode(col("sv")).as(Seq("pos", "x")))
@@ -2690,39 +2676,30 @@ object Similarity {
     cents
   }
 
-  /** PQ encoding: each vector's M nearest sub-centroids computed as a
-    * NARROW per-row argmin against the collected (M·K-row, bounded)
-    * codebooks — r19 shape; the previous form joined the exploded
-    * subvector stream with the broadcast books (n·M·K rows) and ran a
-    * groupBy(vec_id, sub_id) min_by, i.e. one full corpus-stream
-    * shuffle per encode. [[minOfCandidates]] replicates min_by's
-    * (d, centroid_id) pick exactly and `l2sq` is the identical
-    * expression over identical values, so codes and recon_sq are
-    * bit-identical. Returns (vec_id, sub_id, code, recon_sq).
+  /** PQ encoding: every vector explodes into its M subvectors (narrow),
+    * each assigned its nearest sub-centroid with ONE `min_by` hash-agg
+    * against the broadcast codebooks — no window, no per-row loops.
+    * Returns (vec_id, sub_id, code, recon_sq).
+    *
+    * NOTE (r19, measured): the narrow per-row argmin (the coarse
+    * quantizer's r19 shape) was tried here and lost 5–8× — at
+    * M×K = 512 candidate subtrees codegen bails and interpreted
+    * evaluation re-slices per candidate; this broadcast join stays
+    * codegen'd end-to-end. See OPTIMIZATION_r19.md.
     */
   def pqCodes(emb: DataFrame, books: DataFrame): DataFrame = {
-    val bk = books.select(col("sub_id"), col("centroid_id"), col("c"))
-      .collect()
-      .map(r => (r.get(0).asInstanceOf[Number].intValue,
-        r.get(1).asInstanceOf[Number].intValue) -> r.getSeq[Float](2))
-      .toMap
-    val m = bk.keys.map(_._1).max + 1
-    val subDim = SrpDim / m
-    val codeCols = (0 until m).map { s =>
-      val sv = expr(s"slice(embedding, ${s * subDim} + 1, $subDim)")
-      val cids = bk.keys.filter(_._1 == s).map(_._2).toSeq.sorted
-      val cands = array(cids.map { c =>
-        struct(l2sq(sv, typedLit(bk((s, c)))).as("d"),
-          lit(c).as("centroid_id"))
-      }: _*)
-      val b = minOfCandidates(cands)
-      struct(lit(s).as("sub_id"),
-        b.getField("centroid_id").as("code"),
-        b.getField("d").as("recon_sq"))
-    }
-    emb.select(col("vec_id"), explode(array(codeCols: _*)).as("p"))
-      .select(col("vec_id"), col("p.sub_id").as("sub_id"),
-        col("p.code").as("code"), col("p.recon_sq").as("recon_sq"))
+    val subs = emb.select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, ${PqSubspaces - 1}),
+         |          s -> slice(embedding, s * $PqSubDim + 1, $PqSubDim))"""
+        .stripMargin)).as(Seq("sub_id", "sv")))
+    subs.join(broadcast(books), Seq("sub_id"))
+      .select(col("vec_id"), col("sub_id"), col("centroid_id"),
+        l2sq(col("sv"), col("c")).as("d"))
+      .groupBy("vec_id", "sub_id")
+      .agg(min_by(struct(col("centroid_id"), col("d")),
+        struct(col("d"), col("centroid_id"))).as("m"))
+      .select(col("vec_id"), col("sub_id"),
+        col("m.centroid_id").as("code"), col("m.d").as("recon_sq"))
   }
 
   /** PQ code profile per vector: the M-code word plus total squared
