@@ -1559,9 +1559,12 @@ object Similarity {
         emb.select(col("vec_id"),
             zip_with(col("embedding"), muArr,
               (x, m) => x.cast("double") - m).as("cen"))
-          .withColumn("proj",
-            aggregate(zip_with(col("cen"), vArr, (c, w) => c * w),
-              lit(0.0), (a, e) => a + e))
+          // r19: the projection fold runs through the codegen'd
+          // DotProductDD — the same `sum += c·w` sequential loop the
+          // interpreted aggregate(zip_with(...)) evaluated, so the
+          // IEEE result is bit-identical and the DuckDB list_sum twin
+          // is untouched, but the hot per-row loop compiles
+          .withColumn("proj", dotDD(col("cen"), vArr))
           .select(col("vec_id"),
             zip_with(col("cen"), vArr,
               (c, w) => c - col("proj") * w).as("embedding"))
@@ -1688,18 +1691,30 @@ object Similarity {
               math.min(math.sqrt(lamBar / c.lam), WhitenScaleCap)
             else 1.0)
         }
+        // r19: projections through the codegen'd DotProductDD (same
+        // sequential `sum += c·w` fold as the interpreted
+        // aggregate(zip_with(...)) it replaces — bit-identical), and
+        // the reconstruction as ONE per-position transform instead of
+        // r NESTED interpreted zip_withs each allocating an
+        // intermediate array per row (PlanDump: a single-task 3.2 s
+        // stage at sf0.1 was this per-row interpreter cost). The
+        // per-element float DAG is unchanged:
+        // (((cen + q0·w0) + q1·w1) + ...) in the same order, with
+        // q_k = p_k·(s_k − 1) grouped exactly as before.
         scaled.zipWithIndex.foreach { case ((v, _), k) =>
           val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
-          df = df.withColumn(s"p$k",
-            aggregate(zip_with(col("cen"), vArr, (c, w) => c * w),
-              lit(0.0), (a, e) => a + e))
+          df = df.withColumn(s"p$k", dotDD(col("cen"), vArr))
         }
-        val out = scaled.zipWithIndex.foldLeft(col("cen")) {
-          case (acc, ((v, s), k)) =>
-            val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
-            zip_with(acc, vArr,
-              (c, w) => c + col(s"p$k") * (lit(s) - lit(1.0)) * w)
-        }
+        val out = transform(sequence(lit(1), lit(d)), i => {
+          val idx = i.cast("int")
+          scaled.zipWithIndex.foldLeft(
+              element_at(col("cen"), idx)) {
+            case (acc, ((v, s), k)) =>
+              val vArr = array(v.map(lit(_)).toIndexedSeq: _*)
+              acc + col(s"p$k") * (lit(s) - lit(1.0)) *
+                element_at(vArr, idx)
+          }
+        })
         df.select(col("vec_id"), out.as("embedding"))
     }
 
