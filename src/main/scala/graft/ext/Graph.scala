@@ -50,22 +50,31 @@ object Graph {
     * Plan shape: ONE shuffle on the order key builds each order's
     * distinct item set (`collect_set` dedups in the aggregate, so the
     * separate distinct pass the old window+self-join form needed is
-    * folded in), the pair explosion is a narrow per-row double-explode
-    * over the capped set, and the only other exchange is the final
-    * distinct on (src, dst). That replaces the previous three-exchange
-    * plan (distinct, window sort, self-join) — measured ~25% faster at
-    * sf0.1 and strictly fewer shuffles at any SF. Per-order set size is
-    * bounded by `maxOrderItems` BEFORE the explode, so no task ever
+    * folded in); each UNORDERED pair is then enumerated exactly once
+    * (ordered combinations over the sorted set — r19: the r6–r18
+    * src×dst double-explode emitted every pair twice and shuffled both
+    * copies through the distinct), the only other exchange is the
+    * final distinct on the half volume, and the mirror to both
+    * directions is a narrow post-distinct explode. Same output set,
+    * half the distinct's shuffle bytes at any SF. Per-order set size
+    * is bounded by `maxOrderItems` BEFORE the explode, so no task ever
     * materializes a mega-order's quadratic fan-out.
     */
   def coPurchaseEdges(lineitem: DataFrame, maxOrderItems: Int = 1000): DataFrame = {
     lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("pks"))
       .filter(size(col("pks")) <= maxOrderItems && size(col("pks")) > 1)
-      .select(explode(col("pks")).as("src"), col("pks"))
-      .select(col("src"), explode(col("pks")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .select(explode(expr(
+        """flatten(transform(pks, (a, i) ->
+          |  transform(slice(pks, i + 2, size(pks)),
+          |            b -> struct(a AS src, b AS dst))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** Fixed-point PageRank with damping 0.85 over a directed edge list.
