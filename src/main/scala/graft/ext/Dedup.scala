@@ -38,13 +38,33 @@ object Dedup {
 
   /** Distinct word-3-shingles per document: (doc_id, shingle). */
   def shingles(docs: DataFrame): DataFrame =
+    shingleStrArrays(docs)
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+
+  /** [[shingles]] before the explode: per-doc DISTINCT string 3-gram
+    * arrays — the tokenize-once derivation the portable-MinHash
+    * consumers share (r20; the [[shingleIdArrays]] device for string
+    * shingles): the array feeds the narrow signature kernel, the
+    * per-doc sizes (`size(sh_arr)` — a projection), and the exploded
+    * verify index, so the CPU-heavy tokenize + n-gram build runs once.
+    *
+    * The no-shingle guard filters on TOKEN count BEFORE the n-gram
+    * transform (the [[minhashSignaturesNarrow]] note: a predicate on
+    * the computed array collapses into the scan filter and re-runs the
+    * whole interpreted higher-order transform once for the predicate
+    * and again for the projection). Dropping <3-token docs here is
+    * row-identical for every consumer: their `sh_arr` was `array()`,
+    * which the explode ([[shingles]]) and the signature/size paths all
+    * discarded anyway.
+    */
+  def shingleStrArrays(docs: DataFrame): DataFrame =
     docs
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """CASE WHEN size(toks) < 3 THEN array()
-          |ELSE transform(sequence(1, size(toks) - 2),
-          |               i -> concat_ws(' ', slice(toks, i, 3))) END"""
-          .stripMargin))).as("shingle"))
+      .select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |          i -> concat_ws(' ', slice(toks, i, 3)))"""
+          .stripMargin)).as("sh_arr"))
 
   /** Distinct word n-grams as 64-bit ids: `xxhash64(tok, ..., tok)` per
     * position — no string concatenation, no slice copies, and the
@@ -1138,15 +1158,26 @@ object Dedup {
         array((0 until MinhashK).map(j => col(s"h$j")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs: same band hash in any band. */
+  /** LSH candidate pairs: same band hash in any band.
+    *
+    * r20: `banded` feeds BOTH self-join sides, and its narrow
+    * (kernel-signature) derivation has no exchange of its own that
+    * Spark could share — a broadcast self-join therefore re-derives the
+    * whole tokenize + signature pipeline for the streamed side. The
+    * SHUFFLE_HASH hint plans two IDENTICAL exchanges on the band key,
+    * which ReuseExchange collapses into one: the derivation runs ONCE
+    * and the join reads both sides from the same shuffle — also the
+    * only viable shape at corpus scale, where the band table could
+    * never broadcast.
+    */
   def lshCandidates(sigs: DataFrame): DataFrame = {
     val nBands = MinhashK / BandRows
     val banded = sigs.select(col("doc_id"), posexplode(array(
       (0 until nBands).map(b => xxhash64(
         (0 until BandRows).map(r => col("sig")(b * BandRows + r)) :+
           lit(b): _*)): _*)).as(Seq("band", "band_hash")))
-    banded.as("a")
-      .join(banded.as("b"),
+    banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1258,6 +1289,22 @@ object Dedup {
         array((0 until MinhashK).map(j => col(s"h$j")): _*).as("sig"))
   }
 
+  /** [[minhashSignaturesPortable]] as a NARROW projection over the
+    * per-doc shingle ARRAY (r20): the compiled
+    * [[graft.functions.PortableMinHashSig]] kernel computes all k slot
+    * minima in one pass — no explode, no md5-per-exploded-row, no
+    * groupBy exchange of the corpus shingle stream per consumer.
+    * Signatures are bit-identical (kernel scaladoc; DedupSpec pins the
+    * identity against the aggregated form). Docs with no shingle are
+    * dropped, matching the aggregated form (no rows → no group).
+    */
+  def minhashSignaturesPortableNarrow(arrs: DataFrame): DataFrame =
+    arrs
+      .select(col("doc_id"), graft.functions.PortableMinHash.sig(
+        col("sh_arr"),
+        Array.tabulate(MinhashK)(slotA),
+        Array.tabulate(MinhashK)(slotB), SlotMod).as("sig"))
+
   /** LSH candidates with portable band keys: the band key is the
     * ':'-joined decimal text of the band's signature slots (identical
     * long→string rendering on both engines), instead of an xxhash64 of
@@ -1265,15 +1312,27 @@ object Dedup {
     */
   def lshCandidatesPortable(sigs: DataFrame): DataFrame = {
     val nBands = MinhashK / BandRows
+    // r20, two changes (guide §2.3/§2.4):
+    //  - SHUFFLE_HASH self-join so the two identical band-key
+    //    exchanges collapse (ReuseExchange) and the narrow kernel
+    //    signature derivation runs ONCE — a broadcast self-join would
+    //    re-derive the streamed side (measured: dedup_lsh_eval
+    //    4 → 6.9 s with the broadcast plan);
+    //  - the join keys on the band's SLOT LONGS directly instead of
+    //    their ':'-joined decimal text: the string render was only
+    //    ever an injective equality key (the DuckDB twin builds its
+    //    own), so the candidate set is identical while the exchange
+    //    carries 2 longs instead of a ~20-byte string per band row
+    //    and the map side skips 16 string builds per doc.
     val banded = sigs.select(col("doc_id"), posexplode(array(
-      (0 until nBands).map(b => concat_ws(":",
+      (0 until nBands).map(b => struct(
         (0 until BandRows).map(r =>
-          col("sig")(b * BandRows + r).cast("string")): _*)): _*))
-      .as(Seq("band", "band_key")))
-    banded.as("a")
-      .join(banded.as("b"),
+          col("sig")(b * BandRows + r).as(s"k$r")): _*)): _*))
+      .as(Seq("band", "bk")))
+    banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
+          col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -1288,13 +1347,21 @@ object Dedup {
     */
   def minhashDedupDocsPortable(docs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).persist()
-    val cands = lshCandidatesPortable(minhashSignaturesPortable(sh))
+    // r20: tokenize ONCE (the minhashDedupDocs r19 device, portable
+    // arm) — the distinct-shingle STRING array feeds the narrow md5
+    // signature kernel, the per-doc sizes (a projection), and the
+    // exploded verify index; the old shape exploded + re-aggregated
+    // the shingle stream for signatures AND sizes
+    val arrs = shingleStrArrays(docs).persist()
+    val sh = arrs.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val sizes = arrs
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"))
+    val cands = lshCandidatesPortable(minhashSignaturesPortableNarrow(arrs))
     val verified = graft.CheckpointLease.track(
-      jaccardForPairs(sh, cands)
+      jaccardForPairs(sh, cands, sizesFrom = Some(sizes))
         .filter(col("jaccard") >= threshold)
         .localCheckpoint(true))
-    sh.unpersist()
+    arrs.unpersist()
     docs.join(verified.select(col("doc_b").as("doc_id")), Seq("doc_id"),
         "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
@@ -1316,13 +1383,18 @@ object Dedup {
     */
   def crossSourceDupMatrix(docs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).persist()
-    val cands = lshCandidatesPortable(minhashSignaturesPortable(sh))
+    // r20: tokenize once + narrow signature kernel (see
+    // minhashDedupDocsPortable)
+    val arrs = shingleStrArrays(docs).persist()
+    val sh = arrs.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val sizes = arrs
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"))
+    val cands = lshCandidatesPortable(minhashSignaturesPortableNarrow(arrs))
     val verified = graft.CheckpointLease.track(
-      jaccardForPairs(sh, cands)
+      jaccardForPairs(sh, cands, sizesFrom = Some(sizes))
         .filter(col("jaccard") >= threshold)
         .select("doc_a", "doc_b").localCheckpoint(true))
-    sh.unpersist()
+    arrs.unpersist()
     val src = docs.select(col("doc_id"), col("source"))
     val withSrc = verified
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
@@ -1365,7 +1437,12 @@ object Dedup {
     */
   def minhashIncremental(docs: DataFrame, batchSource: String = "src0",
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).persist()
+    // r20: tokenize once + narrow signature kernel (see
+    // minhashDedupDocsPortable)
+    val arrs = shingleStrArrays(docs).persist()
+    val sh = arrs.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+    val sizes = arrs
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"))
     // the band table feeds FOUR consumers (two probe joins, each read by
     // a candidate count and a verify) — materialize it once (small:
     // nBands rows per doc) instead of re-running the signature
@@ -1373,7 +1450,8 @@ object Dedup {
     // index state the incremental design assumes
     val banded = graft.CheckpointLease.track({
       val nBands = MinhashK / BandRows
-      minhashSignaturesPortable(sh).select(col("doc_id"), posexplode(array(
+      minhashSignaturesPortableNarrow(arrs).select(col("doc_id"),
+        posexplode(array(
         (0 until nBands).map(b => concat_ws(":",
           (0 until BandRows).map(r =>
             col("sig")(b * BandRows + r).cast("string")): _*)): _*))
@@ -1396,7 +1474,7 @@ object Dedup {
     def dupCounts(cands: DataFrame, prefix: String): DataFrame = {
       val nCand = cands.groupBy(col("doc_a").as("doc_id"))
         .agg(count(lit(1)).as(s"n_cand_$prefix"))
-      val nDup = jaccardForPairs(sh, cands)
+      val nDup = jaccardForPairs(sh, cands, sizesFrom = Some(sizes))
         .filter(col("jaccard") >= threshold)
         .groupBy(col("doc_a").as("doc_id"))
         .agg(count(lit(1)).as(s"n_dup_$prefix"))
@@ -1415,7 +1493,7 @@ object Dedup {
         coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"))
       .withColumn("keep",
         col("n_dup_index") === 0L && col("n_dup_batch") === 0L)
-    sh.unpersist()
+    arrs.unpersist()
     out
   }
 
@@ -1488,14 +1566,27 @@ object Dedup {
       (0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(0xFF)): _*))
       .as(Seq("byte_idx", "byte_val")))
+    // r20: FIRST-MATCHING-BAND dedup as a narrow filter — a pair
+    // sharing bytes in several bands matched once per band and paid a
+    // full exchange + aggregation of the candidate stream to dedup
+    // (measured 18.7 MB / the dominant stage at sf0.1). Keeping only
+    // the row whose band is the pair's FIRST equal byte emits every
+    // qualifying pair exactly once (it has a unique first match), so
+    // the distinct disappears (guide §2.4). Same pair set, same
+    // hamming values.
+    val firstMatch = (0 until 3).map { i =>
+      (col("a.byte_idx") <= i) ||
+        (shiftright(col("a.simhash"), i * 8).bitwiseAND(0xFF) =!=
+          shiftright(col("b.simhash"), i * 8).bitwiseAND(0xFF))
+    }.reduce(_ && _)
     banded.as("a")
       .join(banded.as("b"),
         col("a.byte_idx") === col("b.byte_idx") &&
           col("a.byte_val") === col("b.byte_val") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(firstMatch)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
@@ -1744,7 +1835,10 @@ object Dedup {
     val truth = ngramJaccardPairs(docs, threshold)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
     val cands =
-      lshCandidatesPortable(minhashSignaturesPortable(shingles(docs)))
+      // r20: narrow md5 signature kernel over the per-doc shingle
+      // array — no explode + groupBy exchange for the candidate arm
+      lshCandidatesPortable(
+        minhashSignaturesPortableNarrow(shingleStrArrays(docs)))
         .select(col("doc_a"), col("doc_b"), lit(1L).as("c"))
     truth.join(cands, Seq("doc_a", "doc_b"), "full_outer")
       .agg(

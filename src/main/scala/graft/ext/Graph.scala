@@ -655,6 +655,30 @@ object Graph {
           (col("common").cast("double") /
             (col("deg_u") + col("deg_v") - 2L - col("common")))
             .as("jaccard"))
+    // r20: ARM-CHOICE CASCADE from one cheap degree aggregate. Both
+    // arms are output-identical (spec'd against each other), so the
+    // choice is pure policy; what changed is that the policy pays for
+    // the pool's supportFor pass and the tau collect ONLY when they can
+    // plausibly help:
+    //  - exp_all <= budget: score ALL edges directly -- scoring a
+    //    superset keeps the same TakeOrdered top-k, and the pool/screen
+    //    machinery (two extra supportFor-side passes) buys nothing;
+    //  - exp_all > 4x budget: the screen must cut >= 4x for the pruned
+    //    path to fit -- on the near-regular graphs that produce this
+    //    much expansion (the sf0.1 co-purchase graph: avg deg 119.6,
+    //    best ~ 1 everywhere, exp_all 132.5M vs the 30M budget) it
+    //    cannot cut at all, and the pool phase was measured pure waste
+    //    (~2.5 s/run) before the inevitable wedge fallback;
+    //  - in between: the exact-integer screen earns its keep -- the
+    //    r19 pool/tau/screen flow, unchanged.
+    val expAll = und
+      .agg(coalesce(sum(least(col("deg_u"), col("deg_v"))), lit(0L)))
+      .head().getLong(0)
+    if (expAll <= expansionBudget)
+      return score(und).orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(topK)
+    if (expAll > 4L * expansionBudget)
+      return edgeJaccardFull(edges, bcNodes, deg, topK, broadcastMaxEdges)
     val pool = und
       .orderBy((col("best_num").cast("double") / col("best_den")).desc,
         col("u"), col("v"))

@@ -74,9 +74,15 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("q"), col("embedding")) / (col("qn") * col("en")))
           .as("cosine"))
+    // r20: k-bounded heap cut BEFORE the rank window — the window then
+    // sorts Q×k rows instead of the full Q×N pair stream (guide §2.4);
+    // (cosine desc, neighbor_id) is a total order, so cut+rank emits
+    // the window's exact rows and ranks
+    val cut = graft.plans.TopKPerGroup(sims, Seq("query_id"),
+      Seq("cosine" -> true, "neighbor_id" -> false), k)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
+    cut.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
@@ -238,7 +244,11 @@ object Similarity {
     */
   def trainCentroids(emb: DataFrame, k: Int = Centroids,
       iters: Int = KmeansIters): DataFrame =
-    trainCentroidsWith(emb, k, iters, cosine)
+    // r20: cosine assignment via the compiled CentroidRank kernel —
+    // the HOF fold evaluated interpreted per row (see kernel scaladoc;
+    // same pick bit-for-bit)
+    lloydTrain(emb, k, iters, prev => element_at(
+      graft.functions.PqAssign.centroidRank(col("embedding"), prev), 1))
 
   /** Squared L2 distance via three sequential-fold dots (the metric PQ
     * subquantizers train under — cosine is wrong on subvector slices,
@@ -251,7 +261,20 @@ object Similarity {
     * closer); pass `(a, b) => -l2sq(a, b)` for Euclidean Lloyd steps.
     */
   def trainCentroidsWith(emb: DataFrame, k: Int, iters: Int,
-      score: (Column, Column) => Column): DataFrame = {
+      score: (Column, Column) => Column): DataFrame =
+    lloydTrain(emb, k, iters, prev =>
+      bestOfCandidates(candidatesCol(prev, col("embedding"), score)))
+
+  /** The shared Lloyd loop; `bestFor` maps the driver-side codebook to
+    * the per-row best-centroid struct column. [[trainCentroids]] plugs
+    * the compiled [[graft.functions.CentroidRank]] kernel (r20 — the
+    * r19 HOF fold evaluated interpreted per row); [[trainCentroidsWith]]
+    * keeps the generic HOF form for pluggable metrics. An empty corpus
+    * now yields an empty codebook instead of throwing in
+    * `candidatesCol` (r19 advice).
+    */
+  private def lloydTrain(emb: DataFrame, k: Int, iters: Int,
+      bestFor: Seq[(Int, Seq[Float])] => Column): DataFrame = {
     val spark = emb.sparkSession
     val vecs = emb.select(col("vec_id"), col("embedding")).persist()
     // Deterministic init from the first k rows IN vec_id ORDER, re-keyed
@@ -264,16 +287,14 @@ object Similarity {
     val m = prev.size
     var cents = spark.createDataFrame(prev.toSeq.sortBy(_._1))
       .toDF("centroid_id", "c")
-    for (_ <- 1 to iters) {
+    for (_ <- 1 to iters if m > 0) {
       // r19: assignment as a NARROW per-row argmax over the (driver-
       // side) codebook — the r2–r18 crossJoin + groupBy(vec_id) max_by
       // paid a k-fold row explosion plus a full corpus shuffle PER
-      // LLOYD ITERATION; the aggregate-HOF argmax is the same pick
-      // (strict `>` over cid-ascending candidates = max_by's
-      // (ccos, -cid) tie-break, same NaN-largest total order) with
-      // zero exchanges (guide §2.4)
-      val bestCol = bestOfCandidates(
-        candidatesCol(prev.toSeq, col("embedding"), score))
+      // LLOYD ITERATION; the argmax is the same pick (strict `>` over
+      // cid-ascending candidates = max_by's (ccos, -cid) tie-break,
+      // same NaN-largest total order) with zero exchanges (guide §2.4)
+      val bestCol = bestFor(prev.toSeq)
       val best = vecs
         .select(bestCol.getField("centroid_id").as("centroid_id"),
           col("embedding"))
@@ -347,13 +368,22 @@ object Similarity {
     * stream (guide §2.4). Elements are `struct(ccos, centroid_id)`.
     */
   private def rankedCentroidsCol(cents: DataFrame, vec: Column): Column =
-    array_sort(candidatesCol(collectCodebook(cents), vec, cosine),
-      (l: Column, r: Column) =>
-        when(l.getField("ccos") > r.getField("ccos"), lit(-1))
-          .when(r.getField("ccos") > l.getField("ccos"), lit(1))
-          .when(l.getField("centroid_id") < r.getField("centroid_id"),
-            lit(-1))
-          .otherwise(lit(1)))
+    rankedCentroidsColOf(collectCodebook(cents), vec)
+
+  /** [[rankedCentroidsCol]] over an already-collected codebook — r20:
+    * the compiled [[graft.functions.CentroidRank]] kernel replaces the
+    * r19 `array_sort(candidatesCol(...))`, whose HOF comparator AND k
+    * cosine candidate subtrees evaluated interpreted per row (the
+    * dominant cost of every IVF serve/eval path after the r19
+    * de-crossJoin). Same scores, same (ccos desc, centroid_id) order —
+    * see the kernel's bit-identity scaladoc. An empty codebook ranks to
+    * an empty array (old crossJoin-with-empty semantics, r19 advice).
+    */
+  private def rankedCentroidsColOf(cb: Seq[(Int, Seq[Float])],
+      vec: Column): Column =
+    if (cb.isEmpty)
+      expr("array()").cast("array<struct<ccos:double,centroid_id:int>>")
+    else graft.functions.PqAssign.centroidRank(vec, cb)
 
   /** IVF assignment WITH the winning cosine: every vector's best
     * centroid from the given codebook plus `ccos`, the score that won —
@@ -374,12 +404,24 @@ object Similarity {
     * bit-identical (same cosine expression, same tie-break; the whole
     * sim/vec oracle family re-verified after).
     */
-  def ivfAssignmentsWithCos(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding"),
-        bestOfCandidates(candidatesCol(collectCodebook(cents),
-          col("embedding"), cosine)).as("b"))
-      .select(col("vec_id"), col("embedding"),
-        col("b.centroid_id").as("centroid_id"), col("b.ccos").as("ccos"))
+  def ivfAssignmentsWithCos(emb: DataFrame, cents: DataFrame): DataFrame = {
+    // r20: the compiled CentroidRank kernel's head IS bestOfCandidates'
+    // pick (same strict-> total order, earlier cid on ties); an empty
+    // codebook short-circuits to an empty result — the pre-r19
+    // crossJoin-with-empty semantics, without the plan-build throw
+    // (r19 advice)
+    val cb = collectCodebook(cents)
+    if (cb.isEmpty)
+      emb.select(col("vec_id"), col("embedding"),
+          lit(0).as("centroid_id"), lit(0.0).as("ccos"))
+        .filter(lit(false))
+    else
+      emb.select(col("vec_id"), col("embedding"),
+          element_at(graft.functions.PqAssign.centroidRank(
+            col("embedding"), cb), 1).as("b"))
+        .select(col("vec_id"), col("embedding"),
+          col("b.centroid_id").as("centroid_id"), col("b.ccos").as("ccos"))
+  }
 
   /** IVF assignment: every vector's best centroid from the given codebook
     * (default: k-means-trained, see [[trainCentroids]]).
@@ -499,10 +541,14 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, k: Int = TopK,
       codebook: Option[DataFrame] = None): DataFrame = {
+    // r20: heap cut before the rank window — the window sorts Q×k rows
+    // instead of the full probed candidate stream (guide §2.4); total
+    // order ⇒ identical rows and ranks
+    val cut = graft.plans.TopKPerGroup(ivfCandidates(emb, codebook),
+      Seq("query_id"), Seq("cosine" -> true, "neighbor_id" -> false), k)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    ivfCandidates(emb, codebook)
-      .withColumn("rank", row_number().over(w))
+    cut.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
@@ -1190,9 +1236,12 @@ object Similarity {
         (col("dot_i").cast("double") /
           (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double"))))
           .as("cosine"))
+    // r20: heap cut before the rank window (bruteForceTopK pattern)
+    val cut = graft.plans.TopKPerGroup(sims, Seq("query_id"),
+      Seq("cosine" -> true, "neighbor_id" -> false), k)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
+    cut.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
@@ -1586,9 +1635,12 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotDD(col("q"), col("embedding")) / (col("qn") * col("en")))
           .as("cosine"))
+    // r20: heap cut before the rank window (bruteForceTopK pattern)
+    val cut = graft.plans.TopKPerGroup(sims, Seq("query_id"),
+      Seq("cosine" -> true, "neighbor_id" -> false), k)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
+    cut.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
@@ -2634,11 +2686,8 @@ object Similarity {
       k: Int = PqCodebookK, iters: Int = KmeansIters): DataFrame = {
     val spark = emb.sparkSession
     val subDim = SrpDim / m
-    val subs = emb.select(col("vec_id"), posexplode(expr(
-      s"""transform(sequence(0, ${m - 1}),
-         |          s -> slice(embedding, s * $subDim + 1, $subDim))"""
-        .stripMargin)).as(Seq("sub_id", "sv"))).persist()
-    val seed = emb.orderBy(col("vec_id")).limit(k).collect()
+    val vecs = emb.select(col("vec_id"), col("embedding")).persist()
+    val seed = vecs.orderBy(col("vec_id")).limit(k).collect()
     var prev: Map[(Int, Int), Seq[Float]] = (for {
       (row, i) <- seed.zipWithIndex
       s <- 0 until m
@@ -2650,71 +2699,122 @@ object Similarity {
       spark.createDataFrame(map.toSeq.sortBy(_._1)
           .map { case ((s, c), v) => (s, c, v) })
         .toDF("sub_id", "centroid_id", "c")
-    var cents = toDf(prev)
     for (_ <- 1 to iters) {
-      // NOTE (r19, measured): the narrow per-row argmin that replaced
-      // the coarse-quantizer window (bestOfCandidates, k=16 candidates)
-      // was ALSO tried here — and lost 5–8× (sim_topk_pq 4.0 → 33.6 s):
-      // at M×K = 512 candidate subtrees whole-stage codegen bails on
-      // the giant projection and the per-row HOF evaluates interpreted,
-      // with a fresh slice allocation per candidate. The broadcast join
-      // + min_by hash-agg below stays fully codegen'd, so it remains
-      // the measured winner for the fine quantizer (guide §1.1: the
-      // "ideal" plan lost empirically; revert recorded in
-      // OPTIMIZATION_r19.md).
-      val best = subs.join(broadcast(cents), Seq("sub_id"))
-        .select(col("vec_id"), col("sub_id"), col("centroid_id"),
-          col("sv"), l2sq(col("sv"), col("c")).as("d"))
-        .groupBy("vec_id", "sub_id")
-        .agg(min_by(struct(col("centroid_id"), col("sv")),
-          struct(col("d"), col("centroid_id"))).as("m"))
-        .select(col("sub_id"), col("m.centroid_id").as("centroid_id"),
-          col("m.sv").as("sv"))
-      val means = best
-        .select(col("sub_id"), col("centroid_id"),
-          posexplode(col("sv")).as(Seq("pos", "x")))
-        .select(col("sub_id"), col("centroid_id"), col("pos"),
-          microUnits(col("x")).as("micro"))
-        .groupBy("sub_id", "centroid_id", "pos")
-        .agg(expr("sum(micro) div count(1)").as("mm"))
-        .collect()
-      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
-        .map { case (key, rows) =>
-          key -> rows.sortBy(_.getInt(2))
-            .map(r => (r.getLong(3).toDouble / 1000000.0).toFloat).toSeq
-        }
-      prev = (for (s <- 0 until m; c <- 0 until kEff) yield
-        (s, c) -> byKey.getOrElse((s, c), prev((s, c)))).toMap
-      cents = toDf(prev)
+      // r20: assignment via the compiled [[graft.functions
+      // .PqNearestCentroids]] kernel — no posexplode'd subvector
+      // stream, no broadcast join (corpus×M×K expansion), no
+      // groupBy(vec_id, sub_id) exchange PER ITERATION. The r19 note
+      // still stands for the HOF form (512 candidate SUBTREES bail out
+      // of codegen and evaluate interpreted, 5–8× slower); the kernel
+      // is one expression with a hand-compiled loop, so it has neither
+      // the join's exchange nor the HOF's per-candidate Catalyst
+      // overhead. Arithmetic and the (d, centroid_id) min_by tie-break
+      // are replayed bit-identically (see the kernel scaladoc); the
+      // mean aggregation below is unchanged.
+      if (prev.nonEmpty) {
+        val flat = graft.functions.PqAssign.flatten(prev, m, kEff, subDim)
+        val kern = graft.functions.PqAssign.nearest(
+          col("embedding"), flat, m, kEff, subDim)
+        val best = vecs
+          .select(col("embedding"), posexplode(kern).as(Seq("sub_id", "a")))
+          .select(col("sub_id"), col("a.code").as("centroid_id"),
+            slice(col("embedding"), col("sub_id") * lit(subDim) + lit(1),
+              lit(subDim)).as("sv"))
+        val means = best
+          .select(col("sub_id"), col("centroid_id"),
+            posexplode(col("sv")).as(Seq("pos", "x")))
+          .select(col("sub_id"), col("centroid_id"), col("pos"),
+            microUnits(col("x")).as("micro"))
+          .groupBy("sub_id", "centroid_id", "pos")
+          .agg(expr("sum(micro) div count(1)").as("mm"))
+          .collect()
+        val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (key, rows) =>
+            key -> rows.sortBy(_.getInt(2))
+              .map(r => (r.getLong(3).toDouble / 1000000.0).toFloat).toSeq
+          }
+        prev = (for (s <- 0 until m; c <- 0 until kEff) yield
+          (s, c) -> byKey.getOrElse((s, c), prev((s, c)))).toMap
+      }
     }
-    subs.unpersist()
-    cents
+    vecs.unpersist()
+    toDf(prev)
   }
 
-  /** PQ encoding: every vector explodes into its M subvectors (narrow),
-    * each assigned its nearest sub-centroid with ONE `min_by` hash-agg
-    * against the broadcast codebooks — no window, no per-row loops.
-    * Returns (vec_id, sub_id, code, recon_sq).
+  /** Collect a PQ codebook DataFrame (sub_id, centroid_id, c) to the
+    * kernel's flat driver-side layout — bounded by M×K rows (the
+    * [[collectCodebook]] contract, extended to the fine quantizer).
+    * Returns (flat, m, k, subDim); m = 0 for an empty codebook.
+    */
+  private def collectPqBooks(books: DataFrame): (Array[Float], Int, Int, Int) = {
+    val rows = books.select(col("sub_id"), col("centroid_id"), col("c"))
+      .collect()
+    if (rows.isEmpty) (Array.emptyFloatArray, 0, 0, 0)
+    else {
+      val byKey = rows.map(r =>
+        (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+      val m = byKey.keysIterator.map(_._1).max + 1
+      val k = byKey.keysIterator.map(_._2).max + 1
+      val subDim = byKey.valuesIterator.map(_.length).max
+      (graft.functions.PqAssign.flatten(byKey, m, k, subDim), m, k, subDim)
+    }
+  }
+
+  /** PQ encoding: every vector's M nearest sub-centroids via the
+    * compiled [[graft.functions.PqNearestCentroids]] kernel — ONE
+    * narrow projection, replacing the r19 posexplode + broadcast join
+    * (corpus×M×K expansion) + `min_by` exchange. Codes/distances are
+    * bit-identical (same dots, same association, same
+    * (d, centroid_id) tie-break — kernel scaladoc). Returns
+    * (vec_id, sub_id, code, recon_sq).
     *
-    * NOTE (r19, measured): the narrow per-row argmin (the coarse
-    * quantizer's r19 shape) was tried here and lost 5–8× — at
-    * M×K = 512 candidate subtrees codegen bails and interpreted
-    * evaluation re-slices per candidate; this broadcast join stays
-    * codegen'd end-to-end. See OPTIMIZATION_r19.md.
+    * An empty codebook short-circuits to an empty result — the old
+    * inner join's semantics, without the plan-build throw (r19 advice).
     */
   def pqCodes(emb: DataFrame, books: DataFrame): DataFrame = {
-    val subs = emb.select(col("vec_id"), posexplode(expr(
-      s"""transform(sequence(0, ${PqSubspaces - 1}),
-         |          s -> slice(embedding, s * $PqSubDim + 1, $PqSubDim))"""
-        .stripMargin)).as(Seq("sub_id", "sv")))
-    subs.join(broadcast(books), Seq("sub_id"))
-      .select(col("vec_id"), col("sub_id"), col("centroid_id"),
-        l2sq(col("sv"), col("c")).as("d"))
-      .groupBy("vec_id", "sub_id")
-      .agg(min_by(struct(col("centroid_id"), col("d")),
-        struct(col("d"), col("centroid_id"))).as("m"))
-      .select(col("vec_id"), col("sub_id"),
-        col("m.centroid_id").as("code"), col("m.d").as("recon_sq"))
+    val (flat, m, k, subDim) = collectPqBooks(books)
+    if (m == 0)
+      emb.select(col("vec_id"), lit(0).as("sub_id"), lit(0).as("code"),
+        lit(0.0).as("recon_sq")).filter(lit(false))
+    else
+      emb.select(col("vec_id"), posexplode(
+          graft.functions.PqAssign.nearest(col("embedding"), flat, m, k,
+            subDim)).as(Seq("sub_id", "a")))
+        .select(col("vec_id"), col("sub_id"),
+          col("a.code").as("code"), col("a.dist").as("recon_sq"))
+  }
+
+  /** The coded corpus stream an IVFADC index stores —
+    * (vec_id, sub_id, code, centroid_id) — as ONE narrow projection:
+    * the coarse assignment (16-candidate cosine argmax) and the PQ
+    * kernel both run per row, so the r19 `pqCodes ⋈ lists` equi-join
+    * (two exchanges of the corpus×M code stream by vec_id) disappears
+    * (guide §2.4). Row set identical: both sides of the old join were
+    * total per-vector functions.
+    */
+  private[graft] def codedListsNarrow(embRaw: DataFrame, cents: DataFrame,
+      books: DataFrame): DataFrame = {
+    val cb = collectCodebook(cents)
+    val (flat, m, k, subDim) = collectPqBooks(books)
+    if (cb.isEmpty || m == 0)
+      embRaw.select(col("vec_id"), lit(0).as("sub_id"), lit(0).as("code"),
+        lit(0).as("centroid_id")).filter(lit(false))
+    else {
+      val coarse = element_at(
+        graft.functions.PqAssign.centroidRank(col("embedding"), cb), 1)
+        .getField("centroid_id")
+      embRaw
+        // the l2normalized derivation, inlined (same expressions —
+        // identical floats feed the kernel)
+        .withColumn("pq_n", sqrt(dot(col("embedding"), col("embedding"))))
+        .withColumn("emb_n",
+          expr("transform(embedding, v -> CAST(v / pq_n AS FLOAT))"))
+        .select(col("vec_id"), coarse.as("centroid_id"), posexplode(
+          graft.functions.PqAssign.nearest(col("emb_n"), flat, m, k,
+            subDim)).as(Seq("sub_id", "a")))
+        .select(col("vec_id"), col("sub_id"), col("a.code").as("code"),
+          col("centroid_id"))
+    }
   }
 
   /** PQ code profile per vector: the M-code word plus total squared
@@ -2794,10 +2894,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("dq")).as("adc_q"))
-    val ws = Window.partitionBy("query_id")
-      .orderBy(col("adc_q").asc, col("vec_id"))
-    val short = dist.withColumn("srank", row_number().over(ws))
-      .filter(col("srank") <= shortlist)
+    // r20: shortlist cut via the k-bounded heap operator instead of a
+    // row_number window — no full sort of the ADC candidate stream
+    // (guide §2.4); (adc_q, vec_id) is a total order (vec_id unique per
+    // query), so the kept set is the window's cut exactly
+    val short = graft.plans.TopKPerGroup(dist, Seq("query_id"),
+        Seq("adc_q" -> false, "vec_id" -> false), shortlist)
       .select("query_id", "vec_id")
     // exact re-rank over RAW vectors (identical cosine to the brute
     // ground truth) — only the shortlist fetches floats
@@ -2856,15 +2958,14 @@ object Similarity {
     // coarse quantizer on the raw vectors (the ivfTopK metric)
     val cents = coarseCodebook.getOrElse(graft.CheckpointLease.track(
       trainCentroids(embRaw).localCheckpoint(true)))
-    val lists = ivfAssignmentsWithCos(embRaw, cents)
-      .select(col("vec_id"), col("centroid_id"))
     // fine quantizer on the normalized vectors (the pqTopK contract)
-    val emb = l2normalized(embRaw)
     val books = pqBooks.getOrElse(graft.CheckpointLease.track(
-      trainPqCodebooks(emb).localCheckpoint(true)))
-    val codes = pqCodes(emb, books).select("vec_id", "sub_id", "code")
+      trainPqCodebooks(l2normalized(embRaw)).localCheckpoint(true)))
+    // r20: coarse assignment + PQ codes fused into one narrow
+    // projection — the codes ⋈ lists equi-join (two vec_id exchanges
+    // of the corpus×M stream) is gone (guide §2.4)
     ivfPqServe(embRaw, cents, books,
-      codes.join(lists, Seq("vec_id")), k, shortlist)
+      codedListsNarrow(embRaw, cents, books), k, shortlist)
   }
 
   /** Per-query probe set `(query_id, centroid_id)` against a coarse
@@ -2916,10 +3017,10 @@ object Similarity {
       .join(broadcast(dtab), Seq("query_id", "sub_id", "code"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("dq")).as("adc_q"))
-    val ws = Window.partitionBy("query_id")
-      .orderBy(col("adc_q").asc, col("vec_id"))
-    val short = dist.withColumn("srank", row_number().over(ws))
-      .filter(col("srank") <= shortlist)
+    // r20: k-bounded heap instead of a row_number window — no full sort
+    // of the probed ADC stream (guide §2.4); same cut (total order)
+    val short = graft.plans.TopKPerGroup(dist, Seq("query_id"),
+        Seq("adc_q" -> false, "vec_id" -> false), shortlist)
       .select("query_id", "vec_id")
     val qn = withNorm(embRaw.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q")),

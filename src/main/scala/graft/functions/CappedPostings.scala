@@ -41,57 +41,104 @@ import org.apache.spark.sql.functions.udaf
   * `sort_array(collect_list(struct(doc_id, tf)))` because doc_ids are
   * unique within a shingle group.
   *
+  * == Buffer growth (r20, advice item) ==
+  * The r19 `reduce` re-allocated and copied the whole array on every
+  * input row — O(cap²) long copies per under-cap group (~2M at
+  * cap=1000, stride=2). The work buffer now tracks a `used` watermark
+  * over an amortized-doubling array (initial capacity = one posting, so
+  * the df=1 long tail allocates exactly; growth caps at cap·stride), and
+  * `finish` trims to the exact output. Per-group cost is linear in cap.
+  * The work type is internal; the OUTPUT struct stays `(n, ds)`.
+  *
   * `stride` = longs per posting: 1 for plain doc_id lists, 2 for
   * (doc_id, tf) pairs packed flat. `n` counts POSTINGS (docs), not
   * longs; `ds` is null iff n > cap.
   */
 final case class CappedBuf(var n: Long, var ds: Array[Long])
 
+/** Internal accumulation buffer: `ds` is capacity-managed, `used` longs
+  * valid. `ds == null` ⇔ degenerated to count-only (n > cap).
+  */
+final case class CappedWorkBuf(var n: Long, var used: Int,
+    var ds: Array[Long])
+
 class CappedPostingsAgg(cap: Long, stride: Int)
-    extends Aggregator[Array[Long], CappedBuf, CappedBuf] {
+    extends Aggregator[Array[Long], CappedWorkBuf, CappedBuf] {
   require(cap >= 1L && stride >= 1)
 
-  override def zero: CappedBuf = CappedBuf(0L, Array.emptyLongArray)
+  /** Growth ceiling in longs: cap·stride, clamped to the JVM array
+    * bound (an effectively-uncapped aggregation, e.g. cap=Long.MaxValue
+    * in the cap-above-df specs, is limited by array size like any
+    * collect_list).
+    */
+  private val maxLongs: Int =
+    if (cap >= (Int.MaxValue - 8).toLong / stride) Int.MaxValue - 8
+    else (cap * stride).toInt
 
-  override def reduce(b: CappedBuf, in: Array[Long]): CappedBuf = {
+  override def zero: CappedWorkBuf =
+    CappedWorkBuf(0L, 0, Array.emptyLongArray)
+
+  /** Ensure room for `extra` more longs: amortized doubling, never past
+    * the cap's worst case (so a spilled/shipped partial's slack is
+    * bounded too).
+    */
+  private def grow(b: CappedWorkBuf, extra: Int): Unit = {
+    val need = b.used + extra
+    if (need > b.ds.length) {
+      val cap2 = math.min(maxLongs,
+        math.max(need, math.max(stride, b.ds.length * 2)))
+      val out = new Array[Long](cap2)
+      System.arraycopy(b.ds, 0, out, 0, b.used)
+      b.ds = out
+    }
+  }
+
+  override def reduce(b: CappedWorkBuf, in: Array[Long]): CappedWorkBuf = {
     b.n += 1L
     if (b.ds != null) {
-      if (b.n > cap) b.ds = null
+      if (b.n > cap) { b.ds = null; b.used = 0 }
       else {
-        val old = b.ds
-        val out = new Array[Long](old.length + stride)
-        System.arraycopy(old, 0, out, 0, old.length)
+        grow(b, stride)
         var j = 0
-        while (j < stride) { out(old.length + j) = in(j); j += 1 }
-        b.ds = out
+        while (j < stride) { b.ds(b.used + j) = in(j); j += 1 }
+        b.used += stride
       }
     }
     b
   }
 
-  override def merge(a: CappedBuf, b: CappedBuf): CappedBuf = {
+  override def merge(a: CappedWorkBuf, b: CappedWorkBuf): CappedWorkBuf = {
     a.n += b.n
-    if (a.ds == null || b.ds == null || a.n > cap) a.ds = null
-    else a.ds = a.ds ++ b.ds
+    if (a.ds == null || b.ds == null || a.n > cap) { a.ds = null; a.used = 0 }
+    else {
+      grow(a, b.used)
+      System.arraycopy(b.ds, 0, a.ds, a.used, b.used)
+      a.used += b.used
+    }
     a
   }
 
-  override def finish(r: CappedBuf): CappedBuf = {
-    if (r.ds != null) {
-      if (stride == 1) java.util.Arrays.sort(r.ds)
+  override def finish(r: CappedWorkBuf): CappedBuf = {
+    if (r.ds == null) CappedBuf(r.n, null)
+    else {
+      val exact = java.util.Arrays.copyOf(r.ds, r.used)
+      if (stride == 1) java.util.Arrays.sort(exact)
       else {
         // block sort by leading long (doc_id) — doc_ids unique per group
-        val blocks = r.ds.grouped(stride).toArray
+        val blocks = exact.grouped(stride).toArray
         java.util.Arrays.sort(blocks,
           (x: Array[Long], y: Array[Long]) => java.lang.Long.compare(x(0), y(0)))
-        r.ds = blocks.flatten
+        var i = 0
+        blocks.foreach { blk =>
+          System.arraycopy(blk, 0, exact, i, stride); i += stride
+        }
       }
+      CappedBuf(r.n, exact)
     }
-    r
   }
 
-  override def bufferEncoder: Encoder[CappedBuf] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CappedBuf]()
+  override def bufferEncoder: Encoder[CappedWorkBuf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CappedWorkBuf]()
   override def outputEncoder: Encoder[CappedBuf] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CappedBuf]()
 }

@@ -51,11 +51,10 @@ object AnnIndex {
     cents.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/coarse_codebook")
     books.coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_books")
-    val lists = Similarity.ivfAssignments(embRaw, cents)
-      .select(col("vec_id"), col("centroid_id"))
-    Similarity.pqCodes(Similarity.l2normalized(embRaw), books)
-      .select("vec_id", "sub_id", "code")
-      .join(lists, Seq("vec_id"))
+    // r20: assignment + encoding fused into one narrow projection
+    // (Similarity.codedListsNarrow) — the pqCodes ⋈ lists vec_id join
+    // and its two exchanges are gone; the write's rows are identical
+    Similarity.codedListsNarrow(embRaw, cents, books)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/codes")
     (cents, books)
@@ -85,11 +84,7 @@ object AnnIndex {
       dir: String): Unit = {
     val cents = spark.read.parquet(s"$dir/coarse_codebook")
     val books = spark.read.parquet(s"$dir/pq_books")
-    val lists = Similarity.ivfAssignments(newVecs, cents)
-      .select(col("vec_id"), col("centroid_id"))
-    Similarity.pqCodes(Similarity.l2normalized(newVecs), books)
-      .select("vec_id", "sub_id", "code")
-      .join(lists, Seq("vec_id"))
+    Similarity.codedListsNarrow(newVecs, cents, books)
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/codes")
   }

@@ -108,10 +108,23 @@ object Bronze {
   /** S3: Parquet sink, full-refresh overwrite (the reference's
     * `mode("overwrite")` JDBC write re-expressed). `partitionCols` adds
     * directory partitioning for pruning; leave empty for small dims.
+    *
+    * r20 (guide §6): a partitioned write is CLUSTERED by the partition
+    * columns first — without it, every input task writes a file into
+    * every partition directory it sees (small-files squared; at sf0.1
+    * the dpp fact write ran as ONE task grinding through 80 month
+    * directories sequentially, 3.7 s of the query). Hash-clustering
+    * spreads directories across tasks AND yields one file per
+    * directory per holding task — the standard shape for partitioned
+    * output at any scale.
     */
   def writeParquet(df: DataFrame, path: String,
       partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+    val clustered =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+      else df
+    val w = clustered.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
   }

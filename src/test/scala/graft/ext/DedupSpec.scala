@@ -204,6 +204,18 @@ class DedupSpec extends SparkSpec {
     assert(narrow === agg)
   }
 
+  test("narrow portable MinHash signatures equal the aggregated md5 " +
+      "reference bit-for-bit (r20 kernel)") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val narrow = Dedup.minhashSignaturesPortableNarrow(
+        Dedup.shingleStrArrays(d))
+      .as[(Long, Seq[Long])].collect().toMap
+    val agg = Dedup.minhashSignaturesPortable(Dedup.shingles(d))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(narrow === agg)
+    assert(narrow.nonEmpty)
+  }
+
   test("simhash: identical docs share fingerprint; groups count them") {
     val d = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
       3L -> "totally different words entirely here now")
@@ -364,7 +376,7 @@ class DedupSpec extends SparkSpec {
       "buffers, sorted output; stride-2 blocks sort by doc_id") {
     // direct Aggregator semantics (the skew guard's exactness contract)
     val a1 = new graft.functions.CappedPostingsAgg(3, 1)
-    def red(b: graft.functions.CappedBuf, v: Long*) =
+    def red(b: graft.functions.CappedWorkBuf, v: Long*) =
       v.foldLeft(b)((acc, x) => a1.reduce(acc, Array(x)))
     // under-cap merge: all elements kept, sorted by finish
     val m = a1.finish(a1.merge(red(a1.zero, 5L, 2L), red(a1.zero, 9L)))
@@ -383,6 +395,18 @@ class DedupSpec extends SparkSpec {
       a2.reduce(a2.zero, Array(30L, 7L)),
       a2.reduce(a2.zero, Array(10L, 9L))))
     assert(w.n === 2L && w.ds.toSeq === Seq(10L, 9L, 30L, 7L))
+    // r20 amortized-doubling buffer: a work buffer's capacity may exceed
+    // its used watermark mid-stream, but merge/finish only ever read
+    // `used` longs, and finish trims to the exact sorted output
+    val a3 = new graft.functions.CappedPostingsAgg(1000, 1)
+    val big = (1L to 700L).foldLeft(a3.zero)((b, x) =>
+      a3.reduce(b, Array(1000L - x)))
+    assert(big.used === 700 && big.ds.length >= 700)
+    val merged = a3.merge(big,
+      Seq(5000L, 4000L).foldLeft(a3.zero)((b, x) => a3.reduce(b, Array(x))))
+    val fin = a3.finish(merged)
+    assert(fin.n === 702L && fin.ds.length === 702 &&
+      fin.ds.toSeq === fin.ds.toSeq.sorted)
   }
   private def docsWithSource(rows: (Long, String, String)*) =
     rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }

@@ -255,15 +255,18 @@ class LayoutSpec extends SparkSpec {
       "ext/Privacy.scala" -> (7, 1),
       "ext/Quality.scala" -> (13, 0),
       "ext/Retail.scala" -> (9, 0),
-      "ext/Similarity.scala" -> (32, 3), // −9 r19: the coarse IVF
+      "ext/Similarity.scala" -> (30, 3), // −9 r19: the coarse IVF
                                          // assignment + probe-ranking
                                          // crossJoin(broadcast(codebook))
                                          // sites became narrow per-row
                                          // folds over driver-side
-                                         // codebooks (no join at all);
-                                         // the two PQ fine-quantizer
-                                         // joins stay — measured winner
-                                         // (bounded M×K books)
+                                         // codebooks (no join at all).
+                                         // −2 r20: the two PQ
+                                         // fine-quantizer broadcast
+                                         // joins (trainPqCodebooks,
+                                         // pqCodes) replaced by the
+                                         // compiled PqNearestCentroids
+                                         // kernel — no join at all
       "ext/Stats.scala" -> (19, 0),
       "ext/TextAnalysis.scala" -> (13, 0),
       "operators/SkewJoin.scala" -> (1, 0),
