@@ -60,11 +60,8 @@ object Dedup {
   def shingleStrArrays(docs: DataFrame): DataFrame =
     docs
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), array_distinct(expr(
-        """transform(sequence(1, size(toks) - 2),
-          |          i -> concat_ws(' ', slice(toks, i, 3)))"""
-          .stripMargin)).as("sh_arr"))
+      .select(col("doc_id"), graft.functions.NgramKernels
+        .ngramStrings(col("text"), 3).as("sh_arr"))
 
   /** Distinct word n-grams as 64-bit ids: `xxhash64(tok, ..., tok)` per
     * position — no string concatenation, no slice copies, and the
@@ -76,15 +73,12 @@ object Dedup {
     */
   def ngramIds(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, "ngram length must be positive")
-    val hashArgs = (0 until n)
-      .map(j => s"element_at(toks, CAST(i AS INT) + $j)").mkString(",\n    ")
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"""CASE WHEN size(toks) < $n THEN array()
-           |ELSE transform(sequence(1, size(toks) - ${n - 1}),
-           |               i -> xxhash64($hashArgs)) END"""
-          .stripMargin))).as("ngram"))
+    // r20: the compiled NgramIdsKernel fuses split + per-position
+    // xxhash64 + array_distinct into one pass (the interpreted HOF
+    // stack was the heaviest map-side work of the posting pipeline);
+    // ids and first-occurrence order are bit-identical (kernel scaladoc)
+    docs.select(col("doc_id"), explode(
+      graft.functions.NgramKernels.ngramIds(col("text"), n)).as("ngram"))
   }
 
   /** Distinct 3-shingles as 64-bit ids (see [[ngramIds]]). */
@@ -210,12 +204,18 @@ object Dedup {
     // every scale (guide §2.4: remove shuffles outright).
     val sizes = lists.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
+    // materialize NOW (r20): the sa/sb broadcast builds below run
+    // concurrently off the async broadcast pool, and both missed the
+    // still-cold cache — each re-derived sizes in parallel (two ~0.9 s
+    // stages in the r20 ledger); one tiny count makes the second build
+    // a cache read
+    sizes.count()
     val inter = lists
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |            b -> struct(a AS doc_a, b AS doc_b))))"""
-          .stripMargin)).as("p"))
+      // r20: compiled pair enumeration (graft.functions.OrderedPairs) —
+      // the interpreted flatten(transform(slice...)) stack was one of
+      // this query family's heaviest stages; same structs, same order
+      .select(explode(graft.functions.OrderedPairs.of(
+        col("ds"), "doc_a", "doc_b")).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter_size"))
     val out = graft.CheckpointLease.track(inter
@@ -252,12 +252,18 @@ object Dedup {
     // persisted for the same two-join-sides reason as ngramJaccardPairs
     val sizes = lists.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
+    // materialize NOW (r20): the sa/sb broadcast builds below run
+    // concurrently off the async broadcast pool, and both missed the
+    // still-cold cache — each re-derived sizes in parallel (two ~0.9 s
+    // stages in the r20 ledger); one tiny count makes the second build
+    // a cache read
+    sizes.count()
     val inter = lists
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |            b -> struct(a AS doc_a, b AS doc_b))))"""
-          .stripMargin)).as("p"))
+      // r20: compiled pair enumeration (graft.functions.OrderedPairs) —
+      // the interpreted flatten(transform(slice...)) stack was one of
+      // this query family's heaviest stages; same structs, same order
+      .select(explode(graft.functions.OrderedPairs.of(
+        col("ds"), "doc_a", "doc_b")).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter_size"))
     val out = graft.CheckpointLease.track(inter
@@ -1107,15 +1113,10 @@ object Dedup {
     * (no explode, no shuffle).
     */
   def shingleIdArrays(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), array_distinct(expr(
-        """CASE WHEN size(toks) < 3 THEN array()
-          |ELSE transform(sequence(1, size(toks) - 2),
-          |       i -> xxhash64(element_at(toks, CAST(i AS INT)),
-          |                     element_at(toks, CAST(i AS INT) + 1),
-          |                     element_at(toks, CAST(i AS INT) + 2))) END"""
-          .stripMargin)).as("sh_arr"))
+    // r20: compiled NgramIdsKernel (split + xxhash64 + distinct fused,
+    // bit-identical ids and order — kernel scaladoc)
+    docs.select(col("doc_id"),
+      graft.functions.NgramKernels.ngramIds(col("text"), 3).as("sh_arr"))
 
   /** MinHash signature per doc WITHOUT any shuffle: the codegen'd
     * [[graft.functions.MinHashSignature]] expression computes all k slot
@@ -1609,13 +1610,12 @@ object Dedup {
     * construction at any corpus size.
     */
   def decontamMatrix(docs: DataFrame): DataFrame = {
+    // r20: compiled NgramStringsKernel — also dedups per doc BEFORE the
+    // explode, so the global distinct's exchange carries per-doc-unique
+    // rows (same distinct set either way)
     val bySource = docs
-      .select(col("source"), split(col("text"), " ").as("toks"))
-      .select(col("source"), explode(expr(
-        """CASE WHEN size(toks) < 3 THEN array()
-          |ELSE transform(sequence(1, size(toks) - 2),
-          |               i -> concat_ws(' ', slice(toks, i, 3))) END"""
-          .stripMargin)).as("shingle"))
+      .select(col("source"), explode(graft.functions.NgramKernels
+        .ngramStrings(col("text"), 3)).as("shingle"))
       .distinct()
       .persist()
     try {

@@ -64,11 +64,11 @@ object Graph {
     lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("pks"))
       .filter(size(col("pks")) <= maxOrderItems && size(col("pks")) > 1)
-      .select(explode(expr(
-        """flatten(transform(pks, (a, i) ->
-          |  transform(slice(pks, i + 2, size(pks)),
-          |            b -> struct(a AS src, b AS dst))))"""
-          .stripMargin)).as("p"))
+      // r20: compiled pair enumeration (graft.functions.OrderedPairs) —
+      // the interpreted flatten(transform(slice...)) stack ran in the
+      // edge-build stage every graph query pays; same structs, same order
+      .select(explode(graft.functions.OrderedPairs.of(
+        col("pks"), "src", "dst")).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
       .select(explode(array(
